@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-style relational inventory (SURVEY.md §2.2, §2.4–2.8, §2.11 1–5).
+  *
+  * The reference's own relational surface is thin (projection
+  * `sharepointutils.py:161`, date/equality filters `sharepointutils.py:159-175`,
+  * union-all accumulation `sharepointutils.py:405`); everything here is the
+  * EXT analytics inventory declared in SURVEY §2.11, expressed as pure
+  * DataFrame plans so Catalyst performs pushdown/pruning/join-selection.
+  *
+  * Scale notes (100 TB posture):
+  *   - dims (region/nation/customer/supplier/part) are broadcast-joined —
+  *     `broadcast()` hints below keep the big fact table shuffle-free for
+  *     star joins; only groupBy keys shuffle.
+  *   - aggregates use exact BIGINT units (see [[graft.Exact]]) which also
+  *     makes map-side partial aggregation cheap (longs, no decimals).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+
+  import Exact._
+
+  /** TPC-H Q1: pricing summary. Filter + hash-agg, no join, no shuffle
+    * beyond the final 6-group exchange (partial agg is map-side). */
+  val q1PricingSummary: QueryDef = QueryDef.sql(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        toDouble(sum(units(col("l_quantity"), 2)), 2).as("sum_qty"),
+        toDouble(sum(units(col("l_extendedprice"), 2)), 2).as("sum_base_price"),
+        toDouble(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("sum_disc_price"),
+        toDouble(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)), 6).as("sum_charge"),
+        (toDouble(sum(units(col("l_quantity"), 2)), 2) / count(lit(1)).cast("double")).as("avg_qty"),
+        (toDouble(sum(units(col("l_discount"), 2)), 2) / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: shipping priority — 3-way join + agg + deterministic top-10.
+    * customer is the small side → broadcast; Spark plans
+    * TakeOrderedAndProject for the limit. */
+  val q3ShippingPriority: QueryDef = QueryDef.sql(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = ord(s, d).filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+    val l = li(s, d).filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(toDouble(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5: local-supplier volume — 6-way star join; all dims broadcast,
+    * so the only shuffles are the two fact-side equi-joins + final agg. */
+  val q5LocalSupplier: QueryDef = QueryDef.sql(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val region = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(s, d, "nation")
+    val supp = Tables(s, d, "supplier")
+    val o = ord(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    li(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(toDouble(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Per-group top-k window: top-3 customers by order spend per nation
+    * (SURVEY §2.11-4). Window partitions by nation → one shuffle. */
+  val q4TopCustomersPerNation: QueryDef = QueryDef.sql(
+    "q4_top_customers_per_nation",
+    """SELECT n_name, c_custkey, c_name,
+      |  CAST(spend_u AS DOUBLE) / 100.0 AS spend, rk
+      |FROM (
+      |  SELECT n_name, c_custkey, c_name, spend_u,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spend_u DESC, c_custkey) AS rk
+      |  FROM (
+      |    SELECT n_name, c_custkey, c_name,
+      |      SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS spend_u
+      |    FROM customer, orders, nation
+      |    WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+      |    GROUP BY n_name, c_custkey, c_name
+      |  )
+      |)
+      |WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("n_name")).orderBy(col("spend_u").desc, col("c_custkey"))
+    ord(s, d)
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
+      .agg(sum(units(col("o_totalprice"), 2)).as("spend_u"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("c_custkey"), col("c_name"),
+        toDouble(col("spend_u"), 2).as("spend"), col("rk"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  /** Rollup revenue by (returnflag, linestatus) (SURVEY §2.11-5).
+    * NULL grouping slots are coalesced to 'ALL' in both engines so the
+    * hash compare is unambiguous. */
+  val q6RollupRevenue: QueryDef = QueryDef.sql(
+    "q6_rollup_revenue",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+    li(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        toDouble(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** Cube over order priority × status with exact sums. */
+  val qCubeOrders: QueryDef = QueryDef.sql(
+    "q_cube_orders",
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        toDouble(sum(units(col("o_totalprice"), 2)), 2).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  /** Semi-join: customers with at least one urgent order (EXISTS). */
+  val qSemiJoin: QueryDef = QueryDef.sql(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    cust(s, d)
+      .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Anti-join: customers with no orders at all (NOT EXISTS). */
+  val qAntiJoin: QueryDef = QueryDef.sql(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Full-outer join with null-handling: order counts per customer
+    * including orderless customers and (synthetic) customerless orders. */
+  val qOuterJoin: QueryDef = QueryDef.sql(
+    "q_outer_join",
+    """SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders
+      |FROM customer LEFT OUTER JOIN
+      |  (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o.o_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val counts = ord(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust(s, d)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Distinct + set ops: market segments present in BOTH high-value and
+    * low-value customer populations (INTERSECT), and EXCEPT variant. */
+  val qSetOps: QueryDef = QueryDef.sql(
+    "q_set_ops",
+    """SELECT c_mktsegment FROM
+      |  (SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+      |   INTERSECT
+      |   SELECT c_mktsegment FROM customer WHERE c_acctbal < 0.0)
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val c = cust(s, d)
+    c.filter(col("c_acctbal") > 5000.0).select("c_mktsegment")
+      .intersect(c.filter(col("c_acctbal") < 0.0).select("c_mktsegment"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** UNION ALL + distinct aggregation: the reference's only set op is
+    * union-all accumulation (`sharepointutils.py:405`, `cmfunctions.py:424`).
+    * Here: combined key space of suppliers+customers per nation. */
+  val qUnionAll: QueryDef = QueryDef.sql(
+    "q_union_all",
+    """SELECT nationkey, COUNT(*) AS n_parties, COUNT(DISTINCT kind) AS n_kinds
+      |FROM (
+      |  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind FROM supplier
+      |)
+      |GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val c = cust(s, d).select(col("c_nationkey").cast("int").as("nationkey"), lit("customer").as("kind"))
+    val sup = Tables(s, d, "supplier").select(col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(sup)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_parties"), countDistinct(col("kind")).as("n_kinds"))
+      .orderBy("nationkey")
+  }
+
+  /** Top-k global sort: Spark plans TakeOrderedAndProject (no full sort). */
+  val qTopOrders: QueryDef = QueryDef.sql(
+    "q_top_orders",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS DOUBLE) / 100.0 AS total
+      |FROM orders
+      |ORDER BY total DESC, o_orderkey
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        toDouble(units(col("o_totalprice"), 2), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Non-equi range join: line items shipped within 30 days after their
+    * order date (join on key + date-range predicate). */
+  val qRangeJoin: QueryDef = QueryDef.sql(
+    "q_range_join",
+    """SELECT o_orderpriority, COUNT(*) AS n_fast_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    li(s, d).join(ord(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Cross join (small dims only): region × order-status grid with counts. */
+  val qCrossJoin: QueryDef = QueryDef.sql(
+    "q_cross_join",
+    """SELECT r_name, s.o_orderstatus AS status
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      |ORDER BY r_name, status""".stripMargin) { (s, d) =>
+    val statuses = ord(s, d).select(col("o_orderstatus")).distinct()
+    Tables(s, d, "region").select(col("r_name"))
+      .crossJoin(statuses)
+      .select(col("r_name"), col("o_orderstatus").as("status"))
+      .orderBy("r_name", "status")
+  }
+
+  /** count / min / max / count(distinct) over joined part-supplier data;
+    * exercises multi-distinct aggregation. */
+  val qAggStats: QueryDef = QueryDef.sql(
+    "q_agg_stats",
+    """SELECT p_brand,
+      |  COUNT(*) AS n_parts,
+      |  COUNT(DISTINCT p_type) AS n_types,
+      |  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+      |  CAST(SUM(CAST(ROUND(p_retailprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables(s, d, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        toDouble(sum(units(col("p_retailprice"), 2)), 2).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
+    q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
+    qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
+    qTopOrders, qRangeJoin, qCrossJoin, qAggStats)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: 6 flag/status groups, exact totals") {
+    val rows = Relational.q1PricingSummary.run(spark, sf).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 1000)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_qty") > 0)
+      assert(r.getAs[Double]("sum_base_price") > r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q3 top-10 is deterministic and descending by revenue") {
+    val rows = Relational.q3ShippingPriority.run(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("every declared query runs at sf0.001 and yields a schema") {
+    SparkEntry.defs.foreach { q =>
+      val df = q.run(spark, sf)
+      assert(df.schema.nonEmpty, q.name)
+      assert(df.count() >= 0, q.name)
+    }
+  }
+
+  test("oracle coverage: every query with SQL has matching name") {
+    val names = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+  }
+}

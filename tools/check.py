@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB with every
+<sfDir>/*.parquet registered as a view under its stem name, and
+compares row counts, sorted column names, and value hashes.
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetimes to naive utc strings, floats to 9 sig decimals
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    con = duckdb.connect()
+    for p in sorted(sf_dir.glob("*.parquet")):
+        con.execute(
+            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_dir = out_dir / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.read_parquet(spark_dir))
+            want = canon(con.execute(sql).df())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+        elif not got.equals(want):
+            neq = (got != want).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(got)} rows differ; first:")
+            print(pd.concat({"spark": got[neq].head(3), "duck": want[neq].head(3)}))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
