@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Event-stream analytics (SURVEY.md §2.10/§2.11-6): the batch-verifiable
+  * faces of the streaming surface. The reference's incremental protocol is
+  * timestamp-watermark CDC (`sharepointutils.py:159-161`); these queries
+  * declare the event-time operator set (tumbling windows, gaps via lag,
+  * sessionization, as-of lookup, pivot, JSON extraction) with DuckDB
+  * oracles. The same transforms run under Structured Streaming in
+  * [[graft.streaming.EventStreams]].
+  *
+  * Scale notes: every query shuffles once on `user_id` (or the group key)
+  * — window functions and sessionization co-partition by user, so a
+  * 100 TB event log distributes by key with no driver-side state.
+  * Timestamps are compared/emitted as exact epoch-microsecond BIGINTs.
+  */
+object Events {
+
+  import Exact._
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  /** Tumbling 10-minute window aggregation via Spark's `window()`;
+    * bucket emitted as epoch seconds so both engines hash identically. */
+  val qTumbling: QueryDef = QueryDef.sql(
+    "q_events_tumbling",
+    """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket_s, event_type""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        toDouble(sum(units(col("value"), 2)), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket_s", "event_type")
+  }
+
+  /** Per-user inter-event gaps via lag(); exact µs difference. */
+  val qLagGaps: QueryDef = QueryDef.sql(
+    "q_events_lag",
+    """SELECT user_id,
+      |  COUNT(*) AS n_gaps,
+      |  MIN(gap_us) AS min_gap_us,
+      |  MAX(gap_us) AS max_gap_us,
+      |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events
+      |)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Batch sessionization: a session breaks after a 30-minute silence.
+    * Two stacked windows (gap flag → running session ordinal) then one
+    * aggregation — the classic shuffle-once-per-user pattern that maps
+    * 1:1 onto `session_window` in streaming. */
+  val qSessionize: QueryDef = QueryDef.sql(
+    "q_events_session",
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(epoch_us(ts)) AS start_us,
+      |  MAX(epoch_us(ts)) AS end_us,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                > 1800000000 OR
+      |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        toDouble(sum(units(col("value"), 2)), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of lookup: each purchase joined to the user's most recent
+    * prior-or-equal signup (SURVEY §2.4 J-ext). Composed from a
+    * last(ignoreNulls) running window — no custom operator needed, and
+    * it co-partitions by user (single shuffle, streamable). */
+  val qAsOfSignup: QueryDef = QueryDef.sql(
+    "q_events_asof",
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) AS purchase_us,
+      |  signup_us,
+      |  epoch_us(ts) - signup_us AS wait_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_us
+      |  FROM events
+      |)
+      |WHERE event_type = 'purchase' AND signup_us IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("signup_us",
+        last(when(col("event_type") === "signup", unix_micros(col("ts"))), ignoreNulls = true)
+          .over(running))
+      .filter(col("event_type") === "purchase" && col("signup_us").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("signup_us"),
+        (unix_micros(col("ts")) - col("signup_us")).as("wait_us"))
+      .orderBy("event_id")
+  }
+
+  /** Pivot: per-user event-type counts as wide columns. */
+  val qPivotCounts: QueryDef = QueryDef.sql(
+    "q_events_pivot",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("user_id")
+  }
+
+  /** JSON field extraction (F11): Spark parses `props` with from_json;
+    * the oracle uses the JSON arrow operator. */
+  val qJsonExtract: QueryDef = QueryDef.sql(
+    "q_events_json",
+    """SELECT k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM (SELECT CAST(props->>'$.k' AS INT) AS k,
+      |             CAST(FLOOR(CAST(props->>'$.k' AS INT) / 10.0) AS INT) AS k_bucket
+      |      FROM events)
+      |GROUP BY k_bucket
+      |ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("k_bucket", floor(col("k") / 10.0).cast(IntegerType))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+      .orderBy("k_bucket")
+  }
+
+  /** Funnel range self-join: purchases within 1 hour after an error by
+    * the same user (non-equi time-range join, SURVEY §2.4 J3). */
+  val qFunnel: QueryDef = QueryDef.sql(
+    "q_events_funnel",
+    """SELECT e1.event_id AS error_id, e1.user_id,
+      |  COUNT(e2.event_id) AS purchases_1h
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e1
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') e2
+      |  ON e1.user_id = e2.user_id
+      | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+      |GROUP BY e1.event_id, e1.user_id
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    val errors = ev(s, d).filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("err_ts"))
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    errors.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") > col("err_ts") &&
+        col("p_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .groupBy(col("error_id"), col("user_id"))
+      .agg(count(col("p_id")).as("purchases_1h"))
+      .orderBy("error_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qTumbling, qLagGaps, qSessionize, qAsOfSignup,
+    qPivotCounts, qJsonExtract, qFunnel)
+}
