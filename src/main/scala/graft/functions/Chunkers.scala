@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{size => asize, _}
+
+/** Chunking generators (SURVEY.md §2.9).
+  *
+  * G2 — fixed-size word chunks with overlap — reproduces the reference's
+  * `get_chunks_fixed_size_with_overlap` (/root/reference/llmcore/cms/
+  * parsers.py:40-68): words from whitespace-collapse + single-space split
+  * (`word_splitter` parsers.py:29-37), chunk i covers
+  * `words[max(i*size - int(size*fraction), 0) : i*size + size]` for
+  * i = 0, size, 2·size, … It is implemented as a pure Catalyst expression
+  * (split / sequence / transform / slice / array_join) — no UDF, stays
+  * inside whole-stage codegen, and has an exact DuckDB mirror for the
+  * oracle.
+  *
+  * G1 — recursive character splitting (parsers.py:161-166 via langchain's
+  * public RecursiveCharacterTextSplitter semantics: try "\n\n", "\n",
+  * " ", "" separators, greedily merge to ≤ chunkSize chars with overlap)
+  * — is a Scala UDF: inherently iterative, verified by unit tests (the
+  * doctest corpus) rather than a SQL oracle.
+  */
+object Chunkers {
+
+  /** REF `word_splitter`: collapse whitespace runs then split on single
+    * space (keeps the reference's leading-empty-token behavior). */
+  def words(c: Column): Column =
+    split(regexp_replace(c, "\\s+", " "), " ")
+
+  def wordsSql(e: String): String =
+    s"regexp_split_to_array(regexp_replace($e, '\\s+', ' ', 'g'), ' ')"
+
+  /** G2 as an array Column: element i is the i-th overlapping chunk. */
+  def chunkFixedWords(c: Column, chunkSize: Int, overlapFraction: Double): Column = {
+    val ov = (chunkSize * overlapFraction).toInt
+    val w = words(c)
+    val nChunks = ceil(asize(w).cast("double") / chunkSize).cast("int")
+    transform(
+      sequence(lit(0), nChunks - 1),
+      i => {
+        val start = greatest(i * chunkSize - ov, lit(0))
+        array_join(slice(w, start + 1, i * chunkSize + chunkSize - start), " ")
+      })
+  }
+
+  /** DuckDB mirror of [[chunkFixedWords]] (1-based inclusive-end slices). */
+  def chunkFixedWordsSql(e: String, chunkSize: Int, overlapFraction: Double): String = {
+    val ov = (chunkSize * overlapFraction).toInt
+    val w = wordsSql(e)
+    s"""list_transform(
+       |  range(0, CAST(CEIL(CAST(len($w) AS DOUBLE) / $chunkSize) AS INT)),
+       |  i -> array_to_string(($w)[GREATEST(i * $chunkSize - $ov, 0) + 1 : i * $chunkSize + $chunkSize], ' '))""".stripMargin
+  }
+
+  /** G1: recursive character splitter (public langchain semantics).
+    * Splits on the first separator of ["\n\n", "\n", " ", ""] that
+    * divides the text, then greedily merges pieces into chunks of at
+    * most `chunkSize` chars with `overlap` chars carried between
+    * consecutive chunks. */
+  def recursiveSplit(text: String, chunkSize: Int, overlap: Int): Seq[String] = {
+    val seps = Seq("\n\n", "\n", " ")
+
+    def splitBy(t: String): Seq[String] =
+      if (t.length <= chunkSize) Seq(t)
+      else seps.find(s => t.contains(s)) match {
+        case Some(sep) =>
+          val pieces = t.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+          merge(pieces, sep)
+        case None =>
+          t.grouped(chunkSize).toSeq
+      }
+
+    def merge(pieces: Seq[String], sep: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = new StringBuilder
+      pieces.foreach { p =>
+        val piece = if (p.length > chunkSize) p else p
+        val extra = if (cur.isEmpty) piece.length else cur.length + sep.length + piece.length
+        if (extra > chunkSize && cur.nonEmpty) {
+          out += cur.toString
+          val tail = cur.toString.takeRight(overlap)
+          cur = new StringBuilder(if (overlap > 0) tail + sep else "")
+          if (cur.length + piece.length > chunkSize) { out ++= splitBy(piece); cur = new StringBuilder }
+          else cur ++= piece
+        } else {
+          if (cur.nonEmpty) cur ++= sep
+          if (piece.length > chunkSize) { splitBy(piece).dropRight(1).foreach(out += _); cur ++= splitBy(piece).last }
+          else cur ++= piece
+        }
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq
+    }
+
+    splitBy(text).filter(_.nonEmpty)
+  }
+
+  /** [[recursiveSplit]] as a Spark UDF column (Array[String]). */
+  def recursiveSplitUdf(chunkSize: Int, overlap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) =>
+      if (t == null) Array.empty[String]
+      else recursiveSplit(t, chunkSize, overlap).toArray)
+
+  /** G3: re-split rows whose token count exceeds `tokenLimit` — the
+    * reference's `split_kbs` semantics (/root/reference/llmcore/cms/
+    * cmfunctions.py:329-355): num_splits = ceil(tokens/limit),
+    * words_per_split = floor(n_words/num_splits), the LAST part absorbs
+    * the remainder, and continuation parts are prefixed with the text
+    * before "Full Article:" plus " Part Article: "; part token counts
+    * are the un-prefixed word counts (end - start). Pure Catalyst,
+    * returns array<struct<part:string, part_tokens:bigint>>. */
+  def splitOversized(text: Column, nTokens: Column, tokenLimit: Int): Column = {
+    val w = split(trim(text), "\\s+") // REF str.split(): trim + run-split
+    val n = asize(w)
+    val nSplits = floor(nTokens / tokenLimit).cast("int") +
+      when(nTokens % tokenLimit > 0, 1).otherwise(0)
+    val perPart = floor(n / nSplits).cast("int")
+    val prefix = split_part(text, lit("Full Article:"), lit(1))
+    when(nTokens <= tokenLimit,
+      array(struct(text.as("part"), nTokens.cast("long").as("part_tokens")))).otherwise(
+      transform(sequence(lit(0), nSplits - 1), i => {
+        val start = i * perPart
+        val end = when(i < nSplits - 1, (i + 1) * perPart).otherwise(n)
+        val slc = array_join(slice(w, start + 1, end - start), " ")
+        struct(
+          when(i === 0, slc)
+            .otherwise(concat(prefix, lit(" Part Article: "), slc)).as("part"),
+          (end - start).cast("long").as("part_tokens"))
+      }))
+  }
+
+  def splitOversizedSql(e: String, nTokensE: String, tokenLimit: Int): String = {
+    val w = s"regexp_split_to_array(trim($e), '\\s+')"
+    val nSplits = s"(CAST(FLOOR(($nTokensE) / $tokenLimit) AS INT) + CASE WHEN ($nTokensE) % $tokenLimit > 0 THEN 1 ELSE 0 END)"
+    val perPart = s"CAST(FLOOR(len($w) / $nSplits) AS INT)"
+    val prefix = s"split_part($e, 'Full Article:', 1)"
+    s"""CASE WHEN ($nTokensE) <= $tokenLimit
+       |  THEN [struct_pack(part := $e, part_tokens := CAST(($nTokensE) AS BIGINT))]
+       |ELSE list_transform(range(0, $nSplits), i ->
+       |  struct_pack(
+       |    part := CASE WHEN i = 0
+       |      THEN array_to_string(($w)[i * ($perPart) + 1 : (i + 1) * ($perPart)], ' ')
+       |      ELSE $prefix || ' Part Article: ' ||
+       |        array_to_string(($w)[i * ($perPart) + 1 :
+       |          CASE WHEN i < $nSplits - 1 THEN (i + 1) * ($perPart) ELSE len($w) END], ' ')
+       |    END,
+       |    part_tokens := CAST((CASE WHEN i < $nSplits - 1 THEN (i + 1) * ($perPart) ELSE len($w) END) - i * ($perPart) AS BIGINT)))
+       |END""".stripMargin
+  }
+}

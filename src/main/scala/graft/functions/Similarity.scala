@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives (SURVEY.md §2.4 J-sim, EXT similarity
+  * search). Pure Catalyst expressions over ArrayType columns.
+  *
+  * Determinism: dot products fold left-to-right (`aggregate` starts at
+  * 0.0, so the grouping is ((p₁+p₂)+p₃)… — the same association DuckDB's
+  * `list_reduce` produces), which makes cosine scores bit-identical
+  * cross-engine for identical float inputs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ with left-to-right association. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def normSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, v -> v * v), (x, y) -> x + y))"
+
+  /** cosine(a, b) = dot/(‖a‖·‖b‖) — identical expression shape in SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+}

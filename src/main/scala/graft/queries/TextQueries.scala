@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.functions.{Chunkers, Embedders, TextFunctions => TF}
+import graft.pipeline.DocPipeline
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + document-pipeline inventory (SURVEY.md §2.3, §2.9,
+  * §2.11-7 and the EXT text-analysis operators).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** F5+F6+fingerprint per document. */
+  val qDocTokens: QueryDef = QueryDef.sql(
+    "q_doc_tokens",
+    s"""SELECT doc_id,
+       |  length(${TF.cleanTextSql("text")}) AS clean_len,
+       |  ${TF.wordCountSql("text")} AS n_words,
+       |  ${TF.bpeTokenCountSql("text")} AS n_bpe,
+       |  ${TF.fingerprintSql("text")} AS fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      length(TF.cleanText(col("text"))).cast("long").as("clean_len"),
+      TF.wordCount(col("text")).as("n_words"),
+      TF.bpeTokenCount(col("text")).as("n_bpe"),
+      TF.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic vs the labeled lang: confusion-matrix counts. */
+  val qDocLangId: QueryDef = QueryDef.sql(
+    "q_doc_langid",
+    s"""SELECT lang, ${TF.langGuessSql("text")} AS guess, COUNT(*) AS n
+       |FROM documents
+       |GROUP BY lang, guess
+       |ORDER BY lang, guess""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("lang"), TF.langGuess(col("text")).as("guess"))
+      .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+  }
+
+  /** Quality scoring per source: exact-integer components, IEEE ratios. */
+  val qDocQuality: QueryDef = QueryDef.sql(
+    "q_doc_quality",
+    s"""SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(${TF.wordCountSql("text")}) AS BIGINT) AS sum_words,
+       |  CAST(SUM(${TF.punctCountSql("text")}) AS BIGINT) AS sum_punct,
+       |  CAST(SUM(${TF.stopwordCountSql("text")}) AS BIGINT) AS sum_stop,
+       |  CAST(SUM(${TF.stopwordCountSql("text")}) AS DOUBLE) / CAST(SUM(${TF.wordCountSql("text")}) AS DOUBLE) AS stop_ratio
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(TF.wordCount(col("text"))).cast("long").as("sum_words"),
+        sum(TF.punctCount(col("text"))).cast("long").as("sum_punct"),
+        sum(TF.stopwordCount(col("text"))).cast("long").as("sum_stop"))
+      .withColumn("stop_ratio",
+        col("sum_stop").cast("double") / col("sum_words").cast("double"))
+      .orderBy("source")
+  }
+
+  /** G2 chunk explode: every chunk row with ordinal, tokens, chunk_id. */
+  val qDocChunks: QueryDef = QueryDef.sql(
+    "q_doc_chunks",
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, source,
+       |    ${Chunkers.chunkFixedWordsSql(TF.cleanTextSql("text"), DocPipeline.ChunkWords, DocPipeline.OverlapFraction)} AS chunks
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, source,
+       |  unnest(range(0, len(chunks))) AS chunk_index,
+       |  unnest(chunks) AS chunk,
+       |  ${TF.wordCountSql("unnest(chunks)")} AS n_tokens,
+       |  ${TF.bpeTokenCountSql("unnest(chunks)")} AS n_bpe_tokens,
+       |  ${TF.chunkIdSql("CAST(doc_id AS VARCHAR)", "unnest(range(0, len(chunks)))")} AS chunk_id
+       |FROM c
+       |ORDER BY doc_id, chunk_index""".stripMargin) { (s, d) =>
+    DocPipeline.chunks(docs(s, d)).orderBy("doc_id", "chunk_index")
+  }
+
+  /** Per-document chunk stats — the natural aggregate over the reference
+    * chunk table (SURVEY §2.5). */
+  val qChunkStats: QueryDef = QueryDef.sql(
+    "q_chunk_stats",
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    unnest(${Chunkers.chunkFixedWordsSql(TF.cleanTextSql("text"), DocPipeline.ChunkWords, DocPipeline.OverlapFraction)}) AS chunk
+       |  FROM documents
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(${TF.wordCountSql("chunk")}) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(${TF.wordCountSql("chunk")}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+       |FROM c
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    DocPipeline.chunks(docs(s, d))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .withColumn("avg_tokens",
+        col("sum_tokens").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Full pipeline (§2.11-7): chunk → deterministic embed → verifiable
+    * projections of the vector (norm before normalization, first
+    * component after, in-order component sum — all dyadic-exact). */
+  val qPipelineEmbed: QueryDef = QueryDef.sql(
+    "q_pipeline_embed",
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, len(chunks))) AS chunk_index,
+       |    unnest(chunks) AS chunk
+       |  FROM (
+       |    SELECT doc_id,
+       |      ${Chunkers.chunkFixedWordsSql(TF.cleanTextSql("text"), DocPipeline.ChunkWords, DocPipeline.OverlapFraction)} AS chunks
+       |    FROM documents
+       |  )
+       |), e AS (
+       |  SELECT doc_id, chunk_index,
+       |    ${TF.chunkIdSql("CAST(doc_id AS VARCHAR)", "chunk_index")} AS chunk_id,
+       |    ${Embedders.deterministicEmbedSql("chunk")} AS emb
+       |  FROM c
+       |)
+       |SELECT doc_id, chunk_index, chunk_id,
+       |  ${Embedders.l2NormSql("emb")} AS raw_norm,
+       |  (emb)[1] / (${Embedders.l2NormSql("emb")}) AS c0,
+       |  (list_reduce(emb, (x, y) -> x + y)) / (${Embedders.l2NormSql("emb")}) AS comp_sum
+       |FROM e
+       |ORDER BY doc_id, chunk_index""".stripMargin) { (s, d) =>
+    val raw = DocPipeline.chunks(docs(s, d))
+      .withColumn("emb", Embedders.deterministicEmbed(col("chunk")))
+    raw.select(
+      col("doc_id"), col("chunk_index"), col("chunk_id"),
+      sqrt(aggregate(col("emb"), lit(0.0d), (a, x) => a + x * x)).as("raw_norm"),
+      (element_at(col("emb"), 1) /
+        sqrt(aggregate(col("emb"), lit(0.0d), (a, x) => a + x * x))).as("c0"),
+      (aggregate(col("emb"), lit(0.0d), (a, x) => a + x) /
+        sqrt(aggregate(col("emb"), lit(0.0d), (a, x) => a + x * x))).as("comp_sum"))
+      .orderBy("doc_id", "chunk_index")
+  }
+
+  /** G3 oversize re-split (REF split_kbs, token_limit scaled to the
+    * synthetic docs): explode parts with their recomputed token counts. */
+  val qSplitOversized: QueryDef = QueryDef.sql(
+    "q_split_oversized",
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${TF.wordCountSql("text")} AS n_tokens FROM documents
+       |), p AS (
+       |  SELECT doc_id,
+       |    unnest(${Chunkers.splitOversizedSql("text", "n_tokens", 40)}) AS part
+       |  FROM t
+       |)
+       |SELECT doc_id, part.part AS part_text, part.part_tokens AS part_tokens,
+       |  length(part.part) AS part_len
+       |FROM p
+       |ORDER BY doc_id, part_text""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .withColumn("n_tokens", TF.wordCount(col("text")))
+      .select(col("doc_id"),
+        explode(Chunkers.splitOversized(col("text"), col("n_tokens"), 40)).as("part"))
+      .select(col("doc_id"),
+        col("part.part").as("part_text"),
+        col("part.part_tokens").as("part_tokens"),
+        length(col("part.part")).cast("long").as("part_len"))
+      .orderBy("doc_id", "part_text")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qDocTokens, qDocLangId, qDocQuality, qDocChunks,
+    qChunkStats, qPipelineEmbed, qSplitOversized)
+}
