@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.functions.Similarity
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.4 J-sim,
+  * §2.11-9; EXT north-star ANN surface).
+  *
+  * Exact brute-force cosine top-k is the correctness baseline; IVF-style
+  * centroid-routed search is the scale path (probe the best partition
+  * instead of scanning the corpus — at 100 TB the per-query work drops
+  * from O(N) to O(N/partitions), and candidate routing is a broadcast
+  * join against a tiny centroid table).
+  *
+  * Determinism: per-row array folds are order-stable in both engines;
+  * centroids (cross-row sums of floats) are quantized to exact integer
+  * units (round(v·2²⁰)) before summation so partial-aggregation order
+  * cannot perturb them.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val NQueries = 5 // vec_id < 5 are the query vectors
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+
+  private def topkSql(filterExtra: String, k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < $NQueries
+       |), t AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), scored AS (
+       |  SELECT qid, vec_id, ${Similarity.cosineSql("qe", "e")} AS sim
+       |  FROM q, t
+       |  WHERE vec_id <> qid $filterExtra
+       |)
+       |SELECT qid, vec_id, sim, rk FROM (
+       |  SELECT qid, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |) WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+
+  private def topkSpark(s: SparkSession, d: String, sameLabel: Boolean, k: Int): DataFrame = {
+    val all = emb(s, d)
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qe"))
+    val joined =
+      if (sameLabel)
+        all.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      else
+        all.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    joined
+      .withColumn("sim", Similarity.cosine(col("qe"), col("e")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "vec_id", "sim", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** Exact brute-force cosine top-10 for 5 query vectors. */
+  val qKnnBrute: QueryDef = QueryDef.sql(
+    "q_knn_bruteforce", topkSql("", 10)) { (s, d) => topkSpark(s, d, sameLabel = false, 10) }
+
+  /** Label-filtered variant (predicate pushdown shrinks the candidate
+    * set before any distance math). */
+  val qKnnFiltered: QueryDef = QueryDef.sql(
+    "q_knn_filtered", topkSql("AND t.label = q.qlabel", 10)) { (s, d) =>
+    topkSpark(s, d, sameLabel = true, 10)
+  }
+
+  /** Embedding-cosine near-dup: top-20 most similar distinct pairs. */
+  val qEmbedNearDup: QueryDef = QueryDef.sql(
+    "q_embed_neardup",
+    s"""WITH t AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${Similarity.cosineSql("a.e", "b.e")} AS sim
+       |FROM t a, t b
+       |WHERE a.vec_id < b.vec_id
+       |ORDER BY sim DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val t = emb(s, d).select(col("vec_id"), col("e"))
+    val a = t.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = t.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), Similarity.cosine(col("ea"), col("eb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  /** IVF-style routed search: label partitions act as coarse cells.
+    * Quantized-integer centroids per label → route each query to its
+    * best cell (exact-int scoring) → exact cosine top-5 within the cell.
+    */
+  val qKnnIvf: QueryDef = QueryDef.sql(
+    "q_knn_ivf",
+    s"""WITH comp AS (
+       |  SELECT vec_id, label,
+       |    unnest(range(0, $Dim)) AS pos,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS v
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(ROUND(v * 1048576.0) AS BIGINT)) AS BIGINT) AS s_units
+       |  FROM comp GROUP BY label, pos
+       |), cnorm AS (
+       |  SELECT label, CAST(SUM(s_units * s_units) AS BIGINT) AS sq
+       |  FROM cent GROUP BY label
+       |), qcomp AS (
+       |  SELECT vec_id AS qid, pos, v AS qv FROM comp WHERE vec_id < $NQueries
+       |), routed AS (
+       |  SELECT qid, label, score, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY score DESC, label) AS BIGINT) AS crk
+       |  FROM (
+       |    SELECT q.qid, c.label,
+       |      CAST(SUM(CAST(ROUND(q.qv * c.s_units) AS BIGINT)) AS DOUBLE) /
+       |        sqrt(CAST(n.sq AS DOUBLE)) AS score
+       |    FROM qcomp q
+       |    JOIN cent c ON q.pos = c.pos
+       |    JOIN cnorm n ON n.label = c.label
+       |    GROUP BY q.qid, c.label, n.sq
+       |  )
+       |), best AS (
+       |  SELECT qid, label AS best_label FROM routed WHERE crk = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < $NQueries
+       |), cand AS (
+       |  SELECT b.qid, t.vec_id, b.best_label,
+       |    ${Similarity.cosineSql("q.qe", "CAST(t.embedding AS DOUBLE[])")} AS sim
+       |  FROM best b
+       |  JOIN embeddings t ON t.label = b.best_label
+       |  JOIN q ON q.qid = b.qid
+       |  WHERE t.vec_id <> b.qid
+       |)
+       |SELECT qid, best_label, vec_id, sim, rk FROM (
+       |  SELECT qid, best_label, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM cand
+       |) WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val all = emb(s, d)
+    val comp = all.select(col("vec_id"), col("label"),
+      posexplode(col("e")).as(Seq("pos", "v")))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("v") * 1048576.0d).cast("long")).as("s_units"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(col("s_units") * col("s_units")).as("sq"))
+    val qcomp = comp.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+    val scored = qcomp
+      .join(broadcast(cent), Seq("pos"))
+      .join(broadcast(cnorm), Seq("label"))
+      .groupBy(col("qid"), col("label"), col("sq"))
+      .agg(sum(round(col("qv") * col("s_units")).cast("long")).as("dot_units"))
+      .select(col("qid"), col("label"),
+        (col("dot_units").cast("double") / sqrt(col("sq").cast("double"))).as("score"))
+    val wRoute = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
+    val best = scored.withColumn("crk", row_number().over(wRoute))
+      .filter(col("crk") === 1)
+      .select(col("qid"), col("label").as("best_label"))
+    val q = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    all.join(broadcast(best), col("label") === col("best_label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim", Similarity.cosine(col("qe"), col("e")))
+      .withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("qid", "best_label", "vec_id", "sim", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf)
+}
