@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.ParseOps
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** KB-article / parser-dispatch inventory (SURVEY.md §2.9 G5/G6, §2.1
+  * S6/S7, §3.3). The synthetic corpus has no HTML column, so each query
+  * SYNTHESIZES the HTML/binary inputs from `documents` inside the query;
+  * the oracle constructs the expected output analytically with the same
+  * string algebra — which is exactly how the reference's KB pipeline is
+  * specified (string assembly, cmfunctions.py:379-421).
+  */
+object KbQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  private val Base = "https://example.com/"
+
+  /** G5/F9: synthesized KB article (paragraph + relative anchor) through
+    * html_to_text, plus the reference's "Short Description :" prefix and
+    * url synthesis (cmfunctions.py:414-421). */
+  val qKbHtml: QueryDef = QueryDef.sql(
+    "q_kb_html",
+    s"""SELECT doc_id,
+       |  'Short Description : doc_' || CAST(doc_id AS VARCHAR) || ' Full Article: ' ||
+       |    ${TF.cleanTextSql("text")} || ' More (${Base}kb/' || CAST(doc_id AS VARCHAR) || ')'
+       |    AS extracted,
+       |  '${Base}kb?id=' || CAST(doc_id AS VARCHAR) AS url
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val html = concat(
+      lit("<style>p{color:red}</style><p>"), TF.cleanText(col("text")),
+      lit("</p><a href=\"kb/"), col("doc_id").cast("string"), lit("\">More</a>"))
+    docs(s, d)
+      .select(col("doc_id"),
+        concat(lit("Short Description : doc_"), col("doc_id").cast("string"),
+          lit(" Full Article: "),
+          graft.functions.HtmlFunctions.html_to_text(html)).as("extracted"),
+        concat(lit(s"${Base}kb?id="), col("doc_id").cast("string")).as("url"))
+      .orderBy("doc_id")
+  }
+
+  /** F9 table semantics: a synthesized 2×2 HTML table renders as the
+    * reference's "Table: " pipe-joined block (cmfunctions.py:280-288). */
+  val qKbTable: QueryDef = QueryDef.sql(
+    "q_kb_table",
+    """SELECT doc_id,
+      |  'Table: ' || chr(10) || 'h1 | h2' || chr(10) ||
+      |    source || ' | ' || lang || chr(10) || ' Table ends here' AS table_text
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val html = concat(
+      lit("<table><tr><th>h1</th><th>h2</th></tr><tr><td>"), col("source"),
+      lit("</td><td>"), col("lang"), lit("</td></tr></table>"))
+    docs(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        graft.functions.HtmlFunctions.html_to_text(html).as("table_text"))
+      .orderBy("doc_id")
+  }
+
+  /** S6/S7/P7: extension extract (F1) + supported-type dispatch over
+    * synthesized binary content; stubbed office decoders surface their
+    * byte length. */
+  val qParseDispatch: QueryDef = QueryDef.sql(
+    "q_parse_dispatch",
+    s"""WITH files AS (
+       |  SELECT doc_id,
+       |    'doc_' || CAST(doc_id AS VARCHAR) ||
+       |      CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.txt' WHEN 1 THEN '.pdf'
+       |                                   WHEN 2 THEN '.docx' ELSE '.xyz' END AS name,
+       |    text
+       |  FROM documents
+       |), typed AS (
+       |  SELECT doc_id, name, text,
+       |    ${TF.extExtractSql("name")} AS file_type
+       |  FROM files
+       |)
+       |SELECT doc_id, name, file_type,
+       |  CASE WHEN file_type = 'txt' THEN text
+       |       ELSE '[' || file_type || ':' || CAST(octet_length(CAST(text AS BLOB)) AS VARCHAR) || ' bytes]'
+       |  END AS parsed
+       |FROM typed
+       |WHERE file_type IN ('${ParseOps.SupportedTypes.mkString("','")}')
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val files = docs(s, d).select(
+      col("doc_id"),
+      concat(lit("doc_"), col("doc_id").cast("string"),
+        element_at(array(lit(".txt"), lit(".pdf"), lit(".docx"), lit(".xyz")),
+          (col("doc_id") % 4).cast("int") + 1)).as("name"),
+      col("text"))
+    files
+      .withColumn("file_type", TF.extExtract(col("name")))
+      .filter(ParseOps.isSupported(col("file_type")))
+      .withColumn("parsed",
+        ParseOps.parseText(col("file_type"), col("text").cast("binary")))
+      .select("doc_id", "name", "file_type", "parsed")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch)
+}
