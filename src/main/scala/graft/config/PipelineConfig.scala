@@ -1,0 +1,102 @@
+package graft.config
+
+import scala.io.Source
+
+/** Pipeline configuration (SURVEY.md §1.1-6).
+  *
+  * Mirrors the reference's TOML config semantics (/root/reference/
+  * llmcore/cms/configgen.py): a `[query]` section with retrieval knobs
+  * (QueryConfig.post_init builds a label→class map, configgen.py:122-127),
+  * per-collection sections mapped through a domain→class table
+  * (:138-144), and UNKNOWN sections passing through as generic configs
+  * (:146-148) rather than failing.
+  *
+  * No TOML library ships offline, so this is a minimal parser for the
+  * subset the reference's cfg.toml uses: [sections], key = "string" |
+  * number | boolean | [array]. Config is control-plane only — never a
+  * data-plane concern.
+  */
+final case class CollectionConfig(
+    name: String,
+    label: String,
+    className: String,
+    properties: Seq[String],
+    asContext: Boolean,
+    urlProperty: String,
+    topByCertainty: Option[Double])
+
+final case class QueryConfig(
+    topNDocuments: Int,
+    labelClassMap: Map[String, String])
+
+final case class PipelineConfig(
+    chunkSize: Int,
+    chunkOverlap: Int,
+    batchSize: Int,
+    embeddingDim: Int,
+    query: QueryConfig,
+    collections: Map[String, CollectionConfig])
+
+object PipelineConfig {
+
+  val Default: PipelineConfig = PipelineConfig(
+    // the reference's pinned constants (data_ingestion.py:41-42,:97; cfg.toml)
+    chunkSize = 2000, chunkOverlap = 50, batchSize = 150, embeddingDim = 64,
+    query = QueryConfig(topNDocuments = 3, labelClassMap = Map.empty),
+    collections = Map.empty)
+
+  def parse(toml: String): PipelineConfig = {
+    var section = ""
+    val sections = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, String]]
+    toml.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach {
+      case l if l.startsWith("[") && l.endsWith("]") =>
+        section = l.substring(1, l.length - 1).trim
+        sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+      case l if l.contains("=") =>
+        val Array(k, v) = l.split("=", 2)
+        sections.getOrElseUpdate(section, scala.collection.mutable.Map.empty)
+          .update(k.trim, v.trim)
+      case _ => ()
+    }
+
+    def str(s: Map[String, String], k: String, dflt: String): String =
+      s.get(k).map(_.stripPrefix("\"").stripSuffix("\"")).getOrElse(dflt)
+    def num(s: Map[String, String], k: String, dflt: Int): Int =
+      s.get(k).flatMap(_.toIntOption).getOrElse(dflt)
+    def arr(s: Map[String, String], k: String): Seq[String] =
+      s.get(k).toSeq.flatMap(_.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+
+    val top = sections.getOrElse("", scala.collection.mutable.Map.empty).toMap
+    val querySec = sections.getOrElse("query", scala.collection.mutable.Map.empty).toMap
+    // every other section is a collection — unknown sections pass through
+    val collections = (sections.keySet - "" - "query").map { name =>
+      val s = sections(name).toMap
+      name -> CollectionConfig(
+        name = name,
+        label = str(s, "label", name),
+        // the reference drifts between `class` and `weaviate_class`
+        // (cfg.toml:30 vs :37) — accept both, preferring `class`
+        className = str(s, "class", str(s, "weaviate_class", name)),
+        properties = arr(s, "properties"),
+        asContext = str(s, "as_context", "false").toBoolean,
+        urlProperty = str(s, "url_property", "url"),
+        topByCertainty = s.get("top_by_certainty").flatMap(_.toDoubleOption))
+    }.toMap
+
+    PipelineConfig(
+      chunkSize = num(top, "chunk_size", Default.chunkSize),
+      chunkOverlap = num(top, "chunk_overlap", Default.chunkOverlap),
+      batchSize = num(top, "batch_size", Default.batchSize),
+      embeddingDim = num(top, "embedding_dim", Default.embeddingDim),
+      query = QueryConfig(
+        topNDocuments = num(querySec, "top_n_documents", 3),
+        labelClassMap = collections.values.map(c => c.label -> c.className).toMap),
+      collections = collections)
+  }
+
+  def load(path: String): PipelineConfig = {
+    val src = Source.fromFile(path)
+    try parse(src.mkString) finally src.close()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.operators.{CentroidAggregator, MultimodalOps}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{size => asize, _}
+
+/** Multimodal-column + typed-aggregator inventory (EXT north-star).
+  * Binary media are synthesized from `documents.text` (no real media in
+  * the corpus); metadata extraction is oracle-checked, the stubbed
+  * decode kernel is a rows-only check (mapPartitions is not
+  * SQL-expressible).
+  */
+object MultimodalQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Typed metadata over opaque binary columns (no decode): byte count,
+    * container format from the name, content-addressed id. */
+  val qMultimodalMeta: QueryDef = QueryDef.sql(
+    "q_multimodal_meta",
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+      |  sha256(text) AS content_id
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val media = docs(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      concat(lit("m_"), col("doc_id").cast("string"), lit("."),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")),
+          (col("doc_id") % 3).cast("int") + 1)).as("name"))
+    MultimodalOps.withMetadata(media, "blob", "name")
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.format").as("format"),
+        col("media_meta.content_id").as("content_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Stubbed decode + featurize through the mapPartitions kernel —
+    * rows-only check (not SQL-expressible); the row count must equal the
+    * document count and features are 8-dim. */
+  val qMultimodalFeatures: QueryDef = QueryDef.rowsOnly("q_multimodal_features") { (s, d) =>
+    val media = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("blob"))
+    MultimodalOps.decodeAndFeaturize(media, "blob")
+      .select(col("doc_id"), col("width"), col("height"),
+        asize(col("features")).as("n_features"))
+      .orderBy("doc_id")
+  }
+
+  /** Typed Aggregator (the declared UDAF): per-label embedding centroid
+    * with quantized-integer buffers; oracle reproduces the exact integer
+    * math. */
+  val qCentroid: QueryDef = QueryDef.sql(
+    "q_centroid",
+    """WITH comp AS (
+      |  SELECT label,
+      |    unnest(range(0, 64)) AS pos,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(ROUND(v * 1048576.0) AS BIGINT)) AS BIGINT) AS s_units,
+      |    COUNT(*) AS n
+      |  FROM comp GROUP BY label, pos
+      |), vecs AS (
+      |  SELECT label, MAX(n) AS n,
+      |    list(CAST(s_units AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) ORDER BY pos) AS centroid
+      |  FROM cent GROUP BY label
+      |)
+      |SELECT CAST(label AS INT) AS label, n,
+      |  centroid[1] AS c0,
+      |  sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS cnorm
+      |FROM vecs
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ds = Tables(s, d, "embeddings")
+      .select(col("label").cast("int").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .as[(Int, Seq[Double])]
+    val aggCol = new CentroidAggregator(64).toColumn
+    ds.groupByKey(_._1).mapValues(_._2).agg(aggCol)
+      .map { case (label, r) => (label, r.n, r.centroid) }
+      .toDF("label", "n", "centroid")
+      .select(col("label"), col("n"),
+        element_at(col("centroid"), 1).as("c0"),
+        sqrt(aggregate(col("centroid"), lit(0.0d), (a, x) => a + x * x)).as("cnorm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qCentroid)
+}

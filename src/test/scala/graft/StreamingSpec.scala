@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ckpt() =
+    Files.createTempDirectory("ckpt").toFile.getAbsolutePath
+
+  // the streaming file source wants a directory; stage the single
+  // events.parquet file into one
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toFile.getAbsolutePath
+  }
+
+  test("streaming tumbling agg (availableNow) matches the batch query") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.tumblingCounts(stream), "t_tumbling", "append", ckpt())
+    // append mode emits only watermark-closed windows; every emitted
+    // window must match the batch result exactly
+    val batch = queries.Events.qTumbling.run(spark, sf)
+      .withColumnRenamed("n_events", "b_n").withColumnRenamed("sum_value", "b_sum")
+    val joined = got.join(batch, Seq("bucket_s", "event_type"), "inner")
+    assert(got.count() > 0)
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("n_events") =!= col("b_n") ||
+      col("sum_value") =!= col("b_sum")).count() == 0)
+  }
+
+  test("streaming session windows cover all events") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.sessionAgg(stream), "t_sessions", "append", ckpt())
+    assert(got.count() > 0)
+    // session windows partition each user's events: totals can't exceed
+    // the full event count and every emitted session is non-empty
+    assert(got.filter(col("n_events") <= 0).count() == 0)
+  }
+
+  test("watermarked dedup emits each event_id once") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.dedupEvents(stream), "t_dedup", "append", ckpt())
+    assert(got.count() == got.select("event_id").distinct().count())
+  }
+}
