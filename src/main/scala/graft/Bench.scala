@@ -1,26 +1,59 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Times the BASELINE.md headline subset (SURVEY §2.11 queries 1-5, 7, 9)
+  * against SPARK_GRAFT_SF_DIR. Each query materializes fully through the
+  * noop sink — count() would let Catalyst prune expensive projections
+  * (embeddings, chunk text) and fake the numbers. One untimed warmup
+  * pass amortizes JVM/codegen startup, mirroring a warm engine.
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary",    // §2.11-1 filter+agg
+    "q3_shipping_priority",  // §2.11-2 3-way join + top-k
+    "q5_local_supplier",     // §2.11-3 6-way star join
+    "q4_top_customers_per_nation", // §2.11-4 per-group top-k window
+    "q6_rollup_revenue",     // §2.11-5 rollup
+    "q_events_session",      // §2.11-6 sessionization
+    "q_doc_chunks",          // §2.11-7 doc pipeline (chunk+enrich)
+    "q_pipeline_embed",      // §2.11-7 doc pipeline (embed)
+    "q_knn_bruteforce")      // §2.11-9 cosine top-k
+
+  private def runOnce(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // untimed warmup: JIT + codegen + parquet footer cache
+    qs.foreach { case (_, fn) =>
+      try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
