@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions.{size => asize, _}
   * G1 — recursive character splitting (parsers.py:161-166 via langchain's
   * public RecursiveCharacterTextSplitter semantics: try "\n\n", "\n",
   * " ", "" separators, greedily merge to ≤ chunkSize chars with overlap)
-  * — is a Scala UDF: inherently iterative, verified by unit tests (the
-  * doctest corpus) rather than a SQL oracle.
+  * — is a Scala UDF: inherently iterative. Verified by ChunkersSpec's
+  * hand-computed goldens and, on the document corpus, by the
+  * q_doc_chunks_recursive recursive-CTE oracle (TextQueries).
   */
 object Chunkers {
 
@@ -53,47 +54,88 @@ object Chunkers {
        |  i -> array_to_string(($w)[GREATEST(i * $chunkSize - $ov, 0) + 1 : i * $chunkSize + $chunkSize], ' '))""".stripMargin
   }
 
-  /** G1: recursive character splitter (public langchain semantics).
-    * Splits on the first separator of ["\n\n", "\n", " ", ""] that
-    * divides the text, then greedily merges pieces into chunks of at
-    * most `chunkSize` chars with `overlap` chars carried between
-    * consecutive chunks. */
-  def recursiveSplit(text: String, chunkSize: Int, overlap: Int): Seq[String] = {
-    val seps = Seq("\n\n", "\n", " ")
+  /** G1: recursive character splitter — a faithful transliteration of
+    * the public langchain `RecursiveCharacterTextSplitter` semantics the
+    * reference invokes with chunk_size=2000 / chunk_overlap=50
+    * (/root/reference/llmcore/cms/parsers.py:161-166,
+    * /root/reference/data_ingestion.py:41-42; langchain 2023-era
+    * defaults: separators ["\n\n","\n"," ",""], keep_separator=true,
+    * length = chars):
+    *
+    *   1. pick the first separator present in the text (last = "" always
+    *      matches, splitting into characters);
+    *   2. split, attaching each separator to the piece FOLLOWING it
+    *      (keep_separator), dropping empty pieces;
+    *   3. pieces shorter than `chunkSize` are greedily merged (joined
+    *      with "" — the separator is already embedded) into chunks of at
+    *      most `chunkSize` chars; on emitting a chunk, pieces pop from
+    *      the front until the carried total is ≤ `overlap` and admits
+    *      the next piece — the carried tail is the inter-chunk overlap;
+    *   4. pieces ≥ `chunkSize` recurse with the remaining separators;
+    *   5. every emitted chunk is whitespace-stripped; empty results drop.
+    *
+    * Verified by ChunkersSpec's hand-computed golden fixtures + corpus
+    * invariants (every chunk ≤ chunkSize, non-empty, in-order). */
+  def recursiveSplit(text: String, chunkSize: Int, overlap: Int,
+      separators: Seq[String] = Seq("\n\n", "\n", " ", "")): Seq[String] = {
 
-    def splitBy(t: String): Seq[String] =
-      if (t.length <= chunkSize) Seq(t)
-      else seps.find(s => t.contains(s)) match {
-        case Some(sep) =>
-          val pieces = t.split(java.util.regex.Pattern.quote(sep), -1).toSeq
-          merge(pieces, sep)
-        case None =>
-          t.grouped(chunkSize).toSeq
+    // re.split("(sep)", text) with the separator glued to the next piece
+    def splitKeep(t: String, sep: String): Seq[String] =
+      if (sep.isEmpty) t.map(_.toString)
+      else {
+        val parts = t.split(java.util.regex.Pattern.quote(sep), -1)
+        (parts.head +: parts.tail.map(sep + _)).toSeq.filter(_.nonEmpty)
       }
 
-    def merge(pieces: Seq[String], sep: String): Seq[String] = {
+    def joinDocs(docs: Seq[String]): Option[String] = {
+      val s = docs.mkString.strip()
+      if (s.isEmpty) None else Some(s)
+    }
+
+    // TextSplitter._merge_splits with separator "" (keep_separator=true)
+    def mergeSplits(splits: Seq[String]): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var cur = new StringBuilder
-      pieces.foreach { p =>
-        val piece = if (p.length > chunkSize) p else p
-        val extra = if (cur.isEmpty) piece.length else cur.length + sep.length + piece.length
-        if (extra > chunkSize && cur.nonEmpty) {
-          out += cur.toString
-          val tail = cur.toString.takeRight(overlap)
-          cur = new StringBuilder(if (overlap > 0) tail + sep else "")
-          if (cur.length + piece.length > chunkSize) { out ++= splitBy(piece); cur = new StringBuilder }
-          else cur ++= piece
-        } else {
-          if (cur.nonEmpty) cur ++= sep
-          if (piece.length > chunkSize) { splitBy(piece).dropRight(1).foreach(out += _); cur ++= splitBy(piece).last }
-          else cur ++= piece
+      val cur = scala.collection.mutable.ArrayDeque.empty[String]
+      var total = 0
+      splits.foreach { d =>
+        val len = d.length
+        if (total + len > chunkSize) {
+          if (cur.nonEmpty) {
+            joinDocs(cur.toSeq).foreach(out += _)
+            while (total > overlap || (total + len > chunkSize && total > 0)) {
+              total -= cur.head.length
+              cur.removeHead()
+            }
+          }
         }
+        cur += d
+        total += len
       }
-      if (cur.nonEmpty) out += cur.toString
+      joinDocs(cur.toSeq).foreach(out += _)
       out.toSeq
     }
 
-    splitBy(text).filter(_.nonEmpty)
+    def splitRec(t: String, seps: Seq[String]): Seq[String] = {
+      val idx = seps.indexWhere(s => s.isEmpty || t.contains(s))
+      val (sep, newSeps) =
+        if (idx < 0) (seps.last, Nil)
+        else if (seps(idx).isEmpty) (seps(idx), Nil)
+        else (seps(idx), seps.drop(idx + 1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val good = scala.collection.mutable.ArrayBuffer.empty[String]
+      splitKeep(t, sep).foreach { s =>
+        if (s.length < chunkSize) good += s
+        else {
+          if (good.nonEmpty) { out ++= mergeSplits(good.toSeq); good.clear() }
+          if (newSeps.isEmpty) out += s
+          else out ++= splitRec(s, newSeps)
+        }
+      }
+      if (good.nonEmpty) out ++= mergeSplits(good.toSeq)
+      out.toSeq
+    }
+
+    splitRec(text, separators)
   }
 
   /** [[recursiveSplit]] as a Spark UDF column (Array[String]). */

@@ -211,7 +211,39 @@ object Events {
       .orderBy("error_id")
   }
 
+  /** rangeBetween sliding aggregate (SURVEY §2.6): per event, the sum
+    * and count of the same user's values over the trailing 10 minutes
+    * (value-range frame, not row frame — ties in ts are in-frame in both
+    * engines, so the result is deterministic even with equal
+    * timestamps). Exact µs bounds + integer units keep the hash stable. */
+  val qSlidingRange: QueryDef = QueryDef.sql(
+    "q_events_sliding",
+    """SELECT event_id, user_id,
+      |  epoch_us(ts) AS ts_us,
+      |  CAST(n_10m AS BIGINT) AS n_10m,
+      |  CAST(sum_units_10m AS DOUBLE) / 100.0 AS sum_10m
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    COUNT(*) OVER w AS n_10m,
+      |    SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER w AS sum_units_10m
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-600000000L, Window.currentRow)
+    ev(s, d)
+      .withColumn("n_10m", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_units_10m", sum(units(col("value"), 2)).over(w))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("n_10m"),
+        toDouble(col("sum_units_10m"), 2).as("sum_10m"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
-    qPivotCounts, qJsonExtract, qFunnel)
+    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange)
 }

@@ -39,15 +39,42 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  /** Stubbed decode + featurize through the mapPartitions kernel —
-    * rows-only check (not SQL-expressible); the row count must equal the
-    * document count and features are 8-dim. */
-  val qMultimodalFeatures: QueryDef = QueryDef.rowsOnly("q_multimodal_features") { (s, d) =>
-    val media = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("blob"))
-    MultimodalOps.decodeAndFeaturize(media, "blob")
-      .select(col("doc_id"), col("width"), col("height"),
-        asize(col("features")).as("n_features"))
-      .orderBy("doc_id")
+  /** Stubbed decode + featurize through the mapPartitions kernel. The
+    * stub's features are pure byte arithmetic (first-byte dims + 8-bucket
+    * byte histogram ÷ n), so the oracle reproduces them in DuckDB from
+    * `hex(blob)` — the mapPartitions plumbing gets a full hash check,
+    * not just a row count. */
+  val qMultimodalFeatures: QueryDef = {
+    // hex digit → int (DuckDB hex() is uppercase; normalized via lower())
+    def hx(c: String) = s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
+    // unsigned value of 0-based byte i of hex string h
+    def bv(i: String) = s"(${hx(s"substr(h, 2*($i) + 1, 1)")} * 16 + ${hx(s"substr(h, 2*($i) + 2, 1)")})"
+    val fCols = (0 until 8).map { k =>
+      s"CAST(len(list_filter(range(0, n), i -> (${bv("i")} >> 5) = $k)) AS DOUBLE) / CAST(GREATEST(n, 1) AS DOUBLE) AS f$k"
+    }.mkString(",\n  ")
+    QueryDef.sql(
+      "q_multimodal_features",
+      s"""WITH b AS (
+         |  SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS h,
+         |         octet_length(CAST(text AS BLOB)) AS n
+         |  FROM documents
+         |), v AS (
+         |  SELECT doc_id, h, n,
+         |    CASE WHEN n = 0 THEN 0 ELSE ${bv("0")} END AS v0
+         |  FROM b
+         |)
+         |SELECT doc_id,
+         |  CAST(16 + (CASE WHEN v0 >= 128 THEN 256 - v0 ELSE v0 END) % 64 AS INTEGER) AS width,
+         |  CAST(16 + n % 64 AS INTEGER) AS height,
+         |  $fCols
+         |FROM v
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val media = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val feats = (0 until 8).map(k => element_at(col("features"), k + 1).as(s"f$k"))
+      MultimodalOps.decodeAndFeaturize(media, "blob")
+        .select(col("doc_id") +: col("width") +: col("height") +: feats: _*)
+        .orderBy("doc_id")
+    }
   }
 
   /** Typed Aggregator (the declared UDAF): per-label embedding centroid

@@ -239,7 +239,8 @@ object Relational {
   }
 
   /** Distinct + set ops: market segments present in BOTH high-value and
-    * low-value customer populations (INTERSECT), and EXCEPT variant. */
+    * low-value customer populations (INTERSECT); [[qExcept]] is the
+    * EXCEPT face. */
   val qSetOps: QueryDef = QueryDef.sql(
     "q_set_ops",
     """SELECT c_mktsegment FROM
@@ -344,9 +345,83 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** EXCEPT (SURVEY §2.8): customers who ordered but never urgently.
+    * Spark plans EXCEPT as a distinct left-anti join — shuffles once on
+    * the key, no all-pairs. */
+  val qExcept: QueryDef = QueryDef.sql(
+    "q_except",
+    """SELECT custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  EXCEPT
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val o = ord(s, d)
+    o.select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** rank / dense_rank / lead (SURVEY §2.6): per-priority order ranking
+    * by date. rank/dense_rank are computed over the (deterministic,
+    * tie-carrying) date ordering; lead + the top-20 cut use the fully
+    * unique (date, key) ordering so the row set is stable. */
+  val qWindowRanks: QueryDef = QueryDef.sql(
+    "q_window_ranks",
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS BIGINT) AS rnk,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS BIGINT) AS drnk,
+      |  LEAD(o_orderkey)  OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey) AS next_key
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-02-01 00:00:00'
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey) <= 20
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val byDate = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"))
+    val unique = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-02-01 00:00:00").cast("timestamp"))
+      .withColumn("rnk", rank().over(byDate).cast("long"))
+      .withColumn("drnk", dense_rank().over(byDate).cast("long"))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(unique))
+      .withColumn("rn", row_number().over(unique))
+      .filter(col("rn") <= 20)
+      .select("o_orderpriority", "o_orderkey", "rnk", "drnk", "next_key")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** approx_count_distinct (SURVEY §2.5). HLL sketches differ between
+    * engines, so the cross-engine contract is the ESTIMATE-VS-EXACT
+    * error bound: the query emits the exact count plus a boolean
+    * asserting the Spark HLL++ estimate (rsd=0.01) landed within 5% of
+    * it; the oracle asserts the bound itself. A sketch regression (or a
+    * broken registration) flips the boolean and fails the hash compare. */
+  val qApproxDistinct: QueryDef = QueryDef.sql(
+    "q_approx_distinct",
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_exact,
+      |  true AS within_5pct
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
-    qTopOrders, qRangeJoin, qCrossJoin, qAggStats)
+    qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
+    qExcept, qWindowRanks, qApproxDistinct)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.Similarity
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,27 @@ object SimilarityQueries {
        |) WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
 
+  /** Two-phase top-k: a `PARTITION BY qid` window alone funnels all N·Q
+    * scored rows into Q reducers (a straggler when Q is tiny). Phase 1
+    * takes the per-(qid, hash-bucket) top-k — ≤ Buckets·k rows per qid,
+    * computed across Buckets·Q parallel groups; phase 2's qid window then
+    * sees a bounded input. The result set is identical: every global
+    * top-k row is also in its bucket's top-k. */
+  private val Buckets = 32
+  private def topK(scored: DataFrame, k: Int, extraCols: Seq[String]): DataFrame = {
+    val w1 = Window.partitionBy(col("qid"), col("bucket"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("bucket", pmod(col("vec_id"), lit(Buckets)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid" +: extraCols :+ "vec_id" :+ "sim" :+ "rk" map col: _*)
+      .orderBy("qid", "rk")
+  }
+
   private def topkSpark(s: SparkSession, d: String, sameLabel: Boolean, k: Int): DataFrame = {
     val all = emb(s, d)
     val q = all.filter(col("vec_id") < NQueries)
@@ -57,13 +78,7 @@ object SimilarityQueries {
         all.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       else
         all.join(broadcast(q), col("vec_id") =!= col("qid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    joined
-      .withColumn("sim", Similarity.cosine(col("qe"), col("e")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "vec_id", "sim", "rk")
-      .orderBy("qid", "rk")
+    topK(joined.withColumn("sim", Similarity.cosine(col("qe"), col("e"))), k, Nil)
   }
 
   /** Exact brute-force cosine top-10 for 5 query vectors. */
@@ -77,25 +92,83 @@ object SimilarityQueries {
     topkSpark(s, d, sameLabel = true, 10)
   }
 
-  /** Embedding-cosine near-dup: top-20 most similar distinct pairs. */
-  val qEmbedNearDup: QueryDef = QueryDef.sql(
-    "q_embed_neardup",
-    s"""WITH t AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${Similarity.cosineSql("a.e", "b.e")} AS sim
-       |FROM t a, t b
-       |WHERE a.vec_id < b.vec_id
-       |ORDER BY sim DESC, vec_a, vec_b
-       |LIMIT 20""".stripMargin) { (s, d) =>
-    val t = emb(s, d).select(col("vec_id"), col("e"))
-    val a = t.select(col("vec_id").as("vec_a"), col("e").as("ea"))
-    val b = t.select(col("vec_id").as("vec_b"), col("e").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), Similarity.cosine(col("ea"), col("eb")).as("sim"))
-      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .limit(20)
+  /** Embedding-cosine near-dup via random-hyperplane LSH (Charikar '02):
+    * sign-bit signature → banded buckets → equi-join candidates → exact
+    * cosine rescore, top-20.
+    *
+    * Scale posture: candidate generation is a shuffle on the band key —
+    * linear in corpus size, never all-pairs (the round-1 version's
+    * `vec_a < vec_b` theta join materialized O(N²) rows). Bands/bits are
+    * the recall/selectivity dial: 4 bands × 4 bits here; a 100 TB corpus
+    * raises bits-per-band to shrink buckets.
+    *
+    * Determinism: hyperplane weights are md5-derived integer literals
+    * baked into BOTH plans at build time, and each sign bit is the sign
+    * of Σ round(e[p]·2²⁰)·w[p] — an exact-integer dot whose value (hence
+    * the bucketing) is engine- and order-independent. */
+  private val LshBits = 16
+  private val LshBands = 4
+  private val BitsPerBand = LshBits / LshBands
+  /** w(j)(p) ∈ [-32768, 32767]: first 2 md5 bytes of "lsh:j:p" − 2¹⁵. */
+  private lazy val lshPlanes: IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(LshBits, Dim) { (j, p) =>
+      md.reset()
+      val h = md.digest(s"lsh:$j:$p".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8 | (h(1) & 0xff)) - 32768).toLong
+    }
+  }
+
+  val qEmbedNearDup: QueryDef = {
+    def planeSqlLit(j: Int): String = lshPlanes(j).mkString("[", ", ", "]")
+    // exact-integer dot of quantized embedding uq with plane j
+    def dotSql(j: Int) =
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> uq[i] * (${planeSqlLit(j)})[i]), (x, y) -> x + y)"
+    def bandSql(b: Int): String =
+      (0 until BitsPerBand).map(r => s"(CASE WHEN ${dotSql(b * BitsPerBand + r)} >= 0 THEN '1' ELSE '0' END)")
+        .mkString(s"'$b:' || ", " || ", "")
+    QueryDef.sql(
+      "q_embed_neardup",
+      s"""WITH t AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), u AS (
+         |  SELECT vec_id, list_transform(e, v -> CAST(ROUND(v * 1048576.0) AS BIGINT)) AS uq
+         |  FROM t
+         |), bands AS (
+         |  SELECT vec_id, unnest([${(0 until LshBands).map(bandSql).mkString(",\n    ")}]) AS band
+         |  FROM u
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, ${Similarity.cosineSql("ta.e", "tb.e")} AS sim
+         |FROM cand
+         |JOIN t ta ON ta.vec_id = vec_a
+         |JOIN t tb ON tb.vec_id = vec_b
+         |ORDER BY sim DESC, vec_a, vec_b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val t = emb(s, d).select(col("vec_id"), col("e"))
+      val uq = transform(col("e"), v => round(v * 1048576.0d).cast("long"))
+      def dot(j: Int): Column =
+        aggregate(zip_with(col("uq"), typedLit(lshPlanes(j)), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v)
+      def band(b: Int): Column =
+        concat(lit(s"$b:") +: (0 until BitsPerBand).map(r =>
+          when(dot(b * BitsPerBand + r) >= 0, "1").otherwise("0")): _*)
+      val banded = t.withColumn("uq", uq)
+        .select(col("vec_id"), explode(array((0 until LshBands).map(band): _*)).as("band"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(t.select(col("vec_id").as("vec_a"), col("e").as("ea")), Seq("vec_a"))
+        .join(t.select(col("vec_id").as("vec_b"), col("e").as("eb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), Similarity.cosine(col("ea"), col("eb")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    }
   }
 
   /** IVF-style routed search: label partitions act as coarse cells.
@@ -171,15 +244,11 @@ object SimilarityQueries {
       .select(col("qid"), col("label").as("best_label"))
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val wK = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    all.join(broadcast(best), col("label") === col("best_label"))
+    val cand = all.join(broadcast(best), col("label") === col("best_label"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("sim", Similarity.cosine(col("qe"), col("e")))
-      .withColumn("rk", row_number().over(wK).cast("long"))
-      .filter(col("rk") <= 5)
-      .select("qid", "best_label", "vec_id", "sim", "rk")
-      .orderBy("qid", "rk")
+    topK(cand, 5, Seq("best_label"))
   }
 
   val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf)

@@ -178,7 +178,68 @@ object TextQueries {
       .orderBy("doc_id", "part_text")
   }
 
+  /** G1 — the reference's actual production chunker
+    * (RecursiveCharacterTextSplitter, parsers.py:161-166) over
+    * `documents`, chunk_size=100 / overlap=20 (the reference's 2000/50
+    * would leave every ≤553-char doc a single chunk; the ratio is
+    * preserved and the production constants are exercised in
+    * ChunkersSpec).
+    *
+    * Oracle: the corpus is single-space words ≤8 chars (no newlines, no
+    * runs), so the recursive splitter reduces to the " "-separator
+    * greedy merge — expressed EXACTLY in DuckDB as a recursive CTE over
+    * piece prefix-sums: chunk i covers pieces s..j with j = max index
+    * fitting chunkSize, and the next s is the first index whose carried
+    * tail is ≤ overlap and admits the following piece (the langchain
+    * pop-loop, solved in closed form on the monotone prefix sums). The
+    * general path (paragraph separators, char-level fallback) is
+    * golden-tested in ChunkersSpec. */
+  val qDocChunksRecursive: QueryDef = {
+    val C = 100
+    val OV = 20
+    // j(s): last piece index of the chunk starting at piece s (1-based)
+    val J = s"(st.s - 1 + len(list_filter(range(st.s, n + 1), jj -> ps[jj + 1] - ps[st.s] <= $C)))"
+    def chunkExpr = s"trim(substring(text, ps[st.s] + 1, ps[($J) + 1] - ps[st.s]))"
+    QueryDef.sql(
+      "q_doc_chunks_recursive",
+      s"""WITH RECURSIVE pieces_t AS (
+         |  SELECT doc_id, text,
+         |    list_filter([parts[1]] || list_transform(parts[2:], p -> ' ' || p), p -> p <> '') AS pieces
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts FROM documents)
+         |), lens_t AS (
+         |  SELECT doc_id, text, pieces, len(pieces) AS n,
+         |    list_transform(pieces, p -> len(p)) AS lens
+         |  FROM pieces_t
+         |), arr AS (
+         |  SELECT doc_id, text, n, lens,
+         |    list_transform(range(0, n + 1), i -> CAST(coalesce(list_sum(lens[1:i]), 0) AS BIGINT)) AS ps
+         |  FROM lens_t
+         |), st AS (
+         |  SELECT doc_id, 0 AS ord, CAST(1 AS INTEGER) AS s FROM arr WHERE n > 0
+         |  UNION ALL
+         |  SELECT st.doc_id, st.ord + 1,
+         |    CAST(list_aggregate(list_filter(range(st.s + 1, ($J) + 2),
+         |      c -> ps[($J) + 1] - ps[c] <= $OV
+         |       AND (ps[($J) + 1] - ps[c] + lens[($J) + 1] <= $C OR ps[($J) + 1] - ps[c] = 0)), 'min') AS INTEGER)
+         |  FROM st JOIN arr USING (doc_id)
+         |  WHERE ($J) < n
+         |)
+         |SELECT st.doc_id,
+         |  CAST(st.ord AS BIGINT) AS chunk_index,
+         |  $chunkExpr AS chunk,
+         |  CAST(length($chunkExpr) AS BIGINT) AS n_chars
+         |FROM st JOIN arr USING (doc_id)
+         |ORDER BY doc_id, chunk_index""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          posexplode(Chunkers.recursiveSplitUdf(C, OV)(col("text"))).as(Seq("chunk_index", "chunk")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk"), length(col("chunk")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "chunk_index")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
-    qChunkStats, qPipelineEmbed, qSplitOversized)
+    qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive)
 }

@@ -52,6 +52,58 @@ class ChunkersSpec extends SparkSpec {
     }
   }
 
+  // ---- G1 recursive splitter (public langchain RecursiveCharacterTextSplitter
+  //      semantics; hand-computed goldens, stepped through the published
+  //      algorithm: keep_separator piece split -> greedy merge -> overlap pop).
+
+  test("G1 golden: space-separated greedy merge with overlap") {
+    // pieces: ["a"," b"," c"," d"," e"]; C=5, ov=2
+    // emit "a b c" (total 5); pop to total=2 (" c"); emit "c d"; pop; "d e"
+    assert(Chunkers.recursiveSplit("a b c d e", 5, 2) == Seq("a b c", "c d", "d e"))
+  }
+
+  test("G1 golden: paragraph separator recursion") {
+    // "\n\n" splits first; oversized tail recurses into "\n" then " "
+    assert(Chunkers.recursiveSplit("aaa\n\nbbb\nccc ddd", 8, 0) ==
+      Seq("aaa", "bbb", "ccc ddd"))
+  }
+
+  test("G1 golden: character-level fallback for unbroken text") {
+    // no separators present -> "" splits to chars; C=4, ov=1 carries 1 char
+    assert(Chunkers.recursiveSplit("abcdefghij", 4, 1) ==
+      Seq("abcd", "defg", "ghij"))
+  }
+
+  test("G1 golden: short text is a single stripped chunk") {
+    assert(Chunkers.recursiveSplit("hello world", 2000, 50) == Seq("hello world"))
+    assert(Chunkers.recursiveSplit("  hello  ", 2000, 50) == Seq("hello"))
+    assert(Chunkers.recursiveSplit("", 2000, 50) == Seq.empty)
+  }
+
+  test("G1 golden: piece exactly chunkSize recurses (strict <)") {
+    // "xxxx" (len 4 = C) is not a good split: falls through to char merge
+    assert(Chunkers.recursiveSplit("xxxx", 4, 0) == Seq("xxxx"))
+    // two oversized words: each recurses to char-level chunks; the
+    // second word's kept-separator space burns a budget char before the
+    // join strips it (langchain behavior, not a bug here)
+    assert(Chunkers.recursiveSplit("aaaaa bbbbb", 4, 0) ==
+      Seq("aaaa", "a", "bbb", "bb"))
+  }
+
+  test("G1 invariants at the production constants 2000/50 (data_ingestion.py:41-42)") {
+    val rnd = new scala.util.Random(7)
+    val paras = Seq.fill(40)(Seq.fill(120)("w" + rnd.nextInt(1000)).mkString(" "))
+    val text = paras.mkString("\n\n")
+    val chunks = Chunkers.recursiveSplit(text, 2000, 50)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(c => c.nonEmpty && c.length <= 2000))
+    // stripped chunks appear in order in the original text
+    val positions = chunks.scanLeft(0) { (from, c) =>
+      val i = text.indexOf(c, from); assert(i >= 0, s"chunk not in order: $c"); i
+    }
+    assert(positions == positions.sorted)
+  }
+
   test("G3 split_kbs semantics: floor parts, remainder to last, prefix") {
     import spark.implicits._
     val text = "Intro Full Article: " + (1 to 20).map(i => s"w$i").mkString(" ")
