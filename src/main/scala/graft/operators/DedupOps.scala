@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.{Chunkers, TextFunctions}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{size => asize, _}
 
 /** Deduplication primitives (EXT north-star surface: exact, n-gram
@@ -35,6 +36,18 @@ object DedupOps {
        |  range(0, GREATEST(len($w) - $n, 0) + 1),
        |  i -> array_to_string(($w)[i + 1 : i + $n], ' ')))""".stripMargin
   }
+
+  /** Document-frequency cap over an exploded (doc_id, shingle) frame:
+    * drops shingles shared by more than `maxDf` documents BEFORE any
+    * shingle-key self-join. Without it, one boilerplate shingle shared
+    * by 10⁶ documents at 100 TB makes its join group quadratic; a hot
+    * shingle also carries no near-dup signal (it fails to discriminate
+    * by definition). The window's shuffle is on `shingle` — the same
+    * key the candidate join uses, so the exchange is reused. */
+  def capShinglesByDf(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
 
   /** MinHash signature: element s = lexicographic min of
     * md5(shingle ‖ '#' ‖ s) over the shingle set, for seeds 0..k-1. */

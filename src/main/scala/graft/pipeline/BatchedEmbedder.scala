@@ -38,6 +38,36 @@ object BatchedEmbedder {
       }
   }
 
+  /** Fault-tolerant wrapper — the reference decorates its embedding call
+    * with exponential backoff on transient HTTP errors
+    * (`@backoff.on_exception(backoff.expo, RequestException)`,
+    * /root/reference/llmcore/cms/cmfunctions.py:487-492). Same contract
+    * here at BATCH granularity: a failed batch retries after
+    * `baseDelayMs · 2^attempt`, up to `maxRetries` times, then the last
+    * error propagates (fails the task → Spark task retry takes over).
+    * `sleep` is injectable so tests assert the schedule without waiting. */
+  final class RetryingBackend(
+      inner: EmbedBackend,
+      maxRetries: Int = 5,
+      baseDelayMs: Long = 100L,
+      isTransient: Throwable => Boolean = _.isInstanceOf[java.io.IOException],
+      sleep: Long => Unit = Thread.sleep) extends EmbedBackend {
+    override def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+      var attempt = 0
+      var out: Seq[Array[Double]] = null
+      while (out == null) {
+        try out = inner.embedBatch(texts)
+        catch {
+          case e: Throwable if isTransient(e) && attempt < maxRetries =>
+            sleep(baseDelayMs << attempt)
+            attempt += 1
+        }
+      }
+      out
+    }
+    override def close(): Unit = inner.close()
+  }
+
   /** Append `embedding: array<double>` by batched per-partition calls.
     * `textCol` must be a string column of `df`. */
   def embed(df: DataFrame, textCol: String, batchSize: Int,

@@ -84,5 +84,34 @@ object CdcQueries {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark)
+  /** S4/S9 — CSV snapshot sink + latin1 CSV scan, exercised as a
+    * ROUNDTRIP (the reference's state-file pattern: write files_df.csv,
+    * re-read it next run): `nation` is written to a latin1 CSV snapshot,
+    * read back through the schema-declared CSV scan, and aggregated; the
+    * oracle computes the same aggregate from the parquet directly, so
+    * any encoding/quoting/type loss in the CSV path breaks the hash. */
+  val qCsvRoundtrip: QueryDef = QueryDef.sql(
+    "q_csv_roundtrip",
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  MIN(c_name) AS first_name,
+      |  MAX(c_name) AS last_name,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val snapshotDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${Integer.toHexString(d.hashCode)}"
+    graft.sources.CsvIo.writeLatin1(Tables(s, d, "customer"), snapshotDir)
+    graft.sources.CsvIo.readLatin1(s, snapshotDir,
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_name")).as("first_name"),
+        max(col("c_name")).as("last_name"),
+        graft.Exact.toDouble(sum(graft.Exact.units(col("c_acctbal"), 2)), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip)
 }

@@ -211,6 +211,32 @@ object Events {
       .orderBy("error_id")
   }
 
+  /** Hopping (sliding) 10-minute windows every 5 minutes — the batch
+    * face of [[graft.streaming.EventStreams.slidingCounts]]. Each event
+    * belongs to exactly size/hop = 2 windows; the oracle unnests the
+    * two window starts per event explicitly. */
+  val qHopping: QueryDef = QueryDef.sql(
+    "q_events_hopping",
+    """SELECT bucket_s, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM (
+      |  SELECT unnest([
+      |      CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+      |      CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS bucket_s,
+      |    event_type, value
+      |  FROM events
+      |)
+      |GROUP BY bucket_s, event_type
+      |ORDER BY bucket_s, event_type""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        toDouble(sum(units(col("value"), 2)), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket_s", "event_type")
+  }
+
   /** rangeBetween sliding aggregate (SURVEY §2.6): per event, the sum
     * and count of the same user's values over the trailing 10 minutes
     * (value-range frame, not row frame — ties in ts are in-frame in both
@@ -245,5 +271,5 @@ object Events {
 
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
-    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange)
+    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping)
 }

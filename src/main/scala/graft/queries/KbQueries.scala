@@ -101,5 +101,78 @@ object KbQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch)
+  /** G6 — service-catalog markdown assembly (REF `process_service_catalog`
+    * /root/reference/llmcore/cms/cmfunctions.py:444-486): a "**Title**: "
+    * section always, then "**Short Description**: ", "**Long
+    * Description**: " (HTML → text) and "**Metadata**: " sections ONLY
+    * when their field is non-blank, each prefixed "\n\n**name**: ";
+    * plus the per-row token count of the assembled text (tiktoken in
+    * the reference → the pinned F6 word-count approximation here).
+    * Fields are synthesized from `documents` so both conditional
+    * branches of every section are exercised (doc_id mod 3 blanks the
+    * short description, doc_id mod 2 blanks the long description). */
+  val qCatalogMarkdown: QueryDef = {
+    val nl2 = "chr(10) || chr(10)"
+    val mdSql =
+      s"""$nl2 || '**Title**: doc_' || CAST(doc_id AS VARCHAR)
+         | || CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN ''
+         |         ELSE $nl2 || '**Short Description**: about ' || source END
+         | || CASE WHEN CAST(doc_id % 2 AS INT) = 0
+         |         THEN $nl2 || '**Long Description**: ' || ${TF.cleanTextSql("text")}
+         |         ELSE '' END
+         | || CASE WHEN lang <> '' THEN $nl2 || '**Metadata**: ' || lang ELSE '' END"""
+        .stripMargin.replaceAll("\n", " ")
+    QueryDef.sql(
+      "q_catalog_markdown",
+      s"""SELECT doc_id,
+         |  $mdSql AS extracted,
+         |  '${Base}cat?id=' || CAST(doc_id AS VARCHAR) AS url,
+         |  ${TF.wordCountSql(s"($mdSql)")} AS n_tokens
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val title = concat(lit("doc_"), col("doc_id").cast("string"))
+      val short = when(col("doc_id") % 3 === 0, lit(""))
+        .otherwise(concat(lit("about "), col("source")))
+      val descHtml = when(col("doc_id") % 2 === 0,
+        concat(lit("<p>"), TF.cleanText(col("text")), lit("</p>"))).otherwise(lit(""))
+      val md = concat(
+        lit("\n\n**Title**: "), title,
+        when(short =!= "", concat(lit("\n\n**Short Description**: "), short)).otherwise(lit("")),
+        when(descHtml =!= "",
+          concat(lit("\n\n**Long Description**: "),
+            graft.functions.HtmlFunctions.html_to_text(descHtml))).otherwise(lit("")),
+        when(col("lang") =!= "", concat(lit("\n\n**Metadata**: "), col("lang"))).otherwise(lit("")))
+      docs(s, d)
+        .select(col("doc_id"), md.as("extracted"),
+          concat(lit(s"${Base}cat?id="), col("doc_id").cast("string")).as("url"),
+          TF.wordCount(md).as("n_tokens"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** S8 — PDF table extraction over synthesized "pdf" binaries: the
+    * stubbed tabula kernel renders a pipe-joined byte-stat table per
+    * file (shape contract of parsers.py:127-137); oracle reproduces the
+    * same string algebra over the blob. */
+  val qPdfTables: QueryDef = {
+    def hx(c: String) = s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
+    QueryDef.sql(
+      "q_pdf_tables",
+      s"""SELECT doc_id,
+         |  'col|value' || chr(10) ||
+         |  'n_bytes|' || CAST(octet_length(CAST(text AS BLOB)) AS VARCHAR) || chr(10) ||
+         |  'first|' || CAST(${hx("substr(lower(hex(CAST(text AS BLOB))), 1, 1)")} * 16 +
+         |              ${hx("substr(lower(hex(CAST(text AS BLOB))), 2, 1)")} AS VARCHAR) || chr(10)
+         |    AS table_text
+         |FROM documents
+         |WHERE CAST(doc_id % 4 AS INT) = 1
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"),
+          ParseOps.extractPdfTables(col("text").cast("binary")).as("table_text"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch, qCatalogMarkdown, qPdfTables)
 }

@@ -23,6 +23,20 @@ object ParseOps {
   /** P7: supported-filetype predicate. */
   def isSupported(fileType: Column): Column = fileType.isin(SupportedTypes: _*)
 
+  /** S8: PDF table extraction (REF `process_pdf_table`
+    * /root/reference/llmcore/cms/parsers.py:127-137: tabula reads every
+    * table, each rendered as a pipe-separated CSV block). The tabula
+    * decode is unavailable offline, so the extraction kernel is a
+    * deterministic stub that renders ONE table of byte statistics in
+    * the exact pipe-joined shape the reference emits (`to_csv(sep='|')`
+    * — header row, then value rows, newline-terminated); the dispatch,
+    * shape, and downstream chunking contract are the real surface. */
+  def extractPdfTables(content: Column): Column =
+    concat(
+      lit("col|value\n"),
+      lit("n_bytes|"), length(content).cast("string"), lit("\n"),
+      lit("first|"), coalesce(conv(substring(hex(content), 1, 2), 16, 10), lit("0")), lit("\n"))
+
   /** S6/S7: parse(file_type, content_bytes) → text.
     *   txt/csv/md → UTF-8 decode;
     *   html       → UTF-8 decode + F9 html_to_text;

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -15,14 +16,30 @@ import org.apache.spark.sql.types.StructType
   *
   * Offline the store is parquet with the same observable semantics:
   *   - [[createIfAbsent]] = S11 idempotent DDL;
-  *   - [[upsert]] = S10: delete-then-append keyed on `chunk_id`,
-  *     partitioned by `load_dt` so time-scoped reads prune partitions;
-  *   - [[deleteWhere]] = S12 anti-join rewrite;
+  *   - [[upsert]] = S10: replace-by-`chunk_id`. When rows carry a
+  *     `load_dt` column the store is laid out as `load_dt=...` hive
+  *     partitions and an upsert rewrites ONLY the partitions that hold
+  *     replaced keys or receive new rows (dynamic partition overwrite —
+  *     O(touched partitions) write amplification, not O(store)); a
+  *     store without `load_dt` falls back to a full staged rewrite.
+  *   - [[deleteWhere]] = S12 anti-join rewrite, partition-scoped the
+  *     same way;
   *   - [[foreachBatched]] = the executor-side buffered-flush writer
   *     shape for an external store (one client per PARTITION, flush per
   *     `batchSize` — never one call per row/chunk like the reference).
+  *
+  * Crash safety: the dynamic-overwrite path goes through Spark's commit
+  * protocol (partitions swap at job commit — a failed job leaves every
+  * old partition intact). The full-rewrite path stages to `.staging`,
+  * then performs CHECKED renames via the Hadoop FileSystem API (works
+  * on HDFS/S3A, not just the driver-local disk): live → `.old`,
+  * staging → live, and only then drops `.old`; a failed second rename
+  * rolls the old store back, so no failure mode truncates the store.
   */
 object VectorStore {
+
+  val KeyCol = "chunk_id"
+  val PartitionCol = "load_dt"
 
   /** Executor-side batched sink. `open` runs once per partition (client
     * construction), `flush` once per buffered batch. Generic so tests
@@ -35,8 +52,19 @@ object VectorStore {
       finally close(client)
     }
 
+  private def fileSystem(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
   def exists(spark: SparkSession, path: String): Boolean =
-    new java.io.File(path).exists()
+    fileSystem(spark, path).exists(new Path(path))
+
+  /** Whether the on-disk store uses `load_dt=...` hive partition dirs. */
+  private def isPartitionedOnDisk(spark: SparkSession, path: String): Boolean = {
+    val fs = fileSystem(spark, path)
+    fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path)).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
+  }
 
   /** S11: create the store with a fixed schema iff absent. */
   def createIfAbsent(spark: SparkSession, path: String, schema: StructType): Unit =
@@ -48,39 +76,117 @@ object VectorStore {
     spark.read.parquet(path)
 
   /** S10: upsert keyed on `chunk_id` — existing rows with incoming keys
-    * are replaced, others kept. Rewrites to a staging dir then swaps, so
-    * a failed job never truncates the store. */
+    * are replaced, others kept. Partition-scoped when the store is
+    * `load_dt`-partitioned; a first upsert (or one against a legacy
+    * unpartitioned store) rewrites once and leaves the store
+    * partitioned for every later call. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame): Unit = {
-    val staged =
-      if (exists(spark, path)) {
-        val keep = read(spark, path)
-          .join(incoming.select("chunk_id").distinct(), Seq("chunk_id"), "left_anti")
-        keep.unionByName(incoming)
-      } else incoming
-    val tmp = path + ".staging"
-    staged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      val old = new java.io.File(path + ".old")
-      deleteRecursively(old)
-      target.renameTo(old)
+    val partitionable = incoming.columns.contains(PartitionCol)
+    if (!exists(spark, path)) {
+      write(incoming, path, partitionable)
+    } else if (partitionable && isPartitionedOnDisk(spark, path)) {
+      val keys = incoming.select(KeyCol).distinct()
+      val store = read(spark, path)
+      // partitions that must change: those holding replaced keys (a
+      // column-pruned (key, load_dt) scan) plus those receiving rows
+      val oldParts = store.join(keys, Seq(KeyCol), "left_semi")
+        .select(col(PartitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val newParts = incoming
+        .select(col(PartitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val affected = (oldParts ++ newParts).distinct.toSeq
+      val keep = store
+        .filter(col(PartitionCol).cast("string").isin(affected: _*))
+        .join(keys, Seq(KeyCol), "left_anti")
+      val incomingAligned = incoming
+        .withColumn(PartitionCol, col(PartitionCol).cast(store.schema(PartitionCol).dataType))
+        .select(store.columns.map(col): _*)
+      rewriteAffected(spark, path, affected, keep.unionByName(incomingAligned))
+    } else {
+      // legacy/unpartitioned store: one full staged rewrite (migrates
+      // the layout to partitioned when `load_dt` is present)
+      swapRewrite(spark, path, partitionable) { store =>
+        store.join(incoming.select(KeyCol).distinct(), Seq(KeyCol), "left_anti")
+          .unionByName(incoming.select(store.columns.map(col): _*))
+      }
     }
-    new java.io.File(tmp).renameTo(target)
-    deleteRecursively(new java.io.File(path + ".old"))
   }
 
-  /** S12: delete rows whose key appears in `keys` (anti-join rewrite). */
+  /** S12: delete rows whose key appears in `keys` (anti-join rewrite);
+    * rewrites only the partitions that contain matching keys. */
   def deleteWhere(spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Unit = {
-    val remaining = read(spark, path)
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    val tmp = path + ".staging"
-    remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(new java.io.File(path))
-    new java.io.File(tmp).renameTo(new java.io.File(path))
+    val k = keys.select(col(keyCol)).distinct()
+    if (isPartitionedOnDisk(spark, path)) {
+      val store = read(spark, path)
+      val affected = store.join(k, Seq(keyCol), "left_semi")
+        .select(col(PartitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affected.nonEmpty) {
+        val out = store
+          .filter(col(PartitionCol).cast("string").isin(affected: _*))
+          .join(k, Seq(keyCol), "left_anti")
+        rewriteAffected(spark, path, affected, out)
+      }
+    } else {
+      swapRewrite(spark, path, partitioned = false)(
+        _.join(k, Seq(keyCol), "left_anti"))
+    }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) f.delete()
+  private def write(df: DataFrame, path: String, partitioned: Boolean): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitioned) w.partitionBy(PartitionCol) else w).parquet(path)
+  }
+
+  /** Rewrite exactly the `affected` partitions of the store to hold
+    * `out`'s rows. `out`'s plan reads the live store, and Spark refuses
+    * to overwrite a path its plan scans — so the new rows stage to a
+    * sibling dir first, then dynamic partition overwrite copies them in
+    * (only partitions present in the staging output swap; every other
+    * partition's files are untouched — asserted by PipelineSpec).
+    * Affected partitions with ZERO surviving rows never appear in the
+    * staging output, so dynamic overwrite would leave their stale files
+    * alive; they are dropped explicitly at the end. */
+  private def rewriteAffected(spark: SparkSession, path: String,
+      affected: Seq[String], out: DataFrame): Unit = {
+    val fs = fileSystem(spark, path)
+    val staging = new Path(path + ".staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(out, staging.toString, partitioned = true)
+    val present = fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
+      .map(_.getPath.getName.stripPrefix(s"$PartitionCol="))
+      .toSet
+    if (present.nonEmpty)
+      spark.read.parquet(staging.toString)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartitionCol)
+        .parquet(path)
+    affected.filterNot(present).foreach { v =>
+      fs.delete(new Path(path, s"$PartitionCol=$v"), true)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Full rewrite with checked rename swap — the non-partitioned path. */
+  private def swapRewrite(spark: SparkSession, path: String, partitioned: Boolean)(
+      f: DataFrame => DataFrame): Unit = {
+    val staged = f(read(spark, path))
+    val fs = fileSystem(spark, path)
+    val target = new Path(path)
+    val tmp = new Path(path + ".staging")
+    val old = new Path(path + ".old")
+    write(staged, tmp.toString, partitioned)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"vector store swap: rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll the live store back before failing
+      throw new java.io.IOException(
+        s"vector store swap: rename $tmp -> $target failed; previous store restored")
+    }
+    fs.delete(old, true)
   }
 }

@@ -66,6 +66,19 @@ object EventStreams {
         col("session_window.end").cast("long").as("end_s"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 10-minute windows hopping every 5 (SURVEY §2.10): each
+    * event lands in size/hop = 2 overlapping windows, so the emitted
+    * per-window counts double-count by design. Same watermark bound as
+    * the tumbling face; state is one row per (window, event_type). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.toDouble(sum(Exact.units(col("value"), 2)), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Watermarked exactly-once-per-key dedup (append mode). */
   def dedupEvents(events: DataFrame): DataFrame =
     events

@@ -43,6 +43,88 @@ class PipelineSpec extends SparkSpec {
     assert(VectorStore.read(spark, path).count() == n1 - nDel)
   }
 
+  test("retrying backend: exponential backoff, bounded attempts, same output") {
+    import BatchedEmbedder._
+    def flaky(failures: Int): (EmbedBackend, () => Int) = {
+      var calls = 0
+      val b = new EmbedBackend {
+        val real = new DeterministicBackend(4)
+        override def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+          calls += 1
+          if (calls <= failures) throw new java.io.IOException(s"flake $calls")
+          real.embedBatch(texts)
+        }
+      }
+      (b, () => calls)
+    }
+
+    // transient flakes: retried on the expo schedule, output unchanged
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (b1, calls1) = flaky(failures = 2)
+    val retrying = new RetryingBackend(b1, maxRetries = 5, baseDelayMs = 100L,
+      sleep = sleeps += _)
+    val got = retrying.embedBatch(Seq("a", "b"))
+    val want = new DeterministicBackend(4).embedBatch(Seq("a", "b"))
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+    assert(calls1() == 3)
+    assert(sleeps.toSeq == Seq(100L, 200L))
+
+    // permanent failure: attempts bounded, last error propagates
+    val (b2, calls2) = flaky(failures = Int.MaxValue)
+    val bounded = new RetryingBackend(b2, maxRetries = 3, baseDelayMs = 1L, sleep = _ => ())
+    val e = intercept[java.io.IOException](bounded.embedBatch(Seq("x")))
+    assert(e.getMessage == "flake 4")
+    assert(calls2() == 4)
+
+    // non-transient errors are not retried
+    val boom = new EmbedBackend {
+      override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+        throw new IllegalArgumentException("bad input")
+    }
+    intercept[IllegalArgumentException](
+      new RetryingBackend(boom, sleep = _ => ()).embedBatch(Seq("x")))
+  }
+
+  test("vector store: load_dt-partitioned upsert touches only affected partitions") {
+    val dir = Files.createTempDirectory("vstorep").toFile
+    val path = s"${dir.getAbsolutePath}/store"
+    import spark.implicits._
+    def rows(ids: Seq[Int], dt: String, v: String) =
+      ids.map(i => (s"c$i", v, java.sql.Date.valueOf(dt)))
+        .toDF("chunk_id", "payload", "load_dt")
+
+    VectorStore.upsert(spark, path,
+      rows(1 to 10, "2023-01-01", "a").unionByName(rows(11 to 20, "2023-02-01", "a")))
+    assert(VectorStore.read(spark, path).count() == 20)
+
+    val jan = new java.io.File(path, "load_dt=2023-01-01")
+    def files(f: java.io.File): Set[(String, Long)] =
+      f.listFiles().filter(_.getName.startsWith("part-"))
+        .map(x => (x.getName, x.length)).toSet
+    val janBefore = files(jan)
+
+    // replace 5 keys inside the Feb partition: Jan's files must be untouched
+    VectorStore.upsert(spark, path, rows(11 to 15, "2023-02-01", "b"))
+    val s1 = VectorStore.read(spark, path)
+    assert(s1.count() == 20)
+    assert(s1.filter(col("payload") === "b").count() == 5)
+    assert(files(jan) == janBefore, "untouched partition was rewritten")
+
+    // a key re-ingested under a new load_dt moves partitions, no duplicate
+    VectorStore.upsert(spark, path, rows(Seq(1), "2023-03-01", "c"))
+    val s2 = VectorStore.read(spark, path)
+    assert(s2.count() == 20)
+    assert(s2.filter(col("chunk_id") === "c1").count() == 1)
+    assert(s2.filter(col("chunk_id") === "c1")
+      .select(col("load_dt").cast("string")).head().getString(0) == "2023-03-01")
+
+    // deleting every Feb key drops the partition directory entirely
+    VectorStore.deleteWhere(spark, path,
+      (11 to 20).map(i => s"c$i").toDF("chunk_id"), "chunk_id")
+    assert(VectorStore.read(spark, path).count() == 10)
+    assert(!new java.io.File(path, "load_dt=2023-02-01").exists())
+  }
+
   test("batched sink flushes per batch, one client per partition") {
     val acc = spark.sparkContext.collectionAccumulator[Int]("batches")
     VectorStore.foreachBatched(docs.limit(25).repartition(2), batchSize = 10)(

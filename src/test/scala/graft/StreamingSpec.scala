@@ -34,6 +34,19 @@ class StreamingSpec extends SparkSpec {
       col("sum_value") =!= col("b_sum")).count() == 0)
   }
 
+  test("streaming sliding windows (availableNow) match the batch query") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.slidingCounts(stream), "t_sliding", "append", ckpt())
+    val batch = queries.Events.qHopping.run(spark, sf)
+      .withColumnRenamed("n_events", "b_n").withColumnRenamed("sum_value", "b_sum")
+    val joined = got.join(batch, Seq("bucket_s", "event_type"), "inner")
+    assert(got.count() > 0)
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("n_events") =!= col("b_n") ||
+      col("sum_value") =!= col("b_sum")).count() == 0)
+  }
+
   test("streaming session windows cover all events") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
