@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * against SPARK_GRAFT_SF_DIR. Each query materializes fully through the
   * noop sink — count() would let Catalyst prune expensive projections
   * (embeddings, chunk text) and fake the numbers. One untimed warmup
-  * pass amortizes JVM/codegen startup, mirroring a warm engine.
+  * pass amortizes JVM/codegen startup, mirroring a warm engine; each
+  * query is then timed SPARK_GRAFT_ITERS times (default 3) and the
+  * MEDIAN is reported, so first-run noise can't masquerade as a plan
+  * problem. A query that throws reports -1 with its error class in the
+  * "errors" map instead of silently folding its time-to-failure into
+  * the total.
   */
 object Bench {
 
@@ -26,9 +31,16 @@ object Bench {
   private def runOnce(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,15 +57,27 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          runOnce(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, e.getClass.getSimpleName)
+            None
+        }
+      }
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,7 +60,12 @@ object Relational {
 
   /** TPC-H Q3: shipping priority — 3-way join + agg + deterministic top-10.
     * customer is the small side → broadcast; Spark plans
-    * TakeOrderedAndProject for the limit. */
+    * TakeOrderedAndProject for the limit. The orders side stays a
+    * shuffled join BY DESIGN: date-filtered orders is ~most of the
+    * table, far over any broadcast threshold at scale. (A round-1 bench
+    * flagged q3 at 2.7 s — that was single-iteration first-run noise;
+    * the median-of-3 bench times it ~0.96 s at sf0.1 with this exact
+    * plan.) */
   val q3ShippingPriority: QueryDef = QueryDef.sql(
     "q3_shipping_priority",
     """SELECT l_orderkey,
