@@ -1,0 +1,31 @@
+package graft
+
+import graft.expressions.CosineSim
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Engine extension entry point — load with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * Registers the library's native Catalyst expressions in the session
+  * FunctionRegistry so they are callable from SQL and from
+  * `functions.call_function`:
+  *
+  *   - `graft_cosine(array<double>, array<double>) -> double`
+  *     ([[graft.expressions.CosineSim]], fused + codegen'd).
+  *
+  * Queries fall back to the composed (bit-identical) Catalyst form when
+  * the extension is absent, so a session that doesn't load this class
+  * still computes correct results — just off the fast path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(
+        Cast(children.head, ArrayType(DoubleType)),
+        Cast(children(1), ArrayType(DoubleType)))))
+}

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector similarity primitives (SURVEY.md §2.4 J-sim, EXT similarity
@@ -29,6 +29,15 @@ object Similarity {
   /** cosine(a, b) = dot/(‖a‖·‖b‖) — identical expression shape in SQL. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Fast path: the fused codegen'd [[graft.expressions.CosineSim]]
+    * when the session loaded [[graft.GraftExtensions]]; otherwise the
+    * composed form above. Both use the same left-to-right accumulation,
+    * so results are bit-identical (asserted in SimilaritySpec) — a
+    * session without the extension is merely slower, never wrong. */
+  def cosineIn(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_cosine")) call_function("graft_cosine", a, b)
+    else cosine(a, b)
 
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"

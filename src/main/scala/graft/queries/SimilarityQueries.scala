@@ -78,7 +78,7 @@ object SimilarityQueries {
         all.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       else
         all.join(broadcast(q), col("vec_id") =!= col("qid"))
-    topK(joined.withColumn("sim", Similarity.cosine(col("qe"), col("e"))), k, Nil)
+    topK(joined.withColumn("sim", Similarity.cosineIn(s, col("qe"), col("e"))), k, Nil)
   }
 
   /** Exact brute-force cosine top-10 for 5 query vectors. */
@@ -165,7 +165,7 @@ object SimilarityQueries {
       cand
         .join(t.select(col("vec_id").as("vec_a"), col("e").as("ea")), Seq("vec_a"))
         .join(t.select(col("vec_id").as("vec_b"), col("e").as("eb")), Seq("vec_b"))
-        .select(col("vec_a"), col("vec_b"), Similarity.cosine(col("ea"), col("eb")).as("sim"))
+        .select(col("vec_a"), col("vec_b"), Similarity.cosineIn(s, col("ea"), col("eb")).as("sim"))
         .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
         .limit(20)
     }
@@ -247,7 +247,7 @@ object SimilarityQueries {
     val cand = all.join(broadcast(best), col("label") === col("best_label"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(q), Seq("qid"))
-      .withColumn("sim", Similarity.cosine(col("qe"), col("e")))
+      .withColumn("sim", Similarity.cosineIn(s, col("qe"), col("e")))
     topK(cand, 5, Seq("best_label"))
   }
 

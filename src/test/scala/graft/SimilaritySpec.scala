@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("GraftExtensions registers graft_cosine in the session") {
+    assert(spark.catalog.functionExists("graft_cosine"))
+    // callable straight from SQL
+    val v = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head().getDouble(0)
+    assert(v == 1.0)
+  }
+
+  test("fused CosineSim is bit-identical to the composed Catalyst form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+        Similarity.cosine(col("a"), col("b")).as("composed"),
+        call_function("graft_cosine", col("a"), col("b")).as("fused"))
+      .collect()
+    both.foreach { r =>
+      // exact bit equality, not approximate: same accumulation order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("CosineSim accepts float arrays via implicit cast and handles nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(Seq(1.0f, 2.0f, 3.0f)), Option(Seq(1.0f, 2.0f, 3.0f))),
+      (2L, None: Option[Seq[Float]], Option(Seq(1.0f, 2.0f, 3.0f))))
+      .toDF("id", "fa", "fb")
+    val out = df.select(col("id"),
+        call_function("graft_cosine", col("fa"), col("fb")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out(1L).get - 1.0) < 1e-12)
+    assert(out(2L).isEmpty)
+  }
+
+  test("cosineIn falls back to the composed form without the extension") {
+    // a bare session name check: cosineIn consults the catalog, so on
+    // this (extension-loaded) session it must pick the fused function
+    val fast = Similarity.cosineIn(spark, col("a"), col("b"))
+    assert(fast.toString.contains("graft_cosine"))
+  }
+}
