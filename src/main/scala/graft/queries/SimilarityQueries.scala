@@ -175,8 +175,16 @@ object SimilarityQueries {
     * Quantized-integer centroids per label → route each query to its
     * best cell (exact-int scoring) → exact cosine top-5 within the cell.
     */
-  val qKnnIvf: QueryDef = QueryDef.sql(
-    "q_knn_ivf",
+  val qKnnIvf: QueryDef = ivfQuery("q_knn_ivf", probes = 1)
+
+  /** Multi-probe IVF: probe the TOP-2 cells per query instead of one —
+    * the standard recall dial (probes ≪ cells keeps per-query work
+    * O(probes·N/cells); cells are disjoint so candidates never
+    * duplicate). */
+  val qKnnIvfProbe2: QueryDef = ivfQuery("q_knn_ivf_probe2", probes = 2)
+
+  private def ivfQuery(name: String, probes: Int): QueryDef = QueryDef.sql(
+    name,
     s"""WITH comp AS (
        |  SELECT vec_id, label,
        |    unnest(range(0, $Dim)) AS pos,
@@ -204,7 +212,7 @@ object SimilarityQueries {
        |    GROUP BY q.qid, c.label, n.sq
        |  )
        |), best AS (
-       |  SELECT qid, label AS best_label FROM routed WHERE crk = 1
+       |  SELECT qid, label AS best_label FROM routed WHERE crk <= $probes
        |), q AS (
        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
        |  FROM embeddings WHERE vec_id < $NQueries
@@ -240,7 +248,7 @@ object SimilarityQueries {
         (col("dot_units").cast("double") / sqrt(col("sq").cast("double"))).as("score"))
     val wRoute = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
     val best = scored.withColumn("crk", row_number().over(wRoute))
-      .filter(col("crk") === 1)
+      .filter(col("crk") <= probes)
       .select(col("qid"), col("label").as("best_label"))
     val q = all.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
@@ -251,5 +259,5 @@ object SimilarityQueries {
     topK(cand, 5, Seq("best_label"))
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf)
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2)
 }
