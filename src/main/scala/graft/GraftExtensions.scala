@@ -1,10 +1,10 @@
 package graft
 
-import graft.expressions.CosineSim
+import graft.expressions.{CosineSim, DeterministicEmbed}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Engine extension entry point — load with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -21,11 +21,22 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * still computes correct results — just off the fast path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(
         Cast(children.head, ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_embed"),
+      new ExpressionInfo(classOf[DeterministicEmbed].getName, "graft_embed"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 && children(1).foldable,
+          "graft_embed(text, dim) requires a literal dim")
+        DeterministicEmbed(
+          Cast(children.head, StringType),
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+  }
 }

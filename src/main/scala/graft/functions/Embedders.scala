@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding surface (SURVEY.md §2.3 F12).
@@ -32,6 +32,14 @@ object Embedders {
     transform(sequence(lit(0), lit(dim - 1)), j =>
       conv(substring(md5(concat(c, lit(":"), j.cast("string"))), 1, 4), 16, 10)
         .cast("double") / 32768.0d - 1.0d)
+
+  /** Fast path: the fused [[graft.expressions.DeterministicEmbed]]
+    * (hash the text once, clone the MD5 state per component) when the
+    * session loaded [[graft.GraftExtensions]]; bit-identical to the
+    * composed form either way. */
+  def deterministicEmbedIn(spark: SparkSession, c: Column, dim: Int = DefaultDim): Column =
+    if (spark.catalog.functionExists("graft_embed")) call_function("graft_embed", c, lit(dim))
+    else deterministicEmbed(c, dim)
 
   /** DuckDB mirror: hex nibbles parsed via ascii() arithmetic (DuckDB has
     * no conv(); subqueries are not allowed in lambdas, so the md5 is

@@ -39,8 +39,10 @@ object DocPipeline {
         TextFunctions.chunkId(col("doc_id").cast("string"), col("chunk_index")))
   }
 
-  /** chunk rows + L2-normalized deterministic embedding. */
+  /** chunk rows + L2-normalized deterministic embedding (fused fast
+    * path when the session carries GraftExtensions). */
   def vectors(docs: DataFrame, dim: Int = Embedders.DefaultDim): DataFrame =
     chunks(docs).withColumn("embedding",
-      Embedders.l2Normalize(Embedders.deterministicEmbed(col("chunk"), dim)))
+      Embedders.l2Normalize(
+        Embedders.deterministicEmbedIn(docs.sparkSession, col("chunk"), dim)))
 }

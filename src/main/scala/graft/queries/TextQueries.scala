@@ -141,7 +141,7 @@ object TextQueries {
        |FROM e
        |ORDER BY doc_id, chunk_index""".stripMargin) { (s, d) =>
     val raw = DocPipeline.chunks(docs(s, d))
-      .withColumn("emb", Embedders.deterministicEmbed(col("chunk")))
+      .withColumn("emb", Embedders.deterministicEmbedIn(s, col("chunk")))
     raw.select(
       col("doc_id"), col("chunk_index"), col("chunk_id"),
       sqrt(aggregate(col("emb"), lit(0.0d), (a, x) => a + x * x)).as("raw_norm"),

@@ -46,6 +46,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("fused DeterministicEmbed is bit-identical to the composed embedder") {
+    import spark.implicits._
+    val texts = Seq("", "a", "hello world", "x" * 500,
+      "unicode: héllo wörld ünïcode", (1 to 100).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val both = df.select(col("id"),
+        graft.functions.Embedders.deterministicEmbed(col("t"), 16).as("composed"),
+        call_function("graft_embed", col("t"), lit(16)).as("fused"))
+      .collect()
+    both.foreach { r =>
+      val c = r.getSeq[Double](1)
+      val f = r.getSeq[Double](2)
+      assert(c.size == 16 && f.size == 16)
+      c.zip(f).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y),
+          s"row ${r.getLong(0)}")
+      }
+    }
+    // null text -> null embedding
+    val nulls = Seq((1L, null: String)).toDF("id", "t")
+      .select(call_function("graft_embed", col("t"), lit(8)).as("e")).head()
+    assert(nulls.isNullAt(0))
+  }
+
   test("cosineIn falls back to the composed form without the extension") {
     // a bare session name check: cosineIn consults the catalog, so on
     // this (extension-loaded) session it must pick the fused function
