@@ -48,21 +48,16 @@ object SimilarityQueries {
        |) WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
 
-  /** Two-phase top-k: a `PARTITION BY qid` window alone funnels all N·Q
-    * scored rows into Q reducers (a straggler when Q is tiny). Phase 1
-    * takes the per-(qid, hash-bucket) top-k — ≤ Buckets·k rows per qid,
-    * computed across Buckets·Q parallel groups; phase 2's qid window then
-    * sees a bounded input. The result set is identical: every global
-    * top-k row is also in its bucket's top-k. */
-  private val Buckets = 32
+  /** Top-k per query id. A `PARTITION BY qid` window with tiny Q looks
+    * like a Q-reducer funnel, but Spark ≥3.5 plans a
+    * `WindowGroupLimit(..., Partial)` BEFORE the exchange — each map
+    * task forwards at most k rows per qid, so the reducer sees
+    * O(k·maps), never the full N·Q scored rows. PlanSpec asserts the
+    * partial group limit is present (a manual bucket-then-merge phase
+    * was tried and only added a redundant extra shuffle). */
   private def topK(scored: DataFrame, k: Int, extraCols: Seq[String]): DataFrame = {
-    val w1 = Window.partitionBy(col("qid"), col("bucket"))
-      .orderBy(col("sim").desc, col("vec_id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored
-      .withColumn("bucket", pmod(col("vec_id"), lit(Buckets)))
-      .withColumn("rk1", row_number().over(w1))
-      .filter(col("rk1") <= k)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("qid" +: extraCols :+ "vec_id" :+ "sim" :+ "rk" map col: _*)

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.DocPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale claims in the scaladocs —
+  * pushdown, pruning, broadcast star joins, shuffle-free document
+  * pipeline, fused expressions inside codegen — checked against the
+  * actual planned output, so a regression that silently de-optimizes a
+  * plan (a lost hint, a UDF that blocks pushdown) fails the suite, not
+  * just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def phys(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 parquet scan pushes the date filter and prunes columns") {
+    val p = phys(queries.Relational.q1PricingSummary.run(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "date filter must reach the parquet scan")
+    // projection pruning: q1 never touches join keys
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      "unused columns must not be read")
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val p = phys(queries.Relational.q5LocalSupplier.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/supplier/nation/region sides should all be broadcast")
+  }
+
+  test("document chunk pipeline is narrow (no shuffle)") {
+    val p = phys(DocPipeline.chunks(Tables(spark, sf, "documents")))
+    assert(!p.contains("Exchange"),
+      "chunk+enrich must stay shuffle-free end to end")
+  }
+
+  test("kNN scoring uses the fused cosine and a map-side partial top-k") {
+    val p = phys(queries.SimilarityQueries.qKnnBrute.run(spark, sf))
+    assert(p.contains("graft_cosine"), "fused CosineSim expression expected")
+    // the qid window must not funnel all scored rows into Q reducers:
+    // Spark's WindowGroupLimit(Partial) bounds each map task to k rows/qid
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "map-side partial top-k expected before the window exchange")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-execution") {
+    val p = phys(queries.Relational.qSemiJoin.run(spark, sf))
+    assert(p.contains("LeftSemi"), s"expected a semi join, got:\n$p")
+    val p2 = phys(queries.SubqueryQueries.q22BalanceCode.run(spark, sf))
+    assert(p2.contains("Anti"), "NOT EXISTS must decorrelate to an anti join")
+  }
+}
