@@ -85,6 +85,25 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Incremental refresh as a REAL stream — the reference's batch CDC
+    * loop (list → diff → re-ingest → overwrite state,
+    * data_ingestion.py:56-69) becomes: watermarked dedup upstream, then
+    * each micro-batch UPSERTS into the `load_dt`-partitioned vector
+    * store through foreachBatch. Restarts are safe: the checkpoint
+    * replays at-least-once and the key-based upsert makes the store
+    * idempotent (asserted in StreamingSpec). */
+  def upsertStream(out: DataFrame, storePath: String, checkpoint: String): Unit = {
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.VectorStore.upsert(batch.sparkSession, storePath, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain the stream once into an in-memory table and return it. */
   def runAvailableNow(spark: SparkSession, out: DataFrame, name: String,
       outputMode: String, checkpoint: String): DataFrame = {

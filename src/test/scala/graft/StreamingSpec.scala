@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("n_events") <= 0).count() == 0)
   }
 
+  test("streaming upsert into the partitioned vector store is idempotent") {
+    val store = Files.createTempDirectory("vstore_stream").toFile.getAbsolutePath + "/store"
+    def run(ck: String): Unit = {
+      val stream = EventStreams.dedupEvents(EventStreams.readStream(spark, eventsDir))
+        .select(col("event_id").cast("string").as("chunk_id"),
+          col("event_type").as("payload"),
+          to_date(col("ts")).as("load_dt"))
+      EventStreams.upsertStream(stream, store, ck)
+    }
+    run(ckpt())
+    val n1 = graft.sources.VectorStore.read(spark, store).count()
+    val distinctIds = Tables(spark, sf, "events").select("event_id").distinct().count()
+    assert(n1 == distinctIds)
+    // a fresh checkpoint replays the whole source: the key-based upsert
+    // must absorb the duplicates, not append them
+    run(ckpt())
+    assert(graft.sources.VectorStore.read(spark, store).count() == n1)
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
