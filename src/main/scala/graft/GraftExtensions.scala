@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSim, DeterministicEmbed}
+import graft.expressions.{ChunkWords, CosineSim, DeterministicEmbed}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -37,6 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DeterministicEmbed(
           Cast(children.head, StringType),
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunk_words"),
+      new ExpressionInfo(classOf[ChunkWords].getName, "graft_chunk_words"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 && children(1).foldable && children(2).foldable,
+          "graft_chunk_words(text, size, overlap) requires literal size/overlap")
+        ChunkWords(
+          Cast(children.head, StringType),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

@@ -45,6 +45,17 @@ object Chunkers {
       })
   }
 
+  /** Fast path: the fused [[graft.expressions.ChunkWords]] kernel when
+    * the session loaded [[graft.GraftExtensions]] (split once, emit
+    * chunks in one pass); bit-identical to [[chunkFixedWords]] either
+    * way — asserted in ChunkersSpec. */
+  def chunkFixedWordsIn(spark: org.apache.spark.sql.SparkSession,
+      c: Column, chunkSize: Int, overlapFraction: Double): Column =
+    if (spark.catalog.functionExists("graft_chunk_words"))
+      call_function("graft_chunk_words", c, lit(chunkSize),
+        lit((chunkSize * overlapFraction).toInt))
+    else chunkFixedWords(c, chunkSize, overlapFraction)
+
   /** DuckDB mirror of [[chunkFixedWords]] (1-based inclusive-end slices). */
   def chunkFixedWordsSql(e: String, chunkSize: Int, overlapFraction: Double): String = {
     val ov = (chunkSize * overlapFraction).toInt

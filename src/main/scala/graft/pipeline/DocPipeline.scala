@@ -30,7 +30,8 @@ object DocPipeline {
     val cleaned = docs.withColumn("clean_text", TextFunctions.cleanText(col("text")))
     cleaned
       .select(col("doc_id"), col("lang"), col("source"),
-        posexplode(Chunkers.chunkFixedWords(col("clean_text"), ChunkWords, OverlapFraction))
+        posexplode(Chunkers.chunkFixedWordsIn(docs.sparkSession,
+          col("clean_text"), ChunkWords, OverlapFraction))
           .as(Seq("chunk_index", "chunk")))
       .withColumn("chunk_index", col("chunk_index").cast("long"))
       .withColumn("n_tokens", TextFunctions.wordCount(col("chunk")))

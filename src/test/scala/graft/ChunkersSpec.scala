@@ -52,6 +52,26 @@ class ChunkersSpec extends SparkSpec {
     }
   }
 
+  test("fused ChunkWords kernel is identical to the composed G2 form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val texts = Seq(
+      "", "one", "a b", "  leading and   runs\tof\nspace  ",
+      "I would like to thank my middle finger for always sticking up for me when I needed it.") ++
+      Seq.fill(30)(Seq.fill(1 + rnd.nextInt(60))("w" + rnd.nextInt(50)).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    for (size <- Seq(3, 5, 20); frac <- Seq(0.0, 0.2, 0.5)) {
+      val both = df.select(col("id"),
+          Chunkers.chunkFixedWords(col("t"), size, frac).as("composed"),
+          functions.Chunkers.chunkFixedWordsIn(spark, col("t"), size, frac).as("fused"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"id=${r.getInt(0)} size=$size frac=$frac")
+      }
+    }
+  }
+
   // ---- G1 recursive splitter (public langchain RecursiveCharacterTextSplitter
   //      semantics; hand-computed goldens, stepped through the published
   //      algorithm: keep_separator piece split -> greedy merge -> overlap pop).
