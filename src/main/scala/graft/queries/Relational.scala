@@ -423,10 +423,35 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Explicit GROUPING SETS (SURVEY §2.5 — rollup/cube's general form):
+    * per-status totals and per-priority totals in one pass over orders
+    * (Spark plans a single Expand + aggregate, not two scans). */
+  val qGroupingSets: QueryDef = QueryDef.sql(
+    "q_grouping_sets",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        toDouble(sum(units(col("o_totalprice"), 2)), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
     qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
-    qExcept, qWindowRanks, qApproxDistinct)
+    qExcept, qWindowRanks, qApproxDistinct, qGroupingSets)
 }

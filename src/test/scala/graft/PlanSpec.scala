@@ -47,6 +47,38 @@ class PlanSpec extends SparkSpec {
       "map-side partial top-k expected before the window exchange")
   }
 
+  test("bucketed tables co-locate the equi-join: no shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.option("path", s"$wh/li").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.option("path", s"$wh/ord").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val p = phys(j)
+      // matching bucket layouts feed the sort-merge join directly —
+      // at 100 TB this is the difference between a full shuffle of the
+      // fact table per join and none at all
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must reuse the on-disk partitioning")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("semi/anti joins plan as joins, not subquery re-execution") {
     val p = phys(queries.Relational.qSemiJoin.run(spark, sf))
     assert(p.contains("LeftSemi"), s"expected a semi join, got:\n$p")
