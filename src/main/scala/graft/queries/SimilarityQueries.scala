@@ -254,5 +254,102 @@ object SimilarityQueries {
     topK(cand, 5, Seq("best_label"))
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2)
+  /** K-MEANS-trained IVF: unlike [[qKnnIvf]]'s label cells, the coarse
+    * quantizer here is LEARNED — `KmCells` Lloyd centroids from
+    * `KmIters` iterations expressed entirely in DataFrame ops (assign =
+    * integer argmin over a broadcast centroid join; update = per-cell
+    * component means), then kNN searches only the query's final cell.
+    *
+    * Cross-engine determinism: vectors quantize ONCE to 2²⁰ integer
+    * units; distances are integer sums of squared unit deltas (order-
+    * free), centroid means round back to the unit grid (scale-0 round
+    * of an exact-integer ratio — both engines agree), argmin ties break
+    * on cell id, and init is the first `KmCells` vectors by vec_id. So
+    * the whole training trajectory is bit-reproducible in Spark AND
+    * DuckDB. At 100 TB: assignment is a broadcast join (centroid table
+    * is KmCells·dim rows), update is one shuffle per iteration on the
+    * cell id — the standard distributed Lloyd shape. */
+  private val KmCells = 8
+  private val KmIters = 2
+
+  val qKnnKmeans: QueryDef = {
+    def iterCtes(i: Int, prevCent: String): String =
+      s"""dist$i AS (
+         |  SELECT comp.vec_id, c.cid,
+         |    SUM((comp.uq - c.c) * (comp.uq - c.c)) AS d
+         |  FROM comp JOIN $prevCent c ON comp.pos = c.pos
+         |  GROUP BY comp.vec_id, c.cid
+         |), assign$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM dist$i) WHERE rn = 1
+         |), cent$i AS (
+         |  SELECT a.cid, comp.pos,
+         |    CAST(ROUND(CAST(SUM(comp.uq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+         |  FROM comp JOIN assign$i a ON comp.vec_id = a.vec_id
+         |  GROUP BY a.cid, comp.pos
+         |)""".stripMargin
+    val iters = (1 to KmIters)
+      .map(i => iterCtes(i, if (i == 1) "cent0" else s"cent${i - 1}"))
+      .mkString(", ")
+    val last = s"assign$KmIters"
+    QueryDef.sql(
+      "q_knn_kmeans",
+      s"""WITH comp AS (
+         |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
+         |    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0) AS BIGINT) AS uq
+         |  FROM embeddings
+         |), cent0 AS (
+         |  SELECT vec_id AS cid, pos, uq AS c FROM comp WHERE vec_id < $KmCells
+         |), $iters, t AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), cand AS (
+         |  SELECT q.vec_id AS qid, v.vec_id,
+         |    ${Similarity.cosineSql("qt.e", "vt.e")} AS sim
+         |  FROM $last q
+         |  JOIN $last v ON v.cid = q.cid AND v.vec_id <> q.vec_id
+         |  JOIN t qt ON qt.vec_id = q.vec_id
+         |  JOIN t vt ON vt.vec_id = v.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |)
+         |SELECT qid, vec_id, sim, rk FROM (
+         |  SELECT qid, vec_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+         |  FROM cand
+         |) WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      val all = emb(s, d)
+      val comp = all
+        .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"),
+          round(col("v") * 1048576.0d).cast("long").as("uq"))
+      var cent = comp.filter(col("vec_id") < KmCells)
+        .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
+      var assign: DataFrame = null
+      for (_ <- 1 to KmIters) {
+        val dist = comp.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        assign = dist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("vec_id", "cid")
+        cent = comp.join(assign, Seq("vec_id"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
+            .cast("long").as("c"))
+      }
+      val t = all.select(col("vec_id"), col("e"))
+      val q = assign.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = assign.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(t.select(col("vec_id").as("qid"), col("e").as("qe")), Seq("qid"))
+        .join(t, Seq("vec_id"))
+        .withColumn("sim", Similarity.cosineIn(s, col("qe"), col("e")))
+      topK(cand, 5, Nil)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans)
 }
