@@ -448,10 +448,48 @@ object Relational {
       .orderBy("status", "priority")
   }
 
+  /** Percentiles (SURVEY §2.5 sketch surface): the EXACT discrete
+    * median per priority via a rank window (integer units + unique
+    * tie-break — fully deterministic in both engines), plus a bound
+    * check that Spark's `percentile_approx` sketch lands within 2% of
+    * it (same estimate-vs-exact contract as [[qApproxDistinct]]). */
+  val qMedianPriority: QueryDef = QueryDef.sql(
+    "q_median_priority",
+    """WITH ranked AS (
+      |  SELECT o_orderpriority,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS u,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT), o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(u AS DOUBLE) / 100.0 AS median,
+      |  true AS approx_within_2pct
+      |FROM ranked
+      |WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val u = units(col("o_totalprice"), 2)
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(u, col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val med = ord(s, d)
+      .withColumn("u", u)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long"))
+      .select(col("o_orderpriority"), toDouble(col("u"), 2).as("median"))
+    val appr = ord(s, d).groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("appr"))
+    med.join(appr, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("median"),
+        (abs(col("appr") - col("median")) <= col("median") * 0.02).as("approx_within_2pct"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
     qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
-    qExcept, qWindowRanks, qApproxDistinct, qGroupingSets)
+    qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority)
 }
