@@ -269,7 +269,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Unpivot — the dual of [[qPivotCounts]] (SURVEY §2.2 wide↔long):
+    * melt the per-user wide counts back to (user_id, event_type, n)
+    * rows via Spark's native unpivot; the oracle reconstructs the long
+    * form directly (zero-count cells are dropped by both, matching
+    * unpivot's null/0 filter). */
+  val qUnpivotCounts: QueryDef = QueryDef.sql(
+    "q_events_unpivot",
+    """SELECT user_id, event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val wide = ev(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+    wide.unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "n")
+      .filter(col("n").isNotNull && col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
-    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping)
+    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts)
 }

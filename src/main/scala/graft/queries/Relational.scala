@@ -486,10 +486,46 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Multiset set ops (SURVEY §2.8): INTERSECT ALL keeps
+    * min(multiplicities), EXCEPT ALL subtracts them — exercised on
+    * order priorities of two years, then counted so the duplicate
+    * semantics (not just membership) are what the hash verifies. */
+  val qSetOpsAll: QueryDef = QueryDef.sql(
+    "q_set_ops_all",
+    """WITH y97 AS (
+      |  SELECT o_orderpriority AS prio FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |), y96 AS (
+      |  SELECT o_orderpriority AS prio FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |)
+      |SELECT prio, op, COUNT(*) AS n FROM (
+      |  SELECT prio, 'common' AS op FROM (SELECT prio FROM y97 INTERSECT ALL SELECT prio FROM y96)
+      |  UNION ALL
+      |  SELECT prio, 'surplus' AS op FROM (SELECT prio FROM y97 EXCEPT ALL SELECT prio FROM y96)
+      |)
+      |GROUP BY prio, op
+      |ORDER BY prio, op""".stripMargin) { (s, d) =>
+    def year(from: String, to: String) = ord(s, d)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .select(col("o_orderpriority").as("prio"))
+    val y97 = year("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+    val y96 = year("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    y97.intersectAll(y96).withColumn("op", lit("common"))
+      .unionByName(y97.exceptAll(y96).withColumn("op", lit("surplus")))
+      .groupBy("prio", "op")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prio", "op")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
     qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
-    qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority)
+    qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority,
+    qSetOpsAll)
 }
