@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.Exact
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.10).
@@ -22,6 +22,16 @@ import org.apache.spark.sql.types._
   * `user_id`/window key; watermarks bound it. `maxFilesPerTrigger`
   * paces backfills; `availableNow` drains a backlog exactly once.
   */
+/** Input row for [[EventStreams.customSessionize]]. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value_units: Long)
+
+/** Per-user open-session state carried in the state store. */
+case class OpenSession(startUs: Long, endUs: Long, n: Long, sumUnits: Long)
+
+/** Emitted closed session — matches q_events_session's row shape. */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value: Double)
+
 object EventStreams {
 
   /** Parquet schema of the events table as generated (ts stored as
@@ -84,6 +94,65 @@ object EventStreams {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** CUSTOM state machine via `flatMapGroupsWithState` (SURVEY §2.10 —
+    * the arbitrary-state API, distinct from the built-in
+    * `session_window`): per-user sessionization with a 30-minute gap,
+    * folding each user's events in event-time order against a
+    * `GroupState[OpenSession]`. A gap closes the open session and emits
+    * it; the trailing session stays in state (append semantics — it
+    * would emit on event-time timeout once the watermark passes it,
+    * exactly like the built-in session window's append mode).
+    * StreamingSpec asserts emitted sessions equal the BATCH
+    * sessionizer's output minus each user's trailing session.
+    *
+    * Scale: state is one small record per ACTIVE user, partitioned by
+    * the group key in the state store and bounded by the watermark —
+    * the standard shape for custom aggregations the window DSL can't
+    * express. */
+  def customSessionize(events: DataFrame): Dataset[ClosedSession] = {
+    implicit val evEnc = Encoders.product[SessionEvent]
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val longEnc = Encoders.scalaLong
+    val typed = events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        Exact.units(col("value"), 2).as("value_units"))
+      .as[SessionEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val GapUs = 30L * 60 * 1000000
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var open = state.getOption
+          events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos)).foreach { e =>
+            val tUs = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
+            open match {
+              case Some(s) if tUs - s.endUs > GapUs =>
+                out += ClosedSession(userId, s.startUs, s.endUs, s.n,
+                  s.sumUnits.toDouble / 100.0)
+                open = Some(OpenSession(tUs, tUs, 1L, e.value_units))
+              case Some(s) =>
+                open = Some(OpenSession(s.startUs, tUs, s.n + 1, s.sumUnits + e.value_units))
+              case None =>
+                open = Some(OpenSession(tUs, tUs, 1L, e.value_units))
+            }
+          }
+          open match {
+            case Some(s) if state.hasTimedOut =>
+              state.remove()
+              out += ClosedSession(userId, s.startUs, s.endUs, s.n,
+                s.sumUnits.toDouble / 100.0)
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + 30 * 60 * 1000)
+            case None => ()
+          }
+          out.iterator
+      }
+  }
 
   /** Incremental refresh as a REAL stream — the reference's batch CDC
     * loop (list → diff → re-ingest → overwrite state,

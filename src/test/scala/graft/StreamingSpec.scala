@@ -57,6 +57,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("n_events") <= 0).count() == 0)
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch sessionizer") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.customSessionize(stream).toDF(), "t_custom_sessions", "append", ckpt())
+    assert(got.count() > 0)
+    // append emits sessions closed by a later event PLUS trailing
+    // sessions flushed by the availableNow end-of-stream timeout batch;
+    // every emitted session must match a batch session exactly, and at
+    // minimum all gap-closed (non-trailing) batch sessions must emit.
+    val batch = queries.Events.qSessionize.run(spark, sf)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events").as("b_n"), col("sum_value").as("b_sum"))
+    val joined = got.join(batch, Seq("user_id", "start_us", "end_us"), "inner")
+    assert(joined.count() == got.count(),
+      "every emitted session must equal a batch session")
+    val wLast = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val nClosed = queries.Events.qSessionize.run(spark, sf)
+      .withColumn("max_sid", max(col("session_id")).over(wLast))
+      .filter(col("session_id") =!= col("max_sid")).count()
+    assert(got.count() >= nClosed, "all gap-closed batch sessions must be emitted")
+    assert(joined.filter(col("n_events") =!= col("b_n") ||
+      col("sum_value") =!= col("b_sum")).count() == 0)
+  }
+
   test("streaming upsert into the partitioned vector store is idempotent") {
     val store = Files.createTempDirectory("vstore_stream").toFile.getAbsolutePath + "/store"
     def run(ck: String): Unit = {
