@@ -24,12 +24,19 @@ import org.apache.spark.sql.types._
   * SimilaritySpec).
   *
   * Null semantics: null array → null (BinaryExpression's null-safe
-  * wrapper); array ELEMENTS are assumed non-null (embedding vectors —
-  * the input type accepts the default containsNull=true parquet shape,
-  * where a null slot reads as 0.0).
+  * wrapper); MISMATCHED lengths → null, matching the composed
+  * `zip_with` form (which pads the shorter array with null and folds
+  * null through the sum) so `Similarity.cosineIn` gives the same answer
+  * whether or not the extension is loaded; array ELEMENTS are assumed
+  * non-null (embedding vectors — the input type accepts the default
+  * containsNull=true parquet shape, where a null slot reads as 0.0).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // mismatched-length inputs yield null even when both children are
+  // non-nullable, so the null slot must always be writable in codegen
+  override def nullable: Boolean = true
 
   // Inputs are array<double>; the GraftExtensions function builder wraps
   // arbitrary numeric-array children in Cast, so no ImplicitCastInputTypes
@@ -42,16 +49,17 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
     var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    var na = 0.0
     i = 0
-    while (i < x.numElements()) { val v = x.getDouble(i); na += v * v; i += 1 }
-    var nb = 0.0
+    while (i < n) { val v = x.getDouble(i); na += v * v; i += 1 }
     i = 0
-    while (i < y.numElements()) { val v = y.getDouble(i); nb += v * v; i += 1 }
+    while (i < n) { val v = y.getDouble(i); nb += v * v; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -64,14 +72,18 @@ case class CosineSim(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
-         |for (int $i = 0; $i < $a.numElements(); $i++) { final double $v = $a.getDouble($i); $na += $v * $v; }
-         |for (int $i = 0; $i < $b.numElements(); $i++) { final double $v = $b.getDouble($i); $nb += $v * $v; }
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |  for (int $i = 0; $i < $n; $i++) { final double $v = $a.getDouble($i); $na += $v * $v; }
+         |  for (int $i = 0; $i < $n; $i++) { final double $v = $b.getDouble($i); $nb += $v * $v; }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

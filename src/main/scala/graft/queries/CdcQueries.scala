@@ -100,8 +100,11 @@ object CdcQueries {
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    // per-process suffix: Bench and Verify can run concurrently against the
+    // same dataset dir, and SaveMode.Overwrite deletes while the other reads
     val snapshotDir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${Integer.toHexString(d.hashCode)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
     graft.sources.CsvIo.writeLatin1(Tables(s, d, "customer"), snapshotDir)
     graft.sources.CsvIo.readLatin1(s, snapshotDir,
         "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")

@@ -104,11 +104,21 @@ object VectorStore {
         .select(store.columns.map(col): _*)
       rewriteAffected(spark, path, affected, keep.unionByName(incomingAligned))
     } else {
-      // legacy/unpartitioned store: one full staged rewrite (migrates
-      // the layout to partitioned when `load_dt` is present)
-      swapRewrite(spark, path, partitionable) { store =>
-        store.join(incoming.select(KeyCol).distinct(), Seq(KeyCol), "left_anti")
-          .unionByName(incoming.select(store.columns.map(col): _*))
+      // legacy/unpartitioned store: one full staged rewrite. When incoming
+      // carries `load_dt` and the legacy rows don't, MIGRATE instead of
+      // dropping the column: legacy survivors land in the null
+      // (__HIVE_DEFAULT_PARTITION__) partition, incoming keeps its dates,
+      // and the store is partitioned from here on. The partitionBy flag is
+      // derived from the UNIONED output inside swapRewrite, so a store that
+      // lacks the column can never hit partitionBy on a missing column.
+      swapRewrite(spark, path, wantPartition = partitionable) { store =>
+        val base =
+          if (partitionable && !store.columns.contains(PartitionCol))
+            store.withColumn(PartitionCol,
+              lit(null).cast(incoming.schema(PartitionCol).dataType))
+          else store
+        base.join(incoming.select(KeyCol).distinct(), Seq(KeyCol), "left_anti")
+          .unionByName(incoming.select(base.columns.map(col): _*))
       }
     }
   }
@@ -129,7 +139,7 @@ object VectorStore {
         rewriteAffected(spark, path, affected, out)
       }
     } else {
-      swapRewrite(spark, path, partitioned = false)(
+      swapRewrite(spark, path, wantPartition = false)(
         _.join(k, Seq(keyCol), "left_anti"))
     }
   }
@@ -170,10 +180,14 @@ object VectorStore {
     fs.delete(staging, true)
   }
 
-  /** Full rewrite with checked rename swap — the non-partitioned path. */
-  private def swapRewrite(spark: SparkSession, path: String, partitioned: Boolean)(
+  /** Full rewrite with checked rename swap. Partitions the rewritten
+    * store only when the caller wants it AND the rewritten output
+    * actually has the partition column — guards the legacy-migration
+    * path where the pre-union store lacks `load_dt`. */
+  private def swapRewrite(spark: SparkSession, path: String, wantPartition: Boolean)(
       f: DataFrame => DataFrame): Unit = {
     val staged = f(read(spark, path))
+    val partitioned = wantPartition && staged.columns.contains(PartitionCol)
     val fs = fileSystem(spark, path)
     val target = new Path(path)
     val tmp = new Path(path + ".staging")

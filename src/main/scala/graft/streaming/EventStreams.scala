@@ -135,7 +135,16 @@ object EventStreams {
                   s.sumUnits.toDouble / 100.0)
                 open = Some(OpenSession(tUs, tUs, 1L, e.value_units))
               case Some(s) =>
-                open = Some(OpenSession(s.startUs, tUs, s.n + 1, s.sumUnits + e.value_units))
+                // a late-but-within-watermark event from a LATER micro-batch
+                // can land inside (or before) the open session's span: merge
+                // with min/max so lateness never shrinks the session or
+                // inflates the next gap check. Residual deviation from the
+                // batch sessionizer: an event more than `gap` BEFORE the open
+                // session's start would, in batch order, form a separate
+                // earlier session — append mode can't emit retroactively, so
+                // it merges here (documented, exercised in StreamingSpec).
+                open = Some(OpenSession(math.min(s.startUs, tUs), math.max(s.endUs, tUs),
+                  s.n + 1, s.sumUnits + e.value_units))
               case None =>
                 open = Some(OpenSession(tUs, tUs, 1L, e.value_units))
             }

@@ -125,6 +125,39 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(path, "load_dt=2023-02-01").exists())
   }
 
+  test("vector store: legacy unpartitioned store migrates when incoming has load_dt") {
+    val dir = Files.createTempDirectory("vstorem").toFile
+    val path = s"${dir.getAbsolutePath}/store"
+    import spark.implicits._
+    // legacy layout: no load_dt column at all
+    Seq(("c1", "old"), ("c2", "old"), ("c3", "old"))
+      .toDF("chunk_id", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+    // incoming carries load_dt: upsert must migrate, not throw, and not
+    // drop the incoming dates (ADVICE r2: partitionBy on a missing column)
+    val incoming = Seq(("c2", "new", java.sql.Date.valueOf("2023-05-01")),
+      ("c4", "new", java.sql.Date.valueOf("2023-05-01")))
+      .toDF("chunk_id", "payload", "load_dt")
+    VectorStore.upsert(spark, path, incoming)
+
+    val store = VectorStore.read(spark, path)
+    assert(store.count() == 4)
+    assert(store.columns.contains("load_dt"))
+    assert(store.filter(col("chunk_id") === "c2").select("payload").head().getString(0) == "new")
+    // incoming rows keep their dates; legacy survivors land in the null partition
+    assert(store.filter(col("load_dt").cast("string") === "2023-05-01").count() == 2)
+    assert(store.filter(col("load_dt").isNull).count() == 2)
+    // the store is hive-partitioned from here on: the next upsert takes the
+    // partition-scoped path and only touches affected partitions
+    assert(new java.io.File(path, "load_dt=2023-05-01").exists())
+    VectorStore.upsert(spark, path,
+      Seq(("c5", "newer", java.sql.Date.valueOf("2023-06-01")))
+        .toDF("chunk_id", "payload", "load_dt"))
+    assert(VectorStore.read(spark, path).count() == 5)
+    assert(new java.io.File(path, "load_dt=2023-06-01").exists())
+  }
+
   test("batched sink flushes per batch, one client per partition") {
     val acc = spark.sparkContext.collectionAccumulator[Int]("batches")
     VectorStore.foreachBatched(docs.limit(25).repartition(2), batchSize = 10)(

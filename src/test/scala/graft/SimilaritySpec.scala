@@ -46,6 +46,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("CosineSim returns null on mismatched lengths, matching the composed form") {
+    import spark.implicits._
+    // ADVICE r2: the fused kernel must agree with the composed zip_with
+    // form off the equal-dim happy path too — both answer null
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0)))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        Similarity.cosine(col("a"), col("b")).as("composed"),
+        call_function("graft_cosine", col("a"), col("b")).as("fused"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((true, true)), "mismatched dims: both forms null")
+    assert(out(2L) == ((false, false)))
+  }
+
   test("fused DeterministicEmbed is bit-identical to the composed embedder") {
     import spark.implicits._
     val texts = Seq("", "a", "hello world", "x" * 500,

@@ -81,6 +81,37 @@ class StreamingSpec extends SparkSpec {
       col("sum_value") =!= col("b_sum")).count() == 0)
   }
 
+  test("customSessionize merges cross-batch late events instead of shrinking the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = EventStreams.customSessionize(
+      input.toDF().toDF("user_id", "ts", "value")).toDF()
+    val q = out.writeStream.format("memory").queryName("t_ooo_sessions")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // batch 1: open session spanning [10:00, 10:10]
+      input.addData((7L, ts("2023-01-01 10:00:00"), 1.0),
+        (7L, ts("2023-01-01 10:10:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: late-but-within-watermark event INSIDE the open span —
+      // before the min/max merge fix this shrank end_us to 10:05
+      input.addData((7L, ts("2023-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // batch 3: 31 min after the true end (10:10) closes the session; with
+      // the shrunk end it would have mis-reported end_us = 10:05
+      input.addData((7L, ts("2023-01-01 10:41:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_ooo_sessions")
+        .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      def us(s: String) = ts(s).getTime * 1000
+      assert(rows == Seq((7L, us("2023-01-01 10:00:00"), us("2023-01-01 10:10:00"), 3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming upsert into the partitioned vector store is idempotent") {
     val store = Files.createTempDirectory("vstore_stream").toFile.getAbsolutePath + "/store"
     def run(ck: String): Unit = {
