@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** The remaining TPC-H-shaped relational suite over this schema
+  * (SURVEY §2.11 widening): the reference's query surface is a
+  * vector-ingestion pipeline, but a user replacing it still runs ad-hoc
+  * relational analytics over the same warehouse — these are the public
+  * TPC-H patterns expressible on the driver's star schema (no
+  * `partsupp`, no commit/receipt dates, so Q2/Q11/Q12/Q21 shapes are
+  * out of reach and Q9/Q16/Q19 are adapted to the columns that exist).
+  *
+  * Each query is ONE ANSI SQL string run verbatim by both `spark.sql`
+  * and the DuckDB oracle. Determinism contract (QueryDef): every money
+  * aggregate sums exact integer units (`pu·(100-du)` = 10⁻⁴ currency
+  * units) before a single final double division; DuckDB's
+  * SUM(BIGINT)→HUGEINT widening is normalized with an explicit
+  * `CAST(SUM(..) AS BIGINT)`; `EXTRACT(YEAR ...)` is cast to INT on
+  * both engines; every ORDER BY carries a unique tie-break key.
+  *
+  * Scale notes: all are star joins over `lineitem` — the dimension
+  * sides (nation/region/part/supplier/customer at their filtered
+  * sizes) stay under the broadcast threshold, so Catalyst plans
+  * broadcast-hash joins with the big fact probe side; the aggregates
+  * are partial (map-side combine on long units); Q13's left join
+  * shuffles on the customer key and is AQE-coalesced; Q15's scalar MAX
+  * subquery evaluates the CTE once (no per-row re-execution after
+  * RewriteCorrelatedScalarSubquery); Q18's IN rewrites to a semi-join
+  * on `l_orderkey`, co-partitioned with the outer aggregation key so
+  * the two shuffles share one exchange.
+  */
+object TpchQueries {
+
+  private def sqlBoth(name: String, tables: Seq[String])(sql: String): QueryDef =
+    QueryDef.sql(name, sql) { (s: SparkSession, d: String) =>
+      tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql)
+    }
+
+  private val AllTables =
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region", "part")
+
+  /** Q7 volume shipping: bilateral trade between two nations by ship
+    * year. The nation dimension joins TWICE (supplier role + customer
+    * role) — same relation, two broadcast instances. */
+  val q7VolumeShipping: QueryDef = sqlBoth(
+    "q7_volume_shipping", AllTables)(
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(CAST(SUM(volume_u) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |        CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+      |        CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |          * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS volume_u
+      |      FROM lineitem
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                           AND TIMESTAMP '1997-12-31 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** Q8 market share: one supplier nation's share of PROMO-part revenue
+    * sold into one region, by order year — a ratio of two exact-integer
+    * sums over the same grouped rows (single aggregation, no re-scan). */
+  val q8MarketShare: QueryDef = sqlBoth(
+    "q8_market_share", AllTables)(
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume_u ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(volume_u) AS BIGINT) AS DOUBLE) AS mkt_share
+      |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |        CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |          * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS volume_u,
+      |        n1.n_name AS supp_nation
+      |      FROM lineitem
+      |      JOIN part ON p_partkey = l_partkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |      JOIN region ON r_regionkey = n2.n_regionkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |      WHERE r_name = 'ASIA' AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin)
+
+  /** Q9 product-type profit (adapted: no `partsupp`, so profit is gross
+    * line revenue rather than revenue − supplycost·qty), by supplier
+    * nation and order year. */
+  val q9ProductProfit: QueryDef = sqlBoth(
+    "q9_product_profit", AllTables)(
+    """SELECT nation, o_year,
+      |  CAST(CAST(SUM(amount_u) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_profit
+      |FROM (SELECT n_name AS nation,
+      |        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |        CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |          * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS amount_u
+      |      FROM lineitem
+      |      JOIN part ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN nation ON n_nationkey = s_nationkey
+      |      WHERE p_type = 'STANDARD') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** Q10 returned items: top-20 customers by revenue lost to returns in
+    * one quarter; ties broken on the unique customer key. */
+  val q10ReturnedItems: QueryDef = sqlBoth(
+    "q10_returned_items", AllTables)(
+    """SELECT c_custkey, c_name,
+      |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |    * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin)
+
+  /** Q13 customer distribution: orders-per-customer histogram through a
+    * LEFT join (zero-order customers count in the c_count=0 bucket). */
+  val q13CustomerDistribution: QueryDef = sqlBoth(
+    "q13_customer_distribution", Seq("customer", "orders"))(
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  /** Q14 promo revenue share: conditional-sum ratio in one pass. */
+  val q14PromoRevenue: QueryDef = sqlBoth(
+    "q14_promo_revenue", Seq("lineitem", "part"))(
+    """SELECT 100.0
+      |  * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |  / CAST(CAST(SUM(rev_u) AS BIGINT) AS DOUBLE) AS promo_revenue
+      |FROM (SELECT p_type,
+      |        CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |          * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS rev_u
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey
+      |      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00') promo""".stripMargin)
+
+  /** Q15 top supplier: the revenue CTE feeds both the join and the
+    * scalar MAX threshold — Catalyst evaluates it once and broadcasts
+    * the scalar, no per-row subquery. */
+  val q15TopSupplier: QueryDef = sqlBoth(
+    "q15_top_supplier", Seq("supplier", "lineitem"))(
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS total_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 10000.0 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_u = (SELECT MAX(total_u) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  /** Q16 supplier counts by part attributes (adapted: supplier-part
+    * relationships come from `lineitem` instead of `partsupp`) —
+    * COUNT(DISTINCT) per 3-attribute group. */
+  val q16PartSuppliers: QueryDef = sqlBoth(
+    "q16_part_suppliers", Seq("part", "lineitem"))(
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  /** Q18 large-volume orders: the HAVING subquery rewrites to an
+    * aggregate + semi-join on `l_orderkey`, sharing its shuffle key
+    * with the outer per-order aggregation. */
+  val q18LargeOrders: QueryDef = sqlBoth(
+    "q18_large_orders", Seq("customer", "orders", "lineitem"))(
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(CAST(SUM(qu) AS BIGINT) AS DOUBLE) / 100.0 AS total_qty
+      |FROM (SELECT l_orderkey, CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qu FROM lineitem) l
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) > 20000)
+      |GROUP BY c_name, c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin)
+
+  /** Q19 discounted revenue (adapted: brand/size/quantity bands instead
+    * of the container attribute) — a disjunction of conjunctive range
+    * predicates; the shared `p_partkey = l_partkey` stays an equi-join
+    * with the OR residual as a post-join filter. */
+  val q19DiscountedRevenue: QueryDef = sqlBoth(
+    "q19_discounted_revenue", Seq("lineitem", "part"))(
+    """SELECT CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |    * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1.0 AND l_quantity <= 20.0)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10.0 AND l_quantity <= 30.0)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(
+    q7VolumeShipping, q8MarketShare, q9ProductProfit, q10ReturnedItems,
+    q13CustomerDistribution, q14PromoRevenue, q15TopSupplier,
+    q16PartSuppliers, q18LargeOrders, q19DiscountedRevenue)
+}
