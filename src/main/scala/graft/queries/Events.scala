@@ -292,7 +292,42 @@ object Events {
       .orderBy("user_id", "event_type")
   }
 
+  /** Click→purchase attribution: every (click, purchase) pair of the
+    * same user where the purchase lands within 30 minutes AFTER the
+    * click — the batch face of the stream-stream interval join in
+    * [[graft.streaming.EventStreams.clickPurchaseJoin]] (StreamingSpec
+    * asserts the streaming join emits exactly these rows).
+    *
+    * Scale: an equi-join on `user_id` with the interval as a residual
+    * predicate — shuffles both sides once on the user key, never
+    * all-pairs; in streaming the same watermark bound caps the join
+    * state at 30 minutes per side. */
+  val qAttribution: QueryDef = QueryDef.sql(
+    "q_events_attribution",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    val clicks = ev(s, d).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        unix_micros(col("ts")).as("p_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("p_us") > col("c_us") &&
+          col("p_us") - col("c_us") <= 1800000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
-    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts)
+    qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
+    qAttribution)
 }

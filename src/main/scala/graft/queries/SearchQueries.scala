@@ -1,0 +1,359 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Chunkers, TextFunctions => TF}
+import graft.operators.{DedupOps, SearchOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{size => asize, _}
+
+/** Text-search / corpus-statistics surface (EXT): winnowing rolling-hash
+  * fingerprints, TF-IDF term ranking, BM25-style retrieval scoring, a
+  * bigram language-model fluency score, hash-stratified sampling, and
+  * connected-component dedup clustering over the MinHash candidate
+  * graph. These are the retrieval/quality/dedup-closure operations a
+  * training-data pipeline runs after the primitives in
+  * [[graft.operators.DedupOps]].
+  *
+  * Determinism contract (QueryDef): ranking scores are IEEE doubles
+  * derived from exact integers with the SAME expression shape on both
+  * engines; anything summed ACROSS rows is an exact integer (bigram
+  * probabilities are floor-scaled to 10⁻⁹ before the per-document sum);
+  * per-term scores pivot through MAX(CASE …) — order-independent —
+  * instead of a float SUM; every ORDER BY ties-breaks on a unique key.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  // ---- winnowing fingerprints -------------------------------------------
+
+  /** Rolling-hash document fingerprints (winnowing, k=3-token grams,
+    * window 4). Per-row Catalyst only — no shuffle; the fingerprint set
+    * is the scale-safe join key for plagiarism-style overlap detection
+    * (same candidate-join shape as the MinHash bands). */
+  val qDocWinnow: QueryDef = QueryDef.sql(
+    "q_doc_winnow",
+    s"""WITH g AS (
+       |  SELECT doc_id, ${SearchOps.gramHashesSql("text")} AS grams
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, grams, ${SearchOps.winnowSql("grams")} AS fps
+       |  FROM g
+       |)
+       |SELECT doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  list_aggregate(fps, 'min') AS fp_min,
+       |  list_aggregate(fps, 'max') AS fp_max
+       |FROM w
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = SearchOps.gramHashes(col("text"))
+    docs(s, d)
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), col("grams"), SearchOps.winnow(col("grams")).as("fps"))
+      .select(col("doc_id"),
+        asize(col("grams")).cast("long").as("n_grams"),
+        asize(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  // ---- TF-IDF / BM25 -----------------------------------------------------
+
+  /** Top-3 TF-IDF terms per document. The idf is the exact rational
+    * `10⁶/df` (score = tf·10⁶/df as one IEEE division of exact
+    * integers) — monotone in the classic log idf for ranking purposes
+    * and reproducible bit-for-bit across engines, which `ln` is not
+    * guaranteed to be.
+    *
+    * Scale: one explode → two hash aggregations (tf on (doc,term), df
+    * on term) → broadcast-size df join → per-doc top-k window that
+    * Spark plans with WindowGroupLimit partial pushdown. */
+  val qTfidfTop: QueryDef = QueryDef.sql(
+    "q_tfidf_top",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Chunkers.wordsSql(TF.cleanTextSql("text"))}) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf * 1000000 AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+       |  FROM tf JOIN df ON tf.term = df.term
+       |)
+       |SELECT doc_id, term, tf, df, score, rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term) AS rank
+       |      FROM scored) ranked
+       |WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("doc_id"),
+      explode(Chunkers.words(TF.cleanText(col("text")))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("score",
+        (col("tf") * lit(1000000)).cast("double") / col("df").cast("double"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Query terms for the BM25 retrieval demo (common corpus words). */
+  private val Bm25Terms = Seq("vector", "hash", "join")
+
+  /** BM25 retrieval scoring (k1=1.2, b=0.75) of a fixed 3-term query
+    * against every document, top-25. Deviation (pinned): the idf is the
+    * RATIONAL Robertson form (N−df+0.5)/(df+0.5) without the log —
+    * same ranking direction, cross-engine exact. Per-term partial
+    * scores pivot into columns via MAX(CASE) so the final score is a
+    * fixed-order 3-term sum, not an order-sensitive float aggregate.
+    *
+    * Scale: tf table is filtered to the query terms BEFORE any join
+    * (3·N rows max), df/avgdl are scalar broadcasts; nothing here is
+    * quadratic. */
+  val qBm25Search: QueryDef = QueryDef.sql(
+    "q_bm25_search",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Chunkers.wordsSql(TF.cleanTextSql("text"))}) AS term
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), part AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |          (CAST(dl.dl AS DOUBLE) / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) AS s
+       |  FROM tf
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN df ON df.term = tf.term
+       |  CROSS JOIN stats
+       |)
+       |SELECT doc_id,
+       |  COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0.0)
+       |    + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0.0)
+       |    + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0.0) AS score
+       |FROM part
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("doc_id"),
+      explode(Chunkers.words(TF.cleanText(col("text")))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+    val tf = tok.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val part = tf
+      .join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (((col("n_docs") - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / (col("total_dl").cast("double") / col("n_docs").cast("double")))))).as("s"))
+    part.groupBy("doc_id")
+      .agg((coalesce(max(when(col("term") === "vector", col("s"))), lit(0.0))
+        + coalesce(max(when(col("term") === "hash", col("s"))), lit(0.0))
+        + coalesce(max(when(col("term") === "join", col("s"))), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  // ---- bigram language-model score --------------------------------------
+
+  /** Corpus-trained bigram LM fluency score per document: the corpus
+    * bigram/prefix counts give p(w₂|w₁) = c₂/c₁; each per-bigram
+    * probability is floor-scaled to an exact integer (×10⁹) BEFORE the
+    * per-document averaging, so the cross-row sum is a long and the
+    * result engine-exact.
+    *
+    * Scale: two corpus-wide hash aggregations (bigram counts, prefix
+    * counts — both map-side partial), then a broadcast-size model join
+    * back onto the exploded stream; no window, no skew (counts are
+    * bounded by vocabulary, not corpus size). */
+  val qDocBigramLm: QueryDef = QueryDef.sql(
+    "q_doc_bigram_lm",
+    s"""WITH w AS (
+       |  SELECT doc_id, ${Chunkers.wordsSql(TF.cleanTextSql("text"))} AS ws
+       |  FROM documents
+       |), bi AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+       |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+       |    ELSE [] END) AS bigram
+       |  FROM w
+       |), c2 AS (
+       |  SELECT bigram, COUNT(*) AS n2 FROM bi GROUP BY bigram
+       |), c1 AS (
+       |  SELECT split_part(bigram, ' ', 1) AS prefix, COUNT(*) AS n1
+       |  FROM bi GROUP BY prefix
+       |), scored AS (
+       |  SELECT bi.doc_id,
+       |    CAST(FLOOR(CAST(c2.n2 * 1000000000 AS DOUBLE) / CAST(c1.n1 AS DOUBLE)) AS BIGINT) AS p_scaled
+       |  FROM bi
+       |  JOIN c2 ON c2.bigram = bi.bigram
+       |  JOIN c1 ON c1.prefix = split_part(bi.bigram, ' ', 1)
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(CAST(SUM(p_scaled) AS BIGINT) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS avg_p
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = Chunkers.words(TF.cleanText(col("text")))
+    val bi = docs(s, d).select(col("doc_id"),
+        when(asize(ws) >= 2,
+          transform(sequence(lit(1), asize(ws) - 1),
+            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+      .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
+    val c2 = bi.groupBy("bigram").agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy(substring_index(col("bigram"), " ", 1).as("prefix"))
+      .agg(count(lit(1)).as("n1"))
+    bi.join(broadcast(c2), "bigram")
+      .join(broadcast(c1),
+        substring_index(col("bigram"), " ", 1) === col("prefix"))
+      .select(col("doc_id"),
+        floor((col("n2") * lit(1000000000)).cast("double") / col("n1").cast("double"))
+          .cast("long").as("p_scaled"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p_scaled")).cast("long").cast("double")
+          / (count(lit(1)).cast("double") * lit(1000000000.0))).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
+  // ---- stratified sampling ----------------------------------------------
+
+  /** Deterministic hash-stratified sampling: keep a doc iff its md5
+    * bucket (0–99) clears the per-language rate — 10% for the dominant
+    * `en` stratum, 50% for the rest. Reproducible across engines, runs
+    * and partitionings (no RNG state); the kept-set checksum asserts
+    * exact membership, not just counts.
+    *
+    * Scale: embarrassingly parallel row filter + one aggregation;
+    * sampling BEFORE any shuffle is the cheapest place to thin 100 TB. */
+  val qSampleStratified: QueryDef = QueryDef.sql(
+    "q_sample_stratified",
+    s"""WITH b AS (
+       |  SELECT lang, doc_id,
+       |    ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", 100)} AS bucket,
+       |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN bucket < rate THEN doc_id ELSE 0 END) AS BIGINT) AS kept_sum
+       |FROM b
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("lang"), col("doc_id"),
+        SearchOps.hashBucket(col("doc_id").cast("string"), 100).as("bucket"),
+        when(col("lang") === "en", lit(10)).otherwise(lit(50)).as("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("rate"), lit(1)).otherwise(lit(0))).cast("long").as("n_kept"),
+        sum(when(col("bucket") < col("rate"), col("doc_id")).otherwise(lit(0))).cast("long").as("kept_sum"))
+      .orderBy("lang")
+  }
+
+  // ---- connected components over the dedup candidate graph --------------
+
+  /** Build the MinHash-LSH candidate pair list (same parameters as
+    * q_dedup_minhash: 8 seeds, 4×2 bands). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = docs(s, d).select(col("doc_id"),
+      DedupOps.minhashSignature(DedupOps.shingles(col("text")), 8).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(DedupOps.lshBands(col("sig"), 4, 2)).as("band"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Dedup CLUSTERS: connected components of the MinHash candidate
+    * graph via iterative min-label propagation — each round every node
+    * takes the min component id among itself and its neighbours, until
+    * a fixpoint (≤ graph-diameter rounds). The converged label is the
+    * min doc_id of the component regardless of evaluation order, so
+    * the result is deterministic and matches DuckDB's recursive-CTE
+    * reachability closure.
+    *
+    * Scale: this is the standard Pregel-by-join shape — each round one
+    * shuffle on the node id (the same key every round, so AQE reuses
+    * the partitioning); `localCheckpoint` cuts the growing lineage (a
+    * cluster job would use `checkpoint` to HDFS). Driver holds only
+    * the convergence counter, never the graph. */
+  val qDedupComponents: QueryDef = QueryDef.sql(
+    "q_dedup_components",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (SELECT doc_id, unnest(${DedupOps.lshBandsSql(
+              DedupOps.minhashSignatureSql(DedupOps.shinglesSql("text"), 8), 4, 2)}) AS band
+       |        FROM documents) a
+       |  JOIN (SELECT doc_id, unnest(${DedupOps.lshBandsSql(
+              DedupOps.minhashSignatureSql(DedupOps.shinglesSql("text"), 8), 4, 2)}) AS band
+       |        FROM documents) b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), nodes AS (
+       |  SELECT DISTINCT src AS id FROM edges
+       |), reach(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT id AS doc_id, MIN(root) AS component
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = minhashPairs(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges.join(comp, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = comp.select("id", "component").union(viaNbr)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(comp.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      comp = next
+    }
+    comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qDocWinnow, qTfidfTop, qBm25Search, qDocBigramLm,
+    qSampleStratified, qDedupComponents)
+}

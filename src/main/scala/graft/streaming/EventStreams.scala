@@ -163,6 +163,32 @@ object EventStreams {
       }
   }
 
+  /** Stream-STREAM interval join (SURVEY §2.10 extension): clicks
+    * joined to the same user's purchases arriving within 30 minutes —
+    * the streaming face of q_events_attribution (equality asserted in
+    * StreamingSpec).
+    *
+    * Both sides carry a watermark and the join condition bounds
+    * `purchase_ts` relative to `click_ts` in BOTH directions, which is
+    * exactly what Spark needs to expire join state: a buffered click is
+    * dropped once the purchase watermark passes `click_ts + 30 min`, so
+    * state is O(30 minutes of events), not O(stream). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
   /** Incremental refresh as a REAL stream — the reference's batch CDC
     * loop (list → diff → re-ingest → overwrite state,
     * data_ingestion.py:56-69) becomes: watermarked dedup upstream, then

@@ -85,4 +85,23 @@ class PlanSpec extends SparkSpec {
     val p2 = phys(queries.SubqueryQueries.q22BalanceCode.run(spark, sf))
     assert(p2.contains("Anti"), "NOT EXISTS must decorrelate to an anti join")
   }
+
+  test("TPC-H q7 broadcasts the dims and pushes the ship-date filter") {
+    val p = phys(queries.TpchQueries.q7VolumeShipping.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "BETWEEN on l_shipdate must reach the parquet scan")
+  }
+
+  test("tf-idf top-k window gets the partial group-limit pushdown") {
+    val p = phys(queries.SearchQueries.qTfidfTop.run(spark, sf))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "per-doc top-3 must be bounded map-side before the window exchange")
+  }
+
+  test("attribution interval join is a keyed join, not a nested loop") {
+    val p = phys(queries.Events.qAttribution.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"user_id equality must drive the join; interval stays a residual:\n$p")
+  }
 }

@@ -131,6 +131,17 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.VectorStore.read(spark, store).count() == n1)
   }
 
+  test("stream-stream interval join matches the batch attribution query") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.clickPurchaseJoin(stream), "t_attribution", "append", ckpt())
+    val batch = queries.Events.qAttribution.run(spark, sf)
+    assert(got.count() > 0)
+    assert(got.count() == batch.count())
+    assert(got.join(batch, Seq("click_id", "purchase_id", "user_id", "gap_us"), "inner")
+      .count() == batch.count(), "streaming join must emit exactly the batch pairs")
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
