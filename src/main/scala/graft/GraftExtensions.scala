@@ -16,12 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
   *   - `graft_cosine(array<double>, array<double>) -> double`
   *     ([[graft.expressions.CosineSim]], fused + codegen'd).
   *
+  * Also injects the [[graft.plans.FuseCosine]] optimizer rule, which
+  * rewrites the composed HOF cosine shape into the fused kernel when
+  * the rewrite is provably semantics-preserving.
+  *
   * Queries fall back to the composed (bit-identical) Catalyst form when
   * the extension is absent, so a session that doesn't load this class
   * still computes correct results — just off the fast path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

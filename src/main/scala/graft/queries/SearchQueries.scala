@@ -177,6 +177,34 @@ object SearchQueries {
       .limit(25)
   }
 
+  /** Corpus heavy hitters through Spark's `approx_top_k` frequency
+    * SKETCH (DataSketches frequent-items under the hood): each partition
+    * builds a bounded sketch, partials merge associatively, and the
+    * driver never sees per-term counts — the sketch path is the 100 TB
+    * shape (no full term shuffle). With `maxItemsTracked` ≫ the corpus
+    * vocabulary the sketch is in exact mode, so the re-sorted top-10
+    * matches the exact GROUP BY oracle; the margin (k=20 → top-10)
+    * keeps boundary ties deterministic after the (count, term) re-sort. */
+  val qHeavyHitters: QueryDef = QueryDef.sql(
+    "q_heavy_hitters",
+    s"""WITH tok AS (
+       |  SELECT unnest(${Chunkers.wordsSql(TF.cleanTextSql("text"))}) AS term
+       |  FROM documents
+       |), counts AS (
+       |  SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+       |)
+       |SELECT term, n FROM counts
+       |ORDER BY n DESC, term
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(Chunkers.words(TF.cleanText(col("text")))).as("term"))
+      .agg(expr("approx_top_k(term, 20, 8192)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(10)
+  }
+
   // ---- bigram language-model score --------------------------------------
 
   /** Corpus-trained bigram LM fluency score per document: the corpus
@@ -354,6 +382,6 @@ object SearchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDocWinnow, qTfidfTop, qBm25Search, qDocBigramLm,
+    qDocWinnow, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
     qSampleStratified, qDedupComponents)
 }

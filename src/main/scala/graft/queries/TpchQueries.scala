@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.LayoutOps
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** The remaining TPC-H-shaped relational suite over this schema
   * (SURVEY §2.11 widening): the reference's query surface is a
@@ -216,8 +218,51 @@ object TpchQueries {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
       |       AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin)
 
+  /** Equi-depth quantile bucketing via NTILE over a total order (the
+    * unique-key tie-break makes tile membership engine-exact) — the
+    * histogram/banding primitive §2.6 lacked. Single window shuffle;
+    * at scale the ORDER BY runs through Spark's range-partitioned sort. */
+  val qNtileBalance: QueryDef = sqlBoth(
+    "q_ntile_balance", Seq("customer"))(
+    """SELECT tile, COUNT(*) AS n,
+      |  CAST(CAST(SUM(bu) AS BIGINT) AS DOUBLE) / 100.0 AS sum_bal,
+      |  CAST(MIN(bu) AS DOUBLE) / 100.0 AS min_bal,
+      |  CAST(MAX(bu) AS DOUBLE) / 100.0 AS max_bal
+      |FROM (SELECT CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS tile,
+      |        CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bu
+      |      FROM customer) t
+      |GROUP BY tile
+      |ORDER BY tile""".stripMargin)
+
+  /** Z-order (Morton) clustering key over (customer, order-day) with a
+    * bucket histogram — the layout primitive behind multi-dimensional
+    * file skipping ([[graft.operators.LayoutOps.zValue]]; LayoutSpec
+    * quantifies the pruning win). Pure codegen'd bit arithmetic, no
+    * shuffle before the final small aggregation. */
+  val qZorderCluster: QueryDef = QueryDef.sql(
+    "q_zorder_cluster",
+    s"""WITH z AS (
+       |  SELECT ${LayoutOps.zValueSql(
+              "CAST(o_custkey AS BIGINT)",
+              "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)")} AS z
+       |  FROM orders
+       |)
+       |SELECT CAST(z >> 22 AS BIGINT) AS z_bucket,
+       |  COUNT(*) AS n, MIN(z) AS z_min, MAX(z) AS z_max
+       |FROM z
+       |GROUP BY z_bucket
+       |ORDER BY z_bucket""".stripMargin) { (s, d) =>
+    Tables(s, d, "orders")
+      .select(LayoutOps.zValue(col("o_custkey"),
+        expr("datediff(cast(o_orderdate as date), date'1970-01-01')")).as("z"))
+      .groupBy(shiftright(col("z"), 22).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy("z_bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q7VolumeShipping, q8MarketShare, q9ProductProfit, q10ReturnedItems,
     q13CustomerDistribution, q14PromoRevenue, q15TopSupplier,
-    q16PartSuppliers, q18LargeOrders, q19DiscountedRevenue)
+    q16PartSuppliers, q18LargeOrders, q19DiscountedRevenue, qNtileBalance,
+    qZorderCluster)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.LayoutOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("zValue interleaves bits (golden values + inverse roundtrip)") {
+    import spark.implicits._
+    // golden: z(x=0b101, y=0b011) = x bits at even, y bits at odd
+    // positions = 0b011011 wait—compute independently in scala:
+    def zRef(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (65535L, 0L),
+      (0L, 65535L), (1234L, 4321L), (65535L, 65535L))
+    val got = cases.toDF("x", "y")
+      .select(LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (x, y) => zRef(x, y) })
+    // distinct inputs -> distinct z (bijective on 16-bit inputs)
+    assert(got.distinct.size == got.size)
+  }
+
+  test("z-order layout prunes on BOTH dimensions; single-column sort on one") {
+    val raw = Tables(spark, sf, "orders")
+      .select(col("o_custkey").cast("long").as("x"),
+        expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("d"))
+    val b = raw.agg(min(col("x")), max(col("x")), min(col("d")), max(col("d"))).head()
+    val (minX, maxX, minD, maxD) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // normalize both dimensions onto the full 16-bit range so the
+    // interleave gives them equal weight (the production recipe)
+    val df = raw.select(
+        ((col("x") - minX) * 65535L / (maxX - minX)).cast("long").as("xs"),
+        ((col("d") - minD) * 65535L / (maxD - minD)).cast("long").as("ys"))
+      .withColumn("z", LayoutOps.zValue(col("xs"), col("ys")))
+      .localCheckpoint()
+
+    // "files" = 8 equal-frequency buckets of the given sort order; a file
+    // can be skipped for a predicate iff its min/max range misses it
+    def overlapping(sortCol: String, dim: String, lo: Long, hi: Long): Long =
+      df.select(col(dim), ntile(8).over(Window.orderBy(col(sortCol))).as("bucket"))
+        .groupBy("bucket")
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+        .filter(col("hi") >= lo && col("lo") <= hi)
+        .count()
+
+    // a narrow mid-range date window and an off-center custkey window
+    val dateWin = (29491L, 36044L)   // ~10% of the ys range
+    val custWin = (6553L, 13107L)    // ~10% of the xs range, inside the lower half
+
+    // custkey-sorted layout: perfect custkey pruning, ZERO date pruning
+    assert(overlapping("xs", "ys", dateWin._1, dateWin._2) == 8L,
+      "single-column sort cannot prune the other dimension")
+    assert(overlapping("xs", "xs", custWin._1, custWin._2) <= 2L)
+
+    // z-sorted layout: meaningful pruning on BOTH dimensions
+    val zDates = overlapping("z", "ys", dateWin._1, dateWin._2)
+    val zCusts = overlapping("z", "xs", custWin._1, custWin._2)
+    assert(zDates <= 6L, s"z layout should skip date-disjoint files, got $zDates/8")
+    assert(zCusts <= 6L, s"z layout should skip custkey-disjoint files, got $zCusts/8")
+  }
+}

@@ -13,6 +13,19 @@ class SimilaritySpec extends SparkSpec {
     assert(v == 1.0)
   }
 
+  /** Run `body` with the FuseCosine rewrite disabled, so "composed"
+    * really evaluates through the interpreted HOF path. */
+  private def withoutFuseRule[A](body: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.FuseCosine")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("fused CosineSim is bit-identical to the composed Catalyst form") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -21,16 +34,46 @@ class SimilaritySpec extends SparkSpec {
         Seq.fill(64)(rnd.nextDouble() * 2 - 1),
         Seq.fill(64)(rnd.nextDouble() * 2 - 1))
     }
-    val df = rows.toDF("id", "a", "b")
-    val both = df.select(col("id"),
+    // repartition keeps the projection out of ConvertToLocalRelation's
+    // reach — otherwise the whole select constant-folds to a LocalTableScan
+    // and neither form appears in the executed plan
+    val df = rows.toDF("id", "a", "b").repartition(4)
+    val both = withoutFuseRule {
+      val q = df.select(col("id"),
         Similarity.cosine(col("a"), col("b")).as("composed"),
         call_function("graft_cosine", col("a"), col("b")).as("fused"))
-      .collect()
+      // the exclusion must actually hold, or "composed" is fused too and
+      // this test proves nothing: exactly ONE graft_cosine (the explicit one)
+      assert("graft_cosine".r.findAllIn(q.queryExecution.executedPlan.toString).size == 1)
+      q.collect()
+    }
     both.foreach { r =>
       // exact bit equality, not approximate: same accumulation order
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row ${r.getLong(0)}")
     }
+  }
+
+  test("FuseCosine rule rewrites the composed HOF shape to the fused kernel") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .repartition(2) // keep the projection live (see above)
+    val q = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(q.queryExecution.executedPlan.toString.contains("graft_cosine"),
+      "composed cosine over non-null double arrays must fuse")
+    // value unchanged by the rewrite
+    val fusedVal = q.head().getDouble(0)
+    val plainVal = withoutFuseRule {
+      df.select(Similarity.cosine(col("a"), col("b")).as("c")).head().getDouble(0)
+    }
+    assert(java.lang.Double.doubleToLongBits(fusedVal) ==
+      java.lang.Double.doubleToLongBits(plainVal))
+    // nullable-element arrays must NOT fuse (null-propagation differs)
+    val nullable = Seq((Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b").repartition(2)
+    val q2 = nullable.select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("graft_cosine"),
+      "containsNull=true input must stay on the composed path")
   }
 
   test("CosineSim accepts float arrays via implicit cast and handles nulls") {
