@@ -268,6 +268,70 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  // ---- embedding quantization -------------------------------------------
+
+  /** Int8-style embedding quantization quality report: per-dimension
+    * global [min, max] ranges (the calibration pass), each component
+    * floor-quantized to 0–255 and dequantized, and the reconstruction
+    * error aggregated per label. This is the storage-compression op a
+    * vector store runs before persisting 100 TB of float32 embeddings
+    * at 4× reduction — the report bounds what the compression costs.
+    *
+    * Scale: calibration is one 64-row aggregate (map-side partial over
+    * the exploded components) broadcast back; everything after is
+    * per-row arithmetic. Determinism: quantization uses FLOOR (never
+    * round — engines disagree at .5), per-vector error sums are
+    * floor-scaled exact integers, cross-vector reduction is MAX/SUM of
+    * exact values. */
+  val qEmbedQuantize: QueryDef = QueryDef.sql(
+    "q_embed_quantize",
+    """WITH comp AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, range(1, 65) t(i)
+      |), stats AS (
+      |  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM comp GROUP BY dim
+      |), q AS (
+      |  SELECT c.vec_id, c.label,
+      |    ABS((s.mn + LEAST(GREATEST(FLOOR((c.v - s.mn) / (s.mx - s.mn) * 255.0), 0.0), 255.0)
+      |      * (s.mx - s.mn) / 255.0) - c.v) AS err
+      |  FROM comp c JOIN stats s ON s.dim = c.dim
+      |), pv AS (
+      |  SELECT vec_id, label, MAX(err) AS max_err,
+      |    CAST(SUM(CAST(FLOOR(err * 1000000000.0) AS BIGINT)) AS BIGINT) AS err_scaled
+      |  FROM q GROUP BY vec_id, label
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  MAX(max_err) AS max_err,
+      |  CAST(CAST(SUM(err_scaled) AS BIGINT) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 64.0 * 1000000000.0) AS mean_err
+      |FROM pv
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val comp = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        col("pos").as("dim"), col("col").cast("double").as("v"))
+    val stats = comp.groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = comp.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("label"),
+        abs((col("mn")
+          + least(greatest(
+              floor((col("v") - col("mn")) / (col("mx") - col("mn")) * lit(255.0)),
+              lit(0.0)), lit(255.0))
+            * (col("mx") - col("mn")) / lit(255.0)) - col("v")).as("err"))
+    q.groupBy("vec_id", "label")
+      .agg(max(col("err")).as("max_err"),
+        sum(floor(col("err") * lit(1000000000.0)).cast("long")).cast("long").as("err_scaled"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("max_err")).as("max_err"),
+        (sum(col("err_scaled")).cast("long").cast("double")
+          / (count(lit(1)).cast("double") * lit(64.0) * lit(1000000000.0))).as("mean_err"))
+      .orderBy("label")
+  }
+
   // ---- stratified sampling ----------------------------------------------
 
   /** Deterministic hash-stratified sampling: keep a doc iff its md5
@@ -383,5 +447,5 @@ object SearchQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
-    qSampleStratified, qDedupComponents)
+    qEmbedQuantize, qSampleStratified, qDedupComponents)
 }

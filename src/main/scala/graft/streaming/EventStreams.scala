@@ -189,6 +189,18 @@ object EventStreams {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 
+  /** Stream-STATIC enrichment join: the unbounded event stream joined
+    * to a bounded dimension snapshot (here `customer` keyed by
+    * user_id). Spark broadcasts the static side into every micro-batch
+    * — no stream state at all, the standard shape for dimension
+    * enrichment at 100 TB/day ingest. StreamingSpec asserts equality
+    * with the batch inner join. */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+
   /** Incremental refresh as a REAL stream — the reference's batch CDC
     * loop (list → diff → re-ingest → overwrite state,
     * data_ingestion.py:56-69) becomes: watermarked dedup upstream, then

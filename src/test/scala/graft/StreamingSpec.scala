@@ -142,6 +142,20 @@ class StreamingSpec extends SparkSpec {
       .count() == batch.count(), "streaming join must emit exactly the batch pairs")
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val customers = Tables(spark, sf, "customer")
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.enrichWithCustomers(stream, customers), "t_enriched", "append", ckpt())
+    val batch = Tables(spark, sf, "events")
+      .join(customers, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+    assert(got.count() > 0)
+    assert(got.count() == batch.count())
+    assert(got.join(batch, Seq("event_id", "user_id", "event_type", "c_mktsegment"))
+      .count() == batch.count())
+  }
+
   test("watermarked dedup emits each event_id once") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
