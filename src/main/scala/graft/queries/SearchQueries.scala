@@ -332,6 +332,83 @@ object SearchQueries {
       .orderBy("label")
   }
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    * distance-preservation report: the projection matrix is ±1 signs
+    * derived from md5("rp:i:j") (deterministic, no RNG state, identical
+    * in both engines), scaled by 1/√16 = 1/4 exactly. Quality is
+    * measured on the linear chain of (vec_id, vec_id+1) pairs — never
+    * all-pairs — as the ratio of squared distances after/before; JL
+    * says the mean ratio ≈ 1 with bounded spread.
+    *
+    * Scale: the "matrix" is a formula, not data — nothing is broadcast,
+    * no driver state; projection is per-row arithmetic and the report
+    * is one aggregation. Determinism: every per-row fold is
+    * left-to-right (≡ DuckDB list_reduce), cross-row stats are MIN/MAX
+    * doubles and floor-scaled exact-integer sums. */
+  val qEmbedRandomProjection: QueryDef = {
+    // ±1 sign from the first md5 nibble: '0'..'7' → +1, '8'..'f' → -1
+    def signSql(i: String, j: String) =
+      s"(CASE WHEN substr(md5('rp:' || CAST($i AS VARCHAR) || ':' || CAST($j AS VARCHAR)), 1, 1) " +
+        s"BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END)"
+    QueryDef.sql(
+      "q_embed_rp",
+      s"""WITH proj AS (
+         |  SELECT vec_id, label,
+         |    list_transform(range(0, 16), j ->
+         |      list_reduce(
+         |        list_transform(range(1, 65), i ->
+         |          CAST(embedding[i] AS DOUBLE) * ${signSql("i - 1", "j")}),
+         |        (x, y) -> x + y) / 4.0) AS rp,
+         |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT a.label,
+         |    list_reduce(list_transform(range(1, 17),
+         |      k -> (a.rp[k] - b.rp[k]) * (a.rp[k] - b.rp[k])), (x, y) -> x + y) AS d_rp,
+         |    list_reduce(list_transform(range(1, 65),
+         |      k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])), (x, y) -> x + y) AS d_v
+         |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+         |)
+         |SELECT label, COUNT(*) AS n_pairs,
+         |  MIN(d_rp / d_v) AS min_ratio,
+         |  MAX(d_rp / d_v) AS max_ratio,
+         |  CAST(CAST(SUM(CAST(FLOOR(d_rp / d_v * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS mean_ratio
+         |FROM pairs
+         |GROUP BY label
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      val sign = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+        when(substring(md5(concat(lit("rp:"), i.cast("string"), lit(":"), j.cast("string"))), 1, 1)
+          .between("0", "7"), lit(1.0)).otherwise(lit(-1.0))
+      val proj = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(sequence(lit(0), lit(15)), j =>
+            aggregate(
+              transform(sequence(lit(1), lit(64)), i =>
+                element_at(col("embedding"), i).cast("double") * sign(i - 1, j)),
+              lit(0.0), (acc, x) => acc + x) / lit(4.0)).as("rp"),
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(col("embedding"), i).cast("double")).as("v"))
+      val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, n: Int) =>
+        aggregate(
+          transform(sequence(lit(1), lit(n)), k =>
+            (element_at(a, k) - element_at(b, k)) * (element_at(a, k) - element_at(b, k))),
+          lit(0.0), (acc, x) => acc + x)
+      proj.as("a")
+        .join(proj.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.label").as("label"),
+          dist(col("a.rp"), col("b.rp"), 16).as("d_rp"),
+          dist(col("a.v"), col("b.v"), 64).as("d_v"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("d_rp") / col("d_v")).as("min_ratio"),
+          max(col("d_rp") / col("d_v")).as("max_ratio"),
+          (sum(floor(col("d_rp") / col("d_v") * lit(1000000000.0)).cast("long")).cast("long").cast("double")
+            / (count(lit(1)).cast("double") * lit(1000000000.0))).as("mean_ratio"))
+        .orderBy("label")
+    }
+  }
+
   // ---- stratified sampling ----------------------------------------------
 
   /** Deterministic hash-stratified sampling: keep a doc iff its md5
@@ -447,5 +524,5 @@ object SearchQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
-    qEmbedQuantize, qSampleStratified, qDedupComponents)
+    qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qDedupComponents)
 }

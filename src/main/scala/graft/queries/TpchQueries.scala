@@ -247,7 +247,7 @@ object TpchQueries {
               "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)")} AS z
        |  FROM orders
        |)
-       |SELECT CAST(z >> 22 AS BIGINT) AS z_bucket,
+       |SELECT CAST(z >> 18 AS BIGINT) AS z_bucket,
        |  COUNT(*) AS n, MIN(z) AS z_min, MAX(z) AS z_max
        |FROM z
        |GROUP BY z_bucket
@@ -255,7 +255,7 @@ object TpchQueries {
     Tables(s, d, "orders")
       .select(LayoutOps.zValue(col("o_custkey"),
         expr("datediff(cast(o_orderdate as date), date'1970-01-01')")).as("z"))
-      .groupBy(shiftright(col("z"), 22).as("z_bucket"))
+      .groupBy(shiftright(col("z"), 18).as("z_bucket"))
       .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
       .orderBy("z_bucket")
   }
