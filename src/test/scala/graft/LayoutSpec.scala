@@ -59,5 +59,22 @@ class LayoutSpec extends SparkSpec {
     val zCusts = overlapping("z", "xs", custWin._1, custWin._2)
     assert(zDates <= 6L, s"z layout should skip date-disjoint files, got $zDates/8")
     assert(zCusts <= 6L, s"z layout should skip custkey-disjoint files, got $zCusts/8")
+
+    // figure of merit: total per-file bounding-box area. A hash-random
+    // layout gives every file the full domain (8× the domain area). A
+    // single-column sort tiles the domain EXACTLY (total ≈ domain area)
+    // — by raw area it is unbeatable — but every tile spans all of ys,
+    // which is why it pruned nothing above. Z-order pays a bounded
+    // boundary-slop factor over the domain area in exchange for
+    // locality in BOTH dimensions: assert it crushes random and stays
+    // within 2× of the single-sort optimum.
+    val zCost = LayoutOps.clusteringCost(df, col("z"), col("xs"), col("ys"), 8)
+    val xCost = LayoutOps.clusteringCost(df, col("xs"), col("xs"), col("ys"), 8)
+    val randCost = LayoutOps.clusteringCost(
+      df, md5(col("xs").cast("string")), col("xs"), col("ys"), 8)
+    assert(zCost < randCost / 2,
+      s"z-order must concentrate the domain: z=$zCost random=$randCost")
+    assert(zCost < 2 * xCost,
+      s"z-order slop must stay bounded: z=$zCost single-sort=$xCost")
   }
 }
