@@ -60,6 +60,63 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (Rabin/FastCDC-style): a chunk boundary
+    * falls AFTER every word whose hash lands in bucket 0 of 16, so
+    * boundaries depend only on local content — an insertion early in a
+    * document shifts fixed-size chunk frames everywhere, but
+    * content-defined boundaries realign immediately, which is what
+    * makes downstream chunk-level dedup robust to edits. Expected chunk
+    * length = 16 words. Per-doc report: word/chunk counts and the
+    * min/max/mean chunk length.
+    *
+    * Scale: boundary detection is a per-row array map (no shuffle);
+    * the hash is the same engine-exact [[SearchOps.hashBucket]] used
+    * for sampling. */
+  val qDocCdcChunks: QueryDef = {
+    val w = Chunkers.wordsSql(TF.cleanTextSql("text"))
+    QueryDef.sql(
+      "q_doc_cdc_chunks",
+      s"""WITH t AS (
+         |  SELECT doc_id, $w AS ws FROM documents
+         |), b AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    list_concat(
+         |      [0],
+         |      list_filter(range(1, len(ws) + 1),
+         |        i -> i = len(ws) OR ${SearchOps.hashBucketSql("(ws)[i]", 16)} = 0)) AS cuts
+         |  FROM t
+         |), lens AS (
+         |  SELECT doc_id, n_words,
+         |    list_transform(range(1, len(cuts)), j -> cuts[j + 1] - cuts[j]) AS chunk_lens
+         |  FROM b
+         |)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(len(chunk_lens) AS BIGINT) AS n_chunks,
+         |  CAST(list_aggregate(chunk_lens, 'min') AS BIGINT) AS min_len,
+         |  CAST(list_aggregate(chunk_lens, 'max') AS BIGINT) AS max_len,
+         |  CAST(CAST(n_words AS BIGINT) AS DOUBLE) / CAST(len(chunk_lens) AS DOUBLE) AS mean_len
+         |FROM lens
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = Chunkers.words(TF.cleanText(col("text")))
+      docs(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), asize(col("ws")).as("n_words"),
+          concat(array(lit(0)),
+            filter(sequence(lit(1), asize(col("ws"))),
+              i => i === asize(col("ws")) ||
+                SearchOps.hashBucket(element_at(col("ws"), i), 16) === 0)).as("cuts"))
+        .select(col("doc_id"), col("n_words"),
+          transform(sequence(lit(1), asize(col("cuts")) - 1),
+            j => element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)).as("chunk_lens"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          asize(col("chunk_lens")).cast("long").as("n_chunks"),
+          array_min(col("chunk_lens")).cast("long").as("min_len"),
+          array_max(col("chunk_lens")).cast("long").as("max_len"),
+          (col("n_words").cast("double") / asize(col("chunk_lens")).cast("double")).as("mean_len"))
+        .orderBy("doc_id")
+    }
+  }
+
   // ---- TF-IDF / BM25 -----------------------------------------------------
 
   /** Top-3 TF-IDF terms per document. The idf is the exact rational
@@ -523,6 +580,6 @@ object SearchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDocWinnow, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
+    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qDedupComponents)
 }
