@@ -104,4 +104,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"user_id equality must drive the join; interval stays a residual:\n$p")
   }
+
+  test("embedding quantization broadcasts the 64-row calibration table") {
+    val p = phys(queries.SearchQueries.qEmbedQuantize.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-dimension stats must broadcast, not shuffle the components")
+  }
+
+  test("content-defined chunking shuffles only for the output ordering") {
+    val p = phys(queries.SearchQueries.qDocCdcChunks.run(spark, sf))
+    // boundary detection is per-row; the single exchange is the final
+    // ORDER BY the verify dump needs — anything more means the chunker
+    // itself went wide
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected at most the final sort exchange:\n$p")
+  }
 }
