@@ -40,10 +40,18 @@ object LayoutOps {
       s"((((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " | ", ")")
 
-  /** Sum over `parts` equal-frequency buckets of the (spanX · spanY)
+  /** TEST-ONLY diagnostic (LayoutSpec) — NOT a production path. Sum
+    * over `parts` equal-frequency buckets of the (spanX · spanY)
     * bounding-box area when `df` is bucketed by `orderCol` — the
     * figure of merit LayoutSpec uses to show Z-order beats a
-    * single-column sort for two-dimensional pruning. */
+    * single-column sort for two-dimensional pruning.
+    *
+    * The unpartitioned `ntile` window here plans
+    * `Exchange SinglePartition` and `.head()` materializes on the
+    * driver — both fine for a spec-sized diagnostic, both wrong at
+    * scale. The production equivalent of this global bucketing is the
+    * two-pass rank in `TpchQueries.qNtileBalance` (range-repartition +
+    * partition-offset rank); use that shape for any data-sized input. */
   def clusteringCost(df: DataFrame, orderCol: Column,
       x: Column, y: Column, parts: Int): Long = {
     import org.apache.spark.sql.expressions.Window

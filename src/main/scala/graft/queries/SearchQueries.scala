@@ -126,8 +126,14 @@ object SearchQueries {
     * guaranteed to be.
     *
     * Scale: one explode → two hash aggregations (tf on (doc,term), df
-    * on term) → broadcast-size df join → per-doc top-k window that
-    * Spark plans with WindowGroupLimit partial pushdown. */
+    * on term) → an UNHINTED equi-join on `term`: the df table is the
+    * corpus vocabulary, which grows with corpus size (ids, typos,
+    * names), so forcing a broadcast would OOM executors at 100 TB. A
+    * shuffled join on `term` is the scale shape; AQE may still pick a
+    * broadcast at small SF, which is fine — the point is not to FORCE
+    * it. PlanSpec asserts no broadcast hint survives into the plan.
+    * Then a per-doc top-k window that Spark plans with
+    * WindowGroupLimit partial pushdown. */
   val qTfidfTop: QueryDef = QueryDef.sql(
     "q_tfidf_top",
     s"""WITH tok AS (
@@ -152,7 +158,7 @@ object SearchQueries {
       explode(Chunkers.words(TF.cleanText(col("text")))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tf.join(df, "term")
       .withColumn("score",
         (col("tf") * lit(1000000)).cast("double") / col("df").cast("double"))
     scored
@@ -268,12 +274,25 @@ object SearchQueries {
     * bigram/prefix counts give p(w₂|w₁) = c₂/c₁; each per-bigram
     * probability is floor-scaled to an exact integer (×10⁹) BEFORE the
     * per-document averaging, so the cross-row sum is a long and the
-    * result engine-exact.
+    * result engine-exact. The model carries a document-frequency floor
+    * (`BigramModelFloor`, the standard `HAVING COUNT(*) >= k` cut):
+    * scoring only counts bigrams that survive the floor, which drops
+    * the Zipf tail of singleton bigrams from the model table.
     *
     * Scale: two corpus-wide hash aggregations (bigram counts, prefix
-    * counts — both map-side partial), then a broadcast-size model join
-    * back onto the exploded stream; no window, no skew (counts are
-    * bounded by vocabulary, not corpus size). */
+    * counts — both map-side partial), then UNHINTED equi-joins of the
+    * model back onto the exploded stream. Distinct bigrams grow
+    * near-linearly with corpus size (typos, ids, names) — at 100 TB the
+    * model is billions of rows, so a forced broadcast would OOM every
+    * executor; the shuffled join on `bigram`/`prefix` is the scale
+    * shape, and the floor shrinks the model by the singleton tail
+    * first. PlanSpec asserts no broadcast hint survives into the plan. */
+  /** Model document-frequency floor for [[qDocBigramLm]]: bigrams seen
+    * fewer than this many times corpus-wide are cut from the model
+    * (and therefore from scoring) on BOTH engines, keeping the oracle
+    * exact while shrinking the model table by the Zipf singleton tail. */
+  val BigramModelFloor: Int = 2
+
   val qDocBigramLm: QueryDef = QueryDef.sql(
     "q_doc_bigram_lm",
     s"""WITH w AS (
@@ -286,6 +305,7 @@ object SearchQueries {
        |  FROM w
        |), c2 AS (
        |  SELECT bigram, COUNT(*) AS n2 FROM bi GROUP BY bigram
+       |  HAVING COUNT(*) >= $BigramModelFloor
        |), c1 AS (
        |  SELECT split_part(bigram, ' ', 1) AS prefix, COUNT(*) AS n1
        |  FROM bi GROUP BY prefix
@@ -310,10 +330,11 @@ object SearchQueries {
           .otherwise(array().cast("array<string>")).as("bigrams"))
       .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
     val c2 = bi.groupBy("bigram").agg(count(lit(1)).as("n2"))
+      .filter(col("n2") >= BigramModelFloor)
     val c1 = bi.groupBy(substring_index(col("bigram"), " ", 1).as("prefix"))
       .agg(count(lit(1)).as("n1"))
-    bi.join(broadcast(c2), "bigram")
-      .join(broadcast(c1),
+    bi.join(c2, "bigram")
+      .join(c1,
         substring_index(col("bigram"), " ", 1) === col("prefix"))
       .select(col("doc_id"),
         floor((col("n2") * lit(1000000000)).cast("double") / col("n1").cast("double"))

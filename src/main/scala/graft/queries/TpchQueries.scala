@@ -1,8 +1,9 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Exact, QueryDef, Tables}
 import graft.operators.LayoutOps
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The remaining TPC-H-shaped relational suite over this schema
@@ -218,12 +219,30 @@ object TpchQueries {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
       |       AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin)
 
-  /** Equi-depth quantile bucketing via NTILE over a total order (the
-    * unique-key tie-break makes tile membership engine-exact) — the
-    * histogram/banding primitive §2.6 lacked. Single window shuffle;
-    * at scale the ORDER BY runs through Spark's range-partitioned sort. */
-  val qNtileBalance: QueryDef = sqlBoth(
-    "q_ntile_balance", Seq("customer"))(
+  /** Equi-depth quantile bucketing (the histogram/banding primitive
+    * §2.6 lacked) with EXACT `NTILE(4)` semantics over the total order
+    * `(c_acctbal, c_custkey)` — but WITHOUT the global window a bare
+    * `NTILE() OVER (ORDER BY …)` plans: an unpartitioned window is
+    * `Exchange SinglePartition` in Spark — every customer row through
+    * one task, the classic 100×-scale killer. The DuckDB oracle keeps
+    * the NTILE form (exact by definition at oracle scale).
+    *
+    * Scale shape (two-pass global rank): (1) range-repartition on the
+    * sort key, then pin the layout with an eager `localCheckpoint` so
+    * every downstream branch reads the SAME partitioning (range-
+    * boundary sampling is seeded per RDD id, so an un-pinned
+    * recomputation could re-draw boundaries and misalign the offsets);
+    * (2) per-partition row counts (≤ shuffle-partition-count rows)
+    * cross-joined against themselves yield each partition's cumulative
+    * offset and the total N — partition-count-bounded, never
+    * data-sized, and free of scalar aggregates, so NO
+    * `Exchange SinglePartition` appears anywhere in the plan (asserted
+    * in PlanSpec); (3) global rank = broadcast partition offset +
+    * parallel per-partition `row_number`; (4) the NTILE formula assigns
+    * the tile arithmetically: with q = N div 4, rem = N mod 4, the
+    * first rem tiles carry q+1 rows. */
+  val qNtileBalance: QueryDef = QueryDef.sql(
+    "q_ntile_balance",
     """SELECT tile, COUNT(*) AS n,
       |  CAST(CAST(SUM(bu) AS BIGINT) AS DOUBLE) / 100.0 AS sum_bal,
       |  CAST(MIN(bu) AS DOUBLE) / 100.0 AS min_bal,
@@ -232,7 +251,37 @@ object TpchQueries {
       |        CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bu
       |      FROM customer) t
       |GROUP BY tile
-      |ORDER BY tile""".stripMargin)
+      |ORDER BY tile""".stripMargin) { (s, d) =>
+    val base = Tables(s, d, "customer")
+      .select(col("c_acctbal"), col("c_custkey"),
+        Exact.units(col("c_acctbal"), 2).as("bu"))
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .localCheckpoint()
+      .withColumn("pid", spark_partition_id())
+    val counts = base.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .crossJoin(broadcast(counts.as("b")))
+      .groupBy(col("a.pid").as("pid"))
+      .agg(
+        coalesce(sum(when(col("b.pid") < col("a.pid"), col("b.cnt"))), lit(0L)).as("off"),
+        sum(col("b.cnt")).as("n"))
+    base.join(broadcast(offsets), "pid")
+      .withColumn("r",
+        row_number().over(
+          Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey"))
+          .cast("long") + col("off"))
+      .withColumn("tile", expr(
+        """CAST(CASE WHEN r <= (n div 4 + 1) * (n % 4)
+          |     THEN (r + n div 4) div (n div 4 + 1)
+          |     ELSE n % 4 + (r - (n div 4 + 1) * (n % 4) + n div 4 - 1) div (n div 4)
+          |     END AS INTEGER)""".stripMargin))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        Exact.toDouble(sum(col("bu")).cast("long"), 2).as("sum_bal"),
+        Exact.toDouble(min(col("bu")), 2).as("min_bal"),
+        Exact.toDouble(max(col("bu")), 2).as("max_bal"))
+      .orderBy("tile")
+  }
 
   /** Z-order (Morton) clustering key over (customer, order-day) with a
     * bucket histogram — the layout primitive behind multi-dimensional

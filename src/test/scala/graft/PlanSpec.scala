@@ -111,6 +111,61 @@ class PlanSpec extends SparkSpec {
       "per-dimension stats must broadcast, not shuffle the components")
   }
 
+  test("corpus-growing model tables are never hint-broadcast") {
+    // bigram/prefix counts and the tf-idf df table grow with corpus
+    // size (typos, ids, names) — a broadcast HINT on them OOMs every
+    // executor at 100 TB. With the stats-based threshold disabled, any
+    // BroadcastHashJoin left in these plans can only come from a
+    // reintroduced hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = phys(queries.SearchQueries.qDocBigramLm.run(spark, sf))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"bigram model join must shuffle, not broadcast:\n$p")
+      val p2 = phys(queries.SearchQueries.qTfidfTop.run(spark, sf))
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"vocabulary df join must shuffle, not broadcast:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_ntile_balance plans no single-partition exchange") {
+    // the naive NTILE() OVER (ORDER BY ...) funnels the whole table
+    // through one task; the two-pass rank must keep every data-sized
+    // stage parallel (the only driver-visible objects are the
+    // partition-count-bounded offsets)
+    val p = phys(queries.TpchQueries.qNtileBalance.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"equi-depth bucketing must not plan a global single-partition stage:\n$p")
+  }
+
+  test("jaccard df-cap window exchange is reused by the candidate join") {
+    // capShinglesByDf's window shuffles on `shingle` — the same key the
+    // self-join uses; the scaladoc claims that exchange is reused, so
+    // assert it (one live shingle exchange + ReusedExchange twins).
+    // AQE reuses stages at runtime via its stage cache, which the
+    // pre-execution plan string can't show — turn it off here so the
+    // static ReuseExchange rule makes the claim visible in the plan.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = phys(queries.DedupQueries.qDedupJaccard.run(spark, sf))
+      assert(p.contains("ReusedExchange"),
+        s"self-join sides must share one shingle exchange:\n$p")
+      // a ReusedExchange line repeats the referenced exchange's
+      // description, so count live exchanges per-line
+      val live = p.linesIterator.filterNot(_.contains("ReusedExchange"))
+        .count(_.contains("Exchange hashpartitioning(shingle"))
+      assert(live == 1,
+        s"expected exactly one live shingle-key exchange, got $live:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("content-defined chunking shuffles only for the output ordering") {
     val p = phys(queries.SearchQueries.qDocCdcChunks.run(spark, sf))
     // boundary detection is per-row; the single exchange is the final
