@@ -174,5 +174,32 @@ object KbQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch, qCatalogMarkdown, qPdfTables)
+  /** S6/S7 end-to-end proof of the REAL office decoders
+    * ([[graft.sources.OfficeParsers]]): each document's text is written
+    * into genuine DOCX (zip + word/document.xml), PPTX (zip +
+    * slide1.xml) and multipart-MIME EML bytes by the fixture writers,
+    * then recovered through the full [[ParseOps.parseText]] dispatch.
+    * The decode is exact, so the oracle is the identity on the text —
+    * any drift in zip walking, XML text assembly, entity escaping,
+    * boundary parsing or base64/charset handling breaks the hash.
+    * Per-row narrow work; no shuffle but the output ORDER BY. */
+  val qParseOffice: QueryDef = QueryDef.sql(
+    "q_parse_office",
+    """SELECT doc_id, text AS docx_text, text AS pptx_text, text AS eml_text
+      |FROM documents
+      |WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkDocx = udf((t: String) => graft.sources.OfficeParsers.makeDocx(t))
+    val mkPptx = udf((t: String) => graft.sources.OfficeParsers.makePptx(t))
+    val mkEml = udf((t: String) => graft.sources.OfficeParsers.makeEml(t))
+    docs(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        ParseOps.parseText(lit("docx"), mkDocx(col("text"))).as("docx_text"),
+        ParseOps.parseText(lit("pptx"), mkPptx(col("text"))).as("pptx_text"),
+        ParseOps.parseText(lit("eml"), mkEml(col("text"))).as("eml_text"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch, qParseOffice,
+    qCatalogMarkdown, qPdfTables)
 }

@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions._
   * The reference dispatches on extension to per-format parsers
   * (`prepare_weaviate_data_chunks` /root/reference/llmcore/cms/
   * sharepointutils.py:311-322; parser map parsers.py:247-263). The
-  * format-specific binary decoders (PyPDF, python-docx, …) are not
-  * available in a zero-egress JVM, so: the DISPATCH, the supported-type
-  * predicate, and the text/html decode paths are real; the binary
-  * office-format decoders are deterministic stubs that surface the
-  * binary length (the Spark-side plumbing — binaryFile-shaped schema,
-  * per-type routing, downstream chunking — is what the engine owns).
+  * DISPATCH, the supported-type predicate, the text/html decode paths,
+  * and the docx/pptx/eml decoders ([[OfficeParsers]] — zip+XML / MIME,
+  * JDK-only) are real; pdf and msg need external codecs (PDF content
+  * streams, OLE compound files) that aren't available in a zero-egress
+  * JVM, so those two remain deterministic stubs that surface the
+  * binary length. A corrupt/undecodable office file degrades to the
+  * same stub instead of failing the job — the reference's per-row
+  * try/except has the same contract.
+  *
+  * The office decoders run as Scala UDFs: a multi-entry zip walk +
+  * XML pull-parse is inherently block-box row code (same shape as the
+  * reference's loader calls), not expressible as a codegen Expression;
+  * the surrounding dispatch stays in Catalyst so only matched rows pay
+  * the UDF call.
   */
 object ParseOps {
 
@@ -37,17 +45,36 @@ object ParseOps {
       lit("n_bytes|"), length(content).cast("string"), lit("\n"),
       lit("first|"), coalesce(conv(substring(hex(content), 1, 2), 16, 10), lit("0")), lit("\n"))
 
+  /** Decoder UDF: real extraction, stub-string fallback on any
+    * undecodable input (so fake/corrupt bytes degrade deterministically
+    * — asserted against the DuckDB oracle in q_parse_dispatch). */
+  private def decoderUdf(tpe: String, f: Array[Byte] => String) =
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else try f(b) catch {
+        case scala.util.control.NonFatal(_) => s"[$tpe:${b.length} bytes]"
+      })
+
+  private val docxUdf = decoderUdf("docx", OfficeParsers.docxText)
+  private val pptxUdf = decoderUdf("pptx", OfficeParsers.pptxText)
+  private val emlUdf  = decoderUdf("eml", OfficeParsers.emlText)
+
   /** S6/S7: parse(file_type, content_bytes) → text.
     *   txt/csv/md → UTF-8 decode;
     *   html       → UTF-8 decode + F9 html_to_text;
-    *   binary office formats → deterministic stub "[<type>:<n_bytes> bytes]"
-    *                           (decoder unavailable offline);
+    *   docx/pptx/eml → real JDK-only decode ([[OfficeParsers]]),
+    *                   stub fallback on undecodable bytes;
+    *   pdf/msg → deterministic stub "[<type>:<n_bytes> bytes]"
+    *             (codec unavailable offline);
     *   unsupported → null (caller filters with [[isSupported]]). */
   def parseText(fileType: Column, content: Column): Column = {
     val decoded = decode(content, "UTF-8")
     when(fileType.isin("txt", "csv", "md"), decoded)
       .when(fileType === "html", HtmlFunctions.html_to_text(decoded))
-      .when(fileType.isin("pdf", "docx", "pptx", "msg", "eml"),
+      .when(fileType === "docx", docxUdf(content))
+      .when(fileType === "pptx", pptxUdf(content))
+      .when(fileType === "eml", emlUdf(content))
+      .when(fileType.isin("pdf", "msg"),
         concat(lit("["), fileType, lit(":"), length(content).cast("string"), lit(" bytes]")))
       .otherwise(lit(null).cast("string"))
   }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.sources.{OfficeParsers, ParseOps}
+import org.apache.spark.sql.functions._
+
+/** JDK-only office/MIME decoders (SURVEY §2.1 S6/S7): structural cases
+  * the q_parse_office roundtrip can't reach — multi-paragraph docx,
+  * numeric slide ordering, quoted-printable and charset handling,
+  * nested multipart preference, and the corrupt-input stub fallback
+  * through the full parseText dispatch.
+  */
+class ParseSpec extends SparkSpec {
+
+  private def zipOf(entries: (String, String)*): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    entries.foreach { case (n, b) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(b.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    buf.toByteArray
+  }
+
+  test("docx: paragraphs join with newline, runs concatenate, entities unescape") {
+    val xml =
+      """<w:document xmlns:w="http://x/w"><w:body>
+        |<w:p><w:r><w:t>first </w:t></w:r><w:r><w:t>para &amp; more</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>second &lt;b&gt;</w:t></w:r></w:p>
+        |<w:p/>
+        |</w:body></w:document>""".stripMargin
+    val bytes = zipOf("word/document.xml" -> xml)
+    assert(OfficeParsers.docxText(bytes) == "first para & more\nsecond <b>\n")
+  }
+
+  test("docx roundtrip through the fixture writer is exact") {
+    val text = "alpha beta <gamma> & \"delta\""
+    assert(OfficeParsers.docxText(OfficeParsers.makeDocx(text)) == text)
+  }
+
+  test("pptx: slides order numerically (slide10 after slide2)") {
+    def slide(t: String) =
+      s"""<p:sld xmlns:a="http://x/a" xmlns:p="http://x/p">
+         |<p:cSld><a:p><a:r><a:t>$t</a:t></a:r></a:p></p:cSld></p:sld>""".stripMargin
+    val bytes = zipOf(
+      "ppt/slides/slide10.xml" -> slide("ten"),
+      "ppt/slides/slide2.xml" -> slide("two"),
+      "ppt/slides/slide1.xml" -> slide("one"))
+    assert(OfficeParsers.pptxText(bytes) == "one\ntwo\nten")
+  }
+
+  test("eml: quoted-printable body with declared charset decodes") {
+    val eml = ("Subject: t\r\n" +
+      "Content-Type: text/plain; charset=\"ISO-8859-1\"\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n" +
+      "\r\n" +
+      "caf=E9 soft=\r\nbreak").getBytes(StandardCharsets.US_ASCII)
+    assert(OfficeParsers.emlText(eml) == "café softbreak")
+  }
+
+  test("eml: multipart prefers text/plain over the html alternative") {
+    val text = "preferred body"
+    assert(OfficeParsers.emlText(OfficeParsers.makeEml(text)) == text)
+  }
+
+  test("parseText dispatch: real decode for office types, stub fallback on garbage") {
+    import spark.implicits._
+    val rows = Seq(
+      ("docx", OfficeParsers.makeDocx("doc body")),
+      ("pptx", OfficeParsers.makePptx("slide body")),
+      ("eml", OfficeParsers.makeEml("mail body")),
+      ("docx", "not a zip at all".getBytes(StandardCharsets.UTF_8)),
+      ("pdf", Array[Byte](1, 2, 3)))
+      .toDF("file_type", "content")
+      .repartition(2) // keep the projection live past constant folding
+    val out = rows
+      .select(col("file_type"), ParseOps.parseText(col("file_type"), col("content")).as("parsed"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.contains(("docx", "doc body")))
+    assert(out.contains(("pptx", "slide body")))
+    assert(out.contains(("eml", "mail body")))
+    assert(out.contains(("docx", "[docx:16 bytes]")))
+    assert(out.contains(("pdf", "[pdf:3 bytes]")))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.functions.{Embedders, HtmlFunctions}
-import graft.pipeline.{BatchedEmbedder, DocPipeline, Ledger}
+import graft.pipeline.{BatchedEmbedder, DocPipeline, HttpEmbedBackend, Ledger}
 import graft.sources.VectorStore
 import org.apache.spark.sql.functions._
 
@@ -197,5 +197,63 @@ class PipelineSpec extends SparkSpec {
     assert(HtmlFunctions.htmlToText(
       "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>")
       == "Table: \nA | B\n1 | 2\n Table ends here")
+  }
+
+  private def okBody(dims: Seq[Seq[Double]]): String =
+    dims.zipWithIndex.map { case (e, i) =>
+      s"""{"index": $i, "embedding": [${e.mkString(", ")}]}"""
+    }.mkString("""{"data": [""", ", ", "]}")
+
+  test("http backend: one batched POST, ordered payload, newline strip, header passthrough") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String], String)]
+    val transport: HttpEmbedBackend.Transport = (u, h, b) => {
+      calls += ((u, h, b))
+      (200, okBody(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))))
+    }
+    val be = new HttpEmbedBackend("https://example.com/azure/engines/e/embeddings",
+      Map("Ocp-Apim-Subscription-Key" -> "k"), transport)
+    val out = be.embedBatch(Seq("a\nb", "c"))
+    assert(calls.size == 1, "one POST per batch, not per text")
+    val (url, headers, body) = calls.head
+    assert(url.endsWith("/embeddings") && headers("Ocp-Apim-Subscription-Key") == "k")
+    assert(body == """{"input": ["a b", "c"], "user": null}""",
+      "texts must arrive in order with newlines stripped")
+    assert(out.map(_.toSeq) == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    assert(be.embedBatch(Nil).isEmpty && calls.size == 1, "empty batch makes no call")
+  }
+
+  test("http backend + retrying backend: 500s back off then succeed, order preserved") {
+    var attempt = 0
+    val transport: HttpEmbedBackend.Transport = (_, _, _) => {
+      attempt += 1
+      if (attempt <= 2) (500, "boom")
+      else (200, okBody(Seq(Seq(7.0))))
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val be = new BatchedEmbedder.RetryingBackend(
+      new HttpEmbedBackend("https://example.com/e", Map.empty, transport),
+      maxRetries = 5, baseDelayMs = 100L, sleep = sleeps += _)
+    assert(be.embedBatch(Seq("x")).head.toSeq == Seq(7.0))
+    assert(attempt == 3, "two failures then success")
+    assert(sleeps.toSeq == Seq(100L, 200L), "exponential schedule")
+  }
+
+  test("http backend: count mismatch is a transport failure, not silent truncation") {
+    val transport: HttpEmbedBackend.Transport = (_, _, _) => (200, okBody(Seq(Seq(1.0))))
+    val be = new HttpEmbedBackend("https://example.com/e", Map.empty, transport)
+    intercept[java.io.IOException] { be.embedBatch(Seq("a", "b")) }
+  }
+
+  test("http backend: token bucket paces consecutive calls") {
+    var clock = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val transport: HttpEmbedBackend.Transport = (_, _, _) => (200, okBody(Seq(Seq(1.0))))
+    val be = new HttpEmbedBackend("https://example.com/e", Map.empty, transport,
+      minIntervalMs = 50L, nanoTime = () => clock, sleep = ms => { sleeps += ms; clock += ms * 1000000L })
+    be.embedBatch(Seq("a")) // bucket empty: immediate
+    be.embedBatch(Seq("b")) // 0ms later: must wait the full interval
+    clock += 20L * 1000000L
+    be.embedBatch(Seq("c")) // 20ms into the next window: waits the rest
+    assert(sleeps.toSeq == Seq(50L, 30L))
   }
 }
