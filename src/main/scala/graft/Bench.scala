@@ -41,16 +41,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B instrumentation for isolating session-extension overhead:
+    // SPARK_GRAFT_NO_EXT=1 drops GraftExtensions entirely (queries fall
+    // back to their composed-Catalyst forms); SPARK_GRAFT_EXCLUDED_RULES
+    // excludes specific injected optimizer rules only.
+    if (!sys.env.get("SPARK_GRAFT_NO_EXT").contains("1"))
+      builder.config("spark.sql.extensions", "graft.GraftExtensions")
+    sys.env.get("SPARK_GRAFT_EXCLUDED_RULES")
+      .foreach(r => builder.config("spark.sql.optimizer.excludedRules", r))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
