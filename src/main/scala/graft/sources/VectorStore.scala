@@ -123,6 +123,15 @@ object VectorStore {
     }
   }
 
+  /** Full replace (the V2 TRUNCATE/overwrite path): the store's
+    * contents become exactly `incoming`. Staged-swap when a store
+    * exists — `incoming`'s plan may read the store it replaces. */
+  def replaceAll(spark: SparkSession, path: String, incoming: DataFrame): Unit = {
+    val partitioned = incoming.columns.contains(PartitionCol)
+    if (!exists(spark, path)) write(incoming, path, partitioned)
+    else swapRewrite(spark, path, wantPartition = partitioned)(_ => incoming)
+  }
+
   /** S12: delete rows whose key appears in `keys` (anti-join rewrite);
     * rewrites only the partitions that contain matching keys. */
   def deleteWhere(spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Unit = {

@@ -199,6 +199,76 @@ class PipelineSpec extends SparkSpec {
       == "Table: \nA | B\n1 | 2\n Table ends here")
   }
 
+  private def dtRows(ids: Seq[Int], dt: String, v: String) = {
+    import spark.implicits._
+    ids.map(i => (s"c$i", v, java.sql.Date.valueOf(dt)))
+      .toDF("chunk_id", "payload", "load_dt")
+  }
+
+  test("v2 catalog table: append=upsert, SQL delete, overwrite=replace, partition-scoped") {
+    val dir = Files.createTempDirectory("vstorev2").toFile
+    val path = s"${dir.getAbsolutePath}/store"
+    // seed a partitioned store, then register it as a catalog table
+    VectorStore.upsert(spark, path,
+      dtRows(1 to 10, "2023-01-01", "a").unionByName(dtRows(11 to 20, "2023-02-01", "a")))
+    spark.sql("DROP TABLE IF EXISTS graft_store")
+    spark.sql(s"CREATE TABLE graft_store USING `graft-store` OPTIONS (path '$path')")
+    try {
+      assert(spark.table("graft_store").count() == 20)
+      // the catalog read path is the native parquet scan: load_dt
+      // predicates prune partitions instead of filtering rows
+      val pruned = spark.table("graft_store")
+        .filter(col("load_dt") === java.sql.Date.valueOf("2023-01-01"))
+      assert(pruned.count() == 10)
+      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(load_dt"),
+        "load_dt predicate must reach the scan's partition filters")
+
+      val jan = new java.io.File(path, "load_dt=2023-01-01")
+      def files(f: java.io.File): Set[(String, Long)] =
+        f.listFiles().filter(_.getName.startsWith("part-"))
+          .map(x => (x.getName, x.length)).toSet
+      val janBefore = files(jan)
+
+      // V2 append IS upsert: 5 replaced Feb keys, no duplicates, Jan untouched
+      dtRows(11 to 15, "2023-02-01", "b").writeTo("graft_store").append()
+      val s1 = spark.table("graft_store")
+      assert(s1.count() == 20)
+      assert(s1.filter(col("payload") === "b").count() == 5)
+      assert(files(jan) == janBefore, "untouched partition was rewritten through the V2 path")
+
+      // SQL DELETE drives the partition-scoped anti-join rewrite
+      spark.sql("DELETE FROM graft_store WHERE chunk_id IN " +
+        (11 to 20).map(i => s"'c$i'").mkString("(", ",", ")"))
+      assert(spark.table("graft_store").count() == 10)
+      assert(!new java.io.File(path, "load_dt=2023-02-01").exists(),
+        "emptied partition must be dropped")
+
+      // overwrite(true) = TRUNCATE capability = full replace
+      dtRows(30 to 32, "2023-07-01", "z").writeTo("graft_store").overwrite(lit(true))
+      assert(spark.table("graft_store").count() == 3)
+      assert(spark.table("graft_store").select("chunk_id").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("c30", "c31", "c32"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_store")
+  }
+
+  test("v2 catalog table: legacy unpartitioned store migrates on first append") {
+    val dir = Files.createTempDirectory("vstorev2m").toFile
+    val path = s"${dir.getAbsolutePath}/store"
+    // legacy layout: load_dt present as a plain column, no partition dirs
+    dtRows(1 to 3, "2023-01-01", "old")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    spark.sql("DROP TABLE IF EXISTS graft_store_m")
+    spark.sql(s"CREATE TABLE graft_store_m USING `graft-store` OPTIONS (path '$path')")
+    try {
+      dtRows(Seq(2, 4), "2023-06-01", "new").writeTo("graft_store_m").append()
+      val store = spark.table("graft_store_m")
+      assert(store.count() == 4)
+      assert(store.filter(col("payload") === "new").count() == 2)
+      assert(new java.io.File(path, "load_dt=2023-06-01").exists(),
+        "store must be hive-partitioned after the migrating upsert")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_store_m")
+  }
+
   private def okBody(dims: Seq[Seq[Double]]): String =
     dims.zipWithIndex.map { case (e, i) =>
       s"""{"index": $i, "embedding": [${e.mkString(", ")}]}"""
