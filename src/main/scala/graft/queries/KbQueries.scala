@@ -200,6 +200,31 @@ object KbQueries {
       .orderBy("doc_id")
   }
 
+  /** S5 end-to-end proof of the REAL xlsx reader: each document becomes
+    * a genuine shared-strings workbook (header row + one catalog row),
+    * read back through [[ParseOps.xlsxCells]] with the reference's
+    * `min_row=2` header skip and positional row access
+    * (cmfunctions.py:453-459). Exact decode → identity oracle. */
+  val qParseXlsx: QueryDef = QueryDef.sql(
+    "q_parse_xlsx",
+    """SELECT doc_id,
+      |  'doc_' || CAST(doc_id AS VARCHAR) AS title,
+      |  text AS short_desc
+      |FROM documents
+      |WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mk = udf((id: Long, t: String) => graft.sources.OfficeParsers.makeXlsx(Seq(
+      Seq("Title", "Short Description"), Seq(s"doc_$id", t))))
+    docs(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        ParseOps.xlsxCells(mk(col("doc_id"), col("text"))).as("rows"))
+      // min_row=2: skip the header, then positional row[0] / row[1]
+      .select(col("doc_id"),
+        element_at(element_at(col("rows"), 2), 1).as("title"),
+        element_at(element_at(col("rows"), 2), 2).as("short_desc"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch, qParseOffice,
-    qCatalogMarkdown, qPdfTables)
+    qParseXlsx, qCatalogMarkdown, qPdfTables)
 }

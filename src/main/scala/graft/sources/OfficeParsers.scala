@@ -211,6 +211,119 @@ object OfficeParsers {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
 
+  /** XLSX → positional rows of display strings (SURVEY §2.1 S5; REF
+    * `process_service_catalog` /root/reference/llmcore/cms/
+    * cmfunctions.py:446-453 — openpyxl `load_workbook(...).active` +
+    * `iter_rows(values_only=True)` positional access). First sheet =
+    * active sheet (openpyxl's default for generated workbooks). Handles
+    * shared strings (`t="s"`), inline strings (`t="inlineStr"`), and
+    * raw values; absent cells (sparse `r` refs) pad with "". Header
+    * skipping (`min_row=2`) is the CALLER's slice, as in the reference. */
+  def xlsxRows(bytes: Array[Byte]): Seq[Seq[String]] = {
+    val entries = zipEntries(bytes)
+    val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+    val sheet = entries.toSeq
+      .collect { case (n, b) if n.matches(raw"xl/worksheets/sheet\d+\.xml") => (n, b) }
+      .sortBy { case (n, _) => n.stripPrefix("xl/worksheets/sheet").stripSuffix(".xml").toInt }
+      .headOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException("not an xlsx: no xl/worksheets/sheetN.xml"))
+    parseSheet(sheet, shared)
+  }
+
+  private def parseSharedStrings(xml: Array[Byte]): IndexedSeq[String] = {
+    // each <si> is one shared string: concatenate its <t> runs
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val out = IndexedSeq.newBuilder[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t"  => inT = true
+              case _    =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inSi && inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = false; out += cur.toString
+              case "t"  => inT = false
+              case _    =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** "AA7" → column 26 (0-based). */
+  private def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+  }
+
+  private def parseSheet(xml: Array[Byte], shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val rows = Seq.newBuilder[Seq[String]]
+    var row: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val value = new StringBuilder
+    def flushCell(): Unit = if (row != null && cellCol >= 0) {
+      while (row.length < cellCol) row += "" // pad skipped cells
+      val v = value.toString
+      val rendered = cellType match {
+        case "s" => if (v.trim.nonEmpty) shared(v.trim.toInt) else ""
+        case _   => v
+      }
+      if (row.length == cellCol) row += rendered else row(cellCol) = rendered
+    }
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row = scala.collection.mutable.ArrayBuffer.empty[String]
+              case "c" =>
+                val ref = Option(r.getAttributeValue(null, "r"))
+                cellCol = ref.map(colIndex).getOrElse(if (row == null) 0 else row.length)
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                value.clear()
+              case "v" => inV = true
+              case "t" => inIsT = true // inside <is> inline strings
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || (inIsT && cellType == "inlineStr")) value.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "row" => if (row != null) { rows += row.toSeq; row = null }
+              case "c"   => flushCell(); cellCol = -1
+              case "v"   => inV = false
+              case "t"   => inIsT = false
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    rows.result()
+  }
+
   // ---- fixture writers (q_parse_office roundtrip + ParseSpec) ------------
   // Minimal valid bytes for each format, mirroring what the reference's
   // SharePoint download step would hand the parsers. Only used to
@@ -250,6 +363,34 @@ object OfficeParsers {
          |<a:p><a:r><a:t>${xmlEscape(text)}</a:t></a:r></a:p>
          |</p:txBody></p:sp></p:spTree></p:cSld>
          |</p:sld>""".stripMargin)
+
+  /** XLSX with the given string rows, written in the shared-strings
+    * form Excel/openpyxl produce (every cell `t="s"` → sst index), so
+    * the reader's lookup path is the one exercised. */
+  def makeXlsx(rows: Seq[Seq[String]]): Array[Byte] = {
+    val strings = rows.flatten.distinct
+    val index = strings.zipWithIndex.toMap
+    val sst = strings.map(s => s"<si><t xml:space=\"preserve\">${xmlEscape(s)}</t></si>")
+      .mkString(
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">""".stripMargin,
+        "", "</sst>")
+    def cellRef(rowIdx: Int, colIdx: Int): String = {
+      var c = colIdx + 1
+      val sb = new StringBuilder
+      while (c > 0) { sb.insert(0, ('A' + (c - 1) % 26).toChar); c = (c - 1) / 26 }
+      sb.append((rowIdx + 1).toString).toString
+    }
+    val sheet = rows.zipWithIndex.map { case (cells, ri) =>
+      cells.zipWithIndex.map { case (v, ci) =>
+        s"""<c r="${cellRef(ri, ci)}" t="s"><v>${index(v)}</v></c>"""
+      }.mkString(s"""<row r="${ri + 1}">""", "", "</row>")
+    }.mkString(
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""".stripMargin,
+      "", "</sheetData></worksheet>")
+    zipOf("xl/sharedStrings.xml" -> sst, "xl/worksheets/sheet1.xml" -> sheet)
+  }
 
   /** Multipart EML whose base64 text/plain body is exactly `text`
     * (exercises boundary walking, part preference, and transfer

@@ -59,6 +59,18 @@ object ParseOps {
   private val pptxUdf = decoderUdf("pptx", OfficeParsers.pptxText)
   private val emlUdf  = decoderUdf("eml", OfficeParsers.emlText)
 
+  private val xlsxUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else try OfficeParsers.xlsxRows(b)
+    catch { case scala.util.control.NonFatal(_) => null })
+
+  /** S5: XLSX scan → positional rows (`array<array<string>>`), the
+    * service-catalog source shape (REF openpyxl `iter_rows` positional
+    * access, cmfunctions.py:446-453; header skipping is the caller's
+    * slice exactly as `min_row=2` is there). Real zip+XML decode
+    * ([[OfficeParsers.xlsxRows]]); null on undecodable bytes. */
+  def xlsxCells(content: Column): Column = xlsxUdf(content)
+
   /** S6/S7: parse(file_type, content_bytes) → text.
     *   txt/csv/md → UTF-8 decode;
     *   html       → UTF-8 decode + F9 html_to_text;

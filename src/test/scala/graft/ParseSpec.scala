@@ -66,6 +66,30 @@ class ParseSpec extends SparkSpec {
     assert(OfficeParsers.emlText(OfficeParsers.makeEml(text)) == text)
   }
 
+  test("xlsx: shared strings, inline strings, numeric cells, sparse refs") {
+    val sst =
+      """<sst xmlns="http://x/s"><si><t>alpha</t></si>
+        |<si><t>be</t><t>ta</t></si></sst>""".stripMargin
+    val sheet =
+      """<worksheet xmlns="http://x/s"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1"><v>42</v></c></row>
+        |<row r="2"><c r="B2" t="inlineStr"><is><t>inline</t></is></c>
+        |           <c r="D2" t="s"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zipOf("xl/sharedStrings.xml" -> sst, "xl/worksheets/sheet1.xml" -> sheet)
+    assert(OfficeParsers.xlsxRows(bytes) == Seq(
+      Seq("alpha", "", "42"),             // C1 numeric, B1 padded
+      Seq("", "inline", "", "beta")))     // sparse row, multi-run shared string
+  }
+
+  test("xlsx roundtrip through the fixture writer is exact, header slice positional") {
+    val rows = Seq(
+      Seq("Title", "Short Description"),
+      Seq("doc_1", "some <text> & more"),
+      Seq("doc_2", ""))
+    assert(OfficeParsers.xlsxRows(OfficeParsers.makeXlsx(rows)) == rows)
+  }
+
   test("parseText dispatch: real decode for office types, stub fallback on garbage") {
     import spark.implicits._
     val rows = Seq(

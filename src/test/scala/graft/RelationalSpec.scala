@@ -34,4 +34,16 @@ class RelationalSpec extends SparkSpec {
     val names = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
   }
+
+  test("two-pass equi-depth bucketing ≡ NTILE(4) on a remainder-size table") {
+    // sf0.001 customer has 150 rows (150 mod 4 == 2), exercising the
+    // uneven-tile branch of the arithmetic NTILE assignment that the
+    // sf0.01 oracle run (1500 rows, divisible by 4) never reaches; the
+    // oracle SQL is ANSI enough for Spark itself to be the referee
+    val q = queries.TpchQueries.qNtileBalance
+    Tables(spark, sf, "customer").createOrReplaceTempView("customer")
+    val want = spark.sql(q.oracle.get).collect().toSeq
+    val got = q.run(spark, sf).collect().toSeq
+    assert(got == want, s"two-pass tiles diverge from NTILE:\ngot  $got\nwant $want")
+  }
 }
