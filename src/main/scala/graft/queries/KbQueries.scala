@@ -63,8 +63,11 @@ object KbQueries {
   }
 
   /** S6/S7/P7: extension extract (F1) + supported-type dispatch over
-    * synthesized binary content; stubbed office decoders surface their
-    * byte length. */
+    * synthesized binary content. The non-txt rows carry deliberately
+    * fake bytes (plain text under a .pdf/.docx name), so this query
+    * pins the DEGRADE path: real decoders throw on them and fall back
+    * to the deterministic byte-length stub the oracle computes. The
+    * happy path over genuine bytes is [[qParseOffice]]. */
   val qParseDispatch: QueryDef = QueryDef.sql(
     "q_parse_dispatch",
     s"""WITH files AS (
@@ -174,29 +177,37 @@ object KbQueries {
     }
   }
 
-  /** S6/S7 end-to-end proof of the REAL office decoders
+  /** S6/S7 end-to-end proof of the REAL binary decoders
     * ([[graft.sources.OfficeParsers]]): each document's text is written
     * into genuine DOCX (zip + word/document.xml), PPTX (zip +
-    * slide1.xml) and multipart-MIME EML bytes by the fixture writers,
-    * then recovered through the full [[ParseOps.parseText]] dispatch.
-    * The decode is exact, so the oracle is the identity on the text —
-    * any drift in zip walking, XML text assembly, entity escaping,
-    * boundary parsing or base64/charset handling breaks the hash.
-    * Per-row narrow work; no shuffle but the output ORDER BY. */
+    * slide1.xml), multipart-MIME EML, Flate-compressed PDF, and
+    * MS-CFB MSG bytes by the fixture writers, then recovered through
+    * the full [[ParseOps.parseText]] dispatch. The decode is exact, so
+    * the oracle is pure string algebra on the text — any drift in zip
+    * walking, XML text assembly, entity escaping, MIME boundary
+    * parsing, base64/charset handling, deflate, PDF string escapes, or
+    * CFB sector arithmetic breaks the hash. Per-row narrow work; no
+    * shuffle but the output ORDER BY. */
   val qParseOffice: QueryDef = QueryDef.sql(
     "q_parse_office",
-    """SELECT doc_id, text AS docx_text, text AS pptx_text, text AS eml_text
+    """SELECT doc_id, text AS docx_text, text AS pptx_text,
+      |  text AS eml_text, text AS pdf_text,
+      |  'Subject: doc_' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS msg_text
       |FROM documents
       |WHERE doc_id < 200
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val mkDocx = udf((t: String) => graft.sources.OfficeParsers.makeDocx(t))
     val mkPptx = udf((t: String) => graft.sources.OfficeParsers.makePptx(t))
     val mkEml = udf((t: String) => graft.sources.OfficeParsers.makeEml(t))
+    val mkPdf = udf((t: String) => graft.sources.OfficeParsers.makePdf(t))
+    val mkMsg = udf((id: Long, t: String) => graft.sources.OfficeParsers.makeMsg(s"doc_$id", t))
     docs(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id"),
         ParseOps.parseText(lit("docx"), mkDocx(col("text"))).as("docx_text"),
         ParseOps.parseText(lit("pptx"), mkPptx(col("text"))).as("pptx_text"),
-        ParseOps.parseText(lit("eml"), mkEml(col("text"))).as("eml_text"))
+        ParseOps.parseText(lit("eml"), mkEml(col("text"))).as("eml_text"),
+        ParseOps.parseText(lit("pdf"), mkPdf(col("text"))).as("pdf_text"),
+        ParseOps.parseText(lit("msg"), mkMsg(col("doc_id"), col("text"))).as("msg_text"))
       .orderBy("doc_id")
   }
 

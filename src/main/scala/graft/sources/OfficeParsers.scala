@@ -211,6 +211,249 @@ object OfficeParsers {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
 
+  // ---- MSG (OLE/CFB) text extraction ------------------------------------
+
+  private val CfbSignature = 0xE11AB1A1E011CFD0L
+  private val EndOfChain = 0xFFFFFFFE
+  private val MaxChain = 1 << 20 // loop guard: 1M sectors = 512 MB
+
+  /** Outlook MSG → "Subject: …\n\n<body>" (REF `msg_parser`
+    * parsers.py:96-100 — `extract_msg.openMsg(...).getJson()`; the
+    * subject+body are the fields its JSON carries that a text pipeline
+    * ingests). MSG is an OLE Compound File (MS-CFB, public spec): a
+    * FAT of 512-byte sectors, a directory of UTF-16LE-named streams,
+    * and a mini-FAT of 64-byte sectors inside the root's ministream
+    * for streams under the 4096-byte cutoff. The MAPI property streams
+    * `__substg1.0_0037001F` (subject) and `__substg1.0_1000001F`
+    * (body) hold UTF-16LE text; the 001E variants are the 8-bit
+    * codepage forms. All of this is byte arithmetic — JDK-only. Throws
+    * on anything that isn't CFB or lacks both properties → stub
+    * fallback in [[ParseOps]]. */
+  def msgText(bytes: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length < 512 || bb.getLong(0) != CfbSignature)
+      throw new IllegalArgumentException("not an OLE compound file")
+    val sectorSize = 1 << bb.getShort(30)
+    val miniSize = 1 << bb.getShort(32)
+    val firstDirSector = bb.getInt(48)
+    val miniCutoff = bb.getInt(56)
+    val firstMiniFat = bb.getInt(60)
+
+    def sectorOff(id: Int): Int = 512 + id * sectorSize
+    val entriesPerFat = sectorSize / 4
+    // header DIFAT covers the first 109 FAT sectors = 6.8 GB of file at
+    // 512-byte sectors — MSG attachments never need the DIFAT overflow
+    val fatSectors = (0 until 109).map(i => bb.getInt(76 + 4 * i)).takeWhile(_ >= 0)
+    def fatNext(id: Int): Int = {
+      val fs = fatSectors(id / entriesPerFat)
+      bb.getInt(sectorOff(fs) + (id % entriesPerFat) * 4)
+    }
+    def chain(start: Int, next: Int => Int): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var id = start
+      var n = 0
+      while (id >= 0 && id != EndOfChain && n < MaxChain) {
+        out += id; id = next(id); n += 1
+      }
+      if (n >= MaxChain) throw new IllegalArgumentException("cyclic FAT chain")
+      out.result()
+    }
+    def readChain(start: Int, size: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      chain(start, fatNext).foreach { id =>
+        val off = sectorOff(id)
+        out.write(bytes, off, math.min(sectorSize, bytes.length - off))
+      }
+      out.toByteArray.take(math.min(size, out.size.toLong).toInt)
+    }
+
+    // directory: 128-byte entries across the dir chain
+    val dir = readChain(firstDirSector, Long.MaxValue)
+    final case class Entry(name: String, entryType: Int, start: Int, size: Long)
+    val entries = (0 until dir.length / 128).map { i =>
+      val base = i * 128
+      val eb = java.nio.ByteBuffer.wrap(dir, base, 128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nameLen = eb.getShort(base + 64) & 0xFFFF
+      val name =
+        if (nameLen >= 2) new String(dir, base, nameLen - 2, StandardCharsets.UTF_16LE) else ""
+      Entry(name, dir(base + 66) & 0xFF, eb.getInt(base + 116), eb.getLong(base + 120))
+    }
+    val root = entries.find(_.entryType == 5).getOrElse(
+      throw new IllegalArgumentException("no root storage entry"))
+    lazy val miniStream = readChain(root.start, root.size)
+    lazy val miniFat = readChain(firstMiniFat, Long.MaxValue)
+    def miniNext(id: Int): Int =
+      java.nio.ByteBuffer.wrap(miniFat).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(id * 4)
+    def readStream(e: Entry): Array[Byte] =
+      if (e.size >= miniCutoff) readChain(e.start, e.size)
+      else {
+        val out = new ByteArrayOutputStream()
+        chain(e.start, miniNext).foreach { id =>
+          out.write(miniStream, id * miniSize, math.min(miniSize, miniStream.length - id * miniSize))
+        }
+        out.toByteArray.take(e.size.toInt)
+      }
+    def prop(tag: String): Option[String] =
+      entries.find(e => e.entryType == 2 && e.name == s"__substg1.0_${tag}001F")
+        .map(e => new String(readStream(e), StandardCharsets.UTF_16LE))
+        .orElse(entries.find(e => e.entryType == 2 && e.name == s"__substg1.0_${tag}001E")
+          .map(e => new String(readStream(e), StandardCharsets.ISO_8859_1)))
+
+    val subject = prop("0037")
+    val body = prop("1000")
+    if (subject.isEmpty && body.isEmpty)
+      throw new IllegalArgumentException("no subject/body property streams")
+    s"Subject: ${subject.getOrElse("")}\n\n${body.getOrElse("")}"
+  }
+
+  // ---- PDF text extraction ----------------------------------------------
+
+  /** PDF → text of the content-stream show operators (REF
+    * `pdf_parse_into_pages` parsers.py:82-86). A full PDF stack needs
+    * font CMaps and an xref-driven object model; what a TEXT pipeline
+    * needs from digitally-authored PDFs is the shown strings, and those
+    * live in content streams as `(…) Tj`, `[(…) kern (…)] TJ`, `'`/`"`
+    * operators — FlateDecode is `java.util.zip.Inflater`, so the whole
+    * path is JDK-only. Extraction walks every stream object in file
+    * order (page order for linearly-authored files), inflating when the
+    * object dict names /FlateDecode, and keeps the streams that carry
+    * BT/ET text blocks; literal-string escapes (\\n, \\ddd, nesting)
+    * and hex strings are honored. Anything without text operators —
+    * scanned/image PDFs, exotic filters, malformed files — throws, and
+    * [[ParseOps]] degrades to the deterministic stub; custom-encoded
+    * fonts (subset CMaps) will surface glyph codes rather than Unicode,
+    * the standard limitation of CMap-less extraction. */
+  def pdfText(bytes: Array[Byte]): String = {
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    if (!raw.startsWith("%PDF"))
+      throw new IllegalArgumentException("not a pdf: missing %PDF header")
+    val texts = Seq.newBuilder[String]
+    var from = 0
+    var found = true
+    while (found) {
+      val s = raw.indexOf("stream", from)
+      if (s < 0) found = false
+      else {
+        val contentStart = {
+          var i = s + "stream".length
+          if (i < raw.length && raw.charAt(i) == '\r') i += 1
+          if (i < raw.length && raw.charAt(i) == '\n') i += 1
+          i
+        }
+        val e = raw.indexOf("endstream", contentStart)
+        if (e < 0) found = false
+        else {
+          val dictStart = math.max(raw.lastIndexOf("obj", s), 0)
+          val dict = raw.substring(dictStart, s)
+          val body = raw.substring(contentStart, e)
+          val content =
+            if (dict.contains("/FlateDecode")) inflate(body.getBytes(StandardCharsets.ISO_8859_1))
+            else body
+          extractShownText(content).foreach(texts += _)
+          from = e + "endstream".length
+        }
+      }
+    }
+    val pages = texts.result()
+    if (pages.isEmpty)
+      throw new IllegalArgumentException("no text-bearing content streams")
+    pages.mkString("\n")
+  }
+
+  private def inflate(data: Array[Byte]): String = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) throw new IllegalArgumentException("truncated deflate stream")
+        out.write(buf, 0, n)
+        if (out.size > MaxEntryBytes)
+          throw new IllegalArgumentException("inflated stream exceeds cap")
+      }
+    } finally inf.end()
+    new String(out.toByteArray, StandardCharsets.ISO_8859_1)
+  }
+
+  /** Pull the argument strings of Tj / TJ / ' / " operators out of one
+    * content stream; None when the stream has no BT/ET text block. */
+  private def extractShownText(content: String): Option[String] = {
+    if (!content.contains("BT")) return None
+    val out = new StringBuilder
+    val pending = new StringBuilder // last string/array argument seen
+    var i = 0
+    val n = content.length
+    def parseLiteral(start: Int): Int = { // at '(' — returns index past ')'
+      var depth = 1
+      var j = start + 1
+      while (j < n && depth > 0) {
+        content.charAt(j) match {
+          case '\\' if j + 1 < n =>
+            content.charAt(j + 1) match {
+              case 'n' => pending.append('\n'); j += 2
+              case 'r' => pending.append('\r'); j += 2
+              case 't' => pending.append('\t'); j += 2
+              case 'b' => pending.append('\b'); j += 2
+              case 'f' => pending.append('\f'); j += 2
+              case '(' => pending.append('('); j += 2
+              case ')' => pending.append(')'); j += 2
+              case '\\' => pending.append('\\'); j += 2
+              case c if c >= '0' && c <= '7' =>
+                val oct = content.substring(j + 1, math.min(j + 4, n)).takeWhile(ch => ch >= '0' && ch <= '7').take(3)
+                pending.append(Integer.parseInt(oct, 8).toChar)
+                j += 1 + oct.length
+              case '\n' => j += 2 // line continuation
+              case c => pending.append(c); j += 2
+            }
+          case '(' => depth += 1; pending.append('('); j += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) pending.append(')')
+            j += 1
+          case c => pending.append(c); j += 1
+        }
+      }
+      j
+    }
+    def parseHex(start: Int): Int = { // at '<' — returns index past '>'
+      val end = content.indexOf('>', start)
+      if (end < 0) return n
+      val hex = content.substring(start + 1, end).filterNot(_.isWhitespace)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      padded.grouped(2).foreach(h => pending.append(Integer.parseInt(h, 16).toChar))
+      end + 1
+    }
+    while (i < n) {
+      content.charAt(i) match {
+        case '(' => i = parseLiteral(i)
+        case '<' if i + 1 < n && content.charAt(i + 1) != '<' => i = parseHex(i)
+        case '[' | ']' => i += 1 // TJ arrays: strings inside accumulate in order
+        case c if c.isLetter || c == '\'' || c == '"' =>
+          val j = {
+            var k = i
+            while (k < n && !content.charAt(k).isWhitespace &&
+              !"()<>[]/".contains(content.charAt(k))) k += 1
+            k
+          }
+          content.substring(i, j) match {
+            case "Tj" | "TJ" =>
+              out.append(pending); pending.clear()
+            case "'" | "\"" => // move-to-next-line-and-show
+              out.append('\n').append(pending); pending.clear()
+            case "T*" =>
+              pending.clear(); out.append('\n')
+            case "BT" | "ET" => pending.clear()
+            case _ => () // positioning/font ops between string and show keep pending
+          }
+          i = j.max(i + 1)
+        case _ => i += 1
+      }
+    }
+    Some(out.toString).filter(_.nonEmpty)
+  }
+
   /** XLSX → positional rows of display strings (SURVEY §2.1 S5; REF
     * `process_service_catalog` /root/reference/llmcore/cms/
     * cmfunctions.py:446-453 — openpyxl `load_workbook(...).active` +
@@ -363,6 +606,123 @@ object OfficeParsers {
          |<a:p><a:r><a:t>${xmlEscape(text)}</a:t></a:r></a:p>
          |</p:txBody></p:sp></p:spTree></p:cSld>
          |</p:sld>""".stripMargin)
+
+  /** Minimal valid MS-CFB MSG: one FAT sector, one directory sector,
+    * one mini-FAT sector, and a ministream holding the UTF-16LE
+    * subject/body property streams (real MSG layout for small mails —
+    * exercises the reader's FAT walk, directory parse, AND the
+    * mini-FAT path, since both streams sit under the 4096-byte
+    * cutoff). */
+  def makeMsg(subject: String, body: String): Array[Byte] = {
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val FreeSect = 0xFFFFFFFF
+    val FatSect = 0xFFFFFFFD
+    val subjBytes = subject.getBytes(StandardCharsets.UTF_16LE)
+    val bodyBytes = body.getBytes(StandardCharsets.UTF_16LE)
+    val subjMinis = math.max(1, (subjBytes.length + 63) / 64)
+    val bodyMinis = math.max(1, (bodyBytes.length + 63) / 64)
+    val miniTotal = subjMinis + bodyMinis
+    val miniBytes = miniTotal * 64
+    val miniSectors = (miniBytes + 511) / 512 // FAT sectors backing the ministream
+    // sector map: 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = ministream
+    val totalSectors = 3 + miniSectors
+    val file = java.nio.ByteBuffer.allocate(512 + totalSectors * 512).order(le)
+
+    // header
+    file.putLong(0, CfbSignature)
+    file.putShort(24, 0x003E.toShort) // minor version
+    file.putShort(26, 3)              // major version 3 (512-byte sectors)
+    file.putShort(28, 0xFFFE.toShort) // little-endian marker
+    file.putShort(30, 9)              // sector shift
+    file.putShort(32, 6)              // mini sector shift
+    file.putInt(40, 0)                // directory sector count (must be 0 in v3)
+    file.putInt(44, 1)                // FAT sector count
+    file.putInt(48, 1)                // first directory sector
+    file.putInt(56, 4096)             // mini stream cutoff
+    file.putInt(60, 2)                // first miniFAT sector
+    file.putInt(64, 1)                // miniFAT sector count
+    file.putInt(68, FreeSect)         // no DIFAT overflow
+    file.putInt(72, 0)
+    file.putInt(76, 0)                // DIFAT[0]: FAT lives in sector 0
+    (1 until 109).foreach(i => file.putInt(76 + 4 * i, FreeSect))
+
+    def sectorOff(id: Int) = 512 + id * 512
+
+    // FAT (sector 0)
+    file.putInt(sectorOff(0), FatSect)          // sector 0 is the FAT itself
+    file.putInt(sectorOff(0) + 4, EndOfChain)   // directory chain: just sector 1
+    file.putInt(sectorOff(0) + 8, EndOfChain)   // miniFAT chain: just sector 2
+    (0 until miniSectors).foreach { k =>        // ministream chain: 3..
+      file.putInt(sectorOff(0) + 12 + 4 * k,
+        if (k == miniSectors - 1) EndOfChain else 3 + k + 1)
+    }
+    (3 + miniSectors until 128).foreach(k => file.putInt(sectorOff(0) + 4 * k, FreeSect))
+
+    // directory (sector 1): root + subject + body
+    def dirEntry(idx: Int, name: String, entryType: Int, start: Int, size: Long,
+        child: Int = -1): Unit = {
+      val base = sectorOff(1) + idx * 128
+      val n16 = name.getBytes(StandardCharsets.UTF_16LE)
+      file.position(base); file.put(n16, 0, math.min(n16.length, 62)); file.position(0)
+      file.putShort(base + 64, (if (name.isEmpty) 0 else n16.length + 2).toShort)
+      file.put(base + 66, entryType.toByte)
+      file.put(base + 67, 1.toByte) // black
+      file.putInt(base + 68, -1)    // left sibling
+      file.putInt(base + 72, -1)    // right sibling
+      file.putInt(base + 76, child)
+      file.putInt(base + 116, start)
+      file.putLong(base + 120, size)
+    }
+    dirEntry(0, "Root Entry", 5, 3, miniBytes.toLong, child = 1)
+    dirEntry(1, "__substg1.0_0037001F", 2, 0, subjBytes.length.toLong)
+    dirEntry(2, "__substg1.0_1000001F", 2, subjMinis, bodyBytes.length.toLong)
+    dirEntry(3, "", 0, 0, 0L) // unused slot
+
+    // miniFAT (sector 2): subject chain then body chain
+    (0 until subjMinis).foreach { k =>
+      file.putInt(sectorOff(2) + 4 * k, if (k == subjMinis - 1) EndOfChain else k + 1)
+    }
+    (0 until bodyMinis).foreach { k =>
+      file.putInt(sectorOff(2) + 4 * (subjMinis + k),
+        if (k == bodyMinis - 1) EndOfChain else subjMinis + k + 1)
+    }
+    (miniTotal until 128).foreach(k => file.putInt(sectorOff(2) + 4 * k, FreeSect))
+
+    // ministream (sectors 3..): subject minis then body minis
+    file.position(sectorOff(3)); file.put(subjBytes); file.position(0)
+    file.position(sectorOff(3) + subjMinis * 64); file.put(bodyBytes); file.position(0)
+
+    file.array()
+  }
+
+  private def pdfEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** One-page PDF whose Flate-compressed content stream shows exactly
+    * `text` — exercises the Inflater path, the literal-string escape
+    * rules, and the Tj operator. */
+  def makePdf(text: String): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td (${pdfEscape(text)}) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes(StandardCharsets.ISO_8859_1))
+    deflater.finish()
+    val buf = new Array[Byte](content.length + 64)
+    val m = deflater.deflate(buf)
+    deflater.end()
+    val compressed = new String(buf, 0, m, StandardCharsets.ISO_8859_1)
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj
+         |4 0 obj << /Length $m /Filter /FlateDecode >> stream
+         |$compressed
+         |endstream endobj
+         |5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+         |trailer << /Root 1 0 R >>
+         |%%EOF""".stripMargin
+    pdf.getBytes(StandardCharsets.ISO_8859_1)
+  }
 
   /** XLSX with the given string rows, written in the shared-strings
     * form Excel/openpyxl produce (every cell `t="s"` → sst index), so

@@ -10,13 +10,13 @@ import org.apache.spark.sql.functions._
   * (`prepare_weaviate_data_chunks` /root/reference/llmcore/cms/
   * sharepointutils.py:311-322; parser map parsers.py:247-263). The
   * DISPATCH, the supported-type predicate, the text/html decode paths,
-  * and the docx/pptx/eml decoders ([[OfficeParsers]] — zip+XML / MIME,
-  * JDK-only) are real; pdf and msg need external codecs (PDF content
-  * streams, OLE compound files) that aren't available in a zero-egress
-  * JVM, so those two remain deterministic stubs that surface the
-  * binary length. A corrupt/undecodable office file degrades to the
-  * same stub instead of failing the job — the reference's per-row
-  * try/except has the same contract.
+  * and EVERY binary decoder are real and JDK-only ([[OfficeParsers]]:
+  * docx/pptx/xlsx are zip+XML, eml is MIME, pdf is content-stream
+  * operator extraction, msg is an MS-CFB sector walk). A corrupt or
+  * undecodable file degrades to the deterministic byte-length stub
+  * instead of failing the job — the reference's per-row try/except has
+  * the same contract; the only stub kernel left is S8's tabula-style
+  * PDF TABLE extraction below.
   *
   * The office decoders run as Scala UDFs: a multi-entry zip walk +
   * XML pull-parse is inherently block-box row code (same shape as the
@@ -58,6 +58,8 @@ object ParseOps {
   private val docxUdf = decoderUdf("docx", OfficeParsers.docxText)
   private val pptxUdf = decoderUdf("pptx", OfficeParsers.pptxText)
   private val emlUdf  = decoderUdf("eml", OfficeParsers.emlText)
+  private val pdfUdf  = decoderUdf("pdf", OfficeParsers.pdfText)
+  private val msgUdf  = decoderUdf("msg", OfficeParsers.msgText)
 
   private val xlsxUdf = udf((b: Array[Byte]) =>
     if (b == null) null
@@ -74,10 +76,10 @@ object ParseOps {
   /** S6/S7: parse(file_type, content_bytes) → text.
     *   txt/csv/md → UTF-8 decode;
     *   html       → UTF-8 decode + F9 html_to_text;
-    *   docx/pptx/eml → real JDK-only decode ([[OfficeParsers]]),
-    *                   stub fallback on undecodable bytes;
-    *   pdf/msg → deterministic stub "[<type>:<n_bytes> bytes]"
-    *             (codec unavailable offline);
+    *   docx/pptx/eml/pdf/msg → real JDK-only decode ([[OfficeParsers]]),
+    *                   stub fallback on undecodable bytes (for pdf that
+    *                   includes scanned/image-only files — no text
+    *                   operators to extract);
     *   unsupported → null (caller filters with [[isSupported]]). */
   def parseText(fileType: Column, content: Column): Column = {
     val decoded = decode(content, "UTF-8")
@@ -86,8 +88,8 @@ object ParseOps {
       .when(fileType === "docx", docxUdf(content))
       .when(fileType === "pptx", pptxUdf(content))
       .when(fileType === "eml", emlUdf(content))
-      .when(fileType.isin("pdf", "msg"),
-        concat(lit("["), fileType, lit(":"), length(content).cast("string"), lit(" bytes]")))
+      .when(fileType === "pdf", pdfUdf(content))
+      .when(fileType === "msg", msgUdf(content))
       .otherwise(lit(null).cast("string"))
   }
 }

@@ -66,6 +66,38 @@ class ParseSpec extends SparkSpec {
     assert(OfficeParsers.emlText(OfficeParsers.makeEml(text)) == text)
   }
 
+  test("pdf: Tj/TJ/quote operators, escapes, hex strings, uncompressed stream") {
+    def pdfWith(content: String): Array[Byte] =
+      (s"%PDF-1.4\n1 0 obj << /Length ${content.length} >> stream\n" +
+        content + "\nendstream endobj\n%%EOF").getBytes(StandardCharsets.ISO_8859_1)
+    // literal escapes incl. octal and nested parens
+    assert(OfficeParsers.pdfText(pdfWith(
+      """BT (a \(nested\) \134 \110i) Tj ET"""))
+      == "a (nested) \\ Hi")
+    // TJ array concatenates its strings, kern numbers ignored
+    assert(OfficeParsers.pdfText(pdfWith(
+      """BT [(He) -250 (llo)] TJ ET""")) == "Hello")
+    // hex string + ' newline-show
+    assert(OfficeParsers.pdfText(pdfWith(
+      """BT <486921> Tj (next) ' ET""")) == "Hi!\nnext")
+    // two text-bearing streams join as pages
+    val two = pdfWith("BT (p1) Tj ET") ++
+      "\n2 0 obj << /Length 14 >> stream\nBT (p2) Tj ET\nendstream endobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    assert(OfficeParsers.pdfText(two) == "p1\np2")
+  }
+
+  test("pdf roundtrip through the Flate fixture writer is exact; no-text throws") {
+    val text = "alpha (beta) \\gamma delta"
+    assert(OfficeParsers.pdfText(OfficeParsers.makePdf(text)) == text)
+    intercept[IllegalArgumentException] {
+      OfficeParsers.pdfText("%PDF-1.4\nno streams here\n%%EOF".getBytes(StandardCharsets.ISO_8859_1))
+    }
+    intercept[IllegalArgumentException] {
+      OfficeParsers.pdfText("not a pdf".getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   test("xlsx: shared strings, inline strings, numeric cells, sparse refs") {
     val sst =
       """<sst xmlns="http://x/s"><si><t>alpha</t></si>
@@ -90,12 +122,26 @@ class ParseSpec extends SparkSpec {
     assert(OfficeParsers.xlsxRows(OfficeParsers.makeXlsx(rows)) == rows)
   }
 
-  test("parseText dispatch: real decode for office types, stub fallback on garbage") {
+  test("msg: CFB roundtrip incl. multi-mini-sector body; ANSI fallback; garbage throws") {
+    // body spans several 64-byte mini sectors → exercises the miniFAT chain
+    val body = ("lorem ipsum dolor sit amet " * 12).trim
+    assert(OfficeParsers.msgText(OfficeParsers.makeMsg("hello", body))
+      == s"Subject: hello\n\n$body")
+    intercept[IllegalArgumentException] {
+      OfficeParsers.msgText("not a compound file".getBytes(StandardCharsets.UTF_8))
+    }
+    // empty-but-present property streams round-trip as empty strings
+    assert(OfficeParsers.msgText(OfficeParsers.makeMsg("", "")) == "Subject: \n\n")
+  }
+
+  test("parseText dispatch: real decode for every format, stub fallback on garbage") {
     import spark.implicits._
     val rows = Seq(
       ("docx", OfficeParsers.makeDocx("doc body")),
       ("pptx", OfficeParsers.makePptx("slide body")),
       ("eml", OfficeParsers.makeEml("mail body")),
+      ("pdf", OfficeParsers.makePdf("pdf body")),
+      ("msg", OfficeParsers.makeMsg("subj", "msg body")),
       ("docx", "not a zip at all".getBytes(StandardCharsets.UTF_8)),
       ("pdf", Array[Byte](1, 2, 3)))
       .toDF("file_type", "content")
@@ -106,6 +152,8 @@ class ParseSpec extends SparkSpec {
     assert(out.contains(("docx", "doc body")))
     assert(out.contains(("pptx", "slide body")))
     assert(out.contains(("eml", "mail body")))
+    assert(out.contains(("pdf", "pdf body")))
+    assert(out.contains(("msg", "Subject: subj\n\nmsg body")))
     assert(out.contains(("docx", "[docx:16 bytes]")))
     assert(out.contains(("pdf", "[pdf:3 bytes]")))
   }
