@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries => CdcQ, DedupQueries => DedupQ, Events => EventsQ, KbQueries => KbQ, MultimodalQueries => MmQ, Relational => RelationalQ, SimilarityQueries => SimQ, SubqueryQueries => SubQ, SearchQueries => SearchQ, TextQueries => TextQ, TpchQueries => TpchQ}
+import graft.queries.{CdcQueries => CdcQ, DedupQueries => DedupQ, Events => EventsQ, KbQueries => KbQ, MultimodalQueries => MmQ, QualityQueries => QualityQ, Relational => RelationalQ, SimilarityQueries => SimQ, SubqueryQueries => SubQ, SearchQueries => SearchQ, TextQueries => TextQ, TpchQueries => TpchQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   /** The full declared inventory. */
   def defs: Seq[QueryDef] =
     RelationalQ.all ++ EventsQ.all ++ TextQ.all ++ DedupQ.all ++ SimQ.all ++
-      CdcQ.all ++ KbQ.all ++ MmQ.all ++ SubQ.all ++ TpchQ.all ++ SearchQ.all
+      CdcQ.all ++ KbQ.all ++ MmQ.all ++ SubQ.all ++ TpchQ.all ++ SearchQ.all ++
+      QualityQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

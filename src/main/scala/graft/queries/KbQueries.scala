@@ -153,10 +153,11 @@ object KbQueries {
     }
   }
 
-  /** S8 — PDF table extraction over synthesized "pdf" binaries: the
-    * stubbed tabula kernel renders a pipe-joined byte-stat table per
-    * file (shape contract of parsers.py:127-137); oracle reproduces the
-    * same string algebra over the blob. */
+  /** S8 — the DEGRADE path of PDF table extraction: these "pdf" bytes
+    * are document text, not a PDF, so the real geometric kernel throws
+    * and the deterministic byte-stat table (same pipe shape,
+    * parsers.py:127-137) is emitted; oracle reproduces that string
+    * algebra over the blob. The happy path is [[qPdfTablesReal]]. */
   val qPdfTables: QueryDef = {
     def hx(c: String) = s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
     QueryDef.sql(
@@ -175,6 +176,37 @@ object KbQueries {
           ParseOps.extractPdfTables(col("text").cast("binary")).as("table_text"))
         .orderBy("doc_id")
     }
+  }
+
+  /** S8 happy path — REAL table extraction: each document's first six
+    * words are laid out as a genuine 2×3 positioned-text PDF lattice
+    * (Flate-compressed `Tm … Tj` cells) by [[OfficeParsers
+    * .makePdfTable]], then reconstructed by the geometric kernel in
+    * [[OfficeParsers.pdfTableText]] through the full
+    * [[ParseOps.extractPdfTables]] dispatch. The oracle is pure string
+    * algebra on the words — any drift in matrix tracking (Tm/Td/T*),
+    * row clustering, column ordering, or the pipe/newline rendering
+    * breaks the hash. Per-row narrow work. */
+  val qPdfTablesReal: QueryDef = QueryDef.sql(
+    "q_pdf_tables_real",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+      |  WHERE doc_id < 200
+      |)
+      |SELECT doc_id,
+      |  parts[1] || '|' || parts[2] || '|' || parts[3] || chr(10) ||
+      |  parts[4] || '|' || parts[5] || '|' || parts[6] || chr(10) AS table_text
+      |FROM w
+      |WHERE len(parts) >= 6
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkTable = udf((ws: Seq[String]) =>
+      graft.sources.OfficeParsers.makePdfTable(Seq(ws.slice(0, 3), ws.slice(3, 6))))
+    docs(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("parts"))
+      .filter(size(col("parts")) >= 6)
+      .select(col("doc_id"),
+        ParseOps.extractPdfTables(mkTable(col("parts"))).as("table_text"))
+      .orderBy("doc_id")
   }
 
   /** S6/S7 end-to-end proof of the REAL binary decoders
@@ -237,5 +269,5 @@ object KbQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch, qParseOffice,
-    qParseXlsx, qCatalogMarkdown, qPdfTables)
+    qParseXlsx, qCatalogMarkdown, qPdfTables, qPdfTablesReal)
 }

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.functions.{PiiFunctions => PII, TextFunctions => TF}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data governance inventory (EXT operators): PII
+  * detection/redaction, eval-set contamination screening, and the
+  * Gopher-style quality-rule battery. All per-row work is pure Catalyst
+  * (codegen'd regex/HOF expressions, no UDFs); the one shuffle in the
+  * family is the contamination equi-join on the n-gram key — the
+  * linear-in-corpus shape that survives 100 TB (never all-pairs, no
+  * broadcast of corpus-growing sides).
+  */
+object QualityQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** PII scan: per-source counts of each PII class over documents with
+    * deterministically woven PII spans (see [[PII.synthPii]] — the
+    * corpus itself is PII-free). Narrow scan + one partial-agg shuffle
+    * on `source`. */
+  val qPiiScan: QueryDef = QueryDef.sql(
+    "q_pii_scan",
+    s"""WITH p AS (
+       |  SELECT source, ${PII.synthPiiSql("doc_id", "text")} AS full_text
+       |  FROM documents
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(${PII.countMatchesSql("full_text", PII.EmailPattern)}) AS BIGINT) AS n_email,
+       |  CAST(SUM(${PII.countMatchesSql("full_text", PII.PhonePattern)}) AS BIGINT) AS n_phone,
+       |  CAST(SUM(${PII.countMatchesSql("full_text", PII.SsnPattern)}) AS BIGINT) AS n_ssn,
+       |  CAST(SUM(${PII.countMatchesSql("full_text", PII.Ipv4Pattern)}) AS BIGINT) AS n_ip
+       |FROM p
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("source"), PII.synthPii(col("doc_id"), col("text")).as("full_text"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(PII.countMatches(col("full_text"), PII.EmailPattern)).cast("long").as("n_email"),
+        sum(PII.countMatches(col("full_text"), PII.PhonePattern)).cast("long").as("n_phone"),
+        sum(PII.countMatches(col("full_text"), PII.SsnPattern)).cast("long").as("n_ssn"),
+        sum(PII.countMatches(col("full_text"), PII.Ipv4Pattern)).cast("long").as("n_ip"))
+      .orderBy("source")
+  }
+
+  /** PII redaction: the typed-placeholder rewrite itself, row by row —
+    * any divergence in match extents, replacement order, or global-flag
+    * semantics between the engines breaks the hash. Per-row narrow
+    * work; the LIMIT-shaped doc_id filter is pushed to the scan. */
+  val qPiiRedact: QueryDef = QueryDef.sql(
+    "q_pii_redact",
+    s"""WITH p AS (
+       |  SELECT doc_id, ${PII.synthPiiSql("doc_id", "text")} AS full_text
+       |  FROM documents WHERE doc_id < 150
+       |)
+       |SELECT doc_id, ${PII.redactSql("full_text")} AS redacted
+       |FROM p
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"), PII.synthPii(col("doc_id"), col("text")).as("full_text"))
+      .select(col("doc_id"), PII.redact(col("full_text")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // ---- eval-set contamination -------------------------------------------
+
+  /** n-gram size. The standard screen uses 13-grams (GPT-3 appendix C /
+    * published decontamination practice); the synthetic docs are ≤~90
+    * words of random short tokens, so 13-grams never collide across
+    * docs — 3 keeps the operator shape while yielding a non-degenerate
+    * overlap distribution at test scale. */
+  val ContamN = 3
+
+  private def ngrams(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def ngramsSql(parts: String, n: Int): String =
+    s"list_transform(range(0, greatest(len($parts) - ${n - 1}, 0)), i -> array_to_string(($parts)[i+1:i+$n], ' '))"
+
+  /** Eval-contamination screen: docs with doc_id%10=0 form the held-out
+    * eval set; every remaining (train) doc is scored by how many of its
+    * distinct n-grams appear anywhere in the eval set, with a ≥5-shared
+    * contaminated flag. The candidate step is one equi-join on the
+    * n-gram string against the distinct eval n-gram set — linear in
+    * corpus n-grams, unhinted (the eval side grows with the eval
+    * corpus; AQE may still pick a broadcast when it measures small). */
+  val qContamination: QueryDef = QueryDef.sql(
+    "q_contamination",
+    s"""WITH parts_t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(${ngramsSql("parts", ContamN)}) AS ng FROM parts_t
+       |), ev AS (
+       |  SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0
+       |), tr AS (
+       |  SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 10 <> 0
+       |)
+       |SELECT tr.doc_id,
+       |  COUNT(*) AS n_ngrams,
+       |  CAST(SUM(CASE WHEN ev.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CASE WHEN SUM(CASE WHEN ev.ng IS NOT NULL THEN 1 ELSE 0 END) >= 5 THEN 1 ELSE 0 END AS contaminated
+       |FROM tr LEFT JOIN ev ON tr.ng = ev.ng
+       |GROUP BY tr.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val g = docs(s, d)
+      .select(col("doc_id"), explode(ngrams(col("text"), ContamN)).as("ng"))
+    val ev = g.filter(col("doc_id") % 10 === 0).select("ng").distinct()
+      .withColumn("hit", lit(1))
+    val tr = g.filter(col("doc_id") % 10 =!= 0).distinct()
+    tr.join(ev, Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared"))
+      .withColumn("contaminated", when(col("n_shared") >= 5, lit(1)).otherwise(lit(0)))
+      .orderBy("doc_id")
+  }
+
+  // ---- Gopher-style quality rules ---------------------------------------
+
+  /** Quality-rule battery in the style of the published Gopher/MassiveText
+    * filters, adapted to a no-newline corpus (the line-shape rules
+    * degenerate): word-count bounds, mean-word-length bounds,
+    * alpha-word fraction, and a stopword floor, each surfaced as a 0/1
+    * flag plus the combined pass bit. Exact-integer components; the two
+    * ratios are IEEE divisions of exact BIGINTs (determinism contract).
+    * Per-row narrow work — the only shuffle is the output ORDER BY. */
+  val qGopherQuality: QueryDef = QueryDef.sql(
+    "q_gopher_quality",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |    ${TF.punctCountSql("text")} AS n_symbols,
+       |    ${TF.stopwordCountSql("text")} AS n_stop
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_words, n_symbols, n_stop,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_symbols, n_stop,
+       |  CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS f_words,
+       |  CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS f_mwl,
+       |  CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS f_alpha,
+       |  CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS f_stop,
+       |  CASE WHEN n_words >= 10 AND n_words <= 100000
+       |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |        AND alpha_frac >= 0.8 AND n_stop >= 1 THEN 1 ELSE 0 END AS passes
+       |FROM r
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(trim(col("text")), " ")
+    val m = docs(s, d).select(
+      col("doc_id"),
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(words).cast("long")).as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+      size(filter(split(col("text"), " "), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      TF.punctCount(col("text")).as("n_symbols"),
+      TF.stopwordCount(col("text")).as("n_stop"))
+    val r = m.select(
+      col("doc_id"), col("n_words"), col("n_symbols"), col("n_stop"),
+      when(col("n_words") === 0, lit(0.0))
+        .otherwise(col("n_letters").cast("double") / col("n_words").cast("double")).as("mean_word_len"),
+      when(col("n_words") === 0, lit(0.0))
+        .otherwise(col("n_alpha_words").cast("double") / col("n_words").cast("double")).as("alpha_frac"))
+    val fWords = col("n_words") >= 10 && col("n_words") <= 100000
+    val fMwl = col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0
+    val fAlpha = col("alpha_frac") >= 0.8
+    val fStop = col("n_stop") >= 1
+    r.select(
+      col("doc_id"), col("n_words"), col("mean_word_len"), col("alpha_frac"),
+      col("n_symbols"), col("n_stop"),
+      when(fWords, lit(1)).otherwise(lit(0)).as("f_words"),
+      when(fMwl, lit(1)).otherwise(lit(0)).as("f_mwl"),
+      when(fAlpha, lit(1)).otherwise(lit(0)).as("f_alpha"),
+      when(fStop, lit(1)).otherwise(lit(0)).as("f_stop"),
+      when(fWords && fMwl && fAlpha && fStop, lit(1)).otherwise(lit(0)).as("passes"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality)
+}

@@ -324,10 +324,20 @@ object OfficeParsers {
     * fonts (subset CMaps) will surface glyph codes rather than Unicode,
     * the standard limitation of CMap-less extraction. */
   def pdfText(bytes: Array[Byte]): String = {
+    val pages = contentStreams(bytes).flatMap(extractShownText)
+    if (pages.isEmpty)
+      throw new IllegalArgumentException("no text-bearing content streams")
+    pages.mkString("\n")
+  }
+
+  /** Every content stream of the file in file order, inflated when the
+    * owning object dict names /FlateDecode. Throws unless the bytes
+    * start with the %PDF header. */
+  private def contentStreams(bytes: Array[Byte]): Seq[String] = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     if (!raw.startsWith("%PDF"))
       throw new IllegalArgumentException("not a pdf: missing %PDF header")
-    val texts = Seq.newBuilder[String]
+    val streams = Seq.newBuilder[String]
     var from = 0
     var found = true
     while (found) {
@@ -346,18 +356,137 @@ object OfficeParsers {
           val dictStart = math.max(raw.lastIndexOf("obj", s), 0)
           val dict = raw.substring(dictStart, s)
           val body = raw.substring(contentStart, e)
-          val content =
-            if (dict.contains("/FlateDecode")) inflate(body.getBytes(StandardCharsets.ISO_8859_1))
-            else body
-          extractShownText(content).foreach(texts += _)
+          streams +=
+            (if (dict.contains("/FlateDecode")) inflate(body.getBytes(StandardCharsets.ISO_8859_1))
+             else body)
           from = e + "endstream".length
         }
       }
     }
-    val pages = texts.result()
-    if (pages.isEmpty)
-      throw new IllegalArgumentException("no text-bearing content streams")
-    pages.mkString("\n")
+    streams.result()
+  }
+
+  // ---- PDF table extraction (S8) ----------------------------------------
+
+  /** PDF → pipe-joined table text (REF `process_pdf_table`
+    * parsers.py:127-137 — tabula's lattice-less mode reconstructs
+    * tables from the PAGE GEOMETRY of the shown strings, then the
+    * reference renders each with `to_csv(sep='|')`). The same geometry
+    * is available without any codec: track the text matrix through
+    * Tm/Td/TD/TL/T* operators, record each show operator's string at
+    * its line origin, then cluster origins — equal y (to 0.01 pt) =
+    * one table row, x order = column order. Digitally-authored tables
+    * (the reference's input class) position every cell with exactly
+    * these operators. Output is the reference's shape: rows top-down
+    * (PDF y grows upward), cells pipe-joined, newline-terminated.
+    * Throws when no positioned text exists → [[ParseOps]] stub. */
+  def pdfTableText(bytes: Array[Byte]): String = {
+    val cells = contentStreams(bytes).flatMap(positionedCells)
+    if (cells.isEmpty)
+      throw new IllegalArgumentException("no positioned text to tabulate")
+    val rows = cells.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (_, rowCells) =>
+        rowCells.sortBy(_._2).map(_._3).mkString("|")
+      }
+    rows.mkString("", "\n", "\n")
+  }
+
+  /** Scan one content stream, tracking the text-line origin through the
+    * positioning operators, and emit (yKey, xKey, text) per show
+    * operator; consecutive shows at one origin merge into one cell.
+    * Keys are round(pt * 100) — 0.01 pt buckets, far below any real
+    * row/column separation. */
+  private def positionedCells(content: String): Seq[(Long, Long, String)] = {
+    if (!content.contains("BT")) return Nil
+    val cells = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), StringBuilder]
+    val pending = new StringBuilder
+    val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lineX = 0.0; var lineY = 0.0 // text-line origin (Tm e/f, Td accumulation)
+    var leading = 0.0
+    def key(v: Double): Long = math.round(v * 100)
+    def emit(): Unit = {
+      if (pending.nonEmpty) {
+        cells.getOrElseUpdate((key(lineY), key(lineX)), new StringBuilder)
+          .append(pending)
+        pending.clear()
+      }
+    }
+    var i = 0
+    val n = content.length
+    def parseLiteral(start: Int): Int = { // at '(' — returns index past ')'
+      var depth = 1
+      var j = start + 1
+      while (j < n && depth > 0) {
+        content.charAt(j) match {
+          case '\\' if j + 1 < n =>
+            content.charAt(j + 1) match {
+              case 'n' => pending.append('\n'); j += 2
+              case 'r' => pending.append('\r'); j += 2
+              case 't' => pending.append('\t'); j += 2
+              case 'b' => pending.append('\b'); j += 2
+              case 'f' => pending.append('\f'); j += 2
+              case '(' => pending.append('('); j += 2
+              case ')' => pending.append(')'); j += 2
+              case '\\' => pending.append('\\'); j += 2
+              case c if c >= '0' && c <= '7' =>
+                val oct = content.substring(j + 1, math.min(j + 4, n)).takeWhile(ch => ch >= '0' && ch <= '7').take(3)
+                pending.append(Integer.parseInt(oct, 8).toChar)
+                j += 1 + oct.length
+              case '\n' => j += 2
+              case c => pending.append(c); j += 2
+            }
+          case '(' => depth += 1; pending.append('('); j += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) pending.append(')')
+            j += 1
+          case c => pending.append(c); j += 1
+        }
+      }
+      j
+    }
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c == '(') i = parseLiteral(i)
+      else if (c == '<' && i + 1 < n && content.charAt(i + 1) != '<') {
+        val end = content.indexOf('>', i)
+        if (end < 0) i = n
+        else {
+          val hex = content.substring(i + 1, end).filterNot(_.isWhitespace)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          padded.grouped(2).foreach(h => pending.append(Integer.parseInt(h, 16).toChar))
+          i = end + 1
+        }
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        var j = i + 1
+        while (j < n && (content.charAt(j).isDigit || content.charAt(j) == '.')) j += 1
+        try nums += content.substring(i, j).toDouble catch { case _: NumberFormatException => () }
+        i = j
+      } else if (c.isLetter || c == '\'' || c == '"') {
+        var j = i
+        while (j < n && !content.charAt(j).isWhitespace &&
+          !"()<>[]/".contains(content.charAt(j))) j += 1
+        content.substring(i, j) match {
+          case "Tm" if nums.length >= 6 =>
+            lineX = nums(nums.length - 2); lineY = nums.last
+          case "Td" if nums.length >= 2 =>
+            lineX += nums(nums.length - 2); lineY += nums.last
+          case "TD" if nums.length >= 2 =>
+            leading = -nums.last
+            lineX += nums(nums.length - 2); lineY += nums.last
+          case "TL" if nums.nonEmpty => leading = nums.last
+          case "T*" => lineY -= leading
+          case "Tj" | "TJ" => emit()
+          case "'" | "\"" => lineY -= leading; emit()
+          case "BT" => lineX = 0.0; lineY = 0.0; pending.clear()
+          case "ET" => pending.clear()
+          case _ => ()
+        }
+        nums.clear()
+        i = j.max(i + 1)
+      } else i += 1
+    }
+    cells.toSeq.map { case ((y, x), sb) => (y, x, sb.toString) }
   }
 
   private def inflate(data: Array[Byte]): String = {
@@ -701,8 +830,22 @@ object OfficeParsers {
   /** One-page PDF whose Flate-compressed content stream shows exactly
     * `text` — exercises the Inflater path, the literal-string escape
     * rules, and the Tj operator. */
-  def makePdf(text: String): Array[Byte] = {
-    val content = s"BT /F1 12 Tf 72 720 Td (${pdfEscape(text)}) Tj ET"
+  def makePdf(text: String): Array[Byte] =
+    wrapPdf(s"BT /F1 12 Tf 72 720 Td (${pdfEscape(text)}) Tj ET")
+
+  /** One-page PDF positioning `rows` as a lattice: row r at
+    * y = 720 − 20r, cell c at x = 72 + 120c, every cell shown with
+    * `Tm … Tj` — the digitally-authored table geometry
+    * [[pdfTableText]] reconstructs. */
+  def makePdfTable(rows: Seq[Seq[String]]): Array[Byte] = {
+    val ops = for {
+      (row, r) <- rows.zipWithIndex
+      (cell, c) <- row.zipWithIndex
+    } yield s"1 0 0 1 ${72 + 120 * c} ${720 - 20 * r} Tm (${pdfEscape(cell)}) Tj"
+    wrapPdf(ops.mkString("BT /F1 10 Tf ", " ", " ET"))
+  }
+
+  private def wrapPdf(content: String): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(content.getBytes(StandardCharsets.ISO_8859_1))
     deflater.finish()

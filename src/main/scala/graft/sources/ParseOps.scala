@@ -33,17 +33,24 @@ object ParseOps {
 
   /** S8: PDF table extraction (REF `process_pdf_table`
     * /root/reference/llmcore/cms/parsers.py:127-137: tabula reads every
-    * table, each rendered as a pipe-separated CSV block). The tabula
-    * decode is unavailable offline, so the extraction kernel is a
-    * deterministic stub that renders ONE table of byte statistics in
-    * the exact pipe-joined shape the reference emits (`to_csv(sep='|')`
-    * — header row, then value rows, newline-terminated); the dispatch,
-    * shape, and downstream chunking contract are the real surface. */
-  def extractPdfTables(content: Column): Column =
-    concat(
-      lit("col|value\n"),
-      lit("n_bytes|"), length(content).cast("string"), lit("\n"),
-      lit("first|"), coalesce(conv(substring(hex(content), 1, 2), 16, 10), lit("0")), lit("\n"))
+    * table, each rendered as a pipe-separated CSV block,
+    * `to_csv(sep='|')`). REAL for digitally-authored PDFs:
+    * [[OfficeParsers.pdfTableText]] reconstructs the table from the
+    * text-matrix geometry of the content streams (the same page
+    * geometry tabula's stream mode clusters) — rows by line-origin y,
+    * columns by x, pipe-joined, newline-terminated. Bytes that aren't a
+    * positioned-text PDF degrade to the deterministic byte-statistics
+    * table in the SAME pipe shape, keeping the reference's per-row
+    * try/except contract. */
+  def extractPdfTables(content: Column): Column = pdfTablesUdf(content)
+
+  private val pdfTablesUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else try OfficeParsers.pdfTableText(b) catch {
+      case scala.util.control.NonFatal(_) =>
+        val first = if (b.isEmpty) 0 else b(0) & 0xFF
+        s"col|value\nn_bytes|${b.length}\nfirst|$first\n"
+    })
 
   /** Decoder UDF: real extraction, stub-string fallback on any
     * undecodable input (so fake/corrupt bytes degrade deterministically

@@ -98,6 +98,28 @@ class ParseSpec extends SparkSpec {
     }
   }
 
+  test("pdf tables: Tm lattice reconstructs rows/columns; Td/TL/T* tracked") {
+    // fixture writer lattice
+    val rows = Seq(Seq("name", "qty", "price"), Seq("bolt", "7", "0.25"))
+    assert(OfficeParsers.pdfTableText(OfficeParsers.makePdfTable(rows))
+      == "name|qty|price\nbolt|7|0.25\n")
+    // hand-written stream: relative Td moves + TL/T* line advance, shows
+    // out of visual order — clustering must still sort rows top-down
+    def pdfWith(content: String): Array[Byte] =
+      (s"%PDF-1.4\n1 0 obj << /Length ${content.length} >> stream\n" +
+        content + "\nendstream endobj\n%%EOF").getBytes(StandardCharsets.ISO_8859_1)
+    val stream =
+      """BT 14 TL 72 700 Td (a1) Tj 120 0 Td (b1) Tj T* (b2) Tj -120 0 Td (a2) Tj ET"""
+    assert(OfficeParsers.pdfTableText(pdfWith(stream)) == "a1|b1\na2|b2\n")
+    // consecutive shows at one origin merge into one cell
+    assert(OfficeParsers.pdfTableText(pdfWith("BT 72 700 Td (he) Tj (llo) Tj ET"))
+      == "hello\n")
+    // no positioned text → throws (ParseOps degrades to the stub shape)
+    intercept[IllegalArgumentException] {
+      OfficeParsers.pdfTableText("%PDF-1.4\nno streams\n%%EOF".getBytes(StandardCharsets.ISO_8859_1))
+    }
+  }
+
   test("xlsx: shared strings, inline strings, numeric cells, sparse refs") {
     val sst =
       """<sst xmlns="http://x/s"><si><t>alpha</t></si>

@@ -126,6 +126,11 @@ class PlanSpec extends SparkSpec {
       val p2 = phys(queries.SearchQueries.qTfidfTop.run(spark, sf))
       assert(!p2.contains("BroadcastHashJoin"),
         s"vocabulary df join must shuffle, not broadcast:\n$p2")
+      // the contamination screen's eval n-gram set grows with the eval
+      // corpus — same rule: the join key is the n-gram string, unhinted
+      val p3 = phys(queries.QualityQueries.qContamination.run(spark, sf))
+      assert(!p3.contains("BroadcastHashJoin"),
+        s"eval n-gram join must shuffle, not broadcast:\n$p3")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
