@@ -69,10 +69,18 @@ object HttpEmbedBackend {
     texts.map(t => "\"" + jsonEscape(t.replace("\n", " ")) + "\"")
       .mkString("{\"input\": [", ", ", "], \"user\": null}")
 
-  /** Extract every `"embedding": [...]` numeric array, in response
-    * order (the API returns `data` entries in input order). */
+  /** Extract every `"embedding": [...]` numeric array and return them
+    * in INPUT order: each `data[]` entry's `"index"` field is parsed
+    * and the vectors are reordered by it, because a gateway is free to
+    * return entries out of order and a count check alone would silently
+    * assign vectors to the wrong texts. Entries with no index field
+    * (non-OpenAI-shaped gateways) fall back to document order; a
+    * partial or non-permutation index set is a hard IOException. The
+    * enclosing object of each embedding is found by brace scan — the
+    * numeric array itself contains no braces, so the nearest '{'
+    * before the key and '}' after the array bound the entry. */
   private[pipeline] def parseEmbeddings(body: String): Seq[Array[Double]] = {
-    val out = Seq.newBuilder[Array[Double]]
+    val entries = Seq.newBuilder[(Option[Int], Array[Double])]
     var i = body.indexOf("\"embedding\"")
     while (i >= 0) {
       val open = body.indexOf('[', i)
@@ -80,11 +88,35 @@ object HttpEmbedBackend {
       if (open < 0 || close < 0)
         throw new java.io.IOException("malformed embeddings response")
       val slice = body.substring(open + 1, close).trim
-      out += (if (slice.isEmpty) Array.empty[Double]
-              else slice.split(",").map(_.trim.toDouble))
+      val vec =
+        if (slice.isEmpty) Array.empty[Double]
+        else slice.split(",").map(_.trim.toDouble)
+      val objStart = math.max(body.lastIndexOf('{', i), 0)
+      val objEnd = body.indexOf('}', close) match {
+        case -1 => body.length
+        case e  => e
+      }
+      val idx = {
+        val k = body.indexOf("\"index\"", objStart)
+        if (k >= 0 && k < objEnd) {
+          val colon = body.indexOf(':', k)
+          val digits = body.substring(colon + 1, objEnd).trim.takeWhile(_.isDigit)
+          if (colon < 0 || digits.isEmpty)
+            throw new java.io.IOException("malformed embeddings response: unreadable index")
+          Some(digits.toInt)
+        } else None
+      }
+      entries += ((idx, vec))
       i = body.indexOf("\"embedding\"", close)
     }
-    out.result()
+    val all = entries.result()
+    val idxs = all.flatMap(_._1)
+    if (idxs.isEmpty) all.map(_._2)
+    else if (idxs.length == all.length && idxs.sorted == (0 until all.length))
+      all.sortBy(_._1.get).map(_._2)
+    else
+      throw new java.io.IOException(
+        s"embeddings response indices are not a permutation of 0..${all.length - 1}")
   }
 }
 

@@ -36,11 +36,17 @@ object OfficeParsers {
     * anything larger in a single XML part is a bomb, not a document. */
   private val MaxEntryBytes: Int = 64 * 1024 * 1024
 
+  /** Whole-archive decompressed cap: a zip of thousands of under-cap
+    * entries is still a bomb — the per-entry limit alone can't stop
+    * cumulative blowup on one executor. */
+  private val MaxArchiveBytes: Long = 256L * 1024 * 1024
+
   // ---- zip plumbing ------------------------------------------------------
 
   private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
+    var total = 0L
     try {
       var e = zin.getNextEntry
       while (e != null) {
@@ -50,8 +56,11 @@ object OfficeParsers {
           var n = zin.read(chunk)
           while (n >= 0) {
             buf.write(chunk, 0, n)
+            total += n
             if (buf.size > MaxEntryBytes)
               throw new IllegalArgumentException(s"zip entry ${e.getName} exceeds $MaxEntryBytes bytes")
+            if (total > MaxArchiveBytes)
+              throw new IllegalArgumentException(s"zip archive exceeds $MaxArchiveBytes decompressed bytes")
             n = zin.read(chunk)
           }
           out += e.getName -> buf.toByteArray
@@ -391,6 +400,44 @@ object OfficeParsers {
     rows.mkString("", "\n", "\n")
   }
 
+  /** At the first '<' of '<<' — skip the whole dictionary token
+    * (nested dictionaries, literal strings, and hex strings inside it
+    * honored) and return the index past the matching '>>'. Content
+    * streams carry dictionaries as operands of marked-content
+    * operators (`<</MCID 0>> BDC` in any tagged PDF) and inline
+    * images; without this skip the second '<' reads as a hex-string
+    * open and the non-hex payload kills extraction for the file. */
+  private def skipDictionary(content: String, start: Int): Int = {
+    val n = content.length
+    var depth = 0
+    var j = start
+    while (j < n) {
+      content.charAt(j) match {
+        case '<' if j + 1 < n && content.charAt(j + 1) == '<' =>
+          depth += 1; j += 2
+        case '<' => // hex string inside the dict: skip to its '>'
+          val e = content.indexOf('>', j)
+          j = if (e < 0) n else e + 1
+        case '>' if j + 1 < n && content.charAt(j + 1) == '>' =>
+          depth -= 1; j += 2
+          if (depth == 0) return j
+        case '(' => // literal string inside the dict: honor escapes/nesting
+          var d = 1; var k = j + 1
+          while (k < n && d > 0) {
+            content.charAt(k) match {
+              case '\\' => k += 2
+              case '('  => d += 1; k += 1
+              case ')'  => d -= 1; k += 1
+              case _    => k += 1
+            }
+          }
+          j = k
+        case _ => j += 1
+      }
+    }
+    n
+  }
+
   /** Scan one content stream, tracking the text-line origin through the
     * positioning operators, and emit (yKey, xKey, text) per show
     * operator; consecutive shows at one origin merge into one cell.
@@ -405,11 +452,13 @@ object OfficeParsers {
     var leading = 0.0
     def key(v: Double): Long = math.round(v * 100)
     def emit(): Unit = {
-      if (pending.nonEmpty) {
-        cells.getOrElseUpdate((key(lineY), key(lineX)), new StringBuilder)
-          .append(pending)
-        pending.clear()
-      }
+      // register the cell even when the shown string is empty ('() Tj'):
+      // an empty table cell still occupies its column, and dropping it
+      // would shift every later cell in the row left of the reference's
+      // to_csv(sep='|') shape
+      cells.getOrElseUpdate((key(lineY), key(lineX)), new StringBuilder)
+        .append(pending)
+      pending.clear()
     }
     var i = 0
     val n = content.length
@@ -448,6 +497,8 @@ object OfficeParsers {
     while (i < n) {
       val c = content.charAt(i)
       if (c == '(') i = parseLiteral(i)
+      else if (c == '<' && i + 1 < n && content.charAt(i + 1) == '<')
+        i = skipDictionary(content, i)
       else if (c == '<' && i + 1 < n && content.charAt(i + 1) != '<') {
         val end = content.indexOf('>', i)
         if (end < 0) i = n
@@ -502,6 +553,12 @@ object OfficeParsers {
         if (out.size > MaxEntryBytes)
           throw new IllegalArgumentException("inflated stream exceeds cap")
       }
+      // the loop also exits when all input is consumed mid-stream
+      // (needsInput with !finished) — that's a truncated stream too,
+      // and returning the partial prefix would break the throw→stub
+      // degrade contract
+      if (!inf.finished())
+        throw new IllegalArgumentException("truncated deflate stream")
     } finally inf.end()
     new String(out.toByteArray, StandardCharsets.ISO_8859_1)
   }
@@ -557,6 +614,8 @@ object OfficeParsers {
     while (i < n) {
       content.charAt(i) match {
         case '(' => i = parseLiteral(i)
+        case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
+          i = skipDictionary(content, i)
         case '<' if i + 1 < n && content.charAt(i + 1) != '<' => i = parseHex(i)
         case '[' | ']' => i += 1 // TJ arrays: strings inside accumulate in order
         case c if c.isLetter || c == '\'' || c == '"' =>

@@ -120,6 +120,65 @@ class ParseSpec extends SparkSpec {
     }
   }
 
+  test("pdf: marked-content dictionaries (<</MCID 0>> BDC) don't break extraction") {
+    def pdfWith(content: String): Array[Byte] =
+      (s"%PDF-1.4\n1 0 obj << /Length ${content.length} >> stream\n" +
+        content + "\nendstream endobj\n%%EOF").getBytes(StandardCharsets.ISO_8859_1)
+    // tagged-PDF property list before BDC — present in most real PDFs
+    assert(OfficeParsers.pdfText(pdfWith(
+      """BT /P <</MCID 0>> BDC (tagged) Tj EMC ET""")) == "tagged")
+    // nested dict whose hex-string value abuts the closing '>>'
+    assert(OfficeParsers.pdfText(pdfWith(
+      """BT /P <</K <</ID <A0>>> /N 1>> BDC (deep) Tj ET""")) == "deep")
+    // dict containing a literal string with parens/brackets inside
+    assert(OfficeParsers.pdfText(pdfWith(
+      """BT /Span <</ActualText (skip [this] \(all\))>> BDC (kept) Tj ET""")) == "kept")
+    // table path: same dict must not disturb positions
+    assert(OfficeParsers.pdfTableText(pdfWith(
+      """BT <</MCID 0>> BDC 72 700 Td (a) Tj 120 0 Td (b) Tj ET""")) == "a|b\n")
+  }
+
+  test("pdf: truncated FlateDecode stream throws (stub degrade), never partial text") {
+    val payload = "BT (this text must never leak partially) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(payload.getBytes(StandardCharsets.ISO_8859_1))
+    deflater.finish()
+    val buf = new Array[Byte](payload.length + 64)
+    val m = deflater.deflate(buf)
+    deflater.end()
+    val truncated = new String(buf, 0, m / 2, StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n1 0 obj << /Filter /FlateDecode >> stream\n" +
+      truncated + "\nendstream endobj\n%%EOF").getBytes(StandardCharsets.ISO_8859_1)
+    intercept[IllegalArgumentException] { OfficeParsers.pdfText(pdf) }
+  }
+
+  test("pdf tables: empty show ('() Tj') keeps its column position") {
+    def pdfWith(content: String): Array[Byte] =
+      (s"%PDF-1.4\n1 0 obj << /Length ${content.length} >> stream\n" +
+        content + "\nendstream endobj\n%%EOF").getBytes(StandardCharsets.ISO_8859_1)
+    assert(OfficeParsers.pdfTableText(pdfWith(
+      "BT 72 700 Td (a) Tj 120 0 Td () Tj 120 0 Td (c) Tj ET")) == "a||c\n")
+  }
+
+  test("zip: cumulative decompressed cap rejects many-entry bombs") {
+    // five 60 MB entries each pass the 64 MB per-entry cap but blow the
+    // 256 MB archive total — the read must throw, not OOM the executor
+    val zeros = new Array[Byte](60 * 1024 * 1024)
+    val buf = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(buf)
+    (1 to 5).foreach { i =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"part$i.bin"))
+      z.write(zeros)
+      z.closeEntry()
+    }
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write("<w:document/>".getBytes(StandardCharsets.UTF_8))
+    z.closeEntry()
+    z.close()
+    val ex = intercept[IllegalArgumentException] { OfficeParsers.docxText(buf.toByteArray) }
+    assert(ex.getMessage.contains("archive exceeds"))
+  }
+
   test("xlsx: shared strings, inline strings, numeric cells, sparse refs") {
     val sst =
       """<sst xmlns="http://x/s"><si><t>alpha</t></si>

@@ -308,6 +308,28 @@ class PipelineSpec extends SparkSpec {
     assert(sleeps.toSeq == Seq(100L, 200L), "exponential schedule")
   }
 
+  test("http backend: out-of-order data[] entries reorder by index; bad index sets throw") {
+    // a gateway may return data[] in any order — the index field, not
+    // document order, decides which vector belongs to which text
+    val shuffled =
+      """{"data": [{"index": 1, "embedding": [3.0, 4.0]}, {"index": 0, "embedding": [1.0, 2.0]}]}"""
+    val be = new HttpEmbedBackend("https://example.com/e", Map.empty, (_, _, _) => (200, shuffled))
+    assert(be.embedBatch(Seq("a", "b")).map(_.toSeq) == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    // index after the embedding array within the entry still counts
+    val trailing =
+      """{"data": [{"embedding": [3.0], "index": 1}, {"embedding": [1.0], "index": 0}]}"""
+    val be2 = new HttpEmbedBackend("https://example.com/e", Map.empty, (_, _, _) => (200, trailing))
+    assert(be2.embedBatch(Seq("a", "b")).map(_.toSeq) == Seq(Seq(1.0), Seq(3.0)))
+    // no index fields at all (non-OpenAI gateway) → document order
+    val plain = """{"data": [{"embedding": [1.0]}, {"embedding": [2.0]}]}"""
+    val be3 = new HttpEmbedBackend("https://example.com/e", Map.empty, (_, _, _) => (200, plain))
+    assert(be3.embedBatch(Seq("a", "b")).map(_.toSeq) == Seq(Seq(1.0), Seq(2.0)))
+    // duplicate index = not a permutation → hard failure, never misassignment
+    val dup = """{"data": [{"index": 0, "embedding": [1.0]}, {"index": 0, "embedding": [2.0]}]}"""
+    val be4 = new HttpEmbedBackend("https://example.com/e", Map.empty, (_, _, _) => (200, dup))
+    intercept[java.io.IOException] { be4.embedBatch(Seq("a", "b")) }
+  }
+
   test("http backend: count mismatch is a transport failure, not silent truncation") {
     val transport: HttpEmbedBackend.Transport = (_, _, _) => (200, okBody(Seq(Seq(1.0))))
     val be = new HttpEmbedBackend("https://example.com/e", Map.empty, transport)
