@@ -239,7 +239,69 @@ object TextQueries {
     }
   }
 
+  /** Sequence-packing context length (tokens per training sequence).
+    * Small relative to real 4k–128k windows so the sf0.01 corpus (docs
+    * of ~10–90 words) exercises many boundary crossings. */
+  private val PackCtx = 128
+
+  /** Packing shard fan-out per lang. Real pipelines pack within output
+    * shards (one writer task each); parallelism = langs × PackShards,
+    * tuned to the cluster, never 1. */
+  private val PackShards = 8
+
+  /** Sequence packing: concatenate-and-chop documents into fixed
+    * [[PackCtx]]-token training sequences — the layout step a pretraining
+    * pipeline runs after filtering/dedup. Documents pack in doc_id order
+    * WITHIN a (lang, shard) group — shard = doc_id % [[PackShards]] — so
+    * at 100 TB every shard packs independently: the running-token-sum
+    * window is partitioned on (lang, shard) (parallelism scales with the
+    * shard count, never the single-partition global-window shape;
+    * PlanSpec-asserted) and sequences never mix languages. Per doc: its
+    * shard, starting sequence id within the shard, and whether the chop
+    * splits it across a sequence boundary. All integer arithmetic; the
+    * floor divisions are exact-multiple divisions of BIGINTs. */
+  val qPackSequences: QueryDef = {
+    def fdivSql(x: String) = s"CAST((($x) - (($x) % $PackCtx)) / $PackCtx AS BIGINT)"
+    QueryDef.sql(
+      "q_pack_sequences",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(doc_id % $PackShards AS BIGINT) AS shard,
+         |    CAST(${TF.wordCountSql("text")} AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, shard, n_tokens,
+         |  ${fdivSql("start_tok")} AS seq_id,
+         |  CASE WHEN n_tokens > 0
+         |        AND ${fdivSql("start_tok + n_tokens - 1")} <> ${fdivSql("start_tok")}
+         |       THEN 1 ELSE 0 END AS crosses_boundary
+         |FROM c
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def fdiv(x: org.apache.spark.sql.Column) =
+        ((x - (x % PackCtx)) / PackCtx).cast("long")
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % PackShards).cast("long").as("shard"),
+          TF.wordCount(col("text")).as("n_tokens"))
+        .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          fdiv(col("start_tok")).as("seq_id"),
+          when(col("n_tokens") > 0 &&
+              fdiv(col("start_tok") + col("n_tokens") - 1) =!= fdiv(col("start_tok")),
+            lit(1)).otherwise(lit(0)).as("crosses_boundary"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
-    qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive)
+    qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive,
+    qPackSequences)
 }

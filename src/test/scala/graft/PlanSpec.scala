@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
       s"equi-depth bucketing must not plan a global single-partition stage:\n$p")
   }
 
+  test("q_pack_sequences packs in sharded windows, never a global one") {
+    // packing uses a running token sum; an unpartitioned window would
+    // funnel the corpus through one task — the (lang, shard) partition
+    // keeps it parallel (the same trap q_ntile_balance avoids)
+    val p = phys(queries.TextQueries.qPackSequences.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sequence packing must not plan a global single-partition window:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"the running-sum window must partition on (lang, shard):\n$p")
+  }
+
   test("jaccard df-cap window exchange is reused by the candidate join") {
     // capShinglesByDf's window shuffles on `shingle` — the same key the
     // self-join uses; the scaladoc claims that exchange is reused, so
