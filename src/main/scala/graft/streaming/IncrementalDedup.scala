@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.DedupOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming face of the incremental dedup screen: the batch query
+  * `q_dedup_incremental` (DedupQueries) decides novelty for one ingest
+  * batch; here the reference's CDC re-ingest loop (/root/reference/
+  * llmcore/cms/data_ingestion.py:56-69 — list → diff → re-ingest →
+  * overwrite state) becomes a stream where EACH MICRO-BATCH is one
+  * ingest batch, screened against the historical corpus index, with
+  * only novel documents flowing into the vector store.
+  *
+  * The screen itself runs as a bounded batch job inside `foreachBatch`
+  * rather than as stateful streaming operators, deliberately: novelty
+  * needs a per-document verdict over an anti-join against a
+  * corpus-sized index, and holding that index in the state store would
+  * re-materialize the whole corpus per executor. As a foreachBatch
+  * batch job it is two equi-joins (content hash, MinHash band) that
+  * shuffle batch+index linearly — the q_dedup_incremental scale shape —
+  * while the stream gets checkpointed exactly-once batch boundaries and
+  * the key-based store upsert absorbs at-least-once replays
+  * (StreamingSpec asserts both ≡ the batch screen and replay
+  * idempotence).
+  *
+  * History refresh is the CALLER's loop, as in the reference: novel
+  * rows land in the store, and the next run's history index is read
+  * from the store — this module screens against the index it is handed,
+  * so within one run two near-dup docs that are BOTH novel vs history
+  * both pass (the same verdict the batch screen gives them).
+  */
+object IncrementalDedup {
+
+  private def contentHash(text: Column): Column = sha2(TF.cleanText(text), 256)
+
+  private def bandsOf(text: Column): Column =
+    DedupOps.lshBands(DedupOps.minhashSignature(DedupOps.shingles(text), 8), 4, 2)
+
+  /** Screen one bounded batch of `(idCol, text, …)` rows against the
+    * historical corpus: keep exactly the rows with NO exact content-hash
+    * match and NO shared MinHash band in `history` — the novel=1 set of
+    * `q_dedup_incremental`. Both screens are unhinted equi-joins (both
+    * sides grow with the corpus). Output keeps the incoming schema. */
+  def screenBatch(incoming: DataFrame, history: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val histHashes = history.select(contentHash(col("text")).as("ch")).distinct()
+    val histBands = history.select(explode(bandsOf(col("text"))).as("band")).distinct()
+    val exactNovel = incoming
+      .withColumn("ch", contentHash(col("text")))
+      .join(histHashes, Seq("ch"), "left_anti")
+      .drop("ch")
+    val nearHitIds = exactNovel
+      .select(col(idCol), explode(bandsOf(col("text"))).as("band"))
+      .join(histBands, Seq("band"), "left_semi")
+      .select(idCol).distinct()
+    exactNovel.join(nearHitIds, Seq(idCol), "left_anti")
+  }
+
+  /** Drive the screen as a stream: per micro-batch, screen against
+    * `history` and upsert the novel rows (keyed on `chunk_id`, see
+    * [[graft.sources.VectorStore.KeyCol]]) into the store. AvailableNow
+    * drains the backlog and stops — the scheduled-ingest shape. */
+  def screenAndUpsertStream(incoming: DataFrame, history: DataFrame,
+      storePath: String, checkpoint: String, idCol: String = "doc_id"): Unit = {
+    val q = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel = screenBatch(batch, history, idCol)
+        graft.sources.VectorStore.upsert(batch.sparkSession, storePath, novel)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.VectorStore.read(spark, store).count() == n1)
   }
 
+  test("streaming incremental dedup matches the batch screen and is replay-idempotent") {
+    // stream the whole documents table as "incoming"; history = the
+    // doc_id % 10 < 8 slice (the q_dedup_incremental convention). Docs
+    // already in history are exact dups of themselves, so the store must
+    // end up with exactly the batch query's novel=1 set.
+    val docsDir = {
+      val dir = Files.createTempDirectory("docs_stream")
+      Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      dir.toFile.getAbsolutePath
+    }
+    val history = Tables(spark, sf, "documents").filter(col("doc_id") % 10 < 8)
+    val store = Files.createTempDirectory("vstore_inc").toFile.getAbsolutePath + "/store"
+    def run(ck: String): Unit = {
+      val incoming = spark.readStream
+        .schema(Tables(spark, sf, "documents").schema)
+        .parquet(docsDir)
+        .withColumn("chunk_id", col("doc_id").cast("string"))
+      graft.streaming.IncrementalDedup.screenAndUpsertStream(incoming, history, store, ck)
+    }
+    run(ckpt())
+    val got = graft.sources.VectorStore.read(spark, store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val batchNovel = queries.DedupQueries.qDedupIncremental.run(spark, sf)
+      .filter(col("novel") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "some incoming docs must be novel vs history")
+    assert(got == batchNovel,
+      "streamed screen must admit exactly the batch query's novel set")
+    // a fresh checkpoint replays the source; the keyed upsert absorbs it
+    run(ckpt())
+    assert(graft.sources.VectorStore.read(spark, store).count() == got.size)
+  }
+
   test("stream-stream interval join matches the batch attribution query") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
