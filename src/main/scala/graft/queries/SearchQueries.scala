@@ -523,6 +523,46 @@ object SearchQueries {
       .orderBy("lang")
   }
 
+  /** Corpus REBALANCING sampler: per-language keep-rates computed FROM
+    * the data (downsample every language to the smallest language's
+    * size — a uniform target mix), then the same deterministic
+    * hash-bucket filter as q_sample_stratified. The rate table is
+    * bounded by the LANGUAGE COUNT, not the corpus, so broadcasting it
+    * is the legitimate use of the hint (contrast the de-broadcast rule
+    * for corpus-growing model tables). The keep decision is the exact
+    * integer cross-multiplication `bucket · n_lang < min_n · 10000` —
+    * no rate division, so no float-rounding drift between engines. */
+  val qSampleBalanced: QueryDef = QueryDef.sql(
+    "q_sample_balanced",
+    s"""WITH c AS (
+       |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+       |), m AS (
+       |  SELECT MIN(n_lang) AS min_n FROM c
+       |), b AS (
+       |  SELECT d.lang, d.doc_id, c.n_lang, m.min_n,
+       |    ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", 10000)} AS bucket
+       |  FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+       |)
+       |SELECT lang, CAST(MAX(n_lang) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN bucket * n_lang < min_n * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN bucket * n_lang < min_n * 10000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_sum
+       |FROM b
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("min_n"))
+    val keep = col("bucket") * col("n_lang") < col("min_n") * 10000
+    docs(s, d)
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(minN))
+      .withColumn("bucket", SearchOps.hashBucket(col("doc_id").cast("string"), 10000))
+      .groupBy("lang")
+      .agg(max(col("n_lang")).cast("long").as("n_total"),
+        sum(when(keep, lit(1)).otherwise(lit(0))).cast("long").as("n_kept"),
+        sum(when(keep, col("doc_id")).otherwise(lit(0))).cast("long").as("kept_sum"))
+      .orderBy("lang")
+  }
+
   // ---- connected components over the dedup candidate graph --------------
 
   /** Build the MinHash-LSH candidate pair list (same parameters as
@@ -602,5 +642,6 @@ object SearchQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
-    qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qDedupComponents)
+    qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
+    qDedupComponents)
 }

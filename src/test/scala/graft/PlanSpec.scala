@@ -155,6 +155,23 @@ class PlanSpec extends SparkSpec {
       s"the running-sum window must partition on (lang, shard):\n$p")
   }
 
+  test("vector store reads prune load_dt partitions at the source") {
+    // the store is hive-partitioned on load_dt; a date predicate must
+    // become a PartitionFilter (skip whole directories), not a post-scan
+    // row filter — at 100 TB that's the difference between reading one
+    // day and reading the corpus
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vstore_prune")
+      .toFile.getAbsolutePath + "/store"
+    val rows = Seq(("a", "2023-01-01", 1), ("b", "2023-06-01", 2))
+      .toDF("chunk_id", "load_dt", "v")
+    graft.sources.VectorStore.upsert(spark, dir, rows)
+    val p = phys(graft.sources.VectorStore.read(spark, dir)
+      .filter(col("load_dt") === "2023-01-01"))
+    assert("""PartitionFilters: \[[^\]]*load_dt""".r.findFirstIn(p).isDefined,
+      s"load_dt predicate must prune at the partition level:\n$p")
+  }
+
   test("jaccard df-cap window exchange is reused by the candidate join") {
     // capShinglesByDf's window shuffles on `shingle` — the same key the
     // self-join uses; the scaladoc claims that exchange is reused, so
