@@ -153,6 +153,49 @@ object VectorStore {
     }
   }
 
+  /** Compact small files: streaming upserts (one commit per
+    * micro-batch) and repeated partition rewrites accumulate files far
+    * smaller than a scan-efficient parquet row group, and at 100 TB the
+    * file count — not the byte count — becomes the scan scheduler's
+    * bottleneck. For each `load_dt` partition whose file count exceeds
+    * ceil(bytes / targetBytes), rewrite just that partition's rows into
+    * that many files through the same staged dynamic-overwrite path as
+    * upserts (crash-safe, other partitions untouched). Pure layout
+    * maintenance — the row set is unchanged (asserted in PipelineSpec).
+    * Driver work is bounded by the partition count, one rewrite job per
+    * oversized partition; row data never visits the driver. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = fileSystem(spark, path)
+    def dataFiles(dir: Path) = fs.listStatus(dir).toSeq.filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    def wantFiles(bytes: Long) =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (isPartitionedOnDisk(spark, path)) {
+      val oversized = fs.listStatus(new Path(path)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
+        .flatMap { st =>
+          val files = dataFiles(st.getPath)
+          val want = wantFiles(files.map(_.getLen).sum)
+          if (files.length > want)
+            Some(st.getPath.getName.stripPrefix(s"$PartitionCol=") -> want)
+          else None
+        }
+      oversized.foreach { case (value, want) =>
+        val slice = read(spark, path)
+          .filter(col(PartitionCol).cast("string") === value)
+          .coalesce(want)
+        rewriteAffected(spark, path, Seq(value), slice)
+      }
+    } else {
+      val files = dataFiles(new Path(path))
+      val want = wantFiles(files.map(_.getLen).sum)
+      if (files.length > want)
+        swapRewrite(spark, path, wantPartition = false)(_.coalesce(want))
+    }
+  }
+
   private def write(df: DataFrame, path: String, partitioned: Boolean): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitioned) w.partitionBy(PartitionCol) else w).parquet(path)

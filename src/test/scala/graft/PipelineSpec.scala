@@ -205,6 +205,32 @@ class PipelineSpec extends SparkSpec {
       .toDF("chunk_id", "payload", "load_dt")
   }
 
+  test("compact coalesces oversized partitions, preserves rows, skips tidy ones") {
+    val path = Files.createTempDirectory("vstore_compact").toFile.getAbsolutePath + "/store"
+    // 6 files in the 01-01 partition, 1 file in 06-01
+    graft.sources.VectorStore.upsert(spark, path,
+      dtRows(1 to 12, "2023-01-01", "a").repartition(6)
+        .unionByName(dtRows(13 to 14, "2023-06-01", "b").coalesce(1)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(part: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, s"load_dt=$part"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+    assert(files("2023-01-01").length > 1, "fixture must start fragmented")
+    val janStamp = files("2023-06-01").map(_.getPath.getName).toSet
+    val before = graft.sources.VectorStore.read(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // huge target → every partition wants exactly one file
+    graft.sources.VectorStore.compact(spark, path)
+    assert(files("2023-01-01").length == 1, "fragmented partition must compact to one file")
+    assert(files("2023-06-01").map(_.getPath.getName).toSet == janStamp,
+      "already-compact partition must not be rewritten")
+    val after = graft.sources.VectorStore.read(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == before, "compaction must not change the row set")
+  }
+
   test("v2 catalog table: append=upsert, SQL delete, overwrite=replace, partition-scoped") {
     val dir = Files.createTempDirectory("vstorev2").toFile
     val path = s"${dir.getAbsolutePath}/store"
