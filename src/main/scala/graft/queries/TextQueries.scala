@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.{Chunkers, Embedders, TextFunctions => TF}
+import graft.operators.BpeOps
 import graft.pipeline.DocPipeline
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
@@ -300,8 +301,35 @@ object TextQueries {
     }
   }
 
+  /** Exact-BPE token accounting with a corpus-trained merge table
+    * (F6's real algorithm; [[graft.operators.BpeOps]]): train 64 merges
+    * over the top-1024 word-frequency table (one corpus-scale job +
+    * a vocabulary-bounded driver loop), then count each document's BPE
+    * tokens with the exact greedy encoder, aggregated per lang. The
+    * merge LOOP can't be expressed in ANSI SQL, so this entry has no
+    * DuckDB oracle (driver records the rows-only check); BpeSpec pins
+    * the algorithm with hand-computed goldens and a partitioning-
+    * invariance test, and the per-lang sums here are exact integers. */
+  val qDocBpeExact: QueryDef = QueryDef.rowsOnly("q_doc_bpe_exact") { (s, d) =>
+    val base = docs(s, d).select(col("lang"), TF.cleanText(col("text")).as("t"))
+    val merges = BpeOps.trainMerges(
+      BpeOps.topWordCounts(base, col("t"), 1024), 64)
+    val bpe = BpeOps.bpeTokenCountCol(s, merges)
+    base
+      .select(col("lang"),
+        TF.wordCount(col("t")).as("n_words"),
+        length(regexp_replace(col("t"), " ", "")).cast("long").as("n_chars"),
+        bpe(col("t")).as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
     qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive,
-    qPackSequences)
+    qPackSequences, qDocBpeExact)
 }
