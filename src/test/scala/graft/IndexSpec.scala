@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.Similarity
+import graft.sources.VectorIndex
+import org.apache.spark.sql.functions._
+
+/** IVF index at rest (VectorIndex): build determinism, the pruning
+  * layout, the partition-pruned query plan, and the all-probes ==
+  * brute-force correctness anchor.
+  */
+class IndexSpec extends SparkSpec {
+
+  private val Cells = 4
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private lazy val path = {
+    val p = Files.createTempDirectory("vindex").toFile.getAbsolutePath + "/index"
+    VectorIndex.build(emb, "vec_id", "embedding", Cells, iters = 2, path = p)
+    p
+  }
+
+  private lazy val queries: Seq[(Long, Array[Double])] = emb
+    .filter(col("vec_id") < 3)
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  test("build writes cell partitions, a hidden centroid sidecar, and loses no rows") {
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("cell=")) > 1, "index must span several cells")
+    assert(dirs.contains("_centroids"))
+    // the sidecar is invisible to data discovery: a plain read sees only rows
+    assert(spark.read.parquet(path).count() == emb.count())
+    val cents = VectorIndex.loadCentroids(spark, path)
+    assert(cents.length == Cells && cents.forall(_.length == 64))
+    // deterministic build: training again yields the same centroids
+    val again = VectorIndex.trainCentroids(emb, "vec_id", "embedding", Cells, 2)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("query plan prunes unprobed cells at the partition level") {
+    val df = VectorIndex.query(spark, path, "vec_id", "embedding",
+      queries.take(1), probes = 1, k = 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      s"cell filter must prune partitions, not rows:\n$p")
+    // and the hits really come from the routed cell
+    val cents = VectorIndex.loadCentroids(spark, path)
+    val routed = VectorIndex.probeCells(cents, queries.head._2, 1).toSet
+    val hitCells = df.select(col("cell")).collect().map(_.getInt(0)).toSet
+    assert(hitCells.subsetOf(routed))
+  }
+
+  test("probing every cell reproduces exact brute-force top-k") {
+    val got = VectorIndex.query(spark, path, "vec_id", "embedding",
+      queries, probes = Cells, k = 5)
+      .select(col("qid"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qe")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Similarity.cosineIn(spark,
+        col("qe"), col("embedding").cast("array<double>")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, "all-probes IVF must equal brute force exactly")
+  }
+
+  test("single-probe results are a subset of brute-force candidates with perfect in-cell ranking") {
+    val got = VectorIndex.query(spark, path, "vec_id", "embedding",
+      queries, probes = 1, k = 3)
+    // every query returns hits, ranks are 1..n, sims descend per query
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == queries.map(_._1).toSet)
+    byQ.values.foreach { rows =>
+      val rks = rows.map(_.getLong(4)).toSeq
+      assert(rks == (1L to rks.length))
+      val sims = rows.sortBy(_.getLong(4)).map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+}
