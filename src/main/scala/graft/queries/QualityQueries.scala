@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.functions.{PiiFunctions => PII, TextFunctions => TF}
+import graft.functions.{Chunkers, PiiFunctions => PII, TextFunctions => TF}
+import graft.operators.SearchOps
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
@@ -190,5 +191,76 @@ object QualityQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality)
+  private val DsirBuckets = 64
+  private val DsirScale = 1000000000L
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): featurize each
+    * document as its bag of HASHED unigrams (`DsirBuckets` buckets —
+    * the hashed-ngram trick that makes the feature space bounded no
+    * matter the vocabulary), estimate a target distribution from the
+    * `en` slice and the raw distribution from the whole corpus, and
+    * score each document by how much more target-like than raw-like its
+    * words are. The published scorer sums log-probability ratios;
+    * transcendental logs are not bit-stable across engines, so the
+    * score here is the exact-integer analog Σ(p̂_tgt − p̂_raw) with
+    * probabilities floor-scaled to 10⁻⁹ units — same ordering intent,
+    * hash-exact everywhere. Top-100 most target-like docs, doc_id
+    * tie-break.
+    *
+    * Scale: one linear explode; bucket aggregations carry map-side
+    * partial combine into a `DsirBuckets`-row table, so the weight
+    * table is bounded by the BUCKET COUNT, not the vocabulary or the
+    * corpus — broadcasting it is the legitimate case (contrast the
+    * de-broadcast rule for corpus-growing model tables); per-doc score
+    * is one shuffle on doc_id; top-k is TakeOrdered, never a global
+    * sort. */
+  val qDsirScore: QueryDef = {
+    val wordsSql = Chunkers.wordsSql(TF.cleanTextSql("text"))
+    QueryDef.sql(
+      "q_dsir_score",
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, ${SearchOps.hashBucketSql("w", DsirBuckets)} AS b
+         |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)
+         |), tgt AS (
+         |  SELECT b, COUNT(*) AS ct FROM w WHERE lang = 'en' GROUP BY b
+         |), raw AS (
+         |  SELECT b, COUNT(*) AS cr FROM w GROUP BY b
+         |), tot AS (
+         |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt, COUNT(*) AS tr
+         |  FROM w
+         |), wt AS (
+         |  SELECT r.b,
+         |    (COALESCE(t.ct, 0) * $DsirScale) // tot.tt AS pt,
+         |    (r.cr * $DsirScale) // tot.tr AS pr
+         |  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+         |)
+         |SELECT doc_id, lang, CAST(SUM(wt.pt - wt.pr) AS BIGINT) AS score
+         |FROM w JOIN wt ON wt.b = w.b
+         |GROUP BY doc_id, lang
+         |ORDER BY score DESC, doc_id
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val w = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(Chunkers.words(TF.cleanText(col("text")))).as("w"))
+        .select(col("doc_id"), col("lang"),
+          SearchOps.hashBucket(col("w"), DsirBuckets).as("b"))
+      val tgt = w.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = w.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tot = w.agg(
+        sum(when(col("lang") === "en", 1).otherwise(0)).cast("long").as("tt"),
+        count(lit(1)).as("tr"))
+      val wt = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr(s"(coalesce(ct, 0L) * ${DsirScale}L) div tt").as("pt"),
+          expr(s"(cr * ${DsirScale}L) div tr").as("pr"))
+      w.join(broadcast(wt), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("pt") - col("pr")).cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality, qDsirScore)
 }

@@ -563,6 +563,150 @@ object SearchQueries {
       .orderBy("lang")
   }
 
+  /** Per-DOMAIN document cap with a sublinear quota (the Common-Crawl
+    * pipeline rule that one giant domain must not dominate the corpus):
+    * each `source` keeps at most `⌊√n⌋` documents (≥1), chosen by hash
+    * rank. The selection is BUCKET-GRANULAR by design: docs hash into
+    * 1000 buckets per source, a per-source cumulative bucket count
+    * picks the largest threshold bucket whose running total stays
+    * within quota, and the keep rule is a plain `bucket ≤ threshold`
+    * filter. That is the 100 TB shape — an exact per-source rank would
+    * need a window ORDER BY over every row of the largest domain, while
+    * here the only window runs over the BOUNDED (source × 1000) bucket
+    *-count table and the corpus-sized passes are all narrow filters or
+    * partial-agg shuffles. n_kept lands ≤ cap (within one bucket's
+    * docs of it), deterministically on both engines.
+    *
+    * No broadcast hints: distinct domains GROW with a crawl corpus, so
+    * every per-source table here is corpus-growing — the same rule that
+    * de-broadcast the bigram/tf-idf model tables (contrast
+    * [[qSampleTemperature]], whose per-LANGUAGE tables are bounded). */
+  val qDomainCap: QueryDef = QueryDef.sql(
+    "q_domain_cap",
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+       |), cap AS (
+       |  SELECT source, n_src,
+       |    GREATEST(1, CAST(FLOOR(SQRT(CAST(n_src AS DOUBLE))) AS BIGINT)) AS cap
+       |  FROM c
+       |), b AS (
+       |  SELECT source, doc_id,
+       |    ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", 1000)} AS bucket
+       |  FROM documents
+       |), bc AS (
+       |  SELECT source, bucket, COUNT(*) AS nb FROM b GROUP BY source, bucket
+       |), cum AS (
+       |  SELECT source, bucket,
+       |    SUM(nb) OVER (PARTITION BY source ORDER BY bucket) AS cum
+       |  FROM bc
+       |), thr AS (
+       |  SELECT cum.source,
+       |    MAX(CASE WHEN cum.cum <= cap.cap THEN cum.bucket ELSE -1 END) AS tbkt
+       |  FROM cum JOIN cap ON cap.source = cum.source
+       |  GROUP BY cum.source
+       |)
+       |SELECT b.source, COUNT(*) AS n_total,
+       |  CAST(MAX(cap.cap) AS BIGINT) AS cap,
+       |  CAST(SUM(CASE WHEN b.bucket <= t.tbkt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN b.bucket <= t.tbkt THEN b.doc_id ELSE 0 END) AS BIGINT) AS kept_sum
+       |FROM b JOIN thr t ON t.source = b.source JOIN cap ON cap.source = b.source
+       |GROUP BY b.source
+       |ORDER BY b.source""".stripMargin) { (s, d) =>
+    val c = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
+    val cap = c.select(col("source"),
+      greatest(lit(1L), floor(sqrt(col("n_src").cast("double"))).cast("long")).as("cap"))
+    val b = docs(s, d).select(col("source"), col("doc_id"),
+      SearchOps.hashBucket(col("doc_id").cast("string"), 1000).as("bucket"))
+    val bc = b.groupBy("source", "bucket").agg(count(lit(1)).as("nb"))
+    val cum = bc.withColumn("cum",
+      sum("nb").over(Window.partitionBy("source").orderBy("bucket")))
+    val thr = cum.join(cap, Seq("source"))
+      .groupBy("source")
+      .agg(max(when(col("cum") <= col("cap"), col("bucket")).otherwise(lit(-1L))).as("tbkt"))
+    b.join(thr, Seq("source")).join(cap, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        max(col("cap")).cast("long").as("cap"),
+        sum(when(col("bucket") <= col("tbkt"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("bucket") <= col("tbkt"), col("doc_id")).otherwise(lit(0L)))
+          .cast("long").as("kept_sum"))
+      .orderBy("source")
+  }
+
+  private val TempTarget = 200L
+
+  /** TEMPERATURE-flattened language mix (the multilingual-training
+    * sampling rule p ∝ nᵅ, α=½): per-language quotas `⌊target·√n/Σ√n⌋`
+    * allocate a fixed overall budget so high-resource languages are
+    * flattened instead of truncated to the minimum (contrast
+    * [[qSampleBalanced]]'s uniform floor). √n is IEEE-exact (correctly
+    * rounded) and everything after it is integer arithmetic, so both
+    * engines pick identical member sets via the same bucket-granular
+    * quota selection as [[qDomainCap]] — whose scaladoc explains why
+    * the bucket shape, and not a per-row rank, survives 100 TB. The
+    * per-language tables HERE are bounded (languages are a fixed
+    * vocabulary, unlike domains), so the small-side joins could even
+    * broadcast; the hints stay off to keep one code shape. */
+  val qSampleTemperature: QueryDef = QueryDef.sql(
+    "q_sample_temperature",
+    s"""WITH c AS (
+       |  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+       |), w AS (
+       |  SELECT lang, n_lang,
+       |    CAST(FLOOR(SQRT(CAST(n_lang AS DOUBLE))) AS BIGINT) AS wl
+       |  FROM c
+       |), tot AS (
+       |  SELECT SUM(wl) AS sw FROM w
+       |), alloc AS (
+       |  SELECT lang, n_lang, ($TempTarget * wl) // tot.sw AS alloc
+       |  FROM w CROSS JOIN tot
+       |), b AS (
+       |  SELECT lang, doc_id,
+       |    ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", 10000)} AS bucket
+       |  FROM documents
+       |), bc AS (
+       |  SELECT lang, bucket, COUNT(*) AS nb FROM b GROUP BY lang, bucket
+       |), cum AS (
+       |  SELECT lang, bucket,
+       |    SUM(nb) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+       |  FROM bc
+       |), thr AS (
+       |  SELECT cum.lang,
+       |    MAX(CASE WHEN cum.cum <= a.alloc THEN cum.bucket ELSE -1 END) AS tbkt
+       |  FROM cum JOIN alloc a ON a.lang = cum.lang
+       |  GROUP BY cum.lang
+       |)
+       |SELECT b.lang, COUNT(*) AS n_total,
+       |  CAST(MAX(a.alloc) AS BIGINT) AS alloc,
+       |  CAST(SUM(CASE WHEN b.bucket <= t.tbkt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN b.bucket <= t.tbkt THEN b.doc_id ELSE 0 END) AS BIGINT) AS kept_sum
+       |FROM b JOIN thr t ON t.lang = b.lang JOIN alloc a ON a.lang = b.lang
+       |GROUP BY b.lang
+       |ORDER BY b.lang""".stripMargin) { (s, d) =>
+    val c = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wdf = c.select(col("lang"),
+      floor(sqrt(col("n_lang").cast("double"))).cast("long").as("wl"))
+    val tot = wdf.agg(sum("wl").as("sw"))
+    val alloc = wdf.crossJoin(broadcast(tot))
+      .select(col("lang"), expr(s"(${TempTarget}L * wl) div sw").as("alloc"))
+    val b = docs(s, d).select(col("lang"), col("doc_id"),
+      SearchOps.hashBucket(col("doc_id").cast("string"), 10000).as("bucket"))
+    val bc = b.groupBy("lang", "bucket").agg(count(lit(1)).as("nb"))
+    val cum = bc.withColumn("cum",
+      sum("nb").over(Window.partitionBy("lang").orderBy("bucket")))
+    val thr = cum.join(alloc, Seq("lang"))
+      .groupBy("lang")
+      .agg(max(when(col("cum") <= col("alloc"), col("bucket")).otherwise(lit(-1L))).as("tbkt"))
+    b.join(thr, Seq("lang")).join(alloc, Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        max(col("alloc")).cast("long").as("alloc"),
+        sum(when(col("bucket") <= col("tbkt"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("bucket") <= col("tbkt"), col("doc_id")).otherwise(lit(0L)))
+          .cast("long").as("kept_sum"))
+      .orderBy("lang")
+  }
+
   // ---- connected components over the dedup candidate graph --------------
 
   /** Build the MinHash-LSH candidate pair list (same parameters as
@@ -643,5 +787,5 @@ object SearchQueries {
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
-    qDedupComponents)
+    qDomainCap, qSampleTemperature, qDedupComponents)
 }

@@ -272,7 +272,11 @@ object SimilarityQueries {
   private val KmCells = 8
   private val KmIters = 2
 
-  val qKnnKmeans: QueryDef = {
+  /** WITH-clause body of the shared deterministic Lloyd trainer (see the
+    * q_knn_kmeans scaladoc for the bit-reproducibility argument): ends
+    * at CTE `assign$KmIters` = (vec_id, cid). Shared by q_knn_kmeans and
+    * q_semdedup so both engines train the identical quantizer. */
+  private def kmeansCtes: String = {
     def iterCtes(i: Int, prevCent: String): String =
       s"""dist$i AS (
          |  SELECT comp.vec_id, c.cid,
@@ -293,16 +297,46 @@ object SimilarityQueries {
     val iters = (1 to KmIters)
       .map(i => iterCtes(i, if (i == 1) "cent0" else s"cent${i - 1}"))
       .mkString(", ")
-    val last = s"assign$KmIters"
+    s"""comp AS (
+       |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
+       |    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0) AS BIGINT) AS uq
+       |  FROM embeddings
+       |), cent0 AS (
+       |  SELECT vec_id AS cid, pos, uq AS c FROM comp WHERE vec_id < $KmCells
+       |), $iters""".stripMargin
+  }
+  private def kmeansLastAssign: String = s"assign$KmIters"
+
+  /** Spark face of the same trainer: (vec_id, cid) after `KmIters`
+    * Lloyd rounds on the 2²⁰ integer grid. */
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val comp = emb(s, d)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        round(col("v") * 1048576.0d).cast("long").as("uq"))
+    var cent = comp.filter(col("vec_id") < KmCells)
+      .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
+    var assign: DataFrame = null
+    for (_ <- 1 to KmIters) {
+      val dist = comp.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+      assign = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+      cent = comp.join(assign, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("c"))
+    }
+    assign
+  }
+
+  val qKnnKmeans: QueryDef = {
+    val last = kmeansLastAssign
     QueryDef.sql(
       "q_knn_kmeans",
-      s"""WITH comp AS (
-         |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
-         |    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0) AS BIGINT) AS uq
-         |  FROM embeddings
-         |), cent0 AS (
-         |  SELECT vec_id AS cid, pos, uq AS c FROM comp WHERE vec_id < $KmCells
-         |), $iters, t AS (
+      s"""WITH $kmeansCtes, t AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
          |), cand AS (
          |  SELECT q.vec_id AS qid, v.vec_id,
@@ -319,27 +353,8 @@ object SimilarityQueries {
          |  FROM cand
          |) WHERE rk <= 5
          |ORDER BY qid, rk""".stripMargin) { (s, d) =>
-      val all = emb(s, d)
-      val comp = all
-        .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"),
-          round(col("v") * 1048576.0d).cast("long").as("uq"))
-      var cent = comp.filter(col("vec_id") < KmCells)
-        .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
-      var assign: DataFrame = null
-      for (_ <- 1 to KmIters) {
-        val dist = comp.join(broadcast(cent), Seq("pos"))
-          .groupBy(col("vec_id"), col("cid"))
-          .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        assign = dist.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("vec_id", "cid")
-        cent = comp.join(assign, Seq("vec_id"))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
-            .cast("long").as("c"))
-      }
-      val t = all.select(col("vec_id"), col("e"))
+      val assign = kmeansAssign(s, d)
+      val t = emb(s, d).select(col("vec_id"), col("e"))
       val q = assign.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("cid"))
       val cand = assign.join(broadcast(q), Seq("cid"))
@@ -351,5 +366,63 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans)
+  /** Threshold tuned to this corpus: the global max pairwise cosine at
+    * sf0.01 is ~0.51, so 0.35 marks the "semantically close" tail (the
+    * published method also tunes ε per corpus, to a within-cluster
+    * similarity percentile). */
+  private val SemTau = 0.35
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with the shared k-means quantizer, then drop every
+    * vector that has a LOWER-ID near-neighbor above cosine `SemTau`
+    * WITHIN ITS CLUSTER — the lowest id in each semantic near-dup set
+    * survives (the q_dedup_exact_keep convention). Output is a
+    * per-cluster audit: member count, dropped count, and the exact
+    * kept-membership checksum.
+    *
+    * Scale shape — the reason SemDeDup exists at all: candidate pairs
+    * are confined to a cluster, so the quadratic term is bounded by the
+    * LARGEST CLUSTER, not the corpus. Cluster count grows with the
+    * corpus (k ∝ N/target-cell-size, exactly how [[graft.sources.VectorIndex]]
+    * sizes cells), keeping per-cluster membership roughly constant; the
+    * pair join shuffles once on cid and is never corpus×corpus. The
+    * training cost is the same one-shuffle-per-iteration Lloyd as
+    * q_knn_kmeans. No broadcast hints on the pair join — both sides
+    * grow with the corpus. */
+  val qSemdedup: QueryDef = QueryDef.sql(
+    "q_semdedup",
+    s"""WITH $kmeansCtes, t AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), m AS (
+       |  SELECT a.vec_id, a.cid, t.e
+       |  FROM $kmeansLastAssign a JOIN t ON t.vec_id = a.vec_id
+       |), dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${Similarity.cosineSql("a.e", "b.e")} > $SemTau
+       |)
+       |SELECT m.cid, COUNT(*) AS n_members,
+       |  CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN m.vec_id ELSE 0 END) AS BIGINT) AS kept_sum
+       |FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
+       |GROUP BY m.cid
+       |ORDER BY m.cid""".stripMargin) { (s, d) =>
+    val m = kmeansAssign(s, d)
+      .join(emb(s, d).select(col("vec_id"), col("e")), Seq("vec_id"))
+    val dup = m.as("a")
+      .join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosineIn(s, col("a.e"), col("b.e")) > SemTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    m.join(dup.withColumn("isdup", lit(1)), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        count(col("isdup")).cast("long").as("n_dropped"),
+        sum(when(col("isdup").isNull, col("vec_id")).otherwise(lit(0L)))
+          .cast("long").as("kept_sum"))
+      .orderBy("cid")
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup)
 }

@@ -155,6 +155,55 @@ class PlanSpec extends SparkSpec {
       s"the running-sum window must partition on (lang, shard):\n$p")
   }
 
+  test("bucket-quota sampler windows are partitioned, never global") {
+    // q_domain_cap / q_sample_temperature select by cumulative bucket
+    // counts precisely so the only windows run over bounded bucket
+    // tables partitioned by source/lang — a per-row rank would need a
+    // global (or giant-domain) window sort
+    val pCap = phys(queries.SearchQueries.qDomainCap.run(spark, sf))
+    assert(pCap.contains("windowspecdefinition(source") &&
+      !pCap.contains("windowspecdefinition(bucket"),
+      s"q_domain_cap's cumulative window must partition by source:\n$pCap")
+    // and nothing in the cap plan funnels through one task (the
+    // temperature plan's only single-partition stage is the Σ√n over
+    // the language-count-bounded weight table — bounded, acceptable)
+    assert(!pCap.contains("Exchange SinglePartition"),
+      s"q_domain_cap must stay parallel end to end:\n$pCap")
+    val pTmp = phys(queries.SearchQueries.qSampleTemperature.run(spark, sf))
+    assert(pTmp.contains("windowspecdefinition(lang"),
+      s"q_sample_temperature's cumulative window must partition by lang:\n$pTmp")
+  }
+
+  test("domain-cap joins are never hint-broadcast (domains grow with the corpus)") {
+    // distinct domains grow with a crawl corpus, so the per-source
+    // cap/threshold tables are corpus-growing — same de-broadcast rule
+    // as the bigram/tf-idf model tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = phys(queries.SearchQueries.qDomainCap.run(spark, sf))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"per-source tables must shuffle-join, not broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("semdedup pair generation is a cid-keyed join, not a nested loop") {
+    // the within-cluster pair join must plan as an equi-join on cid
+    // (with the vec_id inequality as a post-condition) — a nested-loop
+    // or cartesian shape would be all-pairs over the corpus
+    val p = phys(queries.SimilarityQueries.qSemdedup.run(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic-dedup candidates must come from the cid equi-join:\n$p")
+  }
+
+  test("dsir weight join broadcasts the bucket-bounded table") {
+    // the weight table is DsirBuckets rows no matter the corpus — the
+    // legitimate broadcast case (contrast the domain-cap rule above)
+    val p = phys(queries.QualityQueries.qDsirScore.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row weight table should broadcast into the score join:\n$p")
+  }
+
   test("vector store reads prune load_dt partitions at the source") {
     // the store is hive-partitioned on load_dt; a date predicate must
     // become a PartitionFilter (skip whole directories), not a post-scan
