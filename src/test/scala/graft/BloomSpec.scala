@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.BloomOps
+import org.apache.spark.sql.functions._
+
+/** Bloom filter invariants: one-sided error (no false negatives,
+  * bounded false positives), merge/partitioning invariance, and
+  * agreement between the packed-bit JVM build and the pure-Catalyst
+  * membership expression.
+  */
+class BloomSpec extends SparkSpec {
+
+  private val M = 2048
+  private val K = 4
+
+  private def keysDf(keys: Seq[String]) = {
+    import spark.implicits._
+    keys.toDF("k").select(md5(col("k")).as("mh"))
+  }
+
+  private def build(keys: Seq[String], parts: Int): Seq[Long] = {
+    val agg = udaf(new BloomOps.BloomAggregator(M, K))
+    keysDf(keys).repartition(parts).agg(agg(col("mh")).as("b"))
+      .head.getSeq[Long](0)
+  }
+
+  test("no false negatives: every inserted key tests positive") {
+    val keys = (0 until 200).map(i => s"key-$i-payload")
+    val bits = build(keys, parts = 5)
+    val misses = keysDf(keys)
+      .filter(!BloomOps.mightContain(bits, M, K)(col("mh")))
+      .count()
+    assert(misses == 0)
+  }
+
+  test("merge is order/partitioning-invariant") {
+    val keys = (0 until 300).map(i => s"item $i")
+    assert(build(keys, 1) == build(keys, 7))
+    assert(build(keys, 7) == build(keys.reverse, 3))
+  }
+
+  test("false-positive rate stays near the design point") {
+    val inserted = (0 until 200).map(i => s"in-$i")
+    val bits = build(inserted, 4)
+    // expected fpp = (1 - e^(-kn/m))^k ≈ 1.6% at n=200, m=2048, k=4
+    val probes = (0 until 1000).map(i => s"out-$i")
+    val fp = keysDf(probes)
+      .filter(BloomOps.mightContain(bits, M, K)(col("mh")))
+      .count()
+    assert(fp < 60, s"false-positive count $fp far above the ~16 expected")
+  }
+
+  test("set bits are exactly the positions arithmetic says") {
+    val keys = Seq("alpha", "beta", "gamma")
+    val bits = build(keys, 2)
+    val setBits = for {
+      w <- bits.indices
+      b <- 0 until 64
+      if (bits(w) & (1L << b)) != 0
+    } yield w * 64 + b
+    val expected = keysDf(keys)
+      .select(explode(BloomOps.positions(col("mh"), M, K)).as("p"))
+      .collect().map(_.getLong(0)).toSet
+    assert(setBits.toSet == expected.map(_.toInt))
+  }
+}
