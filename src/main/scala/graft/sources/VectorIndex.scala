@@ -109,6 +109,22 @@ object VectorIndex {
       .select(col("c_units")).collect()
       .map(_.getSeq[Long](0).toArray)
 
+  /** INCREMENTAL append: route new vectors with the index's EXISTING
+    * centroids (no retrain — cells stay stable between rebuilds, the
+    * standard IVF maintenance contract) and append their rows into the
+    * cell partitions. One narrow assignment pass + an append-mode
+    * partitioned write; untouched cells gain no files, queries need no
+    * code path change, and repeated appends compose with
+    * [[VectorStore.compact]]-style layout maintenance. Rebuild (retrain)
+    * only when appended mass shifts the centroids enough to hurt recall
+    * — the published IVF practice. */
+  def append(spark: SparkSession, path: String, emb: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cents = loadCentroids(spark, path)
+    emb.withColumn(CellCol, assignCell(spark, cents)(col(vecCol)))
+      .write.mode(SaveMode.Append).partitionBy(CellCol).parquet(path)
+  }
+
   /** Top-`probes` cells for one query vector, by the same exact-integer
     * distance as assignment (ties to lowest cell id). */
   def probeCells(cents: Array[Array[Long]], q: Array[Double], probes: Int): Seq[Int] =

@@ -39,6 +39,18 @@ object IncrementalDedup {
   private def bandsOf(text: Column): Column =
     DedupOps.lshBands(DedupOps.minhashSignature(DedupOps.shingles(text), 8), 4, 2)
 
+  /** Second stage shared by both screens: drop survivors that share a
+    * MinHash band with history. */
+  private def bandScreen(exactNovel: DataFrame, history: DataFrame,
+      idCol: String): DataFrame = {
+    val histBands = history.select(explode(bandsOf(col("text"))).as("band")).distinct()
+    val nearHitIds = exactNovel
+      .select(col(idCol), explode(bandsOf(col("text"))).as("band"))
+      .join(histBands, Seq("band"), "left_semi")
+      .select(idCol).distinct()
+    exactNovel.join(nearHitIds, Seq(idCol), "left_anti")
+  }
+
   /** Screen one bounded batch of `(idCol, text, …)` rows against the
     * historical corpus: keep exactly the rows with NO exact content-hash
     * match and NO shared MinHash band in `history` — the novel=1 set of
@@ -47,16 +59,36 @@ object IncrementalDedup {
   def screenBatch(incoming: DataFrame, history: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val histHashes = history.select(contentHash(col("text")).as("ch")).distinct()
-    val histBands = history.select(explode(bandsOf(col("text"))).as("band")).distinct()
     val exactNovel = incoming
       .withColumn("ch", contentHash(col("text")))
       .join(histHashes, Seq("ch"), "left_anti")
       .drop("ch")
-    val nearHitIds = exactNovel
-      .select(col(idCol), explode(bandsOf(col("text"))).as("band"))
-      .join(histBands, Seq("band"), "left_semi")
-      .select(idCol).distinct()
-    exactNovel.join(nearHitIds, Seq(idCol), "left_anti")
+    bandScreen(exactNovel, history, idCol)
+  }
+
+  /** Sketch-accelerated exact stage: a [[graft.operators.BloomOps]]
+    * filter over history's content hashes splits the batch into
+    * definite-misses (no false negatives → provably hash-novel, no join
+    * needed) and candidates that still go through the exact anti-join.
+    * The RESULT is identical to [[screenBatch]] (asserted in
+    * StreamingSpec); the WORK changes — at 100 TB the exact join probes
+    * only the candidate sliver while the filter is numBits/8 bytes of
+    * state, built in one mergeable pass. The band stage is unchanged
+    * (band screening is not single-key membership). */
+  def screenBatchBloom(incoming: DataFrame, history: DataFrame,
+      idCol: String = "doc_id", numBits: Int = 1 << 17,
+      numHashes: Int = 4): DataFrame = {
+    import graft.operators.BloomOps
+    val bloom = udaf(new BloomOps.BloomAggregator(numBits, numHashes))
+    val bits = history.agg(bloom(contentHash(col("text"))).as("b"))
+      .head.getSeq[Long](0)
+    val hashed = incoming.withColumn("ch", contentHash(col("text")))
+    val hit = BloomOps.mightContain(bits, numBits, numHashes)(col("ch"))
+    val histHashes = history.select(contentHash(col("text")).as("ch")).distinct()
+    val exactNovel = hashed.filter(!hit)
+      .unionByName(hashed.filter(hit).join(histHashes, Seq("ch"), "left_anti"))
+      .drop("ch")
+    bandScreen(exactNovel, history, idCol)
   }
 
   /** Drive the screen as a stream: per micro-batch, screen against

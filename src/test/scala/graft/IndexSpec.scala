@@ -75,6 +75,40 @@ class IndexSpec extends SparkSpec {
     assert(got == brute, "all-probes IVF must equal brute force exactly")
   }
 
+  test("incremental append routes with frozen centroids and keeps exactness") {
+    // build on the first 400 vectors, append the remaining 100: the
+    // appended rows land in existing cells (no new dirs, centroids
+    // untouched) and an all-probes query over the grown index still
+    // equals brute force over the full set
+    val p2 = Files.createTempDirectory("vindex_app").toFile.getAbsolutePath + "/index"
+    val base = emb.filter(col("vec_id") < 400)
+    val extra = emb.filter(col("vec_id") >= 400)
+    VectorIndex.build(base, "vec_id", "embedding", Cells, iters = 2, path = p2)
+    val centsBefore = VectorIndex.loadCentroids(spark, p2)
+    VectorIndex.append(spark, p2, extra, "vec_id", "embedding")
+    assert(VectorIndex.loadCentroids(spark, p2).map(_.toSeq).toSeq ==
+      centsBefore.map(_.toSeq).toSeq, "append must not retrain")
+    assert(spark.read.parquet(p2).count() == emb.count(), "no rows lost")
+
+    val got = VectorIndex.query(spark, p2, "vec_id", "embedding",
+      queries, probes = Cells, k = 5)
+      .select(col("qid"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qe")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Similarity.cosineIn(spark,
+        col("qe"), col("embedding").cast("array<double>")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, "all-probes over the appended index must equal brute force")
+  }
+
   test("single-probe results are a subset of brute-force candidates with perfect in-cell ranking") {
     val got = VectorIndex.query(spark, path, "vec_id", "embedding",
       queries, probes = 1, k = 3)

@@ -165,6 +165,21 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.VectorStore.read(spark, store).count() == got.size)
   }
 
+  test("bloom-accelerated screen admits exactly the exact screen's novel set") {
+    // the Bloom filter has no false negatives, so routing definite
+    // misses around the exact anti-join cannot change the verdict —
+    // only the work
+    val all = Tables(spark, sf, "documents")
+    val history = all.filter(col("doc_id") % 10 < 8)
+    val incoming = all.filter(col("doc_id") % 10 >= 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.streaming.IncrementalDedup.screenBatch(incoming, history))
+    val bloom = ids(graft.streaming.IncrementalDedup.screenBatchBloom(incoming, history))
+    assert(exact.nonEmpty)
+    assert(bloom == exact, "sketch acceleration must be result-invariant")
+  }
+
   test("stream-stream interval join matches the batch attribution query") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
