@@ -4,6 +4,7 @@ import graft.functions.{Chunkers, Embedders, TextFunctions => TF}
 import graft.sources.{ParseOps, VectorStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** The reference's TOP-LEVEL driver (`/root/reference/data_ingestion.py`)
   * as one composable job: full refresh (:80-99 — enumerate, parse,
@@ -113,6 +114,44 @@ object IngestJob {
     val report = RunReport(files.count(), changed.count(), vectors.count())
     Ledger.write(listingOf(files), ledgerPath)
     report
+  }
+
+  /** STREAMING face of [[incremental]]: the reference's scheduled
+    * re-ingest loop (run the script again tomorrow,
+    * data_ingestion.py:56-66) becomes a stream over the landed-files
+    * source where each micro-batch is one incremental run — the same
+    * CDC diff, superseded-chunk drop, keyed upsert and ledger
+    * overwrite, so a crash replay re-lands on the identical store state
+    * (the upsert is key-idempotent and the diff sees the already-
+    * advanced ledger). AvailableNow drains the backlog and stops — the
+    * scheduled-ingest trigger shape ([[graft.streaming.IncrementalDedup]]
+    * uses the same pattern, and for the same reason the screen runs as
+    * a batch job inside foreachBatch: the diff needs a join against a
+    * corpus-sized ledger that has no business living in the state
+    * store). */
+  def incrementalStream(files: DataFrame, ledgerPath: String,
+      storePath: String, loadDt: String, checkpoint: String): Unit = {
+    val q = files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch "current listing" = ledger ∪ batch (a micro-batch
+        // sees only landed deltas, not the full listing a scheduled run
+        // re-enumerates — unchanged ledger rows must survive the
+        // overwrite)
+        val spark = batch.sparkSession
+        val prior = Ledger.read(spark, ledgerPath)
+          .join(batch.select("name"), Seq("name"), "left_anti")
+          .withColumn("content", lit(null).cast("binary"))
+          .select("name", "url", "last_modified", "content")
+          .localCheckpoint() // the run ends by overwriting the ledger this plan reads
+        incremental(spark, batch.select("name", "url", "last_modified", "content")
+          .unionByName(prior), ledgerPath, storePath, loadDt)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** File removal (S12, `delete_filedata_from_vectordb`

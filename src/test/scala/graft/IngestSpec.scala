@@ -91,6 +91,32 @@ class IngestSpec extends SparkSpec {
     assert(graft.pipeline.Ledger.read(spark, ledger).count() == 3)
   }
 
+  test("streaming incremental ingest lands on the same store state as the batch run") {
+    val dir = Files.createTempDirectory("ingest_stream").toFile.getAbsolutePath
+    val ledger = s"$dir/ledger"
+    val store = s"$dir/store"
+    IngestJob.fullRefresh(spark, initial, ledger, store, "2023-01-01")
+    val before = VectorStore.read(spark, store)
+    val aChunks = before.filter(col("name") === "a.txt").count()
+
+    // land the delta (one update, one new) as a file-source stream
+    val deltaDir = Files.createTempDirectory("landing").toFile.getAbsolutePath
+    val delta = filesDf(Seq(
+      ("c.txt", "http://x.io/c.txt", t1, "short now".getBytes("UTF-8")),
+      ("d.txt", "http://x.io/d.txt", t1, "fresh file content here".getBytes("UTF-8"))))
+    delta.coalesce(1).write.mode("append").parquet(deltaDir)
+    val stream = spark.readStream.schema(delta.schema).parquet(deltaDir)
+    IngestJob.incrementalStream(stream, ledger, store, "2023-02-01",
+      s"$dir/ck-${System.nanoTime()}")
+
+    val after = VectorStore.read(spark, store)
+    assert(after.filter(col("name") === "c.txt").count() == 1, "update applied")
+    assert(after.filter(col("name") === "d.txt").count() >= 1, "new file landed")
+    assert(after.filter(col("name") === "a.txt").count() == aChunks, "untouched file intact")
+    // unchanged ledger rows survive the per-batch overwrite
+    assert(graft.pipeline.Ledger.read(spark, ledger).count() == 4)
+  }
+
   test("unsupported file types are filtered before parsing") {
     val files = filesDf(Seq(
       ("ok.txt", "u", t0, "plain text".getBytes("UTF-8")),
