@@ -52,7 +52,13 @@ object IngestJob {
       overlapFraction: Double = DocPipeline.OverlapFraction,
       dim: Int = Embedders.DefaultDim,
       embed: (SparkSession, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-        (s, c) => Embedders.l2Normalize(Embedders.deterministicEmbedIn(s, c))): DataFrame = {
+        (s, c) => Embedders.l2Normalize(Embedders.deterministicEmbedIn(s, c)),
+      // offline default (§7.4 deviation); a user with the public
+      // cl100k_base.tiktoken file passes
+      // Tiktoken.tokenCountCol(spark, Tiktoken.loadRanks(path)) for
+      // exact reference token parity
+      tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => TF.wordCount(c)): DataFrame = {
     val s = files.sparkSession
     val withSource =
       if (files.columns.contains("source")) files
@@ -68,7 +74,7 @@ object IngestJob {
           .as(Seq("index", "text")))
       .withColumn("index", col("index").cast("int"))
       .withColumn("vector", embed(s, col("text")).cast("array<float>"))
-      .withColumn("n_tokens", TF.wordCount(col("text")).cast("int"))
+      .withColumn("n_tokens", tokenCounter(col("text")).cast("int"))
       .withColumn("chunk_id", TF.chunkId(col("name"), col("index")))
       .withColumn("load_dt", to_date(lit(loadDt)))
       .withColumn("title", col("name")) // :399
