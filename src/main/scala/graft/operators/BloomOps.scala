@@ -46,10 +46,18 @@ object BloomOps {
       .mkString("(", " + ", ")")
   }
 
+  /** h1 + i·h2 stays under 2⁶³ only while i ≤ 8 (both halves are < 2⁶⁰);
+    * beyond that the position wraps negative and indexes off the array. */
+  private def requireHashBound(numHashes: Int): Unit =
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1, 8] (60-bit double-hash overflow bound), got $numHashes")
+
   /** The `numHashes` bit positions of one md5-hex key. */
-  def positions(mh: Column, numBits: Int, numHashes: Int): Column =
+  def positions(mh: Column, numBits: Int, numHashes: Int): Column = {
+    requireHashBound(numHashes)
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       (hexSlice(mh, 1, 15) + i.cast("long") * hexSlice(mh, 17, 15)) % numBits)
+  }
 
   /** SQL fragment for position i of md5-hex expression `e` (the oracle
     * expands the i-range itself). */
@@ -62,6 +70,7 @@ object BloomOps {
   final class BloomAggregator(numBits: Int, numHashes: Int)
       extends Aggregator[String, Array[Long], Array[Long]] {
     require(numBits % 64 == 0, "numBits must pack into whole longs")
+    requireHashBound(numHashes)
     def zero: Array[Long] = new Array[Long](numBits / 64)
     def reduce(buf: Array[Long], mh: String): Array[Long] = {
       val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)

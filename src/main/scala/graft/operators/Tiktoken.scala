@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Tiktoken {
 
-  /** The published cl100k_base pre-tokenization pattern. */
+  /** The published cl100k_base pre-tokenization pattern.
+    * UNICODE_CHARACTER_CLASS makes Java's \s match Unicode whitespace
+    * (NBSP, line/paragraph separators) the way the original regex
+    * engine does — without it, Java's ASCII-only \s shunts U+00A0 into
+    * the punctuation branch and the counts diverge from tiktoken's. */
   val Cl100kPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
-    """(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""")
+    """(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   def pretokenize(text: String): Vector[String] = {
     val m = Cl100kPattern.matcher(text)

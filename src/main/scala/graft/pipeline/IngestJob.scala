@@ -112,10 +112,13 @@ object IngestJob {
     val changed = Ledger.newAndUpdated(files, Ledger.read(spark, ledgerPath))
       .localCheckpoint()
     val updatedNames = changed.filter(col("change_type") === "updated").select("name")
-    VectorStore.deleteWhere(spark, storePath, updatedNames, "name")
-    // materialize once: upsert AND the report count reuse the same
-    // computed partitions instead of re-running parse+chunk+embed
+    // materialize the replacement vectors BEFORE deleting the chunks
+    // they supersede — a parse/embed failure must abort the run with
+    // the store intact, not leave updated files chunkless. (The
+    // checkpoint also lets upsert and the report count reuse the
+    // computed partitions instead of re-running parse+chunk+embed.)
     val vectors = prepareVectorData(changed.drop("change_type"), loadDt).localCheckpoint()
+    VectorStore.deleteWhere(spark, storePath, updatedNames, "name")
     VectorStore.upsert(spark, storePath, vectors)
     val report = RunReport(files.count(), changed.count(), vectors.count())
     Ledger.write(listingOf(files), ledgerPath)
@@ -146,13 +149,17 @@ object IngestJob {
         // re-enumerates — unchanged ledger rows must survive the
         // overwrite)
         val spark = batch.sparkSession
+        // keep the optional `source` column the batch faces pass through
+        val cols = Seq("name", "url", "last_modified", "content") ++
+          (if (batch.columns.contains("source")) Seq("source") else Nil)
+        val landed = batch.select(cols.map(col): _*)
         val prior = Ledger.read(spark, ledgerPath)
-          .join(batch.select("name"), Seq("name"), "left_anti")
+          .join(landed.select("name"), Seq("name"), "left_anti")
           .withColumn("content", lit(null).cast("binary"))
-          .select("name", "url", "last_modified", "content")
+          .withColumn("source", lit("")) // never re-parsed; placeholder only
+          .select(cols.map(col): _*)
           .localCheckpoint() // the run ends by overwriting the ledger this plan reads
-        incremental(spark, batch.select("name", "url", "last_modified", "content")
-          .unionByName(prior), ledgerPath, storePath, loadDt)
+        incremental(spark, landed.unionByName(prior), ledgerPath, storePath, loadDt)
         ()
       }
       .trigger(Trigger.AvailableNow())

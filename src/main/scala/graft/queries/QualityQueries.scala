@@ -214,7 +214,12 @@ object QualityQueries {
     * corpus — broadcasting it is the legitimate case (contrast the
     * de-broadcast rule for corpus-growing model tables); per-doc score
     * is one shuffle on doc_id; top-k is TakeOrdered, never a global
-    * sort. */
+    * sort. Arithmetic bound: `ct · DsirScale` must stay under 2⁶³, i.e.
+    * ≲9·10⁹ words per bucket — so DsirBuckets is sized WITH the corpus
+    * (the published method uses 10⁴ buckets at web scale, which lifts
+    * the bound past 10¹⁴ words; 64 buckets is the sf-scale setting that
+    * keeps the oracle readable). Spark's non-ANSI multiply would wrap
+    * silently past the bound, DuckDB would error — size buckets first. */
   val qDsirScore: QueryDef = {
     val wordsSql = Chunkers.wordsSql(TF.cleanTextSql("text"))
     QueryDef.sql(

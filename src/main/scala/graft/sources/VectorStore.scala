@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -58,6 +58,16 @@ object VectorStore {
   def exists(spark: SparkSession, path: String): Boolean =
     fileSystem(spark, path).exists(new Path(path))
 
+  /** Rows migrated from a legacy store carry a null `load_dt` and live
+    * in hive's default-partition dir; every partition-value comparison
+    * goes through this token so null rows match their directory instead
+    * of silently failing `=`/`isin` null semantics (a compact() or
+    * upsert that misses them would drop or duplicate the whole legacy
+    * partition). */
+  private val NullPartName = "__HIVE_DEFAULT_PARTITION__"
+  private def partToken(c: Column): Column =
+    coalesce(c.cast("string"), lit(NullPartName))
+
   /** Whether the on-disk store uses `load_dt=...` hive partition dirs. */
   private def isPartitionedOnDisk(spark: SparkSession, path: String): Boolean = {
     val fs = fileSystem(spark, path)
@@ -90,14 +100,14 @@ object VectorStore {
       // partitions that must change: those holding replaced keys (a
       // column-pruned (key, load_dt) scan) plus those receiving rows
       val oldParts = store.join(keys, Seq(KeyCol), "left_semi")
-        .select(col(PartitionCol).cast("string")).distinct()
+        .select(partToken(col(PartitionCol))).distinct()
         .collect().map(_.getString(0))
       val newParts = incoming
-        .select(col(PartitionCol).cast("string")).distinct()
+        .select(partToken(col(PartitionCol))).distinct()
         .collect().map(_.getString(0))
       val affected = (oldParts ++ newParts).distinct.toSeq
       val keep = store
-        .filter(col(PartitionCol).cast("string").isin(affected: _*))
+        .filter(partToken(col(PartitionCol)).isin(affected: _*))
         .join(keys, Seq(KeyCol), "left_anti")
       val incomingAligned = incoming
         .withColumn(PartitionCol, col(PartitionCol).cast(store.schema(PartitionCol).dataType))
@@ -139,11 +149,11 @@ object VectorStore {
     if (isPartitionedOnDisk(spark, path)) {
       val store = read(spark, path)
       val affected = store.join(k, Seq(keyCol), "left_semi")
-        .select(col(PartitionCol).cast("string")).distinct()
+        .select(partToken(col(PartitionCol))).distinct()
         .collect().map(_.getString(0)).toSeq
       if (affected.nonEmpty) {
         val out = store
-          .filter(col(PartitionCol).cast("string").isin(affected: _*))
+          .filter(partToken(col(PartitionCol)).isin(affected: _*))
           .join(k, Seq(keyCol), "left_anti")
         rewriteAffected(spark, path, affected, out)
       }
@@ -184,7 +194,7 @@ object VectorStore {
         }
       oversized.foreach { case (value, want) =>
         val slice = read(spark, path)
-          .filter(col(PartitionCol).cast("string") === value)
+          .filter(partToken(col(PartitionCol)) === value)
           .coalesce(want)
         rewriteAffected(spark, path, Seq(value), slice)
       }
@@ -222,6 +232,11 @@ object VectorStore {
       .toSet
     if (present.nonEmpty)
       spark.read.parquet(staging.toString)
+        // when staging holds ONLY null-partition rows, partition-type
+        // inference over {__HIVE_DEFAULT_PARTITION__} yields VOID and
+        // partitionBy refuses it — re-impose the source frame's type
+        .withColumn(PartitionCol,
+          col(PartitionCol).cast(out.schema(PartitionCol).dataType))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PartitionCol)

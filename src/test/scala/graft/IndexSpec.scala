@@ -55,24 +55,28 @@ class IndexSpec extends SparkSpec {
     assert(hitCells.subsetOf(routed))
   }
 
+  /** Exact reference ranking: brute-force cosine top-k as (qid, vec_id, rk). */
+  private def bruteTopK(k: Int): Set[(Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qe")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Similarity.cosineIn(spark,
+        col("qe"), col("embedding").cast("array<double>")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
   test("probing every cell reproduces exact brute-force top-k") {
     val got = VectorIndex.query(spark, path, "vec_id", "embedding",
       queries, probes = Cells, k = 5)
       .select(col("qid"), col("vec_id"), col("rk"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qe")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    val brute = emb.crossJoin(broadcast(qdf))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", Similarity.cosineIn(spark,
-        col("qe"), col("embedding").cast("array<double>")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id"), col("rk"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == brute, "all-probes IVF must equal brute force exactly")
+    assert(got == bruteTopK(5), "all-probes IVF must equal brute force exactly")
   }
 
   test("incremental append routes with frozen centroids and keeps exactness") {
@@ -94,19 +98,7 @@ class IndexSpec extends SparkSpec {
       queries, probes = Cells, k = 5)
       .select(col("qid"), col("vec_id"), col("rk"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qe")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    val brute = emb.crossJoin(broadcast(qdf))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", Similarity.cosineIn(spark,
-        col("qe"), col("embedding").cast("array<double>")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("vec_id"), col("rk"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == brute, "all-probes over the appended index must equal brute force")
+    assert(got == bruteTopK(5), "all-probes over the appended index must equal brute force")
   }
 
   test("single-probe results are a subset of brute-force candidates with perfect in-cell ranking") {

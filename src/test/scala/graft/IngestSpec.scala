@@ -99,11 +99,13 @@ class IngestSpec extends SparkSpec {
     val before = VectorStore.read(spark, store)
     val aChunks = before.filter(col("name") === "a.txt").count()
 
-    // land the delta (one update, one new) as a file-source stream
+    // land the delta (one update, one new) as a file-source stream,
+    // carrying the optional source column the batch faces pass through
     val deltaDir = Files.createTempDirectory("landing").toFile.getAbsolutePath
     val delta = filesDf(Seq(
       ("c.txt", "http://x.io/c.txt", t1, "short now".getBytes("UTF-8")),
       ("d.txt", "http://x.io/d.txt", t1, "fresh file content here".getBytes("UTF-8"))))
+      .withColumn("source", lit("sp"))
     delta.coalesce(1).write.mode("append").parquet(deltaDir)
     val stream = spark.readStream.schema(delta.schema).parquet(deltaDir)
     IngestJob.incrementalStream(stream, ledger, store, "2023-02-01",
@@ -112,6 +114,8 @@ class IngestSpec extends SparkSpec {
     val after = VectorStore.read(spark, store)
     assert(after.filter(col("name") === "c.txt").count() == 1, "update applied")
     assert(after.filter(col("name") === "d.txt").count() >= 1, "new file landed")
+    assert(after.filter(col("name") === "d.txt").select("source").head().getString(0) == "sp",
+      "streamed ingest must keep the source column, not blank it")
     assert(after.filter(col("name") === "a.txt").count() == aChunks, "untouched file intact")
     // unchanged ledger rows survive the per-batch overwrite
     assert(graft.pipeline.Ledger.read(spark, ledger).count() == 4)

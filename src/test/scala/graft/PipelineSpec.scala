@@ -231,6 +231,45 @@ class PipelineSpec extends SparkSpec {
     assert(after == before, "compaction must not change the row set")
   }
 
+  test("compact and upsert keep the null (legacy-migrated) partition's rows") {
+    // migrated legacy rows live in load_dt=__HIVE_DEFAULT_PARTITION__
+    // with NULL values; '=' / isin comparisons silently skip nulls, so
+    // partition matching must go through a null-safe token or a
+    // 'layout maintenance' compact() deletes the whole legacy partition
+    val path = Files.createTempDirectory("vstore_null").toFile.getAbsolutePath + "/store"
+    import spark.implicits._
+    (1 to 8).map(i => (s"L$i", "legacy")).toDF("chunk_id", "payload")
+      .repartition(4)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    VectorStore.upsert(spark, path, dtRows(1 to 2, "2023-05-01", "n")) // migrates
+    assert(VectorStore.read(spark, path).filter(col("load_dt").isNull).count() == 8)
+
+    // force fragmentation: land one more file straight into the null dir
+    Seq(("L9", "legacy")).toDF("chunk_id", "payload").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/load_dt=__HIVE_DEFAULT_PARTITION__")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def nullFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path, "load_dt=__HIVE_DEFAULT_PARTITION__"))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    assert(nullFiles() > 1, "fixture must start fragmented")
+    VectorStore.compact(spark, path)
+    val store = VectorStore.read(spark, path)
+    assert(store.filter(col("load_dt").isNull).count() == 9,
+      "compact must rewrite, not delete, the null partition")
+    assert(nullFiles() == 1, "null partition must actually compact")
+
+    // keyed upsert against a legacy row must replace it, not duplicate it
+    VectorStore.upsert(spark, path,
+      Seq(("L3", "replaced", java.sql.Date.valueOf("2023-07-01")))
+        .toDF("chunk_id", "payload", "load_dt"))
+    val l3 = VectorStore.read(spark, path).filter(col("chunk_id") === "L3")
+    assert(l3.count() == 1, "null-partition key must not survive alongside its replacement")
+    assert(l3.select("payload").head().getString(0) == "replaced")
+  }
+
   test("v2 catalog table: append=upsert, SQL delete, overwrite=replace, partition-scoped") {
     val dir = Files.createTempDirectory("vstorev2").toFile
     val path = s"${dir.getAbsolutePath}/store"

@@ -23,6 +23,14 @@ class TiktokenSpec extends SparkSpec {
     assert(Tiktoken.pretokenize("abc 1234!") == Vector("abc", " ", "123", "4", "!"))
     assert(Tiktoken.pretokenize("x\n\ny") == Vector("x", "\n\n", "y"))
     assert(Tiktoken.pretokenize("don't stop") == Vector("don", "'t", " stop"))
+    // Unicode whitespace must take the \s branches, not the
+    // punctuation branch (UNICODE_CHARACTER_CLASS regression guard:
+    // without the flag Java's ascii \s lets [^\s\p{L}\p{N}]+ swallow
+    // the NBSP run together with the '!')
+    assert(Tiktoken.pretokenize("a  !") == Vector("a", " ", " ", "!"))
+    // single NBSP before a letter rides the optional one-char prefix,
+    // same as the original engine
+    assert(Tiktoken.pretokenize("a b") == Vector("a", " b"))
   }
 
   test("byte_pair_merge merges lowest-ranked concatenations first") {
