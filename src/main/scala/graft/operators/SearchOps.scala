@@ -58,6 +58,43 @@ object SearchOps {
   def hashBucket(c: Column, mod: Int): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % mod
 
+  /** Bucket-granular quota selection — the scalable replacement for a
+    * per-row rank when picking `quota` rows per group by hash order:
+    * rows hash into `buckets` buckets per group, a per-group cumulative
+    * bucket count picks the largest threshold bucket whose running
+    * total stays within quota, and the keep rule is a plain
+    * `bucket ≤ threshold` filter. The only window runs over the
+    * BOUNDED (group × buckets) count table; every corpus-sized pass is
+    * a narrow filter or partial-agg shuffle (PlanSpec-asserted via the
+    * two quota queries). n_kept lands ≤ quota, within one bucket's rows
+    * of it, deterministically on both engines.
+    *
+    * `quotas` is (groupCol, quota); joins against it stay UNHINTED —
+    * whether the group table is broadcast-safe depends on whether the
+    * group key grows with the corpus (languages: bounded; domains: NOT).
+    * Output: per group (n_total, quota, n_kept, kept_sum). */
+  def bucketQuota(rows: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, quotas: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = rows.select(col(groupCol), col(idCol),
+      hashBucket(col(idCol).cast("string"), buckets).as("bucket"))
+    val bc = b.groupBy(groupCol, "bucket").agg(count(lit(1)).as("nb"))
+    val cum = bc.withColumn("cum",
+      sum("nb").over(Window.partitionBy(groupCol).orderBy("bucket")))
+    val thr = cum.join(quotas, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(max(when(col("cum") <= col("quota"), col("bucket")).otherwise(lit(-1L))).as("tbkt"))
+    b.join(thr, Seq(groupCol)).join(quotas, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_total"),
+        max(col("quota")).cast("long").as("quota"),
+        sum(when(col("bucket") <= col("tbkt"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("bucket") <= col("tbkt"), col(idCol)).otherwise(lit(0L)))
+          .cast("long").as("kept_sum"))
+      .orderBy(groupCol)
+  }
+
   /** DuckDB mirror: no `conv`, so the 8 nibbles are accumulated with
     * ascii arithmetic (same trick as [[DedupOps.simhash16Sql]]). */
   def hashBucketSql(e: String, mod: Int): String = {

@@ -612,25 +612,11 @@ object SearchQueries {
        |FROM b JOIN thr t ON t.source = b.source JOIN cap ON cap.source = b.source
        |GROUP BY b.source
        |ORDER BY b.source""".stripMargin) { (s, d) =>
-    val c = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
-    val cap = c.select(col("source"),
-      greatest(lit(1L), floor(sqrt(col("n_src").cast("double"))).cast("long")).as("cap"))
-    val b = docs(s, d).select(col("source"), col("doc_id"),
-      SearchOps.hashBucket(col("doc_id").cast("string"), 1000).as("bucket"))
-    val bc = b.groupBy("source", "bucket").agg(count(lit(1)).as("nb"))
-    val cum = bc.withColumn("cum",
-      sum("nb").over(Window.partitionBy("source").orderBy("bucket")))
-    val thr = cum.join(cap, Seq("source"))
-      .groupBy("source")
-      .agg(max(when(col("cum") <= col("cap"), col("bucket")).otherwise(lit(-1L))).as("tbkt"))
-    b.join(thr, Seq("source")).join(cap, Seq("source"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_total"),
-        max(col("cap")).cast("long").as("cap"),
-        sum(when(col("bucket") <= col("tbkt"), 1).otherwise(0)).cast("long").as("n_kept"),
-        sum(when(col("bucket") <= col("tbkt"), col("doc_id")).otherwise(lit(0L)))
-          .cast("long").as("kept_sum"))
-      .orderBy("source")
+    val quotas = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
+      .select(col("source"),
+        greatest(lit(1L), floor(sqrt(col("n_src").cast("double"))).cast("long")).as("quota"))
+    SearchOps.bucketQuota(docs(s, d), "source", "doc_id", quotas, 1000)
+      .withColumnRenamed("quota", "cap")
   }
 
   private val TempTarget = 200L
@@ -683,28 +669,13 @@ object SearchQueries {
        |FROM b JOIN thr t ON t.lang = b.lang JOIN alloc a ON a.lang = b.lang
        |GROUP BY b.lang
        |ORDER BY b.lang""".stripMargin) { (s, d) =>
-    val c = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val wdf = c.select(col("lang"),
-      floor(sqrt(col("n_lang").cast("double"))).cast("long").as("wl"))
-    val tot = wdf.agg(sum("wl").as("sw"))
-    val alloc = wdf.crossJoin(broadcast(tot))
-      .select(col("lang"), expr(s"(${TempTarget}L * wl) div sw").as("alloc"))
-    val b = docs(s, d).select(col("lang"), col("doc_id"),
-      SearchOps.hashBucket(col("doc_id").cast("string"), 10000).as("bucket"))
-    val bc = b.groupBy("lang", "bucket").agg(count(lit(1)).as("nb"))
-    val cum = bc.withColumn("cum",
-      sum("nb").over(Window.partitionBy("lang").orderBy("bucket")))
-    val thr = cum.join(alloc, Seq("lang"))
-      .groupBy("lang")
-      .agg(max(when(col("cum") <= col("alloc"), col("bucket")).otherwise(lit(-1L))).as("tbkt"))
-    b.join(thr, Seq("lang")).join(alloc, Seq("lang"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_total"),
-        max(col("alloc")).cast("long").as("alloc"),
-        sum(when(col("bucket") <= col("tbkt"), 1).otherwise(0)).cast("long").as("n_kept"),
-        sum(when(col("bucket") <= col("tbkt"), col("doc_id")).otherwise(lit(0L)))
-          .cast("long").as("kept_sum"))
-      .orderBy("lang")
+    val wdf = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .select(col("lang"),
+        floor(sqrt(col("n_lang").cast("double"))).cast("long").as("wl"))
+    val quotas = wdf.crossJoin(broadcast(wdf.agg(sum("wl").as("sw"))))
+      .select(col("lang"), expr(s"(${TempTarget}L * wl) div sw").as("quota"))
+    SearchOps.bucketQuota(docs(s, d), "lang", "doc_id", quotas, 10000)
+      .withColumnRenamed("quota", "alloc")
   }
 
   // ---- connected components over the dedup candidate graph --------------
