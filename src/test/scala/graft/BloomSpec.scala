@@ -50,6 +50,13 @@ class BloomSpec extends SparkSpec {
     assert(fp < 60, s"false-positive count $fp far above the ~16 expected")
   }
 
+  test("hash-count and bit-width bounds are enforced") {
+    // position nine would overflow the 60-bit double-hash sum
+    intercept[IllegalArgumentException](new BloomOps.BloomAggregator(M, 9))
+    intercept[IllegalArgumentException](new BloomOps.BloomAggregator(100, K))
+    intercept[IllegalArgumentException](BloomOps.mightContain(Seq(0L), 64, 0)(col("x")))
+  }
+
   test("set bits are exactly the positions arithmetic says") {
     val keys = Seq("alpha", "beta", "gamma")
     val bits = build(keys, 2)
