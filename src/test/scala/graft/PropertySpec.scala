@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.operators.{BpeOps, Tiktoken}
+import graft.sources.OfficeParsers
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the pure (driver-side) kernels: the
+  * two BPE faces, the rank-file codec, and the office-format fixture
+  * writers against their parsers. These are the pieces whose input
+  * space is too big for goldens — fuzzing them guards the exact
+  * contracts the golden specs sample: tokenization is a partition of
+  * the input (nothing dropped, nothing invented), codecs round-trip,
+  * and parse(make(x)) == x for every writer/reader pair.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Fixed seed: a failure here must reproduce on re-run (same
+    * determinism bar as the cross-engine oracle queries). */
+  private def check(name: String, min: Int = 100)(prop: Prop): Unit =
+    test(name) {
+      val params = SCTest.Parameters.default
+        .withMinSuccessfulTests(min)
+        .withInitialSeed(Seed(0xA11CE5EEDL))
+      val res = SCTest.check(params, prop)
+      assert(res.passed, res.status.toString)
+    }
+
+  // ---- generators --------------------------------------------------------
+
+  /** Well-formed unicode text: pieces (never lone surrogates) spanning
+    * the cl100k pre-tokenizer's branch space — letters, digits,
+    * contractions, ASCII + unicode whitespace, punctuation runs,
+    * latin-extended, CJK, and supplementary-plane emoji. */
+  private val genTextPiece: Gen[String] = Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.oneOf(" ", "\t", "\n", "\r\n", " ", " ", "  "),
+    3 -> Gen.oneOf("!", "?", ".", ",", "'s", "'t", "n't", "--", "\"", "(", ")", "/", "@", "#"),
+    2 -> Gen.choose('À', 'ɏ').map(_.toString),
+    1 -> Gen.oneOf("日", "本", "ε", "Ж", "😀", "🚀"),
+  )
+  private val genText: Gen[String] = Gen.listOf(genTextPiece).map(_.mkString)
+
+  private def latin1(b: Int): String = new String(Array(b.toByte), StandardCharsets.ISO_8859_1)
+
+  private val byteSingletons: Map[String, Int] = (0 until 256).map(b => latin1(b) -> b).toMap
+
+  /** A structurally valid tiktoken rank table: the 256 byte singletons
+    * plus merges, each the concatenation of two earlier tokens (the
+    * invariant real BPE vocabularies have by construction). */
+  private val genRankTable: Gen[Map[String, Int]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 4095), Gen.choose(0, 4095))).map { picks =>
+      val toks = scala.collection.mutable.ArrayBuffer.from((0 until 256).map(latin1))
+      val ranks = scala.collection.mutable.Map.from(byteSingletons)
+      picks.foreach { case (i, j) =>
+        val t = toks(i % toks.length) + toks(j % toks.length)
+        if (!ranks.contains(t)) { ranks(t) = ranks.size; toks += t }
+      }
+      ranks.toMap
+    }
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  // ---- tiktoken serving face ---------------------------------------------
+
+  check("pretokenize is a partition: pieces concatenate back to the input") {
+    Prop.forAll(genText) { s => Tiktoken.pretokenize(s).mkString == s }
+  }
+
+  check("byte_pair_merge preserves bytes; every merged part is in-vocabulary") {
+    Prop.forAll(genBytes, genRankTable) { (bytes, ranks) =>
+      val parts = Tiktoken.encode(bytes, ranks)
+      val rejoined = parts.mkString.getBytes(StandardCharsets.ISO_8859_1)
+      java.util.Arrays.equals(rejoined, bytes) &&
+        parts.forall(p => p.length == 1 || ranks.contains(p))
+    }
+  }
+
+  check("singleton-only vocabulary tokenizes to exactly the UTF-8 byte count") {
+    Prop.forAll(genText) { s =>
+      Tiktoken.countTokens(s, byteSingletons) == s.getBytes(StandardCharsets.UTF_8).length
+    }
+  }
+
+  check("merges never increase the token count") {
+    Prop.forAll(genText, genRankTable) { (s, ranks) =>
+      Tiktoken.countTokens(s, ranks) <= s.getBytes(StandardCharsets.UTF_8).length
+    }
+  }
+
+  check("rank-file format round-trips arbitrary byte-token tables") {
+    val genToken = Gen.nonEmptyListOf(Gen.choose(0, 255)).map(_.map(latin1).mkString)
+    val genTable = Gen.mapOf(Gen.zip(genToken, Gen.choose(0, Int.MaxValue)))
+    Prop.forAll(genTable) { m =>
+      Tiktoken.parseRanks(Tiktoken.formatRanks(m).linesIterator) == m
+    }
+  }
+
+  // ---- trained-BPE face --------------------------------------------------
+
+  private val genWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString).map(_.take(12))
+
+  check("greedy encode preserves the word under any merge table") {
+    val genPairs = Gen.listOf(Gen.zip(genWord, genWord))
+      .map(_.zipWithIndex.toMap)
+    Prop.forAll(genWord, genPairs) { (w, rank) =>
+      BpeOps.encode(w, rank).mkString == w
+    }
+  }
+
+  check("training to exhaustion on one word compresses it to one token") {
+    Prop.forAll(genWord) { w =>
+      val rank = BpeOps.trainMerges(Seq(w -> 1L), w.length).zipWithIndex.toMap
+      BpeOps.encode(w, rank) == Vector(w)
+    }
+  }
+
+  check("merge selection is invariant to uniform frequency scaling") {
+    val genCounts = Gen.nonEmptyListOf(Gen.zip(genWord, Gen.choose(1L, 50L)))
+    Prop.forAll(genCounts, Gen.choose(2L, 1000L)) { (wc, k) =>
+      BpeOps.trainMerges(wc, 6) == BpeOps.trainMerges(wc.map { case (w, c) => (w, c * k) }, 6)
+    }
+  }
+
+  // ---- office fixture writers vs parsers ---------------------------------
+
+  private val genPrintable: Gen[String] = Gen.nonEmptyListOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', '&', '<', '>', '"', '\'', ';', ','),
+    2 -> Gen.choose('À', 'ɏ'),
+    1 -> Gen.oneOf('日', 'Ж'),
+  )).map(_.mkString)
+
+  check("docx writer/parser round-trip is exact", min = 50) {
+    Prop.forAll(genPrintable) { t =>
+      OfficeParsers.docxText(OfficeParsers.makeDocx(t)) == t
+    }
+  }
+
+  check("pptx writer/parser round-trip is exact", min = 50) {
+    Prop.forAll(genPrintable.map(_.trim).suchThat(_.nonEmpty)) { t =>
+      OfficeParsers.pptxText(OfficeParsers.makePptx(t)) == t
+    }
+  }
+
+  check("eml base64 multipart round-trip is exact, incl. MIME-wrapped bodies", min = 50) {
+    // long multi-line unicode bodies force the 76-char base64 line wrap
+    val genBody = Gen.zip(genText, Gen.choose(1, 4)).map { case (s, n) => (s + "\n") * n + s }
+    Prop.forAll(genBody) { t =>
+      OfficeParsers.emlText(OfficeParsers.makeEml(t)) == t
+    }
+  }
+
+  check("pdf Flate writer/parser round-trip is exact", min = 50) {
+    val genPdfText = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '(', ')', '\\', '<', '>', '[', ']', '/'),
+      1 -> Gen.choose('¡', 'ÿ'),
+    )).map(_.mkString)
+    Prop.forAll(genPdfText) { t =>
+      OfficeParsers.pdfText(OfficeParsers.makePdf(t)) == t
+    }
+  }
+
+  check("xlsx shared-strings round-trip preserves ragged string rows", min = 50) {
+    val genRows = Gen.nonEmptyListOf(Gen.nonEmptyListOf(genPrintable).map(_.take(5))).map(_.take(8))
+    Prop.forAll(genRows) { rows =>
+      OfficeParsers.xlsxRows(OfficeParsers.makeXlsx(rows)) == rows
+    }
+  }
+
+  check("msg CFB mini-stream round-trip is exact", min = 50) {
+    val genShort = genPrintable.map(_.take(300))
+    Prop.forAll(genShort, genShort) { (subj, body) =>
+      OfficeParsers.msgText(OfficeParsers.makeMsg(subj, body)) == s"Subject: $subj\n\n$body"
+    }
+  }
+}
