@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{Chunkers, TextFunctions => TF}
+import graft.functions.{Chunkers, Similarity, TextFunctions => TF}
 import graft.operators.{DedupOps, SearchOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -182,9 +182,11 @@ object SearchQueries {
     * Scale: tf table is filtered to the query terms BEFORE any join
     * (3·N rows max), df/avgdl are scalar broadcasts; nothing here is
     * quadratic. */
-  val qBm25Search: QueryDef = QueryDef.sql(
-    "q_bm25_search",
-    s"""WITH tok AS (
+  /** WITH-clause body of the BM25 scorer, ending at CTE `bm` =
+    * (doc_id, score). Shared by q_bm25_search and q_hybrid_rrf so both
+    * engines score the identical lexical leg. */
+  private def bm25Ctes: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(${Chunkers.wordsSql(TF.cleanTextSql("text"))}) AS term
        |  FROM documents
        |), dl AS (
@@ -207,15 +209,18 @@ object SearchQueries {
        |  JOIN dl ON dl.doc_id = tf.doc_id
        |  JOIN df ON df.term = tf.term
        |  CROSS JOIN stats
-       |)
-       |SELECT doc_id,
-       |  COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0.0)
-       |    + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0.0)
-       |    + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0.0) AS score
-       |FROM part
-       |GROUP BY doc_id
-       |ORDER BY score DESC, doc_id
-       |LIMIT 25""".stripMargin) { (s, d) =>
+       |), bm AS (
+       |  SELECT doc_id,
+       |    COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), 0.0)
+       |      + COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0.0)
+       |      + COALESCE(MAX(CASE WHEN term = 'join' THEN s END), 0.0) AS score
+       |  FROM part
+       |  GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Spark face of [[bm25Ctes]]: (doc_id, score) for every document
+    * containing at least one query term. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d).select(col("doc_id"),
       explode(Chunkers.words(TF.cleanText(col("text")))).as("term"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -236,7 +241,88 @@ object SearchQueries {
       .agg((coalesce(max(when(col("term") === "vector", col("s"))), lit(0.0))
         + coalesce(max(when(col("term") === "hash", col("s"))), lit(0.0))
         + coalesce(max(when(col("term") === "join", col("s"))), lit(0.0))).as("score"))
+  }
+
+  val qBm25Search: QueryDef = QueryDef.sql(
+    "q_bm25_search",
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score FROM bm
+       |ORDER BY score DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  /** HYBRID retrieval via reciprocal rank fusion (Cormack et al.,
+    * SIGIR '09): fuse the BM25 lexical ranking ([[bm25Ctes]]) with a
+    * dense cosine ranking against a query embedding (vec_id 0 — the
+    * test corpus keys `embeddings.vec_id` to `documents.doc_id`), each
+    * side truncated to its top-64 list, scored 1/(60+rank) and summed.
+    * This is the standard RAG retrieval shape: lexical and dense legs
+    * run independently, only their RANK LISTS meet.
+    *
+    * Scale: each leg ends in a distributed partial top-k
+    * (TakeOrderedAndProject), so the only single-partition work — the
+    * rank window and the outer-join fusion — runs on two 64-row lists,
+    * bounded by the fusion depth, never the corpus. The dense leg is
+    * brute-force here; at 100 TB it swaps for the IVF route
+    * ([[SimilarityQueries.qKnnIvf]]) without touching the fusion.
+    *
+    * Determinism: ranks are integers with unique-key tie-breaks;
+    * 1/(60+rank) is one exact-IEEE division, and the fusion sum is a
+    * fixed-order two-term add — engine-exact. */
+  val qHybridRrf: QueryDef = QueryDef.sql(
+    "q_hybrid_rrf",
+    s"""WITH $bm25Ctes, bm_top AS (
+       |  SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 64
+       |), bm_rank AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_t
+       |  FROM bm_top
+       |), t AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), qv AS (
+       |  SELECT e AS qe FROM t WHERE vec_id = 0
+       |), vec_top AS (
+       |  SELECT vec_id AS doc_id, ${Similarity.cosineSql("qe", "e")} AS sim
+       |  FROM t, qv WHERE vec_id <> 0
+       |  ORDER BY sim DESC, doc_id LIMIT 64
+       |), vec_rank AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_v
+       |  FROM vec_top
+       |), fused AS (
+       |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.rank_t, v.rank_v,
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + t.rank_t AS DOUBLE), CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + v.rank_v AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM bm_rank t FULL OUTER JOIN vec_rank v ON v.doc_id = t.doc_id
+       |)
+       |SELECT doc_id, rank_t, rank_v, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    val bmTop = bm25Scores(s, d).orderBy(col("score").desc, col("doc_id")).limit(64)
+    val bmRank = bmTop
+      .withColumn("rank_t",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_t")
+    val t = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val qv = t.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val vecTop = t.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Similarity.cosineIn(s, col("qe"), col("e")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(64)
+    val vecRank = vecTop
+      .withColumn("rank_v",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_v")
+    bmRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_t"), col("rank_v"),
+        (coalesce(lit(1).cast("double") / (lit(60) + col("rank_t")).cast("double"), lit(0).cast("double"))
+          + coalesce(lit(1).cast("double") / (lit(60) + col("rank_v")).cast("double"), lit(0).cast("double"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(25)
   }
 
@@ -756,7 +842,7 @@ object SearchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHeavyHitters, qDocBigramLm,
+    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHybridRrf, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qDedupComponents)
 }

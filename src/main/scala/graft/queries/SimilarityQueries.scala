@@ -424,5 +424,107 @@ object SimilarityQueries {
       .orderBy("cid")
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup)
+  private val PqSubs = 4
+  private val PqSubDim = Dim / PqSubs
+  private val PqK = 4
+  private val PqIters = 2
+
+  /** PRODUCT quantization (Jégou et al., PAMI '11): split each
+    * embedding into `PqSubs` contiguous subvectors and run the shared
+    * deterministic Lloyd recipe INDEPENDENTLY per subspace — a vector
+    * compresses to `PqSubs` centroid codes (log₂K bits each, vs
+    * Dim·4 bytes of floats), the memory trick behind IVF-PQ indexes.
+    * Output: per-vector code word + exact integer reconstruction error
+    * for the first 50 vectors.
+    *
+    * Scale: all `PqSubs` trainings ride ONE set of shuffles — the
+    * subspace id is just another grouping key, so cost matches a single
+    * k-means, not M of them. Assignment joins a broadcast centroid
+    * table bounded by K·Dim (never corpus-growing); codes/error are one
+    * groupBy on vec_id.
+    *
+    * Determinism: identical to q_knn_kmeans — 2²⁰ integer grid, exact
+    * integer squared distances, argmin ties on cid, means rounded back
+    * to the grid; init is subvectors of the first `PqK` vectors. */
+  val qEmbedPq: QueryDef = {
+    def iterCtes(i: Int, prevCent: String): String =
+      s"""pdist$i AS (
+         |  SELECT s.vec_id, s.sub, c.cid, SUM((s.uq - c.c) * (s.uq - c.c)) AS d
+         |  FROM scomp s JOIN $prevCent c ON s.pos = c.pos
+         |  GROUP BY s.vec_id, s.sub, c.cid
+         |), passign$i AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+         |    FROM pdist$i) WHERE rn = 1
+         |), pcent$i AS (
+         |  SELECT a.cid, s.pos,
+         |    CAST(ROUND(CAST(SUM(s.uq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+         |  FROM scomp s JOIN passign$i a ON s.vec_id = a.vec_id AND s.sub = a.sub
+         |  GROUP BY a.cid, s.pos
+         |)""".stripMargin
+    val iters = (1 to PqIters)
+      .map(i => iterCtes(i, if (i == 1) "pcent0" else s"pcent${i - 1}"))
+      .mkString(", ")
+    QueryDef.sql(
+      "q_embed_pq",
+      s"""WITH comp AS (
+         |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
+         |    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0) AS BIGINT) AS uq
+         |  FROM embeddings
+         |), scomp AS (
+         |  SELECT vec_id, pos, pos // $PqSubDim AS sub, uq FROM comp
+         |), pcent0 AS (
+         |  SELECT vec_id AS cid, pos, uq AS c FROM scomp WHERE vec_id < $PqK
+         |), $iters, perr AS (
+         |  SELECT s.vec_id, CAST(SUM((s.uq - c.c) * (s.uq - c.c)) AS BIGINT) AS err
+         |  FROM scomp s
+         |  JOIN passign$PqIters a ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |  JOIN pcent$PqIters c ON c.cid = a.cid AND c.pos = s.pos
+         |  GROUP BY s.vec_id
+         |), pcodes AS (
+         |  SELECT vec_id,
+         |    ${(0 until PqSubs).map(j =>
+               s"MAX(CASE WHEN sub = $j THEN cid END) AS c$j").mkString(",\n    ")}
+         |  FROM passign$PqIters GROUP BY vec_id
+         |)
+         |SELECT p.vec_id, ${(0 until PqSubs).map(j => s"p.c$j").mkString(", ")}, e.err
+         |FROM pcodes p JOIN perr e ON e.vec_id = p.vec_id
+         |WHERE p.vec_id < 50
+         |ORDER BY p.vec_id""".stripMargin) { (s, d) =>
+      val comp = emb(s, d)
+        .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), expr(s"pos div $PqSubDim").as("sub"),
+          round(col("v") * 1048576.0d).cast("long").as("uq"))
+      var cent = comp.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
+      var assign: DataFrame = null
+      for (_ <- 1 to PqIters) {
+        val dist = comp.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("sub"), col("cid"))
+          .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+        val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("cid"))
+        assign = dist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("vec_id", "sub", "cid")
+        cent = comp.join(assign, Seq("vec_id", "sub"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
+            .cast("long").as("c"))
+      }
+      val err = comp.join(assign, Seq("vec_id", "sub"))
+        .join(broadcast(cent), Seq("cid", "pos"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).cast("long").as("err"))
+      val codes = assign.groupBy("vec_id").agg(
+        max(when(col("sub") === 0, col("cid"))).as("c0"),
+        max(when(col("sub") === 1, col("cid"))).as("c1"),
+        max(when(col("sub") === 2, col("cid"))).as("c2"),
+        max(when(col("sub") === 3, col("cid"))).as("c3"))
+      codes.join(err, "vec_id").filter(col("vec_id") < 50)
+        .select("vec_id", "c0", "c1", "c2", "c3", "err")
+        .orderBy("vec_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq)
 }

@@ -174,6 +174,31 @@ class PlanSpec extends SparkSpec {
       s"q_sample_temperature's cumulative window must partition by lang:\n$pTmp")
   }
 
+  test("q_hybrid_rrf legs end in partial top-k; windows only see the lists") {
+    // each retrieval leg must finish with a distributed
+    // TakeOrderedAndProject(limit=64) so the global rank windows and
+    // the fusion join run over fusion-depth-bounded lists — the corpus
+    // never crosses an unpartitioned window
+    val p = phys(queries.SearchQueries.qHybridRrf.run(spark, sf))
+    assert("TakeOrderedAndProject\\(limit=64".r.findAllIn(p).size == 2,
+      s"both the BM25 and cosine legs must truncate via partial top-k:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=25"),
+      s"the fused ranking must end in a partial top-k too:\n$p")
+  }
+
+  test("q_embed_pq trains all subspaces in shared parallel stages") {
+    val p = phys(queries.SimilarityQueries.qEmbedPq.run(spark, sf))
+    // argmin per (vec_id, sub) must be a partial group-limit window,
+    // and the corpus must never funnel through one task
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"PQ assignment needs the map-side partial argmin:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"PQ training/encoding must stay parallel end to end:\n$p")
+    // centroid tables are K·Dim-bounded: assignment joins broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid assignment join should broadcast the bounded centroid table:\n$p")
+  }
+
   test("domain-cap joins are never hint-broadcast (domains grow with the corpus)") {
     // distinct domains grow with a crawl corpus, so the per-source
     // cap/threshold tables are corpus-growing — same de-broadcast rule
