@@ -792,6 +792,85 @@ object SearchQueries {
     * the partitioning); `localCheckpoint` cuts the growing lineage (a
     * cluster job would use `checkpoint` to HDFS). Driver holds only
     * the convergence counter, never the graph. */
+  private val PrIters = 3
+  private val PrUnit = 1000000000000L // 10¹² rank units
+
+  /** PAGERANK over the supplier↔customer trade graph (edges are the
+    * DISTINCT supplier–customer pairs that share a lineitem, both
+    * directions, node ids parity-namespaced 2·suppkey / 2·custkey+1) —
+    * the link-analysis member of the Pregel-by-join family next to
+    * [[qDedupComponents]]'s min-label propagation. `PrIters` damped
+    * (d=0.85) power iterations, fully unrolled on both engines.
+    *
+    * Scale: one iteration = the contribution join keyed on src + one
+    * inflow shuffle keyed on dst — linear in edges, the standard
+    * distributed PageRank shape; the only broadcast is the single-row
+    * node count. No corpus-sized window, no driver materialization.
+    *
+    * Determinism: ranks live on an exact 10¹² integer grid; every step is
+    * integer floor division (`div` / `//`), so partial-sum order can't
+    * perturb anything. Floor loss (the evaporated dangling/rounding
+    * mass) is identical on both engines by construction. */
+  val qPageRank: QueryDef = {
+    def iterSql(i: Int): String = {
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s"""contrib$i AS (
+         |  SELECT e.dst, p.pr // o.od AS c
+         |  FROM edges e JOIN $prev p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+         |), pr$i AS (
+         |  SELECT n.node,
+         |    (15 * ($PrUnit // ns.n)) // 100
+         |      + (85 * COALESCE(CAST(SUM(c.c) AS BIGINT), 0)) // 100 AS pr
+         |  FROM nodes n CROSS JOIN ns LEFT JOIN contrib$i c ON c.dst = n.node
+         |  GROUP BY n.node, ns.n
+         |)""".stripMargin
+    }
+    QueryDef.sql(
+      "q_pagerank",
+      s"""WITH base AS (
+         |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |), edges AS (
+         |  SELECT src, dst FROM base UNION ALL SELECT dst AS src, src AS dst FROM base
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), ns AS (
+         |  SELECT COUNT(*) AS n FROM nodes
+         |), outdeg AS (
+         |  SELECT src, COUNT(*) AS od FROM edges GROUP BY src
+         |), pr0 AS (
+         |  SELECT node, $PrUnit // ns.n AS pr FROM nodes CROSS JOIN ns
+         |), ${(1 to PrIters).map(iterSql).mkString(", ")}
+         |SELECT node, pr FROM pr$PrIters
+         |ORDER BY pr DESC, node
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+      val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val ns = nodes.agg(count(lit(1)).as("n"))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      var pr = nodes.crossJoin(broadcast(ns))
+        .select(col("node"), expr(s"$PrUnit div n").as("pr"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst"), expr("pr div od").as("c"))
+        pr = nodes.crossJoin(broadcast(ns))
+          .join(contrib, col("node") === col("dst"), "left")
+          .groupBy(col("node"), col("n"))
+          .agg(expr(s"(15 * ($PrUnit div n)) div 100"
+            + " + (85 * coalesce(sum(c), 0L)) div 100").as("pr"))
+          .select("node", "pr")
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(20)
+    }
+  }
+
   val qDedupComponents: QueryDef = QueryDef.sql(
     "q_dedup_components",
     s"""WITH RECURSIVE pairs AS (
@@ -844,5 +923,5 @@ object SearchQueries {
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHybridRrf, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
-    qDomainCap, qSampleTemperature, qDedupComponents)
+    qDomainCap, qSampleTemperature, qDedupComponents, qPageRank)
 }

@@ -446,7 +446,11 @@ object SimilarityQueries {
     * Determinism: identical to q_knn_kmeans — 2²⁰ integer grid, exact
     * integer squared distances, argmin ties on cid, means rounded back
     * to the grid; init is subvectors of the first `PqK` vectors. */
-  val qEmbedPq: QueryDef = {
+  /** WITH-clause body of the per-subspace Lloyd trainer: CTEs `scomp`
+    * (vec_id, pos, sub, uq) through `passign$PqIters` / `pcent$PqIters`.
+    * Shared by q_embed_pq and q_knn_pq so both engines train the
+    * identical product quantizer. */
+  private def pqCtes: String = {
     def iterCtes(i: Int, prevCent: String): String =
       s"""pdist$i AS (
          |  SELECT s.vec_id, s.sub, c.cid, SUM((s.uq - c.c) * (s.uq - c.c)) AS d
@@ -466,17 +470,48 @@ object SimilarityQueries {
     val iters = (1 to PqIters)
       .map(i => iterCtes(i, if (i == 1) "pcent0" else s"pcent${i - 1}"))
       .mkString(", ")
+    s"""comp AS (
+       |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
+       |    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0) AS BIGINT) AS uq
+       |  FROM embeddings
+       |), scomp AS (
+       |  SELECT vec_id, pos, pos // $PqSubDim AS sub, uq FROM comp
+       |), pcent0 AS (
+       |  SELECT vec_id AS cid, pos, uq AS c FROM scomp WHERE vec_id < $PqK
+       |), $iters""".stripMargin
+  }
+  private def pqLastAssign: String = s"passign$PqIters"
+  private def pqLastCent: String = s"pcent$PqIters"
+
+  /** Spark face of [[pqCtes]]: (scomp, assign, cent) after `PqIters`
+    * per-subspace Lloyd rounds on the 2²⁰ integer grid. */
+  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val comp = emb(s, d)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), expr(s"pos div $PqSubDim").as("sub"),
+        round(col("v") * 1048576.0d).cast("long").as("uq"))
+    var cent = comp.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
+    var assign: DataFrame = null
+    for (_ <- 1 to PqIters) {
+      val dist = comp.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+      val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("cid"))
+      assign = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "sub", "cid")
+      cent = comp.join(assign, Seq("vec_id", "sub"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("c"))
+    }
+    (comp, assign, cent)
+  }
+
+  val qEmbedPq: QueryDef = {
     QueryDef.sql(
       "q_embed_pq",
-      s"""WITH comp AS (
-         |  SELECT vec_id, unnest(range(0, $Dim)) AS pos,
-         |    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0) AS BIGINT) AS uq
-         |  FROM embeddings
-         |), scomp AS (
-         |  SELECT vec_id, pos, pos // $PqSubDim AS sub, uq FROM comp
-         |), pcent0 AS (
-         |  SELECT vec_id AS cid, pos, uq AS c FROM scomp WHERE vec_id < $PqK
-         |), $iters, perr AS (
+      s"""WITH $pqCtes, perr AS (
          |  SELECT s.vec_id, CAST(SUM((s.uq - c.c) * (s.uq - c.c)) AS BIGINT) AS err
          |  FROM scomp s
          |  JOIN passign$PqIters a ON a.vec_id = s.vec_id AND a.sub = s.sub
@@ -492,25 +527,7 @@ object SimilarityQueries {
          |FROM pcodes p JOIN perr e ON e.vec_id = p.vec_id
          |WHERE p.vec_id < 50
          |ORDER BY p.vec_id""".stripMargin) { (s, d) =>
-      val comp = emb(s, d)
-        .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"), expr(s"pos div $PqSubDim").as("sub"),
-          round(col("v") * 1048576.0d).cast("long").as("uq"))
-      var cent = comp.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
-      var assign: DataFrame = null
-      for (_ <- 1 to PqIters) {
-        val dist = comp.join(broadcast(cent), Seq("pos"))
-          .groupBy(col("vec_id"), col("sub"), col("cid"))
-          .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
-        val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("cid"))
-        assign = dist.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("vec_id", "sub", "cid")
-        cent = comp.join(assign, Seq("vec_id", "sub"))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
-            .cast("long").as("c"))
-      }
+      val (comp, assign, cent) = pqTrain(s, d)
       val err = comp.join(assign, Seq("vec_id", "sub"))
         .join(broadcast(cent), Seq("cid", "pos"))
         .groupBy(col("vec_id"))
@@ -526,5 +543,58 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq)
+  /** PQ kNN via ASYMMETRIC distance computation (the ADC serving path
+    * of Jégou et al.'s IVF-PQ): per query, an exact-integer lookup
+    * table of squared distances from the query's subvectors to every
+    * per-subspace centroid; a vector's approximate distance is then the
+    * SUM of `PqSubs` LUT entries selected by its code word — the raw
+    * corpus vectors are never touched at search time.
+    *
+    * Scale: this is why PQ indexes fit in memory — search reads only
+    * the code table (PqSubs small ints per vector) and joins a
+    * broadcast LUT bounded by queries·PqSubs·PqK, never corpus-sized;
+    * the per-query top-k is the same WindowGroupLimit partial shape as
+    * q_knn_bruteforce. Recall loss vs exact cosine is the PQ trade —
+    * q_embed_pq's reconstruction error quantifies it.
+    *
+    * Determinism: LUT entries and their sums are exact integers on the
+    * 2²⁰ grid; ties break on vec_id. */
+  val qKnnPq: QueryDef = QueryDef.sql(
+    "q_knn_pq",
+    s"""WITH $pqCtes, lut AS (
+       |  SELECT s.vec_id AS qid, s.sub, c.cid, SUM((s.uq - c.c) * (s.uq - c.c)) AS d
+       |  FROM scomp s JOIN $pqLastCent c ON s.pos = c.pos
+       |  WHERE s.vec_id < $NQueries
+       |  GROUP BY s.vec_id, s.sub, c.cid
+       |), scored AS (
+       |  SELECT l.qid, a.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist
+       |  FROM $pqLastAssign a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+       |  WHERE a.vec_id <> l.qid
+       |  GROUP BY l.qid, a.vec_id
+       |)
+       |SELECT qid, vec_id, adist, rk FROM (
+       |  SELECT qid, vec_id, adist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rk
+       |  FROM scored
+       |) WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val (comp, assign, cent) = pqTrain(s, d)
+    val lut = comp.filter(col("vec_id") < NQueries)
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+      .withColumnRenamed("vec_id", "qid")
+    val scored = assign.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adist"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("qid", "vec_id", "adist", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq)
 }

@@ -186,6 +186,30 @@ class PlanSpec extends SparkSpec {
       s"the fused ranking must end in a partial top-k too:\n$p")
   }
 
+  test("q_knn_pq searches codes via broadcast LUT and partial top-k") {
+    val p = phys(queries.SimilarityQueries.qKnnPq.run(spark, sf))
+    // ADC search must join the bounded LUT/centroid tables broadcast
+    // and bound the per-query top-k map-side
+    assert(p.contains("BroadcastHashJoin"),
+      s"LUT/centroid joins should broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-query top-k needs the map-side partial group limit:\n$p")
+  }
+
+  test("q_pagerank never hint-broadcasts the corpus-growing tables") {
+    // rank and edge tables grow with the corpus: with the size-based
+    // threshold off, any BroadcastHashJoin left in the plan could only
+    // come from an (incorrect) explicit hint — the single-row node
+    // count broadcast rides a nested-loop cross join and is exempt
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = phys(queries.SearchQueries.qPageRank.run(spark, sf))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"edges/rank/outdeg joins must shuffle, not broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_embed_pq trains all subspaces in shared parallel stages") {
     val p = phys(queries.SimilarityQueries.qEmbedPq.run(spark, sf))
     // argmin per (vec_id, sub) must be a partial group-limit window,
