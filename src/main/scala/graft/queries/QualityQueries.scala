@@ -267,5 +267,48 @@ object QualityQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality, qDsirScore)
+  private val NegBuckets = 64
+  private val NegPerAnchor = 2
+
+  /** Deterministic CONTRASTIVE negative sampling: every document
+    * (anchor) pairs with the representatives of the `NegPerAnchor`
+    * hash-adjacent buckets — the uniform random-negative baseline for
+    * contrastive embedding training (hard-negative mining is the
+    * ANN path, [[SimilarityQueries]] `q_knn_*`). Bucketing is the
+    * shared md5 hash, so the pairing is reproducible across engines,
+    * partitionings and reruns — the property a training-data pipeline
+    * needs so shuffling the corpus doesn't change the dataset.
+    *
+    * Scale: the representative table is bounded by the FIXED bucket
+    * count (broadcast-legitimate, unlike corpus-growing domains), the
+    * anchor side is one narrow pass + broadcast join — no window, no
+    * corpus shuffle at all. */
+  val qNegativePairs: QueryDef = QueryDef.sql(
+    "q_negative_pairs",
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", NegBuckets)} AS bucket
+       |  FROM documents
+       |), reps AS (
+       |  SELECT bucket, MIN(doc_id) AS neg_id FROM b GROUP BY bucket
+       |), offs AS (
+       |  SELECT unnest(range(1, ${NegPerAnchor + 1})) AS j
+       |)
+       |SELECT b.doc_id, CAST(offs.j AS BIGINT) AS j, r.neg_id
+       |FROM b CROSS JOIN offs
+       |JOIN reps r ON r.bucket = (b.bucket + offs.j) % $NegBuckets
+       |ORDER BY b.doc_id, j""".stripMargin) { (s, d) =>
+    val b = docs(s, d).select(col("doc_id"),
+      SearchOps.hashBucket(col("doc_id").cast("string"), NegBuckets).as("bucket"))
+    val reps = b.groupBy("bucket").agg(min(col("doc_id")).as("neg_id"))
+    val offs = (1 to NegPerAnchor).map(lit(_))
+    b.select(col("doc_id"), col("bucket"), explode(array(offs: _*)).as("ji"))
+      .withColumn("j", col("ji").cast("long"))
+      .join(broadcast(reps.withColumnRenamed("bucket", "rbucket")),
+        col("rbucket") === (col("bucket") + col("j")) % NegBuckets)
+      .select("doc_id", "j", "neg_id")
+      .orderBy("doc_id", "j")
+  }
+
+  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality, qDsirScore, qNegativePairs)
 }

@@ -792,6 +792,58 @@ object SearchQueries {
     * the partitioning); `localCheckpoint` cuts the growing lineage (a
     * cluster job would use `checkpoint` to HDFS). Driver holds only
     * the convergence counter, never the graph. */
+  private val VocabTopV = 100
+
+  /** VOCABULARY coverage: per language, what fraction of all token
+    * occurrences the top-`VocabTopV` words cover — the Zipf planning
+    * number behind tokenizer-budget and stopword decisions (a V-word
+    * vocabulary covering 90% of tokens means the BPE merge budget goes
+    * to the tail). Output is one bounded row per language.
+    *
+    * Scale: the per-language top-V window rides the same map-side
+    * `WindowGroupLimit(Partial)` as q_tfidf_top (each task forwards at
+    * most V terms per language — the reducer never sees the
+    * corpus-growing vocabulary), and everything else is partial-agg
+    * shuffles on (lang, term) / lang.
+    *
+    * Determinism: counts are exact integers; the ratio is ONE IEEE
+    * division of exact longs; top-V ties break on the term. */
+  val qVocabCoverage: QueryDef = QueryDef.sql(
+    "q_vocab_coverage",
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${Chunkers.wordsSql(TF.cleanTextSql("text"))}) AS term
+       |  FROM documents
+       |), counts AS (
+       |  SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term
+       |), topv AS (
+       |  SELECT lang, term, n FROM (
+       |    SELECT lang, term, n,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+       |    FROM counts) WHERE rk <= $VocabTopV
+       |), tot AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY lang
+       |), cov AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) AS covered FROM topv GROUP BY lang
+       |)
+       |SELECT t.lang, t.total, c.covered,
+       |  CAST(c.covered AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+       |FROM tot t JOIN cov c ON c.lang = t.lang
+       |ORDER BY t.lang""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("lang"),
+      explode(Chunkers.words(TF.cleanText(col("text")))).as("term"))
+    val counts = tok.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val topv = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))))
+      .filter(col("rk") <= VocabTopV)
+    val tot = counts.groupBy("lang").agg(sum("n").cast("long").as("total"))
+    val cov = topv.groupBy("lang").agg(sum("n").cast("long").as("covered"))
+    tot.join(cov, "lang")
+      .select(col("lang"), col("total"), col("covered"),
+        (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
+      .orderBy("lang")
+  }
+
   private val PrIters = 3
   private val PrUnit = 1000000000000L // 10¹² rank units
 
@@ -923,5 +975,5 @@ object SearchQueries {
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHybridRrf, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
-    qDomainCap, qSampleTemperature, qDedupComponents, qPageRank)
+    qDomainCap, qSampleTemperature, qDedupComponents, qPageRank, qVocabCoverage)
 }

@@ -186,6 +186,26 @@ class PlanSpec extends SparkSpec {
       s"the fused ranking must end in a partial top-k too:\n$p")
   }
 
+  test("q_vocab_coverage top-V window gets the partial group-limit pushdown") {
+    // the per-language vocabulary is corpus-growing: without the
+    // map-side WindowGroupLimit each reducer would sort a language's
+    // whole vocabulary — with it, every task forwards at most V terms
+    val p = phys(queries.SearchQueries.qVocabCoverage.run(spark, sf))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-V per language needs the map-side partial group limit:\n$p")
+  }
+
+  test("q_negative_pairs plans no window and no corpus-side shuffle sort") {
+    // pairing is a narrow pass + broadcast of the bucket-bounded
+    // representative table; a window anywhere would mean a per-row
+    // rank snuck back in
+    val p = phys(queries.QualityQueries.qNegativePairs.run(spark, sf))
+    assert(!p.contains("Window"),
+      s"negative sampling must not rank rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-representative join should broadcast:\n$p")
+  }
+
   test("q_knn_pq searches codes via broadcast LUT and partial top-k") {
     val p = phys(queries.SimilarityQueries.qKnnPq.run(spark, sf))
     // ADC search must join the bounded LUT/centroid tables broadcast
