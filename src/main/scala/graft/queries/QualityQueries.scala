@@ -272,17 +272,22 @@ object QualityQueries {
 
   /** Deterministic CONTRASTIVE negative sampling: every document
     * (anchor) pairs with the representatives of the `NegPerAnchor`
-    * hash-adjacent buckets — the uniform random-negative baseline for
-    * contrastive embedding training (hard-negative mining is the
-    * ANN path, [[SimilarityQueries]] `q_knn_*`). Bucketing is the
-    * shared md5 hash, so the pairing is reproducible across engines,
-    * partitionings and reruns — the property a training-data pipeline
-    * needs so shuffling the corpus doesn't change the dataset.
+    * hash-adjacent NON-EMPTY buckets — the uniform random-negative
+    * baseline for contrastive embedding training (hard-negative mining
+    * is the ANN path, [[SimilarityQueries]] `q_knn_*`). Bucketing is
+    * the shared md5 hash, so the pairing is reproducible across
+    * engines, partitionings and reruns — the property a training-data
+    * pipeline needs so shuffling the corpus doesn't change the dataset.
+    * Wrapping over the DENSE index of occupied buckets (not raw bucket
+    * ids) guarantees exactly `NegPerAnchor` negatives per anchor even
+    * when the hash leaves buckets empty; an anchor's own bucket is
+    * never probed, so a negative is never the anchor itself.
     *
     * Scale: the representative table is bounded by the FIXED bucket
-    * count (broadcast-legitimate, unlike corpus-growing domains), the
-    * anchor side is one narrow pass + broadcast join — no window, no
-    * corpus shuffle at all. */
+    * count (broadcast-legitimate, unlike corpus-growing domains), so
+    * its dense-index window sorts ≤`NegBuckets` rows; the corpus-sized
+    * anchor side is one narrow pass + broadcast joins — no per-row
+    * rank, no corpus shuffle at all. */
   val qNegativePairs: QueryDef = QueryDef.sql(
     "q_negative_pairs",
     s"""WITH b AS (
@@ -290,22 +295,34 @@ object QualityQueries {
        |    ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", NegBuckets)} AS bucket
        |  FROM documents
        |), reps AS (
-       |  SELECT bucket, MIN(doc_id) AS neg_id FROM b GROUP BY bucket
+       |  SELECT bucket, MIN(doc_id) AS neg_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS BIGINT) AS idx
+       |  FROM b GROUP BY bucket
+       |), rn AS (
+       |  SELECT COUNT(*) AS r FROM reps
        |), offs AS (
        |  SELECT unnest(range(1, ${NegPerAnchor + 1})) AS j
        |)
-       |SELECT b.doc_id, CAST(offs.j AS BIGINT) AS j, r.neg_id
-       |FROM b CROSS JOIN offs
-       |JOIN reps r ON r.bucket = (b.bucket + offs.j) % $NegBuckets
+       |SELECT b.doc_id, CAST(offs.j AS BIGINT) AS j, r2.neg_id
+       |FROM b
+       |JOIN reps r1 ON r1.bucket = b.bucket
+       |CROSS JOIN offs CROSS JOIN rn
+       |JOIN reps r2 ON r2.idx = (r1.idx + offs.j) % rn.r
        |ORDER BY b.doc_id, j""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     val b = docs(s, d).select(col("doc_id"),
       SearchOps.hashBucket(col("doc_id").cast("string"), NegBuckets).as("bucket"))
     val reps = b.groupBy("bucket").agg(min(col("doc_id")).as("neg_id"))
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("bucket"))) - 1).cast("long"))
+    val rn = reps.agg(count(lit(1)).as("r"))
     val offs = (1 to NegPerAnchor).map(lit(_))
-    b.select(col("doc_id"), col("bucket"), explode(array(offs: _*)).as("ji"))
+    b.join(broadcast(reps.select(col("bucket"), col("idx").as("aidx"))), Seq("bucket"))
+      .select(col("doc_id"), col("aidx"), explode(array(offs: _*)).as("ji"))
       .withColumn("j", col("ji").cast("long"))
-      .join(broadcast(reps.withColumnRenamed("bucket", "rbucket")),
-        col("rbucket") === (col("bucket") + col("j")) % NegBuckets)
+      .crossJoin(broadcast(rn))
+      .join(broadcast(reps.select(col("idx"), col("neg_id"))),
+        col("idx") === (col("aidx") + col("j")) % col("r"))
       .select("doc_id", "j", "neg_id")
       .orderBy("doc_id", "j")
   }

@@ -259,8 +259,10 @@ object SearchQueries {
     * dense cosine ranking against a query embedding (vec_id 0 — the
     * test corpus keys `embeddings.vec_id` to `documents.doc_id`), each
     * side truncated to its top-64 list, scored 1/(60+rank) and summed.
-    * This is the standard RAG retrieval shape: lexical and dense legs
-    * run independently, only their RANK LISTS meet.
+    * The query document (doc 0) is excluded from BOTH legs, so it can
+    * never surface as its own retrieval result. This is the standard
+    * RAG retrieval shape: lexical and dense legs run independently,
+    * only their RANK LISTS meet.
     *
     * Scale: each leg ends in a distributed partial top-k
     * (TakeOrderedAndProject), so the only single-partition work — the
@@ -275,7 +277,8 @@ object SearchQueries {
   val qHybridRrf: QueryDef = QueryDef.sql(
     "q_hybrid_rrf",
     s"""WITH $bm25Ctes, bm_top AS (
-       |  SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 64
+       |  SELECT doc_id, score FROM bm WHERE doc_id <> 0
+       |  ORDER BY score DESC, doc_id LIMIT 64
        |), bm_rank AS (
        |  SELECT doc_id,
        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_t
@@ -293,15 +296,16 @@ object SearchQueries {
        |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_v
        |  FROM vec_top
        |), fused AS (
-       |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.rank_t, v.rank_v,
-       |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + t.rank_t AS DOUBLE), CAST(0 AS DOUBLE))
+       |  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.rank_t, v.rank_v,
+       |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + b.rank_t AS DOUBLE), CAST(0 AS DOUBLE))
        |      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + v.rank_v AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
-       |  FROM bm_rank t FULL OUTER JOIN vec_rank v ON v.doc_id = t.doc_id
+       |  FROM bm_rank b FULL OUTER JOIN vec_rank v ON v.doc_id = b.doc_id
        |)
        |SELECT doc_id, rank_t, rank_v, rrf FROM fused
        |ORDER BY rrf DESC, doc_id
        |LIMIT 25""".stripMargin) { (s, d) =>
-    val bmTop = bm25Scores(s, d).orderBy(col("score").desc, col("doc_id")).limit(64)
+    val bmTop = bm25Scores(s, d).filter(col("doc_id") =!= 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(64)
     val bmRank = bmTop
       .withColumn("rank_t",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))

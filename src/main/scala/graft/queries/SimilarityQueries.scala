@@ -514,14 +514,14 @@ object SimilarityQueries {
       s"""WITH $pqCtes, perr AS (
          |  SELECT s.vec_id, CAST(SUM((s.uq - c.c) * (s.uq - c.c)) AS BIGINT) AS err
          |  FROM scomp s
-         |  JOIN passign$PqIters a ON a.vec_id = s.vec_id AND a.sub = s.sub
-         |  JOIN pcent$PqIters c ON c.cid = a.cid AND c.pos = s.pos
+         |  JOIN $pqLastAssign a ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |  JOIN $pqLastCent c ON c.cid = a.cid AND c.pos = s.pos
          |  GROUP BY s.vec_id
          |), pcodes AS (
          |  SELECT vec_id,
          |    ${(0 until PqSubs).map(j =>
                s"MAX(CASE WHEN sub = $j THEN cid END) AS c$j").mkString(",\n    ")}
-         |  FROM passign$PqIters GROUP BY vec_id
+         |  FROM $pqLastAssign GROUP BY vec_id
          |)
          |SELECT p.vec_id, ${(0 until PqSubs).map(j => s"p.c$j").mkString(", ")}, e.err
          |FROM pcodes p JOIN perr e ON e.vec_id = p.vec_id
@@ -532,13 +532,11 @@ object SimilarityQueries {
         .join(broadcast(cent), Seq("cid", "pos"))
         .groupBy(col("vec_id"))
         .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).cast("long").as("err"))
-      val codes = assign.groupBy("vec_id").agg(
-        max(when(col("sub") === 0, col("cid"))).as("c0"),
-        max(when(col("sub") === 1, col("cid"))).as("c1"),
-        max(when(col("sub") === 2, col("cid"))).as("c2"),
-        max(when(col("sub") === 3, col("cid"))).as("c3"))
+      val codeCols = (0 until PqSubs)
+        .map(j => max(when(col("sub") === j, col("cid"))).as(s"c$j"))
+      val codes = assign.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
       codes.join(err, "vec_id").filter(col("vec_id") < 50)
-        .select("vec_id", "c0", "c1", "c2", "c3", "err")
+        .select(("vec_id" +: (0 until PqSubs).map(j => s"c$j") :+ "err").map(col): _*)
         .orderBy("vec_id")
     }
   }

@@ -195,15 +195,17 @@ class PlanSpec extends SparkSpec {
       s"top-V per language needs the map-side partial group limit:\n$p")
   }
 
-  test("q_negative_pairs plans no window and no corpus-side shuffle sort") {
-    // pairing is a narrow pass + broadcast of the bucket-bounded
-    // representative table; a window anywhere would mean a per-row
-    // rank snuck back in
+  test("q_negative_pairs windows only the bounded bucket table") {
+    // pairing is a narrow pass + broadcasts of the bucket-bounded
+    // representative table; the ONLY window is the dense index over
+    // reps (≤ NegBuckets rows) — a window touching doc-level columns
+    // would mean a per-row rank snuck back in
     val p = phys(queries.QualityQueries.qNegativePairs.run(spark, sf))
-    assert(!p.contains("Window"),
-      s"negative sampling must not rank rows:\n$p")
+    val windows = "windowspecdefinition\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(windows.subsetOf(Set("bucket")),
+      s"only the reps dense-index window (ORDER BY bucket) is allowed, saw $windows:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"the bucket-representative join should broadcast:\n$p")
+      s"the bucket-representative joins should broadcast:\n$p")
   }
 
   test("q_knn_pq searches codes via broadcast LUT and partial top-k") {
