@@ -326,8 +326,166 @@ object Events {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Cohort retention matrix — the classic product-analytics triangle:
+    * users are cohorted by the ISO week of their FIRST event, then each
+    * (cohort_week, weeks_since) cell counts the distinct users active
+    * that many weeks after their cohort week.
+    *
+    * Scale: the per-user first week comes from a window min over the
+    * `user_id` partitioning (one shuffle, co-partitioned with every
+    * other per-user op), then the distinct triple + count is a second
+    * shuffle on the cell key with map-side partial aggregation. No
+    * broadcast anywhere — the user dimension grows with the corpus.
+    * Weeks are exact integers (µs div 604800000000 floored in IEEE
+    * double, identical in both engines below 2^53). */
+  val qRetention: QueryDef = QueryDef.sql(
+    "q_events_retention",
+    """WITH d AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, week,
+      |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM d
+      |)
+      |SELECT cohort_week, week - cohort_week AS weeks_since,
+      |  COUNT(*) AS n_users
+      |FROM (SELECT DISTINCT user_id, cohort_week, week FROM c)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, weeks_since""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+    ev(s, d)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800000000.0)).as("week"))
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** Time-series gap fill: hourly event counts per type with missing
+    * hours materialized at zero over the global [min, max] hour span —
+    * the densify step every downstream charting/forecast consumer
+    * needs (sf0.01: 215 of 3600 grid cells are fills).
+    *
+    * Scale: the fact side is pre-aggregated to (type, hour) BEFORE the
+    * grid join, so the left join moves one row per non-empty cell, not
+    * one per event. The grid itself is distinct-types × a
+    * `sequence()`-exploded hour range — its size is types·hours,
+    * bounded by the time span, not the event count; the span comes
+    * from a 1-row global agg (scalar, broadcast by AQE). */
+  val qGapfill: QueryDef = QueryDef.sql(
+    "q_events_gapfill",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), s AS (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM d),
+      |g AS (
+      |  SELECT t.event_type, gs.hour_id
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour_id FROM s) gs
+      |)
+      |SELECT g.event_type, g.hour_id, COALESCE(d.n_events, 0) AS n_events
+      |FROM g LEFT JOIN d USING (event_type, hour_id)
+      |ORDER BY event_type, hour_id""".stripMargin) { (s, d) =>
+    val hours = ev(s, d)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(3600000000.0)).as("hour_id"))
+    val byHour = hours.groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = hours.agg(min(col("hour_id")).as("lo"), max(col("hour_id")).as("hi"))
+    val grid = hours.select(col("event_type")).distinct()
+      .crossJoin(span.select(explode(sequence(col("lo"), col("hi"))).as("hour_id")))
+    grid.join(byHour, Seq("event_type", "hour_id"), "left")
+      .select(col("event_type"), col("hour_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hour_id")
+  }
+
+  /** Equi-width histogram with data-derived bounds: 10 bins spanning
+    * [min, max] of `value`, each with its row count and value mass.
+    * Two passes — a scalar min/max, then one aggregation over the
+    * binned fact — the standard shape for profiling a numeric column
+    * you know nothing about.
+    *
+    * Scale: pass 1 reduces to ONE row (partial min/max per partition →
+    * scalar), which rides a broadcast into the binning expression; pass
+    * 2 is a single groupBy shuffle on the bin id (≤10 groups, map-side
+    * combined). Bin math happens on exact integer cent units; the
+    * double division is exact-integer-in/IEEE-out, identical in both
+    * engines. */
+  val qHistogram: QueryDef = QueryDef.sql(
+    "q_events_histogram",
+    """WITH u AS (
+      |  SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS v FROM events
+      |), s AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM u)
+      |SELECT CAST(floor((v - mn) * 10.0 / (mx - mn + 1)) AS INTEGER) AS bin,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS DOUBLE) / 100.0 AS sum_value
+      |FROM u CROSS JOIN s
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin) { (s, d) =>
+    val u = ev(s, d).select(units(col("value"), 2).as("v"))
+    val stats = u.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    u.crossJoin(broadcast(stats))
+      .select(floor((col("v") - col("mn")) * lit(10.0) /
+          (col("mx") - col("mn") + lit(1L))).cast(IntegerType).as("bin"),
+        col("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_events"), toDouble(sum(col("v")), 2).as("sum_value"))
+      .orderBy("bin")
+  }
+
+  /** Trailing 7-day active purchasers per day (rolling WAU) — the
+    * sliding-window DISTINCT that `rangeBetween` cannot express
+    * (count distinct isn't an associative window aggregate). Shape:
+    * distinct (user, day) pairs each FAN OUT to the ≤7 report days
+    * they support, then one count-distinct per report day — linear in
+    * activity × window length, never a per-day rescan.
+    *
+    * Scale: the fan-out multiplies the (already per-day-deduped)
+    * activity table by 7, then a single shuffle on the report day with
+    * partial distinct aggregation; the [lo, hi] span guard is a scalar
+    * broadcast. No ordering, no global window, no state. */
+  val qWau: QueryDef = QueryDef.sql(
+    "q_events_wau",
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+      |  FROM events WHERE event_type = 'purchase'
+      |), s AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM du),
+      |c AS (
+      |  SELECT user_id, day + o.off AS day_r
+      |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+      |)
+      |SELECT day_r AS day, COUNT(DISTINCT user_id) AS wau
+      |FROM c CROSS JOIN s
+      |WHERE day_r BETWEEN lo AND hi
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val du = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000.0)).as("day"))
+      .distinct()
+    val span = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    du.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(6L))).as("day_r"))
+      .crossJoin(broadcast(span))
+      .filter(col("day_r").between(col("lo"), col("hi")))
+      .groupBy(col("day_r"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("day_r").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
-    qAttribution)
+    qAttribution, qRetention, qGapfill, qHistogram, qWau)
 }

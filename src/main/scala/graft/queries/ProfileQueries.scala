@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Data-profiling and constraint-verification reports (EXT): the
+  * pre-flight a 100 TB ingest runs before trusting a new drop of data —
+  * a single-pass column profile and a Deequ-style check battery. Both
+  * exist to compress the corpus into a constant-size report the driver
+  * (or a human) can read; neither moves rows.
+  */
+object ProfileQueries {
+
+  import Exact._
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+
+  private val ProfiledCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Column profile of lineitem's numeric measures: row/null/distinct
+    * counts and min/max, all in exact cent units, ONE ROW PER COLUMN.
+    *
+    * Scale: every statistic for every column rides a SINGLE aggregation
+    * over one scan (Spark plans the multi-distinct via one Expand — the
+    * scan is not repeated per column), reducing 100 TB to one row that
+    * a `stack()` then pivots into the per-column report. Null counts
+    * are COUNT(*) − COUNT(col) — no CASE arithmetic, and both engines
+    * type them BIGINT. */
+  val qProfile: QueryDef = QueryDef.sql(
+    "q_profile_columns",
+    ProfiledCols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT ${unitsSql(c, 2)}) AS n_distinct,
+         |  MIN(${unitsSql(c, 2)}) AS min_units,
+         |  MAX(${unitsSql(c, 2)}) AS max_units
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, d) =>
+    val u = li(s, d).select(ProfiledCols.map(c => units(col(c), 2).as(c)): _*)
+    val aggs = count(lit(1)).as("n_rows") +: ProfiledCols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val one = u.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfiledCols
+      .map(c => s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    one.select(expr(s"stack(${ProfiledCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_units, max_units)"))
+      .orderBy("col_name")
+  }
+
+  /** Constraint battery: primary-key uniqueness, referential integrity
+    * lineitem→orders, and value-range rules, each reported as
+    * (check_name, violations, passed).
+    *
+    * Scale: the PK check is one multi-column distinct aggregate; the FK
+    * check is an unhinted anti-join on the order key (both sides grow
+    * with the corpus); range rules are pushed-down filter counts. Each
+    * check reduces to one row before the union — the union concatenates
+    * four scalars, not four table scans' worth of rows. */
+  val qDqChecks: QueryDef = QueryDef.sql(
+    "q_dq_checks",
+    """WITH checks AS (
+      |  SELECT 'fk_lineitem_orders' AS check_name, CAST((
+      |    SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |      ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT) AS violations
+      |  UNION ALL
+      |  SELECT 'pk_unique_lineitem', COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'positive_quantity', COUNT(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount_in_unit_range', COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+      |  FROM lineitem
+      |)
+      |SELECT check_name, violations, violations = 0 AS passed
+      |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
+    val l = li(s, d)
+    val fk = l.join(ord(s, d).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("fk_lineitem_orders").as("check_name"), col("violations"))
+    val pk = l.agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("violations"))
+      .select(lit("pk_unique_lineitem").as("check_name"), col("violations"))
+    val qty = l.agg(count(when(col("l_quantity") <= 0, 1)).as("violations"))
+      .select(lit("positive_quantity").as("check_name"), col("violations"))
+    val disc = l.agg(count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        .as("violations"))
+      .select(lit("discount_in_unit_range").as("check_name"), col("violations"))
+    fk.unionAll(pk).unionAll(qty).unionAll(disc)
+      .select(col("check_name"), col("violations"), (col("violations") === 0).as("passed"))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks)
+}
