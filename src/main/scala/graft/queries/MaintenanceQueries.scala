@@ -35,11 +35,15 @@ object MaintenanceQueries {
     * proving base ⊎ delta ≡ recompute, which is the whole point.
     *
     * Scale: at 100 TB the base side is the stored aggregate table (one
-    * row per user, no event rescans); here both sides derive from the
-    * same scan with the watermark as a pushed parquet filter. Counts
-    * and exact-integer unit sums are associative/commutative, so the
-    * merge is a co-partitioned shuffle join on `user_id` with no
-    * broadcast (users grow with the corpus). */
+    * row per user, no event rescans) and the log is date-partitioned so
+    * the watermark prunes whole partitions (the contract PlanSpec
+    * asserts for the vector store); here both branches filter the same
+    * scan — post-scan, since the predicate sits on the µs timestamp
+    * rebuilt from the fixture's ns column. Counts and exact-integer
+    * unit sums are associative/commutative, so the merge is a
+    * co-partitioned shuffle join on `user_id` with no broadcast (users
+    * grow with the corpus; a full outer join never broadcasts —
+    * PlanSpec-asserted). */
   val qIncrAggMerge: QueryDef = QueryDef.sql(
     "q_incr_agg_merge",
     """SELECT user_id, COUNT(*) AS n_events,

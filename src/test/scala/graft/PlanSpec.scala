@@ -327,4 +327,39 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1,
       s"expected at most the final sort exchange:\n$p")
   }
+
+  test("retention cohort window is user-partitioned, never global") {
+    val p = phys(queries.Events.qRetention.run(spark, sf))
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"cohort min must ride the user_id partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may funnel the event log through one task:\n$p")
+  }
+
+  test("incremental aggregate merge never broadcasts a per-user side") {
+    // both merge sides grow with the user dimension; the plan must
+    // shuffle-join them (full outer has no broadcast form — this
+    // asserts nobody 'optimizes' the merge into a broadcastable shape)
+    val p = phys(queries.MaintenanceQueries.qIncrAggMerge.run(spark, sf))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"base ⋈ delta must be a co-partitioned shuffle join:\n$p")
+  }
+
+  test("table fingerprint is one map-side-combined shuffle") {
+    val p = phys(queries.MaintenanceQueries.qTableChecksum.run(spark, sf))
+    val live = p.linesIterator.filterNot(_.contains("ReusedExchange"))
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(live == 1,
+      s"expected exactly the l_returnflag aggregation exchange:\n$p")
+    assert(p.contains("partial_bit_xor") || p.contains("partial"),
+      s"xor must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("triangle counting stays on equi-joins — no nested-loop shapes") {
+    val p = phys(queries.GraphQueries.qTriangles.run(spark, sf))
+    // the 1-row n_edges × n_triangles cross join is the only permitted
+    // non-equi join; anything else means the wedge join went all-pairs
+    assert(!p.contains("CartesianProduct"),
+      s"wedge generation/closing must be key-partitioned equi-joins:\n$p")
+  }
 }
