@@ -484,8 +484,76 @@ object Events {
       .orderBy("day")
   }
 
+  /** SCD Type-2 build: event-source each user's stream into state
+    * intervals — every event opens a state valid [ts, next event's ts);
+    * the latest state per user stays open (valid_to NULL, is_current).
+    * The warehouse dimension-versioning shape, built with one
+    * lead() over the per-user ordering.
+    *
+    * Scale: one shuffle on `user_id` (the window partitioning), then
+    * pure projection — interval endpoints are exact µs BIGINTs and the
+    * open-ended interval is a real NULL, so downstream as-of joins can
+    * use the standard `valid_from <= t AND (t < valid_to OR valid_to
+    * IS NULL)` probe. */
+  val qScd2: QueryDef = QueryDef.sql(
+    "q_events_scd2",
+    """SELECT user_id, event_type AS state,
+      |  epoch_us(ts) AS valid_from_us,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to_us,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from_us""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  /** Time-weighted average (TWAP) of `value` per user: each event's
+    * value holds until the user's next event; the mean weights each
+    * held value by its µs duration. The metering/pricing aggregate a
+    * last-value-carried-forward feed needs (a plain AVG overweights
+    * bursts). Open-ended final states carry no duration.
+    *
+    * Scale: the same single user-partitioned window as [[qScd2]], then
+    * one aggregation — weighted sums are exact BIGINT (cent-units × µs
+    * < 2^63 for century-scale horizons) and the final division is
+    * IEEE-over-exact-integers. */
+  val qTwap: QueryDef = QueryDef.sql(
+    "q_events_twap",
+    """WITH iv AS (
+      |  SELECT user_id,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS dur_us
+      |  FROM events
+      |)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+      |  CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twap
+      |FROM iv WHERE dur_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("user_id"), units(col("value"), 2).as("v"),
+        (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))).as("dur_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("sum_dur_us"),
+        (sum(col("v") * col("dur_us")).cast("double") /
+          sum(col("dur_us")).cast("double") / lit(100.0)).as("twap"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
-    qAttribution, qRetention, qGapfill, qHistogram, qWau)
+    qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap)
 }

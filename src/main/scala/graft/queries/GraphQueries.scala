@@ -72,5 +72,63 @@ object GraphQueries {
     und.agg(count(lit(1)).as("n_edges")).crossJoin(triangles)
   }
 
-  val all: Seq[QueryDef] = Seq(qTriangles)
+  /** Association rules over the same co-purchase baskets: for every
+    * supported pair {a, b} (≥2 distinct orders) emit both directed
+    * rules a→b and b→a with confidence supp(ab)/supp(a) and lift
+    * N·supp(ab)/(supp(a)·supp(b)), keeping the top 20 by lift.
+    *
+    * Scale: item supports and pair supports are two aggregations over
+    * the distinct (order, part) projection; attaching supports to rule
+    * ends is two UNHINTED equi-joins on the part key (the item-support
+    * table grows with the catalog — never broadcast); the basket count
+    * N is a scalar. Confidence/lift divide exact BIGINT supports in
+    * IEEE doubles — bit-identical across engines — and the top-k breaks
+    * lift ties on the (antecedent, consequent) unique pair. */
+  val qAssocRules: QueryDef = QueryDef.sql(
+    "q_assoc_rules",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+      |item AS (SELECT pk, COUNT(*) AS supp FROM op GROUP BY pk),
+      |pair AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS supp_ab
+      |  FROM op a JOIN op b ON b.ok = a.ok AND b.pk > a.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), rule AS (
+      |  SELECT pa AS antecedent, pb AS consequent, supp_ab FROM pair
+      |  UNION ALL
+      |  SELECT pb, pa, supp_ab FROM pair
+      |)
+      |SELECT r.antecedent, r.consequent, r.supp_ab,
+      |  CAST(r.supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE) AS confidence,
+      |  CAST(n.n_orders * r.supp_ab AS DOUBLE) / CAST(ia.supp * ic.supp AS DOUBLE) AS lift
+      |FROM rule r
+      |JOIN item ia ON ia.pk = r.antecedent
+      |JOIN item ic ON ic.pk = r.consequent
+      |CROSS JOIN n
+      |ORDER BY lift DESC, antecedent, consequent
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val op = li(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val n = op.agg(countDistinct(col("ok")).as("n_orders"))
+    val item = op.groupBy("pk").agg(count(lit(1)).as("supp"))
+    val pair = op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 2)
+    val rules = pair.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("supp_ab"))
+      .unionAll(pair.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("supp_ab")))
+    rules
+      .join(item.select(col("pk").as("antecedent"), col("supp").as("supp_a")), Seq("antecedent"))
+      .join(item.select(col("pk").as("consequent"), col("supp").as("supp_c")), Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        (col("supp_ab").cast("double") / col("supp_a").cast("double")).as("confidence"),
+        ((col("n_orders") * col("supp_ab")).cast("double") /
+          (col("supp_a") * col("supp_c")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(qTriangles, qAssocRules)
 }
