@@ -552,8 +552,36 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** [[qAsOfSignup]]'s semantics through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinPlan]] — logical node + strategy + single-
+    * pass merge exec, SURVEY §4's whole-operator tier): purchases as-of
+    * joined backward to signups on the user key. Same DuckDB oracle as
+    * the composed window form — the two faces must hash-match.
+    *
+    * Scale: two key shuffles + in-partition sorts feed a merge cursor
+    * holding ONE candidate row — no window blob over the union, no
+    * inequality-join replay. (µs ties between a purchase and a signup
+    * would differ from the window face's (ts, event_id) order; the
+    * event stream is µs-resolution with no cross-type ties.) */
+  val qAsOfNative: QueryDef = QueryDef.sql(
+    "q_events_asof_native",
+    qAsOfSignup.oracle.get) { (s, d) =>
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val signups = ev(s, d).filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    graft.plans.AsOfJoinOps
+      .asofBackward(purchases, signups, "user_id", "user_id", "t_us", "t_us", "event_id")
+      .filter(col("t_us_r").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("t_us").as("purchase_us"),
+        col("t_us_r").as("signup_us"),
+        (col("t_us") - col("t_us_r")).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
-    qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap)
+    qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative)
 }
