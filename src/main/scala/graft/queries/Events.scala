@@ -580,8 +580,50 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of through the native operator: each signup's NEXT
+    * purchase (smallest purchase time ≥ the signup time) — time-to-
+    * first-conversion, the mirror of [[qAsOfNative]]. The oracle is the
+    * forward window form: first non-null purchase time over the
+    * following frame of the (ts, event_id)-ordered per-user stream.
+    * (Cross-type µs ties would order differently in the window — the
+    * event stream has none; same pin as [[qAsOfNative]].)
+    *
+    * Scale: same native shape — two key shuffles, in-partition sorts
+    * (time DESCENDING for the forward sweep), one-candidate merge. */
+  val qAsOfForward: QueryDef = QueryDef.sql(
+    "q_events_asof_fwd",
+    """SELECT event_id, user_id,
+      |  signup_us,
+      |  next_purchase_us,
+      |  next_purchase_us - signup_us AS lead_us
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) AS signup_us,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+      |  FROM events
+      |)
+      |WHERE event_type = 'signup' AND next_purchase_us IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val signups = ev(s, d).filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val purchases = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    graft.plans.AsOfJoinOps
+      .asof(signups, purchases, "user_id", "user_id", "t_us", "t_us", "event_id",
+        direction = graft.plans.AsOfDirection.Forward)
+      .filter(col("t_us_r").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("t_us").as("signup_us"),
+        col("t_us_r").as("next_purchase_us"),
+        (col("t_us_r") - col("t_us")).as("lead_us"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
-    qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative)
+    qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
+    qAsOfForward)
 }
