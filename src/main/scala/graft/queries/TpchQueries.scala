@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.11 widening): the reference's query surface is a
   * vector-ingestion pipeline, but a user replacing it still runs ad-hoc
   * relational analytics over the same warehouse — these are the public
-  * TPC-H patterns expressible on the driver's star schema (no
-  * `partsupp`, no commit/receipt dates, so Q2/Q11/Q12/Q21 shapes are
-  * out of reach and Q9/Q16/Q19 are adapted to the columns that exist).
+  * TPC-H patterns expressible on the driver's star schema. The driver
+  * schema has no `partsupp` and no commit/receipt dates, so
+  * Q2/Q9/Q11/Q12/Q16/Q19/Q21 are adapted to the columns that exist —
+  * each keeps its ORIGINAL structural pattern (Q2's correlated scalar
+  * MIN, Q11's HAVING-vs-global-scalar, Q12's two-class conditional
+  * counts, Q21's EXISTS + NOT EXISTS double correlation) with the
+  * missing attributes substituted (acctbal for supplycost, shipdate
+  * lateness for commit/receipt slack, returnflag for shipmode).
   *
   * Each query is ONE ANSI SQL string run verbatim by both `spark.sql`
   * and the DuckDB oracle. Determinism contract (QueryDef): every money
@@ -43,6 +48,34 @@ object TpchQueries {
 
   private val AllTables =
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region", "part")
+
+  /** Q2 minimum-cost supplier (adapted: no `partsupp`, so "cost" is the
+    * supplier's account balance and part-supplier pairs come from
+    * `lineitem`): for each qualifying part, the European supplier(s)
+    * whose acctbal is the MINIMUM over that part's European suppliers —
+    * the correlated-scalar-subquery pattern of the original.
+    *
+    * Scale: the `ps` CTE is one distinct-shuffle on (partkey, suppkey);
+    * Catalyst de-correlates the scalar MIN into an aggregate on
+    * `l_partkey` joined back on the part key — both sides partition on
+    * the part key, and the dimension joins (supplier/nation/region)
+    * broadcast. No per-row subquery re-execution survives planning. */
+  val q2MinCostSupplier: QueryDef = sqlBoth(
+    "q2_min_cost_supplier", AllTables)(
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, ps, supplier, nation, region
+      |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND p_size IN (5, 10, 15, 20) AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      |  AND s_acctbal = (
+      |    SELECT MIN(s2.s_acctbal)
+      |    FROM ps ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin)
 
   /** Q7 volume shipping: bilateral trade between two nations by ship
     * year. The nation dimension joins TWICE (supplier role + customer
@@ -131,6 +164,49 @@ object TpchQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin)
 
+  /** Q11 important stock (adapted: part "value" is NATION_1-supplied
+    * line revenue instead of availqty·supplycost): parts whose value
+    * exceeds 1/500 of the nation's total — the original's
+    * HAVING-against-a-global-scalar pattern, expressed over a CTE the
+    * planner evaluates once for both the per-part rows and the scalar
+    * total (the ReuseExchange shape; the scalar side aggregates the
+    * CTE's output, partition-count-bounded). Exact integer units
+    * throughout; the 1/500 threshold compares in double AFTER the exact
+    * sums. */
+  val q11ImportantParts: QueryDef = sqlBoth(
+    "q11_important_parts", Seq("lineitem", "supplier", "nation"))(
+    """WITH pv AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+      |      * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS value_u
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name = 'NATION_1'
+      |  GROUP BY l_partkey)
+      |SELECT p_partkey, CAST(value_u AS DOUBLE) / 10000.0 AS part_value
+      |FROM pv
+      |WHERE value_u > (SELECT CAST(SUM(value_u) AS BIGINT) FROM pv) / 500.0
+      |ORDER BY part_value DESC, p_partkey""".stripMargin)
+
+  /** Q12 shipping modes and order priority (adapted: no `l_shipmode` or
+    * commit/receipt dates — the mode class is `l_returnflag` and "late"
+    * is shipped ≥60 days after the order date): per class, how many
+    * late lines carried high- vs low-priority orders — the original's
+    * two-class conditional-count pattern. One fact-fact equi-join on
+    * the order key, counts partial-aggregated map-side. */
+  val q12LateShipments: QueryDef = sqlBoth(
+    "q12_late_shipments", Seq("orders", "lineitem"))(
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
   /** Q13 customer distribution: orders-per-customer histogram through a
     * LEFT join (zero-order customers count in the c_count=0 bucket). */
   val q13CustomerDistribution: QueryDef = sqlBoth(
@@ -218,6 +294,35 @@ object TpchQueries {
       |       AND l_quantity >= 10.0 AND l_quantity <= 30.0)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
       |       AND l_quantity >= 20.0 AND l_quantity <= 40.0)""".stripMargin)
+
+  /** Q21 suppliers who kept orders waiting (adapted: no commit/receipt
+    * dates — the "waiting" supplier is the one whose line shipped
+    * strictly AFTER every other supplier's lines on a multi-supplier
+    * finished order): the original's double-correlation pattern — an
+    * EXISTS (another supplier participated) and a NOT EXISTS (no other
+    * supplier shipped as late) against the same fact table.
+    *
+    * Scale: Catalyst de-correlates both subqueries into a left-semi and
+    * a left-anti join on `l_orderkey` — three shuffles on the same order
+    * key (exchange-reusable), never a per-row probe; the supplier/
+    * nation dimensions broadcast onto the fact side. */
+  val q21WaitingSuppliers: QueryDef = sqlBoth(
+    "q21_waiting_suppliers", Seq("supplier", "lineitem", "orders", "nation"))(
+    """SELECT s_name, numwait FROM (
+      |  SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |  FROM supplier
+      |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+      |    AND EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                  AND l3.l_shipdate >= l1.l_shipdate)
+      |  GROUP BY s_name) w
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin)
 
   /** Equi-depth quantile bucketing (the histogram/banding primitive
     * §2.6 lacked) with EXACT `NTILE(4)` semantics over the total order
@@ -310,8 +415,9 @@ object TpchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q7VolumeShipping, q8MarketShare, q9ProductProfit, q10ReturnedItems,
+    q2MinCostSupplier, q7VolumeShipping, q8MarketShare, q9ProductProfit,
+    q10ReturnedItems, q11ImportantParts, q12LateShipments,
     q13CustomerDistribution, q14PromoRevenue, q15TopSupplier,
-    q16PartSuppliers, q18LargeOrders, q19DiscountedRevenue, qNtileBalance,
-    qZorderCluster)
+    q16PartSuppliers, q18LargeOrders, q19DiscountedRevenue,
+    q21WaitingSuppliers, qNtileBalance, qZorderCluster)
 }

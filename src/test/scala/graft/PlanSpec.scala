@@ -86,6 +86,24 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("Anti"), "NOT EXISTS must decorrelate to an anti join")
   }
 
+  test("q2's correlated scalar MIN decorrelates to an aggregate join") {
+    val p = phys(queries.TpchQueries.q2MinCostSupplier.run(spark, sf))
+    // RewriteCorrelatedScalarSubquery: the per-part MIN must become a
+    // grouped aggregate joined on the part key — no per-row subquery
+    assert(!p.contains("ScalarSubquery"),
+      s"the correlated MIN must not survive as a per-row subquery:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier/nation/region dimensions must broadcast")
+  }
+
+  test("q21's EXISTS pair decorrelates to semi+anti joins on the order key") {
+    val p = phys(queries.TpchQueries.q21WaitingSuppliers.run(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("Anti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the correlated probes must stay keyed, never nested-loop:\n$p")
+  }
+
   test("TPC-H q7 broadcasts the dims and pushes the ship-date filter") {
     val p = phys(queries.TpchQueries.q7VolumeShipping.run(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
