@@ -709,6 +709,42 @@ object SearchQueries {
       .withColumnRenamed("quota", "cap")
   }
 
+  /** Per-item WEIGHTED priority sample, k without replacement (the
+    * quality-weighted corpus subset every curation pipeline draws):
+    * each document gets the deterministic priority `h / w` — `h` a
+    * 2²⁰-bucket md5 hash of the id, `w = n_chars` the weight — and the
+    * sample is the k smallest priorities, so a document's selection
+    * odds rise with its weight while the choice stays reproducible
+    * bit-for-bit on both engines. The textbook Efraimidis–Spirakis
+    * exponential-key form `u^(1/w)` gives exactly
+    * probability-proportional-to-size inclusion but runs through
+    * ln/pow, which IEEE-754 does NOT require to be correctly rounded —
+    * the selected SET could then differ between libms. The uniform-key
+    * ratio keeps every step exact (md5 → integer, one correctly-rounded
+    * division), trading the exact-PPS property for cross-engine
+    * determinism — the same pinned-deviation style as the BPE token
+    * counter (SURVEY §7.4).
+    *
+    * Scale: one narrow scan computes priorities; the global k-smallest
+    * is `TakeOrderedAndProject` — each map task forwards only its local
+    * top-k, the driver merges Q·k rows, no sort of the corpus, no
+    * single-partition exchange (PlanSpec-asserted). */
+  val qSampleWeighted: QueryDef = QueryDef.sql(
+    "q_sample_weighted",
+    s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", 1 << 20)} AS DOUBLE)
+       |    / CAST(n_chars AS DOUBLE) AS pr
+       |FROM documents
+       |ORDER BY pr, doc_id
+       |LIMIT 100""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        (SearchOps.hashBucket(col("doc_id").cast("string"), 1 << 20).cast("double") /
+          col("n_chars").cast("double")).as("pr"))
+      .orderBy(col("pr"), col("doc_id"))
+      .limit(100)
+  }
+
   private val TempTarget = 200L
 
   /** TEMPERATURE-flattened language mix (the multilingual-training
@@ -979,5 +1015,6 @@ object SearchQueries {
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHybridRrf, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
-    qDomainCap, qSampleTemperature, qDedupComponents, qPageRank, qVocabCoverage)
+    qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,
+    qVocabCoverage)
 }

@@ -594,5 +594,96 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq)
+  /** MMR (Maximal Marginal Relevance, Carbonell–Goldstein '98)
+    * DIVERSIFIED top-k: after ANN retrieval, greedily pick the
+    * candidate maximizing `λ·rel − (1−λ)·max sim(c, selected)` — the
+    * standard rerank that stops a result list collapsing onto one
+    * near-duplicate cluster. λ = ½, so the selection ORDER is decided
+    * by `rel − maxsim` — a single IEEE-exact subtraction of two
+    * order-stable cosines, which is what lets both engines pick
+    * bit-identical sets (no float multiply by an inexact λ).
+    *
+    * Scale: the ONLY corpus-sized pass is the initial scoring, which
+    * keeps the brute-force partial-top-k shape; the candidate table is
+    * `localCheckpoint`ed at Q·$MmrCand rows so every greedy step reads
+    * the pinned 100-row table instead of re-scanning the corpus, and
+    * the K−1 unrolled steps (loop over STEPS, never over data) touch
+    * only candidate-bounded joins and windows partitioned by qid. */
+  val qMmrRerank: QueryDef = {
+    val NCand = 20; val KSel = 5
+    val steps = (2 to KSel).map { i =>
+      s""", m$i AS (
+         |  SELECT p.qid, p.va, MAX(p.s) AS m
+         |  FROM p JOIN sel${i - 1} sl ON sl.qid = p.qid AND sl.vec_id = p.vb
+         |  GROUP BY p.qid, p.va
+         |), r$i AS (
+         |  SELECT cv.qid, cv.vec_id, cv.rel, cv.rel - m$i.m AS sc
+         |  FROM cv JOIN m$i ON m$i.qid = cv.qid AND m$i.va = cv.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} sl
+         |                    WHERE sl.qid = cv.qid AND sl.vec_id = cv.vec_id)
+         |), w$i AS (
+         |  SELECT qid, vec_id, rel, $i AS step FROM (
+         |    SELECT qid, vec_id, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+         |    FROM r$i) z$i WHERE rk = 1
+         |), sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM w$i)""".stripMargin
+    }.mkString
+    QueryDef.sql(
+      "q_mmr_rerank",
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < $NQueries
+         |), t AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), cv AS (
+         |  SELECT qid, vec_id, rel, e FROM (
+         |    SELECT qid, vec_id, rel, e,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+         |    FROM (SELECT q.qid, t.vec_id, ${Similarity.cosineSql("qe", "e")} AS rel, t.e
+         |          FROM q, t WHERE t.vec_id <> q.qid) s0
+         |  ) s1 WHERE rk <= $NCand
+         |), p AS (
+         |  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         |    ${Similarity.cosineSql("a.e", "b.e")} AS s
+         |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         |), sel1 AS (
+         |  SELECT qid, vec_id, rel, 1 AS step FROM (
+         |    SELECT qid, vec_id, rel,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+         |    FROM cv) z1 WHERE rk = 1
+         |)$steps
+         |SELECT qid, vec_id, rel, step FROM sel$KSel
+         |ORDER BY qid, step""".stripMargin) { (s, d) =>
+      val all0 = emb(s, d)
+      val q = all0.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val wv = Window.partitionBy("qid").orderBy(col("rel").desc, col("vec_id"))
+      val cv = all0.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rel", Similarity.cosineIn(s, col("qe"), col("e")))
+        .withColumn("rk", row_number().over(wv)).filter(col("rk") <= NCand)
+        .select(col("qid"), col("vec_id"), col("rel"), col("e"))
+        .localCheckpoint()
+      val p = cv.as("a").join(cv.as("b"),
+          col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.qid").as("qid"), col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          Similarity.cosineIn(s, col("a.e"), col("b.e")).as("ps"))
+      var sel = cv.withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
+        .select(col("qid"), col("vec_id"), col("rel")).withColumn("step", lit(1))
+      for (i <- 2 to KSel) {
+        val selR = sel.select(col("qid").as("sqid"), col("vec_id").as("svid"))
+        val m = p.join(selR, col("qid") === col("sqid") && col("vb") === col("svid"))
+          .groupBy(col("qid"), col("va")).agg(max(col("ps")).as("ms"))
+        val rem = cv.join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+        val scoredI = rem.join(m, rem("qid") === m("qid") && rem("vec_id") === m("va"))
+          .select(rem("qid"), rem("vec_id"), rem("rel"), (rem("rel") - col("ms")).as("sc"))
+        val wI = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
+        val win = scoredI.withColumn("rk", row_number().over(wI)).filter(col("rk") === 1)
+          .select(col("qid"), col("vec_id"), col("rel")).withColumn("step", lit(i))
+        sel = sel.union(win)
+      }
+      sel.orderBy("qid", "step")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank)
 }

@@ -152,6 +152,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_sample_weighted is a map-side partial top-k, never a global sort") {
+    val p = phys(queries.SearchQueries.qSampleWeighted.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global k-smallest must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Exchange rangepartitioning"),
+      s"no corpus-wide sort or funnel may appear:\n$p")
+  }
+
+  test("q_dedup_snm windows are block-partitioned, never global") {
+    val p = phys(queries.DedupQueries.qDedupSnm.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the neighbourhood sort must stay inside hash blocks:\n$p")
+    assert(p.contains("Window"), "the lead() neighbourhood must be a window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate rescore must stay on equi-joins:\n$p")
+  }
+
+  test("q_mmr_rerank greedy steps stay on qid-partitioned bounded tables") {
+    val p = phys(queries.SimilarityQueries.qMmrRerank.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no greedy step may funnel through one task:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate pair sims must join on qid, not cross:\n$p")
+  }
+
   test("q_ntile_balance plans no single-partition exchange") {
     // the naive NTILE() OVER (ORDER BY ...) funnels the whole table
     // through one task; the two-pass rank must keep every data-sized
