@@ -32,6 +32,19 @@ case class OpenSession(startUs: Long, endUs: Long, n: Long, sumUnits: Long)
 case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)
 
+/** Tagged input row for [[EventStreams.streamingAsOf]]: one event of
+  * either stream — a fact (left) when `is_fact`, else a
+  * dimension-history (right) row. */
+case class AsOfEvent(key: Long, ts: java.sql.Timestamp, is_fact: Boolean, id: Long)
+
+/** Per-key as-of buffer: facts not yet watermark-final, and the right
+  * rows still able to win a future match — both as (µs, id) pairs. */
+case class AsOfBuffer(facts: List[(Long, Long)], rights: List[(Long, Long)])
+
+/** One emitted as-of match (right side null when no row qualifies). */
+case class AsOfMatch(key: Long, fact_id: Long, fact_us: Long,
+    right_id: Option[Long], right_us: Option[Long])
+
 object EventStreams {
 
   /** Parquet schema of the events table as generated (ts stored as
@@ -158,6 +171,73 @@ object EventStreams {
               state.update(s)
               state.setTimeoutTimestamp(s.endUs / 1000 + 30 * 60 * 1000)
             case None => ()
+          }
+          out.iterator
+      }
+  }
+
+  /** Stream-STREAM backward AS-OF join — the streaming face of the
+    * native batch operator ([[graft.plans.AsOfJoinOps]]): every fact
+    * row gets the same-key right row with the greatest time ≤ the fact
+    * time (equal right times → greatest id, the batch operator's tie
+    * rule). Spark's built-in stream joins can't express "latest ≤" —
+    * it needs ORDER among matches, not a containment window — so the
+    * two streams union under one tag and fold through
+    * `flatMapGroupsWithState`.
+    *
+    * Emission contract (append): a fact emits only once the watermark
+    * passes its event time — before that, an older-timestamped right
+    * row could still arrive and change "latest ≤ fact". Facts above the
+    * final watermark stay buffered (same trailing rule as
+    * [[customSessionize]]; StreamingSpec asserts emitted rows equal the
+    * BATCH as-of restricted to watermark-final facts).
+    *
+    * Scale: state per key = facts inside the watermark lag plus the
+    * in-lag right rows AND ONE older right row (for any future fact t,
+    * every right row ≤ watermark except the latest can never win — it
+    * is pruned each invocation). So state is O(lag window) per key,
+    * never O(stream), partitioned by key in the state store. */
+  def streamingAsOf(facts: DataFrame, rights: DataFrame): Dataset[AsOfMatch] = {
+    implicit val evEnc = Encoders.product[AsOfEvent]
+    implicit val stEnc = Encoders.product[AsOfBuffer]
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    implicit val longEnc = Encoders.scalaLong
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val tagged = facts
+      .select(col("key").cast("long").as("key"), col("ts"),
+        lit(true).as("is_fact"), col("id").cast("long").as("id"))
+      .unionByName(rights.select(col("key").cast("long").as("key"), col("ts"),
+        lit(false).as("is_fact"), col("id").cast("long").as("id")))
+      .withWatermark("ts", "30 minutes")
+      .as[AsOfEvent]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, events: Iterator[AsOfEvent], state: GroupState[AsOfBuffer]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val buf = state.getOption.getOrElse(AsOfBuffer(Nil, Nil))
+          val (newFacts, newRights) = events.toList.partition(_.is_fact)
+          val allFacts = buf.facts ++ newFacts.map(e => (usOf(e.ts), e.id))
+          // (us, id)-ascending: lastOption of the ≤-prefix IS the match
+          // (greatest time, ties to greatest id)
+          val allRights = (buf.rights ++ newRights.map(e => (usOf(e.ts), e.id))).sorted
+          val (ready, pending) = allFacts.partition(_._1 <= wmUs)
+          val out = ready.sorted.map { case (fus, fid) =>
+            val m = allRights.takeWhile(_._1 <= fus).lastOption
+            AsOfMatch(key, fid, fus, m.map(_._2), m.map(_._1))
+          }
+          // prune: of the rights at-or-under the watermark only the
+          // latest can ever match a future (> wm) fact
+          val (olds, live) = allRights.partition(_._1 <= wmUs)
+          val keptRights = olds.lastOption.toList ++ live
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuffer(pending, keptRights))
+            if (pending.nonEmpty)
+              // strictly above the watermark (pending facts all are);
+              // fires as soon as the watermark passes the earliest fact
+              state.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
           }
           out.iterator
       }

@@ -112,6 +112,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of emits exactly the batch as-of on watermark-final facts") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val facts = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    val rights = stream.filter(col("event_type") === "signup")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.streamingAsOf(facts, rights).toDF(), "t_stream_asof", "append", ckpt())
+
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+    val wmUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) - 30L * 60 * 1000000
+    val bF = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val bR = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val batch = graft.plans.AsOfJoinOps
+      .asof(bF, bR, "user_id", "user_id", "t_us", "t_us", "event_id")
+      .filter(col("t_us") <= wmUs)
+      .select(col("event_id").as("fact_id"), col("t_us").as("fact_us"),
+        col("event_id_r").as("b_right_id"), col("t_us_r").as("b_right_us"))
+    assert(got.count() > 0 && got.count() == batch.count(),
+      "every watermark-final fact must emit exactly once")
+    val joined = got.join(batch, Seq("fact_id"), "inner")
+    assert(joined.count() == got.count())
+    assert(joined.filter(
+      col("right_id") <=> col("b_right_id") === false ||
+      col("right_us") <=> col("b_right_us") === false).count() == 0,
+      "every streamed match must equal the batch operator's match")
+  }
+
+  test("streaming as-of matches across micro-batches and prunes to the latest old right") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = EventStreams.streamingAsOf(
+      fIn.toDF().toDF("key", "ts", "id"), rIn.toDF().toDF("key", "ts", "id")).toDF()
+    val q = out.writeStream.format("memory").queryName("t_asof_batches")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // batch 1: a right at 10:00 and a fact at 10:05 — wm still unset,
+      // nothing may emit yet (an older right could still arrive)
+      rIn.addData((7L, ts("2023-01-01 10:00:00"), 100L))
+      fIn.addData((7L, ts("2023-01-01 10:05:00"), 1L), (8L, ts("2023-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // batch 2: 11:00 advances the watermark past 10:05 → fact 1 emits
+      // matched to right 100; keyless fact 2 emits with nulls
+      fIn.addData((7L, ts("2023-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      // batch 3: a fresh right at 10:50 (inside the lag) then 12:00
+      // advances the watermark past 11:00 → fact 3 must match right 101,
+      // proving the pruned buffer still held what a later fact needs
+      rIn.addData((7L, ts("2023-01-01 10:50:00"), 101L))
+      fIn.addData((7L, ts("2023-01-01 12:00:00"), 4L))
+      q.processAllAvailable()
+      fIn.addData((7L, ts("2023-01-01 13:00:00"), 5L))
+      q.processAllAvailable()
+      val rows = spark.table("t_asof_batches")
+        .select("key", "fact_id", "right_id", "right_us")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(rows == Set(
+        (7L, 1L, Some(100L), Some(us("2023-01-01 10:00:00"))),
+        (8L, 2L, None, None),
+        (7L, 3L, Some(101L), Some(us("2023-01-01 10:50:00"))),
+        (7L, 4L, Some(101L), Some(us("2023-01-01 10:50:00")))),
+        s"got: $rows")
+    } finally q.stop()
+  }
+
   test("streaming upsert into the partitioned vector store is idempotent") {
     val store = Files.createTempDirectory("vstore_stream").toFile.getAbsolutePath + "/store"
     def run(ck: String): Unit = {
