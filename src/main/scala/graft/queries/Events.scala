@@ -621,9 +621,67 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Per-group z-score OUTLIER detection (the monitoring primitive for
+    * a metrics/anomaly pipeline): events whose value sits more than 3
+    * sample standard deviations from their event type's mean.
+    *
+    * Determinism: the group moments are ORDER-FREE exact-integer sums
+    * (Σv, Σv² in cent units — both < 2⁵³, so their DOUBLE casts are
+    * exact), and everything after is a fixed-shape chain of scalar
+    * IEEE ops (two divisions, one mandated-correctly-rounded sqrt),
+    * identical on both engines — no corpus-order-dependent float
+    * summation anywhere. The mean is materialized ONCE in a stage and
+    * reused so both engines round it identically; groups with
+    * non-positive float variance are dropped BEFORE sqrt (guards the
+    * NaN-comparison divergence between engines).
+    *
+    * Scale: one map-side-combined shuffle for the 5-row moment table
+    * (bounded by the event-type vocabulary — the legitimate broadcast),
+    * then a narrow per-row filter over the fact scan. */
+  val qOutliers: QueryDef = QueryDef.sql(
+    "q_events_outliers",
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS su,
+      |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)
+      |           * CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n, sq, CAST(su AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+      |  FROM s WHERE n > 1
+      |), v AS (
+      |  SELECT event_type, mean,
+      |    (CAST(sq AS DOUBLE) - CAST(n AS DOUBLE) * mean * mean) / CAST(n - 1 AS DOUBLE) AS var
+      |  FROM m
+      |), st AS (
+      |  SELECT event_type, mean, sqrt(var) AS sd FROM v WHERE var > 0
+      |)
+      |SELECT event_id, e.event_type, value,
+      |  (CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE) - mean) / sd AS z
+      |FROM events e JOIN st ON st.event_type = e.event_type
+      |WHERE ABS((CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE) - mean) / sd) > 3.0
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val vu = units(col("value"), 2)
+    val moments = ev(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(vu).cast("long").as("su"),
+        sum(vu * vu).cast("long").as("sq"))
+      .filter(col("n") > 1)
+      .withColumn("mean", col("su").cast("double") / col("n").cast("double"))
+      .withColumn("var",
+        (col("sq").cast("double") - col("n").cast("double") * col("mean") * col("mean")) /
+          (col("n") - 1).cast("double"))
+      .filter(col("var") > 0)
+      .select(col("event_type"), col("mean"), sqrt(col("var")).as("sd"))
+    val z = (vu.cast("double") - col("mean")) / col("sd")
+    ev(s, d).join(broadcast(moments), Seq("event_type"))
+      .filter(abs(z) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
-    qAsOfForward)
+    qAsOfForward, qOutliers)
 }
