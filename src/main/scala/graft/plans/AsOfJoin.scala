@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
 
 /** Match direction for the native as-of join — the three directions of
   * the public pandas `merge_asof` contract:
@@ -26,6 +26,25 @@ import org.apache.spark.sql.types.LongType
   * direction except the forward candidate of Nearest, which is the
   * smallest tie (the cursor's look-ahead row) — pinned in AsOfJoinSpec.
   */
+/** Long subtraction that saturates at the domain edges instead of
+  * wrapping: the nearest-direction distance and the tolerance checks
+  * compare `a - b` against a bound, and a silent two's-complement wrap
+  * for extreme time values would flip the backward/forward preference
+  * or the tolerance verdict. Distances here are nonnegative by
+  * construction (the consumed region guarantees the sign), so the
+  * saturated `Long.MaxValue` reads as "astronomically far" — which
+  * fails any tolerance and loses any nearer-candidate comparison,
+  * exactly the intended semantics. */
+private[plans] object AsOfArith {
+  def satSub(a: Long, b: Long): Long = {
+    val r = a - b
+    // overflow iff the operands' signs differ and the result's sign
+    // differs from a's (the standard bit test)
+    if (((a ^ b) & (a ^ r)) < 0) { if (a >= 0) Long.MaxValue else Long.MinValue }
+    else r
+  }
+}
+
 sealed abstract class AsOfDirection(val name: String)
 object AsOfDirection {
   case object Backward extends AsOfDirection("backward")
@@ -222,13 +241,14 @@ final case class AsOfJoinExec(
             val ltv = lTime.getLong(0)
             val bound = tol.getOrElse(Long.MaxValue)
             val db =
-              if (held != null && keyOrd.compare(heldKey, lKey) == 0) ltv - heldTime
+              if (held != null && keyOrd.compare(heldKey, lKey) == 0)
+                AsOfArith.satSub(ltv, heldTime)
               else Long.MaxValue
             var fRow: InternalRow = null
             var df = Long.MaxValue
             if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0) {
               val rT = rTimeProj(rHead)
-              if (!rT.isNullAt(0)) { fRow = rHead; df = rT.getLong(0) - ltv }
+              if (!rT.isNullAt(0)) { fRow = rHead; df = AsOfArith.satSub(rT.getLong(0), ltv) }
             }
             if (db <= df && db <= bound && held != null &&
                 keyOrd.compare(heldKey, lKey) == 0) held
@@ -237,7 +257,8 @@ final case class AsOfJoinExec(
           } else {
             val withinTol = tol.forall { t =>
               val ltv = lTime.getLong(0)
-              (if (dir == AsOfDirection.Forward) heldTime - ltv else ltv - heldTime) <= t
+              (if (dir == AsOfDirection.Forward) AsOfArith.satSub(heldTime, ltv)
+               else AsOfArith.satSub(ltv, heldTime)) <= t
             }
             if (held != null && keyOrd.compare(heldKey, lKey) == 0 && withinTol) held
             else nullRight
@@ -361,7 +382,8 @@ final case class BroadcastAsOfJoinExec(
               if (n == 0) nullRight
               else {
                 val cand = arr(n - 1)
-                val ok = tol.forall(t => lTime.getLong(0) - cand._1.getLong(0) <= t)
+                val ok = tol.forall(t =>
+                  AsOfArith.satSub(lTime.getLong(0), cand._1.getLong(0)) <= t)
                 if (ok) cand._3 else nullRight
               }
             case AsOfDirection.Forward =>
@@ -372,15 +394,18 @@ final case class BroadcastAsOfJoinExec(
                 // the end of the equal-time block (merge-exec parity)
                 while (i + 1 < arr.length && timeOrd.compare(arr(i + 1)._1, arr(i)._1) == 0) i += 1
                 val cand = arr(i)
-                val ok = tol.forall(t => cand._1.getLong(0) - lTime.getLong(0) <= t)
+                val ok = tol.forall(t =>
+                  AsOfArith.satSub(cand._1.getLong(0), lTime.getLong(0)) <= t)
                 if (ok) cand._3 else nullRight
               }
             case AsOfDirection.Nearest =>
               val ltv = lTime.getLong(0)
               val bound = tol.getOrElse(Long.MaxValue)
               val n = prefixLen(arr, lTime, inclusive = true)
-              val db = if (n > 0) ltv - arr(n - 1)._1.getLong(0) else Long.MaxValue
-              val df = if (n < arr.length) arr(n)._1.getLong(0) - ltv else Long.MaxValue
+              val db =
+                if (n > 0) AsOfArith.satSub(ltv, arr(n - 1)._1.getLong(0)) else Long.MaxValue
+              val df =
+                if (n < arr.length) AsOfArith.satSub(arr(n)._1.getLong(0), ltv) else Long.MaxValue
               if (n > 0 && db <= df && db <= bound) arr(n - 1)._3
               else if (n < arr.length && df <= bound) arr(n)._3
               else nullRight
@@ -436,6 +461,24 @@ object AsOfJoinOps {
         (left.schema(leftTime).dataType == LongType &&
           right.schema(rightTime).dataType == LongType),
       "toleranceUs and direction=Nearest require BIGINT time columns on both sides")
+    // mismatched cross-side types would not error — the broadcast path's
+    // UnsafeRow byte-equality lookup silently matches nothing, and the
+    // merge path's ordering is built from the left type only — so fail
+    // loudly here instead
+    val (lkT, rkT) = (left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+    require(lkT == rkT,
+      s"as-of key column types must match across sides: $leftKey is $lkT, $rightKey is $rkT")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"as-of time column types must match across sides: $leftTime is " +
+        s"${left.schema(leftTime).dataType}, $rightTime is ${right.schema(rightTime).dataType}")
+    // floating-point keys: -0.0/0.0 and NaN bit patterns compare equal
+    // under RowOrdering but unequal under UnsafeRow hashing, so the two
+    // physical operators (and HashPartitioning) could disagree —
+    // Catalyst's NormalizeFloatingNumbers rule does not visit this
+    // custom node, so reject the types outright
+    require(lkT != FloatType && lkT != DoubleType,
+      "as-of join keys must not be floating-point (FLOAT/DOUBLE): " +
+        "normalize to a comparable integral or string key first")
     require(allowExact || direction != AsOfDirection.Nearest,
       "allowExact=false is not supported with direction=Nearest")
     // fresh exprIds + distinct names: safe under self-as-of (same source

@@ -141,7 +141,10 @@ object EventStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
           var open = state.getOption
           events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos)).foreach { e =>
-            val tUs = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
+            // floorDiv, not /: getTime truncates toward zero while
+            // getNanos is always positive, so plain division would
+            // double-count the sub-second part of pre-epoch timestamps
+            val tUs = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
             open match {
               case Some(s) if tUs - s.endUs > GapUs =>
                 out += ClosedSession(userId, s.startUs, s.endUs, s.n,
@@ -202,8 +205,9 @@ object EventStreams {
     implicit val stEnc = Encoders.product[AsOfBuffer]
     implicit val outEnc = Encoders.product[AsOfMatch]
     implicit val longEnc = Encoders.scalaLong
+    // floorDiv for pre-epoch correctness (getNanos is always positive)
     def usOf(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     val tagged = facts
       .select(col("key").cast("long").as("key"), col("ts"),
         lit(true).as("is_fact"), col("id").cast("long").as("id"))

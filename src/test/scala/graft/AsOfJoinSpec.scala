@@ -226,6 +226,52 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("mismatched cross-side key/time types and float keys are rejected loudly") {
+    val lInt = Seq((1, 100L)).toDF("k", "t")
+    val rLong = Seq((1L, 90L, 10L)).toDF("k", "t", "rid")
+    // INT left key vs BIGINT right key: the broadcast path would
+    // silently match nothing — must throw instead
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(lInt, rLong, "k", "k", "t", "t", "rid")
+    }
+    assert(e1.getMessage.contains("key column types must match"))
+    val lMs = Seq((1L, 100)).toDF("k", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(lMs, rLong, "k", "k", "t", "t", "rid")
+    }
+    assert(e2.getMessage.contains("time column types must match"))
+    // floating-point keys: UnsafeRow hashing and RowOrdering disagree on
+    // -0.0/NaN, so the two physical operators could diverge — rejected
+    val lF = Seq((1.0, 100L)).toDF("k", "t")
+    val rF = Seq((1.0, 90L, 10L)).toDF("k", "t", "rid")
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(lF, rF, "k", "k", "t", "t", "rid")
+    }
+    assert(e3.getMessage.contains("floating-point"))
+  }
+
+  test("extreme time values: distance arithmetic saturates instead of wrapping") {
+    // ltv - heldTime overflows a raw Long here (MaxValue-10 - MinValue+10);
+    // wrapped arithmetic would read the backward candidate as NEGATIVE
+    // distance and wrongly prefer it over the adjacent forward row
+    val left = Seq((1L, "k", Long.MaxValue - 10L)).toDF("lid", "k", "t")
+    val right = Seq((10L, "k", Long.MinValue + 10L, 1.0), (11L, "k", Long.MaxValue - 5L, 2.0))
+      .toDF("rid", "k", "t", "v")
+    for (bcast <- BothPaths) {
+      val near = AsOfJoinOps.asof(left, right, "k", "k", "t", "t", "rid",
+        direction = AsOfDirection.Nearest, broadcastRight = bcast)
+        .select("rid_r").as[Option[Long]].collect().toSeq
+      assert(near == Seq(Some(11L)), s"broadcastRight=$bcast: forward row at distance 5 must win")
+      // tolerance on the astronomically-stale backward match must fail
+      // closed (saturate to MaxValue), not wrap to a tiny distance
+      val tolOut = AsOfJoinOps.asof(left,
+        right.filter(col("rid") === 10L), "k", "k", "t", "t", "rid",
+        toleranceUs = Some(1000L), broadcastRight = bcast)
+        .select("rid_r").as[Option[Long]].collect().toSeq
+      assert(tolOut == Seq(None), s"broadcastRight=$bcast: wrapped tolerance must not match")
+    }
+  }
+
   test("self-as-of over one source resolves both sides' attributes") {
     val ev = events("purchase").limit(200)
     for (bcast <- BothPaths) {
