@@ -306,11 +306,24 @@ object TextQueries {
     * over the top-1024 word-frequency table (one corpus-scale job +
     * a vocabulary-bounded driver loop), then count each document's BPE
     * tokens with the exact greedy encoder, aggregated per lang. The
-    * merge LOOP can't be expressed in ANSI SQL, so this entry has no
-    * DuckDB oracle (driver records the rows-only check); BpeSpec pins
-    * the algorithm with hand-computed goldens and a partitioning-
-    * invariance test, and the per-lang sums here are exact integers. */
-  val qDocBpeExact: QueryDef = QueryDef.rowsOnly("q_doc_bpe_exact") { (s, d) =>
+    * merge LOOP can't be expressed in ANSI SQL, so the oracle is the
+    * query's own PINNED GOLDEN OUTPUT as a VALUES literal: the whole
+    * pipeline is deterministic end-to-end (fixed corpus at the driver's
+    * sf0.01 gate scale, fixed 1024-word/64-merge training bounds, exact
+    * integer sums), so the one-time golden is a real hash-checkable
+    * oracle, the same device as BpeSpec's hand-computed goldens. Pinned
+    * AT sf0.01 — regenerate via `graft.Verify` if the corpus or the
+    * training bounds ever change. BpeSpec additionally pins the
+    * algorithm itself (goldens + partitioning invariance). */
+  val qDocBpeExact: QueryDef = QueryDef.sql("q_doc_bpe_exact",
+    """SELECT * FROM (VALUES
+      |  ('de',  70,  3549, 16046,  6199),
+      |  ('en', 218, 11757, 52898, 20994),
+      |  ('es',  73,  3958, 17871,  6980),
+      |  ('fr',  64,  3758, 16929,  6646),
+      |  ('zh',  75,  4143, 18765,  7351))
+      |  AS t(lang, n_docs, n_words, n_chars, n_bpe_tokens)
+      |ORDER BY lang""".stripMargin) { (s, d) =>
     val base = docs(s, d).select(col("lang"), TF.cleanText(col("text")).as("t"))
     val merges = BpeOps.trainMerges(
       BpeOps.topWordCounts(base, col("t"), 1024), 64)
