@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{size => asize, _}
 
 /** Multimodal-column + typed-aggregator inventory (EXT north-star).
-  * Binary media are synthesized from `documents.text` (no real media in
-  * the corpus); metadata extraction is oracle-checked, the stubbed
-  * decode kernel is a rows-only check (mapPartitions is not
-  * SQL-expressible).
+  * The corpus has no real media, so binary media are synthesized —
+  * text bytes exercise the decode kernel's degrade path, generated
+  * PNGs its real `ImageIO` path — and every query is hash-checked
+  * against a DuckDB oracle (the degrade arithmetic mirrored from
+  * `hex(blob)`, the real decode against its closed form).
   */
 object MultimodalQueries {
 
@@ -39,11 +40,13 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  /** Stubbed decode + featurize through the mapPartitions kernel. The
-    * stub's features are pure byte arithmetic (first-byte dims + 8-bucket
-    * byte histogram ÷ n), so the oracle reproduces them in DuckDB from
-    * `hex(blob)` — the mapPartitions plumbing gets a full hash check,
-    * not just a row count. */
+  /** The decode kernel's DEGRADE path through the mapPartitions
+    * plumbing: text blobs are not images, so every row takes the
+    * corrupt-input fallback (deterministic byte arithmetic — first-byte
+    * dims + 8-bucket byte histogram ÷ n, `decoded=false`), which the
+    * oracle reproduces in DuckDB from `hex(blob)` — a full hash check
+    * of the fallback AND the flag, not just a row count. The REAL
+    * decode path is hash-checked by [[qMultimodalDecode]]. */
   val qMultimodalFeatures: QueryDef = {
     // hex digit → int (DuckDB hex() is uppercase; normalized via lower())
     def hx(c: String) = s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
@@ -66,13 +69,52 @@ object MultimodalQueries {
          |SELECT doc_id,
          |  CAST(16 + (CASE WHEN v0 >= 128 THEN 256 - v0 ELSE v0 END) % 64 AS INTEGER) AS width,
          |  CAST(16 + n % 64 AS INTEGER) AS height,
+         |  FALSE AS decoded,
          |  $fCols
          |FROM v
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val media = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("blob"))
       val feats = (0 until 8).map(k => element_at(col("features"), k + 1).as(s"f$k"))
       MultimodalOps.decodeAndFeaturize(media, "blob")
-        .select(col("doc_id") +: col("width") +: col("height") +: feats: _*)
+        .select(col("doc_id") +: col("width") +: col("height") +: col("decoded") +: feats: _*)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** The REAL decode path, hash-checked: solid-color PNGs are
+    * synthesized per document (size and gray level derived from
+    * `doc_id`; PNG is lossless so decode is bit-exact), pushed through
+    * the same `ImageIO` mapPartitions kernel as production media, and
+    * the decoded width/height/luminance-histogram must match the
+    * closed-form oracle (a solid gray-`g` image puts ALL pixels in
+    * luminance bucket `g/32`). The fixture-encode UDF is test
+    * scaffolding, not a production operator — production media arrive
+    * as bytes. */
+  val qMultimodalDecode: QueryDef = {
+    val fCols = (0 until 8).map { k =>
+      s"CASE WHEN bucket = $k THEN 1.0 ELSE 0.0 END AS f$k"
+    }.mkString(",\n  ")
+    QueryDef.sql(
+      "q_multimodal_decode",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CAST(1 + doc_id % 16 AS INTEGER) AS width,
+         |    CAST(1 + doc_id % 8 AS INTEGER) AS height,
+         |    ((doc_id * 7) % 256) // 32 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, width, height, TRUE AS decoded, $fCols
+         |FROM p
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val encodePng = udf { id: Long =>
+        val g = ((id * 7) % 256).toInt
+        MultimodalOps.encodeSolidPng(
+          1 + (id % 16).toInt, 1 + (id % 8).toInt, (g << 16) | (g << 8) | g)
+      }
+      val media = docs(s, d).select(col("doc_id"), encodePng(col("doc_id")).as("blob"))
+      val feats = (0 until 8).map(k => element_at(col("features"), k + 1).as(s"f$k"))
+      MultimodalOps.decodeAndFeaturize(media, "blob")
+        .select(col("doc_id") +: col("width") +: col("height") +: col("decoded") +: feats: _*)
         .orderBy("doc_id")
     }
   }
@@ -117,5 +159,5 @@ object MultimodalQueries {
       .orderBy("label")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qCentroid)
+  val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode, qCentroid)
 }
