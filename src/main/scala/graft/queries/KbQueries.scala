@@ -243,6 +243,48 @@ object KbQueries {
       .orderBy("doc_id")
   }
 
+  /** S6/S7 — the attachment-then-parse loop (REF `save_email_attachments`
+    * parsers.py:103-109: every attachment of a .msg saved under its
+    * long filename, then fed to the per-format parsers): each document
+    * becomes a genuine MS-CFB MSG carrying TWO attachments — a .txt
+    * (UTF-8 payload in the ministream tier) and a real Flate-compressed
+    * .pdf built from the same text (usually the FAT-stream tier) —
+    * then [[ParseOps.msgAttachments]] walks the directory tree,
+    * explodes the child rows, and each payload goes back through the
+    * full [[ParseOps.parseText]] dispatch on its own extension. Both
+    * decoders are exact, so the oracle is pure string algebra; any
+    * drift in the storage walk, sibling-tree parentage, filename
+    * properties, payload chains, or the re-parse breaks the hash. */
+  val qParseAttachments: QueryDef = QueryDef.sql(
+    "q_parse_attachments",
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    'notes_' || CAST(doc_id AS VARCHAR) || '.txt' AS att_name,
+      |    'txt' AS att_type, text AS parsed
+      |  FROM documents WHERE doc_id < 150
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'report_' || CAST(doc_id AS VARCHAR) || '.pdf',
+      |    'pdf', text
+      |  FROM documents WHERE doc_id < 150
+      |)
+      |SELECT doc_id, att_name, att_type, parsed
+      |FROM a
+      |ORDER BY doc_id, att_name""".stripMargin) { (s, d) =>
+    val mkMsg = udf((id: Long, t: String) =>
+      graft.sources.OfficeParsers.makeMsg(s"doc_$id", t, Seq(
+        (s"notes_$id.txt", t.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        (s"report_$id.pdf", graft.sources.OfficeParsers.makePdf(t)))))
+    docs(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"), mkMsg(col("doc_id"), col("text")).as("raw"))
+      .select(col("doc_id"), explode(ParseOps.msgAttachments(col("raw"))).as("att"))
+      .select(col("doc_id"),
+        col("att._1").as("att_name"),
+        TF.extExtract(col("att._1")).as("att_type"),
+        ParseOps.parseText(TF.extExtract(col("att._1")), col("att._2")).as("parsed"))
+      .orderBy("doc_id", "att_name")
+  }
+
   /** S5 end-to-end proof of the REAL xlsx reader: each document becomes
     * a genuine shared-strings workbook (header row + one catalog row),
     * read back through [[ParseOps.xlsxCells]] with the reference's
@@ -269,5 +311,5 @@ object KbQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qKbHtml, qKbTable, qParseDispatch, qParseOffice,
-    qParseXlsx, qCatalogMarkdown, qPdfTables, qPdfTablesReal)
+    qParseAttachments, qParseXlsx, qCatalogMarkdown, qPdfTables, qPdfTablesReal)
 }

@@ -226,38 +226,35 @@ object OfficeParsers {
   private val EndOfChain = 0xFFFFFFFE
   private val MaxChain = 1 << 20 // loop guard: 1M sectors = 512 MB
 
-  /** Outlook MSG → "Subject: …\n\n<body>" (REF `msg_parser`
-    * parsers.py:96-100 — `extract_msg.openMsg(...).getJson()`; the
-    * subject+body are the fields its JSON carries that a text pipeline
-    * ingests). MSG is an OLE Compound File (MS-CFB, public spec): a
-    * FAT of 512-byte sectors, a directory of UTF-16LE-named streams,
-    * and a mini-FAT of 64-byte sectors inside the root's ministream
-    * for streams under the 4096-byte cutoff. The MAPI property streams
-    * `__substg1.0_0037001F` (subject) and `__substg1.0_1000001F`
-    * (body) hold UTF-16LE text; the 001E variants are the 8-bit
-    * codepage forms. All of this is byte arithmetic — JDK-only. Throws
-    * on anything that isn't CFB or lacks both properties → stub
-    * fallback in [[ParseOps]]. */
-  def msgText(bytes: Array[Byte]): String = {
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  /** MS-CFB (OLE Compound File, public spec) reader: a FAT of 512-byte
+    * sectors, a directory of UTF-16LE-named streams forming a tree
+    * (left/right sibling + child ids per entry), and a mini-FAT of
+    * 64-byte sectors inside the root's ministream for streams under
+    * the 4096-byte cutoff. All byte arithmetic — JDK-only. Shared by
+    * [[OfficeParsers.msgText]] (MAPI property streams) and
+    * [[OfficeParsers.msgAttachments]] (attachment storage walk, which
+    * NEEDS the tree: every attachment storage has identically-named
+    * filename/data children, so only parentage associates them). */
+  private[sources] final class CfbReader(bytes: Array[Byte]) {
+    private val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (bytes.length < 512 || bb.getLong(0) != CfbSignature)
       throw new IllegalArgumentException("not an OLE compound file")
-    val sectorSize = 1 << bb.getShort(30)
-    val miniSize = 1 << bb.getShort(32)
-    val firstDirSector = bb.getInt(48)
-    val miniCutoff = bb.getInt(56)
-    val firstMiniFat = bb.getInt(60)
+    private val sectorSize = 1 << bb.getShort(30)
+    private val miniSize = 1 << bb.getShort(32)
+    private val firstDirSector = bb.getInt(48)
+    private val miniCutoff = bb.getInt(56)
+    private val firstMiniFat = bb.getInt(60)
 
-    def sectorOff(id: Int): Int = 512 + id * sectorSize
-    val entriesPerFat = sectorSize / 4
+    private def sectorOff(id: Int): Int = 512 + id * sectorSize
+    private val entriesPerFat = sectorSize / 4
     // header DIFAT covers the first 109 FAT sectors = 6.8 GB of file at
     // 512-byte sectors — MSG attachments never need the DIFAT overflow
-    val fatSectors = (0 until 109).map(i => bb.getInt(76 + 4 * i)).takeWhile(_ >= 0)
-    def fatNext(id: Int): Int = {
+    private val fatSectors = (0 until 109).map(i => bb.getInt(76 + 4 * i)).takeWhile(_ >= 0)
+    private def fatNext(id: Int): Int = {
       val fs = fatSectors(id / entriesPerFat)
       bb.getInt(sectorOff(fs) + (id % entriesPerFat) * 4)
     }
-    def chain(start: Int, next: Int => Int): Seq[Int] = {
+    private def chain(start: Int, next: Int => Int): Seq[Int] = {
       val out = Seq.newBuilder[Int]
       var id = start
       var n = 0
@@ -267,7 +264,7 @@ object OfficeParsers {
       if (n >= MaxChain) throw new IllegalArgumentException("cyclic FAT chain")
       out.result()
     }
-    def readChain(start: Int, size: Long): Array[Byte] = {
+    private def readChain(start: Int, size: Long): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       chain(start, fatNext).foreach { id =>
         val off = sectorOff(id)
@@ -276,23 +273,29 @@ object OfficeParsers {
       out.toByteArray.take(math.min(size, out.size.toLong).toInt)
     }
 
+    final case class Entry(name: String, entryType: Int, start: Int, size: Long,
+        leftId: Int, rightId: Int, childId: Int)
+
     // directory: 128-byte entries across the dir chain
-    val dir = readChain(firstDirSector, Long.MaxValue)
-    final case class Entry(name: String, entryType: Int, start: Int, size: Long)
-    val entries = (0 until dir.length / 128).map { i =>
-      val base = i * 128
-      val eb = java.nio.ByteBuffer.wrap(dir, base, 128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val nameLen = eb.getShort(base + 64) & 0xFFFF
-      val name =
-        if (nameLen >= 2) new String(dir, base, nameLen - 2, StandardCharsets.UTF_16LE) else ""
-      Entry(name, dir(base + 66) & 0xFF, eb.getInt(base + 116), eb.getLong(base + 120))
+    val entries: IndexedSeq[Entry] = {
+      val dir = readChain(firstDirSector, Long.MaxValue)
+      (0 until dir.length / 128).map { i =>
+        val base = i * 128
+        val eb = java.nio.ByteBuffer.wrap(dir, base, 128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nameLen = eb.getShort(base + 64) & 0xFFFF
+        val name =
+          if (nameLen >= 2) new String(dir, base, nameLen - 2, StandardCharsets.UTF_16LE) else ""
+        Entry(name, dir(base + 66) & 0xFF, eb.getInt(base + 116), eb.getLong(base + 120),
+          eb.getInt(base + 68), eb.getInt(base + 72), eb.getInt(base + 76))
+      }
     }
-    val root = entries.find(_.entryType == 5).getOrElse(
+    val root: Entry = entries.find(_.entryType == 5).getOrElse(
       throw new IllegalArgumentException("no root storage entry"))
-    lazy val miniStream = readChain(root.start, root.size)
-    lazy val miniFat = readChain(firstMiniFat, Long.MaxValue)
-    def miniNext(id: Int): Int =
+    private lazy val miniStream = readChain(root.start, root.size)
+    private lazy val miniFat = readChain(firstMiniFat, Long.MaxValue)
+    private def miniNext(id: Int): Int =
       java.nio.ByteBuffer.wrap(miniFat).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(id * 4)
+
     def readStream(e: Entry): Array[Byte] =
       if (e.size >= miniCutoff) readChain(e.start, e.size)
       else {
@@ -302,17 +305,79 @@ object OfficeParsers {
         }
         out.toByteArray.take(e.size.toInt)
       }
-    def prop(tag: String): Option[String] =
-      entries.find(e => e.entryType == 2 && e.name == s"__substg1.0_${tag}001F")
-        .map(e => new String(readStream(e), StandardCharsets.UTF_16LE))
-        .orElse(entries.find(e => e.entryType == 2 && e.name == s"__substg1.0_${tag}001E")
-          .map(e => new String(readStream(e), StandardCharsets.ISO_8859_1)))
 
-    val subject = prop("0037")
-    val body = prop("1000")
+    /** In-order walk of a storage's child tree (the red-black sibling
+      * tree rooted at `childId`) — DIRECT children only; a child's own
+      * `childId` subtree belongs to nested storages (e.g. an attached
+      * message's contents) and is not descended. Cycle-guarded: corrupt
+      * sibling links terminate instead of recursing forever. */
+    def directChildren(e: Entry): Seq[Entry] = {
+      val out = Seq.newBuilder[Entry]
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      def go(id: Int): Unit =
+        if (id >= 0 && id < entries.length && seen.add(id)) {
+          val c = entries(id); go(c.leftId); out += c; go(c.rightId)
+        }
+      go(e.childId)
+      out.result()
+    }
+
+    /** A MAPI string property among `among`: the 001F (UTF-16LE) stream
+      * variant first, then the 001E (8-bit codepage) form. */
+    def textProp(among: Seq[Entry], tag: String): Option[String] =
+      among.find(e => e.entryType == 2 && e.name == s"__substg1.0_${tag}001F")
+        .map(e => new String(readStream(e), StandardCharsets.UTF_16LE))
+        .orElse(among.find(e => e.entryType == 2 && e.name == s"__substg1.0_${tag}001E")
+          .map(e => new String(readStream(e), StandardCharsets.ISO_8859_1)))
+  }
+
+  /** Outlook MSG → "Subject: …\n\n<body>" (REF `msg_parser`
+    * parsers.py:96-100 — `extract_msg.openMsg(...).getJson()`; the
+    * subject+body are the fields its JSON carries that a text pipeline
+    * ingests). The MAPI property streams `__substg1.0_0037001F`
+    * (subject) and `__substg1.0_1000001F` (body) hold UTF-16LE text;
+    * the 001E variants are the 8-bit codepage forms. Throws on
+    * anything that isn't CFB or lacks both properties → stub fallback
+    * in [[ParseOps]]. */
+  def msgText(bytes: Array[Byte]): String = {
+    val cfb = new CfbReader(bytes)
+    val subject = cfb.textProp(cfb.entries, "0037")
+    val body = cfb.textProp(cfb.entries, "1000")
     if (subject.isEmpty && body.isEmpty)
       throw new IllegalArgumentException("no subject/body property streams")
     s"Subject: ${subject.getOrElse("")}\n\n${body.getOrElse("")}"
+  }
+
+  /** Outlook MSG → its attachments as (filename, bytes) rows (REF
+    * `save_email_attachments` parsers.py:103-109 — `msg.attachments`
+    * iterated, each saved under `att.longFilename` for downstream
+    * parsing; here they surface as child rows the caller feeds back
+    * through the [[ParseOps.parseText]] dispatch instead of a
+    * filesystem round-trip). Attachments live in storages named
+    * `__attach_version1.0_#NNNNNNNN`; each storage's DIRECT children
+    * (the directory tree walk — by name alone the identically-named
+    * streams of different attachments are indistinguishable) hold the
+    * long filename (MAPI 3707), short filename (3704) and the payload
+    * (`__substg1.0_37010102`). Embedded-message attachments (a nested
+    * storage, tag 3701000D) carry no flat payload and are skipped —
+    * the reference's `att.save` writes those as .msg files it never
+    * re-parses. Ordered by storage name = attachment index. Throws on
+    * non-CFB bytes (same degrade contract as [[msgText]]); a message
+    * with no attachment storages returns an empty list. */
+  def msgAttachments(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val cfb = new CfbReader(bytes)
+    cfb.entries
+      .filter(e => e.entryType == 1 && e.name.startsWith("__attach_version1.0_#"))
+      .sortBy(_.name)
+      .zipWithIndex
+      .flatMap { case (storage, i) =>
+        val kids = cfb.directChildren(storage)
+        val data = kids.find(e => e.entryType == 2 && e.name == "__substg1.0_37010102")
+          .map(cfb.readStream)
+        val name = cfb.textProp(kids, "3707").orElse(cfb.textProp(kids, "3704"))
+          .getOrElse(s"attachment_$i")
+        data.map(d => (name, d))
+      }
   }
 
   // ---- PDF text extraction ----------------------------------------------
@@ -795,90 +860,143 @@ object OfficeParsers {
          |</p:txBody></p:sp></p:spTree></p:cSld>
          |</p:sld>""".stripMargin)
 
-  /** Minimal valid MS-CFB MSG: one FAT sector, one directory sector,
-    * one mini-FAT sector, and a ministream holding the UTF-16LE
-    * subject/body property streams (real MSG layout for small mails —
-    * exercises the reader's FAT walk, directory parse, AND the
-    * mini-FAT path, since both streams sit under the 4096-byte
-    * cutoff). */
-  def makeMsg(subject: String, body: String): Array[Byte] = {
-    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+  /** Valid MS-CFB MSG fixture: UTF-16LE subject/body property streams
+    * plus one `__attach_version1.0_#NNNNNNNN` storage per attachment
+    * (long-filename 3707 stream + `37010102` payload, linked through
+    * the directory's sibling tree exactly as Outlook writes them).
+    * Streams under the 4096-byte cutoff land in the ministream
+    * (mini-FAT path); larger payloads get their own FAT chains — so
+    * round-trip tests exercise the reader's FAT walk, directory-tree
+    * parse, AND both stream tiers. */
+  def makeMsg(subject: String, body: String,
+      attachments: Seq[(String, Array[Byte])] = Nil): Array[Byte] = {
     val FreeSect = 0xFFFFFFFF
     val FatSect = 0xFFFFFFFD
-    val subjBytes = subject.getBytes(StandardCharsets.UTF_16LE)
-    val bodyBytes = body.getBytes(StandardCharsets.UTF_16LE)
-    val subjMinis = math.max(1, (subjBytes.length + 63) / 64)
-    val bodyMinis = math.max(1, (bodyBytes.length + 63) / 64)
-    val miniTotal = subjMinis + bodyMinis
-    val miniBytes = miniTotal * 64
-    val miniSectors = (miniBytes + 511) / 512 // FAT sectors backing the ministream
-    // sector map: 0 = FAT, 1 = directory, 2 = miniFAT, 3.. = ministream
-    val totalSectors = 3 + miniSectors
-    val file = java.nio.ByteBuffer.allocate(512 + totalSectors * 512).order(le)
+    val MiniCutoff = 4096
 
-    // header
-    file.putLong(0, CfbSignature)
-    file.putShort(24, 0x003E.toShort) // minor version
-    file.putShort(26, 3)              // major version 3 (512-byte sectors)
-    file.putShort(28, 0xFFFE.toShort) // little-endian marker
-    file.putShort(30, 9)              // sector shift
-    file.putShort(32, 6)              // mini sector shift
-    file.putInt(40, 0)                // directory sector count (must be 0 in v3)
-    file.putInt(44, 1)                // FAT sector count
-    file.putInt(48, 1)                // first directory sector
-    file.putInt(56, 4096)             // mini stream cutoff
-    file.putInt(60, 2)                // first miniFAT sector
-    file.putInt(64, 1)                // miniFAT sector count
-    file.putInt(68, FreeSect)         // no DIFAT overflow
-    file.putInt(72, 0)
-    file.putInt(76, 0)                // DIFAT[0]: FAT lives in sector 0
-    (1 until 109).foreach(i => file.putInt(76 + 4 * i, FreeSect))
+    // ---- directory model (mutable: sector starts assigned below)
+    final class DirEnt(val name: String, val entryType: Int, val data: Array[Byte]) {
+      var start: Int = EndOfChain
+      var left: Int = -1; var right: Int = -1; var child: Int = -1
+      def size: Long = if (data == null) 0L else data.length.toLong
+    }
+    val ents = scala.collection.mutable.ArrayBuffer.empty[DirEnt]
+    def add(name: String, entryType: Int, data: Array[Byte] = null): Int = {
+      ents += new DirEnt(name, entryType, data); ents.length - 1
+    }
+    val rootIdx = add("Root Entry", 5)
+    val subjIdx = add("__substg1.0_0037001F", 2, subject.getBytes(StandardCharsets.UTF_16LE))
+    val bodyIdx = add("__substg1.0_1000001F", 2, body.getBytes(StandardCharsets.UTF_16LE))
+    // root's child tree: subject → body → attachment storages as a
+    // right-sibling chain (a degenerate but valid binary tree); each
+    // storage's children: filename → payload
+    ents(rootIdx).child = subjIdx
+    ents(subjIdx).right = bodyIdx
+    var prevSibling = bodyIdx
+    attachments.zipWithIndex.foreach { case ((fname, data), i) =>
+      val stIdx = add(f"__attach_version1.0_#$i%08X", 1)
+      val fnIdx = add("__substg1.0_3707001F", 2, fname.getBytes(StandardCharsets.UTF_16LE))
+      val dtIdx = add("__substg1.0_37010102", 2, data)
+      ents(stIdx).child = fnIdx
+      ents(fnIdx).right = dtIdx
+      ents(prevSibling).right = stIdx
+      prevSibling = stIdx
+    }
 
+    // ---- ministream layout (streams under the cutoff), 64-byte minis
+    val miniFatEntries = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ents.filter(e => e.entryType == 2 && e.size > 0 && e.size < MiniCutoff).foreach { e =>
+      val n = ((e.size + 63) / 64).toInt
+      e.start = miniFatEntries.length
+      (0 until n).foreach(k =>
+        miniFatEntries += (if (k == n - 1) EndOfChain else miniFatEntries.length + 1))
+    }
+    val miniBytes = miniFatEntries.length * 64
+    val bigStreams = ents.filter(e => e.entryType == 2 && e.size >= MiniCutoff).toSeq
+
+    // ---- sector budget: FAT | directory | miniFAT | ministream | big
+    val dirSectors = (ents.length * 128 + 511) / 512
+    val miniFatSectors = math.max(1, (miniFatEntries.length * 4 + 511) / 512)
+    val miniStreamSectors = (miniBytes + 511) / 512
+    val bigSectors = bigStreams.map(e => ((e.size + 511) / 512).toInt)
+    val nonFat = dirSectors + miniFatSectors + miniStreamSectors + bigSectors.sum
+    var fatCount = 1
+    while (fatCount * 128 < fatCount + nonFat) fatCount += 1
+    require(fatCount <= 109, "fixture exceeds the header-DIFAT FAT budget")
+    val dirStart = fatCount
+    val miniFatStart = dirStart + dirSectors
+    val miniStreamStart = miniFatStart + miniFatSectors
+    val bigStart = miniStreamStart + miniStreamSectors
+    val totalSectors = bigStart + bigSectors.sum
+
+    val file = java.nio.ByteBuffer.allocate(512 + totalSectors * 512)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def sectorOff(id: Int) = 512 + id * 512
 
-    // FAT (sector 0)
-    file.putInt(sectorOff(0), FatSect)          // sector 0 is the FAT itself
-    file.putInt(sectorOff(0) + 4, EndOfChain)   // directory chain: just sector 1
-    file.putInt(sectorOff(0) + 8, EndOfChain)   // miniFAT chain: just sector 2
-    (0 until miniSectors).foreach { k =>        // ministream chain: 3..
-      file.putInt(sectorOff(0) + 12 + 4 * k,
-        if (k == miniSectors - 1) EndOfChain else 3 + k + 1)
-    }
-    (3 + miniSectors until 128).foreach(k => file.putInt(sectorOff(0) + 4 * k, FreeSect))
+    // ---- header
+    file.putLong(0, CfbSignature)
+    file.putShort(24, 0x003E.toShort)    // minor version
+    file.putShort(26, 3)                 // major version 3 (512-byte sectors)
+    file.putShort(28, 0xFFFE.toShort)    // little-endian marker
+    file.putShort(30, 9)                 // sector shift
+    file.putShort(32, 6)                 // mini sector shift
+    file.putInt(40, 0)                   // directory sector count (0 in v3)
+    file.putInt(44, fatCount)
+    file.putInt(48, dirStart)
+    file.putInt(56, MiniCutoff)
+    file.putInt(60, miniFatStart)
+    file.putInt(64, miniFatSectors)
+    file.putInt(68, FreeSect)            // no DIFAT overflow
+    file.putInt(72, 0)
+    (0 until 109).foreach(i =>
+      file.putInt(76 + 4 * i, if (i < fatCount) i else FreeSect))
 
-    // directory (sector 1): root + subject + body
-    def dirEntry(idx: Int, name: String, entryType: Int, start: Int, size: Long,
-        child: Int = -1): Unit = {
-      val base = sectorOff(1) + idx * 128
-      val n16 = name.getBytes(StandardCharsets.UTF_16LE)
+    // ---- FAT: consecutive chains for every region
+    def fatPut(id: Int, v: Int): Unit =
+      file.putInt(sectorOff(id / 128) + (id % 128) * 4, v)
+    (0 until fatCount).foreach(id => fatPut(id, FatSect))
+    def chainRun(start: Int, n: Int): Unit =
+      (0 until n).foreach(k => fatPut(start + k, if (k == n - 1) EndOfChain else start + k + 1))
+    chainRun(dirStart, dirSectors)
+    if (miniFatEntries.nonEmpty) chainRun(miniFatStart, miniFatSectors)
+    else fatPut(miniFatStart, EndOfChain) // reserved sector, trivial chain
+    if (miniStreamSectors > 0) chainRun(miniStreamStart, miniStreamSectors)
+    var bigCursor = bigStart
+    bigStreams.zip(bigSectors).foreach { case (e, n) =>
+      e.start = bigCursor
+      chainRun(bigCursor, n)
+      bigCursor += n
+    }
+    (bigCursor until fatCount * 128).foreach(id => fatPut(id, FreeSect))
+
+    // ---- directory entries
+    ents(rootIdx).start = if (miniStreamSectors > 0) miniStreamStart else EndOfChain
+    ents.zipWithIndex.foreach { case (e, idx) =>
+      val base = sectorOff(dirStart) + idx * 128
+      val n16 = e.name.getBytes(StandardCharsets.UTF_16LE)
       file.position(base); file.put(n16, 0, math.min(n16.length, 62)); file.position(0)
-      file.putShort(base + 64, (if (name.isEmpty) 0 else n16.length + 2).toShort)
-      file.put(base + 66, entryType.toByte)
+      file.putShort(base + 64, (if (e.name.isEmpty) 0 else n16.length + 2).toShort)
+      file.put(base + 66, e.entryType.toByte)
       file.put(base + 67, 1.toByte) // black
-      file.putInt(base + 68, -1)    // left sibling
-      file.putInt(base + 72, -1)    // right sibling
-      file.putInt(base + 76, child)
-      file.putInt(base + 116, start)
-      file.putLong(base + 120, size)
+      file.putInt(base + 68, e.left)
+      file.putInt(base + 72, e.right)
+      file.putInt(base + 76, e.child)
+      file.putInt(base + 116, e.start)
+      file.putLong(base + 120, if (e.entryType == 5) miniBytes.toLong else e.size)
     }
-    dirEntry(0, "Root Entry", 5, 3, miniBytes.toLong, child = 1)
-    dirEntry(1, "__substg1.0_0037001F", 2, 0, subjBytes.length.toLong)
-    dirEntry(2, "__substg1.0_1000001F", 2, subjMinis, bodyBytes.length.toLong)
-    dirEntry(3, "", 0, 0, 0L) // unused slot
 
-    // miniFAT (sector 2): subject chain then body chain
-    (0 until subjMinis).foreach { k =>
-      file.putInt(sectorOff(2) + 4 * k, if (k == subjMinis - 1) EndOfChain else k + 1)
+    // ---- miniFAT + stream payloads
+    miniFatEntries.zipWithIndex.foreach { case (v, k) =>
+      file.putInt(sectorOff(miniFatStart) + 4 * k, v)
     }
-    (0 until bodyMinis).foreach { k =>
-      file.putInt(sectorOff(2) + 4 * (subjMinis + k),
-        if (k == bodyMinis - 1) EndOfChain else subjMinis + k + 1)
+    (miniFatEntries.length until miniFatSectors * 128).foreach(k =>
+      file.putInt(sectorOff(miniFatStart) + 4 * k, FreeSect))
+    ents.filter(e => e.entryType == 2 && e.size > 0).foreach { e =>
+      val off =
+        if (e.size < MiniCutoff) sectorOff(miniStreamStart) + e.start * 64
+        else sectorOff(e.start)
+      file.position(off); file.put(e.data); file.position(0)
     }
-    (miniTotal until 128).foreach(k => file.putInt(sectorOff(2) + 4 * k, FreeSect))
-
-    // ministream (sectors 3..): subject minis then body minis
-    file.position(sectorOff(3)); file.put(subjBytes); file.position(0)
-    file.position(sectorOff(3) + subjMinis * 64); file.put(bodyBytes); file.position(0)
 
     file.array()
   }

@@ -73,6 +73,24 @@ object ParseOps {
     else try OfficeParsers.xlsxRows(b)
     catch { case scala.util.control.NonFatal(_) => null })
 
+  private val msgAttachmentsUdf = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else try OfficeParsers.msgAttachments(b)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty[(String, Array[Byte])] })
+
+  /** MSG attachment extraction (REF `save_email_attachments`
+    * parsers.py:103-109): `array<struct<_1:name, _2:bytes>>` per
+    * message, empty on non-CFB/attachment-free bytes (degrade, not
+    * throw). Explode + [[parseText]] over the extension replaces the
+    * reference's save-to-disk-then-reparse loop with child rows:
+    *
+    * {{{
+    * df.select($"id", explode(ParseOps.msgAttachments($"raw")).as("att"))
+    *   .select($"id", $"att._1".as("name"),
+    *     ParseOps.parseText(TextFunctions.ext($"att._1"), $"att._2"))
+    * }}} */
+  def msgAttachments(content: Column): Column = msgAttachmentsUdf(content)
+
   /** S5: XLSX scan → positional rows (`array<array<string>>`), the
     * service-catalog source shape (REF openpyxl `iter_rows` positional
     * access, cmfunctions.py:446-453; header skipping is the caller's

@@ -215,6 +215,48 @@ class ParseSpec extends SparkSpec {
     assert(OfficeParsers.msgText(OfficeParsers.makeMsg("", "")) == "Subject: \n\n")
   }
 
+  test("msg attachments: tree-walked (filename, bytes) rows round-trip; big payloads use FAT streams") {
+    // one ministream-tier payload and one past the 4096-byte cutoff
+    // (FAT-chain tier); a third attachment pins per-storage parentage —
+    // identically-named child streams must not cross-associate
+    val small = "inner note".getBytes(StandardCharsets.UTF_8)
+    val big = Array.tabulate[Byte](9000)(i => (i % 251).toByte)
+    val pdf = OfficeParsers.makePdf("attached pdf text")
+    val msg = OfficeParsers.makeMsg("subj", "body",
+      Seq(("a_note.txt", small), ("blob.bin", big), ("report.pdf", pdf)))
+    // subject/body unaffected by attachment storages
+    assert(OfficeParsers.msgText(msg) == "Subject: subj\n\nbody")
+    val atts = OfficeParsers.msgAttachments(msg)
+    assert(atts.map(_._1) == Seq("a_note.txt", "blob.bin", "report.pdf"))
+    assert(atts(0)._2.toSeq == small.toSeq)
+    assert(atts(1)._2.toSeq == big.toSeq)
+    assert(OfficeParsers.pdfText(atts(2)._2) == "attached pdf text")
+    // attachment-free message → empty list, not a throw
+    assert(OfficeParsers.msgAttachments(OfficeParsers.makeMsg("s", "b")).isEmpty)
+    // non-CFB bytes throw (ParseOps degrades to empty array)
+    intercept[IllegalArgumentException] {
+      OfficeParsers.msgAttachments("garbage".getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  test("msg attachments: explode + re-parse dispatch recovers inner documents") {
+    import spark.implicits._
+    val msg = OfficeParsers.makeMsg("s", "b", Seq(
+      ("inner.txt", "plain inner".getBytes(StandardCharsets.UTF_8)),
+      ("inner.pdf", OfficeParsers.makePdf("pdf inner"))))
+    val out = Seq((1L, msg), (2L, "not cfb".getBytes(StandardCharsets.UTF_8)))
+      .toDF("id", "raw")
+      .select(col("id"), explode_outer(ParseOps.msgAttachments(col("raw"))).as("att"))
+      .select(col("id"), col("att._1").as("name"),
+        ParseOps.parseText(
+          graft.functions.TextFunctions.extExtract(col("att._1")), col("att._2")).as("parsed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.contains((1L, "inner.txt", "plain inner")))
+    assert(out.contains((1L, "inner.pdf", "pdf inner")))
+    // undecodable container → no attachment rows (explode_outer keeps the id)
+    assert(out.collect { case (2L, n, _) => n }.toSeq == Seq(null))
+  }
+
   test("parseText dispatch: real decode for every format, stub fallback on garbage") {
     import spark.implicits._
     val rows = Seq(
