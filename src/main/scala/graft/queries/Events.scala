@@ -621,6 +621,68 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of through the native operator, with a tolerance: each
+    * signup's closest purchase in absolute time distance (either
+    * direction; distance ties prefer the backward side), nulled when
+    * the closest is farther than 24 h. The oracle is the two-window
+    * form — last not-later purchase time and first not-earlier purchase
+    * time per (ts, event_id)-ordered user stream, then the nearer
+    * WITHIN-tolerance side chosen by the native operator's preference
+    * (nearer-in-bound wins; an out-of-bound nearer side yields to an
+    * in-bound farther side). Only matched TIMES are output, so an
+    * equal-time purchase is tie-robust regardless of which window side
+    * it lands on. (Cross-type µs ties would order differently in the
+    * window — the event stream has none; same pin as [[qAsOfNative]].)
+    *
+    * Scale: same native shape as [[qAsOfNative]] — two key shuffles,
+    * in-partition sorts, one-candidate merge cursor whose look-ahead
+    * row doubles as the forward candidate; the oracle's window blob
+    * over the unioned stream is exactly what the operator avoids. */
+  val qAsOfNearest: QueryDef = {
+    val TolUs = 24L * 3600 * 1000000 // 24 h
+    QueryDef.sql(
+      "q_events_asof_nearest",
+      s"""SELECT event_id, user_id, signup_us, nearest_purchase_us,
+         |  ABS(nearest_purchase_us - signup_us) AS dist_us
+         |FROM (
+         |  SELECT event_id, user_id, event_type, signup_us,
+         |    CASE WHEN prev_us IS NOT NULL AND signup_us - prev_us <= $TolUs
+         |           AND (next_us IS NULL OR next_us - signup_us > $TolUs
+         |                OR signup_us - prev_us <= next_us - signup_us)
+         |         THEN prev_us
+         |         WHEN next_us IS NOT NULL AND next_us - signup_us <= $TolUs
+         |         THEN next_us
+         |    END AS nearest_purchase_us
+         |  FROM (
+         |    SELECT event_id, user_id, event_type,
+         |      epoch_us(ts) AS signup_us,
+         |      last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+         |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+         |      first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+         |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+         |    FROM events
+         |  )
+         |)
+         |WHERE event_type = 'signup' AND nearest_purchase_us IS NOT NULL
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val signups = ev(s, d).filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      graft.plans.AsOfJoinOps
+        .asof(signups, purchases, "user_id", "user_id", "t_us", "t_us", "event_id",
+          direction = graft.plans.AsOfDirection.Nearest, toleranceUs = Some(TolUs))
+        .filter(col("t_us_r").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("t_us").as("signup_us"),
+          col("t_us_r").as("nearest_purchase_us"),
+          abs(col("t_us_r") - col("t_us")).as("dist_us"))
+        .orderBy("event_id")
+    }
+  }
+
   /** Per-group z-score OUTLIER detection (the monitoring primitive for
     * a metrics/anomaly pipeline): events whose value sits more than 3
     * sample standard deviations from their event type's mean.
@@ -683,5 +745,5 @@ object Events {
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
-    qAsOfForward, qOutliers)
+    qAsOfForward, qAsOfNearest, qOutliers)
 }
