@@ -59,13 +59,24 @@ object PipelineConfig {
       case _ => ()
     }
 
+    // strip quotes and resolve \" / \\ escapes (what [[render]] emits)
+    def unq(v: String): String = {
+      val inner = v.stripPrefix("\"").stripSuffix("\"")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < inner.length) {
+        if (inner(i) == '\\' && i + 1 < inner.length) { sb += inner(i + 1); i += 2 }
+        else { sb += inner(i); i += 1 }
+      }
+      sb.result()
+    }
     def str(s: Map[String, String], k: String, dflt: String): String =
-      s.get(k).map(_.stripPrefix("\"").stripSuffix("\"")).getOrElse(dflt)
+      s.get(k).map(unq).getOrElse(dflt)
     def num(s: Map[String, String], k: String, dflt: Int): Int =
       s.get(k).flatMap(_.toIntOption).getOrElse(dflt)
     def arr(s: Map[String, String], k: String): Seq[String] =
       s.get(k).toSeq.flatMap(_.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .map(v => unq(v.trim)).filter(_.nonEmpty))
 
     val top = sections.getOrElse("", scala.collection.mutable.Map.empty).toMap
     val querySec = sections.getOrElse("query", scala.collection.mutable.Map.empty).toMap
@@ -99,4 +110,72 @@ object PipelineConfig {
     val src = Source.fromFile(path)
     try parse(src.mkString) finally src.close()
   }
+
+  /** Render to the same TOML subset [[parse]] reads (REF `save_config`
+    * configgen.py:155-161 — every domain object dumped back to its
+    * table). Collections always serialize the class under `class` (the
+    * canonical spelling of the reference's `class`/`weaviate_class`
+    * drift the LOADER accepts, cfg.toml:30 vs :37) and omit absent
+    * optionals, so render∘parse normalizes rather than preserving
+    * byte-level quirks; `parse(render(cfg)) == cfg` for any parsed or
+    * well-formed config (pinned in ConfigSpec). Sections are
+    * name-sorted — deterministic output for config diffing. */
+  def render(cfg: PipelineConfig): String = {
+    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val sb = new StringBuilder
+    sb ++= s"chunk_size = ${cfg.chunkSize}\n"
+    sb ++= s"chunk_overlap = ${cfg.chunkOverlap}\n"
+    sb ++= s"batch_size = ${cfg.batchSize}\n"
+    sb ++= s"embedding_dim = ${cfg.embeddingDim}\n"
+    sb ++= "\n[query]\n"
+    sb ++= s"top_n_documents = ${cfg.query.topNDocuments}\n"
+    cfg.collections.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      sb ++= s"\n[$name]\n"
+      sb ++= s"label = ${q(c.label)}\n"
+      sb ++= s"class = ${q(c.className)}\n"
+      sb ++= s"properties = [${c.properties.map(q).mkString(", ")}]\n"
+      sb ++= s"as_context = ${c.asContext}\n"
+      sb ++= s"url_property = ${q(c.urlProperty)}\n"
+      c.topByCertainty.foreach(t => sb ++= s"top_by_certainty = $t\n")
+    }
+    sb.result()
+  }
+
+  /** REF `save_config` (configgen.py:155-161): write the rendered TOML. */
+  def save(cfg: PipelineConfig, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), render(cfg))
+
+  /** Starter-config template per pipeline kind (REF
+    * `generate_config_template` configgen.py:77-85: a type→template
+    * map, one "rag" entry, loud failure listing the supported kinds on
+    * anything else). The template is itself parseable — template →
+    * [[parse]] → [[render]] is the documented bootstrap path. */
+  def generateTemplate(kind: String = "rag"): String = kind match {
+    case "rag" =>
+      """# graft pipeline configuration
+        |chunk_size = 2000
+        |chunk_overlap = 50
+        |batch_size = 150
+        |embedding_dim = 64
+        |
+        |[query]
+        |top_n_documents = 3
+        |
+        |# one table per vector collection; unknown tables pass through
+        |[kb_articles]
+        |label = "kb"
+        |class = "KbChunk"
+        |properties = ["text", "title", "url", "n_tokens"]
+        |as_context = true
+        |url_property = "url"
+        |top_by_certainty = 0.9
+        |""".stripMargin
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unsupported pipeline type: $other. Please select one of rag")
+  }
+
+  /** REF `generate_config_template`'s file form (configgen.py:77-85). */
+  def saveTemplate(path: String, kind: String = "rag"): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), generateTemplate(kind))
 }

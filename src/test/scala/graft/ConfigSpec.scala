@@ -37,4 +37,48 @@ class ConfigSpec extends AnyFunSuite {
     val d = PipelineConfig.Default
     assert(d.chunkSize == 2000 && d.chunkOverlap == 50 && d.batchSize == 150)
   }
+
+  test("load→save→load round-trip preserves semantics and canonicalizes class-key drift") {
+    val cfg = PipelineConfig.parse(
+      """chunk_size = 1200
+        |[query]
+        |top_n_documents = 7
+        |[kb]
+        |label = "kb"
+        |class = "KbChunk"
+        |properties = ["text", "url"]
+        |as_context = true
+        |top_by_certainty = 0.75
+        |[drifty]
+        |weaviate_class = "DriftChunk"
+        |""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
+    val path = dir.resolve("roundtrip.toml").toString
+    PipelineConfig.save(cfg, path)
+    val back = PipelineConfig.load(path)
+    assert(back == cfg, "save→load must be the identity on parsed configs")
+    // the drifted weaviate_class key re-serializes under canonical `class`
+    val rendered = PipelineConfig.render(cfg)
+    assert(rendered.contains("class = \"DriftChunk\""))
+    assert(!rendered.contains("weaviate_class"))
+    // quotes in values survive the escape round-trip
+    val quoted = cfg.copy(collections = cfg.collections +
+      ("kb" -> cfg.collections("kb").copy(label = "k\"b")))
+    assert(PipelineConfig.parse(PipelineConfig.render(quoted))
+      .collections("kb").label == "k\"b")
+  }
+
+  test("template generates, parses, and rejects unknown kinds loudly") {
+    val t = PipelineConfig.generateTemplate()
+    val cfg = PipelineConfig.parse(t)
+    assert(cfg.chunkSize == 2000 && cfg.query.topNDocuments == 3)
+    assert(cfg.collections("kb_articles").className == "KbChunk")
+    assert(cfg.query.labelClassMap("kb") == "KbChunk")
+    // template → parse → render is stable (render∘parse idempotent)
+    assert(PipelineConfig.parse(PipelineConfig.render(cfg)) == cfg)
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.generateTemplate("agentic")
+    }
+    assert(e.getMessage.contains("rag"))
+  }
 }
