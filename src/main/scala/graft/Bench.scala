@@ -37,6 +37,27 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Pinned DuckDB wall-clock per headline query at this scale factor
+    * (tools/duckdb_baseline.jsonl, produced by tools/bench_duckdb.py
+    * from the SAME oracle SQL the correctness gate runs) — so every
+    * BENCH_r*.json carries the 2×-bar comparison inline instead of the
+    * baseline being re-measured ad hoc each round. Flat one-line JSON
+    * records written by our own tool → a field regex is a safe parse;
+    * absent file/sf degrades to an empty map, never a bench failure. */
+  private def duckdbBaseline(sfName: String): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE", "tools/duckdb_baseline.jsonl")
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val line = """"sf"\s*:\s*"([^"]+)".*?"query"\s*:\s*"([^"]+)".*?"duckdb_s"\s*:\s*([0-9.eE+-]+)""".r
+      scala.util.Using(scala.io.Source.fromFile(f)) { src =>
+        src.getLines().flatMap(l => line.findFirstMatchIn(l)).collect {
+          case m if m.group(1) == sfName => m.group(2) -> m.group(3).toDouble
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,7 +106,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
+    val base = duckdbBaseline(new java.io.File(sfDir).getName)
+    val duckJson = results.flatMap { case (k, _) => base.get(k).map(k -> _) }
+      .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    val ratioJson = results.flatMap { case (k, v) =>
+      base.get(k).filter(b => b > 0 && v >= 0).map(b => k -> v / b)
+    }.map { case (k, r) => "\"" + k + f"\":$r%.2f" }.mkString("{", ",", "}")
+    val duckTotal = results.flatMap { case (k, v) => base.get(k).filter(_ => v >= 0) }.sum
+    val ratioTotal = if (duckTotal > 0) total / duckTotal else -1.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
