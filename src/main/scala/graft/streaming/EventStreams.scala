@@ -37,9 +37,17 @@ case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   * dimension-history (right) row. */
 case class AsOfEvent(key: Long, ts: java.sql.Timestamp, is_fact: Boolean, id: Long)
 
-/** Per-key as-of buffer: facts not yet watermark-final, and the right
-  * rows still able to win a future match — both as (µs, id) pairs. */
-case class AsOfBuffer(facts: List[(Long, Long)], rights: List[(Long, Long)])
+/** One buffered fact awaiting finality. Once the watermark passes the
+  * fact time, its BACKWARD candidate can never change (older rights
+  * are final) — it locks into (b_time, b_id) so right-side pruning
+  * can't lose it while a nearest-direction fact still waits on its
+  * forward side. */
+case class AsOfPending(t: Long, id: Long,
+    b_time: Option[Long], b_id: Option[Long], b_locked: Boolean)
+
+/** Per-key as-of buffer: facts not yet direction-final, and the right
+  * rows still able to win a future match as (µs, id) pairs. */
+case class AsOfBuffer(facts: List[AsOfPending], rights: List[(Long, Long)])
 
 /** One emitted as-of match (right side null when no row qualifies). */
 case class AsOfMatch(key: Long, fact_id: Long, fact_us: Long,
@@ -179,28 +187,42 @@ object EventStreams {
       }
   }
 
-  /** Stream-STREAM backward AS-OF join — the streaming face of the
-    * native batch operator ([[graft.plans.AsOfJoinOps]]): every fact
-    * row gets the same-key right row with the greatest time ≤ the fact
-    * time (equal right times → greatest id, the batch operator's tie
-    * rule). Spark's built-in stream joins can't express "latest ≤" —
-    * it needs ORDER among matches, not a containment window — so the
-    * two streams union under one tag and fold through
-    * `flatMapGroupsWithState`.
+  /** Stream-STREAM AS-OF join — the streaming face of the native batch
+    * operator ([[graft.plans.AsOfJoinOps]]) in all THREE directions,
+    * with the batch operator's exact tie rules (equal right times →
+    * greatest id, except Nearest's forward candidate → smallest id)
+    * and optional tolerance. Spark's built-in stream joins can't
+    * express "latest ≤ / first ≥" — they need ORDER among matches, not
+    * a containment window — so the two streams union under one tag and
+    * fold through `flatMapGroupsWithState`.
     *
-    * Emission contract (append): a fact emits only once the watermark
-    * passes its event time — before that, an older-timestamped right
-    * row could still arrive and change "latest ≤ fact". Facts above the
-    * final watermark stay buffered (same trailing rule as
-    * [[customSessionize]]; StreamingSpec asserts emitted rows equal the
-    * BATCH as-of restricted to watermark-final facts).
+    * Emission contract (append) — a fact emits exactly when its match
+    * can no longer change, which differs per direction:
+    *   - Backward: once the watermark passes the fact time `t` (older
+    *     rights are final from then on).
+    *   - Forward: once the watermark passes the current forward
+    *     candidate's time (any later arrival is farther), or — with a
+    *     tolerance — passes `t + tolerance` (null emit: nothing in
+    *     bound can arrive anymore). WITHOUT a tolerance a candidate-less
+    *     fact never finalizes; give unbounded-wait streams a tolerance.
+    *   - Nearest: once the watermark passes `t + d` for the current
+    *     winning distance `d` (a later arrival would be farther than
+    *     both sides' candidates), or `t + tolerance` for the null case.
+    * Facts above the final watermark stay buffered (same trailing rule
+    * as [[customSessionize]]; StreamingSpec asserts emitted rows equal
+    * the BATCH operator restricted to direction-final facts).
     *
-    * Scale: state per key = facts inside the watermark lag plus the
-    * in-lag right rows AND ONE older right row (for any future fact t,
-    * every right row ≤ watermark except the latest can never win — it
-    * is pruned each invocation). So state is O(lag window) per key,
-    * never O(stream), partitioned by key in the state store. */
-  def streamingAsOf(facts: DataFrame, rights: DataFrame): Dataset[AsOfMatch] = {
+    * Scale: state per key = facts inside their finality horizon plus
+    * the in-lag right rows AND ONE older right row (for any future
+    * fact, of the rights at-or-under the watermark only the LATEST can
+    * ever win — older ones are pruned each invocation; a locked
+    * nearest fact carries its own backward candidate precisely so this
+    * prune stays safe). So state is O(lag window [+ tolerance]) per
+    * key, never O(stream), partitioned by key in the state store. */
+  def streamingAsOf(facts: DataFrame, rights: DataFrame,
+      direction: graft.plans.AsOfDirection = graft.plans.AsOfDirection.Backward,
+      toleranceUs: Option[Long] = None): Dataset[AsOfMatch] = {
+    import graft.plans.AsOfDirection
     implicit val evEnc = Encoders.product[AsOfEvent]
     implicit val stEnc = Encoders.product[AsOfBuffer]
     implicit val outEnc = Encoders.product[AsOfMatch]
@@ -208,6 +230,9 @@ object EventStreams {
     // floorDiv for pre-epoch correctness (getNanos is always positive)
     def usOf(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val dir = direction
+    val bound = toleranceUs.getOrElse(Long.MaxValue)
+    val hasTol = toleranceUs.isDefined
     val tagged = facts
       .select(col("key").cast("long").as("key"), col("ts"),
         lit(true).as("is_fact"), col("id").cast("long").as("id"))
@@ -222,26 +247,96 @@ object EventStreams {
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val buf = state.getOption.getOrElse(AsOfBuffer(Nil, Nil))
           val (newFacts, newRights) = events.toList.partition(_.is_fact)
-          val allFacts = buf.facts ++ newFacts.map(e => (usOf(e.ts), e.id))
-          // (us, id)-ascending: lastOption of the ≤-prefix IS the match
-          // (greatest time, ties to greatest id)
+          // (us, id)-ascending throughout
           val allRights = (buf.rights ++ newRights.map(e => (usOf(e.ts), e.id))).sorted
-          val (ready, pending) = allFacts.partition(_._1 <= wmUs)
-          val out = ready.sorted.map { case (fus, fid) =>
-            val m = allRights.takeWhile(_._1 <= fus).lastOption
-            AsOfMatch(key, fid, fus, m.map(_._2), m.map(_._1))
+
+          // lock backward candidates: once wm ≥ t no older right can
+          // arrive, so "largest (time, id) ≤ t" is final
+          val pend = (buf.facts ++ newFacts.map(e =>
+              AsOfPending(usOf(e.ts), e.id, None, None, b_locked = false)))
+            .map { p =>
+              if (!p.b_locked && wmUs >= p.t) {
+                val b = allRights.takeWhile(_._1 <= p.t).lastOption
+                AsOfPending(p.t, p.id, b.map(_._1), b.map(_._2), b_locked = true)
+              } else p
+            }
+
+          // forward candidate: smallest time ≥ t; equal-time tie takes
+          // the greatest id for Forward, the smallest for Nearest (the
+          // batch cursor's look-ahead row)
+          def fwdCand(t: Long): Option[(Long, Long)] = {
+            val cands = allRights.dropWhile(_._1 < t)
+            cands.headOption.map { h =>
+              val block = cands.takeWhile(_._1 == h._1)
+              if (dir == AsOfDirection.Forward) block.last else block.head
+            }
           }
+          // the current winning distance of a locked nearest fact
+          def nearestDist(p: AsOfPending): Long = {
+            val db = p.b_time.map(bt => p.t - bt).getOrElse(Long.MaxValue)
+            val df = fwdCand(p.t).map(_._1 - p.t).getOrElse(Long.MaxValue)
+            if (db <= df && db <= bound) db else if (df <= bound) df else Long.MaxValue
+          }
+
+          def isFinal(p: AsOfPending): Boolean =
+            p.b_locked && (dir match {
+              case AsOfDirection.Backward => true // locked ⇔ wm ≥ t
+              case AsOfDirection.Forward =>
+                fwdCand(p.t).exists(_._1 <= wmUs) || (hasTol && wmUs - p.t >= bound)
+              case AsOfDirection.Nearest =>
+                val d = nearestDist(p)
+                (d != Long.MaxValue && wmUs - p.t >= d) || (hasTol && wmUs - p.t >= bound)
+            })
+
+          def emit(p: AsOfPending): AsOfMatch = dir match {
+            case AsOfDirection.Backward =>
+              val ok = p.b_time.exists(bt => p.t - bt <= bound)
+              AsOfMatch(key, p.id, p.t,
+                if (ok) p.b_id else None, if (ok) p.b_time else None)
+            case AsOfDirection.Forward =>
+              val f = fwdCand(p.t).filter(c => c._1 <= wmUs && c._1 - p.t <= bound)
+              AsOfMatch(key, p.id, p.t, f.map(_._2), f.map(_._1))
+            case AsOfDirection.Nearest =>
+              val db = p.b_time.map(bt => p.t - bt).getOrElse(Long.MaxValue)
+              val fc = fwdCand(p.t)
+              val df = fc.map(_._1 - p.t).getOrElse(Long.MaxValue)
+              if (db <= df && db <= bound) AsOfMatch(key, p.id, p.t, p.b_id, p.b_time)
+              else if (df <= bound) AsOfMatch(key, p.id, p.t, fc.map(_._2), fc.map(_._1))
+              else AsOfMatch(key, p.id, p.t, None, None)
+          }
+
+          val (ready, waiting) = pend.partition(isFinal)
+          val out = ready.sortBy(p => (p.t, p.id)).map(emit)
+
           // prune: of the rights at-or-under the watermark only the
-          // latest can ever match a future (> wm) fact
+          // latest can ever match a future fact — every waiting fact's
+          // other candidates are above the watermark (a locked nearest
+          // fact carries its backward candidate in its own entry)
           val (olds, live) = allRights.partition(_._1 <= wmUs)
           val keptRights = olds.lastOption.toList ++ live
-          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          if (waiting.isEmpty && keptRights.isEmpty) state.remove()
           else {
-            state.update(AsOfBuffer(pending, keptRights))
-            if (pending.nonEmpty)
-              // strictly above the watermark (pending facts all are);
-              // fires as soon as the watermark passes the earliest fact
-              state.setTimeoutTimestamp(pending.map(_._1).min / 1000 + 1)
+            state.update(AsOfBuffer(waiting, keptRights))
+            // earliest watermark position that can finalize a waiting
+            // fact (all are strictly above the current watermark —
+            // otherwise the fact would have emitted this invocation)
+            def decisionUs(p: AsOfPending): Option[Long] = dir match {
+              case AsOfDirection.Backward => Some(p.t)
+              case AsOfDirection.Forward =>
+                val pts = fwdCand(p.t).map(_._1).toList ++
+                  (if (hasTol) List(p.t + bound) else Nil)
+                pts.minOption
+              case AsOfDirection.Nearest =>
+                if (!p.b_locked) Some(p.t)
+                else {
+                  val d = nearestDist(p)
+                  val pts = (if (d != Long.MaxValue) List(p.t + d) else Nil) ++
+                    (if (hasTol) List(p.t + bound) else Nil)
+                  pts.minOption
+                }
+            }
+            waiting.flatMap(decisionUs).minOption
+              .foreach(n => state.setTimeoutTimestamp(n / 1000 + 1))
           }
           out.iterator
       }

@@ -185,6 +185,162 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming FORWARD as-of finalizes on candidate-passed watermark; better candidate can still win before it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = EventStreams.streamingAsOf(
+      fIn.toDF().toDF("key", "ts", "id"), rIn.toDF().toDF("key", "ts", "id"),
+      direction = graft.plans.AsOfDirection.Forward).toDF()
+    val q = out.writeStream.format("memory").queryName("t_asof_fwd")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // fact at 10:00 alone: nothing to match yet
+      fIn.addData((7L, ts("2023-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      // two candidates arrive — 11:00 first in id order, then a NEARER
+      // 10:40. The watermark (10:30 after this batch) has not passed
+      // 10:40, so an even nearer candidate could still arrive: no emit
+      rIn.addData((7L, ts("2023-01-01 11:00:00"), 200L), (7L, ts("2023-01-01 10:40:00"), 201L))
+      q.processAllAvailable()
+      assert(spark.table("t_asof_fwd").count() == 0,
+        "must not emit before the watermark passes the forward candidate")
+      // 11:20 advances the watermark to 10:50 > 10:40 → the fact
+      // finalizes to the nearer 201, not the first-seen 200
+      rIn.addData((7L, ts("2023-01-01 11:20:00"), 202L))
+      q.processAllAvailable()
+      val rows = spark.table("t_asof_fwd")
+        .select("key", "fact_id", "right_id", "right_us")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(rows == Set((7L, 1L, Some(201L), Some(us("2023-01-01 10:40:00")))),
+        s"got: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming NEAREST as-of: backward lock + forward wait, distance finality, tolerance null") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = EventStreams.streamingAsOf(
+      fIn.toDF().toDF("key", "ts", "id"), rIn.toDF().toDF("key", "ts", "id"),
+      direction = graft.plans.AsOfDirection.Nearest,
+      toleranceUs = Some(30L * 60 * 1000000)).toDF() // 30 min bound
+    val q = out.writeStream.format("memory").queryName("t_asof_near")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // key 7: backward right 10 min before the fact; key 9: no right
+      // at all (tolerance must null it out eventually)
+      rIn.addData((7L, ts("2023-01-01 09:50:00"), 300L))
+      fIn.addData((7L, ts("2023-01-01 10:00:00"), 1L), (9L, ts("2023-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      // wm at ~09:35: fact not even backward-locked yet
+      assert(spark.table("t_asof_near").count() == 0)
+      // advance wm past 10:10 = t + db → backward candidate (10 min)
+      // beats any possible future arrival (> wm ⇒ > 10 min away)
+      rIn.addData((7L, ts("2023-01-01 10:45:00"), 999L))
+      q.processAllAvailable()
+      val afterLock = spark.table("t_asof_near")
+        .select("key", "fact_id", "right_id").as[(Long, Long, Option[Long])].collect().toSet
+      assert(afterLock == Set((7L, 1L, Some(300L))), s"got: $afterLock")
+      // advance wm past 10:30 = t + tolerance → key 9 emits null
+      rIn.addData((7L, ts("2023-01-01 11:05:00"), 998L))
+      q.processAllAvailable()
+      val all = spark.table("t_asof_near")
+        .select("key", "fact_id", "right_id", "right_us")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(all == Set(
+        (7L, 1L, Some(300L), Some(us("2023-01-01 09:50:00"))),
+        (9L, 2L, None, None)), s"got: $all")
+    } finally q.stop()
+  }
+
+  test("streaming NEAREST as-of: a closer forward candidate beats the locked backward one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = EventStreams.streamingAsOf(
+      fIn.toDF().toDF("key", "ts", "id"), rIn.toDF().toDF("key", "ts", "id"),
+      direction = graft.plans.AsOfDirection.Nearest).toDF()
+    val q = out.writeStream.format("memory").queryName("t_asof_near2")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // backward at distance 20 min, forward at distance 5 min: the
+      // fact may only finalize once wm ≥ t + 5 min, to the forward row
+      rIn.addData((7L, ts("2023-01-01 09:40:00"), 400L))
+      fIn.addData((7L, ts("2023-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      rIn.addData((7L, ts("2023-01-01 10:05:00"), 401L))
+      q.processAllAvailable()
+      assert(spark.table("t_asof_near2").count() == 0,
+        "wm has not passed t + winning distance yet")
+      rIn.addData((7L, ts("2023-01-01 10:40:00"), 402L))
+      q.processAllAvailable()
+      val rows = spark.table("t_asof_near2")
+        .select("key", "fact_id", "right_id", "right_us")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(rows == Set((7L, 1L, Some(401L), Some(us("2023-01-01 10:05:00")))),
+        s"got: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming forward as-of (availableNow) equals the batch operator on direction-final facts") {
+    val TolUs = 24L * 3600 * 1000000
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val facts = stream.filter(col("event_type") === "signup")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    val rights = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.streamingAsOf(facts, rights,
+        direction = graft.plans.AsOfDirection.Forward, toleranceUs = Some(TolUs)).toDF(),
+      "t_stream_asof_fwd", "append", ckpt())
+
+    val ev = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+    val wmUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0) - 30L * 60 * 1000000
+    val bF = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val bR = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+    // direction-final facts: the UNBOUNDED forward candidate's time is
+    // under the final watermark (the candidate can't improve — even if
+    // it is beyond tolerance, null is then final), or the tolerance
+    // horizon itself has passed
+    val candTimes = graft.plans.AsOfJoinOps
+      .asof(bF, bR, "user_id", "user_id", "t_us", "t_us", "event_id",
+        direction = graft.plans.AsOfDirection.Forward)
+      .select(col("event_id").as("fact_id"), col("t_us_r").as("cand_us"))
+    val batch = graft.plans.AsOfJoinOps
+      .asof(bF, bR, "user_id", "user_id", "t_us", "t_us", "event_id",
+        direction = graft.plans.AsOfDirection.Forward, toleranceUs = Some(TolUs))
+      .select(col("event_id").as("fact_id"), col("t_us").as("fact_us"),
+        col("event_id_r").as("b_right_id"), col("t_us_r").as("b_right_us"))
+      .join(candTimes, Seq("fact_id"))
+      .filter((col("cand_us").isNotNull && col("cand_us") <= wmUs) ||
+        (col("fact_us") + TolUs <= wmUs))
+      .drop("cand_us")
+    assert(got.count() > 0 && got.count() == batch.count(),
+      s"every direction-final fact must emit exactly once: got ${got.count()} vs batch ${batch.count()}")
+    val joined = got.join(batch, Seq("fact_id"), "inner")
+    assert(joined.count() == got.count())
+    assert(joined.filter(
+      col("right_id") <=> col("b_right_id") === false ||
+      col("right_us") <=> col("b_right_us") === false).count() == 0,
+      "every streamed forward match must equal the batch operator's match")
+  }
+
   test("streaming upsert into the partitioned vector store is idempotent") {
     val store = Files.createTempDirectory("vstore_stream").toFile.getAbsolutePath + "/store"
     def run(ck: String): Unit = {
