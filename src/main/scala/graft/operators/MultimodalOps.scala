@@ -118,4 +118,113 @@ object MultimodalOps {
     df.filter(
       conv(substring(col("media_meta.content_id"), 1, 4), 16, 10).cast("long")
         % keepOneIn === 0)
+
+  // ---- audio (WAV/RIFF PCM) ----------------------------------------------
+
+  /** Decoded mono-collapsed PCM: rate + 16-bit samples (multi-channel
+    * input keeps channel 0 — the feature extractor's view). */
+  private[operators] final case class Wav(sampleRate: Int, samples: Array[Short])
+
+  /** Parse WAV (RIFF) PCM-16 bytes: the "RIFF…WAVE" container, a chunk
+    * walk to `fmt ` (must be format 1 = integer PCM, 16-bit) and
+    * `data`. Pure byte arithmetic — JDK-only, same class of decoder as
+    * the CFB/zip/Flate walkers. None on anything else (compressed
+    * formats, truncated chunks, non-RIFF bytes). */
+  private[operators] def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
+    var off = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var data: Option[(Int, Int)] = None // (offset, len)
+    while (off + 8 <= bytes.length && (rate == 0 || data.isEmpty)) {
+      val id = fourCC(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16 || bb.getShort(off + 8) != 1) return None // PCM only
+          channels = bb.getShort(off + 10)
+          rate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22)
+        case "data" => data = Some((off + 8, len))
+        case _ => () // LIST/INFO/fact chunks skipped
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    data match {
+      case Some((dOff, dLen)) if rate > 0 && channels > 0 && bits == 16 =>
+        val frame = 2 * channels
+        val n = dLen / frame
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort(dOff + i * frame); i += 1 } // channel 0
+        Some(Wav(rate, out))
+      case _ => None
+    }
+  }
+
+  /** Deterministic WAV PCM-16 bytes — the fixture generator for audio
+    * decode tests and the synthetic-decode query (PCM is lossless:
+    * decoded samples are bit-exact). JDK-only, offline. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Audio decode + featurize kernel, the WAV sibling of
+    * [[decodeAndFeaturize]]: real RIFF-PCM parse to samples, then
+    * exact-integer features — sample count, µs duration, peak |ampl|,
+    * sign crossings, Σ sample² — chosen so a DuckDB oracle can
+    * reproduce them without any float summation. Undecodable bytes
+    * degrade (`decoded=false`, zeroed features, byte count as
+    * n_samples) instead of failing the ingest — same contract as the
+    * image kernel. */
+  def decodeAudioFeatures(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_us", LongType),
+      StructField("peak", IntegerType),
+      StructField("zero_crossings", LongType),
+      StructField("energy_sq", LongType),
+      StructField("decoded", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val fields = decodeWav(bytes) match {
+            case Some(w) =>
+              var peak = 0; var zc = 0L; var energy = 0L
+              var i = 0
+              while (i < w.samples.length) {
+                val s = w.samples(i).toInt
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                if (i > 0 && (s < 0) != (w.samples(i - 1).toInt < 0)) zc += 1
+                energy += s.toLong * s
+                i += 1
+              }
+              val durUs = w.samples.length.toLong * 1000000L / w.sampleRate
+              Seq(w.sampleRate, w.samples.length.toLong, durUs, peak, zc, energy, true)
+            case None =>
+              Seq(0, bytes.length.toLong, 0L, 0, 0L, 0L, false)
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

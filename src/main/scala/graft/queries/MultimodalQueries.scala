@@ -119,6 +119,43 @@ object MultimodalQueries {
     }
   }
 
+  /** The REAL audio decode path, hash-checked — the WAV sibling of
+    * [[qMultimodalDecode]]: a square wave per document (period,
+    * amplitude and length derived from `doc_id`), encoded as RIFF
+    * PCM-16 (lossless, decode is bit-exact), pushed through the
+    * `decodeAudioFeatures` mapPartitions kernel, and the decoded
+    * sample count / µs duration / peak / sign crossings / Σ sample²
+    * must match their closed forms (a ±a square wave of period p over
+    * n samples has peak a, ⌊(n−1)/p⌋ crossings and energy n·a²) —
+    * exact integers end to end, no float summation on either engine. */
+  val qMultimodalAudio: QueryDef = QueryDef.sql(
+    "q_multimodal_audio",
+    """SELECT doc_id,
+      |  8000 AS sample_rate,
+      |  CAST(800 + doc_id % 200 AS BIGINT) AS n_samples,
+      |  CAST((800 + doc_id % 200) * 125 AS BIGINT) AS duration_us,
+      |  CAST(1000 + (doc_id % 100) * 10 AS INTEGER) AS peak,
+      |  CAST((800 + doc_id % 200 - 1) // (2 + doc_id % 14) AS BIGINT) AS zero_crossings,
+      |  CAST((800 + doc_id % 200)
+      |    * (1000 + (doc_id % 100) * 10)
+      |    * (1000 + (doc_id % 100) * 10) AS BIGINT) AS energy_sq,
+      |  TRUE AS decoded
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkWav = udf { id: Long =>
+      val p = 2 + (id % 14).toInt
+      val a = (1000 + (id % 100) * 10).toInt
+      val n = (800 + id % 200).toInt
+      val samples = Array.tabulate[Short](n)(i => (if ((i / p) % 2 == 0) a else -a).toShort)
+      MultimodalOps.encodeWavPcm16(8000, samples)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkWav(col("doc_id")).as("blob"))
+    MultimodalOps.decodeAudioFeatures(media, "blob")
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("duration_us"),
+        col("peak"), col("zero_crossings"), col("energy_sq"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Typed Aggregator (the declared UDAF): per-label embedding centroid
     * with quantized-integer buffers; oracle reproduces the exact integer
     * math. */
@@ -159,5 +196,6 @@ object MultimodalQueries {
       .orderBy("label")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode, qCentroid)
+  val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
+    qMultimodalAudio, qCentroid)
 }

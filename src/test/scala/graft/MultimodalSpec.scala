@@ -71,6 +71,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_.getAs[Int]("width") >= 16), "stand-in dims, not a crash")
   }
 
+  test("real WAV decode: exact-integer features from actual PCM samples") {
+    import spark.implicits._
+    // [100, -100, 50, 0, -1]: peak 100; sign runs + - + + - → 3
+    // crossings (0 counts nonnegative); energy 10000+10000+2500+0+1
+    val wav = MultimodalOps.encodeWavPcm16(8000,
+      Array[Short](100, -100, 50, 0, -1))
+    // stereo WAV crafted by hand: channel 0 = [5, -5], channel 1 = noise
+    // — the kernel must read channel 0 only
+    val stereo = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 8); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(2) // PCM, stereo
+      bb.putInt(4000); bb.putInt(4000 * 4)
+      bb.putShort(4); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(8)
+      bb.putShort(5); bb.putShort(9999); bb.putShort(-5); bb.putShort(-9999)
+      bb.array()
+    }
+    val df = Seq((1L, wav), (2L, stereo)).toDF("id", "blob")
+    val got = MultimodalOps.decodeAudioFeatures(df, "blob")
+      .select("id", "sample_rate", "n_samples", "duration_us", "peak",
+        "zero_crossings", "energy_sq", "decoded")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq(8000, 5L, 625L, 100, 3L, 22501L, true))
+    assert(got(2L) == Seq(4000, 2L, 500L, 5, 1L, 50L, true))
+  }
+
+  test("non-WAV and malformed RIFF bytes degrade instead of failing") {
+    import spark.implicits._
+    val good = MultimodalOps.encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    val truncated = good.take(30)
+    val nonPcm = good.clone() // format code 1 → 3 (IEEE float, unsupported)
+    nonPcm(20) = 3
+    val badLen = good.clone() // data chunk claims more bytes than exist
+    badLen(43) = 0x7F
+    val df = Seq((1L, "not riff at all".getBytes), (2L, truncated),
+      (3L, nonPcm), (4L, badLen)).toDF("id", "blob")
+    val got = MultimodalOps.decodeAudioFeatures(df, "blob")
+      .select("id", "decoded").collect()
+    assert(got.length == 4 && got.forall(!_.getBoolean(1)))
+  }
+
   test("content-id sampling prunes without decoding") {
     val m = MultimodalOps.withMetadata(media, "blob", "name")
     val sampled = MultimodalOps.sampleByContentId(m, keepOneIn = 4).count()
