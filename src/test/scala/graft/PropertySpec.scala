@@ -180,4 +180,23 @@ class PropertySpec extends AnyFunSuite {
       OfficeParsers.msgText(OfficeParsers.makeMsg(subj, body)) == s"Subject: $subj\n\n$body"
     }
   }
+
+  check("msg attachments round-trip: names, bytes and ORDER survive, subject/body untouched", min = 30) {
+    // payload sizes straddle the 4096-byte ministream cutoff, so the
+    // fuzz exercises both stream tiers and multi-sector directories
+    val genAtt: Gen[(String, Array[Byte])] = for {
+      name <- genPrintable.map(_.take(20))
+      ext <- Gen.oneOf(".txt", ".pdf", ".bin")
+      n <- Gen.frequency(4 -> Gen.choose(0, 300), 1 -> Gen.choose(4000, 9000))
+      seed <- Gen.choose(0, 255)
+    } yield (name + ext, Array.tabulate[Byte](n)(i => ((i * 31 + seed) % 251).toByte))
+    val genShort = genPrintable.map(_.take(120))
+    Prop.forAll(genShort, genShort, Gen.listOf(genAtt).map(_.take(6))) { (subj, body, atts) =>
+      val msg = OfficeParsers.makeMsg(subj, body, atts)
+      val back = OfficeParsers.msgAttachments(msg)
+      OfficeParsers.msgText(msg) == s"Subject: $subj\n\n$body" &&
+        back.map(_._1) == atts.map(_._1) &&
+        back.zip(atts).forall { case ((_, b), (_, a)) => java.util.Arrays.equals(b, a) }
+    }
+  }
 }
