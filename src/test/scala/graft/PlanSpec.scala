@@ -38,6 +38,19 @@ class PlanSpec extends SparkSpec {
       "chunk+enrich must stay shuffle-free end to end")
   }
 
+  test("decode kernels and attachment explode run narrow: one output-sort exchange at most") {
+    // encode → decode → featurize (image, audio) and the MSG
+    // walk-explode-reparse are all per-row work; at 100 TB the only
+    // exchange these pipelines may contain is the presentation ORDER BY
+    for (q <- Seq(queries.MultimodalQueries.qMultimodalDecode,
+        queries.MultimodalQueries.qMultimodalAudio,
+        queries.KbQueries.qParseAttachments)) {
+      val p = phys(q.run(spark, sf))
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"${q.name}: decode pipelines must not shuffle beyond the final sort:\n$p")
+    }
+  }
+
   test("kNN scoring uses the fused cosine and a map-side partial top-k") {
     val p = phys(queries.SimilarityQueries.qKnnBrute.run(spark, sf))
     assert(p.contains("graft_cosine"), "fused CosineSim expression expected")
