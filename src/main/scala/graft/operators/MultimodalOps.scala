@@ -183,6 +183,108 @@ object MultimodalOps {
     bb.array()
   }
 
+  // ---- video (MP4/ISO-BMFF) metadata — no decode ------------------------
+
+  /** Container-level video metadata. */
+  private[operators] final case class Mp4Meta(
+      timescale: Int, duration: Long, width: Int, height: Int)
+
+  /** Walk an ISO-BMFF (MP4) box tree for `moov>mvhd` (timescale,
+    * duration) and `moov>trak>tkhd` (presentation width/height, 16.16
+    * fixed point). METADATA ONLY — no codec is touched; this is the
+    * box-walk a 100 TB video lake runs to build prunable columns
+    * before any frame is ever decoded. Version-0 and version-1 header
+    * boxes both handled. None on anything that isn't BMFF or lacks the
+    * boxes. */
+  private[operators] def mp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    // (type, payloadOff, payloadEnd) children of [start, end)
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off + 8 <= end) {
+        val size = bb.getInt(off)
+        val tpe = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (size < 8 || off + size > end) return out.result() // corrupt tail: stop
+        out += ((tpe, off + 8, off + size))
+        off += size
+      }
+      out.result()
+    }
+    if (bytes.length < 8) return None
+    val top = boxes(0, bytes.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    top.find(_._1 == "moov").flatMap { case (_, mOff, mEnd) =>
+      val kids = boxes(mOff, mEnd)
+      val mvhd = kids.find(_._1 == "mvhd").map { case (_, o, _) =>
+        val v = bytes(o) & 0xFF
+        if (v == 1) (bb.getInt(o + 20), bb.getLong(o + 24))
+        else (bb.getInt(o + 12), bb.getInt(o + 16).toLong & 0xFFFFFFFFL)
+      }
+      val tkhd = kids.find(_._1 == "trak").flatMap { case (_, tOff, tEnd) =>
+        boxes(tOff, tEnd).find(_._1 == "tkhd").map { case (_, o, _) =>
+          val v = bytes(o) & 0xFF
+          val dimOff = if (v == 1) o + 88 else o + 76 // 16.16 fixed w, then h
+          (bb.getInt(dimOff) >>> 16, bb.getInt(dimOff + 4) >>> 16)
+        }
+      }
+      (mvhd, tkhd) match {
+        case (Some((ts, dur)), Some((w, h))) if ts > 0 => Some(Mp4Meta(ts, dur, w, h))
+        case _ => None
+      }
+    }
+  }
+
+  /** Minimal valid BMFF fixture: ftyp + moov(mvhd + trak(tkhd)) —
+    * exactly the boxes [[mp4Meta]] reads, version-0 headers. */
+  def encodeMp4Meta(timescale: Int, duration: Int, width: Int, height: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length); bb.put(tpe.getBytes); bb.put(payload)
+      bb.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.BIG_ENDIAN)
+    mvhd.putInt(12, timescale); mvhd.putInt(16, duration)
+    val tkhd = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
+    tkhd.putInt(76, width << 16); tkhd.putInt(80, height << 16)
+    val ftyp = box("ftyp", "isom   isom".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    val moov = box("moov", box("mvhd", mvhd.array()) ++
+      box("trak", box("tkhd", tkhd.array())))
+    ftyp ++ moov
+  }
+
+  /** Video metadata extraction kernel: [[mp4Meta]] per row, emitting
+    * timescale/duration (+ exact-integer µs duration) and pixel
+    * dimensions as prunable columns; non-BMFF bytes degrade with
+    * `parsed=false` — the same keep-the-ingest-alive contract as the
+    * decode kernels, with no codec dependency at all. */
+  def extractVideoMeta(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("timescale", IntegerType),
+      StructField("duration", LongType),
+      StructField("duration_us", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("parsed", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val fields = mp4Meta(bytes) match {
+            case Some(m) =>
+              Seq(m.timescale, m.duration, m.duration * 1000000L / m.timescale,
+                m.width, m.height, true)
+            case None => Seq(0, 0L, 0L, 0, 0, false)
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Audio decode + featurize kernel, the WAV sibling of
     * [[decodeAndFeaturize]]: real RIFF-PCM parse to samples, then
     * exact-integer features — sample count, µs duration, peak |ampl|,

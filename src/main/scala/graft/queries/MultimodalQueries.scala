@@ -156,6 +156,36 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Video METADATA extraction, hash-checked — the third modality:
+    * minimal ISO-BMFF containers (ftyp + moov(mvhd + trak(tkhd)),
+    * timescale/duration/dimensions derived from `doc_id`) are walked
+    * by the `extractVideoMeta` kernel WITHOUT touching any codec, and
+    * the recovered timescale, duration (+ exact µs), and 16.16-fixed
+    * pixel dimensions must match their closed forms. This is the
+    * box-walk a video lake runs to build prunable columns before any
+    * frame decode. */
+  val qMultimodalVideo: QueryDef = QueryDef.sql(
+    "q_multimodal_video",
+    """SELECT doc_id,
+      |  1000 AS timescale,
+      |  CAST(10000 + doc_id % 5000 AS BIGINT) AS duration,
+      |  CAST((10000 + doc_id % 5000) * 1000 AS BIGINT) AS duration_us,
+      |  CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+      |  CAST(240 + (doc_id % 4) * 120 AS INTEGER) AS height,
+      |  TRUE AS parsed
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkMp4 = udf { id: Long =>
+      MultimodalOps.encodeMp4Meta(1000, (10000 + id % 5000).toInt,
+        (320 + (id % 4) * 160).toInt, (240 + (id % 4) * 120).toInt)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkMp4(col("doc_id")).as("blob"))
+    MultimodalOps.extractVideoMeta(media, "blob")
+      .select(col("doc_id"), col("timescale"), col("duration"), col("duration_us"),
+        col("width"), col("height"), col("parsed"))
+      .orderBy("doc_id")
+  }
+
   /** Typed Aggregator (the declared UDAF): per-label embedding centroid
     * with quantized-integer buffers; oracle reproduces the exact integer
     * math. */
@@ -197,5 +227,5 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
-    qMultimodalAudio, qCentroid)
+    qMultimodalAudio, qMultimodalVideo, qCentroid)
 }

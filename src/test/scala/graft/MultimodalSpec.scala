@@ -115,6 +115,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == 4 && got.forall(!_.getBoolean(1)))
   }
 
+  test("mp4 box walk recovers timescale/duration/dimensions; v1 headers and garbage handled") {
+    import spark.implicits._
+    val v0 = MultimodalOps.encodeMp4Meta(90000, 450000, 1920, 1080)
+    // version-1 mvhd/tkhd crafted by hand: 64-bit times, shifted offsets
+    val v1 = {
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(8 + payload.length); bb.put(tpe.getBytes); bb.put(payload)
+        bb.array()
+      }
+      val mvhd = java.nio.ByteBuffer.allocate(112).order(java.nio.ByteOrder.BIG_ENDIAN)
+      mvhd.put(0, 1.toByte); mvhd.putInt(20, 600); mvhd.putLong(24, 1200L)
+      val tkhd = java.nio.ByteBuffer.allocate(96).order(java.nio.ByteOrder.BIG_ENDIAN)
+      tkhd.put(0, 1.toByte); tkhd.putInt(88, 640 << 16); tkhd.putInt(92, 360 << 16)
+      box("ftyp", "isom".getBytes) ++
+        box("moov", box("mvhd", mvhd.array()) ++ box("trak", box("tkhd", tkhd.array())))
+    }
+    val df = Seq((1L, v0), (2L, v1), (3L, "no boxes here".getBytes),
+      (4L, v0.take(20))).toDF("id", "blob")
+    val got = MultimodalOps.extractVideoMeta(df, "blob")
+      .select("id", "timescale", "duration", "duration_us", "width", "height", "parsed")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq(90000, 450000L, 5000000L, 1920, 1080, true))
+    assert(got(2L) == Seq(600, 1200L, 2000000L, 640, 360, true))
+    assert(got(3L).last == false && got(4L).last == false)
+  }
+
   test("content-id sampling prunes without decoding") {
     val m = MultimodalOps.withMetadata(media, "blob", "name")
     val sampled = MultimodalOps.sampleByContentId(m, keepOneIn = 4).count()
