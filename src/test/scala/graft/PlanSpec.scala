@@ -44,6 +44,7 @@ class PlanSpec extends SparkSpec {
     // exchange these pipelines may contain is the presentation ORDER BY
     for (q <- Seq(queries.MultimodalQueries.qMultimodalDecode,
         queries.MultimodalQueries.qMultimodalAudio,
+        queries.MultimodalQueries.qMultimodalVideo,
         queries.KbQueries.qParseAttachments)) {
       val p = phys(q.run(spark, sf))
       assert("Exchange".r.findAllIn(p).size <= 1,
