@@ -112,8 +112,12 @@ object Bench {
     val ratioJson = results.flatMap { case (k, v) =>
       base.get(k).filter(b => b > 0 && v >= 0).map(b => k -> v / b)
     }.map { case (k, r) => "\"" + k + f"\":$r%.2f" }.mkString("{", ",", "}")
-    val duckTotal = results.flatMap { case (k, v) => base.get(k).filter(_ => v >= 0) }.sum
-    val ratioTotal = if (duckTotal > 0) total / duckTotal else -1.0
+    // ratio over the INTERSECTION only: a query missing from the
+    // baseline file must drop out of both sides, or a partial baseline
+    // silently skews the headline ratio
+    val paired = results.filter { case (k, v) => v >= 0 && base.contains(k) }
+    val duckTotal = paired.map { case (k, _) => base(k) }.sum
+    val ratioTotal = if (duckTotal > 0) paired.map(_._2).sum / duckTotal else -1.0
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -121,7 +121,19 @@ object PipelineConfig {
     * well-formed config (pinned in ConfigSpec). Sections are
     * name-sorted — deterministic output for config diffing. */
   def render(cfg: PipelineConfig): String = {
-    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // the minimal subset parser is line-based and splits arrays on raw
+    // commas — values it cannot round-trip are rejected LOUDLY here
+    // rather than silently corrupted on the next load
+    def q(s: String): String = {
+      require(!s.exists(c => c == '\n' || c == '\r'),
+        s"config string values must not contain line breaks: ${s.take(40)}…")
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }
+    def qArr(s: String): String = {
+      require(!s.contains(","),
+        s"config array elements must not contain commas: ${s.take(40)}…")
+      q(s)
+    }
     val sb = new StringBuilder
     sb ++= s"chunk_size = ${cfg.chunkSize}\n"
     sb ++= s"chunk_overlap = ${cfg.chunkOverlap}\n"
@@ -133,7 +145,7 @@ object PipelineConfig {
       sb ++= s"\n[$name]\n"
       sb ++= s"label = ${q(c.label)}\n"
       sb ++= s"class = ${q(c.className)}\n"
-      sb ++= s"properties = [${c.properties.map(q).mkString(", ")}]\n"
+      sb ++= s"properties = [${c.properties.map(qArr).mkString(", ")}]\n"
       sb ++= s"as_context = ${c.asContext}\n"
       sb ++= s"url_property = ${q(c.urlProperty)}\n"
       c.topByCertainty.foreach(t => sb ++= s"top_by_certainty = $t\n")

@@ -142,7 +142,9 @@ object MultimodalOps {
     while (off + 8 <= bytes.length && (rate == 0 || data.isEmpty)) {
       val id = fourCC(off)
       val len = bb.getInt(off + 4)
-      if (len < 0 || off + 8 + len > bytes.length) return None
+      // long arithmetic: a length near Int.MaxValue must not wrap the
+      // bounds check negative (→ multi-GB allocation or OOB read)
+      if (len < 0 || off.toLong + 8L + len > bytes.length) return None
       id match {
         case "fmt " =>
           if (len < 16 || bb.getShort(off + 8) != 1) return None // PCM only
@@ -205,27 +207,39 @@ object MultimodalOps {
       while (off + 8 <= end) {
         val size = bb.getInt(off)
         val tpe = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        if (size < 8 || off + size > end) return out.result() // corrupt tail: stop
+        // long arithmetic: a size near Int.MaxValue must not wrap the
+        // bounds check negative and walk past the buffer
+        if (size < 8 || off.toLong + size > end) return out.result() // corrupt tail: stop
         out += ((tpe, off + 8, off + size))
         off += size
       }
       out.result()
     }
+    // every payload read below is bounds-guarded: a header box whose
+    // payload is shorter than its version demands is corrupt → None
     if (bytes.length < 8) return None
     val top = boxes(0, bytes.length)
     if (!top.exists(_._1 == "ftyp")) return None
     top.find(_._1 == "moov").flatMap { case (_, mOff, mEnd) =>
       val kids = boxes(mOff, mEnd)
-      val mvhd = kids.find(_._1 == "mvhd").map { case (_, o, _) =>
-        val v = bytes(o) & 0xFF
-        if (v == 1) (bb.getInt(o + 20), bb.getLong(o + 24))
-        else (bb.getInt(o + 12), bb.getInt(o + 16).toLong & 0xFFFFFFFFL)
+      val mvhd = kids.find(_._1 == "mvhd").flatMap { case (_, o, e) =>
+        if (o >= e) None
+        else {
+          val v = bytes(o) & 0xFF
+          if (v == 1 && o + 32 <= e) Some((bb.getInt(o + 20), bb.getLong(o + 24)))
+          else if (v == 0 && o + 20 <= e)
+            Some((bb.getInt(o + 12), bb.getInt(o + 16).toLong & 0xFFFFFFFFL))
+          else None
+        }
       }
       val tkhd = kids.find(_._1 == "trak").flatMap { case (_, tOff, tEnd) =>
-        boxes(tOff, tEnd).find(_._1 == "tkhd").map { case (_, o, _) =>
-          val v = bytes(o) & 0xFF
-          val dimOff = if (v == 1) o + 88 else o + 76 // 16.16 fixed w, then h
-          (bb.getInt(dimOff) >>> 16, bb.getInt(dimOff + 4) >>> 16)
+        boxes(tOff, tEnd).find(_._1 == "tkhd").flatMap { case (_, o, e) =>
+          if (o >= e) None
+          else {
+            val dimOff = if ((bytes(o) & 0xFF) == 1) o + 88 else o + 76 // 16.16 fixed w, h
+            if (dimOff + 8 <= e) Some((bb.getInt(dimOff) >>> 16, bb.getInt(dimOff + 4) >>> 16))
+            else None
+          }
         }
       }
       (mvhd, tkhd) match {
@@ -273,7 +287,11 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](binIdx)
-          val fields = mp4Meta(bytes) match {
+          // belt-and-braces: the walk is bounds-guarded, but a parse of
+          // adversarial bytes must NEVER kill the ingest
+          val meta =
+            try mp4Meta(bytes) catch { case scala.util.control.NonFatal(_) => None }
+          val fields = meta match {
             case Some(m) =>
               Seq(m.timescale, m.duration, m.duration * 1000000L / m.timescale,
                 m.width, m.height, true)
@@ -307,7 +325,10 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](binIdx)
-          val fields = decodeWav(bytes) match {
+          // same degrade-not-throw belt-and-braces as the image kernel
+          val wav =
+            try decodeWav(bytes) catch { case scala.util.control.NonFatal(_) => None }
+          val fields = wav match {
             case Some(w) =>
               var peak = 0; var zc = 0L; var energy = 0L
               var i = 0

@@ -309,16 +309,30 @@ object OfficeParsers {
     /** In-order walk of a storage's child tree (the red-black sibling
       * tree rooted at `childId`) — DIRECT children only; a child's own
       * `childId` subtree belongs to nested storages (e.g. an attached
-      * message's contents) and is not descended. Cycle-guarded: corrupt
-      * sibling links terminate instead of recursing forever. */
+      * message's contents) and is not descended. Iterative with an
+      * explicit stack — a crafted directory encoding a degenerate
+      * sibling chain must not StackOverflow (fatal, so the degrade
+      * catch in ParseOps would not contain it) — and cycle-guarded:
+      * corrupt sibling links terminate instead of looping forever. */
     def directChildren(e: Entry): Seq[Entry] = {
       val out = Seq.newBuilder[Entry]
       val seen = scala.collection.mutable.HashSet.empty[Int]
-      def go(id: Int): Unit =
-        if (id >= 0 && id < entries.length && seen.add(id)) {
-          val c = entries(id); go(c.leftId); out += c; go(c.rightId)
+      val stack = scala.collection.mutable.ArrayDeque.empty[Int]
+      var id = e.childId
+      while (id >= 0 || stack.nonEmpty) {
+        while (id >= 0 && id < entries.length && seen.add(id)) {
+          stack.prepend(id); id = entries(id).leftId
         }
-      go(e.childId)
+        if (stack.isEmpty) id = -1
+        else {
+          val cur = stack.removeHead()
+          out += entries(cur)
+          id = entries(cur).rightId
+          // seen-guard re-checked at loop top; an already-visited or
+          // out-of-range right link just drains the stack
+          if (id < 0 || id >= entries.length || seen.contains(id)) id = -1
+        }
+      }
       out.result()
     }
 

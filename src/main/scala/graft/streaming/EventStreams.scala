@@ -247,95 +247,99 @@ object EventStreams {
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val buf = state.getOption.getOrElse(AsOfBuffer(Nil, Nil))
           val (newFacts, newRights) = events.toList.partition(_.is_fact)
-          // (us, id)-ascending throughout
-          val allRights = (buf.rights ++ newRights.map(e => (usOf(e.ts), e.id))).sorted
+          // (us, id)-ascending, indexed: every candidate lookup below is
+          // a binary search, so an invocation costs O(F log R), not the
+          // O(F·R) of list scans (R can reach thousands per key under a
+          // long tolerance)
+          val rightsVec = (buf.rights ++ newRights.map(e => (usOf(e.ts), e.id))).sorted.toVector
+          // first index with time ≥ t (`strict=false`) or > t (`strict=true`)
+          def bound_(t: Long, strict: Boolean): Int = {
+            var lo = 0; var hi = rightsVec.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              val c = rightsVec(mid)._1
+              if (c < t || (strict && c == t)) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          // largest (time, id) with time ≤ t — equal-time ties take the
+          // greatest id (sorted order makes it the block's last row)
+          def backCand(t: Long): Option[(Long, Long)] = {
+            val i = bound_(t, strict = true)
+            if (i == 0) None else Some(rightsVec(i - 1))
+          }
+          // smallest time ≥ t; equal-time tie takes the greatest id for
+          // Forward, the smallest for Nearest (the batch cursor's
+          // look-ahead row)
+          def fwdCand(t: Long): Option[(Long, Long)] = {
+            val i = bound_(t, strict = false)
+            if (i >= rightsVec.length) None
+            else if (dir == AsOfDirection.Forward) Some(rightsVec(bound_(rightsVec(i)._1, strict = true) - 1))
+            else Some(rightsVec(i))
+          }
 
           // lock backward candidates: once wm ≥ t no older right can
-          // arrive, so "largest (time, id) ≤ t" is final
+          // arrive, so backCand(t) is final
           val pend = (buf.facts ++ newFacts.map(e =>
               AsOfPending(usOf(e.ts), e.id, None, None, b_locked = false)))
             .map { p =>
               if (!p.b_locked && wmUs >= p.t) {
-                val b = allRights.takeWhile(_._1 <= p.t).lastOption
+                val b = backCand(p.t)
                 AsOfPending(p.t, p.id, b.map(_._1), b.map(_._2), b_locked = true)
               } else p
             }
 
-          // forward candidate: smallest time ≥ t; equal-time tie takes
-          // the greatest id for Forward, the smallest for Nearest (the
-          // batch cursor's look-ahead row)
-          def fwdCand(t: Long): Option[(Long, Long)] = {
-            val cands = allRights.dropWhile(_._1 < t)
-            cands.headOption.map { h =>
-              val block = cands.takeWhile(_._1 == h._1)
-              if (dir == AsOfDirection.Forward) block.last else block.head
+          // one evaluation per fact: emit now, or wait with the earliest
+          // watermark position that could finalize it
+          val evaluated: List[(AsOfPending, Option[AsOfMatch], Option[Long])] =
+            pend.map { p =>
+              if (!p.b_locked) (p, None, Some(p.t)) // nothing final before wm ≥ t
+              else dir match {
+                case AsOfDirection.Backward =>
+                  val ok = p.b_time.exists(bt => p.t - bt <= bound)
+                  (p, Some(AsOfMatch(key, p.id, p.t,
+                    if (ok) p.b_id else None, if (ok) p.b_time else None)), None)
+                case AsOfDirection.Forward =>
+                  val fc = fwdCand(p.t)
+                  if (fc.exists(_._1 <= wmUs) || (hasTol && wmUs - p.t >= bound)) {
+                    val f = fc.filter(c => c._1 <= wmUs && c._1 - p.t <= bound)
+                    (p, Some(AsOfMatch(key, p.id, p.t, f.map(_._2), f.map(_._1))), None)
+                  } else (p, None,
+                    (fc.map(_._1).toList ++ (if (hasTol) List(p.t + bound) else Nil)).minOption)
+                case AsOfDirection.Nearest =>
+                  val db = p.b_time.map(bt => p.t - bt).getOrElse(Long.MaxValue)
+                  val fc = fwdCand(p.t)
+                  val df = fc.map(_._1 - p.t).getOrElse(Long.MaxValue)
+                  val dw = if (db <= df && db <= bound) db
+                    else if (df <= bound) df else Long.MaxValue
+                  if ((dw != Long.MaxValue && wmUs - p.t >= dw) || (hasTol && wmUs - p.t >= bound)) {
+                    val m =
+                      if (db <= df && db <= bound) AsOfMatch(key, p.id, p.t, p.b_id, p.b_time)
+                      else if (df <= bound) AsOfMatch(key, p.id, p.t, fc.map(_._2), fc.map(_._1))
+                      else AsOfMatch(key, p.id, p.t, None, None)
+                    (p, Some(m), None)
+                  } else (p, None,
+                    ((if (dw != Long.MaxValue) List(p.t + dw) else Nil) ++
+                      (if (hasTol) List(p.t + bound) else Nil)).minOption)
+              }
             }
-          }
-          // the current winning distance of a locked nearest fact
-          def nearestDist(p: AsOfPending): Long = {
-            val db = p.b_time.map(bt => p.t - bt).getOrElse(Long.MaxValue)
-            val df = fwdCand(p.t).map(_._1 - p.t).getOrElse(Long.MaxValue)
-            if (db <= df && db <= bound) db else if (df <= bound) df else Long.MaxValue
-          }
-
-          def isFinal(p: AsOfPending): Boolean =
-            p.b_locked && (dir match {
-              case AsOfDirection.Backward => true // locked ⇔ wm ≥ t
-              case AsOfDirection.Forward =>
-                fwdCand(p.t).exists(_._1 <= wmUs) || (hasTol && wmUs - p.t >= bound)
-              case AsOfDirection.Nearest =>
-                val d = nearestDist(p)
-                (d != Long.MaxValue && wmUs - p.t >= d) || (hasTol && wmUs - p.t >= bound)
-            })
-
-          def emit(p: AsOfPending): AsOfMatch = dir match {
-            case AsOfDirection.Backward =>
-              val ok = p.b_time.exists(bt => p.t - bt <= bound)
-              AsOfMatch(key, p.id, p.t,
-                if (ok) p.b_id else None, if (ok) p.b_time else None)
-            case AsOfDirection.Forward =>
-              val f = fwdCand(p.t).filter(c => c._1 <= wmUs && c._1 - p.t <= bound)
-              AsOfMatch(key, p.id, p.t, f.map(_._2), f.map(_._1))
-            case AsOfDirection.Nearest =>
-              val db = p.b_time.map(bt => p.t - bt).getOrElse(Long.MaxValue)
-              val fc = fwdCand(p.t)
-              val df = fc.map(_._1 - p.t).getOrElse(Long.MaxValue)
-              if (db <= df && db <= bound) AsOfMatch(key, p.id, p.t, p.b_id, p.b_time)
-              else if (df <= bound) AsOfMatch(key, p.id, p.t, fc.map(_._2), fc.map(_._1))
-              else AsOfMatch(key, p.id, p.t, None, None)
-          }
-
-          val (ready, waiting) = pend.partition(isFinal)
-          val out = ready.sortBy(p => (p.t, p.id)).map(emit)
+          val out = evaluated.collect { case (p, Some(m), _) => (p.t, p.id, m) }
+            .sortBy(x => (x._1, x._2)).map(_._3)
+          val waiting = evaluated.collect { case (p, None, _) => p }
 
           // prune: of the rights at-or-under the watermark only the
           // latest can ever match a future fact — every waiting fact's
           // other candidates are above the watermark (a locked nearest
           // fact carries its backward candidate in its own entry)
-          val (olds, live) = allRights.partition(_._1 <= wmUs)
-          val keptRights = olds.lastOption.toList ++ live
+          val cut = bound_(wmUs, strict = true)
+          val keptRights =
+            (if (cut == 0) Nil else List(rightsVec(cut - 1))) ++ rightsVec.drop(cut)
           if (waiting.isEmpty && keptRights.isEmpty) state.remove()
           else {
             state.update(AsOfBuffer(waiting, keptRights))
-            // earliest watermark position that can finalize a waiting
-            // fact (all are strictly above the current watermark —
-            // otherwise the fact would have emitted this invocation)
-            def decisionUs(p: AsOfPending): Option[Long] = dir match {
-              case AsOfDirection.Backward => Some(p.t)
-              case AsOfDirection.Forward =>
-                val pts = fwdCand(p.t).map(_._1).toList ++
-                  (if (hasTol) List(p.t + bound) else Nil)
-                pts.minOption
-              case AsOfDirection.Nearest =>
-                if (!p.b_locked) Some(p.t)
-                else {
-                  val d = nearestDist(p)
-                  val pts = (if (d != Long.MaxValue) List(p.t + d) else Nil) ++
-                    (if (hasTol) List(p.t + bound) else Nil)
-                  pts.minOption
-                }
-            }
-            waiting.flatMap(decisionUs).minOption
+            // every decision point is strictly above the current
+            // watermark — otherwise the fact would have emitted now
+            evaluated.collect { case (_, None, Some(d)) => d }.minOption
               .foreach(n => state.setTimeoutTimestamp(n / 1000 + 1))
           }
           out.iterator

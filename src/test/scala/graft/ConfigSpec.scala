@@ -68,6 +68,27 @@ class ConfigSpec extends AnyFunSuite {
       .collections("kb").label == "k\"b")
   }
 
+  test("render rejects values the subset parser cannot round-trip") {
+    val base = PipelineConfig.parse(
+      """[kb]
+        |label = "kb"
+        |class = "KbChunk"
+        |properties = ["text"]
+        |""".stripMargin)
+    // a comma inside an array element would silently split on reload
+    val comma = base.copy(collections = base.collections +
+      ("kb" -> base.collections("kb").copy(properties = Seq("a,b"))))
+    assert(intercept[IllegalArgumentException] {
+      PipelineConfig.render(comma)
+    }.getMessage.contains("commas"))
+    // a newline inside any string would break the line-based parser
+    val newline = base.copy(collections = base.collections +
+      ("kb" -> base.collections("kb").copy(label = "k\nb")))
+    assert(intercept[IllegalArgumentException] {
+      PipelineConfig.render(newline)
+    }.getMessage.contains("line breaks"))
+  }
+
   test("template generates, parses, and rejects unknown kinds loudly") {
     val t = PipelineConfig.generateTemplate()
     val cfg = PipelineConfig.parse(t)

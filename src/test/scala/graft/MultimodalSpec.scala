@@ -108,11 +108,16 @@ class MultimodalSpec extends SparkSpec {
     nonPcm(20) = 3
     val badLen = good.clone() // data chunk claims more bytes than exist
     badLen(43) = 0x7F
+    // data length near Int.MaxValue: the bounds check must not WRAP
+    // (would attempt a ~2 GB sample allocation before failing)
+    val hugeLen = good.clone()
+    hugeLen(40) = 0xF0.toByte; hugeLen(41) = 0xFF.toByte
+    hugeLen(42) = 0xFF.toByte; hugeLen(43) = 0x7F.toByte
     val df = Seq((1L, "not riff at all".getBytes), (2L, truncated),
-      (3L, nonPcm), (4L, badLen)).toDF("id", "blob")
+      (3L, nonPcm), (4L, badLen), (5L, hugeLen)).toDF("id", "blob")
     val got = MultimodalOps.decodeAudioFeatures(df, "blob")
       .select("id", "decoded").collect()
-    assert(got.length == 4 && got.forall(!_.getBoolean(1)))
+    assert(got.length == 5 && got.forall(!_.getBoolean(1)))
   }
 
   test("mp4 box walk recovers timescale/duration/dimensions; v1 headers and garbage handled") {
@@ -133,14 +138,31 @@ class MultimodalSpec extends SparkSpec {
       box("ftyp", "isom".getBytes) ++
         box("moov", box("mvhd", mvhd.array()) ++ box("trak", box("tkhd", tkhd.array())))
     }
+    // box size near Int.MaxValue must not wrap the bounds check and
+    // walk past the buffer
+    val hugeBox = v0.clone()
+    val moovOff = v0.indexOfSlice("moov".getBytes) - 4
+    hugeBox(moovOff) = 0x7F.toByte; hugeBox(moovOff + 1) = 0xFF.toByte
+    hugeBox(moovOff + 2) = 0xFF.toByte; hugeBox(moovOff + 3) = 0xF8.toByte
+    // an mvhd whose payload is shorter than its version demands
+    val shortMvhd = {
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(8 + payload.length); bb.put(tpe.getBytes); bb.put(payload)
+        bb.array()
+      }
+      box("ftyp", "isom".getBytes) ++ box("moov", box("mvhd", Array[Byte](0, 0, 0)))
+    }
     val df = Seq((1L, v0), (2L, v1), (3L, "no boxes here".getBytes),
-      (4L, v0.take(20))).toDF("id", "blob")
+      (4L, v0.take(20)), (5L, hugeBox), (6L, shortMvhd)).toDF("id", "blob")
     val got = MultimodalOps.extractVideoMeta(df, "blob")
       .select("id", "timescale", "duration", "duration_us", "width", "height", "parsed")
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(got(1L) == Seq(90000, 450000L, 5000000L, 1920, 1080, true))
     assert(got(2L) == Seq(600, 1200L, 2000000L, 640, 360, true))
     assert(got(3L).last == false && got(4L).last == false)
+    assert(got(5L).last == false && got(6L).last == false)
   }
 
   test("content-id sampling prunes without decoding") {

@@ -3,14 +3,20 @@
 
 Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [out.jsonl]
 
-Runs each headline query's oracle SQL (the same statements the
+Runs EVERY query in the given oracle_sql.json (the same statements the
 correctness gate executes) against <sfDir>/*.parquet views: one warm-up
-execution, then the median of 3 timed runs, all cores. Appends one
-JSON line per query to the baseline file (default
-tools/duckdb_baseline.jsonl), replacing any prior lines for the same
-scale factor — graft.Bench reads this file to emit per-query
-duckdb_s/ratio columns, so the Spark-vs-DuckDB conversation happens
-inside BENCH_r*.json instead of being re-derived every round.
+execution, then the median of 3 timed runs, all cores. The query set
+is controlled by the oracle file — generate it from the single source
+of truth with
+
+    sbt "runMain graft.Verify <sfDir> <out> $(comma-joined Bench.headline)"
+
+so this tool never re-lists the headline names. Appends one JSON line
+per query to the baseline file (default tools/duckdb_baseline.jsonl),
+replacing any prior lines for the same scale factor — graft.Bench
+reads this file to emit per-query duckdb_s/ratio columns, so the
+Spark-vs-DuckDB conversation happens inside BENCH_r*.json instead of
+being re-derived every round.
 """
 import json
 import statistics
@@ -19,18 +25,6 @@ import time
 from pathlib import Path
 
 import duckdb
-
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q4_top_customers_per_nation",
-    "q6_rollup_revenue",
-    "q_events_session",
-    "q_doc_chunks",
-    "q_pipeline_embed",
-    "q_knn_bruteforce",
-]
 
 
 def main() -> int:
@@ -44,11 +38,7 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
     fresh = []
-    for name in HEADLINE:
-        sql = oracles.get(name)
-        if sql is None:
-            print(f"SKIP {name}: not in oracle_sql.json", file=sys.stderr)
-            continue
+    for name, sql in sorted(oracles.items()):
         con.execute(sql).df()  # warm-up (parquet metadata, buffers)
         times = []
         for _ in range(3):
