@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.SkewOps
 import graft.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -741,9 +742,114 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Hourly OHLC (open/high/low/close) downsample bars per event type —
+    * the standard time-series resample. Open/close are selected by
+    * `(ts, event_id)` order (unique tie-break per the QueryDef
+    * determinism contract); only selection and min/max touch the double
+    * column, no order-dependent summation.
+    *
+    * Scale: both row_number windows and the final aggregate partition by
+    * `(event_type, hour)` — fine-grained keys, one shuffle, no global
+    * window. */
+  val qOhlc: QueryDef = QueryDef.sql(
+    "q_events_ohlc",
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr_s,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  COUNT(*) AS n_events
+      |FROM e GROUP BY event_type, hr
+      |ORDER BY event_type, hr_s""".stripMargin) { (s, d) =>
+    val hr = date_trunc("hour", col("ts"))
+    val wA = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wD = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev(s, d)
+      .withColumn("hr", hr)
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("hr").cast("long").as("hr_s"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .orderBy("event_type", "hr_s")
+  }
+
+  /** Exact interpolated percentiles of `value` per event type — Spark's
+    * exact `percentile` aggregate against DuckDB's `quantile_cont`
+    * (both are the standard linear-interpolation definition at
+    * position (n−1)·q; the driver's 9-decimal canonical rounding
+    * absorbs last-ULP formula differences).
+    *
+    * Scale: exact percentile shuffles the values of each group to one
+    * reducer — fine for bounded groups (5 event types × a value column);
+    * the unbounded-cardinality form is `approx_percentile` (t-digest,
+    * mergeable map-side) which the same query shape accepts. */
+  val qPercentiles: QueryDef = QueryDef.sql(
+    "q_events_percentiles",
+    """SELECT event_type,
+      |  quantile_cont(value, 0.25) AS p25,
+      |  quantile_cont(value, 0.5)  AS p50,
+      |  quantile_cont(value, 0.75) AS p75,
+      |  quantile_cont(value, 0.95) AS p95
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    ev(s, d).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .orderBy("event_type")
+  }
+
+  /** Above-mean counts per event type computed through a SALTED fact⋈dim
+    * join ([[SkewOps.saltedJoin]], salt=16): the oracle is the plain
+    * join — salting must be result-invariant, and this query makes that
+    * invariant an oracle-checked row rather than a unit test only.
+    * All comparisons are exact-integer (value in 10⁻²-units × count vs
+    * unit-sum), so the two-sided agg is order-independent.
+    *
+    * Scale: this is THE mitigation for a pathological key that AQE's
+    * skew split can't fix (one event_type with 10⁹ rows): the fact side
+    * scatters across 16 sub-keys, the 5-row dim replicates 16×, and the
+    * hot key's rows spread over 16 reducers. */
+  val qSaltedAgg: QueryDef = QueryDef.sql(
+    "q_events_salted_agg",
+    s"""WITH dim AS (
+       |  SELECT event_type, SUM(${unitsSql("value", 2)}) AS sum_u, COUNT(*) AS cnt
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT e.event_type,
+       |  CAST(SUM(CASE WHEN ${unitsSql("e.value", 2)} * d.cnt > d.sum_u THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |  COUNT(*) AS n_total
+       |FROM events e JOIN dim d USING (event_type)
+       |GROUP BY e.event_type
+       |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+    val dim = ev(s, d).groupBy(col("event_type"))
+      .agg(sum(units(col("value"), 2)).as("sum_u"), count(lit(1)).as("cnt"))
+    SkewOps.saltedJoin(ev(s, d), dim, "event_type", salt = 16)
+      .groupBy(col("event_type"))
+      .agg(sum(when(units(col("value"), 2) * col("cnt") > col("sum_u"), 1).otherwise(0)).as("n_above"),
+        count(lit(1)).as("n_total"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
-    qAsOfForward, qAsOfNearest, qOutliers)
+    qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg)
 }

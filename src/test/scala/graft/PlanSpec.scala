@@ -419,4 +419,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"wedge generation/closing must be key-partitioned equi-joins:\n$p")
   }
+
+  test("fuzzy near-dup join is a blocked equi-join, never a nested loop") {
+    // the ±10-char length band is an exploded (lang, band) equi-join;
+    // a theta/range join here would be all-pairs per language at 100 TB
+    val p = phys(queries.DedupQueries.qDedupFuzzy.run(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"length-band blocking must plan as an equi-join:\n$p")
+  }
+
+  test("duplicate-span detection stays on gram equi-joins") {
+    val p = phys(queries.DedupQueries.qDedupSpans.run(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span df join must be keyed on gram, never all-pairs:\n$p")
+  }
+
+  test("OHLC bars partition by (type, hour) — no global window") {
+    val p = phys(queries.Events.qOhlc.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"both row_number windows must stay (event_type, hour)-partitioned:\n$p")
+  }
+
+  test("salted aggregation carries the salt scatter in its plan") {
+    val p = phys(queries.Events.qSaltedAgg.run(spark, sf))
+    assert(p.contains("pmod"),
+      s"the fact side must be salted (pmod scatter key) before the join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition funnel in the salted path:\n$p")
+  }
 }
