@@ -116,5 +116,36 @@ object CdcQueries {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip)
+  /** JSONL ROUNDTRIP: `documents` is written to a JSON-lines snapshot,
+    * read back through the schema-declared JSONL scan, and aggregated
+    * with a content checksum (distinct sha256 of the RAW text); the
+    * oracle computes the same aggregate from the parquet directly, so
+    * any escaping/encoding/type loss in the JSONL path breaks the
+    * hash. */
+  val qJsonlRoundtrip: QueryDef = QueryDef.sql(
+    "q_jsonl_roundtrip",
+    """SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  COUNT(DISTINCT sha256(text)) AS n_distinct
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val snapshotDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    graft.sources.JsonIo.writeLines(Tables(s, d, "documents"), snapshotDir)
+    graft.sources.JsonIo.readLines(s, snapshotDir,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
+    qJsonlRoundtrip)
 }

@@ -398,6 +398,36 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Distribution window functions (§2.6 completion alongside
+    * q_window_ranks): percent_rank and cume_dist over the fully unique
+    * (o_totalprice, o_orderkey) ordering, so both are exact-integer
+    * ratios — (rank−1)/(n−1) and rows≤current/n — evaluated as one IEEE
+    * division of exact BIGINTs in both engines. The window runs over
+    * the FULL partition; only the presentation cut (top 5 prices per
+    * priority, unique-keyed) bounds the output. */
+  val qWindowDist: QueryDef = QueryDef.sql(
+    "q_window_dist",
+    """SELECT o_orderpriority, o_orderkey,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST()    OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                           ORDER BY o_totalprice DESC, o_orderkey DESC) <= 5
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cut = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    ord(s, d)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("rn", row_number().over(cut))
+      .filter(col("rn") <= 5)
+      .select("o_orderpriority", "o_orderkey", "pct_rank", "cume")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** approx_count_distinct (SURVEY §2.5). HLL sketches differ between
     * engines, so the cross-engine contract is the ESTIMATE-VS-EXACT
     * error bound: the query emits the exact count plus a boolean
@@ -527,5 +557,5 @@ object Relational {
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
     qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
     qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority,
-    qSetOpsAll)
+    qSetOpsAll, qWindowDist)
 }

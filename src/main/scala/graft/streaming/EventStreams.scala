@@ -110,6 +110,22 @@ object EventStreams {
       .select(col("window.start").cast("long").as("bucket_s"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hourly OHLC bars — the streaming face of q_events_ohlc. The batch
+    * query's row_number selection becomes `min_by`/`max_by` on
+    * `(ts, event_id)` (mergeable aggregates, so partial state works in
+    * the store); both orderings are total because event_id is unique,
+    * so the two faces pick identical open/close rows. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("window.start").cast("long").as("hr_s"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
   /** Watermarked exactly-once-per-key dedup (append mode). */
   def dedupEvents(events: DataFrame): DataFrame =
     events

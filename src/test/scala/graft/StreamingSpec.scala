@@ -47,6 +47,24 @@ class StreamingSpec extends SparkSpec {
       col("sum_value") =!= col("b_sum")).count() == 0)
   }
 
+  test("streaming OHLC bars (availableNow) match the batch query") {
+    val stream = EventStreams.readStream(spark, eventsDir)
+    val got = EventStreams.runAvailableNow(spark,
+      EventStreams.ohlcBars(stream), "t_ohlc", "append", ckpt())
+    val batch = queries.Events.qOhlc.run(spark, sf)
+      .withColumnRenamed("open", "b_open").withColumnRenamed("high", "b_high")
+      .withColumnRenamed("low", "b_low").withColumnRenamed("close", "b_close")
+      .withColumnRenamed("n_events", "b_n")
+    val joined = got.join(batch, Seq("event_type", "hr_s"), "inner")
+    assert(got.count() > 0)
+    assert(joined.count() == got.count())
+    // min_by/max_by selection must pick the same rows as the batch
+    // row_number windows — doubles compare bit-exact (same source values)
+    assert(joined.filter(col("open") =!= col("b_open") ||
+      col("high") =!= col("b_high") || col("low") =!= col("b_low") ||
+      col("close") =!= col("b_close") || col("n_events") =!= col("b_n")).count() == 0)
+  }
+
   test("streaming session windows cover all events") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
