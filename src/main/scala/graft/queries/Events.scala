@@ -847,9 +847,37 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** approx_percentile at scale (§2.5's sketch tier, same cross-engine
+    * contract as q_approx_distinct): sketches differ between engines, so
+    * the hash-checked claim is the ESTIMATE-VS-EXACT bound — the
+    * t-digest-style median (accuracy 1000 → ≤ 0.1 percentile-rank
+    * error) must land within 5% of the exact interpolated median. A
+    * sketch regression flips the boolean and fails the compare.
+    *
+    * Scale: approx_percentile is the UNBOUNDED-group form of
+    * q_events_percentiles — mergeable map-side partial sketches, no
+    * per-group value shuffle. */
+  val qPercentilesApprox: QueryDef = QueryDef.sql(
+    "q_events_percentiles_approx",
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50_exact,
+      |  true AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    ev(s, d).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"))
+      .select(col("event_type"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          abs(col("p50_exact")) * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
-    qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg)
+    qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
+    qPercentilesApprox)
 }

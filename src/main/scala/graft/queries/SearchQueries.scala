@@ -1012,9 +1012,69 @@ object SearchQueries {
     comp.select(col("id").as("doc_id"), col("component")).orderBy("doc_id")
   }
 
+  /** Deterministic global shuffle + shard assignment — the data-loader
+    * prep step: every doc gets a pseudo-random but REPRODUCIBLE shard
+    * (one md5 hex digit → 16 shards) and a position in that shard's
+    * read order (md5 order, decorrelated from ingest order). The output
+    * pins the whole permutation: endpoints via min_by/max_by on
+    * position, and an exact-integer order checksum Σ pos·doc_id that
+    * changes if ANY doc moves.
+    *
+    * Scale: positions come from the bucket-offset two-pass (the
+    * q_ntile_balance / q_domain_cap primitive), NOT a 16-partition
+    * window: row_numbers run per (shard, bucket) — 256 fine-grained
+    * groups — and the cumulative offsets live on a 256-row aggregate
+    * that broadcasts. The bucket MUST be the leading key of the
+    * within-shard sort order (hex digit 1 of hx, since ordering is by
+    * the full hash string) so buckets are contiguous runs of the
+    * order; refinement takes a longer hx prefix as the bucket. The
+    * materialization shape for an actual data loader is
+    * `repartitionByRange(shard, hx).sortWithinPartitions` — narrow
+    * after one range shuffle. */
+  val qShuffleShards: QueryDef = QueryDef.sql(
+    "q_shuffle_shards",
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+      |), sh AS (
+      |  SELECT doc_id, hx,
+      |    CAST(ascii(substr(hx, 2, 1)) -
+      |      CASE WHEN ascii(substr(hx, 2, 1)) >= 97 THEN 87 ELSE 48 END AS INTEGER) AS shard
+      |  FROM h
+      |), pos AS (
+      |  SELECT doc_id, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos,
+      |    row_number() OVER (PARTITION BY shard ORDER BY hx DESC, doc_id DESC) AS rpos
+      |  FROM sh
+      |)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+      |  MAX(CASE WHEN rpos = 1 THEN doc_id END) AS last_doc,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_sum
+      |FROM pos GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .select(col("doc_id"), col("hx"),
+        conv(substring(col("hx"), 2, 1), 16, 10).cast("int").as("shard"),
+        conv(substring(col("hx"), 1, 1), 16, 10).cast("int").as("bkt"))
+    val counts = base.groupBy("shard", "bkt").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("cnt")).over(Window.partitionBy("shard").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    base.join(broadcast(offsets), Seq("shard", "bkt"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard", "bkt").orderBy("hx", "doc_id"))
+          .cast("long") + col("off"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        sum(col("pos") * col("doc_id")).as("order_sum"))
+      .orderBy("shard")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHybridRrf, qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,
-    qVocabCoverage)
+    qVocabCoverage, qShuffleShards)
 }
