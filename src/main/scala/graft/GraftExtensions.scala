@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ChunkWords, CosineSim, DeterministicEmbed}
+import graft.expressions.{ChunkWords, CosineSim, DeterministicEmbed, NormalizeText}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(children.head, StringType),
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 && children(1).foldable,
+          "graft_normalize(text, form) requires a literal form")
+        val form = children(1).eval().toString
+        require(NormalizeText.Forms.contains(form),
+          s"graft_normalize form must be one of ${NormalizeText.Forms.mkString("/")}")
+        NormalizeText(Cast(children.head, StringType), form)
       }))
   }
 }

@@ -88,14 +88,23 @@ object IngestJob {
 
   /** Full refresh (data_ingestion.py:80-99): process EVERY landed file,
     * replace the store content wholesale, overwrite the ledger with the
-    * post-run listing (:60,69 — state reflects downloaded truth). */
+    * post-run listing (:60,69 — state reflects downloaded truth).
+    *
+    * The chunk count in the report comes from an `observe()` metric
+    * collected DURING the store write — not from re-reading the store
+    * afterwards (a full second scan of what was just written; at
+    * 100 TB that doubles the job) and not from a separate `count()`
+    * action (which would re-run parse+chunk+embed). `CollectMetrics`
+    * rides the write action for free. */
   def fullRefresh(spark: SparkSession, files: DataFrame,
       ledgerPath: String, storePath: String, loadDt: String): RunReport = {
+    val obs = new org.apache.spark.sql.Observation()
     val vectors = prepareVectorData(files, loadDt)
+      .observe(obs, count(lit(1)).as("chunks"))
     VectorStore.replaceAll(spark, storePath, vectors)
     Ledger.write(listingOf(files), ledgerPath)
     val n = files.count()
-    RunReport(n, n, VectorStore.read(spark, storePath).count())
+    RunReport(n, n, obs.get("chunks").asInstanceOf[Long])
   }
 
   /** Incremental refresh (data_ingestion.py:56-66): diff the landed

@@ -874,10 +874,61 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Robust outlier summary — median/MAD instead of mean/σ, the
+    * estimator that survives the very outliers it hunts ([[qOutliers]]'
+    * 3σ z-score moves with contamination; the median breakdown point is
+    * 50%). Per type: exact interpolated median, MAD (median absolute
+    * deviation, second percentile pass over |v − med|), and the count
+    * beyond the 3·1.4826·MAD fence (1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to
+    * σ-equivalent units).
+    *
+    * Determinism: median/MAD parity is the same interpolated-percentile
+    * contract [[qPercentiles]] pins; the fence comparison is a
+    * fixed-shape IEEE chain ((3.0·1.4826)·mad, left-assoc both
+    * engines).
+    *
+    * Scale: the med/MAD tables are bounded by |event_type| → both
+    * re-join passes broadcast; exact per-group percentiles shuffle the
+    * group's values (the documented exact tier — approx_percentile in
+    * [[qPercentilesApprox]] is the stated unbounded-group form). */
+  val qRobustOutliers: QueryDef = QueryDef.sql(
+    "q_events_robust",
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type
+      |), a AS (
+      |  SELECT e.event_type, med, quantile_cont(ABS(value - med), 0.5) AS mad
+      |  FROM events e JOIN m ON m.event_type = e.event_type
+      |  GROUP BY e.event_type, med
+      |)
+      |SELECT e.event_type, med, mad,
+      |  COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN ABS(value - med) > 3.0 * 1.4826 * mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN a ON a.event_type = e.event_type
+      |WHERE mad > 0
+      |GROUP BY e.event_type, med, mad
+      |ORDER BY e.event_type""".stripMargin) { (s, d) =>
+    val med = ev(s, d).groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev(s, d).join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .filter(col("mad") > 0)
+    ev(s, d).join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(abs(col("value") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("med"), col("mad"),
+        col("n_total"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
-    qPercentilesApprox)
+    qPercentilesApprox, qRobustOutliers)
 }

@@ -178,8 +178,10 @@ object SimilarityQueries {
     * duplicate). */
   val qKnnIvfProbe2: QueryDef = ivfQuery("q_knn_ivf_probe2", probes = 2)
 
-  private def ivfQuery(name: String, probes: Int): QueryDef = QueryDef.sql(
-    name,
+  private def ivfQuery(name: String, probes: Int): QueryDef =
+    QueryDef.sql(name, ivfSql(probes)) { (s, d) => ivfSpark(s, d, probes) }
+
+  private def ivfSql(probes: Int): String =
     s"""WITH comp AS (
        |  SELECT vec_id, label,
        |    unnest(range(0, $Dim)) AS pos,
@@ -224,7 +226,9 @@ object SimilarityQueries {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
        |  FROM cand
        |) WHERE rk <= 5
-       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+       |ORDER BY qid, rk""".stripMargin
+
+  private def ivfSpark(s: SparkSession, d: String, probes: Int): DataFrame = {
     val all = emb(s, d)
     val comp = all.select(col("vec_id"), col("label"),
       posexplode(col("e")).as(Seq("pos", "v")))
@@ -685,5 +689,59 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank)
+  /** ANN recall@5 report — the measurement face of the IVF probes
+    * dial: per query, how many of the exact top-5 neighbours the
+    * routed search actually returned at probes=1 vs probes=2. This is
+    * the number an operator watches when trading probes for latency;
+    * hash-checking it makes "probes is the recall dial" a verified
+    * claim, not a slogan (probe-2 candidates are a superset, so
+    * hits_p2 ≥ hits_p1 row by row).
+    *
+    * Exact-integer counts only — no float leaves the overlap join.
+    *
+    * Scale: each leg ends in its own partial top-k ([[topK]]); the
+    * overlap join is k·NQueries rows against k·NQueries rows. At
+    * 100 TB this runs on a SAMPLE of queries (recall estimation never
+    * needs the full query log) while the brute leg stays the one
+    * corpus scan. */
+  val qKnnRecall: QueryDef = QueryDef.sql(
+    "q_knn_recall",
+    s"""WITH brute AS (
+       |  SELECT qid, vec_id FROM (${topkSql("", 5)})
+       |), iv1 AS (
+       |  SELECT qid, vec_id FROM (${ivfSql(1)})
+       |), iv2 AS (
+       |  SELECT qid, vec_id FROM (${ivfSql(2)})
+       |), bk AS (
+       |  SELECT qid, COUNT(*) AS k FROM brute GROUP BY qid
+       |), h1 AS (
+       |  SELECT brute.qid, COUNT(*) AS n FROM brute
+       |  JOIN iv1 ON brute.qid = iv1.qid AND brute.vec_id = iv1.vec_id
+       |  GROUP BY brute.qid
+       |), h2 AS (
+       |  SELECT brute.qid, COUNT(*) AS n FROM brute
+       |  JOIN iv2 ON brute.qid = iv2.qid AND brute.vec_id = iv2.vec_id
+       |  GROUP BY brute.qid
+       |)
+       |SELECT bk.qid, k,
+       |  CAST(COALESCE(h1.n, 0) AS BIGINT) AS hits_p1,
+       |  CAST(COALESCE(h2.n, 0) AS BIGINT) AS hits_p2
+       |FROM bk
+       |LEFT JOIN h1 ON h1.qid = bk.qid
+       |LEFT JOIN h2 ON h2.qid = bk.qid
+       |ORDER BY bk.qid""".stripMargin) { (s, d) =>
+    val brute = topkSpark(s, d, sameLabel = false, 5).select(col("qid"), col("vec_id"))
+    def hits(ivf: DataFrame, as: String): DataFrame =
+      brute.join(ivf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as(as))
+    brute.groupBy("qid").agg(count(lit(1)).as("k"))
+      .join(hits(ivfSpark(s, d, 1), "hits_p1"), Seq("qid"), "left")
+      .join(hits(ivfSpark(s, d, 2), "hits_p2"), Seq("qid"), "left")
+      .select(col("qid"), col("k"),
+        coalesce(col("hits_p1"), lit(0L)).as("hits_p1"),
+        coalesce(col("hits_p2"), lit(0L)).as("hits_p2"))
+      .orderBy("qid")
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank, qKnnRecall)
 }

@@ -341,8 +341,58 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Unicode NFC normalization over the corpus — the pre-tokenization
+    * canonicalization step, run through the native codegen'd
+    * [[graft.expressions.NormalizeText]] kernel and hash-checked
+    * against DuckDB's independent `nfc_normalize` implementation
+    * (both implement UAX #15, so normalized bytes agree exactly).
+    *
+    * The synthetic corpus is ASCII (already NFC — the fast path), so
+    * each doc gets a deterministic decomposed suffix by doc_id class:
+    * combining acute (e+U+0301 → é), combining ring (A+U+030A → Å),
+    * the ANGSTROM SIGN singleton (U+212B → U+00C5), or nothing (the
+    * is-normalized fast path stays exercised). Hash-checked facts:
+    * codepoint count before/after (composition shrinks the string),
+    * the changed flag, and md5 of the normalized UTF-8 bytes.
+    *
+    * Scale: per-row scalar work, no shuffle except the output sort;
+    * the already-normalized check is allocation-free, which is what a
+    * 100 TB mostly-clean corpus actually pays. */
+  val qDocNfc: QueryDef = QueryDef.sql(
+    "q_doc_nfc",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 24) ||
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'e' || chr(769)
+      |      WHEN 1 THEN 'A' || chr(778)
+      |      WHEN 2 THEN chr(8491)
+      |      ELSE '' END AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  length(t) AS raw_cp,
+      |  length(nfc_normalize(t)) AS nfc_cp,
+      |  (nfc_normalize(t) <> t) AS changed,
+      |  md5(nfc_normalize(t)) AS digest
+      |FROM raw ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val suffix = when(pmod(col("doc_id"), lit(4)) === 0, lit("e\u0301"))
+      .when(pmod(col("doc_id"), lit(4)) === 1, lit("A\u030A"))
+      .when(pmod(col("doc_id"), lit(4)) === 2, lit("\u212B"))
+      .otherwise(lit(""))
+    val raw = docs(s, d).select(col("doc_id"),
+      concat(substring(col("text"), 1, 24), suffix).as("t"))
+    raw.select(
+      col("doc_id"),
+      length(col("t")).cast("long").as("raw_cp"),
+      length(TF.normalize(s, col("t"), "NFC")).cast("long").as("nfc_cp"),
+      (TF.normalize(s, col("t"), "NFC") =!= col("t")).as("changed"),
+      md5(TF.normalize(s, col("t"), "NFC").cast("binary")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
     qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive,
-    qPackSequences, qDocBpeExact)
+    qPackSequences, qDocBpeExact, qDocNfc)
 }

@@ -41,8 +41,10 @@ class IngestSpec extends SparkSpec {
 
     val r1 = IngestJob.fullRefresh(spark, initial, ledger, store, "2023-01-01")
     assert(r1.filesProcessed == 3)
-    assert(r1.chunksUpserted > 0)
     val s1 = VectorStore.read(spark, store)
+    // the report's chunk count is an observe() metric collected during
+    // the write — it must equal the store truth without re-scanning it
+    assert(r1.chunksUpserted == s1.count() && r1.chunksUpserted > 0)
     assert(s1.select("name").distinct().count() == 3)
     // the reference's 11-column chunk/vector schema, exactly
     assert(s1.columns.sorted.toSeq == Seq("chunk_id", "index", "load_dt",

@@ -447,4 +447,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"no single-partition funnel in the salted path:\n$p")
   }
+
+  test("shard assignment broadcasts the 256-row offset table, no global window") {
+    val p = phys(queries.SearchQueries.qShuffleShards.run(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (shard, bkt) offset table is 256 rows and must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"positions come from per-(shard, bkt) windows — never a global one:\n$p")
+  }
+
+  test("approx percentile aggregates with a map-side partial phase") {
+    val p = phys(queries.Events.qPercentilesApprox.run(spark, sf))
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"sketches must merge map-side, not ship raw values per group:\n$p")
+  }
 }
