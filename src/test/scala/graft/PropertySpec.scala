@@ -199,4 +199,31 @@ class PropertySpec extends AnyFunSuite {
         back.zip(atts).forall { case ((_, b), (_, a)) => java.util.Arrays.equals(b, a) }
     }
   }
+
+  // ---- unicode normalization kernel --------------------------------------
+
+  /** Text biased toward normalization-sensitive sequences: combining
+    * marks after base letters, singleton-mapped chars, compatibility
+    * chars, plus plain ASCII (the fast path). */
+  private val genNormPiece: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("é", "Å", "ñ", "ô", "ü"),
+    1 -> Gen.oneOf("Å", "Ω", "Å", "é"), // singletons + precomposed
+    1 -> Gen.oneOf("ﬁ", "０", "²", "　"), // NFKC-only material
+    1 -> Gen.oneOf(" ", "😀", "日"),
+  )
+  private val genNormText: Gen[String] = Gen.listOf(genNormPiece).map(_.mkString)
+
+  check("normalize kernel ≡ java.text.Normalizer for every form; idempotent") {
+    import graft.expressions.NormalizeText.kernel
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val forms = java.text.Normalizer.Form.values.toSeq
+    Prop.forAll(genNormText) { t =>
+      forms.forall { f =>
+        val once = kernel(u8(t), f).toString
+        once == java.text.Normalizer.normalize(t, f) &&
+          kernel(u8(once), f).toString == once // idempotence (UAX #15)
+      }
+    }
+  }
 }
