@@ -121,8 +121,61 @@ object VectorIndex {
   def append(spark: SparkSession, path: String, emb: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val cents = loadCentroids(spark, path)
-    emb.withColumn(CellCol, assignCell(spark, cents)(col(vecCol)))
+    // align to the ON-DISK schema before writing: parquet append with a
+    // drifted column type (double vectors into a float index) would
+    // poison every later scan with a reader-side type-mismatch failure
+    val stored = spark.read.parquet(path).schema
+    val aligned = emb.select(stored.filterNot(_.name == CellCol)
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    aligned.withColumn(CellCol, assignCell(spark, cents)(col(vecCol)))
       .write.mode(SaveMode.Append).partitionBy(CellCol).parquet(path)
+  }
+
+  /** Drift measurement for the rebuild decision the [[append]] contract
+    * references: recompute each cell's mean over the CURRENT index rows
+    * (exactly the Lloyd update step — one narrow pass + one
+    * (cell, component) shuffle whose cells·dim output is all the driver
+    * holds) and report the fraction of rows that would change cells if
+    * those means replaced the stored centroids. Near 0 right after a
+    * converged build; grows as appended mass pulls the true cell means
+    * away from the frozen centroids — the recall-degradation proxy an
+    * index operator alerts on. Two corpus passes, both narrow; no row
+    * data on the driver. */
+  def driftFraction(spark: SparkSession, path: String, vecCol: String): Double = {
+    val stored = loadCentroids(spark, path)
+    val rows = spark.read.parquet(path)
+      .select(col(CellCol).cast("int").as(CellCol), asDouble(col(vecCol)).as(vecCol))
+    val sums = rows
+      .select(col(CellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(CellCol), col("pos"), round(col("v") * Grid).cast("long").as("uq"))
+      .groupBy(CellCol, "pos")
+      .agg(sum("uq").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val updated = stored.map(_.clone()) // empty cells keep their centroid
+    sums.foreach { r =>
+      updated(r.getInt(0))(r.getInt(1)) =
+        math.round(r.getLong(2).toDouble / r.getLong(3))
+    }
+    val total = rows.count()
+    if (total == 0) 0.0
+    else rows.filter(assignCell(spark, updated)(col(vecCol)) =!= col(CellCol))
+      .count().toDouble / total
+  }
+
+  /** Retrain-on-drift: when [[driftFraction]] crosses `threshold`,
+    * rebuild the index from its own current rows (fresh Lloyd training,
+    * same cell count). The row set is pinned via `localCheckpoint`
+    * BEFORE the overwrite — the rebuild reads the path it replaces.
+    * Returns true iff a rebuild happened. */
+  def rebuildIfDrifted(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, cells: Int, iters: Int, threshold: Double): Boolean = {
+    val f = driftFraction(spark, path, vecCol)
+    if (f <= threshold) false
+    else {
+      val rows = spark.read.parquet(path).drop(CellCol).localCheckpoint()
+      build(rows, idCol, vecCol, cells, iters, path)
+      true
+    }
   }
 
   /** Top-`probes` cells for one query vector, by the same exact-integer

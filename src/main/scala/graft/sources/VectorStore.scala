@@ -163,6 +163,41 @@ object VectorStore {
     }
   }
 
+  /** Retention: drop whole `load_dt=` partitions strictly OLDER than
+    * `cutoff` (ISO `yyyy-MM-dd`; hive directory values compare
+    * lexicographically = chronologically for that format). This is how
+    * a long-lived store stays bounded: at 100 TB the delete is
+    * O(dropped partitions) directory removals — no scan, no rewrite,
+    * no row ever read, and partition pruning means readers never saw
+    * the dropped data as "current" anyway. Removal is per-directory
+    * idempotent, so a crash mid-run leaves a store that a re-run
+    * finishes. The null (legacy-migration) partition has no age and is
+    * never dropped. An unpartitioned store that carries the column
+    * falls back to one filter rewrite (null `load_dt` rows kept).
+    * Returns the number of partition directories dropped (0 for the
+    * rewrite fallback). */
+  def dropPartitionsBefore(spark: SparkSession, path: String, cutoff: String): Int = {
+    require(cutoff.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoff must be an ISO date (yyyy-MM-dd), got: $cutoff")
+    if (isPartitionedOnDisk(spark, path)) {
+      val fs = fileSystem(spark, path)
+      val victims = fs.listStatus(new Path(path)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$PartitionCol="))
+        .filter { st =>
+          val v = st.getPath.getName.stripPrefix(s"$PartitionCol=")
+          v != NullPartName && v < cutoff
+        }
+      victims.foreach(st => fs.delete(st.getPath, true))
+      victims.size
+    } else if (exists(spark, path) &&
+        read(spark, path).columns.contains(PartitionCol)) {
+      swapRewrite(spark, path, wantPartition = false)(store =>
+        store.filter(col(PartitionCol).isNull ||
+          col(PartitionCol) >= to_date(lit(cutoff))))
+      0
+    } else 0
+  }
+
   /** Compact small files: streaming upserts (one commit per
     * micro-batch) and repeated partition rewrites accumulate files far
     * smaller than a scan-efficient parquet row group, and at 100 TB the

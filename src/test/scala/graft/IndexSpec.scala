@@ -101,6 +101,33 @@ class IndexSpec extends SparkSpec {
     assert(got == bruteTopK(5), "all-probes over the appended index must equal brute force")
   }
 
+  test("drift stays low after build, spikes after a shifted append, rebuild resets it") {
+    val p3 = Files.createTempDirectory("vindex_drift").toFile.getAbsolutePath + "/index"
+    VectorIndex.build(emb, "vec_id", "embedding", Cells, iters = 2, path = p3)
+    val fresh = VectorIndex.driftFraction(spark, p3, "embedding")
+    // the frozen centroids are a (near-)fixed point of their own data
+    assert(fresh < 0.2, s"fresh index should sit near its Lloyd fixed point, got $fresh")
+    assert(!VectorIndex.rebuildIfDrifted(spark, p3, "vec_id", "embedding",
+      Cells, 2, threshold = 0.5), "below threshold must not rebuild")
+
+    // append a same-size population pulled far off the trained manifold
+    val shifted = emb
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding").cast("array<double>"), v => v * 3.0d + 2.0d))
+    VectorIndex.append(spark, p3, shifted, "vec_id", "embedding")
+    val drifted = VectorIndex.driftFraction(spark, p3, "embedding")
+    assert(drifted > fresh, "shifted mass must register as drift")
+
+    val total = spark.read.parquet(p3).count()
+    assert(VectorIndex.rebuildIfDrifted(spark, p3, "vec_id", "embedding",
+      Cells, 2, threshold = math.min(0.5, drifted / 2)),
+      "past threshold must rebuild")
+    assert(spark.read.parquet(p3).count() == total, "rebuild loses no rows")
+    val after = VectorIndex.driftFraction(spark, p3, "embedding")
+    assert(after <= drifted, "retraining must not leave the index MORE drifted")
+  }
+
   test("single-probe results are a subset of brute-force candidates with perfect in-cell ranking") {
     val got = VectorIndex.query(spark, path, "vec_id", "embedding",
       queries, probes = 1, k = 3)

@@ -231,6 +231,47 @@ class PipelineSpec extends SparkSpec {
     assert(after == before, "compaction must not change the row set")
   }
 
+  test("retention drops only partitions strictly before the cutoff; null partition survives") {
+    import graft.sources.VectorStore
+    val path = Files.createTempDirectory("vstore_ttl").toFile.getAbsolutePath + "/store"
+    VectorStore.upsert(spark, path,
+      dtRows(1 to 3, "2023-01-01", "old")
+        .unionByName(dtRows(4 to 6, "2023-03-01", "mid"))
+        .unionByName(dtRows(7 to 9, "2023-06-01", "new")))
+    // migrate a legacy row into the null partition via an unpartitioned seed
+    import spark.implicits._
+    VectorStore.upsert(spark, path,
+      Seq(("c99", "legacy", null.asInstanceOf[java.sql.Date]))
+        .toDF("chunk_id", "payload", "load_dt"))
+    val dropped = VectorStore.dropPartitionsBefore(spark, path, "2023-03-01")
+    assert(dropped == 1, "exactly the 2023-01-01 partition is older than the cutoff")
+    val left = VectorStore.read(spark, path).select("chunk_id").collect()
+      .map(_.getString(0)).toSet
+    assert(left == Set("c4", "c5", "c6", "c7", "c8", "c9", "c99"),
+      "cutoff-day and newer rows plus the ageless null partition survive")
+    // idempotent: nothing older remains
+    assert(VectorStore.dropPartitionsBefore(spark, path, "2023-03-01") == 0)
+    intercept[IllegalArgumentException] {
+      VectorStore.dropPartitionsBefore(spark, path, "03/01/2023")
+    }
+  }
+
+  test("retention on an unpartitioned store falls back to a filter rewrite") {
+    import graft.sources.VectorStore
+    import spark.implicits._
+    val path = Files.createTempDirectory("vstore_ttl_flat").toFile.getAbsolutePath + "/store"
+    // unpartitioned layout: single write without hive dirs but WITH the column
+    Seq(("a", "x", java.sql.Date.valueOf("2023-01-01")),
+      ("b", "y", java.sql.Date.valueOf("2023-06-01")),
+      ("c", "z", null.asInstanceOf[java.sql.Date]))
+      .toDF("chunk_id", "payload", "load_dt")
+      .write.mode("overwrite").parquet(path)
+    assert(VectorStore.dropPartitionsBefore(spark, path, "2023-03-01") == 0)
+    val left = VectorStore.read(spark, path).select("chunk_id").collect()
+      .map(_.getString(0)).toSet
+    assert(left == Set("b", "c"), "old row rewritten away; null load_dt kept")
+  }
+
   test("compact and upsert keep the null (legacy-migrated) partition's rows") {
     // migrated legacy rows live in load_dt=__HIVE_DEFAULT_PARTITION__
     // with NULL values; '=' / isin comparisons silently skip nulls, so
