@@ -262,7 +262,7 @@ object MultimodalOps {
     mvhd.putInt(12, timescale); mvhd.putInt(16, duration)
     val tkhd = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
     tkhd.putInt(76, width << 16); tkhd.putInt(80, height << 16)
-    val ftyp = box("ftyp", "isom   isom".getBytes(
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isom".getBytes(
       java.nio.charset.StandardCharsets.ISO_8859_1))
     val moov = box("moov", box("mvhd", mvhd.array()) ++
       box("trak", box("tkhd", tkhd.array())))

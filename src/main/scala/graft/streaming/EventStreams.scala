@@ -55,23 +55,35 @@ case class AsOfMatch(key: Long, fact_id: Long, fact_us: Long,
 
 object EventStreams {
 
-  /** Parquet schema of the events table as generated (ts stored as
-    * nanosecond INT64 → read as long under nanosAsLong, rebuilt to µs). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Parquet schema of the events table with `ts` read as the given
+    * physical type — the generator has emitted both nanosecond INT64
+    * (→ LongType under nanosAsLong) and un-adjusted timestamp[us]
+    * (→ TimestampNTZType) across rounds. */
+  def rawSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded events source over a parquet directory. */
-  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+  /** Unbounded events source over a parquet directory. A one-time batch
+    * footer probe (metadata only, no data read) discovers how `ts` is
+    * encoded, so the stream sees a session-TZ TIMESTAMP regardless of
+    * the generator's parquet encoding — same contract as
+    * [[graft.Tables]]. */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val base = spark.readStream
+      .schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType         => base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => base.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => base
+    }
+  }
 
   /** Tumbling 10-minute aggregation with a 30-minute watermark —
     * the streaming face of q_events_tumbling. */

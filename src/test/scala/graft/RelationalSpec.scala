@@ -30,6 +30,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("registered query count is pinned (silent registration loss is loud)") {
+    // Round 6 shipped a "green" board that had silently shrunk from 155
+    // to 138 reported queries. Pin the count: adding a query means
+    // bumping this number in the same commit — removing one without
+    // noticing becomes a test failure instead of a shorter report.
+    assert(SparkEntry.queries.size == 155,
+      s"expected 155 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.defs.map(_.name).distinct.size == SparkEntry.defs.size,
+      "duplicate query names would silently collapse in the queries map")
+  }
+
   test("oracle coverage: every query with SQL has matching name") {
     val names = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
