@@ -350,4 +350,168 @@ object MultimodalOps {
       }
     }(Encoders.row(outSchema))
   }
+
+  // ---- image perceptual hash (dHash) -------------------------------------
+
+  /** 64-bit difference hash (dHash) of a decoded image: luminance is
+    * average-pooled onto a 9×8 grid with EXACT integer cell means
+    * (floor boundaries `c·w/9`, `r·h/8`; sum ÷ count — no float
+    * resampling, so the hash is bit-reproducible across JVMs and
+    * expressible in a SQL oracle), then bit `r·8+c` is set iff
+    * cell(r, c+1) > cell(r, c). Images smaller than the grid clamp each
+    * cell to at least one pixel (cells overlap — still deterministic).
+    *
+    * This is the standard near-duplicate IMAGE signature for training
+    * corpora: near-identical images (recompressed, slightly cropped)
+    * collide or land within a small hamming distance, so exact
+    * `groupBy(phash)` finds perceptual-dup clusters with one shuffle
+    * and hamming-band blocking (16-bit sub-keys, as in the SimHash
+    * text path) finds near-pairs without an all-pairs join. */
+  private[operators] def dHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    // pooled 8×9 luminance grid; row-raster reads bound memory at O(w)
+    val cells = Array.ofDim[Long](8, 9)
+    val rowBuf = new Array[Int](w)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8
+      val y1 = math.min(h, math.max(y0 + 1, (r + 1) * h / 8))
+      val sums = new Array[Long](9); val counts = new Array[Long](9)
+      var y = y0
+      while (y < y1) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var c = 0
+        while (c < 9) {
+          val x0 = c * w / 9
+          val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / 9))
+          var x = x0
+          while (x < x1) { sums(c) += luminance(rowBuf(x)); x += 1 }
+          counts(c) += x1 - x0
+          c += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < 9) { cells(r)(c) = sums(c) / math.max(counts(c), 1L); c += 1 }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r)(c + 1) > cells(r)(c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** FNV-1a 64-bit over raw bytes — the deterministic degrade signature
+    * for bytes no image reader accepts. */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xFFL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Perceptual-hash kernel: real `ImageIO` decode → [[dHash64]], same
+    * mapPartitions batch shape and degrade contract as
+    * [[decodeAndFeaturize]] (undecodable bytes keep the pipeline alive
+    * with `decoded=false` and an FNV-1a byte hash, so corrupt media
+    * still dedup exactly among themselves without poisoning the
+    * perceptual clusters). */
+  def perceptualHash(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val fields = decodeImage(bytes) match {
+            case Some(img) => Seq(img.getWidth, img.getHeight, true, dHash64(img))
+            case None      => Seq(0, 0, false, fnv64(bytes))
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic vertical-stripe PNG — the fixture generator for the
+    * perceptual-hash query: column `x` is the solid gray
+    * `(base + x·31) mod 256`, so every pooled cell mean (and therefore
+    * the dHash) has a closed form a SQL oracle can reproduce. */
+  def encodeStripePng(width: Int, height: Int, base: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < width) {
+      val g = (base + x * 31) % 256
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < height) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // ---- audio quality metrics ---------------------------------------------
+
+  /** Audio QUALITY kernel — the gating sibling of
+    * [[decodeAudioFeatures]]: real RIFF-PCM parse to samples, then the
+    * exact-integer counters a training-data audio filter gates on:
+    * clipped samples (|s| ≥ 32760 — digital clipping ruins ASR
+    * targets), silent samples (|s| ≤ 3 — near-digital-zero), the
+    * LEADING silent run (untrimmed capture padding), and peak |ampl|.
+    * All integers end to end, so the DuckDB oracle needs no float
+    * tolerance. Undecodable bytes degrade (`decoded=false`, zeroed
+    * counters, byte count as n_samples) — same contract as every
+    * kernel in this file. */
+  def audioQuality(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("n_clipped", LongType),
+      StructField("n_silent", LongType),
+      StructField("lead_silence", LongType),
+      StructField("peak", IntegerType),
+      StructField("decoded", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val wav =
+            try decodeWav(bytes) catch { case scala.util.control.NonFatal(_) => None }
+          val fields = wav match {
+            case Some(w) =>
+              var clipped = 0L; var silent = 0L; var lead = 0L
+              var leading = true; var peak = 0
+              var i = 0
+              while (i < w.samples.length) {
+                val a = math.abs(w.samples(i).toInt)
+                if (a >= 32760) clipped += 1
+                if (a <= 3) { silent += 1; if (leading) lead += 1 }
+                else leading = false
+                if (a > peak) peak = a
+                i += 1
+              }
+              Seq(w.sampleRate, w.samples.length.toLong, clipped, silent, lead, peak, true)
+            case None =>
+              Seq(0, bytes.length.toLong, 0L, 0L, 0L, 0, false)
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

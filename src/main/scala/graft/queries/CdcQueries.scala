@@ -146,6 +146,61 @@ object CdcQueries {
       .orderBy("lang", "source")
   }
 
+  /** TAR-SHARD (WebDataset) ROUNDTRIP: every document becomes a
+    * two-entry sample (`<key>.txt` raw UTF-8 text + `<key>.json`
+    * metadata sidecar) hash-routed into 8 tar shards, read back
+    * through the one-task-per-shard tar parser, regrouped by key
+    * (the WebDataset sample-reassembly contract), and aggregated with
+    * the same content checksum as the JSONL face — so a lost entry,
+    * a corrupted header, an encoding mutation, or a broken sidecar
+    * parse all break the hash against the parquet source of truth. */
+  val qTarRoundtrip: QueryDef = QueryDef.sql(
+    "q_tar_roundtrip",
+    """SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  COUNT(DISTINCT sha256(text)) AS n_distinct
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val shardDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_tar_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val entries = Tables(s, d, "documents").select(
+      pmod(col("doc_id"), lit(8)).as("shard"),
+      format_string("%06d", col("doc_id")).as("key"),
+      col("text"),
+      to_json(struct(col("lang"), col("source"), col("n_chars"))).as("meta"))
+    val exploded = entries.select(col("shard"),
+        explode(array(
+          struct(concat(col("key"), lit(".txt")).as("name"),
+            col("text").cast("binary").as("bytes")),
+          struct(concat(col("key"), lit(".json")).as("name"),
+            col("meta").cast("binary").as("bytes")))).as("e"))
+      .select(col("shard"), col("e.name"), col("e.bytes"))
+    graft.sources.TarShards.write(exploded, shardDir, "shard", "name", "bytes")
+    val back = graft.sources.TarShards.read(s, shardDir)
+      .select(
+        substring_index(col("name"), ".", 1).as("key"),
+        substring_index(col("name"), ".", -1).as("ext"),
+        col("bytes").cast("string").as("payload"))
+      .groupBy("key")
+      .agg(
+        max(when(col("ext") === "txt", col("payload"))).as("text"),
+        max(when(col("ext") === "json", col("payload"))).as("meta"))
+      .select(col("key").cast("long").as("doc_id"), col("text"),
+        from_json(col("meta"), org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, source STRING, n_chars BIGINT")).as("m"))
+    back
+      .groupBy(col("m.lang").as("lang"), col("m.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("m.n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
-    qJsonlRoundtrip)
+    qJsonlRoundtrip, qTarRoundtrip)
 }

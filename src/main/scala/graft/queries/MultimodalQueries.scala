@@ -186,6 +186,95 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash image dedup, hash-checked end to end through REAL
+    * pixels: vertical-stripe PNGs (column gray = `(7·id + 31·x) mod
+    * 256`, dimensions from `doc_id`) are decoded by `ImageIO`,
+    * average-pooled onto the 9×8 dHash grid with exact integer means,
+    * and the packed 64-bit hash + per-hash cluster size must match the
+    * closed form (stripes are y-constant, so every grid row yields the
+    * same difference byte and the hash is that byte repeated — which
+    * the oracle rebuilds from the same modular arithmetic). The hex
+    * rendering keeps both engines in exact-integer/string space (a
+    * BIGINT build of the repeated byte would overflow DuckDB's checked
+    * arithmetic for bytes ≥ 0x80). `dup_n` over the hash is the
+    * one-shuffle perceptual-dup-cluster face: near-identical images
+    * collide on phash exactly the way exact dedup collides on sha2. */
+  val qMultimodalPhash: QueryDef = QueryDef.sql(
+    "q_multimodal_phash",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 4 AS BIGINT) AS bw,
+      |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS h,
+      |    (doc_id * 7) % 256 AS base
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, bw, h,
+      |    list_transform(range(0, 9), c ->
+      |      list_sum(list_transform(range(c * bw, (c + 1) * bw), x -> (base + x * 31) % 256)) // bw
+      |    ) AS cell
+      |  FROM g
+      |), bits AS (
+      |  SELECT doc_id, bw, h,
+      |    list_sum(list_transform(range(0, 8), c ->
+      |      CASE WHEN cell[CAST(c AS INT) + 2] > cell[CAST(c AS INT) + 1]
+      |           THEN 1 << CAST(c AS INT) ELSE 0 END)) AS rowbyte
+      |  FROM cells
+      |)
+      |SELECT doc_id, CAST(bw * 9 AS INTEGER) AS width, h AS height, TRUE AS decoded,
+      |  repeat(lpad(lower(to_hex(rowbyte)), 2, '0'), 8) AS phash_hex,
+      |  COUNT(*) OVER (PARTITION BY rowbyte) AS dup_n
+      |FROM bits
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkPng = udf { id: Long =>
+      MultimodalOps.encodeStripePng(
+        9 * (1 + (id % 4).toInt), 8 * (1 + (id % 3).toInt), ((id * 7) % 256).toInt)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkPng(col("doc_id")).as("blob"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    MultimodalOps.perceptualHash(media, "blob")
+      .select(col("doc_id"), col("width"), col("height"), col("decoded"),
+        format_string("%016x", col("phash")).as("phash_hex"),
+        count(lit(1)).over(w).as("dup_n"))
+      .orderBy("doc_id")
+  }
+
+  /** Audio QUALITY gating, hash-checked through REAL PCM: each fixture
+    * is `k` samples of digital silence (untrimmed capture padding)
+    * followed by a ±a square wave, where docs with `id % 10 ∈ {8, 9}`
+    * clamp their amplitude to 32767 — i.e. clip. The kernel's counters
+    * (clipped / silent / leading-silence / peak) must match their
+    * closed forms exactly; these are the integer columns a 100 TB audio
+    * corpus filters on before any feature extraction. */
+  val qMultimodalAudioQuality: QueryDef = QueryDef.sql(
+    "q_multimodal_audio_quality",
+    """SELECT doc_id,
+      |  8000 AS sample_rate,
+      |  CAST(800 + doc_id % 200 AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN doc_id % 10 >= 8
+      |       THEN 800 + doc_id % 200 - doc_id % 50 ELSE 0 END AS BIGINT) AS n_clipped,
+      |  CAST(doc_id % 50 AS BIGINT) AS n_silent,
+      |  CAST(doc_id % 50 AS BIGINT) AS lead_silence,
+      |  CAST(LEAST(32767, 32000 + (doc_id % 10) * 100) AS INTEGER) AS peak,
+      |  TRUE AS decoded
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkWav = udf { id: Long =>
+      val k = (id % 50).toInt
+      val p = 2 + (id % 14).toInt
+      val a = math.min(32767, 32000 + (id % 10).toInt * 100)
+      val n = (800 + id % 200).toInt
+      val samples = Array.tabulate[Short](n)(i =>
+        if (i < k) 0
+        else { val j = i - k; (if ((j / p) % 2 == 0) a else -a).toShort })
+      MultimodalOps.encodeWavPcm16(8000, samples)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkWav(col("doc_id")).as("blob"))
+    MultimodalOps.audioQuality(media, "blob")
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("n_clipped"),
+        col("n_silent"), col("lead_silence"), col("peak"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Typed Aggregator (the declared UDAF): per-label embedding centroid
     * with quantized-integer buffers; oracle reproduces the exact integer
     * math. */
@@ -227,5 +316,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
-    qMultimodalAudio, qMultimodalVideo, qCentroid)
+    qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalAudioQuality,
+    qCentroid)
 }

@@ -170,4 +170,85 @@ class MultimodalSpec extends SparkSpec {
     val sampled = MultimodalOps.sampleByContentId(m, keepOneIn = 4).count()
     assert(sampled > 0 && sampled < media.count())
   }
+
+  test("dHash packs per-row difference bits byte-per-row, hand-computed") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = f(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 9×8: one pixel per grid cell. Ascending-everywhere → all 64 bits.
+    val asc = png((x, y) => x * 16 + y * 8, 9, 8)
+    // Even pixel-rows ascend (row byte 0xff), odd rows descend (0x00):
+    // bytes alternate → 0x00ff00ff00ff00ff (byte r of the long = row r).
+    val alt = png((x, y) => if (y % 2 == 0) x * 10 else (8 - x) * 10, 9, 8)
+    // Solid image: no cell differs → hash 0.
+    val flat = MultimodalOps.encodeSolidPng(9, 8, 0x808080)
+    val got = MultimodalOps.perceptualHash(
+      Seq((1L, asc), (2L, alt), (3L, flat)).toDF("id", "blob"), "blob")
+      .select("id", "decoded", "phash").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((true, -1L)), f"asc: got ${got(1L)._2}%016x")
+    assert(got(2L) == ((true, 0x00ff00ff00ff00ffL)), f"alt: got ${got(2L)._2}%016x")
+    assert(got(3L) == ((true, 0L)))
+  }
+
+  test("dHash pools exact integer cell means and survives sub-grid images") {
+    import spark.implicits._
+    // 18×16: every cell is a 2×2 block; stripe pattern is y-constant so
+    // the hash equals the stripe closed form the oracle uses
+    val stripe = MultimodalOps.encodeStripePng(18, 16, 42)
+    // 3×2 image is smaller than the 9×8 grid: cells clamp to ≥1 pixel —
+    // must decode and produce SOME deterministic hash, not crash
+    val tiny = MultimodalOps.encodeSolidPng(3, 2, 0x123456)
+    val got = MultimodalOps.perceptualHash(
+      Seq((1L, stripe), (2L, tiny)).toDF("id", "blob"), "blob")
+      .select("id", "decoded", "phash").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // closed form: bw=2, L(x) = (42 + 31x) % 256; cell c = floor mean of
+    // columns {2c, 2c+1}; bit c set iff cell(c+1) > cell(c); all rows equal
+    val L = (x: Int) => (42 + 31 * x) % 256
+    val cell = (c: Int) => (L(2 * c) + L(2 * c + 1)) / 2
+    val rowByte = (0 until 8).map(c => if (cell(c + 1) > cell(c)) 1L << c else 0L).sum
+    val want = (0 until 8).map(r => rowByte << (8 * r)).reduce(_ | _)
+    assert(got(1L) == ((true, want)), f"stripe: got ${got(1L)._2}%016x want $want%016x")
+    assert(got(2L)._1, "tiny image must still decode")
+    val again = MultimodalOps.perceptualHash(
+      Seq((2L, tiny)).toDF("id", "blob"), "blob").select("phash").head.getLong(0)
+    assert(again == got(2L)._2, "sub-grid hash must be deterministic")
+  }
+
+  test("non-image bytes get the FNV degrade hash; corrupt bytes never fail the job") {
+    import spark.implicits._
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val truncated = MultimodalOps.encodeSolidPng(8, 8, 0x123456).take(20)
+    val got = MultimodalOps.perceptualHash(
+      Seq((1L, garbage), (2L, garbage.clone()), (3L, truncated)).toDF("id", "blob"), "blob")
+      .select("id", "decoded", "phash").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(!got(1L)._1 && !got(2L)._1 && !got(3L)._1)
+    assert(got(1L)._2 == got(2L)._2, "identical corrupt bytes dedup among themselves")
+    assert(got(1L)._2 != got(3L)._2, "different corrupt bytes stay distinct")
+  }
+
+  test("audio quality counters are exact on hand-computed PCM") {
+    import spark.implicits._
+    val samples = Array[Short](0, 0, 0, 0, 32767, -32767, 100, -2, 32760, 5)
+    val wav = MultimodalOps.encodeWavPcm16(8000, samples)
+    val garbage = "not audio".getBytes
+    val got = MultimodalOps.audioQuality(
+      Seq((1L, wav), (2L, garbage)).toDF("id", "blob"), "blob")
+      .select("id", "sample_rate", "n_samples", "n_clipped", "n_silent",
+        "lead_silence", "peak", "decoded")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // |32767|×2 and |32760| clip; {0,0,0,0,-2} are silent, 4 leading;
+    // 5 is NOT silent (>3) and 100 breaks the leading run earlier anyway
+    assert(got(1L) == Seq(8000, 10L, 3L, 5L, 4L, 32767, true), s"got ${got(1L)}")
+    assert(got(2L) == Seq(0, garbage.length.toLong, 0L, 0L, 0L, 0, false))
+  }
 }

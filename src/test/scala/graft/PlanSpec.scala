@@ -45,11 +45,24 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq(queries.MultimodalQueries.qMultimodalDecode,
         queries.MultimodalQueries.qMultimodalAudio,
         queries.MultimodalQueries.qMultimodalVideo,
+        queries.MultimodalQueries.qMultimodalAudioQuality,
         queries.KbQueries.qParseAttachments)) {
       val p = phys(q.run(spark, sf))
       assert("Exchange".r.findAllIn(p).size <= 1,
         s"${q.name}: decode pipelines must not shuffle beyond the final sort:\n$p")
     }
+  }
+
+  test("perceptual-hash dedup shuffles once by hash, never globally") {
+    // decode + dHash are per-row; the ONLY data exchanges are the
+    // hash-partitioned shuffle that forms the dup clusters and the
+    // presentation sort — and the cluster window must be keyed on
+    // phash, not a global (empty-partition) window
+    val p = phys(queries.MultimodalQueries.qMultimodalPhash.run(spark, sf))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"q_multimodal_phash: expected only the phash shuffle + output sort:\n$p")
+    assert(p.contains("hashpartitioning(phash"),
+      s"q_multimodal_phash: dup-cluster window must partition by phash:\n$p")
   }
 
   test("kNN scoring uses the fused cosine and a map-side partial top-k") {
