@@ -54,6 +54,9 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         val d = new java.io.File(s"$outDir/$name")
+        // clear any STALE parquet from a previous successful run first —
+        // otherwise the driver would read yesterday's result and pass
+        if (d.isDirectory) d.listFiles().foreach(_.delete())
         d.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.json"),
           s"{${q("query")}: ${q(name)}, ${q("error")}: ${q(failed(name))}}")
