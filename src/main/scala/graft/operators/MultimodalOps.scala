@@ -449,15 +449,27 @@ object MultimodalOps {
     * perceptual-hash query: column `x` is the solid gray
     * `(base + x·31) mod 256`, so every pooled cell mean (and therefore
     * the dHash) has a closed form a SQL oracle can reproduce. */
-  def encodeStripePng(width: Int, height: Int, base: Int): Array[Byte] = {
+  def encodeStripePng(width: Int, height: Int, base: Int): Array[Byte] =
+    encodeBandedStripePng(width, height, Array(base))
+
+  /** Multi-band stripe PNG: the image is split into `bases.length`
+    * equal horizontal bands, band `i` a stripe gradient from
+    * `bases(i)` — gives the dHash DISTINCT row bytes per band, so
+    * hamming distances between fixtures are non-trivial while staying
+    * closed-form. */
+  def encodeBandedStripePng(width: Int, height: Int, bases: Array[Int]): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    var x = 0
-    while (x < width) {
-      val g = (base + x * 31) % 256
-      val rgb = (g << 16) | (g << 8) | g
-      var y = 0
-      while (y < height) { img.setRGB(x, y, rgb); y += 1 }
-      x += 1
+    val bandH = height / bases.length
+    var y = 0
+    while (y < height) {
+      val base = bases(math.min(y / bandH, bases.length - 1))
+      var x = 0
+      while (x < width) {
+        val g = (base + x * 31) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
     }
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)

@@ -238,6 +238,66 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual NEAR-duplicate image pairs — the hamming-banded sibling
+    * of [[qMultimodalPhash]] (exact clusters) and the image analogue of
+    * `q_dedup_simhash_pairs`: byte-granular sub-keys of the 64-bit
+    * dHash block the candidate join (a pair is a candidate iff SOME
+    * hash byte matches — never all-pairs), then the full-hash hamming
+    * distance keeps pairs ≤ 4 bits apart. Fixtures are TWO-band stripe
+    * PNGs (top/bottom halves from independent gradient bases), so the
+    * hash carries two distinct row bytes and distances are non-trivial;
+    * both engines compute the same blocking and the same distance, the
+    * oracle from the closed form, Spark from real decoded pixels. */
+  val qMultimodalPhashPairs: QueryDef = QueryDef.sql(
+    "q_multimodal_phash_pairs",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST((doc_id % 97) * 2 + 7 AS BIGINT) AS b1,
+      |    CAST(((doc_id * 5) % 29) * 9 + 3 AS BIGINT) AS b2
+      |  FROM documents
+      |), rb AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 8), c ->
+      |      CASE WHEN (b1 + 31 * (c + 1)) % 256 > (b1 + 31 * c) % 256
+      |           THEN 1 << CAST(c AS INT) ELSE 0 END)) AS ra,
+      |    list_sum(list_transform(range(0, 8), c ->
+      |      CASE WHEN (b2 + 31 * (c + 1)) % 256 > (b2 + 31 * c) % 256
+      |           THEN 1 << CAST(c AS INT) ELSE 0 END)) AS rbb
+      |  FROM g
+      |), blocks AS (
+      |  SELECT doc_id, ra, rbb,
+      |    unnest(['a:' || CAST(ra AS VARCHAR), 'b:' || CAST(rbb AS VARCHAR)]) AS block
+      |  FROM rb
+      |)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(4 * (bit_count(xor(a.ra, b.ra)) + bit_count(xor(a.rbb, b.rbb))) AS BIGINT) AS hamming
+      |FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id
+      |WHERE 4 * (bit_count(xor(a.ra, b.ra)) + bit_count(xor(a.rbb, b.rbb))) <= 4
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val mkPng = udf { id: Long =>
+      MultimodalOps.encodeBandedStripePng(9, 16, Array(
+        ((id % 97) * 2 + 7).toInt, (((id * 5) % 29) * 9 + 3).toInt))
+    }
+    val media = docs(s, d).select(col("doc_id"), mkPng(col("doc_id")).as("blob"))
+    val hashed = MultimodalOps.perceptualHash(media, "blob")
+      .select(col("doc_id"), col("phash"))
+    // top-half row byte = hash byte 0, bottom-half = byte 4 (bytes 1–3
+    // and 5–7 repeat them — the grid rows inside one stripe band are
+    // identical, so two blocks give full band coverage)
+    val blocks = hashed.select(col("doc_id"), col("phash"),
+      explode(array(
+        concat(lit("a:"), col("phash").bitwiseAND(lit(255L)).cast("string")),
+        concat(lit("b:"), shiftrightunsigned(col("phash"), 32)
+          .bitwiseAND(lit(255L)).cast("string")))).as("block"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 4)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Audio QUALITY gating, hash-checked through REAL PCM: each fixture
     * is `k` samples of digital silence (untrimmed capture padding)
     * followed by a ±a square wave, where docs with `id % 10 ∈ {8, 9}`
@@ -316,6 +376,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
-    qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalAudioQuality,
-    qCentroid)
+    qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalPhashPairs,
+    qMultimodalAudioQuality, qCentroid)
 }

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("perceptual near-pair candidates ride a block equi-join, never a nested loop") {
+    val p = phys(queries.MultimodalQueries.qMultimodalPhashPairs.run(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_multimodal_phash_pairs: hash-byte blocking must keep the join equi:\n$p")
+  }
+
   test("perceptual-hash dedup shuffles once by hash, never globally") {
     // decode + dHash are per-row; the ONLY data exchanges are the
     // hash-partitioned shuffle that forms the dup clusters and the
