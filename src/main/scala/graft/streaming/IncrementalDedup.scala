@@ -91,6 +91,43 @@ object IncrementalDedup {
     bandScreen(exactNovel, history, idCol)
   }
 
+  /** IMAGE-stream novelty screen — the perceptual-hash analogue of
+    * [[screenBatch]] for binary media: incoming images are dHashed
+    * through the real decode kernel (corrupt bytes fall back to the
+    * deterministic FNV byte hash, so they screen exactly among
+    * themselves) and kept only when the hash is absent from the
+    * historical hash set. Exact-hash screening by design: history is a
+    * bounded one-long-per-image index (not the images), the anti-join
+    * shuffles both sides by hash, and near-pair discovery
+    * (`q_multimodal_phash_pairs`) stays a batch maintenance job —
+    * per-ingest screening wants the O(1)-state verdict. Output keeps
+    * the incoming schema plus the kernel columns (`phash`, `decoded`,
+    * dims) so the caller can store the index row without re-decoding. */
+  def screenImagesBatch(incoming: DataFrame, historyHashes: DataFrame,
+      binCol: String = "bytes"): DataFrame =
+    graft.operators.MultimodalOps.perceptualHash(incoming, binCol)
+      .join(historyHashes.select(col("phash")).distinct(), Seq("phash"), "left_anti")
+
+  /** Drive the image screen as a stream: per micro-batch, screen
+    * against the history hash index and upsert novel rows into the
+    * store keyed on the hash — at-least-once replays collapse on the
+    * key exactly as in [[screenAndUpsertStream]]. */
+  def screenImagesAndUpsertStream(incoming: DataFrame, historyHashes: DataFrame,
+      storePath: String, checkpoint: String, binCol: String = "bytes"): Unit = {
+    val q = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel = screenImagesBatch(batch, historyHashes, binCol)
+          .withColumn(graft.sources.VectorStore.KeyCol,
+            format_string("%016x", col("phash")))
+        graft.sources.VectorStore.upsert(batch.sparkSession, storePath, novel)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive the screen as a stream: per micro-batch, screen against
     * `history` and upsert the novel rows (keyed on `chunk_id`, see
     * [[graft.sources.VectorStore.KeyCol]]) into the store. AvailableNow

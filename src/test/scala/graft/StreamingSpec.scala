@@ -412,6 +412,49 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.VectorStore.read(spark, store).count() == got.size)
   }
 
+  test("streaming image screen admits exactly the batch perceptual-dup screen, replay-idempotent") {
+    import graft.operators.MultimodalOps
+    // fixture corpus: stripe PNGs whose dHash collapses to (doc_id % 7)
+    // classes — history holds classes 0..3, so exactly the docs in
+    // classes 4..6 are perceptually novel
+    val mkPng = udf { id: Long =>
+      MultimodalOps.encodeStripePng(9, 8, ((id % 7) * 36).toInt)
+    }
+    val all = Tables(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), mkPng(col("doc_id")).as("bytes"))
+    val history = MultimodalOps.perceptualHash(
+      all.filter(col("doc_id") % 7 < 4), "bytes").select("phash")
+    val imgDir = Files.createTempDirectory("img_stream").toFile.getAbsolutePath
+    all.coalesce(1).write.mode("overwrite").parquet(imgDir)
+    val store = Files.createTempDirectory("vstore_img").toFile.getAbsolutePath + "/store"
+    def run(ck: String): Unit = {
+      val incoming = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, bytes BINARY"))
+        .parquet(imgDir)
+      graft.streaming.IncrementalDedup
+        .screenImagesAndUpsertStream(incoming, history, store, ck)
+    }
+    run(ckpt())
+    val stored = graft.sources.VectorStore.read(spark, store)
+    val batchNovel = graft.streaming.IncrementalDedup
+      .screenImagesBatch(all, history, "bytes")
+    assert(stored.count() > 0, "classes 4..6 must be novel")
+    // the stream stores ONE representative per perceptual hash; the
+    // batch screen's distinct hash set must be exactly the stored keys
+    val batchHashes = batchNovel.select("phash").distinct()
+      .collect().map(r => f"${r.getLong(0)}%016x").toSet
+    val storedKeys = stored.select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(storedKeys == batchHashes,
+      s"stored $storedKeys != batch-novel $batchHashes")
+    assert(batchNovel.select("doc_id").collect().map(_.getLong(0))
+      .forall(id => id % 7 >= 4), "only history-absent classes pass the screen")
+    // a fresh checkpoint replays the whole source: the key-based upsert
+    // must absorb the duplicates, not append them
+    val n1 = stored.count()
+    run(ckpt())
+    assert(graft.sources.VectorStore.read(spark, store).count() == n1)
+  }
+
   test("bloom-accelerated screen admits exactly the exact screen's novel set") {
     // the Bloom filter has no false negatives, so routing definite
     // misses around the exact anti-join cannot change the verdict —
