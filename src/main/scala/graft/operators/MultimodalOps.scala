@@ -476,6 +476,141 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  // ---- EXIF orientation (JPEG APP1 / TIFF IFD walk) ----------------------
+
+  /** Extract the EXIF Orientation tag (274) from JPEG bytes: walk the
+    * JPEG marker segments to APP1 `Exif\0\0`, then parse the embedded
+    * TIFF header (either byte order) and scan IFD0's 12-byte entries.
+    * METADATA ONLY — no pixel decode; this is the pass a training
+    * pipeline runs before batching images, because a mis-rotated photo
+    * is silent label noise. None when there is no APP1/orientation
+    * (most PNGs, stripped JPEGs) or the bytes aren't a JPEG; every
+    * read is bounds-guarded so truncated EXIF degrades to None, never
+    * an exception. */
+  private[operators] def exifOrientation(bytes: Array[Byte]): Option[Int] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16be(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u16be(0) != 0xFFD8) return None // not a JPEG
+    var off = 2
+    while (off + 4 <= bytes.length && u8(off) == 0xFF) {
+      val marker = u8(off + 1)
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / scan start
+      val len = u16be(off + 2) // includes the 2 length bytes
+      if (len < 2 || off + 2 + len > bytes.length) return None
+      if (marker == 0xE1 && len >= 10 &&
+          u8(off + 4) == 'E' && u8(off + 5) == 'x' && u8(off + 6) == 'i' &&
+          u8(off + 7) == 'f' && u8(off + 8) == 0 && u8(off + 9) == 0) {
+        val tiff = off + 10 // TIFF header base (offsets are relative to it)
+        if (tiff + 8 > bytes.length) return None
+        val little = u8(tiff) == 'I' && u8(tiff + 1) == 'I'
+        val big = u8(tiff) == 'M' && u8(tiff + 1) == 'M'
+        if (!little && !big) return None
+        def u16(i: Int) = if (little) u8(i) | (u8(i + 1) << 8) else u16be(i)
+        def u32(i: Int): Long =
+          if (little) (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24))
+          else ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+        if (u16(tiff + 2) != 42) return None
+        val ifd0 = u32(tiff + 4)
+        if (ifd0 < 0 || tiff + ifd0 + 2 > bytes.length) return None
+        val entryBase = tiff + ifd0.toInt
+        val n = u16(entryBase)
+        var e = 0
+        while (e < n) {
+          val at = entryBase + 2 + e * 12
+          if (at + 12 > bytes.length) return None
+          if (u16(at) == 0x0112 && u16(at + 2) == 3 && u32(at + 4) == 1L) {
+            val v = u16(at + 8) // SHORT value lives in the value field's first 2 bytes
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          e += 1
+        }
+        return None // APP1 present, no orientation tag
+      }
+      off += 2 + len
+    }
+    None
+  }
+
+  /** EXIF-orientation kernel: [[exifOrientation]] per row plus the
+    * derived columns a batching pipeline actually consumes — the
+    * rotation to apply, whether the image is mirrored, and the
+    * DISPLAY dimensions (decoded raster dims, swapped for the four
+    * transposed orientations). Missing/unparseable EXIF normalizes to
+    * orientation 1 (`has_exif=false`) — upright is the only safe
+    * default. */
+  def exifOrientations(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("orientation", IntegerType, nullable = false),
+      StructField("has_exif", BooleanType, nullable = false),
+      StructField("rotate_deg", IntegerType, nullable = false),
+      StructField("mirrored", BooleanType, nullable = false),
+      StructField("out_width", IntegerType),
+      StructField("out_height", IntegerType),
+      StructField("decoded", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val exif =
+            try exifOrientation(bytes) catch { case scala.util.control.NonFatal(_) => None }
+          val o = exif.getOrElse(1)
+          val rotate = o match {
+            case 3 | 4 => 180
+            case 5 | 6 => 90
+            case 7 | 8 => 270
+            case _ => 0
+          }
+          val mirrored = o == 2 || o == 4 || o == 5 || o == 7
+          val (wOut, hOut, decoded) = decodeImage(bytes) match {
+            case Some(img) =>
+              if (o >= 5) (img.getHeight, img.getWidth, true)
+              else (img.getWidth, img.getHeight, true)
+            case None => (0, 0, false)
+          }
+          Row.fromSeq(r.toSeq ++ Seq(o, exif.isDefined, rotate, mirrored, wOut, hOut, decoded))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic JPEG-with-EXIF fixture: a real `ImageIO` JPEG of the
+    * given gray, with an APP1/Exif segment (chosen byte order, IFD0
+    * holding exactly the orientation tag) spliced after SOI — the same
+    * layout cameras emit, so the parser is exercised on the real
+    * segment/TIFF structure in BOTH endiannesses. */
+  def encodeJpegWithExif(width: Int, height: Int, gray: Int,
+      orientation: Int, littleEndian: Boolean): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try { g2.setColor(new java.awt.Color(gray, gray, gray)); g2.fillRect(0, 0, width, height) }
+    finally g2.dispose()
+    val jpegOut = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", jpegOut)
+    val jpeg = jpegOut.toByteArray
+    // TIFF block: header (8) + IFD0 (2 + 12 + 4)
+    val tiff = new Array[Byte](8 + 2 + 12 + 4)
+    def put16(i: Int, v: Int): Unit =
+      if (littleEndian) { tiff(i) = v.toByte; tiff(i + 1) = (v >> 8).toByte }
+      else { tiff(i) = (v >> 8).toByte; tiff(i + 1) = v.toByte }
+    def put32(i: Int, v: Int): Unit =
+      if (littleEndian) { put16(i, v & 0xFFFF); put16(i + 2, v >>> 16) }
+      else { put16(i, v >>> 16); put16(i + 2, v & 0xFFFF) }
+    val bom: Byte = if (littleEndian) 'I' else 'M'
+    tiff(0) = bom; tiff(1) = bom
+    put16(2, 42); put32(4, 8) // IFD0 directly after the header
+    put16(8, 1) // one entry
+    put16(10, 0x0112); put16(12, 3); put32(14, 1); put16(18, orientation)
+    put32(22, 0) // no next IFD
+    val payload = "Exif".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0) ++ tiff
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((payload.length + 2) >> 8) & 0xFF).toByte, ((payload.length + 2) & 0xFF).toByte) ++ payload
+    // splice after SOI (first two bytes)
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
   // ---- audio quality metrics ---------------------------------------------
 
   /** Audio QUALITY kernel — the gating sibling of

@@ -335,6 +335,45 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** EXIF orientation extraction, hash-checked through REAL JPEG+TIFF
+    * bytes: fixtures are genuine `ImageIO` JPEGs with an APP1/Exif
+    * segment spliced in camera layout — IFD0 orientation tag, byte
+    * order ALTERNATING per doc so both TIFF endiannesses are exercised
+    * — and the kernel's parsed orientation plus the derived
+    * rotation/mirror/display-dimension columns must match their closed
+    * forms. This is the metadata pass an image pipeline runs before
+    * batching: a transposed orientation swaps the display dims, and a
+    * missed rotation is silent label noise. */
+  val qMultimodalExif: QueryDef = QueryDef.sql(
+    "q_multimodal_exif",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 8 AS INTEGER) AS o,
+      |    CAST(16 + doc_id % 16 AS INTEGER) AS w,
+      |    CAST(12 + doc_id % 8 AS INTEGER) AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, o AS orientation, TRUE AS has_exif,
+      |  CAST(CASE WHEN o IN (3, 4) THEN 180 WHEN o IN (5, 6) THEN 90
+      |       WHEN o IN (7, 8) THEN 270 ELSE 0 END AS INTEGER) AS rotate_deg,
+      |  o IN (2, 4, 5, 7) AS mirrored,
+      |  CASE WHEN o >= 5 THEN h ELSE w END AS out_width,
+      |  CASE WHEN o >= 5 THEN w ELSE h END AS out_height,
+      |  TRUE AS decoded
+      |FROM p
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkJpeg = udf { id: Long =>
+      MultimodalOps.encodeJpegWithExif(
+        16 + (id % 16).toInt, 12 + (id % 8).toInt, 128,
+        1 + (id % 8).toInt, littleEndian = id % 2 == 0)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkJpeg(col("doc_id")).as("blob"))
+    MultimodalOps.exifOrientations(media, "blob")
+      .select(col("doc_id"), col("orientation"), col("has_exif"), col("rotate_deg"),
+        col("mirrored"), col("out_width"), col("out_height"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Typed Aggregator (the declared UDAF): per-label embedding centroid
     * with quantized-integer buffers; oracle reproduces the exact integer
     * math. */
@@ -377,5 +416,5 @@ object MultimodalQueries {
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
     qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalPhashPairs,
-    qMultimodalAudioQuality, qCentroid)
+    qMultimodalAudioQuality, qMultimodalExif, qCentroid)
 }

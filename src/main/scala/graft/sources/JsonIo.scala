@@ -22,7 +22,15 @@ object JsonIo {
       .schema(StructType.fromDDL(schemaDdl))
       .json(path)
 
-  /** JSONL snapshot sink (full overwrite). */
-  def writeLines(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+  /** JSONL snapshot sink (full overwrite). `compression` is the codec
+    * 100 TB archives actually apply at rest — `gzip` is the JSONL-
+    * interchange default (one gzip stream per part file: the part
+    * stays the parallelism unit, which is why shard-sized parts matter
+    * more than splittability here); `None` writes plain text. The
+    * reader needs no flag — Spark sniffs the `.gz` extension. */
+  def writeLines(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    compression.foreach(c => w.option("compression", c))
+    w.json(path)
+  }
 }

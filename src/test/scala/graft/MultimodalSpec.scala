@@ -236,6 +236,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._2 != got(3L)._2, "different corrupt bytes stay distinct")
   }
 
+  test("EXIF orientation parses both TIFF byte orders; missing EXIF defaults upright") {
+    import spark.implicits._
+    val le = MultimodalOps.encodeJpegWithExif(20, 10, 100, 6, littleEndian = true)
+    val be = MultimodalOps.encodeJpegWithExif(20, 10, 100, 8, littleEndian = false)
+    val mirrored = MultimodalOps.encodeJpegWithExif(20, 10, 100, 2, littleEndian = true)
+    val noExif = { // plain JPEG straight from ImageIO: no APP1/Exif
+      val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val png = MultimodalOps.encodeSolidPng(4, 3, 0x808080) // not a JPEG at all
+    val garbage = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val got = MultimodalOps.exifOrientations(
+      Seq((1L, le), (2L, be), (3L, mirrored), (4L, noExif), (5L, png), (6L, garbage))
+        .toDF("id", "blob"), "blob")
+      .select("id", "orientation", "has_exif", "rotate_deg", "mirrored",
+        "out_width", "out_height", "decoded")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // orientation 6 = rotate 90, transposed → display dims swap to 10×20
+    assert(got(1L) == Seq(6, true, 90, false, 10, 20, true), s"got ${got(1L)}")
+    // big-endian TIFF, orientation 8 = rotate 270
+    assert(got(2L) == Seq(8, true, 270, false, 10, 20, true), s"got ${got(2L)}")
+    // orientation 2 = mirrored, no rotation, dims unswapped
+    assert(got(3L) == Seq(2, true, 0, true, 20, 10, true), s"got ${got(3L)}")
+    // EXIF-less JPEG and non-JPEG both normalize to upright, still decode
+    assert(got(4L) == Seq(1, false, 0, false, 7, 5, true), s"got ${got(4L)}")
+    assert(got(5L) == Seq(1, false, 0, false, 4, 3, true), s"got ${got(5L)}")
+    // garbage: no EXIF, no decode — flagged, not thrown
+    assert(got(6L) == Seq(1, false, 0, false, 0, 0, false), s"got ${got(6L)}")
+  }
+
   test("audio quality counters are exact on hand-computed PCM") {
     import spark.implicits._
     val samples = Array[Short](0, 0, 0, 0, 32767, -32767, 100, -2, 32760, 5)

@@ -46,6 +46,7 @@ class PlanSpec extends SparkSpec {
         queries.MultimodalQueries.qMultimodalAudio,
         queries.MultimodalQueries.qMultimodalVideo,
         queries.MultimodalQueries.qMultimodalAudioQuality,
+        queries.MultimodalQueries.qMultimodalExif,
         queries.KbQueries.qParseAttachments)) {
       val p = phys(q.run(spark, sf))
       assert("Exchange".r.findAllIn(p).size <= 1,

@@ -226,4 +226,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- tar shard codec ---------------------------------------------------
+
+  check("tar writer/parser round-trips arbitrary entry lists exactly, deterministically", min = 50) {
+    import graft.sources.TarShards
+    // names within the 100-byte ustar field (UTF-8!), payload sizes
+    // biased toward the 512-byte block boundary where padding bugs live
+    val genEntry: Gen[(String, Array[Byte])] = for {
+      name <- genPrintable.map(s => s.filter(_ != 0.toChar))
+        .suchThat(s => s.nonEmpty && s.getBytes(StandardCharsets.UTF_8).length <= 100)
+      n <- Gen.frequency(
+        3 -> Gen.choose(0, 600),
+        2 -> Gen.oneOf(511, 512, 513, 1023, 1024, 1025),
+        1 -> Gen.choose(2000, 5000))
+      seed <- Gen.choose(0, 255)
+    } yield (name, Array.tabulate[Byte](n)(i => ((i * 131 + seed) % 256).toByte))
+    Prop.forAll(Gen.listOf(genEntry)) { entries =>
+      val tar = TarShards.writeTar(entries.iterator)
+      val back = TarShards.parseTar(tar)
+      tar.length % 512 == 0 &&
+        back.map(_._1) == entries.map(_._1) &&
+        back.zip(entries).forall { case ((_, got), (_, want)) =>
+          java.util.Arrays.equals(got, want)
+        } &&
+        java.util.Arrays.equals(tar, TarShards.writeTar(entries.iterator))
+    }
+  }
 }
