@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** WebDataset-style tar-shard source/sink.
@@ -120,8 +121,17 @@ object TarShards {
 
   /** Write `df` as tar shards under `dir`: one `shard-NNNNN.tar` per
     * distinct `shardCol` value, each holding that shard's (`nameCol`,
-    * `bytesCol`) entries sorted by name. One shuffle (hash by shard),
-    * then a straight sequential write per shard. */
+    * `bytesCol`) entries sorted by name.
+    *
+    * One shuffle (hash-partition by shard) with a WITHIN-PARTITION sort
+    * on (shard, name), then each task STREAMS its rows straight into
+    * the open FS stream one entry at a time — executor memory is
+    * bounded by a single entry, never a shard, so the WebDataset
+    * ~1 GiB shard convention costs 1 GiB of disk, not of heap (Spark's
+    * sort spills; a `groupByKey.mapGroups` formulation would instead
+    * materialize the whole shard in the task). A partition can carry
+    * several shards (hash collisions); the sort makes them contiguous
+    * runs, closed and opened at the boundaries. */
   def write(df: DataFrame, dir: String, shardCol: String,
       nameCol: String, bytesCol: String): Unit = {
     val spark = df.sparkSession
@@ -131,23 +141,32 @@ object TarShards {
     val fs = dirPath.getFileSystem(conf.value)
     fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
-    import spark.implicits._
     df.select(
         df.col(shardCol).cast("int").as("shard"),
         df.col(nameCol).cast("string").as("name"),
         df.col(bytesCol).cast("binary").as("bytes"))
-      .as[(Int, String, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (shard, rows) =>
-        val entries = rows.map { case (_, n, b) => (n, b) }.toArray.sortBy(_._1)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "name")
+      .foreachPartition { rows: Iterator[Row] =>
         val shardFs = new Path(dir).getFileSystem(conf.value)
-        val file = new Path(dir, f"shard-$shard%05d.tar")
-        val out = shardFs.create(file, true)
-        try out.write(writeTar(entries.iterator)) finally out.close()
-        (shard, entries.length.toLong)
+        var current = -1
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        def closeCurrent(): Unit = if (out != null) {
+          out.write(new Array[Byte](2 * BlockSize)) // end-of-archive
+          out.close(); out = null
+        }
+        try {
+          rows.foreach { r =>
+            val shard = r.getInt(0)
+            if (shard != current) {
+              closeCurrent()
+              out = shardFs.create(new Path(dir, f"shard-$shard%05d.tar"), true)
+              current = shard
+            }
+            out.write(tarEntry(r.getString(1), r.getAs[Array[Byte]](2)))
+          }
+        } finally closeCurrent()
       }
-      .toDF("shard", "n_entries")
-      .foreach { _: Row => () } // action: materialize every shard write
   }
 
   /** Read tar shards back as (shard_file, name, bytes) — one task per
