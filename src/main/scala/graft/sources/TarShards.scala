@@ -169,15 +169,44 @@ object TarShards {
       }
   }
 
+  /** Streaming export: each micro-batch becomes its own shard set
+    * under `dir/batch-<id>/`. The batch id is part of the path, so an
+    * at-least-once REPLAY of a batch overwrites its own files instead
+    * of duplicating samples — exactly-once shards on top of Spark's
+    * at-least-once foreachBatch, with no sink-side state. AvailableNow
+    * drains the backlog and stops (the scheduled-export shape); read
+    * the full export back with `read(spark, dir, recursive = true)`. */
+  def writeStream(incoming: DataFrame, dir: String, checkpoint: String,
+      shardCol: String, nameCol: String, bytesCol: String): Unit = {
+    val q = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        write(batch, s"$dir/batch-$id", shardCol, nameCol, bytesCol)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Read tar shards back as (shard_file, name, bytes) — one task per
-    * shard, sequential parse. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+    * shard, sequential parse. `recursive` also walks one level of
+    * subdirectories (the `batch-<id>/` layout the streaming export
+    * produces). */
+  def read(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    val shards = fs.listStatus(dirPath).map(_.getPath.toString)
-      .filter(_.endsWith(".tar")).sorted
+    val top = fs.listStatus(dirPath)
+    val shards = (top.filter(st => st.isFile).map(_.getPath) ++
+        (if (recursive) top.filter(_.isDirectory)
+            .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath))
+         else Array.empty[Path]))
+      .map(_.toString).filter(_.endsWith(".tar")).sorted
+    // dir-relative shard_file: batch subdirs repeat the same shard
+    // file names, so the relative path is the unique identity
+    val qualifiedDir = fs.makeQualified(dirPath).toString
     val schema = StructType(Seq(
       StructField("shard_file", StringType),
       StructField("name", StringType),
@@ -192,7 +221,8 @@ object TarShards {
         val buf = new Array[Byte](len.toInt)
         val in = shardFs.open(path)
         try in.readFully(0, buf) finally in.close()
-        val base = path.getName
+        val base = shardFs.makeQualified(path).toString
+          .stripPrefix(qualifiedDir).stripPrefix("/")
         parseTar(buf).map { case (n, b) => Row(base, n, b) }
       }
     spark.createDataFrame(rdd, schema)
