@@ -456,8 +456,12 @@ object MultimodalOps {
     * equal horizontal bands, band `i` a stripe gradient from
     * `bases(i)` — gives the dHash DISTINCT row bytes per band, so
     * hamming distances between fixtures are non-trivial while staying
-    * closed-form. */
-  def encodeBandedStripePng(width: Int, height: Int, bases: Array[Int]): Array[Byte] = {
+    * closed-form. `step` is the per-column gray increment; a NEGATIVE
+    * step reverses the gradient (the "corrupted media" fixture for the
+    * consistency screen — ascending and descending stripes can never
+    * share a difference byte unless flat). */
+  def encodeBandedStripePng(width: Int, height: Int, bases: Array[Int],
+      step: Int = 31): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val bandH = height / bases.length
     var y = 0
@@ -465,7 +469,7 @@ object MultimodalOps {
       val base = bases(math.min(y / bandH, bases.length - 1))
       var x = 0
       while (x < width) {
-        val g = (base + x * 31) % 256
+        val g = ((base + x * step) % 256 + 256) % 256
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }

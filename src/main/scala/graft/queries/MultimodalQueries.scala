@@ -335,6 +335,71 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Media-ledger CONSISTENCY screen, hash-checked through real
+    * pixels: at ingest time a pipeline records each sample's
+    * perceptual hash in its ledger; this query re-hashes the CURRENT
+    * media bytes with the real decode kernel and compares — a mismatch
+    * means the blob was corrupted, re-encoded, or swapped after ingest
+    * (silent sample/label mismatch, the worst kind of training noise).
+    * Fixtures corrupt every 10th document by reversing its stripe
+    * gradient (ascending and descending stripes cannot share a
+    * difference byte unless flat), so the oracle knows exactly which
+    * rows must flag and at what hamming distance. Comparison happens
+    * at the repeated-row-byte level — exact small integers on both
+    * engines, no 64-bit construction that DuckDB's checked arithmetic
+    * would reject. */
+  val qMultimodalConsistency: QueryDef = QueryDef.sql(
+    "q_multimodal_consistency",
+    """WITH g AS (
+      |  SELECT doc_id, CAST((doc_id % 50) * 5 + 1 AS BIGINT) AS b,
+      |         doc_id % 10 = 0 AS corrupted
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, corrupted,
+      |    CAST(list_sum(list_transform(range(0, 8), c ->
+      |      CASE WHEN (b + 31 * (c + 1)) % 256 > (b + 31 * c) % 256
+      |           THEN 1 << CAST(c AS INT) ELSE 0 END)) AS BIGINT) AS claimed_byte,
+      |    CAST(CASE WHEN corrupted THEN
+      |      list_sum(list_transform(range(0, 8), c ->
+      |        CASE WHEN ((b - 31 * (c + 1)) % 256 + 256) % 256 > ((b - 31 * c) % 256 + 256) % 256
+      |             THEN 1 << CAST(c AS INT) ELSE 0 END))
+      |    ELSE
+      |      list_sum(list_transform(range(0, 8), c ->
+      |        CASE WHEN (b + 31 * (c + 1)) % 256 > (b + 31 * c) % 256
+      |             THEN 1 << CAST(c AS INT) ELSE 0 END))
+      |    END AS BIGINT) AS actual_byte
+      |  FROM g
+      |)
+      |SELECT doc_id, claimed_byte, actual_byte,
+      |  CAST(8 * bit_count(xor(claimed_byte, actual_byte)) AS BIGINT) AS hamming,
+      |  claimed_byte = actual_byte AS consistent
+      |FROM h
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkPng = udf { id: Long =>
+      val b = ((id % 50) * 5 + 1).toInt
+      MultimodalOps.encodeBandedStripePng(9, 8, Array(b),
+        step = if (id % 10 == 0) -31 else 31)
+    }
+    // the ingest-time ledger value: the closed-form hash byte of the
+    // ORIGINAL (ascending) stripe — what perceptualHash returned when
+    // the sample was first written (q_multimodal_phash pins that the
+    // kernel and this closed form agree on uncorrupted media)
+    val bCol = (col("doc_id") % 50) * 5 + 1
+    val claimed = (0 until 8).map { c =>
+      when((bCol + 31 * (c + 1)) % 256 > (bCol + 31 * c) % 256, lit(1L << c))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val media = docs(s, d).select(col("doc_id"), mkPng(col("doc_id")).as("blob"),
+      claimed.cast("long").as("claimed_byte"))
+    MultimodalOps.perceptualHash(media, "blob")
+      .select(col("doc_id"), col("claimed_byte"),
+        col("phash").bitwiseAND(lit(255L)).as("actual_byte"))
+      .withColumn("hamming",
+        expr("CAST(8 * bit_count(claimed_byte ^ actual_byte) AS BIGINT)"))
+      .withColumn("consistent", col("claimed_byte") === col("actual_byte"))
+      .orderBy("doc_id")
+  }
+
   /** EXIF orientation extraction, hash-checked through REAL JPEG+TIFF
     * bytes: fixtures are genuine `ImageIO` JPEGs with an APP1/Exif
     * segment spliced in camera layout — IFD0 orientation tag, byte
@@ -416,5 +481,5 @@ object MultimodalQueries {
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
     qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalPhashPairs,
-    qMultimodalAudioQuality, qMultimodalExif, qCentroid)
+    qMultimodalAudioQuality, qMultimodalExif, qMultimodalConsistency, qCentroid)
 }

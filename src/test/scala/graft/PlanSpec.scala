@@ -47,6 +47,7 @@ class PlanSpec extends SparkSpec {
         queries.MultimodalQueries.qMultimodalVideo,
         queries.MultimodalQueries.qMultimodalAudioQuality,
         queries.MultimodalQueries.qMultimodalExif,
+        queries.MultimodalQueries.qMultimodalConsistency,
         queries.KbQueries.qParseAttachments)) {
       val p = phys(q.run(spark, sf))
       assert("Exchange".r.findAllIn(p).size <= 1,
