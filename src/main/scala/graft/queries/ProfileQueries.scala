@@ -96,5 +96,56 @@ object ProfileQueries {
       .orderBy("check_name")
   }
 
-  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks)
+  /** Pre-join skew diagnostic: the report an engineer reads BEFORE
+    * launching a 100 TB join — the hottest keys on each side
+    * (orders.o_custkey vs events.user_id here) and each hot key's
+    * exact output contribution `n_left · n_right`. A key hot on both
+    * sides multiplies; a key hot on only one side contributes nothing
+    * by itself (its partner count is 0 in this report) but still marks
+    * a shuffle-partition hotspot. This is the evidence that decides
+    * between a plain join, a broadcast, or salting (SkewOps).
+    *
+    * Scale: two map-side-combined frequency aggregations, each reduced
+    * to its global top-10 by a partial top-k (TakeOrderedAndProject —
+    * never a global sort of the key space); the ≤20-key hot list then
+    * joins BACK against the two frequency tables broadcast-style for
+    * exact partner counts. Deterministic: count-desc-then-key ordering
+    * breaks frequency ties. */
+  val qJoinSkew: QueryDef = QueryDef.sql(
+    "q_join_skew_report",
+    """WITH lf AS (SELECT o_custkey AS lkey, COUNT(*) AS nl FROM orders GROUP BY 1),
+      |     rf AS (SELECT user_id AS rkey, COUNT(*) AS nr FROM events GROUP BY 1),
+      |     lt AS (SELECT lkey AS key FROM lf ORDER BY nl DESC, lkey LIMIT 10),
+      |     rt AS (SELECT rkey AS key FROM rf ORDER BY nr DESC, rkey LIMIT 10),
+      |     hot AS (SELECT key FROM lt UNION SELECT key FROM rt)
+      |SELECT h.key AS key,
+      |  COALESCE(lf.nl, 0) AS n_left,
+      |  COALESCE(rf.nr, 0) AS n_right,
+      |  COALESCE(lf.nl, 0) * COALESCE(rf.nr, 0) AS contribution
+      |FROM hot h
+      |LEFT JOIN lf ON h.key = lf.lkey
+      |LEFT JOIN rf ON h.key = rf.rkey
+      |ORDER BY contribution DESC, key""".stripMargin) { (s, d) =>
+    val lf = ord(s, d).groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("nl"))
+    val rf = Tables(s, d, "events").groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("nr"))
+    val lt = lf.orderBy(col("nl").desc, col("key")).limit(10).select("key")
+    val rt = rf.orderBy(col("nr").desc, col("key")).limit(10).select("key")
+    val hot = lt.union(rt).distinct()
+    // broadcast the ≤20-key HOT list, never the frequency tables (they
+    // grow with the key space): each side is semi-filtered down to its
+    // hot rows first, then the ≤20-row joins are trivially local
+    val lfh = lf.join(broadcast(hot), Seq("key"), "left_semi")
+    val rfh = rf.join(broadcast(hot), Seq("key"), "left_semi")
+    hot.join(lfh, Seq("key"), "left")
+      .join(rfh, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("nl"), lit(0L)).as("n_left"),
+        coalesce(col("nr"), lit(0L)).as("n_right"),
+        (coalesce(col("nl"), lit(0L)) * coalesce(col("nr"), lit(0L))).as("contribution"))
+      .orderBy(col("contribution").desc, col("key"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks, qJoinSkew)
 }

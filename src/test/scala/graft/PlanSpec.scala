@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join-skew report: partial top-k per side, hot list broadcast, no key-space sort") {
+    val p = phys(queries.ProfileQueries.qJoinSkew.run(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"q_join_skew_report: both frequency tops must be partial top-k:\n$p")
+    // the ≤20-key hot list is the broadcast side of the semi-filters —
+    // the corpus-growing frequency tables must never broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_join_skew_report: hot-list semi joins should broadcast:\n$p")
+  }
+
   test("perceptual near-pair candidates ride a block equi-join, never a nested loop") {
     val p = phys(queries.MultimodalQueries.qMultimodalPhashPairs.run(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
