@@ -46,6 +46,14 @@ def main() -> int:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        marker = spark_dir / "_ERROR.json"
+        if marker.exists():
+            # Verify wrote a failure marker: report the actual Spark
+            # error, not a parquet-read stack trace
+            err = json.loads(marker.read_text()).get("error", "?")
+            print(f"FAIL {name}: query threw: {err}")
+            n_fail += 1
+            continue
         try:
             got = canon(pd.read_parquet(spark_dir))
             want = canon(con.execute(sql).df())
