@@ -470,6 +470,47 @@ class StreamingSpec extends SparkSpec {
     assert(bloom == exact, "sketch acceleration must be result-invariant")
   }
 
+  test("streaming audio gate admits exactly the batch gate's set, replay-idempotent") {
+    import graft.operators.MultimodalOps
+    // the q_multimodal_audio_quality fixture family: docs with
+    // id % 10 ∈ {8, 9} clip (amplitude clamps to 32767), docs with a
+    // long leading-silence run (k = id % 50 of n ≈ 800 samples) stay
+    // under the 50% default — so the clipping rule is the active gate
+    val mkWav = udf { id: Long =>
+      val k = (id % 50).toInt
+      val p = 2 + (id % 14).toInt
+      val a = math.min(32767, 32000 + (id % 10).toInt * 100)
+      val n = (800 + id % 200).toInt
+      val samples = Array.tabulate[Short](n)(i =>
+        if (i < k) 0
+        else { val j = i - k; (if ((j / p) % 2 == 0) a else -a).toShort })
+      MultimodalOps.encodeWavPcm16(8000, samples)
+    }
+    val all = Tables(spark, sf, "documents").limit(60)
+      .select(col("doc_id"), mkWav(col("doc_id")).as("bytes"))
+    val wavDir = Files.createTempDirectory("wav_stream").toFile.getAbsolutePath
+    all.coalesce(1).write.mode("overwrite").parquet(wavDir)
+    val store = Files.createTempDirectory("vstore_audio").toFile.getAbsolutePath + "/store"
+    def run(ck: String): Unit = {
+      val incoming = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, bytes BINARY"))
+        .parquet(wavDir)
+      graft.streaming.MediaStreams
+        .gateAudioAndUpsertStream(incoming, store, ck, idCol = "doc_id")
+    }
+    run(ckpt())
+    val stored = graft.sources.VectorStore.read(spark, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchAdmitted = graft.streaming.MediaStreams.gateAudioBatch(all, "bytes")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored.nonEmpty && stored == batchAdmitted,
+      s"streamed gate must equal the batch gate: $stored vs $batchAdmitted")
+    assert(batchAdmitted.forall(id => id % 10 < 8), "clipped docs must be rejected")
+    assert(stored.size < 60, "some docs must actually be rejected")
+    run(ckpt())
+    assert(graft.sources.VectorStore.read(spark, store).count() == stored.size)
+  }
+
   test("streaming tar export writes batch-scoped shards, replay-idempotent") {
     import graft.sources.TarShards
     val docsDir = {
