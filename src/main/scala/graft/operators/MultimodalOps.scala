@@ -367,23 +367,29 @@ object MultimodalOps {
     * `groupBy(phash)` finds perceptual-dup clusters with one shuffle
     * and hamming-band blocking (16-bit sub-keys, as in the SimHash
     * text path) finds near-pairs without an all-pairs join. */
-  private[operators] def dHash64(img: BufferedImage): Long = {
+  /** Exact integer box-average downscale of the image's LUMINANCE to
+    * an `outW`×`outH` grid (row-major): output cell (X, Y) is the
+    * floor mean of its source block (floor boundaries `X·w/outW`,
+    * `Y·h/outH`; sub-grid images clamp each block to ≥1 pixel, blocks
+    * overlapping). No float resampling anywhere, so the result is
+    * bit-reproducible across JVMs and closed-form for a SQL oracle.
+    * Row-raster reads bound memory at O(w). */
+  private[operators] def boxResizeGray(img: BufferedImage, outW: Int, outH: Int): Array[Int] = {
     val w = img.getWidth; val h = img.getHeight
-    // pooled 8×9 luminance grid; row-raster reads bound memory at O(w)
-    val cells = Array.ofDim[Long](8, 9)
+    val out = new Array[Int](outW * outH)
     val rowBuf = new Array[Int](w)
     var r = 0
-    while (r < 8) {
-      val y0 = r * h / 8
-      val y1 = math.min(h, math.max(y0 + 1, (r + 1) * h / 8))
-      val sums = new Array[Long](9); val counts = new Array[Long](9)
+    while (r < outH) {
+      val y0 = r * h / outH
+      val y1 = math.min(h, math.max(y0 + 1, (r + 1) * h / outH))
+      val sums = new Array[Long](outW); val counts = new Array[Long](outW)
       var y = y0
       while (y < y1) {
         img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var c = 0
-        while (c < 9) {
-          val x0 = c * w / 9
-          val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / 9))
+        while (c < outW) {
+          val x0 = c * w / outW
+          val x1 = math.min(w, math.max(x0 + 1, (c + 1) * w / outW))
           var x = x0
           while (x < x1) { sums(c) += luminance(rowBuf(x)); x += 1 }
           counts(c) += x1 - x0
@@ -392,20 +398,76 @@ object MultimodalOps {
         y += 1
       }
       var c = 0
-      while (c < 9) { cells(r)(c) = sums(c) / math.max(counts(c), 1L); c += 1 }
+      while (c < outW) {
+        out(r * outW + c) = (sums(c) / math.max(counts(c), 1L)).toInt
+        c += 1
+      }
       r += 1
     }
+    out
+  }
+
+  private[operators] def dHash64(img: BufferedImage): Long = {
+    // dHash = difference bits over the 9×8 box-average grid
+    val cells = boxResizeGray(img, 9, 8)
     var hash = 0L
-    r = 0
+    var r = 0
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        if (cells(r)(c + 1) > cells(r)(c)) hash |= 1L << (r * 8 + c)
+        if (cells(r * 9 + c + 1) > cells(r * 9 + c)) hash |= 1L << (r * 8 + c)
         c += 1
       }
       r += 1
     }
     hash
+  }
+
+  /** Resize kernel — the model-input-prep operator (thumbnails, fixed
+    * input rasters): real decode, [[boxResizeGray]] to the target
+    * grid, then a lossless grayscale PNG re-encode of the resized
+    * raster plus an exact luminance checksum (`sum_lum` = Σ of resized
+    * cell values — the integer a SQL oracle can reproduce; the PNG
+    * bytes are for downstream consumers and verified by decode in the
+    * spec). Undecodable bytes degrade (`decoded=false`, null bytes,
+    * zero checksum) — same contract as every kernel here. */
+  def resizeImages(df: DataFrame, binCol: String, outW: Int, outH: Int,
+      batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false),
+      StructField("resized_png", BinaryType),
+      StructField("sum_lum", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val fields = decodeImage(bytes) match {
+            case Some(img) =>
+              val grid = boxResizeGray(img, outW, outH)
+              val small = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+              var i = 0
+              while (i < grid.length) {
+                val g = grid(i)
+                small.setRGB(i % outW, i / outW, (g << 16) | (g << 8) | g)
+                i += 1
+              }
+              val png = new ByteArrayOutputStream()
+              ImageIO.write(small, "png", png)
+              var sum = 0L
+              i = 0
+              while (i < grid.length) { sum += grid(i); i += 1 }
+              Seq(outW, outH, png.toByteArray, sum, true)
+            case None =>
+              Seq(outW, outH, null, 0L, false)
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** FNV-1a 64-bit over raw bytes — the deterministic degrade signature

@@ -335,6 +335,42 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Image RESIZE (model-input prep), hash-checked through real
+    * pixels: stripe fixtures of varying dimensions are decoded,
+    * box-average-downscaled to a fixed 9×8 raster with exact integer
+    * cell means, and the resized raster's luminance checksum must
+    * match the closed form (stripes are y-constant, so the checksum is
+    * 8× the row sum of pooled cells). The kernel also re-encodes the
+    * resized raster as lossless PNG bytes for downstream consumers —
+    * MultimodalSpec re-decodes those and asserts pixel equality. */
+  val qMultimodalResize: QueryDef = QueryDef.sql(
+    "q_multimodal_resize",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS bw,
+      |         (doc_id * 11) % 256 AS base
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 9), c ->
+      |      list_sum(list_transform(range(c * bw, (c + 1) * bw), x -> (base + x * 31) % 256)) // bw
+      |    )) AS row_lum
+      |  FROM g
+      |)
+      |SELECT doc_id, 9 AS out_width, 8 AS out_height,
+      |  CAST(8 * row_lum AS BIGINT) AS sum_lum, TRUE AS decoded
+      |FROM s
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkPng = udf { id: Long =>
+      MultimodalOps.encodeBandedStripePng(
+        9 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt), Array(((id * 11) % 256).toInt))
+    }
+    val media = docs(s, d).select(col("doc_id"), mkPng(col("doc_id")).as("blob"))
+    MultimodalOps.resizeImages(media, "blob", 9, 8)
+      .select(col("doc_id"), col("out_width"), col("out_height"),
+        col("sum_lum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Media-ledger CONSISTENCY screen, hash-checked through real
     * pixels: at ingest time a pipeline records each sample's
     * perceptual hash in its ledger; this query re-hashes the CURRENT
@@ -481,5 +517,6 @@ object MultimodalQueries {
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
     qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalPhashPairs,
-    qMultimodalAudioQuality, qMultimodalExif, qMultimodalConsistency, qCentroid)
+    qMultimodalAudioQuality, qMultimodalExif, qMultimodalConsistency,
+    qMultimodalResize, qCentroid)
 }

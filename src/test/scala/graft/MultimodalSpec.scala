@@ -268,6 +268,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(6L) == Seq(1, false, 0, false, 0, 0, false), s"got ${got(6L)}")
   }
 
+  test("resize kernel: lossless PNG of the exact box-average raster; degrade flagged") {
+    import spark.implicits._
+    // 18×16 stripe → 9×8: every cell is a 2×2 block with a closed form
+    val stripe = MultimodalOps.encodeStripePng(18, 16, 42)
+    val garbage = Array.tabulate[Byte](48)(i => (i * 13).toByte)
+    val got = MultimodalOps.resizeImages(
+      Seq((1L, stripe), (2L, garbage)).toDF("id", "blob"), "blob", 9, 8)
+      .select("id", "out_width", "out_height", "resized_png", "sum_lum", "decoded")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val L = (x: Int) => (42 + 31 * x) % 256
+    val cell = (c: Int) => (L(2 * c) + L(2 * c + 1)) / 2
+    val wantSum = 8L * (0 until 9).map(cell).sum
+    assert(got(1L).getAs[Boolean]("decoded") && got(1L).getAs[Long]("sum_lum") == wantSum)
+    // the emitted PNG must decode back to EXACTLY the pooled raster
+    val png = got(1L).getAs[Array[Byte]]("resized_png")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(back.getWidth == 9 && back.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert((back.getRGB(x, y) & 0xFF) == cell(x),
+        s"pixel ($x,$y): ${back.getRGB(x, y) & 0xFF} != ${cell(x)}")
+    assert(!got(2L).getAs[Boolean]("decoded") && got(2L).getAs[Long]("sum_lum") == 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("resized_png")))
+  }
+
   test("audio quality counters are exact on hand-computed PCM") {
     import spark.implicits._
     val samples = Array[Short](0, 0, 0, 0, 32767, -32767, 100, -2, 32760, 5)
