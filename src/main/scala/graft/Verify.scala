@@ -55,8 +55,14 @@ object Verify {
         failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         val d = new java.io.File(s"$outDir/$name")
         // clear any STALE parquet from a previous successful run first —
-        // otherwise the driver would read yesterday's result and pass
-        if (d.isDirectory) d.listFiles().foreach(_.delete())
+        // otherwise the driver would read yesterday's result and pass.
+        // Recursive: an interrupted write can leave _temporary/ trees
+        // that a flat delete would silently skip.
+        def rmr(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+          f.delete()
+        }
+        if (d.exists()) rmr(d)
         d.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.json"),
           s"{${q("query")}: ${q(name)}, ${q("error")}: ${q(failed(name))}}")

@@ -168,6 +168,23 @@ object MultimodalOps {
     }
   }
 
+  /** The q_multimodal_audio_quality fixture family, shared by the
+    * query and the streaming-gate spec so the two can never drift:
+    * `k = id%50` samples of digital silence, then a ±a square wave of
+    * period `2 + id%14`, where `a = min(32767, 32000 + (id%10)·100)` —
+    * docs with `id % 10 ∈ {8, 9}` clamp to 32767, i.e. CLIP. Total
+    * `n = 800 + id%200` samples at 8 kHz. */
+  def wavQualityFixture(id: Long): Array[Byte] = {
+    val k = (id % 50).toInt
+    val p = 2 + (id % 14).toInt
+    val a = math.min(32767, 32000 + (id % 10).toInt * 100)
+    val n = (800 + id % 200).toInt
+    val samples = Array.tabulate[Short](n)(i =>
+      if (i < k) 0
+      else { val j = i - k; (if ((j / p) % 2 == 0) a else -a).toShort })
+    encodeWavPcm16(8000, samples)
+  }
+
   /** Deterministic WAV PCM-16 bytes — the fixture generator for audio
     * decode tests and the synthetic-decode query (PCM is lossless:
     * decoded samples are bit-exact). JDK-only, offline. */
@@ -525,7 +542,10 @@ object MultimodalOps {
   def encodeBandedStripePng(width: Int, height: Int, bases: Array[Int],
       step: Int = 31): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    val bandH = height / bases.length
+    // images shorter than the band count degenerate to 1-row bands
+    // (the min() below then clamps to the last base) instead of
+    // dividing by zero
+    val bandH = math.max(1, height / bases.length)
     var y = 0
     while (y < height) {
       val base = bases(math.min(y / bandH, bases.length - 1))
@@ -597,6 +617,26 @@ object MultimodalOps {
     None
   }
 
+  /** Raster dimensions from the image HEADER only: the matching
+    * `ImageReader` parses width/height without decoding a single
+    * pixel block — the metadata-cheap sibling of [[decodeImage]].
+    * None when no reader accepts the bytes. */
+  private[operators] def headerDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** EXIF-orientation kernel: [[exifOrientation]] per row plus the
     * derived columns a batching pipeline actually consumes — the
     * rotation to apply, whether the image is mirrored, and the
@@ -629,10 +669,12 @@ object MultimodalOps {
             case _ => 0
           }
           val mirrored = o == 2 || o == 4 || o == 5 || o == 7
-          val (wOut, hOut, decoded) = decodeImage(bytes) match {
-            case Some(img) =>
-              if (o >= 5) (img.getHeight, img.getWidth, true)
-              else (img.getWidth, img.getHeight, true)
+          // dims come from the image HEADER only (ImageReader.getWidth/
+          // getHeight) — this pass must stay metadata-cheap; a full
+          // pixel decode here would cost as much as the decode stage
+          // this report exists to precede
+          val (wOut, hOut, decoded) = headerDims(bytes) match {
+            case Some((w, h)) => if (o >= 5) (h, w, true) else (w, h, true)
             case None => (0, 0, false)
           }
           Row.fromSeq(r.toSeq ++ Seq(o, exif.isDefined, rotate, mirrored, wOut, hOut, decoded))

@@ -240,10 +240,10 @@ object MultimodalQueries {
 
   /** Perceptual NEAR-duplicate image pairs — the hamming-banded sibling
     * of [[qMultimodalPhash]] (exact clusters) and the image analogue of
-    * `q_dedup_simhash_pairs`: byte-granular sub-keys of the 64-bit
-    * dHash block the candidate join (a pair is a candidate iff SOME
-    * hash byte matches — never all-pairs), then the full-hash hamming
-    * distance keeps pairs ≤ 4 bits apart. Fixtures are TWO-band stripe
+    * `q_dedup_simhash_pairs`: 16-bit sub-keys of the 64-bit dHash
+    * block the candidate join (a pair is a candidate iff SOME band
+    * matches — never all-pairs), then the full-hash hamming distance
+    * keeps pairs ≤ 4 bits apart. Fixtures are TWO-band stripe
     * PNGs (top/bottom halves from independent gradient bases), so the
     * hash carries two distinct row bytes and distances are non-trivial;
     * both engines compute the same blocking and the same distance, the
@@ -281,14 +281,19 @@ object MultimodalQueries {
     val media = docs(s, d).select(col("doc_id"), mkPng(col("doc_id")).as("blob"))
     val hashed = MultimodalOps.perceptualHash(media, "blob")
       .select(col("doc_id"), col("phash"))
-    // top-half row byte = hash byte 0, bottom-half = byte 4 (bytes 1–3
-    // and 5–7 repeat them — the grid rows inside one stripe band are
-    // identical, so two blocks give full band coverage)
+    // 16-BIT sub-keys (bytes 0–1 and 4–5 = two grid rows each), the
+    // same band width as the text SimHash path: 65536 buckets per
+    // band, so a real corpus blocks at ~n²/2¹⁷ candidates, not the
+    // ~n²/2⁹ an 8-bit key would give. On the stripe fixtures each
+    // band is one row byte repeated (grid rows inside a stripe band
+    // are identical), so band equality ⟺ row-byte equality and the
+    // oracle's byte-level blocking produces the identical candidate
+    // set.
     val blocks = hashed.select(col("doc_id"), col("phash"),
       explode(array(
-        concat(lit("a:"), col("phash").bitwiseAND(lit(255L)).cast("string")),
+        concat(lit("a:"), col("phash").bitwiseAND(lit(0xFFFFL)).cast("string")),
         concat(lit("b:"), shiftrightunsigned(col("phash"), 32)
-          .bitwiseAND(lit(255L)).cast("string")))).as("block"))
+          .bitwiseAND(lit(0xFFFFL)).cast("string")))).as("block"))
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -318,16 +323,7 @@ object MultimodalQueries {
       |  TRUE AS decoded
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val mkWav = udf { id: Long =>
-      val k = (id % 50).toInt
-      val p = 2 + (id % 14).toInt
-      val a = math.min(32767, 32000 + (id % 10).toInt * 100)
-      val n = (800 + id % 200).toInt
-      val samples = Array.tabulate[Short](n)(i =>
-        if (i < k) 0
-        else { val j = i - k; (if ((j / p) % 2 == 0) a else -a).toShort })
-      MultimodalOps.encodeWavPcm16(8000, samples)
-    }
+    val mkWav = udf { id: Long => MultimodalOps.wavQualityFixture(id) }
     val media = docs(s, d).select(col("doc_id"), mkWav(col("doc_id")).as("blob"))
     MultimodalOps.audioQuality(media, "blob")
       .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("n_clipped"),

@@ -42,6 +42,10 @@ object TarShards {
     val nameBytes = name.getBytes(UTF_8)
     require(nameBytes.length <= 100,
       s"tar entry name exceeds the ustar 100-byte field: $name")
+    // an empty (or NUL-leading) name would make this header look like
+    // the end-of-archive block and silently truncate the shard on read
+    require(nameBytes.nonEmpty && nameBytes(0) != 0,
+      "tar entry name must be non-empty and not start with NUL")
     val header = new Array[Byte](BlockSize)
     def putOctal(value: Long, off: Int, len: Int): Unit = {
       val s = java.lang.Long.toOctalString(value)
@@ -90,7 +94,16 @@ object TarShards {
     val out = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
     while (off + BlockSize <= bytes.length) {
-      if (bytes(off) == 0) return out.result() // end-of-archive block
+      if (bytes(off) == 0) {
+        // end-of-archive only if the WHOLE block is zero — a corrupt
+        // header that merely starts with NUL must fail loudly, not
+        // silently truncate the shard
+        var z = off
+        while (z < off + BlockSize && bytes(z) == 0) z += 1
+        require(z == off + BlockSize,
+          s"corrupt tar header at offset $off: NUL-leading but not end-of-archive")
+        return out.result()
+      }
       var nameEnd = off
       while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
       val name = new String(bytes, off, nameEnd - off, UTF_8)

@@ -71,9 +71,17 @@ object EventStreams {
     * footer probe (metadata only, no data read) discovers how `ts` is
     * encoded, so the stream sees a session-TZ TIMESTAMP regardless of
     * the generator's parquet encoding — same contract as
-    * [[graft.Tables]]. */
+    * [[graft.Tables]]. When the directory is empty or absent at start
+    * (the normal streaming bootstrap order: start the query, then let
+    * files land), the probe falls back to the current generator
+    * encoding (µs-NTZ) instead of crashing stream construction; the
+    * probed encoding is then pinned for the stream's lifetime — a
+    * source that mixes encodings within one directory is a generator
+    * bug the batch loader would reject too. */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
     val base = spark.readStream
       .schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -118,9 +118,14 @@ object IncrementalDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // within-batch dedup BEFORE the upsert: several images in one
+        // micro-batch can share a hash (that is the point of the
+        // screen), and the store's key invariant is one row per
+        // chunk_id — keep one representative per hash
         val novel = screenImagesBatch(batch, historyHashes, binCol)
           .withColumn(graft.sources.VectorStore.KeyCol,
             format_string("%016x", col("phash")))
+          .dropDuplicates(graft.sources.VectorStore.KeyCol)
         graft.sources.VectorStore.upsert(batch.sparkSession, storePath, novel)
       }
       .trigger(Trigger.AvailableNow())

@@ -446,6 +446,8 @@ class StreamingSpec extends SparkSpec {
     val storedKeys = stored.select("chunk_id").collect().map(_.getString(0)).toSet
     assert(storedKeys == batchHashes,
       s"stored $storedKeys != batch-novel $batchHashes")
+    assert(stored.count() == storedKeys.size,
+      "store key invariant: exactly ONE row per perceptual hash")
     assert(batchNovel.select("doc_id").collect().map(_.getLong(0))
       .forall(id => id % 7 >= 4), "only history-absent classes pass the screen")
     // a fresh checkpoint replays the whole source: the key-based upsert
@@ -472,20 +474,11 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming audio gate admits exactly the batch gate's set, replay-idempotent") {
     import graft.operators.MultimodalOps
-    // the q_multimodal_audio_quality fixture family: docs with
-    // id % 10 ∈ {8, 9} clip (amplitude clamps to 32767), docs with a
-    // long leading-silence run (k = id % 50 of n ≈ 800 samples) stay
-    // under the 50% default — so the clipping rule is the active gate
-    val mkWav = udf { id: Long =>
-      val k = (id % 50).toInt
-      val p = 2 + (id % 14).toInt
-      val a = math.min(32767, 32000 + (id % 10).toInt * 100)
-      val n = (800 + id % 200).toInt
-      val samples = Array.tabulate[Short](n)(i =>
-        if (i < k) 0
-        else { val j = i - k; (if ((j / p) % 2 == 0) a else -a).toShort })
-      MultimodalOps.encodeWavPcm16(8000, samples)
-    }
+    // the q_multimodal_audio_quality fixture family (SHARED generator —
+    // see MultimodalOps.wavQualityFixture): docs with id % 10 ∈ {8, 9}
+    // clip, leading-silence runs stay under the 50% default — so the
+    // clipping rule is the active gate
+    val mkWav = udf { id: Long => MultimodalOps.wavQualityFixture(id) }
     val all = Tables(spark, sf, "documents").limit(60)
       .select(col("doc_id"), mkWav(col("doc_id")).as("bytes"))
     val wavDir = Files.createTempDirectory("wav_stream").toFile.getAbsolutePath
