@@ -33,6 +33,11 @@ object BloomOps {
   private def hexSlice(mh: Column, start: Int, len: Int): Column =
     conv(substring(mh, start, len), 16, 10).cast("long")
 
+  /** Public face of [[hexSlice]] for the sibling sketches
+    * ([[SketchOps]] reuses the same double-hash arithmetic). */
+  def hexSliceCol(mh: Column, start: Int, len: Int): Column =
+    hexSlice(mh, start, len)
+
   /** DuckDB mirror of [[hexSlice]]: no `conv`, so nibbles accumulate
     * with ascii arithmetic (the [[SearchOps.hashBucketSql]] trick,
     * widened to an arbitrary slice). */

@@ -320,6 +320,175 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
+  // ---- video frame/keyframe sampling (MP4 sample tables) -----------------
+
+  /** The decode seek table recovered from `moov>trak>mdia`: media
+    * timescale (mdhd), time-to-sample runs (stts) and 1-based sync
+    * sample numbers (stss; None = every sample is a sync sample, per
+    * ISO 14496-12 §8.6.2). */
+  private[operators] final case class Mp4Frames(
+      mediaTimescale: Int, stts: Array[(Int, Int)], stss: Option[Array[Int]])
+
+  /** Walk `moov>trak>mdia>{mdhd, minf>stbl>{stts, stss}}` — still METADATA
+    * ONLY (no codec): this is how a video lake plans frame-decode jobs,
+    * by reading the sample tables to pick keyframe seek points before
+    * any decoder runs. Bounds-guarded like [[mp4Meta]]; None on
+    * anything malformed. Entry counts are capped against the box size
+    * so a corrupt count cannot allocate unbounded arrays. */
+  private[operators] def mp4FrameTable(bytes: Array[Byte]): Option[Mp4Frames] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off + 8 <= end) {
+        val size = bb.getInt(off)
+        val tpe = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (size < 8 || off.toLong + size > end) return out.result()
+        out += ((tpe, off + 8, off + size))
+        off += size
+      }
+      out.result()
+    }
+    def child(parent: Option[(Int, Int)], tpe: String): Option[(Int, Int)] =
+      parent.flatMap { case (o, e) => boxes(o, e).find(_._1 == tpe).map(b => (b._2, b._3)) }
+    if (bytes.length < 8) return None
+    val top = boxes(0, bytes.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    val moov = top.find(_._1 == "moov").map(b => (b._2, b._3))
+    val mdia = child(child(moov, "trak"), "mdia")
+    val stbl = child(child(mdia, "minf"), "stbl")
+    val timescale = child(mdia, "mdhd").flatMap { case (o, e) =>
+      if (o >= e) None
+      else {
+        val v = bytes(o) & 0xFF
+        if (v == 1 && o + 24 <= e) Some(bb.getInt(o + 20))
+        else if (v == 0 && o + 16 <= e) Some(bb.getInt(o + 12))
+        else None
+      }
+    }
+    val stts = child(stbl, "stts").flatMap { case (o, e) =>
+      if (o + 8 > e) None
+      else {
+        val n = bb.getInt(o + 4)
+        if (n < 0 || o + 8 + n.toLong * 8 > e) None
+        else Some(Array.tabulate(n)(i =>
+          (bb.getInt(o + 8 + i * 8), bb.getInt(o + 12 + i * 8))))
+      }
+    }
+    // ABSENT stss = every sample is sync (valid per spec) — but a
+    // PRESENT-yet-corrupt stss must fail the parse, not silently
+    // reinterpret the file as all-keyframes
+    val stss: Option[Option[Array[Int]]] = child(stbl, "stss") match {
+      case None => Some(None)
+      case Some((o, e)) =>
+        if (o + 8 > e) None
+        else {
+          val n = bb.getInt(o + 4)
+          if (n < 0 || o + 8 + n.toLong * 4 > e) None
+          else Some(Some(Array.tabulate(n)(i => bb.getInt(o + 8 + i * 4))))
+        }
+    }
+    (timescale, stts, stss) match {
+      case (Some(ts), Some(entries), Some(syncs)) if ts > 0 &&
+          entries.forall { case (c, dl) => c >= 0 && dl >= 0 } =>
+        Some(Mp4Frames(ts, entries, syncs))
+      case _ => None
+    }
+  }
+
+  /** BMFF fixture with REAL sample tables: ftyp + moov(mvhd +
+    * trak(tkhd + mdia(mdhd + minf(stbl(stts + stss))))) — uniform
+    * `delta` ticks per frame, a sync sample every `keyframeGap` frames
+    * starting at sample 1. Exactly the boxes [[mp4FrameTable]] reads. */
+  def encodeMp4Frames(timescale: Int, nFrames: Int, delta: Int, keyframeGap: Int): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length); bb.put(tpe.getBytes); bb.put(payload)
+      bb.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.BIG_ENDIAN)
+    mvhd.putInt(12, timescale); mvhd.putInt(16, nFrames * delta)
+    val tkhd = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
+    tkhd.putInt(76, 320 << 16); tkhd.putInt(80, 240 << 16)
+    val mdhd = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+    mdhd.putInt(12, timescale); mdhd.putInt(16, nFrames * delta)
+    val stts = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.BIG_ENDIAN)
+    stts.putInt(4, 1); stts.putInt(8, nFrames); stts.putInt(12, delta)
+    val kfs = 1.to(nFrames, keyframeGap).toArray
+    val stss = java.nio.ByteBuffer.allocate(8 + 4 * kfs.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    stss.putInt(4, kfs.length)
+    kfs.zipWithIndex.foreach { case (s, i) => stss.putInt(8 + 4 * i, s) }
+    val ftyp = box("ftyp", "isom   isom".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    val stbl = box("stbl", box("stts", stts.array()) ++ box("stss", stss.array()))
+    val mdia = box("mdia", box("mdhd", mdhd.array()) ++ box("minf", stbl))
+    ftyp ++ box("moov", box("mvhd", mvhd.array()) ++
+      box("trak", box("tkhd", tkhd.array()) ++ mdia))
+  }
+
+  /** Frame-sampling kernel: [[mp4FrameTable]] per row, emitting the
+    * decode-planning columns — total frames, keyframe count, exact-µs
+    * media duration, and the first `maxKeyframes` keyframe timestamps
+    * (µs, comma-joined) as the seek list a downstream frame-decode job
+    * consumes. All integer arithmetic (tick sums → µs by long
+    * division), so a SQL oracle reproduces it bit-for-bit. Malformed
+    * bytes degrade with `parsed=false` — never kill the ingest. */
+  def sampleFrames(df: DataFrame, binCol: String, maxKeyframes: Int = 5,
+      batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media_timescale", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("n_keyframes", LongType),
+      StructField("duration_us", LongType),
+      StructField("kf_sample_us", StringType),
+      StructField("parsed", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val table =
+            try mp4FrameTable(bytes) catch { case scala.util.control.NonFatal(_) => None }
+          val fields = table match {
+            case Some(t) =>
+              val nFrames = t.stts.map(_._1.toLong).sum
+              val totalTicks = t.stts.map { case (c, dl) => c.toLong * dl }.sum
+              // tick time of 1-based sample s under the stts runs
+              def ticksBefore(s: Long): Long = {
+                var remaining = s - 1; var ticks = 0L
+                var i = 0
+                while (i < t.stts.length && remaining > 0) {
+                  val (c, dl) = t.stts(i)
+                  val take = math.min(remaining, c.toLong)
+                  ticks += take * dl; remaining -= take
+                  i += 1
+                }
+                ticks
+              }
+              // (count, first-maxK samples) — never materialize nFrames
+              // entries: a corrupt stts count must not allocate memory
+              val (nKf, seekSamples) = t.stss match {
+                case Some(syncs) =>
+                  val v = syncs.toSeq.map(_.toLong).filter(s => s >= 1 && s <= nFrames)
+                  (v.length.toLong, v.take(maxKeyframes))
+                case None => // no stss: every sample is a sync sample
+                  (nFrames, (1L to math.min(nFrames, maxKeyframes.toLong)).toSeq)
+              }
+              val seekUs = seekSamples
+                .map(s => ticksBefore(s) * 1000000L / t.mediaTimescale)
+              Seq(t.mediaTimescale, nFrames, nKf,
+                totalTicks * 1000000L / t.mediaTimescale,
+                seekUs.mkString(","), true)
+            case None => Seq(0, 0L, 0L, 0L, "", false)
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Audio decode + featurize kernel, the WAV sibling of
     * [[decodeAndFeaturize]]: real RIFF-PCM parse to samples, then
     * exact-integer features — sample count, µs duration, peak |ampl|,

@@ -925,10 +925,73 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Correlation / regression aggregates (§2.5 bivariate tier): per
+    * event type, Pearson r and OLS slope of value (exact cents) against
+    * hour-of-day. Built-in `corr`/`regr_slope` accumulate doubles in a
+    * partition-order-dependent way, so the cross-engine contract is
+    * instead the MOMENT-SUM form: six exact BIGINT sums (n, Σx, Σy,
+    * Σx², Σy², Σxy — order-independent integer aggregation) feed one
+    * fixed-shape IEEE chain, identical expression tree in both engines
+    * (the q_events_outliers determinism pattern). The n·Σxx products run
+    * in DOUBLE so the chain never depends on engine-specific BIGINT
+    * overflow behavior at scale. Zero-variance groups emit NULL in both
+    * engines. One map-side-combined shuffle on event_type. */
+  val qCorr: QueryDef = QueryDef.sql(
+    "q_events_corr",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM (
+      |    SELECT event_type,
+      |      CAST(ROUND(value * 100.0) AS BIGINT) AS x,
+      |      CAST(hour(ts) AS BIGINT) AS y
+      |    FROM events
+      |  )
+      |  GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0
+      |         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0
+      |       THEN NULL
+      |       ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  END AS corr_value_hour,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0
+      |       THEN NULL
+      |       ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  END AS slope_cents_per_hour
+      |FROM m
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val x = units(col("value"), 2)
+    val y = hour(col("ts")).cast("long")
+    val m = ev(s, d)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    val varx = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vary = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    val cov = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    m.select(col("event_type"), col("n"),
+        when(varx <= 0.0 || vary <= 0.0, lit(null).cast("double"))
+          .otherwise(cov / (sqrt(varx) * sqrt(vary))).as("corr_value_hour"),
+        when(vary <= 0.0, lit(null).cast("double"))
+          .otherwise(cov / vary).as("slope_cents_per_hour"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
-    qPercentilesApprox, qRobustOutliers)
+    qPercentilesApprox, qRobustOutliers, qCorr)
 }

@@ -124,5 +124,243 @@ object MaintenanceQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum)
+  /** Snapshot diff (table-delta audit): classify every primary key of
+    * two table versions as added / removed / changed / unchanged by a
+    * co-partitioned FULL OUTER join on the key, comparing rows via an
+    * md5 row-hash so arbitrarily wide rows diff at fixed cost. The two
+    * versions are derived deterministically from `orders` (drop pk%97
+    * from the old copy, drop pk%89 from and bump pk%101's price in the
+    * new copy) so both engines construct identical snapshots.
+    *
+    * Scale: THE migration/replication acceptance check — both sides
+    * shuffle once on the key (a full outer join never broadcasts), the
+    * row payload collapses to a 32-byte hash before the shuffle, and
+    * the verdict is a 4-row report; nothing is ever collected. */
+  val qTableDiff: QueryDef = QueryDef.sql(
+    "q_table_diff",
+    """WITH a AS (
+      |  SELECT o_orderkey AS pk,
+      |    md5(concat_ws('|', o_orderstatus,
+      |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),
+      |      o_orderpriority)) AS row_hash
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |), b AS (
+      |  SELECT o_orderkey AS pk,
+      |    md5(concat_ws('|', o_orderstatus,
+      |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+      |           + CASE WHEN o_orderkey % 101 = 0 THEN 100 ELSE 0 END AS VARCHAR),
+      |      o_orderpriority)) AS row_hash
+      |  FROM orders WHERE o_orderkey % 89 <> 0
+      |)
+      |SELECT status, COUNT(*) AS n, CAST(SUM(pk) AS BIGINT) AS key_sum FROM (
+      |  SELECT COALESCE(a.pk, b.pk) AS pk,
+      |    CASE WHEN a.pk IS NULL THEN 'added'
+      |         WHEN b.pk IS NULL THEN 'removed'
+      |         WHEN a.row_hash <> b.row_hash THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.pk = b.pk
+      |)
+      |GROUP BY status
+      |ORDER BY status""".stripMargin) { (s, d) =>
+    val ord = Tables(s, d, "orders")
+    def hashOf(cents: org.apache.spark.sql.Column) =
+      md5(concat_ws("|", col("o_orderstatus"), cents.cast("string"),
+        col("o_orderpriority")))
+    val a = ord.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("a_pk"),
+        hashOf(units(col("o_totalprice"), 2)).as("a_hash"))
+    val b = ord.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("b_pk"),
+        hashOf(units(col("o_totalprice"), 2) +
+          when(col("o_orderkey") % 101 === 0, 100L).otherwise(0L)).as("b_hash"))
+    a.join(b, col("a_pk") === col("b_pk"), "full_outer")
+      .select(coalesce(col("a_pk"), col("b_pk")).as("pk"),
+        when(col("a_pk").isNull, "added")
+          .when(col("b_pk").isNull, "removed")
+          .when(col("a_hash") =!= col("b_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("pk")).as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Zone-map data skipping at rest: orders is written clustered into
+    * $20k price zones with a per-file min/max manifest
+    * ([[graft.sources.ZoneMaps]]), then a price-range scan reads ONLY
+    * the files whose recorded [min, max] overlaps the predicate. The
+    * output carries both the query result AND the pruning evidence
+    * (files_total / files_read); the oracle recomputes the manifest
+    * arithmetic from the raw table — per-zone min/max overlap is
+    * exactly what the sidecar stores, because the clustered write puts
+    * each zone in exactly one file. A broken manifest, a file read
+    * that shouldn't happen, or a dropped row all break the hash.
+    *
+    * Scale: THE open-table-format read path — at 100 TB the manifest
+    * is MBs, planning cost is O(files) on the driver like every
+    * Delta/Iceberg scan, and a 3-zone predicate reads 3 files of 30
+    * regardless of table size. SourcesSpec additionally pins
+    * `df.inputFiles` ⊆ selected files, so the pruning is real I/O
+    * avoidance, not a post-read filter. */
+  val qZonemapPrune: QueryDef = QueryDef.sql(
+    "q_zonemap_prune",
+    """WITH c AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders
+      |), z AS (
+      |  SELECT CAST(floor(CAST(cents AS DOUBLE) / 2000000.0) AS BIGINT) AS zone,
+      |    MIN(cents) AS mn, MAX(cents) AS mx
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT
+      |  (SELECT COUNT(*) FROM c WHERE cents BETWEEN 5000000 AND 9999999) AS n_match,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM c
+      |     WHERE cents BETWEEN 5000000 AND 9999999) AS key_sum,
+      |  (SELECT COUNT(*) FROM z) AS files_total,
+      |  (SELECT COUNT(*) FROM z WHERE mn <= 9999999 AND mx >= 5000000) AS files_read""".stripMargin) { (s, d) =>
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderkey"), units(col("o_totalprice"), 2).as("cents"))
+      .withColumn("zone", floor(col("cents").cast("double") / 2000000.0).cast("long"))
+    graft.sources.ZoneMaps.write(base, dir, "zone", Seq("cents", "o_orderkey"))
+    val (pruned, stats) =
+      graft.sources.ZoneMaps.readRange(s, dir, "cents", 5000000L, 9999999L)
+    pruned.agg(count(lit(1)).as("n_match"), sum(col("o_orderkey")).as("key_sum"))
+      .select(col("n_match"), col("key_sum"),
+        lit(stats.filesTotal).as("files_total"),
+        lit(stats.filesRead).as("files_read"))
+  }
+
+  private val CmsWidth = 256
+  private val CmsDepth = 4
+
+  /** Count-min sketch point estimates — the FREQUENCY sketch beside the
+    * HLL (distinct, q_sketch_union), Bloom (membership, q_bloom_screen)
+    * and approx_top_k (heavy hitters) tiers: one mergeable pass builds
+    * a 256×4 counter matrix ([[graft.operators.SketchOps]]), then any
+    * key's frequency is answered from KBs of state. The report pairs
+    * the estimate with the exact count for the top-10 users; the width
+    * is deliberately small enough that hash collisions overcount some
+    * estimates, and the DuckDB oracle rebuilds the ENTIRE sketch
+    * relationally (same double-hash positions, cells as (row, pos)
+    * groups, MIN over rows) — so the packed-counter implementation is
+    * cross-validated bit-for-bit, collisions included, not just
+    * bound-checked. `never_undercounts` pins the one-sided error. */
+  val qCmsCounts: QueryDef = {
+    import graft.operators.SketchOps
+    QueryDef.sql(
+      "q_cms_counts",
+      s"""WITH k AS (
+         |  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS mh, COUNT(*) AS n_exact
+         |  FROM events GROUP BY user_id
+         |), cells AS (
+         |  SELECT s.i AS i, ${SketchOps.positionSql("mh", CmsWidth, "s.i")} AS pos,
+         |    CAST(SUM(n_exact) AS BIGINT) AS cnt
+         |  FROM k CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i) s
+         |  GROUP BY 1, 2
+         |), est AS (
+         |  SELECT k.user_id, k.n_exact, MIN(c.cnt) AS n_est
+         |  FROM k CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i) s
+         |  JOIN cells c ON c.i = s.i AND c.pos = ${SketchOps.positionSql("mh", CmsWidth, "s.i")}
+         |  GROUP BY k.user_id, k.n_exact
+         |)
+         |SELECT user_id, n_exact, n_est, n_est >= n_exact AS never_undercounts
+         |FROM est
+         |ORDER BY n_exact DESC, user_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val mh = md5(col("user_id").cast("string"))
+      val cmsUdaf = udaf(new SketchOps.CmsAggregator(CmsWidth, CmsDepth))
+      val sketch = ev(s, d).select(mh.as("mh"))
+        .agg(cmsUdaf(col("mh")).as("sk"))
+        .head.getSeq[Long](0)
+      ev(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("n_est",
+          SketchOps.estimate(sketch, CmsWidth, CmsDepth)(mh))
+        .withColumn("never_undercounts", col("n_est") >= col("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+        .limit(10)
+        .select("user_id", "n_exact", "n_est", "never_undercounts")
+    }
+  }
+
+  /** Bloom-sidecar POINT lookup on the zone-mapped layout — the
+    * complement of q_zonemap_prune: the layout is clustered by PRICE,
+    * so a point probe on `o_orderkey` gets nothing from min/max stats
+    * (every file's key range spans ~the whole domain — `files_minmax`
+    * in the output shows exactly that); the per-file Bloom filter
+    * ([[graft.sources.ZoneMaps.readPoint]]) admits only files whose
+    * sidecar says "maybe", usually 1 — `files_bloom`. No false
+    * negatives ⇒ the match set stays exact after the residual filter.
+    * The oracle rebuilds per-file admission relationally (distinct
+    * double-hash positions per zone, all-positions-present test — the
+    * q_bloom_screen technique applied per FILE), so the packed sidecar
+    * and the pruning decision are both hash-verified, for present AND
+    * absent probe keys.
+    *
+    * Scale: this is the parquet/ORC bloom-column-index design as an
+    * explicit operator — point lookups on a non-layout key read
+    * O(fpp · files) instead of every file; the sidecar costs KBs per
+    * file and merges order-free. */
+  val qZonemapPoint: QueryDef = {
+    import graft.operators.BloomOps
+    import graft.sources.ZoneMaps
+    val keys = Seq(11L, 4242L, 999999999L) // present, present, absent
+    val kSql = keys.mkString("[", ", ", "]")
+    QueryDef.sql(
+      "q_zonemap_point",
+      s"""WITH c AS (
+         |  SELECT o_orderkey,
+         |    CAST(floor(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS DOUBLE) / 2000000.0) AS BIGINT) AS zone
+         |  FROM orders
+         |), zstats AS (
+         |  SELECT zone, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM c GROUP BY zone
+         |), bits AS (
+         |  SELECT DISTINCT zone,
+         |    ${BloomOps.positionSql("md5(CAST(o_orderkey AS VARCHAR))", ZoneMaps.BloomBits, "s.i")} AS pos
+         |  FROM c CROSS JOIN (SELECT unnest(range(0, ${ZoneMaps.BloomHashes})) AS i) s
+         |), probes AS (
+         |  SELECT CAST(unnest($kSql) AS BIGINT) AS probe_key
+         |), ppos AS (
+         |  SELECT probe_key, s.i AS i,
+         |    ${BloomOps.positionSql("md5(CAST(probe_key AS VARCHAR))", ZoneMaps.BloomBits, "s.i")} AS pos
+         |  FROM probes CROSS JOIN (SELECT unnest(range(0, ${ZoneMaps.BloomHashes})) AS i) s
+         |), admit AS (
+         |  SELECT p.probe_key, z.zone,
+         |    CASE WHEN COUNT(b.pos) = ${ZoneMaps.BloomHashes} THEN 1 ELSE 0 END AS adm
+         |  FROM ppos p
+         |  CROSS JOIN (SELECT DISTINCT zone FROM c) z
+         |  LEFT JOIN bits b ON b.zone = z.zone AND b.pos = p.pos
+         |  GROUP BY p.probe_key, z.zone
+         |)
+         |SELECT p.probe_key,
+         |  (SELECT COUNT(*) FROM c WHERE o_orderkey = p.probe_key) AS n_match,
+         |  (SELECT COUNT(*) FROM zstats) AS files_total,
+         |  (SELECT COUNT(*) FROM zstats WHERE mn <= p.probe_key AND mx >= p.probe_key) AS files_minmax,
+         |  (SELECT CAST(SUM(adm) AS BIGINT) FROM admit a WHERE a.probe_key = p.probe_key) AS files_bloom
+         |FROM probes p
+         |ORDER BY probe_key""".stripMargin) { (s, d) =>
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_pt_${Integer.toHexString(d.hashCode)}" +
+          s"_p${ProcessHandle.current().pid()}"
+      val base = Tables(s, d, "orders")
+        .select(col("o_orderkey"), units(col("o_totalprice"), 2).as("cents"))
+        .withColumn("zone", floor(col("cents").cast("double") / 2000000.0).cast("long"))
+      ZoneMaps.write(base, dir, "zone", Seq("cents", "o_orderkey"),
+        bloomCol = Some("o_orderkey"))
+      val m = ZoneMaps.manifest(s, dir)
+      val rows = keys.map { k =>
+        val (pruned, st) = ZoneMaps.readPoint(s, dir, "o_orderkey", k)
+        val mm = m.filter(col("min_o_orderkey") <= k && col("max_o_orderkey") >= k).count()
+        (k, pruned.count(), st.filesTotal, mm, st.filesRead)
+      }
+      import s.implicits._
+      rows.toDF("probe_key", "n_match", "files_total", "files_minmax", "files_bloom")
+        .orderBy("probe_key")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
+    qZonemapPrune, qCmsCounts, qZonemapPoint)
 }

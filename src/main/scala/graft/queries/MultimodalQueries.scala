@@ -186,6 +186,48 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Frame/keyframe SAMPLING from real MP4 sample tables — the
+    * decode-planning step of a video ingest: `mdhd` media timescale,
+    * `stts` time-to-sample runs and `stss` sync samples are parsed by
+    * the `sampleFrames` kernel, which emits total frames, keyframe
+    * count, exact-µs duration and the first-5 keyframe seek
+    * timestamps (the list a frame-decode job would hand to a seeking
+    * decoder). Fixtures carry REAL sample tables (uniform delta, sync
+    * every g-th frame) whose closed forms the oracle recomputes with
+    * identical integer division — a one-tick parse error anywhere in
+    * the box walk breaks the hash. Per-row narrow work; no codec. */
+  val qMultimodalFrames: QueryDef = QueryDef.sql(
+    "q_multimodal_frames",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    600 * (1 + doc_id % 3) AS ts,
+      |    24 + doc_id % 60 AS n,
+      |    100 + (doc_id % 4) * 25 AS delta,
+      |    1 + doc_id % 8 AS g
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(ts AS INTEGER) AS media_timescale,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  CAST(1 + (n - 1) // g AS BIGINT) AS n_keyframes,
+      |  CAST((n * delta * 1000000) // ts AS BIGINT) AS duration_us,
+      |  array_to_string(list_transform(range(0, least(5, 1 + (n - 1) // g)),
+      |    k -> CAST((k * g * delta * 1000000) // ts AS VARCHAR)), ',') AS kf_sample_us,
+      |  TRUE AS parsed
+      |FROM p
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkMp4 = udf { id: Long =>
+      MultimodalOps.encodeMp4Frames(
+        (600 * (1 + id % 3)).toInt, (24 + id % 60).toInt,
+        (100 + (id % 4) * 25).toInt, (1 + id % 8).toInt)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkMp4(col("doc_id")).as("blob"))
+    MultimodalOps.sampleFrames(media, "blob")
+      .select(col("doc_id"), col("media_timescale"), col("n_frames"),
+        col("n_keyframes"), col("duration_us"), col("kf_sample_us"), col("parsed"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash image dedup, hash-checked end to end through REAL
     * pixels: vertical-stripe PNGs (column gray = `(7·id + 31·x) mod
     * 256`, dimensions from `doc_id`) are decoded by `ImageIO`,
@@ -512,7 +554,7 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
-    qMultimodalAudio, qMultimodalVideo, qMultimodalPhash, qMultimodalPhashPairs,
-    qMultimodalAudioQuality, qMultimodalExif, qMultimodalConsistency,
-    qMultimodalResize, qCentroid)
+    qMultimodalAudio, qMultimodalVideo, qMultimodalFrames, qMultimodalPhash,
+    qMultimodalPhashPairs, qMultimodalAudioQuality, qMultimodalExif,
+    qMultimodalConsistency, qMultimodalResize, qCentroid)
 }

@@ -551,11 +551,44 @@ object Relational {
       .orderBy("prio", "op")
   }
 
+  /** Value window functions (§2.6 completion: FIRST_VALUE / LAST_VALUE /
+    * NTH_VALUE over an explicit whole-partition ROWS frame — the default
+    * RANGE..CURRENT ROW frame would make LAST_VALUE the current row, so
+    * the frame is spelled out in both engines). Ordering is the fully
+    * unique (o_totalprice, o_orderkey), making all three picks
+    * deterministic; the presentation cut keeps 5 rows per priority. */
+  val qWindowFirstLast: QueryDef = QueryDef.sql(
+    "q_window_firstlast",
+    """SELECT o_orderpriority, o_orderkey,
+      |  FIRST_VALUE(o_orderkey)  OVER w AS cheapest_key,
+      |  LAST_VALUE(o_orderkey)   OVER w AS priciest_key,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                           ORDER BY o_totalprice, o_orderkey) <= 5
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val ordCols = Seq(col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cut = Window.partitionBy(col("o_orderpriority")).orderBy(ordCols: _*)
+    ord(s, d)
+      .withColumn("cheapest_key", first(col("o_orderkey")).over(w))
+      .withColumn("priciest_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_cheapest_key", nth_value(col("o_orderkey"), 2).over(w))
+      .withColumn("rn", row_number().over(cut))
+      .filter(col("rn") <= 5)
+      .select("o_orderpriority", "o_orderkey",
+        "cheapest_key", "priciest_key", "second_cheapest_key")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
     qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
     qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority,
-    qSetOpsAll, qWindowDist)
+    qSetOpsAll, qWindowDist, qWindowFirstLast)
 }

@@ -391,7 +391,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization + URL-level dedup — the first dedup tier of a
+    * web-corpus ingest (far cheaper than any content hash). Messy URLs
+    * are woven deterministically from doc_id (uppercase scheme/host,
+    * `www.`, an explicit default port, optional trailing slash,
+    * tracking params out of order, optional fragment); the full
+    * [[graft.functions.UrlFunctions]] rule chain collapses the 6
+    * presentation variants of each logical page onto one canonical
+    * form, verified end to end because the oracle recomputes every rule
+    * in DuckDB. One shuffle on the canonical key. */
+  val qUrlCanonical: QueryDef = QueryDef.sql(
+    "q_url_canonical",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+       |    '.COM:443/Articles/' || CAST(doc_id % 7 AS VARCHAR) ||
+       |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+       |    '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) ||
+       |    '&utm_campaign=x&b=2&a=1' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
+       |  FROM documents
+       |)
+       |SELECT canonical,
+       |  COUNT(*) AS n_variants,
+       |  COUNT(DISTINCT url) AS n_distinct_raw,
+       |  MIN(doc_id) AS first_doc
+       |FROM (SELECT doc_id, url, ${graft.functions.UrlFunctions.canonicalUrlSql("url")} AS canonical FROM u)
+       |GROUP BY canonical
+       |ORDER BY canonical""".stripMargin) { (s, d) =>
+    import graft.functions.UrlFunctions
+    val u = docs(s, d).select(col("doc_id"),
+      concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 20).cast("string"),
+        lit(".COM:443/Articles/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&ref="), (col("doc_id") % 5).cast("string"),
+        lit("&utm_campaign=x&b=2&a=1"),
+        when(col("doc_id") % 3 === 0, "#section-2").otherwise("")).as("url"))
+    u.select(col("doc_id"), col("url"),
+        UrlFunctions.canonicalUrl(col("url")).as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_distinct_raw"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    qUrlCanonical,
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
     qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive,
     qPackSequences, qDocBpeExact, qDocNfc)

@@ -70,4 +70,51 @@ class BloomSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(setBits.toSet == expected.map(_.toInt))
   }
+
+  // ---- count-min sketch (the frequency sibling) --------------------------
+
+  private val W = 64
+  private val D = 4
+
+  private def cmsBuild(keys: Seq[String], parts: Int): Seq[Long] = {
+    import graft.operators.SketchOps
+    val agg = udaf(new SketchOps.CmsAggregator(W, D))
+    keysDf(keys).repartition(parts).agg(agg(col("mh")).as("c"))
+      .head.getSeq[Long](0)
+  }
+
+  test("CMS: merge invariance, never-undercount, and estimate ≡ scalar recompute") {
+    import graft.operators.SketchOps
+    // skewed multiset over a deliberately tiny width → real collisions
+    val keys = (0 until 400).map(i => s"u-${i % 37}") ++ (0 until 60).map(_ => "u-0")
+    assert(cmsBuild(keys, 1) == cmsBuild(keys, 7))
+    assert(cmsBuild(keys, 7) == cmsBuild(keys.reverse, 3))
+    val sketch = cmsBuild(keys, 5)
+    // total mass: every row of the matrix sums to the input size
+    (0 until D).foreach { i =>
+      assert(sketch.slice(i * W, (i + 1) * W).sum == keys.size.toLong)
+    }
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = keysDf(exact.keys.toSeq)
+      .withColumn("est", SketchOps.estimate(sketch, W, D)(col("mh")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // scalar recompute of the same double-hash min — pure JVM, no Spark
+    def scalarEst(mh: String): Long = {
+      val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)
+      val b = java.lang.Long.parseLong(mh.substring(16, 31), 16)
+      (0 until D).map(i => sketch(i * W + ((a + i.toLong * b) % W).toInt)).min
+    }
+    exact.foreach { case (k, n) =>
+      val mh = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(mh) >= n, s"CMS undercounted $k")
+      assert(got(mh) == scalarEst(mh), s"Catalyst estimate diverged for $k")
+    }
+  }
+
+  test("CMS depth bound is enforced (double-hash overflow)") {
+    import graft.operators.SketchOps
+    intercept[IllegalArgumentException](new SketchOps.CmsAggregator(W, 9))
+    intercept[IllegalArgumentException](SketchOps.estimate(Seq(0L), W, 0)(col("x")))
+  }
 }

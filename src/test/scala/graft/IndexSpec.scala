@@ -141,4 +141,51 @@ class IndexSpec extends SparkSpec {
       assert(sims == sims.sorted.reverse)
     }
   }
+
+  test("MinHash index at rest: cell layout, pruned probe, candidates ≡ from-scratch join") {
+    import graft.sources.MinHashIndex
+    import graft.operators.DedupOps
+    val corpus = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("mhidx").toFile.getAbsolutePath
+    MinHashIndex.build(corpus, dir)
+
+    // layout: every partition dir is one of the bounded bands×16 cells
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 4 * 16)
+
+    // a single-doc probe prunes at the PARTITION level: the index scan
+    // plans a cell filter in PartitionFilters (directory skipping, the
+    // same assertion as the IVF test above — inputFiles is pre-pruning
+    // metadata, so the plan is the evidence), and the doc's own band
+    // keys touch at most `bands` of the cells
+    val one = corpus.filter(col("doc_id") === 3)
+    val probed = MinHashIndex.probe(spark, dir, one)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"cell filter must prune partitions, not rows:\n$plan")
+    val oneCells = one.select(col("doc_id"),
+        explode(DedupOps.lshBands(
+          DedupOps.minhashSignature(DedupOps.shingles(col("text")), 8), 4, 2)).as("band"))
+      .select(concat(substring(col("band"), 1, 1), lit(":"),
+        substring(col("band"), 3, 1)).as("cell"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(oneCells.size <= 4 && oneCells.size < cellDirs.length,
+      s"probe touches ${oneCells.size} of ${cellDirs.length} cells")
+
+    // candidates ≡ the from-scratch band self-join for the same cohort
+    val queries = corpus.filter(col("doc_id") % 10 === 3)
+    val got = MinHashIndex.probe(spark, dir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bands = corpus.select(col("doc_id"),
+      explode(DedupOps.lshBands(
+        DedupOps.minhashSignature(DedupOps.shingles(col("text")), 8), 4, 2)).as("band"))
+    val expect = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("a.doc_id") % 10 === 3)
+      .groupBy(col("a.doc_id").as("q"), col("b.doc_id").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
 }

@@ -165,6 +165,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L).last == false && got(6L).last == false)
   }
 
+  test("mp4 frame sampling: stts runs, stss seek list, no-stss fallback, corrupt degrade") {
+    import spark.implicits._
+    // 30 frames at 100 ticks in a 600-tick timescale, keyframe every 7
+    val fix = MultimodalOps.encodeMp4Frames(600, 30, 100, 7)
+    // multi-run stts (10×100-tick then 5×200-tick) + no stss at all:
+    // every sample is sync (ISO 14496-12 §8.6.2), seek list caps at maxK
+    val multiRun = {
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(8 + payload.length); bb.put(tpe.getBytes); bb.put(payload)
+        bb.array()
+      }
+      val mdhd = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+      mdhd.putInt(12, 1000); mdhd.putInt(16, 2000)
+      val stts = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+      stts.putInt(4, 2)
+      stts.putInt(8, 10); stts.putInt(12, 100)
+      stts.putInt(16, 5); stts.putInt(20, 200)
+      box("ftyp", "isom".getBytes) ++ box("moov",
+        box("trak", box("mdia", box("mdhd", mdhd.array()) ++
+          box("minf", box("stbl", box("stts", stts.array()))))))
+    }
+    // corrupt stss entry count far past the box end: must degrade, not allocate
+    val corrupt = {
+      val c = fix.clone()
+      val off = c.indexOfSlice("stss".getBytes) + 8
+      c(off) = 0x7F.toByte; c(off + 1) = 0xFF.toByte
+      c
+    }
+    val df = Seq((1L, fix), (2L, multiRun), (3L, corrupt)).toDF("id", "blob")
+    val got = MultimodalOps.sampleFrames(df, "blob", maxKeyframes = 5)
+      .select("id", "media_timescale", "n_frames", "n_keyframes",
+        "duration_us", "kf_sample_us", "parsed")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // keyframes 1,8,15,22,29 → ticks 0,700,1400,2100,2800 → µs ×1e6/600
+    assert(got(1L) == Seq(600, 30L, 5L, 5000000L,
+      "0,1166666,2333333,3500000,4666666", true))
+    // 15 frames, all sync; first 5 seek points follow the 100-tick run
+    assert(got(2L) == Seq(1000, 15L, 15L, 2000000L,
+      "0,100000,200000,300000,400000", true))
+    assert(got(3L) == Seq(0, 0L, 0L, 0L, "", false))
+  }
+
   test("content-id sampling prunes without decoding") {
     val m = MultimodalOps.withMetadata(media, "blob", "name")
     val sampled = MultimodalOps.sampleByContentId(m, keepOneIn = 4).count()

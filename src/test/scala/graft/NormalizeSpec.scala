@@ -71,4 +71,36 @@ class NormalizeSpec extends SparkSpec {
       TF.normalize(spark, col("x"), "NFX")
     }
   }
+
+  test("URL canonicalization: every rule, plus the edges the oracle query can't weave") {
+    import graft.functions.UrlFunctions
+    import spark.implicits._
+    val cases = Seq(
+      // full messy form: case, www, default port, trailing slash, utm, fragment
+      ("HTTPS://WWW.Example.COM:443/Articles/3/?utm_source=x&b=2&a=1#top",
+        "https://example.com/Articles/3?a=1&b=2"),
+      // already canonical: fixed point
+      ("https://example.com/Articles/3?a=1&b=2",
+        "https://example.com/Articles/3?a=1&b=2"),
+      // http default port 80 dropped; non-default kept
+      ("http://site.com:80/a", "http://site.com/a"),
+      ("http://site.com:8080/a", "http://site.com:8080/a"),
+      // https with port 80 is NOT default — kept
+      ("https://site.com:80/a", "https://site.com:80/a"),
+      // bare host: empty path becomes "/"
+      ("https://Site.com", "https://site.com/"),
+      ("https://site.com/?utm_source=x", "https://site.com/"),
+      // all params dropped -> no "?" at all
+      ("https://site.com/p?utm_source=a&utm_medium=b", "https://site.com/p"),
+      // empty params (&&) dropped, order sorted, values untouched
+      ("https://site.com/p?z=9&&a=B", "https://site.com/p?a=B&z=9"),
+      // path case preserved, multiple trailing slashes stripped
+      ("https://site.com/CaseSensitive///", "https://site.com/CaseSensitive"),
+      // utm-prefixed VALUE is not a param prefix — kept
+      ("https://site.com/p?q=utm_source", "https://site.com/p?q=utm_source"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlFunctions.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter { case (g, (_, w)) => g != w }.toString)
+  }
 }

@@ -540,6 +540,39 @@ class StreamingSpec extends SparkSpec {
     assert(TarShards.read(spark, outDir, recursive = true).count() == nDocs)
   }
 
+  test("streaming CMS total equals the batch sketch exactly, replay-idempotent") {
+    import graft.operators.SketchOps
+    import graft.streaming.SketchStreams
+    val (w, d) = (64, 4)
+    // two source files + maxFilesPerTrigger=1 → two genuine micro-batches
+    val srcDir = {
+      val dir = Files.createTempDirectory("cms_stream")
+      Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("part-1.parquet"))
+      dir.toFile.getAbsolutePath
+    }
+    val sketchDir = Files.createTempDirectory("cms_store").toFile.getAbsolutePath + "/sk"
+    def run(ck: String): Unit = SketchStreams.aggregateStream(
+      spark.readStream.schema(Tables(spark, sf, "documents").schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      sketchDir, ck, "doc_id", w, d)
+    run(ckpt())
+    assert(spark.read.parquet(sketchDir).count() >= 2, "expected multiple micro-batches")
+    val streamed = SketchStreams.totalSketch(spark, sketchDir, w, d)
+    // mergeability makes the streaming total EXACTLY the batch sketch
+    val cms = udaf(new SketchOps.CmsAggregator(w, d))
+    val batch = spark.read.parquet(srcDir)
+      .select(md5(col("doc_id").cast("string")).as("mh"))
+      .agg(cms(col("mh")).as("c")).head.getSeq[Long](0)
+    assert(streamed == batch)
+    // fresh checkpoint replays every batch: batch-id overwrite must keep
+    // the total identical, not double it
+    run(ckpt())
+    assert(SketchStreams.totalSketch(spark, sketchDir, w, d) == batch)
+  }
+
   test("stream-stream interval join matches the batch attribution query") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
