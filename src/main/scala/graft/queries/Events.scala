@@ -988,10 +988,44 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** IGNORE NULLS window carry-forward (§2.6's null-skipping value
+    * tier): each event sees the LAST PURCHASE value at-or-before it —
+    * `last_value(x IGNORE NULLS)` over a running ROWS frame, the LVCF
+    * idiom feature stores use for "most recent observation as of t"
+    * (q_events_twap carries intervals; this carries per-row). Nulls
+    * are woven by typing: non-purchase rows contribute NULL. Exact
+    * cents; unique (ts, event_id) ordering; output cut to the user_id
+    * % 20 = 0 cohort to stay presentation-bounded while every
+    * partition computes. */
+  val qWindowIgnoreNulls: QueryDef = QueryDef.sql(
+    "q_events_carry",
+    """SELECT user_id, event_id, event_type,
+      |  last_value(pv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_cents
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(ROUND(value * 100.0) AS BIGINT) END AS pv
+      |  FROM events
+      |)
+      |QUALIFY user_id % 20 = 0
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("pv",
+        when(col("event_type") === "purchase", units(col("value"), 2)))
+      .withColumn("carried_cents", last(col("pv"), ignoreNulls = true).over(w))
+      .filter(col("user_id") % 20 === 0)
+      .select("user_id", "event_id", "event_type", "carried_cents")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
-    qPercentilesApprox, qRobustOutliers, qCorr)
+    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls)
 }

@@ -361,6 +361,62 @@ object MaintenanceQueries {
     }
   }
 
+  /** Snapshot isolation + time travel ([[graft.sources.TimeTravel]]):
+    * four commits against one table path — overwrite (v1 = pre-1997
+    * orders), append (v2 = the rest), overwrite (v3 = only orders over
+    * $50k), rollback-to-v2 (v4, an undo that is itself a version) —
+    * then EVERY version is read back and aggregated. The oracle states
+    * each snapshot's closed form from the raw table, so manifest
+    * resolution, append's no-rewrite union, overwrite's isolation and
+    * rollback's re-publish must all produce exactly the right row sets.
+    * Old snapshots remaining readable is the reproducible-training-run
+    * property ("the corpus exactly as of version N").
+    *
+    * Scale: append cost is O(new data) + one manifest rename — never a
+    * history rewrite; reading v_k is a plain parquet scan of the
+    * directories its manifest lists. */
+  val qTimeTravel: QueryDef = QueryDef.sql(
+    "q_time_travel",
+    """WITH base AS (
+      |  SELECT o_orderdate, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, COUNT(*) AS n_rows,
+      |    CAST(SUM(cents) AS DOUBLE) / 100.0 AS total
+      |  FROM base WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT 2, COUNT(*), CAST(SUM(cents) AS DOUBLE) / 100.0 FROM base
+      |  UNION ALL
+      |  SELECT 3, COUNT(*), CAST(SUM(cents) AS DOUBLE) / 100.0
+      |  FROM base WHERE cents > 5000000
+      |  UNION ALL
+      |  SELECT 4, COUNT(*), CAST(SUM(cents) AS DOUBLE) / 100.0 FROM base
+      |)
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_tt_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    // a repeat call in the same process must rebuild versions 1..4, not
+    // continue someone else's history
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderdate"), units(col("o_totalprice"), 2).as("cents"))
+    val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+    val v1 = TimeTravel.commitOverwrite(base.filter(col("o_orderdate") < cut), dir)
+    val v2 = TimeTravel.commitAppend(base.filter(col("o_orderdate") >= cut), dir)
+    val v3 = TimeTravel.commitOverwrite(base.filter(col("cents") > 5000000L), dir)
+    val v4 = TimeTravel.rollback(s, dir, v2)
+    Seq(v1, v2, v3, v4).map { v =>
+      TimeTravel.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n_rows"), toDouble(sum(col("cents")), 2).as("total"))
+        .select(lit(v.toInt).as("version"), col("n_rows"), col("total"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
-    qZonemapPrune, qCmsCounts, qZonemapPoint)
+    qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel)
 }

@@ -437,8 +437,44 @@ object TextQueries {
       .orderBy("canonical")
   }
 
+  /** Tokenizer fertility report — the tokenizer-budget health number a
+    * multilingual corpus tracks per language: UTF-8 bytes per token and
+    * tokens per word (a tokenizer that fragments one language pays its
+    * context window there). Exact BIGINT sums (bytes, BPE tokens,
+    * words) per language; the two ratios are single IEEE divisions of
+    * those sums — one map-side-combined shuffle on `lang`. */
+  val qTokenFertility: QueryDef = QueryDef.sql(
+    "q_token_fertility",
+    s"""SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+       |  CAST(SUM(${TF.bpeTokenCountSql("text")}) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(${TF.wordCountSql("text")}) AS BIGINT) AS sum_words,
+       |  CAST(SUM(strlen(text)) AS DOUBLE)
+       |    / CAST(SUM(${TF.bpeTokenCountSql("text")}) AS DOUBLE) AS bytes_per_token,
+       |  CAST(SUM(${TF.bpeTokenCountSql("text")}) AS DOUBLE)
+       |    / CAST(SUM(${TF.wordCountSql("text")}) AS DOUBLE) AS tokens_per_word
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).as("sum_bytes"),
+        sum(TF.bpeTokenCount(col("text"))).as("sum_tokens"),
+        sum(TF.wordCount(col("text"))).as("sum_words"))
+      .select(col("lang"), col("n_docs"), col("sum_bytes"), col("sum_tokens"),
+        col("sum_words"),
+        (col("sum_bytes").cast("double") / col("sum_tokens").cast("double"))
+          .as("bytes_per_token"),
+        (col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+          .as("tokens_per_word"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qUrlCanonical,
+    qUrlCanonical, qTokenFertility,
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
     qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive,
     qPackSequences, qDocBpeExact, qDocNfc)

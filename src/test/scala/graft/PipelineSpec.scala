@@ -442,6 +442,46 @@ class PipelineSpec extends SparkSpec {
     intercept[java.io.IOException] { be.embedBatch(Seq("a", "b")) }
   }
 
+  test("time travel: snapshot isolation, rollback-as-new-version, vacuum keeps live files") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttravel").toFile.getAbsolutePath + "/t"
+    def table(range: Range) = range.map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+
+    val v1 = TimeTravel.commitOverwrite(table(0 until 10), dir)
+    val v2 = TimeTravel.commitAppend(table(10 until 15), dir)
+    val v3 = TimeTravel.commitOverwrite(table(100 until 102), dir)
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+
+    // isolation: every snapshot keeps exactly its own row set
+    def ids(v: Long) = TimeTravel.read(spark, dir, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(v1) == (0L until 10L))
+    assert(ids(v2) == (0L until 15L))
+    assert(ids(v3) == Seq(100L, 101L))
+    // latest = v3
+    assert(TimeTravel.read(spark, dir).count() == 2)
+
+    // rollback re-publishes v2's listing as v4 — history intact
+    val v4 = TimeTravel.rollback(spark, dir, v2)
+    assert(ids(v4) == (0L until 15L) && ids(v3) == Seq(100L, 101L))
+    assert(TimeTravel.versions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+
+    // no staging debris: the atomic-rename publish leaves only manifests
+    // (plus Hadoop's dot-hidden .crc checksum sidecars on local FS)
+    val manifests = new java.io.File(s"$dir/_versions").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(manifests.forall(n => n.matches("v\\d{5}\\.json")), manifests.mkString(","))
+    assert(!manifests.exists(_.contains("staging")))
+
+    // vacuum keeping only the latest version (v4 → dirs v1+v2) drops
+    // exactly v3's directory; v4 still reads intact, v3 is now gone
+    val dropped = TimeTravel.vacuum(spark, dir, keepVersions = 1)
+    assert(dropped == Seq("data/v00003"))
+    assert(ids(v4) == (0L until 15L))
+    intercept[Exception](TimeTravel.read(spark, dir, Some(v3)).count())
+  }
+
   test("http backend: token bucket paces consecutive calls") {
     var clock = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
