@@ -492,4 +492,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
       s"sketches must merge map-side, not ship raw values per group:\n$p")
   }
+
+  test("snapshot diff: co-partitioned key join, rows collapsed to hashes, no broadcast") {
+    // both snapshot sides grow with the table; a full outer join has no
+    // broadcast form and the payload must already be a 32-byte hash
+    // when it reaches the shuffle
+    val p = phys(queries.MaintenanceQueries.qTableDiff.run(spark, sf))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff must shuffle-join on the key:\n$p")
+    assert(p.contains("md5"), s"row payloads must collapse to hashes pre-shuffle:\n$p")
+  }
+
+  test("bivariate moment sums aggregate map-side: one hash exchange for q_events_corr") {
+    val p = phys(queries.Events.qCorr.run(spark, sf))
+    val live = p.linesIterator.filterNot(_.contains("ReusedExchange"))
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(live == 1, s"expected only the event_type aggregation exchange:\n$p")
+    assert(p.contains("partial_"), s"moments must partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("token fertility is one map-side-combined shuffle on lang") {
+    val p = phys(queries.TextQueries.qTokenFertility.run(spark, sf))
+    val live = p.linesIterator.filterNot(_.contains("ReusedExchange"))
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(live == 1 && p.contains("partial_"),
+      s"expected one partial-aggregated lang exchange:\n$p")
+  }
+
+  test("URL canonicalization is narrow; every shuffle keys on the canonical URL") {
+    // COUNT(DISTINCT url) legitimately plans the two-phase distinct
+    // (exchange on (canonical, url) then on canonical) — what must
+    // never appear is a shuffle on anything BUT the canonical key, or
+    // any join
+    val p = phys(queries.TextQueries.qUrlCanonical.run(spark, sf))
+    val shuffles = p.linesIterator.filterNot(_.contains("ReusedExchange"))
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(_.contains("canonical")),
+      s"every exchange must key on the canonical URL:\n$p")
+    assert(!p.contains("Join"), s"canonicalization must not join anything:\n$p")
+  }
+
+  test("CMS point estimates are literal lookups — no join, no broadcast in the report") {
+    val p = phys(queries.MaintenanceQueries.qCmsCounts.run(spark, sf))
+    assert(!p.contains("Join"),
+      s"the sketch rides as an array literal, not a joined table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a partial top-k, not a global sort:\n$p")
+  }
+
+  test("MP4 frame sampling is a narrow per-row kernel") {
+    val p = phys(queries.MultimodalQueries.qMultimodalFrames.run(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sample-table parsing must not shuffle (output sort excepted):\n$p")
+  }
 }
