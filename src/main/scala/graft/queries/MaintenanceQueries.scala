@@ -417,6 +417,49 @@ object MaintenanceQueries {
       .orderBy("version")
   }
 
+  /** SCHEMA EVOLUTION across versioned commits: v1 writes the narrow
+    * customer projection, v2 appends rows with an ADDED exact-cents
+    * column; the merged-schema read of the live snapshot surfaces the
+    * widened column with nulls for narrow history (grouped and summed,
+    * so null-vs-zero semantics are what the hash checks). The oracle
+    * derives both cohorts from the raw table. Old snapshot v1 keeps
+    * reading with its own original schema — pinned in PipelineSpec.
+    *
+    * Scale: widening a 100 TB table costs O(new data) — no backfill
+    * rewrite; every reader chooses evolution (mergeSchema) or the
+    * frozen per-snapshot schema. */
+  val qSchemaEvolution: QueryDef = QueryDef.sql(
+    "q_schema_evolution",
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT CAST(c_custkey % 2 AS INTEGER) AS has_cents,
+      |  COUNT(*) AS n_rows,
+      |  CAST(COALESCE(SUM(CASE WHEN c_custkey % 2 = 1 THEN cents END), 0) AS BIGINT) AS sum_cents
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY has_cents""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_schev_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val cust = Tables(s, d, "customer")
+    TimeTravel.commitOverwrite(
+      cust.filter(col("c_custkey") % 2 === 0).select(col("c_custkey"), col("c_name")), dir)
+    TimeTravel.commitAppend(
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          units(col("c_acctbal"), 2).as("cents")), dir)
+    TimeTravel.read(s, dir, mergeSchema = true)
+      .groupBy(when(col("cents").isNull, 0).otherwise(1).as("has_cents"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .orderBy("has_cents")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
-    qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel)
+    qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution)
 }

@@ -118,13 +118,19 @@ object TimeTravel {
     v
   }
 
-  /** Read a snapshot: `version` = None for latest. */
-  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+  /** Read a snapshot: `version` = None for latest. `mergeSchema` unions
+    * the listed directories' schemas (SCHEMA EVOLUTION across commits:
+    * a widened append coexists with narrow history — old files surface
+    * the added columns as null, old snapshots keep reading with their
+    * own original schema). */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
     val dirs = listing(spark, path, v)
     if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 
   /** Drop data directories no LIVE version references (keeping the last

@@ -482,6 +482,24 @@ class PipelineSpec extends SparkSpec {
     intercept[Exception](TimeTravel.read(spark, dir, Some(v3)).count())
   }
 
+  test("time travel schema evolution: widened append, frozen old snapshots") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttevolve").toFile.getAbsolutePath + "/t"
+    val v1 = TimeTravel.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    TimeTravel.commitAppend(
+      Seq((3L, "c", 30L)).toDF("id", "payload", "score"), dir)
+    // merged read: the widened column exists, narrow history reads null
+    val merged = TimeTravel.read(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "payload", "score"))
+    assert(merged.filter(col("score").isNull).count() == 2)
+    assert(merged.filter(col("score") === 30L).count() == 1)
+    // the old snapshot's schema is FROZEN: v1 never grows the column
+    assert(TimeTravel.read(spark, dir, Some(v1), mergeSchema = true)
+      .columns.toSet == Set("id", "payload"))
+  }
+
   test("http backend: token bucket paces consecutive calls") {
     var clock = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
