@@ -314,6 +314,47 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** PURE interval join — no equi key at all (q_range_join above keeps
+    * its orderkey equality; drop it and Spark's only native plan is a
+    * nested loop, which at 100 TB is not slow but impossible):
+    * every lineitem counted against every order whose 30-day window
+    * (in whole epoch days) contains its ship day. Executed via
+    * [[graft.operators.RangeJoinOps.binnedPointInterval]] — intervals
+    * explode onto ≤2 32-day bins, points carry one bin, the bin
+    * equi-join shuffles instead of looping and the exact day-range
+    * re-filters inside bins (a qualifying pair matches exactly one
+    * bin, so counts stay exact). The oracle states the inequality join
+    * directly — DuckDB plans its own IEJoin for it, so two completely
+    * different join algorithms must agree on ~10⁶ pairs. PlanSpec pins
+    * the no-nested-loop claim. */
+  val qIntervalJoin: QueryDef = QueryDef.sql(
+    "q_interval_join",
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS sd
+      |  FROM orders
+      |), l AS (
+      |  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS pd
+      |  FROM lineitem
+      |)
+      |SELECT o_orderpriority, COUNT(*) AS n_pairs
+      |FROM l JOIN o ON l.pd >= o.sd AND l.pd < o.sd + 30
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    import graft.operators.RangeJoinOps
+    val o = ord(s, d).select(col("o_orderpriority"),
+        floor(unix_seconds(col("o_orderdate").cast("timestamp")).cast("double") / 86400)
+          .cast("long").as("sd"))
+      .withColumn("ed", col("sd") + 30)
+    val l = li(s, d).select(
+      floor(unix_seconds(col("l_shipdate").cast("timestamp")).cast("double") / 86400)
+        .cast("long").as("pd"))
+    RangeJoinOps.binnedPointInterval(l, "pd", o, "sd", "ed", binWidth = 32)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Cross join (small dims only): region × order-status grid with counts. */
   val qCrossJoin: QueryDef = QueryDef.sql(
     "q_cross_join",
@@ -588,7 +629,7 @@ object Relational {
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
-    qTopOrders, qRangeJoin, qCrossJoin, qAggStats,
+    qTopOrders, qRangeJoin, qIntervalJoin, qCrossJoin, qAggStats,
     qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority,
     qSetOpsAll, qWindowDist, qWindowFirstLast)
 }

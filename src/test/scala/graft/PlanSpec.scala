@@ -545,4 +545,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"sample-table parsing must not shuffle (output sort excepted):\n$p")
   }
+
+  test("pure interval join plans a bin equi-join, never a nested loop") {
+    val p = phys(queries.Relational.qIntervalJoin.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the binned rewrite must keep the inequality join off nested loops:\n$p")
+    assert(p.contains("_bin"), s"the bin key must drive the join:\n$p")
+  }
 }

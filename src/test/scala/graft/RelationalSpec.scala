@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Relational
+import org.apache.spark.sql.functions.col
 
 class RelationalSpec extends SparkSpec {
 
@@ -35,8 +36,8 @@ class RelationalSpec extends SparkSpec {
     // to 138 reported queries. Pin the count: adding a query means
     // bumping this number in the same commit — removing one without
     // noticing becomes a test failure instead of a shorter report.
-    assert(SparkEntry.queries.size == 176,
-      s"expected 176 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 177,
+      s"expected 177 registered queries, got ${SparkEntry.queries.size}")
     assert(SparkEntry.defs.map(_.name).distinct.size == SparkEntry.defs.size,
       "duplicate query names would silently collapse in the queries map")
   }
@@ -44,6 +45,24 @@ class RelationalSpec extends SparkSpec {
   test("oracle coverage: every query with SQL has matching name") {
     val names = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+  }
+
+  test("binned interval join ≡ the direct inequality join, edges included") {
+    import graft.operators.RangeJoinOps
+    import spark.implicits._
+    // intervals crafted to hit every edge: bin-boundary start, width-1,
+    // empty (start == end), spanning 3 bins, negative days
+    val intervals = Seq(
+      (1L, 0L, 30L), (2L, 32L, 33L), (3L, 31L, 31L),
+      (4L, 10L, 75L), (5L, -20L, 5L)).toDF("iid", "sd", "ed")
+    val points = (-25L to 80L).map(p => Tuple1(p)).toDF("pd")
+    val got = RangeJoinOps.binnedPointInterval(points, "pd", intervals, "sd", "ed", 32)
+      .select("pd", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = points.as("p").join(intervals.as("i"),
+        col("p.pd") >= col("i.sd") && col("p.pd") < col("i.ed"))
+      .select("pd", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && !expect.exists { case (p, i) => i == 3L }) // empty interval matches nothing
   }
 
   test("two-pass equi-depth bucketing ≡ NTILE(4) on a remainder-size table") {
