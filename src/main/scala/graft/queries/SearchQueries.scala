@@ -254,6 +254,28 @@ object SearchQueries {
       .limit(25)
   }
 
+  /** INVERTED INDEX retrieval — [[qBm25Search]]'s production shape
+    * ([[graft.sources.InvertedIndex]]): postings persisted once
+    * partitioned by an md5-prefix cell, then the SAME 3-term query
+    * reads only its own terms' cells (static partition pruning, the
+    * IVF/MinHash pattern applied to text) and reproduces the full-scan
+    * BM25 ranking EXACTLY — identical oracle SQL as q_bm25_search, so
+    * cell routing, sidecar stats (df/dl/avgdl without a corpus rescan)
+    * and the pruned score join are all hash-verified against the
+    * from-scratch scorer. */
+  val qInvertedSearch: QueryDef = QueryDef.sql(
+    "q_inverted_search",
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score FROM bm
+       |ORDER BY score DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    val indexDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_invidx_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    graft.sources.InvertedIndex.build(docs(s, d), indexDir)
+    graft.sources.InvertedIndex.searchBm25(s, indexDir, Bm25Terms, 25)
+  }
+
   /** HYBRID retrieval via reciprocal rank fusion (Cormack et al.,
     * SIGIR '09): fuse the BM25 lexical ranking ([[bm25Ctes]]) with a
     * dense cosine ranking against a query embedding (vec_id 0 — the
@@ -1073,7 +1095,8 @@ object SearchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qHybridRrf, qHeavyHitters, qDocBigramLm,
+    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qInvertedSearch, qHybridRrf,
+    qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,
     qVocabCoverage, qShuffleShards)

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.functions.{Chunkers, TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted text index AT REST — the THIRD index family beside
+  * [[VectorIndex]] (IVF over embeddings) and [[MinHashIndex]] (LSH over
+  * signatures): term-partitioned postings persisted once, so a keyword
+  * query reads the postings of ITS OWN terms instead of tokenizing the
+  * corpus per query (`q_bm25_search` is the full-scan form).
+  *
+  * Layout:
+  *   - postings (term, doc_id, tf) partitioned by a BOUNDED cell key
+  *     (first two hex chars of md5(term) → ≤256 directories, so files
+  *     stay large and hot terms hash-spread instead of skewing a
+  *     per-term layout);
+  *   - `_doclen` (doc_id, dl) and `_stats` (n_docs, total_dl) sidecars
+  *     carry the BM25 normalization terms, KBs regardless of corpus
+  *     size.
+  *
+  * A probe computes its terms' cells ON THE DRIVER (bounded by query
+  * length), reads only those directories (static partition pruning —
+  * the same IndexSpec-asserted contract as the IVF cells), and scores
+  * with the exact rational-idf BM25 the full-scan query uses — so
+  * "index probe ≡ full scan" is oracle-checkable, not aspirational.
+  *
+  * Scale: build is the one-time tokenize+groupBy backfill; per query,
+  * I/O is O(query terms' postings) — independent of corpus size — and
+  * the score join touches only those postings. df/avgdl come from the
+  * sidecars, never a corpus rescan.
+  */
+object InvertedIndex {
+
+  private def statsPath(path: String) = s"$path/_stats"
+  private def doclenPath(path: String) = s"$path/_doclen"
+
+  private def cellOf(term: Column): Column = substring(md5(term), 1, 2)
+
+  /** Tokenize (shared pipeline: cleaned text, word split) and persist
+    * postings + sidecars. */
+  def build(docs: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val tok = docs.select(col("doc_id"),
+      explode(Chunkers.words(TF.cleanText(col(textCol)))).as("term"))
+    tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("cell", cellOf(col("term")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.coalesce(1).write.mode("overwrite").parquet(doclenPath(path))
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** BM25 top-k (k1=1.2, b=0.75, rational Robertson idf — the exact
+    * arithmetic of `q_bm25_search`, term scores summed in the given
+    * term order) reading ONLY the query terms' cells. */
+  def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty)
+    val cells = terms.map { t =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    }.distinct.sorted
+    val postings = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf")
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(doclenPath(path))
+    val stats = spark.read.parquet(statsPath(path))
+    val part = postings
+      .join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (((col("n_docs") - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+          * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / (col("total_dl").cast("double") / col("n_docs").cast("double")))))).as("s"))
+    val score = terms
+      .map(t => coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+      .reduce(_ + _)
+    part.groupBy("doc_id").agg(score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -133,6 +133,19 @@ object TimeTravel {
       .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 
+  /** Compact the LIVE snapshot's accumulated directories into one
+    * freshly-written directory published as a new version (the OPTIMIZE
+    * half of the maintenance pair — [[vacuum]] then reclaims the old
+    * dirs once no kept version references them). Row set is identical
+    * by construction; `targetFiles` bounds the rewrite's output files.
+    * History stays readable: this is a commit like any other. */
+  def optimize(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
+    val v = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to optimize at $path"))
+    if (listing(spark, path, v).size <= 1) v // already compact
+    else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
+  }
+
   /** Drop data directories no LIVE version references (keeping the last
     * `keepVersions` manifests' files) — O(dropped dirs) deletes, rows
     * never read. */

@@ -188,4 +188,24 @@ class IndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect)
   }
+
+  test("inverted index at rest: cell-pruned probe reproduces the full-scan BM25 top-k") {
+    import graft.sources.InvertedIndex
+    val corpus = Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("invidx").toFile.getAbsolutePath
+    InvertedIndex.build(corpus, dir)
+
+    val terms = Seq("vector", "hash", "join")
+    val probe = InvertedIndex.searchBm25(spark, dir, terms, 25)
+    // the scan prunes at the partition level on the cell key
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"cell filter must prune partitions, not rows:\n$plan")
+
+    // probe ≡ the registered full-scan BM25 query, row for row
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = graft.queries.SearchQueries.qBm25Search.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
 }

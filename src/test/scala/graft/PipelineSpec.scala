@@ -480,6 +480,16 @@ class PipelineSpec extends SparkSpec {
     assert(dropped == Seq("data/v00003"))
     assert(ids(v4) == (0L until 15L))
     intercept[Exception](TimeTravel.read(spark, dir, Some(v3)).count())
+
+    // OPTIMIZE compacts the live multi-dir snapshot into one new
+    // version with an identical row set; vacuum then reclaims the rest
+    val v5 = TimeTravel.optimize(spark, dir)
+    assert(v5 == 5L && ids(v5) == (0L until 15L))
+    val dropped2 = TimeTravel.vacuum(spark, dir, keepVersions = 1)
+    assert(dropped2 == Seq("data/v00001", "data/v00002"))
+    assert(ids(v5) == (0L until 15L))
+    // an already-compact table is a no-op, not a fresh version
+    assert(TimeTravel.optimize(spark, dir) == v5)
   }
 
   test("time travel schema evolution: widened append, frozen old snapshots") {
