@@ -63,11 +63,14 @@ object TimeTravel {
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     // manifest body: {"version":N,"dirs":["data/v00001",...]} — dirs are
-    // relative, comma-split on a writer-controlled format (no user text)
+    // relative, comma-split on a writer-controlled format (no user text).
+    // A manifest that doesn't parse must FAIL the read, not silently
+    // resolve to an empty table (every commit lists ≥1 directory).
     """"dirs"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(raw) match {
       case Some(m) if m.group(1).trim.nonEmpty =>
         m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      case _ => Seq.empty
+      case _ => throw new java.io.IOException(
+        s"corrupt manifest ${vname(version)}.json: no dirs listing in: ${raw.take(200)}")
     }
   }
 

@@ -490,6 +490,14 @@ class PipelineSpec extends SparkSpec {
     assert(ids(v5) == (0L until 15L))
     // an already-compact table is a no-op, not a fresh version
     assert(TimeTravel.optimize(spark, dir) == v5)
+
+    // a corrupted manifest must FAIL the read loudly, never resolve to
+    // an empty table (the silent-shrink failure mode round 6 taught us)
+    val mf = new java.io.File(s"$dir/_versions/v00005.json")
+    Files.write(mf.toPath, "{\"version\":5,\"garbage\":true}".getBytes)
+    new java.io.File(s"$dir/_versions/.v00005.json.crc").delete() // stale checksum
+    val ex = intercept[java.io.IOException](TimeTravel.read(spark, dir, Some(v5)).count())
+    assert(ex.getMessage.contains("corrupt manifest"))
   }
 
   test("time travel schema evolution: widened append, frozen old snapshots") {
