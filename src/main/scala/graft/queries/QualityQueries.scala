@@ -327,5 +327,76 @@ object QualityQueries {
       .orderBy("doc_id", "j")
   }
 
-  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality, qDsirScore, qNegativePairs)
+  /** The CAPSTONE composition — the four stages every training-data
+    * ingest chains, as ONE oracle-checked query: Gopher-style quality
+    * gate (ratio rules in cross-multiplied form so neither engine ever
+    * divides) → exact-dedup canonical survivor (min doc_id per cleaned
+    * content hash, survivor's stats via min_by/arg_min) → deterministic
+    * md5 shard assignment → per-shard manifest (count, token mass,
+    * order-free XOR fingerprint — the line a downstream trainer checks
+    * before reading a shard). Every stage is an existing library
+    * primitive; what this pins is that they COMPOSE: one narrow pass,
+    * one content-hash shuffle, one shard shuffle, end to end.
+    *
+    * Scale: filter is per-row narrow, dedup shuffles once on the
+    * content hash, the report shuffles once on 8 shards with map-side
+    * combine; nothing quadratic, nothing collected. */
+  val qCorpusPipeline: QueryDef = QueryDef.sql(
+    "q_corpus_pipeline",
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(trim(text), ' ')) END AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |    ${TF.stopwordCountSql("text")} AS n_stop
+       |  FROM documents
+       |), pass AS (
+       |  SELECT doc_id, text, n_words FROM m
+       |  WHERE n_words >= 10 AND n_words <= 100000
+       |    AND CAST(n_letters AS DOUBLE) >= 3.0 * CAST(n_words AS DOUBLE)
+       |    AND CAST(n_letters AS DOUBLE) <= 10.0 * CAST(n_words AS DOUBLE)
+       |    AND CAST(n_alpha_words AS DOUBLE) >= 0.8 * CAST(n_words AS DOUBLE)
+       |    AND n_stop >= 1
+       |), keep AS (
+       |  SELECT MIN(doc_id) AS doc_id, arg_min(n_words, doc_id) AS n_words
+       |  FROM pass
+       |  GROUP BY md5(${TF.cleanTextSql("text")})
+       |)
+       |SELECT ${SearchOps.hashBucketSql("CAST(doc_id AS VARCHAR)", 8)} AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       |  bit_xor(CAST(concat('0x', substring(md5(
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(n_words AS VARCHAR)), 1, 15)) AS BIGINT)) AS fingerprint
+       |FROM keep
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin) { (s, d) =>
+    val m = docs(s, d).select(col("doc_id"), col("text"),
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), " ")).cast("long")).as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+      size(filter(split(col("text"), " "), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      TF.stopwordCount(col("text")).as("n_stop"))
+    val pass = m.filter(
+      col("n_words") >= 10 && col("n_words") <= 100000 &&
+        col("n_letters").cast("double") >= lit(3.0) * col("n_words").cast("double") &&
+        col("n_letters").cast("double") <= lit(10.0) * col("n_words").cast("double") &&
+        col("n_alpha_words").cast("double") >= lit(0.8) * col("n_words").cast("double") &&
+        col("n_stop") >= 1)
+    val keep = pass
+      .groupBy(md5(TF.cleanText(col("text"))).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("n_words"), col("doc_id")).as("n_words"))
+    keep
+      .select(SearchOps.hashBucket(col("doc_id").cast("string"), 8).as("shard"),
+        col("doc_id"), col("n_words"),
+        conv(substring(md5(concat_ws(":",
+          col("doc_id").cast("string"), col("n_words").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality, qDsirScore, qNegativePairs, qCorpusPipeline)
 }

@@ -52,6 +52,31 @@ object InvertedIndex {
       .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
   }
 
+  /** Incremental append: NEW documents' postings land in their cells
+    * beside the existing files (parquet append — existing postings are
+    * never rewritten), `_doclen` gains the new rows, and `_stats` is
+    * recomputed from `_doclen` (O(docs) sidecar, not a corpus rescan).
+    * Callers feed genuinely new doc_ids (the ingest CDC layer already
+    * separates new from superseded); a probe after append scores
+    * old + new documents identically to a from-scratch build, because
+    * BM25 only consumes postings + sidecars, both now complete. */
+  def append(newDocs: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val tok = newDocs.select(col("doc_id"),
+      explode(Chunkers.words(TF.cleanText(col(textCol)))).as("term"))
+    tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("cell", cellOf(col("term")))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val spark = newDocs.sparkSession
+    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(doclenPath(path))
+    // _stats derives from the (tiny) doclen sidecar — atomic enough for
+    // the single-writer contract every sidecar here assumes
+    val dl = spark.read.parquet(doclenPath(path))
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+  }
+
   /** BM25 top-k (k1=1.2, b=0.75, rational Robertson idf — the exact
     * arithmetic of `q_bm25_search`, term scores summed in the given
     * term order) reading ONLY the query terms' cells. */

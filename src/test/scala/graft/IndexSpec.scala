@@ -208,4 +208,22 @@ class IndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == expect)
   }
+
+  test("inverted index incremental append scores identically to a from-scratch build") {
+    import graft.sources.InvertedIndex
+    val corpus = Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("invidx_incr").toFile.getAbsolutePath
+    InvertedIndex.build(corpus.filter(col("doc_id") % 5 =!= 0), dir)
+    InvertedIndex.append(corpus.filter(col("doc_id") % 5 === 0), dir)
+    val terms = Seq("vector", "hash", "join")
+    val incr = InvertedIndex.searchBm25(spark, dir, terms, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = {
+      val d2 = Files.createTempDirectory("invidx_full").toFile.getAbsolutePath
+      InvertedIndex.build(corpus, d2)
+      InvertedIndex.searchBm25(spark, d2, terms, 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(incr == full)
+  }
 }
