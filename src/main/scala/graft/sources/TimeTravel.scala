@@ -53,15 +53,28 @@ object TimeTravel {
   private def latest(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** The data directories visible at `version`. */
-  private def listing(spark: SparkSession, path: String, version: Long): Seq[String] = {
+  /** Commit tags already present in the manifest history (used for
+    * idempotent streaming appends: a replayed micro-batch finds its own
+    * tag and skips). */
+  def tags(spark: SparkSession, path: String): Set[String] =
+    versions(spark, path).flatMap { v =>
+      """"tag"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(rawManifest(spark, path, v))
+        .map(_.group(1))
+    }.toSet
+
+  private def rawManifest(spark: SparkSession, path: String, version: Long): String = {
     val f = fs(spark, path)
     val in = f.open(new Path(manifestDir(path), s"${vname(version)}.json"))
-    val raw = try {
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  /** The data directories visible at `version`. */
+  private def listing(spark: SparkSession, path: String, version: Long): Seq[String] = {
+    val raw = rawManifest(spark, path, version)
     // manifest body: {"version":N,"dirs":["data/v00001",...]} — dirs are
     // relative, comma-split on a writer-controlled format (no user text).
     // A manifest that doesn't parse must FAIL the read, not silently
@@ -75,11 +88,13 @@ object TimeTravel {
   }
 
   /** Publish `dirs` as version `v` via write-then-atomic-rename. */
-  private def publish(spark: SparkSession, path: String, v: Long, dirs: Seq[String]): Unit = {
+  private def publish(spark: SparkSession, path: String, v: Long, dirs: Seq[String],
+      tag: Option[String] = None): Unit = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     val body = dirs.map("\"" + _ + "\"").mkString(
-      s"""{"version":$v,"dirs":[""", ",", "]}")
+      s"""{"version":$v$tagField,"dirs":[""", ",", "]}")
     val staging = new Path(manifestDir(path), s".${vname(v)}.json.staging")
     val out = f.create(staging, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -90,18 +105,32 @@ object TimeTravel {
 
   private def writeData(df: DataFrame, path: String, v: Long): String = {
     val dir = dataDir(path, v)
-    df.write.mode("errorifexists").parquet(s"$path/$dir")
+    // overwrite: a crash between data write and manifest publish leaves
+    // an orphan (invisible) dir that the retried commit must reclaim
+    df.write.mode("overwrite").parquet(s"$path/$dir")
     dir
   }
 
   /** Append commit: new rows become visible alongside every directory
     * the previous version saw. Returns the new version number. */
-  def commitAppend(df: DataFrame, path: String): Long = {
+  def commitAppend(df: DataFrame, path: String, tag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val v = latest(spark, path).getOrElse(0L) + 1
     val prev = latest(spark, path).map(listing(spark, path, _)).getOrElse(Seq.empty)
-    publish(spark, path, v, prev :+ writeData(df, path, v))
+    publish(spark, path, v, prev :+ writeData(df, path, v), tag)
     v
+  }
+
+  /** Idempotent tagged append — the EXACTLY-ONCE streaming sink face:
+    * if `tag`'s commit already exists (an at-least-once foreachBatch
+    * replay, or a retry after a crash-after-publish), the call is a
+    * no-op returning the live version; otherwise it appends with the
+    * tag. Tag uniqueness is the caller's batch identity (e.g.
+    * "ingest:<batchId>"). */
+  def appendOnce(df: DataFrame, path: String, tag: String): Long = {
+    val spark = df.sparkSession
+    if (tags(spark, path).contains(tag)) latest(spark, path).get
+    else commitAppend(df, path, Some(tag))
   }
 
   /** Overwrite commit: the new version sees ONLY the new rows; earlier

@@ -253,4 +253,25 @@ class PropertySpec extends AnyFunSuite {
         java.util.Arrays.equals(tar, TarShards.writeTar(entries.iterator))
     }
   }
+
+  check("interval-bin rewrite: every qualifying point's bin is listed exactly once") {
+    // the arithmetic at the heart of RangeJoinOps.binnedPointInterval,
+    // in the exact double-floor form the Catalyst expressions use:
+    // p ∈ [s, e) ⟹ bin(p) ∈ [bin(s), bin(e−1)], bins distinct — so the
+    // bin equi-join finds every qualifying pair on exactly one key
+    val gen = for {
+      s <- Gen.chooseNum(-100000L, 100000L)
+      span <- Gen.chooseNum(0L, 5000L)
+      p <- Gen.chooseNum(-105000L, 105000L)
+      w <- Gen.chooseNum(1L, 512L)
+    } yield (s, s + span, p, w)
+    Prop.forAll(gen) { case (s, e, p, w) =>
+      def bin(x: Long): Long = math.floor(x.toDouble / w).toLong
+      val bins = if (e <= s) Seq.empty[Long] else bin(s) to bin(e - 1)
+      val qualifies = p >= s && p < e
+      (!qualifies || bins.contains(bin(p))) &&
+        bins.distinct == bins &&
+        bins.size <= (e - s) / w + 2 // the ≤⌈span/w⌉+1 duplication bound
+    }
+  }
 }

@@ -573,6 +573,35 @@ class StreamingSpec extends SparkSpec {
     assert(SketchStreams.totalSketch(spark, sketchDir, w, d) == batch)
   }
 
+  test("streaming versioned-table sink commits exactly once per batch, replay-safe") {
+    import graft.sources.TimeTravel
+    import graft.streaming.TableStreams
+    val srcDir = {
+      val dir = Files.createTempDirectory("tt_stream")
+      Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("part-1.parquet"))
+      dir.toFile.getAbsolutePath
+    }
+    val tableDir = Files.createTempDirectory("tt_table").toFile.getAbsolutePath + "/t"
+    def run(ck: String): Unit = TableStreams.appendStream(
+      spark.readStream.schema(Tables(spark, sf, "documents").schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      tableDir, ck)
+    run(ckpt())
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(TimeTravel.read(spark, tableDir).count() == 2 * nDocs)
+    val vsAfterFirst = TimeTravel.versions(spark, tableDir)
+    assert(vsAfterFirst.size >= 2, "each micro-batch must be its own commit")
+    assert(TimeTravel.tags(spark, tableDir).forall(_.startsWith("stream:")))
+    // a fresh checkpoint replays every batch id; tags must no-op them —
+    // same rows, same versions, nothing double-appended
+    run(ckpt())
+    assert(TimeTravel.read(spark, tableDir).count() == 2 * nDocs)
+    assert(TimeTravel.versions(spark, tableDir) == vsAfterFirst)
+  }
+
   test("stream-stream interval join matches the batch attribution query") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
