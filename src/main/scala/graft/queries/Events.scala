@@ -1022,10 +1022,53 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** ORDERED-FOLD aggregation — the sequential-recurrence family no
+    * window frame can express: per-user EWMA with α=1/2
+    * (ewmaₙ = (centsₙ + ewmaₙ₋₁)/2). Halving is DYADIC-exact in IEEE
+    * doubles and cents are exact integers, so the fold is bit-identical
+    * in both engines PROVIDED the order matches — which is the point:
+    * Spark's collect_list has no order guarantee, so the rows are
+    * collected as (ts_us, event_id, cents) structs and array_sort'd
+    * before the fold (DuckDB side: `list(... ORDER BY ...)` +
+    * list_reduce). The same shape carries any per-key recurrence —
+    * compound interest, decaying counters, Kalman-style state.
+    *
+    * Scale: one shuffle on user_id; per-user state is that user's
+    * event list — the same bound sessionization already carries. */
+  val qEwma: QueryDef = QueryDef.sql(
+    "q_events_ewma",
+    """SELECT user_id,
+      |  CAST(len(seq) AS BIGINT) AS n_events,
+      |  list_reduce(list_prepend(0.0, seq), (acc, x) -> (acc + x) / 2.0) AS ewma_cents
+      |FROM (
+      |  SELECT user_id,
+      |    list(CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE)
+      |         ORDER BY ts, event_id) AS seq
+      |  FROM events
+      |  GROUP BY user_id
+      |)
+      |WHERE user_id % 20 = 0
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val rowStruct = struct(
+      unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+      units(col("value"), 2).cast("double").as("v"))
+    ev(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .groupBy(col("user_id"))
+      .agg(collect_list(rowStruct).as("rows"))
+      .select(col("user_id"),
+        size(col("rows")).cast("long").as("n_events"),
+        aggregate(
+          transform(array_sort(col("rows")), r => r.getField("v")),
+          lit(0.0),
+          (acc, x) => (acc + x) / lit(2.0)).as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
-    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls)
+    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma)
 }

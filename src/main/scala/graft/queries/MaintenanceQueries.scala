@@ -460,6 +460,63 @@ object MaintenanceQueries {
       .orderBy("has_cents")
   }
 
+  /** JOIN-CARDINALITY estimation from the CMS — the classic
+    * sketch-inner-product bound (Alon–Gilbert–Matias–Szegedy shape on
+    * count-min rows): |R ⋈ₖ S| = Σₖ n_R(k)·n_S(k) is estimated as
+    * minᵢ Σₚ cmsR[i][p]·cmsS[i][p], here for the orders self-join on
+    * o_custkey (real multiplicities, so the answer is NOT just a row
+    * count). This is what a planner consults to choose plain vs
+    * broadcast vs salted execution WITHOUT running the join — the
+    * q_join_skew_report's sketch-tier sibling. Collisions only ADD
+    * cross terms, so the estimate never undercounts; the oracle
+    * rebuilds the cells relationally and takes the identical
+    * min-of-inner-products, making the bound itself hash-verified.
+    *
+    * Scale: two one-pass sketches + a width×depth driver dot product;
+    * the join never executes. */
+  val qJoinCardinality: QueryDef = {
+    import graft.operators.SketchOps
+    QueryDef.sql(
+      "q_join_cardinality",
+      s"""WITH k AS (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS mh, COUNT(*) AS n
+         |  FROM orders GROUP BY o_custkey
+         |), cells AS (
+         |  SELECT s.i AS i, ${SketchOps.positionSql("mh", CmsWidth, "s.i")} AS pos,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM k CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS i) s
+         |  GROUP BY 1, 2
+         |), est AS (
+         |  SELECT MIN(row_ip) AS n_est FROM (
+         |    SELECT i, CAST(SUM(cnt * cnt) AS BIGINT) AS row_ip FROM cells GROUP BY i
+         |  )
+         |), exact AS (
+         |  SELECT CAST(SUM(n * n) AS BIGINT) AS n_exact FROM k
+         |)
+         |SELECT exact.n_exact, est.n_est,
+         |  est.n_est >= exact.n_exact AS never_underestimates
+         |FROM exact CROSS JOIN est""".stripMargin) { (s, d) =>
+      val mh = md5(col("o_custkey").cast("string"))
+      val cmsUdaf = udaf(new SketchOps.CmsAggregator(CmsWidth, CmsDepth))
+      val sketch = Tables(s, d, "orders").select(mh.as("mh"))
+        .agg(cmsUdaf(col("mh")).as("sk"))
+        .head.getSeq[Long](0)
+      // driver dot product over the bounded counter matrix — the same
+      // planning-scale state every optimizer statistic is
+      val nEst = (0 until CmsDepth).map { i =>
+        (0 until CmsWidth).map(p => {
+          val c = sketch(i * CmsWidth + p); c * c
+        }).sum
+      }.min
+      Tables(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("n_exact"))
+        .select(col("n_exact"), lit(nEst).as("n_est"),
+          (lit(nEst) >= col("n_exact")).as("never_underestimates"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
-    qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution)
+    qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
+    qJoinCardinality)
 }

@@ -130,6 +130,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops too-late rows and ACCOUNTS for them in query progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = EventStreams.tumblingCounts(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("t_late_acct")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // batch 1: two rows in the 10:00 window + one at 12:00 that will
+      // push the watermark to 11:30 (30-min delay), far past 10:10
+      input.addData(
+        (ts("2023-01-01 10:00:30"), "click", 1.0),
+        (ts("2023-01-01 10:05:00"), "click", 1.0),
+        (ts("2023-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a row for the long-closed 10:00 window — beyond the
+      // watermark, so it must be DROPPED and COUNTED, not silently lost
+      input.addData((ts("2023-01-01 10:02:00"), "click", 9.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, "the late row must be accounted in query progress")
+      // the emitted 10:00 window carries only the two on-time rows
+      val row = spark.table("t_late_acct")
+        .filter(col("bucket_s") === ts("2023-01-01 10:00:00").getTime / 1000)
+        .select("n_events", "sum_value").collect()
+      assert(row.length == 1 && row.head.getLong(0) == 2L && row.head.getDouble(1) == 2.0)
+    } finally q.stop()
+  }
+
   test("streaming as-of emits exactly the batch as-of on watermark-final facts") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val facts = stream.filter(col("event_type") === "purchase")
