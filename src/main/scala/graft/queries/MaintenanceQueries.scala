@@ -516,7 +516,80 @@ object MaintenanceQueries {
     }
   }
 
+  /** Z-ORDER × ZONE MAPS — the two layout primitives composed into the
+    * thing they exist for, multi-dimensional file skipping: orders laid
+    * out one file per Morton-key bucket (custkey ⋈ order-day
+    * interleave), per-file min/max recorded, then a DAY-range query
+    * reads only overlapping files. The output carries the result AND
+    * the evidence: `files_zorder` (actual manifest pruning) vs
+    * `files_linear` — what the SAME predicate reads under a
+    * custkey-linear layout normalized to the SAME file count (every
+    * linear file spans all days, so day predicates read everything).
+    * The oracle recomputes both layouts' admission from the identical
+    * bit/bucket arithmetic.
+    *
+    * Scale: this is why a 100 TB table clusters by Z-value rather than
+    * one column when two dimensions carry predicates — pruning holds
+    * on BOTH, paying only interleave bit-twiddling at write time. */
+  val qZorderSkip: QueryDef = {
+    import graft.operators.LayoutOps
+    QueryDef.sql(
+      "q_zorder_skip",
+      s"""WITH z AS (
+         |  SELECT o_orderkey,
+         |    CAST(o_custkey AS BIGINT) AS ck,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |    CAST(${LayoutOps.zValueSql(
+              "CAST(o_custkey AS BIGINT)",
+              "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)")} >> 18 AS BIGINT) AS zone
+         |  FROM orders
+         |), zs AS (
+         |  SELECT zone, MIN(day) AS mnd, MAX(day) AS mxd FROM z GROUP BY zone
+         |), scal AS (
+         |  SELECT (SELECT COUNT(*) FROM zs) AS ft, (SELECT MAX(ck) FROM z) AS ckm,
+         |    CAST(DATE '1997-03-01' - DATE '1970-01-01' AS BIGINT) AS lo,
+         |    CAST(DATE '1997-04-30' - DATE '1970-01-01' AS BIGINT) AS hi
+         |), ls AS (
+         |  SELECT CAST(floor(CAST(ck AS DOUBLE) * CAST(scal.ft AS DOUBLE)
+         |                    / CAST(scal.ckm + 1 AS DOUBLE)) AS BIGINT) AS lzone,
+         |    MIN(day) AS mnd, MAX(day) AS mxd
+         |  FROM z, scal GROUP BY 1
+         |)
+         |SELECT
+         |  (SELECT COUNT(*) FROM z, scal WHERE day BETWEEN lo AND hi) AS n_match,
+         |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM z, scal
+         |     WHERE day BETWEEN lo AND hi) AS key_sum,
+         |  (SELECT ft FROM scal) AS files_total,
+         |  (SELECT COUNT(*) FROM zs, scal WHERE mnd <= hi AND mxd >= lo) AS files_zorder,
+         |  (SELECT COUNT(*) FROM ls, scal WHERE mnd <= hi AND mxd >= lo) AS files_linear""".stripMargin) { (s, d) =>
+      import graft.sources.ZoneMaps
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_zskip_${Integer.toHexString(d.hashCode)}" +
+          s"_p${ProcessHandle.current().pid()}"
+      val day = expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long")
+      val base = Tables(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey").cast("long").as("ck"), day.as("day"))
+        .withColumn("zone", shiftright(LayoutOps.zValue(col("ck"), col("day")), 18))
+      ZoneMaps.write(base, dir, "zone", Seq("day", "o_orderkey"))
+      val (lo, hi) = (java.time.LocalDate.of(1997, 3, 1).toEpochDay,
+        java.time.LocalDate.of(1997, 4, 30).toEpochDay)
+      val (pruned, st) = ZoneMaps.readRange(s, dir, "day", lo, hi)
+      val ckm = base.agg(max(col("ck"))).head.getLong(0)
+      val linRead = base
+        .groupBy(floor(col("ck").cast("double") * lit(st.filesTotal.toDouble)
+          / lit((ckm + 1).toDouble)).cast("long").as("lzone"))
+        .agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+        .filter(col("mnd") <= hi && col("mxd") >= lo)
+        .count()
+      pruned.agg(count(lit(1)).as("n_match"), sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n_match"), col("key_sum"),
+          lit(st.filesTotal).as("files_total"),
+          lit(st.filesRead).as("files_zorder"),
+          lit(linRead).as("files_linear"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
-    qJoinCardinality)
+    qJoinCardinality, qZorderSkip)
 }
