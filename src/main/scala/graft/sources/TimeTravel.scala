@@ -178,6 +178,29 @@ object TimeTravel {
     else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
   }
 
+  /** Right-to-be-forgotten purge: rewrite the live snapshot WITHOUT the
+    * rows matching `condition`, then drop every older data directory —
+    * after this, NO version (current or time-traveled) can produce the
+    * purged rows. This is the documented compliance trade-off: history
+    * for the whole table is truncated at the purge point, because
+    * retaining any pre-purge snapshot would retain the data the purge
+    * exists to destroy. Returns the new version. */
+  def purge(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val kept = read(spark, path).filter(!condition)
+    // localCheckpoint pins the surviving rows before their source dirs
+    // are deleted out from under the lazy plan
+    val v = commitOverwrite(kept.localCheckpoint(), path)
+    vacuum(spark, path, keepVersions = 1)
+    // older manifests now reference deleted dirs; drop them so a
+    // time-travel read fails loudly instead of half-resolving
+    val f = fs(spark, path)
+    versions(spark, path).dropRight(1).foreach { old =>
+      f.delete(new Path(manifestDir(path), s"${vname(old)}.json"), false)
+    }
+    v
+  }
+
   /** Drop data directories no LIVE version references (keeping the last
     * `keepVersions` manifests' files) — O(dropped dirs) deletes, rows
     * never read. */

@@ -500,6 +500,30 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("corrupt manifest"))
   }
 
+  test("purge destroys rows from EVERY version — no time-traveled copy survives") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttpurge").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      Seq((1L, "keep"), (2L, "secret"), (3L, "keep")).toDF("id", "payload"), dir)
+    TimeTravel.commitAppend(Seq((4L, "secret-too")).toDF("id", "payload"), dir)
+    val v = TimeTravel.purge(spark, dir, col("payload").startsWith("secret"))
+    // live snapshot: only the kept rows
+    val ids = TimeTravel.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+    // history is truncated at the purge: only the purge version remains,
+    // and no file anywhere under the table still holds the purged bytes
+    assert(TimeTravel.versions(spark, dir) == Seq(v))
+    def grepTree(f: java.io.File): Boolean =
+      if (f.isDirectory) f.listFiles().exists(grepTree)
+      else {
+        val bytes = Files.readAllBytes(f.toPath)
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1).contains("secret")
+      }
+    assert(!grepTree(new java.io.File(dir)), "purged payload bytes still on disk")
+  }
+
   test("time travel schema evolution: widened append, frozen old snapshots") {
     import graft.sources.TimeTravel
     import spark.implicits._
