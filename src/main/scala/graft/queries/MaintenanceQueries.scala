@@ -589,7 +589,62 @@ object MaintenanceQueries {
     }
   }
 
+  /** MERGE INTO over the versioned table ([[graft.sources.TimeTravel
+    * .merge]]): one commit applies the classic CDC feed — updates
+    * (custkey%3=0 get +$1.00), deletes (the %3=0 ∩ %5=0 sub-cohort
+    * carries a `_delete` flag), and inserts (re-keyed +1000000 rows for
+    * %7=0) — against a customer seed. The read-back classifies every
+    * surviving row into kept / updated / inserted cohorts whose counts,
+    * exact-cents sums and key ranges the oracle states in closed form:
+    * a wrong anti-join, a delete that inserted, or an update that
+    * duplicated all land in a different cohort and break the hash. */
+  val qMergeUpsert: QueryDef = QueryDef.sql(
+    "q_merge_upsert",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), merged AS (
+      |  SELECT k, cents + 100 AS cents, 'updated' AS cohort
+      |  FROM c WHERE k % 3 = 0 AND k % 5 <> 0
+      |  UNION ALL
+      |  SELECT k, cents, 'kept' FROM c WHERE k % 3 <> 0
+      |  UNION ALL
+      |  SELECT k + 1000000, cents + 7, 'inserted' FROM c WHERE k % 7 = 0
+      |)
+      |SELECT cohort, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM merged
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_merge_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir)
+    val updates = c.filter(col("k") % 3 === 0)
+      .select(col("k"), (col("cents") + 100L).as("cents"),
+        (col("k") % 5 === 0).as("_delete"))
+    val inserts = c.filter(col("k") % 7 === 0)
+      .select((col("k") + 1000000L).as("k"), (col("cents") + 7L).as("cents"),
+        lit(false).as("_delete"))
+    TimeTravel.merge(s, dir, updates.unionByName(inserts), "k", col("_delete"))
+    TimeTravel.read(s, dir)
+      .withColumn("cohort",
+        when(col("k") >= 1000000L, "inserted")
+          .when(col("k") % 3 === 0, "updated")
+          .otherwise("kept"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("cohort")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
-    qJoinCardinality, qZorderSkip)
+    qJoinCardinality, qZorderSkip, qMergeUpsert)
 }

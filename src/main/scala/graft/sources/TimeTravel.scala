@@ -178,6 +178,34 @@ object TimeTravel {
     else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
   }
 
+  /** MERGE INTO semantics as one commit — the SQL MERGE triple over the
+    * live snapshot, keyed on `key`:
+    *   - matched + `deleteWhen`  → target row removed;
+    *   - matched (otherwise)     → target row REPLACED by the source row;
+    *   - not matched             → source row inserted
+    * (a `deleteWhen`-flagged source row with no match inserts nothing).
+    * Runs as pure relational algebra — one left-anti join keeps the
+    * untouched target rows, the filtered source supplies the rest — and
+    * publishes as a normal commit, so the pre-merge snapshot stays
+    * time-travelable.
+    *
+    * A source column named `_delete` is merge METADATA (the usual CDC
+    * feed shape: rows carry their own op flag): it can drive
+    * `deleteWhen` and is dropped before the union, so the committed
+    * schema is the table's.
+    *
+    * Scale note: this face rewrites the LIVE listing (the semantic
+    * form); a 100 TB deployment scopes the rewrite with partition
+    * pruning first — exactly what [[VectorStore.upsert]]'s
+    * partition-scoped overwrite does for the `load_dt` layout. */
+  def merge(spark: SparkSession, path: String, source: DataFrame, key: String,
+      deleteWhen: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(false)): Long = {
+    val target = read(spark, path)
+    val kept = target.join(source.select(key), Seq(key), "left_anti")
+    val applied = source.filter(!deleteWhen).drop("_delete")
+    commitOverwrite(kept.unionByName(applied).localCheckpoint(), path)
+  }
+
   /** Right-to-be-forgotten purge: rewrite the live snapshot WITHOUT the
     * rows matching `condition`, then drop every older data directory —
     * after this, NO version (current or time-traveled) can produce the
