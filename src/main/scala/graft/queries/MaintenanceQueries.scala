@@ -644,7 +644,54 @@ object MaintenanceQueries {
       .orderBy("cohort")
   }
 
+  /** Constraint-gated commit with quarantine
+    * ([[graft.sources.TimeTravel.commitAppendExpect]]): two named
+    * expectations (positive balance; a synthetic key rule that overlaps
+    * it) gate a customer append — passing rows land in the main table,
+    * failing rows land in a quarantine table TAGGED with exactly the
+    * expectations they violated. The read-back buckets every row by
+    * its verdict and the oracle states all four cohorts (admitted /
+    * each single violation / the double violation) in closed form —
+    * so the gate can neither drop rows nor mislabel which rule fired. */
+  val qExpectations: QueryDef = QueryDef.sql(
+    "q_expectations",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), v AS (
+      |  SELECT k, cents,
+      |    CASE WHEN NOT (cents > 0) AND k % 11 = 0 THEN 'positive_balance,small_key'
+      |         WHEN NOT (cents > 0) THEN 'positive_balance'
+      |         WHEN k % 11 = 0 THEN 'small_key'
+      |         ELSE 'admitted' END AS bucket
+      |  FROM c
+      |)
+      |SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM v
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_expect_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val (mainDir, qDir) = (s"$base/main", s"$base/quarantine")
+    val fsp = new org.apache.hadoop.fs.Path(base)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitAppendExpect(c, mainDir, qDir, Map(
+      "positive_balance" -> (col("cents") > 0L),
+      "small_key" -> (col("k") % 11 =!= 0)))
+    val admitted = TimeTravel.read(s, mainDir).withColumn("bucket", lit("admitted"))
+    val quarantined = TimeTravel.read(s, qDir)
+      .withColumn("bucket", col("_violated")).drop("_violated")
+    admitted.unionByName(quarantined)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
-    qJoinCardinality, qZorderSkip, qMergeUpsert)
+    qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations)
 }

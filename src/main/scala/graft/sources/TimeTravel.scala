@@ -178,6 +178,41 @@ object TimeTravel {
     else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
   }
 
+  /** Expectation counts from a gated commit ([[commitAppendExpect]]). */
+  final case class ExpectationReport(version: Long, admitted: Long,
+      quarantined: Map[String, Long])
+
+  /** Constraint-gated append (the Delta-Live-Tables "expectations"
+    * shape): every named expectation is a boolean Column; rows
+    * failing ANY of them are diverted to `quarantinePath` (their own
+    * versioned table, tagged with the violated names) instead of the
+    * main table, and the per-expectation violation counts come back in
+    * the report — data quality enforced AT THE WRITE BOUNDARY, with
+    * the rejects preserved for triage rather than dropped.
+    *
+    * One pass computes all verdicts (the expectations ride as columns);
+    * the split is two narrow filters — no shuffle beyond the commits'
+    * own writes. */
+  def commitAppendExpect(df: DataFrame, path: String, quarantinePath: String,
+      expectations: Map[String, org.apache.spark.sql.Column]): ExpectationReport = {
+    require(expectations.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val names = expectations.keys.toSeq.sorted
+    val flagged = df.withColumn("_violated",
+      filter(array(names.map(n => when(!coalesce(expectations(n), lit(false)), n)): _*),
+        x => x.isNotNull)).localCheckpoint()
+    val good = flagged.filter(size(col("_violated")) === 0).drop("_violated")
+    val bad = flagged.filter(size(col("_violated")) > 0)
+      .withColumn("_violated", concat_ws(",", col("_violated")))
+    val v = commitAppend(good, path)
+    if (bad.isEmpty) ()
+    else { commitAppend(bad, quarantinePath): Unit }
+    val counts = flagged.select(explode(col("_violated")).as("n"))
+      .groupBy("n").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ExpectationReport(v, good.count(), counts)
+  }
+
   /** MERGE INTO semantics as one commit — the SQL MERGE triple over the
     * live snapshot, keyed on `key`:
     *   - matched + `deleteWhen`  → target row removed;

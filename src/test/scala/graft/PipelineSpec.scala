@@ -524,6 +524,26 @@ class PipelineSpec extends SparkSpec {
     assert(!grepTree(new java.io.File(dir)), "purged payload bytes still on disk")
   }
 
+  test("expectation-gated commit reports per-rule counts and loses no rows") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val base = Files.createTempDirectory("ttexpect").toFile.getAbsolutePath
+    val rows = Seq((1L, 10L), (2L, -5L), (3L, 0L), (22L, 7L), (33L, -1L))
+      .toDF("id", "score")
+    val rep = TimeTravel.commitAppendExpect(rows, s"$base/main", s"$base/q", Map(
+      "positive" -> (col("score") > 0L),
+      "id_rule" -> (col("id") % 11 =!= 0)))
+    // 1(ok) 2(neg) 3(zero) 22(id) 33(id+neg)
+    assert(rep.admitted == 1L)
+    assert(rep.quarantined == Map("positive" -> 3L, "id_rule" -> 2L))
+    assert(TimeTravel.read(spark, s"$base/main").count() == 1)
+    val q = TimeTravel.read(spark, s"$base/q")
+      .select("id", "_violated").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q == Map(2L -> "positive", 3L -> "positive",
+      22L -> "id_rule", 33L -> "id_rule,positive"))
+  }
+
   test("time travel schema evolution: widened append, frozen old snapshots") {
     import graft.sources.TimeTravel
     import spark.implicits._
