@@ -1065,10 +1065,52 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Event-path transition matrix (the Markov-chain view of user
+    * journeys): per-user lag() pairs each event with its predecessor
+    * type, then the corpus-wide (prev → next) counts and per-prev-state
+    * transition shares in exact basis points (n·10000 div row-total —
+    * no IEEE). This is the "what do users do after X" analysis behind
+    * funnel design, and the transition matrix a next-event model trains
+    * on.
+    *
+    * Scale: one shuffle on user_id for the lag window (same contract
+    * as every query in this file), then a map-side-combined count on
+    * the (prev, next) pair — O(|types|²) output. The share window
+    * partitions on prev_type (bounded states), never globally. */
+  val qPaths: QueryDef = QueryDef.sql(
+    "q_events_paths",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), p AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS share_bp
+      |FROM p
+      |ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("_tot", sum(col("n")).over(wp))
+      .withColumn("share_bp", expr("n * 10000 div _tot"))
+      .drop("_tot")
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
-    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma)
+    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths)
 }

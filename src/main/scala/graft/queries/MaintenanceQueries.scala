@@ -691,7 +691,157 @@ object MaintenanceQueries {
       .orderBy("bucket")
   }
 
+  /** Merge-on-read DELETE via deletion vectors
+    * ([[graft.sources.TimeTravel.deleteMoR]]): two deletes tombstone
+    * rows by (file, row-position) WITHOUT rewriting any data file — an
+    * append in between proves tombstones carry across commits, and a
+    * final OPTIMIZE folds the DVs into a compacted rewrite. Every
+    * version's (count, exact-cents sum) is stated in closed form, so a
+    * tombstone that leaked into the wrong snapshot, double-counted, or
+    * failed to survive the append/compaction breaks the hash. The
+    * 100 TB story is the whole point: DELETE cost is O(matched rows) of
+    * tombstone output — not a table rewrite — deferred to maintenance
+    * time, which is how every modern table format prices deletes. */
+  val qDeleteMor: QueryDef = QueryDef.sql(
+    "q_delete_mor",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), app AS (
+      |  SELECT k + 2000000 AS k, cents + 3 AS cents FROM c WHERE k % 13 = 0
+      |), v2 AS (
+      |  SELECT * FROM c WHERE NOT (cents < 0)
+      |), v3 AS (
+      |  SELECT * FROM v2 UNION ALL SELECT * FROM app
+      |), v4 AS (
+      |  SELECT * FROM v3 WHERE k % 4 <> 0
+      |)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c
+      |  UNION ALL
+      |  SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v2
+      |  UNION ALL
+      |  SELECT 3, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v3
+      |  UNION ALL
+      |  SELECT 4, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v4
+      |  UNION ALL
+      |  SELECT 5, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v4
+      |)
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dv_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir)                            // v1
+    TimeTravel.deleteMoR(s, dir, col("cents") < 0L)               // v2
+    TimeTravel.commitAppend(c.filter(col("k") % 13 === 0)         // v3
+      .select((col("k") + 2000000L).as("k"), (col("cents") + 3L).as("cents")), dir)
+    TimeTravel.deleteMoR(s, dir, col("k") % 4 === 0)              // v4
+    val v5 = TimeTravel.optimize(s, dir)                          // folds DVs
+    (1L to v5).map { v =>
+      TimeTravel.read(s, dir, Some(v))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v.toInt).as("version"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
+  /** CHANGE DATA FEED between snapshots
+    * ([[graft.sources.TimeTravel.changeFeed]]): a CDC-shaped overwrite
+    * (updates +$1.00 for custkey%3, deletes custkey%5, re-keyed inserts
+    * for custkey%7) and the feed recovered by diffing v1→v2 — every key
+    * classified insert / delete / update_preimage+postimage, unchanged
+    * rows dropped by the row-hash compare. The oracle states the whole
+    * feed in closed form, so a misclassified cohort (a delete read as
+    * an update, a surviving unchanged row) breaks the hash. Scale: one
+    * co-partitioned full outer join on the key, output O(changed). */
+  val qChangeFeed: QueryDef = QueryDef.sql(
+    "q_change_feed",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), feed AS (
+      |  SELECT 'delete' AS ct, k, cents FROM c WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', k, cents FROM c WHERE k % 3 = 0 AND k % 5 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', k, cents + 100 FROM c WHERE k % 3 = 0 AND k % 5 <> 0
+      |  UNION ALL
+      |  SELECT 'insert', k + 1000000, cents + 7 FROM c WHERE k % 7 = 0
+      |)
+      |SELECT ct AS change_type, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM feed
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdf_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir)                            // v1
+    val after = c.filter(col("k") % 5 =!= 0)
+      .select(col("k"),
+        when(col("k") % 3 === 0, col("cents") + 100L).otherwise(col("cents")).as("cents"))
+      .unionByName(c.filter(col("k") % 7 === 0)
+        .select((col("k") + 1000000L).as("k"), (col("cents") + 7L).as("cents")))
+    TimeTravel.commitOverwrite(after, dir)                        // v2
+    TimeTravel.changeFeed(s, dir, "k", 1L, 2L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("change_type")
+  }
+
+  /** Incremental JOIN view maintenance — the delta rule for the join
+    * sibling of [[qIncrAggMerge]]'s aggregate: with a materialized
+    * V = R ⋈ S and inserts ΔR, ΔS arriving,
+    *
+    *   ΔV = ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS
+    *
+    * so the view advances by joining each DELTA against the other
+    * side — never re-joining R_old⋈S_old. Here R = orders split at a
+    * date watermark, S = customer split on a key cohort; the query
+    * materializes V_old, applies the three delta terms, and aggregates
+    * the maintained view per nation. The oracle is the from-scratch
+    * full join — proving V_old ⊎ ΔV ≡ recompute, which is the whole
+    * point. Scale: every delta term has a small side (the delta), so
+    * AQE broadcasts it; the O(|R|·|S|) recompute never runs. */
+  val qIncrJoinMerge: QueryDef = QueryDef.sql(
+    "q_incr_join_merge",
+    """SELECT c.c_nationkey AS nation,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+    val o = Tables(s, d, "orders").select(
+      col("o_custkey"), col("o_orderdate"), units(col("o_totalprice"), 2).as("cents"))
+    val c = Tables(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val (oldR, dR) = (o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut))
+    val (oldS, dS) = (c.filter(col("c_custkey") % 10 =!= 0), c.filter(col("c_custkey") % 10 === 0))
+    def j(r: org.apache.spark.sql.DataFrame, sS: org.apache.spark.sql.DataFrame) =
+      r.join(sS, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"), col("cents"))
+    val vOld = j(oldR, oldS)
+    val dV = j(dR, oldS).unionByName(j(oldR, dS)).unionByName(j(dR, dS))
+    vOld.unionByName(dV)
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
-    qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations)
+    qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
+    qChangeFeed, qIncrJoinMerge)
 }

@@ -147,5 +147,57 @@ object ProfileQueries {
       .orderBy(col("contribution").desc, col("key"))
   }
 
-  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks, qJoinSkew)
+  /** Distribution-drift report between two cohorts (the new data drop
+    * vs the reference window — here orders before/after a date split):
+    * per-category observed shares in exact integer BASIS POINTS
+    * (n·10000 div total — no IEEE anywhere), the share delta, and a
+    * per-category drift verdict at a 50 bp threshold. This is the
+    * monitoring half of [[qProfile]]: profile says what a drop looks
+    * like, drift says whether it still looks like the corpus the model
+    * was trained on — the check that catches a upstream pipeline
+    * silently changing its mix.
+    *
+    * Scale: two filtered counts per category over one scan (the CASE
+    * aggregation fuses them), report is O(categories). */
+  val qDriftDetect: QueryDef = QueryDef.sql(
+    "q_drift_detect",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS category,
+      |    o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AS is_cur
+      |  FROM orders
+      |), g AS (
+      |  SELECT category,
+      |    COUNT(*) FILTER (WHERE NOT is_cur) AS n_ref,
+      |    COUNT(*) FILTER (WHERE is_cur) AS n_cur
+      |  FROM b GROUP BY category
+      |), t AS (
+      |  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g
+      |)
+      |SELECT category, n_ref, n_cur,
+      |  CAST(n_ref * 10000 // t_ref AS BIGINT) AS ref_bp,
+      |  CAST(n_cur * 10000 // t_cur AS BIGINT) AS cur_bp,
+      |  CAST(n_cur * 10000 // t_cur - n_ref * 10000 // t_ref AS BIGINT) AS delta_bp,
+      |  ABS(n_cur * 10000 // t_cur - n_ref * 10000 // t_ref) > 50 AS drifted
+      |FROM g, t
+      |ORDER BY category""".stripMargin) { (s, d) =>
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    val g = ord(s, d)
+      .select(col("o_orderpriority").as("category"),
+        (col("o_orderdate") >= cut).as("is_cur"))
+      .groupBy("category")
+      .agg(count(when(!col("is_cur"), 1)).as("n_ref"),
+        count(when(col("is_cur"), 1)).as("n_cur"))
+    // totals: O(categories) rows re-aggregated, then broadcast back —
+    // the corpus is scanned exactly once
+    val t = g.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    g.crossJoin(broadcast(t))
+      .withColumn("ref_bp", expr("n_ref * 10000 div t_ref"))
+      .withColumn("cur_bp", expr("n_cur * 10000 div t_cur"))
+      .withColumn("delta_bp", col("cur_bp") - col("ref_bp"))
+      .withColumn("drifted", abs(col("delta_bp")) > 50)
+      .drop("t_ref", "t_cur")
+      .orderBy("category")
+  }
+
+  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks, qJoinSkew, qDriftDetect)
 }

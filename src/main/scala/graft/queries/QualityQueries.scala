@@ -398,5 +398,42 @@ object QualityQueries {
       .orderBy("shard")
   }
 
-  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality, qDsirScore, qNegativePairs, qCorpusPipeline)
+  /** k-anonymity / l-diversity audit — the re-identification check run
+    * before a dataset with quasi-identifiers is released (the privacy
+    * tier's measurement half, beside [[qPiiScan]]/[[qPiiRedact]]'s
+    * detection and TimeTravel.purge's erasure): group by the
+    * quasi-identifier tuple (nation × market segment), report each
+    * equivalence class's size, whether it breaks k=10 (any member is
+    * re-identifiable within < k candidates), and the class's count of
+    * DISTINCT sensitive values ($5000-bucketed balance) against l=3 —
+    * a class can be k-anonymous yet leak the sensitive value when
+    * everyone in it shares one (that is what l-diversity catches).
+    *
+    * Scale: one groupBy on the QI tuple with a fused count-distinct —
+    * O(classes) output, single shuffle, no row ever leaves the
+    * executor. */
+  val qKAnonymity: QueryDef = QueryDef.sql(
+    "q_k_anonymity",
+    """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |  COUNT(*) AS n,
+      |  COUNT(*) < 10 AS k_violated,
+      |  COUNT(DISTINCT (CAST(ROUND(c_acctbal * 100.0) AS BIGINT) + 100000) // 500000) AS n_sensitive,
+      |  COUNT(DISTINCT (CAST(ROUND(c_acctbal * 100.0) AS BIGINT) + 100000) // 500000) < 3 AS l_violated
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("(cast(round(c_acctbal * 100.0) as bigint) + 100000) div 500000").as("sens"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) < 10).as("k_violated"),
+        countDistinct(col("sens")).as("n_sensitive"),
+        (countDistinct(col("sens")) < 3).as("l_violated"))
+      .orderBy("nation", "segment")
+  }
+
+  val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality,
+    qDsirScore, qNegativePairs, qCorpusPipeline, qKAnonymity)
 }

@@ -625,11 +625,29 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Global contiguous row ids WITHOUT a single-partition window
+    * ([[graft.operators.IdOps.globalIds]] — the zipWithIndex algorithm
+    * in DataFrame terms: range partition, local rank, broadcast
+    * prefix-sum offsets). The oracle is the naive
+    * `row_number() OVER (ORDER BY k)` — at sf0.01 both are computable,
+    * but only the distributed form survives 100 TB, where the empty
+    * partition spec plans an all-rows single-task exchange. Full dump:
+    * any gap, duplicate, or offset slip in the stitched ordinals breaks
+    * the hash. PlanSpec asserts the no-SinglePartition claim. */
+  val qGlobalIds: QueryDef = QueryDef.sql(
+    "q_global_ids",
+    """SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS gid
+      |FROM orders""".stripMargin) { (s, d) =>
+    graft.operators.IdOps.globalIds(
+      ord(s, d).select("o_orderkey"), "o_orderkey",
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
     qTopOrders, qRangeJoin, qIntervalJoin, qCrossJoin, qAggStats,
     qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority,
-    qSetOpsAll, qWindowDist, qWindowFirstLast)
+    qSetOpsAll, qWindowDist, qWindowFirstLast, qGlobalIds)
 }

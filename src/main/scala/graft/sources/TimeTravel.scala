@@ -38,6 +38,12 @@ object TimeTravel {
   private def vname(v: Long) = f"v$v%05d"
   private def manifestDir(path: String) = new Path(s"$path/_versions")
   private def dataDir(path: String, v: Long) = s"data/${vname(v)}"
+  private def dvDir(v: Long) = s"dv/${vname(v)}"
+
+  /** DV tombstone key columns: (file URI, row position within file) —
+    * `_metadata.row_index` is stable per physical parquet file, which
+    * is exactly why table formats key deletion vectors on it. */
+  private val DvCols = Seq("_dv_fp", "_dv_ri")
 
   /** Versions in commit order (empty for a fresh path). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
@@ -87,14 +93,28 @@ object TimeTravel {
     }
   }
 
+  /** Deletion-vector directories visible at `version` — merge-on-read
+    * tombstones layered over the (immutable) data listing. Absent field
+    * = no DVs; old manifests parse unchanged. */
+  private def dvListing(spark: SparkSession, path: String, version: Long): Seq[String] =
+    """"dvs"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(rawManifest(spark, path, version)) match {
+      case Some(m) if m.group(1).trim.nonEmpty =>
+        m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case _ => Seq.empty
+    }
+
   /** Publish `dirs` as version `v` via write-then-atomic-rename. */
   private def publish(spark: SparkSession, path: String, v: Long, dirs: Seq[String],
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None, dvs: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
+    val dvField =
+      if (dvs.isEmpty) ""
+      else dvs.map("\"" + _ + "\"").mkString(""","dvs":[""", ",", "]")
     val body = dirs.map("\"" + _ + "\"").mkString(
-      s"""{"version":$v$tagField,"dirs":[""", ",", "]}")
+      s"""{"version":$v$tagField$dvField,"dirs":[""", ",", "]}")
     val staging = new Path(manifestDir(path), s".${vname(v)}.json.staging")
     val out = f.create(staging, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -115,9 +135,13 @@ object TimeTravel {
     * the previous version saw. Returns the new version number. */
   def commitAppend(df: DataFrame, path: String, tag: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val v = latest(spark, path).getOrElse(0L) + 1
-    val prev = latest(spark, path).map(listing(spark, path, _)).getOrElse(Seq.empty)
-    publish(spark, path, v, prev :+ writeData(df, path, v), tag)
+    val cur = latest(spark, path)
+    val v = cur.getOrElse(0L) + 1
+    val prev = cur.map(listing(spark, path, _)).getOrElse(Seq.empty)
+    // existing tombstones carry forward: they key on (file, pos) of the
+    // immutable old directories, which an append never touches
+    val prevDvs = cur.map(dvListing(spark, path, _)).getOrElse(Seq.empty)
+    publish(spark, path, v, prev :+ writeData(df, path, v), tag, prevDvs)
     v
   }
 
@@ -146,7 +170,8 @@ object TimeTravel {
     * an undo that is itself in the history, never a history rewrite. */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
     val v = latest(spark, path).getOrElse(0L) + 1
-    publish(spark, path, v, listing(spark, path, toVersion))
+    publish(spark, path, v, listing(spark, path, toVersion),
+      dvs = dvListing(spark, path, toVersion))
     v
   }
 
@@ -160,9 +185,134 @@ object TimeTravel {
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
     val dirs = listing(spark, path, v)
+    val dvs = dvListing(spark, path, v)
     if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(dirs.map(d => s"$path/$d"): _*)
+    else {
+      val data = spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(dirs.map(d => s"$path/$d"): _*)
+      if (dvs.isEmpty) data
+      else {
+        // merge-on-read: subtract the tombstoned (file, pos) pairs. The
+        // DV side is O(deleted rows) and AQE broadcasts it when small —
+        // the read-amplification a MoR table pays until OPTIMIZE folds
+        // the DVs back into data files.
+        import org.apache.spark.sql.functions.col
+        val withPos = data.select(col("*"),
+          col("_metadata.file_path").as(DvCols.head),
+          col("_metadata.row_index").as(DvCols.last))
+        val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
+        withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
+      }
+    }
+  }
+
+  /** Merge-on-read DELETE: tombstone the live rows matching `condition`
+    * by (file, row-position) in a NEW deletion-vector directory — the
+    * data files are never rewritten. Cost is one scan emitting only the
+    * matched positions (O(matches) output); the pre-delete snapshot
+    * stays time-travelable, and [[optimize]] later folds the DVs into a
+    * compacted rewrite. Rows already tombstoned are skipped, so deletes
+    * compose without double-counting. This is the cheap-delete half of
+    * the copy-on-write/merge-on-read trade: [[merge]]/[[purge]] rewrite
+    * (CoW), deleteMoR defers the rewrite to maintenance time. */
+  def deleteMoR(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to delete at $path"))
+    val dirs = listing(spark, path, cur)
+    val prevDvs = dvListing(spark, path, cur)
+    val v = cur + 1
+    val data = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as(DvCols.head),
+        col("_metadata.row_index").as(DvCols.last))
+    val live =
+      if (prevDvs.isEmpty) data
+      else data.join(
+        spark.read.parquet(prevDvs.map(d => s"$path/$d"): _*), DvCols, "left_anti")
+    live.filter(condition).select(DvCols.head, DvCols.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
+    publish(spark, path, v, dirs, dvs = prevDvs :+ dvDir(v))
+    v
+  }
+
+  /** Incremental consumption of an APPEND-ONLY table: the rows committed
+    * after `sinceVersion`, read from exactly the data directories the
+    * newer manifests added — O(new data), no key join, no rescan of
+    * history (the cheap fast path [[changeFeed]] generalizes; a
+    * downstream index/aggregate consumes this per poll). If any commit
+    * since `sinceVersion` was NOT a pure append (an overwrite, merge,
+    * rollback or purge dropped a directory the old snapshot saw), the
+    * directory diff is not the row delta — fail loudly so the consumer
+    * resyncs via [[changeFeed]] instead of silently double-counting. */
+  def readAppendsSince(spark: SparkSession, path: String, sinceVersion: Long): DataFrame = {
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val old = listing(spark, path, sinceVersion)
+    val now = listing(spark, path, cur)
+    val dropped = old.filterNot(now.toSet)
+    if (dropped.nonEmpty) throw new IllegalStateException(
+      s"table at $path diverged from append-only history since v$sinceVersion " +
+        s"(dirs dropped: ${dropped.mkString(", ")}); resync with changeFeed")
+    // a MoR delete keeps every dir but still changes the row set — the
+    // added-dirs diff would silently miss the deletions
+    if (dvListing(spark, path, cur) != dvListing(spark, path, sinceVersion))
+      throw new IllegalStateException(
+        s"deletion vectors changed since v$sinceVersion; resync with changeFeed")
+    val added = now.filterNot(old.toSet)
+    if (added.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(added.map(d => s"$path/$d"): _*)
+  }
+
+  /** CHANGE DATA FEED: the row-level delta between two snapshots, keyed
+    * on `key` (unique per snapshot) — every key classified as
+    * `insert` / `delete` / `update_preimage`+`update_postimage` by one
+    * co-partitioned FULL OUTER join with an md5 row-hash comparison;
+    * unchanged rows are dropped in the same pass. This is the Delta CDF
+    * read face recovered from plain snapshots: downstream consumers
+    * (feature stores, index maintainers, [[InvertedIndex.append]]-style
+    * incrementals) apply the feed instead of rescanning the table.
+    *
+    * Scale: both sides are table-sized, so the join shuffles on the key
+    * and never broadcasts; output is O(changed rows). Column set is the
+    * `to` snapshot's (schema evolution: a column added between the
+    * versions surfaces as null on the preimage side). */
+  def changeFeed(spark: SparkSession, path: String, key: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val after = read(spark, path, Some(toVersion))
+    // align the preimage side to the `to` schema so the pre/post structs
+    // unify (a column added between the versions reads as null here)
+    val before0 = read(spark, path, Some(fromVersion))
+    val bcols = before0.columns.toSet
+    val before = before0.select(after.columns.toSeq.map(c =>
+      if (bcols(c)) col(c)
+      else lit(null).cast(after.schema(c).dataType).as(c)): _*)
+    def pack(df: DataFrame) = {
+      val cols = df.columns.sorted
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000null")))
+      df.select(col(key).as("_k"),
+        md5(concat_ws("\u0001", cols: _*)).as("_rh"),
+        struct(df.columns.map(col).toSeq: _*).as("_row"))
+    }
+    val b = pack(before).withColumnsRenamed(Map("_rh" -> "_rh_b", "_row" -> "_row_b"))
+    val a = pack(after).withColumnsRenamed(Map("_rh" -> "_rh_a", "_row" -> "_row_a"))
+    b.join(a, Seq("_k"), "full_outer")
+      .withColumn("_ct",
+        when(col("_rh_b").isNull, "insert")
+          .when(col("_rh_a").isNull, "delete")
+          .when(col("_rh_b") =!= col("_rh_a"), "update"))
+      .filter(col("_ct").isNotNull)
+      .select(explode(
+        when(col("_ct") === "insert",
+          array(struct(col("_row_a").as("r"), lit("insert").as("t"))))
+        .when(col("_ct") === "delete",
+          array(struct(col("_row_b").as("r"), lit("delete").as("t"))))
+        .otherwise(array(
+          struct(col("_row_b").as("r"), lit("update_preimage").as("t")),
+          struct(col("_row_a").as("r"), lit("update_postimage").as("t"))))).as("e"))
+      .select(col("e.r.*"), col("e.t").as("_change_type"))
   }
 
   /** Compact the LIVE snapshot's accumulated directories into one
@@ -174,7 +324,8 @@ object TimeTravel {
   def optimize(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
     val v = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to optimize at $path"))
-    if (listing(spark, path, v).size <= 1) v // already compact
+    // already compact = one data dir AND no deletion vectors to fold in
+    if (listing(spark, path, v).size <= 1 && dvListing(spark, path, v).isEmpty) v
     else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
   }
 
@@ -270,13 +421,16 @@ object TimeTravel {
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Seq[String] = {
     val f = fs(spark, path)
     val vs = versions(spark, path)
-    val live = vs.takeRight(keepVersions.max(1))
-      .flatMap(listing(spark, path, _)).toSet
-    val dataRoot = new Path(s"$path/data")
-    if (!f.exists(dataRoot)) return Seq.empty
-    val victims = f.listStatus(dataRoot).toSeq
-      .map(st => s"data/${st.getPath.getName}")
-      .filterNot(live.contains)
+    val kept = vs.takeRight(keepVersions.max(1))
+    val live = kept.flatMap(listing(spark, path, _)).toSet ++
+      kept.flatMap(dvListing(spark, path, _))
+    val victims = Seq("data", "dv").flatMap { root =>
+      val rootPath = new Path(s"$path/$root")
+      if (!f.exists(rootPath)) Seq.empty
+      else f.listStatus(rootPath).toSeq
+        .map(st => s"$root/${st.getPath.getName}")
+        .filterNot(live.contains)
+    }
     victims.foreach(d => f.delete(new Path(s"$path/$d"), true))
     victims.sorted
   }

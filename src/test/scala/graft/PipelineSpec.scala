@@ -562,6 +562,108 @@ class PipelineSpec extends SparkSpec {
       .columns.toSet == Set("id", "payload"))
   }
 
+  test("merge-on-read delete: tombstones compose, data files never rewritten, optimize folds") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttdv").toFile.getAbsolutePath + "/t"
+    def dataDirs = {
+      val root = new java.io.File(s"$dir/data")
+      if (!root.exists()) Set.empty[String]
+      else root.listFiles().map(_.getName).toSet
+    }
+    def dataMtimes = new java.io.File(s"$dir/data").listFiles()
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    def ids = TimeTravel.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    val v1 = TimeTravel.commitOverwrite(
+      (0L until 10L).map(i => (i, s"row-$i")).toDF("id", "payload"), dir)
+    val before = (dataDirs, dataMtimes)
+
+    // delete = new DV dir only: same data dirs, same bytes untouched
+    val v2 = TimeTravel.deleteMoR(spark, dir, col("id") < 3L)
+    assert(ids == (3L until 10L))
+    assert((dataDirs, dataMtimes) == before, "a MoR delete must not touch data files")
+    assert(new java.io.File(s"$dir/dv").listFiles().map(_.getName).toSeq == Seq("v00002"))
+    // pre-delete snapshot still complete
+    assert(TimeTravel.read(spark, dir, Some(v1)).count() == 10)
+
+    // tombstones carry across an append; a second delete composes
+    TimeTravel.commitAppend((10L until 15L).map(i => (i, s"row-$i")).toDF("id", "payload"), dir)
+    assert(ids == (3L until 15L))
+    TimeTravel.deleteMoR(spark, dir, col("id") % 2 === 0)
+    assert(ids == Seq(3L, 5L, 7L, 9L, 11L, 13L))
+    // re-deleting already-dead rows: a no-op tombstone set, not double entries
+    TimeTravel.deleteMoR(spark, dir, col("id") % 2 === 0)
+    assert(ids == Seq(3L, 5L, 7L, 9L, 11L, 13L))
+
+    // optimize folds DVs into a compacted rewrite; vacuum reclaims them
+    val vOpt = TimeTravel.optimize(spark, dir)
+    assert(ids == Seq(3L, 5L, 7L, 9L, 11L, 13L))
+    TimeTravel.vacuum(spark, dir, keepVersions = 1)
+    assert(!new java.io.File(s"$dir/dv").exists() ||
+      new java.io.File(s"$dir/dv").listFiles().isEmpty,
+      "vacuum must reclaim deletion-vector dirs no kept version references")
+    // post-fold the table is compact: optimize is now a no-op
+    assert(TimeTravel.optimize(spark, dir) == vOpt)
+    assert(ids == Seq(3L, 5L, 7L, 9L, 11L, 13L))
+  }
+
+  test("change feed: insert/delete/update classification, unchanged rows dropped") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttcdf").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "payload"), dir)
+    TimeTravel.commitOverwrite(
+      Seq((2L, "B"), (3L, "c"), (4L, "d"), (7L, "g")).toDF("id", "payload"), dir)
+    val feed = TimeTravel.changeFeed(spark, dir, "id", 1L, 2L)
+      .select("id", "payload", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (1L, "a", "delete"),
+      (2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage"),
+      (7L, "g", "insert")), s"got $feed")
+  }
+
+  test("change feed across schema evolution: added column reads null on the preimage side") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttcdfevo").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    TimeTravel.commitOverwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "payload", "score"), dir)
+    val feed = TimeTravel.changeFeed(spark, dir, "id", 1L, 2L)
+    assert(feed.columns.toSet == Set("id", "payload", "score", "_change_type"))
+    // every row "changed" (score went null→value); preimages carry null
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .filter(col("score").isNull).count() == 2)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .filter(col("score").isNotNull).count() == 2)
+  }
+
+  test("readAppendsSince: O(new data) delta for append-only history, loud on divergence") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttinc").toFile.getAbsolutePath + "/t"
+    val v1 = TimeTravel.commitOverwrite(Seq((1L, "a")).toDF("id", "payload"), dir)
+    TimeTravel.commitAppend(Seq((2L, "b")).toDF("id", "payload"), dir)
+    TimeTravel.commitAppend(Seq((3L, "c")).toDF("id", "payload"), dir)
+    val delta = TimeTravel.readAppendsSince(spark, dir, v1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(delta == Seq(2L, 3L))
+    // caught up: empty delta
+    val v3 = TimeTravel.versions(spark, dir).last
+    assert(TimeTravel.readAppendsSince(spark, dir, v3).isEmpty)
+    // a MoR delete keeps all dirs but changes the row set → loud failure
+    TimeTravel.deleteMoR(spark, dir, col("id") === 2L)
+    intercept[IllegalStateException] { TimeTravel.readAppendsSince(spark, dir, v1) }
+    // an overwrite drops dirs the old snapshot saw → loud failure
+    TimeTravel.commitOverwrite(Seq((9L, "z")).toDF("id", "payload"), dir)
+    intercept[IllegalStateException] { TimeTravel.readAppendsSince(spark, dir, v1) }
+  }
+
   test("http backend: token bucket paces consecutive calls") {
     var clock = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -552,4 +552,18 @@ class PlanSpec extends SparkSpec {
       s"the binned rewrite must keep the inequality join off nested loops:\n$p")
     assert(p.contains("_bin"), s"the bin key must drive the join:\n$p")
   }
+
+  test("global ids: partition-local window + broadcast offsets, never a single-partition exchange") {
+    val p = phys(queries.Relational.qGlobalIds.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the whole point: no all-rows single-task exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the O(partitions) offset table must broadcast:\n$p")
+    // the naive form DOES plan the cliff — proving the assertion bites
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables(spark, sf, "orders")
+      .withColumn("gid", row_number().over(Window.orderBy("o_orderkey")))
+    assert(phys(naive).contains("Exchange SinglePartition"),
+      "naive row_number over an empty partition spec should single-partition")
+  }
 }

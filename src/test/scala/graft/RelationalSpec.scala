@@ -36,8 +36,8 @@ class RelationalSpec extends SparkSpec {
     // to 138 reported queries. Pin the count: adding a query means
     // bumping this number in the same commit — removing one without
     // noticing becomes a test failure instead of a shorter report.
-    assert(SparkEntry.queries.size == 184,
-      s"expected 184 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 191,
+      s"expected 191 registered queries, got ${SparkEntry.queries.size}")
     assert(SparkEntry.defs.map(_.name).distinct.size == SparkEntry.defs.size,
       "duplicate query names would silently collapse in the queries map")
   }
@@ -75,5 +75,21 @@ class RelationalSpec extends SparkSpec {
     val want = spark.sql(q.oracle.get).collect().toSeq
     val got = q.run(spark, sf).collect().toSeq
     assert(got == want, s"two-pass tiles diverge from NTILE:\ngot  $got\nwant $want")
+  }
+
+  test("global ids: contiguous, order-correct, robust to empty range partitions") {
+    import graft.operators.IdOps
+    import spark.implicits._
+    // keys deliberately clustered so some of the 8 range partitions end
+    // up empty (the prefix-sum must skip them without slipping)
+    val keys = Seq(5L, 900L, 901L, 902L, 903L, 1L, 950L, 2L, 960L, 3L)
+    val got = IdOps.globalIds(keys.map(Tuple1(_)).toDF("k"), "k", numParts = 8)
+      .select("k", "gid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    assert(got == want, s"got $got")
+    // single row, more partitions than rows
+    val one = IdOps.globalIds(Seq(Tuple1(42L)).toDF("k"), "k", numParts = 4)
+      .select("gid").collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L))
   }
 }
