@@ -1107,10 +1107,100 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Regular-grid RESAMPLING with linear interpolation — the
+    * time-series sibling of [[qGapfill]]'s carry-forward: each user's
+    * irregular event series is evaluated on a 6-hour grid, every grid
+    * instant interpolated between its surrounding events
+    * (v0 + (v1−v0)·(t−t0)/(t1−t0) — one fixed-shape IEEE chain over
+    * exact epoch-µs/cent integers, so both engines bit-agree). Grid
+    * points before the first or after the last event emit nothing
+    * (interpolation, not extrapolation); an event exactly on the grid
+    * reproduces its own value. Same-timestamp events collapse
+    * deterministically to the max-event_id row first, so the
+    * prev/next pairing never depends on sort-tie luck.
+    *
+    * Scale: the union-of-grid-and-events trick — ONE shuffle on
+    * user_id orders events and grid points together, and two running
+    * windows (back/forward) find the surrounding events without any
+    * per-grid-point join against the series (the quadratic shape the
+    * naive lateral join has). Grid size is bounded by span/step. */
+  val qResample: QueryDef = QueryDef.sql(
+    "q_events_resample",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    arg_max(CAST(ROUND(value * 100.0) AS BIGINT), event_id) AS vc
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY user_id, epoch_us(ts)
+      |), b AS (
+      |  SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM e GROUP BY user_id
+      |), g AS (
+      |  SELECT user_id,
+      |    UNNEST(range(((mn + 21599999999) // 21600000000) * 21600000000,
+      |                 mx + 1, 21600000000)) AS t
+      |  FROM b
+      |  WHERE ((mn + 21599999999) // 21600000000) * 21600000000 <= mx
+      |), u AS (
+      |  SELECT user_id, t, vc, 1 AS is_event FROM e
+      |  UNION ALL
+      |  SELECT user_id, t, NULL, 0 FROM g
+      |), w AS (
+      |  SELECT user_id, t, is_event,
+      |    last_value(CASE WHEN is_event = 1 THEN t END IGNORE NULLS) OVER win_b AS t0,
+      |    last_value(CASE WHEN is_event = 1 THEN vc END IGNORE NULLS) OVER win_b AS v0,
+      |    first_value(CASE WHEN is_event = 1 THEN t END IGNORE NULLS) OVER win_f AS t1,
+      |    first_value(CASE WHEN is_event = 1 THEN vc END IGNORE NULLS) OVER win_f AS v1
+      |  FROM u
+      |  WINDOW
+      |    win_b AS (PARTITION BY user_id ORDER BY t, is_event DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    win_f AS (PARTITION BY user_id ORDER BY t, is_event DESC
+      |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, t AS grid_us,
+      |  CAST(v0 AS DOUBLE) / 100 +
+      |    CAST(v1 - v0 AS DOUBLE) * CAST(t - t0 AS DOUBLE)
+      |      / CAST(t1 - t0 AS DOUBLE) / 100 AS value_interp
+      |FROM w
+      |WHERE is_event = 0 AND t0 IS NOT NULL AND t1 IS NOT NULL
+      |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+    val stepUs = 21600000000L // 6 hours
+    val e = ev(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        units(col("value"), 2).as("vc"), col("event_id"))
+      .groupBy("user_id", "t")
+      .agg(expr("max_by(vc, event_id)").as("vc"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .withColumn("g0", expr(s"((mn + ${stepUs - 1}L) div ${stepUs}L) * ${stepUs}L"))
+      .filter(col("g0") <= col("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("g0"), col("mx"), lit(stepUs))).as("t"))
+    val u = e.select(col("user_id"), col("t"), col("vc"), lit(1).as("is_event"))
+      .unionByName(grid.select(col("user_id"), col("t"),
+        lit(null).cast("long").as("vc"), lit(0).as("is_event")))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_event").desc)
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val evT = when(col("is_event") === 1, col("t"))
+    val evV = when(col("is_event") === 1, col("vc"))
+    u.withColumn("t0", last(evT, ignoreNulls = true).over(back))
+      .withColumn("v0", last(evV, ignoreNulls = true).over(back))
+      .withColumn("t1", first(evT, ignoreNulls = true).over(fwd))
+      .withColumn("v1", first(evV, ignoreNulls = true).over(fwd))
+      .filter(col("is_event") === 0 && col("t0").isNotNull && col("t1").isNotNull)
+      .select(col("user_id"), col("t").as("grid_us"),
+        (col("v0").cast("double") / 100.0 +
+          (col("v1") - col("v0")).cast("double") * (col("t") - col("t0")).cast("double") /
+            (col("t1") - col("t0")).cast("double") / 100.0).as("value_interp"))
+      .orderBy("user_id", "grid_us")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
-    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths)
+    qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
+    qResample)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operational/maintenance analytics (EXT operators): the patterns a
@@ -840,8 +841,72 @@ object MaintenanceQueries {
       .orderBy("nation")
   }
 
+  /** Mergeable QUANTILE sketch at rest — the fourth member of the
+    * sketch tier (Bloom = membership, HLL = distinct, CMS = frequency,
+    * this = quantiles): per-shard equi-width histograms of order totals
+    * ($10k bins, exact BIGINT counts) are persisted once, merged by a
+    * plain `GROUP BY bin / SUM` (elementwise addition — associative,
+    * commutative, so shards combine in any order), and p50/p90/p99 read
+    * out by EXACT integer rank: the smallest bin whose cumulative count
+    * reaches ceil(q·total/100). No IEEE anywhere — unlike t-digest/KLL
+    * the readout is deterministic to the bin, which is what makes it
+    * cross-engine checkable; the oracle rebuilds the histogram globally,
+    * so the shard-merge ≡ direct-build claim IS the checked property.
+    *
+    * Scale: the sketch is O(bins) per shard regardless of rows; the
+    * cumulative window runs over the ≤O(bins) merged table (bounded —
+    * never the corpus). */
+  val qQuantileSketch: QueryDef = QueryDef.sql(
+    "q_quantile_sketch",
+    """WITH b AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) // 1000000 AS bin
+      |  FROM orders
+      |), h AS (
+      |  SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
+      |), t AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM h
+      |), c AS (
+      |  SELECT bin, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h
+      |), qs AS (
+      |  SELECT UNNEST([50, 90, 99]) AS q
+      |), r AS (
+      |  SELECT q, CAST((q * total + 99) // 100 AS BIGINT) AS target_rank, total
+      |  FROM qs, t
+      |)
+      |SELECT r.q, CAST(MIN(c.bin) * 1000000 AS BIGINT) AS bin_lo_cents,
+      |  r.target_rank, r.total
+      |FROM r JOIN c ON c.cum >= r.target_rank
+      |GROUP BY r.q, r.target_rank, r.total
+      |ORDER BY r.q""".stripMargin) { (s, d) =>
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_qsk_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    import s.implicits._
+    // build per-shard sketches and persist them — at 100 TB these are
+    // the per-partition histograms a stats job leaves beside the data
+    Tables(s, d, "orders")
+      .select((col("o_orderkey") % 8).as("shard"),
+        expr("cast(round(o_totalprice * 100.0) as bigint) div 1000000").as("bin"))
+      .groupBy("shard", "bin").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    // merge = elementwise sum over the stored sketches (O(shards·bins))
+    val merged = s.read.parquet(dir).groupBy("bin").agg(sum(col("n")).as("n"))
+    val total = merged.agg(sum(col("n")).as("total"))
+    // bounded-table window: |bins| rows, never the corpus
+    val cum = merged.withColumn("cum",
+      sum(col("n")).over(Window.orderBy("bin")))
+    val r = Seq(50, 90, 99).toDF("q")
+      .crossJoin(broadcast(total))
+      .withColumn("target_rank", expr("(q * total + 99) div 100"))
+    r.join(cum, col("cum") >= col("target_rank"))
+      .groupBy("q", "target_rank", "total")
+      .agg((min(col("bin")) * 1000000L).as("bin_lo_cents"))
+      .select(col("q"), col("bin_lo_cents"), col("target_rank"), col("total"))
+      .orderBy("q")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
-    qChangeFeed, qIncrJoinMerge)
+    qChangeFeed, qIncrJoinMerge, qQuantileSketch)
 }
