@@ -201,6 +201,38 @@ object CdcQueries {
       .orderBy("lang", "source")
   }
 
+  /** ORC interchange roundtrip — the third columnar-format face beside
+    * parquet (native) and the CSV/JSONL/tar text formats: orders
+    * snapshot to ORC, read back THROUGH an ORC predicate + projection
+    * (both push into the ORC reader the same way parquet's do — the
+    * property PlanSpec pins), aggregate. The oracle runs the identical
+    * filter over the parquet original, so any value mangling in the
+    * ORC writer/reader path (timestamps, decimals-as-doubles, string
+    * encodings) breaks the hash. */
+  val qOrcRoundtrip: QueryDef = QueryDef.sql(
+    "q_orc_roundtrip",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_orc_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    Tables(s, d, "orders").write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.Exact.units(col("o_totalprice"), 2)).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
-    qJsonlRoundtrip, qTarRoundtrip)
+    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip)
 }

@@ -553,6 +553,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_bin"), s"the bin key must drive the join:\n$p")
   }
 
+  test("ORC scan pushes the status filter and prunes to the referenced columns") {
+    val p = phys(queries.CdcQueries.qOrcRoundtrip.run(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("o_orderstatus"),
+      s"the status filter must reach the ORC reader:\n$p")
+    assert(!p.contains("o_custkey") && !p.contains("o_orderdate"),
+      s"unused columns must not be read back from ORC:\n$p")
+  }
+
   test("global ids: partition-local window + broadcast offsets, never a single-partition exchange") {
     val p = phys(queries.Relational.qGlobalIds.run(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),

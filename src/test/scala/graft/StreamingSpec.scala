@@ -667,4 +667,48 @@ class StreamingSpec extends SparkSpec {
       EventStreams.dedupEvents(stream), "t_dedup", "append", ckpt())
     assert(got.count() == got.select("event_id").distinct().count())
   }
+
+  test("streaming drift report equals the batch report exactly, replay-idempotent") {
+    import graft.streaming.DriftStreams
+    // two source files + maxFilesPerTrigger=1 → two genuine micro-batches
+    val srcDir = {
+      val dir = Files.createTempDirectory("drift_stream")
+      Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve("part-0.parquet"))
+      Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+        dir.resolve("part-1.parquet"))
+      dir.toFile.getAbsolutePath
+    }
+    val countDir = Files.createTempDirectory("drift_store").toFile.getAbsolutePath + "/c"
+    // reference: the event-type mix with one category deliberately absent
+    // (full-outer coverage) and one synthetic extra
+    val reference = Tables(spark, sf, "events")
+      .filter(col("event_type") =!= "error")
+      .groupBy(col("event_type").as("category")).agg(count(lit(1)).as("n"))
+      .unionByName(spark.sql("SELECT 'retired_type' AS category, 50L AS n"))
+    def run(ck: String): Unit = DriftStreams.countStream(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      countDir, ck, "event_type")
+    run(ckpt())
+    assert(spark.read.parquet(countDir)
+      .select("batch_id").distinct().count() >= 2, "expected multiple micro-batches")
+    val streamed = DriftStreams.driftReport(spark, countDir, reference).collect().toSeq
+    // batch form over the same rows: counts are mergeable, so equality is exact
+    val batchCur = spark.read.parquet(srcDir)
+      .groupBy(col("event_type").as("category")).agg(count(lit(1)).as("n"))
+    val direct = DriftStreams.driftReport(spark, countDir, reference)
+      .select("category", "n_cur").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = batchCur.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(want.forall { case (c, n) => direct(c) == n },
+      s"streamed counts diverge: $direct vs $want")
+    // absent-from-stream category surfaces with n_cur=0 and negative delta
+    val retired = streamed.find(_.getString(0) == "retired_type").get
+    assert(retired.getLong(streamed.head.fieldIndex("n_cur")) == 0L)
+    // fresh checkpoint replays every batch: batch-id overwrite keeps the
+    // report identical, not doubled
+    run(ckpt())
+    assert(DriftStreams.driftReport(spark, countDir, reference).collect().toSeq == streamed)
+  }
 }
