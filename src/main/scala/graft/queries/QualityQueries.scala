@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{Chunkers, PiiFunctions => PII, TextFunctions => TF}
 import graft.operators.SearchOps
-import graft.{QueryDef, Tables}
+import graft.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   * broadcast of corpus-growing sides).
   */
 object QualityQueries {
+
+  import Exact._
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
@@ -434,6 +436,55 @@ object QualityQueries {
       .orderBy("nation", "segment")
   }
 
+  /** Keyed PSEUDONYMIZATION with referential integrity — the GDPR
+    * pseudonymization pattern (recital 28 shape): natural keys on both
+    * sides of a relationship are replaced by a keyed hash
+    * (pepper ∥ key → md5), the raw key is dropped, and the analytics
+    * join runs ON THE TOKENS. The oracle computes the same report from
+    * the RAW-key join, so hash equality proves tokenization preserved
+    * the join structure exactly (same token function ⟹ same equality
+    * classes — the whole point of deterministic pseudonymization); the
+    * token-distinct count per nation additionally pins the absence of
+    * collisions at this scale.
+    *
+    * Scale: tokenization is a narrow codegen'd projection (md5);
+    * the join shuffles on the token exactly as it would on the key —
+    * pseudonymizing costs nothing structurally. */
+  val qPseudonymize: QueryDef = QueryDef.sql(
+    "q_pseudonymize",
+    """WITH a AS (
+      |  SELECT md5('pepper-2024:' || CAST(c_custkey AS VARCHAR)) AS token,
+      |    c_nationkey
+      |  FROM customer
+      |), b AS (
+      |  SELECT md5('pepper-2024:' || CAST(o_custkey AS VARCHAR)) AS token,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT c.c_nationkey AS nation,
+      |  COUNT(o.o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  (SELECT COUNT(DISTINCT a.token) FROM a
+      |     WHERE a.c_nationkey = c.c_nationkey) AS n_tokens
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY nation""".stripMargin) { (s, d) =>
+    val pepper = "pepper-2024:"
+    val a = Tables(s, d, "customer")
+      .select(md5(concat(lit(pepper), col("c_custkey").cast("string"))).as("token"),
+        col("c_nationkey").cast("long").as("nation"))
+    val b = Tables(s, d, "orders")
+      .select(md5(concat(lit(pepper), col("o_custkey").cast("string"))).as("token"),
+        units(col("o_totalprice"), 2).as("cents"))
+    val joined = a.join(b, Seq("token"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    val tokens = a.groupBy("nation").agg(countDistinct(col("token")).as("n_tokens"))
+    joined.join(tokens, Seq("nation"))
+      .select(col("nation"), col("n_orders"), col("sum_cents"), col("n_tokens"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality,
-    qDsirScore, qNegativePairs, qCorpusPipeline, qKAnonymity)
+    qDsirScore, qNegativePairs, qCorpusPipeline, qKAnonymity, qPseudonymize)
 }

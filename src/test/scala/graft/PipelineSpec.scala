@@ -664,6 +664,40 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalStateException] { TimeTravel.readAppendsSince(spark, dir, v1) }
   }
 
+  test("change feed fuzz: applying the feed to v1 reproduces v2 exactly") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xFEED5EEDL) // fixed seed: failures reproduce
+    for (round <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"ttcdffuzz$round").toFile.getAbsolutePath + "/t"
+      val v1Rows = (1L to 200L).map(k => (k, rnd.nextInt(1000).toLong))
+      // per key: 1/5 delete, 1/5 update, 3/5 keep; plus fresh inserts
+      val v2Rows = v1Rows.flatMap { case (k, v) =>
+        rnd.nextInt(5) match {
+          case 0 => None
+          case 1 => Some((k, v + 1 + rnd.nextInt(50).toLong))
+          case _ => Some((k, v))
+        }
+      } ++ (201L to 230L).map(k => (k, rnd.nextInt(1000).toLong))
+      TimeTravel.commitOverwrite(v1Rows.toDF("id", "v"), dir)
+      TimeTravel.commitOverwrite(v2Rows.toDF("id", "v"), dir)
+      val feed = TimeTravel.changeFeed(spark, dir, "id", 1L, 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val dead = feed.collect { case (k, _, "delete") => k }.toSet
+      val pre = feed.collect { case (k, _, "update_preimage") => k }.toSet
+      val post = feed.collect { case (k, v, "update_postimage") => (k, v) }
+      val ins = feed.collect { case (k, v, "insert") => (k, v) }
+      assert(pre == post.map(_._1).toSet, "pre/post images must pair up")
+      assert((dead & pre).isEmpty && (dead & ins.map(_._1).toSet).isEmpty,
+        "cohorts must be disjoint")
+      // apply the feed: v1 − deletes − update keys + postimages + inserts ≡ v2
+      val applied = (v1Rows.filterNot { case (k, _) => dead(k) || pre(k) } ++
+        post ++ ins).sorted
+      assert(applied == v2Rows.sorted,
+        s"round $round: feed application diverges from v2")
+    }
+  }
+
   test("http backend: token bucket paces consecutive calls") {
     var clock = 0L
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
