@@ -104,8 +104,10 @@ object TimeTravel {
       case _ => Seq.empty
     }
 
-  /** Publish `dirs` as version `v` via write-then-atomic-rename. */
-  private def publish(spark: SparkSession, path: String, v: Long, dirs: Seq[String],
+  /** Publish `dirs` as version `v` via write-then-atomic-rename.
+    * Visible to the test package so the concurrent-publish conflict
+    * (a race the public API can't interleave) is testable directly. */
+  private[graft] def publish(spark: SparkSession, path: String, v: Long, dirs: Seq[String],
       tag: Option[String] = None, dvs: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
@@ -119,6 +121,16 @@ object TimeTravel {
     val out = f.create(staging, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(manifestDir(path), s"${vname(v)}.json")
+    // OPTIMISTIC CONCURRENCY: two writers that both read "latest = N"
+    // will both try to publish N+1 — the loser must FAIL (and retry on
+    // a fresh read), never silently replace the winner's commit. Local
+    // rename() replaces existing targets, so check-then-rename here;
+    // a real deployment backs this with an atomic create-if-absent
+    // (HDFS create w/o overwrite, S3 conditional put, a lock service).
+    if (f.exists(target))
+      throw new java.io.IOException(
+        s"concurrent commit conflict: ${vname(v)} already published — " +
+          "re-read latest and retry")
     if (!f.rename(staging, target))
       throw new java.io.IOException(s"manifest publish failed for ${vname(v)}")
   }
@@ -235,6 +247,24 @@ object TimeTravel {
       .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
     publish(spark, path, v, dirs, dvs = prevDvs :+ dvDir(v))
     v
+  }
+
+  /** DESCRIBE HISTORY face: one row per committed version — its tag (if
+    * any), how many data directories the snapshot sees, how many of
+    * those this commit ADDED (0 ⇒ overwrite/rollback/metadata-only),
+    * and its deletion-vector count. Driver-side O(commits) manifest
+    * reads, no data touched — the audit surface an operator reads
+    * before rolling back or vacuuming. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val rows = versions(spark, path).map { v =>
+      val dirs = listing(spark, path, v)
+      val added = dirs.count(_ == dataDir(path, v))
+      val tag = """"tag"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(rawManifest(spark, path, v)).map(_.group(1))
+      (v, tag, dirs.size, added, dvListing(spark, path, v).size)
+    }
+    rows.toDF("version", "tag", "n_dirs", "n_added", "n_dvs")
   }
 
   /** Incremental consumption of an APPEND-ONLY table: the rows committed

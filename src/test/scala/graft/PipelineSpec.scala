@@ -664,6 +664,48 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalStateException] { TimeTravel.readAppendsSince(spark, dir, v1) }
   }
 
+  test("concurrent commit conflict: the losing writer fails loudly, never replaces") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttconflict").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, "a")).toDF("id", "payload"), dir)
+    // a racing writer already published v2; a loser that computed v=2
+    // from a stale latest must throw at publish, not overwrite the
+    // winner's manifest (the race window the public API can't
+    // interleave — driven through the publish step directly)
+    val winner = new java.io.File(s"$dir/_versions/v00002.json")
+    java.nio.file.Files.writeString(winner.toPath,
+      """{"version":2,"dirs":["data/v00001"]}""")
+    val before = java.nio.file.Files.readString(winner.toPath)
+    intercept[java.io.IOException] {
+      TimeTravel.publish(spark, dir, 2L, Seq("data/v00001", "data/v00002"))
+    }
+    assert(java.nio.file.Files.readString(winner.toPath) == before,
+      "the winner's manifest must survive byte-identical")
+    // the conflicted table still reads and commits normally afterwards
+    assert(TimeTravel.read(spark, dir).count() == 1)
+    assert(TimeTravel.commitAppend(Seq((2L, "b")).toDF("id", "payload"), dir) == 3L)
+  }
+
+  test("history face reports tags, listing sizes, added dirs and DV counts") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tthist").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir)
+    TimeTravel.commitAppend(Seq((3L, "c")).toDF("id", "payload"), dir, Some("batch:7"))
+    TimeTravel.deleteMoR(spark, dir, col("id") === 1L)
+    TimeTravel.rollback(spark, dir, 2L)
+    val h = TimeTravel.history(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSeq.sortBy(_._1)
+    assert(h == Seq(
+      (1L, None, 1, 1, 0),             // overwrite: one dir, added by this commit
+      (2L, Some("batch:7"), 2, 1, 0),  // tagged append
+      (3L, None, 2, 0, 1),             // MoR delete: no new data dir, one DV
+      (4L, None, 2, 0, 0)),            // rollback to v2: dirs re-listed, no DVs
+      s"got $h")
+  }
+
   test("change feed fuzz: applying the feed to v1 reproduces v2 exactly") {
     import graft.sources.TimeTravel
     import spark.implicits._
