@@ -743,5 +743,24 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank, qKnnRecall)
+  /** HARD-NEGATIVE mining for contrastive/retrieval training: for each
+    * query vector, the top-3 nearest neighbours with a DIFFERENT label —
+    * the informative negatives (random in-batch negatives are trivially
+    * far; the near-but-wrong items are what sharpen an embedding model,
+    * per the published dense-retrieval recipes). Same fused-cosine +
+    * partial-top-k machinery as [[qKnnBrute]] with the label predicate
+    * inverted — the filter drops same-label rows before any distance
+    * math, and the broadcast query side keeps the corpus scan
+    * shuffle-free. */
+  val qHardNegatives: QueryDef = QueryDef.sql(
+    "q_hard_negatives", topkSql("AND t.label <> q.qlabel", 3)) { (s, d) =>
+    val all0 = emb(s, d)
+    val q = all0.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qe"))
+    val joined = all0.join(broadcast(q),
+      col("label") =!= col("qlabel") && col("vec_id") =!= col("qid"))
+    topK(joined.withColumn("sim", Similarity.cosineIn(s, col("qe"), col("e"))), 3, Nil)
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank, qKnnRecall, qHardNegatives)
 }

@@ -79,7 +79,7 @@ object TimeTravel {
   }
 
   /** The data directories visible at `version`. */
-  private def listing(spark: SparkSession, path: String, version: Long): Seq[String] = {
+  private[sources] def listing(spark: SparkSession, path: String, version: Long): Seq[String] = {
     val raw = rawManifest(spark, path, version)
     // manifest body: {"version":N,"dirs":["data/v00001",...]} — dirs are
     // relative, comma-split on a writer-controlled format (no user text).
@@ -96,7 +96,7 @@ object TimeTravel {
   /** Deletion-vector directories visible at `version` — merge-on-read
     * tombstones layered over the (immutable) data listing. Absent field
     * = no DVs; old manifests parse unchanged. */
-  private def dvListing(spark: SparkSession, path: String, version: Long): Seq[String] =
+  private[sources] def dvListing(spark: SparkSession, path: String, version: Long): Seq[String] =
     """"dvs"\s*:\s*\[([^\]]*)\]""".r
       .findFirstMatchIn(rawManifest(spark, path, version)) match {
       case Some(m) if m.group(1).trim.nonEmpty =>

@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 read face of the versioned table ([[TimeTravel]]) —
+  * time travel as plain Spark surface, the `VERSION AS OF` idiom:
+  *
+  * {{{
+  * spark.read.format("graft-table").load(path)                       -- latest
+  * spark.read.format("graft-table").option("version", 3).load(path) -- as of v3
+  * CREATE TABLE hist USING `graft-table` OPTIONS (path '…', version '3')
+  * }}}
+  *
+  * The manifest resolves ONCE at table construction (snapshot pinned —
+  * a commit after planning can't shear the scan), then the scan
+  * delegates to Spark's own [[ParquetTable]] over exactly the
+  * snapshot's directories, so it gets the vectorized reader, filter
+  * pushdown and column pruning for free.
+  *
+  * DV-bearing snapshots (a pending merge-on-read delete) FAIL LOUDLY
+  * here: applying tombstones needs the anti-join [[TimeTravel.read]]
+  * performs, which a pass-through file scan cannot express — returning
+  * the un-deleted rows silently would be wrong, so the error directs
+  * the caller to `TimeTravel.read` or an OPTIMIZE (which folds the DVs
+  * and makes the snapshot scannable again).
+  */
+class TimeTravelProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TimeTravelTable(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    TimeTravelTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TimeTravelTable {
+  def apply(options: CaseInsensitiveStringMap): TimeTravelTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-table requires a 'path' option"))
+    val version = Option(options.get("version")).map(_.toLong)
+    new TimeTravelTable(path, version, options)
+  }
+}
+
+final class TimeTravelTable(path: String, versionOpt: Option[Long],
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Snapshot resolution, pinned at construction. */
+  private val snapshotVersion: Long = versionOpt.getOrElse(
+    TimeTravel.versions(spark, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path")))
+
+  private val dirs: Seq[String] = {
+    if (TimeTravel.dvListing(spark, path, snapshotVersion).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-table: ${name()} has pending deletion vectors; " +
+          "read it with TimeTravel.read (merge-on-read) or run " +
+          "TimeTravel.optimize to fold them, then re-scan")
+    TimeTravel.listing(spark, path, snapshotVersion).map(d => s"$path/$d")
+  }
+
+  private val delegate: ParquetTable =
+    ParquetTable(name(), spark, options, dirs, None, classOf[ParquetFileFormat])
+
+  override def name(): String = s"graft_table($path@v$snapshotVersion)"
+
+  override def schema(): StructType = delegate.schema
+
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(caseInsensitiveOptions)
+}
