@@ -359,6 +359,27 @@ object TimeTravel {
     else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
   }
 
+  /** OPTIMIZE ZORDER BY — the layout-maintenance command that composes
+    * [[optimize]] with [[graft.operators.LayoutOps.zValue]]: the live
+    * snapshot is rewritten range-partitioned-and-sorted by the Morton
+    * interleave of two (non-negative long) columns and committed as a
+    * new version, so subsequent min/max file skipping prunes on BOTH
+    * dimensions (the measured 2-D effect in `q_zorder_skip`). Pending
+    * deletion vectors fold in via the DV-applying read, same as
+    * [[optimize]]. Rows identical by construction; history stays
+    * readable; `targetFiles` bounds the rewrite like any compaction. */
+  def optimizeZorder(spark: SparkSession, path: String, colA: String, colB: String,
+      targetFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to optimize at $path"))
+    val z = graft.operators.LayoutOps.zValue(col(colA), col(colB))
+    val clustered = read(spark, path, Some(v))
+      .repartitionByRange(targetFiles.max(1), z)
+      .sortWithinPartitions(z)
+    commitOverwrite(clustered, path)
+  }
+
   /** Expectation counts from a gated commit ([[commitAppendExpect]]). */
   final case class ExpectationReport(version: Long, admitted: Long,
       quarantined: Map[String, Long])

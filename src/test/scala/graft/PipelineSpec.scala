@@ -706,6 +706,30 @@ class PipelineSpec extends SparkSpec {
       s"got $h")
   }
 
+  test("OPTIMIZE ZORDER: identical row set, files carve disjoint z-ranges") {
+    import graft.operators.LayoutOps
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttzorder").toFile.getAbsolutePath + "/t"
+    val rows = (0L until 512L).map(i => (i, i % 32L, i / 32L))
+    TimeTravel.commitOverwrite(rows.toDF("id", "x", "y").repartition(7), dir)
+    val v2 = TimeTravel.optimizeZorder(spark, dir, "x", "y", targetFiles = 4)
+    val after = TimeTravel.read(spark, dir, Some(v2))
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      rows.map(_._1).sorted, "row set must be identical")
+    // range partitioning on z ⇒ files own disjoint, ordered z-ranges
+    val ranges = after
+      .select(col("_metadata.file_path").as("f"),
+        LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .groupBy("f").agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(ranges.size >= 2, s"expected multiple clustered files, got $ranges")
+    ranges.sliding(2).foreach { case Seq((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"file z-ranges must not interleave: $ranges")
+    case _ => ()
+    }
+  }
+
   test("change feed fuzz: applying the feed to v1 reproduces v2 exactly") {
     import graft.sources.TimeTravel
     import spark.implicits._
