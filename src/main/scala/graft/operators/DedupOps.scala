@@ -49,42 +49,71 @@ object DedupOps {
       .filter(col("df") <= maxDf)
       .drop("df")
 
-  /** MinHash signature: element s = lexicographic min of
-    * md5(shingle ‖ '#' ‖ s) over the shingle set, for seeds 0..k-1. */
+  /** k-seed minhash signature (element s = min over shingles of
+    * md5(shingle#s)). Unrolled over seeds — not a lambda over
+    * sequence(0,k−1) — so `shingleCol` occurs k times TEXTUALLY: when
+    * callers materialize the shingle array as its own column,
+    * CollapseProject sees a multiply-referenced non-cheap alias and
+    * keeps it materialized (the lambda form held a single textual
+    * reference, which the optimizer inlines back under the per-seed
+    * loop — re-deriving the shingles k× per row, since HOFs get no
+    * codegen subexpression elimination). Pair with a
+    * `.withColumn("_sh", shingles(...))` at the call site. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), s =>
-      array_min(transform(shingleCol, x => md5(concat(x, lit("#"), s.cast("string"))))))
+    array((0 until k).map { s =>
+      array_min(transform(shingleCol, x => md5(concat(x, lit("#"), lit(s.toString)))))
+    }: _*)
 
   def minhashSignatureSql(shinglesE: String, k: Int): String =
     s"""list_transform(range(0, $k), s ->
        |  list_aggregate(list_transform($shinglesE, x -> md5(x || '#' || CAST(s AS VARCHAR))), 'min'))""".stripMargin
 
-  /** LSH band keys: band b hashes rows [b·r, b·r+r) of the signature. */
+  /** Band keys "b:md5(rows)" (band b = signature rows [b·r, b·r+r)) — unrolled over bands (not a lambda over
+    * sequence) for the same materialization reason as
+    * [[minhashSignature]]: a caller's `sig` column is referenced
+    * `bands` times textually, so CollapseProject keeps it a real
+    * column instead of re-deriving the signature per band. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat(b.cast("string"), lit(":"),
-        md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"),
+        md5(array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), "|")))
+    }: _*)
 
   def lshBandsSql(sigE: String, bands: Int, rowsPerBand: Int): String =
     s"""list_transform(range(0, $bands), b ->
        |  CAST(b AS VARCHAR) || ':' ||
        |  md5(array_to_string(($sigE)[b * $rowsPerBand + 1 : (b + 1) * $rowsPerBand], '|')))""".stripMargin
 
-  /** 16-bit SimHash over the shingle set: bit j is set iff the count of
-    * shingles whose md5 has bit j set is ≥ half the shingle count
-    * (majority vote, expressed with exact integers). Bit j of a shingle
-    * hash = bit (j mod 4) of hex nibble (j div 4). */
-  def simhash16(shingleCol: Column): Column = {
-    val nShingles = asize(shingleCol)
+  /** Packed 16-bit md5 prefix per shingle — ONE md5 per shingle.
+    * Materialize this as its own column and feed it to
+    * [[simhash16FromHashes]]: the 16 per-bit counters all reference the
+    * materialized array, and Catalyst's CollapseProject keeps a
+    * multiply-referenced non-cheap alias as a real column, so the hash
+    * work runs once per row instead of 16× (the fused single-expression
+    * form re-evaluated md5 inside every bit's lambda — HOFs don't get
+    * codegen subexpression elimination). */
+  def simhash16Hashes(shingleCol: Column): Column =
+    transform(shingleCol, x => conv(substring(md5(x), 1, 4), 16, 10).cast("int"))
+
+  /** Majority-vote simhash over pre-packed 16-bit hashes: bit (nib,
+    * bit) of the hex prefix lives at packed position (3−nib)·4+bit —
+    * same bit values as hashing inside each lambda, verified by the
+    * unchanged oracle. */
+  def simhash16FromHashes(hashed: Column): Column = {
+    val n = asize(hashed)
     (0 until 16).map { j =>
       val nib = j / 4
       val bit = j % 4
-      val ones = asize(filter(shingleCol, x =>
-        (conv(substring(md5(x), nib + 1, 1), 16, 10).cast("int")
-          .bitwiseAND(lit(1 << bit))) > 0))
-      when(ones * 2 >= nShingles, lit(1L << j)).otherwise(lit(0L))
+      val mask = 1 << ((3 - nib) * 4 + bit)
+      val ones = asize(filter(hashed, h => h.bitwiseAND(lit(mask)) > 0))
+      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** One-expression convenience form (16× md5 — prefer the two-step
+    * [[simhash16Hashes]]/[[simhash16FromHashes]] on anything large). */
+  def simhash16(shingleCol: Column): Column =
+    simhash16FromHashes(simhash16Hashes(shingleCol))
 
   def simhash16Sql(shinglesE: String): String = {
     def hexVal(h: String) =

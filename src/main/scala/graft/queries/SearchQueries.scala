@@ -831,8 +831,9 @@ object SearchQueries {
   /** Build the MinHash-LSH candidate pair list (same parameters as
     * q_dedup_minhash: 8 seeds, 4×2 bands). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = docs(s, d).select(col("doc_id"),
-      DedupOps.minhashSignature(DedupOps.shingles(col("text")), 8).as("sig"))
+    val sig = docs(s, d)
+      .withColumn("_sh", DedupOps.shingles(col("text")))
+      .select(col("doc_id"), DedupOps.minhashSignature(col("_sh"), 8).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(DedupOps.lshBands(col("sig"), 4, 2)).as("band"))
     bands.as("a").join(bands.as("b"),

@@ -33,10 +33,10 @@ object MinHashIndex {
     * params: one (doc_id, band, cell) row per band. */
   private def bandRows(docs: DataFrame, textCol: String, k: Int,
       bands: Int, rowsPerBand: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(DedupOps.lshBands(
-          DedupOps.minhashSignature(DedupOps.shingles(col(textCol)), k),
-          bands, rowsPerBand)).as("band"))
+    docs.withColumn("_sh", DedupOps.shingles(col(textCol)))
+      .withColumn("_sig", DedupOps.minhashSignature(col("_sh"), k))
+      .select(col("doc_id"),
+        explode(DedupOps.lshBands(col("_sig"), bands, rowsPerBand)).as("band"))
       // band format is "<bandIdx>:<md5hex>" — cell = band idx + first
       // hex nibble, a bounded bands×16 partition space
       .withColumn("cell",

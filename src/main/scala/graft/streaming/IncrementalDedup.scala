@@ -36,16 +36,22 @@ object IncrementalDedup {
 
   private def contentHash(text: Column): Column = sha2(TF.cleanText(text), 256)
 
-  private def bandsOf(text: Column): Column =
-    DedupOps.lshBands(DedupOps.minhashSignature(DedupOps.shingles(text), 8), 4, 2)
+  /** Adds exploded band keys for `text`, materializing shingles and
+    * signature as real columns so each is computed once per row (see
+    * [[DedupOps.minhashSignature]]'s materialization note). */
+  private def withBands(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("_sh", DedupOps.shingles(text))
+      .withColumn("_sig", DedupOps.minhashSignature(col("_sh"), 8))
+      .withColumn("band", explode(DedupOps.lshBands(col("_sig"), 4, 2)))
+      .drop("_sh", "_sig")
 
   /** Second stage shared by both screens: drop survivors that share a
     * MinHash band with history. */
   private def bandScreen(exactNovel: DataFrame, history: DataFrame,
       idCol: String): DataFrame = {
-    val histBands = history.select(explode(bandsOf(col("text"))).as("band")).distinct()
-    val nearHitIds = exactNovel
-      .select(col(idCol), explode(bandsOf(col("text"))).as("band"))
+    val histBands = withBands(history, col("text")).select("band").distinct()
+    val nearHitIds = withBands(exactNovel, col("text"))
+      .select(col(idCol), col("band"))
       .join(histBands, Seq("band"), "left_semi")
       .select(idCol).distinct()
     exactNovel.join(nearHitIds, Seq(idCol), "left_anti")
