@@ -21,14 +21,29 @@ import org.apache.spark.sql.functions.{size => asize, _}
   */
 object DedupOps {
 
-  /** Distinct word n-gram shingles of the cleaned text (≥1 shingle even
-    * for short docs). */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val w = Chunkers.words(TextFunctions.cleanText(c))
+  /** Words of the cleaned text — materialize THIS as its own column and
+    * feed it to [[shinglesFromWords]]/[[minhashSignature]] etc.: any
+    * lambda that slices or indexes the word array re-evaluates its
+    * operand expression PER ELEMENT (HOFs get no codegen subexpression
+    * elimination), so an inline clean+split inside a shingle lambda
+    * costs O(words) clean+splits per row instead of one. */
+  def cleanWords(c: Column): Column =
+    Chunkers.words(TextFunctions.cleanText(c))
+
+  /** Distinct word n-gram shingles over a MATERIALIZED word-array
+    * column (≥1 shingle even for short docs). `w` occurs twice
+    * textually, so CollapseProject keeps the caller's word column
+    * materialized. */
+  def shinglesFromWords(w: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(asize(w) - n, lit(0))),
       i => array_join(slice(w, i + 1, lit(n)), " ")))
-  }
+
+  /** One-expression convenience form — evaluates the clean+split once
+    * per SHINGLE when used inline (see [[cleanWords]]); prefer the
+    * two-step form on anything large. */
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesFromWords(cleanWords(c), n)
 
   def shinglesSql(e: String, n: Int = 3): String = {
     val w = Chunkers.wordsSql(TextFunctions.cleanTextSql(e))

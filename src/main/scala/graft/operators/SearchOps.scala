@@ -26,13 +26,19 @@ import org.apache.spark.sql.functions.{size => asize, _}
 object SearchOps {
 
   /** Ordered (NOT distinct — positions matter) md5 hashes of the
-    * k-token grams of the cleaned text. */
-  def gramHashes(c: Column, k: Int = 3): Column = {
-    val w = Chunkers.words(TextFunctions.cleanText(c))
+    * k-token grams over a MATERIALIZED word-array column (see
+    * [[graft.operators.DedupOps.cleanWords]] for why the words must be
+    * their own column: a lambda slicing an inline clean+split
+    * re-evaluates it per gram). */
+  def gramHashesFromWords(w: Column, k: Int = 3): Column =
     transform(
       sequence(lit(0), greatest(asize(w) - k, lit(0))),
       i => md5(array_join(slice(w, i + 1, lit(k)), " ")))
-  }
+
+  /** One-expression convenience form (clean+split per gram — prefer
+    * [[gramHashesFromWords]] on anything large). */
+  def gramHashes(c: Column, k: Int = 3): Column =
+    gramHashesFromWords(Chunkers.words(TextFunctions.cleanText(c)), k)
 
   def gramHashesSql(e: String, k: Int = 3): String = {
     val w = Chunkers.wordsSql(TextFunctions.cleanTextSql(e))

@@ -48,9 +48,9 @@ object SearchQueries {
        |  list_aggregate(fps, 'max') AS fp_max
        |FROM w
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val grams = SearchOps.gramHashes(col("text"))
     docs(s, d)
-      .select(col("doc_id"), grams.as("grams"))
+      .withColumn("_w", DedupOps.cleanWords(col("text")))
+      .select(col("doc_id"), SearchOps.gramHashesFromWords(col("_w")).as("grams"))
       .select(col("doc_id"), col("grams"), SearchOps.winnow(col("grams")).as("fps"))
       .select(col("doc_id"),
         asize(col("grams")).cast("long").as("n_grams"),
@@ -434,11 +434,16 @@ object SearchQueries {
        |FROM scored
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val ws = Chunkers.words(TF.cleanText(col("text")))
-    val bi = docs(s, d).select(col("doc_id"),
-        when(asize(ws) >= 2,
-          transform(sequence(lit(1), asize(ws) - 1),
-            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+    // words materialized first: element_at inside the bigram lambda
+    // would otherwise re-run clean+split once per bigram (see
+    // DedupOps.cleanWords)
+    val bi = docs(s, d)
+      .withColumn("_ws", DedupOps.cleanWords(col("text")))
+      .select(col("doc_id"),
+        when(asize(col("_ws")) >= 2,
+          transform(sequence(lit(1), asize(col("_ws")) - 1),
+            i => concat(element_at(col("_ws"), i), lit(" "),
+              element_at(col("_ws"), i + 1))))
           .otherwise(array().cast("array<string>")).as("bigrams"))
       .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
     val c2 = bi.groupBy("bigram").agg(count(lit(1)).as("n2"))
@@ -832,7 +837,8 @@ object SearchQueries {
     * q_dedup_minhash: 8 seeds, 4×2 bands). */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = docs(s, d)
-      .withColumn("_sh", DedupOps.shingles(col("text")))
+      .withColumn("_shw", DedupOps.cleanWords(col("text")))
+      .withColumn("_sh", DedupOps.shinglesFromWords(col("_shw")))
       .select(col("doc_id"), DedupOps.minhashSignature(col("_sh"), 8).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(DedupOps.lshBands(col("sig"), 4, 2)).as("band"))

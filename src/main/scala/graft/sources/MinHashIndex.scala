@@ -33,7 +33,8 @@ object MinHashIndex {
     * params: one (doc_id, band, cell) row per band. */
   private def bandRows(docs: DataFrame, textCol: String, k: Int,
       bands: Int, rowsPerBand: Int): DataFrame =
-    docs.withColumn("_sh", DedupOps.shingles(col(textCol)))
+    docs.withColumn("_shw", DedupOps.cleanWords(col(textCol)))
+      .withColumn("_sh", DedupOps.shinglesFromWords(col("_shw")))
       .withColumn("_sig", DedupOps.minhashSignature(col("_sh"), k))
       .select(col("doc_id"),
         explode(DedupOps.lshBands(col("_sig"), bands, rowsPerBand)).as("band"))

@@ -40,10 +40,11 @@ object IncrementalDedup {
     * signature as real columns so each is computed once per row (see
     * [[DedupOps.minhashSignature]]'s materialization note). */
   private def withBands(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("_sh", DedupOps.shingles(text))
+    df.withColumn("_shw", DedupOps.cleanWords(text))
+      .withColumn("_sh", DedupOps.shinglesFromWords(col("_shw")))
       .withColumn("_sig", DedupOps.minhashSignature(col("_sh"), 8))
       .withColumn("band", explode(DedupOps.lshBands(col("_sig"), 4, 2)))
-      .drop("_sh", "_sig")
+      .drop("_shw", "_sh", "_sig")
 
   /** Second stage shared by both screens: drop survivors that share a
     * MinHash band with history. */
