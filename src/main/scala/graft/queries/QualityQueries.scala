@@ -485,6 +485,118 @@ object QualityQueries {
       .orderBy("nation")
   }
 
+  /** C4-style LINE-level page cleaning (Raffel et al. 2020 §2.2) — the
+    * rule tier below the doc-level Gopher battery: pages are cleaned
+    * line by line (drop boilerplate lines mentioning javascript/cookie,
+    * lines under 5 words, lines without terminal punctuation, repeated
+    * lines keep-first) and only then reassembled. The corpus has no
+    * line structure, so each doc is paged deterministically (6-word
+    * lines from the cleaned words) with every failure class woven in by
+    * (doc_id + line) residues: full boilerplate lines, 3-word
+    * truncations, a repeated per-doc line, and punctuation-free lines —
+    * identical weaving in both engines, like the PII spans. Output per
+    * doc: the per-rule drop counts (each line is classified by its
+    * FIRST failing rule, in C4's order) and the md5 of the reassembled
+    * cleaned page, so a single line kept or dropped differently breaks
+    * the hash.
+    *
+    * Scale: one narrow explode per doc (O(lines)), a (doc_id, line)
+    * window for keep-first dedup that shuffles on doc_id, and the final
+    * doc_id aggregate riding the same partitioning — no joins, no
+    * corpus-wide state. */
+  val qDocC4: QueryDef = QueryDef.sql(
+    "q_doc_c4",
+    s"""WITH d0 AS (
+       |  SELECT doc_id, ${Chunkers.wordsSql(TF.cleanTextSql("text"))} AS wds
+       |  FROM documents
+       |), ln AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN (doc_id + i) % 11 = 0
+       |           THEN 'please enable javascript and accept cookies to continue.'
+       |         WHEN (doc_id + i) % 13 = 0
+       |           THEN array_to_string(wds[i*6+1 : i*6+3], ' ') || '.'
+       |         WHEN (doc_id + i) % 7 = 3
+       |           THEN array_to_string(wds[1 : 6], ' ') || '.'
+       |         WHEN (doc_id + i) % 3 = 2
+       |           THEN array_to_string(wds[i*6+1 : i*6+6], ' ')
+       |         ELSE array_to_string(wds[i*6+1 : i*6+6], ' ') || '.' END AS line
+       |  FROM d0, LATERAL (SELECT unnest(range(0, GREATEST((len(wds) + 5) // 6, 1))) AS i)
+       |), fl AS (
+       |  SELECT doc_id, i, line,
+       |    (line LIKE '%javascript%' OR line LIKE '%cookie%') AS boiler,
+       |    len(string_split(line, ' ')) AS wc,
+       |    (line LIKE '%.') AS haspunct,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn
+       |  FROM ln
+       |), cls AS (
+       |  SELECT doc_id, i, line,
+       |    CASE WHEN boiler THEN 'boiler'
+       |         WHEN wc < 5 THEN 'short'
+       |         WHEN NOT haspunct THEN 'nopunct'
+       |         WHEN rn > 1 THEN 'dup'
+       |         ELSE 'kept' END AS cls
+       |  FROM fl
+       |)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN cls = 'boiler' THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN cls = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |  CAST(SUM(CASE WHEN cls = 'nopunct' THEN 1 ELSE 0 END) AS BIGINT) AS n_nopunct,
+       |  CAST(SUM(CASE WHEN cls = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(SUM(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(string_agg(CASE WHEN cls = 'kept' THEN line END, chr(10) ORDER BY i), ''))
+       |    AS clean_md5
+       |FROM cls
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val paged = docs(s, d)
+      .withColumn("wds", Chunkers.words(TF.cleanText(col("text"))))
+      .select(col("doc_id"), col("wds"),
+        explode(sequence(lit(0),
+          greatest(expr("(size(wds) + 5) div 6"), lit(1)) - 1)).as("i"))
+    val key = (col("doc_id") + col("i"))
+    val line = paged.withColumn("line",
+      when(key % 11 === 0,
+          lit("please enable javascript and accept cookies to continue."))
+        .when(key % 13 === 0,
+          concat(array_join(slice(col("wds"), col("i") * 6 + 1, lit(3)), " "), lit(".")))
+        .when(key % 7 === 3,
+          concat(array_join(slice(col("wds"), 1, 6), " "), lit(".")))
+        .when(key % 3 === 2,
+          array_join(slice(col("wds"), col("i") * 6 + 1, lit(6)), " "))
+        .otherwise(
+          concat(array_join(slice(col("wds"), col("i") * 6 + 1, lit(6)), " "), lit("."))))
+      .select("doc_id", "i", "line")
+    val cls = line
+      .withColumn("boiler",
+        col("line").contains("javascript") || col("line").contains("cookie"))
+      .withColumn("wc", size(split(col("line"), " ")))
+      .withColumn("haspunct", col("line").endsWith("."))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("line")).orderBy(col("i"))))
+      .withColumn("cls",
+        when(col("boiler"), "boiler")
+          .when(col("wc") < 5, "short")
+          .when(!col("haspunct"), "nopunct")
+          .when(col("rn") > 1, "dup")
+          .otherwise("kept"))
+    cls.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("cls") === "boiler", 1).otherwise(0)).as("n_boiler"),
+        sum(when(col("cls") === "short", 1).otherwise(0)).as("n_short"),
+        sum(when(col("cls") === "nopunct", 1).otherwise(0)).as("n_nopunct"),
+        sum(when(col("cls") === "dup", 1).otherwise(0)).as("n_dup"),
+        sum(when(col("cls") === "kept", 1).otherwise(0)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cls") === "kept", struct(col("i"), col("line"))))),
+            r => r.getField("line")),
+          "\n")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qPiiScan, qPiiRedact, qContamination, qGopherQuality,
-    qDsirScore, qNegativePairs, qCorpusPipeline, qKAnonymity, qPseudonymize)
+    qDsirScore, qNegativePairs, qCorpusPipeline, qKAnonymity, qPseudonymize, qDocC4)
 }

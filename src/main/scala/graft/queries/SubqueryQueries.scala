@@ -82,5 +82,30 @@ object SubqueryQueries {
       |GROUP BY code
       |ORDER BY code""".stripMargin)
 
-  val all: Seq[QueryDef] = Seq(q17SmallQuantity, q20ActiveSuppliers, q22BalanceCode)
+  /** LATERAL correlated subquery join (the SQL-standard face of
+    * per-group top-k): for each high-value order, its two priciest line
+    * items via `FROM orders o, LATERAL (... WHERE l_orderkey =
+    * o.o_orderkey ORDER BY ... LIMIT 2)`. Same decorrelation contract
+    * as the scalar shapes above, but here the subquery is a RELATION
+    * per outer row, not a scalar — the piece of §2.4 the other
+    * subquery entries don't exercise.
+    *
+    * Scale: Catalyst decorrelates the LIMIT-in-LATERAL into
+    * WindowGroupLimit (partial top-2 per l_orderkey BEFORE the
+    * shuffle — never a global sort, never per-row re-execution) and
+    * broadcasts the filtered orders side; verified in PlanSpec. The
+    * ORDER BY carries l_linenumber so equal-price ties can't flip the
+    * kept pair between engines. */
+  val qLateralTopK: QueryDef = sqlBoth(
+    "q_lateral_topk", Seq("orders", "lineitem"))(
+    """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+      |FROM orders o, LATERAL (
+      |  SELECT l_linenumber, l_extendedprice FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+      |WHERE o.o_totalprice > 450000.0
+      |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin)
+
+  val all: Seq[QueryDef] =
+    Seq(q17SmallQuantity, q20ActiveSuppliers, q22BalanceCode, qLateralTopK)
 }

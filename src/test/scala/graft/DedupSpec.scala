@@ -41,4 +41,32 @@ class DedupSpec extends SparkSpec {
     val sh = docs.select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("shingle"))
     assert(DedupOps.capShinglesByDf(sh, maxDf = 50).count() == sh.count())
   }
+
+  test("ppjoin prefix filter is COMPLETE: same pairs as the unfiltered exact scorer") {
+    import spark.implicits._
+    // brute-force truth at sf0.001: every pair sharing >=1 distinct
+    // 3-shingle, scored with exact integer intersection/union at tau=0.5
+    // (J >= 0.5 > 0 implies >=1 shared token, so share-any-token
+    // candidate generation is trivially complete)
+    val tok = Tables(spark, sf, "documents")
+      .withColumn("_w", DedupOps.cleanWords(col("text")))
+      .select(col("doc_id"), explode(DedupOps.shinglesFromWords(col("_w"))).as("t"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("i") * 2 >= col("na") + col("nb") - col("i"))
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+
+    val got = queries.DedupQueries.qDedupPpjoin.run(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+
+    assert(got == truth,
+      s"prefix filtering must not lose pairs: missing=${truth -- got} extra=${got -- truth}")
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs at sf0.001")
+  }
 }

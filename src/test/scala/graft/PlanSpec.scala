@@ -574,4 +574,34 @@ class PlanSpec extends SparkSpec {
     assert(phys(naive).contains("Exchange SinglePartition"),
       "naive row_number over an empty partition spec should single-partition")
   }
+
+  test("LATERAL top-k decorrelates to a partial WindowGroupLimit, no per-row subquery") {
+    val p = phys(queries.SubqueryQueries.qLateralTopK.run(spark, sf))
+    // the LIMIT-in-LATERAL must become map-side top-2 per order key...
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"LATERAL LIMIT should plan a partial per-group limit:\n$p")
+    // ...probed by a broadcast of the filtered orders side, and never a
+    // nested-loop per-outer-row re-execution
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered orders side should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation must not fall back to nested loops:\n$p")
+  }
+
+  test("ppjoin candidate generation is an equi-join on prefix tokens, never all-pairs") {
+    val p = phys(queries.DedupQueries.qDedupPpjoin.run(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filtered similarity join must stay on hash joins:\n$p")
+  }
+
+  test("record linkage blocks on the nation key: hash join, no cartesian") {
+    val p = phys(queries.DedupQueries.qRecordLinkage.run(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep pair generation an equi-join:\n$p")
+  }
+
+  test("C4 line cleaning is one explode + doc_id-partitioned windows, no joins") {
+    val p = phys(queries.QualityQueries.qDocC4.run(spark, sf))
+    assert(!p.contains("Join"), s"per-doc line rules must not join:\n$p")
+  }
 }
