@@ -604,4 +604,33 @@ class PlanSpec extends SparkSpec {
     val p = phys(queries.QualityQueries.qDocC4.run(spark, sf))
     assert(!p.contains("Join"), s"per-doc line rules must not join:\n$p")
   }
+
+  test("runtime bloom filter: a selective dim filter reaches the fact scan as might_contain") {
+    // the Spark-4 runtime-filter engine posture: when the dim side of a
+    // shuffle join carries a selective predicate, the optimizer plants a
+    // bloom filter built from the dim keys onto the fact side BEFORE its
+    // shuffle -- at 100 TB this is row-group-level pruning the static
+    // planner can't express. Local thresholds are tuned down only
+    // because sf0.001 is below the production defaults (10GB scan side).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      val dim = Tables(spark, sf, "orders").filter(col("o_totalprice") > 500000.0)
+      val fact = Tables(spark, sf, "lineitem")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter on the fact side:\n$opt")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
