@@ -959,8 +959,98 @@ object MaintenanceQueries {
           <= col("n_union").cast("double") * 0.10).as("within_10pct_of_union"))
   }
 
+  /** MERKLE-BUCKET anti-entropy (the Dynamo/Cassandra repair protocol,
+    * one level deep): two replicas first exchange 64 bucket-level
+    * (count, XOR-fingerprint) pairs — KBs regardless of table size —
+    * and only the buckets whose fingerprints diverge are re-scanned at
+    * row level to classify changed vs removed keys. The coarse pass is
+    * [[qTableChecksum]]'s order-independent XOR per pk%64 bucket; the
+    * drill pass is [[qTableDiff]]'s key join RESTRICTED to divergent
+    * buckets (a bounded ≤64-row semi-filter — the one legitimate
+    * broadcast). The fixture perturbs ~25 of 15k keys (price-bump
+    * pk%997, delete pk%1499), so most buckets compare clean and the
+    * drill touches only the divergent minority — the point of the
+    * protocol. The new replica only loses/changes rows (never adds),
+    * so the drill's left join is complete.
+    *
+    * Scale: repairing a 100 TB replica pair costs one fingerprint scan
+    * per side plus row work proportional to the DIVERGENT buckets
+    * only; with B buckets and d divergent, row comparison shrinks by
+    * d/B without any row ever leaving its executor. */
+  val qMerkleDiff: QueryDef = QueryDef.sql(
+    "q_merkle_diff",
+    """WITH rows_old AS (
+      |  SELECT o_orderkey AS pk, o_orderkey % 64 AS bucket,
+      |    md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+      |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),
+      |      o_orderpriority)) AS h
+      |  FROM orders
+      |), rows_new AS (
+      |  SELECT o_orderkey AS pk, o_orderkey % 64 AS bucket,
+      |    md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+      |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+      |        + CASE WHEN o_orderkey % 997 = 0 THEN 100 ELSE 0 END AS VARCHAR),
+      |      o_orderpriority)) AS h
+      |  FROM orders WHERE o_orderkey % 1499 <> 0
+      |), fp_old AS (
+      |  SELECT bucket, COUNT(*) AS n_old,
+      |    bit_xor(CAST(concat('0x', substring(h, 1, 15)) AS BIGINT)) AS fp
+      |  FROM rows_old GROUP BY bucket
+      |), fp_new AS (
+      |  SELECT bucket, COUNT(*) AS n_new,
+      |    bit_xor(CAST(concat('0x', substring(h, 1, 15)) AS BIGINT)) AS fp
+      |  FROM rows_new GROUP BY bucket
+      |), diff AS (
+      |  SELECT fp_old.bucket, n_old, n_new
+      |  FROM fp_old JOIN fp_new ON fp_old.bucket = fp_new.bucket
+      |  WHERE fp_old.fp <> fp_new.fp OR n_old <> n_new
+      |), drill AS (
+      |  SELECT a.bucket,
+      |    CAST(SUM(CASE WHEN b.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    CAST(SUM(CASE WHEN b.pk IS NOT NULL AND a.h <> b.h THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_changed
+      |  FROM rows_old a LEFT JOIN rows_new b ON a.pk = b.pk
+      |  WHERE a.bucket IN (SELECT bucket FROM diff)
+      |  GROUP BY a.bucket
+      |)
+      |SELECT diff.bucket, n_old, n_new, n_changed, n_removed
+      |FROM diff JOIN drill ON diff.bucket = drill.bucket
+      |ORDER BY diff.bucket""".stripMargin) { (s, d) =>
+    val ord = Tables(s, d, "orders")
+    def rowsOf(cents: org.apache.spark.sql.Column, pred: org.apache.spark.sql.Column) =
+      ord.filter(pred).select(
+        col("o_orderkey").as("pk"), (col("o_orderkey") % 64).as("bucket"),
+        md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus"),
+          cents.cast("string"), col("o_orderpriority"))).as("h"))
+    val rowsOld = rowsOf(units(col("o_totalprice"), 2), lit(true))
+    val rowsNew = rowsOf(
+      units(col("o_totalprice"), 2) +
+        when(col("o_orderkey") % 997 === 0, 100L).otherwise(0L),
+      col("o_orderkey") % 1499 =!= 0)
+    def fpOf(r: org.apache.spark.sql.DataFrame, n: String) =
+      r.select(col("bucket"), conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("hl"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(n), expr("bit_xor(hl)").as(s"fp_$n"))
+    val diff = fpOf(rowsOld, "n_old").join(fpOf(rowsNew, "n_new"), Seq("bucket"))
+      .filter(col("fp_n_old") =!= col("fp_n_new") || col("n_old") =!= col("n_new"))
+      .select("bucket", "n_old", "n_new")
+    // drill: rows re-compared ONLY inside divergent buckets — the ≤64-row
+    // bucket list is the broadcast side of a semi-join
+    val drill = rowsOld
+      .join(broadcast(diff.select("bucket")), Seq("bucket"), "left_semi")
+      .join(rowsNew.select(col("pk"), col("h").as("h_new")), Seq("pk"), "left_outer")
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("h_new").isNull, 1).otherwise(0)).as("n_removed"),
+        sum(when(col("h_new").isNotNull && col("h") =!= col("h_new"), 1).otherwise(0))
+          .as("n_changed"))
+    diff.join(drill, Seq("bucket"))
+      .select(col("bucket"), col("n_old"), col("n_new"), col("n_changed"), col("n_removed"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
-    qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect)
+    qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff)
 }

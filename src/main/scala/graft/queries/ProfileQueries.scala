@@ -199,5 +199,94 @@ object ProfileQueries {
       .orderBy("category")
   }
 
-  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks, qJoinSkew, qDriftDetect)
+  /** Two-sample KS drift statistic over a CONTINUOUS measure — the
+    * numeric complement to [[qDriftDetect]]'s categorical shares: the
+    * reference and current windows' order-price distributions are
+    * compared as CDFs over 64 equi-width bins (bounds from the
+    * reference side), D = max |F_ref − F_cur| reported in exact basis
+    * points (each CDF flooring-divided independently, so DuckDB's `//`
+    * ≡ Spark's `div` on the non-negative counts — deterministic to the
+    * bin+bp granularity, which is the documented approximation of the
+    * exact KS). The current window carries a deterministically woven
+    * shift (+0/+50/+100 by key residue) so the positive path — a
+    * drifted verdict with a localizable argmax bin — is actually
+    * exercised.
+    *
+    * Scale: two scalar bound aggregates, one binning pass per side
+    * (shared scan via FILTER), cumulative windows over ≤64 bin rows —
+    * the corpus is read once and the comparison state is O(bins). */
+  val qDriftKs: QueryDef = QueryDef.sql(
+    "q_drift_ks",
+    """WITH src AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+      |      + CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |             THEN (o_orderkey % 3) * 5000 ELSE 0 END AS cents,
+      |    o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AS is_cur
+      |  FROM orders
+      |), bounds AS (
+      |  SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM src WHERE NOT is_cur
+      |), binned AS (
+      |  SELECT LEAST(GREATEST((cents - mn) * 64 // (mx - mn + 1), 0), 63) AS bin, is_cur
+      |  FROM src, bounds
+      |), g AS (
+      |  SELECT bin,
+      |    COUNT(*) FILTER (WHERE NOT is_cur) AS n_ref,
+      |    COUNT(*) FILTER (WHERE is_cur) AS n_cur
+      |  FROM binned GROUP BY bin
+      |), cum AS (
+      |  SELECT bin,
+      |    SUM(n_ref) OVER (ORDER BY bin) AS c_ref,
+      |    SUM(n_cur) OVER (ORDER BY bin) AS c_cur,
+      |    SUM(n_ref) OVER () AS t_ref,
+      |    SUM(n_cur) OVER () AS t_cur
+      |  FROM g
+      |), delta AS (
+      |  SELECT bin,
+      |    ABS(c_ref * 10000 // t_ref - c_cur * 10000 // t_cur) AS d_bp,
+      |    t_ref, t_cur
+      |  FROM cum
+      |)
+      |SELECT CAST(MIN(t_ref) AS BIGINT) AS n_ref, CAST(MIN(t_cur) AS BIGINT) AS n_cur,
+      |  CAST(MAX(d_bp) AS BIGINT) AS ks_bp,
+      |  CAST(MIN(CASE WHEN d_bp = (SELECT MAX(d_bp) FROM delta) THEN bin END) AS BIGINT)
+      |    AS ks_bin,
+      |  MAX(d_bp) > 300 AS drifted
+      |FROM delta""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    val src = ord(s, d).select(
+      (units(col("o_totalprice"), 2) +
+        when(col("o_orderdate") >= cut, (col("o_orderkey") % 3) * 5000L).otherwise(0L))
+        .as("cents"),
+      (col("o_orderdate") >= cut).as("is_cur"))
+    val bounds = src.filter(!col("is_cur"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val g = src.crossJoin(broadcast(bounds))
+      .select(least(greatest(
+          expr("(cents - mn) * 64 div (mx - mn + 1)"), lit(0L)), lit(63L)).as("bin"),
+        col("is_cur"))
+      .groupBy("bin")
+      .agg(count(when(!col("is_cur"), 1)).as("n_ref"),
+        count(when(col("is_cur"), 1)).as("n_cur"))
+    // cumulative CDFs over the <=64-row bin table: the single-partition
+    // window is bounded by the bin count, never by the corpus
+    val byBin = Window.orderBy("bin")
+    val cum = g.select(col("bin"),
+      sum(col("n_ref")).over(byBin).as("c_ref"),
+      sum(col("n_cur")).over(byBin).as("c_cur"),
+      sum(col("n_ref")).over(Window.partitionBy()).as("t_ref"),
+      sum(col("n_cur")).over(Window.partitionBy()).as("t_cur"))
+    val delta = cum.select(col("bin"),
+      abs(expr("c_ref * 10000 div t_ref") - expr("c_cur * 10000 div t_cur")).as("d_bp"),
+      col("t_ref"), col("t_cur"))
+    val mx = delta.agg(max(col("d_bp")).as("m")).select(col("m"))
+    delta.crossJoin(broadcast(mx))
+      .agg(
+        min(col("t_ref")).as("n_ref"), min(col("t_cur")).as("n_cur"),
+        max(col("d_bp")).as("ks_bp"),
+        min(when(col("d_bp") === col("m"), col("bin"))).as("ks_bin"),
+        (max(col("d_bp")) > 300).as("drifted"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qProfile, qDqChecks, qJoinSkew, qDriftDetect, qDriftKs)
 }

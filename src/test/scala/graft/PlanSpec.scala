@@ -633,4 +633,12 @@ class PlanSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("merkle drill re-scans rows only inside divergent buckets via a broadcast semi-join") {
+    val p = phys(queries.MaintenanceQueries.qMerkleDiff.run(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"the drill must semi-filter rows against the divergent-bucket list:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bucket compare and drill must stay on keyed joins:\n$p")
+  }
 }
