@@ -1101,10 +1101,59 @@ object SearchQueries {
       .orderBy("shard")
   }
 
+  private val TrigramPattern = "merge batch"
+
+  /** TRIGRAM substring search — the `LIKE '%pattern%'` query no
+    * word-level index can serve ([[graft.sources.TrigramIndex]], the
+    * pg_trgm design): the corpus's distinct character 3-grams are
+    * persisted once in md5-prefix cells, a probe reads ONLY its
+    * pattern's gram cells, intersects postings (candidates ⊇ matches
+    * by construction — a doc containing the pattern contains every
+    * gram), and re-verifies with exact `contains` on the candidate
+    * rows. The oracle recomputes BOTH tiers relationally (per-gram
+    * containment → all-grams intersection → exact verify), so cell
+    * routing, the intersection count and the verify filter are all
+    * hash-checked; n_candidates rides along as pruning evidence.
+    *
+    * Scale: full-scan LIKE reads the corpus per query; the probe
+    * reads O(pattern grams' postings) + O(candidates) rows. */
+  val qTrigramSearch: QueryDef = {
+    val grams = TrigramPattern.sliding(graft.sources.TrigramIndex.N).toSeq.distinct
+    val gramList = grams.map(g => s"'$g'").mkString(", ")
+    QueryDef.sql(
+      "q_trigram_search",
+      s"""WITH cl AS (
+         |  SELECT doc_id, lang, ${TF.cleanTextSql("text")} AS t FROM documents
+         |), cand AS (
+         |  SELECT doc_id FROM (
+         |    SELECT DISTINCT doc_id, g
+         |    FROM cl, LATERAL (SELECT unnest([$gramList]) AS g)
+         |    WHERE contains(t, g)
+         |  ) GROUP BY doc_id HAVING COUNT(*) = ${grams.size}
+         |)
+         |SELECT cl.doc_id, cl.lang,
+         |  (SELECT COUNT(*) FROM cand) AS n_candidates
+         |FROM cl JOIN cand ON cl.doc_id = cand.doc_id
+         |WHERE contains(cl.t, '$TrigramPattern')
+         |ORDER BY cl.doc_id""".stripMargin) { (s, d) =>
+      import graft.sources.TrigramIndex
+      val indexDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_trgidx_${Integer.toHexString(d.hashCode)}" +
+          s"_p${ProcessHandle.current().pid()}"
+      TrigramIndex.build(docs(s, d), indexDir)
+      val cand = TrigramIndex.candidates(s, indexDir, TrigramPattern)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      TrigramIndex.search(docs(s, d), indexDir, TrigramPattern)
+        .crossJoin(broadcast(nCand))
+        .select(col("doc_id"), col("lang"), col("n_candidates"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qInvertedSearch, qHybridRrf,
     qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,
-    qVocabCoverage, qShuffleShards)
+    qVocabCoverage, qShuffleShards, qTrigramSearch)
 }

@@ -226,4 +226,43 @@ class IndexSpec extends SparkSpec {
     }
     assert(incr == full)
   }
+
+  test("trigram index: cell-pruned probe reproduces the full-scan substring search") {
+    import graft.sources.TrigramIndex
+    import graft.functions.{TextFunctions => TF}
+    val corpus = Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("trgidx").toFile.getAbsolutePath
+    TrigramIndex.build(corpus, dir)
+
+    val pattern = "merge batch"
+    val probe = TrigramIndex.search(corpus, dir, pattern)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(plan).isDefined,
+      s"gram cells must prune at the partition level:\n$plan")
+
+    val got = probe.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = corpus
+      .filter(TF.cleanText(col("text")).contains(pattern))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"probe must equal full-scan LIKE: got=$got expect=$expect")
+    assert(expect.nonEmpty, "fixture pattern should match documents at sf0.001")
+  }
+
+  test("trigram index append: probe after append equals a from-scratch build") {
+    import graft.sources.TrigramIndex
+    val corpus = Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("trgidx_incr").toFile.getAbsolutePath
+    TrigramIndex.build(corpus.filter(col("doc_id") % 5 =!= 0), dir)
+    TrigramIndex.append(corpus.filter(col("doc_id") % 5 === 0), dir)
+    val pattern = "merge batch"
+    val incr = TrigramIndex.search(corpus, dir, pattern)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = {
+      val d2 = Files.createTempDirectory("trgidx_full").toFile.getAbsolutePath
+      TrigramIndex.build(corpus, d2)
+      TrigramIndex.search(corpus, d2, pattern)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(incr == full)
+  }
 }
