@@ -52,11 +52,21 @@ object MvCatalog {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  /** Materialize `defDf` to `path` and register it for rewriting.
-    * Fails if the read-back schema diverges from the definition's
-    * (a half-written or stale materialization must not be served). */
+  /** Materialize `defDf` to `path` and register it for rewriting. */
   def register(spark: SparkSession, name: String, defDf: DataFrame, path: String): Unit = {
     defDf.write.mode("overwrite").parquet(path)
+    registerMaterialized(spark, name, defDf, path)
+  }
+
+  /** Register an ALREADY-materialized parquet for `defDf` — the
+    * incremental-maintenance path ([[graft.streaming.MvStreams]]
+    * publishes base ⊎ streamed deltas here instead of re-running the
+    * definition). The schema must match the definition's (a
+    * half-written or diverged materialization must not be served);
+    * content currency is the caller's claim, per the staleness
+    * contract above. */
+  def registerMaterialized(spark: SparkSession, name: String, defDf: DataFrame,
+      path: String): Unit = {
     val read = spark.read.parquet(path)
     val defTypes = defDf.schema.map(f => (f.name, f.dataType))
     val gotTypes = read.schema.map(f => (f.name, f.dataType))
