@@ -1140,7 +1140,9 @@ object SearchQueries {
       val indexDir =
         s"${System.getProperty("java.io.tmpdir")}/graft_trgidx_${Integer.toHexString(d.hashCode)}" +
           s"_p${ProcessHandle.current().pid()}"
-      TrigramIndex.build(docs(s, d), indexDir)
+      // 16-cell layout at this corpus size (recorded in _meta; the
+      // production default is 256 — see TrigramIndex.build)
+      TrigramIndex.build(docs(s, d), indexDir, cellHexChars = 1)
       val cand = TrigramIndex.candidates(s, indexDir, TrigramPattern)
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       TrigramIndex.search(docs(s, d), indexDir, TrigramPattern)

@@ -34,7 +34,10 @@ object TrigramIndex {
 
   val N = 3
 
-  private def cellOf(gram: Column): Column = substring(md5(gram), 1, 2)
+  private def cellOf(gram: Column, hexChars: Int): Column =
+    substring(md5(gram), 1, hexChars)
+
+  private def metaPath(path: String) = s"$path/_meta"
 
   /** Distinct character 3-grams of a MATERIALIZED string column (the
     * column is referenced twice textually — substr + length — so
@@ -45,32 +48,54 @@ object TrigramIndex {
       sequence(lit(1), greatest(length(c) - (N - 1), lit(0))),
       i => c.substr(i, lit(N))))
 
-  def build(docs: DataFrame, path: String, textCol: String = "text"): Unit =
+  /** `cellHexChars` is a LAYOUT parameter recorded in a `_meta`
+    * sidecar (the MinHashIndex pattern): 2 hex chars (≤256 dirs) keeps
+    * files large at warehouse scale; 1 (≤16 dirs) fits small corpora —
+    * unlike the word-term index, trigram keys cover their hash space
+    * densely, so every cell materializes and per-file overhead shows
+    * at toy scale. Probes read the sidecar, so build and probe can
+    * never disagree on the layout. */
+  def build(docs: DataFrame, path: String, textCol: String = "text",
+      cellHexChars: Int = 2): Unit = {
+    require(cellHexChars >= 1 && cellHexChars <= 4)
     docs.withColumn("_t", TF.cleanText(col(textCol)))
       .select(col("doc_id"), explode(gramsOf(col("_t"))).as("gram"))
-      .withColumn("cell", cellOf(col("gram")))
+      .withColumn("cell", cellOf(col("gram"), cellHexChars))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(cellHexChars).toDF("cell_hex_chars")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  private def cellHexCharsOf(spark: SparkSession, path: String): Int =
+    spark.read.parquet(metaPath(path)).head.getInt(0)
 
   /** New documents' postings land beside existing cell files; nothing
     * is rewritten (same contract as [[InvertedIndex.append]]). */
-  def append(newDocs: DataFrame, path: String, textCol: String = "text"): Unit =
+  def append(newDocs: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val hex = cellHexCharsOf(newDocs.sparkSession, path)
     newDocs.withColumn("_t", TF.cleanText(col(textCol)))
       .select(col("doc_id"), explode(gramsOf(col("_t"))).as("gram"))
-      .withColumn("cell", cellOf(col("gram")))
+      .withColumn("cell", cellOf(col("gram"), hex))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+  }
 
-  private def md5Cell(s: String): String =
+  private def md5Cell(s: String, hexChars: Int): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      .take(hexChars)
 
   /** Candidate doc_ids: documents whose trigram set contains EVERY
-    * gram of the pattern. Reads only the pattern grams' cells. */
+    * gram of the pattern. Reads only the pattern grams' cells, under
+    * the layout the `_meta` sidecar records. */
   def candidates(spark: SparkSession, path: String, pattern: String): DataFrame = {
     require(pattern.length >= N, s"pattern must be at least $N chars")
+    val hex = cellHexCharsOf(spark, path)
     val grams = pattern.sliding(N).toSeq.distinct
-    val cells = grams.map(md5Cell).distinct.sorted
+    val cells = grams.map(md5Cell(_, hex)).distinct.sorted
     spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*)) // static partition pruning
       .filter(col("gram").isin(grams: _*))

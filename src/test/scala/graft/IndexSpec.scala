@@ -252,7 +252,9 @@ class IndexSpec extends SparkSpec {
     import graft.sources.TrigramIndex
     val corpus = Tables(spark, sf, "documents")
     val dir = Files.createTempDirectory("trgidx_incr").toFile.getAbsolutePath
-    TrigramIndex.build(corpus.filter(col("doc_id") % 5 =!= 0), dir)
+    // 1-hex-char layout: append must follow the _meta-recorded cell
+    // width, not a hardcoded one
+    TrigramIndex.build(corpus.filter(col("doc_id") % 5 =!= 0), dir, cellHexChars = 1)
     TrigramIndex.append(corpus.filter(col("doc_id") % 5 === 0), dir)
     val pattern = "merge batch"
     val incr = TrigramIndex.search(corpus, dir, pattern)
