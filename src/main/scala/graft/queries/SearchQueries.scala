@@ -1152,10 +1152,95 @@ object SearchQueries {
     }
   }
 
+  /** WATERFILLING budget allocation across domains — the data-mixing
+    * step of corpus curation the cap/temperature samplers feed into:
+    * given a total token budget (60% of the corpus here, data-derived),
+    * allocate it so every domain below the water level keeps ALL its
+    * tokens (saturated) and the rest share the remaining budget evenly
+    * (max-min fairness — the unique allocation maximizing the minimum
+    * domain share subject to availability). Exact-integer closed form
+    * over the availability-sorted prefix: K = the largest sorted index
+    * whose full funding leaves ≥ its own availability for every
+    * remaining domain, level = floor-div of the residual budget, and
+    * the flooring remainder goes +1 to the first domains above the
+    * water line — Σ alloc ≡ budget exactly (asserted in SearchSpec),
+    * no IEEE anywhere.
+    *
+    * Scale: one (lang, source) aggregate over the corpus, then ALL
+    * waterfilling arithmetic runs on the O(domains) table (bounded
+    * global windows, 1-row scalar sides — the q_drift_ks posture). */
+  val qMixWaterfill: QueryDef = QueryDef.sql(
+    "q_mix_waterfill",
+    """WITH dom AS (
+      |  SELECT lang || '/' || source AS domain, CAST(SUM(n_chars) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT domain, avail,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY avail, domain) AS BIGINT) AS i,
+      |    CAST(SUM(avail) OVER (ORDER BY avail, domain) AS BIGINT) AS c,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(avail) OVER () AS BIGINT) AS total
+      |  FROM dom
+      |), p AS (
+      |  SELECT MAX(n) AS n_doms, MAX(total) * 6 // 10 AS b FROM w
+      |), k AS (
+      |  SELECT
+      |    COALESCE(MAX(CASE WHEN avail * (w.n - i) + c <= b THEN i END), 0) AS kk,
+      |    COALESCE(MAX(CASE WHEN avail * (w.n - i) + c <= b THEN c END), 0) AS ck
+      |  FROM w, p
+      |), s AS (
+      |  SELECT kk, ck,
+      |    CASE WHEN kk >= n_doms THEN 0 ELSE (b - ck) // (n_doms - kk) END AS lvl,
+      |    CASE WHEN kk >= n_doms THEN 0
+      |         ELSE (b - ck) - ((b - ck) // (n_doms - kk)) * (n_doms - kk) END AS rem
+      |  FROM k, p
+      |)
+      |SELECT domain, avail,
+      |  CAST(CASE WHEN i <= kk THEN avail
+      |       ELSE LEAST(avail, lvl + CASE WHEN i - kk <= rem THEN 1 ELSE 0 END)
+      |       END AS BIGINT) AS alloc,
+      |  (i <= kk) AS saturated
+      |FROM w, s
+      |ORDER BY domain""".stripMargin) { (s, d) =>
+    val dom = docs(s, d)
+      .groupBy(concat(col("lang"), lit("/"), col("source")).as("domain"))
+      .agg(sum(col("n_chars")).cast("long").as("avail"))
+    // bounded O(domains) table from here on — the global windows and
+    // 1-row scalar sides never see the corpus
+    val byAvail = Window.orderBy(col("avail"), col("domain"))
+    val w = dom.select(col("domain"), col("avail"),
+      row_number().over(byAvail).cast("long").as("i"),
+      sum(col("avail")).over(byAvail).cast("long").as("c"),
+      count(lit(1)).over(Window.partitionBy()).cast("long").as("n"),
+      sum(col("avail")).over(Window.partitionBy()).cast("long").as("total"))
+    val p = w.agg(max(col("n")).as("n_doms"), expr("max(total) * 6 div 10").as("b"))
+    val k = w.crossJoin(broadcast(p))
+      .agg(
+        coalesce(max(when(col("avail") * (col("n") - col("i")) + col("c") <= col("b"),
+          col("i"))), lit(0L)).as("kk"),
+        coalesce(max(when(col("avail") * (col("n") - col("i")) + col("c") <= col("b"),
+          col("c"))), lit(0L)).as("ck"))
+    val scalars = k.crossJoin(broadcast(p))
+      .select(col("kk"), col("ck"),
+        when(col("kk") >= col("n_doms"), 0L)
+          .otherwise(expr("(b - ck) div (n_doms - kk)")).as("lvl"),
+        when(col("kk") >= col("n_doms"), 0L)
+          .otherwise(expr("(b - ck) - ((b - ck) div (n_doms - kk)) * (n_doms - kk)"))
+          .as("rem"))
+    w.crossJoin(broadcast(scalars))
+      .select(col("domain"), col("avail"),
+        when(col("i") <= col("kk"), col("avail"))
+          .otherwise(least(col("avail"),
+            col("lvl") + when(col("i") - col("kk") <= col("rem"), 1L).otherwise(0L)))
+          .cast("long").as("alloc"),
+        (col("i") <= col("kk")).as("saturated"))
+      .orderBy("domain")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qInvertedSearch, qHybridRrf,
     qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,
-    qVocabCoverage, qShuffleShards, qTrigramSearch)
+    qVocabCoverage, qShuffleShards, qTrigramSearch, qMixWaterfill)
 }

@@ -74,4 +74,22 @@ class SearchSpec extends SparkSpec {
     assert((1L to 7L).forall(got(_) == 1L))
     assert(got(10L) == 10L && got(11L) == 10L)
   }
+
+  test("waterfilling allocation: budget exhausted exactly, nobody oversampled") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SearchQueries.qMixWaterfill.run(spark, sf)
+      .select("avail", "alloc", "saturated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val totalAvail = rows.map(_._1).sum
+    val budget = totalAvail * 6 / 10
+    assert(rows.map(_._2).sum == budget,
+      s"sum(alloc)=${rows.map(_._2).sum} must equal the budget $budget")
+    assert(rows.forall { case (a, al, _) => al <= a }, "alloc must never exceed avail")
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "fixture should produce both saturated and water-level domains")
+    // saturated domains keep everything; unsaturated all sit within 1 of
+    // the common water level (max-min fairness)
+    val levels = rows.filter(!_._3).map(_._2)
+    assert(levels.max - levels.min <= 1, s"water levels must be even: $levels")
+  }
 }
