@@ -1196,11 +1196,72 @@ object Events {
       .orderBy("user_id", "grid_us")
   }
 
+  /** WINSORIZED mean per event type — the trimmed-tail robust average
+    * completing the robust tier (3σ fences in [[qOutliers]],
+    * median/MAD in [[qRobustOutliers]]): values are clamped to the
+    * per-group DISCRETE p05/p95 (the value at EXACT integer rank
+    * ⌈q·n⌉ under a (cents, event_id) total order — no interpolation,
+    * so the bounds are corpus values and cross-engine exact), then
+    * averaged in exact cents with ONE final IEEE division. Clip
+    * counts ride along — the telemetry-cleaning shape that tames
+    * sensor spikes without the median's full information loss.
+    *
+    * Scale: one (type)-partitioned rank window (bounded per-type
+    * groups) + one aggregate; the bounds table is O(types) and joins
+    * back broadcast. */
+  val qWinsorize: QueryDef = QueryDef.sql(
+    "q_events_winsorize",
+    """WITH c AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM c
+      |), b AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo_cents,
+      |    MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi_cents,
+      |    CAST(MAX(n) AS BIGINT) AS n
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT c.event_type, b.n, b.lo_cents, b.hi_cents,
+      |  CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+      |  CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+      |  CAST(SUM(GREATEST(lo_cents, LEAST(hi_cents, cents))) AS DOUBLE)
+      |    / (CAST(b.n AS DOUBLE) * 100.0) AS winsorized_mean
+      |FROM c JOIN b ON c.event_type = b.event_type
+      |GROUP BY c.event_type, b.n, b.lo_cents, b.hi_cents
+      |ORDER BY c.event_type""".stripMargin) { (s, d) =>
+    val c = ev(s, d).select(col("event_type"), col("event_id"),
+      units(col("value"), 2).as("cents"))
+    val byType = Window.partitionBy(col("event_type"))
+    val r = c.select(col("event_type"), col("cents"),
+      row_number().over(byType.orderBy(col("cents"), col("event_id"))).as("rn"),
+      count(lit(1)).over(byType).as("n"))
+    val b = r.groupBy("event_type").agg(
+      max(when(col("rn") === expr("(5 * n + 99) div 100"), col("cents"))).as("lo_cents"),
+      max(when(col("rn") === expr("(95 * n + 99) div 100"), col("cents"))).as("hi_cents"),
+      max(col("n")).cast("long").as("n"))
+    c.join(broadcast(b), "event_type")
+      .groupBy("event_type", "n", "lo_cents", "hi_cents")
+      .agg(
+        sum(when(col("cents") < col("lo_cents"), 1).otherwise(0)).cast("long")
+          .as("n_clipped_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1).otherwise(0)).cast("long")
+          .as("n_clipped_hi"),
+        (sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+          .cast("double") / (col("n").cast("double") * 100.0)).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
     qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
-    qResample)
+    qResample, qWinsorize)
 }
