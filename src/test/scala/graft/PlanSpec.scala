@@ -641,4 +641,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"bucket compare and drill must stay on keyed joins:\n$p")
   }
+
+  test("ppjoin prefix self-join twins share one exchange") {
+    // the prefix relation feeds both sides of the candidate self-join on
+    // the same token key; static ReuseExchange should dedupe the twin
+    // shuffles (AQE's runtime stage cache hides this in the plan string,
+    // so turn it off like the jaccard reuse test)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = phys(queries.DedupQueries.qDedupPpjoin.run(spark, sf))
+      assert(p.contains("ReusedExchange"),
+        s"prefix self-join sides must share an exchange:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
 }
