@@ -1257,11 +1257,69 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** THEIL–SEN robust trend — the median of all pairwise slopes per
+    * user (50% breakdown point vs [[qCorr]]'s OLS `regr_slope`, which
+    * one spiked reading drags arbitrarily): each strict-time pair
+    * contributes slope = Δcents·3.6e9µs / Δµs (exact longs, ONE IEEE
+    * division), and the per-user estimate is the SELECTION median
+    * (value at exact rank ⌈m/2⌉ under a (slope, pair ids) total
+    * order — no averaging of middles, so the estimate is a computed
+    * pair value and cross-engine exact). Same-timestamp pairs are
+    * excluded (undefined slope).
+    *
+    * Scale: pair generation is a user-keyed self-join — per-user
+    * quadratic is the algorithm's published cost, bounded by series
+    * length (~40 here); the shuffle keys on user_id and no pair ever
+    * crosses users. For long series, Theil–Sen is subsampled per key;
+    * the shape is unchanged. */
+  val qTheilSen: QueryDef = QueryDef.sql(
+    "q_events_theilsen",
+    """WITH c AS (
+      |  SELECT user_id, event_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      |  FROM events
+      |), pr AS (
+      |  SELECT a.user_id,
+      |    CAST(b.cents - a.cents AS DOUBLE) * 3600000000.0
+      |      / CAST(b.us - a.us AS DOUBLE) AS slope,
+      |    a.event_id AS ea, b.event_id AS eb
+      |  FROM c a JOIN c b
+      |    ON a.user_id = b.user_id AND a.us < b.us
+      |), r AS (
+      |  SELECT user_id, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope, ea, eb) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS m
+      |  FROM pr
+      |)
+      |SELECT user_id, CAST(MAX(m) AS BIGINT) AS n_pairs,
+      |  MAX(CASE WHEN rn = (m + 1) // 2 THEN slope END) AS slope_cph
+      |FROM r
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val c = ev(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), units(col("value"), 2).as("cents"))
+    val pr = c.as("a").join(c.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.us") < col("b.us"))
+      .select(col("a.user_id").as("user_id"),
+        ((col("b.cents") - col("a.cents")).cast("double") * 3600000000.0
+          / (col("b.us") - col("a.us")).cast("double")).as("slope"),
+        col("a.event_id").as("ea"), col("b.event_id").as("eb"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val r = pr.select(col("user_id"), col("slope"),
+      row_number().over(byUser.orderBy(col("slope"), col("ea"), col("eb"))).as("rn"),
+      count(lit(1)).over(byUser).as("m"))
+    r.groupBy("user_id")
+      .agg(max(col("m")).cast("long").as("n_pairs"),
+        max(when(col("rn") === expr("(m + 1) div 2"), col("slope"))).as("slope_cph"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
     qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
-    qResample, qWinsorize)
+    qResample, qWinsorize, qTheilSen)
 }
