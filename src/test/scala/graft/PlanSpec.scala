@@ -660,4 +660,56 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
   }
+
+  test("cost-based join reorder: ANALYZE stats flip a bad join order") {
+    // engine posture: with catalog statistics, Catalyst's CBO reorders a
+    // user-written join sequence by estimated cardinality instead of
+    // executing it literally. Tables live in a tmp-located database so
+    // the repo dir stays clean; stats come from ANALYZE TABLE.
+    val dbDir = s"${System.getProperty("java.io.tmpdir")}/graft_cbo_p${ProcessHandle.current().pid()}"
+    val conf = spark.conf
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$dbDir'")
+      Tables(spark, sf, "lineitem").write.mode("overwrite")
+        .saveAsTable("graft_cbo.l")
+      Tables(spark, sf, "orders").write.mode("overwrite")
+        .saveAsTable("graft_cbo.o")
+      Tables(spark, sf, "nation").write.mode("overwrite")
+        .saveAsTable("graft_cbo.n")
+      Tables(spark, sf, "customer").write.mode("overwrite")
+        .saveAsTable("graft_cbo.c")
+      Seq("l", "o", "n", "c").foreach(t =>
+        spark.sql(s"ANALYZE TABLE graft_cbo.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // isolate reorder from broadcast
+      // written order: fact x fact first, dims last — the worst order
+      val sql =
+        """SELECT n.n_name, COUNT(*) AS cnt
+          |FROM graft_cbo.l l
+          |JOIN graft_cbo.o o ON l.l_orderkey = o.o_orderkey
+          |JOIN graft_cbo.c c ON o.o_custkey = c.c_custkey
+          |JOIN graft_cbo.n n ON c.c_nationkey = n.n_nationkey
+          |WHERE n.n_name IN ('FRANCE', 'GERMANY')
+          |GROUP BY n.n_name""".stripMargin
+      def joinOrder(): Seq[String] = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        plan.collectLeaves().map(_.toString).map { s =>
+          Seq("l", "o", "n", "c").find(t => s.contains(s"graft_cbo.$t[")).getOrElse(s.take(60))
+        }
+      }
+      conf.set("spark.sql.cbo.enabled", "false")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val without = joinOrder()
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val withCbo = joinOrder()
+      assert(withCbo != without,
+        s"CBO with column stats should reorder the joins: both orders $withCbo")
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+      spark.sql("DROP DATABASE IF EXISTS graft_cbo CASCADE")
+    }
+  }
 }
