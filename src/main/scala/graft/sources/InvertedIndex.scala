@@ -32,10 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  private def statsPath(path: String) = s"$path/_stats"
-  private def doclenPath(path: String) = s"$path/_doclen"
+  private[graft] def statsPath(path: String) = s"$path/_stats"
+  private[graft] def doclenPath(path: String) = s"$path/_doclen"
 
-  private def cellOf(term: Column): Column = substring(md5(term), 1, 2)
+  private[graft] def cellOf(term: Column): Column = substring(md5(term), 1, 2)
+
+  /** Shared tokenization: (doc_id, term) rows of the cleaned text —
+    * the ONE pipeline every build/append/stream face must use, or
+    * probes and builds would disagree on terms. */
+  private[graft] def tokenize(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+      explode(Chunkers.words(TF.cleanText(col(textCol)))).as("term"))
 
   /** Tokenize (shared pipeline: cleaned text, word split) and persist
     * postings + sidecars. */
