@@ -762,5 +762,80 @@ object SimilarityQueries {
     topK(joined.withColumn("sim", Similarity.cosineIn(s, col("qe"), col("e"))), 3, Nil)
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank, qKnnRecall, qHardNegatives)
+  private val CoresetK = 8
+
+  /** CORESET selection by greedy k-center (farthest-point traversal,
+    * Gonzalez 1985 — the 2-approximation of the k-center objective):
+    * the diversity-sampling step of data selection — pick the point
+    * farthest (cosine distance) from everything selected so far, k
+    * times from a fixed seed. The output is the selection ORDER
+    * itself (step, vec_id) — pure integers, but every step's argmax
+    * depends on the full running min-distance state, so any
+    * divergence anywhere in k rounds of distance math flips the
+    * permutation and the hash. Complements [[qMmrRerank]] (diversity
+    * within a query's candidates) and [[qKnnKmeans]] (centroids):
+    * this one picks EXISTING exemplars for global coverage.
+    *
+    * Scale: each of the k rounds is one distributed pass updating a
+    * per-point running min via LEAST against the newest center (a
+    * 1-row broadcast), then a partial top-1; state between rounds is
+    * localCheckpoint-pinned. k passes over 100 TB is the published
+    * cost of exact greedy k-center; subsampled variants keep the
+    * shape. */
+  val qSampleCoreset: QueryDef = {
+    val stepCtes = (1 until CoresetK).map { i =>
+      s"""s$i AS (
+         |  SELECT vec_id FROM d$i ORDER BY dm DESC, vec_id LIMIT 1
+         |), e$i AS (
+         |  SELECT t.e AS ce FROM t JOIN s$i ON t.vec_id = s$i.vec_id
+         |), d${i + 1} AS (
+         |  SELECT d$i.vec_id, d$i.e,
+         |    LEAST(d$i.dm, 1.0 - ${Similarity.cosineSql(s"d$i.e", s"e$i.ce")}) AS dm
+         |  FROM d$i, e$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val stepRows = (1 until CoresetK)
+      .map(i => s"SELECT $i AS step, vec_id FROM s$i").mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "q_sample_coreset",
+      s"""WITH t AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), e0 AS (
+         |  SELECT e AS ce FROM t WHERE vec_id = 0
+         |), d1 AS (
+         |  SELECT t.vec_id, t.e,
+         |    1.0 - ${Similarity.cosineSql("t.e", "e0.ce")} AS dm
+         |  FROM t, e0
+         |),
+         |$stepCtes
+         |SELECT step, vec_id FROM (
+         |  SELECT 0 AS step, CAST(0 AS BIGINT) AS vec_id
+         |  UNION ALL
+         |  $stepRows
+         |)
+         |ORDER BY step""".stripMargin) { (s, d) =>
+      val t = emb(s, d).select(col("vec_id"), col("e"))
+      def centerOf(id: Long) = t.filter(col("vec_id") === id).select(col("e").as("ce"))
+      var selected = List(0L)
+      var dists = t.crossJoin(broadcast(centerOf(0L)))
+        .select(col("vec_id"), col("e"),
+          (lit(1.0) - Similarity.cosine(col("e"), col("ce"))).as("dm"))
+        .localCheckpoint()
+      for (_ <- 1 until CoresetK) {
+        val next = dists.orderBy(col("dm").desc, col("vec_id"))
+          .limit(1).select("vec_id").head.getLong(0)
+        selected = next :: selected
+        dists = dists.crossJoin(broadcast(centerOf(next)))
+          .select(col("vec_id"), col("e"),
+            least(col("dm"), lit(1.0) - Similarity.cosine(col("e"), col("ce"))).as("dm"))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      selected.reverse.zipWithIndex
+        .map { case (id, i) => (i, id) }.toDF("step", "vec_id")
+        .orderBy("step")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank, qKnnRecall, qHardNegatives, qSampleCoreset)
 }
