@@ -748,4 +748,46 @@ class StreamingSpec extends SparkSpec {
       input2.toDF().toDF("doc_id", "text"), streamDir, ckpt())
     assert(probe(streamDir) == want, "replay must leave the index equivalent")
   }
+
+  test("transformWithState running totals equal the batch aggregate across batches") {
+    import graft.streaming.StateApi
+    import graft.streaming.StateApi.UserEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the new arbitrary-state API requires the RocksDB store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rows = Tables(spark, sf, "events")
+        .select(col("user_id"),
+          expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+        .as[(Long, Long)].collect().map { case (u, c) => UserEvent(u, c) }
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+
+      val input = MemoryStream[UserEvent]
+      val out = StateApi.runningTotals(input.toDS())
+      val q = out.toDF().writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").option("checkpointLocation", ckpt()).start()
+      try {
+        input.addData(h1.toSeq: _*)
+        q.processAllAvailable()
+        input.addData(h2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // latest emission per key (n_events is monotone) == batch aggregate
+      val got = spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n"), max(col("sum_cents")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_.user_id).map { case (u, es) =>
+        (u, es.length.toLong, es.map(_.cents).sum)
+      }.toSet
+      assert(got == want, "cross-batch state must reproduce the batch aggregate")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
