@@ -1315,11 +1315,93 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** CUSUM CHANGEPOINT detection — the monitoring question after
+    * [[graft.queries.ProfileQueries]]' drift reports say "something
+    * moved": WHERE did the level shift happen? The classic offline
+    * CUSUM estimator over the hourly mean series: the changepoint is
+    * the argmax of |Σ_{i≤t} m_i · N − t · Σm| (cumulative deviation
+    * from the global mean, cross-multiplied to exact integers — no
+    * division until the per-hour mean itself, which is pinned as a
+    * flooring µ-cent div). A +500-cent level shift is WOVEN at the
+    * 2024-01-21 cutoff, so the estimator has a true changepoint to
+    * find; the before/after shift estimate and the detected verdict
+    * ride along.
+    *
+    * Scale: one hour-bucket aggregate over the corpus, then all CUSUM
+    * arithmetic on the O(hours) table (bounded global windows — the
+    * q_drift_ks posture). */
+  val qCusum: QueryDef = QueryDef.sql(
+    "q_events_cusum",
+    """WITH src AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(ROUND(value * 100.0) AS BIGINT)
+      |      + CASE WHEN epoch_us(ts) >= 1705795200000000 THEN 500 ELSE 0 END AS cents
+      |  FROM events
+      |), b AS (
+      |  SELECT hr, CAST(SUM(cents) AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM src GROUP BY hr
+      |), m AS (
+      |  SELECT hr,
+      |    ROW_NUMBER() OVER (ORDER BY hr) AS t,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+      |    CAST(SUM(v * 1000000 // c) OVER (ORDER BY hr) AS BIGINT) AS cum,
+      |    CAST(SUM(v * 1000000 // c) OVER () AS BIGINT) AS tot
+      |  FROM b
+      |), cs AS (
+      |  SELECT hr, ABS(cum * nn - t * tot) AS cstat, nn FROM m
+      |), cp AS (
+      |  SELECT CAST(MAX(nn) AS BIGINT) AS n_hours,
+      |    MIN(CASE WHEN cstat = (SELECT MAX(cstat) FROM cs) THEN hr END) AS cp_hour
+      |  FROM cs
+      |)
+      |SELECT n_hours, cp_hour,
+      |  (SELECT CAST(SUM(cents) AS BIGINT) * 1000000
+      |     // COUNT(*) FROM src WHERE hr > cp_hour)
+      |  - (SELECT CAST(SUM(cents) AS BIGINT) * 1000000
+      |     // COUNT(*) FROM src WHERE hr <= cp_hour) AS shift_micro,
+      |  (SELECT CAST(SUM(cents) AS BIGINT) * 1000000
+      |     // COUNT(*) FROM src WHERE hr > cp_hour)
+      |  - (SELECT CAST(SUM(cents) AS BIGINT) * 1000000
+      |     // COUNT(*) FROM src WHERE hr <= cp_hour) >= 100000000 AS detected
+      |FROM cp""".stripMargin) { (s, d) =>
+    val cutoffUs = 1705795200000000L
+    val src = ev(s, d).select(
+      // integer floor-div, NOT `/` (Column `/` on longs is IEEE division)
+      expr("unix_micros(ts) div 3600000000").as("hr"),
+      (units(col("value"), 2)
+        + when(unix_micros(col("ts")) >= cutoffUs, 500L).otherwise(0L)).as("cents"))
+    val b = src.groupBy("hr")
+      .agg(sum(col("cents")).cast("long").as("v"), count(lit(1)).as("c"))
+    // O(hours) table from here: bounded global windows, like q_drift_ks
+    val byHr = Window.orderBy("hr")
+    val m = b.select(col("hr"),
+      row_number().over(byHr).as("t"),
+      count(lit(1)).over(Window.partitionBy()).cast("long").as("nn"),
+      sum(expr("v * 1000000 div c")).over(byHr).cast("long").as("cum"),
+      sum(expr("v * 1000000 div c")).over(Window.partitionBy()).cast("long").as("tot"))
+    val cs = m.select(col("hr"),
+      abs(col("cum") * col("nn") - col("t") * col("tot")).as("cstat"), col("nn"))
+    val mx = cs.agg(max(col("cstat")).as("mc"))
+    val cp = cs.crossJoin(broadcast(mx))
+      .agg(max(col("nn")).as("n_hours"),
+        min(when(col("cstat") === col("mc"), col("hr"))).as("cp_hour"))
+    val sides = src.crossJoin(broadcast(cp.select("cp_hour")))
+      .agg(
+        expr("sum(CASE WHEN hr > cp_hour THEN cents END) * 1000000"
+          + " div count(CASE WHEN hr > cp_hour THEN 1 END)").as("after_micro"),
+        expr("sum(CASE WHEN hr <= cp_hour THEN cents END) * 1000000"
+          + " div count(CASE WHEN hr <= cp_hour THEN 1 END)").as("before_micro"))
+    cp.crossJoin(broadcast(sides))
+      .select(col("n_hours"), col("cp_hour"),
+        (col("after_micro") - col("before_micro")).as("shift_micro"),
+        (col("after_micro") - col("before_micro") >= 100000000L).as("detected"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
     qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
-    qResample, qWinsorize, qTheilSen)
+    qResample, qWinsorize, qTheilSen, qCusum)
 }
