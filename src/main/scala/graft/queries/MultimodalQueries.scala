@@ -553,8 +553,61 @@ object MultimodalQueries {
       .orderBy("label")
   }
 
+  /** `binaryFile` SOURCE scan — the media-ingest entry point the
+    * decode kernels feed from on a real deployment: loose files on
+    * disk (images, audio, shards) become (path, length, content) rows
+    * with NO parsing assumptions. Deterministic media files (a 5-byte
+    * binary header with a NUL + the cleaned text bytes, one per 20th
+    * doc) are materialized to a scratch dir, scanned through
+    * `spark.read.format("binaryFile")`, and fingerprinted; the oracle
+    * recomputes name/length/sha RELATIONALLY from the parquet source
+    * of truth (`sha256(hex(header ∥ bytes))` — hex-string arithmetic,
+    * so the NUL-bearing binary roundtrip is checked without blob
+    * literals). A single byte lost or reordered by the source breaks
+    * the hash.
+    *
+    * Scale: binaryFile is Spark's distributed file-manifest scan —
+    * listing parallelizes, each file is one row/task unit, and
+    * `pathGlobFilter`/`recursiveFileLookup` prune at the listing
+    * level; the 25-file fixture stands in for a 10⁸-object media
+    * bucket. The fixture materialization collects only the 25
+    * selected rows (bounded by construction). */
+  val qBinaryFileScan: QueryDef = QueryDef.sql(
+    "q_binaryfile_scan",
+    s"""SELECT doc_id,
+       |  5 + strlen(clean) AS n_bytes,
+       |  sha256('8947524600' || hex(encode(clean))) AS sha
+       |FROM (
+       |  SELECT doc_id, ${graft.functions.TextFunctions.cleanTextSql("text")} AS clean
+       |  FROM documents WHERE doc_id % 20 = 0
+       |)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_binfile_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val header = Array[Byte](0x89.toByte, 'G', 'R', 'F', 0x00)
+    val sel = docs(s, d).filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), graft.functions.TextFunctions.cleanText(col("text")).as("clean"))
+      .collect() // 25 rows at sf0.01 — bounded fixture materialization
+    val d0 = new java.io.File(dir)
+    d0.mkdirs()
+    sel.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.dat"),
+        header ++ r.getString(1).getBytes("UTF-8"))
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.dat")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.dat", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(hex(col("content")), 256).as("sha"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
     qMultimodalAudio, qMultimodalVideo, qMultimodalFrames, qMultimodalPhash,
     qMultimodalPhashPairs, qMultimodalAudioQuality, qMultimodalExif,
-    qMultimodalConsistency, qMultimodalResize, qCentroid)
+    qMultimodalConsistency, qMultimodalResize, qCentroid, qBinaryFileScan)
 }
