@@ -1397,11 +1397,91 @@ object Events {
         (col("after_micro") - col("before_micro") >= 100000000L).as("detected"))
   }
 
+  /** CHI-SQUARE independence test — the categorical hypothesis test
+    * beside [[qCorr]]'s continuous association: is event_type
+    * independent of the value tercile? χ² = Σ (O·T − R·C)² / (T·R·C)
+    * over the contingency table, computed from EXACT integer counts
+    * feeding a fixed-shape IEEE chain (the qCorr determinism recipe:
+    * nothing but exact integers until the last arithmetic). Output:
+    * the per-cell exact table margins, χ² and the verdict against the
+    * α=0.01, dof=(5−1)(3−1)=8 critical value 20.09 — pinned as a
+    * literal, the one piece a SQL engine can't derive.
+    *
+    * Scale: terciles come from two scalar thresholds (exact rank into
+    * the value order — the winsorize primitive), then ONE contingency
+    * aggregate over the corpus; everything after is O(cells). */
+  val qChisq: QueryDef = QueryDef.sql(
+    "q_events_chisq",
+    """WITH c AS (
+      |  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS cents, event_id
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM c
+      |), cls AS (
+      |  SELECT event_type,
+      |    CASE WHEN rn * 3 <= n THEN 0 WHEN rn * 3 <= 2 * n THEN 1 ELSE 2 END AS tercile
+      |  FROM r
+      |), o AS (
+      |  SELECT event_type, tercile, COUNT(*) AS obs FROM cls GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, tercile, obs,
+      |    CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+      |    CAST(SUM(obs) OVER (PARTITION BY tercile) AS BIGINT) AS col_n,
+      |    CAST(SUM(obs) OVER () AS BIGINT) AS tot
+      |  FROM o
+      |), cells AS (
+      |  SELECT event_type, tercile, tot,
+      |    CAST((obs * tot - row_n * col_n) AS DOUBLE)
+      |      * CAST((obs * tot - row_n * col_n) AS DOUBLE)
+      |      / (CAST(tot AS DOUBLE) * CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE))
+      |      AS cell
+      |  FROM m
+      |), chi AS (
+      |  SELECT CAST(MIN(tot) AS BIGINT) AS n_events, COUNT(*) AS n_cells,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(cell ORDER BY event_type, tercile)),
+      |      (a, x) -> a + x) AS chi2
+      |  FROM cells
+      |)
+      |SELECT n_events, n_cells, chi2, chi2 > 20.09 AS dependent FROM chi""".stripMargin) { (s, d) =>
+    val c = ev(s, d).select(col("event_type"),
+      units(col("value"), 2).as("cents"), col("event_id"))
+    val r = c.select(col("event_type"), col("cents"),
+      row_number().over(Window.orderBy(col("cents"), col("event_id"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    val cls = r.select(col("event_type"),
+      when(col("rn") * 3 <= col("n"), 0)
+        .when(col("rn") * 3 <= col("n") * 2, 1).otherwise(2).as("tercile"))
+    val o = cls.groupBy("event_type", "tercile").agg(count(lit(1)).as("obs"))
+    val m = o.select(col("event_type"), col("tercile"), col("obs"),
+      sum(col("obs")).over(Window.partitionBy("event_type")).cast("long").as("row_n"),
+      sum(col("obs")).over(Window.partitionBy("tercile")).cast("long").as("col_n"),
+      sum(col("obs")).over(Window.partitionBy()).cast("long").as("tot"))
+    val dev = (col("obs") * col("tot") - col("row_n") * col("col_n")).cast("double")
+    val cell = dev * dev /
+      (col("tot").cast("double") * col("row_n").cast("double") * col("col_n").cast("double"))
+    // the 15-cell total folds in (event_type, tercile) order — a plain
+    // SUM over doubles is partition-order-dependent (the qEwma recipe)
+    val folded = m.select(col("event_type"), col("tercile"), col("tot"), cell.as("cell"))
+      .agg(min(col("tot")).cast("long").as("n_events"),
+        count(lit(1)).as("n_cells"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("event_type"), col("tercile"), col("cell")))),
+            x => x.getField("cell")),
+          lit(0.0), (a, x) => a + x).as("chi2"))
+    folded.select(col("n_events"), col("n_cells"), col("chi2"),
+      (col("chi2") > 20.09).as("dependent"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
     qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
-    qResample, qWinsorize, qTheilSen, qCusum)
+    qResample, qWinsorize, qTheilSen, qCusum, qChisq)
 }
