@@ -1477,11 +1477,53 @@ object Events {
       (col("chi2") > 20.09).as("dependent"))
   }
 
+  /** SEASONAL decomposition + deseasonalized outliers — the anomaly
+    * question [[qOutliers]]' global 3σ fences get wrong on cyclic
+    * data: an event is judged against its HOUR-OF-DAY baseline, not
+    * the global mean (a 3am spike and a noon spike face different
+    * references). The 24-row seasonal profile is exact flooring
+    * µ-cents (sum·10⁶ div n per hod); residual = cents·10⁶ −
+    * profile[hod], pure integers; the report is the top-10 by
+    * |residual| with unique-key tie-break.
+    *
+    * Scale: one hod aggregate (24 groups, map-side combined), the
+    * profile joins back as a 24-row broadcast, and the report is a
+    * partial top-k — the corpus is scanned twice, shuffled never
+    * (beyond the 24-row agg). */
+  val qSeasonal: QueryDef = QueryDef.sql(
+    "q_events_seasonal",
+    """WITH c AS (
+      |  SELECT event_id,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      |  FROM events
+      |), p AS (
+      |  SELECT hod,
+      |    CAST(SUM(cents) AS BIGINT) * 1000000 // COUNT(*) AS mean_micro
+      |  FROM c GROUP BY hod
+      |)
+      |SELECT c.event_id, c.hod, c.cents, p.mean_micro,
+      |  c.cents * 1000000 - p.mean_micro AS residual_micro
+      |FROM c JOIN p ON c.hod = p.hod
+      |ORDER BY ABS(c.cents * 1000000 - p.mean_micro) DESC, c.event_id
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = ev(s, d).select(col("event_id"),
+      expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+      units(col("value"), 2).as("cents"))
+    val p = c.groupBy("hod")
+      .agg(expr("sum(cents) * 1000000 div count(1)").as("mean_micro"))
+    c.join(broadcast(p), "hod")
+      .select(col("event_id"), col("hod"), col("cents"), col("mean_micro"),
+        (col("cents") * 1000000L - col("mean_micro")).as("residual_micro"))
+      .orderBy(abs(col("residual_micro")).desc, col("event_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
     qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
-    qResample, qWinsorize, qTheilSen, qCusum, qChisq)
+    qResample, qWinsorize, qTheilSen, qCusum, qChisq, qSeasonal)
 }
