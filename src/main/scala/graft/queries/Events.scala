@@ -1519,11 +1519,79 @@ object Events {
       .limit(10)
   }
 
+  /** HOLT double-exponential smoothing (level + trend) — the
+    * MULTI-STATE member of the ordered-fold family ([[qEwma]] carries
+    * one state variable; this carries two coupled ones, the shape of
+    * any Kalman-style recurrence): lₜ = (xₜ + (lₜ₋₁+bₜ₋₁))/2,
+    * bₜ = ((lₜ−lₜ₋₁) + bₜ₋₁)/2 with dyadic α=β=1/2, one-step
+    * forecast l+b. DuckDB's `list_reduce` folds T→T only, so BOTH
+    * engines fold same-shape [l, b, seeded] DOUBLE arrays (elements
+    * carry x in slot 1; a leading sentinel seeds l₀=x₀, b₀=0) —
+    * identical arithmetic, identical order, bit-identical forecasts.
+    * The state is an ARRAY, not a struct, deliberately: DuckDB 1.0
+    * evaluates struct_pack fields sequentially INTO the accumulator,
+    * so a struct state's second field reads the first field's
+    * freshly-written value (observed: acc.l was already l₁ while
+    * computing b) — list_value has no such in-place mutation.
+    *
+    * Scale: one user_id shuffle; per-key state is that key's ordered
+    * list, the sessionization bound. */
+  val qHolt: QueryDef = QueryDef.sql(
+    "q_events_holt",
+    """SELECT user_id,
+      |  CAST(len(seq) AS BIGINT) AS n_events,
+      |  st[1] AS level_cents, st[2] AS trend_cents,
+      |  st[1] + st[2] AS forecast_cents
+      |FROM (
+      |  SELECT user_id, seq,
+      |    list_reduce(
+      |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0],
+      |        list_transform(seq, x -> [x, CAST(0.0 AS DOUBLE), 0.0])),
+      |      (acc, e) -> CASE WHEN acc[3] = 0.0
+      |        THEN [e[1], CAST(0.0 AS DOUBLE), 1.0]
+      |        ELSE [(e[1] + acc[1] + acc[2]) / 2.0,
+      |              (((e[1] + acc[1] + acc[2]) / 2.0 - acc[1]) + acc[2]) / 2.0,
+      |              1.0] END) AS st
+      |  FROM (
+      |    SELECT user_id,
+      |      list(CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE)
+      |           ORDER BY ts, event_id) AS seq
+      |    FROM events
+      |    GROUP BY user_id
+      |  )
+      |  WHERE user_id % 20 = 0
+      |)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val rowStruct = struct(
+      unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+      units(col("value"), 2).cast("double").as("v"))
+    ev(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .groupBy(col("user_id"))
+      .agg(collect_list(rowStruct).as("rows"))
+      .select(col("user_id"),
+        size(col("rows")).cast("long").as("n_events"),
+        aggregate(
+          transform(array_sort(col("rows")), r => r.getField("v")),
+          array(lit(0.0), lit(0.0), lit(0.0)),
+          (acc, x) => {
+            val l0 = element_at(acc, 1); val b0 = element_at(acc, 2)
+            val l1 = (x + l0 + b0) / lit(2.0)
+            when(element_at(acc, 3) === 0.0, array(x, lit(0.0), lit(1.0)))
+              .otherwise(array(l1, ((l1 - l0) + b0) / lit(2.0), lit(1.0)))
+          }).as("st"))
+      .select(col("user_id"), col("n_events"),
+        element_at(col("st"), 1).as("level_cents"),
+        element_at(col("st"), 2).as("trend_cents"),
+        (element_at(col("st"), 1) + element_at(col("st"), 2)).as("forecast_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTumbling, qLagGaps, qSessionize, qAsOfSignup,
     qPivotCounts, qJsonExtract, qFunnel, qSlidingRange, qHopping, qUnpivotCounts,
     qAttribution, qRetention, qGapfill, qHistogram, qWau, qScd2, qTwap, qAsOfNative,
     qAsOfForward, qAsOfNearest, qOutliers, qOhlc, qPercentiles, qSaltedAgg,
     qPercentilesApprox, qRobustOutliers, qCorr, qWindowIgnoreNulls, qEwma, qPaths,
-    qResample, qWinsorize, qTheilSen, qCusum, qChisq, qSeasonal)
+    qResample, qWinsorize, qTheilSen, qCusum, qChisq, qSeasonal, qHolt)
 }
