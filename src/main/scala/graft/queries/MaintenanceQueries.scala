@@ -1089,9 +1089,53 @@ object MaintenanceQueries {
     q.withColumn("read_from_mv", lit(fromMv || !extLoaded)).orderBy("user_id")
   }
 
+  /** Hidden `_metadata` FILE-introspection columns — the per-file
+    * audit a compaction/layout advisor reads without any sidecar:
+    * orders is rewritten bucket-partitioned (one file per
+    * `o_orderkey % 8` directory), read back, and profiled PER FILE
+    * through Spark's `_metadata` struct — the bucket parsed from
+    * `file_path`, and the row count derived TWICE (COUNT(*) vs
+    * max(`row_index`)+1, which must agree — an internal-consistency
+    * check on the metadata row indexing itself). The oracle recomputes
+    * everything from the bucket rule, so a row landing in the wrong
+    * file breaks the hash.
+    *
+    * Scale: `_metadata` is generated by the scan (no extra I/O); the
+    * report is one aggregate keyed by file — O(files) output, the
+    * input to dropPartitions/compact decisions. */
+  val qFileMetadata: QueryDef = QueryDef.sql(
+    "q_file_metadata",
+    """SELECT o_orderkey % 8 AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(*) AS n_rows_by_index,
+      |  COUNT(DISTINCT o_custkey) AS n_custkeys,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_filemeta_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    Tables(s, d, "orders")
+      .withColumn("bucket", col("o_orderkey") % 8)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        regexp_extract(col("_metadata.file_path"), "bucket=(\\d+)", 1)
+          .cast("long").as("bucket"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("ri")) + 1).as("n_rows_by_index"),
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
-    qMvRewrite)
+    qMvRewrite, qFileMetadata)
 }
