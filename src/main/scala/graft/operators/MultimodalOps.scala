@@ -420,7 +420,7 @@ object MultimodalOps {
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     stss.putInt(4, kfs.length)
     kfs.zipWithIndex.foreach { case (s, i) => stss.putInt(8 + 4 * i, s) }
-    val ftyp = box("ftyp", "isom   isom".getBytes(
+    val ftyp = box("ftyp", "isom\u0000\u0000\u0002\u0000isom".getBytes(
       java.nio.charset.StandardCharsets.ISO_8859_1))
     val stbl = box("stbl", box("stts", stts.array()) ++ box("stss", stss.array()))
     val mdia = box("mdia", box("mdhd", mdhd.array()) ++ box("minf", stbl))
@@ -932,6 +932,59 @@ object MultimodalOps {
               Seq(w.sampleRate, w.samples.length.toLong, clipped, silent, lead, peak, true)
             case None =>
               Seq(0, bytes.length.toLong, 0L, 0L, 0L, 0, false)
+          }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Audio DECIMATION — the sample-rate-reduction twin of
+    * [[resizeImages]] (ASR model-input prep: 16 kHz corpora fed to an
+    * 8 kHz model, or bandwidth-bounded archives): each output sample
+    * is the boxcar mean of `factor` consecutive input samples
+    * (`Math.floorDiv` — floor like SQL `//`, NOT Java truncation, so
+    * a relational oracle reproduces negative-window means exactly),
+    * the tail partial window is dropped, and the result is re-encoded
+    * as a real WAV at rate/factor plus an order-sensitive exact
+    * checksum Σ(i+1)·out(i) the oracle can recompute. Undecodable
+    * bytes degrade (`decoded=false`, null bytes) — the standard
+    * kernel contract. */
+  def resampleAudio(df: DataFrame, binCol: String, factor: Int,
+      batchSize: Int = 32): DataFrame = {
+    require(factor >= 2)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("out_rate", IntegerType),
+      StructField("n_out", LongType),
+      StructField("resampled_wav", BinaryType),
+      StructField("checksum", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val wav =
+            try decodeWav(bytes) catch { case scala.util.control.NonFatal(_) => None }
+          val fields = wav match {
+            case Some(w) =>
+              val nOut = w.samples.length / factor
+              val out = new Array[Short](nOut)
+              var i = 0
+              while (i < nOut) {
+                var s = 0L
+                var j = 0
+                while (j < factor) { s += w.samples(i * factor + j); j += 1 }
+                out(i) = Math.floorDiv(s, factor).toShort
+                i += 1
+              }
+              var ck = 0L
+              i = 0
+              while (i < nOut) { ck += (i + 1L) * out(i); i += 1 }
+              Seq(w.sampleRate / factor, nOut.toLong,
+                encodeWavPcm16(w.sampleRate / factor, out), ck, true)
+            case None =>
+              Seq(0, 0L, null, 0L, false)
           }
           Row.fromSeq(r.toSeq ++ fields)
         }

@@ -606,8 +606,52 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Audio DECIMATION (model-input prep, the audio twin of
+    * [[qMultimodalResize]]): the square-wave fixtures are boxcar-
+    * decimated 4:1 by the real kernel (floor-div window means, tail
+    * dropped, re-encoded as a 2 kHz WAV) and summarized by an
+    * order-sensitive exact checksum Σ(i+1)·out(i); the oracle
+    * reconstructs every window mean relationally from the fixture's
+    * sign function with the SAME floor division — one sample shifted,
+    * clipped, or mis-averaged anywhere in the signal breaks the hash.
+    * The emitted WAV itself is decode-verified in MultimodalSpec. */
+  val qMultimodalResample: QueryDef = QueryDef.sql(
+    "q_multimodal_resample",
+    """WITH p AS (
+      |  SELECT doc_id, 2 + doc_id % 14 AS p, 1000 + (doc_id % 100) * 10 AS a,
+      |    (800 + doc_id % 200) // 4 AS n_out
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, n_out, i,
+      |    (CASE WHEN ((4 * i) // p) % 2 = 0 THEN 1 ELSE -1 END
+      |   + CASE WHEN ((4 * i + 1) // p) % 2 = 0 THEN 1 ELSE -1 END
+      |   + CASE WHEN ((4 * i + 2) // p) % 2 = 0 THEN 1 ELSE -1 END
+      |   + CASE WHEN ((4 * i + 3) // p) % 2 = 0 THEN 1 ELSE -1 END) * a AS wsum
+      |  FROM p, LATERAL (SELECT unnest(range(0, n_out)) AS i)
+      |)
+      |SELECT doc_id, 2000 AS out_rate,
+      |  CAST(MAX(n_out) AS BIGINT) AS n_out,
+      |  CAST(SUM((i + 1) * (wsum // 4)) AS BIGINT) AS checksum,
+      |  TRUE AS decoded
+      |FROM w
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkWav = udf { id: Long =>
+      val p = 2 + (id % 14).toInt
+      val a = (1000 + (id % 100) * 10).toInt
+      val n = (800 + id % 200).toInt
+      val samples = Array.tabulate[Short](n)(i => (if ((i / p) % 2 == 0) a else -a).toShort)
+      MultimodalOps.encodeWavPcm16(8000, samples)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkWav(col("doc_id")).as("blob"))
+    MultimodalOps.resampleAudio(media, "blob", 4)
+      .select(col("doc_id"), col("out_rate"), col("n_out"), col("checksum"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
     qMultimodalAudio, qMultimodalVideo, qMultimodalFrames, qMultimodalPhash,
     qMultimodalPhashPairs, qMultimodalAudioQuality, qMultimodalExif,
-    qMultimodalConsistency, qMultimodalResize, qCentroid, qBinaryFileScan)
+    qMultimodalConsistency, qMultimodalResize, qCentroid, qBinaryFileScan,
+    qMultimodalResample)
 }

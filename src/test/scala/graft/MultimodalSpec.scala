@@ -351,4 +351,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == Seq(8000, 10L, 3L, 5L, 4L, 32767, true), s"got ${got(1L)}")
     assert(got(2L) == Seq(0, garbage.length.toLong, 0L, 0L, 0L, 0, false))
   }
+
+  test("audio decimation: emitted WAV decodes to the floor-div window means; corrupt degrades") {
+    import graft.operators.MultimodalOps
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // period-3 square wave: windows straddle sign flips, means go negative
+    val n = 25
+    val samples = Array.tabulate[Short](n)(i => (if ((i / 3) % 2 == 0) 900 else -900).toShort)
+    val wav = MultimodalOps.encodeWavPcm16(8000, samples)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("id", "blob")
+    val out = MultimodalOps.resampleAudio(df, "blob", 4)
+      .select("id", "out_rate", "n_out", "resampled_wav", "checksum", "decoded")
+      .collect().sortBy(_.getLong(0))
+
+    val good = out(0)
+    assert(good.getBoolean(5) && good.getInt(1) == 2000 && good.getLong(2) == 6)
+    // direct decimation with FLOOR division (Math.floorDiv, not Java /)
+    val want = Array.tabulate(6) { i =>
+      Math.floorDiv((0 until 4).map(j => samples(i * 4 + j).toInt).sum, 4)
+    }
+    assert(good.getLong(4) ==
+      want.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum)
+    // the emitted WAV is a REAL wav: the public decode kernel agrees
+    val re = MultimodalOps.decodeAudioFeatures(
+      Seq(Tuple1(good.getAs[Array[Byte]](3))).toDF("blob"), "blob")
+      .select("sample_rate", "n_samples", "decoded").head
+    assert(re.getInt(0) == 2000 && re.getLong(1) == 6 && re.getBoolean(2))
+
+    val bad = out(1)
+    assert(!bad.getBoolean(5) && bad.isNullAt(3) && bad.getLong(4) == 0L)
+  }
 }
