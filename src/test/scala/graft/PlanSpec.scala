@@ -712,4 +712,33 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_cbo CASCADE")
     }
   }
+
+  test("AQE converts a statically-planned shuffle join to broadcast at runtime") {
+    // the 100 TB posture: static stats can't see that a filtered side is
+    // tiny, so the STATIC plan is a sort-merge join; AQE measures the
+    // actual shuffle output and re-plans a broadcast join mid-query.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")      // static: never broadcast
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760") // runtime: may
+      val dim = Tables(spark, sf, "orders").filter(col("o_totalprice") > 400000.0)
+      val joined = Tables(spark, sf, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val static = joined.queryExecution.executedPlan.toString
+      assert(static.contains("SortMergeJoin"),
+        s"with broadcast disabled statically, the pre-execution plan must SMJ:\n$static")
+      joined.collect() // execute so AQE finalizes
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE should have re-planned the tiny filtered side as broadcast:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
