@@ -52,6 +52,49 @@ object DedupOps {
        |  i -> array_to_string(($w)[i + 1 : i + $n], ' ')))""".stripMargin
   }
 
+  /** PPJoin-style prefix-filtered exact similarity self-join at
+    * τ = 1/2 over distinct 3-shingles (the `q_dedup_ppjoin` engine,
+    * factored out so DedupSpec can fuzz completeness on random
+    * corpora): tokens globally ordered rarest-first by df, each doc
+    * exposes its first ⌊n/2⌋+1 tokens, candidates = prefix equi-join,
+    * exact-integer intersection/union verify. Returns (doc_a, doc_b,
+    * n_common, n_a, n_b, jaccard) for every pair with J ≥ 1/2. */
+  def ppjoinPairsHalf(docs: DataFrame): DataFrame = {
+    // the explicit not-null no-op filter aligns the inferred isnotnull
+    // across every branch so the token exchange canonicalizes equal and
+    // is reused instead of recomputed per consumer
+    val tok = docs
+      .withColumn("_w", cleanWords(col("text")))
+      .select(col("doc_id"), explode(shinglesFromWords(col("_w"))).as("t"))
+      .filter(col("t").isNotNull)
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ordered = tok.join(dfreq, "t")
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("t"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // prefix length p = n − ⌈τ·n⌉ + 1 at τ=1/2 is ⌊n/2⌋+1; the integer
+    // form 2·pos ≤ n+2 is exact in both engines
+    val prefix = ordered.filter(col("pos") * 2 <= col("n") + 2).select("doc_id", "t")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tok.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(tok.as("y"), col("doc_b") === col("y.doc_id") && col("x.t") === col("y.t"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   /** Document-frequency cap over an exploded (doc_id, shingle) frame:
     * drops shingles shared by more than `maxDf` documents BEFORE any
     * shingle-key self-join. Without it, one boilerplate shingle shared

@@ -69,4 +69,39 @@ class DedupSpec extends SparkSpec {
       s"prefix filtering must not lose pairs: missing=${truth -- got} extra=${got -- truth}")
     assert(truth.nonEmpty, "fixture should contain near-dup pairs at sf0.001")
   }
+
+  test("ppjoin completeness holds on seeded random corpora, not just the fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // small vocab forces real overlaps; doc pairs share prefixes of each
+    // other's text with varying cut points, giving Jaccards on both
+    // sides of tau = 1/2
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (trial <- 1 to 3) {
+      val base = Seq.fill(20)(Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+      val docs = base.zipWithIndex.flatMap { case (w, i) =>
+        val cut = 3 + rnd.nextInt(w.size - 2)
+        Seq((i * 2L, w.mkString(" ")),
+            (i * 2L + 1, (w.take(cut) ++ Seq(s"x$trial$i")).mkString(" ")))
+      }.toDF("doc_id", "text")
+
+      val tok = docs
+        .withColumn("_w", DedupOps.cleanWords(col("text")))
+        .select(col("doc_id"), explode(DedupOps.shinglesFromWords(col("_w"))).as("t"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = tok.as("a").join(tok.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(col("i") * 2 >= col("na") + col("nb") - col("i"))
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+
+      val got = DedupOps.ppjoinPairsHalf(docs)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      assert(got == truth,
+        s"trial $trial: missing=${truth -- got} extra=${got -- truth}")
+    }
+  }
 }

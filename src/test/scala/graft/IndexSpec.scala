@@ -267,4 +267,32 @@ class IndexSpec extends SparkSpec {
     }
     assert(incr == full)
   }
+
+  test("trigram probe equals full-scan contains on seeded random corpora and patterns") {
+    import graft.sources.TrigramIndex
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x7216AB)
+    val alphabet = "abcd "
+    for (trial <- 1 to 3) {
+      val texts = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(30 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.size))).mkString))
+      val docs = texts.toDF("doc_id", "text")
+      val dir = Files.createTempDirectory(s"trg_fuzz$trial").toFile.getAbsolutePath
+      TrigramIndex.build(docs, dir, cellHexChars = 1)
+      // pattern drawn from a real doc (guaranteed >=1 match), trimmed so
+      // cleanText's space-collapsing can't desync pattern and corpus
+      val src = texts(rnd.nextInt(texts.size))._2.replaceAll("\\s+", " ").trim
+      val at = rnd.nextInt(math.max(1, src.length - 6))
+      val pattern = src.substring(at, math.min(src.length, at + 5)).trim
+      if (pattern.length >= TrigramIndex.N) {
+        val got = TrigramIndex.search(docs, dir, pattern)
+          .select("doc_id").as[Long].collect().toSet
+        val want = docs.filter(TF.cleanText(col("text")).contains(pattern))
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == want, s"trial $trial pattern '$pattern': got=$got want=$want")
+        assert(want.nonEmpty, s"trial $trial: pattern should match its source doc")
+      }
+    }
+  }
 }
