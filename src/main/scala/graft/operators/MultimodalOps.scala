@@ -202,6 +202,125 @@ object MultimodalOps {
     bb.array()
   }
 
+  // ---- animation (GIF) structural metadata — no LZW decode ---------------
+
+  /** GIF structural metadata: frame count, NETSCAPE loop count, first
+    * graphic-control delay. */
+  private[operators] final case class GifMeta(
+      width: Int, height: Int, nFrames: Int, loopCount: Int, firstDelayCs: Int)
+
+  /** Walk a GIF87a/89a byte stream WITHOUT decoding LZW — header +
+    * logical screen descriptor (skipping the global color table),
+    * then blocks: extensions (0x21; the NETSCAPE application
+    * extension carries the loop count, the graphic-control extension
+    * the per-frame delay) and image descriptors (0x2C; local color
+    * table + LZW sub-block chain skipped structurally) until the
+    * 0x3B trailer. The animation-ledger walk a media lake runs before
+    * deciding what to decode — same class as the MP4 box walk. None
+    * on malformed structure (truncated sub-block chains, missing
+    * trailer bounds). */
+  private[operators] def gifMeta(bytes: Array[Byte]): Option[GifMeta] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8) // little-endian
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = u16(6); val h = u16(8)
+    val packed = u8(10)
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x07) + 1)) // global color table
+    var frames = 0; var loop = -1; var firstDelay = -1
+    /** Skip a 0-terminated sub-block chain; -1 on truncation. */
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < bytes.length && u8(o) != 0) o += 1 + u8(o)
+      if (o >= bytes.length) -1 else o + 1
+    }
+    while (off < bytes.length && u8(off) != 0x3B) {
+      u8(off) match {
+        case 0x21 => // extension: label + sub-blocks
+          if (off + 2 >= bytes.length) return None
+          val label = u8(off + 1)
+          if (label == 0xF9 && firstDelay < 0 && off + 5 < bytes.length)
+            firstDelay = u16(off + 4) // GCE: delay in centiseconds
+          // layout: 0x21 0xFF size=11 "NETSCAPE2.0" | subSize=3 id=1 lo hi | 0
+          if (label == 0xFF && off + 17 < bytes.length &&
+              new String(bytes, off + 3, 11,
+                java.nio.charset.StandardCharsets.US_ASCII) == "NETSCAPE2.0" &&
+              u8(off + 14) == 3 && u8(off + 15) == 1)
+            loop = u16(off + 16)
+          off = skipSubBlocks(off + 2) match { case -1 => return None; case o => o }
+        case 0x2C => // image descriptor
+          if (off + 10 >= bytes.length) return None
+          val p = u8(off + 9)
+          var o = off + 10
+          if ((p & 0x80) != 0) o += 3 * (1 << ((p & 0x07) + 1)) // local color table
+          if (o >= bytes.length) return None
+          o += 1 // LZW minimum code size
+          frames += 1
+          off = skipSubBlocks(o) match { case -1 => return None; case x => x }
+        case _ => return None // unknown block type: malformed
+      }
+    }
+    if (off >= bytes.length) return None // no trailer
+    Some(GifMeta(w, h, frames, loop, firstDelay))
+  }
+
+  /** Deterministic multi-frame GIF fixture: valid BLOCK STRUCTURE
+    * (header, NETSCAPE loop extension, per-frame GCE + image
+    * descriptor + sub-block chains) with placeholder LZW payloads —
+    * the structural walker's input space, no pixel decode implied. */
+  def encodeGifMeta(width: Int, height: Int, nFrames: Int, loopCount: Int,
+      delayCs: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(width); le16(height)
+    out.write(0x00); out.write(0); out.write(0) // no global color table
+    // NETSCAPE application extension (loop count)
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(3); out.write(1); le16(loopCount); out.write(0)
+    for (f <- 0 until nFrames) {
+      out.write(0x21); out.write(0xF9); out.write(4) // GCE
+      out.write(0); le16(delayCs); out.write(0); out.write(0)
+      out.write(0x2C) // image descriptor
+      le16(0); le16(0); le16(width); le16(height); out.write(0)
+      out.write(2) // LZW min code size
+      out.write(3); out.write(f & 0xFF); out.write(0x44); out.write(0x01) // one 3-byte sub-block
+      out.write(0) // chain terminator
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** GIF metadata kernel over a binary column — same batch shape and
+    * degrade contract as every decoder here. */
+  def gifMetadata(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("loop_count", IntegerType),
+      StructField("first_delay_cs", IntegerType),
+      StructField("parsed", BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val fields =
+            (try gifMeta(bytes) catch { case scala.util.control.NonFatal(_) => None }) match {
+              case Some(m) =>
+                Seq(m.width, m.height, m.nFrames, m.loopCount, m.firstDelayCs, true)
+              case None => Seq(0, 0, 0, -1, -1, false)
+            }
+          Row.fromSeq(r.toSeq ++ fields)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ---- video (MP4/ISO-BMFF) metadata — no decode ------------------------
 
   /** Container-level video metadata. */

@@ -649,9 +649,39 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** GIF ANIMATION metadata — the fifth container family (zip, tar,
+    * RIFF, ISO-BMFF, now GIF): frame count, NETSCAPE loop count and
+    * first-frame delay recovered by a structural block walk with NO
+    * LZW decode (extensions and image-data sub-block chains skipped
+    * by length bytes) — the animation-ledger pass a media lake runs
+    * before frame extraction. Fixtures carry real multi-frame block
+    * structure from closed forms the oracle recomputes; corrupt bytes
+    * degrade flagged in MultimodalSpec. */
+  val qMultimodalGif: QueryDef = QueryDef.sql(
+    "q_multimodal_gif",
+    """SELECT doc_id,
+      |  CAST(32 + (doc_id % 3) * 16 AS INTEGER) AS width,
+      |  CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,
+      |  CAST(doc_id % 4 AS INTEGER) AS loop_count,
+      |  CAST(4 + doc_id % 10 AS INTEGER) AS first_delay_cs,
+      |  TRUE AS parsed
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val mkGif = udf { id: Long =>
+      MultimodalOps.encodeGifMeta(
+        (32 + (id % 3) * 16).toInt, 24, (1 + id % 6).toInt,
+        (id % 4).toInt, (4 + id % 10).toInt)
+    }
+    val media = docs(s, d).select(col("doc_id"), mkGif(col("doc_id")).as("blob"))
+    MultimodalOps.gifMetadata(media, "blob")
+      .select(col("doc_id"), col("width"), col("n_frames"),
+        col("loop_count"), col("first_delay_cs"), col("parsed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(qMultimodalMeta, qMultimodalFeatures, qMultimodalDecode,
     qMultimodalAudio, qMultimodalVideo, qMultimodalFrames, qMultimodalPhash,
     qMultimodalPhashPairs, qMultimodalAudioQuality, qMultimodalExif,
     qMultimodalConsistency, qMultimodalResize, qCentroid, qBinaryFileScan,
-    qMultimodalResample)
+    qMultimodalResample, qMultimodalGif)
 }

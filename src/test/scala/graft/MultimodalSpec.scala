@@ -382,4 +382,27 @@ class MultimodalSpec extends SparkSpec {
     val bad = out(1)
     assert(!bad.getBoolean(5) && bad.isNullAt(3) && bad.getLong(4) == 0L)
   }
+
+  test("GIF walk counts frames without LZW decode; truncation and junk degrade") {
+    import graft.operators.MultimodalOps
+    import spark.implicits._
+    val good = MultimodalOps.encodeGifMeta(64, 24, 4, 2, 7)
+    // a REAL ImageIO-written GIF also parses (single frame, no NETSCAPE)
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", buf)
+    val real = buf.toByteArray
+    val truncated = good.take(good.length - 3) // loses the trailer + chain end
+    val junk = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, good), (2L, real), (3L, truncated), (4L, junk)).toDF("id", "blob")
+    val out = MultimodalOps.gifMetadata(df, "blob")
+      .select("id", "width", "n_frames", "loop_count", "first_delay_cs", "parsed")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5))).sortBy(_._1)
+    assert(out(0) == ((1L, 64, 4, 2, 7, true)))
+    val (_, rw, rf, _, _, rp) = out(1)
+    assert(rp && rw == 5 && rf == 1, s"ImageIO GIF should walk: ${out(1)}")
+    assert(!out(2)._6, "truncated structure must degrade, not mis-count")
+    assert(!out(3)._6, "non-GIF bytes must degrade")
+  }
 }
