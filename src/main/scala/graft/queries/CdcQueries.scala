@@ -233,6 +233,41 @@ object CdcQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** AVRO container roundtrip — the rows-as-records interchange format
+    * beside parquet/ORC (columnar) and CSV/JSONL/tar (text/sample):
+    * documents hash-route into 8 deterministic `.avro` shards (pinned
+    * sync marker, fixed row order — byte-stable across runs), read back
+    * one-task-per-shard under the declared schema contract, and
+    * aggregated with the same content checksum as the JSONL face — so a
+    * lost record, a union-null mishandling, a Utf8-vs-String or
+    * ByteBuffer slip in the decoder all break the hash against the
+    * parquet source of truth. */
+  val qAvroRoundtrip: QueryDef = QueryDef.sql(
+    "q_avro_roundtrip",
+    """SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  COUNT(DISTINCT sha256(text)) AS n_distinct
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_avro_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    graft.sources.AvroIo.write(
+      Tables(s, d, "documents").withColumn("shard", pmod(col("doc_id"), lit(8))),
+      dir, "shard", "doc_id")
+    graft.sources.AvroIo.read(s, dir,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
-    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip)
+    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip)
 }
