@@ -115,16 +115,43 @@ object AvroIo {
       }
   }
 
+  /** Streaming export: each micro-batch becomes its own shard set
+    * under `dir/batch-<id>/` ([[TarShards.writeStream]] contract) — the
+    * batch id is part of the path, so an at-least-once REPLAY of a
+    * batch overwrites its own files instead of duplicating records:
+    * exactly-once shards on top of foreachBatch with no sink-side
+    * state. AvailableNow drains the backlog and stops; read the full
+    * export back with `read(spark, dir, ddl, recursive = true)`. */
+  def writeStream(incoming: DataFrame, dir: String, checkpoint: String,
+      shardCol: String, orderCol: String): Unit = {
+    val q = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        write(batch, s"$dir/batch-$id", shardCol, orderCol)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Read an Avro shard directory back under the declared Spark DDL —
-    * one task per container file, sequential block decode. */
-  def read(spark: SparkSession, dir: String, schemaDdl: String): DataFrame = {
+    * one task per container file, sequential block decode. `recursive`
+    * also walks one level of subdirectories (the `batch-<id>/` layout
+    * the streaming export produces). */
+  def read(spark: SparkSession, dir: String, schemaDdl: String,
+      recursive: Boolean = false): DataFrame = {
     val sparkSchema = StructType.fromDDL(schemaDdl)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf.value)
-    val files = fs.listStatus(dirPath).filter(_.isFile)
-      .map(_.getPath.toString).filter(_.endsWith(".avro")).sorted
+    val top = fs.listStatus(dirPath)
+    val files = (top.filter(_.isFile).map(_.getPath) ++
+        (if (recursive) top.filter(_.isDirectory)
+            .flatMap(d => fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath))
+         else Array.empty[Path]))
+      .map(_.toString).filter(_.endsWith(".avro")).sorted
     val names = sparkSchema.fieldNames
     val types = sparkSchema.fields.map(_.dataType)
     val rdd = spark.sparkContext

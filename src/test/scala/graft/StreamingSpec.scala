@@ -574,6 +574,38 @@ class StreamingSpec extends SparkSpec {
     assert(TarShards.read(spark, outDir, recursive = true).count() == nDocs)
   }
 
+  test("streaming avro export writes batch-scoped shards, replay-idempotent") {
+    import graft.sources.AvroIo
+    val docsDir = {
+      val dir = Files.createTempDirectory("docs_avro_stream")
+      Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      dir.toFile.getAbsolutePath
+    }
+    val outDir = Files.createTempDirectory("avro_export").toFile.getAbsolutePath + "/export"
+    val ddl = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    def run(ck: String): Unit = {
+      val incoming = spark.readStream
+        .schema(Tables(spark, sf, "documents").schema)
+        .parquet(docsDir)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+      AvroIo.writeStream(incoming, outDir, ck, "shard", "doc_id")
+    }
+    run(ckpt())
+    val back = AvroIo.read(spark, outDir, ddl, recursive = true)
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(back.count() == nDocs, "every document must land in some batch shard")
+    // text survives exactly through the container encode/decode
+    val got = back.filter(col("doc_id") === 3).select("text").head.getString(0)
+    val want = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 3).select("text").head.getString(0)
+    assert(got == want)
+    // replay from a fresh checkpoint overwrites batch-scoped paths —
+    // same record count, not a doubled export
+    run(ckpt())
+    assert(AvroIo.read(spark, outDir, ddl, recursive = true).count() == nDocs)
+  }
+
   test("streaming CMS total equals the batch sketch exactly, replay-idempotent") {
     import graft.operators.SketchOps
     import graft.streaming.SketchStreams
