@@ -301,6 +301,83 @@ object TextQueries {
     }
   }
 
+  /** Micro-batch size for the padding-waste report. */
+  private val BatchB = 32
+
+  /** Padding-waste report: the batching-efficiency metric a fixed-batch
+    * training (or embedding-inference) pipeline watches. Within each
+    * (lang, shard) group — shard = doc_id % [[PackShards]], the same
+    * writer-task sharding as [[qPackSequences]] — documents form
+    * [[BatchB]]-row micro-batches, and a batch pads every member to its
+    * longest sequence: padded = count·max(n_tokens), waste = padded −
+    * Σ n_tokens. Reported per lang under BOTH batch orders: arrival
+    * (doc_id) and length-sorted — the delta is exactly the win
+    * length-bucketed batching buys, measured on the real corpus. Scale
+    * posture: both windows partition on (lang, shard) (parallelism =
+    * langs × shards, never a global window — same shape PlanSpec pins
+    * for packing), everything downstream is partial-agg shuffles, all
+    * arithmetic exact BIGINT. */
+  val qPadWaste: QueryDef = {
+    def fdivSql(x: String, k: Int) = s"CAST((($x) - (($x) % $k)) / $k AS BIGINT)"
+    def batchedSql(order: String, out: String) =
+      s"""$out AS (
+         |  SELECT lang, shard,
+         |    ${fdivSql(s"ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY $order) - 1", BatchB)} AS batch,
+         |    n_tokens
+         |  FROM t
+         |), ${out}b AS (
+         |  SELECT lang, COUNT(*) AS n_batches, SUM(waste) AS waste FROM (
+         |    SELECT lang, shard, batch,
+         |      COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS waste
+         |    FROM $out GROUP BY lang, shard, batch)
+         |  GROUP BY lang
+         |)""".stripMargin
+    QueryDef.sql(
+      "q_pad_waste",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(doc_id % $PackShards AS BIGINT) AS shard,
+         |    CAST(${TF.wordCountSql("text")} AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), ${batchedSql("doc_id", "a")}, ${batchedSql("n_tokens, doc_id", "s")},
+         |tot AS (SELECT lang, SUM(n_tokens) AS sum_tokens FROM t GROUP BY lang)
+         |SELECT lang, ab.n_batches AS n_batches,
+         |  CAST(sum_tokens AS BIGINT) AS sum_tokens,
+         |  CAST(ab.waste AS BIGINT) AS pad_naive,
+         |  CAST(sb.waste AS BIGINT) AS pad_sorted
+         |FROM tot JOIN ab USING (lang) JOIN sb USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).cast("long").as("shard"),
+        TF.wordCount(col("text")).cast("long").as("n_tokens"))
+      def fdiv(x: org.apache.spark.sql.Column, k: Int) =
+        ((x - (x % k)) / k).cast("long")
+      // both orderings share the (lang, shard) hash partitioning, so the
+      // exchange is reused and each branch pays only its in-partition
+      // sort; sum_tokens rides the naive branch's aggregation — the
+      // tokenize+scan runs per branch, never a third time for totals
+      def padPerLang(order: Seq[org.apache.spark.sql.Column], name: String) = {
+        val w = Window.partitionBy("lang", "shard").orderBy(order: _*)
+        base
+          .withColumn("batch", fdiv(row_number().over(w).cast("long") - 1, BatchB))
+          .groupBy("lang", "shard", "batch")
+          .agg((count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens"))).as("w"),
+            sum(col("n_tokens")).as("sm"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("sm")).cast("long").as("sum_tokens"),
+            sum(col("w")).cast("long").as(name))
+      }
+      val naive = padPerLang(Seq(col("doc_id")), "pad_naive")
+      val sorted = padPerLang(Seq(col("n_tokens"), col("doc_id")), "pad_sorted")
+        .drop("n_batches").drop("sum_tokens")
+      naive.join(sorted, "lang")
+        .select(col("lang"), col("n_batches"), col("sum_tokens"),
+          col("pad_naive"), col("pad_sorted"))
+        .orderBy("lang")
+    }
+  }
+
   /** Exact-BPE token accounting with a corpus-trained merge table
     * (F6's real algorithm; [[graft.operators.BpeOps]]): train 64 merges
     * over the top-1024 word-frequency table (one corpus-scale job +
@@ -477,5 +554,5 @@ object TextQueries {
     qUrlCanonical, qTokenFertility,
     qDocTokens, qDocLangId, qDocQuality, qDocChunks,
     qChunkStats, qPipelineEmbed, qSplitOversized, qDocChunksRecursive,
-    qPackSequences, qDocBpeExact, qDocNfc)
+    qPackSequences, qPadWaste, qDocBpeExact, qDocNfc)
 }
