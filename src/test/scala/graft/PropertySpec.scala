@@ -227,6 +227,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- avro container codec ----------------------------------------------
+
+  check("avro schema mapping + container codec round-trip arbitrary rows, deterministically", min = 50) {
+    import graft.sources.AvroIo
+    import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    // the same record schema, null-union encode, and Utf8/ByteBuffer
+    // decode conventions AvroIo.write/read use, exercised at the
+    // avro-core level so the fuzz needs no SparkSession
+    val sparkSchema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("b", BinaryType)))
+    val genRow: Gen[(Long, Option[String], Option[Array[Byte]])] = for {
+      id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      s <- Gen.option(Gen.listOf(Gen.oneOf(
+        Gen.choose(' ', 'ÿ'), Gen.choose('Ā', '휀'))).map(_.mkString))
+      n <- Gen.choose(0, 300)
+      seed <- Gen.choose(0, 255)
+      b <- Gen.option(Gen.const(Array.tabulate[Byte](n)(i => ((i * 131 + seed) % 256).toByte)))
+    } yield (id, s, b)
+    def encode(rows: List[(Long, Option[String], Option[Array[Byte]])]): Array[Byte] = {
+      val schema = AvroIo.avroSchema(sparkSchema)
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out, Array.fill[Byte](16)(7))
+      rows.foreach { case (id, s, b) =>
+        val rec = new GenericData.Record(schema)
+        rec.put(0, id)
+        rec.put(1, s.orNull)
+        rec.put(2, b.map(java.nio.ByteBuffer.wrap).orNull)
+        w.append(rec)
+      }
+      w.close()
+      out.toByteArray
+    }
+    Prop.forAll(Gen.listOf(genRow)) { rows =>
+      val bytes = encode(rows)
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+      val back = Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).map { rec =>
+        (rec.get("id").asInstanceOf[Long],
+          Option(rec.get("s")).map(_.toString),
+          Option(rec.get("b")).map { v =>
+            val bb = v.asInstanceOf[java.nio.ByteBuffer]
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          })
+      }.toList
+      r.close()
+      back.size == rows.size &&
+        back.zip(rows).forall { case ((gi, gs, gb), (wi, ws, wb)) =>
+          gi == wi && gs == ws &&
+            ((gb, wb) match {
+              case (None, None) => true
+              case (Some(x), Some(y)) => java.util.Arrays.equals(x, y)
+              case _ => false
+            })
+        } &&
+        java.util.Arrays.equals(bytes, encode(rows)) // pinned sync ⇒ byte-stable
+    }
+  }
+
   // ---- tar shard codec ---------------------------------------------------
 
   check("tar writer/parser round-trips arbitrary entry lists exactly, deterministically", min = 50) {
