@@ -65,15 +65,19 @@ object AvroIo {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(conf.value)
-    fs.delete(dirPath, true)
-    fs.mkdirs(dirPath)
+    // Validate FIRST (shard cast resolves, every payload type maps to
+    // Avro): a rejected write must leave a prior export under `dir`
+    // intact, so nothing destructive happens until the plan and the
+    // schema are both known-good.
     val payload = df.schema.fieldNames.filterNot(n => n == shardCol)
     val out = df.select((Seq(col(shardCol).cast("int").as("__shard")) ++
       payload.map(col)): _*)
     val rowSchema = StructType(out.schema.fields.filter(_.name != "__shard"))
     val schemaJson = avroSchema(rowSchema).toString // Schema isn't serializable-stable; ship JSON
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
     out
       .repartition(col("__shard"))
       .sortWithinPartitions("__shard", orderCol)
@@ -173,7 +177,14 @@ object AvroIo {
             Row.fromSeq(names.indices.map { i =>
               (rec.get(names(i)), types(i)) match {
                 case (null, _)                  => null
-                case (v, StringType)            => v.toString
+                // STRING is a contract too: only Avro's string runtime
+                // shapes stringify — a mislabelled long/bytes field
+                // fails loudly like every other type mismatch.
+                case (v: org.apache.avro.util.Utf8, StringType) => v.toString
+                case (v: String, StringType)    => v
+                case (v, StringType)            => throw new IllegalArgumentException(
+                  s"AvroIo: declared STRING column ${names(i)} holds " +
+                    s"${v.getClass.getName} in $p (fix the DDL or the writer)")
                 case (v: java.nio.ByteBuffer, BinaryType) =>
                   val b = new Array[Byte](v.remaining()); v.duplicate().get(b); b
                 case (v, _)                     => v

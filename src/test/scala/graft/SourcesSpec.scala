@@ -310,9 +310,21 @@ class SourcesSpec extends SparkSpec {
     assert(first.nonEmpty && first.keySet.forall(_.startsWith("part-")))
     AvroIo.write(df, dir, "shard", "id")
     assert(bytesOf(dir) == first, "avro shards are byte-stable across runs")
-    // unsupported column types fail LOUDLY at write, not at read
+    // unsupported column types fail LOUDLY at write, not at read — and a
+    // rejected write must NOT destroy an existing good export at the same
+    // destination (validation happens before any delete)
     intercept[IllegalArgumentException] {
-      AvroIo.write(df.withColumn("arr", array(lit(1))), dir + "_bad", "shard", "id")
+      AvroIo.write(df.withColumn("arr", array(lit(1))), dir, "shard", "id")
     }
+    assert(bytesOf(dir) == first, "rejected write left the prior export intact")
+    // STRING is a contract on read too: a DDL that mislabels a non-string
+    // field as STRING fails loudly instead of silently stringifying
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroIo.read(spark, dir, "id STRING, payload STRING, blob BINARY, score DOUBLE, flag BOOLEAN")
+        .collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(chain.contains("declared STRING column id"), s"got: $chain")
   }
 }
