@@ -82,25 +82,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    // untimed warmup: JIT + codegen + parquet footer cache
-    qs.foreach { case (_, fn) =>
-      try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = qs.map { case (name, fn) =>
-      val times = (1 to iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          runOnce(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, e.getClass.getSimpleName)
-            None
-        }
+
+    /** warmup once untimed, then report the median of `n` timed runs
+      * per query against `dir`; failures get -1 + an entry in `errs`. */
+    def timeAll(dir: String, n: Int,
+        errs: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] = {
+      qs.foreach { case (_, fn) =>
+        try runOnce(fn(spark, dir)) catch { case _: Throwable => () }
       }
-      name -> (if (times.isEmpty) -1.0 else median(times))
+      qs.map { case (name, fn) =>
+        val times = (1 to n).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            runOnce(fn(spark, dir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errs.getOrElseUpdate(name, e.getClass.getSimpleName)
+              None
+          }
+        }
+        name -> (if (times.isEmpty) -1.0 else median(times))
+      }
     }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = timeAll(sfDir, iters, errors)
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -118,7 +125,43 @@ object Bench {
     val paired = results.filter { case (k, v) => v >= 0 && base.contains(k) }
     val duckTotal = paired.map { case (k, _) => base(k) }.sum
     val ratioTotal = if (duckTotal > 0) paired.map(_._2).sum / duckTotal else -1.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
+
+    // Scale anchor: when a 10× re-keyed copy of the bench data exists
+    // (built by graft.ScaleUp, conventionally at benchdata/sf1), run the
+    // same headline set there and report per-query GROWTH factors
+    // (anchor_s / main_s). This measures whether a query's time is a
+    // fixed per-job floor (growth ≪ data growth: scheduling/codegen
+    // amortizes at scale) or real data-proportional work — the evidence
+    // a 100× scale-up claim needs. Skippable: SPARK_GRAFT_NO_ANCHOR=1.
+    val anchorDir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR", "benchdata/sf1")
+    val anchorJson =
+      if (sys.env.get("SPARK_GRAFT_NO_ANCHOR").contains("1") ||
+          !new java.io.File(anchorDir).isDirectory) ""
+      else {
+        val aErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        val aResults = timeAll(anchorDir, math.max(1, iters - 1), aErrors)
+        val aQ = aResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+          .mkString("{", ",", "}")
+        val mainByName = results.toMap
+        val growth = aResults.flatMap { case (k, v) =>
+          mainByName.get(k).filter(m => m > 0 && v >= 0).map(m => k -> v / m)
+        }.map { case (k, g) => "\"" + k + f"\":$g%.2f" }.mkString("{", ",", "}")
+        val aBase = duckdbBaseline(new java.io.File(anchorDir).getName)
+        val aDuck = aResults.flatMap { case (k, _) => aBase.get(k).map(k -> _) }
+          .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+        val aRatio = aResults.flatMap { case (k, v) =>
+          aBase.get(k).filter(b => b > 0 && v >= 0).map(b => k -> v / b)
+        }.map { case (k, r) => "\"" + k + f"\":$r%.2f" }.mkString("{", ",", "}")
+        val aPaired = aResults.filter { case (k, v) => v >= 0 && aBase.contains(k) }
+        val aDuckTotal = aPaired.map { case (k, _) => aBase(k) }.sum
+        val aRatioTotal =
+          if (aDuckTotal > 0) aPaired.map(_._2).sum / aDuckTotal else -1.0
+        val aTotal = aResults.map(_._2).filter(_ >= 0).sum
+        val aErr = aErrors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString("{", ",", "}")
+        f""","anchor":{"sf":"$anchorDir","value":$aTotal%.3f,"queries":$aQ,"growth":$growth,"duckdb":$aDuck,"ratio":$aRatio,"duckdb_total":$aDuckTotal%.3f,"ratio_total":$aRatioTotal%.2f,"errors":$aErr}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"$anchorJson}""")
     spark.stop()
   }
 }

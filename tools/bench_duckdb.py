@@ -35,8 +35,11 @@ def main() -> int:
     sf = sf_dir.name
     con = duckdb.connect()
     for p in sorted(sf_dir.glob("*.parquet")):
+        # ScaleUp writes each table as a DIRECTORY of part files
+        # (Spark's native layout); glob inside it for DuckDB
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
+            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{src}')")
     fresh = []
     for name, sql in sorted(oracles.items()):
         con.execute(sql).df()  # warm-up (parquet metadata, buffers)
