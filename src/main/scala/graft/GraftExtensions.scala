@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view auto-rewrite: exact-plan-match substitution of
     // registered aggregates by their materialization (MvCatalog)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // DSv2 time-travel scans of MoR-deleted snapshots: apply the
+    // deletion vectors in-plan (tombstone anti-join) so VERSION AS OF
+    // SQL works instead of failing loudly
+    ext.injectOptimizerRule(_ => graft.plans.DvApply)
     // whole-operator tier: the native as-of join (logical node →
     // strategy → single-pass merge exec); see graft.plans.AsOfJoinPlan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1133,9 +1133,54 @@ object MaintenanceQueries {
       .orderBy("bucket")
   }
 
+  /** DSv2 `VERSION AS OF` over a merge-on-read-deleted snapshot: a
+    * commit then a [[graft.sources.TimeTravel.deleteMoR]], and BOTH
+    * versions read back through the `graft-table` DataSource V2 face —
+    * not the library read path. Version 2 carries pending deletion
+    * vectors, so the scan only works because the injected
+    * [[graft.plans.DvApply]] optimizer rule rewrites the relation into
+    * the tombstone anti-join in-plan; a rule that failed to fire (loud
+    * error) or applied the wrong tombstones (hash break) both fail the
+    * oracle, which states each version in closed form. Scale: the DV
+    * side is O(deleted rows) and broadcasts; the data side keeps the
+    * delegated parquet scan's pushdown and pruning. */
+  val qTtDvSql: QueryDef = QueryDef.sql(
+    "q_tt_dv_sql",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), live AS (
+      |  SELECT * FROM c WHERE k % 3 <> 0
+      |)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM c
+      |  UNION ALL
+      |  SELECT 2, COUNT(*), CAST(SUM(cents) AS BIGINT) FROM live
+      |)
+      |ORDER BY version""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttdv_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir)               // v1
+    TimeTravel.deleteMoR(s, dir, col("k") % 3 === 0) // v2: pending DVs
+    def viaDsv2(v: Long) =
+      s.read.format("graft-table").option("version", v.toString).load(dir)
+    Seq(1L, 2L).map { v =>
+      viaDsv2(v)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(lit(v.toInt).as("version"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
-    qMvRewrite, qFileMetadata)
+    qMvRewrite, qFileMetadata, qTtDvSql)
 }

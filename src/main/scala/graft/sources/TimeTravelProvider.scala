@@ -27,12 +27,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * snapshot's directories, so it gets the vectorized reader, filter
   * pushdown and column pruning for free.
   *
-  * DV-bearing snapshots (a pending merge-on-read delete) FAIL LOUDLY
-  * here: applying tombstones needs the anti-join [[TimeTravel.read]]
-  * performs, which a pass-through file scan cannot express — returning
-  * the un-deleted rows silently would be wrong, so the error directs
-  * the caller to `TimeTravel.read` or an OPTIMIZE (which folds the DVs
-  * and makes the snapshot scannable again).
+  * DV-bearing snapshots (a pending merge-on-read delete) are handled
+  * by [[graft.plans.DvApply]], an injected optimizer rule that rewrites
+  * the relation into the same tombstone anti-join [[TimeTravel.read]]
+  * performs — so `VERSION AS OF` SQL works on MoR-deleted snapshots
+  * with no user action. Without the extension (or with the rule
+  * excluded) the scan FAILS LOUDLY at build time: a pass-through file
+  * scan cannot express the anti-join, and silently returning the
+  * un-deleted rows would be wrong.
   */
 class TimeTravelProvider extends TableProvider with DataSourceRegister {
 
@@ -63,18 +65,21 @@ final class TimeTravelTable(path: String, versionOpt: Option[Long],
   private def spark: SparkSession = SparkSession.active
 
   /** Snapshot resolution, pinned at construction. */
-  private val snapshotVersion: Long = versionOpt.getOrElse(
+  private[graft] val snapshotVersion: Long = versionOpt.getOrElse(
     TimeTravel.versions(spark, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no versions at $path")))
 
-  private val dirs: Seq[String] = {
-    if (TimeTravel.dvListing(spark, path, snapshotVersion).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"graft-table: ${name()} has pending deletion vectors; " +
-          "read it with TimeTravel.read (merge-on-read) or run " +
-          "TimeTravel.optimize to fold them, then re-scan")
+  /** The table path, for [[graft.plans.DvApply]]'s rewrite. */
+  private[graft] def tablePath: String = path
+
+  /** Pinned at construction with the rest of the snapshot: whether this
+    * snapshot carries merge-on-read tombstones that a plain file scan
+    * cannot apply. */
+  private[graft] val pendingDvs: Boolean =
+    TimeTravel.dvListing(spark, path, snapshotVersion).nonEmpty
+
+  private val dirs: Seq[String] =
     TimeTravel.listing(spark, path, snapshotVersion).map(d => s"$path/$d")
-  }
 
   private val delegate: ParquetTable =
     ParquetTable(name(), spark, options, dirs, None, classOf[ParquetFileFormat])
@@ -88,6 +93,17 @@ final class TimeTravelTable(path: String, versionOpt: Option[Long],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // Reached only when graft.plans.DvApply did NOT rewrite this
+    // relation (extensions absent, rule excluded, or a shape the
+    // rewrite declines, e.g. a _metadata reference): fail loudly
+    // rather than return rows a pending delete already tombstoned.
+    if (pendingDvs)
+      throw new UnsupportedOperationException(
+        s"graft-table: ${name()} has pending deletion vectors; load " +
+          "graft.GraftExtensions (the DvApply rule applies them in-plan), " +
+          "read via TimeTravel.read (merge-on-read), or run " +
+          "TimeTravel.optimize to fold them, then re-scan")
     delegate.newScanBuilder(caseInsensitiveOptions)
+  }
 }

@@ -238,7 +238,7 @@ class SourcesSpec extends SparkSpec {
     val (empty, eStats) = ZoneMaps.readRange(spark, dir, "cents", Long.MaxValue - 10, Long.MaxValue)
     assert(eStats.filesRead == 0L && empty.count() == 0L)
   }
-  test("graft-table DSv2: version-pinned reads, SQL face, loud on pending DVs") {
+  test("graft-table DSv2: version-pinned reads, SQL face, DV snapshots apply in-plan") {
     import graft.sources.TimeTravel
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ttdsv2").toFile.getAbsolutePath + "/t"
@@ -263,15 +263,41 @@ class SourcesSpec extends SparkSpec {
       s"OPTIONS (path '$dir', version '1')")
     assert(spark.sql("SELECT COUNT(*) FROM tt_v1").head.getLong(0) == 10L)
 
-    // a snapshot with pending deletion vectors must fail loudly, never
-    // return the un-deleted rows
+    // a snapshot with pending deletion vectors: the injected DvApply
+    // rule applies the tombstone anti-join in-plan, so the DSv2 scan ≡
+    // the library's merge-on-read path — and VERSION AS OF SQL works
     TimeTravel.deleteMoR(spark, dir, col("id") <= 5L)
-    val e = intercept[Exception] { viaFormat(None).count() }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" "))
-    assert(rootMsg(e).contains("deletion vectors"), s"got: $e")
-    // the pre-delete snapshot is still scannable
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(viaFormat(None)) == (6L to 15L),
+      "DSv2 scan of a DV snapshot must apply the tombstones")
+    assert(ids(viaFormat(None)) == ids(TimeTravel.read(spark, dir, None)),
+      "DSv2 DV read ≡ TimeTravel.read")
+    // SQL face over the DV snapshot, with a filter on top (the rewrite
+    // must compose under parent operators)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tt_live USING `graft-table` " +
+      s"OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT COUNT(*) FROM tt_live WHERE id <= 8").head.getLong(0) == 3L)
+    // plan shape: the rewritten read is the MoR plan you'd want — user
+    // filter pushed into the data-side parquet scan, tombstones applied
+    // by a BROADCAST anti-join (DV side is O(deleted rows))
+    val dvPlan = viaFormat(None).filter(col("id") > 7L)
+      .queryExecution.executedPlan.toString
+    assert(dvPlan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,7)]"), dvPlan)
+    assert(dvPlan.contains("BroadcastHashJoin") && dvPlan.contains("LeftAnti"), dvPlan)
+    // the pre-delete snapshot is still scannable and still complete
     assert(viaFormat(Some(2L)).count() == 15)
+
+    // WITHOUT the rule (excludedRules), the scan must fail loudly — a
+    // pass-through file scan silently returning tombstoned rows is the
+    // one unacceptable outcome
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.DvApply")
+    try {
+      val e = intercept[Exception] { viaFormat(None).count() }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString(" "))
+      assert(rootMsg(e).contains("deletion vectors"), s"got: $e")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
   test("avro shards round-trip adversarial strings, nulls, binary; byte-stable") {
