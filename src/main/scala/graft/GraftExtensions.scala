@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deletion vectors in-plan (tombstone anti-join) so VERSION AS OF
     // SQL works instead of failing loudly
     ext.injectOptimizerRule(_ => graft.plans.DvApply)
+    // pure inequality joins (point between interval bounds, no equi
+    // key) rewrite to the binned equi-join instead of a nested loop
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
     // whole-operator tier: the native as-of join (logical node →
     // strategy → single-pass merge exec); see graft.plans.AsOfJoinPlan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

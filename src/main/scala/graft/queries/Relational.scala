@@ -355,6 +355,45 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** The SAME pure interval join written NAIVELY — a plain inequality
+    * `join(o, pd >= sd && pd < sd + 30)` with no RangeJoinOps call and
+    * no equi key. Spark's native plan for this is a nested loop; the
+    * injected [[graft.plans.BinnedRangeJoin]] optimizer rule detects
+    * the bounded-between shape and rewrites it into the bin equi-join
+    * automatically, so the naive spelling gets the scalable plan a
+    * user of [[graft.operators.RangeJoinOps]] opts into by hand.
+    * PlanSpec pins no-nested-loop with extensions on. The oracle is
+    * DuckDB's own IEJoin over the same inequality, with a pair-lag sum
+    * on top of the count so candidate re-filtering and exactly-one-bin
+    * matching are both hash-checked pair by pair. */
+  val qIntervalAuto: QueryDef = QueryDef.sql(
+    "q_interval_auto",
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS sd
+      |  FROM orders
+      |), l AS (
+      |  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS pd
+      |  FROM lineitem
+      |)
+      |SELECT o_orderpriority, COUNT(*) AS n_pairs,
+      |  CAST(SUM(l.pd - o.sd) AS BIGINT) AS sum_lag_days
+      |FROM l JOIN o ON l.pd >= o.sd AND l.pd < o.sd + 30
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = ord(s, d).select(col("o_orderpriority"),
+        floor(unix_seconds(col("o_orderdate").cast("timestamp")).cast("double") / 86400)
+          .cast("long").as("sd"))
+    val l = li(s, d).select(
+      floor(unix_seconds(col("l_shipdate").cast("timestamp")).cast("double") / 86400)
+        .cast("long").as("pd"))
+    l.join(o, col("pd") >= col("sd") && col("pd") < col("sd") + lit(30L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("pd") - col("sd")).as("sum_lag_days"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Cross join (small dims only): region × order-status grid with counts. */
   val qCrossJoin: QueryDef = QueryDef.sql(
     "q_cross_join",
@@ -647,7 +686,7 @@ object Relational {
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier,
     q4TopCustomersPerNation, q6RollupRevenue, qCubeOrders,
     qSemiJoin, qAntiJoin, qOuterJoin, qSetOps, qUnionAll,
-    qTopOrders, qRangeJoin, qIntervalJoin, qCrossJoin, qAggStats,
+    qTopOrders, qRangeJoin, qIntervalJoin, qIntervalAuto, qCrossJoin, qAggStats,
     qExcept, qWindowRanks, qApproxDistinct, qGroupingSets, qMedianPriority,
     qSetOpsAll, qWindowDist, qWindowFirstLast, qGlobalIds)
 }

@@ -162,6 +162,20 @@ class PlanSpec extends SparkSpec {
       "per-doc top-3 must be bounded map-side before the window exchange")
   }
 
+  test("naive inequality join auto-rewrites to the bin equi-join") {
+    // q_interval_auto is WRITTEN as a pure inequality join; the
+    // injected BinnedRangeJoin rule must turn it into a _graft_bin
+    // equi-join — no nested loop, no cartesian — and the rewrite must
+    // NOT fire on joins that already have an equi key (q_range_join)
+    val p = phys(queries.Relational.qIntervalAuto.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"inequality join must rewrite to the binned plan:\n$p")
+    assert(p.contains("_graft_bin"), s"expected the injected bin key in:\n$p")
+    val keyed = phys(queries.Relational.qRangeJoin.run(spark, sf))
+    assert(!keyed.contains("_graft_bin"),
+      "a join with an equi key must keep its native hash/merge plan")
+  }
+
   test("attribution interval join is a keyed join, not a nested loop") {
     val p = phys(queries.Events.qAttribution.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
