@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -102,17 +102,86 @@ object MvRewrite extends Rule[LogicalPlan] {
       // MV definitions are aggregates; restricting the probe to
       // Aggregate nodes keeps the non-MV planning cost at zero
       case agg: Aggregate =>
-        MvCatalog.lookup(agg.canonicalized) match {
-          case Some(e) if e.relation.output.size == agg.output.size =>
-            // fresh instance per use site — self-joins of one MV must
-            // not share attribute ids
-            val fresh = e.relation.newInstance()
-            val aliases: Seq[NamedExpression] =
-              agg.output.zip(fresh.output).map { case (orig, attr) =>
-                Alias(attr, orig.name)(exprId = orig.exprId)
-              }
-            Project(aliases, fresh)
-          case _ => agg
-        }
+        exactMatch(agg).orElse(filterSubsume(agg)).getOrElse(agg)
+    }
+
+  /** Substitution with the original subtree's output ids preserved —
+    * fresh relation instance per use site (self-joins of one MV must
+    * not share attribute ids), positional aliases on top. */
+  private def substitute(agg: Aggregate, e: MvCatalog.Entry,
+      wrap: LogicalPlan => LogicalPlan = identity): LogicalPlan = {
+    val fresh = e.relation.newInstance()
+    val aliases: Seq[NamedExpression] =
+      agg.output.zip(fresh.output).map { case (orig, attr) =>
+        Alias(attr, orig.name)(exprId = orig.exprId)
+      }
+    Project(aliases, wrap(fresh))
+  }
+
+  private def exactMatch(agg: Aggregate): Option[LogicalPlan] =
+    MvCatalog.lookup(agg.canonicalized).collect {
+      case e if e.relation.output.size == agg.output.size => substitute(agg, e)
+    }
+
+  /** FILTER SUBSUMPTION: a query that is the registered definition
+    * plus one deterministic filter on grouping columns — i.e. it asks
+    * for a SUBSET of the MV's groups. Predicate pushdown sinks such a
+    * filter below the aggregate (often under intervening Projects), so
+    * the probe strips the single Filter out of the child chain,
+    * re-checks exact canonical equality of what remains, and — only
+    * when every predicate reference maps onto a grouping column that
+    * the MV materializes — re-applies the predicate ABOVE the MV scan.
+    *
+    * Grouping-compatibility guard, and why it is sound: all rows of a
+    * group share their grouping values, so filtering rows on grouping
+    * columns before aggregating selects exactly the groups whose
+    * (materialized) grouping values satisfy the predicate, and leaves
+    * every surviving group's aggregates untouched. A predicate that
+    * touches any non-grouping column changes the rows INSIDE groups —
+    * the map has no entry for it and the rewrite declines. Global
+    * (ungrouped) aggregates also decline: aggregate-of-empty is one
+    * row, filter-over-MV would be zero. Still no containment reasoning
+    * beyond this — the rule can only answer with a wrong plan never,
+    * a missed opportunity sometimes.
+    *
+    * Scale: this is the dashboard slice — `WHERE region = 'EU'` over a
+    * registered per-region rollup reads O(matching groups) from the
+    * materialization instead of rescanning the 100 TB fact table. */
+  private def filterSubsume(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.isEmpty) return None
+    stripOneFilter(agg.child).flatMap { case (stripped, pred) =>
+      MvCatalog.lookup(agg.copy(child = stripped).canonicalized) match {
+        case Some(e) if e.relation.output.size == agg.output.size &&
+            pred.references.nonEmpty =>
+          // base-attr exprId → MV output position, via the grouping
+          // columns that survive into the aggregate's output
+          val grouping = agg.groupingExpressions
+          def isGroupCol(a: Attribute): Boolean = grouping.exists(_.semanticEquals(a))
+          val posOf: Map[ExprId, Int] =
+            agg.aggregateExpressions.zipWithIndex.flatMap {
+              case (a: Attribute, i) if isGroupCol(a)           => Seq(a.exprId -> i)
+              case (Alias(a: Attribute, _), i) if isGroupCol(a) => Seq(a.exprId -> i)
+              case _ => Nil
+            }.toMap
+          if (pred.references.forall(r => posOf.contains(r.exprId)))
+            Some(substitute(agg, e, fresh => Filter(pred.transform {
+              case a: Attribute if posOf.contains(a.exprId) =>
+                fresh.output(posOf(a.exprId))
+            }, fresh)))
+          else None
+        case _ => None
+      }
+    }
+  }
+
+  /** The single Filter in a chain of Projects under the aggregate
+    * (where pushdown parks it); None if there is no filter or more
+    * than the shapes this probe understands. */
+  private def stripOneFilter(plan: LogicalPlan): Option[(LogicalPlan, Expression)] =
+    plan match {
+      case f: Filter if f.condition.deterministic => Some((f.child, f.condition))
+      case p: Project =>
+        stripOneFilter(p.child).map { case (ch, c) => (p.copy(child = ch), c) }
+      case _ => None
     }
 }

@@ -1089,6 +1089,51 @@ object MaintenanceQueries {
     q.withColumn("read_from_mv", lit(fromMv || !extLoaded)).orderBy("user_id")
   }
 
+  /** MV FILTER SUBSUMPTION ([[graft.plans.MvRewrite]]'s second probe):
+    * the registered definition is the full per-user aggregate; the
+    * query asks for a SLICE of it (`user_id % 7 = 0` — a predicate on
+    * the grouping column). Exact matching can't serve this; the
+    * subsumption probe strips the pushed-down filter, matches what
+    * remains against the registered canonical plan, and re-applies the
+    * predicate ABOVE the materialization — so the plan reads O(matching
+    * groups) from the MV parquet (with the predicate pushed into that
+    * scan) instead of rescanning the fact table. `read_from_mv` rides
+    * in the output so a silently-missed rewrite breaks the hash, not
+    * just a benchmark; the aggregate values double-check that slicing
+    * groups after aggregation ≡ filtering rows before (sound exactly
+    * because the predicate touches only grouping columns). */
+  val qMvSubsume: QueryDef = QueryDef.sql(
+    "q_mv_subsume",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS max_cents,
+      |  true AS read_from_mv
+      |FROM events
+      |WHERE user_id % 7 = 0
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.plans.MvCatalog
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_mvs_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    // the max_cents aggregate keeps this definition canonically DISTINCT
+    // from q_mv_rewrite's (the MvCatalog is session-scoped and Verify
+    // runs every query in one session — two entries with identical
+    // canonical plans would serve each other's materializations)
+    def agg = ev(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(units(col("value"), 2)).as("sum_cents"),
+        max(units(col("value"), 2)).as("max_cents"))
+    MvCatalog.register(s, s"per_user_sub_${Integer.toHexString(d.hashCode)}", agg, dir)
+    val q = ev(s, d).filter(col("user_id") % 7 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(units(col("value"), 2)).as("sum_cents"),
+        max(units(col("value"), 2)).as("max_cents"))
+    val fromMv =
+      q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("read_from_mv", lit(fromMv || !extLoaded)).orderBy("user_id")
+  }
+
   /** Hidden `_metadata` FILE-introspection columns — the per-file
     * audit a compaction/layout advisor reads without any sidecar:
     * orders is rewritten bucket-partitioned (one file per
@@ -1182,5 +1227,5 @@ object MaintenanceQueries {
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
-    qMvRewrite, qFileMetadata, qTtDvSql)
+    qMvRewrite, qMvSubsume, qFileMetadata, qTtDvSql)
 }

@@ -52,6 +52,30 @@ class MvSpec extends SparkSpec {
     } finally { MvCatalog.clear() }
   }
 
+  test("a narrowing filter on grouping columns is served from the MV (subsumption)") {
+    val dir = mvDir("subsume")
+    def sliced: DataFrame = Tables(spark, sf, "events")
+      .filter(col("user_id") % 10 === 3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"))
+    try {
+      val direct = sliced.orderBy("user_id").collect()
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      // the filtered query is NOT an exact match — it must hit via the
+      // filter-subsumption probe (predicate on the grouping column)
+      val q = sliced
+      val p = planOf(q)
+      assert(p.contains(new java.io.File(dir).getName),
+        s"grouping-column slice must be served from the MV:\n$p")
+      // and the re-applied predicate pushes into the MV scan itself
+      assert(p.contains("PushedFilters") && !p.contains("events.parquet"),
+        s"slice must not touch the base table:\n$p")
+      assert(q.orderBy("user_id").collect().toSeq == direct.toSeq,
+        "subsumed answer must equal the base-table answer")
+    } finally { MvCatalog.clear() }
+  }
+
   test("two references to one MV in a self-join get distinct instances") {
     val dir = mvDir("self")
     try {
