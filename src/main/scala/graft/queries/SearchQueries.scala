@@ -276,6 +276,49 @@ object SearchQueries {
     graft.sources.InvertedIndex.searchBm25(s, indexDir, Bm25Terms, 25)
   }
 
+  /** INDEX CELL COMPACTION ([[graft.sources.InvertedIndex.compact]],
+    * the small-file maintenance face the other three index families
+    * share via [[graft.sources.CellCompaction]]): the index is built
+    * in three waves (build + two appends — each wave strews one file
+    * set per touched cell), compacted back to scan-sized cell files,
+    * and THEN probed — identical oracle SQL as q_bm25_search, so the
+    * rewrite provably changed layout, not rows. The `compacted` flag
+    * asserts file count actually shrank and rides in the output: a
+    * compaction that silently did nothing breaks the hash.
+    *
+    * Scale: at 100 TB the probe scheduler's bottleneck is file count
+    * (1000 streamed batches = 1000 files per cell); compaction is
+    * O(oversized cells) rewrite jobs with rows never on the driver,
+    * and right-sized cells are never read. */
+  val qIndexCompact: QueryDef = QueryDef.sql(
+    "q_index_compact",
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score, true AS compacted FROM bm
+       |ORDER BY score DESC, doc_id
+       |LIMIT 25""".stripMargin) { (s, d) =>
+    import graft.sources.InvertedIndex
+    val indexDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_invcmp_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(indexDir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    InvertedIndex.build(docs(s, d).filter(col("doc_id") % 3 === 0), indexDir)
+    InvertedIndex.append(docs(s, d).filter(col("doc_id") % 3 === 1), indexDir)
+    InvertedIndex.append(docs(s, d).filter(col("doc_id") % 3 === 2), indexDir)
+    def nFiles: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+          else f.listFiles().map(walk).sum
+        } else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(indexDir))
+    }
+    val before = nFiles
+    InvertedIndex.compact(s, indexDir)
+    InvertedIndex.searchBm25(s, indexDir, Bm25Terms, 25)
+      .withColumn("compacted", lit(nFiles < before))
+  }
+
   /** HYBRID retrieval via reciprocal rank fusion (Cormack et al.,
     * SIGIR '09): fuse the BM25 lexical ranking ([[bm25Ctes]]) with a
     * dense cosine ranking against a query embedding (vec_id 0 — the
@@ -1238,7 +1281,7 @@ object SearchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qInvertedSearch, qHybridRrf,
+    qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qInvertedSearch, qIndexCompact, qHybridRrf,
     qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,

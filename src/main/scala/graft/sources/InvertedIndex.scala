@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.functions.{Chunkers, TextFunctions => TF}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +83,68 @@ object InvertedIndex {
     val dl = spark.read.parquet(doclenPath(path))
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
       .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Layout maintenance for BOTH write faces. The streamed layout
+    * ([[graft.streaming.IndexStreams]]: one `batch_id=` directory per
+    * micro-batch, cell-partitioned inside) folds into the flat cell
+    * layout via a full staged rewrite with atomic rename swap — the
+    * directory count was the one growing cost of streaming ingestion,
+    * and folding it restores O(cells) probe listings. The flat layout
+    * (build + appends) compacts per-cell via [[CellCompaction]] —
+    * only oversized cells are rewritten. Either way the `_doclen`
+    * sidecar's accumulated append files coalesce and `_stats` is
+    * recomputed from it, and BM25 probes score identically before and
+    * after (postings + sidecars carry the same rows — IndexSpec).
+    * Single-writer: do not run concurrently with an append/stream. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val batched = fs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (batched) {
+      // fold batch dirs -> flat cells, staged then swapped atomically
+      val staging = new Path(path + ".compact-staging")
+      val old = new Path(path + ".compact-old")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      spark.read.parquet(path)
+        .select(col("term"), col("doc_id"), col("tf"), col("cell"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(staging.toString)
+      spark.read.parquet(doclenPath(path)).select(col("doc_id"), col("dl"))
+        .coalesce(1).write.parquet(s"$staging/_doclen")
+      spark.read.parquet(s"$staging/_doclen")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+        .coalesce(1).write.parquet(s"$staging/_stats")
+      if (!fs.rename(root, old))
+        throw new java.io.IOException(s"index compact: rename $root -> $old failed")
+      if (!fs.rename(staging, root)) {
+        fs.rename(old, root) // roll the live index back before failing
+        throw new java.io.IOException(s"index compact: rename $staging -> $root failed")
+      }
+      fs.delete(old, true)
+    } else {
+      CellCompaction.compact(spark, path, "cell", targetBytes)
+      // fold doclen append files; _doclen is O(docs) rows, tiny
+      val dlDir = new Path(doclenPath(path))
+      val dlFiles = fs.listStatus(dlDir).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      if (dlFiles > 1) {
+        val dlStaging = new Path(doclenPath(path) + ".compact-staging")
+        if (fs.exists(dlStaging)) fs.delete(dlStaging, true)
+        spark.read.parquet(doclenPath(path)).select(col("doc_id"), col("dl"))
+          .coalesce(1).write.parquet(dlStaging.toString)
+        fs.delete(dlDir, true)
+        if (!fs.rename(dlStaging, dlDir))
+          throw new java.io.IOException(s"doclen compact: rename into $dlDir failed")
+      }
+      spark.read.parquet(doclenPath(path))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+    }
   }
 
   /** BM25 top-k (k1=1.2, b=0.75, rational Robertson idf — the exact

@@ -56,6 +56,27 @@ object MinHashIndex {
       .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
   }
 
+  /** Incremental append: new documents' band rows land beside the
+    * existing cell files under the `_meta`-recorded signature params —
+    * build and append can never hash with different k/bands (same
+    * contract as [[TrigramIndex.append]]). Nothing is rewritten; run
+    * [[compact]] periodically to fold the accumulated small files. */
+  def append(newDocs: DataFrame, path: String, textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(metaPath(path)).head()
+    bandRows(newDocs, textCol, meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("rows_per_band"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Fold append-accumulated small files back into scan-sized cell
+    * files ([[CellCompaction]]); rows and probe results unchanged,
+    * `_meta` untouched. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] =
+    CellCompaction.compact(spark, path, "cell", targetBytes)
+
   /** Probe: candidate (query_doc, cand_doc, n_bands) pairs for the query
     * documents, reading only the index cells the queries' own band keys
     * touch. The cell list is a driver-side collect bounded by bands×16

@@ -83,6 +83,13 @@ object TrigramIndex {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Fold append-accumulated small files back into scan-sized cell
+    * files ([[CellCompaction]]); rows and probe results unchanged,
+    * `_meta` untouched. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] =
+    CellCompaction.compact(spark, path, "cell", targetBytes)
+
   private def md5Cell(s: String, hexChars: Int): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString

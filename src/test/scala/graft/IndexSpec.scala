@@ -268,6 +268,99 @@ class IndexSpec extends SparkSpec {
     assert(incr == full)
   }
 
+  // --- cell compaction: probe ≡ pre-compaction probe, fewer files ---
+
+  private def dataFilesUnder(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else f.listFiles().toSeq.flatMap(walk)
+      } else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("MinHash index: append then compact — probe identical, files folded") {
+    import graft.sources.MinHashIndex
+    val corpus = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("mhidx_cmp").toFile.getAbsolutePath
+    // build a fifth, then append the rest in four waves — each wave
+    // adds one file set per touched cell
+    MinHashIndex.build(corpus.filter(col("doc_id") % 5 === 0), dir)
+    (1 to 4).foreach(r => MinHashIndex.append(corpus.filter(col("doc_id") % 5 === r), dir))
+    val queries = corpus.filter(col("doc_id") % 10 === 3)
+    def probe() = MinHashIndex.probe(spark, dir, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = probe()
+    val filesBefore = dataFilesUnder(dir).size
+    val compacted = MinHashIndex.compact(spark, dir, targetBytes = 128L * 1024 * 1024)
+    assert(compacted.nonEmpty, "five write waves must leave oversized cells")
+    val filesAfter = dataFilesUnder(dir).size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter files")
+    assert(probe() == before, "compaction must not change probe results")
+    // layout preserved: still cell-partitioned, _meta still readable
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell=")))
+    MinHashIndex.append(corpus.limit(0), dir) // _meta read must still work
+  }
+
+  test("inverted index: flat appends AND streamed batches both compact, BM25 unchanged") {
+    import graft.sources.InvertedIndex
+    val corpus = Tables(spark, sf, "documents")
+    val terms = Seq("vector", "hash", "join")
+    def top(dir: String) = InvertedIndex.searchBm25(spark, dir, terms, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // flat layout: build + appends
+    val flat = Files.createTempDirectory("invidx_cmp").toFile.getAbsolutePath
+    InvertedIndex.build(corpus.filter(col("doc_id") % 3 === 0), flat)
+    (1 to 2).foreach(r => InvertedIndex.append(corpus.filter(col("doc_id") % 3 === r), flat))
+    val beforeFlat = top(flat)
+    val filesBefore = dataFilesUnder(flat).size
+    InvertedIndex.compact(spark, flat)
+    assert(dataFilesUnder(flat).size < filesBefore)
+    assert(top(flat) == beforeFlat, "flat compaction must not change BM25 scores")
+
+    // streamed layout: batch_id dirs fold into flat cells
+    val streamed = Files.createTempDirectory("invidx_cmp_s").toFile.getAbsolutePath + "/idx"
+    val ckpt = Files.createTempDirectory("invidx_cmp_ck").toFile.getAbsolutePath
+    val src = Files.createTempDirectory("invidx_cmp_src").toFile.getAbsolutePath
+    corpus.filter(col("doc_id") % 2 === 0).write.parquet(s"$src/w0")
+    graft.streaming.IndexStreams.appendInvertedStream(
+      spark.readStream.schema(corpus.schema).parquet(s"$src/*"), streamed, ckpt)
+    corpus.filter(col("doc_id") % 2 === 1).write.parquet(s"$src/w1")
+    graft.streaming.IndexStreams.appendInvertedStream(
+      spark.readStream.schema(corpus.schema).parquet(s"$src/*"), streamed, ckpt)
+    assert(new java.io.File(streamed).listFiles().exists(_.getName.startsWith("batch_id=")))
+    val beforeStream = top(streamed)
+    InvertedIndex.compact(spark, streamed)
+    assert(!new java.io.File(streamed).listFiles().exists(_.getName.startsWith("batch_id=")),
+      "batch directories must fold away")
+    assert(new java.io.File(streamed).listFiles().exists(_.getName.startsWith("cell=")))
+    assert(top(streamed) == beforeStream, "fold must not change BM25 scores")
+    // the folded index equals a from-scratch build
+    val fresh = Files.createTempDirectory("invidx_cmp_f").toFile.getAbsolutePath
+    InvertedIndex.build(corpus, fresh)
+    assert(top(streamed) == top(fresh))
+  }
+
+  test("trigram index: append then compact — search identical, files folded") {
+    import graft.sources.TrigramIndex
+    val corpus = Tables(spark, sf, "documents")
+    val dir = Files.createTempDirectory("trgidx_cmp").toFile.getAbsolutePath
+    TrigramIndex.build(corpus.filter(col("doc_id") % 3 === 0), dir, cellHexChars = 1)
+    (1 to 2).foreach(r => TrigramIndex.append(corpus.filter(col("doc_id") % 3 === r), dir))
+    val pattern = "merge batch"
+    def hits() = TrigramIndex.search(corpus, dir, pattern)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = hits()
+    assert(before.nonEmpty)
+    val filesBefore = dataFilesUnder(dir).size
+    val compacted = TrigramIndex.compact(spark, dir)
+    assert(compacted.nonEmpty)
+    assert(dataFilesUnder(dir).size < filesBefore)
+    assert(hits() == before, "compaction must not change search results")
+  }
+
   test("trigram probe equals full-scan contains on seeded random corpora and patterns") {
     import graft.sources.TrigramIndex
     import graft.functions.{TextFunctions => TF}

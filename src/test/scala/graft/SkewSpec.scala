@@ -58,4 +58,65 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE skew split vs manual salting: same rows, both mitigate, measured") {
+    // The engine gives two answers to a hot join key — AQE's runtime
+    // partition split and SkewOps.saltedJoin — and the advice on which
+    // to use should be measured, not asserted. This pins the MEASURABLE
+    // half on one pathological shape (one key carrying ~97% of the
+    // fact bytes): all three variants return identical rows, AQE's
+    // final plan really marks the join skewed, the salted plan really
+    // spreads sub-keys. Wall times are printed for BENCH_NOTES (this
+    // sandbox's absolute numbers are noisy; the structural assertions
+    // are the stable contract).
+    import spark.implicits._
+    val pad = "x" * 200
+    val fact = ((1 to 1000000).map(_ => (1L, pad)) ++
+      (2 to 50).flatMap(i => (1 to 100).map(_ => (i.toLong, s"cold$i"))))
+      .toDF("k", "payload")
+    val dim = (1 to 50).map(i => (i.toLong, s"attr$i")).toDF("k", "attr")
+    val factP = fact.repartition(32).cache(); factP.count()
+
+    def timed(confs: Map[String, String])(mk: => org.apache.spark.sql.DataFrame)
+        : (Long, Double, String) = {
+      val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val df = mk
+        val t0 = System.nanoTime()
+        val n = df.collect().length.toLong
+        val sec = (System.nanoTime() - t0) / 1e9
+        (n, sec, df.queryExecution.executedPlan.toString)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val noBroadcast = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    // Thresholds compare against COMPRESSED shuffle bytes
+    // (MapOutputStatistics): this 200 MB logical hot partition of
+    // repetitive text lz4-compresses ~100×, so a "16MB" threshold
+    // silently declines — size thresholds against on-wire bytes, and
+    // keep threshold ≥ advisory or the rule declines outright.
+    val aqeSkew = noBroadcast ++ Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB")
+    val skewOff = noBroadcast ++ Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")
+
+    val (nPlain, tPlain, _) = timed(skewOff)(factP.join(dim, Seq("k")))
+    val (nAqe, tAqe, pAqe) = timed(aqeSkew)(factP.join(dim, Seq("k")))
+    val (nSalt, tSalt, pSalt) =
+      timed(skewOff)(SkewOps.saltedJoin(factP, dim, "k", salt = 8))
+
+    assert(nPlain == nAqe && nAqe == nSalt, "all three variants must agree on rows")
+    assert(pAqe.contains("isSkewJoin=true") || pAqe.contains("skew=true"),
+      s"AQE should have split the hot partition:\n$pAqe")
+    assert(pSalt.contains("_salt"), "salted plan must spread sub-keys")
+    info(f"plain=$tPlain%.2fs aqe-split=$tAqe%.2fs salted=$tSalt%.2fs")
+    factP.unpersist()
+  }
 }
