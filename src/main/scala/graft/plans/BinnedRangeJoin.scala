@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, TimestampType}
 
 /** Automatic binned-interval-join rewrite (§4 optimizer-rule tier) —
   * the injected-rule face of
@@ -56,6 +56,15 @@ object BinnedRangeJoin extends Rule[LogicalPlan] {
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
+  /** TIMESTAMP bounds also bin soundly — `Cast(ts, double)` is epoch
+    * SECONDS and monotonic, so the superset argument holds unchanged —
+    * but the bin unit silently becomes seconds, where the 64-default
+    * would explode a 30-day interval into 40k bins. Temporal rewrites
+    * therefore fire only when the session EXPLICITLY sets
+    * [[BinWidthConf]] (in seconds), an intent signal that the caller
+    * chose a width for their time scale. */
+  private def temporal(e: Expression): Boolean = e.dataType == TimestampType
+
   /** (point, low, high) when `c` is a one-sided bound between the two
     * child outputs: returns the bounded expression and its bound. */
   private final case class Bound(point: Expression, limit: Expression, isLower: Boolean)
@@ -93,10 +102,13 @@ object BinnedRangeJoin extends Rule[LogicalPlan] {
       else {
         // normalize every comparison into "point-side bounded by
         // other-side", in both orientations (s <= p is a lower bound)
+        val widthExplicit = conf.getConfString(BinWidthConf, null) != null
+        def binnable(e: Expression): Boolean =
+          integral(e) || (temporal(e) && widthExplicit)
         val bounds = parts.flatMap(asBound).flatMap { b =>
           (sideOf(b.point), sideOf(b.limit)) match {
             case (Some(ps), Some(ls)) if ps != ls &&
-                integral(b.point) && integral(b.limit) =>
+                binnable(b.point) && binnable(b.limit) =>
               Seq(Bound(b.point, b.limit, b.isLower),
                 Bound(b.limit, b.point, !b.isLower)).filter(x =>
                   sideOf(x.point).isDefined) // keep both orientations

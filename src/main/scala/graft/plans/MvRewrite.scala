@@ -47,7 +47,12 @@ object MvCatalog {
       name: String,
       canonical: LogicalPlan,
       relation: LogicalRelation,
-      mvPath: String)
+      mvPath: String,
+      /** The definition's optimized top Aggregate, when the optimized
+        * plan has that shape — the structural handle the projection-
+        * subsumption probe needs (column positions, grouping exprs);
+        * None degrades that probe, never correctness. */
+      defAgg: Option[Aggregate])
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -76,8 +81,20 @@ object MvCatalog {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(
       s"parquet read of $path did not produce a LogicalRelation"))
+    // Derive the canonical from a FRESH optimization with the rewrite
+    // rule suspended: with other MVs already registered, the
+    // definition's own optimization could otherwise be rewritten into
+    // one of THEM (exactly what the subsumption probes are for),
+    // registering a mangled canonical that this definition's own
+    // queries never exact-match again.
+    val optimized = MvRewrite.whileSuspended {
+      org.apache.spark.sql.GraftPlanApi
+        .ofRows(spark, defDf.queryExecution.logical)
+        .queryExecution.optimizedPlan
+    }
     entries.put(name,
-      Entry(name, defDf.queryExecution.optimizedPlan.canonicalized, rel, path))
+      Entry(name, optimized.canonicalized, rel, path,
+        optimized match { case a: Aggregate => Some(a); case _ => None }))
   }
 
   def unregister(name: String): Unit = entries.remove(name)
@@ -92,17 +109,35 @@ object MvCatalog {
     }
     None
   }
+
+  private[plans] def allEntries: Seq[Entry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala.toSeq
+  }
 }
 
 object MvRewrite extends Rule[LogicalPlan] {
 
+  /** True while [[MvCatalog.registerMaterialized]] optimizes a
+    * definition to derive its canonical — the rule must not rewrite
+    * the plan it is trying to fingerprint. Thread-local: planning is
+    * driver-side and registration is single-writer by contract. */
+  private val suspended: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private[plans] def whileSuspended[A](body: => A): A = {
+    suspended.set(java.lang.Boolean.TRUE)
+    try body finally suspended.set(java.lang.Boolean.FALSE)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvCatalog.isEmpty) plan
+    if (MvCatalog.isEmpty || suspended.get()) plan
     else plan.transformUp {
       // MV definitions are aggregates; restricting the probe to
       // Aggregate nodes keeps the non-MV planning cost at zero
       case agg: Aggregate =>
-        exactMatch(agg).orElse(filterSubsume(agg)).getOrElse(agg)
+        exactMatch(agg).orElse(filterSubsume(agg))
+          .orElse(projectionSubsume(agg)).getOrElse(agg)
     }
 
   /** Substitution with the original subtree's output ids preserved —
@@ -184,4 +219,69 @@ object MvRewrite extends Rule[LogicalPlan] {
         stripOneFilter(p.child).map { case (ch, c) => (p.copy(child = ch), c) }
       case _ => None
     }
+
+  /** PROJECTION SUBSUMPTION: a query whose aggregate asks for a SUBSET
+    * (in any order) of a registered definition's columns — same
+    * grouping, same aggregated input. Exact matching can't see this
+    * because column pruning rewrites BOTH the aggregate list and the
+    * child's projection, so the probe compares the plans UNDER their
+    * attribute-only Project chains (pure pruning — stripping them is
+    * semantics-free), transplants the definition's aggregate
+    * expressions into the query's attribute space via the cores'
+    * positional correspondence (canonical equality fixes the output
+    * order), and requires every query column to canonically equal one
+    * definition column modulo its alias. The rewrite then reads just
+    * those columns of the materialization — column pruning reaches the
+    * MV parquet scan, so a 2-column dashboard slice of a 40-column MV
+    * reads 2 columns of O(groups), not the fact table.
+    *
+    * Anything the mapping can't prove — a grouping mismatch, an
+    * aggregate the MV didn't materialize, a computed (non-attribute)
+    * projection in between — declines to the base table. */
+  private def projectionSubsume(agg: Aggregate): Option[LogicalPlan] = {
+    def core(p: LogicalPlan): LogicalPlan = p match {
+      case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) => core(ch)
+      case other => other
+    }
+    def stripAlias(e: Expression): Expression = e match {
+      case Alias(c, _) => c
+      case x => x
+    }
+    val coreQ = core(agg.child)
+    MvCatalog.allEntries.iterator.flatMap { e =>
+      e.defAgg match {
+        case Some(d) if e.relation.output.size == d.aggregateExpressions.size &&
+            core(d.child).canonicalized == coreQ.canonicalized =>
+          val coreD = core(d.child)
+          val toQ: Map[ExprId, Attribute] =
+            coreD.output.zip(coreQ.output).map { case (a, b) => a.exprId -> b }.toMap
+          def transplanted(ex: Expression): Option[Expression] =
+            if (ex.references.forall(r => toQ.contains(r.exprId)))
+              Some(ex.transform { case a: Attribute if toQ.contains(a.exprId) => toQ(a.exprId) })
+            else None
+          val defGroups = d.groupingExpressions.flatMap(transplanted)
+          val sameGrouping = defGroups.size == d.groupingExpressions.size &&
+            defGroups.map(_.canonicalized).toSet ==
+              agg.groupingExpressions.map(_.canonicalized).toSet
+          if (!sameGrouping) None
+          else {
+            val defCols: Seq[Option[Expression]] =
+              d.aggregateExpressions.map(x => transplanted(stripAlias(x)))
+            val positions = agg.aggregateExpressions.map { q =>
+              val key = stripAlias(q).canonicalized
+              defCols.indexWhere(_.exists(_.canonicalized == key))
+            }
+            if (positions.forall(_ >= 0)) {
+              val fresh = e.relation.newInstance()
+              Some(Project(
+                agg.output.zip(positions).map { case (orig, i) =>
+                  Alias(fresh.output(i), orig.name)(exprId = orig.exprId)
+                },
+                fresh))
+            } else None
+          }
+        case _ => None
+      }
+    }.nextOption()
+  }
 }

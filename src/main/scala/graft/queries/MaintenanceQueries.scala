@@ -1134,6 +1134,42 @@ object MaintenanceQueries {
     q.withColumn("read_from_mv", lit(fromMv || !extLoaded)).orderBy("user_id")
   }
 
+  /** MV PROJECTION SUBSUMPTION ([[graft.plans.MvRewrite]]'s third
+    * probe): the registered definition materializes three aggregates
+    * per event_type; the query asks for TWO of them, reordered. Exact
+    * matching can't see this (column pruning rewrote both the agg list
+    * and the child projection); the probe compares the plans under
+    * their pruning Projects, maps the query's columns onto the MV's
+    * positions, and serves the slice — with column pruning reaching
+    * the MV parquet scan, so the query reads 2 columns of O(groups).
+    * `read_from_mv` rides in the output: a silently-missed rewrite
+    * breaks the hash. Grouped by event_type to stay canonically
+    * distinct from the other MV queries in the session catalog. */
+  val qMvProject: QueryDef = QueryDef.sql(
+    "q_mv_project",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  COUNT(*) AS n_events,
+      |  true AS read_from_mv
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.plans.MvCatalog
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_mvp_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    def defAgg = ev(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(units(col("value"), 2)).as("sum_cents"),
+        max(units(col("value"), 2)).as("max_cents"))
+    MvCatalog.register(s, s"per_type_${Integer.toHexString(d.hashCode)}", defAgg, dir)
+    val q = ev(s, d).groupBy(col("event_type"))
+      .agg(sum(units(col("value"), 2)).as("sum_cents"), count(lit(1)).as("n_events"))
+    val fromMv =
+      q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("read_from_mv", lit(fromMv || !extLoaded)).orderBy("event_type")
+  }
+
   /** Hidden `_metadata` FILE-introspection columns — the per-file
     * audit a compaction/layout advisor reads without any sidecar:
     * orders is rewritten bucket-partitioned (one file per
@@ -1227,5 +1263,5 @@ object MaintenanceQueries {
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
-    qMvRewrite, qMvSubsume, qFileMetadata, qTtDvSql)
+    qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql)
 }

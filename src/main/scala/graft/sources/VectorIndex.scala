@@ -131,6 +131,18 @@ object VectorIndex {
       .write.mode(SaveMode.Append).partitionBy(CellCol).parquet(path)
   }
 
+  /** Fold append-accumulated small files back into scan-sized cell
+    * files ([[CellCompaction]] — the same maintenance face as the
+    * three text-index families): only oversized cells rewrite, rows
+    * and query results unchanged, `_centroids` untouched. With
+    * [[driftFraction]]/[[rebuildIfDrifted]] this completes the IVF
+    * maintenance loop: appends between rebuilds cost O(new rows),
+    * compaction keeps per-cell file counts flat, retrain only on
+    * measured recall drift. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] =
+    CellCompaction.compact(spark, path, CellCol, targetBytes)
+
   /** Drift measurement for the rebuild decision the [[append]] contract
     * references: recompute each cell's mean over the CURRENT index rows
     * (exactly the Lloyd update step — one narrow pass + one

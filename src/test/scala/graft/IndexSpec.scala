@@ -280,6 +280,28 @@ class IndexSpec extends SparkSpec {
     walk(new java.io.File(dir))
   }
 
+  test("IVF index: appends then compact — query identical, files folded, centroids kept") {
+    val p2 = Files.createTempDirectory("vindex_cmp").toFile.getAbsolutePath + "/index"
+    VectorIndex.build(emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      Cells, iters = 2, path = p2)
+    (1 to 3).foreach(r => VectorIndex.append(spark, p2,
+      emb.filter(col("vec_id") % 4 === r), "vec_id", "embedding"))
+    def topk() = VectorIndex.query(spark, p2, "vec_id", "embedding",
+        queries, probes = Cells, k = 5)
+      .select(col("qid"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = topk()
+    val centsBefore = VectorIndex.loadCentroids(spark, p2).map(_.toSeq).toSeq
+    val filesBefore = dataFilesUnder(p2).size
+    val compacted = VectorIndex.compact(spark, p2)
+    assert(compacted.nonEmpty, "four write waves must leave oversized cells")
+    assert(dataFilesUnder(p2).size < filesBefore)
+    assert(topk() == before, "compaction must not change query results")
+    assert(VectorIndex.loadCentroids(spark, p2).map(_.toSeq).toSeq == centsBefore,
+      "the _centroids sidecar must survive untouched")
+    assert(spark.read.parquet(p2).count() == emb.count(), "no rows lost")
+  }
+
   test("MinHash index: append then compact — probe identical, files folded") {
     import graft.sources.MinHashIndex
     val corpus = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))

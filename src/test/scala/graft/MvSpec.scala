@@ -76,6 +76,34 @@ class MvSpec extends SparkSpec {
     } finally { MvCatalog.clear() }
   }
 
+  test("a column subset (reordered) of the MV is served with pruning (projection subsumption)") {
+    val dir = mvDir("proj")
+    try {
+      // query asks for ONE of the MV's two aggregates — not an exact
+      // match (column pruning rewrote both the agg list and the child)
+      def slim: DataFrame = Tables(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("cents_total"))
+      val direct = slim.orderBy("user_id").collect()
+      MvCatalog.register(spark, "per_user", perUserAgg, dir)
+      val q = slim
+      val p = planOf(q)
+      assert(p.contains(new java.io.File(dir).getName),
+        s"column-subset query must be served from the MV:\n$p")
+      assert(!p.contains("events.parquet"), s"must not touch the base table:\n$p")
+      // pruning reaches the MV scan: the unused n_events column is not read
+      assert(!p.contains("n_events"), s"unused MV column must be pruned:\n$p")
+      assert(q.orderBy("user_id").collect().toSeq == direct.toSeq,
+        "projected answer must equal the base-table answer")
+      // an aggregate the MV did NOT materialize declines to the base table
+      val miss = Tables(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .agg(max(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("max_cents"))
+      assert(!planOf(miss).contains(new java.io.File(dir).getName),
+        "a non-materialized aggregate must keep reading the base table")
+    } finally { MvCatalog.clear() }
+  }
+
   test("two references to one MV in a self-join get distinct instances") {
     val dir = mvDir("self")
     try {
@@ -92,6 +120,30 @@ class MvSpec extends SparkSpec {
       val p = planOf(joined)
       assert(p.contains(new java.io.File(dir).getName))
       assert(joined.count() == perUserAgg.count())
+    } finally { MvCatalog.clear() }
+  }
+
+  test("registering a definition subsumable by an EXISTING MV keeps its own identity") {
+    // Without suspension, optimizing the narrower definition during
+    // registration would be projection-rewritten into the wider MV,
+    // registering a mangled canonical its own queries never match.
+    val wideDir = mvDir("wide")
+    val narrowDir = mvDir("narrow")
+    try {
+      val wide = Tables(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"),
+          max(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("max_cents"))
+      def narrow: DataFrame = Tables(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"))
+      MvCatalog.register(spark, "wide", wide, wideDir)
+      MvCatalog.register(spark, "narrow", narrow, narrowDir)
+      val p = planOf(narrow)
+      assert(p.contains(new java.io.File(narrowDir).getName),
+        s"the exact query must be served from its OWN materialization:\n$p")
     } finally { MvCatalog.clear() }
   }
 

@@ -176,6 +176,30 @@ class PlanSpec extends SparkSpec {
       "a join with an equi key must keep its native hash/merge plan")
   }
 
+  test("timestamp inequality join rewrites only with an explicit bin width") {
+    // temporal bins are seconds — the integral default (64) would blow
+    // a realistic interval into thousands of bins, so the rewrite
+    // demands the session state its width; without it, the naive plan
+    // stands (nested loop), with it, the binned plan takes over and
+    // returns the same rows
+    val ev = Tables(spark, sf, "events").filter(col("user_id") % 17 === 0)
+    val pts = ev.select(col("ts").as("pt"))
+    val ivs = ev.select(col("ts").as("s0"),
+      (col("ts") + expr("INTERVAL 2 HOURS")).as("e0"))
+    def joined = pts.join(ivs, col("pt") >= col("s0") && col("pt") < col("e0"))
+    val naive = phys(joined)
+    assert(naive.contains("BroadcastNestedLoopJoin") && !naive.contains("_graft_bin"),
+      s"without an explicit width the temporal join must stay native:\n$naive")
+    val nNaive = joined.count()
+    spark.conf.set(graft.plans.BinnedRangeJoin.BinWidthConf, "7200")
+    try {
+      val binned = phys(joined)
+      assert(binned.contains("_graft_bin") && !binned.contains("BroadcastNestedLoopJoin"),
+        s"with a width the temporal join must bin:\n$binned")
+      assert(joined.count() == nNaive, "binned result must equal the nested-loop result")
+    } finally spark.conf.unset(graft.plans.BinnedRangeJoin.BinWidthConf)
+  }
+
   test("attribution interval join is a keyed join, not a nested loop") {
     val p = phys(queries.Events.qAttribution.run(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
