@@ -181,32 +181,58 @@ object MvRewrite extends Rule[LogicalPlan] {
     *
     * Scale: this is the dashboard slice — `WHERE region = 'EU'` over a
     * registered per-region rollup reads O(matching groups) from the
-    * materialization instead of rescanning the 100 TB fact table. */
+    * materialization instead of rescanning the 100 TB fact table.
+    * Composes with projection subsumption: a query that filters AND
+    * takes a column subset matches through the same positional
+    * matcher, so the served scan reads only the touched columns of
+    * the matching groups. */
   private def filterSubsume(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.isEmpty) return None
     stripOneFilter(agg.child).flatMap { case (stripped, pred) =>
-      MvCatalog.lookup(agg.copy(child = stripped).canonicalized) match {
-        case Some(e) if e.relation.output.size == agg.output.size &&
-            pred.references.nonEmpty =>
-          // base-attr exprId → MV output position, via the grouping
-          // columns that survive into the aggregate's output
-          val grouping = agg.groupingExpressions
-          def isGroupCol(a: Attribute): Boolean = grouping.exists(_.semanticEquals(a))
-          val posOf: Map[ExprId, Int] =
-            agg.aggregateExpressions.zipWithIndex.flatMap {
-              case (a: Attribute, i) if isGroupCol(a)           => Seq(a.exprId -> i)
-              case (Alias(a: Attribute, _), i) if isGroupCol(a) => Seq(a.exprId -> i)
-              case _ => Nil
-            }.toMap
-          if (pred.references.forall(r => posOf.contains(r.exprId)))
-            Some(substitute(agg, e, fresh => Filter(pred.transform {
-              case a: Attribute if posOf.contains(a.exprId) =>
-                fresh.output(posOf(a.exprId))
-            }, fresh)))
-          else None
-        case _ => None
+      if (pred.references.isEmpty) return None
+      val candidate = agg.copy(child = stripped)
+      // exact arity first (cheap canonical lookup), else the positional
+      // matcher — so a query that both FILTERS and takes a column
+      // SUBSET of the MV still lands
+      val matched: Option[(MvCatalog.Entry, Seq[Int])] =
+        MvCatalog.lookup(candidate.canonicalized)
+          .filter(_.relation.output.size == agg.output.size)
+          .map(e => e -> agg.output.indices.toSeq)
+          .orElse(matchAggregate(candidate))
+      matched.flatMap { case (e, positions) =>
+        // base-attr exprId → MV output position, via the grouping
+        // columns that survive into the aggregate's output
+        val grouping = agg.groupingExpressions
+        def isGroupCol(a: Attribute): Boolean = grouping.exists(_.semanticEquals(a))
+        val posOf: Map[ExprId, Int] =
+          agg.aggregateExpressions.zipWithIndex.flatMap {
+            case (a: Attribute, i) if isGroupCol(a)           => Seq(a.exprId -> positions(i))
+            case (Alias(a: Attribute, _), i) if isGroupCol(a) => Seq(a.exprId -> positions(i))
+            case _ => Nil
+          }.toMap
+        if (pred.references.forall(r => posOf.contains(r.exprId)))
+          Some(substitutePositions(agg, e, positions, fresh => Filter(pred.transform {
+            case a: Attribute if posOf.contains(a.exprId) =>
+              fresh.output(posOf(a.exprId))
+          }, fresh)))
+        else None
       }
     }
+  }
+
+  /** Positional variant of [[substitute]]: query output column i reads
+    * MV column `positions(i)`. */
+  private def substitutePositions(agg: Aggregate, e: MvCatalog.Entry,
+      positions: Seq[Int], wrap: LogicalPlan => LogicalPlan): LogicalPlan = {
+    val fresh = e.relation.newInstance()
+    val inner = wrap(fresh)
+    // re-resolve against the wrapped plan's output: Filter preserves
+    // attributes, so fresh.output indices stay valid
+    Project(
+      agg.output.zip(positions).map { case (orig, i) =>
+        Alias(fresh.output(i), orig.name)(exprId = orig.exprId)
+      },
+      inner)
   }
 
   /** The single Filter in a chain of Projects under the aggregate
@@ -238,7 +264,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     * Anything the mapping can't prove — a grouping mismatch, an
     * aggregate the MV didn't materialize, a computed (non-attribute)
     * projection in between — declines to the base table. */
-  private def projectionSubsume(agg: Aggregate): Option[LogicalPlan] = {
+  private def projectionSubsume(agg: Aggregate): Option[LogicalPlan] =
+    matchAggregate(agg).map { case (e, positions) =>
+      substitutePositions(agg, e, positions, identity)
+    }
+
+  /** The positional matcher both subsumption probes share: finds an
+    * entry whose definition has the same grouping and the same
+    * aggregated input as `agg` (compared under the attribute-only
+    * pruning Projects), and maps every query output column onto the
+    * definition column it canonically equals (modulo alias) — the
+    * definition's aggregate expressions are transplanted into the
+    * query's attribute space via the cores' positional
+    * correspondence, which canonical equality fixes. None if any
+    * query column, grouping, or reference fails to map. */
+  private def matchAggregate(agg: Aggregate): Option[(MvCatalog.Entry, Seq[Int])] = {
     def core(p: LogicalPlan): LogicalPlan = p match {
       case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) => core(ch)
       case other => other
@@ -271,14 +311,7 @@ object MvRewrite extends Rule[LogicalPlan] {
               val key = stripAlias(q).canonicalized
               defCols.indexWhere(_.exists(_.canonicalized == key))
             }
-            if (positions.forall(_ >= 0)) {
-              val fresh = e.relation.newInstance()
-              Some(Project(
-                agg.output.zip(positions).map { case (orig, i) =>
-                  Alias(fresh.output(i), orig.name)(exprId = orig.exprId)
-                },
-                fresh))
-            } else None
+            if (positions.forall(_ >= 0)) Some(e -> positions) else None
           }
         case _ => None
       }

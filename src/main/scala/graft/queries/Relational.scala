@@ -349,9 +349,20 @@ object Relational {
     val l = li(s, d).select(
       floor(unix_seconds(col("l_shipdate").cast("timestamp")).cast("double") / 86400)
         .cast("long").as("pd"))
-    RangeJoinOps.binnedPointInterval(l, "pd", o, "sd", "ed", binWidth = 32)
+    // AGGREGATE PUSHDOWN through the range join (r8, after the scale
+    // canary caught 70× growth on 10× data): only counts survive to
+    // the output, so equal days compress FIRST — points to (pd, n_l),
+    // intervals to (priority, sd, n_o) — and the bin join runs over
+    // O(distinct days) rows with pair counts recovered as Σ n_l·n_o.
+    // The day domain is fixed by the date RANGE, not the scale factor,
+    // so the join's work is constant as the corpus grows; the only
+    // corpus-sized work left is two map-side-partial aggregations.
+    // Same 1.1B logical pairs at sf1, never materialized.
+    val lagg = l.groupBy("pd").agg(count(lit(1)).as("n_l"))
+    val oagg = o.groupBy("o_orderpriority", "sd", "ed").agg(count(lit(1)).as("n_o"))
+    RangeJoinOps.binnedPointInterval(lagg, "pd", oagg, "sd", "ed", binWidth = 32)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n_l") * col("n_o")).as("n_pairs"))
       .orderBy("o_orderpriority")
   }
 
@@ -387,10 +398,17 @@ object Relational {
     val l = li(s, d).select(
       floor(unix_seconds(col("l_shipdate").cast("timestamp")).cast("double") / 86400)
         .cast("long").as("pd"))
-    l.join(o, col("pd") >= col("sd") && col("pd") < col("sd") + lit(30L))
+    // same aggregate pushdown as q_interval_join (equal days compress
+    // before the join — see there), but the join itself stays the
+    // NAIVE inequality spelling, so it still exercises the automatic
+    // BinnedRangeJoin rewrite; the lag sum distributes over the
+    // compressed pairs as Σ n_l·n_o·(pd−sd)
+    val lagg = l.groupBy("pd").agg(count(lit(1)).as("n_l"))
+    val oagg = o.groupBy("o_orderpriority", "sd").agg(count(lit(1)).as("n_o"))
+    lagg.join(oagg, col("pd") >= col("sd") && col("pd") < col("sd") + lit(30L))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("pd") - col("sd")).as("sum_lag_days"))
+      .agg(sum(col("n_l") * col("n_o")).as("n_pairs"),
+        sum(col("n_l") * col("n_o") * (col("pd") - col("sd"))).as("sum_lag_days"))
       .orderBy("o_orderpriority")
   }
 

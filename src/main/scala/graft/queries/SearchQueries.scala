@@ -477,16 +477,20 @@ object SearchQueries {
        |FROM scored
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // words materialized first: element_at inside the bigram lambda
-    // would otherwise re-run clean+split once per bigram (see
-    // DedupOps.cleanWords)
+    // bigrams via zip_with over two slices of the materialized word
+    // array — NOT transform-over-sequence with element_at in the
+    // lambda: consumed straight off the parquet scan, that shape
+    // measured 135µs/element (17× slower end to end, r8 profiling in
+    // BENCH_NOTES) while the slice/zip_with form evaluates the array
+    // children once per ROW and runs the lambda over them directly
     val bi = docs(s, d)
       .withColumn("_ws", DedupOps.cleanWords(col("text")))
       .select(col("doc_id"),
         when(asize(col("_ws")) >= 2,
-          transform(sequence(lit(1), asize(col("_ws")) - 1),
-            i => concat(element_at(col("_ws"), i), lit(" "),
-              element_at(col("_ws"), i + 1))))
+          zip_with(
+            slice(col("_ws"), lit(1), asize(col("_ws")) - 1),
+            slice(col("_ws"), lit(2), asize(col("_ws")) - 1),
+            (x, y) => concat(x, lit(" "), y)))
           .otherwise(array().cast("array<string>")).as("bigrams"))
       .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
     val c2 = bi.groupBy("bigram").agg(count(lit(1)).as("n2"))

@@ -101,6 +101,23 @@ class MvSpec extends SparkSpec {
         .agg(max(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("max_cents"))
       assert(!planOf(miss).contains(new java.io.File(dir).getName),
         "a non-materialized aggregate must keep reading the base table")
+
+      // the probes COMPOSE: a query that both filters on the grouping
+      // column AND takes a column subset still lands on the MV
+      def both: DataFrame = Tables(spark, sf, "events")
+        .filter(col("user_id") % 10 === 3)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("cents_total"))
+      val directBoth = {
+        MvCatalog.clear()
+        val r = both.orderBy("user_id").collect()
+        MvCatalog.register(spark, "per_user", perUserAgg, dir)
+        r
+      }
+      val pb = planOf(both)
+      assert(pb.contains(new java.io.File(dir).getName),
+        s"filter+subset query must be served from the MV:\n$pb")
+      assert(both.orderBy("user_id").collect().toSeq == directBoth.toSeq)
     } finally { MvCatalog.clear() }
   }
 
