@@ -1259,9 +1259,72 @@ object MaintenanceQueries {
       .orderBy("version")
   }
 
+  /** AUTOMATIC incremental MV maintenance
+    * ([[graft.plans.MvMaintenance]]) — [[qIncrAggMerge]] states the
+    * delta rule by hand; this face DERIVES it from the registered
+    * definition's optimized plan and drives it off the versioned
+    * table's append log. Orders lands in two commits (v1 = keys not
+    * divisible by 5, v2 appends the rest); a per-priority rollup
+    * registers at v1, `refresh` folds v2's delta in, and the output
+    * is the definition SERVED THROUGH THE REWRITE over the refreshed
+    * parquet. Evidence rides in the row: `refresh_mode` must be
+    * 'incremental' (a silent full rebuild breaks the hash),
+    * `delta_only` that the partial scanned exactly v2's files, and
+    * `read_from_mv` that the rewrite serves the materialization. The
+    * oracle is the from-scratch aggregate over ALL orders — fold ≡
+    * recompute.
+    *
+    * Scale: the nightly-append story — refresh scans O(new data),
+    * shuffles its groups once, folds O(groups); the base's history is
+    * never rescanned. */
+  val qMvIncremental: QueryDef = QueryDef.sql(
+    "q_mv_incremental",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  'incremental' AS refresh_mode,
+      |  true AS delta_only,
+      |  true AS read_from_mv
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.plans.{MvCatalog, MvMaintenance}
+    import graft.sources.TimeTravel
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivm_${tag}_p${ProcessHandle.current().pid()}"
+    val mv = base + "_mv"
+    Seq(base, mv, mv + "._state").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val name = s"ivm_$tag"
+    MvMaintenance.unregister(name); MvCatalog.unregister(name)
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        units(col("o_totalprice"), 2).as("cents"))
+    def define(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    TimeTravel.commitOverwrite(o.filter(col("o_orderkey") % 5 =!= 0), base) // v1
+    MvMaintenance.register(s, name, base, mv)(define)
+    TimeTravel.commitAppend(o.filter(col("o_orderkey") % 5 === 0), base)    // v2
+    val res = MvMaintenance.refresh(s, name)
+    val deltaOnly = res.mode == "incremental" && res.deltaFiles.nonEmpty &&
+      res.deltaFiles.forall(f => f.contains("data/v00002") && !f.contains("data/v00001"))
+    val q = define(TimeTravel.read(s, base))
+    val fromMv =
+      q.queryExecution.executedPlan.toString.contains(new java.io.File(mv).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("refresh_mode", lit(res.mode))
+      .withColumn("delta_only", lit(deltaOnly))
+      .withColumn("read_from_mv", lit(fromMv || !extLoaded))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
-    qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql)
+    qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental)
 }

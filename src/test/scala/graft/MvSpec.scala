@@ -187,6 +187,87 @@ class MvSpec extends SparkSpec {
     } finally { MvCatalog.clear() }
   }
 
+  test("incremental maintenance: refresh folds ONLY the appended delta") {
+    import graft.plans.MvMaintenance
+    import graft.sources.TimeTravel
+    val base = mvDir("ivm_base")
+    val mv = mvDir("ivm_mv")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    rm(base); rm(mv); rm(mv + "._state")
+    def define(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("user_id"), expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+      TimeTravel.commitOverwrite(ev.filter(col("user_id") % 3 =!= 0), base) // v1
+      MvMaintenance.register(spark, "ivm", base, mv)(define)
+      assert(MvMaintenance.isFresh(spark, "ivm"))
+
+      TimeTravel.commitAppend(ev.filter(col("user_id") % 3 === 0), base)   // v2
+      assert(!MvMaintenance.isFresh(spark, "ivm"), "append must mark the MV stale")
+      val res = MvMaintenance.refresh(spark, "ivm")
+      assert(res.mode == "incremental", s"pure-append history must merge, got $res")
+      // the O(new data) claim as evidence: the partial scanned exactly
+      // the files v2 added, never v1's
+      assert(res.deltaFiles.nonEmpty && res.deltaFiles.forall(_.contains("data/v00002")),
+        s"delta scan must read only the appended version: ${res.deltaFiles}")
+      assert(res.deltaFiles.forall(f => !f.contains("data/v00001")))
+
+      // merged materialization ≡ the from-scratch aggregate over ALL rows
+      val expect = define(ev).orderBy("user_id").collect().toSeq
+      assert(spark.read.parquet(mv).orderBy("user_id").collect().toSeq == expect,
+        "incremental fold must equal the full recompute")
+      // and the transparent rewrite serves the refreshed parquet
+      val q = define(TimeTravel.read(spark, base))
+      assert(planOf(q).contains(new java.io.File(mv).getName),
+        s"refreshed MV must keep serving the rewrite:\n${planOf(q)}")
+      assert(MvMaintenance.refresh(spark, "ivm").mode == "noop")
+
+      // a NON-APPEND commit (MoR delete) declines to a full rebuild —
+      // and the rebuilt MV reflects the deletion
+      TimeTravel.deleteMoR(spark, base, col("cents") < 0L)                 // v3
+      val res2 = MvMaintenance.refresh(spark, "ivm")
+      assert(res2.mode == "rebuild", s"delete history must rebuild, got $res2")
+      MvCatalog.clear()
+      val expect2 = define(TimeTravel.read(spark, base)).orderBy("user_id").collect().toSeq
+      assert(spark.read.parquet(mv).orderBy("user_id").collect().toSeq == expect2,
+        "rebuild after a MoR delete must reflect the deletion")
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
+  }
+
+  test("incremental maintenance: a non-self-maintainable definition declines to rebuild") {
+    import graft.plans.MvMaintenance
+    import graft.sources.TimeTravel
+    val base = mvDir("ivm_avg_base")
+    val mv = mvDir("ivm_avg_mv")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    rm(base); rm(mv); rm(mv + "._state")
+    // avg is not in the sum/count/min/max mergeable class (its
+    // decomposition is the USER's to state as sum+count columns)
+    def define(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
+      .agg(avg(col("cents")).as("avg_cents"))
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("user_id"), expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+      TimeTravel.commitOverwrite(ev.filter(col("user_id") % 3 =!= 0), base) // v1
+      MvMaintenance.register(spark, "ivm_avg", base, mv)(define)
+      TimeTravel.commitAppend(ev.filter(col("user_id") % 3 === 0), base)    // v2
+      val res = MvMaintenance.refresh(spark, "ivm_avg")
+      assert(res.mode == "rebuild",
+        s"an avg aggregate must NOT be merged incrementally, got $res")
+      MvCatalog.clear()
+      val expect = define(TimeTravel.read(spark, base)).orderBy("user_id").collect().toSeq
+      assert(spark.read.parquet(mv).orderBy("user_id").collect().toSeq == expect)
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
+  }
+
   test("streaming delta maintenance: published MV serves the rewrite, replay-idempotent") {
     import graft.streaming.MvStreams
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
