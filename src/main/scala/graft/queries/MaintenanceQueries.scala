@@ -1322,9 +1322,60 @@ object MaintenanceQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** FOOTER-STATS aggregate over a versioned snapshot: Spark's DSv2
+    * parquet scan implements `SupportsPushDownAggregates`, and the
+    * time-travel face ([[graft.sources.TimeTravelProvider]]) delegates
+    * to it — so with `spark.sql.parquet.aggregatePushdown` on, a
+    * count/min/max over `VERSION AS OF` answers from row-group
+    * statistics with ZERO data pages read. Orders lands in two commits
+    * to prove the stats compose across append history; the result row
+    * is executed INSIDE the conf window (one bounded row) so the
+    * session conf is restored for every other query; `agg_pushed`
+    * carries the plan evidence into the hash. SourcesSpec pins the
+    * safety half: a DV-bearing snapshot must NOT serve pre-delete
+    * footer stats (the anti-join rewrite structurally precludes it).
+    *
+    * Scale: the 100 TB `SELECT COUNT(*)` — O(files) footer reads on
+    * the executors, no row materialization at all. */
+  val qTtAggPush: QueryDef = QueryDef.sql(
+    "q_tt_agg_push",
+    """SELECT COUNT(*) AS n_orders,
+      |  MIN(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS min_cents,
+      |  MAX(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS max_cents,
+      |  true AS agg_pushed
+      |FROM orders""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttap_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey"), units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("o_orderkey") % 2 === 0), dir)
+    TimeTravel.commitAppend(o.filter(col("o_orderkey") % 2 =!= 0), dir)
+    val prev = s.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val (row, pushed) =
+      try {
+        val agg = s.read.format("graft-table").load(dir)
+          .agg(count(lit(1)).as("n_orders"), min(col("cents")).as("min_cents"),
+            max(col("cents")).as("max_cents"))
+        (agg.head,
+          agg.queryExecution.executedPlan.toString.contains("PushedAggregation: [COUNT"))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None    => s.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), pushed))
+      .toDF("n_orders", "min_cents", "max_cents", "agg_pushed")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
-    qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental)
+    qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
+    qTtAggPush)
 }

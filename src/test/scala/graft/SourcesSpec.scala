@@ -300,6 +300,39 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("graft-table DSv2: count/min/max answered from parquet footers, never past a DV") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttaggpush").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 1000L).map(i => (i, i * 3)).toDF("id", "v"), dir)
+    TimeTravel.commitAppend((1001L to 1500L).map(i => (i, i * 3)).toDF("id", "v"), dir)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      def snap = spark.read.format("graft-table").load(dir)
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      // the delegated ParquetScanBuilder's SupportsPushDownAggregates
+      // flows through the time-travel face: the whole aggregate answers
+      // from footer statistics, zero data pages read
+      val pushed = stats(snap)
+      val p = pushed.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*), MIN(v), MAX(v)]"),
+        s"footer-stats pushdown must reach the snapshot scan:\n$p")
+      assert(pushed.head == Row(1500L, 3L, 4500L))
+
+      // a DV-bearing snapshot CANNOT be answered from footers (the
+      // stats predate the tombstones): DvApply's anti-join rewrite
+      // structurally precludes the pushdown, and the counts are the
+      // post-delete truth
+      TimeTravel.deleteMoR(spark, dir, col("id") > 1400L)
+      val afterDelete = stats(spark.read.format("graft-table").load(dir))
+      val p2 = afterDelete.queryExecution.executedPlan.toString
+      assert(!p2.contains("PushedAggregation: [COUNT"),
+        s"a DV snapshot must not serve pre-delete footer stats:\n$p2")
+      assert(afterDelete.head == Row(1400L, 3L, 4200L))
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("avro shards round-trip adversarial strings, nulls, binary; byte-stable") {
     import graft.sources.AvroIo
     val dir = Files.createTempDirectory("avro_io").toFile.getAbsolutePath + "/shards"
