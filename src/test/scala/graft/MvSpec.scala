@@ -239,6 +239,42 @@ class MvSpec extends SparkSpec {
     } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
   }
 
+  test("incremental maintenance fuzz: a random append history always folds ≡ recompute") {
+    import graft.plans.MvMaintenance
+    import graft.sources.TimeTravel
+    val base = mvDir("ivm_fuzz_base")
+    val mv = mvDir("ivm_fuzz_mv")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    rm(base); rm(mv); rm(mv + "._state")
+    // computed grouping expression (not a bare column): exercises the
+    // Alias(groupingExpr) leg of the merge-spec introspection
+    def define(df: DataFrame): DataFrame = df.groupBy((col("user_id") % 7).as("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("user_id"), expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+      // seeded random partition of the rows into 1 base + 4 append
+      // batches — the history shape is arbitrary, the invariant is not
+      val seed = new scala.util.Random(0xA11CE).nextInt()
+      val bucket = pmod(hash(col("user_id"), col("cents"), lit(seed)), lit(5))
+      TimeTravel.commitOverwrite(ev.filter(bucket === 0), base)
+      MvMaintenance.register(spark, "ivm_fuzz", base, mv)(define)
+      (1 to 4).foreach { b =>
+        TimeTravel.commitAppend(ev.filter(bucket === b), base)
+        val res = MvMaintenance.refresh(spark, "ivm_fuzz")
+        assert(res.mode == "incremental", s"batch $b: $res")
+        MvCatalog.clear() // ground truth must not be served from the MV
+        val truth = define(TimeTravel.read(spark, base)).orderBy("cohort").collect().toSeq
+        assert(spark.read.parquet(mv).orderBy("cohort").collect().toSeq == truth,
+          s"fold diverged from recompute after append batch $b")
+      }
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
+  }
+
   test("incremental maintenance: a non-self-maintainable definition declines to rebuild") {
     import graft.plans.MvMaintenance
     import graft.sources.TimeTravel
