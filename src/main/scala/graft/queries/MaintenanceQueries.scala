@@ -1372,10 +1372,53 @@ object MaintenanceQueries {
       .toDF("n_orders", "min_cents", "max_cents", "agg_pushed")
   }
 
+  /** FILE SKIPPING in the versioned table
+    * ([[graft.sources.TimeTravel.readPruned]]): orders committed as
+    * seven date-ordered appends (one per year) with per-file
+    * min/max/count stats sidecars collected AT COMMIT TIME from just
+    * the new files; a one-year range read then plans against the
+    * snapshot's sidecars and scans only the overlapping files — the
+    * Delta/Iceberg add-file-stats pruning, recovered on the homegrown
+    * format. `files_pruned` carries the evidence (files read <
+    * files total) into the hash; the oracle recomputes the year slice
+    * from the raw table, so a skipped file that actually held 1995
+    * rows breaks the count.
+    *
+    * Scale: with commits clustered on the stats column (the natural
+    * date-ordered ingest), slicing one year of a 100 TB history costs
+    * ⌈selectivity · files⌉ data reads plus one O(files) sidecar scan —
+    * no full-history rescan. */
+  val qTtPrune: QueryDef = QueryDef.sql(
+    "q_tt_prune",
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  true AS files_pruned
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttpr_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val o = Tables(s, d, "orders").select(
+      expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("dd"),
+      units(col("o_totalprice"), 2).as("cents"))
+    def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
+    (1992 to 1998).foreach { y =>
+      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
+      if (y == 1992) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("dd"))
+      else TimeTravel.commitAppend(b, dir, statsCols = Seq("dd"))
+    }
+    val (pruned, st) = TimeTravel.readPruned(s, dir, "dd", day(1995), day(1996) - 1)
+    pruned.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("files_pruned", lit(st.filesRead >= 1 && st.filesRead < st.filesTotal))
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush)
+    qTtAggPush, qTtPrune)
 }

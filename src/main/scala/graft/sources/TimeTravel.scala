@@ -144,8 +144,14 @@ object TimeTravel {
   }
 
   /** Append commit: new rows become visible alongside every directory
-    * the previous version saw. Returns the new version number. */
-  def commitAppend(df: DataFrame, path: String, tag: Option[String] = None): Long = {
+    * the previous version saw. Returns the new version number.
+    * `statsCols` opts the new directory into per-file min/max/count
+    * sidecars ([[readPruned]] file skipping) — collected from just the
+    * freshly written files (commit stays O(new data)), published
+    * BEFORE the manifest so a snapshot never sees a half-built
+    * sidecar. */
+  def commitAppend(df: DataFrame, path: String, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val cur = latest(spark, path)
     val v = cur.getOrElse(0L) + 1
@@ -153,7 +159,9 @@ object TimeTravel {
     // existing tombstones carry forward: they key on (file, pos) of the
     // immutable old directories, which an append never touches
     val prevDvs = cur.map(dvListing(spark, path, _)).getOrElse(Seq.empty)
-    publish(spark, path, v, prev :+ writeData(df, path, v), tag, prevDvs)
+    val dir = writeData(df, path, v)
+    if (statsCols.nonEmpty) writeStatsFor(spark, path, dir, statsCols)
+    publish(spark, path, v, prev :+ dir, tag, prevDvs)
     v
   }
 
@@ -170,11 +178,15 @@ object TimeTravel {
   }
 
   /** Overwrite commit: the new version sees ONLY the new rows; earlier
-    * snapshots keep their files and remain readable. */
-  def commitOverwrite(df: DataFrame, path: String): Long = {
+    * snapshots keep their files and remain readable. `statsCols` as on
+    * [[commitAppend]]. */
+  def commitOverwrite(df: DataFrame, path: String,
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val v = latest(spark, path).getOrElse(0L) + 1
-    publish(spark, path, v, Seq(writeData(df, path, v)))
+    val dir = writeData(df, path, v)
+    if (statsCols.nonEmpty) writeStatsFor(spark, path, dir, statsCols)
+    publish(spark, path, v, Seq(dir))
     v
   }
 
@@ -468,21 +480,120 @@ object TimeTravel {
 
   /** Drop data directories no LIVE version references (keeping the last
     * `keepVersions` manifests' files) — O(dropped dirs) deletes, rows
-    * never read. */
+    * never read. A stats sidecar lives exactly as long as its data
+    * directory. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Seq[String] = {
     val f = fs(spark, path)
     val vs = versions(spark, path)
     val kept = vs.takeRight(keepVersions.max(1))
     val live = kept.flatMap(listing(spark, path, _)).toSet ++
       kept.flatMap(dvListing(spark, path, _))
-    val victims = Seq("data", "dv").flatMap { root =>
+    val liveAll = live ++ live.collect {
+      case d if d.startsWith("data/") => statsDirOf(d)
+    }
+    val victims = Seq("data", "dv", "stats").flatMap { root =>
       val rootPath = new Path(s"$path/$root")
       if (!f.exists(rootPath)) Seq.empty
       else f.listStatus(rootPath).toSeq
         .map(st => s"$root/${st.getPath.getName}")
-        .filterNot(live.contains)
+        .filterNot(liveAll.contains)
     }
     victims.foreach(d => f.delete(new Path(s"$path/$d"), true))
     victims.sorted
+  }
+
+  // ------------------------------------------------------- file skipping
+
+  /** Stats sidecar for a data directory: `stats/v<NNNNN>/` mirrors
+    * `data/v<NNNNN>/` and is immutable with it. */
+  private def statsDirOf(dataDirRel: String): String =
+    "stats/" + dataDirRel.stripPrefix("data/")
+
+  /** One row per file of `dataDirRel` with min_/max_ per tracked column
+    * plus the row count — the Delta/Iceberg add-file stats shape as a
+    * parquet sidecar. One pass over just the directory's files,
+    * map-side combined. */
+  private def writeStatsFor(spark: SparkSession, path: String,
+      dataDirRel: String, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val written = spark.read.parquet(s"$path/$dataDirRel")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    written.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/${statsDirOf(dataDirRel)}")
+  }
+
+  /** Backfill stats sidecars for every data directory of `version`
+    * (default latest) that lacks one — the maintenance face for
+    * history written before opting in, or produced by [[optimize]]/
+    * [[merge]] (whose rewrites don't collect stats). Returns the
+    * directories it covered. */
+  def collectStats(spark: SparkSession, path: String, statsCols: Seq[String],
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latest(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val f = fs(spark, path)
+    val missing = listing(spark, path, v)
+      .filterNot(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+    missing.foreach(d => writeStatsFor(spark, path, d, statsCols))
+    missing.sorted
+  }
+
+  /** Snapshot read with FILE SKIPPING: only files whose recorded
+    * [min, max] of `statsCol` overlaps [lo, hi] are scanned, then the
+    * exact residual predicate applies; directories without a stats
+    * sidecar are always read (safety default — skipping is an
+    * optimization, never a filter). Composes with pending deletion
+    * vectors exactly like [[read]]. Returns the pruned DataFrame plus
+    * files-total/files-read evidence.
+    *
+    * Scale: planning is one O(files) read of the snapshot's sidecars —
+    * the same driver-side cost as any format's manifest pruning; with
+    * commits clustered on `statsCol` (e.g. date-ordered appends), a
+    * range query reads ⌈selectivity · files⌉ and history stays cheap
+    * to slice. */
+  def readPruned(spark: SparkSession, path: String, statsCol: String,
+      lo: Long, hi: Long,
+      version: Option[Long] = None): (DataFrame, ZoneMaps.PruneStats) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(latest(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val dirs = listing(spark, path, v)
+    val dvs = dvListing(spark, path, v)
+    if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))
+    val f = fs(spark, path)
+    val (covered, uncoveredDirs) =
+      dirs.partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+    val (coveredTotal, selected) =
+      if (covered.isEmpty) (0L, Seq.empty[String])
+      else {
+        val m = spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
+        (m.count(),
+          m.filter(col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo)
+            .select("file").collect().map(_.getString(0)).toSeq)
+      }
+    val uncovered =
+      if (uncoveredDirs.isEmpty) Array.empty[String]
+      else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
+    val toRead = (selected ++ uncovered).sorted
+    val residual = col(statsCol) >= lo && col(statsCol) <= hi
+    val data0 =
+      if (toRead.isEmpty)
+        spark.read.parquet(dirs.map(d => s"$path/$d"): _*).filter(lit(false))
+      else spark.read.parquet(toRead: _*).filter(residual)
+    val data =
+      if (dvs.isEmpty) data0
+      else {
+        val withPos = data0.select(col("*"),
+          col("_metadata.file_path").as(DvCols.head),
+          col("_metadata.row_index").as(DvCols.last))
+        val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
+        withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
+      }
+    (data, ZoneMaps.PruneStats(coveredTotal + uncovered.length,
+      selected.length.toLong + uncovered.length))
   }
 }

@@ -77,4 +77,63 @@ class LayoutSpec extends SparkSpec {
     assert(zCost < 2 * xCost,
       s"z-order slop must stay bounded: z=$zCost single-sort=$xCost")
   }
+
+  test("versioned-table file skipping: stats sidecars prune reads, compose with DVs") {
+    import graft.sources.{TimeTravel, ZoneMaps}
+    val dir = java.nio.file.Files.createTempDirectory("ttstats").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 7 % 100)).toDF("k", "payload").repartition(1)
+
+    // three date-ordered commits, stats on k; one commit WITHOUT stats
+    TimeTravel.commitOverwrite(batch(0, 999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(1000, 1999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(2000, 2999), dir)                       // no stats
+    TimeTravel.commitAppend(batch(3000, 3999), dir, statsCols = Seq("k"))
+
+    def full = TimeTravel.read(spark, dir)
+    def prune(lo: Long, hi: Long) = TimeTravel.readPruned(spark, dir, "k", lo, hi)
+
+    // a range inside one covered commit: reads that file + the
+    // uncovered dir (safety default), never the other covered files
+    val (df1, st1) = prune(1100, 1200)
+    assert(st1.filesTotal == 4 && st1.filesRead == 2,
+      s"expected 1 overlapping + 1 uncovered of 4, got $st1")
+    assert(df1.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1100L to 1200L),
+      "pruned read must equal the residual-filtered full read")
+
+    // a range covered only by the statsless commit: still answered
+    val (df2, st2) = prune(2100, 2105)
+    assert(st2.filesRead == 1, s"only the uncovered dir should be read, got $st2")
+    assert(df2.count() == 6)
+
+    // empty intersection: zero covered files, schema intact
+    val (df3, st3) = prune(90000, 90010)
+    assert(st3.filesRead == 1 && df3.count() == 0) // uncovered dir still read
+    assert(df3.columns.toSeq == Seq("k", "payload"))
+
+    // backfill covers the statsless dir; now the same probe reads 1 file
+    assert(TimeTravel.collectStats(spark, dir, Seq("k")).nonEmpty)
+    val (df4, st4) = prune(1100, 1200)
+    assert(st4.filesTotal == 4 && st4.filesRead == 1, s"after backfill: $st4")
+    assert(df4.count() == 101)
+
+    // MoR delete composes: pruned read applies the tombstones
+    TimeTravel.deleteMoR(spark, dir, col("k") % 10 === 0L)
+    val (df5, _) = prune(1100, 1200)
+    assert(df5.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1100L to 1200L).filterNot(_ % 10 == 0),
+      "pruned read of a DV snapshot must subtract tombstones")
+    assert(df5.orderBy("k").collect().toSeq ==
+      full.filter(col("k").between(1100, 1200)).orderBy("k").collect().toSeq,
+      "pruned ≡ full read + filter, row for row")
+
+    // vacuum after an overwrite drops orphaned data AND stats dirs
+    TimeTravel.commitOverwrite(batch(0, 9), dir, statsCols = Seq("k"))
+    val dropped = TimeTravel.vacuum(spark, dir, keepVersions = 1)
+    assert(dropped.exists(_.startsWith("stats/")),
+      s"orphan stats sidecars must be vacuumed: $dropped")
+    val (df6, st6) = prune(0, 5)
+    assert(st6.filesTotal == 1 && df6.count() == 6)
+  }
 }
