@@ -1284,10 +1284,75 @@ object SearchQueries {
       .orderBy("domain")
   }
 
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (the DSIR shape, Xie et
+    * al. 2023): score every document by how target-like its hashed
+    * unigram profile is — a bag-of-buckets model (md5-bucketed words,
+    * B=512) is fitted to the TARGET slice (lang='en') and to the RAW
+    * corpus, each bucket gets the Laplace-smoothed target/raw count
+    * ratio, and a document's score is its per-token average bucket
+    * ratio. The top-50 selection surfaces target-like documents from
+    * the whole corpus — the published method's hashed-ngram importance
+    * weighting with a pinned exact-integer surrogate: the scaled COUNT
+    * RATIO `FLOOR((t+1)·1e9/(r+1))` replaces the log-ratio (ln is not
+    * IEEE-reproducible across engines; the ratio is exact in both, the
+    * q_doc_bigram_lm discipline).
+    *
+    * Scale: the two bucket tables are O(B) rows regardless of corpus
+    * size — both sides of the scoring join broadcast; the only
+    * corpus-sized work is the token explode and one per-doc
+    * aggregation (map-side combined); selection is a distributed
+    * top-k, never a global sort. */
+  val qSelectDsir: QueryDef = QueryDef.sql(
+    "q_select_dsir",
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    unnest(${Chunkers.wordsSql(TF.cleanTextSql("text"))}) AS w
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, lang, (('0x' || substr(md5(w), 1, 4))::INTEGER % 512) AS b
+       |  FROM w
+       |), raw AS (
+       |  SELECT b, COUNT(*) AS r FROM tok GROUP BY b
+       |), tgt AS (
+       |  SELECT b, COUNT(*) AS t FROM tok WHERE lang = 'en' GROUP BY b
+       |), sc AS (
+       |  SELECT raw.b,
+       |    CAST(FLOOR(CAST((COALESCE(t, 0) + 1) * 1000000000 AS DOUBLE)
+       |      / CAST(r + 1 AS DOUBLE)) AS BIGINT) AS sb
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+       |), scored AS (
+       |  SELECT tok.doc_id, tok.lang, COUNT(*) AS n_toks, SUM(sb) AS ssum
+       |  FROM tok JOIN sc ON sc.b = tok.b
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, lang,
+       |  CAST(ssum AS BIGINT) // CAST(n_toks AS BIGINT) AS avg_score
+       |FROM scored
+       |ORDER BY avg_score DESC, doc_id
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val B = 512
+    val toks = docs(s, d)
+      .withColumn("_ws", DedupOps.cleanWords(col("text")))
+      .select(col("doc_id"), col("lang"), explode(col("_ws")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % B).as("b"))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("r"))
+    val tgt = toks.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("t"))
+    val scores = raw.join(tgt, Seq("b"), "left").select(col("b"),
+      expr("CAST(FLOOR(CAST((COALESCE(t, 0) + 1) * 1000000000 AS DOUBLE)" +
+        " / CAST(r + 1 AS DOUBLE)) AS BIGINT)").as("sb"))
+    toks.join(broadcast(scores), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("sb")).as("ssum"))
+      .select(col("doc_id"), col("lang"), expr("ssum DIV n_toks").as("avg_score"))
+      .orderBy(col("avg_score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDocWinnow, qDocCdcChunks, qTfidfTop, qBm25Search, qInvertedSearch, qIndexCompact, qHybridRrf,
     qHeavyHitters, qDocBigramLm,
     qEmbedQuantize, qEmbedRandomProjection, qSampleStratified, qSampleBalanced,
     qDomainCap, qSampleTemperature, qSampleWeighted, qDedupComponents, qPageRank,
-    qVocabCoverage, qShuffleShards, qTrigramSearch, qMixWaterfill)
+    qVocabCoverage, qShuffleShards, qTrigramSearch, qMixWaterfill, qSelectDsir)
 }
