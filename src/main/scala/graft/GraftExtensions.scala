@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deletion vectors in-plan (tombstone anti-join) so VERSION AS OF
     // SQL works instead of failing loudly
     ext.injectOptimizerRule(_ => graft.plans.DvApply)
+    // filters bounding a stats-covered column of a DSv2 time-travel
+    // scan re-plan against the per-file min/max sidecars: only
+    // overlapping files are scanned (automatic file skipping)
+    ext.injectOptimizerRule(_ => graft.plans.StatsPrune)
     // pure inequality joins (point between interval bounds, no equi
     // key) rewrite to the binned equi-join instead of a nested loop
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)

@@ -1,0 +1,125 @@
+package graft.plans
+
+import graft.sources.{TimeTravel, TimeTravelTable}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+
+/** AUTOMATIC file skipping for the DSv2 time-travel scan (§4
+  * optimizer-rule tier, the [[DvApply]] pattern): a Filter over a
+  * `graft-table` relation whose conjuncts bound a STATS-COVERED column
+  * is re-planned against the snapshot's per-file min/max sidecars —
+  * the relation is substituted by a parquet scan of ONLY the files
+  * whose recorded range overlaps the bounds, the filter stays on top
+  * as the exact residual, and `WHERE dd BETWEEN x AND y` in plain SQL
+  * reads ⌈selectivity · files⌉ with zero user action. This is what
+  * Delta/Iceberg do with add-file stats at planning time, recovered as
+  * an injected rule over the homegrown format ([[TimeTravel]]).
+  *
+  * Sound-or-decline, like every rule in this library: only bare
+  * integral-column comparisons with integral literals are read as
+  * bounds (casts, expressions, OR-trees decline); files of directories
+  * WITHOUT a sidecar are always kept; a DV-bearing snapshot is left
+  * for [[DvApply]] (its anti-join consumes the same relation); and the
+  * residual filter re-applies the exact predicate, so a sidecar that
+  * over-approximates costs reads, never rows. An all-files-overlap
+  * probe declines too — the plan only changes when skipping actually
+  * skips (also what makes the rewrite idempotent under the optimizer's
+  * fixed point). A probe that overlaps NOTHING becomes an empty
+  * [[LocalRelation]] on the relation's own attributes: the 100 TB
+  * wrong-date-range query costs zero tasks.
+  *
+  * Scale: planning reads the snapshot's O(files) sidecars on the
+  * driver — the same cost class as any table format's manifest
+  * pruning — and the substituted scan is declarative, so column
+  * pruning and the residual's parquet pushdown keep working below the
+  * splice.
+  */
+object StatsPrune extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, r @ DataSourceV2Relation(t: TimeTravelTable, _, _, _, _, _))
+        if !t.pendingDvs =>
+      try rewrite(f, cond, r, t) catch {
+        // a malformed sidecar must degrade to the unpruned scan, never
+        // fail planning
+        case scala.util.control.NonFatal(_) => f
+      }
+  }
+
+  private def rewrite(f: Filter, cond: Expression, r: DataSourceV2Relation,
+      t: TimeTravelTable): LogicalPlan = {
+    val spark = SparkSession.active
+    val covered = TimeTravel.statsColumns(spark, t.tablePath, t.snapshotVersion)
+      .collect { case (c, IntegerType | LongType | ShortType) => c }.toSet
+    if (covered.isEmpty) return f
+    val bounds = boundsOf(cond, r.output).filter { case (c, _) => covered(c) }
+    bounds.headOption match {
+      case None => f
+      case Some((statsCol, (lo, hi))) =>
+        if (lo > hi) return Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false))
+        val (files, st) = TimeTravel.pruneFiles(
+          spark, t.tablePath, statsCol, lo, hi, t.snapshotVersion)
+        if (files.isEmpty) Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false))
+        else if (st.filesRead >= st.filesTotal) f // nothing skipped: keep the plan
+        else {
+          val sub = spark.read.parquet(files: _*).queryExecution.analyzed
+          val byName = sub.output.map(a => a.name -> a).toMap
+          if (r.output.forall(a => byName.contains(a.name))) {
+            val aliases: Seq[NamedExpression] = r.output.map { a =>
+              Alias(byName(a.name), a.name)(exprId = a.exprId)
+            }
+            Filter(cond, Project(aliases, sub))
+          } else f
+        }
+    }
+  }
+
+  /** The [lo, hi] window each directly-compared integral column is
+    * confined to by `cond`'s AND-conjuncts: `c >= l`, `c > l`,
+    * `c <= l`, `c < l`, `c = l` in either operand order; everything
+    * else contributes nothing (an unrelated conjunct never widens a
+    * window — it can only be residual). Columns appear only when at
+    * least one side is bounded. */
+  private def boundsOf(cond: Expression,
+      output: Seq[Attribute]): Seq[(String, (Long, Long))] = {
+    val names = output.map(a => a.exprId -> a.name).toMap
+    def longOf(l: Literal): Option[Long] = l.value match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case j: java.lang.Long    => Some(j)
+      case s: java.lang.Short   => Some(s.longValue)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val win = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long)]
+    def tighten(a: Attribute, lo: Option[Long], hi: Option[Long]): Unit =
+      names.get(a.exprId).foreach { n =>
+        val (l0, h0) = win.getOrElse(n, (Long.MinValue, Long.MaxValue))
+        win(n) = (lo.fold(l0)(math.max(l0, _)), hi.fold(h0)(math.min(h0, _)))
+      }
+    conjuncts(cond).foreach {
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => tighten(a, longOf(l), None)
+      case GreaterThan(a: Attribute, l: Literal) => tighten(a, longOf(l).map(_ + 1), None)
+      case LessThanOrEqual(a: Attribute, l: Literal) => tighten(a, None, longOf(l))
+      case LessThan(a: Attribute, l: Literal) => tighten(a, None, longOf(l).map(_ - 1))
+      case EqualTo(a: Attribute, l: Literal) => tighten(a, longOf(l), longOf(l))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => tighten(a, None, longOf(l))
+      case GreaterThan(l: Literal, a: Attribute) => tighten(a, None, longOf(l).map(_ - 1))
+      case LessThanOrEqual(l: Literal, a: Attribute) => tighten(a, longOf(l), None)
+      case LessThan(l: Literal, a: Attribute) => tighten(a, longOf(l).map(_ + 1), None)
+      case EqualTo(l: Literal, a: Attribute) => tighten(a, longOf(l), longOf(l))
+      case _ => ()
+    }
+    win.toSeq.filter { case (_, (lo, hi)) =>
+      lo != Long.MinValue || hi != Long.MaxValue
+    }
+  }
+}

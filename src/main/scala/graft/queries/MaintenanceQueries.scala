@@ -1415,10 +1415,56 @@ object MaintenanceQueries {
       .withColumn("files_pruned", lit(st.filesRead >= 1 && st.filesRead < st.filesTotal))
   }
 
+  /** AUTOMATIC file skipping ([[graft.plans.StatsPrune]]) — the rule
+    * face of [[qTtPrune]]: the same seven date-ordered stats-carrying
+    * commits, but the query is the NAIVE spelling — a plain
+    * `.filter(dd BETWEEN …)` over the DSv2 `graft-table` scan, no
+    * library call — and the injected rule re-plans it against the
+    * sidecars to scan only the overlapping files. `rule_pruned`
+    * carries the plan evidence (the relation was substituted and reads
+    * fewer files than the snapshot holds); the oracle recomputes the
+    * slice from the raw table. Falls back to plan-unchanged (still
+    * correct) without the extensions. */
+  val qTtPruneAuto: QueryDef = QueryDef.sql(
+    "q_tt_prune_auto",
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  true AS rule_pruned
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttpa_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val o = Tables(s, d, "orders").select(
+      expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("dd"),
+      units(col("o_totalprice"), 2).as("cents"))
+    def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
+    (1992 to 1998).foreach { y =>
+      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
+      if (y == 1992) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("dd"))
+      else TimeTravel.commitAppend(b, dir, statsCols = Seq("dd"))
+    }
+    val naive = s.read.format("graft-table").load(dir)
+      .filter(col("dd") >= day(1996) && col("dd") < day(1997))
+    val prunedFiles = naive.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    naive.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("rule_pruned",
+        lit((prunedFiles > 0 && prunedFiles < 7) || !extLoaded))
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush, qTtPrune)
+    qTtAggPush, qTtPrune, qTtPruneAuto)
 }

@@ -564,21 +564,7 @@ object TimeTravel {
     val dirs = listing(spark, path, v)
     val dvs = dvListing(spark, path, v)
     if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))
-    val f = fs(spark, path)
-    val (covered, uncoveredDirs) =
-      dirs.partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
-    val (coveredTotal, selected) =
-      if (covered.isEmpty) (0L, Seq.empty[String])
-      else {
-        val m = spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
-        (m.count(),
-          m.filter(col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo)
-            .select("file").collect().map(_.getString(0)).toSeq)
-      }
-    val uncovered =
-      if (uncoveredDirs.isEmpty) Array.empty[String]
-      else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
-    val toRead = (selected ++ uncovered).sorted
+    val (toRead, st) = pruneFiles(spark, path, statsCol, lo, hi, v)
     val residual = col(statsCol) >= lo && col(statsCol) <= hi
     val data0 =
       if (toRead.isEmpty)
@@ -593,7 +579,52 @@ object TimeTravel {
         val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
         withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
       }
-    (data, ZoneMaps.PruneStats(coveredTotal + uncovered.length,
-      selected.length.toLong + uncovered.length))
+    (data, st)
+  }
+
+  /** The planning half of [[readPruned]]: the exact files a
+    * [lo, hi] probe on `statsCol` must read at `version` — sidecar
+    * hits plus every file of an uncovered directory — with the
+    * files-total/files-read evidence. One O(files) sidecar read on the
+    * driver; also the substrate of [[graft.plans.StatsPrune]]'s
+    * automatic rewrite. */
+  private[graft] def pruneFiles(spark: SparkSession, path: String,
+      statsCol: String, lo: Long, hi: Long,
+      v: Long): (Seq[String], ZoneMaps.PruneStats) = {
+    import org.apache.spark.sql.functions.col
+    val dirs = listing(spark, path, v)
+    val f = fs(spark, path)
+    val (covered, uncoveredDirs) =
+      dirs.partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+    val (coveredTotal, selected) =
+      if (covered.isEmpty) (0L, Seq.empty[String])
+      else {
+        val m = spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
+        (m.count(),
+          m.filter(col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo)
+            .select("file").collect().map(_.getString(0)).toSeq)
+      }
+    val uncovered =
+      if (uncoveredDirs.isEmpty) Array.empty[String]
+      else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
+    ((selected ++ uncovered).sorted,
+      ZoneMaps.PruneStats(coveredTotal + uncovered.length,
+        selected.length.toLong + uncovered.length))
+  }
+
+  /** The stats-covered columns of `version`'s sidecars (name → Spark
+    * type), empty when no directory has a sidecar — [[StatsPrune]]'s
+    * eligibility probe. */
+  private[graft] def statsColumns(spark: SparkSession, path: String,
+      v: Long): Map[String, org.apache.spark.sql.types.DataType] = {
+    val f = fs(spark, path)
+    val covered = listing(spark, path, v)
+      .filter(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+    if (covered.isEmpty) Map.empty
+    else spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
+      .schema.fields.collect {
+        case sf if sf.name.startsWith("min_") =>
+          sf.name.stripPrefix("min_") -> sf.dataType
+      }.toMap
   }
 }

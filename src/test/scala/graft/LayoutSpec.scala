@@ -136,4 +136,54 @@ class LayoutSpec extends SparkSpec {
     val (df6, st6) = prune(0, 5)
     assert(st6.filesTotal == 1 && df6.count() == 6)
   }
+
+  test("StatsPrune: a plain WHERE over the DSv2 scan skips files automatically") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = java.nio.file.Files.createTempDirectory("ttauto").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"p$i")).toDF("k", "payload").repartition(1)
+    TimeTravel.commitOverwrite(batch(0, 999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(1000, 1999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(2000, 2999), dir, statsCols = Seq("k"))
+
+    def snap = spark.read.format("graft-table").load(dir)
+    def prunedFileCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+
+    // the bounded filter re-plans to a 1-of-3-files parquet scan...
+    val q = snap.filter(col("k") >= 1100 && col("k") <= 1200)
+    assert(prunedFileCount(q) == 1,
+      s"expected the rewrite to keep exactly the overlapping file:\n${q.queryExecution.optimizedPlan}")
+    // ...with the residual still applied exactly
+    assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1100L to 1200L))
+
+    // an unbounded/unrelated predicate keeps the original v2 scan
+    val miss = snap.filter(col("payload") === "p5")
+    assert(prunedFileCount(miss) == 0, "no stats bounds -> no rewrite")
+    assert(miss.count() == 1)
+    // a window overlapping every file keeps the plan too (nothing skipped)
+    assert(prunedFileCount(snap.filter(col("k") >= 0)) == 0)
+
+    // an empty window becomes a zero-task local relation
+    val none = snap.filter(col("k") > 90000)
+    assert(none.queryExecution.optimizedPlan.toString.contains("LocalRelation") ||
+      none.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"disjoint window must plan to an empty relation:\n${none.queryExecution.optimizedPlan}")
+    assert(none.count() == 0)
+
+    // composes under projection + aggregate on top
+    val agg = snap.filter(col("k").between(2100, 2200)).agg(count(lit(1)).as("n"))
+    assert(agg.head.getLong(0) == 101)
+
+    // a DV-bearing snapshot is DvApply's territory: rows stay correct
+    TimeTravel.deleteMoR(spark, dir, col("k") % 2 === 0L)
+    val dv = snap.filter(col("k").between(1100, 1200))
+    assert(dv.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1100L to 1200L).filter(_ % 2 == 1))
+  }
 }
