@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
   * Delta/Iceberg do with add-file stats at planning time, recovered as
   * an injected rule over the homegrown format ([[TimeTravel]]).
   *
+  * Equality probes get a second tier: a conjunct pinning a
+  * BLOOM-covered column to one value admits files through the per-file
+  * Bloom sidecar (no false negatives) — the bloom-column-index shape,
+  * for point lookups on columns the layout was never clustered by,
+  * where every file's [min, max] spans the domain and range stats
+  * prune nothing. Range skipping is tried first; the bloom tier fires
+  * when it declines.
+  *
   * Sound-or-decline, like every rule in this library: only bare
   * integral-column comparisons with integral literals are read as
   * bounds (casts, expressions, OR-trees decline); files of directories
@@ -54,28 +62,66 @@ object StatsPrune extends Rule[LogicalPlan] {
   private def rewrite(f: Filter, cond: Expression, r: DataSourceV2Relation,
       t: TimeTravelTable): LogicalPlan = {
     val spark = SparkSession.active
+    val bounds = boundsOf(cond, r.output)
+    if (bounds.isEmpty) return f
+    minMaxRewrite(spark, cond, r, t, bounds)
+      .orElse(bloomRewrite(spark, cond, r, t, bounds))
+      .getOrElse(f)
+  }
+
+  /** Range skipping on a min/max-covered column (tight when the
+    * commits are clustered on it). */
+  private def minMaxRewrite(spark: SparkSession, cond: Expression,
+      r: DataSourceV2Relation, t: TimeTravelTable,
+      bounds: Seq[(String, (Long, Long))]): Option[LogicalPlan] = {
     val covered = TimeTravel.statsColumns(spark, t.tablePath, t.snapshotVersion)
       .collect { case (c, IntegerType | LongType | ShortType) => c }.toSet
-    if (covered.isEmpty) return f
-    val bounds = boundsOf(cond, r.output).filter { case (c, _) => covered(c) }
-    bounds.headOption match {
-      case None => f
-      case Some((statsCol, (lo, hi))) =>
-        if (lo > hi) return Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false))
-        val (files, st) = TimeTravel.pruneFiles(
-          spark, t.tablePath, statsCol, lo, hi, t.snapshotVersion)
-        if (files.isEmpty) Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false))
-        else if (st.filesRead >= st.filesTotal) f // nothing skipped: keep the plan
+    bounds.collectFirst { case (c, w) if covered(c) => (c, w) }
+      .flatMap { case (statsCol, (lo, hi)) =>
+        if (lo > hi)
+          Some(Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false)))
         else {
-          val sub = spark.read.parquet(files: _*).queryExecution.analyzed
-          val byName = sub.output.map(a => a.name -> a).toMap
-          if (r.output.forall(a => byName.contains(a.name))) {
-            val aliases: Seq[NamedExpression] = r.output.map { a =>
-              Alias(byName(a.name), a.name)(exprId = a.exprId)
-            }
-            Filter(cond, Project(aliases, sub))
-          } else f
+          val (files, st) = TimeTravel.pruneFiles(
+            spark, t.tablePath, statsCol, lo, hi, t.snapshotVersion)
+          substituted(spark, cond, r, files, st)
         }
+      }
+  }
+
+  /** Point skipping on a bloom-covered column — equality probes where
+    * min/max prunes nothing because the layout was never clustered on
+    * the column (the bloom-column-index shape). */
+  private def bloomRewrite(spark: SparkSession, cond: Expression,
+      r: DataSourceV2Relation, t: TimeTravelTable,
+      bounds: Seq[(String, (Long, Long))]): Option[LogicalPlan] = {
+    val covered = TimeTravel.bloomColumns(spark, t.tablePath, t.snapshotVersion)
+    bounds.collectFirst { case (c, (lo, hi)) if lo == hi && covered(c) => (c, lo) }
+      .flatMap { case (bloomCol, key) =>
+        val (files, st) = TimeTravel.bloomFiles(
+          spark, t.tablePath, bloomCol, key, t.snapshotVersion)
+        substituted(spark, cond, r, files, st)
+      }
+  }
+
+  /** The shared splice: Filter(cond, Project(aliases, parquet scan of
+    * `files`)) with the relation's own exprIds, or an empty relation
+    * when nothing overlaps; None (decline) when nothing is skipped or
+    * the name mapping fails. */
+  private def substituted(spark: SparkSession, cond: Expression,
+      r: DataSourceV2Relation, files: Seq[String],
+      st: graft.sources.ZoneMaps.PruneStats): Option[LogicalPlan] = {
+    if (files.isEmpty)
+      Some(Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false)))
+    else if (st.filesRead >= st.filesTotal) None // nothing skipped: keep the plan
+    else {
+      val sub = spark.read.parquet(files: _*).queryExecution.analyzed
+      val byName = sub.output.map(a => a.name -> a).toMap
+      if (r.output.forall(a => byName.contains(a.name))) {
+        val aliases: Seq[NamedExpression] = r.output.map { a =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)
+        }
+        Some(Filter(cond, Project(aliases, sub)))
+      } else None
     }
   }
 

@@ -1461,10 +1461,65 @@ object MaintenanceQueries {
         lit((prunedFiles > 0 && prunedFiles < 7) || !extLoaded))
   }
 
+  /** BLOOM point lookup through the versioned table
+    * ([[graft.sources.TimeTravel.readPoint]] + the
+    * [[graft.plans.StatsPrune]] bloom tier): customer lands in three
+    * commits DATE-laid-out on acctbal-cents while `c_custkey` stays
+    * scattered — every file's key [min, max] spans the domain, so
+    * range stats prune nothing — and per-file Bloom sidecars admit a
+    * `WHERE c_custkey = k` probe to the one file that can hold it (no
+    * false negatives; the residual equality makes the answer exact,
+    * a false positive costs a read, never a row). The naive DSv2
+    * spelling goes through the injected rule; `bloom_pruned` carries
+    * both the library-face and plan evidence.
+    *
+    * Scale: the Delta bloom-column-index story — a point lookup on an
+    * unclustered column of a 100 TB table reads O(1) files plus the
+    * O(files) sidecar scan, with zero layout help. */
+  val qTtPoint: QueryDef = QueryDef.sql(
+    "q_tt_point",
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
+      |  true AS bloom_pruned
+      |FROM customer
+      |WHERE c_custkey = 421
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttbl_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+      units(col("c_acctbal"), 2).as("cents"))
+    // three commits split on a NON-key attribute: custkeys scatter
+    // across all three files
+    TimeTravel.commitOverwrite(c.filter(col("cents") % 3 === 0).repartition(1), dir,
+      bloomCols = Seq("c_custkey"))
+    TimeTravel.commitAppend(c.filter(col("cents") % 3 === 1).repartition(1), dir,
+      bloomCols = Seq("c_custkey"))
+    TimeTravel.commitAppend(c.filter(col("cents") % 3 === 2).repartition(1), dir,
+      bloomCols = Seq("c_custkey"))
+    val (viaLib, st) = TimeTravel.readPoint(s, dir, "c_custkey", 421L)
+    val naive = s.read.format("graft-table").load(dir).filter(col("c_custkey") === 421L)
+    val prunedFiles = naive.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    val evidence = st.filesRead < st.filesTotal &&
+      ((prunedFiles > 0 && prunedFiles < 3) || !extLoaded)
+    viaLib.select(col("c_custkey"), col("c_nationkey"), col("cents"))
+      .withColumn("bloom_pruned", lit(evidence))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush, qTtPrune, qTtPruneAuto)
+    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint)
 }

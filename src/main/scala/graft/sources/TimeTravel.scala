@@ -151,7 +151,7 @@ object TimeTravel {
     * BEFORE the manifest so a snapshot never sees a half-built
     * sidecar. */
   def commitAppend(df: DataFrame, path: String, tag: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val cur = latest(spark, path)
     val v = cur.getOrElse(0L) + 1
@@ -160,7 +160,8 @@ object TimeTravel {
     // immutable old directories, which an append never touches
     val prevDvs = cur.map(dvListing(spark, path, _)).getOrElse(Seq.empty)
     val dir = writeData(df, path, v)
-    if (statsCols.nonEmpty) writeStatsFor(spark, path, dir, statsCols)
+    if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      writeStatsFor(spark, path, dir, statsCols, bloomCols)
     publish(spark, path, v, prev :+ dir, tag, prevDvs)
     v
   }
@@ -181,11 +182,12 @@ object TimeTravel {
     * snapshots keep their files and remain readable. `statsCols` as on
     * [[commitAppend]]. */
   def commitOverwrite(df: DataFrame, path: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val v = latest(spark, path).getOrElse(0L) + 1
     val dir = writeData(df, path, v)
-    if (statsCols.nonEmpty) writeStatsFor(spark, path, dir, statsCols)
+    if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      writeStatsFor(spark, path, dir, statsCols, bloomCols)
     publish(spark, path, v, Seq(dir))
     v
   }
@@ -509,16 +511,22 @@ object TimeTravel {
   private def statsDirOf(dataDirRel: String): String =
     "stats/" + dataDirRel.stripPrefix("data/")
 
-  /** One row per file of `dataDirRel` with min_/max_ per tracked column
-    * plus the row count — the Delta/Iceberg add-file stats shape as a
-    * parquet sidecar. One pass over just the directory's files,
-    * map-side combined. */
+  /** One row per file of `dataDirRel` with min_/max_ per tracked
+    * column, a per-file Bloom filter per `bloomCols` entry (the Delta
+    * bloom-column-index shape: equality probes on columns the layout
+    * was NOT clustered by, where min/max spans everything), plus the
+    * row count — the add-file stats sidecar. One pass over just the
+    * directory's files, map-side combined. */
   private def writeStatsFor(spark: SparkSession, path: String,
-      dataDirRel: String, statsCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      dataDirRel: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, md5, min, udaf}
     val written = spark.read.parquet(s"$path/$dataDirRel")
+    val bloomAgg = udaf(new graft.operators.BloomOps.BloomAggregator(
+      ZoneMaps.BloomBits, ZoneMaps.BloomHashes))
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c => bloomAgg(md5(col(c).cast("string"))).as(s"bloom_$c")) :+
       count(lit(1)).as("n_rows")
     written.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -532,13 +540,13 @@ object TimeTravel {
     * [[merge]] (whose rewrites don't collect stats). Returns the
     * directories it covered. */
   def collectStats(spark: SparkSession, path: String, statsCols: Seq[String],
-      version: Option[Long] = None): Seq[String] = {
+      version: Option[Long] = None, bloomCols: Seq[String] = Nil): Seq[String] = {
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
     val f = fs(spark, path)
     val missing = listing(spark, path, v)
       .filterNot(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
-    missing.foreach(d => writeStatsFor(spark, path, d, statsCols))
+    missing.foreach(d => writeStatsFor(spark, path, d, statsCols, bloomCols))
     missing.sorted
   }
 
@@ -570,16 +578,87 @@ object TimeTravel {
       if (toRead.isEmpty)
         spark.read.parquet(dirs.map(d => s"$path/$d"): _*).filter(lit(false))
       else spark.read.parquet(toRead: _*).filter(residual)
-    val data =
-      if (dvs.isEmpty) data0
+    (applyDvs(spark, path, dvs, data0), st)
+  }
+
+  /** Merge-on-read tombstone subtraction over an already-planned data
+    * scan — the DV tail of [[read]], shared by the pruned/point reads. */
+  private def applyDvs(spark: SparkSession, path: String, dvs: Seq[String],
+      data0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (dvs.isEmpty) data0
+    else {
+      val withPos = data0.select(col("*"),
+        col("_metadata.file_path").as(DvCols.head),
+        col("_metadata.row_index").as(DvCols.last))
+      val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
+      withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
+    }
+  }
+
+  /** Point lookup with BLOOM file skipping: read only the files whose
+    * sidecar filter admits `key` (no false negatives — the residual
+    * equality makes the result exact), plus every file of a directory
+    * without a bloom for the column. The probe column needs NO
+    * clustering: this is the Delta bloom-column-index story — a
+    * `WHERE user_id = k` over a date-laid-out 100 TB table skips on
+    * the sidecars where min/max spans everything. Composes with
+    * pending deletion vectors like [[read]]. */
+  def readPoint(spark: SparkSession, path: String, bloomCol: String,
+      key: Long,
+      version: Option[Long] = None): (DataFrame, ZoneMaps.PruneStats) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(latest(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val dirs = listing(spark, path, v)
+    val dvs = dvListing(spark, path, v)
+    if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))
+    val (toRead, st) = bloomFiles(spark, path, bloomCol, key, v)
+    val data0 =
+      if (toRead.isEmpty)
+        spark.read.parquet(dirs.map(d => s"$path/$d"): _*).filter(lit(false))
+      else spark.read.parquet(toRead: _*).filter(col(bloomCol) === key)
+    (applyDvs(spark, path, dvs, data0), st)
+  }
+
+  /** The planning half of [[readPoint]]: sidecar bloom admission over
+    * the covered directories plus all files of the uncovered ones —
+    * also the substrate of [[graft.plans.StatsPrune]]'s equality
+    * probes. */
+  private[graft] def bloomFiles(spark: SparkSession, path: String,
+      bloomCol: String, key: Long,
+      v: Long): (Seq[String], ZoneMaps.PruneStats) = {
+    import org.apache.spark.sql.functions.{call_function, col, element_at, lit}
+    val f = fs(spark, path)
+    // covered = the sidecar exists AND carries this column's bloom
+    val (covered, uncoveredDirs) = listing(spark, path, v).partition { d =>
+      val sp = new Path(s"$path/${statsDirOf(d)}")
+      f.exists(sp) && spark.read.parquet(sp.toString)
+        .schema.fieldNames.contains(s"bloom_$bloomCol")
+    }
+    val (coveredTotal, selected) =
+      if (covered.isEmpty) (0L, Seq.empty[String])
       else {
-        val withPos = data0.select(col("*"),
-          col("_metadata.file_path").as(DvCols.head),
-          col("_metadata.row_index").as(DvCols.last))
-        val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
-        withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
+        val m = spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
+        val mh = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)
+        val b = java.lang.Long.parseLong(mh.substring(16, 31), 16)
+        val admitted = (0 until ZoneMaps.BloomHashes).map { i =>
+          val p = ((a + i.toLong * b) % ZoneMaps.BloomBits).toInt
+          call_function("shiftright",
+            element_at(col(s"bloom_$bloomCol"), p / 64 + 1), lit(p % 64))
+            .bitwiseAND(lit(1L)) === lit(1L)
+        }.reduce(_ && _)
+        (m.count(),
+          m.filter(admitted).select("file").collect().map(_.getString(0)).toSeq)
       }
-    (data, st)
+    val uncovered =
+      if (uncoveredDirs.isEmpty) Array.empty[String]
+      else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
+    ((selected ++ uncovered).sorted,
+      ZoneMaps.PruneStats(coveredTotal + uncovered.length,
+        selected.length.toLong + uncovered.length))
   }
 
   /** The planning half of [[readPruned]]: the exact files a
@@ -626,5 +705,21 @@ object TimeTravel {
         case sf if sf.name.startsWith("min_") =>
           sf.name.stripPrefix("min_") -> sf.dataType
       }.toMap
+  }
+
+  /** The bloom-covered columns of `version`'s sidecars —
+    * [[graft.plans.StatsPrune]]'s point-probe eligibility check
+    * (per-directory coverage is re-checked inside [[bloomFiles]]). */
+  private[graft] def bloomColumns(spark: SparkSession, path: String,
+      v: Long): Set[String] = {
+    val f = fs(spark, path)
+    val covered = listing(spark, path, v)
+      .filter(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+    if (covered.isEmpty) Set.empty
+    else spark.read.option("mergeSchema", "true")
+      .parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
+      .schema.fieldNames
+      .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
+      .toSet
   }
 }

@@ -186,4 +186,49 @@ class LayoutSpec extends SparkSpec {
     assert(dv.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       (1100L to 1200L).filter(_ % 2 == 1))
   }
+
+  test("bloom sidecars: point probes skip files on an UNCLUSTERED column") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = java.nio.file.Files.createTempDirectory("ttbloom").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    // uid is hash-scattered: every file's [min, max] spans the whole
+    // domain, so range stats prune NOTHING on it — the bloom case
+    def uid(i: Long) = (i * 2654435761L) % 100000L
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, uid(i), s"p$i")).toDF("k", "uid", "payload").repartition(1)
+    TimeTravel.commitOverwrite(batch(0, 999), dir,
+      statsCols = Seq("k"), bloomCols = Seq("uid"))
+    TimeTravel.commitAppend(batch(1000, 1999), dir,
+      statsCols = Seq("k"), bloomCols = Seq("uid"))
+    TimeTravel.commitAppend(batch(2000, 2999), dir,
+      statsCols = Seq("k"), bloomCols = Seq("uid"))
+
+    val key = uid(1500) // lives in the middle file (modulo hash collisions)
+    val expectRows = (0L to 2999L).filter(i => uid(i) == key)
+
+    // library face: admission reads fewer files than the snapshot holds
+    val (df, st) = TimeTravel.readPoint(spark, dir, "uid", key)
+    assert(st.filesTotal == 3 && st.filesRead < 3,
+      s"bloom must skip at least one file: $st")
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq == expectRows,
+      "admitted-files read + residual must be exact")
+
+    // an absent key: no file admitted (resp. only false positives),
+    // zero rows either way
+    val (dfNone, stNone) = TimeTravel.readPoint(spark, dir, "uid", 100001L)
+    assert(dfNone.count() == 0 && stNone.filesRead <= 1)
+
+    // the rule face: plain `WHERE uid = key` over the DSv2 scan goes
+    // through the bloom path (uid has NO min/max coverage)
+    def snap = spark.read.format("graft-table").load(dir)
+    val q = snap.filter(col("uid") === key)
+    val pruned = q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+    }.sum
+    assert(pruned >= 1 && pruned < 3,
+      s"StatsPrune must substitute a bloom-admitted file scan:\n${q.queryExecution.optimizedPlan}")
+    assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq == expectRows)
+  }
 }
