@@ -172,10 +172,11 @@ object TimeTravel {
     * no-op returning the live version; otherwise it appends with the
     * tag. Tag uniqueness is the caller's batch identity (e.g.
     * "ingest:<batchId>"). */
-  def appendOnce(df: DataFrame, path: String, tag: String): Long = {
+  def appendOnce(df: DataFrame, path: String, tag: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     if (tags(spark, path).contains(tag)) latest(spark, path).get
-    else commitAppend(df, path, Some(tag))
+    else commitAppend(df, path, Some(tag), statsCols, bloomCols)
   }
 
   /** Overwrite commit: the new version sees ONLY the new rows; earlier
@@ -365,12 +366,14 @@ object TimeTravel {
     * dirs once no kept version references them). Row set is identical
     * by construction; `targetFiles` bounds the rewrite's output files.
     * History stays readable: this is a commit like any other. */
-  def optimize(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
+  def optimize(spark: SparkSession, path: String, targetFiles: Int = 1,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val v = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to optimize at $path"))
     // already compact = one data dir AND no deletion vectors to fold in
     if (listing(spark, path, v).size <= 1 && dvListing(spark, path, v).isEmpty) v
-    else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)), path)
+    else commitOverwrite(read(spark, path, Some(v)).coalesce(targetFiles.max(1)),
+      path, statsCols, bloomCols)
   }
 
   /** OPTIMIZE ZORDER BY — the layout-maintenance command that composes
@@ -383,7 +386,7 @@ object TimeTravel {
     * [[optimize]]. Rows identical by construction; history stays
     * readable; `targetFiles` bounds the rewrite like any compaction. */
   def optimizeZorder(spark: SparkSession, path: String, colA: String, colB: String,
-      targetFiles: Int = 8): Long = {
+      targetFiles: Int = 8, withStats: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val v = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to optimize at $path"))
@@ -391,7 +394,11 @@ object TimeTravel {
     val clustered = read(spark, path, Some(v))
       .repartitionByRange(targetFiles.max(1), z)
       .sortWithinPartitions(z)
-    commitOverwrite(clustered, path)
+    // withStats: the Z-layout makes BOTH dimensions' per-file ranges
+    // tight, so sidecars on (colA, colB) turn [[graft.plans.StatsPrune]]
+    // into 2-D file skipping over plain WHERE clauses
+    commitOverwrite(clustered, path,
+      statsCols = if (withStats) Seq(colA, colB) else Nil)
   }
 
   /** Expectation counts from a gated commit ([[commitAppendExpect]]). */

@@ -13,12 +13,16 @@ import org.apache.spark.sql.streaming.Trigger
   * itself). */
 object TableStreams {
 
-  def appendStream(incoming: DataFrame, path: String, checkpoint: String): Unit = {
+  /** `statsCols`/`bloomCols` opt each batch's commit into the per-file
+    * skipping sidecars — streamed history stays sliceable by
+    * [[graft.plans.StatsPrune]] with no backfill pass. */
+  def appendStream(incoming: DataFrame, path: String, checkpoint: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Unit = {
     val q = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TimeTravel.appendOnce(batch, path, s"stream:$batchId"): Unit
+        TimeTravel.appendOnce(batch, path, s"stream:$batchId", statsCols, bloomCols): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -187,6 +187,31 @@ class LayoutSpec extends SparkSpec {
       (1100L to 1200L).filter(_ % 2 == 1))
   }
 
+  test("OPTIMIZE ZORDER withStats: plain WHERE prunes files on BOTH dimensions") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = java.nio.file.Files.createTempDirectory("ttzstats").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    val grid = (0L until 16384L).map(i => (i % 128, i / 128)).toDF("x", "y")
+    TimeTravel.commitOverwrite(grid, dir)
+    TimeTravel.optimizeZorder(spark, dir, "x", "y", targetFiles = 8, withStats = true)
+
+    def snap = spark.read.format("graft-table").load(dir)
+    def prunedFileCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+    // the rewrite composes: Z-layout gives both dimensions tight
+    // per-file ranges, the sidecars carry them, StatsPrune uses them
+    val qx = snap.filter(col("x") < 16L)
+    val qy = snap.filter(col("y") < 16L)
+    val (px, py) = (prunedFileCount(qx), prunedFileCount(qy))
+    assert(px >= 1 && px < 8, s"x-window must skip z-disjoint files, read $px/8")
+    assert(py >= 1 && py < 8, s"y-window must skip z-disjoint files, read $py/8")
+    assert(qx.count() == 16 * 128 && qy.count() == 16 * 128)
+  }
+
   test("bloom sidecars: point probes skip files on an UNCLUSTERED column") {
     import graft.sources.TimeTravel
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
