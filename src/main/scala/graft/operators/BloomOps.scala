@@ -69,6 +69,27 @@ object BloomOps {
   def positionSql(e: String, numBits: Int, iExpr: String): String =
     s"((${hexSliceSql(e, 1, 15)} + $iExpr * ${hexSliceSql(e, 17, 15)}) % $numBits)"
 
+  /** Membership probe of a DRIVER-SIDE key against a stored bit-array
+    * column (the packed output of [[BloomAggregator]]): all hash
+    * positions set. The positions are constants folded from the key's
+    * md5 with exactly [[BloomAggregator.reduce]]'s arithmetic — the
+    * single source of the write/probe symmetry that file-skipping's
+    * no-false-negative guarantee rests on (ZoneMaps point reads, the
+    * TimeTravel bloom sidecars). */
+  def admission(bloomArr: Column, key: String, numBits: Int,
+      numHashes: Int): Column = {
+    requireHashBound(numHashes)
+    val mh = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)
+    val b = java.lang.Long.parseLong(mh.substring(16, 31), 16)
+    (0 until numHashes).map { i =>
+      val p = ((a + i.toLong * b) % numBits).toInt
+      call_function("shiftright", element_at(bloomArr, p / 64 + 1), lit(p % 64))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** Mergeable one-pass builder. Input rows are md5-hex strings (hash
     * upstream in Catalyst: `md5(key)` — keeps the JVM side a pure bit
     * setter identical to [[positions]]'s arithmetic). */

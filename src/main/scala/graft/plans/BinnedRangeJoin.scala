@@ -115,13 +115,22 @@ object BinnedRangeJoin extends Rule[LogicalPlan] {
             case _ => Nil
           }
         }
-        // one point expression with BOTH a lower and an upper bound
-        val candidate = bounds.groupBy(b => (b.point.canonicalized, sideOf(b.point))).collectFirst {
-          case (_, bs) if bs.exists(_.isLower) && bs.exists(!_.isLower) =>
-            val p = bs.head.point
-            (p, bs.find(_.isLower).get.limit, bs.find(!_.isLower).get.limit,
-              sideOf(p).get)
-        }
+        // one point expression with BOTH a lower and an upper bound —
+        // scanned in the ORIGINAL conjunct order (a groupBy Map's
+        // iteration order is arbitrary, and with several qualifying
+        // expressions the choice of which side gets binned must not
+        // depend on hash iteration)
+        val grouped = bounds.groupBy(b => (b.point.canonicalized, sideOf(b.point)))
+        val candidate = bounds.view
+          .map(b => (b.point.canonicalized, sideOf(b.point)))
+          .distinct
+          .map(grouped)
+          .collectFirst {
+            case bs if bs.exists(_.isLower) && bs.exists(!_.isLower) =>
+              val p = bs.head.point
+              (p, bs.find(_.isLower).get.limit, bs.find(!_.isLower).get.limit,
+                sideOf(p).get)
+          }
         candidate match {
           case None => j
           case Some((p, lo, hi, pointOnLeft)) =>

@@ -42,13 +42,13 @@ import graft.sources.TimeTravel
   * MV ends correct; "incremental" is a performance tier, not a
   * correctness gamble.
   *
-  * The reflected base version rides in a sidecar next to the
-  * materialization (`<mvPath>._state`), published AFTER the swapped-in
-  * parquet, so a crash between the two leaves a stale-but-consistent
-  * pair (the refresh re-runs; the merge reads appends since the OLD
-  * version against the OLD materialization). The parquet itself is
-  * replaced by write-to-temp + rename, never overwritten in place
-  * while the merge plan is still reading it.
+  * The reflected base version rides INSIDE the materialization
+  * directory (`_mv_state`, an underscore file parquet readers
+  * ignore), written into the staging directory before the swap — data
+  * and version publish in ONE rename, so a crash mid-refresh leaves
+  * the old pair untouched and can never double-apply a delta. The
+  * parquet is replaced by write-to-temp + rename, never overwritten
+  * in place while the merge plan is still reading it.
   *
   * Scale: this is the 100 TB refresh story — a nightly append of
   * 100 GB into a 100 TB fact table refreshes a registered rollup by
@@ -128,9 +128,8 @@ object MvMaintenance {
           // restore the definition's column order and EXACT types (a
           // second sum over an already-widened decimal widens again)
           .select(defSchema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        swapIn(spark, merged, r.mvPath)
+        swapIn(spark, merged, r.mvPath, vNow)
         reregister(spark, name, r)
-        writeState(spark, r.mvPath, vNow)
         RefreshResult("incremental", vNow, partial.inputFiles.toSeq)
       case _ =>
         rebuild(spark, name)
@@ -142,9 +141,8 @@ object MvMaintenance {
   def rebuild(spark: SparkSession, name: String): RefreshResult = {
     val r = reg(name)
     val vNow = TimeTravel.versions(spark, r.basePath).max
-    swapIn(spark, r.define(TimeTravel.read(spark, r.basePath)), r.mvPath)
+    swapIn(spark, r.define(TimeTravel.read(spark, r.basePath)), r.mvPath, vNow)
     reregister(spark, name, r)
-    writeState(spark, r.mvPath, vNow)
     RefreshResult("rebuild", vNow, Nil)
   }
 
@@ -180,10 +178,11 @@ object MvMaintenance {
         def isGroup(e: Expression): Boolean =
           agg.groupingExpressions.exists(_.semanticEquals(e))
         val keys = Seq.newBuilder[String]
+        val keyExprs = Seq.newBuilder[Expression]
         val merges = Seq.newBuilder[Column]
         val ok = agg.aggregateExpressions.forall {
-          case a: Attribute if isGroup(a) => keys += a.name; true
-          case Alias(child, n) if isGroup(child) => keys += n; true
+          case a: Attribute if isGroup(a) => keys += a.name; keyExprs += a; true
+          case Alias(child, n) if isGroup(child) => keys += n; keyExprs += child; true
           case Alias(ae: AggregateExpression, n) if !ae.isDistinct =>
             ae.aggregateFunction match {
               case _: Sum   => merges += sum(col(n)).as(n); true
@@ -195,30 +194,53 @@ object MvMaintenance {
           case _ => false
         }
         val ms = merges.result()
-        if (ok && ms.nonEmpty) Some((keys.result(), ms)) else None
+        // EVERY grouping expression must survive into the output — a
+        // projected-away key (groupBy(a, b) but only `a` selected)
+        // would make the stored MV hold several rows per output key,
+        // and merging on the visible subset would collapse them
+        val seen = keyExprs.result()
+        val allKeysVisible =
+          agg.groupingExpressions.forall(g => seen.exists(_.semanticEquals(g)))
+        if (ok && allKeysVisible && ms.nonEmpty) Some((keys.result(), ms)) else None
       case _ => None
     }
   }
 
   /** Replace the parquet at `mvPath` via write-to-temp + rename — the
     * merge plan may be READING mvPath, so an in-place overwrite would
-    * saw off its own input. */
-  private def swapIn(spark: SparkSession, df: DataFrame, mvPath: String): Unit = {
+    * saw off its own input. The version sidecar (`_mv_state`, an
+    * underscore file parquet readers ignore) is written INTO the temp
+    * directory first, so data and reflected version publish in the
+    * SAME rename: a crash before it leaves the old pair untouched (no
+    * half-state that would double-apply a delta on the next refresh);
+    * a crash between the delete and the rename loses the directory but
+    * fails LOUDLY on the next read — never a silent wrong fold. */
+  private def swapIn(spark: SparkSession, df: DataFrame, mvPath: String,
+      v: Long): Unit = {
     val dst = new Path(mvPath)
     val tmp = new Path(mvPath + ".swap")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    writeStateFile(fs, new Path(tmp, StateFile), v)
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"failed to publish refreshed MV at $mvPath")
   }
 
-  private def statePath(mvPath: String) = new Path(mvPath + "._state")
+  private val StateFile = "_mv_state"
 
+  private def statePath(mvPath: String) = new Path(mvPath, StateFile)
+
+  /** Advance only the reflected-version mark (the no-data-change
+    * refresh) — rewritten in place; the data files are untouched. */
   private def writeState(spark: SparkSession, mvPath: String, v: Long): Unit = {
     val p = statePath(mvPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    writeStateFile(p.getFileSystem(spark.sessionState.newHadoopConf()), p, v)
+  }
+
+  private def writeStateFile(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      v: Long): Unit = {
     val out = fs.create(p, true)
     try out.write(s"""{"reflected_version":$v}"""
       .getBytes(StandardCharsets.UTF_8))

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.col
 
@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions.col
   * Mechanics: cells whose file count exceeds what their byte size
   * needs (ceil(bytes / targetBytes)) are rewritten — staged to a
   * sibling directory first (Spark refuses to overwrite a path it is
-  * reading), then DYNAMIC partition overwrite replaces only the
-  * oversized cells; right-sized cells are never touched or read.
+  * reading), then published by PER-CELL directory swap (park live,
+  * rename staged in, roll back on failure); right-sized cells are
+  * never touched or read, and the staged bytes are never re-shuffled
+  * through a second write.
   * Driver work is O(cells) listing (bounded by each family's layout:
   * ≤256 dirs); row data never visits the driver. Oversized cells split
   * on a rows-per-file bound derived from the slice's observed
@@ -59,16 +61,32 @@ object CellCompaction {
     val bytes = math.max(1L, oversized.map(_._2).sum)
     val rowsPerFile = math.max(1L, rows * targetBytes / bytes)
     val staging = new Path(path + ".compact-staging")
+    val parked = new Path(path + ".compact-old")
     if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(parked)) fs.delete(parked, true)
+    fs.mkdirs(parked)
     slice.repartition(col(cellCol))
       .write.option("maxRecordsPerFile", rowsPerFile)
       .partitionBy(cellCol).parquet(staging.toString)
-    spark.read.parquet(staging.toString)
-      .repartition(col(cellCol))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", rowsPerFile)
-      .partitionBy(cellCol).parquet(path)
+    // publish by PER-CELL DIRECTORY SWAP — the bytes were already
+    // written right-sized into staging, so re-reading and re-shuffling
+    // them through a second Spark write (dynamic overwrite) would
+    // double the I/O of what is pure layout maintenance. Same safe
+    // dance as the index compactors: the live dir is parked
+    // (recoverable), never deleted before its replacement is in place.
+    values.foreach { v =>
+      val dirName = s"$cellCol=${ExternalCatalogUtils.escapePathName(v)}"
+      val live = new Path(root, dirName)
+      val staged = new Path(staging, dirName)
+      val old = new Path(parked, dirName)
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"cell compact: park $live failed")
+      if (!fs.rename(staged, live)) {
+        fs.rename(old, live) // roll the live cell back before failing
+        throw new java.io.IOException(s"cell compact: publish $dirName failed")
+      }
+    }
+    fs.delete(parked, true)
     fs.delete(staging, true)
     values
   }

@@ -133,13 +133,22 @@ object InvertedIndex {
         f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))
       if (dlFiles > 1) {
+        // same safe dance as the whole-index branch above: the live
+        // _doclen is renamed ASIDE (recoverable), never deleted before
+        // its replacement is in place
         val dlStaging = new Path(doclenPath(path) + ".compact-staging")
+        val dlOld = new Path(doclenPath(path) + ".compact-old")
         if (fs.exists(dlStaging)) fs.delete(dlStaging, true)
+        if (fs.exists(dlOld)) fs.delete(dlOld, true)
         spark.read.parquet(doclenPath(path)).select(col("doc_id"), col("dl"))
           .coalesce(1).write.parquet(dlStaging.toString)
-        fs.delete(dlDir, true)
-        if (!fs.rename(dlStaging, dlDir))
+        if (!fs.rename(dlDir, dlOld))
+          throw new java.io.IOException(s"doclen compact: rename $dlDir aside failed")
+        if (!fs.rename(dlStaging, dlDir)) {
+          fs.rename(dlOld, dlDir) // roll the live sidecar back before failing
           throw new java.io.IOException(s"doclen compact: rename into $dlDir failed")
+        }
+        fs.delete(dlOld, true)
       }
       spark.read.parquet(doclenPath(path))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))

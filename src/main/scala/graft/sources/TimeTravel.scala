@@ -628,38 +628,56 @@ object TimeTravel {
     (applyDvs(spark, path, dvs, data0), st)
   }
 
-  /** The planning half of [[readPoint]]: sidecar bloom admission over
-    * the covered directories plus all files of the uncovered ones —
-    * also the substrate of [[graft.plans.StatsPrune]]'s equality
-    * probes. */
-  private[graft] def bloomFiles(spark: SparkSession, path: String,
-      bloomCol: String, key: Long,
-      v: Long): (Seq[String], ZoneMaps.PruneStats) = {
-    import org.apache.spark.sql.functions.{call_function, col, element_at, lit}
+  /** The snapshot's sidecar union (ONE mergeSchema read — dirs tracking
+    * different column sets surface the others' stats as null) plus the
+    * uncovered directories. The single planning substrate under
+    * [[pruneFiles]]/[[bloomFiles]]/[[statsColumns]]/[[bloomColumns]]. */
+  private def sidecarManifest(spark: SparkSession, path: String,
+      v: Long): (Option[DataFrame], Seq[String]) = {
     val f = fs(spark, path)
-    // covered = the sidecar exists AND carries this column's bloom
-    val (covered, uncoveredDirs) = listing(spark, path, v).partition { d =>
-      val sp = new Path(s"$path/${statsDirOf(d)}")
-      f.exists(sp) && spark.read.parquet(sp.toString)
-        .schema.fieldNames.contains(s"bloom_$bloomCol")
+    val (covered, uncovered) = listing(spark, path, v)
+      .partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+    val m =
+      if (covered.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*))
+    (m, uncovered)
+  }
+
+  /** Select the sidecar rows whose files a probe must read: the keep
+    * predicate plus every row where `guardCols` are null — a sidecar
+    * that doesn't track the probe column (or a file whose stat is
+    * legitimately null) can never be skipped on it. */
+  private def admittedFiles(m: DataFrame, keep: org.apache.spark.sql.Column,
+      guardCols: Seq[String]): (Long, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val missing = guardCols.map(c => col(c).isNull).reduce(_ || _)
+    (m.count(),
+      m.filter(keep || missing).select("file").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** The planning half of [[readPruned]]: the exact files a
+    * [lo, hi] probe on `statsCol` must read at `version` — sidecar
+    * range hits, files whose sidecar doesn't track the column, and
+    * every file of an uncovered directory — with the files-total/
+    * files-read evidence. One O(files) sidecar read on the driver;
+    * also the substrate of [[graft.plans.StatsPrune]]'s automatic
+    * rewrite. */
+  private[graft] def pruneFiles(spark: SparkSession, path: String,
+      statsCol: String, lo: Long, hi: Long,
+      v: Long): (Seq[String], ZoneMaps.PruneStats) = {
+    import org.apache.spark.sql.functions.col
+    val (manifest, uncoveredDirs) = sidecarManifest(spark, path, v)
+    val (coveredTotal, selected) = manifest match {
+      case Some(m) if m.columns.contains(s"min_$statsCol") &&
+          m.columns.contains(s"max_$statsCol") =>
+        admittedFiles(m,
+          col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo,
+          Seq(s"min_$statsCol", s"max_$statsCol"))
+      case Some(m) => // no sidecar tracks the column: nothing skippable
+        (m.count(), m.select("file").collect().map(_.getString(0)).toSeq)
+      case None => (0L, Seq.empty[String])
     }
-    val (coveredTotal, selected) =
-      if (covered.isEmpty) (0L, Seq.empty[String])
-      else {
-        val m = spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
-        val mh = java.security.MessageDigest.getInstance("MD5")
-          .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)
-        val b = java.lang.Long.parseLong(mh.substring(16, 31), 16)
-        val admitted = (0 until ZoneMaps.BloomHashes).map { i =>
-          val p = ((a + i.toLong * b) % ZoneMaps.BloomBits).toInt
-          call_function("shiftright",
-            element_at(col(s"bloom_$bloomCol"), p / 64 + 1), lit(p % 64))
-            .bitwiseAND(lit(1L)) === lit(1L)
-        }.reduce(_ && _)
-        (m.count(),
-          m.filter(admitted).select("file").collect().map(_.getString(0)).toSeq)
-      }
     val uncovered =
       if (uncoveredDirs.isEmpty) Array.empty[String]
       else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
@@ -668,28 +686,26 @@ object TimeTravel {
         selected.length.toLong + uncovered.length))
   }
 
-  /** The planning half of [[readPruned]]: the exact files a
-    * [lo, hi] probe on `statsCol` must read at `version` — sidecar
-    * hits plus every file of an uncovered directory — with the
-    * files-total/files-read evidence. One O(files) sidecar read on the
-    * driver; also the substrate of [[graft.plans.StatsPrune]]'s
-    * automatic rewrite. */
-  private[graft] def pruneFiles(spark: SparkSession, path: String,
-      statsCol: String, lo: Long, hi: Long,
+  /** The planning half of [[readPoint]]: sidecar bloom admission
+    * ([[graft.operators.BloomOps.admission]] — the same arithmetic the
+    * write side packed with), files whose sidecar has no bloom for the
+    * column, and every file of an uncovered directory — also the
+    * substrate of [[graft.plans.StatsPrune]]'s equality probes. */
+  private[graft] def bloomFiles(spark: SparkSession, path: String,
+      bloomCol: String, key: Long,
       v: Long): (Seq[String], ZoneMaps.PruneStats) = {
     import org.apache.spark.sql.functions.col
-    val dirs = listing(spark, path, v)
-    val f = fs(spark, path)
-    val (covered, uncoveredDirs) =
-      dirs.partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
-    val (coveredTotal, selected) =
-      if (covered.isEmpty) (0L, Seq.empty[String])
-      else {
-        val m = spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
-        (m.count(),
-          m.filter(col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo)
-            .select("file").collect().map(_.getString(0)).toSeq)
-      }
+    val (manifest, uncoveredDirs) = sidecarManifest(spark, path, v)
+    val (coveredTotal, selected) = manifest match {
+      case Some(m) if m.columns.contains(s"bloom_$bloomCol") =>
+        admittedFiles(m,
+          graft.operators.BloomOps.admission(col(s"bloom_$bloomCol"),
+            key.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes),
+          Seq(s"bloom_$bloomCol"))
+      case Some(m) =>
+        (m.count(), m.select("file").collect().map(_.getString(0)).toSeq)
+      case None => (0L, Seq.empty[String])
+    }
     val uncovered =
       if (uncoveredDirs.isEmpty) Array.empty[String]
       else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
@@ -699,34 +715,24 @@ object TimeTravel {
   }
 
   /** The stats-covered columns of `version`'s sidecars (name → Spark
-    * type), empty when no directory has a sidecar — [[StatsPrune]]'s
-    * eligibility probe. */
+    * type, under the merged schema), empty when no directory has a
+    * sidecar — [[StatsPrune]]'s eligibility probe. */
   private[graft] def statsColumns(spark: SparkSession, path: String,
-      v: Long): Map[String, org.apache.spark.sql.types.DataType] = {
-    val f = fs(spark, path)
-    val covered = listing(spark, path, v)
-      .filter(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
-    if (covered.isEmpty) Map.empty
-    else spark.read.parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
-      .schema.fields.collect {
+      v: Long): Map[String, org.apache.spark.sql.types.DataType] =
+    sidecarManifest(spark, path, v)._1.fold(
+      Map.empty[String, org.apache.spark.sql.types.DataType])(
+      _.schema.fields.collect {
         case sf if sf.name.startsWith("min_") =>
           sf.name.stripPrefix("min_") -> sf.dataType
-      }.toMap
-  }
+      }.toMap)
 
   /** The bloom-covered columns of `version`'s sidecars —
     * [[graft.plans.StatsPrune]]'s point-probe eligibility check
-    * (per-directory coverage is re-checked inside [[bloomFiles]]). */
+    * (per-file coverage is the null guard inside [[bloomFiles]]). */
   private[graft] def bloomColumns(spark: SparkSession, path: String,
-      v: Long): Set[String] = {
-    val f = fs(spark, path)
-    val covered = listing(spark, path, v)
-      .filter(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
-    if (covered.isEmpty) Set.empty
-    else spark.read.option("mergeSchema", "true")
-      .parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
-      .schema.fieldNames
-      .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
-      .toSet
-  }
+      v: Long): Set[String] =
+    sidecarManifest(spark, path, v)._1.fold(Set.empty[String])(
+      _.schema.fieldNames
+        .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
+        .toSet)
 }

@@ -77,17 +77,8 @@ object ZoneMaps {
       key: Long): (DataFrame, PruneStats) = {
     val m = manifest(spark, path)
     val total = m.count()
-    val mh = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)
-    val b = java.lang.Long.parseLong(mh.substring(16, 31), 16)
-    val positions = (0 until BloomHashes)
-      .map(i => ((a + i.toLong * b) % BloomBits).toInt)
-    val admitted = positions.map { p =>
-      call_function("shiftright",
-        element_at(col(s"bloom_$bloomCol"), p / 64 + 1), lit(p % 64))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    val admitted = BloomOps.admission(col(s"bloom_$bloomCol"), key.toString,
+      BloomBits, BloomHashes)
     val selected = m.filter(admitted)
       .select("file").collect().map(_.getString(0)).sorted
     val df =

@@ -187,6 +187,38 @@ class LayoutSpec extends SparkSpec {
       (1100L to 1200L).filter(_ % 2 == 1))
   }
 
+  test("a sidecar that doesn't track the probe column can never cause skipping") {
+    import graft.sources.TimeTravel
+    val dir = java.nio.file.Files.createTempDirectory("tthetero").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    def uid(i: Long) = (i * 2654435761L) % 100000L
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, uid(i))).toDF("k", "uid").repartition(1)
+    // HETEROGENEOUS sidecars: v1 tracks only k ranges, v2 only uid blooms
+    TimeTravel.commitOverwrite(batch(0, 999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(1000, 1999), dir, bloomCols = Seq("uid"))
+
+    // range probe on k: v2's sidecar has no min_k/max_k — its file must
+    // be READ (null guard), not silently skipped
+    val (dfr, str) = TimeTravel.readPruned(spark, dir, "k", 1100, 1200)
+    assert(dfr.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1100L to 1200L),
+      "rows in the stats-less file must survive a range probe")
+    // v1 ([0, 999], tracked) is legitimately skipped; v2 (untracked) is
+    // kept by the null guard — exactly one file read
+    assert(str.filesRead == 1 && str.filesTotal == 2, s"got $str")
+
+    // bloom probe on uid: v1's sidecar has no bloom_uid — a key living
+    // in v1's file must still be found
+    val key = uid(500)
+    val (dfp, _) = TimeTravel.readPoint(spark, dir, "uid", key)
+    assert(dfp.select("k").collect().map(_.getLong(0)).toSeq.contains(500L),
+      "rows in the bloom-less file must survive a point probe")
+
+    // a probe on a column NO sidecar tracks reads everything
+    val (dfn, stn) = TimeTravel.readPruned(spark, dir, "uid", 0, 100000)
+    assert(stn.filesRead == stn.filesTotal && dfn.count() == 2000)
+  }
+
   test("OPTIMIZE ZORDER withStats: plain WHERE prunes files on BOTH dimensions") {
     import graft.sources.TimeTravel
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

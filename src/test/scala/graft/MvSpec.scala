@@ -275,6 +275,40 @@ class MvSpec extends SparkSpec {
     } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
   }
 
+  test("incremental maintenance: a projected-away grouping key declines to rebuild") {
+    import graft.plans.MvMaintenance
+    import graft.sources.TimeTravel
+    val base = mvDir("ivm_pk_base")
+    val mv = mvDir("ivm_pk_mv")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    rm(base); rm(mv)
+    // groupBy(user_id, event_type) but only user_id selected: the MV
+    // legitimately holds several rows per user_id — merging on the
+    // visible key would collapse them (the r8 review's finding)
+    def define(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cents")).as("s"))
+      .select(col("user_id"), col("s"))
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+      TimeTravel.commitOverwrite(ev.filter(col("user_id") % 3 =!= 0), base)
+      MvMaintenance.register(spark, "ivm_pk", base, mv)(define)
+      TimeTravel.commitAppend(ev.filter(col("user_id") % 3 === 0), base)
+      val res = MvMaintenance.refresh(spark, "ivm_pk")
+      assert(res.mode == "rebuild",
+        s"a hidden grouping key must NOT merge incrementally, got $res")
+      MvCatalog.clear()
+      val expect = define(TimeTravel.read(spark, base))
+        .orderBy("user_id", "s").collect().toSeq
+      assert(spark.read.parquet(mv).orderBy("user_id", "s").collect().toSeq == expect)
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
+  }
+
   test("incremental maintenance: a non-self-maintainable definition declines to rebuild") {
     import graft.plans.MvMaintenance
     import graft.sources.TimeTravel
