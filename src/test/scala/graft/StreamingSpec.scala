@@ -668,6 +668,36 @@ class StreamingSpec extends SparkSpec {
     assert(TimeTravel.versions(spark, tableDir) == vsAfterFirst)
   }
 
+  test("streamed commits carry skipping sidecars: streamed history prunes by range") {
+    import graft.sources.TimeTravel
+    import graft.streaming.TableStreams
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("tt_stream_stats")
+    def drop(name: String, lo: Long, hi: Long): Unit = {
+      val stage = Files.createTempDirectory("tt_stream_stage")
+      (lo until hi).map(i => (i, i % 7)).toDF("k", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, srcDir.resolve(name))
+    }
+    drop("a.parquet", 0L, 1000L)
+    drop("b.parquet", 1000L, 2000L)
+    val tableDir = Files.createTempDirectory("tt_stream_stats_tbl").toString + "/t"
+    TableStreams.appendStream(
+      spark.readStream.schema("k BIGINT, tag BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      tableDir, Files.createTempDirectory("ck_stats").toString,
+      statsCols = Seq("k"))
+    // each micro-batch commit wrote its sidecar; a range probe over the
+    // streamed history reads only the overlapping batch's file(s)
+    val (df, st) = TimeTravel.readPruned(spark, tableDir, "k", 1500, 1600)
+    assert(st.filesTotal >= 2 && st.filesRead < st.filesTotal,
+      s"streamed sidecars must prune: $st")
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1500L to 1600L))
+  }
+
   test("stream-stream interval join matches the batch attribution query") {
     val stream = EventStreams.readStream(spark, eventsDir)
     val got = EventStreams.runAvailableNow(spark,
