@@ -90,6 +90,22 @@ object BloomOps {
     }.reduce(_ && _)
   }
 
+  /** Driver-side sibling of [[admission]] for collected manifests
+    * (same arithmetic, no Spark expression): does the packed bit
+    * array possibly contain `key`? */
+  def admits(bits: Seq[Long], key: String, numBits: Int,
+      numHashes: Int): Boolean = {
+    requireHashBound(numHashes)
+    val mh = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = java.lang.Long.parseLong(mh.substring(0, 15), 16)
+    val b = java.lang.Long.parseLong(mh.substring(16, 31), 16)
+    (0 until numHashes).forall { i =>
+      val p = ((a + i.toLong * b) % numBits).toInt
+      ((bits(p >> 6) >> (p & 63)) & 1L) == 1L
+    }
+  }
+
   /** Mergeable one-pass builder. Input rows are md5-hex strings (hash
     * upstream in Catalyst: `md5(key)` — keeps the JVM side a pure bit
     * setter identical to [[positions]]'s arithmetic). */

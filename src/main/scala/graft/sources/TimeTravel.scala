@@ -508,6 +508,8 @@ object TimeTravel {
         .filterNot(liveAll.contains)
     }
     victims.foreach(d => f.delete(new Path(s"$path/$d"), true))
+    if (victims.nonEmpty)
+      manifestCache.keySet.removeIf(k => k._1 == path)
     victims.sorted
   }
 
@@ -554,6 +556,10 @@ object TimeTravel {
     val missing = listing(spark, path, v)
       .filterNot(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
     missing.foreach(d => writeStatsFor(spark, path, d, statsCols, bloomCols))
+    // backfill changes an EXISTING version's sidecar coverage, which
+    // the manifest-mtime cache key cannot see — drop the path's entries
+    if (missing.nonEmpty)
+      manifestCache.keySet.removeIf(k => k._1 == path)
     missing.sorted
   }
 
@@ -628,90 +634,105 @@ object TimeTravel {
     (applyDvs(spark, path, dvs, data0), st)
   }
 
-  /** The snapshot's sidecar union (ONE mergeSchema read — dirs tracking
-    * different column sets surface the others' stats as null) plus the
-    * uncovered directories. The single planning substrate under
-    * [[pruneFiles]]/[[bloomFiles]]/[[statsColumns]]/[[bloomColumns]]. */
+  /** The snapshot's sidecar union, COLLECTED and CACHED on the driver
+    * keyed by (path, version) — a version's listing and its sidecars
+    * are immutable, so one mergeSchema read + collect serves every
+    * later probe of the snapshot with ZERO Spark jobs. This is what
+    * keeps [[graft.plans.StatsPrune]]'s planning in the same cost
+    * class as a table format's manifest pruning instead of paying
+    * job-launch latency per query. Dirs tracking different column
+    * sets surface the others' stats as null under the merged schema;
+    * the null guard in the probes keeps those files. */
+  private final case class SidecarManifest(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      uncoveredFiles: Seq[String])
+
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), SidecarManifest]()
+
   private def sidecarManifest(spark: SparkSession, path: String,
-      v: Long): (Option[DataFrame], Seq[String]) = {
-    val f = fs(spark, path)
-    val (covered, uncovered) = listing(spark, path, v)
-      .partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
-    val m =
-      if (covered.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*))
-    (m, uncovered)
+      v: Long): SidecarManifest = {
+    if (manifestCache.size > 256) manifestCache.clear() // bounded
+    // the manifest file's mtime rides in the key: a table DELETED and
+    // REBUILT at the same path reaches the same version numbers with
+    // different content — its fresh manifest must not hit a stale entry
+    val mtime = fs(spark, path)
+      .getFileStatus(new Path(manifestDir(path), s"${vname(v)}.json"))
+      .getModificationTime
+    manifestCache.computeIfAbsent((path, v, mtime), _ => {
+      val f = fs(spark, path)
+      val (covered, uncovered) = listing(spark, path, v)
+        .partition(d => f.exists(new Path(s"$path/${statsDirOf(d)}")))
+      val (schema, rows) =
+        if (covered.isEmpty)
+          (new org.apache.spark.sql.types.StructType(),
+            Seq.empty[org.apache.spark.sql.Row])
+        else {
+          val m = spark.read.option("mergeSchema", "true")
+            .parquet(covered.map(d => s"$path/${statsDirOf(d)}"): _*)
+          (m.schema, m.collect().toSeq)
+        }
+      val uFiles =
+        if (uncovered.isEmpty) Seq.empty[String]
+        else spark.read.parquet(uncovered.map(d => s"$path/$d"): _*)
+          .inputFiles.toSeq
+      SidecarManifest(schema, rows, uFiles)
+    })
   }
 
-  /** Select the sidecar rows whose files a probe must read: the keep
-    * predicate plus every row where `guardCols` are null — a sidecar
-    * that doesn't track the probe column (or a file whose stat is
-    * legitimately null) can never be skipped on it. */
-  private def admittedFiles(m: DataFrame, keep: org.apache.spark.sql.Column,
-      guardCols: Seq[String]): (Long, Seq[String]) = {
-    import org.apache.spark.sql.functions.col
-    val missing = guardCols.map(c => col(c).isNull).reduce(_ || _)
-    (m.count(),
-      m.filter(keep || missing).select("file").collect().map(_.getString(0)).toSeq)
+  /** Driver-side probe shared by [[pruneFiles]]/[[bloomFiles]]:
+    * `keep(row)` decides admission; a missing stat column or a null
+    * stat keeps the file (skipping is an optimization, never a
+    * filter). */
+  private def planFiles(mi: SidecarManifest, probeCols: Seq[String],
+      keep: org.apache.spark.sql.Row => Boolean): (Seq[String], ZoneMaps.PruneStats) = {
+    val fileIdx = mi.schema.fieldNames.indexOf("file")
+    val haveCols = probeCols.forall(mi.schema.fieldNames.contains)
+    val selected =
+      if (mi.rows.isEmpty) Seq.empty[String]
+      else if (!haveCols) mi.rows.map(_.getString(fileIdx)) // untracked: all kept
+      else mi.rows.filter { r =>
+        probeCols.exists(c => r.isNullAt(mi.schema.fieldIndex(c))) || keep(r)
+      }.map(_.getString(fileIdx))
+    ((selected ++ mi.uncoveredFiles).sorted,
+      ZoneMaps.PruneStats(mi.rows.size.toLong + mi.uncoveredFiles.size,
+        selected.size.toLong + mi.uncoveredFiles.size))
   }
 
   /** The planning half of [[readPruned]]: the exact files a
     * [lo, hi] probe on `statsCol` must read at `version` — sidecar
     * range hits, files whose sidecar doesn't track the column, and
     * every file of an uncovered directory — with the files-total/
-    * files-read evidence. One O(files) sidecar read on the driver;
+    * files-read evidence. Pure driver work over the cached manifest;
     * also the substrate of [[graft.plans.StatsPrune]]'s automatic
     * rewrite. */
   private[graft] def pruneFiles(spark: SparkSession, path: String,
       statsCol: String, lo: Long, hi: Long,
       v: Long): (Seq[String], ZoneMaps.PruneStats) = {
-    import org.apache.spark.sql.functions.col
-    val (manifest, uncoveredDirs) = sidecarManifest(spark, path, v)
-    val (coveredTotal, selected) = manifest match {
-      case Some(m) if m.columns.contains(s"min_$statsCol") &&
-          m.columns.contains(s"max_$statsCol") =>
-        admittedFiles(m,
-          col(s"min_$statsCol") <= hi && col(s"max_$statsCol") >= lo,
-          Seq(s"min_$statsCol", s"max_$statsCol"))
-      case Some(m) => // no sidecar tracks the column: nothing skippable
-        (m.count(), m.select("file").collect().map(_.getString(0)).toSeq)
-      case None => (0L, Seq.empty[String])
-    }
-    val uncovered =
-      if (uncoveredDirs.isEmpty) Array.empty[String]
-      else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
-    ((selected ++ uncovered).sorted,
-      ZoneMaps.PruneStats(coveredTotal + uncovered.length,
-        selected.length.toLong + uncovered.length))
+    val mi = sidecarManifest(spark, path, v)
+    val (mnC, mxC) = (s"min_$statsCol", s"max_$statsCol")
+    planFiles(mi, Seq(mnC, mxC), { r =>
+      val mn = r.getAs[Number](mi.schema.fieldIndex(mnC)).longValue
+      val mx = r.getAs[Number](mi.schema.fieldIndex(mxC)).longValue
+      mn <= hi && mx >= lo
+    })
   }
 
   /** The planning half of [[readPoint]]: sidecar bloom admission
-    * ([[graft.operators.BloomOps.admission]] — the same arithmetic the
+    * ([[graft.operators.BloomOps.admits]] — the same arithmetic the
     * write side packed with), files whose sidecar has no bloom for the
     * column, and every file of an uncovered directory — also the
     * substrate of [[graft.plans.StatsPrune]]'s equality probes. */
   private[graft] def bloomFiles(spark: SparkSession, path: String,
       bloomCol: String, key: Long,
       v: Long): (Seq[String], ZoneMaps.PruneStats) = {
-    import org.apache.spark.sql.functions.col
-    val (manifest, uncoveredDirs) = sidecarManifest(spark, path, v)
-    val (coveredTotal, selected) = manifest match {
-      case Some(m) if m.columns.contains(s"bloom_$bloomCol") =>
-        admittedFiles(m,
-          graft.operators.BloomOps.admission(col(s"bloom_$bloomCol"),
-            key.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes),
-          Seq(s"bloom_$bloomCol"))
-      case Some(m) =>
-        (m.count(), m.select("file").collect().map(_.getString(0)).toSeq)
-      case None => (0L, Seq.empty[String])
-    }
-    val uncovered =
-      if (uncoveredDirs.isEmpty) Array.empty[String]
-      else spark.read.parquet(uncoveredDirs.map(d => s"$path/$d"): _*).inputFiles
-    ((selected ++ uncovered).sorted,
-      ZoneMaps.PruneStats(coveredTotal + uncovered.length,
-        selected.length.toLong + uncovered.length))
+    val mi = sidecarManifest(spark, path, v)
+    val bC = s"bloom_$bloomCol"
+    planFiles(mi, Seq(bC), { r =>
+      graft.operators.BloomOps.admits(r.getSeq[Long](mi.schema.fieldIndex(bC)),
+        key.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes)
+    })
   }
 
   /** The stats-covered columns of `version`'s sidecars (name → Spark
@@ -719,20 +740,17 @@ object TimeTravel {
     * sidecar — [[StatsPrune]]'s eligibility probe. */
   private[graft] def statsColumns(spark: SparkSession, path: String,
       v: Long): Map[String, org.apache.spark.sql.types.DataType] =
-    sidecarManifest(spark, path, v)._1.fold(
-      Map.empty[String, org.apache.spark.sql.types.DataType])(
-      _.schema.fields.collect {
-        case sf if sf.name.startsWith("min_") =>
-          sf.name.stripPrefix("min_") -> sf.dataType
-      }.toMap)
+    sidecarManifest(spark, path, v).schema.fields.collect {
+      case sf if sf.name.startsWith("min_") =>
+        sf.name.stripPrefix("min_") -> sf.dataType
+    }.toMap
 
   /** The bloom-covered columns of `version`'s sidecars —
     * [[graft.plans.StatsPrune]]'s point-probe eligibility check
     * (per-file coverage is the null guard inside [[bloomFiles]]). */
   private[graft] def bloomColumns(spark: SparkSession, path: String,
       v: Long): Set[String] =
-    sidecarManifest(spark, path, v)._1.fold(Set.empty[String])(
-      _.schema.fieldNames
-        .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
-        .toSet)
+    sidecarManifest(spark, path, v).schema.fieldNames
+      .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
+      .toSet
 }
