@@ -137,8 +137,23 @@ object MvRewrite extends Rule[LogicalPlan] {
       // Aggregate nodes keeps the non-MV planning cost at zero
       case agg: Aggregate =>
         exactMatch(agg).orElse(filterSubsume(agg))
-          .orElse(projectionSubsume(agg)).getOrElse(agg)
+          .orElse(projectionSubsume(agg))
+          .orElse(rollupSubsume(agg)).getOrElse(agg)
     }
+
+  /** The attribute-only pruning Projects above a plan's core —
+    * stripping them is semantics-free (pure column pruning), which is
+    * what lets the subsumption probes compare plans that column
+    * pruning rewrote differently. */
+  private def core(p: LogicalPlan): LogicalPlan = p match {
+    case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) => core(ch)
+    case other => other
+  }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _) => c
+    case x => x
+  }
 
   /** Substitution with the original subtree's output ids preserved —
     * fresh relation instance per use site (self-joins of one MV must
@@ -279,14 +294,6 @@ object MvRewrite extends Rule[LogicalPlan] {
     * correspondence, which canonical equality fixes. None if any
     * query column, grouping, or reference fails to map. */
   private def matchAggregate(agg: Aggregate): Option[(MvCatalog.Entry, Seq[Int])] = {
-    def core(p: LogicalPlan): LogicalPlan = p match {
-      case Project(list, ch) if list.forall(_.isInstanceOf[Attribute]) => core(ch)
-      case other => other
-    }
-    def stripAlias(e: Expression): Expression = e match {
-      case Alias(c, _) => c
-      case x => x
-    }
     val coreQ = core(agg.child)
     MvCatalog.allEntries.iterator.flatMap { e =>
       e.defAgg match {
@@ -312,6 +319,134 @@ object MvRewrite extends Rule[LogicalPlan] {
               defCols.indexWhere(_.exists(_.canonicalized == key))
             }
             if (positions.forall(_ >= 0)) Some(e -> positions) else None
+          }
+        case _ => None
+      }
+    }.nextOption()
+  }
+
+  /** ROLL-UP SUBSUMPTION: a query grouping by a SUBSET of a registered
+    * definition's keys (including the global aggregate) is answered by
+    * RE-AGGREGATING the materialization — the MV's groups are a finer
+    * partition of the query's, so sum/count fold by summing and
+    * min/max by min/max, exactly the self-maintainable class
+    * [[MvMaintenance]] merges by (count re-aggregates as SUM of the
+    * stored counts). The per-nation dashboard over a per-(nation, day)
+    * rollup aggregates O(MV groups) instead of rescanning the fact
+    * table.
+    *
+    * Sound-or-decline: every query aggregate must CANONICALLY EQUAL a
+    * materialized definition column (so inputs, FILTER clauses and
+    * everything else agree) AND be a non-DISTINCT sum/count/min/max —
+    * avg-of-avgs and distinct-of-distincts are exactly the folds this
+    * must never do; every query grouping expression must be visible as
+    * an MV column to group the re-aggregation by. The result keeps the
+    * query's output ids (cast back to the original types — a re-sum
+    * widens decimals), so parents resolve unchanged. */
+  /** Inline a chain of Projects down to its base plan: the base plus a
+    * substitution from every projected alias's exprId to its FULLY
+    * INLINED expression over the base's attributes. This sees through
+    * both pure pruning Projects and the computed Projects the analyzer
+    * introduces for complex grouping expressions
+    * (PullOutGroupingExpressions' `_groupingexpression` aliases). */
+  private def inlineProjects(p: LogicalPlan): (LogicalPlan, Map[ExprId, Expression]) =
+    p match {
+      case Project(list, ch) =>
+        val (base, sub) = inlineProjects(ch)
+        val entries = list.map {
+          case a: Attribute => a.exprId -> sub.getOrElse(a.exprId, a)
+          case al @ Alias(c, _) =>
+            al.exprId -> c.transformUp {
+              case at: Attribute => sub.getOrElse(at.exprId, at)
+            }
+        }
+        (base, sub ++ entries)
+      case other => (other, Map.empty)
+    }
+
+  private def rollupSubsume(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+    val (baseQ, subQ) = inlineProjects(agg.child)
+    def inQ(ex: Expression): Expression = ex.transformUp {
+      case a: Attribute => subQ.getOrElse(a.exprId, a)
+    }
+    MvCatalog.allEntries.iterator.flatMap { e =>
+      e.defAgg match {
+        case Some(d) if e.relation.output.size == d.aggregateExpressions.size =>
+          val (baseD, subD) = inlineProjects(d.child)
+          if (baseD.canonicalized != baseQ.canonicalized) None
+          else {
+            // def expressions → base-D attrs (inline the pulled-out
+            // aliases) → base-Q attrs (positional, fixed by canonical
+            // base equality)
+            val toQ: Map[ExprId, Attribute] =
+              baseD.output.zip(baseQ.output).map { case (a, b) => a.exprId -> b }.toMap
+            def inD(ex: Expression): Option[Expression] = {
+              val inl = ex.transformUp {
+                case a: Attribute => subD.getOrElse(a.exprId, a)
+              }
+              if (inl.references.forall(r => toQ.contains(r.exprId)))
+                Some(inl.transformUp {
+                  case a: Attribute if toQ.contains(a.exprId) => toQ(a.exprId)
+                })
+              else None
+            }
+            val defGroups = d.groupingExpressions.flatMap(inD)
+            val defCols: Seq[Option[Expression]] =
+              d.aggregateExpressions.map(x => inD(stripAlias(x)))
+            def posOf(ex: Expression): Int =
+              defCols.indexWhere(_.exists(_.canonicalized == ex.canonicalized))
+            val queryGroups = agg.groupingExpressions.map(inQ)
+            // the query's keys must be a PROPER subset of the
+            // definition's (the equal case belongs to the exact and
+            // projection probes), each readable as an MV column
+            val defGroupSet = defGroups.map(_.canonicalized).toSet
+            val querySubset =
+              defGroups.size == d.groupingExpressions.size &&
+              queryGroups.forall(g => defGroupSet.contains(g.canonicalized)) &&
+              queryGroups.size < d.groupingExpressions.size
+            val groupPos = queryGroups.map(posOf)
+            if (!querySubset || groupPos.exists(_ < 0)) None
+            else {
+              def isGroupExpr(ex: Expression): Boolean =
+                queryGroups.exists(_.semanticEquals(ex))
+              val fresh = e.relation.newInstance()
+              // every output column: a visible key, or a re-aggregable
+              // aggregate canonically equal to a materialized column
+              val outs: Seq[Option[NamedExpression]] =
+                agg.aggregateExpressions.map { q =>
+                  val stripped = inQ(stripAlias(q))
+                  if (isGroupExpr(stripped)) {
+                    val p = posOf(stripped)
+                    if (p >= 0) Some(Alias(fresh.output(p), q.name)(exprId = q.exprId))
+                    else None
+                  } else stripped match {
+                    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+                      val p = posOf(stripped)
+                      val reAgg = ae.aggregateFunction match {
+                        case _: Sum | _: Count => Some(Sum(_: Expression))
+                        case _: Min            => Some(Min(_: Expression))
+                        case _: Max            => Some(Max(_: Expression))
+                        case _ => None
+                      }
+                      (reAgg, p) match {
+                        case (Some(mk), pos) if pos >= 0 =>
+                          val folded = AggregateExpression(
+                            mk(fresh.output(pos)), Complete, isDistinct = false)
+                          val typed: Expression =
+                            if (folded.dataType == q.dataType) folded
+                            else Cast(folded, q.dataType)
+                          Some(Alias(typed, q.name)(exprId = q.exprId))
+                        case _ => None
+                      }
+                    case _ => None
+                  }
+                }
+              if (outs.forall(_.isDefined))
+                Some(Aggregate(groupPos.map(fresh.output), outs.map(_.get), fresh))
+              else None
+            }
           }
         case _ => None
       }

@@ -1516,10 +1516,49 @@ object MaintenanceQueries {
       .orderBy("c_custkey")
   }
 
+  /** MV ROLL-UP SUBSUMPTION ([[graft.plans.MvRewrite]] r8 tier): a
+    * per-(event_type, user-cohort) rollup is registered, and the
+    * per-event_type query — a COARSER grouping — is answered by
+    * re-aggregating the materialization (counts fold as SUM of stored
+    * counts, sum as sum, max as max: the finer groups partition the
+    * coarser ones). `rolled_up` carries the plan evidence; the oracle
+    * recomputes from the raw table, so an unsound fold (an avg-of-avgs
+    * class mistake) breaks the hash.
+    *
+    * Scale: the cube-lattice payoff — one fine-grained materialization
+    * serves every coarser dashboard cut with O(MV groups) work; the
+    * 100 TB fact table is scanned once at registration, not per cut. */
+  val qMvRollup: QueryDef = QueryDef.sql(
+    "q_mv_rollup",
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  MIN(CAST(ROUND(value * 100.0) AS BIGINT)) AS min_cents,
+      |  true AS rolled_up
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.plans.MvCatalog
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_mvr_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    def fine = ev(s, d).groupBy(col("event_type"), (col("user_id") % 50).as("cohort"))
+      .agg(count(lit(1)).as("n_events"), sum(units(col("value"), 2)).as("sum_cents"),
+        min(units(col("value"), 2)).as("min_cents"))
+    MvCatalog.register(s, s"per_type_cohort_${Integer.toHexString(d.hashCode)}", fine, dir)
+    val q = ev(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(units(col("value"), 2)).as("sum_cents"),
+        min(units(col("value"), 2)).as("min_cents"))
+    val fromMv =
+      q.queryExecution.executedPlan.toString.contains(new java.io.File(dir).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("rolled_up", lit(fromMv || !extLoaded)).orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint)
+    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup)
 }

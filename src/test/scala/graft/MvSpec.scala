@@ -121,6 +121,50 @@ class MvSpec extends SparkSpec {
     } finally { MvCatalog.clear() }
   }
 
+  test("a coarser grouping (roll-up) is re-aggregated from the MV") {
+    val dir = mvDir("rollup")
+    def fine: DataFrame = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"),
+        max(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("max_cents"))
+    def coarse: DataFrame = Tables(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"),
+        max(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("max_cents"))
+    def global: DataFrame = Tables(spark, sf, "events")
+      .agg(sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("sum_cents"))
+    try {
+      val directCoarse = coarse.orderBy("user_id").collect().toSeq
+      val directGlobal = global.collect().toSeq
+      MvCatalog.register(spark, "per_user_type", fine, dir)
+      // the coarser query re-aggregates the materialization...
+      val p = planOf(coarse)
+      assert(p.contains(new java.io.File(dir).getName),
+        s"roll-up must be served from the finer MV:\n$p")
+      assert(!p.contains("events.parquet"), s"must not rescan the base table:\n$p")
+      assert(coarse.orderBy("user_id").collect().toSeq == directCoarse,
+        "re-aggregated answer must equal the base-table answer")
+      // ...including the global aggregate
+      val pg = planOf(global)
+      assert(pg.contains(new java.io.File(dir).getName),
+        s"the global roll-up must be served too:\n$pg")
+      assert(global.collect().toSeq == directGlobal)
+      // an avg cannot be folded from per-group avgs: decline
+      val avgQ = Tables(spark, sf, "events")
+        .groupBy(col("user_id"))
+        .agg(avg(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("a"))
+      assert(!planOf(avgQ).contains(new java.io.File(dir).getName),
+        "avg-of-avgs must NOT be served by re-aggregation")
+      // grouping by a column the MV didn't materialize: decline
+      val missing = Tables(spark, sf, "events")
+        .groupBy(col("props"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(!planOf(missing).contains(new java.io.File(dir).getName))
+    } finally { MvCatalog.clear() }
+  }
+
   test("two references to one MV in a self-join get distinct instances") {
     val dir = mvDir("self")
     try {
