@@ -18,12 +18,16 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * Matching is by CANONICALIZED OPTIMIZED PLAN EQUALITY — the
   * definition is optimized by the same Catalyst pipeline at
   * registration, so alias names, projection order noise, and exprId
-  * differences are normalized away, while anything semantically
-  * different (another grouping column, an extra filter, a different
-  * aggregate) simply fails to match and runs against the base table.
-  * Exact-match-only is deliberately conservative: no containment
-  * reasoning (filter-subsumption rewrites), so the rule can never
-  * produce a wrong answer, only miss an opportunity.
+  * differences are normalized away. Four probes fire in order, each
+  * sound-or-decline: EXACT match; FILTER subsumption (a narrowing
+  * predicate on grouping columns re-applies over the MV); PROJECTION
+  * subsumption (a column subset reads just those MV columns); and
+  * ROLL-UP subsumption (a coarser grouping re-aggregates the MV —
+  * non-distinct sum/count/min/max only). Anything outside what a
+  * probe can prove — another aggregate, a predicate on non-grouping
+  * columns, an avg/distinct fold — declines to the base table: the
+  * rule can produce a wrong answer never, a missed opportunity
+  * sometimes.
   *
   * The substituted scan keeps the original subtree's output exprIds
   * (fresh relation instance + positional aliases), so parent operators

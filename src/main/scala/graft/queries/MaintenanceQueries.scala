@@ -1294,7 +1294,7 @@ object MaintenanceQueries {
     val base =
       s"${System.getProperty("java.io.tmpdir")}/graft_ivm_${tag}_p${ProcessHandle.current().pid()}"
     val mv = base + "_mv"
-    Seq(base, mv, mv + "._state").foreach { p =>
+    Seq(base, mv).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
     }

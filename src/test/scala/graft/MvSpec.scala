@@ -240,7 +240,7 @@ class MvSpec extends SparkSpec {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
     }
-    rm(base); rm(mv); rm(mv + "._state")
+    rm(base); rm(mv)
     def define(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
         min(col("cents")).as("mn"), max(col("cents")).as("mx"))
@@ -280,7 +280,7 @@ class MvSpec extends SparkSpec {
       val expect2 = define(TimeTravel.read(spark, base)).orderBy("user_id").collect().toSeq
       assert(spark.read.parquet(mv).orderBy("user_id").collect().toSeq == expect2,
         "rebuild after a MoR delete must reflect the deletion")
-    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
   }
 
   test("incremental maintenance fuzz: a random append history always folds ≡ recompute") {
@@ -292,7 +292,7 @@ class MvSpec extends SparkSpec {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
     }
-    rm(base); rm(mv); rm(mv + "._state")
+    rm(base); rm(mv)
     // computed grouping expression (not a bare column): exercises the
     // Alias(groupingExpr) leg of the merge-spec introspection
     def define(df: DataFrame): DataFrame = df.groupBy((col("user_id") % 7).as("cohort"))
@@ -316,7 +316,7 @@ class MvSpec extends SparkSpec {
         assert(spark.read.parquet(mv).orderBy("cohort").collect().toSeq == truth,
           s"fold diverged from recompute after append batch $b")
       }
-    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
   }
 
   test("incremental maintenance: a projected-away grouping key declines to rebuild") {
@@ -362,7 +362,7 @@ class MvSpec extends SparkSpec {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
     }
-    rm(base); rm(mv); rm(mv + "._state")
+    rm(base); rm(mv)
     // avg is not in the sum/count/min/max mergeable class (its
     // decomposition is the USER's to state as sum+count columns)
     def define(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
@@ -379,7 +379,7 @@ class MvSpec extends SparkSpec {
       MvCatalog.clear()
       val expect = define(TimeTravel.read(spark, base)).orderBy("user_id").collect().toSeq
       assert(spark.read.parquet(mv).orderBy("user_id").collect().toSeq == expect)
-    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv); rm(mv + "._state") }
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
   }
 
   test("streaming delta maintenance: published MV serves the rewrite, replay-idempotent") {
