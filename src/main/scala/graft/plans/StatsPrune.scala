@@ -64,43 +64,23 @@ object StatsPrune extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val bounds = boundsOf(cond, r.output)
     if (bounds.isEmpty) return f
-    minMaxRewrite(spark, cond, r, t, bounds)
-      .orElse(bloomRewrite(spark, cond, r, t, bounds))
-      .getOrElse(f)
-  }
-
-  /** Range skipping on a min/max-covered column (tight when the
-    * commits are clustered on it). */
-  private def minMaxRewrite(spark: SparkSession, cond: Expression,
-      r: DataSourceV2Relation, t: TimeTravelTable,
-      bounds: Seq[(String, (Long, Long))]): Option[LogicalPlan] = {
-    val covered = TimeTravel.statsColumns(spark, t.tablePath, t.snapshotVersion)
+    // a contradictory window (x > 5 AND x < 3) is unsatisfiable
+    // regardless of any sidecar: zero-task empty relation
+    if (bounds.exists { case (_, (lo, hi)) => lo > hi })
+      return Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false))
+    // CONJUNCTIVE multi-probe: every bounded stats-covered column
+    // contributes a range, every pinned bloom-covered column a point —
+    // the admitted sets intersect, so a 2-D WHERE over a Z-ordered
+    // layout prunes on both dimensions at once
+    val statsCov = TimeTravel.statsColumns(spark, t.tablePath, t.snapshotVersion)
       .collect { case (c, IntegerType | LongType | ShortType) => c }.toSet
-    bounds.collectFirst { case (c, w) if covered(c) => (c, w) }
-      .flatMap { case (statsCol, (lo, hi)) =>
-        if (lo > hi)
-          Some(Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false)))
-        else {
-          val (files, st) = TimeTravel.pruneFiles(
-            spark, t.tablePath, statsCol, lo, hi, t.snapshotVersion)
-          substituted(spark, cond, r, files, st)
-        }
-      }
-  }
-
-  /** Point skipping on a bloom-covered column — equality probes where
-    * min/max prunes nothing because the layout was never clustered on
-    * the column (the bloom-column-index shape). */
-  private def bloomRewrite(spark: SparkSession, cond: Expression,
-      r: DataSourceV2Relation, t: TimeTravelTable,
-      bounds: Seq[(String, (Long, Long))]): Option[LogicalPlan] = {
-    val covered = TimeTravel.bloomColumns(spark, t.tablePath, t.snapshotVersion)
-    bounds.collectFirst { case (c, (lo, hi)) if lo == hi && covered(c) => (c, lo) }
-      .flatMap { case (bloomCol, key) =>
-        val (files, st) = TimeTravel.bloomFiles(
-          spark, t.tablePath, bloomCol, key, t.snapshotVersion)
-        substituted(spark, cond, r, files, st)
-      }
+    val bloomCov = TimeTravel.bloomColumns(spark, t.tablePath, t.snapshotVersion)
+    val ranges = bounds.collect { case (c, (lo, hi)) if statsCov(c) => (c, lo, hi) }
+    val points = bounds.collect { case (c, (lo, hi)) if lo == hi && bloomCov(c) => (c, lo) }
+    if (ranges.isEmpty && points.isEmpty) return f
+    val (files, st) = TimeTravel.planProbes(
+      spark, t.tablePath, t.snapshotVersion, ranges, points)
+    substituted(spark, cond, r, files, st).getOrElse(f)
   }
 
   /** The shared splice: Filter(cond, Project(aliases, parquet scan of

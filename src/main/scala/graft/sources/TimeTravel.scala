@@ -681,58 +681,65 @@ object TimeTravel {
     })
   }
 
-  /** Driver-side probe shared by [[pruneFiles]]/[[bloomFiles]]:
-    * `keep(row)` decides admission; a missing stat column or a null
-    * stat keeps the file (skipping is an optimization, never a
-    * filter). */
-  private def planFiles(mi: SidecarManifest, probeCols: Seq[String],
-      keep: org.apache.spark.sql.Row => Boolean): (Seq[String], ZoneMaps.PruneStats) = {
-    val fileIdx = mi.schema.fieldNames.indexOf("file")
-    val haveCols = probeCols.forall(mi.schema.fieldNames.contains)
-    val selected =
-      if (mi.rows.isEmpty) Seq.empty[String]
-      else if (!haveCols) mi.rows.map(_.getString(fileIdx)) // untracked: all kept
-      else mi.rows.filter { r =>
-        probeCols.exists(c => r.isNullAt(mi.schema.fieldIndex(c))) || keep(r)
-      }.map(_.getString(fileIdx))
-    ((selected ++ mi.uncoveredFiles).sorted,
-      ZoneMaps.PruneStats(mi.rows.size.toLong + mi.uncoveredFiles.size,
-        selected.size.toLong + mi.uncoveredFiles.size))
-  }
-
   /** The planning half of [[readPruned]]: the exact files a
     * [lo, hi] probe on `statsCol` must read at `version` — sidecar
     * range hits, files whose sidecar doesn't track the column, and
     * every file of an uncovered directory — with the files-total/
-    * files-read evidence. Pure driver work over the cached manifest;
-    * also the substrate of [[graft.plans.StatsPrune]]'s automatic
-    * rewrite. */
+    * files-read evidence. Pure driver work over the cached manifest. */
   private[graft] def pruneFiles(spark: SparkSession, path: String,
       statsCol: String, lo: Long, hi: Long,
-      v: Long): (Seq[String], ZoneMaps.PruneStats) = {
-    val mi = sidecarManifest(spark, path, v)
-    val (mnC, mxC) = (s"min_$statsCol", s"max_$statsCol")
-    planFiles(mi, Seq(mnC, mxC), { r =>
-      val mn = r.getAs[Number](mi.schema.fieldIndex(mnC)).longValue
-      val mx = r.getAs[Number](mi.schema.fieldIndex(mxC)).longValue
-      mn <= hi && mx >= lo
-    })
-  }
+      v: Long): (Seq[String], ZoneMaps.PruneStats) =
+    planProbes(spark, path, v, Seq((statsCol, lo, hi)), Nil)
 
   /** The planning half of [[readPoint]]: sidecar bloom admission
     * ([[graft.operators.BloomOps.admits]] — the same arithmetic the
     * write side packed with), files whose sidecar has no bloom for the
-    * column, and every file of an uncovered directory — also the
-    * substrate of [[graft.plans.StatsPrune]]'s equality probes. */
+    * column, and every file of an uncovered directory. */
   private[graft] def bloomFiles(spark: SparkSession, path: String,
       bloomCol: String, key: Long,
-      v: Long): (Seq[String], ZoneMaps.PruneStats) = {
+      v: Long): (Seq[String], ZoneMaps.PruneStats) =
+    planProbes(spark, path, v, Nil, Seq((bloomCol, key)))
+
+  /** Conjunctive multi-probe planning — the substrate of
+    * [[graft.plans.StatsPrune]]: a file is read only if EVERY range
+    * probe's [min, max] overlaps and EVERY point probe's bloom admits
+    * (each probe keeping files whose sidecar doesn't track its column
+    * — intersection can only shrink what one probe admits, so a 2-D
+    * `WHERE x < a AND y < b` over a Z-ordered layout prunes on BOTH
+    * dimensions). */
+  private[graft] def planProbes(spark: SparkSession, path: String, v: Long,
+      ranges: Seq[(String, Long, Long)],
+      points: Seq[(String, Long)]): (Seq[String], ZoneMaps.PruneStats) = {
     val mi = sidecarManifest(spark, path, v)
-    val bC = s"bloom_$bloomCol"
-    planFiles(mi, Seq(bC), { r =>
-      graft.operators.BloomOps.admits(r.getSeq[Long](mi.schema.fieldIndex(bC)),
-        key.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes)
-    })
+    val probes: Seq[(Seq[String], org.apache.spark.sql.Row => Boolean)] =
+      ranges.map { case (c, lo, hi) =>
+        val (mnC, mxC) = (s"min_$c", s"max_$c")
+        (Seq(mnC, mxC), { (r: org.apache.spark.sql.Row) =>
+          val mn = r.getAs[Number](mi.schema.fieldIndex(mnC)).longValue
+          val mx = r.getAs[Number](mi.schema.fieldIndex(mxC)).longValue
+          mn <= hi && mx >= lo
+        })
+      } ++ points.map { case (c, key) =>
+        val bC = s"bloom_$c"
+        (Seq(bC), { (r: org.apache.spark.sql.Row) =>
+          graft.operators.BloomOps.admits(
+            r.getSeq[Long](mi.schema.fieldIndex(bC)),
+            key.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes)
+        })
+      }
+    val fileIdx = mi.schema.fieldNames.indexOf("file")
+    def admittedBy(r: org.apache.spark.sql.Row,
+        cols: Seq[String], keep: org.apache.spark.sql.Row => Boolean): Boolean =
+      !cols.forall(mi.schema.fieldNames.contains) ||
+        cols.exists(c => r.isNullAt(mi.schema.fieldIndex(c))) || keep(r)
+    val selected =
+      if (mi.rows.isEmpty) Seq.empty[String]
+      else mi.rows.filter(r => probes.forall { case (cols, keep) =>
+        admittedBy(r, cols, keep)
+      }).map(_.getString(fileIdx))
+    ((selected ++ mi.uncoveredFiles).sorted,
+      ZoneMaps.PruneStats(mi.rows.size.toLong + mi.uncoveredFiles.size,
+        selected.size.toLong + mi.uncoveredFiles.size))
   }
 
   /** The stats-covered columns of `version`'s sidecars (name → Spark

@@ -242,6 +242,13 @@ class LayoutSpec extends SparkSpec {
     assert(px >= 1 && px < 8, s"x-window must skip z-disjoint files, read $px/8")
     assert(py >= 1 && py < 8, s"y-window must skip z-disjoint files, read $py/8")
     assert(qx.count() == 16 * 128 && qy.count() == 16 * 128)
+    // conjunctive 2-D probe: both windows' admitted sets INTERSECT, so
+    // the corner query reads no more files than either dimension alone
+    val qxy = snap.filter(col("x") < 16L && col("y") < 16L)
+    val pxy = prunedFileCount(qxy)
+    assert(pxy >= 1 && pxy <= math.min(px, py),
+      s"2-D window must intersect the per-dimension sets: $pxy vs ($px, $py)")
+    assert(qxy.count() == 16 * 16)
   }
 
   test("bloom sidecars: point probes skip files on an UNCLUSTERED column") {
