@@ -336,4 +336,22 @@ class PropertySpec extends AnyFunSuite {
         bins.size <= (e - s) / w + 2 // the ≤⌈span/w⌉+1 duplication bound
     }
   }
+
+  check("bloom write/probe symmetry: the packed filter NEVER false-negatives") {
+    import graft.operators.BloomOps
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 1000000L))) { keys =>
+      val agg = new BloomOps.BloomAggregator(65536, 4)
+      val bits = keys.foldLeft(agg.zero) { (b, k) => agg.reduce(b, md5hex(k.toString)) }
+      val bitSeq = bits.toSeq
+      // every inserted key admitted (the guarantee file skipping rests on)
+      keys.forall(k => BloomOps.admits(bitSeq, k.toString, 65536, 4)) && {
+        // and the filter is not degenerate: absent keys mostly rejected
+        val absent = (2000000L until 2000200L)
+        val fp = absent.count(k => BloomOps.admits(bitSeq, k.toString, 65536, 4))
+        keys.size > 5000 || fp < 60 // 8 KB / 4 hashes: fp stays low at test sizes
+      }
+    }
+  }
 }
