@@ -1044,18 +1044,24 @@ object OfficeParsers {
     val m = deflater.deflate(buf)
     deflater.end()
     val compressed = new String(buf, 0, m, StandardCharsets.ISO_8859_1)
-    val pdf =
+    // the COMPRESSED BYTES must stay out of any stripMargin literal: a
+    // deflate stream containing the byte pair '\n','|' would have its
+    // pipe stripped as a margin, silently corrupting the content
+    // stream (hit by 1 document in 200 at the sf0.1 audit)
+    val pre =
       s"""%PDF-1.4
          |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
          |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
          |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj
          |4 0 obj << /Length $m /Filter /FlateDecode >> stream
-         |$compressed
+         |""".stripMargin
+    val post =
+      s"""
          |endstream endobj
          |5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
          |trailer << /Root 1 0 R >>
          |%%EOF""".stripMargin
-    pdf.getBytes(StandardCharsets.ISO_8859_1)
+    (pre + compressed + post).getBytes(StandardCharsets.ISO_8859_1)
   }
 
   /** XLSX with the given string rows, written in the shared-strings

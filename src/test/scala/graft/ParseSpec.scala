@@ -87,6 +87,27 @@ class ParseSpec extends SparkSpec {
     assert(OfficeParsers.pdfText(two) == "p1\np2")
   }
 
+  test("pdf roundtrip survives deflate output containing the newline-pipe pair") {
+    // regression (sf0.1 audit, doc 75): the compressed content stream
+    // used to pass through a stripMargin literal, so any deflate
+    // output containing '\n','|' lost the pipe and the stream
+    // corrupted. Hunt such an input deterministically and round-trip it.
+    val words = Seq("order", "merge", "scan", "vector", "stream", "table",
+      "hash", "batch", "window", "group", "row", "value", "customer")
+    val hit = (1 to 5000).iterator.map { seed =>
+      val r = new scala.util.Random(seed)
+      Seq.fill(40 + r.nextInt(60))(words(r.nextInt(words.length))).mkString(" ")
+    }.find { t =>
+      val bytes = OfficeParsers.makePdf(t)
+      val s = new String(bytes, StandardCharsets.ISO_8859_1)
+      val body = s.substring(s.indexOf("stream\n") + 7, s.indexOf("\nendstream"))
+      body.contains("\n|")
+    }
+    assert(hit.isDefined, "probe must find a deflate stream containing \\n| " +
+      "(if deflate behavior changed, rebuild the generator)")
+    assert(OfficeParsers.pdfText(OfficeParsers.makePdf(hit.get)) == hit.get)
+  }
+
   test("pdf roundtrip through the Flate fixture writer is exact; no-text throws") {
     val text = "alpha (beta) \\gamma delta"
     assert(OfficeParsers.pdfText(OfficeParsers.makePdf(text)) == text)
