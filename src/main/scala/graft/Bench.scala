@@ -26,7 +26,15 @@ object Bench {
     "q_events_session",      // §2.11-6 sessionization
     "q_doc_chunks",          // §2.11-7 doc pipeline (chunk+enrich)
     "q_pipeline_embed",      // §2.11-7 doc pipeline (embed)
-    "q_knn_bruteforce")      // §2.11-9 cosine top-k
+    "q_knn_bruteforce",      // §2.11-9 cosine top-k
+    // skipping tier: builds a 7-commit stats-carrying versioned table,
+    // then answers a naive date-window filter through the injected
+    // StatsPrune rule — tracked per round so a regression in sidecar
+    // planning (manifest collect, probe evaluation, splice) shows up
+    // in BENCH_rN like any relational regression. No DuckDB pair (the
+    // oracle SQL has no commit/skip work), so it rides outside
+    // ratio_total by the intersection rule.
+    "q_tt_prune_auto")
 
   private def runOnce(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
@@ -36,6 +44,16 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** Queries whose pinned warm anchor growth is ≤1.5× (the floor-bound
+    * class in BENCH_NOTES' measured-growth table): their time is a
+    * per-job floor, so an anchor leg measuring them at >4× growth is a
+    * degraded-sandbox sample, not a plan change — the self-check below
+    * labels such a record instead of letting a one-off noise sample
+    * stand as the number of record (the BENCH_r08 adjudication). */
+  private val floorClass: Set[String] = Set(
+    "q1_pricing_summary", "q6_rollup_revenue",
+    "q_knn_bruteforce", "q_pipeline_embed")
 
   /** Pinned DuckDB wall-clock per headline query at this scale factor
     * (tools/duckdb_baseline.jsonl, produced by tools/bench_duckdb.py
@@ -83,10 +101,14 @@ object Bench {
 
     val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
 
-    /** warmup once untimed, then report the median of `n` timed runs
-      * per query against `dir`; failures get -1 + an entry in `errs`. */
+    /** warmup once untimed, then report the (median, min) of `n` timed
+      * runs per query against `dir`; failures get -1 + an entry in
+      * `errs`. The min rides beside the median in the output: under a
+      * degraded-sandbox window the median inflates while the min stays
+      * the warm floor, so a reader can tell a noise outlier from a
+      * real regression without re-running. */
     def timeAll(dir: String, n: Int,
-        errs: scala.collection.mutable.Map[String, String]): Seq[(String, Double)] = {
+        errs: scala.collection.mutable.Map[String, String]): Seq[(String, (Double, Double))] = {
       qs.foreach { case (_, fn) =>
         try runOnce(fn(spark, dir)) catch { case _: Throwable => () }
       }
@@ -102,12 +124,15 @@ object Bench {
               None
           }
         }
-        name -> (if (times.isEmpty) -1.0 else median(times))
+        name -> (if (times.isEmpty) (-1.0, -1.0) else (median(times), times.min))
       }
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = timeAll(sfDir, iters, errors)
+    val resultsFull = timeAll(sfDir, iters, errors)
+    val results = resultsFull.map { case (k, (med, _)) => k -> med }
+    val minJson = resultsFull.map { case (k, (_, mn)) => "\"" + k + f"\":$mn%.3f" }
+      .mkString("{", ",", "}")
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -139,13 +164,35 @@ object Bench {
           !new java.io.File(anchorDir).isDirectory) ""
       else {
         val aErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        val aResults = timeAll(anchorDir, math.max(1, iters - 1), aErrors)
+        // SAME iters as the main leg (r8's median-of-2 anchor recorded
+        // a one-off degraded-sandbox sample as the number of record)
+        val aFull = timeAll(anchorDir, iters, aErrors)
+        val aResults = aFull.map { case (k, (med, _)) => k -> med }
         val aQ = aResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
           .mkString("{", ",", "}")
+        val aMinJson = aFull.map { case (k, (_, mn)) => "\"" + k + f"\":$mn%.3f" }
+          .mkString("{", ",", "}")
         val mainByName = results.toMap
-        val growth = aResults.flatMap { case (k, v) =>
+        val mainMin = resultsFull.map { case (k, (_, mn)) => k -> mn }.toMap
+        val growthPairs = aResults.flatMap { case (k, v) =>
           mainByName.get(k).filter(m => m > 0 && v >= 0).map(m => k -> v / m)
-        }.map { case (k, g) => "\"" + k + f"\":$g%.2f" }.mkString("{", ",", "}")
+        }
+        val growth = growthPairs
+          .map { case (k, g) => "\"" + k + f"\":$g%.2f" }.mkString("{", ",", "}")
+        val growthMinPairs = aFull.flatMap { case (k, (_, mn)) =>
+          mainMin.get(k).filter(m => m > 0 && mn >= 0).map(m => k -> mn / m)
+        }
+        val growthMin = growthMinPairs
+          .map { case (k, g) => "\"" + k + f"\":$g%.2f" }.mkString("{", ",", "}")
+        // self-check: a floor-classified query measuring >4× growth is
+        // flagged — with its min-based growth alongside, the record
+        // says ITSELF whether the sample was noise (min stays in band)
+        // or a real regression (min moved too)
+        val minByName = growthMinPairs.toMap
+        val outliers = growthPairs.collect {
+          case (k, g) if floorClass(k) && g > 4.0 =>
+            "\"" + k + f"""\":{"growth":$g%.2f,"growth_min":${minByName.getOrElse(k, -1.0)}%.2f}"""
+        }.mkString("{", ",", "}")
         val aBase = duckdbBaseline(new java.io.File(anchorDir).getName)
         val aDuck = aResults.flatMap { case (k, _) => aBase.get(k).map(k -> _) }
           .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
@@ -159,9 +206,9 @@ object Bench {
         val aTotal = aResults.map(_._2).filter(_ >= 0).sum
         val aErr = aErrors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString("{", ",", "}")
-        f""","anchor":{"sf":"$anchorDir","value":$aTotal%.3f,"queries":$aQ,"growth":$growth,"duckdb":$aDuck,"ratio":$aRatio,"duckdb_total":$aDuckTotal%.3f,"ratio_total":$aRatioTotal%.2f,"errors":$aErr}"""
+        f""","anchor":{"sf":"$anchorDir","value":$aTotal%.3f,"queries":$aQ,"queries_min":$aMinJson,"growth":$growth,"growth_min":$growthMin,"floor_outliers":$outliers,"duckdb":$aDuck,"ratio":$aRatio,"duckdb_total":$aDuckTotal%.3f,"ratio_total":$aRatioTotal%.2f,"errors":$aErr}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"$anchorJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_min":$minJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"$anchorJson}""")
     spark.stop()
   }
 }

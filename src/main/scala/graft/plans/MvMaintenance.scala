@@ -108,9 +108,13 @@ object MvMaintenance {
     val vNow = TimeTravel.versions(spark, r.basePath).max
     if (vNow == vOld) return RefreshResult("noop", vOld, Nil)
     val spec = mergeSpec(spark, r)
+    // vNow is pinned ONCE and passed everywhere below: a base commit
+    // landing mid-refresh must not slip extra directories into the
+    // folded delta while the state file records the older mark (the
+    // next refresh would re-read and double-count them)
     val delta: Option[DataFrame] =
       if (spec.isEmpty) None
-      else try Some(TimeTravel.readAppendsSince(spark, r.basePath, vOld))
+      else try Some(TimeTravel.readAppendsSince(spark, r.basePath, vOld, Some(vNow)))
       catch { case _: IllegalStateException => None } // non-append history
     (spec, delta) match {
       case (Some((keys, merges)), Some(d)) if d.schema.isEmpty =>
@@ -129,7 +133,7 @@ object MvMaintenance {
           // second sum over an already-widened decimal widens again)
           .select(defSchema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
         swapIn(spark, merged, r.mvPath, vNow)
-        reregister(spark, name, r)
+        reregister(spark, name, r, vNow)
         RefreshResult("incremental", vNow, partial.inputFiles.toSeq)
       case _ =>
         rebuild(spark, name)
@@ -137,12 +141,17 @@ object MvMaintenance {
   }
 
   /** Recompute the materialization from the base's current snapshot
-    * (the fallback tier; also the initial materialization). */
+    * (the fallback tier; also the initial materialization). The target
+    * version is resolved ONCE and pinned through both the definition
+    * read and the recorded state — `TimeTravel.read` re-resolving
+    * "latest" under a concurrent commit would otherwise materialize a
+    * newer snapshot than the version mark claims. */
   def rebuild(spark: SparkSession, name: String): RefreshResult = {
     val r = reg(name)
     val vNow = TimeTravel.versions(spark, r.basePath).max
-    swapIn(spark, r.define(TimeTravel.read(spark, r.basePath)), r.mvPath, vNow)
-    reregister(spark, name, r)
+    swapIn(spark,
+      r.define(TimeTravel.read(spark, r.basePath, Some(vNow))), r.mvPath, vNow)
+    reregister(spark, name, r, vNow)
     RefreshResult("rebuild", vNow, Nil)
   }
 
@@ -156,10 +165,17 @@ object MvMaintenance {
 
   /** Keep the transparent-rewrite catalog pointing at the refreshed
     * parquet: the file set changed, so the cached relation must be
-    * rebuilt even though the canonical definition is unchanged. */
-  private def reregister(spark: SparkSession, name: String, r: Registration): Unit =
+    * rebuilt even though the canonical definition is unchanged. The
+    * definition is registered at the PINNED version the refresh
+    * materialized — when it is still the base's latest the canonical
+    * equals an unpinned read's plan (same directory listing), and when
+    * a commit has already raced past, the stale canonical simply stops
+    * matching new queries (the staleness contract) instead of claiming
+    * currency the parquet doesn't have. */
+  private def reregister(spark: SparkSession, name: String, r: Registration,
+      v: Long): Unit =
     MvCatalog.registerMaterialized(spark, name,
-      r.define(TimeTravel.read(spark, r.basePath)), r.mvPath)
+      r.define(TimeTravel.read(spark, r.basePath, Some(v))), r.mvPath)
 
   /** Introspect the definition's optimized plan: Some((group column
     * names, per-column merge aggregates)) iff the top node is an

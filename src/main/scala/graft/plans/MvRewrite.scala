@@ -369,7 +369,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
   private def rollupSubsume(agg: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
     val (baseQ, subQ) = inlineProjects(agg.child)
     def inQ(ex: Expression): Expression = ex.transformUp {
@@ -428,16 +428,26 @@ object MvRewrite extends Rule[LogicalPlan] {
                   } else stripped match {
                     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
                       val p = posOf(stripped)
-                      val reAgg = ae.aggregateFunction match {
-                        case _: Sum | _: Count => Some(Sum(_: Expression))
-                        case _: Min            => Some(Min(_: Expression))
-                        case _: Max            => Some(Max(_: Expression))
-                        case _ => None
-                      }
+                      // COUNT folds as Sum of the stored counts, but Sum
+                      // over ZERO rows is NULL where COUNT is 0 — reachable
+                      // when a GLOBAL rollup (queryGroups empty) reads an
+                      // empty materialization — so the fold coalesces to 0
+                      val reAgg: Option[Expression => Expression] =
+                        ae.aggregateFunction match {
+                          case _: Sum => Some(c => AggregateExpression(
+                            Sum(c), Complete, isDistinct = false))
+                          case _: Count => Some(c => Coalesce(Seq(
+                            AggregateExpression(Sum(c), Complete, isDistinct = false),
+                            Literal(0L))))
+                          case _: Min => Some(c => AggregateExpression(
+                            Min(c), Complete, isDistinct = false))
+                          case _: Max => Some(c => AggregateExpression(
+                            Max(c), Complete, isDistinct = false))
+                          case _ => None
+                        }
                       (reAgg, p) match {
                         case (Some(mk), pos) if pos >= 0 =>
-                          val folded = AggregateExpression(
-                            mk(fresh.output(pos)), Complete, isDistinct = false)
+                          val folded = mk(fresh.output(pos))
                           val typed: Expression =
                             if (folded.dataType == q.dataType) folded
                             else Cast(folded, q.dataType)

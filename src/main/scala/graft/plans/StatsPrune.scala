@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** AUTOMATIC file skipping for the DSv2 time-travel scan (§4
   * optimizer-rule tier, the [[DvApply]] pattern): a Filter over a
@@ -71,12 +71,30 @@ object StatsPrune extends Rule[LogicalPlan] {
     // CONJUNCTIVE multi-probe: every bounded stats-covered column
     // contributes a range, every pinned bloom-covered column a point —
     // the admitted sets intersect, so a 2-D WHERE over a Z-ordered
-    // layout prunes on both dimensions at once
+    // layout prunes on both dimensions at once. DATE (days-as-int) and
+    // TIMESTAMP (micros-as-long) ride the range tier on their internal
+    // integral forms — `WHERE dd BETWEEN DATE '…' AND DATE '…'`, the
+    // dominant warehouse predicate, prunes like any integer window.
     val statsCov = TimeTravel.statsColumns(spark, t.tablePath, t.snapshotVersion)
-      .collect { case (c, IntegerType | LongType | ShortType) => c }.toSet
+      .collect {
+        case (c, ByteType | ShortType | IntegerType | LongType |
+              DateType | TimestampType | TimestampNTZType) => c
+      }.toSet
     val bloomCov = TimeTravel.bloomColumns(spark, t.tablePath, t.snapshotVersion)
+    // the BLOOM tier stays integral-only: the write side packed
+    // md5(CAST(col AS STRING)), and only for integral columns does the
+    // probe's key.toString equal that cast form — a date key probed as
+    // its day NUMBER would miss the filter and skip a file that holds
+    // the row (skipping acts as a filter in the bloom tier, so a
+    // representation mismatch is a wrong answer, not a slow one)
+    val integralCols = r.output.collect {
+      case a if a.dataType == ByteType || a.dataType == ShortType ||
+        a.dataType == IntegerType || a.dataType == LongType => a.name
+    }.toSet
     val ranges = bounds.collect { case (c, (lo, hi)) if statsCov(c) => (c, lo, hi) }
-    val points = bounds.collect { case (c, (lo, hi)) if lo == hi && bloomCov(c) => (c, lo) }
+    val points = bounds.collect {
+      case (c, (lo, hi)) if lo == hi && bloomCov(c) && integralCols(c) => (c, lo)
+    }
     if (ranges.isEmpty && points.isEmpty) return f
     val (files, st) = TimeTravel.planProbes(
       spark, t.tablePath, t.snapshotVersion, ranges, points)
@@ -94,7 +112,15 @@ object StatsPrune extends Rule[LogicalPlan] {
       Some(Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false)))
     else if (st.filesRead >= st.filesTotal) None // nothing skipped: keep the plan
     else {
-      val sub = spark.read.parquet(files: _*).queryExecution.analyzed
+      // the splice DECLARES the relation's own schema instead of
+      // re-inferring from the pruned file subset: under heterogeneous
+      // directory schemas (schema evolution) inference could type a
+      // column differently than the attribute whose exprId the alias
+      // reuses, and parents typed against the original would mis-bind
+      val declared = StructType(r.output.map(a =>
+        StructField(a.name, a.dataType, a.nullable, a.metadata)))
+      val sub = spark.read.schema(declared).parquet(files: _*)
+        .queryExecution.analyzed
       val byName = sub.output.map(a => a.name -> a).toMap
       if (r.output.forall(a => byName.contains(a.name))) {
         val aliases: Seq[NamedExpression] = r.output.map { a =>
@@ -105,16 +131,20 @@ object StatsPrune extends Rule[LogicalPlan] {
     }
   }
 
-  /** The [lo, hi] window each directly-compared integral column is
-    * confined to by `cond`'s AND-conjuncts: `c >= l`, `c > l`,
+  /** The [lo, hi] window each directly-compared integral-form column
+    * is confined to by `cond`'s AND-conjuncts: `c >= l`, `c > l`,
     * `c <= l`, `c < l`, `c = l` in either operand order; everything
     * else contributes nothing (an unrelated conjunct never widens a
-    * window — it can only be residual). Columns appear only when at
+    * window — it can only be residual). DATE and TIMESTAMP literals
+    * arrive here already in their internal integral forms (days-int,
+    * micros-long), and both are discrete, so the strict-bound ±1
+    * adjustment is exact for them too. Columns appear only when at
     * least one side is bounded. */
   private def boundsOf(cond: Expression,
       output: Seq[Attribute]): Seq[(String, (Long, Long))] = {
     val names = output.map(a => a.exprId -> a.name).toMap
     def longOf(l: Literal): Option[Long] = l.value match {
+      case b: java.lang.Byte    => Some(b.longValue)
       case i: java.lang.Integer => Some(i.longValue)
       case j: java.lang.Long    => Some(j)
       case s: java.lang.Short   => Some(s.longValue)
@@ -131,16 +161,27 @@ object StatsPrune extends Rule[LogicalPlan] {
         val (l0, h0) = win.getOrElse(n, (Long.MinValue, Long.MaxValue))
         win(n) = (lo.fold(l0)(math.max(l0, _)), hi.fold(h0)(math.min(h0, _)))
       }
+    // strict bounds at the domain edge must EMPTY the window, not wrap:
+    // an unchecked `Long.MaxValue + 1` would widen `c > MAX` to the
+    // whole domain instead of recognizing it as unsatisfiable
+    def above(a: Attribute, v: Option[Long]): Unit = v.foreach { x =>
+      if (x == Long.MaxValue) tighten(a, Some(Long.MaxValue), Some(Long.MinValue))
+      else tighten(a, Some(x + 1), None)
+    }
+    def below(a: Attribute, v: Option[Long]): Unit = v.foreach { x =>
+      if (x == Long.MinValue) tighten(a, Some(Long.MaxValue), Some(Long.MinValue))
+      else tighten(a, None, Some(x - 1))
+    }
     conjuncts(cond).foreach {
       case GreaterThanOrEqual(a: Attribute, l: Literal) => tighten(a, longOf(l), None)
-      case GreaterThan(a: Attribute, l: Literal) => tighten(a, longOf(l).map(_ + 1), None)
+      case GreaterThan(a: Attribute, l: Literal) => above(a, longOf(l))
       case LessThanOrEqual(a: Attribute, l: Literal) => tighten(a, None, longOf(l))
-      case LessThan(a: Attribute, l: Literal) => tighten(a, None, longOf(l).map(_ - 1))
+      case LessThan(a: Attribute, l: Literal) => below(a, longOf(l))
       case EqualTo(a: Attribute, l: Literal) => tighten(a, longOf(l), longOf(l))
       case GreaterThanOrEqual(l: Literal, a: Attribute) => tighten(a, None, longOf(l))
-      case GreaterThan(l: Literal, a: Attribute) => tighten(a, None, longOf(l).map(_ - 1))
+      case GreaterThan(l: Literal, a: Attribute) => below(a, longOf(l))
       case LessThanOrEqual(l: Literal, a: Attribute) => tighten(a, longOf(l), None)
-      case LessThan(l: Literal, a: Attribute) => tighten(a, longOf(l).map(_ + 1), None)
+      case LessThan(l: Literal, a: Attribute) => above(a, longOf(l))
       case EqualTo(l: Literal, a: Attribute) => tighten(a, longOf(l), longOf(l))
       case _ => ()
     }

@@ -1516,6 +1516,58 @@ object MaintenanceQueries {
       .orderBy("c_custkey")
   }
 
+  /** DATE-typed automatic file skipping ([[graft.plans.StatsPrune]]
+    * r9 tier): the same naive-spelling story as [[qTtPruneAuto]], but
+    * the stats column is a genuine DATE — the dominant warehouse
+    * predicate shape (`WHERE od BETWEEN DATE '…' AND DATE '…'`), which
+    * previously declined the rule because the eligibility probe only
+    * admitted integral types. DateType is days-as-int internally, so
+    * the literal bounds and the sidecar min/max compare on the same
+    * monotone integral form; the residual filter stays exact on top.
+    * `date_pruned` carries the strict-subset evidence into the hash;
+    * the oracle recomputes the year slice from the raw table.
+    *
+    * Scale: a date-ranged query over a date-clustered 100 TB history
+    * reads ⌈selectivity · files⌉ with no user-side cast gymnastics —
+    * the naive SQL a BI tool emits is the fast path. */
+  val qTtPruneDate: QueryDef = QueryDef.sql(
+    "q_tt_prune_date",
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  true AS date_pruned
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttpd_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val o = Tables(s, d, "orders").select(
+      expr("cast(o_orderdate as date)").as("od"),
+      units(col("o_totalprice"), 2).as("cents"))
+    (1995 to 2001).foreach { y =>
+      val b = o.filter(
+        col("od") >= lit(s"$y-01-01").cast("date") &&
+          col("od") < lit(s"${y + 1}-01-01").cast("date")).repartition(1)
+      if (y == 1995) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("od"))
+      else TimeTravel.commitAppend(b, dir, statsCols = Seq("od"))
+    }
+    val naive = s.read.format("graft-table").load(dir)
+      .filter(expr("od >= DATE'1997-01-01' AND od < DATE'1998-01-01'"))
+    val prunedFiles = naive.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    naive.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("date_pruned",
+        lit((prunedFiles > 0 && prunedFiles < 7) || !extLoaded))
+  }
+
   /** MV ROLL-UP SUBSUMPTION ([[graft.plans.MvRewrite]] r8 tier): a
     * per-(event_type, user-cohort) rollup is registered, and the
     * per-event_type query — a COARSER grouping — is answered by
@@ -1560,5 +1612,5 @@ object MaintenanceQueries {
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup)
+    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate)
 }

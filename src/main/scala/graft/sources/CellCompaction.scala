@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions.col
   *
   * Single-writer contract (same as every sidecar in these layouts):
   * run compaction from the maintenance job, not concurrently with an
-  * append.
+  * append — and not concurrently with PROBES either: the per-cell
+  * publish is two renames (park live, move staged in), and a probe
+  * listing the cell in the instant between them would see it missing
+  * and silently return a partial result. Quiesce readers for the
+  * compaction window, exactly as for [[VectorStore.compact]].
   */
 object CellCompaction {
 

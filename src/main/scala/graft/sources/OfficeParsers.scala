@@ -13,8 +13,11 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
   * those native decoders aren't available in a zero-egress JVM, but
   * DOCX/PPTX are just zip archives of OOXML parts and EML is plain
   * MIME text — all parseable with `java.util.zip` + StAX + string
-  * processing from the JDK alone. PDF and MSG (OLE compound files)
-  * genuinely need external codecs and stay stubbed in [[ParseOps]].
+  * processing from the JDK alone. PDF ([[pdfText]]: classic xref and
+  * xref-stream layouts, Flate content streams) and MSG ([[msgText]]:
+  * CFB compound files) are decoded here too, from the same JDK
+  * primitives; inputs beyond those decoders' coverage (encrypted PDFs,
+  * CID fonts) degrade to the deterministic stub in [[ParseOps]].
   *
   * Extraction semantics (mirrors what the reference's loaders yield):
   *   - docx: text of every `<w:t>` run in `word/document.xml`,

@@ -290,9 +290,14 @@ object TimeTravel {
     * since `sinceVersion` was NOT a pure append (an overwrite, merge,
     * rollback or purge dropped a directory the old snapshot saw), the
     * directory diff is not the row delta — fail loudly so the consumer
-    * resyncs via [[changeFeed]] instead of silently double-counting. */
-  def readAppendsSince(spark: SparkSession, path: String, sinceVersion: Long): DataFrame = {
-    val cur = latest(spark, path).getOrElse(
+    * resyncs via [[changeFeed]] instead of silently double-counting.
+    * `toVersion` pins the snapshot the diff targets (default latest) —
+    * a consumer that resolved "latest" BEFORE calling must pass it, or
+    * a commit landing in between silently widens the delta past the
+    * version mark the consumer records. */
+  def readAppendsSince(spark: SparkSession, path: String, sinceVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val cur = toVersion.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
     val old = listing(spark, path, sinceVersion)
     val now = listing(spark, path, cur)
@@ -707,6 +712,26 @@ object TimeTravel {
     * — intersection can only shrink what one probe admits, so a 2-D
     * `WHERE x < a AND y < b` over a Z-ordered layout prunes on BOTH
     * dimensions). */
+  /** A sidecar min/max cell as its INTERNAL integral form — the same
+    * unit [[graft.plans.StatsPrune]]'s literal bounds arrive in:
+    * numbers as-is, DATE as epoch days, TIMESTAMP as UTC micros
+    * (collected Rows surface those columns as external Java types,
+    * either legacy java.sql or java.time under the java8API flag). */
+  private def statLong(v: Any): Long = v match {
+    case n: Number                  => n.longValue
+    case d: java.sql.Date           =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+    case d: java.time.LocalDate     => d.toEpochDay
+    case t: java.sql.Timestamp      =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant       =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case l: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
+    case other => throw new IllegalStateException(
+      s"stats sidecar cell of unsupported type ${other.getClass.getName}")
+  }
+
   private[graft] def planProbes(spark: SparkSession, path: String, v: Long,
       ranges: Seq[(String, Long, Long)],
       points: Seq[(String, Long)]): (Seq[String], ZoneMaps.PruneStats) = {
@@ -715,8 +740,8 @@ object TimeTravel {
       ranges.map { case (c, lo, hi) =>
         val (mnC, mxC) = (s"min_$c", s"max_$c")
         (Seq(mnC, mxC), { (r: org.apache.spark.sql.Row) =>
-          val mn = r.getAs[Number](mi.schema.fieldIndex(mnC)).longValue
-          val mx = r.getAs[Number](mi.schema.fieldIndex(mxC)).longValue
+          val mn = statLong(r.get(mi.schema.fieldIndex(mnC)))
+          val mx = statLong(r.get(mi.schema.fieldIndex(mxC)))
           mn <= hi && mx >= lo
         })
       } ++ points.map { case (c, key) =>

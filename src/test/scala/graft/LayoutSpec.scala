@@ -187,6 +187,76 @@ class LayoutSpec extends SparkSpec {
       (1100L to 1200L).filter(_ % 2 == 1))
   }
 
+  test("StatsPrune: DATE and TIMESTAMP windows prune files; casts decline; bloom tier stays integral") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = java.nio.file.Files.createTempDirectory("ttdate").toFile.getAbsolutePath + "/t"
+    import spark.implicits._
+    def day(y: Int, m: Int) = java.sql.Date.valueOf(f"$y-$m%02d-01")
+    // one single-file commit per year, rows carry a DATE and a TIMESTAMP
+    def batch(y: Int) =
+      (1 to 12).map { m =>
+        (day(y, m), java.sql.Timestamp.valueOf(f"$y-$m%02d-01 12:00:00"), y.toLong * 100 + m)
+      }.toDF("d", "t", "v").repartition(1)
+    TimeTravel.commitOverwrite(batch(1994), dir, statsCols = Seq("d", "t"))
+    TimeTravel.commitAppend(batch(1995), dir, statsCols = Seq("d", "t"))
+    TimeTravel.commitAppend(batch(1996), dir, statsCols = Seq("d", "t"))
+
+    def snap = spark.read.format("graft-table").load(dir)
+    def prunedFileCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+
+    // a naive DATE window re-plans to a 1-of-3-files scan, rows exact
+    val qd = snap.filter(expr("d >= DATE'1995-01-01' AND d < DATE'1996-01-01'"))
+    assert(prunedFileCount(qd) == 1,
+      s"DATE window must keep exactly the overlapping file:\n${qd.queryExecution.optimizedPlan}")
+    assert(qd.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to 12).map(m => 199500L + m))
+
+    // a TIMESTAMP window prunes on the micros form
+    val qt = snap.filter(
+      expr("t >= TIMESTAMP'1996-01-01 00:00:00' AND t < TIMESTAMP'1997-01-01 00:00:00'"))
+    assert(prunedFileCount(qt) == 1,
+      s"TIMESTAMP window must keep exactly the overlapping file:\n${qt.queryExecution.optimizedPlan}")
+    assert(qt.count() == 12)
+
+    // an empty DATE window becomes a zero-task local relation
+    val none = snap.filter(expr("d > DATE'2010-01-01'"))
+    assert(none.queryExecution.optimizedPlan.toString.contains("LocalRelation") ||
+      none.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(none.count() == 0)
+
+    // a datetime CAST comparison still prunes — Catalyst's
+    // UnwrapCastInBinaryComparison rewrites it to a bare DATE bound
+    // before the rule runs, so the window is extracted soundly
+    val qc = snap.filter(col("d").cast("timestamp") >=
+      java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    assert(prunedFileCount(qc) == 2,
+      s"unwrapped cast must prune to the two overlapping files:\n${qc.queryExecution.optimizedPlan}")
+    assert(qc.count() == 24)
+
+    // a cast the optimizer CANNOT unwrap (string compare is not
+    // monotone in the date) declines: no rewrite, still correct
+    val qs = snap.filter(col("d").cast("string") >= "1995-01-01")
+    assert(prunedFileCount(qs) == 0, "string-cast comparison must not rewrite")
+    assert(qs.count() == 24)
+
+    // bloom sidecars on a DATE column must never feed the point tier:
+    // the write side hashed the column's STRING cast ('1995-03-01'),
+    // which a days-integer probe key cannot match — skipping there
+    // would drop rows, so the rule declines and the scan stays full
+    val dir2 = java.nio.file.Files.createTempDirectory("ttdateb").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(batch(1994), dir2, bloomCols = Seq("d"))
+    TimeTravel.commitAppend(batch(1995), dir2, bloomCols = Seq("d"))
+    def snap2 = spark.read.format("graft-table").load(dir2)
+    val qb = snap2.filter(col("d") === day(1995, 3))
+    assert(prunedFileCount(qb) == 0, "date bloom must not admit the point tier")
+    assert(qb.count() == 1, "the row must survive — no false skip")
+  }
+
   test("a sidecar that doesn't track the probe column can never cause skipping") {
     import graft.sources.TimeTravel
     val dir = java.nio.file.Files.createTempDirectory("tthetero").toFile.getAbsolutePath + "/t"
