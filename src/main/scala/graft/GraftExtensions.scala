@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pure inequality joins (point between interval bounds, no equi
     // key) rewrite to the binned equi-join instead of a nested loop
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
+    // SQL DML over the versioned table: DELETE/UPDATE/MERGE statements
+    // on a graft-table relation translate to the library's row-level
+    // operations during analysis (the Delta-style command rewrite)
+    ext.injectResolutionRule(_ => graft.plans.SqlDml)
     // whole-operator tier: the native as-of join (logical node →
     // strategy → single-pass merge exec); see graft.plans.AsOfJoinPlan
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

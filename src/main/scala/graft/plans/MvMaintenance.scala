@@ -4,10 +4,11 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.TimeTravel
 
@@ -108,16 +109,17 @@ object MvMaintenance {
     val vNow = TimeTravel.versions(spark, r.basePath).max
     if (vNow == vOld) return RefreshResult("noop", vOld, Nil)
     val spec = mergeSpec(spark, r)
+    val dspec = if (spec.isDefined) None else decompSpec(spark, r)
     // vNow is pinned ONCE and passed everywhere below: a base commit
     // landing mid-refresh must not slip extra directories into the
     // folded delta while the state file records the older mark (the
     // next refresh would re-read and double-count them)
     val delta: Option[DataFrame] =
-      if (spec.isEmpty) None
+      if (spec.isEmpty && dspec.isEmpty) None
       else try Some(TimeTravel.readAppendsSince(spark, r.basePath, vOld, Some(vNow)))
       catch { case _: IllegalStateException => None } // non-append history
     (spec, delta) match {
-      case (Some((keys, merges)), Some(d)) if d.schema.isEmpty =>
+      case (_, Some(d)) if d.schema.isEmpty =>
         // versions advanced but no data directories were added (e.g. a
         // tag-only or empty commit): nothing to fold, just move the mark
         writeState(spark, r.mvPath, vNow)
@@ -132,11 +134,44 @@ object MvMaintenance {
           // restore the definition's column order and EXACT types (a
           // second sum over an already-widened decimal widens again)
           .select(defSchema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        swapIn(spark, merged, r.mvPath, vNow)
+        swapIn(spark, merged, None, r.mvPath, vNow)
         reregister(spark, name, r, vNow)
         RefreshResult("incremental", vNow, partial.inputFiles.toSeq)
+      case (None, Some(d)) if dspec.isDefined =>
+        refreshDecomposed(spark, name, r, dspec.get, d, vNow)
       case _ =>
         rebuild(spark, name)
+    }
+  }
+
+  /** The decomposed-state incremental tier: the stored `_state` parquet
+    * carries the avg columns as sum+count PIECES (everything directly
+    * mergeable rides through unchanged); the delta's pieces fold in
+    * with plain sums, and the serving MV — the definition's exact
+    * schema — is re-projected from the folded state. Both publish in
+    * the one swap rename. Any missing precondition (no state sidecar
+    * yet, a delta whose plan stopped decomposing) falls back to a full
+    * rebuild — same sound-or-decline stance as the mergeable tier. */
+  private def refreshDecomposed(spark: SparkSession, name: String,
+      r: Registration, ds: Decomp, d: DataFrame, vNow: Long): RefreshResult = {
+    val statePath = s"${r.mvPath}/$StateDir"
+    val fsys = new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fsys.exists(new Path(statePath))) return rebuild(spark, name)
+    decomposed(spark, r.define(d)) match {
+      case None => rebuild(spark, name)
+      case Some(partialState) =>
+        val old = spark.read.parquet(statePath)
+        val stSchema = old.schema
+        // checkpoint pins the folded state: the serving projection AND
+        // the state rewrite both read it while the old pair is replaced
+        val mergedState = old.unionByName(partialState)
+          .groupBy(ds.keys.map(col): _*)
+          .agg(ds.stateMerges.head, ds.stateMerges.tail: _*)
+          .select(stSchema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          .localCheckpoint()
+        swapIn(spark, ds.serve(mergedState), Some(mergedState), r.mvPath, vNow)
+        reregister(spark, name, r, vNow)
+        RefreshResult("incremental", vNow, partialState.inputFiles.toSeq)
     }
   }
 
@@ -149,8 +184,15 @@ object MvMaintenance {
   def rebuild(spark: SparkSession, name: String): RefreshResult = {
     val r = reg(name)
     val vNow = TimeTravel.versions(spark, r.basePath).max
-    swapIn(spark,
-      r.define(TimeTravel.read(spark, r.basePath, Some(vNow))), r.mvPath, vNow)
+    val full = r.define(TimeTravel.read(spark, r.basePath, Some(vNow)))
+    // a decomposable-but-not-directly-mergeable definition (an avg)
+    // materializes its piece state alongside, so the NEXT refresh can
+    // go incremental; directly-mergeable definitions skip the second
+    // write — their serving parquet already IS the foldable state
+    val state =
+      if (mergeSpec(spark, r).isDefined) None
+      else decomposed(spark, full)
+    swapIn(spark, full, state, r.mvPath, vNow)
     reregister(spark, name, r, vNow)
     RefreshResult("rebuild", vNow, Nil)
   }
@@ -222,6 +264,117 @@ object MvMaintenance {
     }
   }
 
+  /** The decomposition contract for definitions that are NOT directly
+    * mergeable but ARE algebraically decomposable — today: Average,
+    * stored as sum+count pieces (`<col>__gsum`, `<col>__gcnt`). The
+    * classic self-maintainable-view algebra: avg itself cannot fold
+    * (avg-of-avgs), but its pieces fold with plain sums and the avg
+    * reconstitutes exactly as sum/count — for non-decimal inputs the
+    * piece sum mirrors Average's own internal double accumulator, so
+    * fold ≡ recompute bit-for-bit. Decimal averages (whose
+    * precision/scale arithmetic the reconstruction would have to
+    * replicate) and everything else composite (stddev's sum-of-squares
+    * cancellation, DISTINCT, collects) DECLINE to a rebuild — the
+    * sound-or-decline stance, extended one algebra at a time. */
+  private final case class Decomp(
+      keys: Seq[String],
+      stateMerges: Seq[Column],
+      serve: DataFrame => DataFrame)
+
+  private def optimizedOf(spark: SparkSession, df: DataFrame) =
+    MvRewrite.whileSuspended {
+      org.apache.spark.sql.GraftPlanApi
+        .ofRows(spark, df.queryExecution.logical)
+        .queryExecution.optimizedPlan
+    }
+
+  /** Some(Decomp) iff the definition's optimized top Aggregate outputs
+    * only group keys, directly-mergeable aggregates, and at least one
+    * decomposable Average. */
+  private def decompSpec(spark: SparkSession, r: Registration): Option[Decomp] =
+    optimizedOf(spark,
+      r.define(TimeTravel.read(spark, r.basePath))) match {
+      case agg: Aggregate => decompOf(agg)
+      case _ => None
+    }
+
+  private def decompOf(agg: Aggregate): Option[Decomp] = {
+    def isGroup(e: Expression): Boolean =
+      agg.groupingExpressions.exists(_.semanticEquals(e))
+    val keys = Seq.newBuilder[String]
+    val keyExprs = Seq.newBuilder[Expression]
+    val merges = Seq.newBuilder[Column]
+    val outs = Seq.newBuilder[Column]
+    var hasAvg = false
+    val ok = agg.aggregateExpressions.forall {
+      case a: Attribute if isGroup(a) =>
+        keys += a.name; keyExprs += a; outs += col(a.name); true
+      case Alias(child, n) if isGroup(child) =>
+        keys += n; keyExprs += child; outs += col(n); true
+      case al @ Alias(ae: AggregateExpression, n) if !ae.isDistinct =>
+        ae.aggregateFunction match {
+          case _: Sum   => merges += sum(col(n)).as(n); outs += col(n).cast(al.dataType); true
+          case _: Count => merges += sum(col(n)).as(n); outs += col(n).cast(al.dataType); true
+          case _: Min   => merges += min(col(n)).as(n); outs += col(n).cast(al.dataType); true
+          case _: Max   => merges += max(col(n)).as(n); outs += col(n).cast(al.dataType); true
+          case _: Average
+              if !al.dataType.isInstanceOf[DecimalType] && ae.filter.isEmpty =>
+            hasAvg = true
+            merges += sum(col(s"${n}__gsum")).as(s"${n}__gsum")
+            merges += sum(col(s"${n}__gcnt")).as(s"${n}__gcnt")
+            outs += (col(s"${n}__gsum") / col(s"${n}__gcnt")).cast(al.dataType).as(n)
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+    val seen = keyExprs.result()
+    val allKeysVisible =
+      agg.groupingExpressions.forall(g => seen.exists(_.semanticEquals(g)))
+    val outCols = outs.result()
+    if (ok && hasAvg && allKeysVisible)
+      Some(Decomp(keys.result(), merges.result(),
+        (st: DataFrame) => st.select(outCols: _*)))
+    else None
+  }
+
+  /** The definition applied to `df`, with every Average REWRITTEN into
+    * its sum+count pieces at the plan level — the same child, the same
+    * grouping, so the partial runs the exact aggregate the definition
+    * would, emitting pieces instead of quotients. None when the plan
+    * is not a decomposable Aggregate (caller rebuilds). */
+  private def decomposed(spark: SparkSession, df: DataFrame): Option[DataFrame] =
+    optimizedOf(spark, df) match {
+      case agg: Aggregate =>
+        def isGroup(e: Expression): Boolean =
+          agg.groupingExpressions.exists(_.semanticEquals(e))
+        var ok = true
+        var hasAvg = false
+        val newOuts: Seq[NamedExpression] = agg.aggregateExpressions.flatMap {
+          case a: Attribute if isGroup(a) => Seq(a)
+          case al @ Alias(child, _) if isGroup(child) => Seq(al)
+          case al @ Alias(ae: AggregateExpression, n) if !ae.isDistinct =>
+            ae.aggregateFunction match {
+              case avg: Average
+                  if !al.dataType.isInstanceOf[DecimalType] && ae.filter.isEmpty =>
+                hasAvg = true
+                Seq(
+                  Alias(AggregateExpression(Sum(Cast(avg.child, DoubleType)),
+                    Complete, isDistinct = false), s"${n}__gsum")(),
+                  Alias(AggregateExpression(Count(Seq(avg.child)),
+                    Complete, isDistinct = false), s"${n}__gcnt")())
+              case _: Sum | _: Count | _: Min | _: Max => Seq(al)
+              case _ => ok = false; Seq(al)
+            }
+          case _ => ok = false; Seq.empty
+        }
+        if (ok && hasAvg)
+          Some(org.apache.spark.sql.GraftPlanApi.ofRows(spark,
+            Aggregate(agg.groupingExpressions, newOuts, agg.child)))
+        else None
+      case _ => None
+    }
+
   /** Replace the parquet at `mvPath` via write-to-temp + rename — the
     * merge plan may be READING mvPath, so an in-place overwrite would
     * saw off its own input. The version sidecar (`_mv_state`, an
@@ -231,18 +384,25 @@ object MvMaintenance {
     * half-state that would double-apply a delta on the next refresh);
     * a crash between the delete and the rename loses the directory but
     * fails LOUDLY on the next read — never a silent wrong fold. */
-  private def swapIn(spark: SparkSession, df: DataFrame, mvPath: String,
-      v: Long): Unit = {
+  private def swapIn(spark: SparkSession, df: DataFrame,
+      state: Option[DataFrame], mvPath: String, v: Long): Unit = {
     val dst = new Path(mvPath)
     val tmp = new Path(mvPath + ".swap")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    // the decomposed piece state lives INSIDE the MV directory under an
+    // underscore name — parquet readers ignore it, so the serving scan
+    // is unaffected, and it publishes in the SAME rename as the data
+    state.foreach(_.write.mode("overwrite").parquet(s"$tmp/$StateDir"))
     writeStateFile(fs, new Path(tmp, StateFile), v)
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"failed to publish refreshed MV at $mvPath")
   }
+
+  /** Underscore-prefixed piece-state directory inside the MV path. */
+  private val StateDir = "_state"
 
   private val StateFile = "_mv_state"
 

@@ -1,0 +1,189 @@
+package graft.plans
+
+import graft.sources.{TimeTravel, TimeTravelTable}
+
+import org.apache.spark.sql.{AnalysisException, GraftPlanApi, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+/** SQL DML faces for the versioned table — the injected resolution
+  * rule that makes `MERGE INTO` / `DELETE FROM` / `UPDATE` statements
+  * over a [[graft.sources.GraftCatalog]] identifier (or any resolved
+  * `graft-table` relation) execute through the library's row-level
+  * operations instead of failing Spark's supports-row-level-ops check:
+  *
+  *   - `DELETE FROM graft.`/p` WHERE c` → [[TimeTravel.deleteMoR]]
+  *     (tombstones only, data files untouched);
+  *   - `UPDATE graft.`/p` SET a = e WHERE c` → [[TimeTravel.updateMoR]]
+  *     (tombstone + updated copies, one atomic publish);
+  *   - `MERGE INTO graft.`/p` t USING s ON t.k = s.k
+  *        WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT …`
+  *     → [[TimeTravel.merge]] (the upsert commit), provided the update
+  *     and insert assignments agree column-for-column — the canonical
+  *     upsert. Shapes the library cannot express exactly (extra WHEN
+  *     clauses, divergent update/insert rows, multi-column or
+  *     non-equality ON) fail LOUDLY at analysis with the supported
+  *     form in the message — never a silently different row set.
+  *
+  * This is the Delta-style command translation (their DeltaAnalysis
+  * turns the same three logical nodes into runnable commands): the
+  * rule fires during analysis, after the node's children and
+  * expressions resolve, and replaces it with a driver command whose
+  * `run` calls the library op — so the optimizer's
+  * RewriteDeleteFromTable/RewriteMergeIntoTable (which require
+  * SupportsRowLevelOperations) never see the node. Parsed predicates
+  * and SET expressions re-bind BY NAME against the fresh snapshot the
+  * library op reads: the command re-reads latest at execution, exactly
+  * like any DML engine between analysis and commit.
+  *
+  * Each statement returns the committed version as a one-row result —
+  * the SQL-visible receipt that also makes `VERSION AS OF` follow-ups
+  * deterministic in scripts.
+  */
+object SqlDml extends Rule[LogicalPlan] {
+
+  /** The target table under optional aliases, with its path. */
+  private object GraftTarget {
+    def unapply(p: LogicalPlan): Option[TimeTravelTable] = p match {
+      case DataSourceV2Relation(t: TimeTravelTable, _, _, _, _, _) => Some(t)
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case d @ DeleteFromTable(GraftTarget(t), cond) if d.resolved =>
+      GraftDeleteCommand(t.tablePath, cond)
+
+    case u @ UpdateTable(GraftTarget(t), assignments, cond) if u.resolved =>
+      GraftUpdateCommand(t.tablePath,
+        assignments.map(a => targetColName(a.key, "UPDATE SET") -> a.value),
+        cond)
+
+    case m: MergeIntoTable if m.resolved &&
+        GraftTarget.unapply(m.targetTable).isDefined =>
+      translateMerge(m, GraftTarget.unapply(m.targetTable).get)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100", // generic internal-message class
+      messageParameters = Map("message" -> msg))
+
+  private def targetColName(key: Expression, what: String): String = key match {
+    case a: AttributeReference => a.name
+    case other => fail(s"graft $what supports only top-level target columns, got: $other")
+  }
+
+  /** The canonical-upsert check and translation (sound-or-decline —
+    * decline here is a LOUD analysis error, since unlike an optimizer
+    * rewrite there is no slower correct fallback for DML). */
+  private def translateMerge(m: MergeIntoTable, t: TimeTravelTable): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("graft MERGE does not support WHEN NOT MATCHED BY SOURCE clauses")
+    val targetOut = m.targetTable.output
+    val sourceOut = m.sourceTable.outputSet
+    // ON t.k = s.k — exactly one equality between a target and a
+    // source attribute (either operand order)
+    val key = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (targetOut.exists(_.exprId == a.exprId) && sourceOut.contains(b)) a.name
+        else if (targetOut.exists(_.exprId == b.exprId) && sourceOut.contains(a)) b.name
+        else fail("graft MERGE requires ON <target col> = <source col>")
+      case other =>
+        fail(s"graft MERGE supports only a single-key equality ON clause, got: ${other.sql}")
+    }
+    val updAssigns: Seq[Assignment] = m.matchedActions match {
+      case Seq(UpdateAction(cond, as, _)) =>
+        if (cond.nonEmpty) fail("graft MERGE does not support a conditional WHEN MATCHED")
+        as
+      case Seq() => fail("graft MERGE requires WHEN MATCHED THEN UPDATE")
+      case Seq(DeleteAction(_)) =>
+        fail("graft MERGE does not support WHEN MATCHED THEN DELETE; " +
+          "use DELETE FROM with an IN/EXISTS predicate")
+      case _ => fail("graft MERGE supports exactly one WHEN MATCHED THEN UPDATE action")
+    }
+    val insAssigns: Seq[Assignment] = m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => as
+      case Seq(InsertAction(Some(_), _)) =>
+        fail("graft MERGE does not support a conditional WHEN NOT MATCHED")
+      case _ => fail("graft MERGE requires exactly WHEN NOT MATCHED THEN INSERT")
+    }
+    // matched rows are REPLACED by the projected source row, so the
+    // update and insert assignments must agree on every target column
+    // — the canonical upsert (UPDATE SET * / INSERT *, or identical
+    // explicit lists)
+    def byCol(as: Seq[Assignment], what: String): Map[String, Expression] = {
+      val pairs = as.map(a => targetColName(a.key, what) -> a.value)
+      val dup = pairs.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+      if (dup.nonEmpty) fail(s"graft MERGE $what assigns ${dup.mkString(", ")} twice")
+      pairs.toMap
+    }
+    val upd = byCol(updAssigns, "UPDATE SET")
+    val ins = byCol(insAssigns, "INSERT")
+    val missing = targetOut.map(_.name).filterNot(n => upd.contains(n) && ins.contains(n))
+    if (missing.nonEmpty)
+      fail(s"graft MERGE must assign every target column in both UPDATE and INSERT " +
+        s"(replaced rows take the whole source row); missing: ${missing.mkString(", ")}")
+    targetOut.foreach { a =>
+      if (upd(a.name).canonicalized != ins(a.name).canonicalized)
+        fail(s"graft MERGE UPDATE and INSERT disagree on column ${a.name}; " +
+          "the library merge replaces matched rows with the same projected source row")
+    }
+    // project the source into target-row shape ONCE; TimeTravel.merge
+    // keys the upsert on `key`, which the projection carries by name
+    val aliases: Seq[NamedExpression] = targetOut.map { a =>
+      Alias(upd(a.name), a.name)()
+    }
+    GraftMergeCommand(t.tablePath, Project(aliases, m.sourceTable), key)
+  }
+
+  /** Re-bind a parsed expression by NAME for the library op's fresh
+    * snapshot read (exprIds from the analyzed statement don't exist in
+    * the new plan). */
+  private[plans] def byName(e: Expression): org.apache.spark.sql.Column =
+    GraftPlanApi.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+}
+
+/** `DELETE FROM` a versioned table → merge-on-read tombstones. */
+final case class GraftDeleteCommand(path: String, cond: Expression)
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TimeTravel.deleteMoR(spark, path, SqlDml.byName(cond))))
+}
+
+/** `UPDATE` a versioned table → tombstone + updated copies. */
+final case class GraftUpdateCommand(path: String,
+    sets: Seq[(String, Expression)], cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val where = cond.map(SqlDml.byName)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Seq(Row(TimeTravel.updateMoR(spark, path,
+      where, sets.map { case (n, e) => n -> SqlDml.byName(e) })))
+  }
+}
+
+/** Canonical-upsert `MERGE INTO` → [[TimeTravel.merge]]. The projected
+  * source plan rides inside the command and is executed at run time —
+  * its own relations were resolved by the analyzer with the statement. */
+final case class GraftMergeCommand(path: String, projectedSource: LogicalPlan,
+    key: String) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(projectedSource)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TimeTravel.merge(spark, path,
+      GraftPlanApi.ofRows(spark, projectedSource), key)))
+}

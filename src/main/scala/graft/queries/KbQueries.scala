@@ -223,7 +223,7 @@ object KbQueries {
   val qParseOffice: QueryDef = QueryDef.sql(
     "q_parse_office",
     """SELECT doc_id, text AS docx_text, text AS pptx_text,
-      |  text AS eml_text, text AS pdf_text,
+      |  text AS eml_text, text AS pdf_text, text AS pdfx_text,
       |  'Subject: doc_' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text AS msg_text
       |FROM documents
       |WHERE doc_id < 200
@@ -232,6 +232,11 @@ object KbQueries {
     val mkPptx = udf((t: String) => graft.sources.OfficeParsers.makePptx(t))
     val mkEml = udf((t: String) => graft.sources.OfficeParsers.makeEml(t))
     val mkPdf = udf((t: String) => graft.sources.OfficeParsers.makePdf(t))
+    // post-2005 layout: ObjStm-compressed page objects + an xref
+    // stream, PNG-predictor-filtered for every even doc — exercises
+    // the PdfModel tier on half the corpus each way
+    val mkPdfX = udf((id: Long, t: String) =>
+      graft.sources.OfficeParsers.makePdfXrefStream(t, predictor = id % 2 == 0))
     val mkMsg = udf((id: Long, t: String) => graft.sources.OfficeParsers.makeMsg(s"doc_$id", t))
     docs(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id"),
@@ -239,6 +244,7 @@ object KbQueries {
         ParseOps.parseText(lit("pptx"), mkPptx(col("text"))).as("pptx_text"),
         ParseOps.parseText(lit("eml"), mkEml(col("text"))).as("eml_text"),
         ParseOps.parseText(lit("pdf"), mkPdf(col("text"))).as("pdf_text"),
+        ParseOps.parseText(lit("pdf"), mkPdfX(col("doc_id"), col("text"))).as("pdfx_text"),
         ParseOps.parseText(lit("msg"), mkMsg(col("doc_id"), col("text"))).as("msg_text"))
       .orderBy("doc_id")
   }

@@ -1516,6 +1516,179 @@ object MaintenanceQueries {
       .orderBy("c_custkey")
   }
 
+  /** INCREMENTAL MV maintenance with an AVG column
+    * ([[graft.plans.MvMaintenance]] r9 decomposition tier): avg itself
+    * can never fold (avg-of-avgs), so the maintenance derives its
+    * sum+count decomposition from the optimized plan, stores the
+    * pieces in a hidden `_state` parquet beside the serving MV, folds
+    * the delta's pieces with plain sums, and re-projects the quotient
+    * — while the serving materialization keeps the definition's exact
+    * schema so the transparent rewrite still matches. Evidence rides
+    * in the row as in [[qMvIncremental]]: `refresh_mode` must be
+    * 'incremental' (a silent rebuild breaks the hash), `delta_only`
+    * that the partial scanned exactly v2's files, `read_from_mv` that
+    * the rewrite serves the refreshed parquet. The oracle recomputes
+    * count/sum/avg from scratch — an unsound fold (the avg-of-avgs
+    * class mistake this tier exists to avoid) breaks the avg column.
+    *
+    * Scale: same nightly-append story as the mergeable tier — O(new
+    * data) scan, one shuffle over delta groups, O(groups) fold — now
+    * covering the avg-bearing dashboards that previously paid a full
+    * rebuild per refresh. */
+  val qMvIncrementalAvg: QueryDef = QueryDef.sql(
+    "q_mv_incremental_avg",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  AVG(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS avg_cents,
+      |  'incremental' AS refresh_mode,
+      |  true AS delta_only,
+      |  true AS read_from_mv
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.plans.{MvCatalog, MvMaintenance}
+    import graft.sources.TimeTravel
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iva_${tag}_p${ProcessHandle.current().pid()}"
+    val mv = base + "_mv"
+    Seq(base, mv).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val name = s"iva_$tag"
+    MvMaintenance.unregister(name); MvCatalog.unregister(name)
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        units(col("o_totalprice"), 2).as("cents"))
+    def define(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+          avg(col("cents")).as("avg_cents"))
+    TimeTravel.commitOverwrite(o.filter(col("o_orderkey") % 5 =!= 0), base) // v1
+    MvMaintenance.register(s, name, base, mv)(define)
+    TimeTravel.commitAppend(o.filter(col("o_orderkey") % 5 === 0), base)    // v2
+    val res = MvMaintenance.refresh(s, name)
+    val deltaOnly = res.mode == "incremental" && res.deltaFiles.nonEmpty &&
+      res.deltaFiles.forall(f => f.contains("data/v00002") && !f.contains("data/v00001"))
+    val q = define(TimeTravel.read(s, base))
+    val fromMv =
+      q.queryExecution.executedPlan.toString.contains(new java.io.File(mv).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("refresh_mode", lit(res.mode))
+      .withColumn("delta_only", lit(deltaOnly))
+      .withColumn("read_from_mv", lit(fromMv || !extLoaded))
+      .orderBy("o_orderpriority")
+  }
+
+  /** SQL `MERGE INTO` over the versioned table ([[graft.plans.SqlDml]]
+    * + [[graft.sources.GraftCatalog]], r9 tier): the canonical upsert
+    * statement — `WHEN MATCHED THEN UPDATE SET …, WHEN NOT MATCHED
+    * THEN INSERT …` — is translated during analysis into
+    * [[graft.sources.TimeTravel.merge]], so the library's row-level
+    * commit is reachable from the exact SQL a warehouse user writes.
+    * The source carries both updates (matched keys get +777 cents) and
+    * brand-new negative keys; the oracle states the merged row set in
+    * closed form, so a mistranslated action (update applied to the
+    * wrong side, inserts dropped, double-applied rows) breaks count or
+    * sum. `via_sql` pins that the statement committed version 2.
+    *
+    * Scale: the statement plans exactly the library merge — one
+    * left-anti join keeping untouched rows plus the projected source,
+    * one commit; no per-row driver work. */
+  val qTtMergeSql: QueryDef = QueryDef.sql(
+    "q_tt_merge_sql",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), src AS (
+      |  SELECT k, cents + 777 AS cents FROM c WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT -k, k * 3 FROM c WHERE k % 10 = 0
+      |), merged AS (
+      |  SELECT k, cents FROM c WHERE k NOT IN (SELECT k FROM src)
+      |  UNION ALL
+      |  SELECT k, cents FROM src
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  true AS via_sql
+      |FROM merged""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttms_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir) // v1
+    val src = c.filter(col("k") % 4 === 0)
+      .select(col("k"), (col("cents") + 777).as("cents"))
+      .unionByName(c.filter(col("k") % 10 === 0)
+        .select((-col("k")).as("k"), (col("k") * 3).as("cents")))
+    val view = s"merge_src_${Integer.toHexString(d.hashCode)}"
+    src.createOrReplaceTempView(view)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val v = s.sql(
+      s"""MERGE INTO graft.`$dir` t USING $view s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET k = s.k, cents = s.cents
+         |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)
+         |""".stripMargin).collect().head.getLong(0)
+    TimeTravel.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"))
+      .withColumn("via_sql", lit(v == 2L))
+  }
+
+  /** SQL `DELETE FROM` + `UPDATE` over the versioned table
+    * ([[graft.plans.SqlDml]] r9 tier): the two remaining row-level
+    * statements, each translated to its merge-on-read library op —
+    * DELETE to [[graft.sources.TimeTravel.deleteMoR]] (tombstones
+    * only), UPDATE to [[graft.sources.TimeTravel.updateMoR]]
+    * (tombstone + updated copies in one atomic publish). The sequence
+    * composes: the UPDATE's predicate sees the post-DELETE live set,
+    * so a translation that read stale tombstones or double-applied
+    * them breaks the closed-form oracle. `via_sql` pins the committed
+    * versions (2 then 3).
+    *
+    * Scale: both statements cost O(matched) writes — the data files
+    * of the 100 TB base are never rewritten by either. */
+  val qTtDmlSql: QueryDef = QueryDef.sql(
+    "q_tt_dml_sql",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), live AS (
+      |  SELECT k,
+      |    CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+      |  FROM c WHERE k % 5 <> 0
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS via_sql
+      |FROM live""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttds_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir) // v1
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val v2 = s.sql(s"DELETE FROM graft.`$dir` WHERE k % 5 = 0")
+      .collect().head.getLong(0)
+    val v3 = s.sql(s"UPDATE graft.`$dir` SET cents = cents + 100 WHERE k % 7 = 0")
+      .collect().head.getLong(0)
+    TimeTravel.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("via_sql", lit(v2 == 2L && v3 == 3L))
+  }
+
   /** DATE-typed automatic file skipping ([[graft.plans.StatsPrune]]
     * r9 tier): the same naive-spelling story as [[qTtPruneAuto]], but
     * the stats column is a genuine DATE — the dominant warehouse
@@ -1612,5 +1785,6 @@ object MaintenanceQueries {
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate)
+    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
+    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg)
 }

@@ -415,11 +415,24 @@ object OfficeParsers {
     * fonts (subset CMaps) will surface glyph codes rather than Unicode,
     * the standard limitation of CMap-less extraction. */
   def pdfText(bytes: Array[Byte]): String = {
-    val pages = contentStreams(bytes).flatMap(extractShownText)
+    val pages = allContentStreams(bytes).flatMap(extractShownText)
     if (pages.isEmpty)
       throw new IllegalArgumentException("no text-bearing content streams")
     pages.mkString("\n")
   }
+
+  /** The coverage ladder: the xref OBJECT MODEL first (classic tables,
+    * `/Type /XRef` cross-reference streams, `/Type /ObjStm` compressed
+    * objects — the post-2005 real-world layout, where content bytes
+    * are sliced by exact `/Length` instead of text-scanned), falling
+    * back to the file-order `stream…endstream` scan for pre-xref
+    * fixture-class files and anything the model path can't prove. The
+    * ladder only widens coverage: every file the scan handled before
+    * still decodes, and binary-bearing modern files stop tripping the
+    * scan's keyword search. */
+  private def allContentStreams(bytes: Array[Byte]): Seq[String] =
+    try PdfModel.contentStreamsByModel(bytes)
+    catch { case scala.util.control.NonFatal(_) => contentStreams(bytes) }
 
   /** Every content stream of the file in file order, inflated when the
     * owning object dict names /FlateDecode. Throws unless the bytes
@@ -472,7 +485,7 @@ object OfficeParsers {
     * (PDF y grows upward), cells pipe-joined, newline-terminated.
     * Throws when no positioned text exists → [[ParseOps]] stub. */
   def pdfTableText(bytes: Array[Byte]): String = {
-    val cells = contentStreams(bytes).flatMap(positionedCells)
+    val cells = allContentStreams(bytes).flatMap(positionedCells)
     if (cells.isEmpty)
       throw new IllegalArgumentException("no positioned text to tabulate")
     val rows = cells.groupBy(_._1).toSeq.sortBy(-_._1)
@@ -1065,6 +1078,98 @@ object OfficeParsers {
          |trailer << /Root 1 0 R >>
          |%%EOF""".stripMargin
     (pre + compressed + post).getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** One-page PDF in the POST-2005 layout: catalog, pages node, page
+    * dict and font live COMPRESSED inside a `/Type /ObjStm` object
+    * stream; the cross-reference is a `/Type /XRef` stream with
+    * W-packed binary rows ([1 4 2]: type, offset/objstm, gen/index),
+    * optionally Flate-compressed behind a PNG Up predictor — the two
+    * features ([[PdfModel]]) that separate wild PDFs from the classic
+    * [[makePdf]] fixture. The shown text is exactly `text`, so
+    * round-trip equality proves the whole chain: startxref → xref
+    * stream decode (→ predictor) → type-2 entries → ObjStm inflation →
+    * page tree → /Length-sliced Flate content. */
+  def makePdfXrefStream(text: String, predictor: Boolean = false): Array[Byte] = {
+    def deflateIso(s: String): String = {
+      val d = new java.util.zip.Deflater()
+      val in = s.getBytes(StandardCharsets.ISO_8859_1)
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](in.length + 64)
+      val m = d.deflate(buf)
+      d.end()
+      new String(buf, 0, m, StandardCharsets.ISO_8859_1)
+    }
+    val content = s"BT /F1 12 Tf 72 720 Td (${pdfEscape(text)}) Tj ET"
+    val cz = deflateIso(content)
+    // ObjStm payload: header of (objnum offset) pairs, then the objects
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodyOffs = objs.map(_._2.length + 1).scanLeft(0)(_ + _).init
+    val header = objs.zip(bodyOffs).map { case ((n, _), o) => s"$n $o" }.mkString(" ")
+    val payload = header + " " + objs.map(_._2).mkString(" ")
+    val first = header.length + 1
+    val oz = deflateIso(payload)
+
+    val sb = new StringBuilder
+    sb.append("%PDF-1.5\n")
+    val off4 = sb.length
+    sb.append(s"4 0 obj << /Length ${cz.length} /Filter /FlateDecode >> stream\n")
+      .append(cz).append("\nendstream endobj\n")
+    val off6 = sb.length
+    sb.append(s"6 0 obj << /Type /ObjStm /N ${objs.size} /First $first " +
+      s"/Length ${oz.length} /Filter /FlateDecode >> stream\n")
+      .append(oz).append("\nendstream endobj\n")
+    val off7 = sb.length
+    // xref rows for objects 0..7, W = [1 4 2]
+    def row(t: Int, f2: Long, f3: Int): String = {
+      val b = new StringBuilder
+      b.append(t.toChar)
+      var k = 3
+      while (k >= 0) { b.append(((f2 >> (8 * k)) & 0xff).toChar); k -= 1 }
+      b.append(((f3 >> 8) & 0xff).toChar).append((f3 & 0xff).toChar)
+      b.toString
+    }
+    val rows = Seq(
+      row(0, 0, 0),            // 0: free
+      row(2, 6, 0),            // 1: catalog   in ObjStm 6, index 0
+      row(2, 6, 1),            // 2: pages
+      row(2, 6, 2),            // 3: page
+      row(1, off4.toLong, 0),  // 4: content stream
+      row(2, 6, 3),            // 5: font
+      row(1, off6.toLong, 0),  // 6: the ObjStm
+      row(1, off7.toLong, 0))  // 7: this xref stream
+    val rowLen = 7
+    val xrefData =
+      if (!predictor) rows.mkString
+      else {
+        // PNG Up filter per row: encoded(j) = row(j) - prevRow(j)
+        val prev = new Array[Int](rowLen)
+        rows.map { r =>
+          val enc = new StringBuilder().append(2.toChar)
+          var j = 0
+          while (j < rowLen) {
+            val cur = r.charAt(j).toInt & 0xff
+            enc.append(((cur - prev(j)) & 0xff).toChar)
+            prev(j) = cur
+            j += 1
+          }
+          enc.toString
+        }.mkString
+      }
+    val (xz, filterPart) =
+      if (!predictor) (xrefData, "")
+      else (deflateIso(xrefData),
+        s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+    sb.append(s"7 0 obj << /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R " +
+      s"/Length ${xz.length}$filterPart >> stream\n")
+      .append(xz).append("\nendstream endobj\n")
+    sb.append(s"startxref\n$off7\n%%EOF")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
   /** XLSX with the given string rows, written in the shared-strings

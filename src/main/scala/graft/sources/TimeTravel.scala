@@ -264,6 +264,55 @@ object TimeTravel {
     v
   }
 
+  /** Merge-on-read UPDATE: tombstone the live rows matching `condition`
+    * and append their updated copies — `sets` maps column name → new
+    * value expression (unmentioned columns carry over; values are cast
+    * back to the column's declared type so the table schema never
+    * drifts). Both the deletion-vector directory and the new data
+    * directory publish in ONE manifest rename, so a reader sees either
+    * the whole update or none of it, and the pre-update snapshot stays
+    * time-travelable. Returns the new version (the current one when
+    * nothing matched — a no-op update does not commit).
+    *
+    * Scale: cost is one scan + O(matched) tombstones + O(matched) new
+    * rows — the 100 TB story for the typical low-selectivity UPDATE;
+    * the unmatched bulk of the table is never rewritten ([[optimize]]
+    * later folds the DVs, same as [[deleteMoR]]). */
+  def updateMoR(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to update at $path"))
+    val dirs = listing(spark, path, cur)
+    val prevDvs = dvListing(spark, path, cur)
+    val v = cur + 1
+    val data = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as(DvCols.head),
+        col("_metadata.row_index").as(DvCols.last))
+    val live =
+      if (prevDvs.isEmpty) data
+      else data.join(
+        spark.read.parquet(prevDvs.map(d => s"$path/$d"): _*), DvCols, "left_anti")
+    val origCols = data.columns.filterNot(DvCols.contains).toSeq
+    val setMap = sets.toMap
+    val unknown = setMap.keySet.diff(origCols.toSet)
+    require(unknown.isEmpty, s"UPDATE sets unknown column(s): ${unknown.mkString(", ")}")
+    // checkpoint pins the matched set: tombstones and updated copies
+    // must come from the SAME row set even under a flaky predicate
+    val hit = live.filter(condition).localCheckpoint()
+    if (hit.isEmpty) return cur
+    val updated = hit.select(origCols.map { c =>
+      setMap.get(c).map(_.cast(data.schema(c).dataType).as(c)).getOrElse(col(c))
+    }: _*)
+    hit.select(DvCols.head, DvCols.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
+    updated.write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
+    publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v))
+    v
+  }
+
   /** DESCRIBE HISTORY face: one row per committed version — its tag (if
     * any), how many data directories the snapshot sees, how many of
     * those this commit ADDED (0 ⇒ overwrite/rollback/metadata-only),

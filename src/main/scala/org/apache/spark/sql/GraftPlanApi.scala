@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlanApi {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression as a user-facing Column — the inverse
+    * bridge, needed by the SQL DML translation
+    * ([[graft.plans.SqlDml]]) to hand a parsed WHERE/SET expression to
+    * the library's Column-typed table operations. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -363,10 +363,10 @@ class MvSpec extends SparkSpec {
       hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
     }
     rm(base); rm(mv)
-    // avg is not in the sum/count/min/max mergeable class (its
-    // decomposition is the USER's to state as sum+count columns)
+    // DISTINCT aggregates are outside both the mergeable class and the
+    // decomposition algebra (distinct-of-distincts cannot fold)
     def define(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
-      .agg(avg(col("cents")).as("avg_cents"))
+      .agg(countDistinct(col("cents")).as("nd_cents"))
     try {
       val ev = Tables(spark, sf, "events")
         .select(col("user_id"), expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
@@ -375,10 +375,53 @@ class MvSpec extends SparkSpec {
       TimeTravel.commitAppend(ev.filter(col("user_id") % 3 === 0), base)    // v2
       val res = MvMaintenance.refresh(spark, "ivm_avg")
       assert(res.mode == "rebuild",
-        s"an avg aggregate must NOT be merged incrementally, got $res")
+        s"a DISTINCT aggregate must NOT be merged incrementally, got $res")
       MvCatalog.clear()
       val expect = define(TimeTravel.read(spark, base)).orderBy("user_id").collect().toSeq
       assert(spark.read.parquet(mv).orderBy("user_id").collect().toSeq == expect)
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
+  }
+
+  test("incremental maintenance: an avg decomposes to sum+count pieces and folds ≡ recompute") {
+    import graft.plans.MvMaintenance
+    import graft.sources.TimeTravel
+    val base = mvDir("ivm_davg_base")
+    val mv = mvDir("ivm_davg_mv")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    rm(base); rm(mv)
+    // avg beside directly-mergeable aggregates over a computed key —
+    // the decomposed-state tier: pieces live in mv/_state, the serving
+    // parquet keeps the definition's exact schema
+    def define(df: DataFrame): DataFrame = df.groupBy((col("user_id") % 7).as("cohort"))
+      .agg(count(lit(1)).as("n"), avg(col("cents")).as("avg_cents"),
+        max(col("cents")).as("mx"))
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("user_id"), expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+      val seed = new scala.util.Random(0xD4C0).nextInt()
+      val bucket = pmod(hash(col("user_id"), col("cents"), lit(seed)), lit(5))
+      TimeTravel.commitOverwrite(ev.filter(bucket === 0), base)
+      MvMaintenance.register(spark, "ivm_davg", base, mv)(define)
+      val statePath = new org.apache.hadoop.fs.Path(s"$mv/_state")
+      assert(statePath.getFileSystem(spark.sessionState.newHadoopConf()).exists(statePath),
+        "registration must materialize the piece state for the avg")
+      (1 to 4).foreach { b =>
+        TimeTravel.commitAppend(ev.filter(bucket === b), base)
+        val res = MvMaintenance.refresh(spark, "ivm_davg")
+        assert(res.mode == "incremental", s"batch $b: $res")
+        assert(res.deltaFiles.nonEmpty &&
+          res.deltaFiles.forall(_.contains(f"data/v${b + 1}%05d")),
+          s"batch $b folded the wrong delta: ${res.deltaFiles}")
+        MvCatalog.clear() // ground truth must not be served from the MV
+        val truth = define(TimeTravel.read(spark, base)).orderBy("cohort").collect().toSeq
+        assert(spark.read.parquet(mv).orderBy("cohort").collect().toSeq == truth,
+          s"decomposed fold diverged from recompute after append batch $b")
+      }
+      // the serving schema is the definition's, pieces stay hidden
+      assert(spark.read.parquet(mv).columns.toSeq == Seq("cohort", "n", "avg_cents", "mx"))
     } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
   }
 

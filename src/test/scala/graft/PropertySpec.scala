@@ -167,6 +167,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  check("pdf xref-stream/ObjStm writer/parser round-trip is exact", min = 50) {
+    // the post-2005 layout: page objects compressed in an ObjStm, the
+    // cross-reference a /Type /XRef stream — decoded by the object
+    // model, not the file-order scan (the binary xref rows would trip
+    // a keyword search); the predictor variant adds Flate + PNG Up
+    // row filtering on the xref stream itself
+    val genPdfText = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '(', ')', '\\', '<', '>', '[', ']', '/'),
+      1 -> Gen.choose('¡', 'ÿ'),
+    )).map(_.mkString)
+    Prop.forAll(genPdfText, Gen.oneOf(false, true)) { (t, pred) =>
+      OfficeParsers.pdfText(OfficeParsers.makePdfXrefStream(t, pred)) == t
+    }
+  }
+
   check("xlsx shared-strings round-trip preserves ragged string rows", min = 50) {
     val genRows = Gen.nonEmptyListOf(Gen.nonEmptyListOf(genPrintable).map(_.take(5))).map(_.take(8))
     Prop.forAll(genRows) { rows =>

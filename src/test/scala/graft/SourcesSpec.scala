@@ -386,4 +386,116 @@ class SourcesSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
     assert(chain.contains("declared STRING column id"), s"got: $chain")
   }
+
+  // ---- SQL DML faces over the versioned table (SqlDml + GraftCatalog)
+
+  private def withGraftCatalog[A](body: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    body
+  }
+
+  private def seedTable(tag: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"dml_$tag").toFile.getAbsolutePath + "/t"
+    val rows = (1L to 100L).map(i => (i, s"name_$i", i * 10)).toDF("k", "nm", "bal")
+    graft.sources.TimeTravel.commitOverwrite(rows, dir)
+    dir
+  }
+
+  test("SQL DELETE ≡ deleteMoR: tombstones via the statement, files untouched") {
+    import graft.sources.TimeTravel
+    val dirSql = seedTable("delsql")
+    val dirLib = seedTable("dellib")
+    withGraftCatalog {
+      val v = spark.sql(s"DELETE FROM graft.`$dirSql` WHERE k % 3 = 0")
+        .collect().head.getLong(0)
+      assert(v == 2L, "DELETE must commit version 2")
+    }
+    TimeTravel.deleteMoR(spark, dirLib, col("k") % 3 === 0)
+    val got = TimeTravel.read(spark, dirSql).orderBy("k").collect().toSeq
+    val want = TimeTravel.read(spark, dirLib).orderBy("k").collect().toSeq
+    assert(got == want && got.size == 67)
+    // MoR: the original data directory is still the only data dir
+    assert(TimeTravel.read(spark, dirSql, Some(1L)).count() == 100,
+      "pre-delete snapshot must stay readable")
+  }
+
+  test("SQL UPDATE: tombstone + updated copies publish atomically; old snapshot intact") {
+    import graft.sources.TimeTravel
+    val dir = seedTable("upd")
+    withGraftCatalog {
+      spark.sql(s"UPDATE graft.`$dir` SET bal = bal + 5, nm = upper(nm) WHERE k <= 10")
+    }
+    val after = TimeTravel.read(spark, dir)
+    assert(after.count() == 100, "row count preserved")
+    val touched = after.filter(col("k") <= 10).orderBy("k").collect()
+    assert(touched.forall(r => r.getLong(2) == r.getLong(0) * 10 + 5))
+    assert(touched.forall(r => r.getString(1) == s"NAME_${r.getLong(0)}"))
+    val untouched = after.filter(col("k") > 10).orderBy("k").collect()
+    assert(untouched.forall(r => r.getLong(2) == r.getLong(0) * 10))
+    assert(TimeTravel.read(spark, dir, Some(1L)).filter(col("k") <= 10)
+      .collect().forall(r => r.getString(1).startsWith("name_")),
+      "pre-update snapshot must stay readable")
+    // a no-match UPDATE must not commit a version
+    val vBefore = TimeTravel.versions(spark, dir).max
+    withGraftCatalog { spark.sql(s"UPDATE graft.`$dir` SET bal = 0 WHERE k > 1000") }
+    assert(TimeTravel.versions(spark, dir).max == vBefore)
+  }
+
+  test("SQL MERGE ≡ TimeTravel.merge on the canonical upsert") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dirSql = seedTable("mrgsql")
+    val dirLib = seedTable("mrglib")
+    // source: updates for half the keys, plus brand-new keys
+    val src = ((50L to 120L).map(i => (i, s"new_$i", i * 100))).toDF("k", "nm", "bal")
+    src.createOrReplaceTempView("dml_merge_src")
+    withGraftCatalog {
+      spark.sql(
+        s"""MERGE INTO graft.`$dirSql` t USING dml_merge_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET k = s.k, nm = s.nm, bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT (k, nm, bal) VALUES (s.k, s.nm, s.bal)
+           |""".stripMargin).collect()
+    }
+    TimeTravel.merge(spark, dirLib, src, "k")
+    val got = TimeTravel.read(spark, dirSql).orderBy("k").collect().toSeq
+    val want = TimeTravel.read(spark, dirLib).orderBy("k").collect().toSeq
+    assert(got == want && got.size == 120)
+    assert(got.count(_.getString(1).startsWith("new_")) == 71)
+  }
+
+  test("SQL MERGE declines non-canonical shapes loudly") {
+    val dir = seedTable("mrgbad")
+    import spark.implicits._
+    Seq((1L, "x", 1L)).toDF("k", "nm", "bal").createOrReplaceTempView("dml_bad_src")
+    withGraftCatalog {
+      // divergent UPDATE vs INSERT rows
+      val e1 = intercept[Exception](spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_bad_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET k = s.k, nm = s.nm, bal = 0
+           |WHEN NOT MATCHED THEN INSERT (k, nm, bal) VALUES (s.k, s.nm, s.bal)
+           |""".stripMargin))
+      assert(e1.getMessage.contains("disagree"), e1.getMessage)
+      // non-equality ON
+      val e2 = intercept[Exception](spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_bad_src s ON t.k < s.k
+           |WHEN MATCHED THEN UPDATE SET k = s.k, nm = s.nm, bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT (k, nm, bal) VALUES (s.k, s.nm, s.bal)
+           |""".stripMargin))
+      assert(e2.getMessage.contains("equality ON"), e2.getMessage)
+    }
+  }
+
+  test("GraftCatalog: SELECT and VERSION AS OF resolve through the SQL identifier") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = seedTable("cat")
+    TimeTravel.commitAppend(
+      Seq((101L, "name_101", 1010L)).toDF("k", "nm", "bal"), dir)
+    withGraftCatalog {
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$dir`").head.getLong(0) == 101)
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$dir` VERSION AS OF 1")
+        .head.getLong(0) == 100)
+    }
+  }
 }
