@@ -779,4 +779,52 @@ class PlanSpec extends SparkSpec {
         s"AQE should have re-planned the tiny filtered side as broadcast:\n$finalPlan")
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("JoinAdvisor: same query, different stored stats → different pinned join strategy") {
+    import graft.operators.JoinAdvisor
+    import graft.operators.JoinAdvisor._
+    import spark.implicits._
+    // fact: key 7 pathologically hot; dim: unique keys
+    val fact = ((1L to 2000L).map(i => (i % 50, i)) ++
+      (1L to 3000L).map(i => (7L, 100000L + i))).toDF("k", "payload")
+    val dim = (0L until 50L).map(i => (i, s"dim_$i")).toDF("k", "attr")
+    val plainRows = fact.join(dim, "k").orderBy("payload").collect().toSeq
+
+    // the stats ladder: the QUERY is identical, only the sidecar changes
+    val dimTiny = KeyStats(rows = 50, distinctEst = 50, topKeys = Seq("7" -> 1L), rowBytes = 24)
+    val dimHuge = dimTiny.copy(rows = 100000000L, distinctEst = 100000000L)
+    val factSkewed = KeyStats(rows = 5000, distinctEst = 50,
+      topKeys = Seq("7" -> 3040L, "3" -> 40L), rowBytes = 16000) // big bytes: no broadcast
+    val factFlat = factSkewed.copy(topKeys = Seq("3" -> 110L))
+
+    val s1 = choose(factSkewed, dimTiny)
+    val s2 = choose(factSkewed, dimHuge)
+    val s3 = choose(factFlat, dimHuge)
+    assert(s1 == BroadcastRight, s"tiny dim must broadcast: $s1")
+    assert(s2.isInstanceOf[SaltLeft], s"hot key + unique dim must salt: $s2")
+    assert(s3 == Plain, s"no fit, no skew must stay plain: $s3")
+
+    // plan evidence: each strategy pins a different physical shape...
+    val p1 = JoinAdvisor(fact, dim, "k", s1).queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), s"expected broadcast plan:\n$p1")
+    val salted = JoinAdvisor(fact, dim, "k", s2)
+    val p2 = salted.queryExecution.optimizedPlan.toString
+    assert(p2.contains("_salt"), s"expected salted plan:\n$p2")
+    val p3 = JoinAdvisor(fact, dim, "k", s3).queryExecution.optimizedPlan.toString
+    assert(!p2.contains("BroadcastHint") && !p3.contains("_salt"))
+    // ...and every strategy computes the same rows
+    Seq(s1, s2, s3).foreach { s =>
+      assert(JoinAdvisor(fact, dim, "k", s)
+        .select("k", "payload", "attr").orderBy("payload").collect().toSeq ==
+        plainRows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))),
+        s"strategy $s changed the answer")
+    }
+
+    // collect → save → load round-trips the sidecar; collect sees the skew
+    val st = JoinAdvisor.collect(fact, "k")
+    assert(st.rows == 5000 && st.topKeys.head._1 == "7" && st.topKeys.head._2 == 3040)
+    val p = java.nio.file.Files.createTempDirectory("advisor").toString + "/stats.json"
+    JoinAdvisor.save(spark, p, st)
+    assert(JoinAdvisor.load(spark, p) == st)
+  }
 }
