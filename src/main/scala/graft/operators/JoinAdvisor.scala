@@ -113,6 +113,26 @@ object JoinAdvisor {
     KeyStats(long("\"rows"), long("\"distinct_est"), tops, long("\"row_bytes"))
   }
 
+  /** ANALYZE-and-store beside the table: the sidecar lives under
+    * `_advisor/<key>.json` inside the table directory (underscore
+    * prefix → invisible to parquet scans), so the statistics travel
+    * WITH the data like every other sidecar in this library. */
+  def analyzeTable(spark: SparkSession, tablePath: String, df: DataFrame,
+      key: String, topK: Int = 10): KeyStats = {
+    val st = collect(df, key, topK)
+    save(spark, s"$tablePath/_advisor/$key.json", st)
+    st
+  }
+
+  /** Load the stored statistics for (table, key), if analyzed. */
+  def statsFor(spark: SparkSession, tablePath: String,
+      key: String): Option[KeyStats] = {
+    val p = new Path(s"$tablePath/_advisor/$key.json")
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      Some(load(spark, p.toString))
+    else None
+  }
+
   /** The decision procedure over stored stats — pure, deterministic,
     * unit-testable without Spark. */
   def choose(left: KeyStats, right: KeyStats,

@@ -56,14 +56,23 @@ object SqlDml extends Rule[LogicalPlan] {
     }
   }
 
+  /** Opaque box around an already-resolved expression: the command's
+    * predicates/assignments must NOT surface through `expressions`,
+    * or CheckAnalysis rejects IN/EXISTS subqueries it only allows
+    * under the nodes it knows (`DELETE FROM … WHERE k IN (SELECT …)`
+    * is legal SQL and the run-time filter context accepts it — the
+    * box just carries it past the structural check, exactly as
+    * command-translation layers over Spark have always had to). */
+  final case class Boxed(expr: Expression)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case d @ DeleteFromTable(GraftTarget(t), cond) if d.resolved =>
-      GraftDeleteCommand(t.tablePath, cond)
+      GraftDeleteCommand(t.tablePath, Boxed(cond))
 
     case u @ UpdateTable(GraftTarget(t), assignments, cond) if u.resolved =>
       GraftUpdateCommand(t.tablePath,
-        assignments.map(a => targetColName(a.key, "UPDATE SET") -> a.value),
-        cond)
+        assignments.map(a => targetColName(a.key, "UPDATE SET") -> Boxed(a.value)),
+        cond.map(Boxed))
 
     case m: MergeIntoTable if m.resolved &&
         GraftTarget.unapply(m.targetTable).isDefined =>
@@ -153,25 +162,25 @@ object SqlDml extends Rule[LogicalPlan] {
 }
 
 /** `DELETE FROM` a versioned table → merge-on-read tombstones. */
-final case class GraftDeleteCommand(path: String, cond: Expression)
+final case class GraftDeleteCommand(path: String, cond: SqlDml.Boxed)
     extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TimeTravel.deleteMoR(spark, path, SqlDml.byName(cond))))
+    Seq(Row(TimeTravel.deleteMoR(spark, path, SqlDml.byName(cond.expr))))
 }
 
 /** `UPDATE` a versioned table → tombstone + updated copies. */
 final case class GraftUpdateCommand(path: String,
-    sets: Seq[(String, Expression)], cond: Option[Expression])
+    sets: Seq[(String, SqlDml.Boxed)], cond: Option[SqlDml.Boxed])
     extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val where = cond.map(SqlDml.byName)
+    val where = cond.map(b => SqlDml.byName(b.expr))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Seq(Row(TimeTravel.updateMoR(spark, path,
-      where, sets.map { case (n, e) => n -> SqlDml.byName(e) })))
+      where, sets.map { case (n, b) => n -> SqlDml.byName(b.expr) })))
   }
 }
 

@@ -59,6 +59,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     TimeTravelTable(tableOptions(pathOf(ident), Some(version)))
 
+  /** `TIMESTAMP AS OF t` — Spark hands the instant as epoch MICROS;
+    * the snapshot is the newest version whose manifest was published
+    * at or before it ([[TimeTravel.versionAsOf]]), then pinned exactly
+    * like a version read. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    val v = TimeTravel.versionAsOf(
+      org.apache.spark.sql.SparkSession.active, path, timestamp / 1000L)
+    TimeTravelTable(tableOptions(path, Some(v.toString)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true }
     catch { case scala.util.control.NonFatal(_) => false }

@@ -59,6 +59,22 @@ object TimeTravel {
   private def latest(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  /** The newest version committed AT OR BEFORE `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution rule, read from the manifests' own
+    * publish mtimes (each commit is one atomic manifest rename, so its
+    * mtime IS the commit instant). Loud when the timestamp predates
+    * the first commit: silently serving a later snapshot would lie
+    * about history. Driver-side O(commits) stat calls. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val f = fs(spark, path)
+    val eligible = versions(spark, path).filter { v =>
+      f.getFileStatus(new Path(manifestDir(path), s"${vname(v)}.json"))
+        .getModificationTime <= tsMillis
+    }
+    eligible.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"no version at $path committed at or before epoch-millis $tsMillis"))
+  }
+
   /** Commit tags already present in the manifest history (used for
     * idempotent streaming appends: a replayed micro-batch finds its own
     * tag and skips). */

@@ -498,4 +498,52 @@ class SourcesSpec extends SparkSpec {
         .head.getLong(0) == 100)
     }
   }
+
+  test("GraftCatalog: TIMESTAMP AS OF resolves the snapshot by commit instant") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = seedTable("tsasof")
+    Thread.sleep(1100) // manifests carry second-granularity mtimes on some fs
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    TimeTravel.commitAppend(
+      Seq((201L, "late", 42L)).toDF("k", "nm", "bal"), dir)
+    assert(TimeTravel.versionAsOf(spark, dir, betweenMs) == 1L)
+    assert(TimeTravel.versionAsOf(spark, dir, System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException] {
+      TimeTravel.versionAsOf(spark, dir, 1000L) // predates the table
+    }
+    withGraftCatalog {
+      val ts = new java.sql.Timestamp(betweenMs)
+      assert(spark.sql(
+        s"SELECT COUNT(*) AS n FROM graft.`$dir` TIMESTAMP AS OF '$ts'")
+        .head.getLong(0) == 100, "between-commits instant must see v1")
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$dir`").head.getLong(0) == 101)
+    }
+  }
+
+  test("SQL DELETE with an uncorrelated IN subquery tombstones exactly the listed keys") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = seedTable("delin")
+    Seq(3L, 5L, 8L, 999L).toDF("kk").createOrReplaceTempView("dml_del_keys")
+    withGraftCatalog {
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE k IN (SELECT kk FROM dml_del_keys)")
+    }
+    val left = TimeTravel.read(spark, dir).select("k").collect().map(_.getLong(0)).toSet
+    assert(left == (1L to 100L).toSet -- Set(3L, 5L, 8L))
+  }
+
+  test("JoinAdvisor table sidecar: analyze stores under _advisor, scans unaffected") {
+    import graft.operators.JoinAdvisor
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = seedTable("advt")
+    val df = TimeTravel.read(spark, dir)
+    val st = JoinAdvisor.analyzeTable(spark, dir, df, "k")
+    assert(JoinAdvisor.statsFor(spark, dir, "k").contains(st))
+    assert(JoinAdvisor.statsFor(spark, dir, "nope").isEmpty)
+    // the underscore sidecar is invisible to the table read
+    assert(TimeTravel.read(spark, dir).count() == 100)
+  }
 }
