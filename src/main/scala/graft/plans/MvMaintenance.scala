@@ -215,9 +215,19 @@ object MvMaintenance {
     * matching new queries (the staleness contract) instead of claiming
     * currency the parquet doesn't have. */
   private def reregister(spark: SparkSession, name: String, r: Registration,
-      v: Long): Unit =
-    MvCatalog.registerMaterialized(spark, name,
-      r.define(TimeTravel.read(spark, r.basePath, Some(v))), r.mvPath)
+      v: Long): Unit = {
+    // an avg-bearing MV registers its piece state too, so the roll-up
+    // probe can fold averages from Σsum/Σcnt instead of declining
+    val statePath = s"${r.mvPath}/$StateDir"
+    val hasState =
+      new Path(statePath).getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(new Path(statePath))
+    val pieces =
+      if (!hasState) None
+      else decompSpec(spark, r).map(ds => (statePath, ds.avgPieces))
+    MvCatalog.registerMaterializedWithState(spark, name,
+      r.define(TimeTravel.read(spark, r.basePath, Some(v))), r.mvPath, pieces)
+  }
 
   /** Introspect the definition's optimized plan: Some((group column
     * names, per-column merge aggregates)) iff the top node is an
@@ -279,7 +289,11 @@ object MvMaintenance {
   private final case class Decomp(
       keys: Seq[String],
       stateMerges: Seq[Column],
-      serve: DataFrame => DataFrame)
+      serve: DataFrame => DataFrame,
+      /** avg column name → its (sum, count) piece column names in the
+        * state parquet — handed to [[MvCatalog]] so the roll-up probe
+        * can fold averages from the state. */
+      avgPieces: Map[String, (String, String)])
 
   private def optimizedOf(spark: SparkSession, df: DataFrame) =
     MvRewrite.whileSuspended {
@@ -305,6 +319,7 @@ object MvMaintenance {
     val keyExprs = Seq.newBuilder[Expression]
     val merges = Seq.newBuilder[Column]
     val outs = Seq.newBuilder[Column]
+    val pieces = Map.newBuilder[String, (String, String)]
     var hasAvg = false
     val ok = agg.aggregateExpressions.forall {
       case a: Attribute if isGroup(a) =>
@@ -320,6 +335,7 @@ object MvMaintenance {
           case _: Average
               if !al.dataType.isInstanceOf[DecimalType] && ae.filter.isEmpty =>
             hasAvg = true
+            pieces += n -> (s"${n}__gsum", s"${n}__gcnt")
             merges += sum(col(s"${n}__gsum")).as(s"${n}__gsum")
             merges += sum(col(s"${n}__gcnt")).as(s"${n}__gcnt")
             outs += (col(s"${n}__gsum") / col(s"${n}__gcnt")).cast(al.dataType).as(n)
@@ -334,7 +350,7 @@ object MvMaintenance {
     val outCols = outs.result()
     if (ok && hasAvg && allKeysVisible)
       Some(Decomp(keys.result(), merges.result(),
-        (st: DataFrame) => st.select(outCols: _*)))
+        (st: DataFrame) => st.select(outCols: _*), pieces.result()))
     else None
   }
 

@@ -56,7 +56,14 @@ object MvCatalog {
         * plan has that shape — the structural handle the projection-
         * subsumption probe needs (column positions, grouping exprs);
         * None degrades that probe, never correctness. */
-      defAgg: Option[Aggregate])
+      defAgg: Option[Aggregate],
+      /** The decomposed piece state the maintenance tier materializes
+        * for avg-bearing definitions ([[MvMaintenance]]'s `_state`
+        * parquet): its relation plus, per avg column name, the
+        * (sum, count) piece column names — what lets the roll-up
+        * probe fold an Average soundly. None degrades the avg fold
+        * to a decline, never correctness. */
+      avgState: Option[(LogicalRelation, Map[String, (String, String)])] = None)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -75,7 +82,17 @@ object MvCatalog {
     * content currency is the caller's claim, per the staleness
     * contract above. */
   def registerMaterialized(spark: SparkSession, name: String, defDf: DataFrame,
-      path: String): Unit = {
+      path: String): Unit =
+    registerMaterializedWithState(spark, name, defDf, path, None)
+
+  /** [[registerMaterialized]] plus the decomposed piece state the
+    * incremental-maintenance tier keeps for avg-bearing definitions:
+    * `statePieces` = (state parquet path, avg column → (sum, count)
+    * piece names). With it registered, the roll-up probe can fold the
+    * MV's averages from Σsum/Σcnt instead of declining. */
+  def registerMaterializedWithState(spark: SparkSession, name: String,
+      defDf: DataFrame, path: String,
+      statePieces: Option[(String, Map[String, (String, String)])]): Unit = {
     val read = spark.read.parquet(path)
     val defTypes = defDf.schema.map(f => (f.name, f.dataType))
     val gotTypes = read.schema.map(f => (f.name, f.dataType))
@@ -96,9 +113,15 @@ object MvCatalog {
         .ofRows(spark, defDf.queryExecution.logical)
         .queryExecution.optimizedPlan
     }
+    val avgState = statePieces.flatMap { case (statePath, pieces) =>
+      spark.read.parquet(statePath).queryExecution.analyzed.collectFirst {
+        case lr: LogicalRelation => (lr, pieces)
+      }
+    }
     entries.put(name,
       Entry(name, optimized.canonicalized, rel, path,
-        optimized match { case a: Aggregate => Some(a); case _ => None }))
+        optimized match { case a: Aggregate => Some(a); case _ => None },
+        avgState))
   }
 
   def unregister(name: String): Unit = entries.remove(name)
@@ -370,7 +393,7 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def rollupSubsume(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
     val (baseQ, subQ) = inlineProjects(agg.child)
     def inQ(ex: Expression): Expression = ex.transformUp {
       case a: Attribute => subQ.getOrElse(a.exprId, a)
@@ -415,51 +438,104 @@ object MvRewrite extends Rule[LogicalPlan] {
             else {
               def isGroupExpr(ex: Expression): Boolean =
                 queryGroups.exists(_.semanticEquals(ex))
-              val fresh = e.relation.newInstance()
-              // every output column: a visible key, or a re-aggregable
-              // aggregate canonically equal to a materialized column
-              val outs: Seq[Option[NamedExpression]] =
-                agg.aggregateExpressions.map { q =>
-                  val stripped = inQ(stripAlias(q))
-                  if (isGroupExpr(stripped)) {
-                    val p = posOf(stripped)
-                    if (p >= 0) Some(Alias(fresh.output(p), q.name)(exprId = q.exprId))
-                    else None
-                  } else stripped match {
-                    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+              // an Average in the query cannot fold from the SERVING
+              // columns (avg-of-avgs) — but when the maintenance tier
+              // registered the MV's decomposed `_state` (sum+count
+              // pieces per avg), the fold reads the STATE relation
+              // instead: every column of the serving MV exists there
+              // by name, and each avg re-derives as Σsum/Σcnt — the
+              // cube-lattice payoff extended to the non-mergeable
+              // aggregate via its decomposition
+              val needsAvg = agg.aggregateExpressions.exists { q =>
+                inQ(stripAlias(q)) match {
+                  case ae: AggregateExpression =>
+                    ae.aggregateFunction.isInstanceOf[Average]
+                  case _ => false
+                }
+              }
+              // (plan source, MV-position → source attr, definition
+              // column name → its (sum, count) piece attrs)
+              val sourceOpt: Option[(LogicalPlan, Int => Option[Attribute],
+                  String => Option[(Attribute, Attribute)])] =
+                if (!needsAvg) {
+                  val f = e.relation.newInstance()
+                  Some((f, (p: Int) => f.output.lift(p), (_: String) => None))
+                } else e.avgState.map { case (stRel, pieces) =>
+                  val f = stRel.newInstance()
+                  val byName = f.output.map(a => a.name -> a).toMap
+                  ((f: LogicalPlan),
+                    (p: Int) => d.aggregateExpressions.lift(p)
+                      .flatMap(ne => byName.get(ne.name)),
+                    (n: String) => pieces.get(n).flatMap { case (s, c) =>
+                      for { a <- byName.get(s); b <- byName.get(c) } yield (a, b)
+                    })
+                }
+              sourceOpt.flatMap { case (fresh, colAt, pieceFor) =>
+                def typed(ex: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+                  if (ex.dataType == dt) ex else Cast(ex, dt)
+                // every output column: a visible key, or a re-aggregable
+                // aggregate canonically equal to a materialized column
+                val outs: Seq[Option[NamedExpression]] =
+                  agg.aggregateExpressions.map { q =>
+                    val stripped = inQ(stripAlias(q))
+                    if (isGroupExpr(stripped)) {
                       val p = posOf(stripped)
-                      // COUNT folds as Sum of the stored counts, but Sum
-                      // over ZERO rows is NULL where COUNT is 0 — reachable
-                      // when a GLOBAL rollup (queryGroups empty) reads an
-                      // empty materialization — so the fold coalesces to 0
-                      val reAgg: Option[Expression => Expression] =
-                        ae.aggregateFunction match {
-                          case _: Sum => Some(c => AggregateExpression(
-                            Sum(c), Complete, isDistinct = false))
-                          case _: Count => Some(c => Coalesce(Seq(
-                            AggregateExpression(Sum(c), Complete, isDistinct = false),
-                            Literal(0L))))
-                          case _: Min => Some(c => AggregateExpression(
-                            Min(c), Complete, isDistinct = false))
-                          case _: Max => Some(c => AggregateExpression(
-                            Max(c), Complete, isDistinct = false))
+                      if (p >= 0) colAt(p).map(a => Alias(a, q.name)(exprId = q.exprId))
+                      else None
+                    } else stripped match {
+                      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+                        val p = posOf(stripped)
+                        if (p < 0) None
+                        else ae.aggregateFunction match {
+                          case _: Sum => colAt(p).map { a =>
+                            Alias(typed(AggregateExpression(Sum(a), Complete,
+                              isDistinct = false), q.dataType), q.name)(exprId = q.exprId)
+                          }
+                          // COUNT folds as Sum of the stored counts, but
+                          // Sum over ZERO rows is NULL where COUNT is 0 —
+                          // reachable when a GLOBAL rollup reads an empty
+                          // materialization — so the fold coalesces to 0
+                          case _: Count => colAt(p).map { a =>
+                            Alias(typed(Coalesce(Seq(
+                              AggregateExpression(Sum(a), Complete, isDistinct = false),
+                              Literal(0L))), q.dataType), q.name)(exprId = q.exprId)
+                          }
+                          case _: Min => colAt(p).map { a =>
+                            Alias(typed(AggregateExpression(Min(a), Complete,
+                              isDistinct = false), q.dataType), q.name)(exprId = q.exprId)
+                          }
+                          case _: Max => colAt(p).map { a =>
+                            Alias(typed(AggregateExpression(Max(a), Complete,
+                              isDistinct = false), q.dataType), q.name)(exprId = q.exprId)
+                          }
+                          case _: Average =>
+                            d.aggregateExpressions.lift(p).map(_.name)
+                              .flatMap(pieceFor).map { case (sA, cA) =>
+                                import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, If}
+                                import org.apache.spark.sql.types.DoubleType
+                                val sumS = AggregateExpression(Sum(sA), Complete,
+                                  isDistinct = false)
+                                val sumC = AggregateExpression(Sum(cA), Complete,
+                                  isDistinct = false)
+                                // zero-count groups divide by NULL, not 0:
+                                // Average of no inputs is NULL, and ANSI
+                                // sessions must not throw on the fold
+                                val quot = Divide(
+                                  Cast(sumS, DoubleType),
+                                  If(EqualTo(sumC, Literal(0L)),
+                                    Literal(null, DoubleType), Cast(sumC, DoubleType)))
+                                Alias(typed(quot, q.dataType), q.name)(exprId = q.exprId)
+                              }
                           case _ => None
                         }
-                      (reAgg, p) match {
-                        case (Some(mk), pos) if pos >= 0 =>
-                          val folded = mk(fresh.output(pos))
-                          val typed: Expression =
-                            if (folded.dataType == q.dataType) folded
-                            else Cast(folded, q.dataType)
-                          Some(Alias(typed, q.name)(exprId = q.exprId))
-                        case _ => None
-                      }
-                    case _ => None
+                      case _ => None
+                    }
                   }
-                }
-              if (outs.forall(_.isDefined))
-                Some(Aggregate(groupPos.map(fresh.output), outs.map(_.get), fresh))
-              else None
+                val groupAttrs = groupPos.map(colAt)
+                if (outs.forall(_.isDefined) && groupAttrs.forall(_.isDefined))
+                  Some(Aggregate(groupAttrs.map(_.get), outs.map(_.get), fresh))
+                else None
+              }
             }
           }
         case _ => None

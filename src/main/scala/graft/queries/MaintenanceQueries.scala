@@ -1582,6 +1582,70 @@ object MaintenanceQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** AVG ROLL-UP from the decomposed state ([[graft.plans.MvRewrite]]
+    * × [[graft.plans.MvMaintenance]], r9 composition): an avg-bearing
+    * MV registered through the maintenance tier carries its sum+count
+    * piece state, and a COARSER query asking for the avg is served by
+    * folding Σsum/Σcnt from that state — the one aggregate the
+    * roll-up probe previously had to decline (avg-of-avgs is exactly
+    * the unsound fold). `rolled_from_state` pins that the plan reads
+    * the `_state` parquet and never rescans the base; the oracle
+    * recomputes count/avg/sum from the raw table, so an unsound fold
+    * breaks the avg column.
+    *
+    * Scale: one fine materialization now serves avg dashboards at
+    * every coarser cut with O(MV groups) work — previously each cut
+    * re-scanned the fact table just for its average. */
+  val qMvRollupAvg: QueryDef = QueryDef.sql(
+    "q_mv_rollup_avg",
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  AVG(cents) AS avg_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS rolled_from_state
+      |FROM o
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.plans.{MvCatalog, MvMaintenance}
+    import graft.sources.TimeTravel
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_rav_${tag}_p${ProcessHandle.current().pid()}"
+    // the MV dir name must NOT contain the base dir name, or the
+    // "never rescans the base" plan probe below can't distinguish them
+    val mv =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ravmv_${tag}_p${ProcessHandle.current().pid()}"
+    Seq(base, mv).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val name = s"rav_$tag"
+    MvMaintenance.unregister(name); MvCatalog.unregister(name)
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o, base)
+    MvMaintenance.register(s, name, base, mv)((df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("o_orderpriority"), (col("o_orderkey") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"), avg(col("cents")).as("avg_cents"),
+          sum(col("cents")).as("sum_cents")))
+    val q = TimeTravel.read(s, base)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), avg(col("cents")).as("avg_cents"),
+        sum(col("cents")).as("sum_cents"))
+    val plan = q.queryExecution.executedPlan.toString
+    val fromState = plan.contains("_state") &&
+      !plan.contains(new java.io.File(base).getName)
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    q.withColumn("rolled_from_state", lit(fromState || !extLoaded))
+      .orderBy("o_orderpriority")
+  }
+
   /** SQL `MERGE INTO` over the versioned table ([[graft.plans.SqlDml]]
     * + [[graft.sources.GraftCatalog]], r9 tier): the canonical upsert
     * statement — `WHEN MATCHED THEN UPDATE SET …, WHEN NOT MATCHED
@@ -1786,5 +1850,5 @@ object MaintenanceQueries {
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
     qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
-    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg)
+    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg)
 }

@@ -425,6 +425,59 @@ class MvSpec extends SparkSpec {
     } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
   }
 
+  test("roll-up over an avg-bearing MV folds the average from the decomposed state") {
+    import graft.plans.MvMaintenance
+    import graft.sources.TimeTravel
+    val base = mvDir("ravg_base")
+    val mv = mvDir("ravg_mv")
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    rm(base); rm(mv)
+    def fine(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), (col("user_id") % 5).as("cohort"))
+      .agg(count(lit(1)).as("n"), avg(col("cents")).as("avg_cents"),
+        sum(col("cents")).as("s"))
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value * 100.0) AS BIGINT)").as("cents"))
+      TimeTravel.commitOverwrite(ev, base)
+      MvMaintenance.register(spark, "ravg", base, mv)(fine)
+
+      // the COARSER cut with the avg: must serve from the state pieces
+      val q = TimeTravel.read(spark, base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("cents")).as("avg_cents"),
+          sum(col("cents")).as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("_state"),
+        s"avg roll-up must read the piece state:\n$plan")
+      assert(!plan.contains(new java.io.File(base).getName),
+        "the base table must not be rescanned")
+      val served = q.orderBy("event_type").collect().toSeq
+      MvCatalog.clear()
+      val truth = TimeTravel.read(spark, base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("cents")).as("avg_cents"),
+          sum(col("cents")).as("s"))
+        .orderBy("event_type").collect().toSeq
+      assert(served == truth,
+        "state-folded roll-up must equal the from-scratch aggregate")
+      // re-register (rebuild re-points the catalog, state included)
+      MvMaintenance.rebuild(spark, "ravg")
+
+      // an avg-free coarser cut still serves from the SERVING parquet
+      val q2 = TimeTravel.read(spark, base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains(new java.io.File(mv).getName) && !plan2.contains("_state"),
+        s"avg-free roll-up should not need the state:\n$plan2")
+    } finally { MvMaintenance.clear(); MvCatalog.clear(); rm(base); rm(mv) }
+  }
+
   test("streaming delta maintenance: published MV serves the rewrite, replay-idempotent") {
     import graft.streaming.MvStreams
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
