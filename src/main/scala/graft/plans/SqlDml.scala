@@ -5,7 +5,7 @@ import graft.sources.{TimeTravel, TimeTravelTable}
 import org.apache.spark.sql.{AnalysisException, GraftPlanApi, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -77,6 +77,28 @@ object SqlDml extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved &&
         GraftTarget.unapply(m.targetTable).isDefined =>
       translateMerge(m, GraftTarget.unapply(m.targetTable).get)
+
+    // INSERT INTO → commitAppend; the analyzer has already rewritten
+    // the statement into AppendData against the resolved v2 relation
+    // (and aligned/cast the query via the output-resolution rules)
+    case a @ AppendData(r, query, _, _, _, _) if query.resolved &&
+        GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).isDefined =>
+      GraftInsertCommand(GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).get.tablePath,
+        query, overwrite = false)
+
+    // INSERT OVERWRITE (truncate form) → commitOverwrite: the new
+    // snapshot sees only the new rows, history stays time-travelable
+    case o @ OverwriteByExpression(r, deleteExpr, query, _, _, _, _)
+        if query.resolved &&
+          GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).isDefined =>
+      deleteExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
+          GraftInsertCommand(
+            GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).get.tablePath,
+            query, overwrite = true)
+        case other => fail(
+          s"graft INSERT OVERWRITE supports only the full-table form, got condition: ${other.sql}")
+      }
   }
 
   private def fail(msg: String): Nothing =
@@ -181,6 +203,25 @@ final case class GraftUpdateCommand(path: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Seq(Row(TimeTravel.updateMoR(spark, path,
       where, sets.map { case (n, b) => n -> SqlDml.byName(b.expr) })))
+  }
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` a versioned table → an append
+  * or overwrite COMMIT — the statement's rows become one new version,
+  * and (for overwrite) earlier snapshots stay readable, unlike a file
+  * overwrite. The query plan rides inside the command, already
+  * schema-aligned by the analyzer's output resolution. */
+final case class GraftInsertCommand(path: String, query: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftPlanApi.ofRows(spark, query)
+    val v =
+      if (overwrite) TimeTravel.commitOverwrite(df, path)
+      else TimeTravel.commitAppend(df, path)
+    Seq(Row(v))
   }
 }
 

@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.{TimeTravel, TimeTravelTable}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -92,8 +92,14 @@ object StatsPrune extends Rule[LogicalPlan] {
         a.dataType == IntegerType || a.dataType == LongType => a.name
     }.toSet
     val ranges = bounds.collect { case (c, (lo, hi)) if statsCov(c) => (c, lo, hi) }
+    // bloom admission: a pinned equality contributes one key; an
+    // IN-list contributes its value set (a file is kept when ANY
+    // listed key is admitted — IN is a disjunction, so any-of is the
+    // sound direction)
     val points = bounds.collect {
-      case (c, (lo, hi)) if lo == hi && bloomCov(c) && integralCols(c) => (c, lo)
+      case (c, (lo, hi)) if lo == hi && bloomCov(c) && integralCols(c) => (c, Seq(lo))
+    } ++ inListsOf(cond, r.output).collect {
+      case (c, ks) if bloomCov(c) && integralCols(c) => (c, ks)
     }
     if (ranges.isEmpty && points.isEmpty) return f
     val (files, st) = TimeTravel.planProbes(
@@ -183,10 +189,60 @@ object StatsPrune extends Rule[LogicalPlan] {
       case LessThanOrEqual(l: Literal, a: Attribute) => tighten(a, longOf(l), None)
       case LessThan(l: Literal, a: Attribute) => above(a, longOf(l))
       case EqualTo(l: Literal, a: Attribute) => tighten(a, longOf(l), longOf(l))
+      // IN confines the column to [min(list), max(list)] — an
+      // over-approximation of the disjunction, sound because the
+      // residual filter re-applies the exact predicate (the bloom
+      // tier handles the per-value admission separately)
+      case In(a: Attribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ks = vs.map(v => longOf(v.asInstanceOf[Literal]))
+        if (ks.forall(_.isDefined)) {
+          val xs = ks.flatten
+          tighten(a, Some(xs.min), Some(xs.max))
+        }
+      case InSet(a: Attribute, hset) if hset.nonEmpty =>
+        val ks = hset.toSeq.map(internalLong)
+        if (ks.forall(_.isDefined)) {
+          val xs = ks.flatten
+          tighten(a, Some(xs.min), Some(xs.max))
+        }
       case _ => ()
     }
     win.toSeq.filter { case (_, (lo, hi)) =>
       lo != Long.MinValue || hi != Long.MaxValue
+    }
+  }
+
+  private def internalLong(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte    => Some(b.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case j: java.lang.Long    => Some(j)
+    case _ => None
+  }
+
+  /** The IN-lists over direct columns with all-integral values —
+    * the bloom tier's any-of key sets. Lists over 256 values decline
+    * (the per-file × per-key admission cost must stay planning-scale;
+    * the range tier still confines them via [min, max]). */
+  private def inListsOf(cond: Expression,
+      output: Seq[Attribute]): Seq[(String, Seq[Long])] = {
+    val names = output.map(a => a.exprId -> a.name).toMap
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case In(a: Attribute, vs)
+          if vs.nonEmpty && vs.size <= 256 && vs.forall(_.isInstanceOf[Literal]) =>
+        val ks = vs.map(v => internalLong(v.asInstanceOf[Literal].value))
+        if (ks.forall(_.isDefined)) names.get(a.exprId).map(_ -> ks.flatten)
+        else None
+      case InSet(a: Attribute, hset) if hset.nonEmpty && hset.size <= 256 =>
+        val ks = hset.toSeq.map(internalLong)
+        if (ks.forall(_.isDefined)) names.get(a.exprId).map(_ -> ks.flatten)
+        else None
+      case _ => None
     }
   }
 }

@@ -1707,19 +1707,21 @@ object MaintenanceQueries {
       .withColumn("via_sql", lit(v == 2L))
   }
 
-  /** SQL `DELETE FROM` + `UPDATE` over the versioned table
-    * ([[graft.plans.SqlDml]] r9 tier): the two remaining row-level
-    * statements, each translated to its merge-on-read library op —
-    * DELETE to [[graft.sources.TimeTravel.deleteMoR]] (tombstones
-    * only), UPDATE to [[graft.sources.TimeTravel.updateMoR]]
-    * (tombstone + updated copies in one atomic publish). The sequence
-    * composes: the UPDATE's predicate sees the post-DELETE live set,
-    * so a translation that read stale tombstones or double-applied
-    * them breaks the closed-form oracle. `via_sql` pins the committed
-    * versions (2 then 3).
+  /** SQL `INSERT INTO` + `DELETE FROM` + `UPDATE` over the versioned
+    * table ([[graft.plans.SqlDml]] r9 tier): the remaining row-level
+    * statements beyond MERGE, each translated to its library op —
+    * INSERT to [[graft.sources.TimeTravel.commitAppend]] (one new
+    * version, O(new rows)), DELETE to
+    * [[graft.sources.TimeTravel.deleteMoR]] (tombstones only), UPDATE
+    * to [[graft.sources.TimeTravel.updateMoR]] (tombstone + updated
+    * copies in one atomic publish). The sequence composes: the DELETE
+    * sees the post-INSERT rows, the UPDATE the post-DELETE live set —
+    * a translation that read stale tombstones or double-applied them
+    * breaks the closed-form oracle. `via_sql` pins the committed
+    * versions (2, 3, then 4).
     *
-    * Scale: both statements cost O(matched) writes — the data files
-    * of the 100 TB base are never rewritten by either. */
+    * Scale: every statement costs O(touched rows) writes — the data
+    * files of the 100 TB base are never rewritten by any of them. */
   val qTtDmlSql: QueryDef = QueryDef.sql(
     "q_tt_dml_sql",
     """WITH c AS (
@@ -1742,15 +1744,20 @@ object MaintenanceQueries {
     fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
     val c = Tables(s, d, "customer")
       .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
-    TimeTravel.commitOverwrite(c, dir) // v1
+    // v1 holds most rows; the k % 9 = 0 slice arrives via SQL INSERT
+    TimeTravel.commitOverwrite(c.filter(col("k") % 9 =!= 0), dir) // v1
+    val view = s"dml_ins_${Integer.toHexString(d.hashCode)}"
+    c.filter(col("k") % 9 === 0).createOrReplaceTempView(view)
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val v2 = s.sql(s"DELETE FROM graft.`$dir` WHERE k % 5 = 0")
+    val v2 = s.sql(s"INSERT INTO graft.`$dir` SELECT * FROM $view")
       .collect().head.getLong(0)
-    val v3 = s.sql(s"UPDATE graft.`$dir` SET cents = cents + 100 WHERE k % 7 = 0")
+    val v3 = s.sql(s"DELETE FROM graft.`$dir` WHERE k % 5 = 0")
+      .collect().head.getLong(0)
+    val v4 = s.sql(s"UPDATE graft.`$dir` SET cents = cents + 100 WHERE k % 7 = 0")
       .collect().head.getLong(0)
     TimeTravel.read(s, dir)
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
-      .withColumn("via_sql", lit(v2 == 2L && v3 == 3L))
+      .withColumn("via_sql", lit(v2 == 2L && v3 == 3L && v4 == 4L))
   }
 
   /** DATE-typed automatic file skipping ([[graft.plans.StatsPrune]]

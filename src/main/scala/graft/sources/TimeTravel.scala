@@ -768,7 +768,7 @@ object TimeTravel {
   private[graft] def bloomFiles(spark: SparkSession, path: String,
       bloomCol: String, key: Long,
       v: Long): (Seq[String], ZoneMaps.PruneStats) =
-    planProbes(spark, path, v, Nil, Seq((bloomCol, key)))
+    planProbes(spark, path, v, Nil, Seq((bloomCol, Seq(key))))
 
   /** Conjunctive multi-probe planning — the substrate of
     * [[graft.plans.StatsPrune]]: a file is read only if EVERY range
@@ -797,9 +797,12 @@ object TimeTravel {
       s"stats sidecar cell of unsupported type ${other.getClass.getName}")
   }
 
+  /** Point probes carry a KEY SET: one key = equality, several = an
+    * IN-list, where the file is kept when ANY listed key is admitted
+    * (IN is a disjunction — any-of is the sound direction). */
   private[graft] def planProbes(spark: SparkSession, path: String, v: Long,
       ranges: Seq[(String, Long, Long)],
-      points: Seq[(String, Long)]): (Seq[String], ZoneMaps.PruneStats) = {
+      points: Seq[(String, Seq[Long])]): (Seq[String], ZoneMaps.PruneStats) = {
     val mi = sidecarManifest(spark, path, v)
     val probes: Seq[(Seq[String], org.apache.spark.sql.Row => Boolean)] =
       ranges.map { case (c, lo, hi) =>
@@ -809,12 +812,12 @@ object TimeTravel {
           val mx = statLong(r.get(mi.schema.fieldIndex(mxC)))
           mn <= hi && mx >= lo
         })
-      } ++ points.map { case (c, key) =>
+      } ++ points.map { case (c, keys) =>
         val bC = s"bloom_$c"
         (Seq(bC), { (r: org.apache.spark.sql.Row) =>
-          graft.operators.BloomOps.admits(
-            r.getSeq[Long](mi.schema.fieldIndex(bC)),
-            key.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes)
+          val bits = r.getSeq[Long](mi.schema.fieldIndex(bC))
+          keys.exists(k => graft.operators.BloomOps.admits(
+            bits, k.toString, ZoneMaps.BloomBits, ZoneMaps.BloomHashes))
         })
       }
     val fileIdx = mi.schema.fieldNames.indexOf("file")

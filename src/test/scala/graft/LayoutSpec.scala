@@ -257,6 +257,58 @@ class LayoutSpec extends SparkSpec {
     assert(qb.count() == 1, "the row must survive — no false skip")
   }
 
+  test("StatsPrune: IN-lists prune via range span and bloom any-of") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    def prunedFileCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+
+    // range tier: IN over a stats column confines to [min, max]
+    val dir = java.nio.file.Files.createTempDirectory("ttinr").toFile.getAbsolutePath + "/t"
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"p$i")).toDF("k", "payload").repartition(1)
+    TimeTravel.commitOverwrite(batch(0, 999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(1000, 1999), dir, statsCols = Seq("k"))
+    TimeTravel.commitAppend(batch(2000, 2999), dir, statsCols = Seq("k"))
+    def snap = spark.read.format("graft-table").load(dir)
+    val qi = snap.filter(col("k").isin(1100L, 1200L, 1900L))
+    assert(prunedFileCount(qi) == 1,
+      s"IN list inside one file's span must prune to it:\n${qi.queryExecution.optimizedPlan}")
+    assert(qi.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1100L, 1200L, 1900L))
+    // a list whose [min, max] span covers two files keeps those two
+    // (the middle of the span admits whatever files it crosses — the
+    // range tier is an over-approximation, the residual stays exact)
+    val qs = snap.filter(col("k").isin(500L, 1500L))
+    assert(prunedFileCount(qs) == 2)
+    assert(qs.count() == 2)
+    // a span covering every file declines the rewrite (nothing skipped)
+    assert(prunedFileCount(snap.filter(col("k").isin(500L, 2500L))) == 0)
+
+    // bloom tier: an IN over an UNCLUSTERED bloom column admits the
+    // union of the matching files — any-of, never intersection
+    val dir2 = java.nio.file.Files.createTempDirectory("ttinb").toFile.getAbsolutePath + "/t"
+    def uid(i: Long) = (i * 2654435761L) % 100000L
+    def ubatch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, uid(i))).toDF("k", "uid").repartition(1)
+    TimeTravel.commitOverwrite(ubatch(0, 999), dir2, bloomCols = Seq("uid"))
+    TimeTravel.commitAppend(ubatch(1000, 1999), dir2, bloomCols = Seq("uid"))
+    TimeTravel.commitAppend(ubatch(2000, 2999), dir2, bloomCols = Seq("uid"))
+    def snap2 = spark.read.format("graft-table").load(dir2)
+    // two keys from ONE file: at most that file plus false positives
+    val qb = snap2.filter(col("uid").isin(uid(10), uid(20)))
+    val pb = prunedFileCount(qb)
+    assert(pb >= 1 && pb < 3, s"bloom any-of should skip non-holding files, read $pb/3")
+    assert(qb.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+    // keys from two different files: BOTH must be read (no false skip)
+    val qb2 = snap2.filter(col("uid").isin(uid(10), uid(2500)))
+    assert(qb2.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 2500L),
+      "rows behind an IN-list must always survive")
+  }
+
   test("a sidecar that doesn't track the probe column can never cause skipping") {
     import graft.sources.TimeTravel
     val dir = java.nio.file.Files.createTempDirectory("tthetero").toFile.getAbsolutePath + "/t"

@@ -534,6 +534,30 @@ class SourcesSpec extends SparkSpec {
     assert(left == (1L to 100L).toSet -- Set(3L, 5L, 8L))
   }
 
+  test("SQL INSERT INTO appends a commit; INSERT OVERWRITE replaces, history intact") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = seedTable("ins")
+    Seq((200L, "added", 7L), (201L, "added", 8L)).toDF("k", "nm", "bal")
+      .createOrReplaceTempView("dml_ins_src")
+    withGraftCatalog {
+      val v2 = spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM dml_ins_src")
+        .collect().head.getLong(0)
+      assert(v2 == 2L)
+      assert(TimeTravel.read(spark, dir).count() == 102)
+      // positional VALUES form with casts handled by output resolution
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES (300, 'v', 1)")
+      assert(TimeTravel.read(spark, dir).count() == 103)
+      val v4 = spark.sql(
+        s"INSERT OVERWRITE graft.`$dir` SELECT * FROM dml_ins_src")
+        .collect().head.getLong(0)
+      assert(v4 == 4L)
+      assert(TimeTravel.read(spark, dir).count() == 2, "overwrite sees only new rows")
+      assert(TimeTravel.read(spark, dir, Some(3L)).count() == 103,
+        "pre-overwrite snapshot must stay readable")
+    }
+  }
+
   test("JoinAdvisor table sidecar: analyze stores under _advisor, scans unaffected") {
     import graft.operators.JoinAdvisor
     import graft.sources.TimeTravel
