@@ -338,7 +338,11 @@ object MvMaintenance {
             pieces += n -> (s"${n}__gsum", s"${n}__gcnt")
             merges += sum(col(s"${n}__gsum")).as(s"${n}__gsum")
             merges += sum(col(s"${n}__gcnt")).as(s"${n}__gcnt")
-            outs += (col(s"${n}__gsum") / col(s"${n}__gcnt")).cast(al.dataType).as(n)
+            // gcnt = 0 (all-NULL avg input) must serve NULL like Average
+            // does — a bare division would throw DIVIDE_BY_ZERO under ANSI
+            outs += (col(s"${n}__gsum") /
+              when(col(s"${n}__gcnt") === 0, lit(null)).otherwise(col(s"${n}__gcnt")))
+              .cast(al.dataType).as(n)
             true
           case _ => false
         }

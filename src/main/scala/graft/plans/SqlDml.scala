@@ -78,26 +78,28 @@ object SqlDml extends Rule[LogicalPlan] {
         GraftTarget.unapply(m.targetTable).isDefined =>
       translateMerge(m, GraftTarget.unapply(m.targetTable).get)
 
-    // INSERT INTO → commitAppend; the analyzer has already rewritten
-    // the statement into AppendData against the resolved v2 relation
-    // (and aligned/cast the query via the output-resolution rules)
-    case a @ AppendData(r, query, _, _, _, _) if query.resolved &&
+    // INSERT INTO → commitAppend; guard on the WRITE NODE's resolved
+    // (which includes outputResolved — the analyzer has aligned and
+    // cast the query to the table schema), not just query.resolved,
+    // so translation never wins the race against output resolution
+    // and commits misaligned rows
+    case a @ AppendData(r, query, _, _, _, _) if a.resolved &&
         GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).isDefined =>
       GraftInsertCommand(GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).get.tablePath,
         query, overwrite = false)
 
-    // INSERT OVERWRITE (truncate form) → commitOverwrite: the new
-    // snapshot sees only the new rows, history stays time-travelable
+    // INSERT OVERWRITE → commitOverwrite (full-table) or the scoped
+    // replaceWhere form (partition-predicate overwrite = delete(pred)
+    // + append in ONE commit); history stays time-travelable either way
     case o @ OverwriteByExpression(r, deleteExpr, query, _, _, _, _)
-        if query.resolved &&
+        if o.resolved &&
           GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).isDefined =>
+      val path = GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).get.tablePath
       deleteExpr match {
         case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
-          GraftInsertCommand(
-            GraftTarget.unapply(r.asInstanceOf[LogicalPlan]).get.tablePath,
-            query, overwrite = true)
-        case other => fail(
-          s"graft INSERT OVERWRITE supports only the full-table form, got condition: ${other.sql}")
+          GraftInsertCommand(path, query, overwrite = true)
+        case pred =>
+          GraftReplaceWhereCommand(path, Boxed(pred), query)
       }
   }
 
@@ -120,11 +122,13 @@ object SqlDml extends Rule[LogicalPlan] {
     val targetOut = m.targetTable.output
     val sourceOut = m.sourceTable.outputSet
     // ON t.k = s.k — exactly one equality between a target and a
-    // source attribute (either operand order)
-    val key = m.mergeCondition match {
+    // source attribute (either operand order); keep the SOURCE-side
+    // attribute too, so the key column's assignment can be checked
+    // against it below
+    val (key, keySrcAttr) = m.mergeCondition match {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (targetOut.exists(_.exprId == a.exprId) && sourceOut.contains(b)) a.name
-        else if (targetOut.exists(_.exprId == b.exprId) && sourceOut.contains(a)) b.name
+        if (targetOut.exists(_.exprId == a.exprId) && sourceOut.contains(b)) (a.name, b)
+        else if (targetOut.exists(_.exprId == b.exprId) && sourceOut.contains(a)) (b.name, a)
         else fail("graft MERGE requires ON <target col> = <source col>")
       case other =>
         fail(s"graft MERGE supports only a single-key equality ON clause, got: ${other.sql}")
@@ -166,6 +170,19 @@ object SqlDml extends Rule[LogicalPlan] {
         fail(s"graft MERGE UPDATE and INSERT disagree on column ${a.name}; " +
           "the library merge replaces matched rows with the same projected source row")
     }
+    // TimeTravel.merge keys the upsert on the PROJECTED column named
+    // after `key` — whose value is the assignment, not the ON clause.
+    // Sound only when the assignment IS the ON equality's source-side
+    // attribute (modulo an implicit cast the analyzer may have added);
+    // `SET k = s.j` would silently match on s.j, so fail loudly.
+    def stripCast(e: Expression): Expression = e match {
+      case org.apache.spark.sql.catalyst.expressions.Cast(c, _, _, _) => stripCast(c)
+      case other => other
+    }
+    if (!stripCast(upd(key)).semanticEquals(keySrcAttr))
+      fail(s"graft MERGE requires the key column $key to be assigned the ON " +
+        s"clause's source attribute ${keySrcAttr.name} in both UPDATE and INSERT " +
+        s"(got: ${upd(key).sql}); the library merge matches on the projected key value")
     // project the source into target-row shape ONCE; TimeTravel.merge
     // keys the upsert on `key`, which the projection carries by name
     val aliases: Seq[NamedExpression] = targetOut.map { a =>
@@ -225,15 +242,50 @@ final case class GraftInsertCommand(path: String, query: LogicalPlan,
   }
 }
 
+/** Scoped `INSERT OVERWRITE … WHERE`-equivalent (the analyzer lowers
+  * `INSERT OVERWRITE t PARTITION`-style and static-predicate overwrites
+  * to OverwriteByExpression with a non-true condition) →
+  * [[TimeTravel.replaceWhere]]: delete(pred) + append in ONE commit,
+  * untouched files byte-identical. */
+final case class GraftReplaceWhereCommand(path: String, cond: SqlDml.Boxed,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TimeTravel.replaceWhere(spark, path,
+      SqlDml.byName(cond.expr), GraftPlanApi.ofRows(spark, query))))
+}
+
 /** Canonical-upsert `MERGE INTO` → [[TimeTravel.merge]]. The projected
   * source plan rides inside the command and is executed at run time —
-  * its own relations were resolved by the analyzer with the statement. */
+  * its own relations were resolved by the analyzer with the statement.
+  *
+  * SQL/Delta MERGE semantics require an ERROR when one target row
+  * matches multiple source rows (and a non-unique USING source would
+  * also silently insert its duplicates), so the run detects duplicate
+  * source keys up front and fails before committing anything. The
+  * check is one aggregation over the (cached) source — the price of
+  * the loud-or-exact contract. */
 final case class GraftMergeCommand(path: String, projectedSource: LogicalPlan,
     key: String) extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def innerChildren: Seq[LogicalPlan] = Seq(projectedSource)
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TimeTravel.merge(spark, path,
-      GraftPlanApi.ofRows(spark, projectedSource), key)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val src = GraftPlanApi.ofRows(spark, projectedSource)
+    src.cache()
+    try {
+      val dups = src.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(5).collect()
+      if (dups.nonEmpty)
+        throw new AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            (s"graft MERGE source has duplicate keys in $key (a target row would " +
+              s"match multiple source rows): ${dups.map(_.get(0)).mkString(", ")}")))
+      Seq(Row(TimeTravel.merge(spark, path, src, key)))
+    } finally src.unpersist()
+  }
 }

@@ -1669,7 +1669,7 @@ object MaintenanceQueries {
       |), src AS (
       |  SELECT k, cents + 777 AS cents FROM c WHERE k % 4 = 0
       |  UNION ALL
-      |  SELECT -k, k * 3 FROM c WHERE k % 10 = 0
+      |  SELECT -k, k * 3 FROM c WHERE k % 10 = 0 AND k > 0
       |), merged AS (
       |  SELECT k, cents FROM c WHERE k NOT IN (SELECT k FROM src)
       |  UNION ALL
@@ -1689,9 +1689,12 @@ object MaintenanceQueries {
     val c = Tables(s, d, "customer")
       .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
     TimeTravel.commitOverwrite(c, dir) // v1
+    // k > 0 on the insert branch: custkey 0 exists at every sf, and
+    // -0 would collide with the matched branch's 0 — a duplicate
+    // source key the MERGE contract now rejects loudly
     val src = c.filter(col("k") % 4 === 0)
       .select(col("k"), (col("cents") + 777).as("cents"))
-      .unionByName(c.filter(col("k") % 10 === 0)
+      .unionByName(c.filter(col("k") % 10 === 0 && col("k") > 0)
         .select((-col("k")).as("k"), (col("k") * 3).as("cents")))
     val view = s"merge_src_${Integer.toHexString(d.hashCode)}"
     src.createOrReplaceTempView(view)
@@ -1851,11 +1854,67 @@ object MaintenanceQueries {
     q.withColumn("rolled_up", lit(fromMv || !extLoaded)).orderBy("event_type")
   }
 
+  /** Partition-scoped `INSERT INTO … REPLACE WHERE` over the versioned
+    * table ([[graft.sources.TimeTravel.replaceWhere]] via
+    * [[graft.plans.SqlDml]], r10 tier): the Delta replaceWhere shape —
+    * delete(predicate) + append in ONE atomic commit, untouched files
+    * byte-identical. One band of the customer slice is replaced with
+    * +555-cent copies; the oracle states the post-replace row set in
+    * closed form, so a translation that overwrote the whole table,
+    * missed the tombstones, or double-applied the band breaks count or
+    * sum. `via_sql` additionally pins the scoped evidence: the
+    * statement committed version 2 whose snapshot still LISTS the seed
+    * directory (2 dirs + 1 DV dir — a full overwrite would list 1/0).
+    *
+    * Scale: refreshing one partition of a 100 TB date-laid-out table
+    * costs O(band) tombstones + O(band) new rows + one manifest rename
+    * — data outside the predicate is never read for rewrite. */
+  val qTtReplaceWhere: QueryDef = QueryDef.sql(
+    "q_tt_replace_where",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_custkey % 4 AS band,
+      |    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), live AS (
+      |  SELECT k, band,
+      |    CASE WHEN band = 1 THEN cents + 555 ELSE cents END AS cents
+      |  FROM c
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS via_sql
+      |FROM live""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttrw_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer").select(col("c_custkey").as("k"),
+      (col("c_custkey") % 4).as("band"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, dir) // v1
+    val view = s"rw_src_${Integer.toHexString(d.hashCode)}"
+    c.filter(col("band") === 1)
+      .select(col("k"), col("band"), (col("cents") + 555).as("cents"))
+      .createOrReplaceTempView(view)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val v = s.sql(
+      s"INSERT INTO graft.`$dir` REPLACE WHERE band = 1 SELECT * FROM $view")
+      .collect().head.getLong(0)
+    // scoped evidence: v2 still lists the seed dir (2 dirs, 1 DV dir)
+    val h = TimeTravel.history(s, dir).filter(col("version") === 2)
+      .select("n_dirs", "n_dvs").head
+    val scoped = h.getInt(0) == 2 && h.getInt(1) == 1
+    TimeTravel.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("via_sql", lit(v == 2L && scoped))
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
     qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
-    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg)
+    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg, qTtReplaceWhere)
 }

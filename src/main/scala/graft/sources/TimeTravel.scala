@@ -329,6 +329,47 @@ object TimeTravel {
     v
   }
 
+  /** Partition-scoped overwrite — the Delta `replaceWhere` shape:
+    * delete(condition) + append(df) in ONE commit. Live rows matching
+    * `condition` are tombstoned merge-on-read style and the replacement
+    * rows land in a fresh data directory; both publish in a single
+    * manifest rename, so a reader sees either the whole replacement or
+    * none of it. Untouched files are untouched BYTES — the scoped form
+    * never rewrites data outside the predicate, which is the whole
+    * point at 100 TB (a full `INSERT OVERWRITE` of a date-partitioned
+    * table to refresh one day rewrites nothing but that day here).
+    *
+    * Loud-or-exact: every replacement row must itself satisfy
+    * `condition` (Delta's replaceWhere constraint) — otherwise the
+    * statement would smuggle rows into partitions it promised not to
+    * touch, so rows outside the predicate fail the commit up front. */
+  def replaceWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column, df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to replace at $path"))
+    val offenders = df.filter(!condition).limit(1).count()
+    if (offenders > 0) throw new IllegalArgumentException(
+      "replaceWhere: replacement rows must satisfy the replace condition " +
+        "(a row outside the predicate would escape the declared scope)")
+    val dirs = listing(spark, path, cur)
+    val prevDvs = dvListing(spark, path, cur)
+    val v = cur + 1
+    val data = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as(DvCols.head),
+        col("_metadata.row_index").as(DvCols.last))
+    val live =
+      if (prevDvs.isEmpty) data
+      else data.join(
+        spark.read.parquet(prevDvs.map(d => s"$path/$d"): _*), DvCols, "left_anti")
+    live.filter(condition).select(DvCols.head, DvCols.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
+    df.write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
+    publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v))
+    v
+  }
+
   /** DESCRIBE HISTORY face: one row per committed version — its tag (if
     * any), how many data directories the snapshot sees, how many of
     * those this commit ADDED (0 ⇒ overwrite/rollback/metadata-only),

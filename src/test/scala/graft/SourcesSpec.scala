@@ -486,6 +486,79 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE declines a key column not bound to the ON source attribute") {
+    val dir = seedTable("mrgkey")
+    import spark.implicits._
+    Seq((1L, 2L, "x", 1L)).toDF("k", "j", "nm", "bal")
+      .createOrReplaceTempView("dml_key_src")
+    withGraftCatalog {
+      // 'SET k = s.j' passes the upd≡ins check but would silently match
+      // on s.j instead of the ON clause's s.k — must fail loudly
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_key_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET k = s.j, nm = s.nm, bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT (k, nm, bal) VALUES (s.j, s.nm, s.bal)
+           |""".stripMargin))
+      assert(e.getMessage.contains("key column"), e.getMessage)
+    }
+  }
+
+  test("SQL MERGE fails loudly on duplicate source keys instead of inserting both") {
+    val dir = seedTable("mrgdup")
+    import spark.implicits._
+    Seq((7L, "a", 1L), (7L, "b", 2L), (300L, "c", 3L))
+      .toDF("k", "nm", "bal").createOrReplaceTempView("dml_dup_src")
+    withGraftCatalog {
+      val e = intercept[Exception](spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_dup_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET k = s.k, nm = s.nm, bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT (k, nm, bal) VALUES (s.k, s.nm, s.bal)
+           |""".stripMargin).collect())
+      assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+      // nothing committed: the table is still at its seed version
+      assert(graft.sources.TimeTravel.versions(spark, dir) == Seq(1L))
+    }
+  }
+
+  test("replaceWhere: scoped SQL overwrite ≡ library form, untouched files byte-identical") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dirSql = seedTable("rwsql")
+    val dirLib = seedTable("rwlib")
+    val repl = (1L to 10L).map(i => (i, s"fresh_$i", i * 1000)).toDF("k", "nm", "bal")
+    repl.createOrReplaceTempView("dml_rw_src")
+    // fingerprint the seed data files before the scoped overwrite
+    val seedFiles = spark.read.parquet(s"$dirSql/data/v00001")
+      .inputFiles.sorted.toSeq
+    val seedBytes = seedFiles.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(f))))
+    withGraftCatalog {
+      val v = spark.sql(
+        s"INSERT INTO graft.`$dirSql` REPLACE WHERE k <= 10 SELECT * FROM dml_rw_src")
+        .collect().head.getLong(0)
+      assert(v == 2L)
+    }
+    TimeTravel.replaceWhere(spark, dirLib, col("k") <= 10, repl)
+    val got = TimeTravel.read(spark, dirSql).orderBy("k").collect().toSeq
+    val want = TimeTravel.read(spark, dirLib).orderBy("k").collect().toSeq
+    assert(got == want && got.size == 100)
+    assert(got.take(10).forall(_.getString(1).startsWith("fresh_")))
+    assert(got.drop(10).forall(_.getString(1).startsWith("name_")))
+    // untouched partitions are untouched BYTES: seed files unchanged
+    val afterBytes = seedFiles.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(f))))
+    assert(seedBytes.zip(afterBytes).forall { case (a, b) => a.sameElements(b) })
+    // pre-replace snapshot stays readable
+    assert(TimeTravel.read(spark, dirSql, Some(1L))
+      .filter(col("k") <= 10).collect().forall(_.getString(1).startsWith("name_")))
+    // rows outside the predicate fail the commit up front
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.replaceWhere(spark, dirLib, col("k") <= 10,
+        Seq((99L, "smuggled", 0L)).toDF("k", "nm", "bal"))
+    }
+    assert(e.getMessage.contains("satisfy the replace condition"))
+  }
+
   test("GraftCatalog: SELECT and VERSION AS OF resolve through the SQL identifier") {
     import graft.sources.TimeTravel
     import spark.implicits._
