@@ -1910,11 +1910,66 @@ object MaintenanceQueries {
       .withColumn("via_sql", lit(v == 2L && scoped))
   }
 
+  /** Versioned-table STREAMING SOURCE ([[graft.sources.TimeTravelSource]]
+    * via [[graft.streaming.TableStreams.pipeAppends]], r10 tier):
+    * `readStream` FROM a graft table — offsets are versions, each
+    * micro-batch is the manifest diff, consumed here into a SECOND
+    * versioned table through the exactly-once tagged sink (source and
+    * sink face composed: the incremental table-to-table pipe). The
+    * first pipe run moves the seed snapshot; two more commits land and
+    * a second pipe run (same checkpoint) must move EXACTLY the
+    * appended rows — `via_stream` pins both run row-counts and that
+    * the sink reached exactly 2 commits (one per run). The oracle
+    * states the full customer-derived row set in closed form: a source
+    * that double-read history or dropped a batch breaks count or sum.
+    *
+    * Scale: each batch reads only the directories the new manifests
+    * added — O(new data) per poll over a 100 TB history; planning is
+    * driver-side manifest reads. */
+  val qTtStreamSource: QueryDef = QueryDef.sql(
+    "q_tt_stream_source",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_custkey % 3 AS band,
+      |    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS via_stream
+      |FROM c""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    import graft.streaming.TableStreams
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttss_${tag}_p${ProcessHandle.current().pid()}"
+    val sink = base + "_sink"
+    val cp = base + "_cp"
+    Seq(base, sink, cp).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val c = Tables(s, d, "customer").select(col("c_custkey").as("k"),
+      (col("c_custkey") % 3).as("band"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c.filter(col("band") === 0), base) // v1
+    val moved1 = TableStreams.pipeAppends(s, base, sink, cp) // snapshot batch
+    TimeTravel.commitAppend(c.filter(col("band") === 1), base) // v2
+    TimeTravel.commitAppend(c.filter(col("band") === 2), base) // v3
+    val moved2 = TableStreams.pipeAppends(s, base, sink, cp) // appends only
+    val n0 = c.filter(col("band") === 0).count()
+    val sinkCommits = TimeTravel.versions(s, sink).size
+    TimeTravel.read(s, sink)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("via_stream",
+        lit(moved1 == n0 && moved1 + moved2 == c.count() && sinkCommits == 2))
+      .select(col("n_rows"), col("sum_cents"), col("via_stream"))
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
     qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
-    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg, qTtReplaceWhere)
+    qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg, qTtReplaceWhere,
+    qTtStreamSource)
 }

@@ -405,20 +405,29 @@ object TimeTravel {
       toVersion: Option[Long] = None): DataFrame = {
     val cur = toVersion.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
+    val added = appendedDirsSince(spark, path, sinceVersion, cur)
+    if (added.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(added.map(d => s"$path/$d"): _*)
+  }
+
+  /** The directory diff behind [[readAppendsSince]] with its loud
+    * append-only checks — shared with the streaming source face
+    * ([[TimeTravelSource]]), whose micro-batches are exactly these
+    * diffs between consecutive offsets. */
+  private[sources] def appendedDirsSince(spark: SparkSession, path: String,
+      sinceVersion: Long, toVersion: Long): Seq[String] = {
     val old = listing(spark, path, sinceVersion)
-    val now = listing(spark, path, cur)
+    val now = listing(spark, path, toVersion)
     val dropped = old.filterNot(now.toSet)
     if (dropped.nonEmpty) throw new IllegalStateException(
       s"table at $path diverged from append-only history since v$sinceVersion " +
         s"(dirs dropped: ${dropped.mkString(", ")}); resync with changeFeed")
     // a MoR delete keeps every dir but still changes the row set — the
     // added-dirs diff would silently miss the deletions
-    if (dvListing(spark, path, cur) != dvListing(spark, path, sinceVersion))
+    if (dvListing(spark, path, toVersion) != dvListing(spark, path, sinceVersion))
       throw new IllegalStateException(
         s"deletion vectors changed since v$sinceVersion; resync with changeFeed")
-    val added = now.filterNot(old.toSet)
-    if (added.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(added.map(d => s"$path/$d"): _*)
+    now.filterNot(old.toSet)
   }
 
   /** CHANGE DATA FEED: the row-level delta between two snapshots, keyed

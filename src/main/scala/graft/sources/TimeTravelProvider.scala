@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan cannot express the anti-join, and silently returning the
   * un-deleted rows would be wrong.
   */
-class TimeTravelProvider extends TableProvider with DataSourceRegister {
+class TimeTravelProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-table"
 
@@ -48,6 +49,28 @@ class TimeTravelProvider extends TableProvider with DataSourceRegister {
     TimeTravelTable(new CaseInsensitiveStringMap(properties))
 
   override def supportsExternalMetadata(): Boolean = false
+
+  // ---- streaming read (V1 Source fallback: the table declares only
+  // BATCH_READ, so DataStreamReader routes readStream.format(...) here)
+
+  private def sourceFor(spark: SparkSession,
+      parameters: Map[String, String]): TimeTravelSource = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = params.getOrElse("path",
+      throw new IllegalArgumentException("graft-table requires a 'path' option"))
+    new TimeTravelSource(spark, path, params)
+  }
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      sourceFor(sqlContext.sparkSession, parameters).schema))
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    sourceFor(sqlContext.sparkSession, parameters)
 }
 
 object TimeTravelTable {

@@ -18,4 +18,31 @@ object GraftPlanApi {
     * the library's Column-typed table operations. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Re-flag a batch plan's file relations as STREAMING — the exact
+    * move `FileStreamSource.getBatch` makes: a V1 streaming source
+    * must hand MicroBatchExecution a `isStreaming = true` DataFrame,
+    * and flipping the flag on the resolved parquet relation keeps the
+    * whole batch read stack (vectorized reader, pushdown, pruning)
+    * under the stream. Only [[execution.datasources.LogicalRelation]]
+    * leaves flip; anything joined against them (e.g. a deletion-vector
+    * side) stays batch, which is what makes the DV subtraction a
+    * supported stream-static anti-join. */
+  def markFileRelationsStreaming(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: execution.datasources.LogicalRelation => lr.copy(isStreaming = true)
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
+  /** A streaming-flagged DataFrame over an already-planned batch
+    * computation's row RDD — the face for per-batch results whose plan
+    * shape streaming cannot host directly (e.g. the change-feed's
+    * full-outer self-join). The RDD stays lazy and distributed; only
+    * the `isStreaming` bit is minted here. */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

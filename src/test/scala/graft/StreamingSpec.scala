@@ -852,4 +852,104 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, "cross-batch state must reproduce the batch aggregate")
     } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
+
+  // ---- versioned-table streaming SOURCE (readStream FROM the table)
+
+  /** One AvailableNow pass over the table stream; returns the rows THIS
+    * run emitted (foreachBatch — the memory sink can't recover from a
+    * checkpoint, and per-run deltas are exactly what the tests pin). */
+  private def runTableStream(dir: String, cp: String,
+      options: Map[String, String] = Map.empty): Seq[org.apache.spark.sql.Row] = {
+    val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    var r = spark.readStream.format("graft-table")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= batch.collect() }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    got.toSeq
+  }
+
+  test("table stream source: snapshot first batch, append-only increments, replay idempotent") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tt_ssrc").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    TimeTravel.commitOverwrite((1L to 50L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    // pending DVs at stream start: the first batch must be the
+    // DV-applied snapshot (stream-static anti-join)
+    TimeTravel.deleteMoR(spark, dir, col("k") > 45)
+    assert(runTableStream(dir, cp).size == 45,
+      "first batch = the snapshot with tombstones applied")
+    TimeTravel.commitAppend((51L to 60L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    TimeTravel.commitAppend((61L to 70L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    val run2 = runTableStream(dir, cp)
+    assert(run2.size == 20, "second run reads ONLY the appended directories")
+    // streamed union ≡ batch readAppendsSince per the covered range
+    val streamed = run2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = TimeTravel.readAppendsSince(spark, dir, 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, "streamed rows ≡ batch readAppendsSince")
+    assert(runTableStream(dir, cp).isEmpty,
+      "no new commits → no rows (offsets are durable versions)")
+  }
+
+  test("table stream source: startingVersion skips the initial snapshot") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tt_ssrc_sv").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 30L).map(i => (i, i)).toDF("k", "v"), dir)
+    TimeTravel.commitAppend((31L to 40L).map(i => (i, i)).toDF("k", "v"), dir)
+    assert(runTableStream(dir, ckpt(), Map("startingVersion" -> "1")).size == 10,
+      "startingVersion=1 consumes only the appends after v1")
+  }
+
+  test("table stream source: non-append divergence fails loudly") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tt_ssrc_div").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), dir)
+    assert(runTableStream(dir, cp).size == 20)
+    TimeTravel.commitOverwrite((1L to 5L).map(i => (i, -i)).toDF("k", "v"), dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runTableStream(dir, cp)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("diverged")),
+      s"expected append-only divergence error, got: ${messages(e)}")
+    // a MoR delete mid-stream is divergence too (row set shrank)
+    val dir2 = Files.createTempDirectory("tt_ssrc_div2").toFile.getAbsolutePath + "/t"
+    val cp2 = ckpt()
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), dir2)
+    assert(runTableStream(dir2, cp2).size == 20)
+    TimeTravel.deleteMoR(spark, dir2, col("k") <= 3)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runTableStream(dir2, cp2)
+    }
+    assert(messages(e2).exists(_.contains("deletion vectors changed")),
+      s"expected DV divergence error, got: ${messages(e2)}")
+  }
+
+  test("table stream source: cdf mode streams the change feed, ≡ batch changeFeed") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tt_ssrc_cdf").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i * 2)).toDF("k", "v"), dir)
+    TimeTravel.deleteMoR(spark, dir, col("k") <= 3) // v2: row-level churn
+    TimeTravel.commitAppend((21L to 25L).map(i => (i, i * 2)).toDF("k", "v"), dir) // v3
+    val rows = runTableStream(dir, ckpt(),
+      Map("streamMode" -> "cdf", "key" -> "k"))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = TimeTravel.changeFeed(spark, dir, "k", 1L, 3L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows.size == want.size && got == want,
+      "cdf stream batch ≡ TimeTravel.changeFeed over the same offsets")
+  }
 }
