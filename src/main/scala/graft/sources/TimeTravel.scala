@@ -30,6 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * resolution is one small-file read on the driver, the same planning
   * cost as any table format's log replay.
   */
+/** The losing writer's publish failure — two writers read the same
+  * latest version and raced to the same manifest name; the loser must
+  * re-read and retry ([[TimeTravel.withConflictRetry]]), never replace
+  * the winner. A dedicated type so retry logic catches exactly the
+  * race and nothing else. */
+final class CommitConflictException(msg: String) extends java.io.IOException(msg)
+
 object TimeTravel {
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -144,12 +151,109 @@ object TimeTravel {
     // a real deployment backs this with an atomic create-if-absent
     // (HDFS create w/o overwrite, S3 conditional put, a lock service).
     if (f.exists(target))
-      throw new java.io.IOException(
+      throw new CommitConflictException(
         s"concurrent commit conflict: ${vname(v)} already published — " +
           "re-read latest and retry")
     if (!f.rename(staging, target))
       throw new java.io.IOException(s"manifest publish failed for ${vname(v)}")
   }
+
+  // --------------------------------------------- multi-writer semantics
+
+  /** What a committed version DID relative to its predecessor — the
+    * classification the conflict matrix keys on:
+    *   - `Append`: directories only added (or unchanged — a metadata
+    *     commit), deletion vectors untouched; conflicts with nothing.
+    *   - `RowLevel`: directories only added but DVs changed (delete/
+    *     update/replaceWhere); the row set shrank or mutated.
+    *   - `Rewrite`: directories DROPPED (overwrite/merge/rollback/
+    *     optimize/purge); the snapshot was replaced wholesale. */
+  sealed trait CommitKind
+  case object Append extends CommitKind
+  case object RowLevel extends CommitKind
+  case object Rewrite extends CommitKind
+
+  /** Classify version `v` against `v - 1` (the first version of a
+    * table is an Append: it conflicts with nothing that could have
+    * read an earlier state). Driver-side manifest reads only. */
+  def classifyCommit(spark: SparkSession, path: String, v: Long): CommitKind = {
+    val vs = versions(spark, path)
+    val prev = vs.takeWhile(_ < v).lastOption
+    prev match {
+      case None => Append
+      case Some(p) =>
+        val before = listing(spark, path, p)
+        val after = listing(spark, path, v).toSet
+        if (before.exists(!after.contains(_))) Rewrite
+        else if (dvListing(spark, path, v) != dvListing(spark, path, p)) RowLevel
+        else Append
+    }
+  }
+
+  /** Bounded OPTIMISTIC-CONCURRENCY retry around a commit operation —
+    * the Delta conflict matrix reduced to the manifest model. `op`
+    * must be a self-contained commit attempt that re-reads the LATEST
+    * snapshot each time it runs (every library op does); on a
+    * [[CommitConflictException]] the loser re-runs `op` against the
+    * fresh snapshot, which is exactly serializing it AFTER the winner:
+    *
+    *   - append attempts (`rowLevel = false`) retry unconditionally —
+    *     an append reads nothing, so nothing the winner did can
+    *     invalidate it;
+    *   - row-level attempts (delete/update/merge-by-predicate,
+    *     `rowLevel = true`) retry only when every intervening commit
+    *     was itself an Append or RowLevel — re-evaluating the
+    *     predicate over more/less rows is the serialized semantics.
+    *     An intervening REWRITE replaced the snapshot the caller's
+    *     intent targeted; re-applying a predicate to a wholesale-
+    *     replaced table is a semantic decision, so it fails LOUDLY
+    *     (Delta's ConcurrentWriteException for the same reason).
+    *
+    * `maxRetries` bounds livelock under sustained contention; the
+    * final failure chains the conflict for the caller's own backoff. */
+  def withConflictRetry(spark: SparkSession, path: String,
+      rowLevel: Boolean, maxRetries: Int = 3)(op: => Long): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latest(spark, path).getOrElse(0L)
+      try return op
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new java.io.IOException(
+            s"commit to $path still conflicting after $maxRetries retries", e)
+          val now = latest(spark, path).getOrElse(0L)
+          if (rowLevel) {
+            val rewrites = ((base + 1) to now)
+              .filter(v => classifyCommit(spark, path, v) == Rewrite)
+            if (rewrites.nonEmpty) throw new IllegalStateException(
+              s"concurrent rewrite commit(s) v${rewrites.mkString(",v")} at $path " +
+                "replaced the snapshot this row-level operation targeted; " +
+                "re-read the table and decide whether the predicate still applies", e)
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Append with bounded auto-retry — the multi-writer face of
+    * [[commitAppend]]: concurrent appends all land, each as its own
+    * version, in rename-race order. */
+  def commitAppendRetrying(df: DataFrame, path: String,
+      tag: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, maxRetries: Int = 3): Long =
+    withConflictRetry(df.sparkSession, path, rowLevel = false, maxRetries) {
+      commitAppend(df, path, tag, statsCols, bloomCols)
+    }
+
+  /** Merge-on-read DELETE with bounded auto-retry: the retried attempt
+    * recomputes its tombstones against the fresh snapshot (serialized
+    * after the winner); an intervening rewrite fails loudly. */
+  def deleteMoRRetrying(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column, maxRetries: Int = 3): Long =
+    withConflictRetry(spark, path, rowLevel = true, maxRetries) {
+      deleteMoR(spark, path, condition)
+    }
 
   private def writeData(df: DataFrame, path: String, v: Long): String = {
     val dir = dataDir(path, v)

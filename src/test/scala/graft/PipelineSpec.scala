@@ -687,6 +687,89 @@ class PipelineSpec extends SparkSpec {
     assert(TimeTravel.commitAppend(Seq((2L, "b")).toDF("id", "payload"), dir) == 3L)
   }
 
+  test("conflict retry: concurrent appends both land, each as its own version") {
+    import graft.sources.{CommitConflictException, TimeTravel}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttretry_app").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, "seed")).toDF("id", "payload"), dir)
+    var calls = 0
+    val v = TimeTravel.withConflictRetry(spark, dir, rowLevel = false) {
+      calls += 1
+      if (calls == 1) {
+        // the racing writer wins the rename between our read and publish
+        TimeTravel.commitAppend(Seq((2L, "racer")).toDF("id", "payload"), dir)
+        throw new CommitConflictException("simulated: stale publish lost the race")
+      }
+      TimeTravel.commitAppend(Seq((3L, "mine")).toDF("id", "payload"), dir)
+    }
+    assert(calls == 2 && v == 3L, "loser retried once from a fresh latest")
+    assert(TimeTravel.read(spark, dir).select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L), "both writers' rows landed")
+  }
+
+  test("conflict retry: row-level op retries past appends, fails loudly on a rewrite") {
+    import graft.sources.{CommitConflictException, TimeTravel}
+    import spark.implicits._
+    // appends intervening → the delete re-runs against the fresh snapshot
+    val dir = Files.createTempDirectory("ttretry_rl").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 10L).map(i => (i, s"p$i")).toDF("id", "payload"), dir)
+    var calls = 0
+    val v = TimeTravel.withConflictRetry(spark, dir, rowLevel = true) {
+      calls += 1
+      if (calls == 1) {
+        TimeTravel.commitAppend(Seq((11L, "racer")).toDF("id", "payload"), dir)
+        throw new CommitConflictException("simulated")
+      }
+      TimeTravel.deleteMoR(spark, dir, col("id") > 9L)
+    }
+    assert(calls == 2 && v == 3L)
+    // the retried predicate saw the racer's row too — serialized AFTER it
+    assert(TimeTravel.read(spark, dir).select("id").as[Long].collect().toSet
+      == (1L to 9L).toSet)
+
+    // a rewrite intervening → loud failure, no retry
+    val dir2 = Files.createTempDirectory("ttretry_rw").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 5L).map(i => (i, s"p$i")).toDF("id", "payload"), dir2)
+    val e = intercept[IllegalStateException] {
+      TimeTravel.withConflictRetry(spark, dir2, rowLevel = true) {
+        TimeTravel.commitOverwrite(Seq((99L, "winner")).toDF("id", "payload"), dir2)
+        throw new CommitConflictException("simulated")
+      }
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+  }
+
+  test("conflict retry is bounded: sustained contention gives up loudly") {
+    import graft.sources.{CommitConflictException, TimeTravel}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttretry_cap").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, "seed")).toDF("id", "payload"), dir)
+    var calls = 0
+    val e = intercept[java.io.IOException] {
+      TimeTravel.withConflictRetry(spark, dir, rowLevel = false, maxRetries = 2) {
+        calls += 1
+        throw new CommitConflictException("always losing")
+      }
+    }
+    assert(calls == 3 && e.getMessage.contains("after 2 retries"))
+    assert(e.getCause.isInstanceOf[CommitConflictException])
+  }
+
+  test("commit classification: append vs row-level vs rewrite") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttclass").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), dir) // v1
+    TimeTravel.commitAppend(Seq((3L, "c")).toDF("id", "payload"), dir)               // v2
+    TimeTravel.deleteMoR(spark, dir, col("id") === 1L)                               // v3
+    TimeTravel.replaceWhere(spark, dir, col("id") === 2L,
+      Seq((2L, "B")).toDF("id", "payload"))                                          // v4
+    TimeTravel.commitOverwrite(Seq((9L, "z")).toDF("id", "payload"), dir)            // v5
+    import TimeTravel.{Append, RowLevel, Rewrite}
+    assert((1L to 5L).map(TimeTravel.classifyCommit(spark, dir, _))
+      == Seq(Append, Append, RowLevel, RowLevel, Rewrite))
+  }
+
   test("history face reports tags, listing sizes, added dirs and DV counts") {
     import graft.sources.TimeTravel
     import spark.implicits._
