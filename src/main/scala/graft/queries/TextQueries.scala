@@ -378,37 +378,82 @@ object TextQueries {
     }
   }
 
-  /** Exact-BPE token accounting with a corpus-trained merge table
-    * (F6's real algorithm; [[graft.operators.BpeOps]]): train 64 merges
-    * over the top-1024 word-frequency table (one corpus-scale job +
-    * a vocabulary-bounded driver loop), then count each document's BPE
-    * tokens with the exact greedy encoder, aggregated per lang. The
-    * merge LOOP can't be expressed in ANSI SQL, so the oracle is the
-    * query's own PINNED GOLDEN OUTPUT as a VALUES literal: the whole
-    * pipeline is deterministic end-to-end (fixed corpus at the driver's
-    * sf0.01 gate scale, fixed 1024-word/64-merge training bounds, exact
-    * integer sums), so the one-time golden is a real hash-checkable
-    * oracle, the same device as BpeSpec's hand-computed goldens. Pinned
-    * AT sf0.01 — regenerate via `graft.Verify` if the corpus or the
-    * training bounds ever change. BpeSpec additionally pins the
-    * algorithm itself (goldens + partitioning invariance). */
+  /** The tokenizer's merge table as a FIXED ARTIFACT — how production
+    * tokenizers actually ship (GPT-2/cl100k merges are data trained
+    * once, applied to every corpus thereafter): trained at object-init
+    * by the exact [[graft.operators.BpeOps.trainMerges]] algorithm over
+    * a pinned seed vocabulary (the corpus's own common words with
+    * frozen frequencies), so the table is a deterministic pure function
+    * of code — identical at every data scale. Round 9's golden-VALUES
+    * oracle was pinned at sf0.01 because per-scale training made the
+    * merges scale-dependent; the artifact design removes the exception. */
+  private val BpeSeedVocab: Seq[(String, Long)] = Seq(
+    "join" -> 964L, "hash" -> 947L, "row" -> 943L, "batch" -> 937L,
+    "scan" -> 936L, "column" -> 934L, "customer" -> 934L, "filter" -> 933L,
+    "small" -> 928L, "merge" -> 918L, "slow" -> 918L, "order" -> 912L,
+    "vector" -> 912L, "line" -> 910L, "data" -> 908L, "table" -> 908L,
+    "agg" -> 901L, "value" -> 897L, "key" -> 896L, "stream" -> 888L,
+    "window" -> 886L, "a" -> 880L, "spark" -> 880L, "group" -> 878L,
+    "part" -> 878L, "big" -> 876L, "sort" -> 872L, "query" -> 871L,
+    "fast" -> 854L, "the" -> 840L, "dup" -> 26L)
+
+  private val BpeSeedMerges: Seq[(String, String)] =
+    BpeOps.trainMerges(BpeSeedVocab, 64)
+
+  /** Independent DuckDB re-implementation of the greedy BPE encode for
+    * the oracle: applying the merges SEQUENTIALLY in rank order over a
+    * separator-joined symbol string is provably the greedy encoding
+    * (a merge only ever creates pairs involving its new, strictly
+    * longer symbol, so it can't mint occurrences of any earlier-rank
+    * pair — or of itself), and SQL `replace` shares `mergePair`'s
+    * left-to-right non-overlap semantics. Symbols must be FULLY
+    * DELIMITED on both sides or `replace` can match the interior or
+    * prefix of a longer symbol (pattern `a<US>b` inside `xa<US>bz`),
+    * so each symbol renders as `<US>sym<US>` and merge (a,b) becomes
+    * `replace(e, '<US>a<US><US>b<US>', '<US>ab<US>')` — the double
+    * separator exists exactly at symbol junctions, and consecutive
+    * matches never share consumed characters. Tokens = seps / 2. */
+  private def bpeChainSql: String = {
+    val sep = "\u001f" // UNIT SEPARATOR — outside the corpus alphabet
+    val wrapped =
+      s"'$sep' || array_to_string(string_split(w, ''), '$sep$sep') || '$sep'"
+    BpeSeedMerges.foldLeft(wrapped) {
+      case (acc, (a, b)) => s"replace($acc, '$sep$a$sep$sep$b$sep', '$sep$a$b$sep')"
+    }
+  }
+
+  /** Exact-BPE token accounting with the artifact merge table (F6's
+    * real algorithm; [[graft.operators.BpeOps]]): each document's words
+    * encode through the exact greedy encoder (rank table broadcast,
+    * embarrassingly parallel, no shuffle before the per-lang
+    * aggregate), and the ORACLE recomputes the same encoding
+    * independently in DuckDB as a rank-ordered replace chain
+    * ([[bpeChainSql]]) — a genuine cross-implementation check that
+    * travels with the data to ANY scale, closing round 9's one
+    * sf0.01-pinned golden. BpeSpec additionally pins the algorithm
+    * (hand goldens, training determinism, partitioning invariance). */
   val qDocBpeExact: QueryDef = QueryDef.sql("q_doc_bpe_exact",
-    """SELECT * FROM (VALUES
-      |  ('de',  70,  3549, 16046,  6199),
-      |  ('en', 218, 11757, 52898, 20994),
-      |  ('es',  73,  3958, 17871,  6980),
-      |  ('fr',  64,  3758, 16929,  6646),
-      |  ('zh',  75,  4143, 18765,  7351))
-      |  AS t(lang, n_docs, n_words, n_chars, n_bpe_tokens)
-      |ORDER BY lang""".stripMargin) { (s, d) =>
-    val base = docs(s, d).select(col("lang"), TF.cleanText(col("text")).as("t"))
-    val merges = BpeOps.trainMerges(
-      BpeOps.topWordCounts(base, col("t"), 1024), 64)
-    val bpe = BpeOps.bpeTokenCountCol(s, merges)
+    s"""WITH w AS (
+       |  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), ww AS (SELECT lang, w FROM w WHERE length(w) > 0),
+       |enc AS (SELECT lang, w, $bpeChainSql AS e FROM ww),
+       |tok AS (SELECT lang, w,
+       |  (length(e) - length(replace(e, chr(31), ''))) // 2 AS n_bpe FROM enc),
+       |byl AS (SELECT lang, COUNT(*) AS n_words,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens FROM tok GROUP BY lang),
+       |nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_chars, n_bpe_tokens
+       |FROM byl JOIN nd USING (lang)
+       |ORDER BY lang""".stripMargin) { (s, d) =>
+    val base = docs(s, d).select(col("lang"), lower(col("text")).as("t"))
+    val bpe = BpeOps.bpeTokenCountCol(s, BpeSeedMerges)
     base
       .select(col("lang"),
-        TF.wordCount(col("t")).as("n_words"),
-        length(regexp_replace(col("t"), " ", "")).cast("long").as("n_chars"),
+        when(length(trim(col("t"))) === 0, 0L)
+          .otherwise(size(split(trim(col("t")), "\\s+")).cast("long")).as("n_words"),
+        length(regexp_replace(col("t"), "\\s+", "")).cast("long").as("n_chars"),
         bpe(col("t")).as("n_bpe"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
