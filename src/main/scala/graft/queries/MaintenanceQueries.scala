@@ -1964,6 +1964,62 @@ object MaintenanceQueries {
       .select(col("n_rows"), col("sum_cents"), col("via_stream"))
   }
 
+  /** Schema evolution TIER 2 — rename + widen via column mapping
+    * ([[graft.sources.TimeTravel.renameColumn]]/`widenColumn`, r10
+    * tier; add-column was [[qSchemaEvolution]]): v1 commits the odd
+    * customer rows with an INT `bal` column; a metadata-only RENAME to
+    * `balance` and a metadata-only WIDEN to bigint follow (no data
+    * files rewritten — the map carries logical name + declared type);
+    * the even rows then append in the new logical shape with values
+    * only a bigint can hold. The final read resolves BOTH eras through
+    * the map — old narrow files cast up under the new name. The oracle
+    * states the merged row set in closed form; `mapped` pins the era
+    * evidence: v1 still serves `bal` as int, the live schema is
+    * `balance` bigint, and versions 2–3 added zero data directories.
+    *
+    * Scale: rename/widen on a 100 TB table are one manifest rename
+    * each; the per-directory mapped read folds back to a single scan
+    * at the next OPTIMIZE. */
+  val qSchemaEvolutionV2: QueryDef = QueryDef.sql(
+    "q_schema_evolution_v2",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN k % 2 = 0 THEN cents + 1000000000000
+      |                ELSE cents END) AS BIGINT) AS sum_balance,
+      |  true AS mapped
+      |FROM c""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttse2_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(
+      c.filter(col("k") % 2 === 1)
+        .select(col("k"), col("cents").cast("int").as("bal")), dir) // v1, narrow era
+    TimeTravel.renameColumn(s, dir, "bal", "balance") // v2, metadata-only
+    TimeTravel.widenColumn(s, dir, "balance", "bigint") // v3, metadata-only
+    TimeTravel.commitAppend(
+      c.filter(col("k") % 2 === 0)
+        .select(col("k"), (col("cents") + lit(1000000000000L)).as("balance")), dir) // v4
+    val era1 = TimeTravel.read(s, dir, Some(1L))
+    val live = TimeTravel.read(s, dir)
+    val metaOnly = TimeTravel.history(s, dir)
+      .filter(col("version").isin(2, 3) && col("n_added") === 0).count() == 2
+    val evidence = era1.columns.toSeq == Seq("k", "bal") &&
+      era1.schema("bal").dataType == org.apache.spark.sql.types.IntegerType &&
+      live.columns.toSeq == Seq("k", "balance") &&
+      live.schema("balance").dataType == org.apache.spark.sql.types.LongType &&
+      metaOnly
+    live.agg(count(lit(1)).as("n_rows"), sum(col("balance")).as("sum_balance"))
+      .withColumn("mapped", lit(evidence))
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
@@ -1971,5 +2027,5 @@ object MaintenanceQueries {
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
     qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
     qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg, qTtReplaceWhere,
-    qTtStreamSource)
+    qTtStreamSource, qSchemaEvolutionV2)
 }

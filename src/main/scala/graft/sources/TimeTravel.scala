@@ -127,19 +127,177 @@ object TimeTravel {
       case _ => Seq.empty
     }
 
+  // ------------------------------------------ column mapping (schema v2)
+
+  /** One logical column of a MAPPED table: `logical` is the name the
+    * user sees NOW, `physical` the immutable name data files carry
+    * (fixed at column creation — rename never rewrites a file), and
+    * `typeDdl` the current declared type (old-era files cast up to it
+    * on read — widening). The Delta column-mapping design reduced to
+    * the manifest model. */
+  final case class ColMap(logical: String, physical: String, typeDdl: String)
+
+  /** Manifest encoding of one [[ColMap]]: `logical|physical|typeDdl`
+    * with any comma in the DDL (decimal(p,s)) swapped to ';' so the
+    * flat manifest list parse stays one comma-split. */
+  private def encodeCol(c: ColMap): String =
+    s"${c.logical}|${c.physical}|${c.typeDdl.replace(",", ";")}"
+
+  private def decodeCol(s: String): ColMap = s.split('|') match {
+    case Array(l, p, t) => ColMap(l, p, t.replace(";", ","))
+    case _ => throw new java.io.IOException(s"corrupt cols entry: $s")
+  }
+
+  /** The column mapping visible at `version` — None for tables that
+    * never evolved past add-column (the fast single-scan paths stay
+    * untouched for them). */
+  private[sources] def colsListing(spark: SparkSession, path: String,
+      version: Long): Option[Seq[ColMap]] =
+    """"cols"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(rawManifest(spark, path, version)) match {
+      case Some(m) if m.group(1).trim.nonEmpty =>
+        Some(m.group(1).split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).map(decodeCol))
+      case _ => None
+    }
+
+  private def encodedColsAt(spark: SparkSession, path: String, v: Option[Long]): Seq[String] =
+    v.flatMap(colsListing(spark, path, _)).map(_.map(encodeCol)).getOrElse(Seq.empty)
+
+  /** Project a LOGICAL-schema DataFrame into physical file shape for a
+    * write under `cols` (rename-era appends keep writing the immutable
+    * physical names; widened columns write the widened type — new
+    * files are born wide, old ones cast on read). */
+  private def toPhysical(df: DataFrame, cols: Seq[ColMap]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val have = df.columns.toSet
+    val missing = cols.map(_.logical).filterNot(have)
+    require(missing.isEmpty,
+      s"write is missing mapped column(s): ${missing.mkString(", ")}")
+    val extra = have.diff(cols.map(_.logical).toSet)
+    require(extra.isEmpty,
+      s"write carries column(s) outside the table's mapped schema: ${extra.mkString(", ")}")
+    df.select(cols.map(c => col(c.logical).cast(c.typeDdl).as(c.physical)): _*)
+  }
+
+  /** Per-directory mapped scan (physical → logical, cast to declared
+    * type, absent physical columns null) with optional (file, pos)
+    * metadata columns — the read substrate every mapped-table path
+    * shares. One plan branch per directory: a widened table's dirs
+    * legitimately disagree on parquet types, which a single mixed scan
+    * cannot host; directory count is bounded by commits and folds back
+    * to 1 at the next OPTIMIZE. */
+  private def mappedScan(spark: SparkSession, path: String, dirs: Seq[String],
+      cols: Seq[ColMap], withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val frames = dirs.map { d =>
+      val raw = spark.read.parquet(s"$path/$d")
+      val have = raw.columns.toSet
+      val projected = cols.map { c =>
+        (if (have(c.physical)) col(c.physical).cast(c.typeDdl)
+         else lit(null).cast(c.typeDdl)).as(c.logical)
+      } ++ (if (withPos)
+        Seq(col("_metadata.file_path").as(DvCols.head),
+          col("_metadata.row_index").as(DvCols.last))
+      else Seq.empty)
+      raw.select(projected: _*)
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Materialize the identity mapping from the CURRENT logical schema —
+    * the first rename/drop/widen turns an unmapped table into a mapped
+    * one (physical = logical for every existing column). */
+  private def currentOrIdentityCols(spark: SparkSession, path: String,
+      v: Long): Seq[ColMap] =
+    colsListing(spark, path, v).getOrElse(
+      read(spark, path, Some(v)).schema.fields.toSeq.map(f =>
+        ColMap(f.name, f.name, f.dataType.catalogString)))
+
+  private def publishColsChange(spark: SparkSession, path: String,
+      next: Seq[ColMap]): Long = {
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val v = cur + 1
+    require(next.map(_.logical).distinct.size == next.size,
+      "column mapping must keep logical names unique")
+    next.foreach(c => require(!c.logical.contains("|") && !c.physical.contains("|"),
+      s"column names must not contain '|': ${c.logical}"))
+    publish(spark, path, v, listing(spark, path, cur),
+      dvs = dvListing(spark, path, cur), cols = next.map(encodeCol))
+    v
+  }
+
+  /** RENAME COLUMN as a metadata-only commit: the logical name changes,
+    * every data file (old and new era) keeps its immutable physical
+    * name and resolves through the map. Time travel reads each version
+    * with ITS OWN mapping — pre-rename snapshots still serve the old
+    * name. */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val cols = currentOrIdentityCols(spark, path, cur)
+    require(cols.exists(_.logical == from), s"no column $from to rename")
+    require(!cols.exists(_.logical == to), s"column $to already exists")
+    publishColsChange(spark, path,
+      cols.map(c => if (c.logical == from) c.copy(logical = to) else c))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the entry leaves the map,
+    * the bytes stay in the immutable files (still served to pre-drop
+    * snapshots) until OPTIMIZE rewrites and VACUUM reclaims. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val cols = currentOrIdentityCols(spark, path, cur)
+    require(cols.exists(_.logical == name), s"no column $name to drop")
+    require(cols.size > 1, "cannot drop the last column")
+    publishColsChange(spark, path, cols.filterNot(_.logical == name))
+  }
+
+  /** Widening types the read-side cast is lossless for — the Delta
+    * type-widening allow-list shape. */
+  private val Widenings: Set[(String, String)] = Set(
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("int", "double"), ("bigint", "double"),
+    ("float", "double"))
+
+  /** WIDEN a column's declared type as a metadata-only commit: old
+    * files keep their narrow parquet type and cast up on read; new
+    * appends write the wide type. Only lossless widenings are allowed
+    * — anything else must be an explicit rewrite. */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      toDdl: String): Long = {
+    val cur = latest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+    val cols = currentOrIdentityCols(spark, path, cur)
+    val c = cols.find(_.logical == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name to widen"))
+    require(Widenings.contains((c.typeDdl, toDdl)),
+      s"widening ${c.typeDdl} -> $toDdl is not lossless; " +
+        s"supported: ${Widenings.map { case (a, b) => s"$a->$b" }.mkString(", ")}")
+    publishColsChange(spark, path,
+      cols.map(x => if (x.logical == name) x.copy(typeDdl = toDdl) else x))
+  }
+
   /** Publish `dirs` as version `v` via write-then-atomic-rename.
     * Visible to the test package so the concurrent-publish conflict
     * (a race the public API can't interleave) is testable directly. */
   private[graft] def publish(spark: SparkSession, path: String, v: Long, dirs: Seq[String],
-      tag: Option[String] = None, dvs: Seq[String] = Seq.empty): Unit = {
+      tag: Option[String] = None, dvs: Seq[String] = Seq.empty,
+      cols: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     val dvField =
       if (dvs.isEmpty) ""
       else dvs.map("\"" + _ + "\"").mkString(""","dvs":[""", ",", "]")
+    val colField =
+      if (cols.isEmpty) ""
+      else cols.map("\"" + _ + "\"").mkString(""","cols":[""", ",", "]")
     val body = dirs.map("\"" + _ + "\"").mkString(
-      s"""{"version":$v$tagField$dvField,"dirs":[""", ",", "]}")
+      s"""{"version":$v$tagField$dvField$colField,"dirs":[""", ",", "]}")
     val staging = new Path(manifestDir(path), s".${vname(v)}.json.staging")
     val out = f.create(staging, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -279,10 +437,14 @@ object TimeTravel {
     // existing tombstones carry forward: they key on (file, pos) of the
     // immutable old directories, which an append never touches
     val prevDvs = cur.map(dvListing(spark, path, _)).getOrElse(Seq.empty)
-    val dir = writeData(df, path, v)
+    // a mapped table's appends arrive in LOGICAL shape and write the
+    // immutable physical names; the mapping itself carries forward
+    val mapping = cur.flatMap(colsListing(spark, path, _))
+    val dir = writeData(mapping.map(toPhysical(df, _)).getOrElse(df), path, v)
     if (statsCols.nonEmpty || bloomCols.nonEmpty)
       writeStatsFor(spark, path, dir, statsCols, bloomCols)
-    publish(spark, path, v, prev :+ dir, tag, prevDvs)
+    publish(spark, path, v, prev :+ dir, tag, prevDvs,
+      cols = encodedColsAt(spark, path, cur))
     v
   }
 
@@ -305,20 +467,25 @@ object TimeTravel {
   def commitOverwrite(df: DataFrame, path: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val v = latest(spark, path).getOrElse(0L) + 1
-    val dir = writeData(df, path, v)
+    val cur = latest(spark, path)
+    val v = cur.getOrElse(0L) + 1
+    val mapping = cur.flatMap(colsListing(spark, path, _))
+    val dir = writeData(mapping.map(toPhysical(df, _)).getOrElse(df), path, v)
     if (statsCols.nonEmpty || bloomCols.nonEmpty)
       writeStatsFor(spark, path, dir, statsCols, bloomCols)
-    publish(spark, path, v, Seq(dir))
+    publish(spark, path, v, Seq(dir), cols = encodedColsAt(spark, path, cur))
     v
   }
 
   /** Roll back by PUBLISHING `toVersion`'s listing as a new version —
-    * an undo that is itself in the history, never a history rewrite. */
+    * an undo that is itself in the history, never a history rewrite.
+    * The target's column MAPPING restores with its listing: rolling
+    * back across a rename/drop/widen undoes the schema change too. */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
     val v = latest(spark, path).getOrElse(0L) + 1
     publish(spark, path, v, listing(spark, path, toVersion),
-      dvs = dvListing(spark, path, toVersion))
+      dvs = dvListing(spark, path, toVersion),
+      cols = encodedColsAt(spark, path, Some(toVersion)))
     v
   }
 
@@ -329,27 +496,37 @@ object TimeTravel {
     * own original schema). */
   def read(spark: SparkSession, path: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
     val dirs = listing(spark, path, v)
     val dvs = dvListing(spark, path, v)
+    val mapping = colsListing(spark, path, v)
     if (dirs.isEmpty) spark.emptyDataFrame
-    else {
-      val data = spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(dirs.map(d => s"$path/$d"): _*)
-      if (dvs.isEmpty) data
-      else {
-        // merge-on-read: subtract the tombstoned (file, pos) pairs. The
-        // DV side is O(deleted rows) and AQE broadcasts it when small —
-        // the read-amplification a MoR table pays until OPTIMIZE folds
-        // the DVs back into data files.
-        import org.apache.spark.sql.functions.col
-        val withPos = data.select(col("*"),
-          col("_metadata.file_path").as(DvCols.head),
-          col("_metadata.row_index").as(DvCols.last))
-        val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
-        withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
-      }
+    else mapping match {
+      case Some(cols) =>
+        // column-mapped snapshot: per-dir physical→logical projection
+        // (each version resolves through ITS OWN map — time travel
+        // across a rename serves each era's names)
+        val data = mappedScan(spark, path, dirs, cols, withPos = dvs.nonEmpty)
+        if (dvs.isEmpty) data
+        else data.join(spark.read.parquet(dvs.map(d => s"$path/$d"): _*),
+          DvCols, "left_anti").drop(DvCols: _*)
+      case None =>
+        val data = spark.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(dirs.map(d => s"$path/$d"): _*)
+        if (dvs.isEmpty) data
+        else {
+          // merge-on-read: subtract the tombstoned (file, pos) pairs. The
+          // DV side is O(deleted rows) and AQE broadcasts it when small —
+          // the read-amplification a MoR table pays until OPTIMIZE folds
+          // the DVs back into data files.
+          val withPos = data.select(col("*"),
+            col("_metadata.file_path").as(DvCols.head),
+            col("_metadata.row_index").as(DvCols.last))
+          val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
+          withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
+        }
     }
   }
 
@@ -362,25 +539,49 @@ object TimeTravel {
     * compose without double-counting. This is the cheap-delete half of
     * the copy-on-write/merge-on-read trade: [[merge]]/[[purge]] rewrite
     * (CoW), deleteMoR defers the rewrite to maintenance time. */
+  /** Loud decline for faces that plan a single mixed physical scan and
+    * so cannot host a column mapping (file skipping, the DSv2/SQL
+    * relation): silently scanning physical names would serve wrong or
+    * stale columns — the same reason Delta gates column mapping behind
+    * reader-version features. */
+  private[sources] def requireUnmapped(spark: SparkSession, path: String,
+      v: Long, what: String): Unit =
+    if (colsListing(spark, path, v).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$what does not support column-mapped tables (rename/drop/widen " +
+          s"history at $path); read via TimeTravel.read")
+
+  /** (file, pos)-annotated LOGICAL scan of a snapshot's data dirs —
+    * the row-level ops' shared substrate; mapped tables project per
+    * directory, plain ones keep the single mixed scan. */
+  private def scanWithPos(spark: SparkSession, path: String, v: Long,
+      dirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    colsListing(spark, path, v) match {
+      case Some(cols) => mappedScan(spark, path, dirs, cols, withPos = true)
+      case None => spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+        .select(col("*"),
+          col("_metadata.file_path").as(DvCols.head),
+          col("_metadata.row_index").as(DvCols.last))
+    }
+  }
+
   def deleteMoR(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.col
     val cur = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to delete at $path"))
     val dirs = listing(spark, path, cur)
     val prevDvs = dvListing(spark, path, cur)
     val v = cur + 1
-    val data = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-      .select(col("*"),
-        col("_metadata.file_path").as(DvCols.head),
-        col("_metadata.row_index").as(DvCols.last))
+    val data = scanWithPos(spark, path, cur, dirs)
     val live =
       if (prevDvs.isEmpty) data
       else data.join(
         spark.read.parquet(prevDvs.map(d => s"$path/$d"): _*), DvCols, "left_anti")
     live.filter(condition).select(DvCols.head, DvCols.tail: _*)
       .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
-    publish(spark, path, v, dirs, dvs = prevDvs :+ dvDir(v))
+    publish(spark, path, v, dirs, dvs = prevDvs :+ dvDir(v),
+      cols = encodedColsAt(spark, path, Some(cur)))
     v
   }
 
@@ -406,11 +607,9 @@ object TimeTravel {
       throw new IllegalArgumentException(s"nothing to update at $path"))
     val dirs = listing(spark, path, cur)
     val prevDvs = dvListing(spark, path, cur)
+    val mapping = colsListing(spark, path, cur)
     val v = cur + 1
-    val data = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-      .select(col("*"),
-        col("_metadata.file_path").as(DvCols.head),
-        col("_metadata.row_index").as(DvCols.last))
+    val data = scanWithPos(spark, path, cur, dirs)
     val live =
       if (prevDvs.isEmpty) data
       else data.join(
@@ -428,8 +627,10 @@ object TimeTravel {
     }: _*)
     hit.select(DvCols.head, DvCols.tail: _*)
       .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
-    updated.write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
-    publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v))
+    mapping.map(toPhysical(updated, _)).getOrElse(updated)
+      .write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
+    publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v),
+      cols = encodedColsAt(spark, path, Some(cur)))
     v
   }
 
@@ -449,7 +650,6 @@ object TimeTravel {
     * touch, so rows outside the predicate fail the commit up front. */
   def replaceWhere(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column, df: DataFrame): Long = {
-    import org.apache.spark.sql.functions.col
     val cur = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to replace at $path"))
     val offenders = df.filter(!condition).limit(1).count()
@@ -458,19 +658,19 @@ object TimeTravel {
         "(a row outside the predicate would escape the declared scope)")
     val dirs = listing(spark, path, cur)
     val prevDvs = dvListing(spark, path, cur)
+    val mapping = colsListing(spark, path, cur)
     val v = cur + 1
-    val data = spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-      .select(col("*"),
-        col("_metadata.file_path").as(DvCols.head),
-        col("_metadata.row_index").as(DvCols.last))
+    val data = scanWithPos(spark, path, cur, dirs)
     val live =
       if (prevDvs.isEmpty) data
       else data.join(
         spark.read.parquet(prevDvs.map(d => s"$path/$d"): _*), DvCols, "left_anti")
     live.filter(condition).select(DvCols.head, DvCols.tail: _*)
       .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
-    df.write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
-    publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v))
+    mapping.map(toPhysical(df, _)).getOrElse(df)
+      .write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
+    publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v),
+      cols = encodedColsAt(spark, path, Some(cur)))
     v
   }
 
@@ -806,6 +1006,7 @@ object TimeTravel {
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
+    requireUnmapped(spark, path, v, "readPruned")
     val dirs = listing(spark, path, v)
     val dvs = dvListing(spark, path, v)
     if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))
@@ -847,6 +1048,7 @@ object TimeTravel {
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
+    requireUnmapped(spark, path, v, "readPoint")
     val dirs = listing(spark, path, v)
     val dvs = dvListing(spark, path, v)
     if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))

@@ -95,6 +95,12 @@ final class TimeTravelTable(path: String, versionOpt: Option[Long],
   /** The table path, for [[graft.plans.DvApply]]'s rewrite. */
   private[graft] def tablePath: String = path
 
+  // a column-mapped snapshot cannot be served by a pass-through file
+  // scan (physical names/types differ per era) — decline loudly here
+  // so every SQL-face consumer (SELECT, DML translation, StatsPrune)
+  // inherits the guard
+  TimeTravel.requireUnmapped(spark, path, snapshotVersion, "graft-table SQL scan")
+
   /** Pinned at construction with the rest of the snapshot: whether this
     * snapshot carries merge-on-read tombstones that a plain file scan
     * cannot apply. */

@@ -95,6 +95,11 @@ final class TimeTravelSource(spark: SparkSession, path: String,
     val endV = toVersion(end)
     mode match {
       case "appends" =>
+        // a column-mapped snapshot can't stream through the pinned
+        // physical-schema scan — a rename mid-stream must kill the
+        // query loudly, not serve nulls (cdf mode reads logically and
+        // keeps working)
+        TimeTravel.requireUnmapped(spark, path, endV, "graft-table appends stream")
         start.map(toVersion).orElse(startingVersion) match {
           case Some(sinceV) =>
             val added = TimeTravel.appendedDirsSince(spark, path, sinceV, endV)

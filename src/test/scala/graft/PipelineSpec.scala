@@ -770,6 +770,89 @@ class PipelineSpec extends SparkSpec {
       == Seq(Append, Append, RowLevel, RowLevel, Rewrite))
   }
 
+  test("schema evolution v2: rename is metadata-only, both eras read correctly") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_ren").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1L to 10L).map(i => (i, s"n$i", i * 10)).toDF("k", "nm", "bal"), dir) // v1
+    val v2 = TimeTravel.renameColumn(spark, dir, "bal", "balance")
+    assert(v2 == 2L)
+    // metadata-only: no new data directory was written
+    val h = TimeTravel.history(spark, dir).filter(col("version") === 2).head
+    assert(h.getInt(2) == 1 && h.getInt(3) == 0, "rename added no data dirs")
+    val now = TimeTravel.read(spark, dir)
+    assert(now.columns.toSeq == Seq("k", "nm", "balance"))
+    assert(now.filter(col("k") === 3).head.getLong(2) == 30L)
+    // the pre-rename snapshot still serves the OLD name
+    val era1 = TimeTravel.read(spark, dir, Some(1L))
+    assert(era1.columns.toSeq == Seq("k", "nm", "bal"))
+    // appends after the rename arrive in logical shape and read back
+    TimeTravel.commitAppend(
+      Seq((11L, "n11", 110L)).toDF("k", "nm", "balance"), dir)
+    val all = TimeTravel.read(spark, dir)
+    assert(all.count() == 11 &&
+      all.filter(col("k") === 11).head.getLong(2) == 110L)
+    // old-era and new-era files agree under the map
+    assert(all.select(sum(col("balance"))).head.getLong(0) == (1L to 11L).map(_ * 10).sum)
+    // rollback across the rename restores the old schema with the listing
+    TimeTravel.rollback(spark, dir, 1L)
+    assert(TimeTravel.read(spark, dir).columns.toSeq == Seq("k", "nm", "bal"))
+  }
+
+  test("schema evolution v2: widen int->bigint reads both eras as the wide type") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_wid").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1 to 5).map(i => (i, i * 100)).toDF("k", "v"), dir) // int columns
+    intercept[IllegalArgumentException] {
+      TimeTravel.widenColumn(spark, dir, "v", "string") // not a widening
+    }
+    TimeTravel.widenColumn(spark, dir, "v", "bigint")
+    TimeTravel.commitAppend(
+      Seq((6, 600000000000L)).toDF("k", "v"), dir) // wide value, new era
+    val now = TimeTravel.read(spark, dir)
+    assert(now.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(now.select(sum(col("v"))).head.getLong(0) ==
+      (1 to 5).map(_ * 100L).sum + 600000000000L)
+    // pre-widen snapshot keeps its narrow type
+    assert(TimeTravel.read(spark, dir, Some(1L)).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("schema evolution v2: drop hides the column now, history still serves it") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_drop").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1L to 5L).map(i => (i, s"n$i", i * 10)).toDF("k", "nm", "bal"), dir)
+    TimeTravel.dropColumn(spark, dir, "nm")
+    assert(TimeTravel.read(spark, dir).columns.toSeq == Seq("k", "bal"))
+    assert(TimeTravel.read(spark, dir, Some(1L)).columns.toSeq == Seq("k", "nm", "bal"),
+      "pre-drop snapshot still serves the column")
+    // row-level ops keep working on the mapped table
+    TimeTravel.deleteMoR(spark, dir, col("bal") >= 40L)
+    assert(TimeTravel.read(spark, dir).select("k").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+  }
+
+  test("schema evolution v2: unmappable faces decline loudly") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_guard").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1L to 5L).map(i => (i, i * 10)).toDF("k", "v"), dir)
+    TimeTravel.renameColumn(spark, dir, "v", "val")
+    val e = intercept[UnsupportedOperationException] {
+      spark.read.format("graft-table").load(dir).count()
+    }
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+    intercept[UnsupportedOperationException] {
+      TimeTravel.readPruned(spark, dir, "k", 1, 3)
+    }
+  }
+
   test("history face reports tags, listing sizes, added dirs and DV counts") {
     import graft.sources.TimeTravel
     import spark.implicits._
