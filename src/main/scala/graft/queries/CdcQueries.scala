@@ -268,6 +268,77 @@ object CdcQueries {
       .orderBy("lang", "source")
   }
 
+  /** Delta Lake READ interop ([[graft.sources.DeltaRead]], r10 tier):
+    * a real `_delta_log` directory — spec-written JSON commits over
+    * partitioned parquet files, add/remove with last-writer-wins — is
+    * replayed and queried IN PLACE. The fixture derives from `orders`
+    * (one file per o_orderkey%3 band, partitioned by the band string);
+    * commit 0 adds bands b0+b1, commit 1 removes b1 and adds b2, so a
+    * replay that missed the tombstone, dropped an add, or failed to
+    * inject the log-resident partition values breaks count, sum or
+    * grouping. The oracle states the live row set in closed form.
+    *
+    * Scale: log replay is driver-side O(actions); the scan reads
+    * exactly the live files — querying a lakehouse table in place with
+    * no conversion pass. */
+  val qDeltaRead: QueryDef = QueryDef.sql(
+    "q_delta_read",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE band <> 'b1'
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_delta_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("v"),
+      (col("o_orderkey") % 3).cast("int").as("b"))
+    // one physical file per band, partition value carried by the LOG
+    (0 to 2).foreach { b =>
+      val tmp = s"${dir}_stage_$b"
+      o.filter(col("b") === b).select("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/band=b$b/f$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+    }
+    val esc = StructType(Seq(StructField("id", LongType), StructField("v", LongType),
+      StructField("band", StringType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val meta =
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$esc","partitionColumns":["band"],"configuration":{}}}"""
+    def add(b: Int) =
+      s"""{"add":{"path":"band=b$b/f$b.parquet","partitionValues":{"band":"b$b"},""" +
+        s""""size":1,"modificationTime":$b,"dataChange":true}}"""
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        meta, add(0), add(1)).mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json"),
+      Seq("""{"remove":{"path":"band=b1/f1.parquet","deletionTimestamp":9,"dataChange":true}}""",
+        add(2)).mkString("", "\n", "\n"))
+    graft.sources.DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
-    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip)
+    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead)
 }

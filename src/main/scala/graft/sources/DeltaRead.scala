@@ -1,0 +1,193 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Read-only DELTA LAKE interop: replay a real `_delta_log` (the
+  * public protocol — JSON commit files plus optional parquet
+  * checkpoints, last-writer-wins per file path) into the live file
+  * list and scan it — so the engine queries lakehouse data IN PLACE,
+  * no conversion pass. Scope is the protocol's reader-version-1
+  * core:
+  *
+  *   - `_last_checkpoint` → `<v>.checkpoint.parquet` (add/remove/
+  *     metaData/protocol action columns), then every `<v>.json`
+  *     commit after it, ascending; actions apply in order — an `add`
+  *     (re)registers its path, a `remove` tombstones it, the last
+  *     `metaData` wins the schema;
+  *   - partition values come from `add.partitionValues` (they are NOT
+  *     in the data files) and are injected per file group as typed
+  *     literals, exactly how Delta serves them;
+  *   - features this reader cannot honor fail LOUDLY, never silently
+  *     mis-read: `minReaderVersion > 1` (column mapping, v2
+  *     checkpoints …) and deletion vectors on any live `add` decline
+  *     with the feature named.
+  *
+  * Scale: log replay is driver-side O(actions) — the same planning
+  * cost Delta itself pays; the scan is one parquet read per partition
+  * group over exactly the live files, pushdown and pruning intact.
+  * Checkpoint reading collects only the action columns.
+  */
+object DeltaRead {
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[sources] final case class AddFile(path: String,
+      partitionValues: Map[String, String])
+
+  private[sources] final case class LogState(
+      adds: Map[String, AddFile],
+      schemaJson: Option[String],
+      partitionCols: Seq[String],
+      minReader: Int)
+
+  /** The table's live snapshot as a DataFrame. */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val st = replay(spark, tablePath)
+    if (st.minReader > 1) throw new UnsupportedOperationException(
+      s"delta table at $tablePath requires minReaderVersion ${st.minReader}; " +
+        "this reader supports version 1 (no column mapping / v2 checkpoints)")
+    val schemaJson = st.schemaJson.getOrElse(throw new IllegalStateException(
+      s"delta log at $tablePath has no metaData action"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val partCols = st.partitionCols
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    import org.apache.spark.sql.functions.{col, lit}
+    if (st.adds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // one scan per distinct partition tuple: the values live in the log,
+    // not the files, and each group's files share them
+    val groups = st.adds.values.toSeq.groupBy(_.partitionValues)
+    val frames = groups.toSeq.map { case (pv, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+      val withParts = partCols.foldLeft(base) { (df, pc) =>
+        val dt = schema(pc).dataType
+        // Delta serializes partition values as strings; null encodes as
+        // an absent key (the protocol's "null partition value")
+        df.withColumn(pc, lit(pv.get(pc).orNull).cast(dt))
+      }
+      withParts.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /** Log replay to the live state: checkpoint (if any) then the JSON
+    * commits after it. Exposed for the spec's protocol assertions. */
+  private[sources] def replay(spark: SparkSession, tablePath: String): LogState = {
+    val logDir = s"$tablePath/_delta_log"
+    val f = fs(spark, tablePath)
+    if (!f.exists(new Path(logDir)))
+      throw new IllegalArgumentException(s"no _delta_log at $tablePath")
+    val cp = lastCheckpoint(spark, logDir)
+    val start = cp.map(_ + 1).getOrElse(0L)
+    var st = cp.map(v => fromCheckpoint(spark, logDir, v))
+      .getOrElse(LogState(Map.empty, None, Seq.empty, 1))
+    val commits = f.listStatus(new Path(logDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(n => n.stripSuffix(".json").toLong)
+      .filter(_ >= start).sorted
+    commits.foreach { v =>
+      val file = new Path(logDir, f"$v%020d.json")
+      val in = f.open(file)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        st = applyAction(st, mapper.readTree(line), s"$file")
+      }
+    }
+    st
+  }
+
+  private def applyAction(st: LogState, node: JsonNode, where: String): LogState = {
+    if (node.has("add")) {
+      val a = node.get("add")
+      if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+        throw new UnsupportedOperationException(
+          s"delta add with a deletion vector in $where; this reader declines DV tables")
+      val path = a.get("path").asText()
+      val pv = Option(a.get("partitionValues")).map { p =>
+        val it = p.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      st.copy(adds = st.adds + (path -> AddFile(path, pv)))
+    } else if (node.has("remove")) {
+      st.copy(adds = st.adds - node.get("remove").get("path").asText())
+    } else if (node.has("metaData")) {
+      val m = node.get("metaData")
+      val parts = Option(m.get("partitionColumns"))
+        .map(p => (0 until p.size()).map(p.get(_).asText())).getOrElse(Seq.empty)
+      st.copy(schemaJson = Some(m.get("schemaString").asText()),
+        partitionCols = parts)
+    } else if (node.has("protocol")) {
+      st.copy(minReader = node.get("protocol").get("minReaderVersion").asInt())
+    } else st // commitInfo, txn, domainMetadata … are reader-irrelevant
+  }
+
+  private def lastCheckpoint(spark: SparkSession, logDir: String): Option[Long] = {
+    val f = fs(spark, logDir)
+    val p = new Path(logDir, "_last_checkpoint")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      Some(mapper.readTree(body).get("version").asLong())
+    }
+  }
+
+  /** Rebuild state from a classic single-part checkpoint parquet: the
+    * same actions in columnar shape, already net-of-removes per the
+    * protocol (a checkpoint lists only live adds plus tombstones we
+    * can ignore for reads after their own commit window). */
+  private def fromCheckpoint(spark: SparkSession, logDir: String, v: Long): LogState = {
+    val df = spark.read.parquet(s"$logDir/${f"$v%020d"}.checkpoint.parquet")
+    val cols = df.columns.toSet
+    var st = LogState(Map.empty, None, Seq.empty, 1)
+    if (cols.contains("protocol")) {
+      val r = df.select("protocol.minReaderVersion").na.drop().collect()
+      if (r.nonEmpty) st = st.copy(minReader = r.head.getInt(0))
+    }
+    if (cols.contains("metaData")) {
+      val r = df.select("metaData.schemaString", "metaData.partitionColumns")
+        .na.drop(Seq("schemaString")).collect()
+      if (r.nonEmpty) st = st.copy(
+        schemaJson = Some(r.head.getString(0)),
+        partitionCols = Option(r.head.getSeq[String](1)).getOrElse(Seq.empty))
+    }
+    if (cols.contains("add")) {
+      val hasDv = df.schema("add").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("deletionVector")
+      val sel = if (hasDv)
+        df.select("add.path", "add.partitionValues", "add.deletionVector")
+      else df.select("add.path", "add.partitionValues")
+      val adds = sel.na.drop(Seq("path")).collect().map { r =>
+        if (hasDv && !r.isNullAt(2)) throw new UnsupportedOperationException(
+          s"delta checkpoint add with a deletion vector at $logDir v$v")
+        val pv = Option(r.getMap[String, String](1)).map(_.toMap)
+          .getOrElse(Map.empty[String, String])
+        r.getString(0) -> AddFile(r.getString(0), pv)
+      }.toMap
+      st = st.copy(adds = adds)
+    }
+    st
+  }
+}

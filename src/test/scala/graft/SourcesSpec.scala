@@ -559,6 +559,142 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("satisfy the replace condition"))
   }
 
+  // ---- Delta Lake read interop (public _delta_log protocol fixtures)
+
+  private def writeDeltaCommit(dir: String, v: Long, lines: Seq[String]): Unit = {
+    val log = new java.io.File(s"$dir/_delta_log")
+    log.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"),
+      lines.mkString("\n") + "\n")
+  }
+
+  private def metaAction(partitioned: Boolean): String = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fields = Seq(StructField("id", LongType), StructField("v", LongType)) ++
+      (if (partitioned) Seq(StructField("p", StringType)) else Nil)
+    val esc = StructType(fields).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val parts = if (partitioned) """["p"]""" else "[]"
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"$esc","partitionColumns":$parts,"configuration":{}}}"""
+  }
+
+  private def writeDeltaPart(dir: String, rel: String, rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dpart").toFile.getAbsolutePath
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$dir/$rel")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+  }
+
+  test("delta read: JSON log replay applies add/remove last-writer-wins") {
+    import graft.sources.DeltaRead
+    val dir = Files.createTempDirectory("delta_fix").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i * 2)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 20L).map(i => (i, i * 2)))
+    writeDeltaPart(dir, "f3.parquet", (21L to 30L).map(i => (i, i * 2)))
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = false),
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeDeltaCommit(dir, 1,
+      Seq("""{"remove":{"path":"f2.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
+        """{"commitInfo":{"operation":"WRITE"}}"""))
+    val got = DeltaRead.read(spark, dir)
+    import spark.implicits._
+    assert(got.select("id").as[Long].collect().toSet ==
+      ((1L to 10L) ++ (21L to 30L)).toSet,
+      "live set = adds minus removes, f2 tombstoned")
+  }
+
+  test("delta read: partition values inject from the log as typed columns") {
+    import graft.sources.DeltaRead
+    val dir = Files.createTempDirectory("delta_part").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "p=a/f1.parquet", (1L to 5L).map(i => (i, i)))
+    writeDeltaPart(dir, "p=b/f2.parquet", (6L to 9L).map(i => (i, i)))
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = true),
+        """{"add":{"path":"p=a/f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"p=b/f2.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    import spark.implicits._
+    assert(got.columns.toSeq == Seq("id", "v", "p"))
+    assert(got.filter(col("p") === "a").select("id").as[Long].collect().toSet
+      == (1L to 5L).toSet)
+    assert(got.filter(col("p") === "b").count() == 4)
+  }
+
+  test("delta read: checkpoint replay + later commits, and loud feature declines") {
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_cp").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 15L).map(i => (i, i)))
+    // classic single-part checkpoint at v1: live adds + metaData + protocol
+    val schemaString = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))).json
+    val cp = Seq(
+      (Some(("f1.parquet", Map.empty[String, String])), None: Option[Int],
+        None: Option[(String, Seq[String])]),
+      (None, Some(1), None),
+      (None, None, Some((schemaString, Seq.empty[String]))))
+      .toDF("addRaw", "protoRaw", "metaRaw")
+      .selectExpr(
+        "named_struct('path', addRaw._1, 'partitionValues', addRaw._2) AS add",
+        "named_struct('minReaderVersion', protoRaw) AS protocol",
+        "named_struct('schemaString', metaRaw._1, 'partitionColumns', metaRaw._2) AS metaData")
+    cp.coalesce(1).write.mode("overwrite")
+      .parquet(Files.createTempDirectory("cpout").toFile.getAbsolutePath)
+    // rewrite as the exact checkpoint file name
+    val tmp = Files.createTempDirectory("cpstage").toFile.getAbsolutePath
+    cp.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val partFile = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.copy(partFile.toPath,
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${1L}%020d" + ".checkpoint.parquet"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":1,"size":3}""")
+    // a post-checkpoint JSON commit adds f2
+    writeDeltaCommit(dir, 2,
+      Seq("""{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.select("id").as[Long].collect().toSet == (1L to 15L).toSet,
+      "checkpoint state + post-checkpoint commit compose")
+
+    // declines: reader version 2, and a DV-bearing add
+    val dir2 = Files.createTempDirectory("delta_decl").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir2).mkdirs()
+    writeDeltaPart(dir2, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dir2, 0,
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        metaAction(partitioned = false),
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir2))
+    assert(e1.getMessage.contains("minReaderVersion"), e1.getMessage)
+    val dir3 = Files.createTempDirectory("delta_dv").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir3).mkdirs()
+    writeDeltaPart(dir3, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dir3, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = false),
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+    val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir3))
+    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+  }
+
   test("GraftCatalog: SELECT and VERSION AS OF resolve through the SQL identifier") {
     import graft.sources.TimeTravel
     import spark.implicits._
