@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pure inequality joins (point between interval bounds, no equi
     // key) rewrite to the binned equi-join instead of a nested loop
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
+    // opt-in stats-driven join strategy (spark.graft.advisor.auto):
+    // _advisor sidecar row stats pin broadcast hints at planning time
+    ext.injectOptimizerRule(_ => graft.plans.AdvisorApply)
     // SQL DML over the versioned table: DELETE/UPDATE/MERGE statements
     // on a graft-table relation translate to the library's row-level
     // operations during analysis (the Delta-style command rewrite)

@@ -827,4 +827,57 @@ class PlanSpec extends SparkSpec {
     JoinAdvisor.save(spark, p, st)
     assert(JoinAdvisor.load(spark, p) == st)
   }
+
+  test("advisor auto-apply: same join, different sidecar stats, different pinned plans") {
+    import graft.operators.JoinAdvisor
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("adv_auto").toString
+    val factDir = s"$base/fact"; val dimDir = s"$base/dim"
+    (1L to 5000L).map(i => (i % 50, s"pay_$i")).toDF("k", "payload")
+      .write.mode("overwrite").parquet(factDir)
+    (0L to 49L).map(i => (i, s"attr_$i")).toDF("k", "attr")
+      .write.mode("overwrite").parquet(dimDir)
+    def planOf(): (String, Seq[org.apache.spark.sql.Row]) = {
+      val j = spark.read.parquet(factDir)
+        .join(spark.read.parquet(dimDir), "k")
+      (j.queryExecution.executedPlan.toString,
+        j.groupBy("k").count().orderBy("k").collect().toSeq)
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // kill size-based broadcasting so only the ADVISOR hint can pin it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.advisor.auto", "true")
+      // stats say the dim side is tiny → broadcast hint pinned
+      JoinAdvisor.analyzeTable(spark, factDir, spark.read.parquet(factDir), "k")
+      JoinAdvisor.analyzeTable(spark, dimDir, spark.read.parquet(dimDir), "k")
+      val (p1, rows1) = planOf()
+      assert(p1.contains("BroadcastHashJoin"),
+        s"sidecar-small dim must pin a broadcast:\n$p1")
+      // SAME SQL, stats now claim both sides are huge → no hint, plain join
+      JoinAdvisor.save(spark, s"$factDir/_advisor/k.json",
+        JoinAdvisor.KeyStats(100000000L, 50, Seq(("1", 1L)), 64))
+      JoinAdvisor.save(spark, s"$dimDir/_advisor/k.json",
+        JoinAdvisor.KeyStats(90000000L, 50, Seq(("1", 1L)), 64))
+      val (p2, rows2) = planOf()
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"huge-stats sides must not broadcast:\n$p2")
+      assert(rows1 == rows2, "strategy changed, rows must not")
+      // flag off → stats ignored entirely
+      spark.conf.set("spark.graft.advisor.auto", "false")
+      JoinAdvisor.save(spark, s"$dimDir/_advisor/k.json",
+        JoinAdvisor.KeyStats(50, 50, Seq(("1", 1L)), 16))
+      val (p3, _) = planOf()
+      assert(!p3.contains("BroadcastHashJoin"), "opt-in flag must gate the rule")
+      // a filtered side must NOT consult row stats (cardinality changed)
+      spark.conf.set("spark.graft.advisor.auto", "true")
+      val jf = spark.read.parquet(factDir).filter(col("k") < 10)
+        .join(spark.read.parquet(dimDir).filter(col("attr") =!= "x"), "k")
+      assert(!jf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "filter invalidates sidecar row stats")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.graft.advisor.auto", "false")
+    }
+  }
 }
