@@ -311,9 +311,9 @@ object SimilarityQueries {
   }
   private def kmeansLastAssign: String = s"assign$KmIters"
 
-  /** Spark face of the same trainer: (vec_id, cid) after `KmIters`
-    * Lloyd rounds on the 2²⁰ integer grid. */
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  /** Spark face of the same trainer: (comp, assign, cent) after
+    * `KmIters` Lloyd rounds on the 2²⁰ integer grid. */
+  private def kmeansTrain(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val comp = emb(s, d)
       .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
@@ -333,8 +333,11 @@ object SimilarityQueries {
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
     }
-    assign
+    (comp, assign, cent)
   }
+
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeansTrain(s, d)._2
 
   val qKnnKmeans: QueryDef = {
     val last = kmeansLastAssign
@@ -598,6 +601,181 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** IVF×PQ COMPOSED (Jégou et al.'s IVFADC — the production ANN
+    * recipe, r10 tier; the at-rest layout face is
+    * [[graft.sources.VectorIndex.buildIvfPq]], pinned by IndexSpec):
+    * the learned coarse quantizer routes each query to its `IvfPqProbes`
+    * nearest cells, vectors are PRODUCT-quantized over their RESIDUAL
+    * to the cell centroid (shared per-subspace codebooks — residual
+    * encoding is what keeps one codebook tight across cells), and
+    * serving is pure ADC: a per-(query, cell) lookup table of exact
+    * integer residual distances, summed per candidate through its code
+    * word — raw vectors untouched at search time. Output carries the
+    * RECALL REPORT: each query's ADC top-10 joined with its overlap
+    * count against the exact cosine top-10, so the quantization loss is
+    * measured inside the hash-checked result, not asserted offline.
+    *
+    * Both engines recompute the ENTIRE composition independently —
+    * coarse Lloyd, residual PQ training, routing, LUT, ADC — on the 2²⁰
+    * integer grid (distances exact integer sums, means ROUND half-away
+    * which both engines share on signed residuals, ties on id).
+    *
+    * Scale: routing probes a centroid table bounded by cells·dim; the
+    * candidate pass reads only code words within probed cells (the
+    * partition-pruned I/O story measured in IndexSpec); the LUT is
+    * probes·subs·K per query. Nothing corpus-sized crosses the driver. */
+  val qKnnIvfPq: QueryDef = {
+    val Probes = 2
+    val lastCent = s"cent$KmIters"
+    def rIter(i: Int, prev: String): String =
+      s"""rdist$i AS (
+         |  SELECT res.vec_id, res.sub, c.pcid, SUM((res.r - c.c) * (res.r - c.c)) AS d
+         |  FROM res JOIN $prev c ON res.pos = c.pos
+         |  GROUP BY res.vec_id, res.sub, c.pcid
+         |), rassign$i AS (
+         |  SELECT vec_id, sub, pcid FROM (
+         |    SELECT vec_id, sub, pcid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, pcid) AS rn
+         |    FROM rdist$i) WHERE rn = 1
+         |), rcent$i AS (
+         |  SELECT a.pcid, res.pos,
+         |    CAST(ROUND(CAST(SUM(res.r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+         |  FROM res JOIN rassign$i a ON res.vec_id = a.vec_id AND res.sub = a.sub
+         |  GROUP BY a.pcid, res.pos
+         |)""".stripMargin
+    val rIters = (1 to PqIters)
+      .map(i => rIter(i, if (i == 1) "rcent0" else s"rcent${i - 1}")).mkString(", ")
+    QueryDef.sql(
+      "q_knn_ivfpq",
+      s"""WITH $kmeansCtes, res AS (
+         |  SELECT comp.vec_id, a.cid AS cell, comp.pos,
+         |    comp.pos // $PqSubDim AS sub, comp.uq - c.c AS r
+         |  FROM comp
+         |  JOIN $kmeansLastAssign a ON a.vec_id = comp.vec_id
+         |  JOIN $lastCent c ON c.cid = a.cid AND c.pos = comp.pos
+         |), rcent0 AS (
+         |  SELECT vec_id AS pcid, pos, r AS c FROM res WHERE vec_id < $PqK
+         |), $rIters, qroute AS (
+         |  SELECT comp.vec_id AS qid, c.cid,
+         |    SUM((comp.uq - c.c) * (comp.uq - c.c)) AS d
+         |  FROM comp JOIN $lastCent c ON comp.pos = c.pos
+         |  WHERE comp.vec_id < $NQueries
+         |  GROUP BY comp.vec_id, c.cid
+         |), probed AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+         |    FROM qroute) WHERE rn <= $Probes
+         |), qres AS (
+         |  SELECT q.vec_id AS qid, p.cell, q.pos, q.pos // $PqSubDim AS sub, q.uq - c.c AS r
+         |  FROM comp q
+         |  JOIN probed p ON p.qid = q.vec_id
+         |  JOIN $lastCent c ON c.cid = p.cell AND c.pos = q.pos
+         |  WHERE q.vec_id < $NQueries
+         |), lut AS (
+         |  SELECT qr.qid, qr.cell, qr.sub, c.pcid, SUM((qr.r - c.c) * (qr.r - c.c)) AS d
+         |  FROM qres qr JOIN rcent$PqIters c ON qr.pos = c.pos
+         |  GROUP BY qr.qid, qr.cell, qr.sub, c.pcid
+         |), vcell AS (
+         |  SELECT DISTINCT vec_id, cell FROM res
+         |), codes AS (
+         |  SELECT a.vec_id, v.cell, a.sub, a.pcid
+         |  FROM rassign$PqIters a JOIN vcell v ON v.vec_id = a.vec_id
+         |), scored AS (
+         |  SELECT l.qid, cd.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist
+         |  FROM codes cd
+         |  JOIN lut l ON l.cell = cd.cell AND l.sub = cd.sub AND l.pcid = cd.pcid
+         |  WHERE cd.vec_id <> l.qid
+         |  GROUP BY l.qid, cd.vec_id
+         |), adc AS (
+         |  SELECT qid, vec_id, adist, CAST(rk AS BIGINT) AS rk FROM (
+         |    SELECT qid, vec_id, adist,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+         |    FROM scored) WHERE rk <= 10
+         |), t AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, v.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Similarity.cosineSql("q.e", "v.e")} DESC, v.vec_id) AS rk
+         |    FROM t q JOIN t v ON v.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE rk <= 10
+         |), rec AS (
+         |  SELECT a.qid, CAST(COUNT(e.vec_id) AS BIGINT) AS recall10
+         |  FROM adc a LEFT JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |  GROUP BY a.qid
+         |)
+         |SELECT a.qid, a.vec_id, a.adist, a.rk, r.recall10
+         |FROM adc a JOIN rec r ON r.qid = a.qid
+         |ORDER BY a.qid, a.rk""".stripMargin) { (s, d) =>
+      val (comp, assign, cent) = kmeansTrain(s, d)
+      val res = comp
+        .join(assign, Seq("vec_id"))
+        .join(broadcast(cent), Seq("cid", "pos"))
+        .select(col("vec_id"), col("cid").as("cell"), col("pos"),
+          expr(s"pos div $PqSubDim").as("sub"), (col("uq") - col("c")).as("r"))
+        .localCheckpoint() // PQ training + encoding read one pinned residual set
+      var rcent = res.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("pcid"), col("pos"), col("r").as("c"))
+      var rassign: DataFrame = null
+      for (_ <- 1 to PqIters) {
+        val dist = res.join(broadcast(rcent), Seq("pos"))
+          .groupBy(col("vec_id"), col("sub"), col("pcid"))
+          .agg(sum((col("r") - col("c")) * (col("r") - col("c"))).as("d"))
+        val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("pcid"))
+        rassign = dist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("vec_id", "sub", "pcid")
+        rcent = res.join(rassign, Seq("vec_id", "sub"))
+          .groupBy(col("pcid"), col("pos"))
+          .agg(round(sum(col("r")).cast("double") / count(lit(1)).cast("double"))
+            .cast("long").as("c"))
+      }
+      val qroute = comp.filter(col("vec_id") < NQueries)
+        .join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id").as("qid"), col("cid"))
+        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+      val wr = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+      val probed = qroute.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= Probes).select(col("qid"), col("cid").as("cell"))
+      val centR = cent.select(col("cid").as("ccell"),
+        col("pos").as("cpos"), col("c"))
+      val qres = comp.filter(col("vec_id") < NQueries)
+        .join(broadcast(probed), col("vec_id") === col("qid"))
+        .join(broadcast(centR),
+          col("ccell") === col("cell") && col("cpos") === col("pos"))
+        .select(col("qid"), col("cell"), col("pos"),
+          expr(s"pos div $PqSubDim").as("sub"), (col("uq") - col("c")).as("r"))
+      val lut = qres.join(broadcast(rcent), Seq("pos"))
+        .groupBy(col("qid"), col("cell"), col("sub"), col("pcid"))
+        .agg(sum((col("r") - col("c")) * (col("r") - col("c"))).as("d"))
+      val vcell = res.select(col("vec_id"), col("cell")).distinct()
+      val codes = rassign.join(vcell, Seq("vec_id"))
+      val scored = codes
+        .join(broadcast(lut), Seq("cell", "sub", "pcid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d")).cast("long").as("adist"))
+      val adc = scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+      val t = emb(s, d).select(col("vec_id"), col("e"))
+      val exact = t.as("q").filter(col("q.vec_id") < NQueries)
+        .join(t.as("v"), col("v.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("qid"), col("v.vec_id").as("vec_id"),
+          Similarity.cosineIn(s, col("q.e"), col("v.e")).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("qid").as("eqid"), col("vec_id").as("evec"))
+      val rec = adc.join(exact,
+          col("eqid") === col("qid") && col("evec") === col("vec_id"), "left")
+        .groupBy(col("qid")).agg(count(col("evec")).as("recall10"))
+      adc.join(rec, Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("adist"), col("rk"), col("recall10"))
+        .orderBy("qid", "rk")
+    }
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell–Goldstein '98)
     * DIVERSIFIED top-k: after ANN retrieval, greedily pick the
     * candidate maximizing `λ·rel − (1−λ)·max sim(c, selected)` — the
@@ -837,5 +1015,5 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qMmrRerank, qKnnRecall, qHardNegatives, qSampleCoreset)
+  val all: Seq[QueryDef] = Seq(qKnnBrute, qKnnFiltered, qEmbedNearDup, qKnnIvf, qKnnIvfProbe2, qKnnKmeans, qSemdedup, qEmbedPq, qKnnPq, qKnnIvfPq, qMmrRerank, qKnnRecall, qHardNegatives, qSampleCoreset)
 }

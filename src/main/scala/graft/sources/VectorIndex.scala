@@ -204,6 +204,173 @@ object VectorIndex {
       (d, cid)
     }.sorted.take(probes).map(_._2).toSeq
 
+  // ------------------------------------------------- IVF×PQ composition
+
+  /** Build the COMPOSED IVF×PQ layout — the production ANN recipe
+    * (Jégou et al. IVFADC): the coarse quantizer routes (cells become
+    * partitions, as in [[build]]), and within the index each vector
+    * additionally stores its PRODUCT-QUANTIZATION code word computed
+    * over the RESIDUAL to its cell centroid (residual encoding is what
+    * makes a shared codebook tight across cells). Layout on disk:
+    *
+    *   - `cell=<c>/` partitions carrying (id, vec, pq_codes) rows —
+    *     codes are `pqSubs` small ints, the only columns serving reads;
+    *   - `_centroids` — the coarse table (cells·dim, as before);
+    *   - `_pq_codebooks` — (cid, sub, pos, c): per-subspace centroids
+    *     of residual units, bounded by pqK·dim.
+    *
+    * PQ training is distributed with the subspace id as a grouping key
+    * (all `pqSubs` trainings ride one set of shuffles — the q_embed_pq
+    * recipe, applied to residuals); init is the residual subvectors of
+    * the first `pqK` ids, distances are exact integer sums on the 2²⁰
+    * grid, means round back to the grid via Spark `round` (HALF_UP —
+    * residuals are signed, so the rounding rule is part of the
+    * determinism contract). */
+  def buildIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      cells: Int, kmIters: Int, pqSubs: Int, pqK: Int, pqIters: Int,
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = trainCentroids(emb, idCol, vecCol, cells, kmIters)
+    val bCents = spark.sparkContext.broadcast(cents)
+    val withCell = emb.withColumn(CellCol, assignCell(spark, cents)(col(vecCol)))
+    // residual units per component: uq - coarseCentroid[cell][pos]
+    val resOf = udf { (v: Seq[Double], cell: Int) =>
+      val cent = bCents.value(cell)
+      v.indices.map(i => math.round(v(i) * Grid) - cent(i))
+    }
+    val dim = cents.head.length
+    val subDim = dim / pqSubs
+    require(subDim * pqSubs == dim, s"pqSubs=$pqSubs must divide dim=$dim")
+    val res = withCell.select(col(idCol), col(CellCol),
+      resOf(asDouble(col(vecCol)), col(CellCol)).as("r"))
+      .localCheckpoint() // training + encoding read the same residuals
+    val comp = res.select(col(idCol), col(CellCol),
+      posexplode(col("r")).as(Seq("pos", "uq")))
+      .withColumn("sub", expr(s"pos div $subDim"))
+    var cent = comp.filter(col(idCol) < pqK)
+      .select(col(idCol).cast("int").as("cid"), col("pos"), col("uq").as("c"))
+    var assign: DataFrame = null
+    for (_ <- 1 to pqIters) {
+      val dist = comp.join(broadcast(cent), Seq("pos"))
+        .groupBy(col(idCol), col("sub"), col("cid"))
+        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol), col("sub")).orderBy(col("d"), col("cid"))
+      assign = dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col(idCol), col("sub"), col("cid"))
+      cent = comp.join(assign, Seq(idCol, "sub"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("c"))
+    }
+    val codes = assign.groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("pq_codes"))
+    withCell.join(codes, idCol)
+      .write.mode(SaveMode.Overwrite).partitionBy(CellCol).parquet(path)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c_units").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_centroids")
+    cent.select(col("cid"), col("pos"), col("c")).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_pq_codebooks")
+  }
+
+  /** Serve via ASYMMETRIC DISTANCE COMPUTATION over the composed
+    * layout: route each query to its `probes` nearest cells, build the
+    * per-(query, cell) LUT of squared distances from the query's
+    * RESIDUAL subvectors to every codebook entry (driver-side — LUTs
+    * are probes·pqSubs·pqK longs per query, codebooks pqK·dim), then
+    * score candidates by summing the LUT entries their code words
+    * select. The scan reads ONLY (id, codes) from the probed
+    * partitions — the raw vectors are never touched at serve time,
+    * which is the PQ I/O story on top of IVF's partition pruning.
+    *
+    * `rerank > 0` adds the standard REFINE stage (Faiss's
+    * IndexRefineFlat): the ADC pass shortlists `rerank` candidates per
+    * query, then EXACT cosine re-scores just those rows — vectors are
+    * fetched for the shortlist only (queries·rerank rows), recovering
+    * near-exact recall while the corpus-sized pass stays codes-only.
+    * Columns are (qid, id, cell, sim, rk) in rerank mode, (…, adist,
+    * rk) in pure-ADC mode. */
+  def queryIvfPq(spark: SparkSession, path: String, idCol: String,
+      queries: Seq[(Long, Array[Double])], probes: Int, k: Int,
+      rerank: Int = 0): DataFrame = {
+    val cents = loadCentroids(spark, path)
+    val dim = cents.head.length
+    val bookRows = spark.read.parquet(path + "/_pq_codebooks").collect()
+    val pqK = bookRows.map(_.getInt(0)).max + 1
+    val routed = queries.flatMap { case (qid, qv) =>
+      probeCells(cents, qv, probes).map { cell =>
+        val qres = Array.tabulate(dim)(i =>
+          math.round(qv(i) * Grid) - cents(cell)(i))
+        (qid, cell, qres)
+      }
+    }
+    // cid -> pos -> residual unit (each codebook entry spans all dim
+    // positions; only its own subspace's slice is ever summed; a
+    // (cid, pos) the trainer never populated stays 0 — the degenerate
+    // never-assigned-code case, harmless because no row carries it)
+    val bookArr: Array[Array[Long]] = Array.fill(pqK)(Array.fill(dim)(0L))
+    bookRows.foreach(r => bookArr(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    def lutFor(qres: Array[Long], subs: Int): Seq[Seq[Long]] = {
+      val sd = dim / subs
+      (0 until subs).map { s =>
+        (0 until pqK).map { c =>
+          var d = 0L; var i = s * sd
+          while (i < (s + 1) * sd) {
+            val diff = qres(i) - bookArr(c)(i); d += diff * diff; i += 1
+          }
+          d
+        }
+      }
+    }
+    import spark.implicits._
+    val idx = spark.read.parquet(path)
+    val subs = idx.select(size(col("pq_codes"))).head.getInt(0)
+    val qdf = routed.map { case (qid, cell, qres) =>
+      (qid, cell, lutFor(qres, subs))
+    }.toDF("qid", CellCol, "lut")
+    val cellSet = routed.map(_._2).distinct
+    val cand = idx.select(col(idCol), col(CellCol), col("pq_codes"))
+      .filter(col(CellCol).isin(cellSet: _*))
+      .join(broadcast(qdf), Seq(CellCol))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("adist",
+        aggregate(zip_with(col("pq_codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+          lit(0L), (a, x) => a + x))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(idCol))
+    if (rerank <= 0) {
+      cand.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col(idCol), col(CellCol), col("adist"), col("rk"))
+        .orderBy("qid", "rk")
+    } else {
+      // refine: exact cosine over the ADC shortlist only. The shortlist
+      // is queries·rerank rows — it broadcasts; vector bytes are read
+      // for shortlist rows alone via a broadcast semi-join on id.
+      val short = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= math.max(rerank, k))
+        .select(col("qid"), col(idCol))
+      val qe = queries.map { case (qid, qv) => (qid, qv.toSeq) }
+      val qdfE = spark.createDataFrame(qe).toDF("qid", "qe")
+      val vecCol = spark.read.parquet(path).columns
+        .find(c => c != idCol && c != CellCol && c != "pq_codes")
+        .getOrElse(throw new IllegalStateException("no vector column in index"))
+      val exact = spark.read.parquet(path)
+        .filter(col(CellCol).isin(cellSet: _*))
+        .select(col(idCol), col(CellCol), asDouble(col(vecCol)).as("v"))
+        .join(broadcast(short), Seq(idCol))
+        .join(broadcast(qdfE), Seq("qid"))
+        .withColumn("sim", graft.functions.Similarity.cosineIn(spark, col("qe"), col("v")))
+      val w2 = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+      exact.withColumn("rk", row_number().over(w2).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col(idCol), col(CellCol), col("sim"), col("rk"))
+        .orderBy("qid", "rk")
+    }
+  }
+
   /** Serve a batch of queries: per query route to `probes` cells, read
     * the index with a literal cell filter (partition pruning skips
     * every other cell's files), exact cosine within candidates, top-k.

@@ -79,6 +79,59 @@ class IndexSpec extends SparkSpec {
     assert(got == bruteTopK(5), "all-probes IVF must equal brute force exactly")
   }
 
+  private lazy val pqPath = {
+    val p = Files.createTempDirectory("vindexpq").toFile.getAbsolutePath + "/index"
+    VectorIndex.buildIvfPq(emb, "vec_id", "embedding", Cells, kmIters = 2,
+      pqSubs = 8, pqK = 16, pqIters = 2, path = p)
+    p
+  }
+
+  test("IVF×PQ composed layout: cell partitions + code column + both sidecars") {
+    val dirs = new java.io.File(pqPath).listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("cell=")) > 1)
+    assert(dirs.contains("_centroids") && dirs.contains("_pq_codebooks"))
+    val rows = spark.read.parquet(pqPath)
+    assert(rows.count() == emb.count(), "composition loses no rows")
+    val codes = rows.select(col("pq_codes")).limit(100).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)),
+      "each row carries one code per subspace, bounded by pqK")
+  }
+
+  test("IVF×PQ serve: ADC reads only codes from probed partitions; recall holds") {
+    val got = VectorIndex.queryIvfPq(spark, pqPath, "vec_id", queries,
+      probes = Cells, k = 10)
+    val p = got.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      s"probe must prune at the partition level:\n$p")
+    assert(!"""ReadSchema: [^\n]*embedding""".r.findFirstIn(p).isDefined,
+      s"ADC serving must never read the raw vector column:\n$p")
+    val adc = got.select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = bruteTopK(10).map { case (q, v, _) => (q, v) }
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    info(f"IVF-PQ pure-ADC recall@10 (all probes) = $recall%.2f")
+    assert(recall >= 0.2,
+      f"residual-PQ ADC recall collapsed: $recall%.2f — codebooks or LUT broken")
+    // the refine stage (ADC shortlist → exact rerank) recovers recall:
+    // this is the production IVFADC serving path
+    val refined = VectorIndex.queryIvfPq(spark, pqPath, "vec_id", queries,
+      probes = Cells, k = 10, rerank = 100)
+      .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = refined.intersect(exact).size.toDouble / exact.size
+    info(f"IVF-PQ reranked recall@10 = $recall2%.2f")
+    assert(recall2 >= 0.8,
+      f"refine stage must recover recall, got $recall2%.2f")
+    assert(recall2 >= recall, "rerank can only help")
+    // single-probe hits come only from the routed cells
+    val one = VectorIndex.queryIvfPq(spark, pqPath, "vec_id",
+      queries.take(1), probes = 1, k = 5)
+    val cents = VectorIndex.loadCentroids(spark, pqPath)
+    val routed = VectorIndex.probeCells(cents, queries.head._2, 1).toSet
+    assert(one.select(col("cell")).collect().map(_.getInt(0)).toSet.subsetOf(routed))
+  }
+
   test("incremental append routes with frozen centroids and keeps exactness") {
     // build on the first 400 vectors, append the remaining 100: the
     // appended rows land in existing cells (no new dirs, centroids
