@@ -2020,6 +2020,70 @@ object MaintenanceQueries {
       .withColumn("mapped", lit(evidence))
   }
 
+  /** CDF-mode table stream ([[graft.sources.TimeTravelSource]]
+    * `streamMode=cdf`, r10 tier) — the update-mode face for tables
+    * with ROW-LEVEL churn, where the appends stream correctly refuses
+    * to serve: the history is seed → MoR DELETE → MoR UPDATE → append,
+    * and one AvailableNow pass from `startingVersion=1` must stream
+    * exactly [[graft.sources.TimeTravel.changeFeed]](1 → latest) —
+    * deletes, update pre+post images, and inserts classified per key.
+    * The batch lands in a parquet sink via foreachBatch (no driver
+    * collect); the oracle states each change class's count and cents
+    * sum in closed form, so a feed that missed tombstones, double-counted
+    * updates, or leaked unchanged rows breaks the hash. */
+  val qTtStreamCdf: QueryDef = QueryDef.sql(
+    "q_tt_stream_cdf",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |), feed AS (
+      |  SELECT 'delete' AS ct, k, cents FROM c WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', k, cents FROM c WHERE k % 10 <> 0 AND k % 7 = 3
+      |  UNION ALL
+      |  SELECT 'update_postimage', k, cents + 7 FROM c WHERE k % 10 <> 0 AND k % 7 = 3
+      |  UNION ALL
+      |  SELECT 'insert', -k, k * 2 FROM c WHERE k % 9 = 0 AND k > 0
+      |)
+      |SELECT ct AS change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS via_stream
+      |FROM feed GROUP BY ct ORDER BY ct""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttcdf_${tag}_p${ProcessHandle.current().pid()}"
+    val sink = base + "_sink"; val cp = base + "_cp"
+    Seq(base, sink, cp).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c, base) // v1
+    TimeTravel.deleteMoR(s, base, col("k") % 10 === 0) // v2
+    TimeTravel.updateMoR(s, base, col("k") % 7 === 3,
+      Seq("cents" -> (col("cents") + 7))) // v3 (k%10=0 rows already dead)
+    TimeTravel.commitAppend(
+      c.filter(col("k") % 9 === 0 && col("k") > 0)
+        .select((-col("k")).as("k"), (col("k") * 2).as("cents")), base) // v4
+    val q = graft.streaming.TableStreams
+      .readTableStream(s, base, startingVersion = Some(1L), cdfKey = Some("k"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("via_stream", lit(true))
+      .select(col("change_type"), col("n_rows"), col("sum_cents"), col("via_stream"))
+      .orderBy("change_type")
+  }
+
   val all: Seq[QueryDef] = Seq(qIncrAggMerge, qSketchUnion, qTableChecksum, qTableDiff,
     qZonemapPrune, qCmsCounts, qZonemapPoint, qTimeTravel, qSchemaEvolution,
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
@@ -2027,5 +2091,5 @@ object MaintenanceQueries {
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
     qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
     qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg, qTtReplaceWhere,
-    qTtStreamSource, qSchemaEvolutionV2)
+    qTtStreamSource, qSchemaEvolutionV2, qTtStreamCdf)
 }
