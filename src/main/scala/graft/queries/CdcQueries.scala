@@ -339,6 +339,71 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Apache Iceberg READ interop ([[graft.sources.IcebergRead]], r10
+    * tier — the lakehouse-format pair to [[qDeltaRead]]): a
+    * spec-shaped table — metadata JSON chain, Avro manifest list, Avro
+    * manifests — is replayed to the current snapshot's live files and
+    * queried in place. The fixture derives from `orders` (one file per
+    * o_orderkey%4 band); the current snapshot's manifest list carries
+    * manifest A (band 0 ADDED + band 1 with DELETED status) and
+    * manifest C (band 3 EXISTING) while band 2's manifest is OMITTED —
+    * so both removal shapes the protocol allows must resolve, and a
+    * replay that honored a deleted entry, read an unlisted manifest,
+    * or dropped an existing-status file breaks the closed-form oracle.
+    * Iceberg data files carry all columns, so no partition-value
+    * injection: one schema-pinned scan of exactly the live files.
+    *
+    * Scale: metadata replay is driver-side O(manifest entries) — the
+    * planning cost Iceberg itself pays. */
+  val qIcebergRead: QueryDef = QueryDef.sql(
+    "q_iceberg_read",
+    """WITH o AS (
+      |  SELECT o_orderkey % 4 AS band, o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'b' || CAST(band AS VARCHAR) AS band, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE band IN (0, 3)
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.IcebergRead
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iceberg_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("v"),
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"))
+    val files = (0 to 3).map { b =>
+      val tmp = s"${dir}_stage_$b"
+      o.filter(col("band") === s"b$b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/f$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val mA = IcebergRead.Fixture.manifest(dir, "mA.avro",
+      Seq((1, files(0), 0), (2, files(1), 0))) // b0 added, b1 DELETED
+    IcebergRead.Fixture.manifest(dir, "mB.avro", Seq((1, files(2), 0))) // omitted
+    val mC = IcebergRead.Fixture.manifest(dir, "mC.avro", Seq((0, files(3), 0)))
+    val ml = IcebergRead.Fixture.manifestList(dir, "snap-9.avro", Seq(mA, mC))
+    IcebergRead.Fixture.metadata(dir, 2, formatVersion = 2, snapshotId = 9L,
+      manifestList = ml, fields = Seq((1, "id", true, "long"),
+        (2, "v", false, "long"), (3, "band", false, "string")))
+    IcebergRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
-    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead)
+    qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
+    qIcebergRead)
 }

@@ -695,6 +695,78 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 
+  // ---- Iceberg read interop (public table-spec fixtures)
+
+  private def icebergManifest(dir: String, name: String,
+      entries: Seq[(Int, String, Int)]): String =
+    graft.sources.IcebergRead.Fixture.manifest(dir, name, entries)
+
+  private def icebergManifestList(dir: String, name: String,
+      manifests: Seq[String]): String =
+    graft.sources.IcebergRead.Fixture.manifestList(dir, name, manifests)
+
+  private def icebergMetadata(dir: String, v: Int, formatVersion: Int,
+      snapshotId: Long, manifestList: String): Unit =
+    graft.sources.IcebergRead.Fixture.metadata(dir, v, formatVersion, snapshotId,
+      manifestList, Seq((1, "id", true, "long"), (2, "v", false, "long"),
+        (3, "band", false, "string")))
+
+  private def writeIcebergPart(dir: String, rel: String,
+      rows: Seq[(Long, Long, String)]): String = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ipart").toFile.getAbsolutePath
+    rows.toDF("id", "v", "band").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$dir/data/$rel")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    dst.getAbsolutePath
+  }
+
+  test("iceberg read: manifest-list replay honors deleted entries and omitted manifests") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_fix").toFile.getAbsolutePath + "/t"
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 10L).map(i => (i, i, "b0")))
+    val f1 = writeIcebergPart(dir, "f1.parquet", (11L to 15L).map(i => (i, i, "b1")))
+    writeIcebergPart(dir, "f2.parquet", (16L to 20L).map(i => (i, i, "b2")))
+    val f3 = writeIcebergPart(dir, "f3.parquet", (21L to 25L).map(i => (i, i, "b3")))
+    // manifest A: f0 added, f1 DELETED (status 2); manifest B: f2 (will
+    // be omitted from the current snapshot's list); manifest C: f3
+    val mA = icebergManifest(dir, "mA.avro", Seq((1, f0, 0), (2, f1, 0)))
+    icebergManifest(dir, "mB.avro", Seq((1, s"$dir/data/f2.parquet", 0)))
+    val mC = icebergManifest(dir, "mC.avro", Seq((0, f3, 0)))
+    val ml = icebergManifestList(dir, "snap-2.avro", Seq(mA, mC))
+    icebergMetadata(dir, 2, formatVersion = 2, snapshotId = 77L, manifestList = ml)
+    val got = IcebergRead.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "v", "band"))
+    assert(got.select("id").as[Long].collect().toSet ==
+      ((1L to 10L) ++ (21L to 25L)).toSet,
+      "live set = added/existing entries of listed manifests only")
+    // (file scans relax nullability in Spark; pin the mapped TYPES)
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+      got.schema("band").dataType == org.apache.spark.sql.types.StringType)
+  }
+
+  test("iceberg read: delete files and future format versions decline loudly") {
+    import graft.sources.IcebergRead
+    val dir = Files.createTempDirectory("iceberg_decl").toFile.getAbsolutePath + "/t"
+    val f0 = writeIcebergPart(dir, "f0.parquet", Seq((1L, 1L, "b0")))
+    val del = icebergManifest(dir, "mD.avro", Seq((1, f0, 0), (1, f0, 1)))
+    val ml = icebergManifestList(dir, "snap-1.avro", Seq(del))
+    icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
+    val e1 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir))
+    assert(e1.getMessage.contains("delete file"), e1.getMessage)
+    val dir2 = Files.createTempDirectory("iceberg_v3").toFile.getAbsolutePath + "/t"
+    val f02 = writeIcebergPart(dir2, "f0.parquet", Seq((1L, 1L, "b0")))
+    val m2 = icebergManifest(dir2, "m.avro", Seq((1, f02, 0)))
+    val ml2 = icebergManifestList(dir2, "snap-1.avro", Seq(m2))
+    icebergMetadata(dir2, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2)
+    val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2))
+    assert(e2.getMessage.contains("format-version"), e2.getMessage)
+  }
+
   test("GraftCatalog: SELECT and VERSION AS OF resolve through the SQL identifier") {
     import graft.sources.TimeTravel
     import spark.implicits._
