@@ -154,12 +154,28 @@ object DeltaRead {
     }
   }
 
-  /** Rebuild state from a classic single-part checkpoint parquet: the
-    * same actions in columnar shape, already net-of-removes per the
+  /** Rebuild state from a classic checkpoint — single-part
+    * (`<v>.checkpoint.parquet`) or multi-part
+    * (`<v>.checkpoint.<i>.<n>.parquet`, read as one set): the same
+    * actions in columnar shape, already net-of-removes per the
     * protocol (a checkpoint lists only live adds plus tombstones we
     * can ignore for reads after their own commit window). */
   private def fromCheckpoint(spark: SparkSession, logDir: String, v: Long): LogState = {
-    val df = spark.read.parquet(s"$logDir/${f"$v%020d"}.checkpoint.parquet")
+    val f = fs(spark, logDir)
+    val single = new Path(logDir, f"$v%020d.checkpoint.parquet")
+    val parts: Seq[String] =
+      if (f.exists(single)) Seq(single.toString)
+      else {
+        val prefix = f"$v%020d.checkpoint."
+        val found = f.listStatus(new Path(logDir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith(prefix) && n.endsWith(".parquet"))
+          .sorted
+        if (found.isEmpty) throw new java.io.FileNotFoundException(
+          s"_last_checkpoint names v$v but no checkpoint parquet exists in $logDir")
+        found.map(n => s"$logDir/$n")
+      }
+    val df = spark.read.parquet(parts: _*)
     val cols = df.columns.toSet
     var st = LogState(Map.empty, None, Seq.empty, 1)
     if (cols.contains("protocol")) {

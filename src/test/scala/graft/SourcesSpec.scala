@@ -695,6 +695,49 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
   }
 
+  test("delta read: multi-part checkpoints read as one action set") {
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_mp").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 5L).map(i => (i, i)))
+    writeDeltaPart(dir, "f2.parquet", (6L to 9L).map(i => (i, i)))
+    val schemaString = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))).json
+    // part 1 carries protocol+metaData, part 2 the adds — the protocol's
+    // multi-part shape (<v>.checkpoint.<i>.<n>.parquet)
+    def cpDf(addPaths: Seq[String], withMeta: Boolean) = {
+      val rows =
+        addPaths.map(p => (Some((p, Map.empty[String, String])),
+          None: Option[Int], None: Option[(String, Seq[String])])) ++
+          (if (withMeta) Seq((None, Some(1), Some((schemaString, Seq.empty[String]))))
+           else Nil)
+      rows.toDF("addRaw", "protoRaw", "metaRaw").selectExpr(
+        "named_struct('path', addRaw._1, 'partitionValues', addRaw._2) AS add",
+        "named_struct('minReaderVersion', protoRaw) AS protocol",
+        "named_struct('schemaString', metaRaw._1, 'partitionColumns', metaRaw._2) AS metaData")
+    }
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("cpmp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/_delta_log/$name"))
+    }
+    val v = f"${1L}%020d"
+    stage(cpDf(Nil, withMeta = true), s"$v.checkpoint.0000000001.0000000002.parquet")
+    stage(cpDf(Seq("f1.parquet", "f2.parquet"), withMeta = false),
+      s"$v.checkpoint.0000000002.0000000002.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":1,"size":3,"parts":2}""")
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet
+      == (1L to 9L).toSet, "both checkpoint parts must contribute actions")
+  }
+
   // ---- Iceberg read interop (public table-spec fixtures)
 
   private def icebergManifest(dir: String, name: String,

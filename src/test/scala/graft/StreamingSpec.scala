@@ -811,6 +811,33 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamDir) == want, "replay must leave the index equivalent")
   }
 
+  test("inverted index maintained FROM the table stream ≡ from-scratch build") {
+    // the composed story the r9 verdict asked the streaming source for:
+    // documents arrive as versioned-table COMMITS, and the index
+    // maintains itself by consuming the table's append stream — no
+    // hand-wired polling anywhere
+    import graft.sources.{InvertedIndex, TimeTravel}
+    import graft.streaming.{IndexStreams, TableStreams}
+    import spark.implicits._
+    val corpus = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val table = Files.createTempDirectory("tt_idx_src").toFile.getAbsolutePath + "/t"
+    val idxDir = Files.createTempDirectory("tt_idx_out").toString
+    val cp = ckpt()
+    val terms = Seq("vector", "hash", "join")
+    TimeTravel.commitOverwrite(corpus.filter(col("doc_id") < 250), table) // v1
+    IndexStreams.appendInvertedStream(
+      TableStreams.readTableStream(spark, table), idxDir, cp)
+    TimeTravel.commitAppend(corpus.filter(col("doc_id") >= 250), table) // v2
+    IndexStreams.appendInvertedStream(
+      TableStreams.readTableStream(spark, table), idxDir, cp)
+    val batchDir = Files.createTempDirectory("tt_idx_batch").toString
+    InvertedIndex.build(Tables(spark, sf, "documents"), batchDir)
+    def probe(dir: String) = InvertedIndex.searchBm25(spark, dir, terms, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(idxDir) == probe(batchDir),
+      "index fed by the table's own append stream must score like a fresh build")
+  }
+
   test("transformWithState running totals equal the batch aggregate across batches") {
     import graft.streaming.StateApi
     import graft.streaming.StateApi.UserEvent
