@@ -2,9 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Path-addressed catalog face of the versioned table — the piece
@@ -32,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a second DDL path would race the manifest's optimistic-concurrency
   * story. Reads-and-DML-only is the whole contract.
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog {
+class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -93,4 +96,92 @@ class GraftCatalog extends CatalogPlugin with TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog is path-addressed: rename the directory, not the table")
+
+  // ------------------------------------------- SQL CALL procedures (r10)
+  //
+  // The maintenance trio as Spark 4 stored procedures — the SQL face a
+  // warehouse operator expects for table upkeep:
+  //
+  //   CALL graft.optimize('/path', 4)      -- compact to ≤4 files
+  //   CALL graft.vacuum('/path', 1)        -- drop unreferenced dirs
+  //   CALL graft.rollback('/path', 3)      -- re-publish v3 as a new version
+  //
+  // Each returns its evidence as result rows (version committed /
+  // directories dropped) via a LocalScan — the values are driver-side
+  // receipts, never data.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(ident.name())
+}
+
+/** The catalog's stored procedures — thin SQL shims over the library's
+  * maintenance ops; the logic stays in [[TimeTravel]]. */
+private[sources] object GraftProcedures {
+
+  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback")
+
+  def load(name: String): UnboundProcedure = name.toLowerCase match {
+    case "optimize" => unbound("optimize",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("target_files", IntegerType).build()),
+      new StructType().add("version", LongType, nullable = false),
+      (spark, in) => {
+        val v = TimeTravel.optimize(spark, in.getString(0), in.getInt(1))
+        Array(InternalRow(v))
+      })
+    case "vacuum" => unbound("vacuum",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType).build(),
+        ProcedureParameter.in("dry_run", org.apache.spark.sql.types.BooleanType).build()),
+      new StructType().add("dropped_dir", StringType, nullable = false),
+      (spark, in) => {
+        val path = in.getString(0); val keep = in.getInt(1)
+        val dropped =
+          if (in.getBoolean(2)) { // dry run: report, touch nothing
+            val live = TimeTravel.versions(spark, path)
+              .takeRight(keep.max(1))
+            // a dry run must not delete; reuse vacuum's victim logic by
+            // diffing the live set against the disk listing read-only
+            TimeTravel.vacuumVictims(spark, path, live)
+          } else TimeTravel.vacuum(spark, path, keep)
+        dropped.map(d =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(d))).toArray
+      })
+    case "rollback" => unbound("rollback",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("to_version", LongType).build()),
+      new StructType().add("version", LongType, nullable = false),
+      (spark, in) => {
+        val v = TimeTravel.rollback(spark, in.getString(0), in.getLong(1))
+        Array(InternalRow(v))
+      })
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")
+  }
+
+  private def unbound(procName: String, params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      body: (org.apache.spark.sql.SparkSession, InternalRow) => Array[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft table maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft table maintenance: $procName"
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false // commits mutate state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val out = body(spark, input)
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = resultSchema
+          }).iterator()
+        }
+      }
+    }
 }

@@ -917,24 +917,32 @@ object TimeTravel {
     * directory. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Seq[String] = {
     val f = fs(spark, path)
-    val vs = versions(spark, path)
-    val kept = vs.takeRight(keepVersions.max(1))
-    val live = kept.flatMap(listing(spark, path, _)).toSet ++
-      kept.flatMap(dvListing(spark, path, _))
+    val kept = versions(spark, path).takeRight(keepVersions.max(1))
+    val victims = vacuumVictims(spark, path, kept)
+    victims.foreach(d => f.delete(new Path(s"$path/$d"), true))
+    if (victims.nonEmpty)
+      manifestCache.keySet.removeIf(k => k._1 == path)
+    victims
+  }
+
+  /** The directories [[vacuum]] WOULD drop if `keptVersions` were the
+    * retained manifests — read-only (the dry-run face the SQL
+    * `CALL graft.vacuum(…, dry_run => true)` procedure serves). */
+  private[sources] def vacuumVictims(spark: SparkSession, path: String,
+      keptVersions: Seq[Long]): Seq[String] = {
+    val f = fs(spark, path)
+    val live = keptVersions.flatMap(listing(spark, path, _)).toSet ++
+      keptVersions.flatMap(dvListing(spark, path, _))
     val liveAll = live ++ live.collect {
       case d if d.startsWith("data/") => statsDirOf(d)
     }
-    val victims = Seq("data", "dv", "stats").flatMap { root =>
+    Seq("data", "dv", "stats").flatMap { root =>
       val rootPath = new Path(s"$path/$root")
       if (!f.exists(rootPath)) Seq.empty
       else f.listStatus(rootPath).toSeq
         .map(st => s"$root/${st.getPath.getName}")
         .filterNot(liveAll.contains)
-    }
-    victims.foreach(d => f.delete(new Path(s"$path/$d"), true))
-    if (victims.nonEmpty)
-      manifestCache.keySet.removeIf(k => k._1 == path)
-    victims.sorted
+    }.sorted
   }
 
   // ------------------------------------------------------- file skipping

@@ -810,6 +810,38 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("format-version"), e2.getMessage)
   }
 
+  test("SQL CALL procedures: rollback, optimize, vacuum dry-run then real") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = seedTable("callproc")
+    TimeTravel.commitAppend(
+      Seq((200L, "late", 5L)).toDF("k", "nm", "bal"), dir) // v2
+    withGraftCatalog {
+      // optimize: compact v2's two dirs into one as v3, rows unchanged
+      val v3 = spark.sql(s"CALL graft.optimize('$dir', 1)").head.getLong(0)
+      assert(v3 == 3L && TimeTravel.read(spark, dir).count() == 101)
+      // rollback: v1's listing re-published as v4
+      val v4 = spark.sql(s"CALL graft.rollback('$dir', 1)").head.getLong(0)
+      assert(v4 == 4L && TimeTravel.read(spark, dir).count() == 100)
+      // vacuum dry run: reports victims, deletes NOTHING
+      val dry = spark.sql(s"CALL graft.vacuum('$dir', 1, true)")
+        .collect().map(_.getString(0)).toSeq
+      assert(dry.nonEmpty, "pre-optimize dirs must be reclaimable")
+      assert(dry.forall(d => new java.io.File(s"$dir/$d").exists()),
+        "dry run must not delete")
+      // real vacuum drops exactly the dry run's victims
+      val dropped = spark.sql(s"CALL graft.vacuum('$dir', 1, false)")
+        .collect().map(_.getString(0)).toSeq
+      assert(dropped == dry)
+      assert(dropped.forall(d => !new java.io.File(s"$dir/$d").exists()))
+      assert(TimeTravel.read(spark, dir).count() == 100, "live snapshot intact")
+      // unknown procedure declines loudly (Spark wraps the catalog's
+      // message in FAILED_TO_LOAD_ROUTINE)
+      val e = intercept[Exception](spark.sql(s"CALL graft.nope('$dir')"))
+      assert(e.getMessage.contains("Failed to load routine"), e.getMessage)
+    }
+  }
+
   test("GraftCatalog: SELECT and VERSION AS OF resolve through the SQL identifier") {
     import graft.sources.TimeTravel
     import spark.implicits._
