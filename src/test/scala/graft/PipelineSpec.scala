@@ -837,6 +837,94 @@ class PipelineSpec extends SparkSpec {
       == Set(1L, 2L, 3L))
   }
 
+  test("schema evolution fuzz: random op sequences match an in-memory model at every version") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.types._
+    // model: per-version (columns, rows); columns are (logical,
+    // physical, type), rows store values keyed by PHYSICAL name — the
+    // invariant under test is exactly that reads re-key physical bytes
+    // through each version's own logical map
+    final case class MCol(logical: String, physical: String, t: DataType)
+    for (seed <- Seq(0xE70L, 0xBEEFL, 0x5CA1EL)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"ttsev2_fuzz_$seed").toFile.getAbsolutePath + "/t"
+      var cols = Vector(MCol("a", "a", LongType), MCol("b", "b", IntegerType),
+        MCol("c", "c", StringType))
+      var freshId = 0
+      var rows = Vector.empty[Map[String, Any]] // physical -> value
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Vector[MCol], Vector[Map[String, Any]])]
+      def genRows(n: Int): Seq[Map[String, Any]] = (1 to n).map { _ =>
+        cols.map(c => c.physical -> (c.t match {
+          case LongType => rnd.nextInt(100000).toLong
+          case IntegerType => rnd.nextInt(1000)
+          case StringType => s"s${rnd.nextInt(999)}"
+          case other => fail(s"unexpected $other")
+        })).toMap
+      }
+      def toDf(data: Seq[Map[String, Any]]) = {
+        val schema = StructType(cols.map(c => StructField(c.logical, c.t)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(data.map(m =>
+            org.apache.spark.sql.Row(cols.map(c => m(c.physical)): _*)), 2), schema)
+      }
+      val first = genRows(5)
+      TimeTravel.commitOverwrite(toDf(first), dir)
+      rows = first.toVector
+      history += ((cols, rows))
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => // append
+            val batch = genRows(1 + rnd.nextInt(4))
+            TimeTravel.commitAppend(toDf(batch), dir)
+            rows = rows ++ batch
+          case 2 => // rename a random column
+            val i = rnd.nextInt(cols.size)
+            freshId += 1
+            val to = s"r$freshId"
+            TimeTravel.renameColumn(spark, dir, cols(i).logical, to)
+            cols = cols.updated(i, cols(i).copy(logical = to))
+          case 3 => // widen an int column, if any
+            cols.zipWithIndex.find(_._1.t == IntegerType) match {
+              case Some((c, i)) =>
+                TimeTravel.widenColumn(spark, dir, c.logical, "bigint")
+                cols = cols.updated(i, c.copy(t = LongType))
+              case None =>
+                val batch = genRows(1)
+                TimeTravel.commitAppend(toDf(batch), dir)
+                rows = rows ++ batch
+            }
+          case 4 => // drop (keep ≥2 so later ops have room) or rollback
+            if (cols.size > 2 && rnd.nextBoolean()) {
+              val i = rnd.nextInt(cols.size)
+              TimeTravel.dropColumn(spark, dir, cols(i).logical)
+              cols = cols.patch(i, Nil, 1)
+            } else {
+              val target = 1 + rnd.nextInt(history.size)
+              TimeTravel.rollback(spark, dir, target.toLong)
+              val (tc, tr) = history(target - 1)
+              cols = tc; rows = tr
+            }
+        }
+        history += ((cols, rows))
+      }
+      // every version must serve ITS OWN columns over ITS OWN rows
+      history.zipWithIndex.foreach { case ((vCols, vRows), idx) =>
+        val v = idx + 1L
+        val got = TimeTravel.read(spark, dir, Some(v))
+        assert(got.columns.toSeq == vCols.map(_.logical),
+          s"seed $seed v$v columns")
+        def norm(x: Any): Any = x match {
+          case n: Number => n.longValue; case other => other
+        }
+        val gotRows = got.collect().map(_.toSeq.map(norm)).toSeq
+          .sortBy(_.mkString("|"))
+        val wantRows = vRows.map(r => vCols.map(c => norm(r(c.physical))))
+          .sortBy(_.mkString("|"))
+        assert(gotRows == wantRows, s"seed $seed v$v rows diverge from the model")
+      }
+    }
+  }
+
   test("schema evolution v2: unmappable faces decline loudly") {
     import graft.sources.TimeTravel
     import spark.implicits._

@@ -259,7 +259,7 @@ class PropertySpec extends AnyFunSuite {
     val genRow: Gen[(Long, Option[String], Option[Array[Byte]])] = for {
       id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
       s <- Gen.option(Gen.listOf(Gen.oneOf(
-        Gen.choose(' ', 'ÿ'), Gen.choose('Ā', '휀'))).map(_.mkString))
+        Gen.choose('\u0000', 'ÿ'), Gen.choose('Ā', '휀'))).map(_.mkString))
       n <- Gen.choose(0, 300)
       seed <- Gen.choose(0, 255)
       b <- Gen.option(Gen.const(Array.tabulate[Byte](n)(i => ((i * 131 + seed) % 256).toByte)))
