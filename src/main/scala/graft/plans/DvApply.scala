@@ -38,7 +38,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 object DvApply extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case r @ DataSourceV2Relation(t: TimeTravelTable, _, _, _, _, _) if t.pendingDvs =>
+    // COLUMN-MAPPED snapshots splice through the same mechanic (r10):
+    // the library read resolves physical→logical per directory, so a
+    // renamed/widened table is SELECTable — and each VERSION AS OF
+    // serves its own era's names, because the spliced read is pinned
+    // to the relation's snapshot
+    case r @ DataSourceV2Relation(t: TimeTravelTable, _, _, _, _, _)
+        if t.pendingDvs || t.mapped =>
       val merged = TimeTravel
         .read(SparkSession.active, t.tablePath, Some(t.snapshotVersion))
         .queryExecution.analyzed

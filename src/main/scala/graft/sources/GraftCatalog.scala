@@ -85,9 +85,28 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog
     throw new UnsupportedOperationException(
       "graft catalog is path-addressed: create tables with TimeTravel.commitOverwrite")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog does not support ALTER TABLE; evolve schemas via commits")
+  /** Schema evolution v2 through SQL DDL (r10): RENAME/DROP COLUMN and
+    * lossless type widening translate to the library's metadata-only
+    * mapping commits — one manifest rename each, zero data rewritten.
+    * Everything else keeps the loud decline (table lifecycle belongs
+    * to commits). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val path = pathOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        TimeTravel.renameColumn(spark, path, r.fieldNames.head, r.newName): Unit
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        TimeTravel.dropColumn(spark, path, d.fieldNames.head): Unit
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        TimeTravel.widenColumn(spark, path, u.fieldNames.head,
+          u.newDataType.catalogString): Unit
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports RENAME COLUMN / DROP COLUMN / lossless " +
+          s"ALTER COLUMN TYPE only, got: $other; evolve anything else via commits")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -1201,20 +1201,28 @@ object TimeTravel {
 
   /** The stats-covered columns of `version`'s sidecars (name → Spark
     * type, under the merged schema), empty when no directory has a
-    * sidecar — [[StatsPrune]]'s eligibility probe. */
+    * sidecar — [[StatsPrune]]'s eligibility probe. MAPPED snapshots
+    * report NO stats columns: sidecars key on PHYSICAL names, and a
+    * rename can make one column's logical name equal another's
+    * physical — skipping on that match would be a wrong answer, so
+    * mapped tables simply opt out of file skipping. */
   private[graft] def statsColumns(spark: SparkSession, path: String,
       v: Long): Map[String, org.apache.spark.sql.types.DataType] =
-    sidecarManifest(spark, path, v).schema.fields.collect {
+    if (colsListing(spark, path, v).nonEmpty) Map.empty
+    else sidecarManifest(spark, path, v).schema.fields.collect {
       case sf if sf.name.startsWith("min_") =>
         sf.name.stripPrefix("min_") -> sf.dataType
     }.toMap
 
   /** The bloom-covered columns of `version`'s sidecars —
     * [[graft.plans.StatsPrune]]'s point-probe eligibility check
-    * (per-file coverage is the null guard inside [[bloomFiles]]). */
+    * (per-file coverage is the null guard inside [[bloomFiles]]);
+    * empty for mapped snapshots, same physical-name reasoning as
+    * [[statsColumns]]. */
   private[graft] def bloomColumns(spark: SparkSession, path: String,
       v: Long): Set[String] =
-    sidecarManifest(spark, path, v).schema.fieldNames
+    if (colsListing(spark, path, v).nonEmpty) Set.empty
+    else sidecarManifest(spark, path, v).schema.fieldNames
       .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
       .toSet
 }

@@ -95,11 +95,14 @@ final class TimeTravelTable(path: String, versionOpt: Option[Long],
   /** The table path, for [[graft.plans.DvApply]]'s rewrite. */
   private[graft] def tablePath: String = path
 
-  // a column-mapped snapshot cannot be served by a pass-through file
-  // scan (physical names/types differ per era) — decline loudly here
-  // so every SQL-face consumer (SELECT, DML translation, StatsPrune)
-  // inherits the guard
-  TimeTravel.requireUnmapped(spark, path, snapshotVersion, "graft-table SQL scan")
+  /** Pinned with the snapshot: whether it resolves through a COLUMN
+    * MAPPING (rename/drop/widen history). A pass-through file scan
+    * cannot serve it (physical names/types differ per era), so mapped
+    * snapshots surface their LOGICAL schema here and rely on
+    * [[graft.plans.DvApply]] to splice the library read in-plan —
+    * the same mechanic as pending deletion vectors. */
+  private[graft] val mapped: Boolean =
+    TimeTravel.colsListing(spark, path, snapshotVersion).nonEmpty
 
   /** Pinned at construction with the rest of the snapshot: whether this
     * snapshot carries merge-on-read tombstones that a plain file scan
@@ -110,14 +113,20 @@ final class TimeTravelTable(path: String, versionOpt: Option[Long],
   private val dirs: Seq[String] =
     TimeTravel.listing(spark, path, snapshotVersion).map(d => s"$path/$d")
 
-  private val delegate: ParquetTable =
+  // mapped tables never touch the delegate: its inference would read
+  // PHYSICAL names (and can fail outright on widened heterogeneous
+  // directory types); their logical schema comes from the library read
+  private lazy val delegate: ParquetTable =
     ParquetTable(name(), spark, options, dirs, None, classOf[ParquetFileFormat])
 
   override def name(): String = s"graft_table($path@v$snapshotVersion)"
 
-  override def schema(): StructType = delegate.schema
+  override def schema(): StructType =
+    if (mapped) TimeTravel.read(spark, path, Some(snapshotVersion)).schema
+    else delegate.schema
 
-  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def partitioning(): Array[Transform] =
+    if (mapped) Array.empty else delegate.partitioning()
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -126,7 +135,12 @@ final class TimeTravelTable(path: String, versionOpt: Option[Long],
     // Reached only when graft.plans.DvApply did NOT rewrite this
     // relation (extensions absent, rule excluded, or a shape the
     // rewrite declines, e.g. a _metadata reference): fail loudly
-    // rather than return rows a pending delete already tombstoned.
+    // rather than return wrong rows.
+    if (mapped)
+      throw new UnsupportedOperationException(
+        s"graft-table: ${name()} resolves through a column mapping; load " +
+          "graft.GraftExtensions (the DvApply rule splices the mapped read " +
+          "in-plan) or read via TimeTravel.read")
     if (pendingDvs)
       throw new UnsupportedOperationException(
         s"graft-table: ${name()} has pending deletion vectors; load " +

@@ -925,20 +925,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("schema evolution v2: unmappable faces decline loudly") {
+  test("schema evolution v2: SQL face serves mapped tables via the splice; stats faces decline") {
     import graft.sources.TimeTravel
     import spark.implicits._
     val dir = Files.createTempDirectory("ttsev2_guard").toFile.getAbsolutePath + "/t"
     TimeTravel.commitOverwrite(
       (1L to 5L).map(i => (i, i * 10)).toDF("k", "v"), dir)
     TimeTravel.renameColumn(spark, dir, "v", "val")
-    val e = intercept[UnsupportedOperationException] {
-      spark.read.format("graft-table").load(dir).count()
-    }
-    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+    // with the extension loaded, DvApply splices the mapped library
+    // read under the DSv2 relation — SELECT works, logical names served
+    val viaSql = spark.read.format("graft-table").load(dir)
+    assert(viaSql.columns.toSeq == Seq("k", "val"))
+    assert(viaSql.select(sum(col("val"))).head.getLong(0) == (1L to 5L).map(_ * 10).sum)
+    // VERSION AS OF serves each era's own names
+    val era1 = spark.read.format("graft-table").option("version", "1").load(dir)
+    assert(era1.columns.toSeq == Seq("k", "v"))
+    // file-skipping faces stay declined: sidecars key on physical names
     intercept[UnsupportedOperationException] {
       TimeTravel.readPruned(spark, dir, "k", 1, 3)
     }
+  }
+
+  test("schema evolution v2: ALTER TABLE DDL drives the mapping commits") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_ddl").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1 to 5).map(i => (i.toLong, i * 10)).toDF("k", "v"), dir) // v int
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN val TYPE bigint")
+    val now = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(now.columns.toSeq == Seq("k", "val"))
+    assert(now.schema("val").dataType == org.apache.spark.sql.types.LongType)
+    assert(now.agg(sum(col("val"))).head.getLong(0) == (1 to 5).map(_ * 10L).sum)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN val")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq == Seq("k"))
+    // pre-DDL snapshot still serves the original schema through SQL
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+    // non-widening type change declines loudly
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$dir` ALTER COLUMN k TYPE string"))
+    assert(e.getMessage.contains("not lossless"), e.getMessage)
   }
 
   test("history face reports tags, listing sizes, added dirs and DV counts") {
