@@ -63,10 +63,17 @@ object DeltaRead {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // one scan per distinct partition tuple: the values live in the log,
     // not the files, and each group's files share them
+    // the spec allows ABSOLUTE add.paths (shallow clones / zero-copy
+    // publishes) beside the usual table-relative ones
+    def resolve(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
+      else s"$tablePath/$p"
+    }
     val groups = st.adds.values.toSeq.groupBy(_.partitionValues)
     val frames = groups.toSeq.map { case (pv, files) =>
       val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$tablePath/${f.path}"): _*)
+        .parquet(files.map(f => resolve(f.path)): _*)
       val withParts = partCols.foldLeft(base) { (df, pc) =>
         val dt = schema(pc).dataType
         // Delta serializes partition values as strings; null encodes as

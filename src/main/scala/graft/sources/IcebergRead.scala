@@ -67,9 +67,11 @@ object IcebergRead {
 
   /** Paths inside metadata may be absolute URIs (the spec's usual
     * shape) or table-relative; resolve both. */
-  private def resolve(tablePath: String, p: String): Path =
-    if (p.contains("://") || p.startsWith("/")) new Path(p)
+  private def resolve(tablePath: String, p: String): Path = {
+    val hp = new Path(p)
+    if (hp.isAbsolute || hp.toUri.getScheme != null) hp
     else new Path(s"$tablePath/$p")
+  }
 
   /** The current metadata JSON for the table. */
   private def currentMetadata(spark: SparkSession, tablePath: String): JsonNode = {

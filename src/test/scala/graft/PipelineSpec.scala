@@ -946,6 +946,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution v2: OPTIMIZE folds a mapped table's eras into one dir, map intact") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_opt").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1 to 5).map(i => (i.toLong, i * 10)).toDF("k", "v"), dir)
+    TimeTravel.renameColumn(spark, dir, "v", "val")
+    TimeTravel.widenColumn(spark, dir, "val", "bigint")
+    TimeTravel.commitAppend(Seq((6L, 600000000000L)).toDF("k", "val"), dir)
+    val v = TimeTravel.optimize(spark, dir, targetFiles = 1)
+    val h = TimeTravel.history(spark, dir).filter(col("version") === v).head
+    assert(h.getInt(2) == 1, "optimize folds the mapped eras into one directory")
+    val got = TimeTravel.read(spark, dir)
+    assert(got.columns.toSeq == Seq("k", "val") &&
+      got.schema("val").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.select(sum(col("val"))).head.getLong(0)
+      == (1 to 5).map(_ * 10L).sum + 600000000000L)
+    // the pre-optimize mapped snapshot still reads both eras
+    assert(TimeTravel.read(spark, dir, Some(v - 1)).count() == 6)
+  }
+
   test("schema evolution v2: ALTER TABLE DDL drives the mapping commits") {
     import graft.sources.TimeTravel
     import spark.implicits._

@@ -738,6 +738,41 @@ class SourcesSpec extends SparkSpec {
       == (1L to 9L).toSet, "both checkpoint parts must contribute actions")
   }
 
+  test("delta export: a pinned graft snapshot publishes as a zero-copy Delta table") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexp_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexp_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite((1L to 50L).map(i => (i, i * 2)).toDF("k", "v"), src)
+    TimeTravel.commitAppend((51L to 60L).map(i => (i, i * 2)).toDF("k", "v"), src)
+    val n = DeltaExport.snapshot(spark, src, tgt)
+    assert(n > 0)
+    // the published table reads back through the independent Delta replay
+    val got = DeltaRead.read(spark, tgt)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.select("k").as[Long].collect().toSet == (1L to 60L).toSet)
+    // zero-copy: the target holds ONLY the log
+    assert(new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("_delta_log"))
+    // the export pinned its version: a later graft commit doesn't shear it
+    TimeTravel.commitAppend(Seq((99L, 0L)).toDF("k", "v"), src)
+    assert(DeltaRead.read(spark, tgt).count() == 60)
+    // declines: DV-bearing and mapped snapshots can't be reader-v1 Delta
+    TimeTravel.deleteMoR(spark, src, col("k") > 55)
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaExport.snapshot(spark, src,
+        Files.createTempDirectory("dexp_dv").toFile.getAbsolutePath + "/d")
+    }
+    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    val src2 = Files.createTempDirectory("dexp_map").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1L, 1L)).toDF("k", "v"), src2)
+    TimeTravel.renameColumn(spark, src2, "v", "val")
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaExport.snapshot(spark, src2,
+        Files.createTempDirectory("dexp_map_t").toFile.getAbsolutePath + "/d")
+    }
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+  }
+
   // ---- Iceberg read interop (public table-spec fixtures)
 
   private def icebergManifest(dir: String, name: String,
