@@ -46,53 +46,38 @@ object DeltaRead {
       partitionCols: Seq[String],
       minReader: Int)
 
-  /** The table's live snapshot as a DataFrame. */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val st = replay(spark, tablePath)
+  /** The table's live snapshot as a DataFrame (`asOf` pins the replay
+    * to a log version — the streaming source's first batch uses it so
+    * a commit landing between offset resolution and batch planning
+    * can't shear the snapshot). */
+  def read(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val st = replay(spark, tablePath, asOf)
     if (st.minReader > 1) throw new UnsupportedOperationException(
       s"delta table at $tablePath requires minReaderVersion ${st.minReader}; " +
         "this reader supports version 1 (no column mapping / v2 checkpoints)")
     val schemaJson = st.schemaJson.getOrElse(throw new IllegalStateException(
       s"delta log at $tablePath has no metaData action"))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val partCols = st.partitionCols
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    import org.apache.spark.sql.functions.{col, lit}
     if (st.adds.isEmpty)
-      return spark.createDataFrame(
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // one scan per distinct partition tuple: the values live in the log,
-    // not the files, and each group's files share them
-    // the spec allows ABSOLUTE add.paths (shallow clones / zero-copy
-    // publishes) beside the usual table-relative ones
-    def resolve(p: String): String = {
-      val hp = new Path(p)
-      if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
-      else s"$tablePath/$p"
-    }
-    val groups = st.adds.values.toSeq.groupBy(_.partitionValues)
-    val frames = groups.toSeq.map { case (pv, files) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => resolve(f.path)): _*)
-      val withParts = partCols.foldLeft(base) { (df, pc) =>
-        val dt = schema(pc).dataType
-        // Delta serializes partition values as strings; null encodes as
-        // an absent key (the protocol's "null partition value")
-        df.withColumn(pc, lit(pv.get(pc).orNull).cast(dt))
-      }
-      withParts.select(schema.fieldNames.map(col).toSeq: _*)
-    }
-    frames.reduce(_.unionByName(_))
+    // one scan per distinct partition tuple: the values live in the log
+    // (null = absent key), not the files; absolute add.paths allowed
+    else scanAdds(spark, tablePath, st.adds.values.toSeq, schema, st.partitionCols)
   }
 
-  /** Log replay to the live state: checkpoint (if any) then the JSON
-    * commits after it. Exposed for the spec's protocol assertions. */
-  private[sources] def replay(spark: SparkSession, tablePath: String): LogState = {
+  /** Log replay to the live state: checkpoint (if any, and at or
+    * before `asOf`) then the JSON commits after it up to `asOf`
+    * (default: everything). Exposed for the spec's protocol
+    * assertions. */
+  private[sources] def replay(spark: SparkSession, tablePath: String,
+      asOf: Option[Long] = None): LogState = {
     val logDir = s"$tablePath/_delta_log"
     val f = fs(spark, tablePath)
     if (!f.exists(new Path(logDir)))
       throw new IllegalArgumentException(s"no _delta_log at $tablePath")
-    val cp = lastCheckpoint(spark, logDir)
+    val cp = lastCheckpoint(spark, logDir).filter(v => asOf.forall(v <= _))
     val start = cp.map(_ + 1).getOrElse(0L)
     var st = cp.map(v => fromCheckpoint(spark, logDir, v))
       .getOrElse(LogState(Map.empty, None, Seq.empty, 1))
@@ -100,20 +85,65 @@ object DeltaRead {
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
       .map(n => n.stripSuffix(".json").toLong)
-      .filter(_ >= start).sorted
+      .filter(v => v >= start && asOf.forall(v <= _)).sorted
     commits.foreach { v =>
-      val file = new Path(logDir, f"$v%020d.json")
-      val in = f.open(file)
-      val body = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        out.toString("UTF-8")
-      } finally in.close()
-      body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-        st = applyAction(st, mapper.readTree(line), s"$file")
-      }
+      st = commitBody(spark, logDir, v).foldLeft(st)((s, line) =>
+        applyAction(s, mapper.readTree(line), f"$logDir/$v%020d.json"))
     }
     st
+  }
+
+  private def commitBody(spark: SparkSession, logDir: String, v: Long): Seq[String] = {
+    val f = fs(spark, logDir)
+    val in = f.open(new Path(logDir, f"$v%020d.json"))
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The files ADDED by commits in (sinceV, toV] — the streaming
+    * source's incremental batch. A `remove` (or a DV-bearing add) in
+    * the window means the diff is NOT the row delta: fail loudly, the
+    * same append-only contract as [[TimeTravel.appendedDirsSince]]. */
+  private[sources] def addsBetween(spark: SparkSession, tablePath: String,
+      sinceV: Long, toV: Long): Seq[AddFile] = {
+    val logDir = s"$tablePath/_delta_log"
+    ((sinceV + 1) to toV).flatMap { v =>
+      commitBody(spark, logDir, v).flatMap { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove")) throw new IllegalStateException(
+          s"delta table at $tablePath removed files in commit v$v; the " +
+            "append-only stream cannot represent deletions — resync from a snapshot")
+        val st = applyAction(LogState(Map.empty, None, Seq.empty, 1),
+          node, f"$logDir/$v%020d.json")
+        st.adds.values
+      }
+    }
+  }
+
+  /** Scan a set of adds under the table's schema with partition values
+    * injected per group — shared by [[read]] and the streaming batch. */
+  private[sources] def scanAdds(spark: SparkSession, tablePath: String,
+      adds: Seq[AddFile], schema: StructType, partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def resolve(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
+      else s"$tablePath/$p"
+    }
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val groups = adds.groupBy(_.partitionValues)
+    groups.toSeq.map { case (pv, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => resolve(f.path)): _*)
+      val withParts = partCols.foldLeft(base) { (df, pc) =>
+        df.withColumn(pc, lit(pv.get(pc).orNull).cast(schema(pc).dataType))
+      }
+      withParts.select(schema.fieldNames.map(col).toSeq: _*)
+    }.reduce(_.unionByName(_))
   }
 
   private def applyAction(st: LogState, node: JsonNode, where: String): LogState = {

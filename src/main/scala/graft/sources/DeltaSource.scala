@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftPlanApi, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** STREAMING SOURCE over an external DELTA table — incremental
+  * consumption of lakehouse data the engine doesn't own:
+  *
+  * {{{ spark.readStream.format("graft-delta").load(path) }}}
+  *
+  * OFFSETS ARE DELTA LOG VERSIONS (the same identification
+  * [[TimeTravelSource]] makes for the native table, applied to the
+  * public `_delta_log`): the first batch is the full current snapshot
+  * ([[DeltaRead]]'s replay, file relations flipped streaming); every
+  * later batch reads exactly the files the JSON commits in
+  * (start, end] ADDED. A commit carrying a `remove` in that window is
+  * NOT an append — the file diff would silently miss deletions — so
+  * the stream fails LOUDLY with the resync instruction, the
+  * append-only contract shared with the native source.
+  * `startingVersion` resumes strictly after a known version.
+  *
+  * Scale: per trigger, one driver-side log listing; per batch,
+  * O(added files) JSON reads and a schema-pinned scan of exactly
+  * those files — the Delta streaming-source cost model recovered from
+  * the public protocol.
+  */
+class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.map { case (k, v) => k.toLowerCase -> v }.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta requires a 'path' option"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaRead.read(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      params.get("startingversion").map(_.toLong))
+  }
+}
+
+final class DeltaStreamSource(spark: SparkSession, path: String,
+    startingVersion: Option[Long]) extends Source {
+
+  private def hfs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // schema AND partition columns pin at source creation — a stream's
+  // shape is fixed for its lifetime
+  private val state0 = DeltaRead.replay(spark, path)
+  private val partCols: Seq[String] = state0.partitionCols
+
+  override val schema: StructType = DeltaRead.read(spark, path).schema
+
+  /** Latest committed JSON version (checkpoint-independent: commits
+    * are the offset domain; a checkpoint only accelerates snapshot
+    * replay). */
+  private def latestVersion: Option[Long] = {
+    val logDir = new Path(s"$path/_delta_log")
+    if (!hfs.exists(logDir)) None
+    else hfs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong)
+      .maxOption
+  }
+
+  override def getOffset: Option[Offset] = latestVersion.map(LongOffset(_))
+
+  private def toVersion(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = toVersion(end)
+    start.map(toVersion).orElse(startingVersion) match {
+      case None =>
+        // first batch: the whole snapshot PINNED at the starting offset
+        // (a commit landing mid-plan can't shear it)
+        GraftPlanApi.markFileRelationsStreaming(
+          DeltaRead.read(spark, path, asOf = Some(endV)))
+      case Some(sinceV) =>
+        val added = DeltaRead.addsBetween(spark, path, sinceV, endV)
+        if (added.isEmpty)
+          GraftPlanApi.streamingDataFrame(spark,
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+            schema)
+        else GraftPlanApi.markFileRelationsStreaming(
+          DeltaRead.scanAdds(spark, path, added, schema, partCols))
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"DeltaStreamSource[$path]"
+}

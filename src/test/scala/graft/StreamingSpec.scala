@@ -838,6 +838,50 @@ class StreamingSpec extends SparkSpec {
       "index fed by the table's own append stream must score like a fresh build")
   }
 
+  test("delta stream source: snapshot, appended-commit increments, removes fail loudly") {
+    import graft.sources.{DeltaExport, TimeTravel}
+    import spark.implicits._
+    // a graft table zero-copy-published as Delta is the fixture writer
+    val src = Files.createTempDirectory("dstream_src").toFile.getAbsolutePath + "/t"
+    val dt = Files.createTempDirectory("dstream_dt").toFile.getAbsolutePath + "/d"
+    val cp = ckpt()
+    TimeTravel.commitOverwrite((1L to 40L).map(i => (i, i * 2)).toDF("k", "v"), src)
+    DeltaExport.snapshot(spark, src, dt) // delta commit 0
+    def runOnce(): Seq[org.apache.spark.sql.Row] = {
+      val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graft-delta").load(dt)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    assert(runOnce().size == 40, "first batch = the exported snapshot")
+    // commit 1: a fresh parquet file appended to the delta log by hand
+    val extraDir = Files.createTempDirectory("dstream_extra").toFile.getAbsolutePath
+    (41L to 50L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(extraDir)
+    val part = new java.io.File(extraDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dt/_delta_log/" + f"${1L}%020d" + ".json"),
+      s"""{"add":{"path":"$part","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}\n""")
+    val run2 = runOnce()
+    assert(run2.size == 10, "second run reads ONLY the appended commit's files")
+    assert(run2.map(_.getLong(0)).toSet == (41L to 50L).toSet)
+    assert(runOnce().isEmpty, "no new commits → no rows")
+    // a remove in the window kills the stream loudly
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dt/_delta_log/" + f"${2L}%020d" + ".json"),
+      s"""{"remove":{"path":"$part","deletionTimestamp":9,"dataChange":true}}\n""")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("removed files")), messages(e).toString)
+  }
+
   test("transformWithState running totals equal the batch aggregate across batches") {
     import graft.streaming.StateApi
     import graft.streaming.StateApi.UserEvent
