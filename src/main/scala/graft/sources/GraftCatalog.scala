@@ -140,7 +140,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog
   * maintenance ops; the logic stays in [[TimeTravel]]. */
 private[sources] object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -176,6 +176,16 @@ private[sources] object GraftProcedures {
       (spark, in) => {
         val v = TimeTravel.rollback(spark, in.getString(0), in.getLong(1))
         Array(InternalRow(v))
+      })
+    case "collect_stats" => unbound("collect_stats",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("columns", StringType).build()),
+      new StructType().add("covered_dir", StringType, nullable = false),
+      (spark, in) => {
+        val cols = in.getString(1).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        TimeTravel.collectStats(spark, in.getString(0), cols)
+          .map(d => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(d))).toArray
       })
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")

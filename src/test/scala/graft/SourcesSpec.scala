@@ -870,6 +870,12 @@ class SourcesSpec extends SparkSpec {
       assert(dropped == dry)
       assert(dropped.forall(d => !new java.io.File(s"$dir/$d").exists()))
       assert(TimeTravel.read(spark, dir).count() == 100, "live snapshot intact")
+      // collect_stats backfills the skipping sidecars for the live dirs
+      val covered = spark.sql(s"CALL graft.collect_stats('$dir', 'k')")
+        .collect().map(_.getString(0)).toSeq
+      assert(covered.nonEmpty &&
+        covered.forall(d => new java.io.File(s"$dir/stats/${d.stripPrefix("data/")}").exists()),
+        s"stats sidecars must exist for $covered")
       // unknown procedure declines loudly (Spark wraps the catalog's
       // message in FAILED_TO_LOAD_ROUTINE)
       val e = intercept[Exception](spark.sql(s"CALL graft.nope('$dir')"))
