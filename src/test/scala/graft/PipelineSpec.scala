@@ -966,6 +966,24 @@ class PipelineSpec extends SparkSpec {
     assert(TimeTravel.read(spark, dir, Some(v - 1)).count() == 6)
   }
 
+  test("schema evolution v2: SQL DML composes with the mapping (DELETE/UPDATE/INSERT)") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ttsev2_dml").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1L to 20L).map(i => (i, i * 10)).toDF("k", "v"), dir)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO val")
+    // the statements name the NEW logical column; the library ops remap
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (21, 210)")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k <= 5")
+    spark.sql(s"UPDATE graft.`$dir` SET val = val + 1 WHERE k = 21")
+    val got = TimeTravel.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((6L to 20L).map(i => (i, i * 10)) :+ (21L, 211L)),
+      s"mapped-table DML diverged: $got")
+  }
+
   test("schema evolution v2: ALTER TABLE DDL drives the mapping commits") {
     import graft.sources.TimeTravel
     import spark.implicits._
