@@ -67,14 +67,14 @@ object IcebergRead {
 
   /** Paths inside metadata may be absolute URIs (the spec's usual
     * shape) or table-relative; resolve both. */
-  private def resolve(tablePath: String, p: String): Path = {
+  private[sources] def resolve(tablePath: String, p: String): Path = {
     val hp = new Path(p)
     if (hp.isAbsolute || hp.toUri.getScheme != null) hp
     else new Path(s"$tablePath/$p")
   }
 
   /** The current metadata JSON for the table. */
-  private def currentMetadata(spark: SparkSession, tablePath: String): JsonNode = {
+  private[sources] def currentMetadata(spark: SparkSession, tablePath: String): JsonNode = {
     val metaDir = s"$tablePath/metadata"
     val f = fs(spark, tablePath)
     if (!f.exists(new Path(metaDir)))
@@ -107,7 +107,7 @@ object IcebergRead {
       s"iceberg field type '$other' is outside this reader's interchange set")
   }
 
-  private def schemaOf(meta: JsonNode): StructType = {
+  private[sources] def schemaOf(meta: JsonNode): StructType = {
     val schemaNode = Option(meta.get("schemas")).map { arr =>
       val want = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
       (0 until arr.size()).map(arr.get)
@@ -125,37 +125,55 @@ object IcebergRead {
     })
   }
 
-  /** The current snapshot's live data files. */
-  private[sources] def liveFiles(spark: SparkSession, tablePath: String,
-      meta: JsonNode): Seq[String] = {
+  /** The snapshot list in metadata order (the commit order real writers
+    * append in): (snapshot-id, resolved manifest-list path). */
+  private[sources] def snapshotList(spark: SparkSession, tablePath: String,
+      meta: JsonNode): Seq[(Long, Path)] = {
     val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
     if (fv > 2) throw new UnsupportedOperationException(
       s"iceberg format-version $fv at $tablePath; this reader supports 1 and 2")
-    val snapId = Option(meta.get("current-snapshot-id")).map(_.asLong()).getOrElse(
+    val snaps = meta.get("snapshots")
+    if (snaps == null) Seq.empty
+    else (0 until snaps.size()).map { i =>
+      val s = snaps.get(i)
+      (s.get("snapshot-id").asLong(),
+        resolve(tablePath, s.get("manifest-list").asText()))
+    }
+  }
+
+  /** The manifest paths a snapshot's list names, in list order. */
+  private[sources] def manifestsOf(spark: SparkSession, tablePath: String,
+      manifestList: Path): Seq[Path] =
+    avroRecords(spark, manifestList)
+      .map(r => resolve(tablePath, String.valueOf(r.get("manifest_path"))))
+
+  /** One manifest's entries as (status, filePath); content != 0 (delete
+    * files) declines loudly. */
+  private[sources] def entriesOf(spark: SparkSession, manifestPath: Path): Seq[(Int, String)] =
+    avroRecords(spark, manifestPath).map { e =>
+      val status = e.get("status").asInstanceOf[Number].intValue()
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val content = Option(df.get("content"))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+      if (content != 0) throw new UnsupportedOperationException(
+        s"iceberg delete file (content=$content) in $manifestPath; this reader " +
+          "declines tables with merge-on-read deletes")
+      (status, String.valueOf(df.get("file_path")))
+    }
+
+  /** A snapshot's live data files (default: the current snapshot). */
+  private[sources] def liveFiles(spark: SparkSession, tablePath: String,
+      meta: JsonNode, snapshotId: Option[Long] = None): Seq[String] = {
+    val snapId = snapshotId.orElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong())).getOrElse(
       throw new IllegalStateException(s"no current-snapshot-id at $tablePath"))
     if (snapId == -1) return Seq.empty // empty table sentinel
-    val snaps = meta.get("snapshots")
-    val snap = (0 until snaps.size()).map(snaps.get)
-      .find(_.get("snapshot-id").asLong() == snapId)
+    val listPath = snapshotList(spark, tablePath, meta)
+      .find(_._1 == snapId).map(_._2)
       .getOrElse(throw new IllegalStateException(
-        s"current snapshot $snapId not in snapshot list"))
-    val listPath = resolve(tablePath, snap.get("manifest-list").asText())
-    val manifests = avroRecords(spark, listPath)
-      .map(r => resolve(tablePath, String.valueOf(r.get("manifest_path"))))
-    manifests.flatMap { mp =>
-      avroRecords(spark, mp).flatMap { e =>
-        val status = e.get("status").asInstanceOf[Number].intValue()
-        if (status == 2) None // DELETED
-        else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content"))
-            .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-          if (content != 0) throw new UnsupportedOperationException(
-            s"iceberg delete file (content=$content) in $mp; this reader " +
-              "declines tables with merge-on-read deletes")
-          Some(String.valueOf(df.get("file_path")))
-        }
-      }
+        s"snapshot $snapId not in snapshot list at $tablePath"))
+    manifestsOf(spark, tablePath, listPath).flatMap { mp =>
+      entriesOf(spark, mp).collect { case (status, p) if status != 2 => p }
     }
   }
 
@@ -209,18 +227,28 @@ object IcebergRead {
 
     /** fields: (id, name, required, icebergType). */
     def metadata(dir: String, v: Int, formatVersion: Int, snapshotId: Long,
-        manifestList: String, fields: Seq[(Int, String, Boolean, String)]): Unit = {
+        manifestList: String, fields: Seq[(Int, String, Boolean, String)]): Unit =
+      metadataMulti(dir, v, formatVersion, snapshotId,
+        Seq((snapshotId, manifestList)), fields)
+
+    /** Multi-snapshot variant: `snapshots` in commit order, the
+      * current one named by `currentSnapshotId`. */
+    def metadataMulti(dir: String, v: Int, formatVersion: Int,
+        currentSnapshotId: Long, snapshots: Seq[(Long, String)],
+        fields: Seq[(Int, String, Boolean, String)]): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
       val fjson = fields.map { case (id, n, req, t) =>
         s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
+      }.mkString(",")
+      val sjson = snapshots.map { case (id, ml) =>
+        s"""{"snapshot-id":$id,"manifest-list":"$ml"}"""
       }.mkString(",")
       val body =
         s"""{"format-version":$formatVersion,"table-uuid":"fixture",
            |"location":"$dir","current-schema-id":0,
            |"schemas":[{"schema-id":0,"type":"struct","fields":[$fjson]}],
-           |"current-snapshot-id":$snapshotId,
-           |"snapshots":[{"snapshot-id":$snapshotId,
-           |  "manifest-list":"$manifestList"}]}""".stripMargin
+           |"current-snapshot-id":$currentSnapshotId,
+           |"snapshots":[$sjson]}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/metadata/v$v.metadata.json"), body)
       java.nio.file.Files.writeString(
@@ -228,11 +256,13 @@ object IcebergRead {
     }
   }
 
-  /** The table's current snapshot as a DataFrame. */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
+  /** The table's snapshot as a DataFrame (`snapshotId` pins one; the
+    * default is the current snapshot). */
+  def read(spark: SparkSession, tablePath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
     val meta = currentMetadata(spark, tablePath)
     val schema = schemaOf(meta)
-    val files = liveFiles(spark, tablePath, meta)
+    val files = liveFiles(spark, tablePath, meta, snapshotId)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

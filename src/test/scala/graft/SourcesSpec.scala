@@ -876,6 +876,11 @@ class SourcesSpec extends SparkSpec {
       assert(covered.nonEmpty &&
         covered.forall(d => new java.io.File(s"$dir/stats/${d.stripPrefix("data/")}").exists()),
         s"stats sidecars must exist for $covered")
+      // export_delta publishes the live snapshot as a zero-copy Delta log
+      val tgt = Files.createTempDirectory("callproc_dexp").toFile.getAbsolutePath + "/d"
+      val nf = spark.sql(s"CALL graft.export_delta('$dir', '$tgt')").head.getInt(0)
+      assert(nf > 0 &&
+        graft.sources.DeltaRead.read(spark, tgt).count() == 100)
       // unknown procedure declines loudly (Spark wraps the catalog's
       // message in FAILED_TO_LOAD_ROUTINE)
       val e = intercept[Exception](spark.sql(s"CALL graft.nope('$dir')"))

@@ -882,6 +882,56 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("removed files")), messages(e).toString)
   }
 
+  test("iceberg stream source: snapshot, new-manifest increments, history rewrite fails loudly") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("istream").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    val fields = Seq((1, "k", true, "long"), (2, "v", false, "long"))
+    def part(name: String, rows: Seq[(Long, Long)]): String = {
+      val tmp = Files.createTempDirectory("ipart2").toFile.getAbsolutePath
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val f1 = part("f1.parquet", (1L to 30L).map(i => (i, i)))
+    val m1 = IcebergRead.Fixture.manifest(dir, "m1.avro", Seq((1, f1, 0)))
+    val ml1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 2, 100L, Seq((100L, ml1)), fields)
+    def runOnce(): Seq[org.apache.spark.sql.Row] = {
+      val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    assert(runOnce().size == 30, "first batch = the current snapshot")
+    // snapshot 2 keeps m1 and adds m2 (the append shape)
+    val f2 = part("f2.parquet", (31L to 40L).map(i => (i, i)))
+    val m2 = IcebergRead.Fixture.manifest(dir, "m2.avro", Seq((1, f2, 0)))
+    val ml2 = IcebergRead.Fixture.manifestList(dir, "snap-2.avro", Seq(m1, m2))
+    IcebergRead.Fixture.metadataMulti(dir, 2, 2, 200L,
+      Seq((100L, ml1), (200L, ml2)), fields)
+    val run2 = runOnce()
+    assert(run2.size == 10 && run2.map(_.getLong(0)).toSet == (31L to 40L).toSet,
+      "second run reads ONLY the new manifest's files")
+    assert(runOnce().isEmpty, "no new snapshot → no rows")
+    // snapshot 3 DROPS m1 (compaction rewrote history) → loud failure
+    val ml3 = IcebergRead.Fixture.manifestList(dir, "snap-3.avro", Seq(m2))
+    IcebergRead.Fixture.metadataMulti(dir, 3, 2, 300L,
+      Seq((100L, ml1), (200L, ml2), (300L, ml3)), fields)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dropped manifest")), messages(e).toString)
+  }
+
   test("transformWithState running totals equal the batch aggregate across batches") {
     import graft.streaming.StateApi
     import graft.streaming.StateApi.UserEvent
