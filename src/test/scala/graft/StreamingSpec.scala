@@ -1019,6 +1019,30 @@ class StreamingSpec extends SparkSpec {
       "no new commits → no rows (offsets are durable versions)")
   }
 
+  test("table stream source: filters push into the parquet scan UNDER the stream") {
+    // the design claim of the V1 getBatch approach: flipping isStreaming
+    // on the resolved file relation keeps the whole batch scan stack —
+    // a filter in the streaming query must reach the scan as a pushed
+    // predicate, not evaluate post-scan over full rows
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tt_ssrc_push").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 100L).map(i => (i, i)).toDF("k", "v"), dir)
+    val q = spark.readStream.format("graft-table").load(dir)
+      .filter(col("k") > 90)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => (): Unit }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution
+    assert(exec != null, "the AvailableNow run must have executed a batch")
+    val plan = exec.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*GreaterThan\(k,90\)""".r.findFirstIn(plan).isDefined,
+      s"the stream's filter must reach the parquet scan as a pushed predicate:\n$plan")
+  }
+
   test("table stream source: startingVersion skips the initial snapshot") {
     import graft.sources.TimeTravel
     import spark.implicits._
