@@ -140,7 +140,7 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog
   * maintenance ops; the logic stays in [[TimeTravel]]. */
 private[sources] object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats", "export_delta")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats", "export_delta", "export_iceberg")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -193,6 +193,12 @@ private[sources] object GraftProcedures {
       new StructType().add("n_files", IntegerType, nullable = false),
       (spark, in) => Array(InternalRow(
         DeltaExport.snapshot(spark, in.getString(0), in.getString(1)))))
+    case "export_iceberg" => unbound("export_iceberg",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("target", StringType).build()),
+      new StructType().add("n_files", IntegerType, nullable = false),
+      (spark, in) => Array(InternalRow(
+        IcebergExport.snapshot(spark, in.getString(0), in.getString(1)))))
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")
   }

@@ -881,6 +881,12 @@ class SourcesSpec extends SparkSpec {
       val nf = spark.sql(s"CALL graft.export_delta('$dir', '$tgt')").head.getInt(0)
       assert(nf > 0 &&
         graft.sources.DeltaRead.read(spark, tgt).count() == 100)
+      // export_iceberg publishes the live snapshot as zero-copy Iceberg
+      val itgt = Files.createTempDirectory("callproc_iexp").toFile.getAbsolutePath + "/i"
+      val inf = spark.sql(s"CALL graft.export_iceberg('$dir', '$itgt')").head.getInt(0)
+      val iback = graft.sources.IcebergRead.read(spark, itgt)
+      assert(inf > 0 && iback.count() == 100 &&
+        iback.columns.toSeq == Seq("k", "nm", "bal"))
       // unknown procedure declines loudly (Spark wraps the catalog's
       // message in FAILED_TO_LOAD_ROUTINE)
       val e = intercept[Exception](spark.sql(s"CALL graft.nope('$dir')"))
