@@ -755,6 +755,69 @@ class PipelineSpec extends SparkSpec {
     assert(e.getCause.isInstanceOf[CommitConflictException])
   }
 
+  test("commit classification fuzz: random op sequences match the op-semantics model") {
+    import graft.sources.TimeTravel
+    import TimeTravel.{Append, CommitKind, Rewrite, RowLevel}
+    import spark.implicits._
+    // the model tracks WHAT EACH OP DOES to the directory/DV sets (its
+    // published semantics) and derives the expected class from the same
+    // decision rule — the implementation must read identical facts back
+    // out of the real manifests; note a rollback restoring an identical
+    // listing is correctly APPEND-safe (nothing to conflict with)
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"ttclass_fuzz_$seed").toFile.getAbsolutePath + "/t"
+      var nextId = 100L
+      def fresh(n: Int) = {
+        val r = (nextId until nextId + n).map(i => (i, s"p$i")); nextId += n
+        r.toDF("id", "payload")
+      }
+      var tag = 0
+      def freshTag() = { tag += 1; tag }
+      TimeTravel.commitOverwrite(fresh(10), dir)
+      var dirs = Set(freshTag()); var dvs = Set.empty[Int]
+      val snaps = scala.collection.mutable.ArrayBuffer((dirs, dvs))
+      def kindOf(pd: Set[Int], pv: Set[Int], nd: Set[Int], nv: Set[Int]): CommitKind =
+        if (pd.exists(!nd.contains(_))) Rewrite
+        else if (nv != pv) RowLevel
+        else Append
+      val expected = scala.collection.mutable.ArrayBuffer[CommitKind](Append)
+      (1 to 10).foreach { _ =>
+        val (pd, pv) = (dirs, dvs)
+        rnd.nextInt(5) match {
+          case 0 =>
+            TimeTravel.commitAppend(fresh(3), dir); dirs = dirs + freshTag()
+          case 1 =>
+            val anyId = TimeTravel.read(spark, dir)
+              .select(min(col("id"))).head.getLong(0)
+            TimeTravel.deleteMoR(spark, dir, col("id") === anyId)
+            dvs = dvs + freshTag()
+          case 2 =>
+            val anyId = TimeTravel.read(spark, dir)
+              .select(max(col("id"))).head.getLong(0)
+            TimeTravel.replaceWhere(spark, dir, col("id") === anyId,
+              Seq((anyId, "replaced")).toDF("id", "payload"))
+            dirs = dirs + freshTag(); dvs = dvs + freshTag()
+          case 3 =>
+            TimeTravel.commitOverwrite(fresh(5), dir)
+            dirs = Set(freshTag()); dvs = Set.empty
+          case 4 =>
+            val vs = TimeTravel.versions(spark, dir)
+            val target = vs(rnd.nextInt(vs.size)).toInt
+            TimeTravel.rollback(spark, dir, target.toLong)
+            val (td, tv) = snaps(target - 1)
+            dirs = td; dvs = tv
+        }
+        expected += kindOf(pd, pv, dirs, dvs)
+        snaps += ((dirs, dvs))
+      }
+      val got = TimeTravel.versions(spark, dir)
+        .map(v => TimeTravel.classifyCommit(spark, dir, v))
+      assert(got == expected.toSeq,
+        s"seed $seed: classifier ${got.mkString(",")} vs model ${expected.mkString(",")}")
+    }
+  }
+
   test("commit classification: append vs row-level vs rewrite") {
     import graft.sources.TimeTravel
     import spark.implicits._
