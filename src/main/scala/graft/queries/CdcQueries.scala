@@ -403,7 +403,90 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Zero-copy Delta EXPORT roundtrip ([[graft.sources.DeltaExport]],
+    * r10 tier — the publish direction of the interop matrix): a
+    * two-commit graft table derived from `customer` publishes as a
+    * Delta table (log-only, absolute-path adds, no data moved), and
+    * the INDEPENDENT Delta replay ([[graft.sources.DeltaRead]]) reads
+    * it back for the aggregate — so a wrong schemaString, a dropped
+    * add, or a path that didn't resolve breaks the closed-form oracle.
+    * `zero_copy` pins that the target directory holds ONLY the log and
+    * that a post-export graft commit does not shear the published
+    * snapshot (version pinning).
+    *
+    * Scale: export is O(files) driver work — one manifest read and one
+    * JSON write; publishing a 100 TB table moves zero data bytes. */
+  val qDeltaExport: QueryDef = QueryDef.sql(
+    "q_delta_export",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS zero_copy
+      |FROM c""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dexp_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_delta"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c.filter(col("k") % 2 === 0), base) // v1
+    TimeTravel.commitAppend(c.filter(col("k") % 2 === 1), base) // v2
+    val nFiles = DeltaExport.snapshot(s, base, tgt)
+    // a LATER graft commit must not shear the published snapshot
+    TimeTravel.commitAppend(
+      c.filter(col("k") === -1), base) // empty, but a new version
+    val logOnly = new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("_delta_log")
+    DeltaRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("zero_copy", lit(nFiles > 0 && logOnly))
+  }
+
+  /** Zero-copy Iceberg EXPORT roundtrip ([[graft.sources.IcebergExport]],
+    * r10 tier): the same publish story through the other lakehouse
+    * protocol — metadata JSON + Avro manifest list/manifest with
+    * absolute file URIs — read back by the independent
+    * [[graft.sources.IcebergRead]] replay against the closed form.
+    * `zero_copy` pins metadata-only publication (no `data/` under the
+    * target). */
+  val qIcebergExport: QueryDef = QueryDef.sql(
+    "q_iceberg_export",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS zero_copy
+      |FROM o""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iexp_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_iceberg"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("id") % 3 =!= 0), base) // v1
+    TimeTravel.commitAppend(o.filter(col("id") % 3 === 0), base) // v2
+    val nFiles = IcebergExport.snapshot(s, base, tgt)
+    val metaOnly = new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("metadata")
+    IcebergRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("zero_copy", lit(nFiles > 0 && metaOnly))
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
-    qIcebergRead)
+    qIcebergRead, qDeltaExport, qIcebergExport)
 }
