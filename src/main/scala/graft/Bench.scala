@@ -164,9 +164,15 @@ object Bench {
           !new java.io.File(anchorDir).isDirectory) ""
       else {
         val aErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        // SAME iters as the main leg (r8's median-of-2 anchor recorded
-        // a one-off degraded-sandbox sample as the number of record)
-        val aFull = timeAll(anchorDir, iters, aErrors)
+        // MORE iters than the main leg (default 5): the anchor has been
+        // the board's noisiest number three rounds running — a
+        // degraded-sandbox window inflates a short sample's median while
+        // the sf0.1 leg stays flat (BENCH_NOTES r8–r10). More samples +
+        // the min-based ratio below keep one bad window from standing
+        // as the number of record.
+        val aIters = sys.env.get("SPARK_GRAFT_ANCHOR_ITERS").map(_.toInt)
+          .getOrElse(iters.max(5))
+        val aFull = timeAll(anchorDir, aIters, aErrors)
         val aResults = aFull.map { case (k, (med, _)) => k -> med }
         val aQ = aResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
           .mkString("{", ",", "}")
@@ -203,12 +209,29 @@ object Bench {
         val aDuckTotal = aPaired.map { case (k, _) => aBase(k) }.sum
         val aRatioTotal =
           if (aDuckTotal > 0) aPaired.map(_._2).sum / aDuckTotal else -1.0
+        // HEADLINE anchor number = the min-of-iters ratio (r10 verdict
+        // ask): the min is the warm floor a healthy sandbox reproduces,
+        // so builder and judge runs converge on it; the median rides
+        // beside it as the diagnostic for how noisy the window was.
+        val aMinByName = aFull.map { case (k, (_, mn)) => k -> mn }.toMap
+        val aPairedMin = aPaired.map { case (k, _) => k -> aMinByName(k) }
+        val aRatioTotalMin =
+          if (aDuckTotal > 0) aPairedMin.map(_._2).sum / aDuckTotal else -1.0
         val aTotal = aResults.map(_._2).filter(_ >= 0).sum
         val aErr = aErrors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString("{", ",", "}")
-        f""","anchor":{"sf":"$anchorDir","value":$aTotal%.3f,"queries":$aQ,"queries_min":$aMinJson,"growth":$growth,"growth_min":$growthMin,"floor_outliers":$outliers,"duckdb":$aDuck,"ratio":$aRatio,"duckdb_total":$aDuckTotal%.3f,"ratio_total":$aRatioTotal%.2f,"errors":$aErr}"""
+        f""","anchor":{"sf":"$anchorDir","iters":$aIters,"value":$aTotal%.3f,"queries":$aQ,"queries_min":$aMinJson,"growth":$growth,"growth_min":$growthMin,"floor_outliers":$outliers,"duckdb":$aDuck,"ratio":$aRatio,"duckdb_total":$aDuckTotal%.3f,"ratio_total":$aRatioTotalMin%.2f,"ratio_total_median":$aRatioTotal%.2f,"errors":$aErr}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_min":$minJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"$anchorJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"queries_min":$minJson,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":$duckTotal%.3f,"ratio_total":$ratioTotal%.2f,"errors":$errJson,"iters":$iters,"sf":"$sfDir"$anchorJson}"""
+    // self-contained record (r10 verdict ask): BENCH_rN.json keeps only
+    // the tail of stdout, which truncated the main leg out of the number
+    // of record — persist the full payload as a file AND print it as the
+    // single last line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    println(line)
     spark.stop()
   }
 }

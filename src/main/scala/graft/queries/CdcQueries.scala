@@ -486,7 +486,294 @@ object CdcQueries {
       .withColumn("zero_copy", lit(nFiles > 0 && metaOnly))
   }
 
+  /** Delta DELETION-VECTOR read interop ([[graft.sources.DeltaDv]] +
+    * [[graft.sources.DeltaRead]], r11 tier — closing the r10 verdict's
+    * top ask): a reader-version-3 table whose single data file carries
+    * an on-disk DV in the protocol's exact binary format (z85 uuid
+    * file name, version byte, BE size/CRC framing, portable
+    * RoaringBitmapArray bitmap) reads merge-on-read — the scan extends
+    * with `_metadata.row_index` and anti-joins the decoded positions.
+    * The file is written SORTED by id, so position p holds the p-th
+    * smallest key and the oracle states the deleted set in closed form
+    * over ROW_NUMBER. A wrong z85 group, endianness slip, off-by-one
+    * in the bitmap keys, or a positions/row_index misalignment all
+    * break count and sum.
+    *
+    * Scale: DV decode is driver-side O(deleted rows); the anti-join
+    * side broadcasts — the standard MoR tax modern Delta tables pay
+    * until OPTIMIZE. */
+  val qDeltaReadDv: QueryDef = QueryDef.sql(
+    "q_delta_read_dv",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id
+      |FROM o WHERE pos % 7 <> 3""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ddv_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val n = o.count()
+    // ONE file, globally sorted by id → row position p = p-th smallest key
+    val tmp = s"${dir}_stage"
+    o.repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(s"$dir/f0.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    // protocol-format DV file: delete every position ≡ 3 (mod 7)
+    val uuid = java.util.UUID.fromString("00000000-0000-4000-8000-0000000000dd")
+    val dv = graft.sources.DeltaDv.writeDvFile(s, dir, uuid, 3L.until(n, 7L))
+    val esc = StructType(Seq(StructField("id", LongType), StructField("cents", LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"dvfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${dv.pathOrInlineDv}","offset":${dv.offset.get},"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}}}""")
+        .mkString("", "\n", "\n"))
+    graft.sources.DeltaRead.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(col("id")).as("sum_id"))
+  }
+
+  /** Iceberg FORMAT-V2 POSITION-DELETE read interop
+    * ([[graft.sources.IcebergRead]], r11 tier): a v2 snapshot carries a
+    * content=1 delete manifest whose parquet lists (file_path, pos)
+    * pairs; the read applies them merge-on-read against
+    * `_metadata.row_index`. Band files are written sorted, so the
+    * oracle states the deleted positions with a partitioned
+    * ROW_NUMBER; a path-normalization miss (the delete names absolute
+    * paths, Spark reports `file:`-scheme URIs), a pos off-by-one, or a
+    * delete applied to the wrong file all break the closed form. */
+  val qIcebergReadV2: QueryDef = QueryDef.sql(
+    "q_iceberg_read_v2",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    o_orderkey % 2 AS band,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE NOT (band = 0 AND pos % 5 = 2)""".stripMargin) { (s, d) =>
+    import graft.sources.IcebergRead
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ipd_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"),
+      (col("o_orderkey") % 2).as("band"))
+    val files = (0 to 1).map { b =>
+      val tmp = s"${dir}_stage_$b"
+      o.filter(col("band") === b).drop("band")
+        .repartition(1).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/f$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val n0 = o.filter(col("band") === 0).count()
+    import s.implicits._
+    val delStage = s"${dir}_stage_del"
+    2L.until(n0, 5L).map(p => (files(0), p)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delPart = new java.io.File(delStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val delDst = new java.io.File(s"$dir/data/pd0.parquet")
+    java.nio.file.Files.copy(delPart.toPath, delDst.toPath)
+    val mData = IcebergRead.Fixture.manifest(dir, "mData.avro",
+      Seq((1, files(0), 0), (1, files(1), 0)))
+    val mDel = IcebergRead.Fixture.manifest(dir, "mDel.avro",
+      Seq((1, delDst.getAbsolutePath, 1)))
+    val ml = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(mData, mDel))
+    IcebergRead.Fixture.metadata(dir, 1, formatVersion = 2, snapshotId = 1L,
+      manifestList = ml, fields = Seq((1, "id", true, "long"), (2, "cents", false, "long")))
+    IcebergRead.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+  }
+
+  /** Delta CHANGE-DATA-FEED batch interop ([[graft.sources.DeltaRead.changes]],
+    * r11 tier — the batch face of the `readChangeFeed` stream): a
+    * commit that rewrote rows carries `cdc` actions; the change files'
+    * rows (insert/delete/update_preimage/update_postimage in
+    * `_change_type`) are served VERBATIM, the remove/add actions of
+    * the same commit ignored — exactly Delta's CDF contract. The
+    * oracle restates the change set in closed form; serving the adds
+    * instead of the cdc files, dropping a change type, or mis-stamping
+    * `_commit_version` all break the grouping. */
+  val qDeltaCdf: QueryDef = QueryDef.sql(
+    "q_delta_cdf",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |), ch AS (
+      |  SELECT 'update_preimage' AS change_type, id, cents FROM o WHERE id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage' AS change_type, id, cents + 1 AS cents FROM o WHERE id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'delete' AS change_type, id, cents FROM o WHERE id % 10 = 5
+      |)
+      |SELECT change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(commit_version) AS BIGINT) AS commit_version
+      |FROM (SELECT ch.*, 1 AS commit_version FROM ch)
+      |GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dcdf_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    def stage(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"${dir}_stage_${rel.replace('/', '_')}"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$rel")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+    }
+    stage(o, "f0.parquet")
+    // the commit's change data: updates (pre+post) and deletes
+    val pre = o.filter(col("id") % 10 === 0).withColumn("_change_type", lit("update_preimage"))
+    val post = o.filter(col("id") % 10 === 0)
+      .withColumn("cents", col("cents") + 1)
+      .withColumn("_change_type", lit("update_postimage"))
+    val del = o.filter(col("id") % 10 === 5).withColumn("_change_type", lit("delete"))
+    stage(pre.unionByName(post).unionByName(del), "_change_data/cdc-0.parquet")
+    stage(o.filter(col("id") % 10 =!= 5)
+      .withColumn("cents", when(col("id") % 10 === 0, col("cents") + 1).otherwise(col("cents"))),
+      "f1.parquet")
+    val esc = StructType(Seq(StructField("id", LongType), StructField("cents", LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"cdffix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json"),
+      Seq("""{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
+        """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""")
+        .mkString("", "\n", "\n"))
+    graft.sources.DeltaRead.changes(s, dir, 0L, 1L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        max(col("_commit_version")).as("commit_version"))
+      .orderBy("change_type")
+  }
+
+  /** Delta WRITE-BACK append interop ([[graft.sources.DeltaExport.append]],
+    * r11 tier): snapshot-export a two-version graft table, commit two
+    * more appends, then `append` publishes them as NEW commits of the
+    * SAME `_delta_log` — the external table follows the source without
+    * re-export. The independent replay walks all commits for the
+    * closed form; `zero_copy` pins log-only publication and that the
+    * appended files landed (>0). */
+  val qDeltaExportAppend: QueryDef = QueryDef.sql(
+    "q_delta_export_append",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS zero_copy
+      |FROM c""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dexpa_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_delta"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c.filter(col("k") % 3 === 0), base) // v1
+    DeltaExport.snapshot(s, base, tgt)
+    TimeTravel.commitAppend(c.filter(col("k") % 3 === 1), base) // v2
+    TimeTravel.commitAppend(c.filter(col("k") % 3 === 2), base) // v3
+    val nAppended = DeltaExport.append(s, base, tgt)
+    val logOnly = new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("_delta_log")
+    DeltaRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("zero_copy", lit(nAppended > 0 && logOnly))
+  }
+
+  /** Iceberg WRITE-BACK append interop ([[graft.sources.IcebergExport.append]],
+    * r11 tier): the same follow-the-source story through the other
+    * protocol — a new SNAPSHOT whose manifest list reuses the prior
+    * manifests by reference plus one new manifest, a new metadata
+    * version, version-hint bumped; the spec-complete v2 chain
+    * (record counts from footers, sequence numbers, field-id-tagged
+    * Avro) read back by the independent replay. */
+  val qIcebergExportAppend: QueryDef = QueryDef.sql(
+    "q_iceberg_export_append",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  true AS zero_copy
+      |FROM o""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iexpa_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_iceberg"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("id") % 3 =!= 0), base) // v1
+    IcebergExport.snapshot(s, base, tgt)
+    TimeTravel.commitAppend(o.filter(col("id") % 3 === 0), base) // v2
+    val nAppended = IcebergExport.append(s, base, tgt)
+    val metaOnly = new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("metadata")
+    IcebergRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("zero_copy", lit(nAppended > 0 && metaOnly))
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
-    qIcebergRead, qDeltaExport, qIcebergExport)
+    qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qIcebergReadV2,
+    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend)
 }

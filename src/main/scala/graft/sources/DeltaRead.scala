@@ -2,49 +2,75 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** Read-only DELTA LAKE interop: replay a real `_delta_log` (the
   * public protocol — JSON commit files plus optional parquet
   * checkpoints, last-writer-wins per file path) into the live file
   * list and scan it — so the engine queries lakehouse data IN PLACE,
-  * no conversion pass. Scope is the protocol's reader-version-1
-  * core:
+  * no conversion pass. Scope:
   *
   *   - `_last_checkpoint` → `<v>.checkpoint.parquet` (add/remove/
   *     metaData/protocol action columns), then every `<v>.json`
   *     commit after it, ascending; actions apply in order — an `add`
   *     (re)registers its path, a `remove` tombstones it, the last
   *     `metaData` wins the schema;
+  *   - add/remove paths are percent-encoded per the protocol (RFC
+  *     2396) and decode on apply, so partition directories with
+  *     spaces/unicode resolve;
   *   - partition values come from `add.partitionValues` (they are NOT
   *     in the data files) and are injected per file group as typed
   *     literals, exactly how Delta serves them;
+  *   - DELETION VECTORS (reader version 3, feature `deletionVectors`)
+  *     apply as merge-on-read: each DV'd file scans with
+  *     `_metadata.row_index` and anti-joins its decoded positions
+  *     ([[DeltaDv]] — the protocol's z85/RoaringBitmap format), the
+  *     standard MoR read amplification until the writer OPTIMIZEs;
   *   - features this reader cannot honor fail LOUDLY, never silently
-  *     mis-read: `minReaderVersion > 1` (column mapping, v2
-  *     checkpoints …) and deletion vectors on any live `add` decline
+  *     mis-read: `minReaderVersion` 2 (column mapping) and any
+  *     version-3 reader feature outside `deletionVectors` decline
   *     with the feature named.
   *
   * Scale: log replay is driver-side O(actions) — the same planning
   * cost Delta itself pays; the scan is one parquet read per partition
-  * group over exactly the live files, pushdown and pruning intact.
-  * Checkpoint reading collects only the action columns.
+  * group over exactly the live files, pushdown and pruning intact;
+  * DV position sets are O(deleted rows per file) and broadcast.
   */
 object DeltaRead {
 
   private val mapper = new ObjectMapper()
 
+  /** Reader-version-3 features this replay honors; anything else on
+    * the table's protocol declines by name. */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Delta stores add/remove/cdc paths percent-encoded (RFC 2396);
+    * decode through URI→Path, which handles both relative paths and
+    * absolute scheme-full URIs. A path that is not URI-parseable is
+    * served raw (defensive: some writers never encode). */
+  private[sources] def decodePath(p: String): String =
+    try new Path(new java.net.URI(p)).toString
+    catch { case _: java.net.URISyntaxException => p }
+
   private[sources] final case class AddFile(path: String,
+      partitionValues: Map[String, String],
+      dv: Option[DeltaDv.Descriptor] = None)
+
+  /** A change-data file (`cdc` action): rows carry `_change_type`. */
+  private[sources] final case class CdcFile(path: String,
       partitionValues: Map[String, String])
 
   private[sources] final case class LogState(
       adds: Map[String, AddFile],
       schemaJson: Option[String],
       partitionCols: Seq[String],
-      minReader: Int)
+      minReader: Int,
+      readerFeatures: Set[String] = Set.empty)
 
   /** The table's live snapshot as a DataFrame (`asOf` pins the replay
     * to a log version — the streaming source's first batch uses it so
@@ -53,9 +79,7 @@ object DeltaRead {
   def read(spark: SparkSession, tablePath: String,
       asOf: Option[Long] = None): DataFrame = {
     val st = replay(spark, tablePath, asOf)
-    if (st.minReader > 1) throw new UnsupportedOperationException(
-      s"delta table at $tablePath requires minReaderVersion ${st.minReader}; " +
-        "this reader supports version 1 (no column mapping / v2 checkpoints)")
+    requireReadable(tablePath, st)
     val schemaJson = st.schemaJson.getOrElse(throw new IllegalStateException(
       s"delta log at $tablePath has no metaData action"))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -66,6 +90,20 @@ object DeltaRead {
     // (null = absent key), not the files; absolute add.paths allowed
     else scanAdds(spark, tablePath, st.adds.values.toSeq, schema, st.partitionCols)
   }
+
+  private def requireReadable(tablePath: String, st: LogState): Unit =
+    st.minReader match {
+      case 1 => ()
+      case 3 =>
+        val unsupported = st.readerFeatures -- SupportedReaderFeatures
+        if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+          s"delta table at $tablePath requires reader feature(s) " +
+            s"${unsupported.toSeq.sorted.mkString(", ")}; this reader supports " +
+            s"${SupportedReaderFeatures.mkString(", ")} only")
+      case other => throw new UnsupportedOperationException(
+        s"delta table at $tablePath requires minReaderVersion $other; this " +
+          "reader supports versions 1 and 3 (feature deletionVectors)")
+    }
 
   /** Log replay to the live state: checkpoint (if any, and at or
     * before `asOf`) then the JSON commits after it up to `asOf`
@@ -88,7 +126,7 @@ object DeltaRead {
       .filter(v => v >= start && asOf.forall(v <= _)).sorted
     commits.foreach { v =>
       st = commitBody(spark, logDir, v).foldLeft(st)((s, line) =>
-        applyAction(s, mapper.readTree(line), f"$logDir/$v%020d.json"))
+        applyAction(s, mapper.readTree(line)))
     }
     st
   }
@@ -105,9 +143,14 @@ object DeltaRead {
   }
 
   /** The files ADDED by commits in (sinceV, toV] — the streaming
-    * source's incremental batch. A `remove` (or a DV-bearing add) in
-    * the window means the diff is NOT the row delta: fail loudly, the
-    * same append-only contract as [[TimeTravel.appendedDirsSince]]. */
+    * source's incremental batch. Anything that makes the window more
+    * than an append fails loudly, the contract shared with
+    * [[TimeTravel.appendedDirsSince]]: a `remove` (the diff would miss
+    * deletions), a DV-bearing `add` (rows mutated), and — the r11
+    * ADVICE close — a `metaData` or `protocol` action (the stream's
+    * schema and physical resolution are pinned at creation; scanning
+    * new files under them after a mid-stream schema or protocol change
+    * would silently serve nulls or wrong columns). */
   private[sources] def addsBetween(spark: SparkSession, tablePath: String,
       sinceV: Long, toV: Long): Seq[AddFile] = {
     val logDir = s"$tablePath/_delta_log"
@@ -117,54 +160,193 @@ object DeltaRead {
         if (node.has("remove")) throw new IllegalStateException(
           s"delta table at $tablePath removed files in commit v$v; the " +
             "append-only stream cannot represent deletions — resync from a snapshot")
-        val st = applyAction(LogState(Map.empty, None, Seq.empty, 1),
-          node, f"$logDir/$v%020d.json")
+        if (node.has("metaData")) throw new IllegalStateException(
+          s"delta table at $tablePath changed its metaData in commit v$v; the " +
+            "stream's schema is pinned at creation — resync from a snapshot")
+        if (node.has("protocol")) throw new IllegalStateException(
+          s"delta table at $tablePath upgraded its protocol in commit v$v; " +
+            "re-validate reader support and resync from a snapshot")
+        val st = applyAction(LogState(Map.empty, None, Seq.empty, 1), node)
+        st.adds.values.foreach { a =>
+          if (a.dv.nonEmpty) throw new IllegalStateException(
+            s"delta table at $tablePath added a deletion vector in commit v$v; " +
+              "the append-only stream cannot represent row deletions — " +
+              "resync from a snapshot (or stream with readChangeFeed)")
+        }
         st.adds.values
       }
     }
   }
 
+  /** The CHANGE batches of commits in (sinceV, toV], per commit — the
+    * change-data-feed face ([[DeltaSource]]'s readChangeFeed mode):
+    * a commit carrying `cdc` actions serves its change files verbatim
+    * (their rows carry `_change_type` — insert / delete /
+    * update_preimage / update_postimage); a pure-append commit serves
+    * its adds as inserts; a commit that removed files or changed DVs
+    * WITHOUT writing change data cannot be represented row-level and
+    * fails loudly (enable CDF on the writer). metaData/protocol
+    * changes fail loudly — the stream's schema is pinned. */
+  private[sources] def changesBetween(spark: SparkSession, tablePath: String,
+      sinceV: Long, toV: Long): Seq[(Long, Either[Seq[AddFile], Seq[CdcFile]])] = {
+    val logDir = s"$tablePath/_delta_log"
+    ((sinceV + 1) to toV).map { v =>
+      var cdc = Vector.empty[CdcFile]
+      var adds = Vector.empty[AddFile]
+      var removed = false
+      commitBody(spark, logDir, v).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("metaData")) throw new IllegalStateException(
+          s"delta table at $tablePath changed its metaData in commit v$v; the " +
+            "change stream's schema is pinned at creation — resync from a snapshot")
+        if (node.has("protocol")) throw new IllegalStateException(
+          s"delta table at $tablePath upgraded its protocol in commit v$v; " +
+            "re-validate reader support and resync from a snapshot")
+        if (node.has("cdc")) {
+          val c = node.get("cdc")
+          cdc :+= CdcFile(decodePath(c.get("path").asText()), partValuesOf(c))
+        } else if (node.has("remove")) {
+          removed = true
+        } else if (node.has("add")) {
+          val st = applyAction(LogState(Map.empty, None, Seq.empty, 1), node)
+          adds ++= st.adds.values
+        }
+      }
+      if (cdc.nonEmpty) (v, Right(cdc.toSeq))
+      else if (removed || adds.exists(_.dv.nonEmpty)) throw new IllegalStateException(
+        s"delta table at $tablePath mutated rows in commit v$v without change " +
+          "data; the writer must enable changeDataFeed for row-level streaming — " +
+          "resync from a snapshot")
+      else (v, Left(adds.toSeq))
+    }
+  }
+
+  private def resolvePath(tablePath: String, p: String): String = {
+    val hp = new Path(p)
+    if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
+    else s"$tablePath/$p"
+  }
+
   /** Scan a set of adds under the table's schema with partition values
-    * injected per group — shared by [[read]] and the streaming batch. */
+    * injected per group and any deletion vectors subtracted — shared
+    * by [[read]] and the streaming batch. */
   private[sources] def scanAdds(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    def resolve(p: String): String = {
-      val hp = new Path(p)
-      if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
-      else s"$tablePath/$p"
-    }
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    val groups = adds.groupBy(_.partitionValues)
-    groups.toSeq.map { case (pv, files) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(files.map(f => resolve(f.path)): _*)
+    def inject(base: DataFrame, pv: Map[String, String]): DataFrame = {
       val withParts = partCols.foldLeft(base) { (df, pc) =>
         df.withColumn(pc, lit(pv.get(pc).orNull).cast(schema(pc).dataType))
       }
       withParts.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    val (dved, plain) = adds.partition(_.dv.nonEmpty)
+    val plainDfs = plain.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+      inject(spark.read.schema(dataSchema)
+        .parquet(files.map(f => resolvePath(tablePath, f.path)): _*), pv)
+    }
+    // merge-on-read: each DV'd file scans alone with its row index and
+    // anti-joins the decoded positions (broadcast — O(deleted rows));
+    // DV'd-file count is bounded by the writer's OPTIMIZE cadence
+    val dvDfs = dved.map { a =>
+      val positions = DeltaDv.positions(spark, tablePath, a.dv.get)
+      val posDf = spark.createDataset(positions.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("__graft_dv_pos")
+      val base = spark.read.schema(dataSchema)
+        .parquet(resolvePath(tablePath, a.path))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+        .join(broadcast(posDf),
+          col("__graft_dv_ri") === col("__graft_dv_pos"), "left_anti")
+        .drop("__graft_dv_ri")
+      inject(base, a.partitionValues)
+    }
+    (plainDfs ++ dvDfs).reduce(_.unionByName(_))
+  }
+
+  /** Scan one commit's change files: data columns plus the file-borne
+    * `_change_type`, partition values injected, `_commit_version`
+    * stamped — the CDF batch shape. */
+  private[sources] def scanCdc(spark: SparkSession, tablePath: String,
+      v: Long, files: Seq[CdcFile], schema: StructType,
+      partCols: Seq[String]): DataFrame = {
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name))
+        .filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version"))
+    val withCt = StructType(dataSchema :+
+      org.apache.spark.sql.types.StructField("_change_type", StringType))
+    files.groupBy(_.partitionValues).toSeq.map { case (pv, fs0) =>
+      val base = spark.read.schema(withCt)
+        .parquet(fs0.map(f => resolvePath(tablePath, f.path)): _*)
+      val withParts = partCols.foldLeft(base) { (df, pc) =>
+        df.withColumn(pc, lit(pv.get(pc).orNull).cast(schema(pc).dataType))
+      }
+      withParts.withColumn("_commit_version", lit(v).cast(LongType))
     }.reduce(_.unionByName(_))
   }
 
-  private def applyAction(st: LogState, node: JsonNode, where: String): LogState = {
+  /** Adds served as CDF inserts (the pure-append commit shape). */
+  private[sources] def scanAddsAsInserts(spark: SparkSession, tablePath: String,
+      v: Long, adds: Seq[AddFile], schema: StructType,
+      partCols: Seq[String]): DataFrame = {
+    val dataSchema = StructType(
+      schema.filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version"))
+    scanAdds(spark, tablePath, adds, dataSchema, partCols)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v).cast(LongType))
+  }
+
+  /** BATCH change-data-feed face: every change in (sinceV, toV] as one
+    * DataFrame — data columns + `_change_type` + `_commit_version`. */
+  def changes(spark: SparkSession, tablePath: String,
+      sinceV: Long, toV: Long): DataFrame = {
+    val st = replay(spark, tablePath, Some(toV))
+    requireReadable(tablePath, st)
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(
+      throw new IllegalStateException(s"no metaData at $tablePath")))
+      .asInstanceOf[StructType]
+    val frames = changesBetween(spark, tablePath, sinceV, toV).flatMap {
+      case (v, Right(cdcFiles)) =>
+        Some(scanCdc(spark, tablePath, v, cdcFiles, schema, st.partitionCols))
+      case (v, Left(adds)) if adds.nonEmpty =>
+        Some(scanAddsAsInserts(spark, tablePath, v, adds, schema, st.partitionCols))
+      case _ => None
+    }
+    if (frames.isEmpty) {
+      val full = StructType(schema
+        :+ org.apache.spark.sql.types.StructField("_change_type", StringType)
+        :+ org.apache.spark.sql.types.StructField("_commit_version", LongType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    } else frames.reduce(_.unionByName(_))
+  }
+
+  private def partValuesOf(a: JsonNode): Map[String, String] =
+    Option(a.get("partitionValues")).map { p =>
+      val it = p.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+
+  private def dvOf(node: JsonNode): Option[DeltaDv.Descriptor] =
+    Option(node.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeltaDv.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asLong()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
+
+  private def applyAction(st: LogState, node: JsonNode): LogState = {
     if (node.has("add")) {
       val a = node.get("add")
-      if (a.has("deletionVector") && !a.get("deletionVector").isNull)
-        throw new UnsupportedOperationException(
-          s"delta add with a deletion vector in $where; this reader declines DV tables")
-      val path = a.get("path").asText()
-      val pv = Option(a.get("partitionValues")).map { p =>
-        val it = p.fields()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) {
-          val e = it.next()
-          if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
-        }
-        b.result()
-      }.getOrElse(Map.empty[String, String])
-      st.copy(adds = st.adds + (path -> AddFile(path, pv)))
+      val path = decodePath(a.get("path").asText())
+      st.copy(adds = st.adds + (path -> AddFile(path, partValuesOf(a), dvOf(a))))
     } else if (node.has("remove")) {
-      st.copy(adds = st.adds - node.get("remove").get("path").asText())
+      st.copy(adds = st.adds - decodePath(node.get("remove").get("path").asText()))
     } else if (node.has("metaData")) {
       val m = node.get("metaData")
       val parts = Option(m.get("partitionColumns"))
@@ -172,8 +354,12 @@ object DeltaRead {
       st.copy(schemaJson = Some(m.get("schemaString").asText()),
         partitionCols = parts)
     } else if (node.has("protocol")) {
-      st.copy(minReader = node.get("protocol").get("minReaderVersion").asInt())
-    } else st // commitInfo, txn, domainMetadata … are reader-irrelevant
+      val p = node.get("protocol")
+      val feats = Option(p.get("readerFeatures"))
+        .map(f => (0 until f.size()).map(f.get(_).asText()).toSet)
+        .getOrElse(Set.empty[String])
+      st.copy(minReader = p.get("minReaderVersion").asInt(), readerFeatures = feats)
+    } else st // commitInfo, txn, cdc, domainMetadata … are snapshot-irrelevant
   }
 
   private def lastCheckpoint(spark: SparkSession, logDir: String): Option[Long] = {
@@ -216,8 +402,16 @@ object DeltaRead {
     val cols = df.columns.toSet
     var st = LogState(Map.empty, None, Seq.empty, 1)
     if (cols.contains("protocol")) {
-      val r = df.select("protocol.minReaderVersion").na.drop().collect()
-      if (r.nonEmpty) st = st.copy(minReader = r.head.getInt(0))
+      val hasFeats = df.schema("protocol").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("readerFeatures")
+      val sel = if (hasFeats)
+        df.select("protocol.minReaderVersion", "protocol.readerFeatures")
+      else df.select("protocol.minReaderVersion")
+      val r = sel.na.drop(Seq("minReaderVersion")).collect()
+      if (r.nonEmpty) st = st.copy(minReader = r.head.getInt(0),
+        readerFeatures =
+          if (hasFeats && !r.head.isNullAt(1)) r.head.getSeq[String](1).toSet
+          else Set.empty)
     }
     if (cols.contains("metaData")) {
       val r = df.select("metaData.schemaString", "metaData.partitionColumns")
@@ -227,17 +421,32 @@ object DeltaRead {
         partitionCols = Option(r.head.getSeq[String](1)).getOrElse(Seq.empty))
     }
     if (cols.contains("add")) {
-      val hasDv = df.schema("add").dataType.asInstanceOf[StructType]
-        .fieldNames.contains("deletionVector")
+      val addType = df.schema("add").dataType.asInstanceOf[StructType]
+      val hasDv = addType.fieldNames.contains("deletionVector")
       val sel = if (hasDv)
         df.select("add.path", "add.partitionValues", "add.deletionVector")
       else df.select("add.path", "add.partitionValues")
       val adds = sel.na.drop(Seq("path")).collect().map { r =>
-        if (hasDv && !r.isNullAt(2)) throw new UnsupportedOperationException(
-          s"delta checkpoint add with a deletion vector at $logDir v$v")
+        val dv =
+          if (hasDv && !r.isNullAt(2)) {
+            val d = r.getStruct(2)
+            def idx(n: String) = d.schema.fieldIndex(n)
+            Some(DeltaDv.Descriptor(
+              d.getString(idx("storageType")),
+              d.getString(idx("pathOrInlineDv")),
+              if (d.isNullAt(idx("offset"))) None
+              else Some(d.get(idx("offset")) match {
+                case i: Int => i.toLong
+                case l: Long => l
+                case o => o.toString.toLong
+              }),
+              d.getInt(idx("sizeInBytes")),
+              d.getLong(idx("cardinality"))))
+          } else None
         val pv = Option(r.getMap[String, String](1)).map(_.toMap)
           .getOrElse(Map.empty[String, String])
-        r.getString(0) -> AddFile(r.getString(0), pv)
+        val path = decodePath(r.getString(0))
+        path -> AddFile(path, pv, dv)
       }.toMap
       st = st.copy(adds = adds)
     }

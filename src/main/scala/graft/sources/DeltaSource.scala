@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.StructType
   * append-only contract shared with the native source.
   * `startingVersion` resumes strictly after a known version.
   *
+  * CHANGE-DATA-FEED mode (`option("readChangeFeed", "true")`): batches
+  * carry `_change_type` + `_commit_version` beside the data columns.
+  * Commits with `cdc` actions serve their change files (the writer's
+  * row-level insert/delete/update_preimage/update_postimage rows);
+  * pure-append commits serve their adds as inserts; a remove WITHOUT
+  * change data still dies loudly — row-level churn is representable
+  * only when the writer wrote it down.
+  *
   * Scale: per trigger, one driver-side log listing; per batch,
   * O(added files) JSON reads and a schema-pinned scan of exactly
   * those files — the Delta streaming-source cost model recovered from
@@ -36,22 +44,37 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.map { case (k, v) => k.toLowerCase -> v }.getOrElse("path",
       throw new IllegalArgumentException("graft-delta requires a 'path' option"))
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.map { case (k, v) => k.toLowerCase -> v }
+      .get("readchangefeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = DeltaRead.read(sqlContext.sparkSession, pathOf(parameters)).schema
     (shortName(), schema.getOrElse(
-      DeltaRead.read(sqlContext.sparkSession, pathOf(parameters)).schema))
+      if (cdfOf(parameters)) DeltaStreamSource.withCdfCols(base) else base))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      params.get("startingversion").map(_.toLong))
+      params.get("startingversion").map(_.toLong), cdf = cdfOf(parameters))
   }
 }
 
+private[sources] object DeltaStreamSource {
+  def withCdfCols(base: StructType): StructType =
+    StructType(base.fields.toSeq
+      :+ org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)
+      :+ org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
+}
+
 final class DeltaStreamSource(spark: SparkSession, path: String,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long], cdf: Boolean = false) extends Source {
 
   private def hfs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -60,7 +83,10 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   private val state0 = DeltaRead.replay(spark, path)
   private val partCols: Seq[String] = state0.partitionCols
 
-  override val schema: StructType = DeltaRead.read(spark, path).schema
+  private val dataSchema: StructType = DeltaRead.read(spark, path).schema
+
+  override val schema: StructType =
+    if (cdf) DeltaStreamSource.withCdfCols(dataSchema) else dataSchema
 
   /** Latest committed JSON version (checkpoint-independent: commits
     * are the offset domain; a checkpoint only accelerates snapshot
@@ -84,19 +110,35 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endV = toVersion(end)
+    val empty = GraftPlanApi.streamingDataFrame(spark,
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema)
     start.map(toVersion).orElse(startingVersion) match {
       case None =>
         // first batch: the whole snapshot PINNED at the starting offset
-        // (a commit landing mid-plan can't shear it)
+        // (a commit landing mid-plan can't shear it); CDF mode stamps it
+        // as the inserts of the pinned version
+        val snap = DeltaRead.read(spark, path, asOf = Some(endV))
         GraftPlanApi.markFileRelationsStreaming(
-          DeltaRead.read(spark, path, asOf = Some(endV)))
+          if (!cdf) snap
+          else snap.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(endV)))
+      case Some(sinceV) if cdf =>
+        val frames = DeltaRead.changesBetween(spark, path, sinceV, endV).flatMap {
+          case (v, Right(cdcFiles)) =>
+            Some(DeltaRead.scanCdc(spark, path, v, cdcFiles, dataSchema, partCols))
+          case (v, Left(adds)) if adds.nonEmpty =>
+            Some(DeltaRead.scanAddsAsInserts(spark, path, v, adds, dataSchema, partCols))
+          case _ => None
+        }
+        if (frames.isEmpty) empty
+        else GraftPlanApi.markFileRelationsStreaming(
+          frames.reduce(_.unionByName(_)))
       case Some(sinceV) =>
         val added = DeltaRead.addsBetween(spark, path, sinceV, endV)
-        if (added.isEmpty)
-          GraftPlanApi.streamingDataFrame(spark,
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
-            schema)
+        if (added.isEmpty) empty
         else GraftPlanApi.markFileRelationsStreaming(
           DeltaRead.scanAdds(spark, path, added, schema, partCols))
     }

@@ -1,22 +1,50 @@
 package graft.sources
 
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
-/** EXPORT a versioned-table snapshot AS an Iceberg table — the second
-  * publish direction beside [[DeltaExport]]: metadata JSON + Avro
-  * manifest list + Avro manifest with ABSOLUTE data-file paths (the
-  * spec stores full URIs in `data_file.file_path`, which is what makes
-  * this zero-copy). The graft table's immutable files never move.
+/** EXPORT a versioned-table snapshot AS an Iceberg v2 table — the
+  * second publish direction beside [[DeltaExport]], zero-copy: the
+  * metadata chain carries ABSOLUTE data-file URIs (the spec's usual
+  * shape), so the graft table's immutable files never move.
+  *
+  * The emitted chain is SPEC-COMPLETE v2 (the r10 ADVICE close — the
+  * earlier export reused the reader-test fixtures, whose minimal
+  * manifests real engines reject): manifest entries carry
+  * status/snapshot_id/sequence_number and a `data_file` with content,
+  * file_path, file_format, partition, record_count (from the parquet
+  * footers), file_size_in_bytes — every field tagged with its
+  * spec field-id in the Avro schema; the manifest list carries
+  * manifest_length, partition_spec_id, content, sequence bounds,
+  * added/existing/deleted file and row counts; the metadata JSON
+  * carries last-sequence-number, last-updated-ms, last-column-id,
+  * schemas (field ids), partition-specs/default-spec-id,
+  * sort-orders/default-sort-order-id, snapshot summary and
+  * snapshot-log. In-sandbox verification is the independent
+  * [[IcebergRead]] replay (no external engine exists here); the
+  * structures follow the public spec field-for-field.
+  *
+  * [[append]] keeps the published table CURRENT: later graft APPEND
+  * commits publish as new snapshots of the same table — a new
+  * manifest beside the existing ones, a new metadata version, the
+  * version-hint bumped. The graft version each snapshot mirrors rides
+  * in `properties` (`graft.source-version`). Row-level / rewrite /
+  * schema-change graft commits decline loudly (re-export).
   *
   * Same loud-or-exact scope as the Delta export: pending deletion
   * vectors or a column mapping cannot be represented by plain file
   * lists, so both decline with the OPTIMIZE fix named. Field types
   * must map to the Iceberg interchange set.
   *
-  * Scale: O(files) driver work — one manifest read, one Avro manifest
-  * + list + one JSON write; no data bytes touched. The export pins a
-  * VERSION; later graft commits don't shear the published table.
+  * Scale: O(files) driver work per publish (one footer read per new
+  * file for its row count); no data bytes move. append is O(new
+  * files) — old manifests are REUSED by reference, the spec's own
+  * incremental-append shape.
   */
 object IcebergExport {
 
@@ -33,13 +61,197 @@ object IcebergExport {
       s"column type $other has no Iceberg interchange mapping; cast before export")
   }
 
-  /** Write Iceberg metadata at `targetPath` exposing
-    * `sourcePath`@`version` (default latest). Returns the number of
-    * data files published. */
-  def snapshot(spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None): Int = {
-    val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
-      .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
+  // ----------------------------------------------- spec-complete Avro
+
+  /** One Avro field tagged with its Iceberg spec field-id. */
+  private def fld(name: String, schema: Schema, fieldId: Int): Schema.Field = {
+    val f = new Schema.Field(name, schema, null, null.asInstanceOf[Object])
+    f.addProp("field-id", fieldId: Integer)
+    f
+  }
+
+  private def longS = Schema.create(Schema.Type.LONG)
+  private def intS = Schema.create(Schema.Type.INT)
+  private def stringS = Schema.create(Schema.Type.STRING)
+
+  /** data_file (v2 required fields), unpartitioned spec. */
+  private def dataFileSchema: Schema = {
+    val partition = Schema.createRecord("r102", null, null, false)
+    partition.setFields(java.util.List.of[Schema.Field]())
+    val s = Schema.createRecord("r2", null, null, false)
+    s.setFields(java.util.List.of(
+      fld("content", intS, 134),
+      fld("file_path", stringS, 100),
+      fld("file_format", stringS, 101),
+      fld("partition", partition, 102),
+      fld("record_count", longS, 103),
+      fld("file_size_in_bytes", longS, 104)))
+    s
+  }
+
+  private def manifestEntrySchema: Schema = {
+    val s = Schema.createRecord("manifest_entry", null, null, false)
+    s.setFields(java.util.List.of(
+      fld("status", intS, 0),
+      fld("snapshot_id", longS, 1),
+      fld("sequence_number", longS, 3),
+      fld("file_sequence_number", longS, 4),
+      fld("data_file", dataFileSchema, 2)))
+    s
+  }
+
+  private def manifestFileSchema: Schema = {
+    val s = Schema.createRecord("manifest_file", null, null, false)
+    s.setFields(java.util.List.of(
+      fld("manifest_path", stringS, 500),
+      fld("manifest_length", longS, 501),
+      fld("partition_spec_id", intS, 502),
+      fld("content", intS, 517),
+      fld("sequence_number", longS, 515),
+      fld("min_sequence_number", longS, 516),
+      fld("added_snapshot_id", longS, 503),
+      fld("added_files_count", intS, 504),
+      fld("existing_files_count", intS, 505),
+      fld("deleted_files_count", intS, 506),
+      fld("added_rows_count", longS, 512),
+      fld("existing_rows_count", longS, 513),
+      fld("deleted_rows_count", longS, 514)))
+    s
+  }
+
+  private final case class NewFile(path: String, recordCount: Long, sizeInBytes: Long)
+
+  /** Parquet footer row count + file length — O(footer) driver reads. */
+  private def describeFiles(spark: SparkSession, files: Seq[String]): Seq[NewFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val n = try rdr.getRecordCount finally rdr.close()
+      NewFile(f, n, fs.getFileStatus(p).getLen)
+    }
+  }
+
+  /** Write one ADDED-entries data manifest; returns (absPath, length,
+    * fileCount, rowCount). */
+  private def writeManifest(dir: String, name: String, snapshotId: Long,
+      seqNum: Long, files: Seq[NewFile]): (String, Long, Int, Long) = {
+    val entrySchema = manifestEntrySchema
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val f = new java.io.File(s"$dir/metadata/$name")
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "data")
+    w.create(entrySchema, f)
+    files.foreach { nf =>
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", nf.path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      dfr.put("record_count", nf.recordCount)
+      dfr.put("file_size_in_bytes", nf.sizeInBytes)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seqNum)
+      e.put("file_sequence_number", seqNum)
+      e.put("data_file", dfr)
+      w.append(e)
+    }
+    w.close()
+    (f.getAbsolutePath, f.length(), files.size, files.map(_.recordCount).sum)
+  }
+
+  /** Write a manifest list = `prior` manifest_file records (reused by
+    * reference — the incremental-append shape) + one new manifest. */
+  private def writeManifestList(dir: String, name: String, snapshotId: Long,
+      seqNum: Long, prior: Seq[GenericRecord],
+      newManifest: (String, Long, Int, Long)): String = {
+    val s = manifestFileSchema
+    val f = new java.io.File(s"$dir/metadata/$name")
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+    w.setMeta("format-version", "2")
+    w.setMeta("snapshot-id", snapshotId.toString)
+    w.setMeta("sequence-number", seqNum.toString)
+    w.create(s, f)
+    prior.foreach { old =>
+      val r = new GenericData.Record(s)
+      s.getFields.forEach(fd => r.put(fd.name(), old.get(fd.name())))
+      w.append(r)
+    }
+    val (mPath, mLen, nFiles, nRows) = newManifest
+    val r = new GenericData.Record(s)
+    r.put("manifest_path", mPath)
+    r.put("manifest_length", mLen)
+    r.put("partition_spec_id", 0)
+    r.put("content", 0)
+    r.put("sequence_number", seqNum)
+    r.put("min_sequence_number", seqNum)
+    r.put("added_snapshot_id", snapshotId)
+    r.put("added_files_count", nFiles)
+    r.put("existing_files_count", 0)
+    r.put("deleted_files_count", 0)
+    r.put("added_rows_count", nRows)
+    r.put("existing_rows_count", 0L)
+    r.put("deleted_rows_count", 0L)
+    w.append(r)
+    w.close()
+    f.getAbsolutePath
+  }
+
+  private def avroRecords(spark: SparkSession, p: Path): Seq[GenericRecord] = {
+    val in = new FsInput(p, spark.sessionState.newHadoopConf())
+    val rdr = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (rdr.hasNext) out += rdr.next()
+      out.result()
+    } finally rdr.close()
+  }
+
+  /** One snapshot's JSON fragment. */
+  private final case class Snap(id: Long, seqNum: Long, tsMs: Long,
+      manifestList: String, operation: String) {
+    def json: String =
+      s"""{"snapshot-id":$id,"sequence-number":$seqNum,"timestamp-ms":$tsMs,""" +
+        s""""manifest-list":"$manifestList","summary":{"operation":"$operation"},""" +
+        """"schema-id":0}"""
+  }
+
+  private def writeMetadata(dir: String, metaV: Int, sourceVersion: Long,
+      fields: Seq[(Int, String, Boolean, String)], snaps: Seq[Snap],
+      currentId: Long): Unit = {
+    val tsMs = System.currentTimeMillis()
+    val fjson = fields.map { case (id, n, req, t) =>
+      s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
+    }.mkString(",")
+    val slog = snaps.map(s => s"""{"timestamp-ms":${s.tsMs},"snapshot-id":${s.id}}""")
+      .mkString(",")
+    val body =
+      s"""{"format-version":2,"table-uuid":"graft-export","location":"$dir",
+         |"last-sequence-number":${snaps.map(_.seqNum).max},
+         |"last-updated-ms":$tsMs,"last-column-id":${fields.map(_._1).max},
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[$fjson]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{"graft.source-version":"$sourceVersion"},
+         |"current-snapshot-id":$currentId,
+         |"snapshots":[${snaps.map(_.json).mkString(",")}],
+         |"snapshot-log":[$slog],"metadata-log":[]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v$metaV.metadata.json"), body)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"), metaV.toString)
+  }
+
+  private def requireExportable(spark: SparkSession, sourcePath: String, v: Long): Unit = {
     if (TimeTravel.dvListing(spark, sourcePath, v).nonEmpty)
       throw new UnsupportedOperationException(
         s"snapshot v$v of $sourcePath has pending deletion vectors; run " +
@@ -48,20 +260,96 @@ object IcebergExport {
       throw new UnsupportedOperationException(
         s"snapshot v$v of $sourcePath resolves through a column mapping; run " +
           "TimeTravel.optimize to rewrite, then export the folded version")
-    val dirs = TimeTravel.listing(spark, sourcePath, v)
-    val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
-    val files = scan.inputFiles.sorted.toSeq
-    val existing = new java.io.File(s"$targetPath/metadata")
-    if (existing.exists()) throw new IllegalStateException(
-      s"$targetPath already carries Iceberg metadata; export to a fresh path")
-    val fields = scan.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+  }
+
+  private def fieldsOf(schema: StructType): Seq[(Int, String, Boolean, String)] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       (i + 1, f.name, !f.nullable, icebergType(f.dataType))
     }
-    val m = IcebergRead.Fixture.manifest(targetPath, "m-export.avro",
-      files.map(f => (1, f, 0)))
-    val ml = IcebergRead.Fixture.manifestList(targetPath, "snap-export.avro", Seq(m))
-    IcebergRead.Fixture.metadata(targetPath, 1, formatVersion = 2,
-      snapshotId = v, manifestList = ml, fields = fields)
+
+  /** Write Iceberg metadata at `targetPath` exposing
+    * `sourcePath`@`version` (default latest). Returns the number of
+    * data files published. */
+  def snapshot(spark: SparkSession, sourcePath: String, targetPath: String,
+      version: Option[Long] = None): Int = {
+    val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
+      .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
+    requireExportable(spark, sourcePath, v)
+    val dirs = TimeTravel.listing(spark, sourcePath, v)
+    val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
+    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
+    val existing = new java.io.File(s"$targetPath/metadata")
+    if (existing.exists()) throw new IllegalStateException(
+      s"$targetPath already carries Iceberg metadata; export to a fresh path " +
+        "(IcebergExport.append publishes follow-up commits)")
+    val snapId = v
+    val m = writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files)
+    val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil, m)
+    writeMetadata(targetPath, 1, v, fieldsOf(scan.schema),
+      Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml, "append")), snapId)
+    files.length
+  }
+
+  /** APPEND the graft commits since the last export as a new snapshot
+    * of the already-published table. Only intervening APPEND graft
+    * commits qualify; row-level / rewrite / schema-change commits
+    * decline loudly (re-export a fresh snapshot). Returns the number
+    * of data files appended (0 = already current). */
+  def append(spark: SparkSession, sourcePath: String, targetPath: String,
+      toVersion: Option[Long] = None): Int = {
+    val meta = IcebergRead.currentMetadata(spark, targetPath)
+    val g0 = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("graft.source-version"))).map(_.asText().toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"the Iceberg table at $targetPath was not produced by IcebergExport " +
+          "(no graft.source-version property); append only follows graft exports"))
+    val g1 = toVersion.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
+      .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
+    if (g1 <= g0) return 0
+    requireExportable(spark, sourcePath, g1)
+    ((g0 + 1) to g1).foreach { v =>
+      val kind = TimeTravel.classifyCommit(spark, sourcePath, v)
+      if (kind != TimeTravel.Append) throw new UnsupportedOperationException(
+        s"graft commit v$v of $sourcePath is a $kind; only appends publish " +
+          "incrementally — export a fresh snapshot for row-level/rewrite/DDL changes")
+    }
+    val newDirs = TimeTravel.listing(spark, sourcePath, g1)
+      .filterNot(TimeTravel.listing(spark, sourcePath, g0).toSet)
+    val metaV = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$targetPath/metadata/version-hint.text"))).trim.toInt
+    val priorSnaps = {
+      val arr = meta.get("snapshots")
+      (0 until arr.size()).map { i =>
+        val s = arr.get(i)
+        Snap(s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+          s.get("manifest-list").asText(),
+          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+            .map(_.asText()).getOrElse("append"))
+      }
+    }
+    val fields = fieldsOf(IcebergRead.schemaOf(meta))
+    if (newDirs.isEmpty) { // metadata-only appends: bump the watermark
+      writeMetadata(targetPath, metaV + 1, g1, fields, priorSnaps,
+        meta.get("current-snapshot-id").asLong())
+      return 0
+    }
+    val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
+    if (fieldsOf(scan.schema).map(t => (t._2, t._4)) != fields.map(t => (t._2, t._4)))
+      throw new UnsupportedOperationException(
+        s"graft commits after v$g0 changed the data schema at $sourcePath; " +
+          "the published Iceberg schema is pinned — re-export a fresh snapshot")
+    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
+    val seqNum = priorSnaps.map(_.seqNum).max + 1
+    val snapId = g1
+    val priorManifests = avroRecords(spark,
+      IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
+    val m = writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum, files)
+    val ml = writeManifestList(targetPath, f"snap-$g1%05d.avro", snapId, seqNum,
+      priorManifests, m)
+    writeMetadata(targetPath, metaV + 1, g1, fields,
+      priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml, "append"),
+      snapId)
     files.length
   }
 }

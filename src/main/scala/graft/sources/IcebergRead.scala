@@ -84,10 +84,17 @@ object IcebergRead {
       if (f.exists(hint)) new Path(metaDir, s"v${readText(spark, hint).trim}.metadata.json")
       else {
         val cands = f.listStatus(new Path(metaDir)).toSeq
-          .map(_.getPath.getName).filter(_.endsWith(".metadata.json")).sorted
+          .map(_.getPath.getName).filter(_.endsWith(".metadata.json"))
         if (cands.isEmpty) throw new IllegalArgumentException(
           s"no *.metadata.json under $metaDir")
-        new Path(metaDir, cands.last)
+        // the current file is the NUMERICALLY max version: Hadoop-catalog
+        // names are unpadded (`v10` sorts before `v9` lexicographically),
+        // object-store names lead with a zero-padded sequence — extract
+        // the first digit run and compare as numbers, names as tiebreak
+        val numbered = cands.map { n =>
+          ("""\d+""".r.findFirstIn(n).map(_.toLong).getOrElse(-1L), n)
+        }
+        new Path(metaDir, numbered.max._2)
       }
     mapper.readTree(readText(spark, metaFile))
   }
@@ -147,34 +154,59 @@ object IcebergRead {
     avroRecords(spark, manifestList)
       .map(r => resolve(tablePath, String.valueOf(r.get("manifest_path"))))
 
-  /** One manifest's entries as (status, filePath); content != 0 (delete
-    * files) declines loudly. */
-  private[sources] def entriesOf(spark: SparkSession, manifestPath: Path): Seq[(Int, String)] =
+  /** One manifest's entries as (status, filePath, content) — content 0
+    * is data, 1 position deletes (format v2 merge-on-read, applied at
+    * read), 2 equality deletes (declined loudly by callers). */
+  private[sources] def entriesOf(spark: SparkSession,
+      manifestPath: Path): Seq[(Int, String, Int)] =
     avroRecords(spark, manifestPath).map { e =>
       val status = e.get("status").asInstanceOf[Number].intValue()
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       val content = Option(df.get("content"))
         .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-      if (content != 0) throw new UnsupportedOperationException(
-        s"iceberg delete file (content=$content) in $manifestPath; this reader " +
-          "declines tables with merge-on-read deletes")
-      (status, String.valueOf(df.get("file_path")))
+      if (content == 2) throw new UnsupportedOperationException(
+        s"iceberg EQUALITY delete file in $manifestPath; this reader applies " +
+          "position deletes only — rewrite equality deletes before reading")
+      if (content > 2) throw new UnsupportedOperationException(
+        s"iceberg content=$content in $manifestPath is outside the v2 spec")
+      (status, String.valueOf(df.get("file_path")), content)
     }
 
-  /** A snapshot's live data files (default: the current snapshot). */
-  private[sources] def liveFiles(spark: SparkSession, tablePath: String,
-      meta: JsonNode, snapshotId: Option[Long] = None): Seq[String] = {
+  /** A snapshot's live (dataFiles, positionDeleteFiles) — both net of
+    * DELETED-status entries (default: the current snapshot).
+    *
+    * Scope note: position deletes apply to every live data file whose
+    * path they name — the common all-in-snapshot case; per-file
+    * sequence-number ordering (a delete older than a rewritten data
+    * file) is not modeled, and compaction that would need it also
+    * removes the delete files. */
+  private[sources] def liveFilesSplit(spark: SparkSession, tablePath: String,
+      meta: JsonNode, snapshotId: Option[Long] = None): (Seq[String], Seq[String]) = {
     val snapId = snapshotId.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong())).getOrElse(
       throw new IllegalStateException(s"no current-snapshot-id at $tablePath"))
-    if (snapId == -1) return Seq.empty // empty table sentinel
+    if (snapId == -1) return (Seq.empty, Seq.empty) // empty table sentinel
     val listPath = snapshotList(spark, tablePath, meta)
       .find(_._1 == snapId).map(_._2)
       .getOrElse(throw new IllegalStateException(
         s"snapshot $snapId not in snapshot list at $tablePath"))
-    manifestsOf(spark, tablePath, listPath).flatMap { mp =>
-      entriesOf(spark, mp).collect { case (status, p) if status != 2 => p }
+    val live = manifestsOf(spark, tablePath, listPath).flatMap { mp =>
+      entriesOf(spark, mp).collect {
+        case (status, p, content) if status != 2 => (p, content)
+      }
     }
+    (live.collect { case (p, 0) => p }, live.collect { case (p, 1) => p })
+  }
+
+  /** A snapshot's live data files (delete-free tables; callers that
+    * can't host merge-on-read use this and fail loudly otherwise). */
+  private[sources] def liveFiles(spark: SparkSession, tablePath: String,
+      meta: JsonNode, snapshotId: Option[Long] = None): Seq[String] = {
+    val (data, dels) = liveFilesSplit(spark, tablePath, meta, snapshotId)
+    if (dels.nonEmpty) throw new UnsupportedOperationException(
+      s"iceberg snapshot at $tablePath carries position-delete files; " +
+        "this path serves data files only — use IcebergRead.read")
+    data
   }
 
   /** SPEC-SHAPED FIXTURE EMITTERS (the `makePdf*` stance: the repo has
@@ -256,17 +288,43 @@ object IcebergRead {
     }
   }
 
+  /** Canonical file-path form for joining a position-delete file's
+    * `file_path` against `_metadata.file_path`: the spec stores full
+    * URIs while Spark's metadata column reports Hadoop Path strings
+    * (`file:/…` vs `file:///…` vs plain `/…`) — strip the scheme and
+    * authority slashes down to one canonical root slash. */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
   /** The table's snapshot as a DataFrame (`snapshotId` pins one; the
-    * default is the current snapshot). */
+    * default is the current snapshot). Format-v2 POSITION DELETES
+    * apply merge-on-read: the data scan extends with
+    * (`_metadata.file_path`, `_metadata.row_index`) and anti-joins the
+    * delete files' (file_path, pos) pairs — O(deleted rows) side,
+    * broadcast by AQE when small, the standard MoR read tax. */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val meta = currentMetadata(spark, tablePath)
     val schema = schemaOf(meta)
-    val files = liveFiles(spark, tablePath, meta, snapshotId)
+    val (files, deletes) = liveFilesSplit(spark, tablePath, meta, snapshotId)
     if (files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
+    val base = spark.read.schema(schema)
       .parquet(files.map(p => resolve(tablePath, p).toString): _*)
+    if (deletes.isEmpty) base
+    else {
+      val withPos = base.select(col("*"),
+        normPath(col("_metadata.file_path")).as("__g_fp"),
+        col("_metadata.row_index").as("__g_ri"))
+      val dels = spark.read
+        .parquet(deletes.map(p => resolve(tablePath, p).toString): _*)
+        .select(normPath(col("file_path")).as("__g_fp"),
+          col("pos").cast("long").as("__g_ri"))
+      withPos.join(dels, Seq("__g_fp", "__g_ri"), "left_anti")
+        .drop("__g_fp", "__g_ri")
+    }
   }
 }

@@ -1,25 +1,34 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, GraftPlanApi, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** STREAMING SOURCE over an external ICEBERG table — completing the
-  * interop matrix (read + stream × Delta/Iceberg, export → Delta):
+  * interop matrix (read + stream × Delta/Iceberg, export → both):
   *
   * {{{ spark.readStream.format("graft-iceberg").load(path) }}}
   *
-  * OFFSETS ARE SNAPSHOT POSITIONS in the metadata's snapshot list (the
-  * order writers append commits in): the first batch is the snapshot
-  * at the starting offset; every later batch reads the ADDED entries
-  * of the manifests a newer snapshot's list introduced. Divergence is
-  * LOUD, same contract as the Delta/native sources — a snapshot whose
-  * list DROPPED an earlier manifest (compaction/expiry rewrote
-  * history) or whose new manifests carry DELETED-status entries is not
-  * an append, and the file diff would silently mis-serve; the stream
-  * dies with the resync instruction. Delete files decline as always.
+  * OFFSETS ARE SNAPSHOT IDENTITIES, not positions: each offset records
+  * the snapshot-id it stood on plus that snapshot's MANIFEST LIST
+  * (position rides along as a diagnostic). Positional offsets silently
+  * re-mapped under routine snapshot EXPIRY — an external writer
+  * dropping old `snapshots` entries shifts list indices (the r10
+  * ADVICE finding). Id-keyed offsets resolve by identity, and because
+  * the manifest names travel IN the checkpoint, the batch diff needs
+  * no lookup of the start snapshot at all — expiry of ANY already-
+  * consumed snapshot is harmless, including across restarts (the v1
+  * Source contract replays the last committed batch on recovery). A
+  * pre-r11 positional checkpoint, or an id-only offset whose snapshot
+  * expired, dies LOUDLY with the resync instruction. The other
+  * divergences keep their loud contract: a newer snapshot whose list
+  * DROPPED one of the start offset's manifests (compaction rewrote
+  * history), a manifest with DELETED-status entries, or delete files
+  * appearing in the window are not appends and the stream dies rather
+  * than mis-serve.
   *
   * Scale: per trigger one metadata JSON read; per batch O(new
   * manifests) Avro reads and a schema-pinned scan of exactly the added
@@ -44,57 +53,107 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters))
 }
 
+/** Offset = (snapshot-id, position-when-seen, the snapshot's manifest
+  * list). Identity is the id; the manifests make the batch diff
+  * self-contained (no start-snapshot lookup — expiry-proof); the
+  * position is a human-readable diagnostic only. Size is O(manifests
+  * of one snapshot) — the same planning metadata Iceberg itself holds
+  * per scan. */
+private[sources] final case class IcebergOffset(sid: Long, pos: Long,
+    manifests: Seq[String]) extends Offset {
+  override def json: String = {
+    val m = IcebergOffset.mapper.createObjectNode()
+    m.put("sid", sid)
+    m.put("pos", pos)
+    val arr = m.putArray("manifests")
+    manifests.foreach(arr.add)
+    m.toString
+  }
+}
+
+private[sources] object IcebergOffset {
+  private[sources] val mapper = new ObjectMapper()
+  def parse(j: String, where: String): IcebergOffset = {
+    val t = j.trim
+    if (t.nonEmpty && (t.head.isDigit || t.head == '-'))
+      throw new IllegalStateException(
+        s"checkpointed offset '$t' for $where is positional (a pre-r11 " +
+          "checkpoint); positions shift under snapshot expiry — restart the " +
+          "stream from a fresh checkpoint")
+    val node = mapper.readTree(t)
+    val ms = Option(node.get("manifests")).map(a =>
+      (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
+    IcebergOffset(node.get("sid").asLong(), node.get("pos").asLong(), ms)
+  }
+}
+
 final class IcebergStreamSource(spark: SparkSession, path: String) extends Source {
 
   override val schema: StructType =
     IcebergRead.schemaOf(IcebergRead.currentMetadata(spark, path))
 
-  /** Offset = index of the CURRENT snapshot within the snapshot list
-    * (1-based count of snapshots up to and including it). */
   override def getOffset: Option[Offset] = {
     val meta = IcebergRead.currentMetadata(spark, path)
     val snaps = IcebergRead.snapshotList(spark, path, meta)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong())
     curId.flatMap(id => snaps.indexWhere(_._1 == id) match {
       case -1 => None
-      case i => Some(LongOffset((i + 1).toLong))
+      case i => Some(IcebergOffset(id, (i + 1).toLong,
+        IcebergRead.manifestsOf(spark, path, snaps(i)._2).map(_.toString)))
     })
   }
 
-  private def toN(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => s.json.trim.toLong
-    case other => other.json().trim.toLong
+  private def toOff(o: Offset): IcebergOffset = o match {
+    case io: IcebergOffset => io
+    case s: SerializedOffset => IcebergOffset.parse(s.json, path)
+    case other => IcebergOffset.parse(other.json(), path)
   }
+
+  /** An offset's manifest names: from the offset itself when recorded
+    * (expiry-proof), else by snapshot-id lookup — loud when that
+    * snapshot expired (an id-only offset has no diff basis left). */
+  private def manifestsOf(snaps: Seq[(Long, org.apache.hadoop.fs.Path)],
+      off: IcebergOffset): Seq[String] =
+    if (off.manifests.nonEmpty) off.manifests
+    else snaps.find(_._1 == off.sid) match {
+      case Some((_, list)) =>
+        IcebergRead.manifestsOf(spark, path, list).map(_.toString)
+      case None => throw new IllegalStateException(
+        s"snapshot ${off.sid} (offset position ${off.pos}) is no longer in " +
+          s"the snapshot list at $path and the offset carries no manifest " +
+          "names — it was expired/rewritten by the external writer; " +
+          "resync from a fresh checkpoint")
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val meta = IcebergRead.currentMetadata(spark, path)
     val snaps = IcebergRead.snapshotList(spark, path, meta)
-    val endN = toN(end).toInt
-    require(endN <= snaps.size,
-      s"offset $endN exceeds the snapshot list (${snaps.size}) at $path — " +
-        "metadata was rewritten; restart the stream from a fresh checkpoint")
+    val endOff = toOff(end)
     def files(p: String) = IcebergRead.resolve(path, p).toString
-    start.map(toN(_).toInt) match {
+    start.map(toOff) match {
       case None =>
-        val live = IcebergRead.liveFiles(spark, path, meta,
-          Some(snaps(endN - 1)._1))
+        val live = IcebergRead.liveFiles(spark, path, meta, Some(endOff.sid))
         if (live.isEmpty) emptyBatch()
         else GraftPlanApi.markFileRelationsStreaming(
           spark.read.schema(schema).parquet(live.map(files): _*))
-      case Some(sinceN) =>
-        val before = IcebergRead.manifestsOf(spark, path, snaps(sinceN - 1)._2)
-        val after = IcebergRead.manifestsOf(spark, path, snaps(endN - 1)._2)
+      case Some(sinceOff) =>
+        val before = manifestsOf(snaps, sinceOff)
+        val after = manifestsOf(snaps, endOff)
         val dropped = before.filterNot(after.toSet)
         if (dropped.nonEmpty) throw new IllegalStateException(
           s"iceberg table at $path dropped manifest(s) ${dropped.mkString(", ")} " +
             "since the last offset (compaction/expiry rewrote history); " +
             "resync from a fresh snapshot")
-        val added = after.filterNot(before.toSet).flatMap { mp =>
-          IcebergRead.entriesOf(spark, mp).map { case (status, p) =>
+        val added = after.filterNot(before.toSet).flatMap { mName =>
+          val mp = IcebergRead.resolve(path, mName)
+          IcebergRead.entriesOf(spark, mp).map { case (status, p, content) =>
             if (status == 2) throw new IllegalStateException(
               s"iceberg manifest $mp deletes files; the append-only stream " +
                 "cannot represent deletions — resync from a fresh snapshot")
+            if (content != 0) throw new IllegalStateException(
+              s"iceberg manifest $mp added DELETE files (content=$content); " +
+                "the append-only stream cannot represent row deletions — " +
+                "resync from a fresh snapshot")
             p
           }
         }

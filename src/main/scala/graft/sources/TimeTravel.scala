@@ -320,20 +320,27 @@ object TimeTravel {
 
   /** What a committed version DID relative to its predecessor — the
     * classification the conflict matrix keys on:
-    *   - `Append`: directories only added (or unchanged — a metadata
-    *     commit), deletion vectors untouched; conflicts with nothing.
+    *   - `Append`: directories only added (or unchanged — a pure
+    *     watermark commit), deletion vectors and column mapping
+    *     untouched; conflicts with nothing.
     *   - `RowLevel`: directories only added but DVs changed (delete/
     *     update/replaceWhere); the row set shrank or mutated.
+    *   - `SchemaChange`: data and DVs untouched but the column MAPPING
+    *     changed (rename/drop/widen DDL, or a rollback across one) —
+    *     the rows are intact but their logical shape moved.
     *   - `Rewrite`: directories DROPPED (overwrite/merge/rollback/
     *     optimize/purge); the snapshot was replaced wholesale. */
   sealed trait CommitKind
   case object Append extends CommitKind
   case object RowLevel extends CommitKind
+  case object SchemaChange extends CommitKind
   case object Rewrite extends CommitKind
 
   /** Classify version `v` against `v - 1` (the first version of a
     * table is an Append: it conflicts with nothing that could have
-    * read an earlier state). Driver-side manifest reads only. */
+    * read an earlier state). Driver-side manifest reads only. A commit
+    * that both rewrote data and changed the mapping (OPTIMIZE folding
+    * a mapped era) classifies as the stronger Rewrite. */
   def classifyCommit(spark: SparkSession, path: String, v: Long): CommitKind = {
     val vs = versions(spark, path)
     val prev = vs.takeWhile(_ < v).lastOption
@@ -344,6 +351,8 @@ object TimeTravel {
         val after = listing(spark, path, v).toSet
         if (before.exists(!after.contains(_))) Rewrite
         else if (dvListing(spark, path, v) != dvListing(spark, path, p)) RowLevel
+        else if (colsListing(spark, path, v) != colsListing(spark, path, p))
+          SchemaChange
         else Append
     }
   }
@@ -360,8 +369,13 @@ object TimeTravel {
     *     invalidate it;
     *   - row-level attempts (delete/update/merge-by-predicate,
     *     `rowLevel = true`) retry only when every intervening commit
-    *     was itself an Append or RowLevel — re-evaluating the
-    *     predicate over more/less rows is the serialized semantics.
+    *     was an Append, RowLevel, or SchemaChange — re-evaluating the
+    *     predicate over more/less rows is the serialized semantics,
+    *     and across a concurrent DDL commit the retried attempt
+    *     resolves against the NEW schema: a rename/drop of a column
+    *     outside the predicate is invisible to it, while a predicate
+    *     whose own column was dropped or renamed fails LOUDLY at
+    *     resolution (there is no silent path to the wrong rows).
     *     An intervening REWRITE replaced the snapshot the caller's
     *     intent targeted; re-applying a predicate to a wholesale-
     *     replaced table is a semantic decision, so it fails LOUDLY
@@ -566,10 +580,40 @@ object TimeTravel {
     }
   }
 
+  /** Loud resolution gate for row-level predicates/assignments: every
+    * column an expression NAMES must exist in the snapshot's LOGICAL
+    * schema. Spark's add-missing-references resolution would otherwise
+    * reach through the logical projection into the files' physical
+    * columns — a predicate on a just-dropped/renamed column must fail
+    * loudly (the DDL half of the conflict matrix), never silently bind
+    * to stale bytes. */
+  private def requireRefsResolvable(spark: SparkSession, path: String, v: Long,
+      what: String, exprs: Seq[org.apache.spark.sql.Column]): Unit = {
+    // analyze each expression against a FRESH zero-row frame carrying
+    // only the logical schema: a fresh lineage has no physical columns
+    // for the analyzer to quietly add back, so a stale name fails here
+    // and nowhere binds to the files' bytes
+    val schema = read(spark, path, Some(v)).schema
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    exprs.foreach { c =>
+      try { probe.select(c).queryExecution.analyzed; () }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$what does not resolve against the current schema of $path " +
+              s"(${schema.fieldNames.mkString(", ")}) — a concurrent DDL may " +
+              "have renamed or dropped a column it references; re-read the " +
+              s"table and restate the operation (${e.getMessage})", e)
+      }
+    }
+  }
+
   def deleteMoR(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column): Long = {
     val cur = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to delete at $path"))
+    requireRefsResolvable(spark, path, cur, "DELETE predicate", Seq(condition))
     val dirs = listing(spark, path, cur)
     val prevDvs = dvListing(spark, path, cur)
     val v = cur + 1
@@ -605,6 +649,8 @@ object TimeTravel {
     import org.apache.spark.sql.functions.col
     val cur = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to update at $path"))
+    requireRefsResolvable(spark, path, cur, "UPDATE predicate/assignment",
+      condition +: sets.map(_._2))
     val dirs = listing(spark, path, cur)
     val prevDvs = dvListing(spark, path, cur)
     val mapping = colsListing(spark, path, cur)
@@ -652,6 +698,7 @@ object TimeTravel {
       condition: org.apache.spark.sql.Column, df: DataFrame): Long = {
     val cur = latest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"nothing to replace at $path"))
+    requireRefsResolvable(spark, path, cur, "replaceWhere predicate", Seq(condition))
     val offenders = df.filter(!condition).limit(1).count()
     if (offenders > 0) throw new IllegalArgumentException(
       "replaceWhere: replacement rows must satisfy the replace condition " +

@@ -19,6 +19,13 @@ object GraftPlanApi {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Column → Catalyst expression (the inverse of [[column]]): lets the
+    * row-level table operations INSPECT a user predicate's column
+    * references before Spark's lenient add-missing-references
+    * resolution could bind them past the logical projection. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Re-flag a batch plan's file relations as STREAMING — the exact
     * move `FileStreamSource.getBatch` makes: a V1 streaming source
     * must hand MicroBatchExecution a `isStreaming = true` DataFrame,

@@ -757,34 +757,40 @@ class PipelineSpec extends SparkSpec {
 
   test("commit classification fuzz: random op sequences match the op-semantics model") {
     import graft.sources.TimeTravel
-    import TimeTravel.{Append, CommitKind, Rewrite, RowLevel}
+    import TimeTravel.{Append, CommitKind, Rewrite, RowLevel, SchemaChange}
     import spark.implicits._
-    // the model tracks WHAT EACH OP DOES to the directory/DV sets (its
-    // published semantics) and derives the expected class from the same
-    // decision rule — the implementation must read identical facts back
-    // out of the real manifests; note a rollback restoring an identical
-    // listing is correctly APPEND-safe (nothing to conflict with)
+    // the model tracks WHAT EACH OP DOES to the directory/DV/column-map
+    // state (its published semantics) and derives the expected class
+    // from the same decision rule — the implementation must read
+    // identical facts back out of the real manifests; note a rollback
+    // restoring an identical listing is correctly APPEND-safe (nothing
+    // to conflict with), and one restoring a prior MAPPING across an
+    // unchanged listing is a SchemaChange (r11: DDL commits classify
+    // explicitly)
     for (seed <- Seq(7L, 99L)) {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"ttclass_fuzz_$seed").toFile.getAbsolutePath + "/t"
       var nextId = 100L
+      var payloadName = "payload"
       def fresh(n: Int) = {
         val r = (nextId until nextId + n).map(i => (i, s"p$i")); nextId += n
-        r.toDF("id", "payload")
+        r.toDF("id", payloadName)
       }
       var tag = 0
       def freshTag() = { tag += 1; tag }
       TimeTravel.commitOverwrite(fresh(10), dir)
       var dirs = Set(freshTag()); var dvs = Set.empty[Int]
-      val snaps = scala.collection.mutable.ArrayBuffer((dirs, dvs))
-      def kindOf(pd: Set[Int], pv: Set[Int], nd: Set[Int], nv: Set[Int]): CommitKind =
+      val snaps = scala.collection.mutable.ArrayBuffer((dirs, dvs, payloadName))
+      def kindOf(pd: Set[Int], pv: Set[Int], pc: String,
+          nd: Set[Int], nv: Set[Int], nc: String): CommitKind =
         if (pd.exists(!nd.contains(_))) Rewrite
         else if (nv != pv) RowLevel
+        else if (nc != pc) SchemaChange
         else Append
       val expected = scala.collection.mutable.ArrayBuffer[CommitKind](Append)
-      (1 to 10).foreach { _ =>
-        val (pd, pv) = (dirs, dvs)
-        rnd.nextInt(5) match {
+      (1 to 12).foreach { _ =>
+        val (pd, pv, pc) = (dirs, dvs, payloadName)
+        rnd.nextInt(6) match {
           case 0 =>
             TimeTravel.commitAppend(fresh(3), dir); dirs = dirs + freshTag()
           case 1 =>
@@ -796,7 +802,7 @@ class PipelineSpec extends SparkSpec {
             val anyId = TimeTravel.read(spark, dir)
               .select(max(col("id"))).head.getLong(0)
             TimeTravel.replaceWhere(spark, dir, col("id") === anyId,
-              Seq((anyId, "replaced")).toDF("id", "payload"))
+              Seq((anyId, "replaced")).toDF("id", payloadName))
             dirs = dirs + freshTag(); dvs = dvs + freshTag()
           case 3 =>
             TimeTravel.commitOverwrite(fresh(5), dir)
@@ -805,17 +811,56 @@ class PipelineSpec extends SparkSpec {
             val vs = TimeTravel.versions(spark, dir)
             val target = vs(rnd.nextInt(vs.size)).toInt
             TimeTravel.rollback(spark, dir, target.toLong)
-            val (td, tv) = snaps(target - 1)
-            dirs = td; dvs = tv
+            val (td, tv, tc) = snaps(target - 1)
+            dirs = td; dvs = tv; payloadName = tc
+          case 5 =>
+            // DDL: rename the payload column (metadata-only commit)
+            val next = s"payload_${freshTag()}"
+            TimeTravel.renameColumn(spark, dir, payloadName, next)
+            payloadName = next
         }
-        expected += kindOf(pd, pv, dirs, dvs)
-        snaps += ((dirs, dvs))
+        expected += kindOf(pd, pv, pc, dirs, dvs, payloadName)
+        snaps += ((dirs, dvs, payloadName))
       }
       val got = TimeTravel.versions(spark, dir)
         .map(v => TimeTravel.classifyCommit(spark, dir, v))
       assert(got == expected.toSeq,
         s"seed $seed: classifier ${got.mkString(",")} vs model ${expected.mkString(",")}")
     }
+  }
+
+  test("conflict retry × DDL: appends retry across a rename; a row-level op racing " +
+      "the drop of its own column fails loudly") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    // append racing a rename: the retried attempt re-reads the latest
+    // snapshot (now mapped) and must land cleanly with the NEW name
+    val dir = Files.createTempDirectory("ttddl_race1").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1L to 10L).map(i => (i, i * 10)).toDF("k", "bal"), dir) // v1
+    val v2 = TimeTravel.renameColumn(spark, dir, "bal", "balance") // v2 (the "winner")
+    assert(TimeTravel.classifyCommit(spark, dir, v2) == TimeTravel.SchemaChange)
+    val v3 = TimeTravel.commitAppendRetrying(
+      Seq((11L, 110L)).toDF("k", "balance"), dir)
+    assert(v3 == 3L && TimeTravel.read(spark, dir).count() == 11)
+    // row-level racing a rename of an UNRELATED column: retried attempt
+    // re-resolves and succeeds (serialized after the DDL)
+    val v4 = TimeTravel.deleteMoRRetrying(spark, dir, col("k") === 1L)
+    assert(v4 == 4L && TimeTravel.read(spark, dir).count() == 10)
+    // row-level whose OWN column was dropped: resolution against the
+    // post-DDL schema fails loudly — never a silent wrong-row delete
+    val dir2 = Files.createTempDirectory("ttddl_race2").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (1L to 5L).map(i => (i, s"n$i", i)).toDF("k", "nm", "flag"), dir2) // v1
+    TimeTravel.dropColumn(spark, dir2, "flag") // v2: the winner dropped it
+    val e = intercept[Exception](
+      TimeTravel.deleteMoRRetrying(spark, dir2, col("flag") === 1L))
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("flag") || e.getMessage.contains("UNRESOLVED")),
+      e.getMessage)
+    // the table is untouched by the failed attempt
+    assert(TimeTravel.read(spark, dir2).count() == 5)
+    assert(TimeTravel.versions(spark, dir2).last == 2L)
   }
 
   test("commit classification: append vs row-level vs rewrite") {

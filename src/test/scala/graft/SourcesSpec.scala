@@ -684,15 +684,137 @@ class SourcesSpec extends SparkSpec {
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir2))
     assert(e1.getMessage.contains("minReaderVersion"), e1.getMessage)
-    val dir3 = Files.createTempDirectory("delta_dv").toFile.getAbsolutePath + "/t"
+    // reader version 3 gates on FEATURES: deletionVectors alone is
+    // supported, anything beyond declines by name
+    val dir3 = Files.createTempDirectory("delta_feat").toFile.getAbsolutePath + "/t"
     new java.io.File(dir3).mkdirs()
     writeDeltaPart(dir3, "f1.parquet", Seq((1L, 1L)))
     writeDeltaCommit(dir3, 0,
-      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
         metaAction(partitioned = false),
-        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir3))
-    assert(e2.getMessage.contains("deletion vector"), e2.getMessage)
+    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+  }
+
+  test("delta DV codec: z85 and RoaringBitmapArray round-trip the protocol format") {
+    import graft.sources.DeltaDv
+    // z85 reference vector from the ZeroMQ spec: "HelloWorld" encodes
+    // the 8 bytes 86 4F D2 6F B5 59 F7 5B
+    val hw = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DeltaDv.z85Encode(hw) == "HelloWorld")
+    assert(DeltaDv.z85Decode("HelloWorld").toSeq == hw.toSeq)
+    // bitmap positions spanning multiple 32-bit keys round-trip sorted
+    val ps = Seq(0L, 1L, 7L, 100000L, (1L << 32) + 3L, (5L << 32) + 123456L)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(ps)).toSeq == ps.sorted)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(Nil)).isEmpty)
+  }
+
+  test("delta read: deletion vectors apply merge-on-read (file, inline, CRC gate)") {
+    import graft.sources.{DeltaDv, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_dvr").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    // f1 rows at positions 0..9 hold ids 1..10 (single sorted part file)
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i * 2)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 15L).map(i => (i, i * 2)))
+    // on-file DV for f1 deleting positions 0, 3, 9 → ids 1, 4, 10
+    val uuid = java.util.UUID.fromString("12345678-1234-5678-1234-567812345678")
+    val d = DeltaDv.writeDvFile(spark, dir, uuid, Seq(0L, 3L, 9L))
+    val dvJson =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    // inline DV for f2 deleting position 1 → id 12
+    val inline = DeltaDv.serialize(Seq(1L))
+    val inlineJson =
+      s"""{"storageType":"i","pathOrInlineDv":"${DeltaDv.z85Encode(inline)}",""" +
+        s""""sizeInBytes":${inline.length},"cardinality":1}"""
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        metaAction(partitioned = false),
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}""",
+        s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$inlineJson}}"""))
+    val got = DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(got == ((1L to 15L).toSet -- Set(1L, 4L, 10L, 12L)),
+      s"DV'd positions must vanish from the scan, got $got")
+    // corrupt the DV body → the CRC gate must fire, not a silent misread
+    val dvFile = new java.io.File(s"$dir/deletion_vector_$uuid.bin")
+    val bytes = java.nio.file.Files.readAllBytes(dvFile.toPath)
+    bytes(7) = (bytes(7) ^ 0x55).toByte
+    java.nio.file.Files.write(dvFile.toPath, bytes)
+    val e = intercept[Exception](DeltaRead.read(spark, dir).collect())
+    // two loud layers can fire first: our CRC-32 gate, or Hadoop's own
+    // .crc sidecar on the local filesystem — either way never a misread
+    assert(e.getMessage != null && (e.getMessage.contains("CRC") ||
+      e.getMessage.contains("magic") || e.getMessage.contains("Checksum")),
+      e.getMessage)
+  }
+
+  test("delta read: percent-encoded paths decode (spaces in partition dirs)") {
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_enc").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "p=a b/f1.parquet", (1L to 5L).map(i => (i, i)))
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = true),
+        """{"add":{"path":"p=a%20b/f1.parquet","partitionValues":{"p":"a b"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.filter(col("p") === "a b").select("id").as[Long].collect().toSet
+      == (1L to 5L).toSet, "encoded add.path must resolve to the on-disk file")
+  }
+
+  test("delta changes: CDF batch face serves cdc files, add-only commits as inserts") {
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_cdf").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 5L).map(i => (i, i * 2)))
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        metaAction(partitioned = false),
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // v1: pure append — CDF reads it as inserts
+    writeDeltaPart(dir, "f2.parquet", Seq((6L, 12L)))
+    writeDeltaCommit(dir, 1,
+      Seq("""{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    // v2: an update rewrites f1 → f3 and writes its change data
+    writeDeltaPart(dir, "f3.parquet",
+      Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 99L)))
+    Seq((5L, 10L, "update_preimage"), (5L, 99L, "update_postimage"))
+      .toDF("id", "v", "_change_type").coalesce(1)
+      .write.mode("overwrite").parquet(s"${dir}_cdcstage")
+    val cdcPart = new java.io.File(s"${dir}_cdcstage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    new java.io.File(s"$dir/_change_data").mkdirs()
+    java.nio.file.Files.copy(cdcPart.toPath,
+      java.nio.file.Paths.get(s"$dir/_change_data/cdc-0.parquet"))
+    writeDeltaCommit(dir, 2,
+      Seq("""{"remove":{"path":"f1.parquet","deletionTimestamp":3,"dataChange":true}}""",
+        """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}""",
+        """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+    val got = DeltaRead.changes(spark, dir, 0L, 2L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set((6L, 12L, "insert", 1L),
+      (5L, 10L, "update_preimage", 2L), (5L, 99L, "update_postimage", 2L)),
+      s"got $got")
+    // a remove WITHOUT change data cannot stream row-level — loud
+    writeDeltaCommit(dir, 3,
+      Seq("""{"remove":{"path":"f2.parquet","deletionTimestamp":4,"dataChange":true}}"""))
+    val e = intercept[IllegalStateException](DeltaRead.changes(spark, dir, 2L, 3L))
+    assert(e.getMessage.contains("change"), e.getMessage)
+    // pinned-schema stream contract: metaData/protocol in window die loudly
+    writeDeltaCommit(dir, 4, Seq(metaAction(partitioned = false)))
+    val e2 = intercept[IllegalStateException](
+      DeltaRead.changes(spark, dir, 3L, 4L))
+    assert(e2.getMessage.contains("metaData"), e2.getMessage)
+    writeDeltaCommit(dir, 5,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""))
+    val e3 = intercept[IllegalStateException](
+      DeltaRead.changes(spark, dir, 4L, 5L))
+    assert(e3.getMessage.contains("protocol"), e3.getMessage)
   }
 
   test("delta read: multi-part checkpoints read as one action set") {
@@ -773,6 +895,90 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
   }
 
+  test("delta export append: later graft appends publish as new commits of the same log") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexpa_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexpa_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), src) // v1
+    assert(DeltaExport.snapshot(spark, src, tgt) > 0)
+    // two more graft appends, then one append call publishes both
+    TimeTravel.commitAppend((21L to 30L).map(i => (i, i)).toDF("k", "v"), src) // v2
+    TimeTravel.commitAppend((31L to 35L).map(i => (i, i)).toDF("k", "v"), src) // v3
+    assert(DeltaExport.append(spark, src, tgt) > 0)
+    val got = DeltaRead.read(spark, tgt)
+    assert(got.select("k").as[Long].collect().toSet == (1L to 35L).toSet,
+      "independent replay must see the appended commits")
+    // already current → no-op
+    assert(DeltaExport.append(spark, src, tgt) == 0)
+    assert(DeltaRead.read(spark, tgt).count() == 35)
+    // the log now carries ≥2 commits (the replay walked all of them)
+    val commits = new java.io.File(s"$tgt/_delta_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted.toSeq
+    assert(commits.size >= 2, s"expected multiple commits, got $commits")
+    // zero-copy still: the target holds ONLY the log
+    assert(new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("_delta_log"))
+    // a row-level graft commit in the window declines loudly (v5's
+    // OPTIMIZE folds the DVs so the head snapshot itself is clean —
+    // the decline must come from the WINDOW classification, not the
+    // head-state gate)
+    TimeTravel.deleteMoR(spark, src, col("k") > 33) // v4 = RowLevel
+    TimeTravel.optimize(spark, src) // v5 = Rewrite, DVs folded
+    val e = intercept[UnsupportedOperationException](
+      DeltaExport.append(spark, src, tgt))
+    assert(e.getMessage.contains("RowLevel"), e.getMessage)
+    // a foreign delta log (no graft marker) declines loudly
+    val foreign = Files.createTempDirectory("dexpa_foreign").toFile.getAbsolutePath + "/d"
+    new java.io.File(s"$foreign/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$foreign/_delta_log/" + f"${0L}%020d" + ".json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n")
+    val e2 = intercept[IllegalStateException](DeltaExport.append(spark, src, foreign))
+    assert(e2.getMessage.contains("graftSourceVersion"), e2.getMessage)
+  }
+
+  test("iceberg export append: later graft appends publish as new snapshots, old manifests reused") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexpa_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexpa_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), src) // v1
+    val n1 = IcebergExport.snapshot(spark, src, tgt)
+    assert(n1 > 0)
+    TimeTravel.commitAppend((21L to 30L).map(i => (i, i)).toDF("k", "v"), src) // v2
+    TimeTravel.commitAppend((31L to 35L).map(i => (i, i)).toDF("k", "v"), src) // v3
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    val got = IcebergRead.read(spark, tgt)
+    assert(got.select("k").as[Long].collect().toSet == (1L to 35L).toSet,
+      "independent replay must see the appended snapshot")
+    // already current → no-op
+    assert(IcebergExport.append(spark, src, tgt) == 0)
+    // replay sees BOTH snapshots; the earlier one still serves v1's rows
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tgt/metadata/version-hint.text"))).trim
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tgt/metadata/v$hint.metadata.json"))))
+    val snaps = meta.get("snapshots")
+    assert(snaps.size() >= 2, s"expected multiple snapshots, got ${snaps.size()}")
+    val firstId = snaps.get(0).get("snapshot-id").asLong()
+    assert(IcebergRead.read(spark, tgt, Some(firstId))
+      .select("k").as[Long].collect().toSet == (1L to 20L).toSet,
+      "time travel to the first exported snapshot")
+    // v2 metadata carries the spec-required bookkeeping
+    assert(meta.get("last-sequence-number").asLong() >= 2)
+    assert(meta.get("last-column-id").asInt() == 2)
+    assert(meta.get("partition-specs").size() == 1)
+    assert(meta.get("sort-orders").size() == 1)
+    // zero-copy still: metadata only under the target
+    assert(new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("metadata"))
+    // a rewrite graft commit in the window declines loudly
+    TimeTravel.commitOverwrite(Seq((1L, 1L)).toDF("k", "v"), src) // v4 = Rewrite
+    val e = intercept[UnsupportedOperationException](
+      IcebergExport.append(spark, src, tgt))
+    assert(e.getMessage.contains("Rewrite"), e.getMessage)
+  }
+
   // ---- Iceberg read interop (public table-spec fixtures)
 
   private def icebergManifest(dir: String, name: String,
@@ -827,15 +1033,15 @@ class SourcesSpec extends SparkSpec {
       got.schema("band").dataType == org.apache.spark.sql.types.StringType)
   }
 
-  test("iceberg read: delete files and future format versions decline loudly") {
+  test("iceberg read: equality deletes and future format versions decline loudly") {
     import graft.sources.IcebergRead
     val dir = Files.createTempDirectory("iceberg_decl").toFile.getAbsolutePath + "/t"
     val f0 = writeIcebergPart(dir, "f0.parquet", Seq((1L, 1L, "b0")))
-    val del = icebergManifest(dir, "mD.avro", Seq((1, f0, 0), (1, f0, 1)))
+    val del = icebergManifest(dir, "mD.avro", Seq((1, f0, 0), (1, f0, 2)))
     val ml = icebergManifestList(dir, "snap-1.avro", Seq(del))
     icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
     val e1 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir))
-    assert(e1.getMessage.contains("delete file"), e1.getMessage)
+    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
     val dir2 = Files.createTempDirectory("iceberg_v3").toFile.getAbsolutePath + "/t"
     val f02 = writeIcebergPart(dir2, "f0.parquet", Seq((1L, 1L, "b0")))
     val m2 = icebergManifest(dir2, "m.avro", Seq((1, f02, 0)))
@@ -843,6 +1049,54 @@ class SourcesSpec extends SparkSpec {
     icebergMetadata(dir2, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2)
     val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2))
     assert(e2.getMessage.contains("format-version"), e2.getMessage)
+  }
+
+  test("iceberg read: v2 position deletes apply merge-on-read") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_pd").toFile.getAbsolutePath + "/t"
+    // two data files; rows at positions 0..4 hold ids 1..5 / 6..10
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 5L).map(i => (i, i, "b0")))
+    val f1 = writeIcebergPart(dir, "f1.parquet", (6L to 10L).map(i => (i, i, "b1")))
+    // one position-delete parquet: kill f0 positions 0 and 4 (ids 1, 5)
+    // and f1 position 2 (id 8) — file_path stored as the same absolute
+    // paths the manifests carry
+    val delStage = Files.createTempDirectory("iceberg_pd_stage").toFile.getAbsolutePath
+    Seq((f0, 0L), (f0, 4L), (f1, 2L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delPart = new java.io.File(delStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val delDst = new java.io.File(s"$dir/data/pd0.parquet")
+    delDst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(delPart.toPath, delDst.toPath)
+    val mData = icebergManifest(dir, "mData.avro", Seq((1, f0, 0), (1, f1, 0)))
+    val mDel = icebergManifest(dir, "mDel.avro",
+      Seq((1, delDst.getAbsolutePath, 1)))
+    val ml = icebergManifestList(dir, "snap-1.avro", Seq(mData, mDel))
+    icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
+    val got = IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(got == ((1L to 10L).toSet -- Set(1L, 5L, 8L)),
+      s"position-deleted rows must vanish, got $got")
+  }
+
+  test("iceberg read: current metadata picks the numerically max version") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_vnum").toFile.getAbsolutePath + "/t"
+    val f0 = writeIcebergPart(dir, "f0.parquet", Seq((1L, 1L, "b0")))
+    val f1 = writeIcebergPart(dir, "f1.parquet", Seq((2L, 2L, "b1")))
+    // v9 serves only f0, v10 serves f0+f1; lexicographic sort would pick
+    // v9 ('v9…' > 'v10…') and silently serve the stale snapshot
+    val m9 = icebergManifest(dir, "m9.avro", Seq((1, f0, 0)))
+    val ml9 = icebergManifestList(dir, "snap-9.avro", Seq(m9))
+    icebergMetadata(dir, 9, formatVersion = 2, snapshotId = 9L, manifestList = ml9)
+    val m10 = icebergManifest(dir, "m10.avro", Seq((1, f0, 0), (1, f1, 0)))
+    val ml10 = icebergManifestList(dir, "snap-10.avro", Seq(m10))
+    icebergMetadata(dir, 10, formatVersion = 2, snapshotId = 10L, manifestList = ml10)
+    // no version-hint: the reader must fall back to numeric-max discovery
+    new java.io.File(s"$dir/metadata/version-hint.text").delete()
+    assert(IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet
+      == Set(1L, 2L), "v10 (numeric max) must win over v9 (lexicographic max)")
   }
 
   test("SQL CALL procedures: rollback, optimize, vacuum dry-run then real") {

@@ -932,6 +932,142 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dropped manifest")), messages(e).toString)
   }
 
+  test("iceberg stream source: manifest-carrying id offsets survive snapshot expiry") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("istream_exp").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    val fields = Seq((1, "k", true, "long"), (2, "v", false, "long"))
+    def part(name: String, rows: Seq[(Long, Long)]): String = {
+      val tmp = Files.createTempDirectory("ipart3").toFile.getAbsolutePath
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    def runOnce(): Seq[org.apache.spark.sql.Row] = {
+      val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    // three snapshots: 100 (f1), 200 (f1+f2), 300 (f1+f2+f3)
+    val f1 = part("f1.parquet", (1L to 10L).map(i => (i, i)))
+    val m1 = IcebergRead.Fixture.manifest(dir, "m1.avro", Seq((1, f1, 0)))
+    val ml1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 2, 100L, Seq((100L, ml1)), fields)
+    assert(runOnce().size == 10)
+    val f2 = part("f2.parquet", (11L to 15L).map(i => (i, i)))
+    val m2 = IcebergRead.Fixture.manifest(dir, "m2.avro", Seq((1, f2, 0)))
+    val ml2 = IcebergRead.Fixture.manifestList(dir, "snap-2.avro", Seq(m1, m2))
+    IcebergRead.Fixture.metadataMulti(dir, 2, 2, 200L,
+      Seq((100L, ml1), (200L, ml2)), fields)
+    assert(runOnce().size == 5, "checkpoint now stands on snapshot 200")
+    // the external writer EXPIRES snapshot 100: list indices shift by
+    // one, but snapshot 200 (the checkpointed id) is intact — the
+    // r10-advice failure mode where positional offsets silently re-map.
+    // Snapshot 300 appends f3; the stream must serve EXACTLY f3's rows.
+    val f3 = part("f3.parquet", (16L to 18L).map(i => (i, i)))
+    val m3 = IcebergRead.Fixture.manifest(dir, "m3.avro", Seq((1, f3, 0)))
+    val ml3 = IcebergRead.Fixture.manifestList(dir, "snap-3.avro", Seq(m1, m2, m3))
+    IcebergRead.Fixture.metadataMulti(dir, 3, 2, 300L,
+      Seq((200L, ml2), (300L, ml3)), fields) // snapshot 100 expired
+    val run3 = runOnce()
+    assert(run3.map(_.getLong(0)).toSet == (16L to 18L).toSet,
+      s"expiry of OLDER snapshots must not skip or replay; got ${run3.map(_.getLong(0))}")
+    // even the CHECKPOINTED snapshot (300) may expire: the offset
+    // carries its manifest names, so the diff needs no lookup — the
+    // stream keeps serving exactly the new manifest's rows (history
+    // REWRITES — dropped manifests — still die loudly; see the
+    // companion test)
+    val f4 = part("f4.parquet", Seq((19L, 19L)))
+    val m4 = IcebergRead.Fixture.manifest(dir, "m4.avro", Seq((1, f4, 0)))
+    val ml4 = IcebergRead.Fixture.manifestList(dir, "snap-4.avro",
+      Seq(m1, m2, m3, m4))
+    IcebergRead.Fixture.metadataMulti(dir, 4, 2, 400L, Seq((400L, ml4)), fields)
+    val run4 = runOnce()
+    assert(run4.map(_.getLong(0)).toSet == Set(19L),
+      s"manifest-carrying offsets must survive full expiry; got ${run4.map(_.getLong(0))}")
+  }
+
+  test("delta stream source: readChangeFeed serves cdc files and add-only inserts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dstream_cdf").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    val cp = ckpt()
+    def stagePart(rel: String, df: org.apache.spark.sql.DataFrame): String = {
+      val tmp = Files.createTempDirectory("dcdf_part").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$rel")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val schemaEsc = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    stagePart("f1.parquet", (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"))
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${0L}%020d" + ".json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaEsc","partitionColumns":[],"configuration":{}}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    def runOnce(): Seq[org.apache.spark.sql.Row] = {
+      val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    val run1 = runOnce()
+    assert(run1.size == 10 &&
+      run1.forall(r => r.getString(2) == "insert" && r.getLong(3) == 0L),
+      "first batch = snapshot stamped as inserts of the pinned version")
+    // v1: pure append → inserts
+    stagePart("f2.parquet", Seq((11L, 22L)).toDF("k", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${1L}%020d" + ".json"),
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+    val run2 = runOnce()
+    assert(run2.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ==
+      Set((11L, "insert", 1L)), s"got $run2")
+    // v2: a delete with change data → the cdc rows stream as deletes
+    stagePart("_change_data/cdc-0.parquet",
+      Seq((1L, 2L, "delete"), (2L, 4L, "delete")).toDF("k", "v", "_change_type"))
+    stagePart("f3.parquet", (3L to 10L).map(i => (i, i * 2)).toDF("k", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${2L}%020d" + ".json"),
+      Seq("""{"remove":{"path":"f1.parquet","deletionTimestamp":3,"dataChange":true}}""",
+        """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}""",
+        """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""")
+        .mkString("", "\n", "\n"))
+    val run3 = runOnce()
+    assert(run3.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ==
+      Set((1L, "delete", 2L), (2L, "delete", 2L)), s"got $run3")
+    // v3: a remove WITHOUT change data kills the CDF stream loudly
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${3L}%020d" + ".json"),
+      """{"remove":{"path":"f3.parquet","deletionTimestamp":4,"dataChange":true}}""" + "\n")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("without change")), messages(e).toString)
+  }
+
   test("transformWithState running totals equal the batch aggregate across batches") {
     import graft.streaming.StateApi
     import graft.streaming.StateApi.UserEvent
