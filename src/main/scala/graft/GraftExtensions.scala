@@ -30,14 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view auto-rewrite: exact-plan-match substitution of
     // registered aggregates by their materialization (MvCatalog)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // filters bounding a stats-covered column of a DSv2 time-travel
+    // scan re-plan against the per-file min/max sidecars: only
+    // overlapping files are scanned (automatic file skipping). Runs
+    // BEFORE DvApply (r11): a Filter over a DV-free MAPPED relation
+    // must get its shot at pruning before DvApply's whole-read splice
+    // consumes the relation
+    ext.injectOptimizerRule(_ => graft.plans.StatsPrune)
     // DSv2 time-travel scans of MoR-deleted snapshots: apply the
     // deletion vectors in-plan (tombstone anti-join) so VERSION AS OF
     // SQL works instead of failing loudly
     ext.injectOptimizerRule(_ => graft.plans.DvApply)
-    // filters bounding a stats-covered column of a DSv2 time-travel
-    // scan re-plan against the per-file min/max sidecars: only
-    // overlapping files are scanned (automatic file skipping)
-    ext.injectOptimizerRule(_ => graft.plans.StatsPrune)
     // pure inequality joins (point between interval bounds, no equi
     // key) rewrite to the binned equi-join instead of a nested loop
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)

@@ -104,7 +104,7 @@ object StatsPrune extends Rule[LogicalPlan] {
     if (ranges.isEmpty && points.isEmpty) return f
     val (files, st) = TimeTravel.planProbes(
       spark, t.tablePath, t.snapshotVersion, ranges, points)
-    substituted(spark, cond, r, files, st).getOrElse(f)
+    substituted(spark, cond, r, t, files, st).getOrElse(f)
   }
 
   /** The shared splice: Filter(cond, Project(aliases, parquet scan of
@@ -112,7 +112,7 @@ object StatsPrune extends Rule[LogicalPlan] {
     * when nothing overlaps; None (decline) when nothing is skipped or
     * the name mapping fails. */
   private def substituted(spark: SparkSession, cond: Expression,
-      r: DataSourceV2Relation, files: Seq[String],
+      r: DataSourceV2Relation, t: TimeTravelTable, files: Seq[String],
       st: graft.sources.ZoneMaps.PruneStats): Option[LogicalPlan] = {
     if (files.isEmpty)
       Some(Filter(cond, LocalRelation(r.output, Seq.empty, isStreaming = false)))
@@ -122,10 +122,14 @@ object StatsPrune extends Rule[LogicalPlan] {
       // re-inferring from the pruned file subset: under heterogeneous
       // directory schemas (schema evolution) inference could type a
       // column differently than the attribute whose exprId the alias
-      // reuses, and parents typed against the original would mis-bind
+      // reuses, and parents typed against the original would mis-bind.
+      // Mapped snapshots route through the per-directory physical→
+      // logical projection (scanFilesLogical) — r11: a renamed column's
+      // predicate prunes instead of the table opting out of skipping.
       val declared = StructType(r.output.map(a =>
         StructField(a.name, a.dataType, a.nullable, a.metadata)))
-      val sub = spark.read.schema(declared).parquet(files: _*)
+      val sub = TimeTravel.scanFilesLogical(spark, t.tablePath,
+        t.snapshotVersion, files, declared)
         .queryExecution.analyzed
       val byName = sub.output.map(a => a.name -> a).toMap
       if (r.output.forall(a => byName.contains(a.name))) {

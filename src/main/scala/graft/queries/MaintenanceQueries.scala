@@ -1461,6 +1461,59 @@ object MaintenanceQueries {
         lit((prunedFiles > 0 && prunedFiles < 7) || !extLoaded))
   }
 
+  /** File skipping THROUGH a column mapping ([[graft.plans.StatsPrune]]
+    * + the r11 logical→physical probe re-keying): the same seven
+    * date-ordered stats-carrying commits, but the stats column is
+    * RENAMED mid-history (`dd` → `day_key` after 1998's commit) and the
+    * later commits collect stats under the logical name — sidecars key
+    * on the immutable physical name throughout, and the naive DSv2
+    * filter on the NEW name must still re-plan to the overlapping
+    * files. `mapped_pruned` carries the plan evidence; the oracle
+    * recomputes the year slice from the raw table, so a probe that
+    * matched the wrong sidecar (the logical/physical collision hazard)
+    * or skipped a holding file breaks the count. */
+  val qTtPruneMapped: QueryDef = QueryDef.sql(
+    "q_tt_prune_mapped",
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  true AS mapped_pruned
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'""".stripMargin) { (s, d) =>
+    import graft.sources.TimeTravel
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ttpm_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val fsp = new org.apache.hadoop.fs.Path(dir)
+    fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+    val o = Tables(s, d, "orders").select(
+      expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("dd"),
+      units(col("o_totalprice"), 2).as("cents"))
+    def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
+    (1995 to 1998).foreach { y =>
+      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
+      if (y == 1995) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("dd"))
+      else TimeTravel.commitAppend(b, dir, statsCols = Seq("dd"))
+    }
+    TimeTravel.renameColumn(s, dir, "dd", "day_key")
+    (1999 to 2001).foreach { y =>
+      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1))
+        .withColumnRenamed("dd", "day_key").repartition(1)
+      TimeTravel.commitAppend(b, dir, statsCols = Seq("day_key"))
+    }
+    val naive = s.read.format("graft-table").load(dir)
+      .filter(col("day_key") >= day(1997) && col("day_key") < day(1998))
+    val prunedFiles = naive.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    val extLoaded = s.catalog.functionExists("graft_cosine")
+    naive.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .withColumn("mapped_pruned",
+        lit((prunedFiles > 0 && prunedFiles < 7) || !extLoaded))
+  }
+
   /** BLOOM point lookup through the versioned table
     * ([[graft.sources.TimeTravel.readPoint]] + the
     * [[graft.plans.StatsPrune]] bloom tier): customer lands in three
@@ -2089,7 +2142,7 @@ object MaintenanceQueries {
     qJoinCardinality, qZorderSkip, qMergeUpsert, qExpectations, qDeleteMor,
     qChangeFeed, qIncrJoinMerge, qQuantileSketch, qSketchIntersect, qMerkleDiff,
     qMvRewrite, qMvSubsume, qMvProject, qFileMetadata, qTtDvSql, qMvIncremental,
-    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPoint, qMvRollup, qTtPruneDate,
+    qTtAggPush, qTtPrune, qTtPruneAuto, qTtPruneMapped, qTtPoint, qMvRollup, qTtPruneDate,
     qTtMergeSql, qTtDmlSql, qMvIncrementalAvg, qMvRollupAvg, qTtReplaceWhere,
     qTtStreamSource, qSchemaEvolutionV2, qTtStreamCdf)
 }

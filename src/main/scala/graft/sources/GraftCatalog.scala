@@ -140,7 +140,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog
   * maintenance ops; the logic stays in [[TimeTravel]]. */
 private[sources] object GraftProcedures {
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats", "export_delta", "export_iceberg")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats",
+    "export_delta", "export_iceberg", "export_delta_append", "export_iceberg_append")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -199,6 +200,18 @@ private[sources] object GraftProcedures {
       new StructType().add("n_files", IntegerType, nullable = false),
       (spark, in) => Array(InternalRow(
         IcebergExport.snapshot(spark, in.getString(0), in.getString(1)))))
+    case "export_delta_append" => unbound("export_delta_append",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("target", StringType).build()),
+      new StructType().add("n_files", IntegerType, nullable = false),
+      (spark, in) => Array(InternalRow(
+        DeltaExport.append(spark, in.getString(0), in.getString(1)))))
+    case "export_iceberg_append" => unbound("export_iceberg_append",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("target", StringType).build()),
+      new StructType().add("n_files", IntegerType, nullable = false),
+      (spark, in) => Array(InternalRow(
+        IcebergExport.append(spark, in.getString(0), in.getString(1)))))
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")
   }

@@ -455,8 +455,14 @@ object TimeTravel {
     // immutable physical names; the mapping itself carries forward
     val mapping = cur.flatMap(colsListing(spark, path, _))
     val dir = writeData(mapping.map(toPhysical(df, _)).getOrElse(df), path, v)
+    // sidecars key on the PHYSICAL names the files carry: a caller's
+    // logical statsCols translate through the era's map (the probe side
+    // translates back — [[planProbes]]), so skipping keeps working
+    // across renames
+    def phys(c: String): String =
+      mapping.flatMap(_.find(_.logical == c)).map(_.physical).getOrElse(c)
     if (statsCols.nonEmpty || bloomCols.nonEmpty)
-      writeStatsFor(spark, path, dir, statsCols, bloomCols)
+      writeStatsFor(spark, path, dir, statsCols.map(phys), bloomCols.map(phys))
     publish(spark, path, v, prev :+ dir, tag, prevDvs,
       cols = encodedColsAt(spark, path, cur))
     v
@@ -485,8 +491,10 @@ object TimeTravel {
     val v = cur.getOrElse(0L) + 1
     val mapping = cur.flatMap(colsListing(spark, path, _))
     val dir = writeData(mapping.map(toPhysical(df, _)).getOrElse(df), path, v)
+    def phys(c: String): String =
+      mapping.flatMap(_.find(_.logical == c)).map(_.physical).getOrElse(c)
     if (statsCols.nonEmpty || bloomCols.nonEmpty)
-      writeStatsFor(spark, path, dir, statsCols, bloomCols)
+      writeStatsFor(spark, path, dir, statsCols.map(phys), bloomCols.map(phys))
     publish(spark, path, v, Seq(dir), cols = encodedColsAt(spark, path, cur))
     v
   }
@@ -1058,34 +1066,35 @@ object TimeTravel {
   def readPruned(spark: SparkSession, path: String, statsCol: String,
       lo: Long, hi: Long,
       version: Option[Long] = None): (DataFrame, ZoneMaps.PruneStats) = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
-    requireUnmapped(spark, path, v, "readPruned")
     val dirs = listing(spark, path, v)
-    val dvs = dvListing(spark, path, v)
     if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))
     val (toRead, st) = pruneFiles(spark, path, statsCol, lo, hi, v)
     val residual = col(statsCol) >= lo && col(statsCol) <= hi
-    val data0 =
-      if (toRead.isEmpty)
-        spark.read.parquet(dirs.map(d => s"$path/$d"): _*).filter(lit(false))
-      else spark.read.parquet(toRead: _*).filter(residual)
-    (applyDvs(spark, path, dvs, data0), st)
+    prunedRead(spark, path, v, toRead, residual, st)
   }
 
-  /** Merge-on-read tombstone subtraction over an already-planned data
-    * scan — the DV tail of [[read]], shared by the pruned/point reads. */
-  private def applyDvs(spark: SparkSession, path: String, dvs: Seq[String],
-      data0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    if (dvs.isEmpty) data0
+  /** The shared tail of [[readPruned]]/[[readPoint]]: scan the admitted
+    * files under the logical schema (mapped tables re-project per
+    * directory — r11, file skipping no longer opts out of column
+    * mapping), apply the exact residual, subtract pending DVs. */
+  private def prunedRead(spark: SparkSession, path: String, v: Long,
+      toRead: Seq[String], residual: org.apache.spark.sql.Column,
+      st: ZoneMaps.PruneStats): (DataFrame, ZoneMaps.PruneStats) = {
+    import org.apache.spark.sql.functions.lit
+    val dvs = dvListing(spark, path, v)
+    val declared = read(spark, path, Some(v)).schema
+    if (toRead.isEmpty)
+      return (read(spark, path, Some(v)).filter(lit(false)), st)
+    if (dvs.isEmpty)
+      (scanFilesLogical(spark, path, v, toRead, declared).filter(residual), st)
     else {
-      val withPos = data0.select(col("*"),
-        col("_metadata.file_path").as(DvCols.head),
-        col("_metadata.row_index").as(DvCols.last))
+      val withPos = scanFilesLogical(spark, path, v, toRead, declared,
+        withPos = true).filter(residual)
       val dv = spark.read.parquet(dvs.map(d => s"$path/$d"): _*)
-      withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*)
+      (withPos.join(dv, DvCols, "left_anti").drop(DvCols: _*), st)
     }
   }
 
@@ -1100,19 +1109,13 @@ object TimeTravel {
   def readPoint(spark: SparkSession, path: String, bloomCol: String,
       key: Long,
       version: Option[Long] = None): (DataFrame, ZoneMaps.PruneStats) = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val v = version.orElse(latest(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path"))
-    requireUnmapped(spark, path, v, "readPoint")
     val dirs = listing(spark, path, v)
-    val dvs = dvListing(spark, path, v)
     if (dirs.isEmpty) return (spark.emptyDataFrame, ZoneMaps.PruneStats(0, 0))
     val (toRead, st) = bloomFiles(spark, path, bloomCol, key, v)
-    val data0 =
-      if (toRead.isEmpty)
-        spark.read.parquet(dirs.map(d => s"$path/$d"): _*).filter(lit(false))
-      else spark.read.parquet(toRead: _*).filter(col(bloomCol) === key)
-    (applyDvs(spark, path, dvs, data0), st)
+    prunedRead(spark, path, v, toRead, col(bloomCol) === key, st)
   }
 
   /** The snapshot's sidecar union, COLLECTED and CACHED on the driver
@@ -1210,21 +1213,34 @@ object TimeTravel {
 
   /** Point probes carry a KEY SET: one key = equality, several = an
     * IN-list, where the file is kept when ANY listed key is admitted
-    * (IN is a disjunction — any-of is the sound direction). */
+    * (IN is a disjunction — any-of is the sound direction). Probe
+    * columns arrive as LOGICAL names and re-key through the version's
+    * logical→physical map (r11): sidecars carry the immutable physical
+    * names, so a range predicate on a renamed column still prunes —
+    * and a logical name that merely COLLIDES with some other column's
+    * physical name can never match the wrong sidecar, because the
+    * translation is by map entry, not by string equality. */
   private[graft] def planProbes(spark: SparkSession, path: String, v: Long,
       ranges: Seq[(String, Long, Long)],
       points: Seq[(String, Seq[Long])]): (Seq[String], ZoneMaps.PruneStats) = {
     val mi = sidecarManifest(spark, path, v)
+    val toPhys: String => String = colsListing(spark, path, v) match {
+      case Some(cols) =>
+        val m = cols.map(c => c.logical -> c.physical).toMap
+        c => m.getOrElse(c, s"__graft_unmapped_$c") // not in schema: match nothing
+      case None => identity
+    }
     val probes: Seq[(Seq[String], org.apache.spark.sql.Row => Boolean)] =
-      ranges.map { case (c, lo, hi) =>
+      ranges.map { case (c0, lo, hi) =>
+        val c = toPhys(c0)
         val (mnC, mxC) = (s"min_$c", s"max_$c")
         (Seq(mnC, mxC), { (r: org.apache.spark.sql.Row) =>
           val mn = statLong(r.get(mi.schema.fieldIndex(mnC)))
           val mx = statLong(r.get(mi.schema.fieldIndex(mxC)))
           mn <= hi && mx >= lo
         })
-      } ++ points.map { case (c, keys) =>
-        val bC = s"bloom_$c"
+      } ++ points.map { case (c0, keys) =>
+        val bC = s"bloom_${toPhys(c0)}"
         (Seq(bC), { (r: org.apache.spark.sql.Row) =>
           val bits = r.getSeq[Long](mi.schema.fieldIndex(bC))
           keys.exists(k => graft.operators.BloomOps.admits(
@@ -1246,30 +1262,83 @@ object TimeTravel {
         selected.size.toLong + mi.uncoveredFiles.size))
   }
 
-  /** The stats-covered columns of `version`'s sidecars (name → Spark
-    * type, under the merged schema), empty when no directory has a
-    * sidecar — [[StatsPrune]]'s eligibility probe. MAPPED snapshots
-    * report NO stats columns: sidecars key on PHYSICAL names, and a
-    * rename can make one column's logical name equal another's
-    * physical — skipping on that match would be a wrong answer, so
-    * mapped tables simply opt out of file skipping. */
+  /** The stats-covered columns of `version`'s sidecars (LOGICAL name →
+    * sidecar type under the merged schema), empty when no directory has
+    * a sidecar — [[StatsPrune]]'s eligibility probe. MAPPED snapshots
+    * (r11) translate each sidecar's PHYSICAL column back through the
+    * era's map: a renamed column's range predicate keeps pruning, a
+    * dropped column's sidecar (physical name absent from the map)
+    * surfaces to nobody, and a logical name colliding with another
+    * column's physical name can't mis-match — translation is by map
+    * entry, never string equality (the hazard that used to force mapped
+    * tables to opt out wholesale). */
   private[graft] def statsColumns(spark: SparkSession, path: String,
-      v: Long): Map[String, org.apache.spark.sql.types.DataType] =
-    if (colsListing(spark, path, v).nonEmpty) Map.empty
-    else sidecarManifest(spark, path, v).schema.fields.collect {
+      v: Long): Map[String, org.apache.spark.sql.types.DataType] = {
+    val byPhys: Option[Map[String, String]] = colsListing(spark, path, v)
+      .map(_.map(c => c.physical -> c.logical).toMap)
+    sidecarManifest(spark, path, v).schema.fields.toSeq.flatMap {
       case sf if sf.name.startsWith("min_") =>
-        sf.name.stripPrefix("min_") -> sf.dataType
+        val p = sf.name.stripPrefix("min_")
+        byPhys match {
+          case None => Some(p -> sf.dataType)
+          case Some(m) => m.get(p).map(_ -> sf.dataType)
+        }
+      case _ => None
     }.toMap
+  }
 
-  /** The bloom-covered columns of `version`'s sidecars —
-    * [[graft.plans.StatsPrune]]'s point-probe eligibility check
+  /** The bloom-covered columns of `version`'s sidecars as LOGICAL
+    * names — [[graft.plans.StatsPrune]]'s point-probe eligibility check
     * (per-file coverage is the null guard inside [[bloomFiles]]);
-    * empty for mapped snapshots, same physical-name reasoning as
+    * mapped snapshots translate physical→logical like
     * [[statsColumns]]. */
   private[graft] def bloomColumns(spark: SparkSession, path: String,
-      v: Long): Set[String] =
-    if (colsListing(spark, path, v).nonEmpty) Set.empty
-    else sidecarManifest(spark, path, v).schema.fieldNames
-      .collect { case n if n.startsWith("bloom_") => n.stripPrefix("bloom_") }
-      .toSet
+      v: Long): Set[String] = {
+    val byPhys: Option[Map[String, String]] = colsListing(spark, path, v)
+      .map(_.map(c => c.physical -> c.logical).toMap)
+    sidecarManifest(spark, path, v).schema.fieldNames.toSeq.flatMap {
+      case n if n.startsWith("bloom_") =>
+        val p = n.stripPrefix("bloom_")
+        byPhys match {
+          case None => Some(p)
+          case Some(m) => m.get(p)
+        }
+      case _ => None
+    }.toSet
+  }
+
+  /** Scan a pruned FILE subset under the snapshot's LOGICAL schema —
+    * the splice substrate [[graft.plans.StatsPrune]] and the pruned
+    * reads share. Unmapped tables pin the declared schema over one
+    * mixed scan; mapped tables project physical→logical per directory
+    * (directories may disagree on parquet types after a widening),
+    * optionally extending with (file, pos) for DV subtraction. */
+  private[graft] def scanFilesLogical(spark: SparkSession, path: String,
+      v: Long, files: Seq[String],
+      declared: org.apache.spark.sql.types.StructType,
+      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    colsListing(spark, path, v) match {
+      case None =>
+        val base = spark.read.schema(declared).parquet(files: _*)
+        if (!withPos) base
+        else base.select(col("*"),
+          col("_metadata.file_path").as(DvCols.head),
+          col("_metadata.row_index").as(DvCols.last))
+      case Some(cols) =>
+        files.groupBy(f => new Path(f).getParent.toString).toSeq.map {
+          case (_, fs0) =>
+            val raw = spark.read.parquet(fs0: _*)
+            val have = raw.columns.toSet
+            val projected = cols.map { c =>
+              (if (have(c.physical)) col(c.physical).cast(c.typeDdl)
+               else lit(null).cast(c.typeDdl)).as(c.logical)
+            } ++ (if (withPos)
+              Seq(col("_metadata.file_path").as(DvCols.head),
+                col("_metadata.row_index").as(DvCols.last))
+            else Seq.empty)
+            raw.select(projected: _*)
+        }.reduce(_.unionByName(_))
+    }
+  }
 }

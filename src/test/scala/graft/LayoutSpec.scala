@@ -137,6 +137,80 @@ class LayoutSpec extends SparkSpec {
     assert(st6.filesTotal == 1 && df6.count() == 6)
   }
 
+  test("mapped file skipping: prune survives renames, collision-proof, DV-composed") {
+    import graft.sources.TimeTravel
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttmapprune")
+      .toFile.getAbsolutePath + "/t"
+    def batch(lo: Long, hi: Long, kName: String, vName: String) =
+      (lo to hi).map(i => (i, i + 500000)).toDF(kName, vName).repartition(1)
+    // two commits under the original names, stats on BOTH columns
+    TimeTravel.commitOverwrite(batch(0, 999, "k", "v"), dir,
+      statsCols = Seq("k", "v"))
+    TimeTravel.commitAppend(batch(1000, 1999, "k", "v"), dir,
+      statsCols = Seq("k", "v"))
+    // the COLLISION hazard: after these two renames the LOGICAL name
+    // "v" denotes the column physically stored as "k" — probing the
+    // min_v/max_v sidecars (which belong to the column now called "w")
+    // would prune on the WRONG data; the map translation must hit
+    // min_k/max_k instead
+    TimeTravel.renameColumn(spark, dir, "v", "w")
+    TimeTravel.renameColumn(spark, dir, "k", "v")
+    // a post-rename append, stats given in LOGICAL names
+    TimeTravel.commitAppend(batch(2000, 2999, "v", "w"), dir,
+      statsCols = Seq("v", "w"))
+
+    // library face: prune on logical v (physical k) across all eras
+    val (df1, st1) = TimeTravel.readPruned(spark, dir, "v", 1100, 1200)
+    assert(st1.filesTotal == 3 && st1.filesRead == 1,
+      s"rename must not break skipping: $st1")
+    assert(df1.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1100L to 1200L), "pruned rows must be exactly the residual set")
+    // collision probe: logical v's window lives in k-space (0..2999);
+    // a wrong min_v match would admit/deny on 500000-space
+    val (df2, st2) = TimeTravel.readPruned(spark, dir, "v", 500000, 501000)
+    assert(df2.count() == 0 && st2.filesRead == 0,
+      s"v=[500000,501000] matches NO k-space file; a collision with " +
+        s"physical min_v would wrongly admit files: $st2")
+    val (df3, _) = TimeTravel.readPruned(spark, dir, "w", 500000, 500100)
+    assert(df3.select("w").collect().map(_.getLong(0)).sorted.toSeq ==
+      (500000L to 500100L), "logical w (physical v) window must hit")
+
+    // rule face: the naive DSv2 filter on the renamed column re-plans
+    // to the overlapping file only
+    def snap = spark.read.format("graft-table").load(dir)
+    def prunedFileCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation =>
+          lr.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+      }.sum
+    val q = snap.filter(col("v") >= 2100 && col("v") <= 2200)
+    assert(prunedFileCount(q) == 1,
+      s"StatsPrune must fire through the mapping:\n${q.queryExecution.optimizedPlan}")
+    assert(q.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      (2100L to 2200L))
+
+    // wrong-skip sweep: pruned ≡ full-read + filter for a window mesh
+    val full = TimeTravel.read(spark, dir)
+    for (lo <- Seq(0L, 500L, 999L, 1000L, 1500L, 2999L, 4000L);
+         span <- Seq(0L, 1L, 499L, 2000L)) {
+      val hi = lo + span
+      val (p, _) = TimeTravel.readPruned(spark, dir, "v", lo, hi)
+      val want = full.filter(col("v") >= lo && col("v") <= hi)
+        .select("v").collect().map(_.getLong(0)).sorted.toSeq
+      assert(p.select("v").collect().map(_.getLong(0)).sorted.toSeq == want,
+        s"wrong-skip at [$lo,$hi]")
+    }
+
+    // DV composition on the mapped pruned read
+    TimeTravel.deleteMoR(spark, dir, col("v") % 10 === 0L)
+    val (df4, _) = TimeTravel.readPruned(spark, dir, "v", 1100, 1200)
+    assert(df4.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1100L to 1200L).filterNot(_ % 10 == 0),
+      "mapped pruned read of a DV snapshot must subtract tombstones")
+  }
+
   test("StatsPrune: a plain WHERE over the DSv2 scan skips files automatically") {
     import graft.sources.TimeTravel
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

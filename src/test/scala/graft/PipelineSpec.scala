@@ -1033,7 +1033,7 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("schema evolution v2: SQL face serves mapped tables via the splice; stats faces decline") {
+  test("schema evolution v2: SQL face serves mapped tables via the splice; pruned read maps") {
     import graft.sources.TimeTravel
     import spark.implicits._
     val dir = Files.createTempDirectory("ttsev2_guard").toFile.getAbsolutePath + "/t"
@@ -1048,10 +1048,16 @@ class PipelineSpec extends SparkSpec {
     // VERSION AS OF serves each era's own names
     val era1 = spark.read.format("graft-table").option("version", "1").load(dir)
     assert(era1.columns.toSeq == Seq("k", "v"))
-    // file-skipping faces stay declined: sidecars key on physical names
-    intercept[UnsupportedOperationException] {
-      TimeTravel.readPruned(spark, dir, "k", 1, 3)
-    }
+    // r11: the file-skipping face serves mapped tables too (probes
+    // re-key through the map; no sidecars here, so every file is read
+    // — the safety default — and rows come back in LOGICAL shape)
+    val (pruned, st) = TimeTravel.readPruned(spark, dir, "k", 1, 3)
+    assert(pruned.columns.toSeq == Seq("k", "val"))
+    assert(pruned.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(st.filesRead == st.filesTotal, "no sidecars -> nothing skipped")
+    // LayoutSpec pins the full mapped-skipping matrix (rename survival,
+    // collision-proofing, DV composition)
   }
 
   test("schema evolution v2: OPTIMIZE folds a mapped table's eras into one dir, map intact") {

@@ -1141,6 +1141,16 @@ class SourcesSpec extends SparkSpec {
       val iback = graft.sources.IcebergRead.read(spark, itgt)
       assert(inf > 0 && iback.count() == 100 &&
         iback.columns.toSeq == Seq("k", "nm", "bal"))
+      // write-back: a later graft append publishes into BOTH targets
+      // through the SQL faces
+      TimeTravel.commitAppend(
+        Seq((300L, "appended", 7L)).toDF("k", "nm", "bal"), dir)
+      assert(spark.sql(s"CALL graft.export_delta_append('$dir', '$tgt')")
+        .head.getInt(0) > 0)
+      assert(graft.sources.DeltaRead.read(spark, tgt).count() == 101)
+      assert(spark.sql(s"CALL graft.export_iceberg_append('$dir', '$itgt')")
+        .head.getInt(0) > 0)
+      assert(graft.sources.IcebergRead.read(spark, itgt).count() == 101)
       // unknown procedure declines loudly (Spark wraps the catalog's
       // message in FAILED_TO_LOAD_ROUTINE)
       val e = intercept[Exception](spark.sql(s"CALL graft.nope('$dir')"))
