@@ -551,6 +551,79 @@ object CdcQueries {
         sum(col("id")).as("sum_id"))
   }
 
+  /** Delta COLUMN-MAPPING read interop (r11, with [[qDeltaReadDv]] the
+    * pair that makes modern production Delta readable): a
+    * reader-version-2 table in columnMapping `name` mode — the files
+    * and `add.partitionValues` keys carry immutable PHYSICAL names
+    * (`col-1`/`col-2`/`col-3`), the logical schema lives in the
+    * schemaString's per-field metadata — reads in logical shape with
+    * log-resident partition values resolved through the physical key.
+    * Commit 1 tombstones one band, so replay and mapping compose; the
+    * oracle states the live rows in closed form. A reader that scanned
+    * logical names (all-null columns), dropped the physical partition
+    * key, or mis-aliased the projection breaks count/sum/grouping. */
+  val qDeltaReadMapped: QueryDef = QueryDef.sql(
+    "q_delta_read_mapped",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 5 AS VARCHAR) AS band,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE band <> 'b2'
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dcm_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("col-1"), graft.Exact.units(col("o_totalprice"), 2).as("col-2"),
+      (col("o_orderkey") % 5).cast("int").as("b"))
+    // one PHYSICAL-named file per band; partition value rides the log
+    (0 to 4).foreach { b =>
+      val tmp = s"${dir}_stage_$b"
+      o.filter(col("b") === b).select("col-1", "col-2")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/f$b.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+    }
+    def fmeta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta("col-1", 1)),
+      StructField("cents", LongType, nullable = true, fmeta("col-2", 2)),
+      StructField("band", StringType, nullable = true, fmeta("col-3", 3)))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val meta =
+      s"""{"metaData":{"id":"cmfix","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$esc","partitionColumns":["band"],""" +
+        """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}"""
+    def add(b: Int) =
+      s"""{"add":{"path":"f$b.parquet","partitionValues":{"col-3":"b$b"},""" +
+        s""""size":1,"modificationTime":$b,"dataChange":true}}"""
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta) ++
+        (0 to 4).map(add)).mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json"),
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":9,"dataChange":true}}""" + "\n")
+    graft.sources.DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   /** Iceberg FORMAT-V2 POSITION-DELETE read interop
     * ([[graft.sources.IcebergRead]], r11 tier): a v2 snapshot carries a
     * content=1 delete manifest whose parquet lists (file_path, pos)
@@ -774,6 +847,6 @@ object CdcQueries {
 
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
-    qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qIcebergReadV2,
+    qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend)
 }

@@ -44,7 +44,7 @@ object DeltaRead {
 
   /** Reader-version-3 features this replay honors; anything else on
     * the table's protocol declines by name. */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -70,7 +70,36 @@ object DeltaRead {
       schemaJson: Option[String],
       partitionCols: Seq[String],
       minReader: Int,
-      readerFeatures: Set[String] = Set.empty)
+      readerFeatures: Set[String] = Set.empty,
+      config: Map[String, String] = Map.empty)
+
+  /** COLUMN MAPPING (reader version 2, or the v3 `columnMapping`
+    * feature): the table's logical column names resolve to the
+    * immutable physical names the parquet files carry, recorded per
+    * field as `delta.columnMapping.physicalName` in the schemaString's
+    * metadata. `name` mode is served (scan by physical name, alias to
+    * logical; partitionValues key on physical names); `id` mode
+    * (parquet field-id matching) declines loudly. Returns logical →
+    * physical, empty for unmapped tables. */
+  private[sources] def colMapOf(tablePath: String, st: LogState): Map[String, String] = {
+    val mode = st.config.getOrElse("delta.columnMapping.mode", "")
+    if (mode == "id") throw new UnsupportedOperationException(
+      s"delta table at $tablePath uses columnMapping mode 'id' (parquet " +
+        "field-id matching); this reader supports mode 'name'")
+    val schema = st.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return Map.empty)
+    val pairs = schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+      else None
+    }
+    // physicalName metadata is authoritative even when the configuration
+    // didn't survive (e.g. a checkpoint that kept only schemaString)
+    if (pairs.map(_._2).distinct.size != pairs.size)
+      throw new IllegalStateException(
+        s"delta table at $tablePath maps two columns to one physical name")
+    pairs.toMap
+  }
 
   /** The table's live snapshot as a DataFrame (`asOf` pins the replay
     * to a log version — the streaming source's first batch uses it so
@@ -88,12 +117,14 @@ object DeltaRead {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // one scan per distinct partition tuple: the values live in the log
     // (null = absent key), not the files; absolute add.paths allowed
-    else scanAdds(spark, tablePath, st.adds.values.toSeq, schema, st.partitionCols)
+    else scanAdds(spark, tablePath, st.adds.values.toSeq, schema,
+      st.partitionCols, colMapOf(tablePath, st))
   }
 
   private def requireReadable(tablePath: String, st: LogState): Unit =
     st.minReader match {
       case 1 => ()
+      case 2 => colMapOf(tablePath, st): Unit // validates the mode; name serves
       case 3 =>
         val unsupported = st.readerFeatures -- SupportedReaderFeatures
         if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -102,7 +133,8 @@ object DeltaRead {
             s"${SupportedReaderFeatures.mkString(", ")} only")
       case other => throw new UnsupportedOperationException(
         s"delta table at $tablePath requires minReaderVersion $other; this " +
-          "reader supports versions 1 and 3 (feature deletionVectors)")
+          "reader supports versions 1–3 (features: deletionVectors, " +
+          "columnMapping in name mode)")
     }
 
   /** Log replay to the live state: checkpoint (if any, and at or
@@ -229,20 +261,32 @@ object DeltaRead {
 
   /** Scan a set of adds under the table's schema with partition values
     * injected per group and any deletion vectors subtracted — shared
-    * by [[read]] and the streaming batch. */
+    * by [[read]] and the streaming batch. Under a COLUMN MAPPING the
+    * files (and add.partitionValues keys) carry physical names: the
+    * scan pins the physical schema and aliases back to logical, the
+    * injection looks partition values up by physical key (logical as a
+    * defensive fallback for writers that never translated). */
   private[sources] def scanAdds(spark: SparkSession, tablePath: String,
-      adds: Seq[AddFile], schema: StructType, partCols: Seq[String]): DataFrame = {
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+      adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
+      colMap: Map[String, String] = Map.empty): DataFrame = {
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    val dataFields = schema.filterNot(f => partCols.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      f.copy(name = physOf(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)))
+    def toLogical(df: DataFrame): DataFrame =
+      if (colMap.isEmpty) df
+      else df.select(dataFields.map(f => col(physOf(f.name)).as(f.name)).toSeq: _*)
     def inject(base: DataFrame, pv: Map[String, String]): DataFrame = {
       val withParts = partCols.foldLeft(base) { (df, pc) =>
-        df.withColumn(pc, lit(pv.get(pc).orNull).cast(schema(pc).dataType))
+        val v = pv.get(physOf(pc)).orElse(pv.get(pc))
+        df.withColumn(pc, lit(v.orNull).cast(schema(pc).dataType))
       }
       withParts.select(schema.fieldNames.map(col).toSeq: _*)
     }
     val (dved, plain) = adds.partition(_.dv.nonEmpty)
     val plainDfs = plain.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
-      inject(spark.read.schema(dataSchema)
-        .parquet(files.map(f => resolvePath(tablePath, f.path)): _*), pv)
+      inject(toLogical(spark.read.schema(dataSchema)
+        .parquet(files.map(f => resolvePath(tablePath, f.path)): _*)), pv)
     }
     // merge-on-read: each DV'd file scans alone with its row index and
     // anti-joins the decoded positions (broadcast — O(deleted rows));
@@ -257,27 +301,35 @@ object DeltaRead {
         .join(broadcast(posDf),
           col("__graft_dv_ri") === col("__graft_dv_pos"), "left_anti")
         .drop("__graft_dv_ri")
-      inject(base, a.partitionValues)
+      inject(toLogical(base), a.partitionValues)
     }
     (plainDfs ++ dvDfs).reduce(_.unionByName(_))
   }
 
   /** Scan one commit's change files: data columns plus the file-borne
     * `_change_type`, partition values injected, `_commit_version`
-    * stamped — the CDF batch shape. */
+    * stamped — the CDF batch shape. Change files carry physical names
+    * under a column mapping, like data files. */
   private[sources] def scanCdc(spark: SparkSession, tablePath: String,
       v: Long, files: Seq[CdcFile], schema: StructType,
-      partCols: Seq[String]): DataFrame = {
-    val dataSchema = StructType(
-      schema.filterNot(f => partCols.contains(f.name))
-        .filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version"))
-    val withCt = StructType(dataSchema :+
+      partCols: Seq[String], colMap: Map[String, String] = Map.empty): DataFrame = {
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    val dataFields = schema.filterNot(f => partCols.contains(f.name))
+      .filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version")
+    val withCt = StructType(dataFields.map(f =>
+      f.copy(name = physOf(f.name),
+        metadata = org.apache.spark.sql.types.Metadata.empty)) :+
       org.apache.spark.sql.types.StructField("_change_type", StringType))
     files.groupBy(_.partitionValues).toSeq.map { case (pv, fs0) =>
-      val base = spark.read.schema(withCt)
+      val raw = spark.read.schema(withCt)
         .parquet(fs0.map(f => resolvePath(tablePath, f.path)): _*)
+      val base =
+        if (colMap.isEmpty) raw
+        else raw.select((dataFields.map(f => col(physOf(f.name)).as(f.name))
+          :+ col("_change_type")).toSeq: _*)
       val withParts = partCols.foldLeft(base) { (df, pc) =>
-        df.withColumn(pc, lit(pv.get(pc).orNull).cast(schema(pc).dataType))
+        val pvv = pv.get(physOf(pc)).orElse(pv.get(pc))
+        df.withColumn(pc, lit(pvv.orNull).cast(schema(pc).dataType))
       }
       withParts.withColumn("_commit_version", lit(v).cast(LongType))
     }.reduce(_.unionByName(_))
@@ -286,10 +338,10 @@ object DeltaRead {
   /** Adds served as CDF inserts (the pure-append commit shape). */
   private[sources] def scanAddsAsInserts(spark: SparkSession, tablePath: String,
       v: Long, adds: Seq[AddFile], schema: StructType,
-      partCols: Seq[String]): DataFrame = {
+      partCols: Seq[String], colMap: Map[String, String] = Map.empty): DataFrame = {
     val dataSchema = StructType(
       schema.filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version"))
-    scanAdds(spark, tablePath, adds, dataSchema, partCols)
+    scanAdds(spark, tablePath, adds, dataSchema, partCols, colMap)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(v).cast(LongType))
   }
@@ -303,11 +355,13 @@ object DeltaRead {
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw new IllegalStateException(s"no metaData at $tablePath")))
       .asInstanceOf[StructType]
+    val colMap = colMapOf(tablePath, st)
     val frames = changesBetween(spark, tablePath, sinceV, toV).flatMap {
       case (v, Right(cdcFiles)) =>
-        Some(scanCdc(spark, tablePath, v, cdcFiles, schema, st.partitionCols))
+        Some(scanCdc(spark, tablePath, v, cdcFiles, schema, st.partitionCols, colMap))
       case (v, Left(adds)) if adds.nonEmpty =>
-        Some(scanAddsAsInserts(spark, tablePath, v, adds, schema, st.partitionCols))
+        Some(scanAddsAsInserts(spark, tablePath, v, adds, schema,
+          st.partitionCols, colMap))
       case _ => None
     }
     if (frames.isEmpty) {
@@ -351,8 +405,17 @@ object DeltaRead {
       val m = node.get("metaData")
       val parts = Option(m.get("partitionColumns"))
         .map(p => (0 until p.size()).map(p.get(_).asText())).getOrElse(Seq.empty)
+      val conf = Option(m.get("configuration")).map { c =>
+        val it = c.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
       st.copy(schemaJson = Some(m.get("schemaString").asText()),
-        partitionCols = parts)
+        partitionCols = parts, config = conf)
     } else if (node.has("protocol")) {
       val p = node.get("protocol")
       val feats = Option(p.get("readerFeatures"))
@@ -414,11 +477,20 @@ object DeltaRead {
           else Set.empty)
     }
     if (cols.contains("metaData")) {
-      val r = df.select("metaData.schemaString", "metaData.partitionColumns")
-        .na.drop(Seq("schemaString")).collect()
+      val hasConf = df.schema("metaData").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("configuration")
+      val sel = if (hasConf)
+        df.select("metaData.schemaString", "metaData.partitionColumns",
+          "metaData.configuration")
+      else df.select("metaData.schemaString", "metaData.partitionColumns")
+      val r = sel.na.drop(Seq("schemaString")).collect()
       if (r.nonEmpty) st = st.copy(
         schemaJson = Some(r.head.getString(0)),
-        partitionCols = Option(r.head.getSeq[String](1)).getOrElse(Seq.empty))
+        partitionCols = Option(r.head.getSeq[String](1)).getOrElse(Seq.empty),
+        config =
+          if (hasConf && !r.head.isNullAt(2))
+            r.head.getMap[String, String](2).toMap
+          else Map.empty)
     }
     if (cols.contains("add")) {
       val addType = df.schema("add").dataType.asInstanceOf[StructType]

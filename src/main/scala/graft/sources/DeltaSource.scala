@@ -78,10 +78,12 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
 
   private def hfs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  // schema AND partition columns pin at source creation — a stream's
-  // shape is fixed for its lifetime
+  // schema, partition columns AND column mapping pin at source
+  // creation — a stream's shape is fixed for its lifetime (a mid-stream
+  // metaData change dies loudly in the batch window)
   private val state0 = DeltaRead.replay(spark, path)
   private val partCols: Seq[String] = state0.partitionCols
+  private val colMap: Map[String, String] = DeltaRead.colMapOf(path, state0)
 
   private val dataSchema: StructType = DeltaRead.read(spark, path).schema
 
@@ -128,9 +130,9 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
       case Some(sinceV) if cdf =>
         val frames = DeltaRead.changesBetween(spark, path, sinceV, endV).flatMap {
           case (v, Right(cdcFiles)) =>
-            Some(DeltaRead.scanCdc(spark, path, v, cdcFiles, dataSchema, partCols))
+            Some(DeltaRead.scanCdc(spark, path, v, cdcFiles, dataSchema, partCols, colMap))
           case (v, Left(adds)) if adds.nonEmpty =>
-            Some(DeltaRead.scanAddsAsInserts(spark, path, v, adds, dataSchema, partCols))
+            Some(DeltaRead.scanAddsAsInserts(spark, path, v, adds, dataSchema, partCols, colMap))
           case _ => None
         }
         if (frames.isEmpty) empty
@@ -140,7 +142,7 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
         val added = DeltaRead.addsBetween(spark, path, sinceV, endV)
         if (added.isEmpty) empty
         else GraftPlanApi.markFileRelationsStreaming(
-          DeltaRead.scanAdds(spark, path, added, schema, partCols))
+          DeltaRead.scanAdds(spark, path, added, schema, partCols, colMap))
     }
   }
 

@@ -57,6 +57,7 @@ object IcebergExport {
     case StringType => "string"
     case DateType => "date"
     case TimestampType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new UnsupportedOperationException(
       s"column type $other has no Iceberg interchange mapping; cast before export")
   }

@@ -101,6 +101,8 @@ object IcebergRead {
 
   /** Iceberg primitive type name → Spark type (the interchange set;
     * anything else declines loudly). */
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
   private def sparkType(t: String): DataType = t match {
     case "long" => LongType
     case "int" => IntegerType
@@ -110,6 +112,7 @@ object IcebergRead {
     case "string" => StringType
     case "date" => DateType
     case "timestamp" | "timestamptz" => TimestampType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
     case other => throw new UnsupportedOperationException(
       s"iceberg field type '$other' is outside this reader's interchange set")
   }

@@ -674,12 +674,12 @@ class SourcesSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSet == (1L to 15L).toSet,
       "checkpoint state + post-checkpoint commit compose")
 
-    // declines: reader version 2, and a DV-bearing add
+    // declines: a FUTURE reader version this replay can't honor
     val dir2 = Files.createTempDirectory("delta_decl").toFile.getAbsolutePath + "/t"
     new java.io.File(dir2).mkdirs()
     writeDeltaPart(dir2, "f1.parquet", Seq((1L, 1L)))
     writeDeltaCommit(dir2, 0,
-      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      Seq("""{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}""",
         metaAction(partitioned = false),
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir2))
@@ -763,6 +763,84 @@ class SourcesSpec extends SparkSpec {
     val got = DeltaRead.read(spark, dir)
     assert(got.filter(col("p") === "a b").select("id").as[Long].collect().toSet
       == (1L to 5L).toSet, "encoded add.path must resolve to the on-disk file")
+  }
+
+  test("delta read: column mapping (name mode) — physical files, logical schema, mapped partitions") {
+    import graft.sources.{DeltaDv, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_cm").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def meta(physName: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", physName)
+      .putLong("delta.columnMapping.id", id.toLong).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("v", LongType, nullable = true, meta("col-bbb", 2)),
+      StructField("p", StringType, nullable = true, meta("col-ppp", 3))))
+    val esc = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    // data files carry the PHYSICAL names
+    def part(rel: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("cmpart").toFile.getAbsolutePath
+      rows.toDF("col-aaa", "col-bbb").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$rel")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+    }
+    part("f1.parquet", (1L to 10L).map(i => (i, i * 2)))
+    part("f2.parquet", (11L to 15L).map(i => (i, i * 2)))
+    val metaAct =
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$esc","partitionColumns":["p"],""" +
+        """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}"""
+    // DV on f1 (positions 0 and 2 → ids 1, 3) proves mapping×DV compose
+    val uuid = java.util.UUID.fromString("00000000-0000-4000-8000-0000000000cm".replace("cm", "c1"))
+    val d = DeltaDv.writeDvFile(spark, dir, uuid, Seq(0L, 2L))
+    val dvJson =
+      s"""{"storageType":"u","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":2}"""
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"]}}""",
+      metaAct,
+      // partitionValues keyed by the PHYSICAL partition-column name
+      s"""{"add":{"path":"f1.parquet","partitionValues":{"col-ppp":"x"},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"col-ppp":"y"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "v", "p"), "logical names served")
+    assert(got.select("id").as[Long].collect().toSet ==
+      ((1L to 15L).toSet -- Set(1L, 3L)), "mapping × DV compose")
+    assert(got.filter(col("p") === "x").count() == 8 &&
+      got.filter(col("p") === "y").count() == 5,
+      "partition values resolve through the physical key")
+    // minReaderVersion 2 (legacy column-mapping gate) also serves
+    val dir2 = Files.createTempDirectory("delta_cm2").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir2).mkdirs()
+    val logical2 = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-aaa", 1)),
+      StructField("v", LongType, nullable = true, meta("col-bbb", 2))))
+    val esc2 = logical2.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val tmp2 = Files.createTempDirectory("cmpart2").toFile.getAbsolutePath
+    Seq((1L, 2L), (2L, 4L)).toDF("col-aaa", "col-bbb")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val pf2 = new java.io.File(tmp2).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(pf2.toPath, java.nio.file.Paths.get(s"$dir2/f1.parquet"))
+    writeDeltaCommit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm2","format":{"provider":"parquet","options":{}},"schemaString":"$esc2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaRead.read(spark, dir2).select("v").as[Long].collect().toSet
+      == Set(2L, 4L))
+    // id mode declines loudly
+    val dir3 = Files.createTempDirectory("delta_cm3").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir3).mkdirs()
+    java.nio.file.Files.copy(pf2.toPath, java.nio.file.Paths.get(s"$dir3/f1.parquet"))
+    writeDeltaCommit(dir3, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm3","format":{"provider":"parquet","options":{}},"schemaString":"$esc2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir3))
+    assert(e.getMessage.contains("'id'"), e.getMessage)
   }
 
   test("delta changes: CDF batch face serves cdc files, add-only commits as inserts") {
@@ -977,6 +1055,23 @@ class SourcesSpec extends SparkSpec {
     val e = intercept[UnsupportedOperationException](
       IcebergExport.append(spark, src, tgt))
     assert(e.getMessage.contains("Rewrite"), e.getMessage)
+  }
+
+  test("iceberg export: decimal columns map through the interchange set both ways") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexp_dec_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexp_dec_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite(
+      (1L to 9L).map(i => (i, BigDecimal(i) * BigDecimal("1.25")))
+        .toDF("k", "amount")
+        .select(col("k"), col("amount").cast("decimal(12,2)").as("amount")), src)
+    assert(IcebergExport.snapshot(spark, src, tgt) > 0)
+    val back = IcebergRead.read(spark, tgt)
+    assert(back.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(back.select(sum(col("amount"))).head.getDecimal(0) ==
+      new java.math.BigDecimal("56.25"))
   }
 
   // ---- Iceberg read interop (public table-spec fixtures)
