@@ -737,6 +737,12 @@ class SourcesSpec extends SparkSpec {
     val got = DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet
     assert(got == ((1L to 15L).toSet -- Set(1L, 4L, 10L, 12L)),
       s"DV'd positions must vanish from the scan, got $got")
+    // 'p' storage: the same file addressed by ABSOLUTE path decodes
+    // to the same positions
+    val pDesc = graft.sources.DeltaDv.Descriptor("p",
+      s"$dir/deletion_vector_$uuid.bin", d.offset, d.sizeInBytes, d.cardinality)
+    assert(graft.sources.DeltaDv.positions(spark, dir, pDesc).toSeq ==
+      Seq(0L, 3L, 9L))
     // corrupt the DV body → the CRC gate must fire, not a silent misread
     val dvFile = new java.io.File(s"$dir/deletion_vector_$uuid.bin")
     val bytes = java.nio.file.Files.readAllBytes(dvFile.toPath)
