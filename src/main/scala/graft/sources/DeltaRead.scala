@@ -210,6 +210,13 @@ object DeltaRead {
     }
   }
 
+  /** Count of `add` actions in one commit — the streaming source's
+    * rate-limit planning probe (one driver-side JSON read, no scan). */
+  private[sources] def addCountIn(spark: SparkSession, tablePath: String,
+      v: Long): Int =
+    commitBody(spark, s"$tablePath/_delta_log", v)
+      .count(line => mapper.readTree(line).has("add"))
+
   /** The CHANGE batches of commits in (sinceV, toV], per commit — the
     * change-data-feed face ([[DeltaSource]]'s readChangeFeed mode):
     * a commit carrying `cdc` actions serves its change files verbatim

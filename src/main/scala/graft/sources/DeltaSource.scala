@@ -31,6 +31,12 @@ import org.apache.spark.sql.types.StructType
   * change data still dies loudly — row-level churn is representable
   * only when the writer wrote it down.
   *
+  * RATE LIMITING (`option("maxFilesPerTrigger", n)`): incremental
+  * batches advance by whole commits whose summed add count stays ≤ n
+  * (always ≥ 1 commit), so a backfill against a long log arrives in
+  * bounded batches instead of one giant scan; the first-batch snapshot
+  * is never split (it is one pinned version).
+  *
   * Scale: per trigger, one driver-side log listing; per batch,
   * O(added files) JSON reads and a schema-pinned scan of exactly
   * those files — the Delta streaming-source cost model recovered from
@@ -60,7 +66,8 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      params.get("startingversion").map(_.toLong), cdf = cdfOf(parameters))
+      params.get("startingversion").map(_.toLong), cdf = cdfOf(parameters),
+      maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt))
   }
 }
 
@@ -74,7 +81,8 @@ private[sources] object DeltaStreamSource {
 }
 
 final class DeltaStreamSource(spark: SparkSession, path: String,
-    startingVersion: Option[Long], cdf: Boolean = false) extends Source {
+    startingVersion: Option[Long], cdf: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None) extends Source {
 
   private def hfs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -103,7 +111,35 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
       .maxOption
   }
 
-  override def getOffset: Option[Offset] = latestVersion.map(LongOffset(_))
+  /** Consumed progress for the RATE LIMIT: advanced by every planned
+    * batch (getBatch sets it from both recovery-replayed and fresh
+    * ranges) — the marker the next getOffset continues from. */
+  @volatile private var consumedV: Option[Long] = None
+
+  /** maxFilesPerTrigger: cap a batch at whole COMMITS whose summed
+    * `add` count stays ≤ the limit (at least one commit always
+    * advances — a single over-sized commit is served alone rather than
+    * wedging the stream). The first batch is the pinned snapshot and
+    * is never split: version granularity is what keeps each batch an
+    * exact commit range, replayable from its offsets alone. */
+  override def getOffset: Option[Offset] = {
+    val latest = latestVersion
+    (maxFilesPerTrigger, consumedV.orElse(startingVersion)) match {
+      case (Some(k), Some(since)) =>
+        latest.filter(_ > since).map { lv =>
+          var v = since
+          var files = 0
+          var keep = true
+          while (keep && v < lv) {
+            val n = DeltaRead.addCountIn(spark, path, v + 1)
+            if (files > 0 && files + n > k) keep = false
+            else { files += n; v += 1; if (files >= k) keep = false }
+          }
+          LongOffset(v.max(since + 1))
+        }
+      case _ => latest.map(LongOffset(_))
+    }
+  }
 
   private def toVersion(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -114,6 +150,7 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val endV = toVersion(end)
+    consumedV = Some(endV) // rate-limit progress (recovery replays land here too)
     val empty = GraftPlanApi.streamingDataFrame(spark,
       spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       schema)

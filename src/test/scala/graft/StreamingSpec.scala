@@ -1068,6 +1068,64 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("without change")), messages(e).toString)
   }
 
+  test("delta stream source: maxFilesPerTrigger bounds each batch to whole commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dstream_rate").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    val cp = ckpt()
+    def stagePart(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("drate_part").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$rel")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+    }
+    val schemaEsc = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    stagePart("f0.parquet", (1L to 4L).map(i => (i, i)).toDF("k", "v"))
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${0L}%020d" + ".json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaEsc","partitionColumns":[],"configuration":{}}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    val batchSizes = new scala.collection.mutable.ArrayBuffer[Int]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "1").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count().toInt
+          if (n > 0) batchSizes.synchronized { batchSizes += n }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // first batch = the pinned v0 snapshot (never split)
+    assert(batchSizes.toSeq == Seq(4), s"got $batchSizes")
+    // three more single-file commits of 10 / 5 / 3 rows land AFTER the
+    // snapshot; under a 1-file limit each drains as its own batch
+    val sizes = Seq(10L, 5L, 3L)
+    var next = 100L
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      stagePart(s"f${i + 1}.parquet",
+        (next until next + n).map(j => (j, j)).toDF("k", "v"))
+      next += n
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${(i + 1).toLong}%020d" + ".json"),
+        s"""{"add":{"path":"f${i + 1}.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+    }
+    (1 to 5).foreach(_ => runOnce())
+    val got = batchSizes.toSeq
+    assert(got.sum == 4 + 18, s"all rows exactly once, got $got")
+    assert(got.tail == sizes.map(_.toInt),
+      s"each later batch = one commit under the 1-file limit, in order; got $got")
+  }
+
   test("transformWithState running totals equal the batch aggregate across batches") {
     import graft.streaming.StateApi
     import graft.streaming.StateApi.UserEvent
