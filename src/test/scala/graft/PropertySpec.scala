@@ -353,6 +353,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  check("delta DV codec: z85 round-trips arbitrary bytes through the padded form") {
+    import graft.sources.DeltaDv
+    Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val raw = bs.toArray
+      val back = DeltaDv.z85DecodeN(DeltaDv.z85Encode(raw), raw.length)
+      back.toSeq == raw.toSeq
+    }
+  }
+
+  check("delta DV codec: RoaringBitmapArray round-trips any position set sorted-distinct") {
+    import graft.sources.DeltaDv
+    // positions span several 32-bit keys, including the boundary rows a
+    // naive int cast would mangle (0xFFFFFFFF, key transitions)
+    val posGen = Gen.oneOf(
+      Gen.choose(0L, 5000L),
+      Gen.choose((1L << 32) - 3L, (1L << 32) + 3L),
+      Gen.choose(5L << 32, (5L << 32) + 100000L))
+    Prop.forAll(Gen.listOf(posGen)) { ps =>
+      DeltaDv.deserialize(DeltaDv.serialize(ps)).toSeq == ps.distinct.sorted
+    }
+  }
+
   check("bloom write/probe symmetry: the packed filter NEVER false-negatives") {
     import graft.operators.BloomOps
     def md5hex(s: String): String = java.security.MessageDigest
