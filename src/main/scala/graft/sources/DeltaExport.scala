@@ -62,6 +62,12 @@ object DeltaExport {
   private def commitInfo(graftVersion: Long): String =
     s"""{"commitInfo":{"operation":"graft-export","graftSourceVersion":$graftVersion}}"""
 
+  /** The protocol's idempotent-writer marker (SetTransaction): rides in
+    * every exported commit AND survives into checkpoints, so the graft
+    * watermark outlives vacuumed commit JSONs. */
+  private def txnAction(graftVersion: Long): String =
+    s"""{"txn":{"appId":"graft-export","version":$graftVersion,"lastUpdated":0}}"""
+
   private def writeCommit(spark: SparkSession, targetPath: String,
       deltaV: Long, actions: Seq[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -92,6 +98,7 @@ object DeltaExport {
     val esc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
     val actions = Seq.newBuilder[String]
     actions += commitInfo(v)
+    actions += txnAction(v)
     actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     actions +=
       (s"""{"metaData":{"id":"graft-export","format":""" +
@@ -125,10 +132,36 @@ object DeltaExport {
       body.split('\n').map(_.trim).filter(_.nonEmpty).flatMap { line =>
         val node = mapper.readTree(line)
         Option(node.get("commitInfo")).flatMap(ci =>
-          Option(ci.get("graftSourceVersion")).map(_.asLong()))
+          Option(ci.get("graftSourceVersion")).map(_.asLong())) orElse
+          Option(node.get("txn")).filter(t =>
+            t.get("appId").asText() == "graft-export")
+            .map(_.get("version").asLong())
       }
     }
-    marks.maxOption.getOrElse(throw new IllegalStateException(
+    // vacuumed logs: the watermark survives in the checkpoint's txn row
+    val cpMarks: Seq[Long] = {
+      val lc = new Path(logDir, "_last_checkpoint")
+      if (!fs.exists(lc)) Seq.empty
+      else {
+        val in = fs.open(lc)
+        val body = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toString("UTF-8")
+        } finally in.close()
+        val cpV = mapper.readTree(body).get("version").asLong()
+        val cpFile = new Path(logDir, f"$cpV%020d.checkpoint.parquet")
+        if (!fs.exists(cpFile)) Seq.empty
+        else {
+          val df = spark.read.parquet(cpFile.toString)
+          if (!df.columns.contains("txn")) Seq.empty
+          else df.select("txn.appId", "txn.version").na.drop(Seq("appId"))
+            .collect().toSeq
+            .filter(_.getString(0) == "graft-export").map(_.getLong(1))
+        }
+      }
+    }
+    (marks ++ cpMarks).maxOption.getOrElse(throw new IllegalStateException(
       s"the Delta log at $targetPath was not produced by DeltaExport " +
         "(no graftSourceVersion marker); append only follows graft exports"))
   }
@@ -156,7 +189,7 @@ object DeltaExport {
       .filterNot(TimeTravel.listing(spark, sourcePath, g0).toSet)
     if (newDirs.isEmpty) { // metadata-only appends: record the watermark
       writeCommit(spark, targetPath, nextDeltaVersion(spark, targetPath),
-        Seq(commitInfo(g1)))
+        Seq(commitInfo(g1), txnAction(g1)))
       return 0
     }
     val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
@@ -170,17 +203,91 @@ object DeltaExport {
     val conf = spark.sessionState.newHadoopConf()
     val actions = Seq.newBuilder[String]
     actions += commitInfo(g1)
+    actions += txnAction(g1)
     files.foreach(f => actions += addAction(conf, f))
-    writeCommit(spark, targetPath, nextDeltaVersion(spark, targetPath),
-      actions.result())
+    val deltaV = nextDeltaVersion(spark, targetPath)
+    writeCommit(spark, targetPath, deltaV, actions.result())
+    if (deltaV > 0 && deltaV % CheckpointInterval == 0)
+      writeCheckpoint(spark, targetPath, deltaV, g1)
     files.length
   }
 
+  /** The next commit number: past the max commit JSON AND past any
+    * checkpoint (whose pre-checkpoint JSONs may have been vacuumed). */
   private def nextDeltaVersion(spark: SparkSession, targetPath: String): Long = {
     val logDir = new Path(s"$targetPath/_delta_log")
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val fromJson = names
       .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
-      .map(_.stripSuffix(".json").toLong).maxOption.map(_ + 1).getOrElse(0L)
+      .map(_.stripSuffix(".json").toLong)
+    val fromCp = names
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .flatMap(_.stripSuffix(".checkpoint.parquet").toLongOption)
+    (fromJson ++ fromCp).maxOption.map(_ + 1).getOrElse(0L)
   }
+
+  /** Classic single-part CHECKPOINT every N commits of the exported
+    * log (the protocol's replay acceleration): the net state lands as
+    * `<v>.checkpoint.parquet` action columns + `_last_checkpoint`, so
+    * readers replay O(since-checkpoint) commits instead of the whole
+    * log, and pre-checkpoint commit JSONs become vacuum-able without
+    * losing the table. Driver-side O(live files). */
+  private[sources] def writeCheckpoint(spark: SparkSession, targetPath: String,
+      deltaV: Long, graftV: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = DeltaRead.replay(spark, targetPath, Some(deltaV))
+    val conf = spark.sessionState.newHadoopConf()
+    val addT = StructType(Seq(
+      StructField("path", StringType), StructField("partitionValues",
+        MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType), StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
+    val schema = StructType(Seq(StructField("add", addT),
+      StructField("metaData", metaT), StructField("protocol", protoT),
+      StructField("txn", txnT)))
+    val rows = Seq(
+      Row(null, null, Row(st.minReader, 2), null),
+      Row(null, Row("graft-export", st.schemaJson.orNull,
+        st.partitionCols, st.config), null, null),
+      Row(null, null, null, Row("graft-export", graftV))) ++
+      st.adds.values.toSeq.sortBy(_.path).map { a =>
+        val p = new Path(a.path)
+        val fst = p.getFileSystem(conf).getFileStatus(p)
+        Row(Row(encodePath(a.path), a.partitionValues, fst.getLen,
+          fst.getModificationTime, true), null, null, null)
+      }
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema)
+    // the protocol names ONE file: stage the parquet, move the part
+    val logDir = new Path(s"$targetPath/_delta_log")
+    val stage = new Path(logDir, f".cp-$deltaV%020d.staging")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val fs = logDir.getFileSystem(conf)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint stage wrote no part"))
+    val target = new Path(logDir, f"$deltaV%020d.checkpoint.parquet")
+    if (!fs.rename(part, target)) throw new java.io.IOException(
+      s"checkpoint publish failed for $target")
+    fs.delete(stage, true)
+    val lc = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(s"""{"version":$deltaV,"size":${rows.size}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Commit interval between export checkpoints. */
+  private[sources] val CheckpointInterval = 10L
 }

@@ -1021,6 +1021,38 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("graftSourceVersion"), e2.getMessage)
   }
 
+  test("delta export append: checkpoints every 10 commits; pre-checkpoint JSONs become vacuum-able") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexpc_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexpc_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite(Seq((0L, 0L)).toDF("k", "v"), src)
+    assert(DeltaExport.snapshot(spark, src, tgt) > 0)
+    // ten follow-up appends → exported commits 1..10, checkpoint at 10
+    (1L to 10L).foreach { i =>
+      TimeTravel.commitAppend(Seq((i, i * 2)).toDF("k", "v"), src)
+      assert(DeltaExport.append(spark, src, tgt) > 0)
+    }
+    val logDir = new java.io.File(s"$tgt/_delta_log")
+    assert(new java.io.File(logDir, f"${10L}%020d.checkpoint.parquet").isFile,
+      s"checkpoint expected at v10: ${logDir.listFiles().map(_.getName).toSeq.sorted}")
+    assert(new java.io.File(logDir, "_last_checkpoint").isFile)
+    assert(DeltaRead.read(spark, tgt).select("k").as[Long].collect().toSet
+      == (0L to 10L).toSet, "replay through the checkpoint = full state")
+    // the protocol's point: commits AT/BEFORE the checkpoint are
+    // reclaimable — delete them and the table still reads exactly
+    (0L to 10L).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$tgt/_delta_log/" + f"$v%020d" + ".json"))
+    }
+    assert(DeltaRead.read(spark, tgt).select("k").as[Long].collect().toSet
+      == (0L to 10L).toSet, "checkpoint alone must reconstruct the snapshot")
+    // and the log keeps appending past it
+    TimeTravel.commitAppend(Seq((11L, 22L)).toDF("k", "v"), src)
+    assert(DeltaExport.append(spark, src, tgt) > 0)
+    assert(DeltaRead.read(spark, tgt).count() == 12)
+  }
+
   test("iceberg export append: later graft appends publish as new snapshots, old manifests reused") {
     import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
     import spark.implicits._
