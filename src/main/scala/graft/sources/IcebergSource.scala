@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.StructType
   * appearing in the window are not appends and the stream dies rather
   * than mis-serve.
   *
+  * RATE LIMITING (`option("maxManifestsPerTrigger", n)`): incremental
+  * batches advance by whole snapshots whose cumulative new-manifest
+  * count stays ≤ n (always ≥ 1 snapshot) — the bounded-backfill knob,
+  * symmetric with `graft-delta`'s maxFilesPerTrigger.
+  *
   * Scale: per trigger one metadata JSON read; per batch O(new
   * manifests) Avro reads and a schema-pinned scan of exactly the added
   * files (Iceberg data files carry all columns — no value injection).
@@ -49,8 +54,11 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters))
+      parameters: Map[String, String]): Source = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      params.get("maxmanifestspertrigger").map(_.toInt))
+  }
 }
 
 /** Offset = (snapshot-id, position-when-seen, the snapshot's manifest
@@ -87,20 +95,55 @@ private[sources] object IcebergOffset {
   }
 }
 
-final class IcebergStreamSource(spark: SparkSession, path: String) extends Source {
+final class IcebergStreamSource(spark: SparkSession, path: String,
+    maxManifestsPerTrigger: Option[Int] = None) extends Source {
 
   override val schema: StructType =
     IcebergRead.schemaOf(IcebergRead.currentMetadata(spark, path))
 
+  /** Consumed progress for the RATE LIMIT (re-seeded by every planned
+    * batch, including the recovery replay). */
+  @volatile private var consumed: Option[IcebergOffset] = None
+
+  /** maxManifestsPerTrigger: advance by whole SNAPSHOTS whose
+    * cumulative new-manifest count (vs the consumed offset) stays ≤
+    * the limit — at least one snapshot always advances, and the first
+    * batch (the full pinned snapshot) is never split. Planning cost is
+    * O(snapshots ahead) manifest-list reads per trigger, the backfill
+    * price of bounded batches. */
   override def getOffset: Option[Offset] = {
     val meta = IcebergRead.currentMetadata(spark, path)
     val snaps = IcebergRead.snapshotList(spark, path, meta)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong())
-    curId.flatMap(id => snaps.indexWhere(_._1 == id) match {
+    val full = curId.flatMap(id => snaps.indexWhere(_._1 == id) match {
       case -1 => None
       case i => Some(IcebergOffset(id, (i + 1).toLong,
         IcebergRead.manifestsOf(spark, path, snaps(i)._2).map(_.toString)))
     })
+    (maxManifestsPerTrigger, consumed, full) match {
+      case (Some(k), Some(c), Some(f)) if f.sid != c.sid =>
+        val idx = snaps.indexWhere(_._1 == c.sid)
+        if (idx < 0) Some(f) // consumed snapshot expired: serve the rest whole
+        else {
+          val base = c.manifests.toSet
+          var chosen: Option[IcebergOffset] = None
+          var i = idx + 1
+          var stop = false
+          while (i < snaps.size && !stop) {
+            val ms = IcebergRead.manifestsOf(spark, path, snaps(i)._2)
+              .map(_.toString)
+            val newCount = ms.count(!base(_))
+            if (chosen.nonEmpty && newCount > k) stop = true
+            else {
+              chosen = Some(IcebergOffset(snaps(i)._1, (i + 1).toLong, ms))
+              if (newCount >= k) stop = true
+              i += 1
+            }
+          }
+          chosen.orElse(Some(f))
+        }
+      case _ => full
+    }
   }
 
   private def toOff(o: Offset): IcebergOffset = o match {
@@ -129,6 +172,7 @@ final class IcebergStreamSource(spark: SparkSession, path: String) extends Sourc
     val meta = IcebergRead.currentMetadata(spark, path)
     val snaps = IcebergRead.snapshotList(spark, path, meta)
     val endOff = toOff(end)
+    consumed = Some(endOff) // rate-limit progress (recovery replays land here)
     def files(p: String) = IcebergRead.resolve(path, p).toString
     start.map(toOff) match {
       case None =>

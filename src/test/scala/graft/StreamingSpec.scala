@@ -1068,6 +1068,60 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("without change")), messages(e).toString)
   }
 
+  test("iceberg stream source: maxManifestsPerTrigger bounds each batch to whole snapshots") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("istream_rate").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    val fields = Seq((1, "k", true, "long"), (2, "v", false, "long"))
+    def part(name: String, rows: Seq[(Long, Long)]): String = {
+      val tmp = Files.createTempDirectory("irate_part").toFile.getAbsolutePath
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val batchSizes = new scala.collection.mutable.ArrayBuffer[Int]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("maxManifestsPerTrigger", "1").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count().toInt
+          if (n > 0) batchSizes.synchronized { batchSizes += n }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val f1 = part("f1.parquet", (1L to 4L).map(i => (i, i)))
+    val m1 = IcebergRead.Fixture.manifest(dir, "m1.avro", Seq((1, f1, 0)))
+    val ml1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 2, 100L, Seq((100L, ml1)), fields)
+    runOnce()
+    assert(batchSizes.toSeq == Seq(4), s"got $batchSizes")
+    // three appended snapshots, one new manifest each (10 / 5 / 3 rows)
+    val sizes = Seq(10L, 5L, 3L)
+    var next = 100L
+    var manifests = Seq(m1)
+    var snapshots = Seq((100L, ml1))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val f = part(s"f${i + 2}.parquet", (next until next + n).map(j => (j, j)))
+      next += n
+      val m = IcebergRead.Fixture.manifest(dir, s"m${i + 2}.avro", Seq((1, f, 0)))
+      manifests :+= m
+      val ml = IcebergRead.Fixture.manifestList(dir, s"snap-${i + 2}.avro", manifests)
+      snapshots :+= ((200L + i, ml))
+      IcebergRead.Fixture.metadataMulti(dir, i + 2, 2, 200L + i, snapshots, fields)
+    }
+    (1 to 5).foreach(_ => runOnce())
+    val got = batchSizes.toSeq
+    assert(got.sum == 4 + 18, s"all rows exactly once, got $got")
+    assert(got.tail == sizes.map(_.toInt),
+      s"each later batch = one snapshot under the 1-manifest limit, in order; got $got")
+  }
+
   test("delta stream source: maxFilesPerTrigger bounds each batch to whole commits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dstream_rate").toFile.getAbsolutePath + "/t"
