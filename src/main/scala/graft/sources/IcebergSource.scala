@@ -30,6 +30,10 @@ import org.apache.spark.sql.types.StructType
   * appearing in the window are not appends and the stream dies rather
   * than mis-serve.
   *
+  * `option("startingSnapshotId", id)` resumes strictly AFTER a known
+  * snapshot (by identity — the delta source's startingVersion face):
+  * no initial full-snapshot batch, just the increments since `id`.
+  *
   * RATE LIMITING (`option("maxManifestsPerTrigger", n)`): incremental
   * batches advance by whole snapshots whose cumulative new-manifest
   * count stays ≤ n (always ≥ 1 snapshot) — the bounded-backfill knob,
@@ -57,7 +61,8 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      params.get("maxmanifestspertrigger").map(_.toInt))
+      params.get("maxmanifestspertrigger").map(_.toInt),
+      params.get("startingsnapshotid").map(_.toLong))
   }
 }
 
@@ -96,14 +101,31 @@ private[sources] object IcebergOffset {
 }
 
 final class IcebergStreamSource(spark: SparkSession, path: String,
-    maxManifestsPerTrigger: Option[Int] = None) extends Source {
+    maxManifestsPerTrigger: Option[Int] = None,
+    startingSnapshotId: Option[Long] = None) extends Source {
 
   override val schema: StructType =
     IcebergRead.schemaOf(IcebergRead.currentMetadata(spark, path))
 
+  /** `startingSnapshotId` resumes strictly AFTER a known snapshot (the
+    * delta source's startingVersion, by identity): resolved and PINNED
+    * at source creation — the snapshot must still be in the list here
+    * (loud otherwise), after which its manifest names ride in this
+    * offset and survive its expiry like any checkpointed offset. */
+  private val startingOffset: Option[IcebergOffset] = startingSnapshotId.map { sid =>
+    val meta = IcebergRead.currentMetadata(spark, path)
+    val snaps = IcebergRead.snapshotList(spark, path, meta)
+    val i = snaps.indexWhere(_._1 == sid)
+    if (i < 0) throw new IllegalArgumentException(
+      s"startingSnapshotId $sid is not in the snapshot list at $path " +
+        "(expired or never committed); start from a live snapshot")
+    IcebergOffset(sid, (i + 1).toLong,
+      IcebergRead.manifestsOf(spark, path, snaps(i)._2).map(_.toString))
+  }
+
   /** Consumed progress for the RATE LIMIT (re-seeded by every planned
     * batch, including the recovery replay). */
-  @volatile private var consumed: Option[IcebergOffset] = None
+  @volatile private var consumed: Option[IcebergOffset] = startingOffset
 
   /** maxManifestsPerTrigger: advance by whole SNAPSHOTS whose
     * cumulative new-manifest count (vs the consumed offset) stays ≤
@@ -174,7 +196,7 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
     val endOff = toOff(end)
     consumed = Some(endOff) // rate-limit progress (recovery replays land here)
     def files(p: String) = IcebergRead.resolve(path, p).toString
-    start.map(toOff) match {
+    start.map(toOff).orElse(startingOffset) match {
       case None =>
         val live = IcebergRead.liveFiles(spark, path, meta, Some(endOff.sid))
         if (live.isEmpty) emptyBatch()

@@ -1068,6 +1068,54 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("without change")), messages(e).toString)
   }
 
+  test("iceberg stream source: startingSnapshotId skips the initial snapshot") {
+    import graft.sources.IcebergRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("istream_start").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    val fields = Seq((1, "k", true, "long"), (2, "v", false, "long"))
+    def part(name: String, rows: Seq[(Long, Long)]): String = {
+      val tmp = Files.createTempDirectory("istart_part").toFile.getAbsolutePath
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val f1 = part("f1.parquet", (1L to 30L).map(i => (i, i)))
+    val m1 = IcebergRead.Fixture.manifest(dir, "m1.avro", Seq((1, f1, 0)))
+    val ml1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    val f2 = part("f2.parquet", (31L to 35L).map(i => (i, i)))
+    val m2 = IcebergRead.Fixture.manifest(dir, "m2.avro", Seq((1, f2, 0)))
+    val ml2 = IcebergRead.Fixture.manifestList(dir, "snap-2.avro", Seq(m1, m2))
+    IcebergRead.Fixture.metadataMulti(dir, 2, 2, 200L,
+      Seq((100L, ml1), (200L, ml2)), fields)
+    val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("startingSnapshotId", "100").load(dir)
+      .writeStream.outputMode("append").option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect() }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.map(_.getLong(0)).toSet == (31L to 35L).toSet,
+      s"only the post-100 increment must stream; got ${got.map(_.getLong(0))}")
+    // an expired/unknown starting id declines loudly at source creation
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-iceberg")
+        .option("startingSnapshotId", "999").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", ckpt())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("startingSnapshotId")), messages(e).toString)
+  }
+
   test("iceberg stream source: maxManifestsPerTrigger bounds each batch to whole snapshots") {
     import graft.sources.IcebergRead
     import spark.implicits._
