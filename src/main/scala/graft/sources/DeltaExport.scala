@@ -244,8 +244,15 @@ object DeltaExport {
         MapType(StringType, StringType)),
       StructField("size", LongType), StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType)))
+    // metaData.format is REQUIRED by the protocol: once pre-checkpoint
+    // commit JSONs are vacuumed, external readers reconstruct metaData
+    // from the checkpoint alone and some require format.provider
+    val formatT = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
     val metaT = StructType(Seq(
-      StructField("id", StringType), StructField("schemaString", StringType),
+      StructField("id", StringType), StructField("format", formatT),
+      StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType))))
     val protoT = StructType(Seq(
@@ -258,8 +265,8 @@ object DeltaExport {
       StructField("txn", txnT)))
     val rows = Seq(
       Row(null, null, Row(st.minReader, 2), null),
-      Row(null, Row("graft-export", st.schemaJson.orNull,
-        st.partitionCols, st.config), null, null),
+      Row(null, Row("graft-export", Row("parquet", Map.empty[String, String]),
+        st.schemaJson.orNull, st.partitionCols, st.config), null, null),
       Row(null, null, null, Row("graft-export", graftV))) ++
       st.adds.values.toSeq.sortBy(_.path).map { a =>
         val p = new Path(a.path)

@@ -98,6 +98,22 @@ object DeltaRead {
     if (pairs.map(_._2).distinct.size != pairs.size)
       throw new IllegalStateException(
         s"delta table at $tablePath maps two columns to one physical name")
+    // NESTED complex types also carry per-field physicalName metadata
+    // inside their element/value schemas, which this top-level rewrite
+    // does not translate — scanning them by logical nested names would
+    // silently read nulls, so decline LOUDLY (r11 ADVICE close)
+    if (pairs.nonEmpty) {
+      val complex = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+      }
+      if (complex.nonEmpty) throw new UnsupportedOperationException(
+        s"delta table at $tablePath combines column mapping with nested " +
+          s"complex column(s) ${complex.mkString(", ")}; nested fields carry " +
+          "physical names this reader does not rewrite — flatten or rewrite " +
+          "the table before reading")
+    }
     pairs.toMap
   }
 

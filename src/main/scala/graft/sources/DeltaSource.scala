@@ -35,7 +35,13 @@ import org.apache.spark.sql.types.StructType
   * batches advance by whole commits whose summed add count stays ≤ n
   * (always ≥ 1 commit), so a backfill against a long log arrives in
   * bounded batches instead of one giant scan; the first-batch snapshot
-  * is never split (it is one pinned version).
+  * is never split (it is one pinned version). Scope (v1 Source
+  * limitation, r11 ADVICE): the cap holds WITHIN a run — consumed
+  * progress lives in memory and reseeds from the recovery `getBatch`
+  * replay of an UNcommitted batch, but after a clean restart whose
+  * last batch committed, the engine hands this source no prior offset
+  * before the first `getOffset`, so that one catch-up batch plans to
+  * latest uncapped; the cap re-engages from the next trigger.
   *
   * Scale: per trigger, one driver-side log listing; per batch,
   * O(added files) JSON reads and a schema-pinned scan of exactly

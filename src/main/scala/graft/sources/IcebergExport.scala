@@ -122,6 +122,24 @@ object IcebergExport {
 
   private final case class NewFile(path: String, recordCount: Long, sizeInBytes: Long)
 
+  /** The schema's JSON serialization — written identically into the
+    * metadata JSON and into every manifest's Avro key-value metadata
+    * (the spec requires each manifest to carry the schema it was
+    * written under). */
+  private def schemaJson(fields: Seq[(Int, String, Boolean, String)]): String = {
+    val fjson = fields.map { case (id, n, req, t) =>
+      s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
+    }.mkString(",")
+    s"""{"type":"struct","schema-id":0,"fields":[$fjson]}"""
+  }
+
+  /** Deterministic REAL table UUID (RFC-4122 name-based): stable across
+    * metadata versions of the same export target, so engines that key
+    * table identity on `table-uuid` see one table through appends. */
+  private def tableUuid(dir: String): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(
+      s"graft-iceberg-export:$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Parquet footer row count + file length — O(footer) driver reads. */
   private def describeFiles(spark: SparkSession, files: Seq[String]): Seq[NewFile] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -138,7 +156,8 @@ object IcebergExport {
   /** Write one ADDED-entries data manifest; returns (absPath, length,
     * fileCount, rowCount). */
   private def writeManifest(dir: String, name: String, snapshotId: Long,
-      seqNum: Long, files: Seq[NewFile]): (String, Long, Int, Long) = {
+      seqNum: Long, files: Seq[NewFile],
+      fields: Seq[(Int, String, Boolean, String)]): (String, Long, Int, Long) = {
     val entrySchema = manifestEntrySchema
     val dfSchema = entrySchema.getField("data_file").schema()
     val f = new java.io.File(s"$dir/metadata/$name")
@@ -146,6 +165,12 @@ object IcebergExport {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("format-version", "2")
     w.setMeta("content", "data")
+    // key-value metadata the spec REQUIRES of every manifest (r11
+    // ADVICE close — external engines reject manifests without them)
+    w.setMeta("schema", schemaJson(fields))
+    w.setMeta("schema-id", "0")
+    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", "0")
     w.create(entrySchema, f)
     files.foreach { nf =>
       val dfr = new GenericData.Record(dfSchema)
@@ -228,17 +253,14 @@ object IcebergExport {
       fields: Seq[(Int, String, Boolean, String)], snaps: Seq[Snap],
       currentId: Long): Unit = {
     val tsMs = System.currentTimeMillis()
-    val fjson = fields.map { case (id, n, req, t) =>
-      s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
-    }.mkString(",")
     val slog = snaps.map(s => s"""{"timestamp-ms":${s.tsMs},"snapshot-id":${s.id}}""")
       .mkString(",")
     val body =
-      s"""{"format-version":2,"table-uuid":"graft-export","location":"$dir",
+      s"""{"format-version":2,"table-uuid":"${tableUuid(dir)}","location":"$dir",
          |"last-sequence-number":${snaps.map(_.seqNum).max},
          |"last-updated-ms":$tsMs,"last-column-id":${fields.map(_._1).max},
          |"current-schema-id":0,
-         |"schemas":[{"type":"struct","schema-id":0,"fields":[$fjson]}],
+         |"schemas":[${schemaJson(fields)}],
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
          |"last-partition-id":999,
          |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
@@ -284,9 +306,10 @@ object IcebergExport {
       s"$targetPath already carries Iceberg metadata; export to a fresh path " +
         "(IcebergExport.append publishes follow-up commits)")
     val snapId = v
-    val m = writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files)
+    val fields = fieldsOf(scan.schema)
+    val m = writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files, fields)
     val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil, m)
-    writeMetadata(targetPath, 1, v, fieldsOf(scan.schema),
+    writeMetadata(targetPath, 1, v, fields,
       Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml, "append")), snapId)
     files.length
   }
@@ -345,7 +368,7 @@ object IcebergExport {
     val snapId = g1
     val priorManifests = avroRecords(spark,
       IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
-    val m = writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum, files)
+    val m = writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum, files, fields)
     val ml = writeManifestList(targetPath, f"snap-$g1%05d.avro", snapId, seqNum,
       priorManifests, m)
     writeMetadata(targetPath, metaV + 1, g1, fields,

@@ -37,7 +37,12 @@ import org.apache.spark.sql.types.StructType
   * RATE LIMITING (`option("maxManifestsPerTrigger", n)`): incremental
   * batches advance by whole snapshots whose cumulative new-manifest
   * count stays ≤ n (always ≥ 1 snapshot) — the bounded-backfill knob,
-  * symmetric with `graft-delta`'s maxFilesPerTrigger.
+  * symmetric with `graft-delta`'s maxFilesPerTrigger, and with the
+  * same v1-Source scope (r11 ADVICE): consumed progress is in-memory,
+  * reseeded by the recovery `getBatch` of an uncommitted batch; after
+  * a clean restart whose last batch committed, the first catch-up
+  * batch plans to latest uncapped, and the cap re-engages from the
+  * next trigger.
   *
   * Scale: per trigger one metadata JSON read; per batch O(new
   * manifests) Avro reads and a schema-pinned scan of exactly the added
