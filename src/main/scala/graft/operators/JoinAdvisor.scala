@@ -173,6 +173,26 @@ object JoinAdvisor {
     case Plain          => left.join(right, key)
   }
 
+  /** EVIDENCE-GUARDED broadcast hint — the headline-query face of the
+    * advisor, for plan-build sites whose side is dimension-LIKE at
+    * today's corpus but GROWS with it (TPC-H customer/supplier scale
+    * ×SF; nation/region don't). A literal `broadcast()` on such a side
+    * is the first plan that works at sandbox scale and the plan that
+    * dies at 100× (a multi-billion-row broadcast); this guard consults
+    * Catalyst's own size estimate for the subplan — derived from file
+    * sizes, so it scales WITH the data — and hints only when the side
+    * actually fits. At test scale the identical BroadcastHashJoin
+    * emerges (PlanSpec pins it); when the estimate crosses the
+    * threshold the hint vanishes and the planner keeps its own choice
+    * (shuffle join, or AQE's runtime broadcast if the built side turns
+    * out small after filters). Driver-only: one analyze+optimize pass
+    * over the subplan, no job, no scan. */
+  def hintIfSmall(df: DataFrame,
+      thresholdBytes: Long = 10L * 1024 * 1024): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresholdBytes))
+      broadcast(df)
+    else df
+
   /** The one-call face: consult stored stats, pick, build. Returns the
     * joined frame plus the pinned choice (for plan evidence).
     *

@@ -59,13 +59,17 @@ object Relational {
   }
 
   /** TPC-H Q3: shipping priority — 3-way join + agg + deterministic top-10.
-    * customer is the small side → broadcast; Spark plans
-    * TakeOrderedAndProject for the limit. The orders side stays a
-    * shuffled join BY DESIGN: date-filtered orders is ~most of the
-    * table, far over any broadcast threshold at scale. (A round-1 bench
-    * flagged q3 at 2.7 s — that was single-iteration first-run noise;
-    * the median-of-3 bench times it ~0.96 s at sf0.1 with this exact
-    * plan.) */
+    * customer is the small side at every sandbox scale → broadcast, but
+    * customer GROWS ×SF, so the hint is evidence-guarded
+    * ([[graft.operators.JoinAdvisor.hintIfSmall]]): the same BHJ
+    * emerges here from Catalyst's file-size estimate, and at 100× the
+    * hint vanishes instead of forcing a multi-billion-row broadcast.
+    * Spark plans TakeOrderedAndProject for the limit. The orders side
+    * stays a shuffled join BY DESIGN: date-filtered orders is ~most of
+    * the table, far over any broadcast threshold at scale. (A round-1
+    * bench flagged q3 at 2.7 s — that was single-iteration first-run
+    * noise; the median-of-3 bench times it ~0.96 s at sf0.1 with this
+    * exact plan.) */
   val q3ShippingPriority: QueryDef = QueryDef.sql(
     "q3_shipping_priority",
     """SELECT l_orderkey,
@@ -83,7 +87,8 @@ object Relational {
     val o = ord(s, d).filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
     val l = li(s, d).filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.JoinAdvisor.hintIfSmall(c),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(toDouble(sum(units(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -91,8 +96,12 @@ object Relational {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
-  /** TPC-H Q5: local-supplier volume — 6-way star join; all dims broadcast,
-    * so the only shuffles are the two fact-side equi-joins + final agg. */
+  /** TPC-H Q5: local-supplier volume — 6-way star join; all dims
+    * broadcast, so the only shuffles are the two fact-side equi-joins +
+    * final agg. nation/region are BOUNDED (25/5 rows at any SF) and
+    * keep the literal hint; customer/supplier grow ×SF, so their hints
+    * are evidence-guarded ([[graft.operators.JoinAdvisor.hintIfSmall]])
+    * — same plan at sandbox scale, no forced broadcast at 100×. */
   val q5LocalSupplier: QueryDef = QueryDef.sql(
     "q5_local_supplier",
     """SELECT n_name,
@@ -114,8 +123,9 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
     li(s, d)
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(graft.operators.JoinAdvisor.hintIfSmall(cust(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.JoinAdvisor.hintIfSmall(supp),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -145,7 +155,8 @@ object Relational {
       |ORDER BY n_name, rk""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("n_name")).orderBy(col("spend_u").desc, col("c_custkey"))
     ord(s, d)
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.JoinAdvisor.hintIfSmall(cust(s, d)),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
       .agg(sum(units(col("o_totalprice"), 2)).as("spend_u"))

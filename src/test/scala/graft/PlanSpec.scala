@@ -32,6 +32,35 @@ class PlanSpec extends SparkSpec {
       "customer/supplier/nation/region sides should all be broadcast")
   }
 
+  test("evidence-guarded dim hints: BHJ at test scale, shuffle join when stats say huge") {
+    import graft.operators.JoinAdvisor
+    // q3/q4/q5 route their scale-growing customer/supplier sides through
+    // hintIfSmall — at sandbox scale the SAME BroadcastHashJoin must
+    // emerge from Catalyst's size evidence as the old literal hint gave
+    for (q <- Seq(queries.Relational.q3ShippingPriority,
+        queries.Relational.q4TopCustomersPerNation)) {
+      val p = phys(q.run(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"${q.name}: customer should still broadcast at test scale:\n$p")
+    }
+    // a stats-say-huge side comes back UNhinted and the planner keeps a
+    // shuffle join: range's size estimate is exact (8 bytes/row), so
+    // 200M rows ≈ 1.6 GB crosses the guard without materializing a row
+    val huge = spark.range(200L * 1000 * 1000).toDF("k")
+    val other = spark.range(200L * 1000 * 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    val p = phys(other.join(JoinAdvisor.hintIfSmall(huge), "k"))
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"a huge-by-evidence side must not be force-broadcast:\n$p")
+    // and the guard itself: small side hinted, huge side passed through
+    assert(JoinAdvisor.hintIfSmall(Tables(spark, sf, "customer"))
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small-by-evidence side should carry the broadcast hint")
+    assert(!JoinAdvisor.hintIfSmall(huge)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "huge-by-evidence side must pass through unhinted")
+  }
+
   test("document chunk pipeline is narrow (no shuffle)") {
     val p = phys(DocPipeline.chunks(Tables(spark, sf, "documents")))
     assert(!p.contains("Exchange"),
