@@ -845,8 +845,87 @@ object CdcQueries {
       .withColumn("zero_copy", lit(nAppended > 0 && metaOnly))
   }
 
+  /** Delta V2-CHECKPOINT read interop (r12 tier — the checkpoint shape
+    * Databricks-written tables now carry by default): `_last_checkpoint`
+    * names a UUID-suffixed checkpoint whose top level holds only the
+    * non-file actions plus `checkpointMetadata`/`sidecar`, with the
+    * `add` actions in sidecar parquet files under `_delta_log/_sidecars/`
+    * — and a post-checkpoint JSON commit composes on top. The table is
+    * orders banded three ways: bands 0/1 live only in sidecars, band 2
+    * only in the trailing commit, so dropping EITHER source of adds
+    * breaks the per-band grouping the oracle states in closed form. */
+  val qDeltaReadV2Ckpt: QueryDef = QueryDef.sql(
+    "q_delta_read_v2ckpt",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dv2c_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 3).cast("string")).as("band"),
+      graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    def stagePart(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = s"${dir}_stage_${new java.io.File(dest).getName}"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dest)
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath): Unit
+    }
+    (0 to 2).foreach(b => stagePart(o.filter(col("band") === s"b$b"), s"$dir/f$b.parquet"))
+    import s.implicits._
+    // one sidecar per pre-checkpoint band file
+    (0 to 1).foreach { b =>
+      stagePart(Seq(Some((s"f$b.parquet", Map.empty[String, String])))
+        .toDF("addRaw")
+        .selectExpr("named_struct('path', addRaw._1, 'partitionValues', addRaw._2) AS add"),
+        s"$dir/_delta_log/_sidecars/sc-$b.parquet")
+    }
+    val schemaString = StructType(Seq(
+      StructField("band", StringType), StructField("cents", LongType))).json
+    val top = Seq(
+      (Some(1L), None: Option[String], None: Option[Int],
+        None: Option[(String, Seq[String])]),
+      (None, Some("sc-0.parquet"), None, None),
+      (None, Some("sc-1.parquet"), None, None),
+      (None, None, Some(3), None),
+      (None, None, None, Some((schemaString, Seq.empty[String]))))
+      .toDF("cmRaw", "scRaw", "protoRaw", "metaRaw")
+      .selectExpr(
+        "named_struct('version', cmRaw) AS checkpointMetadata",
+        "named_struct('path', scRaw) AS sidecar",
+        "named_struct('minReaderVersion', protoRaw, 'readerFeatures', " +
+          "CASE WHEN protoRaw IS NOT NULL THEN array('v2Checkpoint') END) AS protocol",
+        "named_struct('schemaString', metaRaw._1, 'partitionColumns', metaRaw._2) AS metaData")
+    stagePart(top, s"$dir/_delta_log/" + f"${1L}%020d" +
+      ".checkpoint.5c97f82e-3b6a-4a9e-9f6d-2f4d37c90210.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":1,"size":5}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${2L}%020d" + ".json"),
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+    graft.sources.DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
-    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend)
+    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt)
 }

@@ -12,11 +12,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * list and scan it — so the engine queries lakehouse data IN PLACE,
   * no conversion pass. Scope:
   *
-  *   - `_last_checkpoint` → `<v>.checkpoint.parquet` (add/remove/
-  *     metaData/protocol action columns), then every `<v>.json`
-  *     commit after it, ascending; actions apply in order — an `add`
-  *     (re)registers its path, a `remove` tombstones it, the last
-  *     `metaData` wins the schema;
+  *   - `_last_checkpoint` → the checkpoint at that version (classic
+  *     single-part, classic multi-part, or a V2 UUID-named checkpoint
+  *     whose file actions live in `_sidecars/` — the `v2Checkpoint`
+  *     reader feature), then every `<v>.json` commit after it,
+  *     ascending; actions apply in order — an `add` (re)registers its
+  *     path, a `remove` tombstones it, the last `metaData` wins the
+  *     schema;
   *   - add/remove paths are percent-encoded per the protocol (RFC
   *     2396) and decode on apply, so partition directories with
   *     spaces/unicode resolve;
@@ -44,7 +46,8 @@ object DeltaRead {
 
   /** Reader-version-3 features this replay honors; anything else on
     * the table's protocol declines by name. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -150,7 +153,7 @@ object DeltaRead {
       case other => throw new UnsupportedOperationException(
         s"delta table at $tablePath requires minReaderVersion $other; this " +
           "reader supports versions 1–3 (features: deletionVectors, " +
-          "columnMapping in name mode)")
+          "columnMapping in name mode, v2Checkpoint)")
     }
 
   /** Log replay to the live state: checkpoint (if any, and at or
@@ -179,9 +182,13 @@ object DeltaRead {
     st
   }
 
-  private def commitBody(spark: SparkSession, logDir: String, v: Long): Seq[String] = {
-    val f = fs(spark, logDir)
-    val in = f.open(new Path(logDir, f"$v%020d.json"))
+  private def commitBody(spark: SparkSession, logDir: String, v: Long): Seq[String] =
+    textLines(spark, new Path(logDir, f"$v%020d.json"))
+
+  /** Newline-delimited JSON action lines of one log file. */
+  private def textLines(spark: SparkSession, p: Path): Seq[String] = {
+    val f = fs(spark, p.toString)
+    val in = f.open(p)
     val body = try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
@@ -463,28 +470,116 @@ object DeltaRead {
     }
   }
 
-  /** Rebuild state from a classic checkpoint — single-part
-    * (`<v>.checkpoint.parquet`) or multi-part
-    * (`<v>.checkpoint.<i>.<n>.parquet`, read as one set): the same
-    * actions in columnar shape, already net-of-removes per the
-    * protocol (a checkpoint lists only live adds plus tombstones we
-    * can ignore for reads after their own commit window). */
+  /** Rebuild state from a checkpoint at `v` — three shapes of the
+    * public protocol:
+    *
+    *   - classic single-part `<v>.checkpoint.parquet`;
+    *   - classic multi-part `<v>.checkpoint.<i>.<n>.parquet` (read as
+    *     one set);
+    *   - V2 `<v>.checkpoint.<uniqueId>.parquet|json` (reader feature
+    *     `v2Checkpoint`): the top-level file carries the non-file
+    *     actions plus `checkpointMetadata` and `sidecar` actions; the
+    *     file actions live in the named sidecar parquet files under
+    *     `_delta_log/_sidecars/` (or in the top-level file itself when
+    *     the writer emitted none).
+    *
+    * All three are net-of-removes per the protocol (a checkpoint lists
+    * only live adds plus tombstones we can ignore for reads after
+    * their own commit window). */
   private def fromCheckpoint(spark: SparkSession, logDir: String, v: Long): LogState = {
     val f = fs(spark, logDir)
-    val single = new Path(logDir, f"$v%020d.checkpoint.parquet")
-    val parts: Seq[String] =
-      if (f.exists(single)) Seq(single.toString)
-      else {
-        val prefix = f"$v%020d.checkpoint."
-        val found = f.listStatus(new Path(logDir)).toSeq
-          .map(_.getPath.getName)
-          .filter(n => n.startsWith(prefix) && n.endsWith(".parquet"))
-          .sorted
-        if (found.isEmpty) throw new java.io.FileNotFoundException(
-          s"_last_checkpoint names v$v but no checkpoint parquet exists in $logDir")
-        found.map(n => s"$logDir/$n")
+    val names = f.listStatus(new Path(logDir)).toSeq.map(_.getPath.getName)
+    val single = f"$v%020d.checkpoint.parquet"
+    val prefix = f"$v%020d.checkpoint."
+    def segs(n: String) = n.stripPrefix(prefix).split('.')
+    if (names.contains(single))
+      stateFromActionFrame(spark, logDir, Seq(s"$logDir/$single"))
+    else {
+      // multi-part names carry TWO numeric segments before .parquet;
+      // v2 names carry ONE non-numeric uniqueId — disjoint by shape
+      val multi = names.filter { n =>
+        n.startsWith(prefix) && n.endsWith(".parquet") && {
+          val s = segs(n)
+          s.length == 3 && s(0).nonEmpty && s(0).forall(_.isDigit) &&
+            s(1).nonEmpty && s(1).forall(_.isDigit)
+        }
+      }.sorted
+      val v2 = names.filter { n =>
+        n.startsWith(prefix) && {
+          val s = segs(n)
+          s.length == 2 && s(0).nonEmpty && !s(0).forall(_.isDigit) &&
+            (s(1) == "parquet" || s(1) == "json")
+        }
       }
-    val df = spark.read.parquet(parts: _*)
+      if (multi.nonEmpty)
+        stateFromActionFrame(spark, logDir, multi.map(n => s"$logDir/$n"))
+      else if (v2.nonEmpty) fromV2Checkpoint(spark, logDir, v2.max, v)
+      else throw new java.io.FileNotFoundException(
+        s"_last_checkpoint names v$v but no checkpoint parquet exists in $logDir")
+    }
+  }
+
+  /** V2 checkpoint replay: parse the top-level file (parquet or json),
+    * validate its `checkpointMetadata.version` against the named
+    * version, then merge the file actions from its sidecars. */
+  private def fromV2Checkpoint(spark: SparkSession, logDir: String,
+      name: String, v: Long): LogState = {
+    val (st, sidecars, ckptV) =
+      if (name.endsWith(".json")) {
+        var s = LogState(Map.empty, None, Seq.empty, 1)
+        var paths = Vector.empty[String]
+        var cv: Option[Long] = None
+        textLines(spark, new Path(logDir, name)).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("sidecar"))
+            paths :+= node.get("sidecar").get("path").asText()
+          else if (node.has("checkpointMetadata"))
+            cv = Some(node.get("checkpointMetadata").get("version").asLong())
+          else s = applyAction(s, node)
+        }
+        (s, paths.toSeq, cv)
+      } else {
+        val df = spark.read.parquet(s"$logDir/$name")
+        val s = stateFromFrame(spark, df)
+        val paths =
+          if (!df.columns.contains("sidecar")) Seq.empty[String]
+          else df.select("sidecar.path").na.drop().collect()
+            .map(_.getString(0)).toSeq
+        val cv =
+          if (!df.columns.contains("checkpointMetadata")) None
+          else df.select("checkpointMetadata.version").na.drop().collect()
+            .headOption.map(_.getLong(0))
+        (s, paths, cv)
+      }
+    ckptV.filter(_ != v).foreach { got =>
+      throw new IllegalStateException(
+        s"v2 checkpoint $name declares checkpointMetadata.version $got, " +
+          s"expected $v — corrupt or misnamed checkpoint")
+    }
+    if (sidecars.isEmpty) st
+    else {
+      val resolved = sidecars.map { p =>
+        val hp = new Path(p)
+        if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
+        else s"$logDir/_sidecars/$p"
+      }
+      val sdf = spark.read.parquet(resolved: _*)
+      // sidecars carry the file actions; removes are tombstones a
+      // post-checkpoint read can ignore, adds merge over the (usually
+      // empty) top-level add set
+      st.copy(adds = st.adds ++ addsFromFrame(sdf))
+    }
+  }
+
+  /** Classic checkpoint parse: the whole state from one action frame. */
+  private def stateFromActionFrame(spark: SparkSession, logDir: String,
+      parts: Seq[String]): LogState =
+    stateFromFrame(spark, spark.read.parquet(parts: _*))
+
+  /** protocol/metaData/add extraction from a checkpoint action frame
+    * (absent columns = absent actions, tolerated per the protocol). */
+  private def stateFromFrame(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame): LogState = {
     val cols = df.columns.toSet
     var st = LogState(Map.empty, None, Seq.empty, 1)
     if (cols.contains("protocol")) {
@@ -515,36 +610,41 @@ object DeltaRead {
             r.head.getMap[String, String](2).toMap
           else Map.empty)
     }
-    if (cols.contains("add")) {
-      val addType = df.schema("add").dataType.asInstanceOf[StructType]
-      val hasDv = addType.fieldNames.contains("deletionVector")
-      val sel = if (hasDv)
-        df.select("add.path", "add.partitionValues", "add.deletionVector")
-      else df.select("add.path", "add.partitionValues")
-      val adds = sel.na.drop(Seq("path")).collect().map { r =>
-        val dv =
-          if (hasDv && !r.isNullAt(2)) {
-            val d = r.getStruct(2)
-            def idx(n: String) = d.schema.fieldIndex(n)
-            Some(DeltaDv.Descriptor(
-              d.getString(idx("storageType")),
-              d.getString(idx("pathOrInlineDv")),
-              if (d.isNullAt(idx("offset"))) None
-              else Some(d.get(idx("offset")) match {
-                case i: Int => i.toLong
-                case l: Long => l
-                case o => o.toString.toLong
-              }),
-              d.getInt(idx("sizeInBytes")),
-              d.getLong(idx("cardinality"))))
-          } else None
-        val pv = Option(r.getMap[String, String](1)).map(_.toMap)
-          .getOrElse(Map.empty[String, String])
-        val path = decodePath(r.getString(0))
-        path -> AddFile(path, pv, dv)
-      }.toMap
-      st = st.copy(adds = adds)
-    }
+    if (cols.contains("add")) st = st.copy(adds = addsFromFrame(df))
     st
+  }
+
+  /** `add` actions of a checkpoint/sidecar action frame as the live
+    * map (path → AddFile, partition values and DV descriptor intact). */
+  private def addsFromFrame(
+      df: org.apache.spark.sql.DataFrame): Map[String, AddFile] = {
+    if (!df.columns.contains("add")) return Map.empty
+    val addType = df.schema("add").dataType.asInstanceOf[StructType]
+    val hasDv = addType.fieldNames.contains("deletionVector")
+    val sel = if (hasDv)
+      df.select("add.path", "add.partitionValues", "add.deletionVector")
+    else df.select("add.path", "add.partitionValues")
+    sel.na.drop(Seq("path")).collect().map { r =>
+      val dv =
+        if (hasDv && !r.isNullAt(2)) {
+          val d = r.getStruct(2)
+          def idx(n: String) = d.schema.fieldIndex(n)
+          Some(DeltaDv.Descriptor(
+            d.getString(idx("storageType")),
+            d.getString(idx("pathOrInlineDv")),
+            if (d.isNullAt(idx("offset"))) None
+            else Some(d.get(idx("offset")) match {
+              case i: Int => i.toLong
+              case l: Long => l
+              case o => o.toString.toLong
+            }),
+            d.getInt(idx("sizeInBytes")),
+            d.getLong(idx("cardinality"))))
+        } else None
+      val pv = Option(r.getMap[String, String](1)).map(_.toMap)
+        .getOrElse(Map.empty[String, String])
+      val path = decodePath(r.getString(0))
+      path -> AddFile(path, pv, dv)
+    }.toMap
   }
 }

@@ -684,17 +684,106 @@ class SourcesSpec extends SparkSpec {
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir2))
     assert(e1.getMessage.contains("minReaderVersion"), e1.getMessage)
-    // reader version 3 gates on FEATURES: deletionVectors alone is
-    // supported, anything beyond declines by name
+    // reader version 3 gates on FEATURES: deletionVectors/columnMapping/
+    // v2Checkpoint are served, anything beyond declines by name
     val dir3 = Files.createTempDirectory("delta_feat").toFile.getAbsolutePath + "/t"
     new java.io.File(dir3).mkdirs()
     writeDeltaPart(dir3, "f1.parquet", Seq((1L, 1L)))
     writeDeltaCommit(dir3, 0,
-      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"]}}""",
         metaAction(partitioned = false),
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir3))
-    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+    assert(e2.getMessage.contains("timestampNtz"), e2.getMessage)
+  }
+
+  test("delta read: V2 checkpoints — UUID-named top level, sidecar file actions, json variant") {
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val schemaString = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))).json
+    def stage(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = Files.createTempDirectory("cpv2").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(dest).getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(dest))
+    }
+    def sidecarDf(addPaths: Seq[String]) =
+      addPaths.map(p => Some((p, Map.empty[String, String])))
+        .toDF("addRaw")
+        .selectExpr("named_struct('path', addRaw._1, 'partitionValues', addRaw._2) AS add")
+
+    // ---- parquet top-level: checkpointMetadata + sidecar + non-file actions
+    val dir = Files.createTempDirectory("delta_v2cp").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 15L).map(i => (i, i)))
+    writeDeltaPart(dir, "f3.parquet", (16L to 20L).map(i => (i, i)))
+    stage(sidecarDf(Seq("f1.parquet")), s"$dir/_delta_log/_sidecars/sc-aa.parquet")
+    stage(sidecarDf(Seq("f2.parquet")), s"$dir/_delta_log/_sidecars/sc-bb.parquet")
+    val top = Seq(
+      (Some(1L), None: Option[String], None: Option[Int],
+        None: Option[(String, Seq[String])]),
+      (None, Some("sc-aa.parquet"), None, None),
+      (None, Some("sc-bb.parquet"), None, None),
+      (None, None, Some(3), None),
+      (None, None, None, Some((schemaString, Seq.empty[String]))))
+      .toDF("cmRaw", "scRaw", "protoRaw", "metaRaw")
+      .selectExpr(
+        "named_struct('version', cmRaw) AS checkpointMetadata",
+        "named_struct('path', scRaw) AS sidecar",
+        "named_struct('minReaderVersion', protoRaw, 'readerFeatures', " +
+          "CASE WHEN protoRaw IS NOT NULL THEN array('v2Checkpoint') END) AS protocol",
+        "named_struct('schemaString', metaRaw._1, 'partitionColumns', metaRaw._2) AS metaData")
+    stage(top, s"$dir/_delta_log/" + f"${1L}%020d" +
+      ".checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":1,"size":5}""")
+    // a post-checkpoint JSON commit composes on top, as with classic
+    writeDeltaCommit(dir, 2,
+      Seq("""{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}"""))
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet
+      == (1L to 20L).toSet,
+      "sidecar adds + post-checkpoint commit must compose")
+
+    // ---- json top-level variant of the same table shape
+    val dirJ = Files.createTempDirectory("delta_v2cpj").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirJ).mkdirs()
+    writeDeltaPart(dirJ, "f1.parquet", (1L to 6L).map(i => (i, i)))
+    stage(sidecarDf(Seq("f1.parquet")), s"$dirJ/_delta_log/_sidecars/sc-cc.parquet")
+    val esc = schemaString.replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirJ/_delta_log/" + f"${0L}%020d" +
+        ".checkpoint.58d99c89-7f00-4722-87b1-3b02575f1b54.json"),
+      Seq("""{"checkpointMetadata":{"version":0}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"v2j","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
+        """{"sidecar":{"path":"sc-cc.parquet","sizeInBytes":1,"modificationTime":1}}""")
+        .mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirJ/_delta_log/_last_checkpoint"),
+      """{"version":0,"size":4}""")
+    assert(DeltaRead.read(spark, dirJ).select("id").as[Long].collect().toSet
+      == (1L to 6L).toSet, "json-format v2 checkpoint must replay")
+
+    // ---- a misnamed checkpoint (declared version ≠ file version) dies loudly
+    val dirX = Files.createTempDirectory("delta_v2cpx").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirX).mkdirs()
+    writeDeltaPart(dirX, "f1.parquet", Seq((1L, 1L)))
+    new java.io.File(s"$dirX/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirX/_delta_log/" + f"${3L}%020d" +
+        ".checkpoint.9a31bd34-9b29-4b0e-8b97-0a1e1f9d8a77.json"),
+      """{"checkpointMetadata":{"version":2}}""" + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirX/_delta_log/_last_checkpoint"),
+      """{"version":3,"size":1}""")
+    val eX = intercept[IllegalStateException](DeltaRead.read(spark, dirX))
+    assert(eX.getMessage.contains("checkpointMetadata.version"), eX.getMessage)
   }
 
   test("delta DV codec: z85 and RoaringBitmapArray round-trip the protocol format") {
