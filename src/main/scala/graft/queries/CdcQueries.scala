@@ -924,8 +924,86 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Delta `id`-MODE column-mapping read interop (r12 tier, the
+    * mapping mode [[qDeltaReadMapped]]'s name mode doesn't cover):
+    * data columns resolve by PARQUET FIELD ID from each file's footer
+    * — the three band files deliberately carry three DISJOINT sets of
+    * arbitrary column names (w0/x0, w1/x1, w2/x2) under the same ids
+    * 1/2, so any name- or physicalName-based resolution reads nulls
+    * in two of the three bands and breaks the closed-form grouping.
+    * The partition column still rides the log keyed by its
+    * physicalName, and commit 1 tombstones band b1, so replay,
+    * id-resolution, and partition injection all compose. */
+  val qDeltaReadIdMap: QueryDef = QueryDef.sql(
+    "q_delta_read_idmap",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band,
+      |    o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE band <> 'b1'
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_didm_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    def pqId(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"),
+      (col("o_orderkey") % 3).cast("int").as("b"))
+    // one file per band, each under its OWN arbitrary column names but
+    // the same parquet field ids — the id-mode resolution evidence
+    (0 to 2).foreach { b =>
+      val tmp = s"${dir}_stage_$b"
+      o.filter(col("b") === b)
+        .select(col("id").as(s"w$b", pqId(1)), col("cents").as(s"x$b", pqId(2)))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$dir/f$b.parquet").toPath): Unit
+    }
+    def fmeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("cents", LongType, nullable = true, fmeta(2, "col-2")),
+      StructField("band", StringType, nullable = true, fmeta(3, "col-3")))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val meta =
+      s"""{"metaData":{"id":"idmfix","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$esc","partitionColumns":["band"],""" +
+        """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}"""
+    def add(b: Int) =
+      s"""{"add":{"path":"f$b.parquet","partitionValues":{"col-3":"b$b"},""" +
+        s""""size":1,"modificationTime":$b,"dataChange":true}}"""
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta) ++
+        (0 to 2).map(add)).mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json"),
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":9,"dataChange":true}}""" + "\n")
+    graft.sources.DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
-    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt)
+    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap)
 }

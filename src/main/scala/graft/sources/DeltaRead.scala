@@ -30,10 +30,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     `_metadata.row_index` and anti-joins its decoded positions
   *     ([[DeltaDv]] — the protocol's z85/RoaringBitmap format), the
   *     standard MoR read amplification until the writer OPTIMIZEs;
+  *   - COLUMN MAPPING (reader version 2 / the v3 feature) serves both
+  *     modes: `name` scans by the schema's physicalName metadata, `id`
+  *     resolves data columns by parquet field id from each file's
+  *     footer (names are arbitrary in id mode);
   *   - features this reader cannot honor fail LOUDLY, never silently
-  *     mis-read: `minReaderVersion` 2 (column mapping) and any
-  *     version-3 reader feature outside `deletionVectors` decline
-  *     with the feature named.
+  *     mis-read: any version-3 reader feature outside
+  *     `deletionVectors`/`columnMapping`/`v2Checkpoint` declines with
+  *     the feature named.
   *
   * Scale: log replay is driver-side O(actions) — the same planning
   * cost Delta itself pays; the scan is one parquet read per partition
@@ -80,15 +84,13 @@ object DeltaRead {
     * feature): the table's logical column names resolve to the
     * immutable physical names the parquet files carry, recorded per
     * field as `delta.columnMapping.physicalName` in the schemaString's
-    * metadata. `name` mode is served (scan by physical name, alias to
-    * logical; partitionValues key on physical names); `id` mode
-    * (parquet field-id matching) declines loudly. Returns logical →
-    * physical, empty for unmapped tables. */
+    * metadata. `name` mode scans by physical name and aliases to
+    * logical; `id` mode resolves DATA columns by parquet field id
+    * instead ([[colIdsOf]] + per-file footer ids — the spec's
+    * authoritative match there), while partitionValues still key on
+    * the physical names this map carries in BOTH modes. Returns
+    * logical → physical, empty for unmapped tables. */
   private[sources] def colMapOf(tablePath: String, st: LogState): Map[String, String] = {
-    val mode = st.config.getOrElse("delta.columnMapping.mode", "")
-    if (mode == "id") throw new UnsupportedOperationException(
-      s"delta table at $tablePath uses columnMapping mode 'id' (parquet " +
-        "field-id matching); this reader supports mode 'name'")
     val schema = st.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return Map.empty)
     val pairs = schema.fields.toSeq.flatMap { f =>
@@ -120,6 +122,39 @@ object DeltaRead {
     pairs.toMap
   }
 
+  /** `id`-mode column mapping: logical data column → its
+    * `delta.columnMapping.id` field id. Empty unless the table's
+    * configuration declares mode `id`; in id mode every mapped field
+    * must carry an id (loud otherwise — a silent name fallback is
+    * exactly the mis-read the mode exists to prevent). */
+  private[sources] def colIdsOf(tablePath: String, st: LogState): Map[String, Int] = {
+    if (st.config.getOrElse("delta.columnMapping.mode", "") != "id") return Map.empty
+    val schema = st.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return Map.empty)
+    schema.fields.toSeq.map { f =>
+      if (!f.metadata.contains("delta.columnMapping.id"))
+        throw new IllegalStateException(
+          s"delta table at $tablePath is in columnMapping mode 'id' but " +
+            s"column '${f.name}' carries no delta.columnMapping.id")
+      f.name -> f.metadata.getLong("delta.columnMapping.id").toInt
+    }.toMap
+  }
+
+  /** One parquet footer's top-level (fieldId → file column name) map —
+    * the id-mode resolution evidence, a driver-side O(footer) read per
+    * file (the same planning read every field-id reader pays). */
+  private def fieldIdsOf(spark: SparkSession, file: String): Map[Int, String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      rdr.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { f =>
+        Option(f.getId).map(id => id.intValue() -> f.getName)
+      }.toMap
+    } finally rdr.close()
+  }
+
   /** The table's live snapshot as a DataFrame (`asOf` pins the replay
     * to a log version — the streaming source's first batch uses it so
     * a commit landing between offset resolution and batch planning
@@ -137,13 +172,15 @@ object DeltaRead {
     // one scan per distinct partition tuple: the values live in the log
     // (null = absent key), not the files; absolute add.paths allowed
     else scanAdds(spark, tablePath, st.adds.values.toSeq, schema,
-      st.partitionCols, colMapOf(tablePath, st))
+      st.partitionCols, colMapOf(tablePath, st), colIdsOf(tablePath, st))
   }
 
   private def requireReadable(tablePath: String, st: LogState): Unit =
     st.minReader match {
       case 1 => ()
-      case 2 => colMapOf(tablePath, st): Unit // validates the mode; name serves
+      // validates the mapping (nested guard; id mode: every field has
+      // an id) — both name and id modes are served
+      case 2 => colMapOf(tablePath, st); colIdsOf(tablePath, st): Unit
       case 3 =>
         val unsupported = st.readerFeatures -- SupportedReaderFeatures
         if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -153,7 +190,7 @@ object DeltaRead {
       case other => throw new UnsupportedOperationException(
         s"delta table at $tablePath requires minReaderVersion $other; this " +
           "reader supports versions 1–3 (features: deletionVectors, " +
-          "columnMapping in name mode, v2Checkpoint)")
+          "columnMapping, v2Checkpoint)")
     }
 
   /** Log replay to the live state: checkpoint (if any, and at or
@@ -298,7 +335,28 @@ object DeltaRead {
     * defensive fallback for writers that never translated). */
   private[sources] def scanAdds(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
-      colMap: Map[String, String] = Map.empty): DataFrame = {
+      colMap: Map[String, String] = Map.empty,
+      colIds: Map[String, Int] = Map.empty): DataFrame = {
+    if (colIds.nonEmpty) {
+      // ID MODE: the parquet field id is the authoritative match — file
+      // column NAMES are arbitrary (and may differ file to file, e.g.
+      // across a rename era). Resolve each file's footer id→name map on
+      // the driver, group files sharing a resolution, and serve each
+      // group through the name path below with that map as its colMap
+      // (partition columns keep their physicalName resolution — the log
+      // keys partitionValues by physical name in both modes). A file
+      // missing an id maps to a sentinel absent name → nulls, the
+      // schema-evolution contract for files born before the column.
+      val dataNames = schema.filterNot(f => partCols.contains(f.name)).map(_.name)
+      val groups = adds.groupBy { a =>
+        val byId = fieldIdsOf(spark, resolvePath(tablePath, a.path))
+        dataNames.map(n =>
+          n -> byId.getOrElse(colIds(n), s"__graft_absent_${colIds(n)}")).toMap
+      }
+      return groups.toSeq.map { case (m, as) =>
+        scanAdds(spark, tablePath, as, schema, partCols, colMap ++ m)
+      }.reduce(_.unionByName(_))
+    }
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
@@ -342,7 +400,12 @@ object DeltaRead {
     * under a column mapping, like data files. */
   private[sources] def scanCdc(spark: SparkSession, tablePath: String,
       v: Long, files: Seq[CdcFile], schema: StructType,
-      partCols: Seq[String], colMap: Map[String, String] = Map.empty): DataFrame = {
+      partCols: Seq[String], colMap: Map[String, String] = Map.empty,
+      colIds: Map[String, Int] = Map.empty): DataFrame = {
+    if (colIds.nonEmpty) throw new UnsupportedOperationException(
+      s"delta table at $tablePath serves change data under columnMapping " +
+        "mode 'id'; this reader resolves CDF change files by physical name " +
+        "only — read the snapshot, or use mode 'name'")
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
       .filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version")
@@ -368,10 +431,11 @@ object DeltaRead {
   /** Adds served as CDF inserts (the pure-append commit shape). */
   private[sources] def scanAddsAsInserts(spark: SparkSession, tablePath: String,
       v: Long, adds: Seq[AddFile], schema: StructType,
-      partCols: Seq[String], colMap: Map[String, String] = Map.empty): DataFrame = {
+      partCols: Seq[String], colMap: Map[String, String] = Map.empty,
+      colIds: Map[String, Int] = Map.empty): DataFrame = {
     val dataSchema = StructType(
       schema.filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version"))
-    scanAdds(spark, tablePath, adds, dataSchema, partCols, colMap)
+    scanAdds(spark, tablePath, adds, dataSchema, partCols, colMap, colIds)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(v).cast(LongType))
   }
@@ -386,12 +450,14 @@ object DeltaRead {
       throw new IllegalStateException(s"no metaData at $tablePath")))
       .asInstanceOf[StructType]
     val colMap = colMapOf(tablePath, st)
+    val colIds = colIdsOf(tablePath, st)
     val frames = changesBetween(spark, tablePath, sinceV, toV).flatMap {
       case (v, Right(cdcFiles)) =>
-        Some(scanCdc(spark, tablePath, v, cdcFiles, schema, st.partitionCols, colMap))
+        Some(scanCdc(spark, tablePath, v, cdcFiles, schema, st.partitionCols,
+          colMap, colIds))
       case (v, Left(adds)) if adds.nonEmpty =>
         Some(scanAddsAsInserts(spark, tablePath, v, adds, schema,
-          st.partitionCols, colMap))
+          st.partitionCols, colMap, colIds))
       case _ => None
     }
     if (frames.isEmpty) {

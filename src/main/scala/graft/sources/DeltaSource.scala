@@ -98,6 +98,7 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
   private val state0 = DeltaRead.replay(spark, path)
   private val partCols: Seq[String] = state0.partitionCols
   private val colMap: Map[String, String] = DeltaRead.colMapOf(path, state0)
+  private val colIds: Map[String, Int] = DeltaRead.colIdsOf(path, state0)
 
   private val dataSchema: StructType = DeltaRead.read(spark, path).schema
 
@@ -173,9 +174,11 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
       case Some(sinceV) if cdf =>
         val frames = DeltaRead.changesBetween(spark, path, sinceV, endV).flatMap {
           case (v, Right(cdcFiles)) =>
-            Some(DeltaRead.scanCdc(spark, path, v, cdcFiles, dataSchema, partCols, colMap))
+            Some(DeltaRead.scanCdc(spark, path, v, cdcFiles, dataSchema,
+              partCols, colMap, colIds))
           case (v, Left(adds)) if adds.nonEmpty =>
-            Some(DeltaRead.scanAddsAsInserts(spark, path, v, adds, dataSchema, partCols, colMap))
+            Some(DeltaRead.scanAddsAsInserts(spark, path, v, adds, dataSchema,
+              partCols, colMap, colIds))
           case _ => None
         }
         if (frames.isEmpty) empty
@@ -185,7 +188,7 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
         val added = DeltaRead.addsBetween(spark, path, sinceV, endV)
         if (added.isEmpty) empty
         else GraftPlanApi.markFileRelationsStreaming(
-          DeltaRead.scanAdds(spark, path, added, schema, partCols, colMap))
+          DeltaRead.scanAdds(spark, path, added, schema, partCols, colMap, colIds))
     }
   }
 

@@ -786,6 +786,66 @@ class SourcesSpec extends SparkSpec {
     assert(eX.getMessage.contains("checkpointMetadata.version"), eX.getMessage)
   }
 
+  test("delta read: id-mode column mapping resolves by parquet field id, not name") {
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_idm").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def idMeta(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // two files, same field ids 1/2, DIFFERENT arbitrary column names —
+    // a name- or physicalName-based reader cannot resolve both
+    def stage(names: (String, String), rows: Seq[(Long, Long)], dest: String): Unit = {
+      val df = rows.toDF("a", "b").select(
+        col("a").as(names._1, idMeta(1)), col("b").as(names._2, idMeta(2)))
+      val tmp = Files.createTempDirectory("idm_stage").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$dest"))
+      ()
+    }
+    stage(("zz_a", "zz_b"), (1L to 8L).map(i => (i, i * 10)), "fA.parquet")
+    stage(("yy_a", "yy_b"), (9L to 16L).map(i => (i, i * 10)), "fB.parquet")
+    def fmeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    // a third mapped column no file carries: id-mode schema evolution →
+    // it must read as null, never bind to a wrong name
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("cents", LongType, nullable = true, fmeta(2, "col-2")),
+      StructField("later", LongType, nullable = true, fmeta(3, "col-3")))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idmfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+      """{"add":{"path":"fA.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"fB.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "cents", "later"))
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).toSet == (1L to 16L).toSet,
+      "both files must resolve by field id despite disjoint column names")
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 10))
+    assert(rows.forall(_.isNullAt(2)), "an id absent from every footer reads null")
+    // a field WITHOUT an id in id mode dies loudly (silent name
+    // fallback is the mis-read the mode exists to prevent)
+    val escBad = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("noid", LongType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val dir2 = Files.createTempDirectory("delta_idm2").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir2).mkdirs()
+    writeDeltaPart(dir2, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idmbad","format":{"provider":"parquet","options":{}},"schemaString":"$escBad","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalStateException](DeltaRead.read(spark, dir2))
+    assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
+  }
+
   test("delta DV codec: z85 and RoaringBitmapArray round-trip the protocol format") {
     import graft.sources.DeltaDv
     // z85 reference vector from the ZeroMQ spec: "HelloWorld" encodes
