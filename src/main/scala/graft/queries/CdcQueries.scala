@@ -1002,8 +1002,81 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Iceberg EQUALITY-DELETE read interop (r12 tier — the MoR shape
+    * Flink CDC writers emit), mixed with a position delete in the same
+    * snapshot: band-0 data commits at sequence 1, an equality delete on
+    * field `id` (every multiple of 7) at sequence 2, band-1 data at
+    * sequence 3, and a position delete over the band-1 file. The
+    * equality delete lists ALL multiples of 7, so a reader that
+    * ignores sequence ordering also kills band-1 multiples (committed
+    * AFTER the delete) and breaks the closed form; a reader that drops
+    * equality deletes keeps band-0 multiples. The oracle restates both
+    * rules exactly. */
+  val qIcebergReadEq: QueryDef = QueryDef.sql(
+    "q_iceberg_read_eq",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    o_orderkey % 2 AS band,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id
+      |FROM o WHERE NOT (band = 0 AND id % 7 = 0)
+      |  AND NOT (band = 1 AND pos % 5 = 2)""".stripMargin) { (s, d) =>
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ieq_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"),
+      (col("o_orderkey") % 2).as("band"))
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = s"${dir}_stage_$name"
+      df.write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val files = (0 to 1).map { b =>
+      stageOne(o.filter(col("band") === b).drop("band")
+        .repartition(1).sortWithinPartitions("id"), s"f$b.parquet")
+    }
+    // equality delete (seq 2): EVERY id ≡ 0 (mod 7), both bands' —
+    // sequence ordering must confine it to the seq-1 band-0 file
+    val eqDel = stageOne(o.filter(col("id") % 7 === 0).select("id").coalesce(1), "eq0.parquet")
+    // position delete over the band-1 file: positions ≡ 2 (mod 5)
+    val n1 = o.filter(col("band") === 1).count()
+    import s.implicits._
+    val posDel = stageOne(
+      2L.until(n1, 5L).map(p => (files(1), p)).toDF("file_path", "pos").coalesce(1),
+      "pd0.parquet")
+    val mData = IcebergRead.Fixture.manifestV2(dir, "mData.avro", Seq(
+      EntryInfo(1, files(0), 0, 1L, Nil), EntryInfo(1, files(1), 0, 3L, Nil)))
+    val mDel = IcebergRead.Fixture.manifestV2(dir, "mDel.avro", Seq(
+      EntryInfo(1, eqDel, 2, 2L, Seq(1)), EntryInfo(1, posDel, 1, 4L, Nil)))
+    val ml = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(mData, mDel))
+    IcebergRead.Fixture.metadata(dir, 1, formatVersion = 2, snapshotId = 1L,
+      manifestList = ml, fields = Seq((1, "id", true, "long"), (2, "cents", false, "long")))
+    IcebergRead.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(col("id")).as("sum_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
-    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap)
+    qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
+    qIcebergReadEq)
 }

@@ -350,6 +350,12 @@ object DeltaRead {
       val dataNames = schema.filterNot(f => partCols.contains(f.name)).map(_.name)
       val groups = adds.groupBy { a =>
         val byId = fieldIdsOf(spark, resolvePath(tablePath, a.path))
+        // a footer with NO ids at all cannot be id-resolved — loud, not
+        // all-null (only an individually absent id is schema evolution)
+        if (byId.isEmpty) throw new IllegalStateException(
+          s"delta table at $tablePath is in columnMapping mode 'id' but data " +
+            s"file ${a.path} carries no parquet field ids — the file cannot " +
+            "be resolved; rewrite the table or fix the mode")
         dataNames.map(n =>
           n -> byId.getOrElse(colIds(n), s"__graft_absent_${colIds(n)}")).toMap
       }

@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   *     scan is one schema-pinned parquet read of the live files —
   *     pushdown and pruning intact, no value injection;
   *   - the table schema maps from the metadata JSON's field list
-  *     (current-schema-id honored); features this reader cannot honor
-  *     decline LOUDLY with the feature named: format-version > 2,
-  *     non-data content entries (position/equality DELETE FILES), and
-  *     field types outside the interchange set.
+  *     (current-schema-id honored); v2 merge-on-read serves BOTH
+  *     delete shapes (position deletes by (file, pos); equality
+  *     deletes by field-id columns with sequence-number ordering);
+  *     features this reader cannot honor decline LOUDLY with the
+  *     feature named: format-version > 2 and field types outside the
+  *     interchange set.
   *
   * Scale: the metadata chain is driver-side O(manifest entries) —
   * exactly the planning cost Iceberg itself pays; manifests read
@@ -157,59 +159,86 @@ object IcebergRead {
     avroRecords(spark, manifestList)
       .map(r => resolve(tablePath, String.valueOf(r.get("manifest_path"))))
 
-  /** One manifest's entries as (status, filePath, content) — content 0
-    * is data, 1 position deletes (format v2 merge-on-read, applied at
-    * read), 2 equality deletes (declined loudly by callers). */
+  /** One manifest entry, decoded: content 0 is data, 1 position
+    * deletes, 2 equality deletes (both v2 merge-on-read shapes applied
+    * at read). `seq` is the entry's data sequence number (0 when the
+    * writer omitted it — v1 manifests); equality deletes carry the
+    * field ids their rows match on. */
+  final case class EntryInfo(status: Int, path: String,
+      content: Int, seq: Long, equalityIds: Seq[Int])
+
   private[sources] def entriesOf(spark: SparkSession,
-      manifestPath: Path): Seq[(Int, String, Int)] =
+      manifestPath: Path): Seq[EntryInfo] =
     avroRecords(spark, manifestPath).map { e =>
       val status = e.get("status").asInstanceOf[Number].intValue()
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       val content = Option(df.get("content"))
         .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-      if (content == 2) throw new UnsupportedOperationException(
-        s"iceberg EQUALITY delete file in $manifestPath; this reader applies " +
-          "position deletes only — rewrite equality deletes before reading")
       if (content > 2) throw new UnsupportedOperationException(
         s"iceberg content=$content in $manifestPath is outside the v2 spec")
-      (status, String.valueOf(df.get("file_path")), content)
+      // by-name generic decode tolerates absent OPTIONAL fields (old
+      // fixtures / v1 manifests): probe the writer schema first —
+      // GenericData.Record.get(name) throws on unknown fields
+      def opt(r: GenericRecord, field: String): Option[AnyRef] =
+        if (r.getSchema.getField(field) == null) None else Option(r.get(field))
+      val seq = opt(e, "sequence_number")
+        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      val eqIds = opt(df, "equality_ids").map {
+        case c: java.util.Collection[_] =>
+          import scala.jdk.CollectionConverters._
+          c.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+        case other => throw new IllegalStateException(
+          s"equality_ids in $manifestPath is not an array: ${other.getClass}")
+      }.getOrElse(Seq.empty)
+      if (content == 2 && eqIds.isEmpty) throw new IllegalStateException(
+        s"iceberg EQUALITY delete file in $manifestPath carries no " +
+          "equality_ids — the delete is unapplicable")
+      EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds)
     }
 
-  /** A snapshot's live (dataFiles, positionDeleteFiles) — both net of
-    * DELETED-status entries (default: the current snapshot).
-    *
-    * Scope note: position deletes apply to every live data file whose
-    * path they name — the common all-in-snapshot case; per-file
-    * sequence-number ordering (a delete older than a rewritten data
-    * file) is not modeled, and compaction that would need it also
-    * removes the delete files. */
-  private[sources] def liveFilesSplit(spark: SparkSession, tablePath: String,
-      meta: JsonNode, snapshotId: Option[Long] = None): (Seq[String], Seq[String]) = {
+  /** A snapshot's live entries (data + delete files), net of
+    * DELETED-status entries (default: the current snapshot). */
+  private[sources] def liveEntries(spark: SparkSession, tablePath: String,
+      meta: JsonNode, snapshotId: Option[Long] = None): Seq[EntryInfo] = {
     val snapId = snapshotId.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong())).getOrElse(
       throw new IllegalStateException(s"no current-snapshot-id at $tablePath"))
-    if (snapId == -1) return (Seq.empty, Seq.empty) // empty table sentinel
+    if (snapId == -1) return Seq.empty // empty table sentinel
     val listPath = snapshotList(spark, tablePath, meta)
       .find(_._1 == snapId).map(_._2)
       .getOrElse(throw new IllegalStateException(
         s"snapshot $snapId not in snapshot list at $tablePath"))
-    val live = manifestsOf(spark, tablePath, listPath).flatMap { mp =>
-      entriesOf(spark, mp).collect {
-        case (status, p, content) if status != 2 => (p, content)
-      }
-    }
-    (live.collect { case (p, 0) => p }, live.collect { case (p, 1) => p })
+    manifestsOf(spark, tablePath, listPath)
+      .flatMap(mp => entriesOf(spark, mp)).filter(_.status != 2)
   }
 
   /** A snapshot's live data files (delete-free tables; callers that
     * can't host merge-on-read use this and fail loudly otherwise). */
   private[sources] def liveFiles(spark: SparkSession, tablePath: String,
       meta: JsonNode, snapshotId: Option[Long] = None): Seq[String] = {
-    val (data, dels) = liveFilesSplit(spark, tablePath, meta, snapshotId)
-    if (dels.nonEmpty) throw new UnsupportedOperationException(
-      s"iceberg snapshot at $tablePath carries position-delete files; " +
+    val live = liveEntries(spark, tablePath, meta, snapshotId)
+    if (live.exists(_.content != 0)) throw new UnsupportedOperationException(
+      s"iceberg snapshot at $tablePath carries delete files; " +
         "this path serves data files only — use IcebergRead.read")
-    data
+    live.map(_.path)
+  }
+
+  /** Current-schema (fieldId → column name) — equality deletes name
+    * their match columns by field id. */
+  private[sources] def fieldNamesById(meta: JsonNode): Map[Int, String] = {
+    val schemaNode = Option(meta.get("schemas")).map { arr =>
+      val want = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      (0 until arr.size()).map(arr.get)
+        .find(s => s.get("schema-id").asInt() == want)
+        .getOrElse(throw new IllegalStateException(
+          s"current-schema-id $want not present in schemas"))
+    }.orElse(Option(meta.get("schema"))).getOrElse(
+      throw new IllegalStateException("iceberg metadata carries no schema"))
+    val fields = schemaNode.get("fields")
+    (0 until fields.size()).map { i =>
+      val fld = fields.get(i)
+      fld.get("id").asInt() -> fld.get("name").asText()
+    }.toMap
   }
 
   /** SPEC-SHAPED FIXTURE EMITTERS (the `makePdf*` stance: the repo has
@@ -219,27 +248,49 @@ object IcebergRead {
     * Iceberg table carries more fields, which the generic by-name
     * decoding above ignores). */
   object Fixture {
-    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
 
     /** entries: (status, absoluteFilePath, content). */
     def manifest(dir: String, name: String,
-        entries: Seq[(Int, String, Int)]): String = {
+        entries: Seq[(Int, String, Int)]): String =
+      manifestV2(dir, name,
+        entries.map { case (s, p, c) => EntryInfo(s, p, c, 0L, Nil) })
+
+    /** Full-shape variant: sequence numbers and (for content=2)
+      * equality-id lists ride the entries, the fields the
+      * merge-on-read ordering rules key on. */
+    def manifestV2(dir: String, name: String,
+        entries: Seq[EntryInfo]): String = {
+      val idsSchema = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL),
+        Schema.createArray(Schema.create(Schema.Type.INT))))
       val dfSchema = SchemaBuilder.record("r102").fields()
-        .requiredString("file_path").requiredInt("content").endRecord()
+        .requiredString("file_path").requiredInt("content")
+        .name("equality_ids").`type`(idsSchema).withDefault(null)
+        .endRecord()
       val entrySchema = SchemaBuilder.record("manifest_entry").fields()
-        .requiredInt("status")
+        .requiredInt("status").requiredLong("sequence_number")
         .name("data_file").`type`(dfSchema).noDefault().endRecord()
       val f = new java.io.File(s"$dir/metadata/$name")
       f.getParentFile.mkdirs()
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
       w.create(entrySchema, f)
-      entries.foreach { case (status, path, content) =>
+      entries.foreach { en =>
         val dfr = new GenericData.Record(dfSchema)
-        dfr.put("file_path", path); dfr.put("content", content)
+        dfr.put("file_path", en.path); dfr.put("content", en.content)
+        dfr.put("equality_ids",
+          if (en.equalityIds.isEmpty) null
+          else {
+            val arr = new GenericData.Array[Integer](
+              en.equalityIds.size, idsSchema.getTypes.get(1))
+            en.equalityIds.foreach(i => arr.add(i: Integer))
+            arr
+          })
         val e = new GenericData.Record(entrySchema)
-        e.put("status", status); e.put("data_file", dfr)
+        e.put("status", en.status); e.put("sequence_number", en.seq)
+        e.put("data_file", dfr)
         w.append(e)
       }
       w.close()
@@ -301,33 +352,75 @@ object IcebergRead {
       c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
 
   /** The table's snapshot as a DataFrame (`snapshotId` pins one; the
-    * default is the current snapshot). Format-v2 POSITION DELETES
-    * apply merge-on-read: the data scan extends with
-    * (`_metadata.file_path`, `_metadata.row_index`) and anti-joins the
-    * delete files' (file_path, pos) pairs — O(deleted rows) side,
-    * broadcast by AQE when small, the standard MoR read tax. */
+    * default is the current snapshot). Format-v2 MERGE-ON-READ applies
+    * both delete shapes:
+    *
+    *   - POSITION DELETES (content=1): the data scan extends with
+    *     (`_metadata.file_path`, `_metadata.row_index`) and anti-joins
+    *     the delete files' (file_path, pos) pairs — they key on the
+    *     named immutable file, so sequence ordering is implicit;
+    *   - EQUALITY DELETES (content=2, the shape Flink CDC writers emit):
+    *     each delete file names its match columns by field id
+    *     (`equality_ids`) and applies to data files whose sequence
+    *     number is STRICTLY OLDER than the delete's — a key re-inserted
+    *     after the delete survives. Data files group by sequence
+    *     number, each group anti-joins the applicable delete rows
+    *     null-safely on the id columns; group and delete-file counts
+    *     are bounded by the commits since the writer's last compaction
+    *     (which folds deletes away), the standard MoR read tax.
+    *
+    * Delete sides are O(deleted rows), broadcast by AQE when small. */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val meta = currentMetadata(spark, tablePath)
     val schema = schemaOf(meta)
-    val (files, deletes) = liveFilesSplit(spark, tablePath, meta, snapshotId)
-    if (files.isEmpty)
+    val live = liveEntries(spark, tablePath, meta, snapshotId)
+    val data = live.filter(_.content == 0)
+    val posDels = live.filter(_.content == 1).map(_.path)
+    val eqDels = live.filter(_.content == 2)
+    if (data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val base = spark.read.schema(schema)
-      .parquet(files.map(p => resolve(tablePath, p).toString): _*)
-    if (deletes.isEmpty) base
-    else {
-      val withPos = base.select(col("*"),
-        normPath(col("_metadata.file_path")).as("__g_fp"),
-        col("_metadata.row_index").as("__g_ri"))
-      val dels = spark.read
-        .parquet(deletes.map(p => resolve(tablePath, p).toString): _*)
+    def scanOf(paths: Seq[String]) = spark.read.schema(schema)
+      .parquet(paths.map(p => resolve(tablePath, p).toString): _*)
+    if (posDels.isEmpty && eqDels.isEmpty) return scanOf(data.map(_.path))
+    val posDf =
+      if (posDels.isEmpty) None
+      else Some(spark.read
+        .parquet(posDels.map(p => resolve(tablePath, p).toString): _*)
         .select(normPath(col("file_path")).as("__g_fp"),
-          col("pos").cast("long").as("__g_ri"))
-      withPos.join(dels, Seq("__g_fp", "__g_ri"), "left_anti")
-        .drop("__g_fp", "__g_ri")
+          col("pos").cast("long").as("__g_ri")))
+    val namesById = fieldNamesById(meta)
+    val groups = data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
+      val base = scanOf(files.map(_.path))
+      val afterPos = posDf match {
+        case None => base
+        case Some(dels) =>
+          base.select(col("*"),
+            normPath(col("_metadata.file_path")).as("__g_fp"),
+            col("_metadata.row_index").as("__g_ri"))
+            .join(dels, Seq("__g_fp", "__g_ri"), "left_anti")
+            .drop("__g_fp", "__g_ri")
+      }
+      // equality deletes strictly newer than this group's data,
+      // batched per distinct id set (one anti-join each)
+      eqDels.filter(_.seq > seq).groupBy(_.equalityIds).toSeq
+        .sortBy(_._1.mkString(","))
+        .foldLeft(afterPos) { case (df, (ids, dels)) =>
+          val cols = ids.map(id => namesById.getOrElse(id,
+            throw new IllegalStateException(
+              s"equality delete at $tablePath names field id $id, which is " +
+                "not in the current schema")))
+          val delDf = spark.read
+            .parquet(dels.map(d => resolve(tablePath, d.path).toString): _*)
+            .select(cols.map(c => col(c).as(s"__g_eq_$c")): _*)
+          // null-safe match per the spec: a delete row with null matches
+          // data rows with null in that column
+          val cond = cols.map(c => col(c) <=> col(s"__g_eq_$c")).reduce(_ && _)
+          df.join(delDf, cond, "left_anti")
+        }
     }
+    groups.reduce(_.unionByName(_))
   }
 }

@@ -217,15 +217,15 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
             "resync from a fresh snapshot")
         val added = after.filterNot(before.toSet).flatMap { mName =>
           val mp = IcebergRead.resolve(path, mName)
-          IcebergRead.entriesOf(spark, mp).map { case (status, p, content) =>
-            if (status == 2) throw new IllegalStateException(
+          IcebergRead.entriesOf(spark, mp).map { e =>
+            if (e.status == 2) throw new IllegalStateException(
               s"iceberg manifest $mp deletes files; the append-only stream " +
                 "cannot represent deletions — resync from a fresh snapshot")
-            if (content != 0) throw new IllegalStateException(
-              s"iceberg manifest $mp added DELETE files (content=$content); " +
+            if (e.content != 0) throw new IllegalStateException(
+              s"iceberg manifest $mp added DELETE files (content=${e.content}); " +
                 "the append-only stream cannot represent row deletions — " +
                 "resync from a fresh snapshot")
-            p
+            e.path
           }
         }
         if (added.isEmpty) emptyBatch()

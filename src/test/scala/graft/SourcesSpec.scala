@@ -986,7 +986,8 @@ class SourcesSpec extends SparkSpec {
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaRead.read(spark, dir2).select("v").as[Long].collect().toSet
       == Set(2L, 4L))
-    // id mode declines loudly
+    // id mode over files WITHOUT parquet field ids dies loudly — the
+    // footer can't be id-resolved and all-null would be a silent misread
     val dir3 = Files.createTempDirectory("delta_cm3").toFile.getAbsolutePath + "/t"
     new java.io.File(dir3).mkdirs()
     java.nio.file.Files.copy(pf2.toPath, java.nio.file.Paths.get(s"$dir3/f1.parquet"))
@@ -994,8 +995,8 @@ class SourcesSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"cm3","format":{"provider":"parquet","options":{}},"schemaString":"$esc2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir3))
-    assert(e.getMessage.contains("'id'"), e.getMessage)
+    val e = intercept[IllegalStateException](DeltaRead.read(spark, dir3))
+    assert(e.getMessage.contains("no parquet field ids"), e.getMessage)
   }
 
   test("delta changes: CDF batch face serves cdc files, add-only commits as inserts") {
@@ -1315,15 +1316,16 @@ class SourcesSpec extends SparkSpec {
       got.schema("band").dataType == org.apache.spark.sql.types.StringType)
   }
 
-  test("iceberg read: equality deletes and future format versions decline loudly") {
+  test("iceberg read: malformed equality deletes and future format versions decline loudly") {
     import graft.sources.IcebergRead
+    // an equality delete WITHOUT equality_ids is unapplicable — loud
     val dir = Files.createTempDirectory("iceberg_decl").toFile.getAbsolutePath + "/t"
     val f0 = writeIcebergPart(dir, "f0.parquet", Seq((1L, 1L, "b0")))
     val del = icebergManifest(dir, "mD.avro", Seq((1, f0, 0), (1, f0, 2)))
     val ml = icebergManifestList(dir, "snap-1.avro", Seq(del))
     icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
-    val e1 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir))
-    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
+    val e1 = intercept[IllegalStateException](IcebergRead.read(spark, dir))
+    assert(e1.getMessage.contains("equality_ids"), e1.getMessage)
     val dir2 = Files.createTempDirectory("iceberg_v3").toFile.getAbsolutePath + "/t"
     val f02 = writeIcebergPart(dir2, "f0.parquet", Seq((1L, 1L, "b0")))
     val m2 = icebergManifest(dir2, "m.avro", Seq((1, f02, 0)))
@@ -1331,6 +1333,41 @@ class SourcesSpec extends SparkSpec {
     icebergMetadata(dir2, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2)
     val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2))
     assert(e2.getMessage.contains("format-version"), e2.getMessage)
+  }
+
+  test("iceberg read: v2 equality deletes apply with sequence-number ordering") {
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_eq").toFile.getAbsolutePath + "/t"
+    // f0 committed at seq 1; the delete at seq 2 kills ids 3 and 5
+    // there; f1 at seq 3 RE-INSERTS id 3, which must survive
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 5L).map(i => (i, i, "b0")))
+    val f1 = writeIcebergPart(dir, "f1.parquet", Seq((3L, 30L, "b1"), (11L, 11L, "b1")))
+    val delStage = Files.createTempDirectory("iceberg_eq_stage").toFile.getAbsolutePath
+    Seq(3L, 5L).toDF("id").coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delPart = new java.io.File(delStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val delDst = new java.io.File(s"$dir/data/eq0.parquet")
+    delDst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(delPart.toPath, delDst.toPath)
+    val mData = IcebergRead.Fixture.manifestV2(dir, "mData.avro", Seq(
+      EntryInfo(1, f0, 0, 1L, Nil), EntryInfo(1, f1, 0, 3L, Nil)))
+    val mDel = IcebergRead.Fixture.manifestV2(dir, "mDel.avro", Seq(
+      EntryInfo(1, delDst.getAbsolutePath, 2, 2L, Seq(1)))) // field id 1 = "id"
+    val ml = icebergManifestList(dir, "snap-1.avro", Seq(mData, mDel))
+    icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
+    val got = IcebergRead.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 11L),
+      s"eq delete must hit seq-1 rows only (id 3 re-inserted at seq 3 survives): $got")
+    // multi-column equality ids + an id outside the schema dies loudly
+    val badDel = IcebergRead.Fixture.manifestV2(dir, "mBad.avro", Seq(
+      EntryInfo(1, f0, 0, 1L, Nil),
+      EntryInfo(1, delDst.getAbsolutePath, 2, 2L, Seq(99))))
+    val ml2 = icebergManifestList(dir, "snap-2.avro", Seq(badDel))
+    icebergMetadata(dir, 2, formatVersion = 2, snapshotId = 6L, manifestList = ml2)
+    val e = intercept[IllegalStateException](IcebergRead.read(spark, dir))
+    assert(e.getMessage.contains("field id 99"), e.getMessage)
   }
 
   test("iceberg read: v2 position deletes apply merge-on-read") {
