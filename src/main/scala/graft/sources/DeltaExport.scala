@@ -16,18 +16,22 @@ import org.apache.spark.sql.SparkSession
   *
   * [[append]] keeps the published table CURRENT: later graft APPEND
   * commits publish as the next `<v>.json` commits of the same log, so
-  * the external table follows the source without re-exporting. Each
-  * exported commit records the graft version it mirrors in its
-  * `commitInfo` (`graftSourceVersion`), which is what append resumes
-  * from. Row-level/rewrite/schema-change graft commits cannot be
-  * expressed as appended adds and decline loudly — re-export a fresh
-  * snapshot for those.
+  * the external table follows the source without re-exporting, and
+  * ROW-LEVEL graft commits (deleteMoR/updateMoR) publish as real Delta
+  * DELETION VECTORS — the affected adds are re-added carrying a
+  * protocol-format DV with their cumulative deleted positions, under a
+  * one-time protocol upgrade to reader version 3. Each exported commit
+  * records the graft version it mirrors in its `commitInfo`
+  * (`graftSourceVersion`), which is what append resumes from.
+  * Rewrite/schema-change graft commits cannot be expressed
+  * incrementally and decline loudly — re-export a fresh snapshot.
   *
-  * Loud-or-exact scope: a snapshot with pending deletion vectors or a
-  * column mapping cannot be represented as reader-version-1 Delta
-  * (its files alone over-serve rows / wrong names), so both decline
-  * with the fix spelled out (OPTIMIZE folds DVs and rewrites mapped
-  * eras into plain files, after which the export is exact).
+  * Loud-or-exact scope: a FRESH snapshot with pending deletion vectors
+  * or any snapshot with a column mapping cannot be represented as
+  * reader-version-1 Delta (its files alone over-serve rows / wrong
+  * names), so both decline with the fix spelled out (OPTIMIZE folds
+  * DVs and rewrites mapped eras into plain files; or export the
+  * pre-delete version and let append publish the deletes as DVs).
   *
   * Scale: O(files) driver work per publish — one manifest read plus
   * one JSON write; no data bytes touched. append is O(new files). */
@@ -44,12 +48,36 @@ object DeltaExport {
       throw new UnsupportedOperationException(
         s"snapshot v$v of $sourcePath has pending deletion vectors; " +
           "reader-version-1 Delta cannot carry them — run TimeTravel.optimize " +
-          "to fold them, then export the folded version")
+          "to fold them and export the folded version, or export first and " +
+          "let DeltaExport.append publish the deletes as Delta DVs")
     if (TimeTravel.colsListing(spark, sourcePath, v).nonEmpty)
       throw new UnsupportedOperationException(
         s"snapshot v$v of $sourcePath resolves through a column mapping; " +
           "its files carry physical names — run TimeTravel.optimize to " +
           "rewrite, then export the folded version")
+  }
+
+  /** Scheme-normalized path key: graft DV sidecars record
+    * `_metadata.file_path` URIs while the exported log stores
+    * `inputFiles` URIs, and the two render the scheme/authority
+    * differently (`file:/` vs `file:///`) — match on one canonical
+    * root-slash form, the [[IcebergRead]] normalization. */
+  private def normKey(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  /** The graft table's deleted positions at `v`, grouped per data file
+    * (normalized key → sorted row indexes). Driver-side O(deleted
+    * rows) — the MoR boundedness contract ([[TimeTravel.deleteMoR]]'s
+    * tombstones fold away at OPTIMIZE, which exports as a rewrite). */
+  private def dvPositionsAt(spark: SparkSession, sourcePath: String,
+      v: Long): Map[String, Seq[Long]] = {
+    val dvs = TimeTravel.dvListing(spark, sourcePath, v)
+    if (dvs.isEmpty) Map.empty
+    else spark.read.parquet(dvs.map(d => s"$sourcePath/$d"): _*)
+      .select(TimeTravel.DvCols.head, TimeTravel.DvCols.last)
+      .distinct().collect()
+      .map(r => normKey(r.getString(0)) -> r.getLong(1))
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSeq.sorted }
   }
 
   private def addAction(conf: org.apache.hadoop.conf.Configuration, f: String): String = {
@@ -168,48 +196,122 @@ object DeltaExport {
 
   /** APPEND the graft commits since the last export as new Delta
     * commits of the already-published log — the write-back face that
-    * keeps an external table current. Only intervening APPEND graft
-    * commits qualify; a row-level / rewrite / schema-change commit
-    * declines loudly (re-export a fresh snapshot). Returns the number
-    * of data files appended (0 = already current). */
+    * keeps an external table current. Intervening APPEND commits
+    * publish as plain adds; ROW-LEVEL commits (deleteMoR/updateMoR
+    * tombstones) publish as real Delta DELETION VECTORS — the affected
+    * files are re-added with a protocol-format DV ([[DeltaDv]]'s
+    * z85/RoaringBitmap binary) carrying their cumulative deleted
+    * positions, under a one-time in-log protocol upgrade to reader
+    * version 3 / `deletionVectors`. Rewrite / schema-change commits
+    * still decline loudly (re-export a fresh snapshot). Returns the
+    * number of data files appended or re-added (0 = already current).
+    *
+    * Scale: O(new files) adds + O(deleted rows) DV bytes per publish;
+    * no data bytes move. */
   def append(spark: SparkSession, sourcePath: String, targetPath: String,
       toVersion: Option[Long] = None): Int = {
     val g0 = exportedSourceVersion(spark, targetPath)
     val g1 = toVersion.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
     if (g1 <= g0) return 0
-    requireExportable(spark, sourcePath, g1)
+    if (TimeTravel.colsListing(spark, sourcePath, g1).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"snapshot v$g1 of $sourcePath resolves through a column mapping; " +
+          "its files carry physical names — run TimeTravel.optimize to " +
+          "rewrite, then export the folded version")
+    var rowLevel = false
     ((g0 + 1) to g1).foreach { v =>
-      val kind = TimeTravel.classifyCommit(spark, sourcePath, v)
-      if (kind != TimeTravel.Append) throw new UnsupportedOperationException(
-        s"graft commit v$v of $sourcePath is a $kind; only appends publish " +
-          "incrementally — export a fresh snapshot for row-level/rewrite/DDL changes")
+      TimeTravel.classifyCommit(spark, sourcePath, v) match {
+        case TimeTravel.Append => ()
+        case TimeTravel.RowLevel => rowLevel = true
+        case kind => throw new UnsupportedOperationException(
+          s"graft commit v$v of $sourcePath is a $kind; appends and row-level " +
+            "commits publish incrementally — export a fresh snapshot for " +
+            "rewrite/DDL changes")
+      }
     }
     val newDirs = TimeTravel.listing(spark, sourcePath, g1)
       .filterNot(TimeTravel.listing(spark, sourcePath, g0).toSet)
-    if (newDirs.isEmpty) { // metadata-only appends: record the watermark
-      writeCommit(spark, targetPath, nextDeltaVersion(spark, targetPath),
-        Seq(commitInfo(g1), txnAction(g1)))
-      return 0
-    }
-    val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
-    // the published metaData pins the schema; new files must match it
-    val exported = DeltaRead.replay(spark, targetPath)
-    if (exported.schemaJson.exists(_ != scan.schema.json))
-      throw new UnsupportedOperationException(
-        s"graft commits after v$g0 changed the data schema at $sourcePath; " +
-          "the published Delta metaData is pinned — re-export a fresh snapshot")
-    val files = scan.inputFiles.sorted
     val conf = spark.sessionState.newHadoopConf()
+    val exported = DeltaRead.replay(spark, targetPath)
+    // the files this call adds (an updateMoR in the window may ALSO
+    // tombstone rows of a file added here — its add must carry the DV
+    // directly, there is no prior add to remove)
+    val newFiles: Seq[String] =
+      if (newDirs.isEmpty) Seq.empty
+      else {
+        val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
+        // the published metaData pins the schema; new files must match it
+        if (exported.schemaJson.exists(_ != scan.schema.json))
+          throw new UnsupportedOperationException(
+            s"graft commits after v$g0 changed the data schema at $sourcePath; " +
+              "the published Delta metaData is pinned — re-export a fresh snapshot")
+        scan.inputFiles.sorted.toSeq
+      }
+    // cumulative per-file deleted positions on each side of the window;
+    // graft tombstones only ever accumulate between optimizes (an
+    // optimize classifies Rewrite and never reaches here): growth is
+    // the expected shape, a LOST position is corrupt state
+    val dv0 = if (rowLevel) dvPositionsAt(spark, sourcePath, g0) else Map.empty[String, Seq[Long]]
+    val dv1 = if (rowLevel) dvPositionsAt(spark, sourcePath, g1) else Map.empty[String, Seq[Long]]
+    dv0.foreach { case (f, ps0) =>
+      val ps1 = dv1.getOrElse(f, Seq.empty).toSet
+      if (!ps0.forall(ps1)) throw new IllegalStateException(
+        s"deleted positions for $f shrank between v$g0 and v$g1 without a " +
+          "rewrite commit — corrupt deletion-vector state")
+    }
+    val changed = dv1.filter { case (f, ps) => dv0.getOrElse(f, Seq.empty) != ps }
+    def dvJson(key: String, positions: Seq[Long]): String = {
+      val uuid = java.util.UUID.nameUUIDFromBytes(
+        s"graft-export-dv:$key:$g1".getBytes(StandardCharsets.UTF_8))
+      val d = DeltaDv.writeDvFile(spark, targetPath, uuid, positions)
+      s""""deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    }
+    def addWithDv(addPath: String, key: String, positions: Seq[Long]): String = {
+      val p = new Path(addPath)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"""{"add":{"path":"${encodePath(addPath)}","partitionValues":{},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true,${dvJson(key, positions)}}}"""
+    }
     val actions = Seq.newBuilder[String]
     actions += commitInfo(g1)
     actions += txnAction(g1)
-    files.foreach(f => actions += addAction(conf, f))
+    if (changed.nonEmpty && exported.minReader < 3)
+      actions += ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    var published = 0
+    newFiles.foreach { f =>
+      changed.get(normKey(f)) match {
+        case Some(positions) => actions += addWithDv(f, normKey(f), positions)
+        case None => actions += addAction(conf, f)
+      }
+      published += 1
+    }
+    // DV'd files the exported log already carries: remove + re-add with
+    // the cumulative vector (a Delta DV is complete per file, never a
+    // delta of a delta)
+    val newKeys = newFiles.map(normKey).toSet
+    val exportedByKey = exported.adds.keys.map(p => normKey(p) -> p).toMap
+    changed.toSeq.filterNot(c => newKeys(c._1)).sortBy(_._1)
+      .foreach { case (key, positions) =>
+        val addPath = exportedByKey.getOrElse(key,
+          throw new IllegalStateException(
+            s"graft tombstones reference $key, which the exported log at " +
+              s"$targetPath never added — re-export a fresh snapshot"))
+        val p = new Path(addPath)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        actions += (s"""{"remove":{"path":"${encodePath(addPath)}",""" +
+          s""""deletionTimestamp":${st.getModificationTime},"dataChange":true}}""")
+        actions += addWithDv(addPath, key, positions)
+        published += 1
+      }
     val deltaV = nextDeltaVersion(spark, targetPath)
     writeCommit(spark, targetPath, deltaV, actions.result())
     if (deltaV > 0 && deltaV % CheckpointInterval == 0)
       writeCheckpoint(spark, targetPath, deltaV, g1)
-    files.length
+    published
   }
 
   /** The next commit number: past the max commit JSON AND past any
@@ -239,11 +341,20 @@ object DeltaExport {
     import org.apache.spark.sql.types._
     val st = DeltaRead.replay(spark, targetPath, Some(deltaV))
     val conf = spark.sessionState.newHadoopConf()
+    // adds carry their deletion vector (a DV'd file re-added by a
+    // row-level append must keep it through checkpoint replay, or a
+    // from-checkpoint reader silently over-serves deleted rows)
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType), StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType), StructField("partitionValues",
         MapType(StringType, StringType)),
       StructField("size", LongType), StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvT)))
     // metaData.format is REQUIRED by the protocol: once pre-checkpoint
     // commit JSONs are vacuumed, external readers reconstruct metaData
     // from the checkpoint alone and some require format.provider
@@ -257,22 +368,29 @@ object DeltaExport {
       StructField("configuration", MapType(StringType, StringType))))
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val txnT = StructType(Seq(
       StructField("appId", StringType), StructField("version", LongType)))
     val schema = StructType(Seq(StructField("add", addT),
       StructField("metaData", metaT), StructField("protocol", protoT),
       StructField("txn", txnT)))
+    val feats =
+      if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted
     val rows = Seq(
-      Row(null, null, Row(st.minReader, 2), null),
+      Row(null, null,
+        Row(st.minReader, if (feats == null) 2 else 7, feats, feats), null),
       Row(null, Row("graft-export", Row("parquet", Map.empty[String, String]),
         st.schemaJson.orNull, st.partitionCols, st.config), null, null),
       Row(null, null, null, Row("graft-export", graftV))) ++
       st.adds.values.toSeq.sortBy(_.path).map { a =>
         val p = new Path(a.path)
         val fst = p.getFileSystem(conf).getFileStatus(p)
+        val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
         Row(Row(encodePath(a.path), a.partitionValues, fst.getLen,
-          fst.getModificationTime, true), null, null, null)
+          fst.getModificationTime, true, dvRow), null, null, null)
       }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, schema)

@@ -32,13 +32,20 @@ import org.apache.spark.sql.types._
   * [[append]] keeps the published table CURRENT: later graft APPEND
   * commits publish as new snapshots of the same table — a new
   * manifest beside the existing ones, a new metadata version, the
-  * version-hint bumped. The graft version each snapshot mirrors rides
-  * in `properties` (`graft.source-version`). Row-level / rewrite /
-  * schema-change graft commits decline loudly (re-export).
+  * version-hint bumped — and ROW-LEVEL graft commits publish as
+  * POSITION-DELETE files (one `deletes/pd-*.parquet` of (file_path,
+  * pos) pairs per publish, referenced by a content=1 delete manifest
+  * — the spec's merge-on-read shape; prior delete files stay live in
+  * the reused manifests, so the union is the cumulative tombstone
+  * set). The graft version each snapshot mirrors rides in
+  * `properties` (`graft.source-version`). Rewrite / schema-change
+  * graft commits decline loudly (re-export).
   *
-  * Same loud-or-exact scope as the Delta export: pending deletion
-  * vectors or a column mapping cannot be represented by plain file
-  * lists, so both decline with the OPTIMIZE fix named. Field types
+  * Same loud-or-exact scope as the Delta export: a FRESH snapshot
+  * with pending deletion vectors, or any snapshot with a column
+  * mapping, cannot be represented by plain file lists, so both
+  * decline with the fix named (OPTIMIZE and re-export — or, for
+  * deletes, export first and let append publish them). Field types
   * must map to the Iceberg interchange set.
   *
   * Scale: O(files) driver work per publish (one footer read per new
@@ -153,18 +160,23 @@ object IcebergExport {
     }
   }
 
-  /** Write one ADDED-entries data manifest; returns (absPath, length,
-    * fileCount, rowCount). */
+  /** One written manifest, as the manifest list will reference it:
+    * content 0 = data, 1 = position deletes. */
+  private final case class ManifestRef(path: String, length: Long,
+      fileCount: Int, rowCount: Long, content: Int)
+
+  /** Write one ADDED-entries manifest (data or position-delete files,
+    * per `content`). */
   private def writeManifest(dir: String, name: String, snapshotId: Long,
       seqNum: Long, files: Seq[NewFile],
-      fields: Seq[(Int, String, Boolean, String)]): (String, Long, Int, Long) = {
+      fields: Seq[(Int, String, Boolean, String)], content: Int = 0): ManifestRef = {
     val entrySchema = manifestEntrySchema
     val dfSchema = entrySchema.getField("data_file").schema()
     val f = new java.io.File(s"$dir/metadata/$name")
     f.getParentFile.mkdirs()
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("format-version", "2")
-    w.setMeta("content", "data")
+    w.setMeta("content", if (content == 0) "data" else "deletes")
     // key-value metadata the spec REQUIRES of every manifest (r11
     // ADVICE close — external engines reject manifests without them)
     w.setMeta("schema", schemaJson(fields))
@@ -174,7 +186,7 @@ object IcebergExport {
     w.create(entrySchema, f)
     files.foreach { nf =>
       val dfr = new GenericData.Record(dfSchema)
-      dfr.put("content", 0)
+      dfr.put("content", content)
       dfr.put("file_path", nf.path)
       dfr.put("file_format", "PARQUET")
       dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
@@ -189,14 +201,15 @@ object IcebergExport {
       w.append(e)
     }
     w.close()
-    (f.getAbsolutePath, f.length(), files.size, files.map(_.recordCount).sum)
+    ManifestRef(f.getAbsolutePath, f.length(), files.size,
+      files.map(_.recordCount).sum, content)
   }
 
   /** Write a manifest list = `prior` manifest_file records (reused by
-    * reference — the incremental-append shape) + one new manifest. */
+    * reference — the incremental-append shape) + the new manifests. */
   private def writeManifestList(dir: String, name: String, snapshotId: Long,
       seqNum: Long, prior: Seq[GenericRecord],
-      newManifest: (String, Long, Int, Long)): String = {
+      newManifests: Seq[ManifestRef]): String = {
     val s = manifestFileSchema
     val f = new java.io.File(s"$dir/metadata/$name")
     f.getParentFile.mkdirs()
@@ -210,22 +223,23 @@ object IcebergExport {
       s.getFields.forEach(fd => r.put(fd.name(), old.get(fd.name())))
       w.append(r)
     }
-    val (mPath, mLen, nFiles, nRows) = newManifest
-    val r = new GenericData.Record(s)
-    r.put("manifest_path", mPath)
-    r.put("manifest_length", mLen)
-    r.put("partition_spec_id", 0)
-    r.put("content", 0)
-    r.put("sequence_number", seqNum)
-    r.put("min_sequence_number", seqNum)
-    r.put("added_snapshot_id", snapshotId)
-    r.put("added_files_count", nFiles)
-    r.put("existing_files_count", 0)
-    r.put("deleted_files_count", 0)
-    r.put("added_rows_count", nRows)
-    r.put("existing_rows_count", 0L)
-    r.put("deleted_rows_count", 0L)
-    w.append(r)
+    newManifests.foreach { m =>
+      val r = new GenericData.Record(s)
+      r.put("manifest_path", m.path)
+      r.put("manifest_length", m.length)
+      r.put("partition_spec_id", 0)
+      r.put("content", m.content)
+      r.put("sequence_number", seqNum)
+      r.put("min_sequence_number", seqNum)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", m.fileCount)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", m.rowCount)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      w.append(r)
+    }
     w.close()
     f.getAbsolutePath
   }
@@ -308,7 +322,7 @@ object IcebergExport {
     val snapId = v
     val fields = fieldsOf(scan.schema)
     val m = writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files, fields)
-    val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil, m)
+    val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil, Seq(m))
     writeMetadata(targetPath, 1, v, fields,
       Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml, "append")), snapId)
     files.length
@@ -330,12 +344,20 @@ object IcebergExport {
     val g1 = toVersion.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
     if (g1 <= g0) return 0
-    requireExportable(spark, sourcePath, g1)
+    if (TimeTravel.colsListing(spark, sourcePath, g1).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"snapshot v$g1 of $sourcePath resolves through a column mapping; run " +
+          "TimeTravel.optimize to rewrite, then export the folded version")
+    var rowLevel = false
     ((g0 + 1) to g1).foreach { v =>
-      val kind = TimeTravel.classifyCommit(spark, sourcePath, v)
-      if (kind != TimeTravel.Append) throw new UnsupportedOperationException(
-        s"graft commit v$v of $sourcePath is a $kind; only appends publish " +
-          "incrementally — export a fresh snapshot for row-level/rewrite/DDL changes")
+      TimeTravel.classifyCommit(spark, sourcePath, v) match {
+        case TimeTravel.Append => ()
+        case TimeTravel.RowLevel => rowLevel = true
+        case kind => throw new UnsupportedOperationException(
+          s"graft commit v$v of $sourcePath is a $kind; appends and row-level " +
+            "commits publish incrementally — export a fresh snapshot for " +
+            "rewrite/DDL changes")
+      }
     }
     val newDirs = TimeTravel.listing(spark, sourcePath, g1)
       .filterNot(TimeTravel.listing(spark, sourcePath, g0).toSet)
@@ -353,27 +375,64 @@ object IcebergExport {
       }
     }
     val fields = fieldsOf(IcebergRead.schemaOf(meta))
-    if (newDirs.isEmpty) { // metadata-only appends: bump the watermark
+    if (newDirs.isEmpty && !rowLevel) { // metadata-only: bump the watermark
       writeMetadata(targetPath, metaV + 1, g1, fields, priorSnaps,
         meta.get("current-snapshot-id").asLong())
       return 0
     }
-    val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
-    if (fieldsOf(scan.schema).map(t => (t._2, t._4)) != fields.map(t => (t._2, t._4)))
-      throw new UnsupportedOperationException(
-        s"graft commits after v$g0 changed the data schema at $sourcePath; " +
-          "the published Iceberg schema is pinned — re-export a fresh snapshot")
-    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
     val seqNum = priorSnaps.map(_.seqNum).max + 1
     val snapId = g1
+    val manifests = Seq.newBuilder[ManifestRef]
+    if (newDirs.nonEmpty) {
+      val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
+      if (fieldsOf(scan.schema).map(t => (t._2, t._4)) != fields.map(t => (t._2, t._4)))
+        throw new UnsupportedOperationException(
+          s"graft commits after v$g0 changed the data schema at $sourcePath; " +
+            "the published Iceberg schema is pinned — re-export a fresh snapshot")
+      val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
+      manifests += writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum,
+        files, fields)
+    }
+    if (rowLevel) {
+      // the window's NEW tombstones are exactly the dv directories the
+      // manifests appended after g0 (graft dv listings accumulate until
+      // an optimize, which classifies Rewrite and never reaches here) —
+      // they publish as one POSITION-DELETE file + a content=1 manifest,
+      // the spec's merge-on-read shape; prior delete files stay live in
+      // the reused manifests and union to the cumulative tombstone set
+      val dvNew = TimeTravel.dvListing(spark, sourcePath, g1)
+        .filterNot(TimeTravel.dvListing(spark, sourcePath, g0).toSet)
+      if (dvNew.isEmpty) throw new IllegalStateException(
+        s"row-level commits in (v$g0, v$g1] of $sourcePath left no new " +
+          "deletion-vector directories — corrupt manifest state")
+      import org.apache.spark.sql.functions.col
+      val pairs = spark.read.parquet(dvNew.map(d => s"$sourcePath/$d"): _*)
+        .select(col(TimeTravel.DvCols.head).as("file_path"),
+          col(TimeTravel.DvCols.last).cast("long").as("pos"))
+        .distinct()
+      val stage = s"$targetPath/deletes/.stage-$g1"
+      pairs.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("delete stage wrote no part"))
+      val dst = new java.io.File(f"$targetPath/deletes/pd-$g1%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+      }
+      deleteRec(new java.io.File(stage))
+      val delFiles = describeFiles(spark, Seq(dst.getAbsolutePath))
+      manifests += writeManifest(targetPath, f"md-$g1%05d.avro", snapId, seqNum,
+        delFiles, fields, content = 1)
+    }
     val priorManifests = avroRecords(spark,
       IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
-    val m = writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum, files, fields)
     val ml = writeManifestList(targetPath, f"snap-$g1%05d.avro", snapId, seqNum,
-      priorManifests, m)
+      priorManifests, manifests.result())
     writeMetadata(targetPath, metaV + 1, g1, fields,
-      priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml, "append"),
+      priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml,
+        if (rowLevel) "overwrite" else "append"),
       snapId)
-    files.length
+    manifests.result().map(_.fileCount).sum
   }
 }

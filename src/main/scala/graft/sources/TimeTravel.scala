@@ -50,7 +50,7 @@ object TimeTravel {
   /** DV tombstone key columns: (file URI, row position within file) —
     * `_metadata.row_index` is stable per physical parquet file, which
     * is exactly why table formats key deletion vectors on it. */
-  private val DvCols = Seq("_dv_fp", "_dv_ri")
+  private[sources] val DvCols = Seq("_dv_fp", "_dv_ri")
 
   /** Versions in commit order (empty for a fresh path). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {

@@ -1152,15 +1152,15 @@ class SourcesSpec extends SparkSpec {
     assert(commits.size >= 2, s"expected multiple commits, got $commits")
     // zero-copy still: the target holds ONLY the log
     assert(new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("_delta_log"))
-    // a row-level graft commit in the window declines loudly (v5's
-    // OPTIMIZE folds the DVs so the head snapshot itself is clean —
-    // the decline must come from the WINDOW classification, not the
-    // head-state gate)
+    // a REWRITE graft commit in the window declines loudly (v4's
+    // row-level delete alone would now publish as DVs, but v5's
+    // OPTIMIZE replaced the snapshot — the decline must come from the
+    // WINDOW classification, not the head-state gate)
     TimeTravel.deleteMoR(spark, src, col("k") > 33) // v4 = RowLevel
     TimeTravel.optimize(spark, src) // v5 = Rewrite, DVs folded
     val e = intercept[UnsupportedOperationException](
       DeltaExport.append(spark, src, tgt))
-    assert(e.getMessage.contains("RowLevel"), e.getMessage)
+    assert(e.getMessage.contains("Rewrite"), e.getMessage)
     // a foreign delta log (no graft marker) declines loudly
     val foreign = Files.createTempDirectory("dexpa_foreign").toFile.getAbsolutePath + "/d"
     new java.io.File(s"$foreign/_delta_log").mkdirs()
@@ -1169,6 +1169,44 @@ class SourcesSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n")
     val e2 = intercept[IllegalStateException](DeltaExport.append(spark, src, foreign))
     assert(e2.getMessage.contains("graftSourceVersion"), e2.getMessage)
+  }
+
+  test("delta export append: row-level graft commits publish as real deletion vectors") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexprl_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexprl_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite((1L to 40L).map(i => (i, i * 2)).toDF("k", "v"), src) // v1
+    assert(DeltaExport.snapshot(spark, src, tgt) > 0)
+    // delete from exported files, append a new file, delete from BOTH
+    // the old and the new file — one append call publishes it all
+    TimeTravel.deleteMoR(spark, src, col("k") % 4 === 1) // v2 RowLevel
+    TimeTravel.commitAppend((41L to 50L).map(i => (i, i * 2)).toDF("k", "v"), src) // v3
+    TimeTravel.deleteMoR(spark, src, col("k") === 8L || col("k") === 44L) // v4 RowLevel
+    assert(DeltaExport.append(spark, src, tgt) > 0)
+    val want = TimeTravel.read(spark, src).select("k").as[Long].collect().toSet
+    val got = DeltaRead.read(spark, tgt).select("k").as[Long].collect().toSet
+    assert(got == want, s"independent replay must see the post-delete row set; " +
+      s"missing=${want -- got} extra=${got -- want}")
+    // 41/45/49 were appended AFTER the %4 delete and must survive it
+    assert(!got.exists(k => k <= 40 && k % 4 == 1) && got(45L) &&
+      !got(8L) && !got(44L) && got(43L))
+    // the published log upgraded its protocol and carries real DV files
+    val logText = new java.io.File(s"$tgt/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(logText.contains("\"deletionVectors\""), "protocol upgrade must ride the log")
+    assert(logText.contains("\"deletionVector\""), "adds must carry DV descriptors")
+    assert(new java.io.File(tgt).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")),
+      "protocol-format DV files must exist at the target")
+    // a SECOND delete accumulates: the re-added file's DV is cumulative
+    TimeTravel.deleteMoR(spark, src, col("k") === 10L) // v5 RowLevel
+    assert(DeltaExport.append(spark, src, tgt) > 0)
+    val got2 = DeltaRead.read(spark, tgt).select("k").as[Long].collect().toSet
+    assert(got2 == want - 10L, "second append must accumulate the delete")
+    // idempotent when current
+    assert(DeltaExport.append(spark, src, tgt) == 0)
   }
 
   test("delta export append: checkpoints every 10 commits; pre-checkpoint JSONs become vacuum-able") {
@@ -1243,6 +1281,37 @@ class SourcesSpec extends SparkSpec {
     val e = intercept[UnsupportedOperationException](
       IcebergExport.append(spark, src, tgt))
     assert(e.getMessage.contains("Rewrite"), e.getMessage)
+  }
+
+  test("iceberg export append: row-level graft commits publish as position-delete files") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexprl_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexprl_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite((1L to 40L).map(i => (i, i * 2)).toDF("k", "v"), src) // v1
+    assert(IcebergExport.snapshot(spark, src, tgt) > 0)
+    TimeTravel.deleteMoR(spark, src, col("k") % 4 === 1) // v2 RowLevel
+    TimeTravel.commitAppend((41L to 50L).map(i => (i, i * 2)).toDF("k", "v"), src) // v3
+    TimeTravel.deleteMoR(spark, src, col("k") === 8L || col("k") === 44L) // v4 RowLevel
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    val want = TimeTravel.read(spark, src).select("k").as[Long].collect().toSet
+    val got = IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+    assert(got == want, s"independent replay must see the post-delete row set; " +
+      s"missing=${want -- got} extra=${got -- want}")
+    assert(!got.exists(k => k <= 40 && k % 4 == 1) && got(45L) &&
+      !got(8L) && !got(44L) && got(43L))
+    // the target carries the delete file + a content=1 manifest
+    assert(new java.io.File(s"$tgt/deletes").listFiles()
+      .exists(_.getName.startsWith("pd-")), "position-delete parquet must exist")
+    assert(new java.io.File(s"$tgt/metadata").listFiles()
+      .exists(_.getName.startsWith("md-")), "delete manifest must exist")
+    // a SECOND delete accumulates (prior delete files stay live)
+    TimeTravel.deleteMoR(spark, src, col("k") === 10L) // v5 RowLevel
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    val got2 = IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+    assert(got2 == want - 10L, "second append must accumulate the delete")
+    // idempotent when current
+    assert(IcebergExport.append(spark, src, tgt) == 0)
   }
 
   test("iceberg export: decimal columns map through the interchange set both ways") {
