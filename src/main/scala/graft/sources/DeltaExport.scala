@@ -43,18 +43,38 @@ object DeltaExport {
   private def encodePath(f: String): String =
     new Path(f).toUri.toASCIIString
 
-  private def requireExportable(spark: SparkSession, sourcePath: String, v: Long): Unit = {
-    if (TimeTravel.dvListing(spark, sourcePath, v).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"snapshot v$v of $sourcePath has pending deletion vectors; " +
-          "reader-version-1 Delta cannot carry them — run TimeTravel.optimize " +
-          "to fold them and export the folded version, or export first and " +
-          "let DeltaExport.append publish the deletes as Delta DVs")
+  private def requireUnmapped(spark: SparkSession, sourcePath: String, v: Long): Unit =
     if (TimeTravel.colsListing(spark, sourcePath, v).nonEmpty)
       throw new UnsupportedOperationException(
         s"snapshot v$v of $sourcePath resolves through a column mapping; " +
           "its files carry physical names — run TimeTravel.optimize to " +
           "rewrite, then export the folded version")
+
+  /** Protocol action for a DV-carrying log (reader version 3). */
+  private val DvProtocol: String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  /** Write the protocol-format DV file for (file key, graft version)
+    * and return its descriptor JSON fragment. */
+  private def dvJson(spark: SparkSession, targetPath: String, tagV: Long,
+      key: String, positions: Seq[Long]): String = {
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-export-dv:$key:$tagV".getBytes(StandardCharsets.UTF_8))
+    val d = DeltaDv.writeDvFile(spark, targetPath, uuid, positions)
+    s""""deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+      s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
+  /** An `add` carrying a deletion vector with `positions`. */
+  private def addWithDv(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration, targetPath: String,
+      tagV: Long, addPath: String, positions: Seq[Long]): String = {
+    val p = new Path(addPath)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    s"""{"add":{"path":"${encodePath(addPath)}","partitionValues":{},""" +
+      s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+      s""""dataChange":true,${dvJson(spark, targetPath, tagV, normKey(addPath), positions)}}}"""
   }
 
   /** Scheme-normalized path key: graft DV sidecars record
@@ -112,27 +132,46 @@ object DeltaExport {
   }
 
   /** Write `_delta_log` at `targetPath` exposing `sourcePath`@`version`
-    * (default latest). Returns the number of data files published. */
+    * (default latest). A snapshot with pending merge-on-read tombstones
+    * exports directly: its adds carry protocol-format DELETION VECTORS
+    * and commit 0 declares reader version 3 — the same loud-or-exact
+    * semantics, no pre-export OPTIMIZE required. Returns the number of
+    * data files published. */
   def snapshot(spark: SparkSession, sourcePath: String, targetPath: String,
       version: Option[Long] = None): Int = {
     val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
-    requireExportable(spark, sourcePath, v)
+    requireUnmapped(spark, sourcePath, v)
     val dirs = TimeTravel.listing(spark, sourcePath, v)
     val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
     val schemaJson = scan.schema.json
     val files = scan.inputFiles.sorted
     val conf = spark.sessionState.newHadoopConf()
     val esc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
+    val dvs = dvPositionsAt(spark, sourcePath, v)
+    val fileKeys = files.map(normKey).toSet
+    dvs.keys.find(!fileKeys(_)).foreach { k =>
+      throw new IllegalStateException(
+        s"tombstones at v$v reference $k, which the snapshot's listing " +
+          "does not contain — corrupt deletion-vector state")
+    }
     val actions = Seq.newBuilder[String]
     actions += commitInfo(v)
     actions += txnAction(v)
-    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    actions += (if (dvs.isEmpty)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    else DvProtocol)
     actions +=
       (s"""{"metaData":{"id":"graft-export","format":""" +
         s"""{"provider":"parquet","options":{}},"schemaString":"$esc",""" +
         """"partitionColumns":[],"configuration":{}}}""")
-    files.foreach(f => actions += addAction(conf, f))
+    files.foreach { f =>
+      dvs.get(normKey(f)) match {
+        case Some(positions) =>
+          actions += addWithDv(spark, conf, targetPath, v, f, positions)
+        case None => actions += addAction(conf, f)
+      }
+    }
     writeCommit(spark, targetPath, 0L, actions.result())
     files.length
   }
@@ -214,11 +253,7 @@ object DeltaExport {
     val g1 = toVersion.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
     if (g1 <= g0) return 0
-    if (TimeTravel.colsListing(spark, sourcePath, g1).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"snapshot v$g1 of $sourcePath resolves through a column mapping; " +
-          "its files carry physical names — run TimeTravel.optimize to " +
-          "rewrite, then export the folded version")
+    requireUnmapped(spark, sourcePath, g1)
     var rowLevel = false
     ((g0 + 1) to g1).foreach { v =>
       TimeTravel.classifyCommit(spark, sourcePath, v) match {
@@ -261,30 +296,15 @@ object DeltaExport {
           "rewrite commit — corrupt deletion-vector state")
     }
     val changed = dv1.filter { case (f, ps) => dv0.getOrElse(f, Seq.empty) != ps }
-    def dvJson(key: String, positions: Seq[Long]): String = {
-      val uuid = java.util.UUID.nameUUIDFromBytes(
-        s"graft-export-dv:$key:$g1".getBytes(StandardCharsets.UTF_8))
-      val d = DeltaDv.writeDvFile(spark, targetPath, uuid, positions)
-      s""""deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
-        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
-    }
-    def addWithDv(addPath: String, key: String, positions: Seq[Long]): String = {
-      val p = new Path(addPath)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"""{"add":{"path":"${encodePath(addPath)}","partitionValues":{},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":true,${dvJson(key, positions)}}}"""
-    }
     val actions = Seq.newBuilder[String]
     actions += commitInfo(g1)
     actions += txnAction(g1)
-    if (changed.nonEmpty && exported.minReader < 3)
-      actions += ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    if (changed.nonEmpty && exported.minReader < 3) actions += DvProtocol
     var published = 0
     newFiles.foreach { f =>
       changed.get(normKey(f)) match {
-        case Some(positions) => actions += addWithDv(f, normKey(f), positions)
+        case Some(positions) =>
+          actions += addWithDv(spark, conf, targetPath, g1, f, positions)
         case None => actions += addAction(conf, f)
       }
       published += 1
@@ -304,7 +324,7 @@ object DeltaExport {
         val st = p.getFileSystem(conf).getFileStatus(p)
         actions += (s"""{"remove":{"path":"${encodePath(addPath)}",""" +
           s""""deletionTimestamp":${st.getModificationTime},"dataChange":true}}""")
-        actions += addWithDv(addPath, key, positions)
+        actions += addWithDv(spark, conf, targetPath, g1, addPath, positions)
         published += 1
       }
     val deltaV = nextDeltaVersion(spark, targetPath)

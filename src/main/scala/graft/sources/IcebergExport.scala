@@ -140,6 +140,18 @@ object IcebergExport {
     s"""{"type":"struct","schema-id":0,"fields":[$fjson]}"""
   }
 
+  /** The spec's name-mapping property value, JSON-escaped for embedding:
+    * graft-written parquet carries no Iceberg field ids, and
+    * `schema.name-mapping.default` is the spec's sanctioned bridge —
+    * engines resolve id-less files by these (field-id → names) rules
+    * instead of refusing the scan. */
+  private def nameMappingJson(fields: Seq[(Int, String, Boolean, String)]): String = {
+    val rules = fields.map { case (id, n, _, _) =>
+      s"""{"field-id":$id,"names":["$n"]}"""
+    }.mkString("[", ",", "]")
+    rules.replace("\"", "\\\"")
+  }
+
   /** Deterministic REAL table UUID (RFC-4122 name-based): stable across
     * metadata versions of the same export target, so engines that key
     * table identity on `table-uuid` see one table through appends. */
@@ -278,7 +290,8 @@ object IcebergExport {
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
          |"last-partition-id":999,
          |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-         |"properties":{"graft.source-version":"$sourceVersion"},
+         |"properties":{"graft.source-version":"$sourceVersion",
+         |"schema.name-mapping.default":"${nameMappingJson(fields)}"},
          |"current-snapshot-id":$currentId,
          |"snapshots":[${snaps.map(_.json).mkString(",")}],
          |"snapshot-log":[$slog],"metadata-log":[]}""".stripMargin
@@ -288,15 +301,37 @@ object IcebergExport {
       java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"), metaV.toString)
   }
 
-  private def requireExportable(spark: SparkSession, sourcePath: String, v: Long): Unit = {
-    if (TimeTravel.dvListing(spark, sourcePath, v).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"snapshot v$v of $sourcePath has pending deletion vectors; run " +
-          "TimeTravel.optimize to fold them, then export the folded version")
+  private def requireUnmapped(spark: SparkSession, sourcePath: String, v: Long): Unit =
     if (TimeTravel.colsListing(spark, sourcePath, v).nonEmpty)
       throw new UnsupportedOperationException(
         s"snapshot v$v of $sourcePath resolves through a column mapping; run " +
           "TimeTravel.optimize to rewrite, then export the folded version")
+
+  /** Publish the tombstones of `dvDirs` as ONE position-delete parquet
+    * (`deletes/pd-<g>.parquet` of (file_path, pos) pairs) + a content=1
+    * delete manifest — the spec's merge-on-read shape. */
+  private def writeDeleteArtifacts(spark: SparkSession, sourcePath: String,
+      targetPath: String, dvDirs: Seq[String], g: Long, snapId: Long,
+      seqNum: Long, fields: Seq[(Int, String, Boolean, String)]): ManifestRef = {
+    import org.apache.spark.sql.functions.col
+    val pairs = spark.read.parquet(dvDirs.map(d => s"$sourcePath/$d"): _*)
+      .select(col(TimeTravel.DvCols.head).as("file_path"),
+        col(TimeTravel.DvCols.last).cast("long").as("pos"))
+      .distinct()
+    val stage = s"$targetPath/deletes/.stage-$g"
+    pairs.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("delete stage wrote no part"))
+    val dst = new java.io.File(f"$targetPath/deletes/pd-$g%05d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(stage))
+    val delFiles = describeFiles(spark, Seq(dst.getAbsolutePath))
+    writeManifest(targetPath, f"md-$g%05d.avro", snapId, seqNum,
+      delFiles, fields, content = 1)
   }
 
   private def fieldsOf(schema: StructType): Seq[(Int, String, Boolean, String)] =
@@ -311,7 +346,7 @@ object IcebergExport {
       version: Option[Long] = None): Int = {
     val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
-    requireExportable(spark, sourcePath, v)
+    requireUnmapped(spark, sourcePath, v)
     val dirs = TimeTravel.listing(spark, sourcePath, v)
     val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
     val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
@@ -321,10 +356,19 @@ object IcebergExport {
         "(IcebergExport.append publishes follow-up commits)")
     val snapId = v
     val fields = fieldsOf(scan.schema)
-    val m = writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files, fields)
-    val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil, Seq(m))
+    val manifests = Seq.newBuilder[ManifestRef]
+    manifests += writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files, fields)
+    // pending merge-on-read tombstones export directly as a position-
+    // delete file + delete manifest in the same first snapshot
+    val dvDirs = TimeTravel.dvListing(spark, sourcePath, v)
+    if (dvDirs.nonEmpty)
+      manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
+        dvDirs, v, snapId, 1L, fields)
+    val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil,
+      manifests.result())
     writeMetadata(targetPath, 1, v, fields,
-      Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml, "append")), snapId)
+      Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml,
+        if (dvDirs.nonEmpty) "overwrite" else "append")), snapId)
     files.length
   }
 
@@ -344,10 +388,7 @@ object IcebergExport {
     val g1 = toVersion.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
     if (g1 <= g0) return 0
-    if (TimeTravel.colsListing(spark, sourcePath, g1).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"snapshot v$g1 of $sourcePath resolves through a column mapping; run " +
-          "TimeTravel.optimize to rewrite, then export the folded version")
+    requireUnmapped(spark, sourcePath, g1)
     var rowLevel = false
     ((g0 + 1) to g1).foreach { v =>
       TimeTravel.classifyCommit(spark, sourcePath, v) match {
@@ -405,25 +446,8 @@ object IcebergExport {
       if (dvNew.isEmpty) throw new IllegalStateException(
         s"row-level commits in (v$g0, v$g1] of $sourcePath left no new " +
           "deletion-vector directories — corrupt manifest state")
-      import org.apache.spark.sql.functions.col
-      val pairs = spark.read.parquet(dvNew.map(d => s"$sourcePath/$d"): _*)
-        .select(col(TimeTravel.DvCols.head).as("file_path"),
-          col(TimeTravel.DvCols.last).cast("long").as("pos"))
-        .distinct()
-      val stage = s"$targetPath/deletes/.stage-$g1"
-      pairs.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("delete stage wrote no part"))
-      val dst = new java.io.File(f"$targetPath/deletes/pd-$g1%05d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
-      }
-      deleteRec(new java.io.File(stage))
-      val delFiles = describeFiles(spark, Seq(dst.getAbsolutePath))
-      manifests += writeManifest(targetPath, f"md-$g1%05d.avro", snapId, seqNum,
-        delFiles, fields, content = 1)
+      manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
+        dvNew, g1, snapId, seqNum, fields)
     }
     val priorManifests = avroRecords(spark,
       IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))

@@ -137,13 +137,43 @@ object IcebergRead {
     })
   }
 
+  /** Decline format-version 3+ BY SPECIFIC FEATURE (the Delta gate's
+    * style): name the v3 features this metadata shows in use, so the
+    * error names the work instead of a wholesale version rejection. */
+  private def requireFormatVersion(tablePath: String, meta: JsonNode): Unit = {
+    val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fv <= 2) return
+    if (fv > 3) throw new UnsupportedOperationException(
+      s"iceberg format-version $fv at $tablePath is beyond the published " +
+        "spec this reader implements (1–2)")
+    val inUse = Seq.newBuilder[String]
+    if (meta.has("next-row-id") || meta.has("last-row-id"))
+      inUse += "row lineage (next-row-id)"
+    val schemaFields = Option(meta.get("schemas")).map { arr =>
+      (0 until arr.size()).map(arr.get).flatMap { s =>
+        val f = s.get("fields"); (0 until f.size()).map(f.get)
+      }
+    }.getOrElse(Seq.empty)
+    if (schemaFields.exists(f => f.has("initial-default") || f.has("write-default")))
+      inUse += "field default values (initial-default/write-default)"
+    if (schemaFields.exists(f => f.get("type").isTextual &&
+        f.get("type").asText() == "variant"))
+      inUse += "variant type"
+    val detail =
+      if (inUse.result().nonEmpty)
+        s"features in use this reader does not implement: ${inUse.result().mkString("; ")}"
+      else "v3 deletion vectors (puffin) and row lineage cannot be " +
+        "precluded from the metadata alone and are not implemented"
+    throw new UnsupportedOperationException(
+      s"iceberg format-version 3 at $tablePath — $detail; " +
+        "this reader serves formats 1 and 2")
+  }
+
   /** The snapshot list in metadata order (the commit order real writers
     * append in): (snapshot-id, resolved manifest-list path). */
   private[sources] def snapshotList(spark: SparkSession, tablePath: String,
       meta: JsonNode): Seq[(Long, Path)] = {
-    val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"iceberg format-version $fv at $tablePath; this reader supports 1 and 2")
+    requireFormatVersion(tablePath, meta)
     val snaps = meta.get("snapshots")
     if (snaps == null) Seq.empty
     else (0 until snaps.size()).map { i =>
@@ -200,6 +230,7 @@ object IcebergRead {
     * DELETED-status entries (default: the current snapshot). */
   private[sources] def liveEntries(spark: SparkSession, tablePath: String,
       meta: JsonNode, snapshotId: Option[Long] = None): Seq[EntryInfo] = {
+    requireFormatVersion(tablePath, meta) // even an empty table declines v3+
     val snapId = snapshotId.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong())).getOrElse(
       throw new IllegalStateException(s"no current-snapshot-id at $tablePath"))

@@ -1112,13 +1112,14 @@ class SourcesSpec extends SparkSpec {
     // the export pinned its version: a later graft commit doesn't shear it
     TimeTravel.commitAppend(Seq((99L, 0L)).toDF("k", "v"), src)
     assert(DeltaRead.read(spark, tgt).count() == 60)
-    // declines: DV-bearing and mapped snapshots can't be reader-v1 Delta
+    // a DV-bearing snapshot exports directly: commit 0 declares reader
+    // v3 and the affected adds carry protocol-format DVs (r12)
     TimeTravel.deleteMoR(spark, src, col("k") > 55)
-    val e1 = intercept[UnsupportedOperationException] {
-      DeltaExport.snapshot(spark, src,
-        Files.createTempDirectory("dexp_dv").toFile.getAbsolutePath + "/d")
-    }
-    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    val tgtDv = Files.createTempDirectory("dexp_dv").toFile.getAbsolutePath + "/d"
+    assert(DeltaExport.snapshot(spark, src, tgtDv) > 0)
+    assert(DeltaRead.read(spark, tgtDv).select("k").as[Long].collect().toSet
+      == TimeTravel.read(spark, src).select("k").as[Long].collect().toSet,
+      "fresh export of a DV snapshot must serve the post-delete rows")
     val src2 = Files.createTempDirectory("dexp_map").toFile.getAbsolutePath + "/t"
     TimeTravel.commitOverwrite(Seq((1L, 1L)).toDF("k", "v"), src2)
     TimeTravel.renameColumn(spark, src2, "v", "val")
@@ -1312,6 +1313,12 @@ class SourcesSpec extends SparkSpec {
     assert(got2 == want - 10L, "second append must accumulate the delete")
     // idempotent when current
     assert(IcebergExport.append(spark, src, tgt) == 0)
+    // a FRESH snapshot of the DV-bearing source also exports directly
+    // (r12): first snapshot = data manifest + delete manifest
+    val tgt2 = Files.createTempDirectory("iexprl_tgt2").toFile.getAbsolutePath + "/i"
+    assert(IcebergExport.snapshot(spark, src, tgt2) > 0)
+    assert(IcebergRead.read(spark, tgt2).select("k").as[Long].collect().toSet
+      == got2, "fresh export of a DV snapshot must serve the post-delete rows")
   }
 
   test("iceberg export: decimal columns map through the interchange set both ways") {
@@ -1401,7 +1408,38 @@ class SourcesSpec extends SparkSpec {
     val ml2 = icebergManifestList(dir2, "snap-1.avro", Seq(m2))
     icebergMetadata(dir2, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2)
     val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2))
-    assert(e2.getMessage.contains("format-version"), e2.getMessage)
+    // v3 declines name the work: no detectable feature → the manifest-
+    // level ones that can't be precluded from metadata alone
+    assert(e2.getMessage.contains("format-version 3") &&
+      e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    // v3 with row lineage / field defaults in use → named specifically
+    def v3Meta(dir: String, extras: String, fieldExtra: String): Unit = {
+      new java.io.File(s"$dir/metadata").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+        s"""{"format-version":3,$extras"table-uuid":"x","location":"$dir",
+           |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
+           |"fields":[{"id":1,"name":"id","required":true,"type":"long"$fieldExtra}]}],
+           |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"), "1")
+    }
+    val dir3 = Files.createTempDirectory("iceberg_v3rl").toFile.getAbsolutePath + "/t"
+    v3Meta(dir3, """"next-row-id":17,""", "")
+    val e3 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir3))
+    assert(e3.getMessage.contains("row lineage"), e3.getMessage)
+    val dir4 = Files.createTempDirectory("iceberg_v3fd").toFile.getAbsolutePath + "/t"
+    v3Meta(dir4, "", ""","initial-default":0""")
+    val e4 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir4))
+    assert(e4.getMessage.contains("default values"), e4.getMessage)
+    // format-version 4+ (unpublished) declines wholesale
+    val dir5 = Files.createTempDirectory("iceberg_v4").toFile.getAbsolutePath + "/t"
+    v3Meta(dir5, "", "")
+    val p5 = java.nio.file.Paths.get(s"$dir5/metadata/v1.metadata.json")
+    java.nio.file.Files.writeString(p5, java.nio.file.Files.readString(p5)
+      .replace("\"format-version\":3", "\"format-version\":4"))
+    val e5 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir5))
+    assert(e5.getMessage.contains("format-version 4"), e5.getMessage)
   }
 
   test("iceberg read: v2 equality deletes apply with sequence-number ordering") {

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--out RECORD.json]
+
+With --out, additionally writes a driver-shaped per-query record
+({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — the self-produced correctness artifact
+(CORRECTNESS_SELF.json) committed each round so the round record
+never depends on a single external harness run.
 
 Reads each <outDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB with every
@@ -33,7 +39,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    args = sys.argv[1:]
+    record_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        record_path = Path(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sf_dir, out_dir = Path(args[0]), Path(args[1])
+    record = {}
+
+    def rec(name, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     con = duckdb.connect()
     for p in sorted(sf_dir.glob("*.parquet")):
         con.execute(
@@ -44,6 +64,7 @@ def main() -> int:
         spark_dir = out_dir / name
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output")
+            rec(name, err="no spark output")
             n_fail += 1
             continue
         marker = spark_dir / "_ERROR.json"
@@ -52,6 +73,7 @@ def main() -> int:
             # error, not a parquet-read stack trace
             err = json.loads(marker.read_text()).get("error", "?")
             print(f"FAIL {name}: query threw: {err}")
+            rec(name, err=f"query threw: {err}")
             n_fail += 1
             continue
         try:
@@ -59,23 +81,34 @@ def main() -> int:
             want = canon(con.execute(sql).df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
+            rec(name, err=str(e)[:500])
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
+            rec(name, rows_match=len(got) == len(want),
+                spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            rec(name, schema_match=True, spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
         elif not got.equals(want):
             neq = (got != want).any(axis=1)
             print(f"FAIL {name}: {int(neq.sum())}/{len(got)} rows differ; first:")
             print(pd.concat({"spark": got[neq].head(3), "duck": want[neq].head(3)}))
+            rec(name, rows_match=True, schema_match=True,
+                spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(got), oracle_rows=len(want))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if record_path is not None:
+        record_path.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+        print(f"record -> {record_path}")
     return 1 if n_fail else 0
 
 
