@@ -61,6 +61,15 @@ class PlanSpec extends SparkSpec {
       "huge-by-evidence side must pass through unhinted")
   }
 
+  test("iceberg equality-delete MoR plans hash anti-joins, never a nested loop") {
+    // the null-safe (<=>) match columns are still equi-join keys —
+    // a BroadcastNestedLoopJoin here would be O(rows × deletes)
+    val p = phys(queries.CdcQueries.qIcebergReadEq.run(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"equality-delete anti-joins must stay hash joins:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti-join application:\n$p")
+  }
+
   test("document chunk pipeline is narrow (no shuffle)") {
     val p = phys(DocPipeline.chunks(Tables(spark, sf, "documents")))
     assert(!p.contains("Exchange"),
