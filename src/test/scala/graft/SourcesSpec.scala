@@ -1477,6 +1477,70 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("field id 99"), e.getMessage)
   }
 
+  test("iceberg equality deletes: seeded randomized sweep vs in-memory model") {
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // the ordering/null-safety rules have a crisp model: a row of a
+    // data file at sequence s dies iff SOME delete at sequence > s
+    // lists its id (null matching null). Sweep random configurations
+    // with a fixed seed and hold the reader to the model.
+    val rnd = new scala.util.Random(0xEC12DEL)
+    val dataSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val delSchema = StructType(Seq(StructField("id", LongType, nullable = true)))
+    def writeOne(dir: String, name: String, schema: StructType, rows: Seq[Row]): String = {
+      val tmp = Files.createTempDirectory("eqf_stage").toFile.getAbsolutePath
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    (1 to 6).foreach { trial =>
+      val dir = Files.createTempDirectory(s"iceberg_eqf$trial").toFile.getAbsolutePath + "/t"
+      def someId(): java.lang.Long =
+        if (rnd.nextInt(8) == 0) null else java.lang.Long.valueOf(rnd.nextInt(18).toLong)
+      val dataFiles = (0 until 2 + rnd.nextInt(3)).map { i =>
+        val seq = 1L + rnd.nextInt(6)
+        val rows = (0 until 5 + rnd.nextInt(8)).map(_ =>
+          Row(someId(), java.lang.Long.valueOf(rnd.nextInt(90).toLong)))
+        (writeOne(dir, s"f$i.parquet", dataSchema, rows), seq, rows)
+      }
+      val delFiles = (0 until 1 + rnd.nextInt(3)).map { j =>
+        val seq = 1L + rnd.nextInt(7)
+        val ids = (0 until 1 + rnd.nextInt(6)).map(_ => someId())
+        (writeOne(dir, s"eq$j.parquet", delSchema, ids.map(Row(_))), seq, ids)
+      }
+      val mData = IcebergRead.Fixture.manifestV2(dir, "mData.avro",
+        dataFiles.map { case (p, seq, _) => EntryInfo(1, p, 0, seq, Nil) })
+      val mDel = IcebergRead.Fixture.manifestV2(dir, "mDel.avro",
+        delFiles.map { case (p, seq, _) => EntryInfo(1, p, 2, seq, Seq(1)) })
+      val ml = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(mData, mDel))
+      IcebergRead.Fixture.metadata(dir, 1, formatVersion = 2, snapshotId = 1L,
+        manifestList = ml,
+        fields = Seq((1, "id", false, "long"), (2, "v", false, "long")))
+      def key(id: Any, v: Any) = s"${Option(id)}|$v"
+      val want = dataFiles.flatMap { case (_, seq, rows) =>
+        rows.filterNot { r =>
+          delFiles.exists { case (_, dSeq, ids) =>
+            dSeq > seq && ids.exists(x => Option(x) == Option(r.get(0)))
+          }
+        }.map(r => key(r.get(0), r.get(1)))
+      }.sorted
+      val got = IcebergRead.read(spark, dir).collect()
+        .map(r => key(r.get(0), r.get(1))).toSeq.sorted
+      assert(got == want,
+        s"trial $trial: reader disagrees with model\n got=$got\nwant=$want\n" +
+          s"data=${dataFiles.map(f => (f._2, f._3))}\ndels=${delFiles.map(d => (d._2, d._3))}")
+    }
+  }
+
   test("iceberg read: v2 position deletes apply merge-on-read") {
     import graft.sources.IcebergRead
     import spark.implicits._
