@@ -786,6 +786,63 @@ class SourcesSpec extends SparkSpec {
     assert(eX.getMessage.contains("checkpointMetadata.version"), eX.getMessage)
   }
 
+  test("delta read: V2 checkpoint sidecar adds carry deletion vectors") {
+    import graft.sources.{DeltaDv, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_v2dv").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    // one file globally sorted 1..10 → position p holds id p+1
+    val tmp = Files.createTempDirectory("v2dv_stage").toFile.getAbsolutePath
+    (1L to 10L).map(i => (i, i)).toDF("id", "v").repartition(1)
+      .sortWithinPartitions("id").write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    val uuid = java.util.UUID.fromString("00000000-0000-4000-8000-0000000000ee")
+    val dv = DeltaDv.writeDvFile(spark, dir, uuid, Seq(1L, 3L)) // kills ids 2, 4
+    def stage(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val t2 = Files.createTempDirectory("v2dv_cp").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(t2)
+      val p = new java.io.File(t2).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(dest).getParentFile.mkdirs()
+      java.nio.file.Files.copy(p.toPath, java.nio.file.Paths.get(dest))
+      ()
+    }
+    stage(Seq((("f1.parquet", Map.empty[String, String]),
+      (dv.storageType, dv.pathOrInlineDv, dv.offset.get, dv.sizeInBytes, dv.cardinality)))
+      .toDF("addRaw", "dvRaw")
+      .selectExpr("named_struct('path', addRaw._1, 'partitionValues', addRaw._2, " +
+        "'deletionVector', named_struct('storageType', dvRaw._1, " +
+        "'pathOrInlineDv', dvRaw._2, 'offset', dvRaw._3, 'sizeInBytes', dvRaw._4, " +
+        "'cardinality', dvRaw._5)) AS add"),
+      s"$dir/_delta_log/_sidecars/sc-dv.parquet")
+    val schemaString = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))).json
+    val top = Seq(
+      (Some(0L), None: Option[String], None: Option[Int],
+        None: Option[(String, Seq[String])]),
+      (None, Some("sc-dv.parquet"), None, None),
+      (None, None, Some(3), None),
+      (None, None, None, Some((schemaString, Seq.empty[String]))))
+      .toDF("cmRaw", "scRaw", "protoRaw", "metaRaw")
+      .selectExpr(
+        "named_struct('version', cmRaw) AS checkpointMetadata",
+        "named_struct('path', scRaw) AS sidecar",
+        "named_struct('minReaderVersion', protoRaw, 'readerFeatures', " +
+          "CASE WHEN protoRaw IS NOT NULL THEN array('v2Checkpoint', 'deletionVectors') END) AS protocol",
+        "named_struct('schemaString', metaRaw._1, 'partitionColumns', metaRaw._2) AS metaData")
+    stage(top, s"$dir/_delta_log/" + f"${0L}%020d" +
+      ".checkpoint.6f1e2d3c-4b5a-4978-8c6d-5e4f3a2b1c0d.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/_last_checkpoint"),
+      """{"version":0,"size":4}""")
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet
+      == (1L to 10L).toSet -- Set(2L, 4L),
+      "a DV descriptor riding a sidecar add must apply merge-on-read")
+  }
+
   test("delta read: id-mode column mapping resolves by parquet field id, not name") {
     import graft.sources.DeltaRead
     import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
@@ -1208,6 +1265,27 @@ class SourcesSpec extends SparkSpec {
     assert(got2 == want - 10L, "second append must accumulate the delete")
     // idempotent when current
     assert(DeltaExport.append(spark, src, tgt) == 0)
+  }
+
+  test("delta export append: updateMoR (tombstones + re-appended copies) publishes in one commit") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexpum_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexpum_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite((1L to 30L).map(i => (i, i * 2)).toDF("k", "v"), src) // v1
+    assert(DeltaExport.snapshot(spark, src, tgt) > 0)
+    // one graft commit that BOTH tombstones and appends (the updated
+    // copies): the export window must publish the new file as a plain
+    // add AND re-add the original with a DV
+    TimeTravel.updateMoR(spark, src, col("k") <= 5L, Seq("v" -> lit(999L))) // v2
+    assert(DeltaExport.append(spark, src, tgt) > 0)
+    val want = TimeTravel.read(spark, src).select("k", "v").as[(Long, Long)]
+      .collect().toSet
+    val got = DeltaRead.read(spark, tgt).select("k", "v").as[(Long, Long)]
+      .collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.count(_._2 == 999L) == 5 && got.size == 30,
+      "updated copies must replace, not duplicate, the tombstoned rows")
   }
 
   test("delta export append: checkpoints every 10 commits; pre-checkpoint JSONs become vacuum-able") {

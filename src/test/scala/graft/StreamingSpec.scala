@@ -882,6 +882,39 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("removed files")), messages(e).toString)
   }
 
+  test("delta stream source: a row-level write-back commit kills the append-only stream loudly") {
+    import graft.sources.{DeltaExport, TimeTravel}
+    import spark.implicits._
+    // the r12 write-back publishes deletes as protocol-upgrade +
+    // remove/re-add actions — exactly the shapes the append-only
+    // stream must refuse (a file diff would silently over-serve)
+    val src = Files.createTempDirectory("dstream_rl_src").toFile.getAbsolutePath + "/t"
+    val dt = Files.createTempDirectory("dstream_rl_dt").toFile.getAbsolutePath + "/d"
+    val cp = ckpt()
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), src)
+    DeltaExport.snapshot(spark, src, dt)
+    def runOnce(): Int = {
+      var n = 0
+      val q = spark.readStream.format("graft-delta").load(dt)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n += b.count().toInt: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); n
+    }
+    assert(runOnce() == 20, "first batch = the exported snapshot")
+    TimeTravel.deleteMoR(spark, src, col("k") <= 3L)
+    DeltaExport.append(spark, src, dt) // publishes protocol + remove/re-add
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("upgraded its protocol") || m.contains("removed files")),
+      messages(e).toString)
+  }
+
   test("iceberg stream source: snapshot, new-manifest increments, history rewrite fails loudly") {
     import graft.sources.IcebergRead
     import spark.implicits._
