@@ -1288,6 +1288,37 @@ class SourcesSpec extends SparkSpec {
       "updated copies must replace, not duplicate, the tombstoned rows")
   }
 
+  test("delta export checkpoints persist DV descriptors: replay from checkpoint alone stays exact") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexpcpdv_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexpcpdv_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), src) // v1
+    assert(DeltaExport.snapshot(spark, src, tgt) > 0) // delta commit 0
+    TimeTravel.deleteMoR(spark, src, col("k") <= 4L) // v2 RowLevel
+    assert(DeltaExport.append(spark, src, tgt) > 0) // delta commit 1: DV re-add
+    // nine more appends → delta commits 2..10; checkpoint fires at 10
+    (1 to 9).foreach { i =>
+      TimeTravel.commitAppend(Seq((100L + i, 0L)).toDF("k", "v"), src)
+      assert(DeltaExport.append(spark, src, tgt) > 0)
+    }
+    val logDir = new java.io.File(s"$tgt/_delta_log")
+    assert(logDir.listFiles().exists(_.getName.endsWith(".checkpoint.parquet")),
+      "checkpoint must have fired at commit 10")
+    // vacuum every pre-checkpoint commit JSON: the checkpoint alone must
+    // carry the DV descriptor and the upgraded protocol, or the replay
+    // silently over-serves the four deleted rows
+    logDir.listFiles().filter { f =>
+      f.getName.endsWith(".json") &&
+        f.getName.stripSuffix(".json").forall(_.isDigit) &&
+        f.getName.stripSuffix(".json").toLong < 10L
+    }.foreach(f => assert(f.delete()))
+    val got = DeltaRead.read(spark, tgt).select("k").as[Long].collect().toSet
+    val want = TimeTravel.read(spark, src).select("k").as[Long].collect().toSet
+    assert(got == want && !got(4L) && got(5L),
+      s"from-checkpoint replay must keep the deletes; missing=${want -- got} extra=${got -- want}")
+  }
+
   test("delta export append: checkpoints every 10 commits; pre-checkpoint JSONs become vacuum-able") {
     import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
     import spark.implicits._
