@@ -186,19 +186,37 @@ object IcebergRead {
   /** The manifest paths a snapshot's list names, in list order. */
   private[sources] def manifestsOf(spark: SparkSession, tablePath: String,
       manifestList: Path): Seq[Path] =
-    avroRecords(spark, manifestList)
-      .map(r => resolve(tablePath, String.valueOf(r.get("manifest_path"))))
+    manifestsWithSeq(spark, tablePath, manifestList).map(_._1)
+
+  /** Manifest paths PLUS each list entry's `sequence_number` (v2 field
+    * 515; None on v1 lists, which predate sequence numbers). Real v2
+    * writers store NULL sequence_number on ADDED manifest entries and
+    * expect readers to inherit the list entry's value — dropping it to
+    * 0 silently mis-orders equality deletes (every delete looks
+    * no-newer than every data file), so the list-level number must
+    * travel with the path. */
+  private[sources] def manifestsWithSeq(spark: SparkSession, tablePath: String,
+      manifestList: Path): Seq[(Path, Option[Long])] =
+    avroRecords(spark, manifestList).map { r =>
+      val seq =
+        if (r.getSchema.getField("sequence_number") == null) None
+        else Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue())
+      (resolve(tablePath, String.valueOf(r.get("manifest_path"))), seq)
+    }
 
   /** One manifest entry, decoded: content 0 is data, 1 position
     * deletes, 2 equality deletes (both v2 merge-on-read shapes applied
-    * at read). `seq` is the entry's data sequence number (0 when the
-    * writer omitted it — v1 manifests); equality deletes carry the
-    * field ids their rows match on. */
+    * at read). `seq` is the entry's data sequence number — explicit,
+    * or INHERITED from the manifest-list entry when the manifest
+    * stores null (the v2 spec's write shape for ADDED entries; real
+    * writers rely on it). 0 only in the v1 world, where sequence
+    * numbers don't exist. Equality deletes carry the field ids their
+    * rows match on. */
   final case class EntryInfo(status: Int, path: String,
       content: Int, seq: Long, equalityIds: Seq[Int])
 
-  private[sources] def entriesOf(spark: SparkSession,
-      manifestPath: Path): Seq[EntryInfo] =
+  private[sources] def entriesOf(spark: SparkSession, manifestPath: Path,
+      inheritSeq: Option[Long] = None): Seq[EntryInfo] =
     avroRecords(spark, manifestPath).map { e =>
       val status = e.get("status").asInstanceOf[Number].intValue()
       val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -212,7 +230,23 @@ object IcebergRead {
       def opt(r: GenericRecord, field: String): Option[AnyRef] =
         if (r.getSchema.getField(field) == null) None else Option(r.get(field))
       val seq = opt(e, "sequence_number")
-        .map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+        .map(_.asInstanceOf[Number].longValue()).getOrElse {
+          inheritSeq match {
+            // null + ADDED = inherit from the manifest list (v2 spec)
+            case Some(listSeq) if status == 1 => listSeq
+            // null on EXISTING/DELETED entries is a spec violation in
+            // the v2 world — the original number is unrecoverable, and
+            // guessing mis-orders equality deletes: loud, not 0
+            case Some(_) => throw new IllegalStateException(
+              s"iceberg manifest entry (status=$status) in $manifestPath " +
+                "carries null sequence_number; only ADDED entries inherit " +
+                "from the manifest list — the manifest is outside the v2 spec")
+            // no list-level number either: a v1 manifest list, which
+            // predates sequence numbers entirely (no equality deletes
+            // can exist there) — 0 is the spec'd v1 reading
+            case None => 0L
+          }
+        }
       val eqIds = opt(df, "equality_ids").map {
         case c: java.util.Collection[_] =>
           import scala.jdk.CollectionConverters._
@@ -239,8 +273,9 @@ object IcebergRead {
       .find(_._1 == snapId).map(_._2)
       .getOrElse(throw new IllegalStateException(
         s"snapshot $snapId not in snapshot list at $tablePath"))
-    manifestsOf(spark, tablePath, listPath)
-      .flatMap(mp => entriesOf(spark, mp)).filter(_.status != 2)
+    manifestsWithSeq(spark, tablePath, listPath)
+      .flatMap { case (mp, listSeq) => entriesOf(spark, mp, listSeq) }
+      .filter(_.status != 2)
   }
 
   /** A snapshot's live data files (delete-free tables; callers that
@@ -291,18 +326,24 @@ object IcebergRead {
 
     /** Full-shape variant: sequence numbers and (for content=2)
       * equality-id lists ride the entries, the fields the
-      * merge-on-read ordering rules key on. */
+      * merge-on-read ordering rules key on. `nullSeqs` writes NULL
+      * sequence_number on every entry — the shape real v2 writers emit
+      * for ADDED entries, which readers must inherit from the manifest
+      * list (pair with [[manifestListV2]]). */
     def manifestV2(dir: String, name: String,
-        entries: Seq[EntryInfo]): String = {
+        entries: Seq[EntryInfo], nullSeqs: Boolean = false): String = {
       val idsSchema = Schema.createUnion(java.util.List.of(
         Schema.create(Schema.Type.NULL),
         Schema.createArray(Schema.create(Schema.Type.INT))))
+      val seqSchema = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
       val dfSchema = SchemaBuilder.record("r102").fields()
         .requiredString("file_path").requiredInt("content")
         .name("equality_ids").`type`(idsSchema).withDefault(null)
         .endRecord()
       val entrySchema = SchemaBuilder.record("manifest_entry").fields()
-        .requiredInt("status").requiredLong("sequence_number")
+        .requiredInt("status")
+        .name("sequence_number").`type`(seqSchema).withDefault(null)
         .name("data_file").`type`(dfSchema).noDefault().endRecord()
       val f = new java.io.File(s"$dir/metadata/$name")
       f.getParentFile.mkdirs()
@@ -320,7 +361,8 @@ object IcebergRead {
             arr
           })
         val e = new GenericData.Record(entrySchema)
-        e.put("status", en.status); e.put("sequence_number", en.seq)
+        e.put("status", en.status)
+        e.put("sequence_number", if (nullSeqs) null else (en.seq: java.lang.Long))
         e.put("data_file", dfr)
         w.append(e)
       }
@@ -337,6 +379,27 @@ object IcebergRead {
       w.create(s, f)
       manifests.foreach { m =>
         val r = new GenericData.Record(s); r.put("manifest_path", m); w.append(r)
+      }
+      w.close()
+      f.getAbsolutePath
+    }
+
+    /** v2-shaped manifest list: each entry carries its
+      * `sequence_number` (field 515), the value null-seq'd manifest
+      * entries inherit. */
+    def manifestListV2(dir: String, name: String,
+        manifests: Seq[(String, Long)]): String = {
+      val s = SchemaBuilder.record("manifest_file").fields()
+        .requiredString("manifest_path").requiredLong("sequence_number")
+        .endRecord()
+      val f = new java.io.File(s"$dir/metadata/$name")
+      f.getParentFile.mkdirs()
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+      w.create(s, f)
+      manifests.foreach { case (m, seq) =>
+        val r = new GenericData.Record(s)
+        r.put("manifest_path", m); r.put("sequence_number", seq)
+        w.append(r)
       }
       w.close()
       f.getAbsolutePath

@@ -1586,6 +1586,49 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("field id 99"), e.getMessage)
   }
 
+  test("iceberg read: null entry sequence numbers inherit from the manifest list") {
+    // real v2 writers (Flink CDC et al.) store NULL sequence_number on
+    // ADDED manifest entries; the reader must inherit the manifest-list
+    // entry's number or every equality delete lands at seq 0 and is
+    // silently dropped (r12 ADVICE high)
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_inh").toFile.getAbsolutePath + "/t"
+    // same semantics as the explicit-seq test: f0 @ seq 1, delete @ seq
+    // 2 (ids 3, 5), f1 @ seq 3 re-inserts id 3 — but every ENTRY seq is
+    // null and only the manifest LIST carries the numbers
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 5L).map(i => (i, i, "b0")))
+    val f1 = writeIcebergPart(dir, "f1.parquet", Seq((3L, 30L, "b1"), (11L, 11L, "b1")))
+    val delStage = Files.createTempDirectory("iceberg_inh_stage").toFile.getAbsolutePath
+    Seq(3L, 5L).toDF("id").coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delPart = new java.io.File(delStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val delDst = new java.io.File(s"$dir/data/eq0.parquet")
+    delDst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(delPart.toPath, delDst.toPath)
+    val m0 = IcebergRead.Fixture.manifestV2(dir, "m0.avro",
+      Seq(EntryInfo(1, f0, 0, -1L, Nil)), nullSeqs = true)
+    val mDel = IcebergRead.Fixture.manifestV2(dir, "mDel.avro",
+      Seq(EntryInfo(1, delDst.getAbsolutePath, 2, -1L, Seq(1))), nullSeqs = true)
+    val m1 = IcebergRead.Fixture.manifestV2(dir, "m1.avro",
+      Seq(EntryInfo(1, f1, 0, -1L, Nil)), nullSeqs = true)
+    val ml = IcebergRead.Fixture.manifestListV2(dir, "snap-1.avro",
+      Seq((m0, 1L), (mDel, 2L), (m1, 3L)))
+    icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
+    val got = IcebergRead.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 11L),
+      s"inherited seqs must order deletes like explicit ones: $got")
+    // a null seq on a NON-ADDED entry cannot inherit — loud, never 0
+    val mBad = IcebergRead.Fixture.manifestV2(dir, "mBad.avro",
+      Seq(EntryInfo(0, f0, 0, -1L, Nil)), nullSeqs = true)
+    val ml2 = IcebergRead.Fixture.manifestListV2(dir, "snap-2.avro",
+      Seq((mBad, 4L), (mDel, 2L)))
+    icebergMetadata(dir, 2, formatVersion = 2, snapshotId = 6L, manifestList = ml2)
+    val e2 = intercept[IllegalStateException](IcebergRead.read(spark, dir))
+    assert(e2.getMessage.contains("only ADDED entries inherit"), e2.getMessage)
+  }
+
   test("iceberg equality deletes: seeded randomized sweep vs in-memory model") {
     import graft.sources.IcebergRead
     import graft.sources.IcebergRead.EntryInfo

@@ -43,8 +43,16 @@ def main() -> int:
     record_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: check.py <sfDir> <verifyOutDir> [--out RECORD.json]",
+                  file=sys.stderr)
+            return 2
         record_path = Path(args[i + 1])
         args = args[:i] + args[i + 2:]
+    if len(args) < 2:
+        print("usage: check.py <sfDir> <verifyOutDir> [--out RECORD.json]",
+              file=sys.stderr)
+        return 2
     sf_dir, out_dir = Path(args[0]), Path(args[1])
     record = {}
 
