@@ -307,19 +307,46 @@ object IcebergExport {
         s"snapshot v$v of $sourcePath resolves through a column mapping; run " +
           "TimeTravel.optimize to rewrite, then export the folded version")
 
+  /** Scheme-normalized path key ([[DeltaExport]]'s normKey): graft DV
+    * sidecars record `_metadata.file_path` URIs while the data
+    * manifests record `inputFiles` URIs, and the two render the
+    * scheme/authority differently (`file:///` vs `file:/`). */
+  private def normKey(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
   /** Publish the tombstones of `dvDirs` as ONE position-delete parquet
-    * (`deletes/pd-<g>.parquet` of (file_path, pos) pairs) + a content=1
-    * delete manifest — the spec's merge-on-read shape. */
+    * (`deletes/pd-<g>.parquet` of (file_path, pos) pairs, sorted by
+    * file_path then pos as the spec requires) + a content=1 delete
+    * manifest — the spec's merge-on-read shape. Each delete row's
+    * `file_path` is rewritten to the EXACT string the data manifests
+    * carry (`dataPaths`): external engines match byte-exact, so the
+    * `_metadata.file_path` form the DV sidecars record would silently
+    * fail to apply outside graft. */
   private def writeDeleteArtifacts(spark: SparkSession, sourcePath: String,
       targetPath: String, dvDirs: Seq[String], g: Long, snapId: Long,
-      seqNum: Long, fields: Seq[(Int, String, Boolean, String)]): ManifestRef = {
+      seqNum: Long, fields: Seq[(Int, String, Boolean, String)],
+      dataPaths: Seq[String]): ManifestRef = {
     import org.apache.spark.sql.functions.col
-    val pairs = spark.read.parquet(dvDirs.map(d => s"$sourcePath/$d"): _*)
+    val byKey = dataPaths.map(p => normKey(p) -> p).toMap
+    if (byKey.size != dataPaths.size) throw new IllegalStateException(
+      s"two manifest data paths normalize to one key at $targetPath — " +
+        "cannot rewrite delete file_paths unambiguously")
+    val raw = spark.read.parquet(dvDirs.map(d => s"$sourcePath/$d"): _*)
       .select(col(TimeTravel.DvCols.head).as("file_path"),
         col(TimeTravel.DvCols.last).cast("long").as("pos"))
-      .distinct()
+      .distinct().collect()
+    val pairRows = raw.map { r =>
+      val manifestForm = byKey.getOrElse(normKey(r.getString(0)),
+        throw new IllegalStateException(
+          s"tombstoned file ${r.getString(0)} is not among the published " +
+            s"data files of $targetPath — corrupt export state"))
+      (manifestForm, r.getLong(1))
+    }.sortBy(identity).toSeq // spec: position deletes sort by (file_path, pos)
+    import spark.implicits._
+    val pairs = pairRows.toDF("file_path", "pos")
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
     val stage = s"$targetPath/deletes/.stage-$g"
-    pairs.coalesce(1).write.mode("overwrite").parquet(stage)
+    pairs.write.mode("overwrite").parquet(stage)
     val part = new java.io.File(stage).listFiles()
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("delete stage wrote no part"))
@@ -363,7 +390,7 @@ object IcebergExport {
     val dvDirs = TimeTravel.dvListing(spark, sourcePath, v)
     if (dvDirs.nonEmpty)
       manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
-        dvDirs, v, snapId, 1L, fields)
+        dvDirs, v, snapId, 1L, fields, files.map(_.path))
     val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil,
       manifests.result())
     writeMetadata(targetPath, 1, v, fields,
@@ -424,15 +451,16 @@ object IcebergExport {
     val seqNum = priorSnaps.map(_.seqNum).max + 1
     val snapId = g1
     val manifests = Seq.newBuilder[ManifestRef]
+    var newFiles = Seq.empty[NewFile]
     if (newDirs.nonEmpty) {
       val scan = spark.read.parquet(newDirs.map(d => s"$sourcePath/$d"): _*)
       if (fieldsOf(scan.schema).map(t => (t._2, t._4)) != fields.map(t => (t._2, t._4)))
         throw new UnsupportedOperationException(
           s"graft commits after v$g0 changed the data schema at $sourcePath; " +
             "the published Iceberg schema is pinned — re-export a fresh snapshot")
-      val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
+      newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq)
       manifests += writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum,
-        files, fields)
+        newFiles, fields)
     }
     if (rowLevel) {
       // the window's NEW tombstones are exactly the dv directories the
@@ -446,8 +474,14 @@ object IcebergExport {
       if (dvNew.isEmpty) throw new IllegalStateException(
         s"row-level commits in (v$g0, v$g1] of $sourcePath left no new " +
           "deletion-vector directories — corrupt manifest state")
+      // the delete rows must carry the byte-exact file_path the data
+      // manifests recorded: prior snapshots' live data entries plus
+      // this publish's new files cover every referenceable target
+      val priorDataPaths = IcebergRead
+        .liveEntries(spark, targetPath, meta).filter(_.content == 0).map(_.path)
       manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
-        dvNew, g1, snapId, seqNum, fields)
+        dvNew, g1, snapId, seqNum, fields,
+        priorDataPaths ++ newFiles.map(_.path))
     }
     val priorManifests = avroRecords(spark,
       IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))

@@ -1415,6 +1415,45 @@ class SourcesSpec extends SparkSpec {
       .exists(_.getName.startsWith("pd-")), "position-delete parquet must exist")
     assert(new java.io.File(s"$tgt/metadata").listFiles()
       .exists(_.getName.startsWith("md-")), "delete manifest must exist")
+    // external engines match delete file_path BYTE-EXACT against the
+    // data manifests and the spec requires (file_path, pos) sort order
+    // (r12 ADVICE): every pd row must name a manifest path verbatim
+    val manifestDataPaths = {
+      import org.apache.avro.file.DataFileReader
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      new java.io.File(s"$tgt/metadata").listFiles()
+        .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+        .toSeq.flatMap { mf =>
+          val rdr = DataFileReader.openReader(mf,
+            new GenericDatumReader[GenericRecord]())
+          try {
+            val b = Seq.newBuilder[String]
+            while (rdr.hasNext) {
+              val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+              b += String.valueOf(df.get("file_path"))
+            }
+            b.result()
+          } finally rdr.close()
+        }.toSet
+    }
+    val pdRows = new java.io.File(s"$tgt/deletes").listFiles()
+      .filter(_.getName.startsWith("pd-")).toSeq.flatMap { pd =>
+        spark.read.parquet(pd.getAbsolutePath)
+          .select("file_path", "pos").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+    val unmatched = pdRows.map(_._1).filterNot(manifestDataPaths)
+    assert(unmatched.isEmpty,
+      s"delete file_path must match the data manifests byte-exact; " +
+        s"unmatched=${unmatched.distinct.take(3)} vs ${manifestDataPaths.take(3)}")
+    new java.io.File(s"$tgt/deletes").listFiles()
+      .filter(_.getName.startsWith("pd-")).foreach { pd =>
+        val rows = spark.read.parquet(pd.getAbsolutePath)
+          .select("file_path", "pos").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(rows == rows.sortBy(identity),
+          s"${pd.getName} rows must sort by (file_path, pos)")
+      }
     // a SECOND delete accumulates (prior delete files stay live)
     TimeTravel.deleteMoR(spark, src, col("k") === 10L) // v5 RowLevel
     assert(IcebergExport.append(spark, src, tgt) > 0)
