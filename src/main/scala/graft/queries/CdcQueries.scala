@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object CdcQueries {
 
+  /** Fixture add-actions must carry the REAL byte length — the
+    * protocol requires `add.size` to be the actual file size and the
+    * reader plans parquet splits from it. */
+  private def flen(dir: String, rel: String): Long =
+    new java.io.File(s"$dir/$rel").length()
+
   private val Cutoff = "1998-01-01 00:00:00"
 
   /** J1: anti-join ∪ newer-timestamp semi-join. */
@@ -323,7 +329,7 @@ object CdcQueries {
         s""""schemaString":"$esc","partitionColumns":["band"],"configuration":{}}}"""
     def add(b: Int) =
       s"""{"add":{"path":"band=b$b/f$b.parquet","partitionValues":{"band":"b$b"},""" +
-        s""""size":1,"modificationTime":$b,"dataChange":true}}"""
+        s""""size":${flen(dir, s"band=b$b/f$b.parquet")},"modificationTime":$b,"dataChange":true}}"""
     new java.io.File(s"$dir/_delta_log").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
@@ -544,7 +550,7 @@ object CdcQueries {
       java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
       Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
         s"""{"metaData":{"id":"dvfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
-        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${dv.pathOrInlineDv}","offset":${dv.offset.get},"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}}}""")
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"${dv.pathOrInlineDv}","offset":${dv.offset.get},"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}}}""")
         .mkString("", "\n", "\n"))
     graft.sources.DeltaRead.read(s, dir)
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
@@ -609,7 +615,7 @@ object CdcQueries {
         """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}"""
     def add(b: Int) =
       s"""{"add":{"path":"f$b.parquet","partitionValues":{"col-3":"b$b"},""" +
-        s""""size":1,"modificationTime":$b,"dataChange":true}}"""
+        s""""size":${flen(dir, s"f$b.parquet")},"modificationTime":$b,"dataChange":true}}"""
     new java.io.File(s"$dir/_delta_log").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
@@ -753,12 +759,12 @@ object CdcQueries {
       java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
         s"""{"metaData":{"id":"cdffix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
-        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
         .mkString("", "\n", "\n"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json"),
       Seq("""{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}""",
-        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":${flen(dir, "f1.parquet")},"modificationTime":2,"dataChange":true}}""",
         """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""")
         .mkString("", "\n", "\n"))
     graft.sources.DeltaRead.changes(s, dir, 0L, 1L)
@@ -917,7 +923,7 @@ object CdcQueries {
       """{"version":1,"size":5}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${2L}%020d" + ".json"),
-      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":${flen(dir, "f2.parquet")},"modificationTime":2,"dataChange":true}}""" + "\n")
     graft.sources.DeltaRead.read(s, dir)
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
@@ -986,7 +992,7 @@ object CdcQueries {
         """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}"""
     def add(b: Int) =
       s"""{"add":{"path":"f$b.parquet","partitionValues":{"col-3":"b$b"},""" +
-        s""""size":1,"modificationTime":$b,"dataChange":true}}"""
+        s""""size":${flen(dir, s"f$b.parquet")},"modificationTime":$b,"dataChange":true}}"""
     new java.io.File(s"$dir/_delta_log").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),

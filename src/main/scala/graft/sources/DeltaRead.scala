@@ -64,9 +64,16 @@ object DeltaRead {
     try new Path(new java.net.URI(p)).toString
     catch { case _: java.net.URISyntaxException => p }
 
+  /** `size`/`modTime` ride from the log (`add.size` is REQUIRED by the
+    * protocol to be the actual byte length — planning trusts it, the
+    * same stance the reference Delta implementation takes, which is
+    * what keeps planning free of per-file filesystem RPCs); None only
+    * for nonconforming writers, resolved by one getFileStatus each. */
   private[sources] final case class AddFile(path: String,
       partitionValues: Map[String, String],
-      dv: Option[DeltaDv.Descriptor] = None)
+      dv: Option[DeltaDv.Descriptor] = None,
+      size: Option[Long] = None,
+      modTime: Long = 0L)
 
   /** A change-data file (`cdc` action): rows carry `_change_type`. */
   private[sources] final case class CdcFile(path: String,
@@ -141,10 +148,10 @@ object DeltaRead {
   }
 
   /** One parquet footer's top-level (fieldId → file column name) map —
-    * the id-mode resolution evidence, a driver-side O(footer) read per
-    * file (the same planning read every field-id reader pays). */
-  private def fieldIdsOf(spark: SparkSession, file: String): Map[Int, String] = {
-    val conf = spark.sessionState.newHadoopConf()
+    * the id-mode resolution evidence. Session-independent so it can run
+    * on executors. */
+  private def footerFieldIds(conf: org.apache.hadoop.conf.Configuration,
+      file: String): Map[Int, String] = {
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
     try {
@@ -153,6 +160,52 @@ object DeltaRead {
         Option(f.getId).map(id => id.intValue() -> f.getName)
       }.toMap
     } finally rdr.close()
+  }
+
+  /** Java-serializable Hadoop-conf carrier for executor-side footer
+    * reads (Configuration itself is Writable but not Serializable). */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Per-file id→name resolutions, CACHED (add files are immutable, so
+    * a path's footer never changes — repeated reads and every streaming
+    * getBatch hit the cache) and, for large uncached batches,
+    * DISTRIBUTED across executors instead of read sequentially on the
+    * driver (the r12 O(files) driver-bottleneck fix). */
+  private val fieldIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
+
+  private def fieldIdsOfFiles(spark: SparkSession,
+      files: Seq[String]): Map[String, Map[Int, String]] = {
+    val distinct = files.distinct
+    val missing = distinct.filterNot(fieldIdCache.containsKey)
+    if (missing.nonEmpty) {
+      val resolved: Seq[(String, Map[Int, String])] =
+        if (missing.size <= 8)
+          missing.map(f =>
+            f -> footerFieldIds(spark.sessionState.newHadoopConf(), f))
+        else {
+          val confB = spark.sparkContext.broadcast(
+            new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+          spark.sparkContext
+            .parallelize(missing, math.min(missing.size, 256))
+            .map(f => f -> footerFieldIds(confB.value.value, f))
+            .collect().toSeq // bounded: one (path, id→name) row per file
+        }
+      resolved.foreach { case (f, m) => fieldIdCache.put(f, m) }
+    }
+    distinct.map(f => f -> fieldIdCache.get(f)).toMap
   }
 
   /** The table's live snapshot as a DataFrame (`asOf` pins the replay
@@ -326,13 +379,40 @@ object DeltaRead {
     else s"$tablePath/$p"
   }
 
-  /** Scan a set of adds under the table's schema with partition values
-    * injected per group and any deletion vectors subtracted — shared
-    * by [[read]] and the streaming batch. Under a COLUMN MAPPING the
-    * files (and add.partitionValues keys) carry physical names: the
-    * scan pins the physical schema and aliases back to logical, the
-    * injection looks partition values up by physical key (logical as a
-    * defensive fallback for writers that never translated). */
+  /** Scheme-normalized path key: `_metadata.file_path` renders URIs
+    * (`file:///…`) while resolved add paths are plain — match on one
+    * canonical root-slash form (the [[IcebergRead]] normalization). */
+  private def normKey(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  private def normPathCol(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
+  /** One partition value, decoded from the log's string serialization
+    * to Catalyst form (null = absent key, per the protocol). */
+  private def catalystPartitionValue(raw: Option[String],
+      dt: DataType, zone: String): Any = raw match {
+    case None => null
+    case Some(s) =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType),
+        dt, Some(zone)).eval(null)
+  }
+
+  /** Scan a set of adds under the table's schema — shared by [[read]]
+    * and the streaming batch. The scan is ONE parquet relation over a
+    * [[DeltaLogFileIndex]] (not a union of per-partition-tuple scans —
+    * the r12 rework): partition values come from the log and serve as
+    * real partition columns with pruning intact; file statuses come
+    * from `add.size`/`add.modificationTime` (zero planning RPCs); ALL
+    * deletion vectors subtract in one broadcast anti-join on
+    * (file, row_index), the [[IcebergRead]] position-delete shape,
+    * instead of one extra scan per DV'd file. Under a COLUMN MAPPING
+    * the files (and add.partitionValues keys) carry physical names:
+    * the relation pins the physical schema and the final projection
+    * aliases back to logical. */
   private[sources] def scanAdds(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
       colMap: Map[String, String] = Map.empty,
@@ -340,16 +420,19 @@ object DeltaRead {
     if (colIds.nonEmpty) {
       // ID MODE: the parquet field id is the authoritative match — file
       // column NAMES are arbitrary (and may differ file to file, e.g.
-      // across a rename era). Resolve each file's footer id→name map on
-      // the driver, group files sharing a resolution, and serve each
-      // group through the name path below with that map as its colMap
-      // (partition columns keep their physicalName resolution — the log
-      // keys partitionValues by physical name in both modes). A file
-      // missing an id maps to a sentinel absent name → nulls, the
-      // schema-evolution contract for files born before the column.
+      // across a rename era). Resolve footer id→name maps (batched,
+      // cached, distributed for large batches), group files sharing a
+      // resolution, and serve each group through the name path below
+      // with that map as its colMap (partition columns keep their
+      // physicalName resolution — the log keys partitionValues by
+      // physical name in both modes). A file missing an id maps to a
+      // sentinel absent name → nulls, the schema-evolution contract
+      // for files born before the column.
       val dataNames = schema.filterNot(f => partCols.contains(f.name)).map(_.name)
+      val idMaps = fieldIdsOfFiles(spark,
+        adds.map(a => resolvePath(tablePath, a.path)))
       val groups = adds.groupBy { a =>
-        val byId = fieldIdsOf(spark, resolvePath(tablePath, a.path))
+        val byId = idMaps(resolvePath(tablePath, a.path))
         // a footer with NO ids at all cannot be id-resolved — loud, not
         // all-null (only an individually absent id is schema evolution)
         if (byId.isEmpty) throw new IllegalStateException(
@@ -367,37 +450,58 @@ object DeltaRead {
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
       f.copy(name = physOf(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)))
-    def toLogical(df: DataFrame): DataFrame =
-      if (colMap.isEmpty) df
-      else df.select(dataFields.map(f => col(physOf(f.name)).as(f.name)).toSeq: _*)
-    def inject(base: DataFrame, pv: Map[String, String]): DataFrame = {
-      val withParts = partCols.foldLeft(base) { (df, pc) =>
-        val v = pv.get(physOf(pc)).orElse(pv.get(pc))
-        df.withColumn(pc, lit(v.orNull).cast(schema(pc).dataType))
+    val partSchema = StructType(partCols.map(pc =>
+      org.apache.spark.sql.types.StructField(
+        physOf(pc), schema(pc).dataType, nullable = true)))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val live = adds.map { a =>
+      val p = new Path(resolvePath(tablePath, a.path))
+      val (len, mt) = a.size match {
+        case Some(sz) => (sz, a.modTime)
+        case None => // nonconforming writer: one status read, loud if gone
+          val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+          (st.getLen, st.getModificationTime)
       }
-      withParts.select(schema.fieldNames.map(col).toSeq: _*)
+      val values = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        partCols.map { pc =>
+          val raw = a.partitionValues.get(physOf(pc))
+            .orElse(a.partitionValues.get(pc))
+          catalystPartitionValue(raw, schema(pc).dataType, zone)
+        })
+      LiveFile(p, len, mt, values)
     }
-    val (dved, plain) = adds.partition(_.dv.nonEmpty)
-    val plainDfs = plain.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
-      inject(toLogical(spark.read.schema(dataSchema)
-        .parquet(files.map(f => resolvePath(tablePath, f.path)): _*)), pv)
-    }
-    // merge-on-read: each DV'd file scans alone with its row index and
-    // anti-joins the decoded positions (broadcast — O(deleted rows));
-    // DV'd-file count is bounded by the writer's OPTIMIZE cadence
-    val dvDfs = dved.map { a =>
-      val positions = DeltaDv.positions(spark, tablePath, a.dv.get)
-      val posDf = spark.createDataset(positions.toSeq)(
-        org.apache.spark.sql.Encoders.scalaLong).toDF("__graft_dv_pos")
-      val base = spark.read.schema(dataSchema)
-        .parquet(resolvePath(tablePath, a.path))
-        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
-        .join(broadcast(posDf),
-          col("__graft_dv_ri") === col("__graft_dv_pos"), "left_anti")
-        .drop("__graft_dv_ri")
-      inject(toLogical(base), a.partitionValues)
-    }
-    (plainDfs ++ dvDfs).reduce(_.unionByName(_))
+    val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
+    val base = org.apache.spark.sql.GraftPlanApi
+      .fileRelationDataFrame(spark, index, partSchema, dataSchema)
+    // merge-on-read: ALL deletion vectors decode to (file key, position)
+    // pairs — O(deleted rows), broadcast — and subtract in ONE anti-join
+    // over the single scan; DV'd-row volume is bounded by the writer's
+    // OPTIMIZE cadence
+    val dved = adds.filter(_.dv.nonEmpty)
+    val afterDv =
+      if (dved.isEmpty) base
+      else {
+        val pairs = dved.flatMap { a =>
+          val key = normKey(new Path(resolvePath(tablePath, a.path)).toString)
+          DeltaDv.positions(spark, tablePath, a.dv.get).toSeq.map(pos => (key, pos))
+        }
+        val posDf = spark.createDataset(pairs)(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("__graft_dv_fp", "__graft_dv_pos")
+        base
+          .withColumn("__graft_fp", normPathCol(col("_metadata.file_path")))
+          .withColumn("__graft_ri", col("_metadata.row_index"))
+          .join(broadcast(posDf),
+            col("__graft_fp") === col("__graft_dv_fp") &&
+              col("__graft_ri") === col("__graft_dv_pos"), "left_anti")
+          .drop("__graft_fp", "__graft_ri")
+      }
+    // physical → logical, in schema order (identity when unmapped)
+    afterDv.select(schema.fields.toSeq.map(f =>
+      col(physOf(f.name)).as(f.name)): _*)
   }
 
   /** Scan one commit's change files: data columns plus the file-borne
@@ -500,7 +604,11 @@ object DeltaRead {
     if (node.has("add")) {
       val a = node.get("add")
       val path = decodePath(a.get("path").asText())
-      st.copy(adds = st.adds + (path -> AddFile(path, partValuesOf(a), dvOf(a))))
+      val size = Option(a.get("size")).filterNot(_.isNull).map(_.asLong())
+      val mt = Option(a.get("modificationTime")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(0L)
+      st.copy(adds = st.adds +
+        (path -> AddFile(path, partValuesOf(a), dvOf(a), size, mt)))
     } else if (node.has("remove")) {
       st.copy(adds = st.adds - decodePath(node.get("remove").get("path").asText()))
     } else if (node.has("metaData")) {
@@ -692,13 +800,13 @@ object DeltaRead {
       df: org.apache.spark.sql.DataFrame): Map[String, AddFile] = {
     if (!df.columns.contains("add")) return Map.empty
     val addType = df.schema("add").dataType.asInstanceOf[StructType]
-    val hasDv = addType.fieldNames.contains("deletionVector")
-    val sel = if (hasDv)
-      df.select("add.path", "add.partitionValues", "add.deletionVector")
-    else df.select("add.path", "add.partitionValues")
+    def optCol(n: String) =
+      if (addType.fieldNames.contains(n)) col(s"add.$n") else lit(null)
+    val sel = df.select(col("add.path"), col("add.partitionValues"),
+      optCol("deletionVector"), optCol("size"), optCol("modificationTime"))
     sel.na.drop(Seq("path")).collect().map { r =>
       val dv =
-        if (hasDv && !r.isNullAt(2)) {
+        if (!r.isNullAt(2)) {
           val d = r.getStruct(2)
           def idx(n: String) = d.schema.fieldIndex(n)
           Some(DeltaDv.Descriptor(
@@ -715,8 +823,15 @@ object DeltaRead {
         } else None
       val pv = Option(r.getMap[String, String](1)).map(_.toMap)
         .getOrElse(Map.empty[String, String])
+      def asLong(i: Int): Long = r.get(i) match {
+        case x: Int => x.toLong
+        case x: Long => x
+        case o => o.toString.toLong
+      }
+      val size = if (r.isNullAt(3)) None else Some(asLong(3))
+      val mt = if (r.isNullAt(4)) 0L else asLong(4)
       val path = decodePath(r.getString(0))
-      path -> AddFile(path, pv, dv)
+      path -> AddFile(path, pv, dv, size, mt)
     }.toMap
   }
 }

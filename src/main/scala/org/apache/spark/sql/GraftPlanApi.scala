@@ -42,6 +42,22 @@ object GraftPlanApi {
     ofRows(df.sparkSession, plan)
   }
 
+  /** A DataFrame over a custom [[execution.datasources.FileIndex]] —
+    * ONE parquet relation whose file list, sizes, and partition values
+    * come from the index instead of a filesystem listing (the shape
+    * Delta-style table formats serve their snapshots in). Partition
+    * pruning, filter pushdown, and column pruning all ride the
+    * standard `FileSourceStrategy` path. */
+  def fileRelationDataFrame(spark: SparkSession,
+      index: execution.datasources.FileIndex,
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val relation = execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new execution.datasources.parquet.ParquetFileFormat, Map.empty)(spark)
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(relation)
+  }
+
   /** A streaming-flagged DataFrame over an already-planned batch
     * computation's row RDD — the face for per-batch results whose plan
     * shape streaming cannot host directly (e.g. the change-feed's

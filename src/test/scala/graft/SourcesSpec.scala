@@ -566,8 +566,26 @@ class SourcesSpec extends SparkSpec {
     log.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"),
-      lines.mkString("\n") + "\n")
+      lines.map(sizedAction(dir, _)).mkString("\n") + "\n")
   }
+
+  /** The protocol requires `add.size` to be the ACTUAL byte length and
+    * the reader plans splits from it — rewrite the fixture sites'
+    * placeholder sizes to the real length of the referenced file. */
+  private def sizedAction(dir: String, line: String): String =
+    """"path":"([^"]+)"""".r.findFirstMatchIn(line) match {
+      case Some(m) if line.contains("\"size\":") =>
+        val rel = try new java.net.URI(m.group(1)).getPath match {
+          case null => m.group(1)
+          case p => p
+        } catch { case _: Exception => m.group(1) }
+        val f = if (new java.io.File(rel).isAbsolute) new java.io.File(rel)
+        else new java.io.File(s"$dir/$rel")
+        if (f.isFile)
+          line.replaceFirst(""""size":\d+""", s""""size":${f.length}""")
+        else line
+      case _ => line
+    }
 
   private def metaAction(partitioned: Boolean): String = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -631,6 +649,19 @@ class SourcesSpec extends SparkSpec {
     assert(got.filter(col("p") === "a").select("id").as[Long].collect().toSet
       == (1L to 5L).toSet)
     assert(got.filter(col("p") === "b").count() == 4)
+    // the r12 scale rework: the whole snapshot is ONE scan node (not a
+    // union of per-partition-tuple scans), and a partition filter
+    // prunes FILES at planning time via the log-backed FileIndex
+    val filtered = DeltaRead.read(spark, dir).filter(col("p") === "a")
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"one FileSourceScanExec for the snapshot, got:\n${filtered.queryExecution.executedPlan}")
+    filtered.collect()
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"partition filter must prune to the one matching file, " +
+        s"scanned ${scans.head.metrics("numFiles").value}")
   }
 
   test("delta read: checkpoint replay + later commits, and loud feature declines") {

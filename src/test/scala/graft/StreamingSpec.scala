@@ -10,6 +10,29 @@ class StreamingSpec extends SparkSpec {
   private def ckpt() =
     Files.createTempDirectory("ckpt").toFile.getAbsolutePath
 
+  /** The protocol requires `add.size` to be the ACTUAL byte length and
+    * the reader plans splits from it — rewrite the fixture sites'
+    * placeholder sizes to the real length of the referenced file. */
+  private def sizedAction(dir: String, line: String): String =
+    """"path":"([^"]+)"""".r.findFirstMatchIn(line) match {
+      case Some(m) if line.contains("\"size\":") =>
+        val rel = m.group(1)
+        val f = if (new java.io.File(rel).isAbsolute) new java.io.File(rel)
+        else new java.io.File(s"$dir/$rel")
+        if (f.isFile)
+          line.replaceFirst(""""size":\d+""", s""""size":${f.length}""")
+        else line
+      case _ => line
+    }
+
+  /** Write one fixture commit with honest add sizes. */
+  private def writeDeltaLog(dir: String, v: Long, lines: Seq[String]): Unit = {
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"$v%020d" + ".json"),
+      lines.map(sizedAction(dir, _)).mkString("", "\n", "\n")): Unit
+  }
+
   // the streaming file source wants a directory; stage the single
   // events.parquet file into one
   private lazy val eventsDir: String = {
@@ -865,9 +888,8 @@ class StreamingSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(extraDir)
     val part = new java.io.File(extraDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dt/_delta_log/" + f"${1L}%020d" + ".json"),
-      s"""{"add":{"path":"$part","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}\n""")
+    writeDeltaLog(dt, 1L, Seq(
+      s"""{"add":{"path":"$part","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val run2 = runOnce()
     assert(run2.size == 10, "second run reads ONLY the appended commit's files")
     assert(run2.map(_.getLong(0)).toSet == (41L to 50L).toSet)
@@ -1048,13 +1070,10 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
       .json.replace("\\", "\\\\").replace("\"", "\\\"")
     stagePart("f1.parquet", (1L to 10L).map(i => (i, i * 2)).toDF("k", "v"))
-    new java.io.File(s"$dir/_delta_log").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${0L}%020d" + ".json"),
+    writeDeltaLog(dir, 0L,
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
         s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaEsc","partitionColumns":[],"configuration":{}}}""",
-        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
-        .mkString("", "\n", "\n"))
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     def runOnce(): Seq[org.apache.spark.sql.Row] = {
       val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
       val q = spark.readStream.format("graft-delta")
@@ -1072,9 +1091,8 @@ class StreamingSpec extends SparkSpec {
       "first batch = snapshot stamped as inserts of the pinned version")
     // v1: pure append → inserts
     stagePart("f2.parquet", Seq((11L, 22L)).toDF("k", "v"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${1L}%020d" + ".json"),
-      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+    writeDeltaLog(dir, 1L, Seq(
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
     val run2 = runOnce()
     assert(run2.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ==
       Set((11L, "insert", 1L)), s"got $run2")
@@ -1082,12 +1100,10 @@ class StreamingSpec extends SparkSpec {
     stagePart("_change_data/cdc-0.parquet",
       Seq((1L, 2L, "delete"), (2L, 4L, "delete")).toDF("k", "v", "_change_type"))
     stagePart("f3.parquet", (3L to 10L).map(i => (i, i * 2)).toDF("k", "v"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${2L}%020d" + ".json"),
+    writeDeltaLog(dir, 2L,
       Seq("""{"remove":{"path":"f1.parquet","deletionTimestamp":3,"dataChange":true}}""",
         """{"add":{"path":"f3.parquet","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true}}""",
-        """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""")
-        .mkString("", "\n", "\n"))
+        """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
     val run3 = runOnce()
     assert(run3.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ==
       Set((1L, "delete", 2L), (2L, "delete", 2L)), s"got $run3")
@@ -1221,13 +1237,10 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
       .json.replace("\\", "\\\\").replace("\"", "\\\"")
     stagePart("f0.parquet", (1L to 4L).map(i => (i, i)).toDF("k", "v"))
-    new java.io.File(s"$dir/_delta_log").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${0L}%020d" + ".json"),
+    writeDeltaLog(dir, 0L,
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaEsc","partitionColumns":[],"configuration":{}}}""",
-        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""")
-        .mkString("", "\n", "\n"))
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val batchSizes = new scala.collection.mutable.ArrayBuffer[Int]()
     def runOnce(): Unit = {
       val q = spark.readStream.format("graft-delta")
@@ -1250,9 +1263,8 @@ class StreamingSpec extends SparkSpec {
       stagePart(s"f${i + 1}.parquet",
         (next until next + n).map(j => (j, j)).toDF("k", "v"))
       next += n
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/_delta_log/" + f"${(i + 1).toLong}%020d" + ".json"),
-        s"""{"add":{"path":"f${i + 1}.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+      writeDeltaLog(dir, (i + 1).toLong, Seq(
+        s"""{"add":{"path":"f${i + 1}.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
     }
     (1 to 5).foreach(_ => runOnce())
     val got = batchSizes.toSeq
