@@ -1159,9 +1159,197 @@ object CdcQueries {
         sum(col("k")).as("sum_k"))
   }
 
+  /** Delta NAME-MODE column mapping over NESTED complex columns (r13
+    * — the common Databricks shape the r12 reader declined): the data
+    * file carries PHYSICAL names at every nesting level (`col-s` =
+    * struct of `p-i`/`p-c`), the logical schema maps them through
+    * per-field physicalName metadata inside the struct, and the read
+    * must serve the logical nested names with values intact — a
+    * top-level-only rewrite would read nested nulls and break the
+    * closed-form grouping. */
+  val qDeltaReadNestedCm: QueryDef = QueryDef.sql(
+    "q_delta_read_nested_cm",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dncm_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val tmp = s"${dir}_stage"
+    o.select(col("band").as("col-0"),
+      struct(col("id").as("p-i"), col("cents").as("p-c")).as("col-s"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/f0.parquet").toPath): Unit
+    def pn(phys: String) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val inner = StructType(Seq(
+      StructField("id", LongType, nullable = true, pn("p-i")),
+      StructField("cents", LongType, nullable = true, pn("p-c"))))
+    val esc = StructType(Seq(
+      StructField("band", StringType, nullable = true, pn("col-0")),
+      StructField("s", inner, nullable = true, pn("col-s")))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"ncmfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    graft.sources.DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("s.id")).as("sum_id"),
+        sum(col("s.cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
+  /** Delta CHANGE-DATA-FEED under `id`-mode column mapping (r13 — the
+    * combination the r12 reader declined): the change file carries its
+    * own arbitrary column names (`yy_*`) under the table's parquet
+    * field ids plus the un-mapped `_change_type`, so the CDF batch
+    * must resolve data columns by footer field id exactly like the
+    * snapshot path. */
+  val qDeltaCdfIdMap: QueryDef = QueryDef.sql(
+    "q_delta_cdf_idmap",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o WHERE id % 10 = 5""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdfidm_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    def pqId(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    def stage(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = s"${dir}_stage_${rel.replace('/', '_')}"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$rel")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath): Unit
+    }
+    // v0 snapshot file under one set of arbitrary names
+    stage(o.select(col("id").as("zz_a", pqId(1)), col("cents").as("zz_b", pqId(2))),
+      "f0.parquet")
+    // v1 change file under a DIFFERENT set, same ids, plus _change_type
+    stage(o.filter(col("id") % 10 === 5)
+      .select(col("id").as("yy_a", pqId(1)), col("cents").as("yy_b", pqId(2)),
+        lit("delete").as("_change_type")),
+      "_change_data/cdc-0.parquet")
+    stage(o.filter(col("id") % 10 =!= 5)
+      .select(col("id").as("yy_a", pqId(1)), col("cents").as("yy_b", pqId(2))),
+      "f1.parquet")
+    def fmeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("cents", LongType, nullable = true, fmeta(2, "col-2")))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cdfidm","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${1L}%020d.json"),
+      Seq("""{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":${flen(dir, "f1.parquet")},"modificationTime":2,"dataChange":true}}""",
+        """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}""")
+        .mkString("", "\n", "\n"))
+    graft.sources.DeltaRead.changes(s, dir, 0L, 1L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  /** Iceberg FORMAT-VERSION-3 read (r13): a v3 table that uses no v3
+    * feature reads exactly like v2 — the spec keeps v2 structures
+    * valid — while puffin DVs / row lineage / field defaults decline
+    * by name (SourcesSpec pins the declines; this query pins the
+    * plain-v3 read against the closed-form oracle). */
+  val qIcebergReadV3: QueryDef = QueryDef.sql(
+    "q_iceberg_read_v3",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.IcebergRead
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_icev3_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val files = (0 to 3).map { b =>
+      val tmp = s"${dir}_stage_$b"
+      o.filter(col("band") === s"b$b").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/f$b.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val m = IcebergRead.Fixture.manifestV2(dir, "m.avro",
+      files.map(f => IcebergRead.EntryInfo(1, f, 0, 1L, Nil)))
+    val ml = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m))
+    IcebergRead.Fixture.metadata(dir, 1, formatVersion = 3, snapshotId = 1L,
+      manifestList = ml, fields = Seq((1, "band", false, "string"),
+        (2, "cents", false, "long")))
+    IcebergRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
-    qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel)
+    qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
+    qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3)
 }

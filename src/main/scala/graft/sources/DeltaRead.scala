@@ -110,23 +110,32 @@ object DeltaRead {
     if (pairs.map(_._2).distinct.size != pairs.size)
       throw new IllegalStateException(
         s"delta table at $tablePath maps two columns to one physical name")
-    // NESTED complex types also carry per-field physicalName metadata
-    // inside their element/value schemas, which this top-level rewrite
-    // does not translate — scanning them by logical nested names would
-    // silently read nulls, so decline LOUDLY (r11 ADVICE close)
-    if (pairs.nonEmpty) {
-      val complex = schema.fields.collect {
-        case f if f.dataType.isInstanceOf[StructType] ||
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
-      }
-      if (complex.nonEmpty) throw new UnsupportedOperationException(
-        s"delta table at $tablePath combines column mapping with nested " +
-          s"complex column(s) ${complex.mkString(", ")}; nested fields carry " +
-          "physical names this reader does not rewrite — flatten or rewrite " +
-          "the table before reading")
-    }
     pairs.toMap
+  }
+
+  /** The PHYSICAL rendering of a (possibly nested) mapped data type:
+    * every struct field — top-level or inside struct/array/map shells —
+    * renamed to its `delta.columnMapping.physicalName` (name falls
+    * through for unmapped fields), metadata stripped. The scan pins
+    * this shape; casting the scanned column back to the LOGICAL type
+    * restores the nested names (struct casts bind by position), which
+    * is what lets name-mode tables with nested complex columns — the
+    * common Databricks shape — read instead of declining (r12). */
+  private[sources] def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val phys =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      org.apache.spark.sql.types.StructField(
+        phys, physicalType(f.dataType), f.nullable)
+    })
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = physicalType(at.elementType))
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = physicalType(mt.keyType),
+        valueType = physicalType(mt.valueType))
+    case other => other
   }
 
   /** `id`-mode column mapping: logical data column → its
@@ -138,6 +147,19 @@ object DeltaRead {
     if (st.config.getOrElse("delta.columnMapping.mode", "") != "id") return Map.empty
     val schema = st.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return Map.empty)
+    // nested field-id resolution (ids INSIDE struct/array/map shells)
+    // is not implemented — a top-level-only match would silently serve
+    // nulls for renamed nested fields, so decline loudly (name mode
+    // handles nested shapes via physicalType)
+    val complex = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }
+    if (complex.nonEmpty) throw new UnsupportedOperationException(
+      s"delta table at $tablePath combines columnMapping mode 'id' with " +
+        s"nested complex column(s) ${complex.mkString(", ")}; nested field-id " +
+        "resolution is not implemented — use mode 'name' or flatten")
     schema.fields.toSeq.map { f =>
       if (!f.metadata.contains("delta.columnMapping.id"))
         throw new IllegalStateException(
@@ -449,7 +471,9 @@ object DeltaRead {
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
-      f.copy(name = physOf(f.name), metadata = org.apache.spark.sql.types.Metadata.empty)))
+      org.apache.spark.sql.types.StructField(physOf(f.name),
+        if (colMap.isEmpty) f.dataType else physicalType(f.dataType),
+        f.nullable)))
     val partSchema = StructType(partCols.map(pc =>
       org.apache.spark.sql.types.StructField(
         physOf(pc), schema(pc).dataType, nullable = true)))
@@ -499,9 +523,17 @@ object DeltaRead {
               col("__graft_ri") === col("__graft_dv_pos"), "left_anti")
           .drop("__graft_fp", "__graft_ri")
       }
-    // physical → logical, in schema order (identity when unmapped)
-    afterDv.select(schema.fields.toSeq.map(f =>
-      col(physOf(f.name)).as(f.name)): _*)
+    // physical → logical, in schema order (identity when unmapped);
+    // nested shapes cast back to the logical type — struct casts bind
+    // by position, restoring the logical nested field names
+    afterDv.select(schema.fields.toSeq.map { f =>
+      val c = col(physOf(f.name))
+      val casted =
+        if (colMap.nonEmpty && physicalType(f.dataType) != f.dataType)
+          c.cast(f.dataType)
+        else c
+      casted.as(f.name)
+    }: _*)
   }
 
   /** Scan one commit's change files: data columns plus the file-borne
@@ -512,24 +544,49 @@ object DeltaRead {
       v: Long, files: Seq[CdcFile], schema: StructType,
       partCols: Seq[String], colMap: Map[String, String] = Map.empty,
       colIds: Map[String, Int] = Map.empty): DataFrame = {
-    if (colIds.nonEmpty) throw new UnsupportedOperationException(
-      s"delta table at $tablePath serves change data under columnMapping " +
-        "mode 'id'; this reader resolves CDF change files by physical name " +
-        "only — read the snapshot, or use mode 'name'")
+    if (colIds.nonEmpty) {
+      // ID MODE: change files carry the same physical layout as data
+      // files — data columns resolve by parquet field id from each
+      // file's footer (batched/cached like the data path); the
+      // file-borne `_change_type` has no table field id and reads by
+      // its literal name. Groups serve through the name path below.
+      val dataNames = schema.filterNot(f => partCols.contains(f.name))
+        .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
+        .map(_.name)
+      val idMaps = fieldIdsOfFiles(spark,
+        files.map(f => resolvePath(tablePath, f.path)))
+      val groups = files.groupBy { f =>
+        val byId = idMaps(resolvePath(tablePath, f.path))
+        if (byId.isEmpty) throw new IllegalStateException(
+          s"delta table at $tablePath is in columnMapping mode 'id' but " +
+            s"change file ${f.path} carries no parquet field ids — the file " +
+            "cannot be resolved; rewrite the table or fix the mode")
+        dataNames.map(n =>
+          n -> byId.getOrElse(colIds(n), s"__graft_absent_${colIds(n)}")).toMap
+      }
+      return groups.toSeq.map { case (m, fs) =>
+        scanCdc(spark, tablePath, v, fs, schema, partCols, colMap ++ m)
+      }.reduce(_.unionByName(_))
+    }
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
       .filterNot(_.name == "_change_type").filterNot(_.name == "_commit_version")
     val withCt = StructType(dataFields.map(f =>
-      f.copy(name = physOf(f.name),
-        metadata = org.apache.spark.sql.types.Metadata.empty)) :+
+      org.apache.spark.sql.types.StructField(physOf(f.name),
+        if (colMap.isEmpty) f.dataType else physicalType(f.dataType),
+        f.nullable)) :+
       org.apache.spark.sql.types.StructField("_change_type", StringType))
     files.groupBy(_.partitionValues).toSeq.map { case (pv, fs0) =>
       val raw = spark.read.schema(withCt)
         .parquet(fs0.map(f => resolvePath(tablePath, f.path)): _*)
       val base =
         if (colMap.isEmpty) raw
-        else raw.select((dataFields.map(f => col(physOf(f.name)).as(f.name))
-          :+ col("_change_type")).toSeq: _*)
+        else raw.select((dataFields.map { f =>
+          val c = col(physOf(f.name))
+          val casted =
+            if (physicalType(f.dataType) != f.dataType) c.cast(f.dataType) else c
+          casted.as(f.name)
+        } :+ col("_change_type")).toSeq: _*)
       val withParts = partCols.foldLeft(base) { (df, pc) =>
         val pvv = pv.get(physOf(pc)).orElse(pv.get(pc))
         df.withColumn(pc, lit(pvv.orNull).cast(schema(pc).dataType))

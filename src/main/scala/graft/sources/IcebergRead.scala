@@ -137,15 +137,20 @@ object IcebergRead {
     })
   }
 
-  /** Decline format-version 3+ BY SPECIFIC FEATURE (the Delta gate's
-    * style): name the v3 features this metadata shows in use, so the
-    * error names the work instead of a wholesale version rejection. */
+  /** Decline format versions BY SPECIFIC FEATURE (the Delta gate's
+    * style): a format-version-3 table that uses no v3 feature reads
+    * like a v2 table (the spec keeps v2 structures valid in v3), so
+    * only the features actually IN USE decline — row lineage, field
+    * defaults, and the variant type are metadata-visible here; puffin
+    * deletion vectors are manifest-visible and decline at entry decode
+    * ([[entriesOf]]). Only unpublished versions (4+) decline
+    * wholesale. */
   private def requireFormatVersion(tablePath: String, meta: JsonNode): Unit = {
     val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
     if (fv <= 2) return
     if (fv > 3) throw new UnsupportedOperationException(
       s"iceberg format-version $fv at $tablePath is beyond the published " +
-        "spec this reader implements (1–2)")
+        "spec this reader implements (1–3)")
     val inUse = Seq.newBuilder[String]
     if (meta.has("next-row-id") || meta.has("last-row-id"))
       inUse += "row lineage (next-row-id)"
@@ -157,16 +162,11 @@ object IcebergRead {
     if (schemaFields.exists(f => f.has("initial-default") || f.has("write-default")))
       inUse += "field default values (initial-default/write-default)"
     if (schemaFields.exists(f => f.get("type").isTextual &&
-        f.get("type").asText() == "variant"))
-      inUse += "variant type"
-    val detail =
-      if (inUse.result().nonEmpty)
-        s"features in use this reader does not implement: ${inUse.result().mkString("; ")}"
-      else "v3 deletion vectors (puffin) and row lineage cannot be " +
-        "precluded from the metadata alone and are not implemented"
-    throw new UnsupportedOperationException(
-      s"iceberg format-version 3 at $tablePath — $detail; " +
-        "this reader serves formats 1 and 2")
+        Set("variant", "geometry", "geography").contains(f.get("type").asText())))
+      inUse += "variant/geo types"
+    if (inUse.result().nonEmpty) throw new UnsupportedOperationException(
+      s"iceberg format-version 3 at $tablePath uses feature(s) this reader " +
+        s"does not implement: ${inUse.result().mkString("; ")}")
   }
 
   /** The snapshot list in metadata order (the commit order real writers
@@ -224,6 +224,21 @@ object IcebergRead {
         .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
       if (content > 2) throw new UnsupportedOperationException(
         s"iceberg content=$content in $manifestPath is outside the v2 spec")
+      // v3 deletion vectors are manifest-visible: a delete entry backed
+      // by a puffin blob (file_format, or the referenced_data_file/
+      // content_offset DV fields) cannot be applied by this reader —
+      // decline by name (plain v3 tables without them read fine)
+      def optDf(field: String): Option[AnyRef] =
+        if (df.getSchema.getField(field) == null) None else Option(df.get(field))
+      val isPuffin = optDf("file_format")
+        .exists(f => String.valueOf(f).equalsIgnoreCase("puffin"))
+      if (isPuffin || (content == 1 &&
+          (optDf("referenced_data_file").nonEmpty ||
+            optDf("content_offset").nonEmpty)))
+        throw new UnsupportedOperationException(
+          s"iceberg manifest $manifestPath carries format-version-3 deletion " +
+            "vectors (puffin); this reader serves v1/v2 delete shapes only — " +
+            "rewrite deletes as position/equality delete files")
       // by-name generic decode tolerates absent OPTIONAL fields (old
       // fixtures / v1 manifests): probe the writer schema first —
       // GenericData.Record.get(name) throws on unknown fields
@@ -331,14 +346,18 @@ object IcebergRead {
       * for ADDED entries, which readers must inherit from the manifest
       * list (pair with [[manifestListV2]]). */
     def manifestV2(dir: String, name: String,
-        entries: Seq[EntryInfo], nullSeqs: Boolean = false): String = {
+        entries: Seq[EntryInfo], nullSeqs: Boolean = false,
+        fileFormat: Option[String] = None): String = {
       val idsSchema = Schema.createUnion(java.util.List.of(
         Schema.create(Schema.Type.NULL),
         Schema.createArray(Schema.create(Schema.Type.INT))))
       val seqSchema = Schema.createUnion(java.util.List.of(
         Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+      val fmtSchema = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.STRING)))
       val dfSchema = SchemaBuilder.record("r102").fields()
         .requiredString("file_path").requiredInt("content")
+        .name("file_format").`type`(fmtSchema).withDefault(null)
         .name("equality_ids").`type`(idsSchema).withDefault(null)
         .endRecord()
       val entrySchema = SchemaBuilder.record("manifest_entry").fields()
@@ -352,6 +371,7 @@ object IcebergRead {
       entries.foreach { en =>
         val dfr = new GenericData.Record(dfSchema)
         dfr.put("file_path", en.path); dfr.put("content", en.content)
+        dfr.put("file_format", fileFormat.orNull)
         dfr.put("equality_ids",
           if (en.equalityIds.isEmpty) null
           else {

@@ -1087,6 +1087,115 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("no parquet field ids"), e.getMessage)
   }
 
+  test("delta read: name-mode mapping serves NESTED complex columns (struct, array<struct>)") {
+    // the common Databricks shape (r12 'what's missing' #1): nested
+    // struct fields carry their own physicalName metadata; the scan
+    // pins the physical nested shape and casts back to the logical
+    // type, restoring nested names by position
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{ArrayType, LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_cmn").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def pn(phys: String) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val innerS = StructType(Seq(
+      StructField("a", LongType, nullable = true, pn("p-a")),
+      StructField("b", LongType, nullable = true, pn("p-b"))))
+    val innerE = StructType(Seq(
+      StructField("x", LongType, nullable = true, pn("p-x"))))
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, pn("col-0")),
+      StructField("s", innerS, nullable = true, pn("col-s")),
+      StructField("arr", ArrayType(innerE), nullable = true, pn("col-arr"))))
+    val esc = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    // the data file carries the PHYSICAL names at every nesting level
+    val tmp = Files.createTempDirectory("cmn_stage").toFile.getAbsolutePath
+    (1L to 5L).toDF("i").select(
+      col("i").as("col-0"),
+      struct(col("i").as("p-a"), (col("i") * 2).as("p-b")).as("col-s"),
+      array(struct((col("i") * 3).as("p-x"))).as("col-arr"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cmn","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "s", "arr"))
+    assert(got.schema("s").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      == Seq("a", "b"), "nested struct fields serve LOGICAL names")
+    assert(got.schema("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq == Seq("x"),
+      "array element struct fields serve LOGICAL names")
+    val rows = got.selectExpr("id", "s.a", "s.b", "arr[0].x")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows == (1L to 5L).map(i => (i, i, i * 2, i * 3)).toSet,
+      s"nested values must resolve through the physical names: $rows")
+    // id mode + nested complex still declines loudly (nested field-id
+    // resolution is not implemented; a top-level match would mis-read)
+    val dirId = Files.createTempDirectory("delta_cmn_id").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirId).mkdirs()
+    java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(s"$dirId/f1.parquet"))
+    writeDeltaCommit(dirId, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cmnid","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dirId))
+    assert(e2.getMessage.contains("nested complex column"), e2.getMessage)
+  }
+
+  test("delta changes: CDF under id-mode mapping resolves change files by field id") {
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_cdfid").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def idMeta(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    def fmeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("cents", LongType, nullable = true, fmeta(2, "col-2")))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    def stage(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = Files.createTempDirectory("cdfid_stage").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$rel")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+    }
+    // v0 snapshot file: arbitrary names zz_a/zz_b under ids 1/2
+    stage((1L to 4L).toDF("i").select(
+      col("i").as("zz_a", idMeta(1)), (col("i") * 10).as("zz_b", idMeta(2))),
+      "f0.parquet")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cdfid","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    // v1: a cdc commit whose change file uses DIFFERENT arbitrary names
+    // (yy_*) under the same ids, plus the un-mapped _change_type column
+    stage(Seq((1L, 10L, "delete"), (5L, 50L, "insert")).toDF("a", "b", "ct")
+      .select(col("a").as("yy_a", idMeta(1)), col("b").as("yy_b", idMeta(2)),
+        col("ct").as("_change_type")),
+      "_change_data/cdc-0.parquet")
+    stage(Seq((5L, 50L)).toDF("a", "b").select(
+      col("a").as("yy_a", idMeta(1)), col("b").as("yy_b", idMeta(2))),
+      "f1.parquet")
+    writeDeltaCommit(dir, 1, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
+      """{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+    val got = DeltaRead.changes(spark, dir, 0L, 1L)
+      .select("id", "cents", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == Set((1L, 10L, "delete", 1L), (5L, 50L, "insert", 1L)),
+      s"change files must resolve data columns by field id: $got")
+  }
+
   test("delta changes: CDF batch face serves cdc files, add-only commits as inserts") {
     import graft.sources.DeltaRead
     import spark.implicits._
@@ -1581,16 +1690,28 @@ class SourcesSpec extends SparkSpec {
     icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 5L, manifestList = ml)
     val e1 = intercept[IllegalStateException](IcebergRead.read(spark, dir))
     assert(e1.getMessage.contains("equality_ids"), e1.getMessage)
+    // a FORMAT-VERSION-3 table using NO v3 feature reads like v2 (r12
+    // 'what's missing': v3 structures are a superset of v2)
     val dir2 = Files.createTempDirectory("iceberg_v3").toFile.getAbsolutePath + "/t"
     val f02 = writeIcebergPart(dir2, "f0.parquet", Seq((1L, 1L, "b0")))
     val m2 = icebergManifest(dir2, "m.avro", Seq((1, f02, 0)))
     val ml2 = icebergManifestList(dir2, "snap-1.avro", Seq(m2))
     icebergMetadata(dir2, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2)
-    val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2))
-    // v3 declines name the work: no detectable feature → the manifest-
-    // level ones that can't be precluded from metadata alone
-    assert(e2.getMessage.contains("format-version 3") &&
-      e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    assert(IcebergRead.read(spark, dir2).count() == 1,
+      "plain v3 (no v3 features in use) must read")
+    // ...but v3 PUFFIN deletion vectors are manifest-visible and
+    // decline by name
+    val dir2b = Files.createTempDirectory("iceberg_v3dv").toFile.getAbsolutePath + "/t"
+    val f02b = writeIcebergPart(dir2b, "f0.parquet", Seq((1L, 1L, "b0")))
+    val mData = graft.sources.IcebergRead.Fixture.manifestV2(dir2b, "mD.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, f02b, 0, 1L, Nil)))
+    val mDv = graft.sources.IcebergRead.Fixture.manifestV2(dir2b, "mDv.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, s"$dir2b/dv.puffin", 1, 2L, Nil)),
+      fileFormat = Some("PUFFIN"))
+    val ml2b = icebergManifestList(dir2b, "snap-1.avro", Seq(mData, mDv))
+    icebergMetadata(dir2b, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2b)
+    val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2b))
+    assert(e2.getMessage.contains("puffin"), e2.getMessage)
     // v3 with row lineage / field defaults in use → named specifically
     def v3Meta(dir: String, extras: String, fieldExtra: String): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
