@@ -1346,10 +1346,54 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Identity-PARTITIONED Iceberg export (r13): the publish declares
+    * partition columns, each data file's tuple derives from its parquet
+    * column statistics (files must be partition-pure — the
+    * one-commit-per-partition source shape guarantees it), and the
+    * metadata carries a real identity spec external engines prune by.
+    * The independent [[graft.sources.IcebergRead]] replay closes the
+    * loop against the closed-form oracle. */
+  val qIcebergExportPart: QueryDef = QueryDef.sql(
+    "q_iceberg_export_part",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band,
+      |    o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iexpp_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(base))
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 3).cast("string")).as("band"),
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    // one commit per band → partition-pure files
+    TimeTravel.commitOverwrite(o.filter(col("band") === "b0"), src)
+    TimeTravel.commitAppend(o.filter(col("band") === "b1"), src)
+    TimeTravel.commitAppend(o.filter(col("band") === "b2"), src)
+    IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("band"))
+    IcebergRead.read(s, tgt)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
-    qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3)
+    qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart)
 }

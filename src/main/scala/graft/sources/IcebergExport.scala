@@ -1,5 +1,6 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -82,10 +83,23 @@ object IcebergExport {
   private def intS = Schema.create(Schema.Type.INT)
   private def stringS = Schema.create(Schema.Type.STRING)
 
-  /** data_file (v2 required fields), unpartitioned spec. */
-  private def dataFileSchema: Schema = {
+  /** data_file (v2 required fields); the `partition` record carries
+    * one typed field per identity-partition column (empty when
+    * unpartitioned). */
+  private def dataFileSchema(partCols: Seq[PartCol]): Schema = {
     val partition = Schema.createRecord("r102", null, null, false)
-    partition.setFields(java.util.List.of[Schema.Field]())
+    val pfields = partCols.map { pc =>
+      val base = pc.icebergType match {
+        case "long" => longS
+        case "int" => intS
+        case "string" => stringS
+        case other => throw new UnsupportedOperationException(
+          s"partition column type $other is outside the export's identity " +
+            "set (long, int, string)")
+      }
+      fld(pc.name, base, pc.fieldId)
+    }
+    partition.setFields(java.util.List.of(pfields: _*))
     val s = Schema.createRecord("r2", null, null, false)
     s.setFields(java.util.List.of(
       fld("content", intS, 134),
@@ -97,14 +111,14 @@ object IcebergExport {
     s
   }
 
-  private def manifestEntrySchema: Schema = {
+  private def manifestEntrySchema(partCols: Seq[PartCol]): Schema = {
     val s = Schema.createRecord("manifest_entry", null, null, false)
     s.setFields(java.util.List.of(
       fld("status", intS, 0),
       fld("snapshot_id", longS, 1),
       fld("sequence_number", longS, 3),
       fld("file_sequence_number", longS, 4),
-      fld("data_file", dataFileSchema, 2)))
+      fld("data_file", dataFileSchema(partCols), 2)))
     s
   }
 
@@ -127,7 +141,16 @@ object IcebergExport {
     s
   }
 
-  private final case class NewFile(path: String, recordCount: Long, sizeInBytes: Long)
+  /** `partValues` aligns with the export's partition columns (empty
+    * when unpartitioned) — Avro-ready Long/Int/String values. */
+  private final case class NewFile(path: String, recordCount: Long,
+      sizeInBytes: Long, partValues: Seq[Any] = Nil)
+
+  /** One identity-partition column of a partitioned publish:
+    * `fieldId` is the spec's partition field id (1000+), `srcId` the
+    * source schema field id. */
+  private final case class PartCol(name: String, icebergType: String,
+      fieldId: Int, srcId: Int)
 
   /** The schema's JSON serialization — written identically into the
     * metadata JSON and into every manifest's Avro key-value metadata
@@ -159,30 +182,75 @@ object IcebergExport {
     java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg-export:$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Parquet footer row count + file length — O(footer) driver reads. */
-  private def describeFiles(spark: SparkSession, files: Seq[String]): Seq[NewFile] = {
+  /** Parquet footer row count + file length — O(footer) driver reads.
+    * With `partCols`, also derives each file's IDENTITY partition tuple
+    * from the footer's column statistics: every partition column must
+    * be PARTITION-PURE in every file (min == max across all row
+    * groups, no nulls) or the export declines loudly — a file spanning
+    * two partition values cannot be represented by an identity spec. */
+  private def describeFiles(spark: SparkSession, files: Seq[String],
+      partCols: Seq[PartCol] = Nil): Seq[NewFile] = {
+    import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     files.map { f =>
       val p = new Path(f)
       val fs = p.getFileSystem(conf)
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val n = try rdr.getRecordCount finally rdr.close()
-      NewFile(f, n, fs.getFileStatus(p).getLen)
+      val (n, values) = try {
+        val footer = rdr.getFooter
+        val vals = partCols.map { pc =>
+          val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == pc.name))
+          if (chunks.isEmpty) throw new UnsupportedOperationException(
+            s"partition column ${pc.name} is not a top-level column of $f")
+          val stats = chunks.map(_.getStatistics)
+          if (stats.exists(s => s == null || !s.hasNonNullValue) ||
+              stats.exists(_.getNumNulls > 0))
+            throw new UnsupportedOperationException(
+              s"partition column ${pc.name} in $f carries nulls or no " +
+                "statistics; identity-partitioned export needs pure non-null " +
+                "values per file")
+          def conv(v: Any): Any = v match {
+            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case other => other
+          }
+          val distinct = stats.flatMap(s =>
+            Seq(conv(s.genericGetMin), conv(s.genericGetMax))).distinct
+          if (distinct.size != 1) throw new UnsupportedOperationException(
+            s"file $f is not partition-pure on ${pc.name} " +
+              s"(values ${distinct.take(2).mkString(", ")}…); repartition the " +
+              "source by the partition columns before a partitioned export")
+          distinct.head
+        }
+        (rdr.getRecordCount, vals)
+      } finally rdr.close()
+      NewFile(f, n, fs.getFileStatus(p).getLen, values)
     }
   }
 
   /** One written manifest, as the manifest list will reference it:
-    * content 0 = data, 1 = position deletes. */
+    * content 0 = data, 1 = position deletes; `specId` names the
+    * partition spec its entries were written under (deletes of a
+    * partitioned table publish GLOBAL — the empty spec). */
   private final case class ManifestRef(path: String, length: Long,
-      fileCount: Int, rowCount: Long, content: Int)
+      fileCount: Int, rowCount: Long, content: Int, specId: Int = 0)
+
+  /** The spec fields of an identity partition spec, as the JSON both
+    * the table metadata and each manifest's key-value metadata carry. */
+  private def partSpecFieldsJson(partCols: Seq[PartCol]): String =
+    partCols.map(pc =>
+      s"""{"name":"${pc.name}","transform":"identity",""" +
+        s""""source-id":${pc.srcId},"field-id":${pc.fieldId}}""")
+      .mkString("[", ",", "]")
 
   /** Write one ADDED-entries manifest (data or position-delete files,
-    * per `content`). */
+    * per `content`), under the given partition columns and spec id. */
   private def writeManifest(dir: String, name: String, snapshotId: Long,
       seqNum: Long, files: Seq[NewFile],
-      fields: Seq[(Int, String, Boolean, String)], content: Int = 0): ManifestRef = {
-    val entrySchema = manifestEntrySchema
+      fields: Seq[(Int, String, Boolean, String)], content: Int = 0,
+      partCols: Seq[PartCol] = Nil, specId: Int = 0): ManifestRef = {
+    val entrySchema = manifestEntrySchema(partCols)
     val dfSchema = entrySchema.getField("data_file").schema()
     val f = new java.io.File(s"$dir/metadata/$name")
     f.getParentFile.mkdirs()
@@ -193,15 +261,17 @@ object IcebergExport {
     // ADVICE close — external engines reject manifests without them)
     w.setMeta("schema", schemaJson(fields))
     w.setMeta("schema-id", "0")
-    w.setMeta("partition-spec", "[]")
-    w.setMeta("partition-spec-id", "0")
+    w.setMeta("partition-spec", partSpecFieldsJson(partCols))
+    w.setMeta("partition-spec-id", specId.toString)
     w.create(entrySchema, f)
     files.foreach { nf =>
       val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", content)
       dfr.put("file_path", nf.path)
       dfr.put("file_format", "PARQUET")
-      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+      partCols.zip(nf.partValues).foreach { case (pc, v) => pr.put(pc.name, v) }
+      dfr.put("partition", pr)
       dfr.put("record_count", nf.recordCount)
       dfr.put("file_size_in_bytes", nf.sizeInBytes)
       val e = new GenericData.Record(entrySchema)
@@ -214,7 +284,7 @@ object IcebergExport {
     }
     w.close()
     ManifestRef(f.getAbsolutePath, f.length(), files.size,
-      files.map(_.recordCount).sum, content)
+      files.map(_.recordCount).sum, content, specId)
   }
 
   /** Write a manifest list = `prior` manifest_file records (reused by
@@ -239,7 +309,7 @@ object IcebergExport {
       val r = new GenericData.Record(s)
       r.put("manifest_path", m.path)
       r.put("manifest_length", m.length)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", m.specId)
       r.put("content", m.content)
       r.put("sequence_number", seqNum)
       r.put("min_sequence_number", seqNum)
@@ -277,18 +347,26 @@ object IcebergExport {
 
   private def writeMetadata(dir: String, metaV: Int, sourceVersion: Long,
       fields: Seq[(Int, String, Boolean, String)], snaps: Seq[Snap],
-      currentId: Long): Unit = {
+      currentId: Long, partCols: Seq[PartCol] = Nil): Unit = {
     val tsMs = System.currentTimeMillis()
     val slog = snaps.map(s => s"""{"timestamp-ms":${s.tsMs},"snapshot-id":${s.id}}""")
       .mkString(",")
+    // a partitioned publish carries TWO specs: the identity spec (0,
+    // the default) and the empty spec (1) its GLOBAL position-delete
+    // manifests reference
+    val specs =
+      if (partCols.isEmpty) """[{"spec-id":0,"fields":[]}]"""
+      else s"""[{"spec-id":0,"fields":${partSpecFieldsJson(partCols)}},""" +
+        """{"spec-id":1,"fields":[]}]"""
+    val lastPartId = if (partCols.isEmpty) 999 else partCols.map(_.fieldId).max
     val body =
       s"""{"format-version":2,"table-uuid":"${tableUuid(dir)}","location":"$dir",
          |"last-sequence-number":${snaps.map(_.seqNum).max},
          |"last-updated-ms":$tsMs,"last-column-id":${fields.map(_._1).max},
          |"current-schema-id":0,
          |"schemas":[${schemaJson(fields)}],
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,
+         |"default-spec-id":0,"partition-specs":$specs,
+         |"last-partition-id":$lastPartId,
          |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"graft.source-version":"$sourceVersion",
          |"schema.name-mapping.default":"${nameMappingJson(fields)}"},
@@ -325,7 +403,7 @@ object IcebergExport {
   private def writeDeleteArtifacts(spark: SparkSession, sourcePath: String,
       targetPath: String, dvDirs: Seq[String], g: Long, snapId: Long,
       seqNum: Long, fields: Seq[(Int, String, Boolean, String)],
-      dataPaths: Seq[String]): ManifestRef = {
+      dataPaths: Seq[String], delSpecId: Int = 0): ManifestRef = {
     import org.apache.spark.sql.functions.col
     val byKey = dataPaths.map(p => normKey(p) -> p).toMap
     if (byKey.size != dataPaths.size) throw new IllegalStateException(
@@ -357,8 +435,46 @@ object IcebergExport {
     }
     deleteRec(new java.io.File(stage))
     val delFiles = describeFiles(spark, Seq(dst.getAbsolutePath))
+    // deletes of a partitioned table publish GLOBAL: the empty spec
     writeManifest(targetPath, f"md-$g%05d.avro", snapId, seqNum,
-      delFiles, fields, content = 1)
+      delFiles, fields, content = 1, partCols = Nil, specId = delSpecId)
+  }
+
+  /** The identity partition columns a `partitionBy` names, typed and
+    * id'd against the export schema. */
+  private def partColsOf(partitionBy: Seq[String],
+      fields: Seq[(Int, String, Boolean, String)]): Seq[PartCol] =
+    partitionBy.zipWithIndex.map { case (n, i) =>
+      val (srcId, _, _, t) = fields.find(_._2 == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $n is not a column of the exported schema"))
+      if (!Set("long", "int", "string").contains(t))
+        throw new UnsupportedOperationException(
+          s"partition column $n has type $t; identity-partitioned export " +
+            "supports long, int, and string")
+      PartCol(n, t, 1000 + i, srcId)
+    }
+
+  /** The published table's identity partition columns, recovered from
+    * its metadata (the append path must keep writing the same spec). */
+  private def partColsOfMeta(meta: JsonNode,
+      fields: Seq[(Int, String, Boolean, String)]): Seq[PartCol] = {
+    val specs = Option(meta.get("partition-specs")).getOrElse(return Nil)
+    val want = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val spec = (0 until specs.size()).map(specs.get)
+      .find(_.get("spec-id").asInt() == want).getOrElse(return Nil)
+    val pf = spec.get("fields")
+    (0 until pf.size()).map(pf.get).map { f =>
+      if (f.get("transform").asText() != "identity")
+        throw new UnsupportedOperationException(
+          s"published spec uses transform ${f.get("transform").asText()}; " +
+            "this exporter appends identity specs only")
+      val srcId = f.get("source-id").asInt()
+      val t = fields.find(_._1 == srcId).map(_._4).getOrElse(
+        throw new IllegalStateException(
+          s"partition source-id $srcId is not in the published schema"))
+      PartCol(f.get("name").asText(), t, f.get("field-id").asInt(), srcId)
+    }
   }
 
   private def fieldsOf(schema: StructType): Seq[(Int, String, Boolean, String)] =
@@ -369,33 +485,42 @@ object IcebergExport {
   /** Write Iceberg metadata at `targetPath` exposing
     * `sourcePath`@`version` (default latest). Returns the number of
     * data files published. */
+  /** `partitionBy` publishes an IDENTITY partition spec (r13): each
+    * data file's tuple derives from its parquet column statistics, so
+    * the source files must be partition-pure (loud otherwise) — the
+    * shape a `repartition(partCols)`-then-commit source produces.
+    * External engines then prune the published table by partition;
+    * position-delete manifests publish GLOBAL (the empty spec). */
   def snapshot(spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None): Int = {
+      version: Option[Long] = None, partitionBy: Seq[String] = Nil): Int = {
     val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
     requireUnmapped(spark, sourcePath, v)
     val dirs = TimeTravel.listing(spark, sourcePath, v)
     val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
-    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq)
+    val fields = fieldsOf(scan.schema)
+    val partCols = partColsOf(partitionBy, fields)
+    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols)
     val existing = new java.io.File(s"$targetPath/metadata")
     if (existing.exists()) throw new IllegalStateException(
       s"$targetPath already carries Iceberg metadata; export to a fresh path " +
         "(IcebergExport.append publishes follow-up commits)")
     val snapId = v
-    val fields = fieldsOf(scan.schema)
     val manifests = Seq.newBuilder[ManifestRef]
-    manifests += writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files, fields)
+    manifests += writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files,
+      fields, partCols = partCols)
     // pending merge-on-read tombstones export directly as a position-
     // delete file + delete manifest in the same first snapshot
     val dvDirs = TimeTravel.dvListing(spark, sourcePath, v)
     if (dvDirs.nonEmpty)
       manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
-        dvDirs, v, snapId, 1L, fields, files.map(_.path))
+        dvDirs, v, snapId, 1L, fields, files.map(_.path),
+        delSpecId = if (partCols.isEmpty) 0 else 1)
     val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil,
       manifests.result())
     writeMetadata(targetPath, 1, v, fields,
       Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml,
-        if (dvDirs.nonEmpty) "overwrite" else "append")), snapId)
+        if (dvDirs.nonEmpty) "overwrite" else "append")), snapId, partCols)
     files.length
   }
 
@@ -443,9 +568,10 @@ object IcebergExport {
       }
     }
     val fields = fieldsOf(IcebergRead.schemaOf(meta))
+    val partCols = partColsOfMeta(meta, fields)
     if (newDirs.isEmpty && !rowLevel) { // metadata-only: bump the watermark
       writeMetadata(targetPath, metaV + 1, g1, fields, priorSnaps,
-        meta.get("current-snapshot-id").asLong())
+        meta.get("current-snapshot-id").asLong(), partCols)
       return 0
     }
     val seqNum = priorSnaps.map(_.seqNum).max + 1
@@ -458,9 +584,9 @@ object IcebergExport {
         throw new UnsupportedOperationException(
           s"graft commits after v$g0 changed the data schema at $sourcePath; " +
             "the published Iceberg schema is pinned — re-export a fresh snapshot")
-      newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq)
+      newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols)
       manifests += writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum,
-        newFiles, fields)
+        newFiles, fields, partCols = partCols)
     }
     if (rowLevel) {
       // the window's NEW tombstones are exactly the dv directories the
@@ -481,7 +607,8 @@ object IcebergExport {
         .liveEntries(spark, targetPath, meta).filter(_.content == 0).map(_.path)
       manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
         dvNew, g1, snapId, seqNum, fields,
-        priorDataPaths ++ newFiles.map(_.path))
+        priorDataPaths ++ newFiles.map(_.path),
+        delSpecId = if (partCols.isEmpty) 0 else 1)
     }
     val priorManifests = avroRecords(spark,
       IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
@@ -490,7 +617,7 @@ object IcebergExport {
     writeMetadata(targetPath, metaV + 1, g1, fields,
       priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml,
         if (rowLevel) "overwrite" else "append"),
-      snapId)
+      snapId, partCols)
     manifests.result().map(_.fileCount).sum
   }
 }

@@ -1609,6 +1609,85 @@ class SourcesSpec extends SparkSpec {
       == got2, "fresh export of a DV snapshot must serve the post-delete rows")
   }
 
+  test("iceberg export: identity-partitioned publish carries the spec and per-file tuples") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexpp_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexpp_tgt").toFile.getAbsolutePath + "/i"
+    // one commit per band → every data file is partition-pure
+    TimeTravel.commitOverwrite((1L to 10L).map(i => (i, "b0")).toDF("k", "band"), src)
+    TimeTravel.commitAppend((11L to 15L).map(i => (i, "b1")).toDF("k", "band"), src)
+    TimeTravel.commitAppend((16L to 18L).map(i => (i, "b2")).toDF("k", "band"), src)
+    assert(IcebergExport.snapshot(spark, src, tgt, partitionBy = Seq("band")) > 0)
+    // the metadata carries the identity spec + the empty delete spec
+    val metaV = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tgt/metadata/version-hint.text"))).trim.toInt
+    val metaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tgt/metadata/v$metaV.metadata.json"))
+    assert(metaTxt.contains(""""transform":"identity"""") &&
+      metaTxt.contains(""""name":"band"""") &&
+      metaTxt.contains("""{"spec-id":1,"fields":[]}"""), metaTxt.take(400))
+    // each data manifest entry carries its file's partition tuple
+    def manifestTuples(): Seq[(String, String)] =
+      new java.io.File(s"$tgt/metadata").listFiles()
+        .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro"))
+        .toSeq.flatMap { mf =>
+          val rdr = DataFileReader.openReader(mf, new GenericDatumReader[GenericRecord]())
+          try {
+            val b = Seq.newBuilder[(String, String)]
+            while (rdr.hasNext) {
+              val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+              val part = df.get("partition").asInstanceOf[GenericRecord]
+              b += ((String.valueOf(df.get("file_path")),
+                String.valueOf(part.get("band"))))
+            }
+            b.result()
+          } finally rdr.close()
+        }
+    val tuples = manifestTuples()
+    assert(tuples.nonEmpty && tuples.map(_._2).toSet == Set("b0", "b1", "b2"),
+      s"per-file tuples must cover every band: $tuples")
+    // the independent replay still matches the source
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+      == (1L to 18L).toSet)
+    // append keeps writing the SAME spec (recovered from the metadata)
+    TimeTravel.commitAppend(Seq((19L, "b3")).toDF("k", "band"), src)
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    assert(manifestTuples().map(_._2).toSet == Set("b0", "b1", "b2", "b3"),
+      "appended files must carry their tuples under the published spec")
+    // a row-level commit publishes GLOBAL deletes under the empty spec
+    TimeTravel.deleteMoR(spark, src, col("k") === 12L)
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+      == ((1L to 19L).toSet - 12L), "partitioned publish × global deletes compose")
+    val mlFile = new java.io.File(s"$tgt/metadata").listFiles()
+      .filter(_.getName.startsWith("snap-")).maxBy(_.getName)
+    val mlRdr = DataFileReader.openReader(mlFile, new GenericDatumReader[GenericRecord]())
+    val specIds = try {
+      val b = Seq.newBuilder[(String, Int)]
+      while (mlRdr.hasNext) {
+        val r = mlRdr.next()
+        b += ((String.valueOf(r.get("manifest_path")),
+          r.get("partition_spec_id").asInstanceOf[Number].intValue()))
+      }
+      b.result()
+    } finally mlRdr.close()
+    assert(specIds.exists { case (p, id) => p.contains("/md-") && id == 1 },
+      s"delete manifests must reference the empty spec: $specIds")
+    assert(specIds.filter(_._1.contains("/m-")).forall(_._2 == 0),
+      s"data manifests must reference the identity spec: $specIds")
+    // a file that mixes partition values declines loudly
+    val src2 = Files.createTempDirectory("iexpp_src2").toFile.getAbsolutePath + "/t"
+    val tgt2 = Files.createTempDirectory("iexpp_tgt2").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite(
+      Seq((1L, "b0"), (2L, "b1")).toDF("k", "band").coalesce(1), src2)
+    val e = intercept[UnsupportedOperationException](
+      IcebergExport.snapshot(spark, src2, tgt2, partitionBy = Seq("band")))
+    assert(e.getMessage.contains("partition-pure"), e.getMessage)
+  }
+
   test("iceberg export: decimal columns map through the interchange set both ways") {
     import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
     import spark.implicits._
