@@ -35,13 +35,11 @@ import org.apache.spark.sql.types.StructType
   * batches advance by whole commits whose summed add count stays ≤ n
   * (always ≥ 1 commit), so a backfill against a long log arrives in
   * bounded batches instead of one giant scan; the first-batch snapshot
-  * is never split (it is one pinned version). Scope (v1 Source
-  * limitation, r11 ADVICE): the cap holds WITHIN a run — consumed
-  * progress lives in memory and reseeds from the recovery `getBatch`
-  * replay of an UNcommitted batch, but after a clean restart whose
-  * last batch committed, the engine hands this source no prior offset
-  * before the first `getOffset`, so that one catch-up batch plans to
-  * latest uncapped; the cap re-engages from the next trigger.
+  * is never split (it is one pinned version). The cap holds ACROSS
+  * restarts too (r13, closing the r11/r12 v1-limitation): consumed
+  * progress persists commit-driven under the source's own
+  * metadataPath ([[SourceProgress]]) and re-seeds at construction, so
+  * the first post-restart catch-up batch is as bounded as any other.
   *
   * Scale: per trigger, one driver-side log listing; per batch,
   * O(added files) JSON reads and a schema-pinned scan of exactly
@@ -73,7 +71,8 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
       params.get("startingversion").map(_.toLong), cdf = cdfOf(parameters),
-      maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt))
+      maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt),
+      metadataPath = Some(metadataPath))
   }
 }
 
@@ -88,7 +87,8 @@ private[sources] object DeltaStreamSource {
 
 final class DeltaStreamSource(spark: SparkSession, path: String,
     startingVersion: Option[Long], cdf: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None) extends Source {
+    maxFilesPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private def hfs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -120,8 +120,12 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
 
   /** Consumed progress for the RATE LIMIT: advanced by every planned
     * batch (getBatch sets it from both recovery-replayed and fresh
-    * ranges) — the marker the next getOffset continues from. */
-  @volatile private var consumedV: Option[Long] = None
+    * ranges) — the marker the next getOffset continues from. SEEDED
+    * across restarts from the commit-driven [[SourceProgress]] record
+    * under this source's metadataPath, so the cap holds on the first
+    * post-restart catch-up batch too (the r12 v1-limitation close). */
+  @volatile private var consumedV: Option[Long] =
+    metadataPath.flatMap(SourceProgress.read(spark, _)).map(_.trim.toLong)
 
   /** maxFilesPerTrigger: cap a batch at whole COMMITS whose summed
     * `add` count stays ≤ the limit (at least one commit always
@@ -192,7 +196,10 @@ final class DeltaStreamSource(spark: SparkSession, path: String,
     }
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    if (maxFilesPerTrigger.nonEmpty)
+      metadataPath.foreach(
+        SourceProgress.write(spark, _, toVersion(end).toString))
   override def stop(): Unit = ()
   override def toString: String = s"DeltaStreamSource[$path]"
 }

@@ -37,12 +37,10 @@ import org.apache.spark.sql.types.StructType
   * RATE LIMITING (`option("maxManifestsPerTrigger", n)`): incremental
   * batches advance by whole snapshots whose cumulative new-manifest
   * count stays ≤ n (always ≥ 1 snapshot) — the bounded-backfill knob,
-  * symmetric with `graft-delta`'s maxFilesPerTrigger, and with the
-  * same v1-Source scope (r11 ADVICE): consumed progress is in-memory,
-  * reseeded by the recovery `getBatch` of an uncommitted batch; after
-  * a clean restart whose last batch committed, the first catch-up
-  * batch plans to latest uncapped, and the cap re-engages from the
-  * next trigger.
+  * symmetric with `graft-delta`'s maxFilesPerTrigger, and like it the
+  * cap holds ACROSS restarts (r13): consumed progress persists
+  * commit-driven under the source's metadataPath ([[SourceProgress]])
+  * and re-seeds at construction.
   *
   * Scale: per trigger one metadata JSON read; per batch O(new
   * manifests) Avro reads and a schema-pinned scan of exactly the added
@@ -67,7 +65,8 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
       params.get("maxmanifestspertrigger").map(_.toInt),
-      params.get("startingsnapshotid").map(_.toLong))
+      params.get("startingsnapshotid").map(_.toLong),
+      metadataPath = Some(metadataPath))
   }
 }
 
@@ -107,7 +106,8 @@ private[sources] object IcebergOffset {
 
 final class IcebergStreamSource(spark: SparkSession, path: String,
     maxManifestsPerTrigger: Option[Int] = None,
-    startingSnapshotId: Option[Long] = None) extends Source {
+    startingSnapshotId: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType =
     IcebergRead.schemaOf(IcebergRead.currentMetadata(spark, path))
@@ -129,8 +129,12 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
   }
 
   /** Consumed progress for the RATE LIMIT (re-seeded by every planned
-    * batch, including the recovery replay). */
-  @volatile private var consumed: Option[IcebergOffset] = startingOffset
+    * batch, including the recovery replay) — and across RESTARTS from
+    * the commit-driven [[SourceProgress]] record, which beats the
+    * pinned starting offset when present (it is always newer). */
+  @volatile private var consumed: Option[IcebergOffset] =
+    metadataPath.flatMap(SourceProgress.read(spark, _))
+      .map(IcebergOffset.parse(_, path)).orElse(startingOffset)
 
   /** maxManifestsPerTrigger: advance by whole SNAPSHOTS whose
     * cumulative new-manifest count (vs the consumed offset) stays ≤
@@ -238,7 +242,9 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
     GraftPlanApi.streamingDataFrame(spark,
       spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    if (maxManifestsPerTrigger.nonEmpty)
+      metadataPath.foreach(SourceProgress.write(spark, _, toOff(end).json))
   override def stop(): Unit = ()
   override def toString: String = s"IcebergStreamSource[$path]"
 }

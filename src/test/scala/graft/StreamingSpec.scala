@@ -1219,6 +1219,86 @@ class StreamingSpec extends SparkSpec {
       s"each later batch = one snapshot under the 1-manifest limit, in order; got $got")
   }
 
+  test("stream sources: rate caps persist across restarts via metadataPath (r13)") {
+    // source-level pin, independent of the engine's recovery-replay
+    // quirk: a FRESH source seeded only by the metadataPath progress
+    // record must cap its first getOffset
+    import graft.sources.{DeltaStreamSource, IcebergRead, IcebergStreamSource}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dsrc_persist").toFile.getAbsolutePath + "/t"
+    val mp = Files.createTempDirectory("dsrc_mp").toFile.getAbsolutePath
+    new java.io.File(dir).mkdirs()
+    val schemaEsc = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+      .json.replace("\\", "\\\\").replace("\"", "\\\"")
+    def stagePart(rel: String, rows: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("dsp_part").toFile.getAbsolutePath
+      rows.toDF("k").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir/$rel")): Unit
+    }
+    stagePart("f0.parquet", Seq(1L))
+    writeDeltaLog(dir, 0L,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaEsc","partitionColumns":[],"configuration":{}}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    (1 to 3).foreach { i =>
+      stagePart(s"f$i.parquet", Seq(i * 10L))
+      writeDeltaLog(dir, i.toLong, Seq(
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    }
+    // run 1: snapshot batch at v0 committed, then the process "dies"
+    val s1 = new DeltaStreamSource(spark, dir, None, cdf = false,
+      maxFilesPerTrigger = Some(1), metadataPath = Some(mp))
+    s1.getBatch(None, LongOffset(0L)) // plan (streaming frame — not executed here)
+    s1.commit(LongOffset(0L))
+    // run 2: a FRESH source (no engine replay) must cap its first plan
+    val s2 = new DeltaStreamSource(spark, dir, None, cdf = false,
+      maxFilesPerTrigger = Some(1), metadataPath = Some(mp))
+    assert(s2.getOffset.contains(LongOffset(1L)),
+      s"first post-restart offset must advance ONE capped commit, got ${s2.getOffset}")
+    s2.commit(LongOffset(1L))
+    val s3 = new DeltaStreamSource(spark, dir, None, cdf = false,
+      maxFilesPerTrigger = Some(1), metadataPath = Some(mp))
+    assert(s3.getOffset.contains(LongOffset(2L)),
+      s"cap must keep walking one commit per restart, got ${s3.getOffset}")
+    // iceberg: same shape — snapshot consumed, restart, capped advance
+    val idir = Files.createTempDirectory("isrc_persist").toFile.getAbsolutePath + "/t"
+    val imp = Files.createTempDirectory("isrc_mp").toFile.getAbsolutePath
+    val fields = Seq((1, "k", true, "long"))
+    def ipart(name: String, rows: Seq[Long]): String = {
+      val tmp = Files.createTempDirectory("isp_part").toFile.getAbsolutePath
+      rows.toDF("k").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$idir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    var manifests = Seq.empty[String]
+    var snapshots = Seq.empty[(Long, String)]
+    (0 to 2).foreach { i =>
+      val f = ipart(s"f$i.parquet", Seq(i.toLong))
+      manifests :+= IcebergRead.Fixture.manifest(idir, s"m$i.avro", Seq((1, f, 0)))
+      val ml = IcebergRead.Fixture.manifestList(idir, s"snap-$i.avro", manifests)
+      snapshots :+= ((100L + i, ml))
+      IcebergRead.Fixture.metadataMulti(idir, i + 1, 2, 100L + i, snapshots, fields)
+    }
+    val i1 = new IcebergStreamSource(spark, idir,
+      maxManifestsPerTrigger = Some(1), startingSnapshotId = Some(100L),
+      metadataPath = Some(imp))
+    val firstOff = i1.getOffset.get // capped: one snapshot past 100
+    i1.commit(firstOff)
+    val i2 = new IcebergStreamSource(spark, idir,
+      maxManifestsPerTrigger = Some(1), startingSnapshotId = Some(100L),
+      metadataPath = Some(imp))
+    val secondOff = i2.getOffset.get
+    assert(firstOff.json.contains("\"sid\":101") &&
+      secondOff.json.contains("\"sid\":102"),
+      s"iceberg cap must persist across restarts: $firstOff then $secondOff")
+  }
+
   test("delta stream source: maxFilesPerTrigger bounds each batch to whole commits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dstream_rate").toFile.getAbsolutePath + "/t"
