@@ -1159,6 +1159,48 @@ object CdcQueries {
         sum(col("k")).as("sum_k"))
   }
 
+  /** Iceberg FORMAT-VERSION-3 DV write-back roundtrip (r13 — the
+    * write half of the puffin tier): the first export carries a
+    * pending merge-on-read delete as a puffin DELETION VECTOR, a
+    * later window appends new rows AND deletes across BOTH eras —
+    * the already-vectored files must get ONE superseding cumulative
+    * vector each (the v3 at-most-one-DV rule), the new file its
+    * first. The INDEPENDENT [[graft.sources.IcebergRead]] replay must
+    * see the post-delete row set; a reader/writer pair that unions
+    * stale vectors or drops the supersede double-deletes or
+    * resurrects rows and breaks the closed form. */
+  val qIcebergExportV3Dv: QueryDef = QueryDef.sql(
+    "q_iceberg_export_v3dv",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM o WHERE NOT (k % 2 = 0 AND k % 7 = 3) AND k % 5 <> 2""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ixdv_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_iceberg"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("k") % 2 === 0), base) // v1
+    TimeTravel.deleteMoR(s, base, col("k") % 7 === 3) // v2: pending at export
+    IcebergExport.snapshot(s, base, tgt, formatVersion = 3)
+    TimeTravel.commitAppend(o.filter(col("k") % 2 === 1), base) // v3 Append
+    TimeTravel.deleteMoR(s, base, col("k") % 5 === 2) // v4: both eras → supersede
+    IcebergExport.append(s, base, tgt)
+    IcebergRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(col("k")).as("sum_k"))
+  }
+
   /** Delta NAME-MODE column mapping over NESTED complex columns (r13
     * — the common Databricks shape the r12 reader declined): the data
     * file carries PHYSICAL names at every nesting level (`col-s` =
@@ -1346,6 +1388,83 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Iceberg FORMAT-VERSION-3 merge-on-read with PUFFIN DELETION
+    * VECTORS (r13): band-0 data commits at sequence 1, band-1 at
+    * sequence 3, one puffin sidecar carries a DV per data file
+    * (band-0 positions ≡ 2 mod 7, band-1 positions ≡ 1 mod 5 —
+    * [[graft.sources.Puffin]] speaks the spec's D1 D3 39 64 blob
+    * framing), and an equality delete at sequence 2 (every id ≡ 0
+    * mod 11) composes on top — sequence ordering must confine it to
+    * the band-0 file. A reader that drops DVs keeps the vectored rows;
+    * one that misorders the equality delete also kills band-1
+    * multiples. The oracle restates all three rules in closed form. */
+  val qIcebergReadV3Dv: QueryDef = QueryDef.sql(
+    "q_iceberg_read_v3dv",
+    """WITH o AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    o_orderkey % 2 AS band,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id
+      |FROM o WHERE NOT (band = 0 AND pos % 7 = 2)
+      |  AND NOT (band = 1 AND pos % 5 = 1)
+      |  AND NOT (band = 0 AND id % 11 = 0)""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergRead, Puffin}
+    import graft.sources.IcebergRead.EntryInfo
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iv3dv_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"),
+      (col("o_orderkey") % 2).as("band"))
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = s"${dir}_stage_$name"
+      df.write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val files = (0 to 1).map { b =>
+      stageOne(o.filter(col("band") === b).drop("band")
+        .repartition(1).sortWithinPartitions("id"), s"f$b.parquet")
+    }
+    val counts = (0 to 1).map(b => o.filter(col("band") === b).count())
+    // one puffin sidecar, one DV blob per data file
+    val refs = Puffin.writeDvFile(s, s"$dir/data/dv.puffin", Seq(
+      (files(0), 2L.until(counts(0), 7L)),
+      (files(1), 1L.until(counts(1), 5L))), snapshotId = 1L, sequenceNumber = 4L)
+    // equality delete (seq 2): EVERY id ≡ 0 (mod 11), both bands' —
+    // sequence ordering must confine it to the seq-1 band-0 file
+    val eqDel = stageOne(o.filter(col("id") % 11 === 0).select("id").coalesce(1),
+      "eq0.parquet")
+    val mData = IcebergRead.Fixture.manifestV2(dir, "mData.avro", Seq(
+      EntryInfo(1, files(0), 0, 1L, Nil), EntryInfo(1, files(1), 0, 3L, Nil)))
+    val mDel = IcebergRead.Fixture.manifestV2(dir, "mDel.avro", Seq(
+      EntryInfo(1, eqDel, 2, 2L, Seq(1)),
+      EntryInfo(1, s"$dir/data/dv.puffin", 1, 4L, Nil,
+        Some((files(0), refs(0).offset, refs(0).length))),
+      EntryInfo(1, s"$dir/data/dv.puffin", 1, 4L, Nil,
+        Some((files(1), refs(1).offset, refs(1).length)))))
+    val ml = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(mData, mDel))
+    IcebergRead.Fixture.metadata(dir, 1, formatVersion = 3, snapshotId = 1L,
+      manifestList = ml, fields = Seq((1, "id", true, "long"), (2, "cents", false, "long")))
+    IcebergRead.read(s, dir)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        sum(col("id")).as("sum_id"))
+  }
+
   /** Identity-PARTITIONED Iceberg export (r13): the publish declares
     * partition columns, each data file's tuple derives from its parquet
     * column statistics (files must be partition-pure — the
@@ -1395,5 +1514,6 @@ object CdcQueries {
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
-    qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart)
+    qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
+    qIcebergReadV3Dv, qIcebergExportV3Dv)
 }

@@ -42,6 +42,19 @@ import org.apache.spark.sql.types._
   * `properties` (`graft.source-version`). Rewrite / schema-change
   * graft commits decline loudly (re-export).
   *
+  * `formatVersion = 3` (r13) publishes the FORMAT-VERSION-3 shape
+  * instead: row-level deletes land as puffin DELETION VECTORS
+  * ([[Puffin]], one `deletion-vector-v1` blob per affected data
+  * file), each carrying the file's CUMULATIVE deleted positions —
+  * the v3 at-most-one-DV-per-file rule, so an append that deletes
+  * from an already-vectored file writes ONE superseding vector and
+  * drops the file's prior DV entry from the carried-forward
+  * manifests ([[writeExistingDeleteManifest]]). v3 row lineage is
+  * maintained: metadata `next-row-id`, snapshot `first-row-id`, and
+  * explicit per-data-file `first_row_id` (142) / manifest-list
+  * `first_row_id` (520). append recovers the format version from the
+  * published metadata, so a table keeps its shape for life.
+  *
   * Same loud-or-exact scope as the Delta export: a FRESH snapshot
   * with pending deletion vectors, or any snapshot with a column
   * mapping, cannot be represented by plain file lists, so both
@@ -73,6 +86,16 @@ object IcebergExport {
   // ----------------------------------------------- spec-complete Avro
 
   /** One Avro field tagged with its Iceberg spec field-id. */
+  /** Optional (nullable) spec field — the v3 additions are all
+    * optional in the Avro sense: null on entries they don't apply to. */
+  private def optFld(name: String, schema: Schema, fieldId: Int): Schema.Field = {
+    val union = Schema.createUnion(java.util.List.of(
+      Schema.create(Schema.Type.NULL), schema))
+    val f = new Schema.Field(name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
+    f.addProp("field-id", fieldId: Integer)
+    f
+  }
+
   private def fld(name: String, schema: Schema, fieldId: Int): Schema.Field = {
     val f = new Schema.Field(name, schema, null, null.asInstanceOf[Object])
     f.addProp("field-id", fieldId: Integer)
@@ -85,8 +108,11 @@ object IcebergExport {
 
   /** data_file (v2 required fields); the `partition` record carries
     * one typed field per identity-partition column (empty when
-    * unpartitioned). */
-  private def dataFileSchema(partCols: Seq[PartCol]): Schema = {
+    * unpartitioned). `v3` adds the format-version-3 optional fields:
+    * row-lineage `first_row_id` (142) and the deletion-vector
+    * coordinates `referenced_data_file` (143) / `content_offset` (144)
+    * / `content_size_in_bytes` (145). */
+  private def dataFileSchema(partCols: Seq[PartCol], v3: Boolean = false): Schema = {
     val partition = Schema.createRecord("r102", null, null, false)
     val pfields = partCols.map { pc =>
       val base = pc.icebergType match {
@@ -101,30 +127,40 @@ object IcebergExport {
     }
     partition.setFields(java.util.List.of(pfields: _*))
     val s = Schema.createRecord("r2", null, null, false)
-    s.setFields(java.util.List.of(
+    val base = Seq(
       fld("content", intS, 134),
       fld("file_path", stringS, 100),
       fld("file_format", stringS, 101),
       fld("partition", partition, 102),
       fld("record_count", longS, 103),
-      fld("file_size_in_bytes", longS, 104)))
+      fld("file_size_in_bytes", longS, 104))
+    val v3Extras =
+      if (!v3) Nil
+      else Seq(
+        optFld("first_row_id", longS, 142),
+        optFld("referenced_data_file", stringS, 143),
+        optFld("content_offset", longS, 144),
+        optFld("content_size_in_bytes", longS, 145))
+    s.setFields(java.util.List.of(base ++ v3Extras: _*))
     s
   }
 
-  private def manifestEntrySchema(partCols: Seq[PartCol]): Schema = {
+  private def manifestEntrySchema(partCols: Seq[PartCol], v3: Boolean = false): Schema = {
     val s = Schema.createRecord("manifest_entry", null, null, false)
     s.setFields(java.util.List.of(
       fld("status", intS, 0),
       fld("snapshot_id", longS, 1),
       fld("sequence_number", longS, 3),
       fld("file_sequence_number", longS, 4),
-      fld("data_file", dataFileSchema(partCols), 2)))
+      fld("data_file", dataFileSchema(partCols, v3), 2)))
     s
   }
 
-  private def manifestFileSchema: Schema = {
+  /** `v3` adds the manifest-list row-lineage field: `first_row_id`
+    * (520), the base the manifest's data entries inherit. */
+  private def manifestFileSchema(v3: Boolean = false): Schema = {
     val s = Schema.createRecord("manifest_file", null, null, false)
-    s.setFields(java.util.List.of(
+    val base = Seq(
       fld("manifest_path", stringS, 500),
       fld("manifest_length", longS, 501),
       fld("partition_spec_id", intS, 502),
@@ -137,14 +173,19 @@ object IcebergExport {
       fld("deleted_files_count", intS, 506),
       fld("added_rows_count", longS, 512),
       fld("existing_rows_count", longS, 513),
-      fld("deleted_rows_count", longS, 514)))
+      fld("deleted_rows_count", longS, 514))
+    val v3Extras = if (!v3) Nil else Seq(optFld("first_row_id", longS, 520))
+    s.setFields(java.util.List.of(base ++ v3Extras: _*))
     s
   }
 
   /** `partValues` aligns with the export's partition columns (empty
-    * when unpartitioned) — Avro-ready Long/Int/String values. */
+    * when unpartitioned) — Avro-ready Long/Int/String values. `dv`
+    * makes the file a v3 DELETION-VECTOR entry: (referenced data file,
+    * content_offset, content_size_in_bytes) into the puffin `path`. */
   private final case class NewFile(path: String, recordCount: Long,
-      sizeInBytes: Long, partValues: Seq[Any] = Nil)
+      sizeInBytes: Long, partValues: Seq[Any] = Nil,
+      dv: Option[(String, Long, Long)] = None)
 
   /** One identity-partition column of a partitioned publish:
     * `fieldId` is the spec's partition field id (1000+), `srcId` the
@@ -230,11 +271,17 @@ object IcebergExport {
   }
 
   /** One written manifest, as the manifest list will reference it:
-    * content 0 = data, 1 = position deletes; `specId` names the
-    * partition spec its entries were written under (deletes of a
-    * partitioned table publish GLOBAL — the empty spec). */
+    * content 0 = data, 1 = position deletes / deletion vectors;
+    * `specId` names the partition spec its entries were written under
+    * (deletes of a partitioned table publish GLOBAL — the empty spec).
+    * `firstRowId` is the v3 row-lineage base of a data manifest's
+    * entries; `existingCount`/`existingRows`/`minSeq` describe
+    * REWRITTEN manifests (entries carried forward as EXISTING when a
+    * DV replacement drops some of a prior manifest's entries). */
   private final case class ManifestRef(path: String, length: Long,
-      fileCount: Int, rowCount: Long, content: Int, specId: Int = 0)
+      fileCount: Int, rowCount: Long, content: Int, specId: Int = 0,
+      firstRowId: Option[Long] = None, existingCount: Int = 0,
+      existingRows: Long = 0L, minSeq: Option[Long] = None)
 
   /** The spec fields of an identity partition spec, as the JSON both
     * the table metadata and each manifest's key-value metadata carry. */
@@ -244,18 +291,24 @@ object IcebergExport {
         s""""source-id":${pc.srcId},"field-id":${pc.fieldId}}""")
       .mkString("[", ",", "]")
 
-  /** Write one ADDED-entries manifest (data or position-delete files,
-    * per `content`), under the given partition columns and spec id. */
+  /** Write one ADDED-entries manifest (data, position-delete, or v3
+    * deletion-vector files, per `content`/`NewFile.dv`), under the
+    * given partition columns and spec id. With `v3`, data entries get
+    * explicit row-lineage `first_row_id` assigned from `firstRowBase`
+    * in entry order (each file consumes `record_count` ids — the v3
+    * spec's assignment rule, written explicitly so external readers
+    * need no inheritance step). */
   private def writeManifest(dir: String, name: String, snapshotId: Long,
       seqNum: Long, files: Seq[NewFile],
       fields: Seq[(Int, String, Boolean, String)], content: Int = 0,
-      partCols: Seq[PartCol] = Nil, specId: Int = 0): ManifestRef = {
-    val entrySchema = manifestEntrySchema(partCols)
+      partCols: Seq[PartCol] = Nil, specId: Int = 0,
+      v3: Boolean = false, firstRowBase: Option[Long] = None): ManifestRef = {
+    val entrySchema = manifestEntrySchema(partCols, v3)
     val dfSchema = entrySchema.getField("data_file").schema()
     val f = new java.io.File(s"$dir/metadata/$name")
     f.getParentFile.mkdirs()
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
-    w.setMeta("format-version", "2")
+    w.setMeta("format-version", if (v3) "3" else "2")
     w.setMeta("content", if (content == 0) "data" else "deletes")
     // key-value metadata the spec REQUIRES of every manifest (r11
     // ADVICE close — external engines reject manifests without them)
@@ -264,16 +317,26 @@ object IcebergExport {
     w.setMeta("partition-spec", partSpecFieldsJson(partCols))
     w.setMeta("partition-spec-id", specId.toString)
     w.create(entrySchema, f)
+    var nextRow = firstRowBase.getOrElse(0L)
     files.foreach { nf =>
       val dfr = new GenericData.Record(dfSchema)
-      dfr.put("content", content)
+      dfr.put("content", if (nf.dv.nonEmpty) 1 else content)
       dfr.put("file_path", nf.path)
-      dfr.put("file_format", "PARQUET")
+      dfr.put("file_format", if (nf.dv.nonEmpty) "PUFFIN" else "PARQUET")
       val pr = new GenericData.Record(dfSchema.getField("partition").schema())
       partCols.zip(nf.partValues).foreach { case (pc, v) => pr.put(pc.name, v) }
       dfr.put("partition", pr)
       dfr.put("record_count", nf.recordCount)
       dfr.put("file_size_in_bytes", nf.sizeInBytes)
+      nf.dv.foreach { case (ref, off, len) =>
+        dfr.put("referenced_data_file", ref)
+        dfr.put("content_offset", off: java.lang.Long)
+        dfr.put("content_size_in_bytes", len: java.lang.Long)
+      }
+      if (v3 && content == 0 && nf.dv.isEmpty && firstRowBase.nonEmpty) {
+        dfr.put("first_row_id", nextRow: java.lang.Long)
+        nextRow += nf.recordCount
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -284,19 +347,20 @@ object IcebergExport {
     }
     w.close()
     ManifestRef(f.getAbsolutePath, f.length(), files.size,
-      files.map(_.recordCount).sum, content, specId)
+      files.map(_.recordCount).sum, content, specId,
+      firstRowId = if (v3 && content == 0) firstRowBase else None)
   }
 
   /** Write a manifest list = `prior` manifest_file records (reused by
     * reference — the incremental-append shape) + the new manifests. */
   private def writeManifestList(dir: String, name: String, snapshotId: Long,
       seqNum: Long, prior: Seq[GenericRecord],
-      newManifests: Seq[ManifestRef]): String = {
-    val s = manifestFileSchema
+      newManifests: Seq[ManifestRef], v3: Boolean = false): String = {
+    val s = manifestFileSchema(v3)
     val f = new java.io.File(s"$dir/metadata/$name")
     f.getParentFile.mkdirs()
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
-    w.setMeta("format-version", "2")
+    w.setMeta("format-version", if (v3) "3" else "2")
     w.setMeta("snapshot-id", snapshotId.toString)
     w.setMeta("sequence-number", seqNum.toString)
     w.create(s, f)
@@ -312,14 +376,15 @@ object IcebergExport {
       r.put("partition_spec_id", m.specId)
       r.put("content", m.content)
       r.put("sequence_number", seqNum)
-      r.put("min_sequence_number", seqNum)
+      r.put("min_sequence_number", m.minSeq.getOrElse(seqNum))
       r.put("added_snapshot_id", snapshotId)
       r.put("added_files_count", m.fileCount)
-      r.put("existing_files_count", 0)
+      r.put("existing_files_count", m.existingCount)
       r.put("deleted_files_count", 0)
       r.put("added_rows_count", m.rowCount)
-      r.put("existing_rows_count", 0L)
+      r.put("existing_rows_count", m.existingRows)
       r.put("deleted_rows_count", 0L)
+      if (v3) r.put("first_row_id", m.firstRowId.map(Long.box).orNull)
       w.append(r)
     }
     w.close()
@@ -336,18 +401,22 @@ object IcebergExport {
     } finally rdr.close()
   }
 
-  /** One snapshot's JSON fragment. */
+  /** One snapshot's JSON fragment. `firstRowId` is the v3 row-lineage
+    * base this snapshot assigned ids from. */
   private final case class Snap(id: Long, seqNum: Long, tsMs: Long,
-      manifestList: String, operation: String) {
+      manifestList: String, operation: String,
+      firstRowId: Option[Long] = None) {
     def json: String =
       s"""{"snapshot-id":$id,"sequence-number":$seqNum,"timestamp-ms":$tsMs,""" +
         s""""manifest-list":"$manifestList","summary":{"operation":"$operation"},""" +
+        firstRowId.map(r => s""""first-row-id":$r,""").getOrElse("") +
         """"schema-id":0}"""
   }
 
   private def writeMetadata(dir: String, metaV: Int, sourceVersion: Long,
       fields: Seq[(Int, String, Boolean, String)], snaps: Seq[Snap],
-      currentId: Long, partCols: Seq[PartCol] = Nil): Unit = {
+      currentId: Long, partCols: Seq[PartCol] = Nil,
+      formatVersion: Int = 2, nextRowId: Option[Long] = None): Unit = {
     val tsMs = System.currentTimeMillis()
     val slog = snaps.map(s => s"""{"timestamp-ms":${s.tsMs},"snapshot-id":${s.id}}""")
       .mkString(",")
@@ -360,7 +429,8 @@ object IcebergExport {
         """{"spec-id":1,"fields":[]}]"""
     val lastPartId = if (partCols.isEmpty) 999 else partCols.map(_.fieldId).max
     val body =
-      s"""{"format-version":2,"table-uuid":"${tableUuid(dir)}","location":"$dir",
+      s"""{"format-version":$formatVersion,"table-uuid":"${tableUuid(dir)}","location":"$dir",
+         |${nextRowId.map(n => s""""next-row-id":$n,""").getOrElse("")}
          |"last-sequence-number":${snaps.map(_.seqNum).max},
          |"last-updated-ms":$tsMs,"last-column-id":${fields.map(_._1).max},
          |"current-schema-id":0,
@@ -440,6 +510,110 @@ object IcebergExport {
       delFiles, fields, content = 1, partCols = Nil, specId = delSpecId)
   }
 
+  /** Publish tombstones as format-version-3 DELETION VECTORS: ONE
+    * puffin sidecar (`deletes/dv-<g>.puffin`, [[Puffin.writeDvFile]])
+    * holding one `deletion-vector-v1` blob per affected data file,
+    * plus a content=1 manifest whose entries carry the spec's DV
+    * coordinates (referenced_data_file 143 / content_offset 144 /
+    * content_size_in_bytes 145). The v3 rule is AT MOST ONE DV PER
+    * DATA FILE, each superseding every earlier delete of that file —
+    * so only files with NEW tombstones (`newDvDirs`) get a vector, and
+    * that vector carries the file's CUMULATIVE positions from
+    * `allDvDirs` (the caller drops the files' prior DV entries).
+    * Returns the manifest plus the normalized keys of the re-vectored
+    * files. */
+  private def writeDvArtifacts(spark: SparkSession, sourcePath: String,
+      targetPath: String, allDvDirs: Seq[String], newDvDirs: Seq[String],
+      g: Long, snapId: Long, seqNum: Long,
+      fields: Seq[(Int, String, Boolean, String)],
+      dataPaths: Seq[String], delSpecId: Int): (ManifestRef, Set[String]) = {
+    import org.apache.spark.sql.functions.col
+    val byKey = dataPaths.map(p => normKey(p) -> p).toMap
+    if (byKey.size != dataPaths.size) throw new IllegalStateException(
+      s"two manifest data paths normalize to one key at $targetPath — " +
+        "cannot address deletion vectors unambiguously")
+    def pairsOf(dirs: Seq[String]) = spark.read
+      .parquet(dirs.map(d => s"$sourcePath/$d"): _*)
+      .select(col(TimeTravel.DvCols.head).as("file_path"),
+        col(TimeTravel.DvCols.last).cast("long").as("pos"))
+      .distinct().collect()
+      .map(r => (normKey(r.getString(0)), r.getLong(1)))
+    val affected: Set[String] = pairsOf(newDvDirs).map(_._1).toSet
+    val cumulative = pairsOf(allDvDirs).filter(p => affected(p._1))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, ps) =>
+        val manifestForm = byKey.getOrElse(k, throw new IllegalStateException(
+          s"tombstoned file $k is not among the published data files of " +
+            s"$targetPath — corrupt export state"))
+        (manifestForm, ps.map(_._2).toSeq.sorted)
+      }
+    val puffinPath =
+      new java.io.File(f"$targetPath/deletes/dv-$g%05d.puffin").getAbsolutePath
+    val refs = Puffin.writeDvFile(spark, puffinPath, cumulative, snapId, seqNum)
+    val puffinLen = new java.io.File(puffinPath).length()
+    val dvFiles = refs.map(r => NewFile(puffinPath, r.cardinality, puffinLen,
+      dv = Some((r.referencedDataFile, r.offset, r.length))))
+    val mref = writeManifest(targetPath, f"md-$g%05d.avro", snapId, seqNum,
+      dvFiles, fields, content = 1, partCols = Nil, specId = delSpecId,
+      v3 = true)
+    (mref, affected)
+  }
+
+  /** Re-emit a prior delete manifest's surviving entries as EXISTING
+    * (status 0, original snapshot/sequence numbers preserved) — the
+    * carry-forward shape a DV replacement forces when some of a
+    * manifest's vectors are superseded. `kept` must be non-empty (an
+    * emptied manifest is simply omitted from the new list). */
+  private def writeExistingDeleteManifest(dir: String, name: String,
+      kept: Seq[GenericRecord], fields: Seq[(Int, String, Boolean, String)],
+      specId: Int): ManifestRef = {
+    val entrySchema = manifestEntrySchema(Nil, v3 = true)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val f = new java.io.File(s"$dir/metadata/$name")
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("format-version", "3")
+    w.setMeta("content", "deletes")
+    w.setMeta("schema", schemaJson(fields))
+    w.setMeta("schema-id", "0")
+    w.setMeta("partition-spec", partSpecFieldsJson(Nil))
+    w.setMeta("partition-spec-id", specId.toString)
+    w.create(entrySchema, f)
+    var rows = 0L
+    var minSeq = Long.MaxValue
+    kept.foreach { old =>
+      val odf = old.get("data_file").asInstanceOf[GenericRecord]
+      def num(v: AnyRef) = v.asInstanceOf[Number].longValue()
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 1)
+      dfr.put("file_path", String.valueOf(odf.get("file_path")))
+      dfr.put("file_format", String.valueOf(odf.get("file_format")))
+      dfr.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      dfr.put("record_count", num(odf.get("record_count")))
+      dfr.put("file_size_in_bytes", num(odf.get("file_size_in_bytes")))
+      Option(odf.get("referenced_data_file")).foreach { r =>
+        dfr.put("referenced_data_file", String.valueOf(r))
+        dfr.put("content_offset", num(odf.get("content_offset")): java.lang.Long)
+        dfr.put("content_size_in_bytes",
+          num(odf.get("content_size_in_bytes")): java.lang.Long)
+      }
+      val seq = num(old.get("sequence_number"))
+      minSeq = math.min(minSeq, seq)
+      rows += num(odf.get("record_count"))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 0) // EXISTING
+      e.put("snapshot_id", num(old.get("snapshot_id")))
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", num(old.get("file_sequence_number")))
+      e.put("data_file", dfr)
+      w.append(e)
+    }
+    w.close()
+    ManifestRef(f.getAbsolutePath, f.length(), 0, 0L, 1, specId,
+      existingCount = kept.size, existingRows = rows, minSeq = Some(minSeq))
+  }
+
   /** The identity partition columns a `partitionBy` names, typed and
     * id'd against the export schema. */
   private def partColsOf(partitionBy: Seq[String],
@@ -492,7 +666,12 @@ object IcebergExport {
     * External engines then prune the published table by partition;
     * position-delete manifests publish GLOBAL (the empty spec). */
   def snapshot(spark: SparkSession, sourcePath: String, targetPath: String,
-      version: Option[Long] = None, partitionBy: Seq[String] = Nil): Int = {
+      version: Option[Long] = None, partitionBy: Seq[String] = Nil,
+      formatVersion: Int = 2): Int = {
+    if (formatVersion != 2 && formatVersion != 3)
+      throw new IllegalArgumentException(
+        s"IcebergExport publishes format-version 2 or 3, not $formatVersion")
+    val v3 = formatVersion == 3
     val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
     requireUnmapped(spark, sourcePath, v)
@@ -508,19 +687,27 @@ object IcebergExport {
     val snapId = v
     val manifests = Seq.newBuilder[ManifestRef]
     manifests += writeManifest(targetPath, f"m-$v%05d.avro", snapId, 1L, files,
-      fields, partCols = partCols)
-    // pending merge-on-read tombstones export directly as a position-
-    // delete file + delete manifest in the same first snapshot
+      fields, partCols = partCols, v3 = v3,
+      firstRowBase = if (v3) Some(0L) else None)
+    // pending merge-on-read tombstones export directly in the same
+    // first snapshot: a position-delete file (v2) or puffin deletion
+    // vectors (v3) + a content=1 delete manifest
     val dvDirs = TimeTravel.dvListing(spark, sourcePath, v)
-    if (dvDirs.nonEmpty)
-      manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
-        dvDirs, v, snapId, 1L, fields, files.map(_.path),
-        delSpecId = if (partCols.isEmpty) 0 else 1)
+    if (dvDirs.nonEmpty) {
+      val delSpecId = if (partCols.isEmpty) 0 else 1
+      if (v3) manifests += writeDvArtifacts(spark, sourcePath, targetPath,
+        dvDirs, dvDirs, v, snapId, 1L, fields, files.map(_.path), delSpecId)._1
+      else manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
+        dvDirs, v, snapId, 1L, fields, files.map(_.path), delSpecId)
+    }
     val ml = writeManifestList(targetPath, f"snap-$v%05d.avro", snapId, 1L, Nil,
-      manifests.result())
+      manifests.result(), v3 = v3)
     writeMetadata(targetPath, 1, v, fields,
       Seq(Snap(snapId, 1L, System.currentTimeMillis(), ml,
-        if (dvDirs.nonEmpty) "overwrite" else "append")), snapId, partCols)
+        if (dvDirs.nonEmpty) "overwrite" else "append",
+        firstRowId = if (v3) Some(0L) else None)), snapId, partCols,
+      formatVersion = formatVersion,
+      nextRowId = if (v3) Some(files.map(_.recordCount).sum) else None)
     files.length
   }
 
@@ -556,6 +743,8 @@ object IcebergExport {
       .filterNot(TimeTravel.listing(spark, sourcePath, g0).toSet)
     val metaV = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$targetPath/metadata/version-hint.text"))).trim.toInt
+    val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+    val v3 = fv == 3
     val priorSnaps = {
       val arr = meta.get("snapshots")
       (0 until arr.size()).map { i =>
@@ -564,14 +753,20 @@ object IcebergExport {
           Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
           s.get("manifest-list").asText(),
           Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
-            .map(_.asText()).getOrElse("append"))
+            .map(_.asText()).getOrElse("append"),
+          firstRowId = Option(s.get("first-row-id")).map(_.asLong()))
       }
     }
+    val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+    if (v3 && rowBase.isEmpty) throw new IllegalStateException(
+      s"format-version-3 table at $targetPath carries no next-row-id — " +
+        "corrupt export state (v3 requires row lineage)")
     val fields = fieldsOf(IcebergRead.schemaOf(meta))
     val partCols = partColsOfMeta(meta, fields)
     if (newDirs.isEmpty && !rowLevel) { // metadata-only: bump the watermark
       writeMetadata(targetPath, metaV + 1, g1, fields, priorSnaps,
-        meta.get("current-snapshot-id").asLong(), partCols)
+        meta.get("current-snapshot-id").asLong(), partCols,
+        formatVersion = fv, nextRowId = rowBase)
       return 0
     }
     val seqNum = priorSnaps.map(_.seqNum).max + 1
@@ -586,17 +781,21 @@ object IcebergExport {
             "the published Iceberg schema is pinned — re-export a fresh snapshot")
       newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols)
       manifests += writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum,
-        newFiles, fields, partCols = partCols)
+        newFiles, fields, partCols = partCols, v3 = v3, firstRowBase = rowBase)
     }
+    var revectored = Set.empty[String] // normKeys whose prior DV is superseded
     if (rowLevel) {
       // the window's NEW tombstones are exactly the dv directories the
       // manifests appended after g0 (graft dv listings accumulate until
-      // an optimize, which classifies Rewrite and never reaches here) —
-      // they publish as one POSITION-DELETE file + a content=1 manifest,
-      // the spec's merge-on-read shape; prior delete files stay live in
-      // the reused manifests and union to the cumulative tombstone set
-      val dvNew = TimeTravel.dvListing(spark, sourcePath, g1)
-        .filterNot(TimeTravel.dvListing(spark, sourcePath, g0).toSet)
+      // an optimize, which classifies Rewrite and never reaches here).
+      // v2: they publish as one POSITION-DELETE file + a content=1
+      // manifest; prior delete files stay live in the reused manifests
+      // and union to the cumulative tombstone set. v3: each affected
+      // data file gets ONE superseding deletion vector with its
+      // cumulative positions ([[writeDvArtifacts]]) and the file's
+      // prior DV entries are dropped from the carried-forward manifests
+      val dvAll = TimeTravel.dvListing(spark, sourcePath, g1)
+      val dvNew = dvAll.filterNot(TimeTravel.dvListing(spark, sourcePath, g0).toSet)
       if (dvNew.isEmpty) throw new IllegalStateException(
         s"row-level commits in (v$g0, v$g1] of $sourcePath left no new " +
           "deletion-vector directories — corrupt manifest state")
@@ -605,19 +804,52 @@ object IcebergExport {
       // this publish's new files cover every referenceable target
       val priorDataPaths = IcebergRead
         .liveEntries(spark, targetPath, meta).filter(_.content == 0).map(_.path)
-      manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
+      val delSpecId = if (partCols.isEmpty) 0 else 1
+      if (v3) {
+        val (mref, affected) = writeDvArtifacts(spark, sourcePath, targetPath,
+          dvAll, dvNew, g1, snapId, seqNum, fields,
+          priorDataPaths ++ newFiles.map(_.path), delSpecId)
+        manifests += mref
+        revectored = affected
+      } else manifests += writeDeleteArtifacts(spark, sourcePath, targetPath,
         dvNew, g1, snapId, seqNum, fields,
-        priorDataPaths ++ newFiles.map(_.path),
-        delSpecId = if (partCols.isEmpty) 0 else 1)
+        priorDataPaths ++ newFiles.map(_.path), delSpecId)
     }
-    val priorManifests = avroRecords(spark,
+    val priorRecords = avroRecords(spark,
       IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
+    // carry prior manifests forward — for a v3 DV replacement, delete
+    // manifests holding a superseded vector are rewritten without it
+    // (surviving entries as EXISTING), or omitted when emptied
+    val priorKept = Seq.newBuilder[GenericRecord]
+    priorRecords.zipWithIndex.foreach { case (rec, i) =>
+      val content = Option(rec.get("content"))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+      if (revectored.isEmpty || content == 0) priorKept += rec
+      else {
+        val mPath = IcebergRead.resolve(targetPath,
+          String.valueOf(rec.get("manifest_path")))
+        val entries = avroRecords(spark, mPath)
+        val (dropped, kept) = entries.partition { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          Option(if (df.getSchema.getField("referenced_data_file") == null) null
+            else df.get("referenced_data_file"))
+            .exists(r => revectored(normKey(String.valueOf(r))))
+        }
+        if (dropped.isEmpty) priorKept += rec
+        else if (kept.nonEmpty)
+          manifests += writeExistingDeleteManifest(targetPath,
+            f"md-$g1%05d-c$i.avro", kept, fields,
+            Option(rec.get("partition_spec_id"))
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+      }
+    }
     val ml = writeManifestList(targetPath, f"snap-$g1%05d.avro", snapId, seqNum,
-      priorManifests, manifests.result())
+      priorKept.result(), manifests.result(), v3 = v3)
     writeMetadata(targetPath, metaV + 1, g1, fields,
       priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml,
-        if (rowLevel) "overwrite" else "append"),
-      snapId, partCols)
+        if (rowLevel) "overwrite" else "append", firstRowId = rowBase),
+      snapId, partCols, formatVersion = fv,
+      nextRowId = rowBase.map(_ + newFiles.map(_.recordCount).sum))
     manifests.result().map(_.fileCount).sum
   }
 }

@@ -140,11 +140,16 @@ object IcebergRead {
   /** Decline format versions BY SPECIFIC FEATURE (the Delta gate's
     * style): a format-version-3 table that uses no v3 feature reads
     * like a v2 table (the spec keeps v2 structures valid in v3), so
-    * only the features actually IN USE decline — row lineage, field
-    * defaults, and the variant type are metadata-visible here; puffin
-    * deletion vectors are manifest-visible and decline at entry decode
-    * ([[entriesOf]]). Only unpublished versions (4+) decline
-    * wholesale. */
+    * only the features actually IN USE decline — field defaults and
+    * the variant type change DECODED VALUES and are metadata-visible
+    * here; puffin deletion vectors are manifest-visible and READ
+    * ([[entriesOf]] decodes their coordinates, [[read]] applies them
+    * merge-on-read); ROW LINEAGE (`next-row-id`, mandatory on every
+    * real v3 table) is TOLERATED — it assigns implicit row ids without
+    * changing the visible row set, so a reader that exposes no
+    * `_row_id` column safely ignores it (declining it would refuse
+    * every real v3 table and make the DV support moot). Only
+    * unpublished versions (4+) decline wholesale. */
   private def requireFormatVersion(tablePath: String, meta: JsonNode): Unit = {
     val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
     if (fv <= 2) return
@@ -152,8 +157,6 @@ object IcebergRead {
       s"iceberg format-version $fv at $tablePath is beyond the published " +
         "spec this reader implements (1–3)")
     val inUse = Seq.newBuilder[String]
-    if (meta.has("next-row-id") || meta.has("last-row-id"))
-      inUse += "row lineage (next-row-id)"
     val schemaFields = Option(meta.get("schemas")).map { arr =>
       (0 until arr.size()).map(arr.get).flatMap { s =>
         val f = s.get("fields"); (0 until f.size()).map(f.get)
@@ -211,9 +214,13 @@ object IcebergRead {
     * stores null (the v2 spec's write shape for ADDED entries; real
     * writers rely on it). 0 only in the v1 world, where sequence
     * numbers don't exist. Equality deletes carry the field ids their
-    * rows match on. */
+    * rows match on. A format-version-3 DELETION VECTOR is a content=1
+    * entry whose `path` names a puffin file; `dv` carries its
+    * (referenced data file, content_offset, content_size_in_bytes)
+    * coordinates ([[Puffin.dvPositions]] serves the blob). */
   final case class EntryInfo(status: Int, path: String,
-      content: Int, seq: Long, equalityIds: Seq[Int])
+      content: Int, seq: Long, equalityIds: Seq[Int],
+      dv: Option[(String, Long, Long)] = None)
 
   private[sources] def entriesOf(spark: SparkSession, manifestPath: Path,
       inheritSeq: Option[Long] = None): Seq[EntryInfo] =
@@ -224,21 +231,33 @@ object IcebergRead {
         .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
       if (content > 2) throw new UnsupportedOperationException(
         s"iceberg content=$content in $manifestPath is outside the v2 spec")
-      // v3 deletion vectors are manifest-visible: a delete entry backed
-      // by a puffin blob (file_format, or the referenced_data_file/
-      // content_offset DV fields) cannot be applied by this reader —
-      // decline by name (plain v3 tables without them read fine)
+      // v3 deletion vectors are manifest-visible: a content=1 entry in
+      // puffin format carrying the (referenced_data_file,
+      // content_offset, content_size_in_bytes) blob coordinates — all
+      // three must travel together or the DV is unapplicable (loud)
       def optDf(field: String): Option[AnyRef] =
         if (df.getSchema.getField(field) == null) None else Option(df.get(field))
       val isPuffin = optDf("file_format")
         .exists(f => String.valueOf(f).equalsIgnoreCase("puffin"))
-      if (isPuffin || (content == 1 &&
-          (optDf("referenced_data_file").nonEmpty ||
-            optDf("content_offset").nonEmpty)))
-        throw new UnsupportedOperationException(
-          s"iceberg manifest $manifestPath carries format-version-3 deletion " +
-            "vectors (puffin); this reader serves v1/v2 delete shapes only — " +
-            "rewrite deletes as position/equality delete files")
+      val dv: Option[(String, Long, Long)] =
+        if (isPuffin || (content == 1 &&
+            (optDf("referenced_data_file").nonEmpty ||
+              optDf("content_offset").nonEmpty))) {
+          val coords = for {
+            ref <- optDf("referenced_data_file")
+            off <- optDf("content_offset")
+            len <- optDf("content_size_in_bytes")
+          } yield (String.valueOf(ref),
+            off.asInstanceOf[Number].longValue(),
+            len.asInstanceOf[Number].longValue())
+          if (content != 1 || coords.isEmpty)
+            throw new UnsupportedOperationException(
+              s"iceberg manifest $manifestPath carries a puffin deletion-" +
+                "vector entry without the full (referenced_data_file, " +
+                "content_offset, content_size_in_bytes) coordinates — " +
+                "the vector is unapplicable")
+          coords
+        } else None
       // by-name generic decode tolerates absent OPTIONAL fields (old
       // fixtures / v1 manifests): probe the writer schema first —
       // GenericData.Record.get(name) throws on unknown fields
@@ -272,7 +291,7 @@ object IcebergRead {
       if (content == 2 && eqIds.isEmpty) throw new IllegalStateException(
         s"iceberg EQUALITY delete file in $manifestPath carries no " +
           "equality_ids — the delete is unapplicable")
-      EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds)
+      EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds, dv)
     }
 
   /** A snapshot's live entries (data + delete files), net of
@@ -355,10 +374,17 @@ object IcebergRead {
         Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
       val fmtSchema = Schema.createUnion(java.util.List.of(
         Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.STRING)))
+      val strSchema = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.STRING)))
+      val longSchema = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
       val dfSchema = SchemaBuilder.record("r102").fields()
         .requiredString("file_path").requiredInt("content")
         .name("file_format").`type`(fmtSchema).withDefault(null)
         .name("equality_ids").`type`(idsSchema).withDefault(null)
+        .name("referenced_data_file").`type`(strSchema).withDefault(null)
+        .name("content_offset").`type`(longSchema).withDefault(null)
+        .name("content_size_in_bytes").`type`(longSchema).withDefault(null)
         .endRecord()
       val entrySchema = SchemaBuilder.record("manifest_entry").fields()
         .requiredInt("status")
@@ -371,7 +397,13 @@ object IcebergRead {
       entries.foreach { en =>
         val dfr = new GenericData.Record(dfSchema)
         dfr.put("file_path", en.path); dfr.put("content", en.content)
-        dfr.put("file_format", fileFormat.orNull)
+        dfr.put("file_format",
+          if (en.dv.nonEmpty) fileFormat.getOrElse("PUFFIN") else fileFormat.orNull)
+        en.dv.foreach { case (ref, off, len) =>
+          dfr.put("referenced_data_file", ref)
+          dfr.put("content_offset", off: java.lang.Long)
+          dfr.put("content_size_in_bytes", len: java.lang.Long)
+        }
         dfr.put("equality_ids",
           if (en.equalityIds.isEmpty) null
           else {
@@ -465,6 +497,12 @@ object IcebergRead {
     org.apache.spark.sql.functions.regexp_replace(
       c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
 
+  /** Driver-side twin of [[normPath]] — DV coordinates resolve on the
+    * driver, so their `referenced_data_file` strings canonicalize
+    * through the same rule the scan-side Column does. */
+  private def normPathStr(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+
   /** The table's snapshot as a DataFrame (`snapshotId` pins one; the
     * default is the current snapshot). Format-v2 MERGE-ON-READ applies
     * both delete shapes:
@@ -473,6 +511,13 @@ object IcebergRead {
     *     (`_metadata.file_path`, `_metadata.row_index`) and anti-joins
     *     the delete files' (file_path, pos) pairs — they key on the
     *     named immutable file, so sequence ordering is implicit;
+    *   - DELETION VECTORS (format v3: content=1 in puffin form): each
+    *     vector's positions decode from its puffin blob
+    *     ([[Puffin.dvPositions]] — bounded, driver-side) into the SAME
+    *     (file_path, pos) anti-join side as position-delete files;
+    *     mixing the two shapes is sound because the v3 spec requires a
+    *     file's DV to supersede (contain) any earlier position deletes
+    *     for that file;
     *   - EQUALITY DELETES (content=2, the shape Flink CDC writers emit):
     *     each delete file names its match columns by field id
     *     (`equality_ids`) and applies to data files whose sequence
@@ -491,20 +536,37 @@ object IcebergRead {
     val schema = schemaOf(meta)
     val live = liveEntries(spark, tablePath, meta, snapshotId)
     val data = live.filter(_.content == 0)
-    val posDels = live.filter(_.content == 1).map(_.path)
+    val (dvDels, posDels) = live.filter(_.content == 1).partition(_.dv.nonEmpty)
     val eqDels = live.filter(_.content == 2)
     if (data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     def scanOf(paths: Seq[String]) = spark.read.schema(schema)
       .parquet(paths.map(p => resolve(tablePath, p).toString): _*)
-    if (posDels.isEmpty && eqDels.isEmpty) return scanOf(data.map(_.path))
-    val posDf =
+    if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty)
+      return scanOf(data.map(_.path))
+    val posFileDf =
       if (posDels.isEmpty) None
       else Some(spark.read
-        .parquet(posDels.map(p => resolve(tablePath, p).toString): _*)
+        .parquet(posDels.map(p => resolve(tablePath, p.path).toString): _*)
         .select(normPath(col("file_path")).as("__g_fp"),
           col("pos").cast("long").as("__g_ri")))
+    val dvDf =
+      if (dvDels.isEmpty) None
+      else {
+        import spark.implicits._
+        val pairs = dvDels.flatMap { e =>
+          val (ref, off, len) = e.dv.get
+          val refNorm = normPathStr(resolve(tablePath, ref).toString)
+          Puffin.dvPositions(spark, resolve(tablePath, e.path).toString, off, len)
+            .map(p => (refNorm, p))
+        }
+        Some(pairs.toDF("__g_fp", "__g_ri"))
+      }
+    val posDf = (posFileDf, dvDf) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+      case (a, b) => a.orElse(b)
+    }
     val namesById = fieldNamesById(meta)
     val groups = data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
       val base = scanOf(files.map(_.path))

@@ -1791,7 +1791,10 @@ class SourcesSpec extends SparkSpec {
     icebergMetadata(dir2b, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml2b)
     val e2 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir2b))
     assert(e2.getMessage.contains("puffin"), e2.getMessage)
-    // v3 with row lineage / field defaults in use → named specifically
+    // v3 with field defaults in use → named specifically; row lineage
+    // (mandatory on real v3 tables) is metadata-only for a read-only
+    // engine and must TOLERATE, not decline (r13 — else no real v3
+    // table is readable and the DV support is moot)
     def v3Meta(dir: String, extras: String, fieldExtra: String): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
       java.nio.file.Files.writeString(
@@ -1805,8 +1808,8 @@ class SourcesSpec extends SparkSpec {
     }
     val dir3 = Files.createTempDirectory("iceberg_v3rl").toFile.getAbsolutePath + "/t"
     v3Meta(dir3, """"next-row-id":17,""", "")
-    val e3 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir3))
-    assert(e3.getMessage.contains("row lineage"), e3.getMessage)
+    assert(IcebergRead.read(spark, dir3).count() == 0,
+      "v3 row lineage (next-row-id) must tolerate: it never changes the row set")
     val dir4 = Files.createTempDirectory("iceberg_v3fd").toFile.getAbsolutePath + "/t"
     v3Meta(dir4, "", ""","initial-default":0""")
     val e4 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir4))
@@ -1854,6 +1857,158 @@ class SourcesSpec extends SparkSpec {
     icebergMetadata(dir, 2, formatVersion = 2, snapshotId = 6L, manifestList = ml2)
     val e = intercept[IllegalStateException](IcebergRead.read(spark, dir))
     assert(e.getMessage.contains("field id 99"), e.getMessage)
+  }
+
+  test("puffin: DV blob and footer roundtrip; CRC and compression gates hold") {
+    import graft.sources.Puffin
+    val dir = Files.createTempDirectory("puffin_rt").toFile.getAbsolutePath
+    val p = s"$dir/dv.puffin"
+    // two vectors, one spanning the 32-bit key boundary (high bits ≠ 0)
+    val dv0 = Seq(2L, 4L, 7L, (5L << 32) | 3L)
+    val dv1 = Seq(0L)
+    val refs = Puffin.writeDvFile(spark, p,
+      Seq(("/data/f0.parquet", dv0), ("/data/f1.parquet", dv1)),
+      snapshotId = 9L, sequenceNumber = 2L)
+    assert(refs.map(_.cardinality) == Seq(4L, 1L))
+    // positions round-trip through the manifest coordinates
+    assert(Puffin.dvPositions(spark, p, refs(0).offset, refs(0).length).toSeq ==
+      dv0.sorted)
+    assert(Puffin.dvPositions(spark, p, refs(1).offset, refs(1).length).toSeq == dv1)
+    // the footer names both blobs with the v3-spec DV properties
+    val (blobs, props) = Puffin.footer(spark, p)
+    assert(blobs.map(_.blobType) == Seq("deletion-vector-v1", "deletion-vector-v1"))
+    assert(blobs.map(b => b.properties("referenced-data-file")) ==
+      Seq("/data/f0.parquet", "/data/f1.parquet"))
+    assert(blobs(0).properties("cardinality") == "4" &&
+      blobs(0).snapshotId == 9L && blobs(0).sequenceNumber == 2L)
+    assert(blobs.map(b => (b.offset, b.length)) ==
+      refs.map(r => (r.offset, r.length)) && props("created-by") == "graft")
+    // flip one bitmap byte → the CRC-32 gate fires (corrupt file, loud)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    raw(refs(0).offset.toInt + 9) = (raw(refs(0).offset.toInt + 9) ^ 0x40).toByte
+    val pc = s"$dir/dv_corrupt.puffin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), raw)
+    val e1 = intercept[IllegalArgumentException](
+      Puffin.dvPositions(spark, pc, refs(0).offset, refs(0).length))
+    assert(e1.getMessage.contains("CRC-32"), e1.getMessage)
+    // a compressed footer (flag byte 0 bit 0) declines by name
+    val raw2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    raw2(raw2.length - 8) = 1
+    val pz = s"$dir/dv_lz4.puffin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pz), raw2)
+    val e2 = intercept[UnsupportedOperationException](Puffin.footer(spark, pz))
+    assert(e2.getMessage.contains("lz4-compressed"), e2.getMessage)
+  }
+
+  test("iceberg read: v3 puffin deletion vectors apply merge-on-read") {
+    import graft.sources.{IcebergRead, Puffin}
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_v3dv").toFile.getAbsolutePath + "/t"
+    // f0 (ids 1–10) @ seq 1, f1 (ids 11–20) @ seq 3; one puffin file
+    // carries a DV per data file (positions 2,4 of f0 → ids 3,5;
+    // position 0 of f1 → id 11); an equality delete @ seq 2 on ids
+    // {7, 15} composes — sequence ordering confines it to f0, so only
+    // id 7 dies. Expected survivors: 1,2,4,6,8,9,10 ++ 12–20.
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 10L).map(i => (i, i, "b0")))
+    val f1 = writeIcebergPart(dir, "f1.parquet", (11L to 20L).map(i => (i, i, "b1")))
+    val refs = Puffin.writeDvFile(spark, s"$dir/data/dv.puffin",
+      Seq((f0, Seq(2L, 4L)), (f1, Seq(0L))), snapshotId = 5L, sequenceNumber = 4L)
+    val delStage = Files.createTempDirectory("iceberg_v3dv_stage").toFile.getAbsolutePath
+    Seq(7L, 15L).toDF("id").coalesce(1).write.mode("overwrite").parquet(delStage)
+    val delPart = new java.io.File(delStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val delDst = new java.io.File(s"$dir/data/eq0.parquet")
+    java.nio.file.Files.copy(delPart.toPath, delDst.toPath)
+    val mData = IcebergRead.Fixture.manifestV2(dir, "mData.avro", Seq(
+      EntryInfo(1, f0, 0, 1L, Nil), EntryInfo(1, f1, 0, 3L, Nil)))
+    val mDel = IcebergRead.Fixture.manifestV2(dir, "mDel.avro", Seq(
+      EntryInfo(1, delDst.getAbsolutePath, 2, 2L, Seq(1)),
+      EntryInfo(1, s"$dir/data/dv.puffin", 1, 4L, Nil,
+        Some((f0, refs(0).offset, refs(0).length))),
+      EntryInfo(1, s"$dir/data/dv.puffin", 1, 4L, Nil,
+        Some((f1, refs(1).offset, refs(1).length)))))
+    val ml = icebergManifestList(dir, "snap-1.avro", Seq(mData, mDel))
+    icebergMetadata(dir, 1, formatVersion = 3, snapshotId = 5L, manifestList = ml)
+    val got = IcebergRead.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (Seq(1L, 2L, 4L, 6L, 8L, 9L, 10L) ++ (12L to 20L)),
+      s"DVs must kill (f0: pos 2,4), (f1: pos 0); eq delete kills id 7 only: $got")
+    // a DV whose manifest length disagrees with the blob framing → loud
+    val mBad = IcebergRead.Fixture.manifestV2(dir, "mBad.avro", Seq(
+      EntryInfo(1, f0, 0, 1L, Nil),
+      EntryInfo(1, s"$dir/data/dv.puffin", 1, 4L, Nil,
+        Some((f0, refs(0).offset, refs(0).length + 4)))))
+    val ml2 = icebergManifestList(dir, "snap-2.avro", Seq(mBad))
+    icebergMetadata(dir, 2, formatVersion = 3, snapshotId = 6L, manifestList = ml2)
+    val e = intercept[IllegalArgumentException](IcebergRead.read(spark, dir))
+    assert(e.getMessage.contains("manifest says"), e.getMessage)
+  }
+
+  test("iceberg export: format-version 3 publishes row-level deletes as puffin DVs") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexpdv_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexpdv_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite((1L to 40L).map(i => (i, i * 2)).toDF("k", "v"), src) // v1
+    TimeTravel.deleteMoR(spark, src, col("k") % 10 === 3) // v2: pending at export time
+    assert(IcebergExport.snapshot(spark, src, tgt, formatVersion = 3) > 0)
+    def replay() = IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+    def want() = TimeTravel.read(spark, src).select("k").as[Long].collect().toSet
+    assert(replay() == want(), "fresh v3 export must serve the post-delete set")
+    // the sidecar is a real puffin file whose footer names the vectors
+    val puffins = new java.io.File(s"$tgt/deletes").listFiles()
+      .filter(_.getName.endsWith(".puffin")).toSeq
+    assert(puffins.size == 1, s"one puffin sidecar expected, got $puffins")
+    val (blobs0, _) = graft.sources.Puffin.footer(spark, puffins.head.getAbsolutePath)
+    assert(blobs0.nonEmpty && blobs0.forall(_.blobType == "deletion-vector-v1"))
+    // append window: new rows AND more deletes, some hitting the SAME
+    // file already vectored — the v3 rule is ONE superseding DV per file
+    TimeTravel.commitAppend((41L to 50L).map(i => (i, i * 2)).toDF("k", "v"), src) // v3
+    TimeTravel.deleteMoR(spark, src, col("k") === 7L || col("k") === 44L) // v4
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    assert(replay() == want(), s"append replay must supersede; " +
+      s"missing=${want() -- replay()} extra=${replay() -- want()}")
+    assert(!replay().exists(k => k <= 40 && k % 10 == 3) &&
+      !replay()(7L) && !replay()(44L) && replay()(45L))
+    // at most one live DV per data file, each superseding (cumulative):
+    // walk the CURRENT snapshot's manifest chain raw
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def avroOf(p: String): Seq[GenericRecord] = {
+      val rdr = DataFileReader.openReader(new java.io.File(p),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[GenericRecord]
+        while (rdr.hasNext) b += rdr.next()
+        b.result()
+      } finally rdr.close()
+    }
+    val metaTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/metadata/v" + java.nio.file.Files.readString(java.nio.file.Paths
+        .get(s"$tgt/metadata/version-hint.text")).trim + ".metadata.json"))
+    val mlPath = """"current-snapshot-id":(\d+)""".r.findFirstMatchIn(metaTxt)
+      .flatMap { m =>
+        (s""""snapshot-id":${m.group(1)},"sequence-number":\\d+,"timestamp-ms":\\d+,""" +
+          """"manifest-list":"([^"]+)"""").r.findFirstMatchIn(metaTxt).map(_.group(1))
+      }.getOrElse(fail("current snapshot's manifest-list not found in metadata"))
+    val liveDelete = avroOf(mlPath)
+      .filter(r => r.get("content").asInstanceOf[Number].intValue() == 1)
+      .flatMap(r => avroOf(String.valueOf(r.get("manifest_path"))))
+      .filter(e => e.get("status").asInstanceOf[Number].intValue() != 2)
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+    assert(liveDelete.nonEmpty)
+    val refsPerFile = liveDelete.map { df =>
+      assert(String.valueOf(df.get("file_format")) == "PUFFIN",
+        "a v3 publish must carry no position-delete files")
+      String.valueOf(df.get("referenced_data_file"))
+    }.groupBy(identity)
+    assert(refsPerFile.values.forall(_.size == 1),
+      s"a data file must carry at most ONE deletion vector: $refsPerFile")
+    // row lineage bookkeeping: next-row-id advances by the appended rows
+    assert(metaTxt.contains("\"format-version\":3"))
+    assert("""next-row-id":(\d+)""".r.findFirstMatchIn(metaTxt)
+      .map(_.group(1)).contains("50"),
+      s"next-row-id must cover all 50 published rows")
   }
 
   test("iceberg read: null entry sequence numbers inherit from the manifest list") {
