@@ -522,11 +522,17 @@ object IcebergRead {
     *     each delete file names its match columns by field id
     *     (`equality_ids`) and applies to data files whose sequence
     *     number is STRICTLY OLDER than the delete's — a key re-inserted
-    *     after the delete survives. Data files group by sequence
-    *     number, each group anti-joins the applicable delete rows
-    *     null-safely on the id columns; group and delete-file counts
-    *     are bounded by the commits since the writer's last compaction
-    *     (which folds deletes away), the standard MoR read tax.
+    *     after the delete survives. The commit-order rule stays INSIDE
+    *     the join (r13): the single data scan gains its per-file
+    *     sequence number from a broadcast file→seq map, each delete row
+    *     its file's sequence as a literal, and one anti-join per
+    *     distinct id set matches null-safely on the id columns with
+    *     `data.seq < delete.seq` riding as the join filter — the
+    *     null-safe columns keep it a hash join. (The earlier shape —
+    *     one scan + union per distinct data sequence — grew with COMMIT
+    *     COUNT, unbounded on real tables; anti-join count is now
+    *     bounded by distinct id sets, which writer compaction folds
+    *     away: the standard MoR read tax.)
     *
     * Delete sides are O(deleted rows), broadcast by AQE when small. */
   def read(spark: SparkSession, tablePath: String,
@@ -568,35 +574,48 @@ object IcebergRead {
       case (a, b) => a.orElse(b)
     }
     val namesById = fieldNamesById(meta)
-    val groups = data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, files) =>
-      val base = scanOf(files.map(_.path))
-      val afterPos = posDf match {
-        case None => base
-        case Some(dels) =>
-          base.select(col("*"),
-            normPath(col("_metadata.file_path")).as("__g_fp"),
-            col("_metadata.row_index").as("__g_ri"))
-            .join(dels, Seq("__g_fp", "__g_ri"), "left_anti")
-            .drop("__g_fp", "__g_ri")
-      }
-      // equality deletes strictly newer than this group's data,
-      // batched per distinct id set (one anti-join each)
-      eqDels.filter(_.seq > seq).groupBy(_.equalityIds).toSeq
-        .sortBy(_._1.mkString(","))
-        .foldLeft(afterPos) { case (df, (ids, dels)) =>
-          val cols = ids.map(id => namesById.getOrElse(id,
-            throw new IllegalStateException(
-              s"equality delete at $tablePath names field id $id, which is " +
-                "not in the current schema")))
-          val delDf = spark.read
-            .parquet(dels.map(d => resolve(tablePath, d.path).toString): _*)
-            .select(cols.map(c => col(c).as(s"__g_eq_$c")): _*)
-          // null-safe match per the spec: a delete row with null matches
-          // data rows with null in that column
-          val cond = cols.map(c => col(c) <=> col(s"__g_eq_$c")).reduce(_ && _)
-          df.join(delDf, cond, "left_anti")
-        }
+    // ONE scan over every live data file — the per-file keys the delete
+    // shapes need ride alongside (path for position deletes, sequence
+    // number via a broadcast file→seq map for equality ordering)
+    val base = scanOf(data.map(_.path)).select(col("*"),
+      normPath(col("_metadata.file_path")).as("__g_fp"),
+      col("_metadata.row_index").as("__g_ri"))
+    val afterPos = posDf match {
+      case None => base
+      case Some(dels) => base.join(dels, Seq("__g_fp", "__g_ri"), "left_anti")
     }
-    groups.reduce(_.unionByName(_))
+    val withSeq =
+      if (eqDels.isEmpty) afterPos
+      else {
+        import spark.implicits._
+        val seqMap = data
+          .map(e => (normPathStr(resolve(tablePath, e.path).toString), e.seq))
+          .toDF("__g_fp", "__g_seq")
+        afterPos.join(org.apache.spark.sql.functions.broadcast(seqMap), Seq("__g_fp"))
+      }
+    val afterEq = eqDels.groupBy(_.equalityIds).toSeq
+      .sortBy(_._1.mkString(","))
+      .foldLeft(withSeq) { case (df, (ids, dels)) =>
+        val cols = ids.map(id => namesById.getOrElse(id,
+          throw new IllegalStateException(
+            s"equality delete at $tablePath names field id $id, which is " +
+              "not in the current schema")))
+        // each delete file contributes its rows tagged with ITS sequence
+        // number; delete volume is bounded by the MoR tax, so the
+        // per-file select + union stays small while the data side scans
+        // once
+        val delDf = dels.map { d =>
+          spark.read.parquet(resolve(tablePath, d.path).toString)
+            .select(cols.map(c => col(c).as(s"__g_eq_$c")) :+
+              org.apache.spark.sql.functions.lit(d.seq).as("__g_eq_seq"): _*)
+        }.reduce(_.unionByName(_))
+        // null-safe match per the spec (a delete row with null matches
+        // data rows with null there); the strictly-older rule rides as
+        // the join filter over the hash keys
+        val cond = cols.map(c => col(c) <=> col(s"__g_eq_$c")).reduce(_ && _) &&
+          col("__g_seq") < col("__g_eq_seq")
+        df.join(delDf, cond, "left_anti")
+      }
+    afterEq.drop("__g_fp", "__g_ri", "__g_seq")
   }
 }

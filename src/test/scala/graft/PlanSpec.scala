@@ -68,6 +68,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"equality-delete anti-joins must stay hash joins:\n$p")
     assert(p.contains("LeftAnti"), s"expected anti-join application:\n$p")
+    // ONE data scan regardless of commit count (r13): the commit-order
+    // rule rides the join, not the plan shape — the earlier
+    // scan-per-sequence union grew with table history. This fixture has
+    // two data sequences + an equality-delete scan + a position-delete
+    // scan = exactly 3 parquet scans; a per-seq shape would show 4+.
+    assert("Scan parquet".r.findAllIn(p).size == 3,
+      s"expected one data scan + two delete scans, got:\n$p")
   }
 
   test("document chunk pipeline is narrow (no shuffle)") {
