@@ -28,7 +28,12 @@ import org.apache.spark.sql.types.StructType
   * DROPPED one of the start offset's manifests (compaction rewrote
   * history), a manifest with DELETED-status entries, or delete files
   * appearing in the window are not appends and the stream dies rather
-  * than mis-serve.
+  * than mis-serve. The FIRST batch, though, is the pinned snapshot
+  * MERGE-ON-READ (r13): position/equality deletes and v3 deletion
+  * vectors present AT START apply through [[IcebergRead.read]] — only
+  * the data scan flips streaming, the bounded delete sides stay
+  * static — so streams can start from real MoR tables; only deletes
+  * arriving AFTER the start offset kill the stream.
   *
   * `option("startingSnapshotId", id)` resumes strictly AFTER a known
   * snapshot (by identity — the delta source's startingVersion face):
@@ -207,10 +212,19 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
     def files(p: String) = IcebergRead.resolve(path, p).toString
     start.map(toOff).orElse(startingOffset) match {
       case None =>
-        val live = IcebergRead.liveFiles(spark, path, meta, Some(endOff.sid))
-        if (live.isEmpty) emptyBatch()
-        else GraftPlanApi.markFileRelationsStreaming(
-          spark.read.schema(schema).parquet(live.map(files): _*))
+        // first batch: the snapshot PINNED at the starting offset,
+        // MERGE-ON-READ (r13 — position/equality deletes and v3 DVs
+        // apply; liveFiles refused every real MoR table). Only the
+        // DATA scan flips streaming: the bounded delete sides stay
+        // static so the anti-joins plan stream-static.
+        val live = IcebergRead.liveEntries(spark, path, meta, Some(endOff.sid))
+        if (!live.exists(_.content == 0)) emptyBatch()
+        else {
+          val dataRoots = live.filter(_.content == 0)
+            .map(e => new org.apache.hadoop.fs.Path(files(e.path)).toString).toSet
+          GraftPlanApi.markFileRelationsStreaming(
+            IcebergRead.read(spark, path, Some(endOff.sid)), dataRoots)
+        }
       case Some(sinceOff) =>
         val before = manifestsOf(snaps, sinceOff)
         val after = manifestsOf(snaps, endOff)

@@ -42,6 +42,26 @@ object GraftPlanApi {
     ofRows(df.sparkSession, plan)
   }
 
+  /** [[markFileRelationsStreaming]] restricted to file relations rooted
+    * at `onlyRoots` — the merge-on-read first-batch shape: the DATA
+    * scan streams while the bounded delete-side scans stay static, so
+    * the anti-joins plan as stream-static (supported) instead of
+    * stream-stream (not, without watermarks). */
+  def markFileRelationsStreaming(df: DataFrame, onlyRoots: Set[String]): DataFrame = {
+    // scheme-normalized match: FileIndex root paths come back qualified
+    // (file:/…) while callers hold raw or differently-rendered URIs
+    def norm(s: String) = s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+    val roots = onlyRoots.map(norm)
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[execution.datasources.HadoopFsRelation] &&
+            lr.relation.asInstanceOf[execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(p => roots(norm(p.toString))) =>
+        lr.copy(isStreaming = true)
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
   /** A DataFrame over a custom [[execution.datasources.FileIndex]] —
     * ONE parquet relation whose file list, sizes, and partition values
     * come from the index instead of a filesystem listing (the shape

@@ -987,6 +987,93 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dropped manifest")), messages(e).toString)
   }
 
+  test("iceberg stream source: first batch serves a merge-on-read snapshot") {
+    // liveFiles refused ANY delete-bearing snapshot, so no stream could
+    // start from a real MoR table (r13): the first batch now applies
+    // position deletes, equality deletes, and v3 puffin DVs through
+    // the pinned IcebergRead.read — data scan streaming, delete sides
+    // static — while deletes arriving AFTER the start offset keep
+    // killing the stream loudly.
+    import graft.sources.{IcebergRead, Puffin}
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val dir = Files.createTempDirectory("istream_mor").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    val fields = Seq((1, "k", true, "long"), (2, "v", false, "long"))
+    def part(name: String, rows: Seq[(Long, Long)]): String = {
+      val tmp = Files.createTempDirectory("ipart3").toFile.getAbsolutePath
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val f1 = part("f1.parquet", (1L to 30L).map(i => (i, i)))
+    // position deletes (pos 0, 5 → ids 1, 6); an equality delete on
+    // k ∈ {20, 31} at seq 2 (applies to seq-1 f1 only → kills 20); a
+    // DV superseding the position deletes plus positions 1, 2 (ids 2,3)
+    val pdTmp = Files.createTempDirectory("ipd").toFile.getAbsolutePath
+    Seq((f1, 0L), (f1, 5L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(pdTmp)
+    val pd = { val f = new java.io.File(pdTmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/pd0.parquet")
+      java.nio.file.Files.copy(f.toPath, dst.toPath); dst.getAbsolutePath }
+    val eqTmp = Files.createTempDirectory("ieq").toFile.getAbsolutePath
+    Seq(20L, 31L).toDF("k").coalesce(1).write.mode("overwrite").parquet(eqTmp)
+    val eq = { val f = new java.io.File(eqTmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/eq0.parquet")
+      java.nio.file.Files.copy(f.toPath, dst.toPath); dst.getAbsolutePath }
+    val dvRefs = Puffin.writeDvFile(spark, s"$dir/data/dv.puffin",
+      Seq((f1, Seq(0L, 1L, 2L, 5L))), snapshotId = 100L, sequenceNumber = 3L)
+    val m1 = IcebergRead.Fixture.manifestV2(dir, "m1.avro",
+      Seq(EntryInfo(1, f1, 0, 1L, Nil)))
+    val mDel = IcebergRead.Fixture.manifestV2(dir, "mdel.avro", Seq(
+      EntryInfo(1, pd, 1, 2L, Nil),
+      EntryInfo(1, eq, 2, 2L, Seq(1)),
+      EntryInfo(1, s"$dir/data/dv.puffin", 1, 3L, Nil,
+        Some((f1, dvRefs.head.offset, dvRefs.head.length)))))
+    val ml1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1, mDel))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 3, 100L, Seq((100L, ml1)), fields)
+    def runOnce(): Seq[org.apache.spark.sql.Row] = {
+      val got = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    val batch0 = runOnce()
+    assert(batch0.map(_.getLong(0)).toSet ==
+      ((1L to 30L).toSet -- Set(1L, 2L, 3L, 6L, 20L)),
+      s"first batch must be the MoR row set, got ${batch0.size} rows")
+    // append increment still streams (old delete manifests stay listed)
+    val f2 = part("f2.parquet", (31L to 40L).map(i => (i, i)))
+    val m2 = IcebergRead.Fixture.manifest(dir, "m2.avro", Seq((1, f2, 0)))
+    val ml2 = IcebergRead.Fixture.manifestList(dir, "snap-2.avro", Seq(m1, mDel, m2))
+    IcebergRead.Fixture.metadataMulti(dir, 2, 3, 200L,
+      Seq((100L, ml1), (200L, ml2)), fields)
+    val run2 = runOnce()
+    assert(run2.map(_.getLong(0)).toSet == (31L to 40L).toSet,
+      "increment reads only the new data manifest (31 survives: the seq-2 " +
+        s"equality delete predates it), got ${run2.map(_.getLong(0)).toSet}")
+    // a NEW delete manifest in the window still kills the stream
+    val mDel2 = IcebergRead.Fixture.manifestV2(dir, "mdel2.avro", Seq(
+      EntryInfo(1, pd, 1, 5L, Nil)))
+    val ml3 = IcebergRead.Fixture.manifestList(dir, "snap-3.avro",
+      Seq(m1, mDel, m2, mDel2))
+    IcebergRead.Fixture.metadataMulti(dir, 3, 3, 300L,
+      Seq((100L, ml1), (200L, ml2), (300L, ml3)), fields)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("DELETE files")), messages(e).toString)
+  }
+
   test("iceberg stream source: manifest-carrying id offsets survive snapshot expiry") {
     import graft.sources.IcebergRead
     import spark.implicits._
