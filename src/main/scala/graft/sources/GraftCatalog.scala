@@ -141,7 +141,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with ProcedureCatalog
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats",
-    "export_delta", "export_iceberg", "export_delta_append", "export_iceberg_append")
+    "export_delta", "export_iceberg", "export_iceberg_v3",
+    "export_delta_append", "export_iceberg_append")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -200,6 +201,13 @@ private[sources] object GraftProcedures {
       new StructType().add("n_files", IntegerType, nullable = false),
       (spark, in) => Array(InternalRow(
         IcebergExport.snapshot(spark, in.getString(0), in.getString(1)))))
+    case "export_iceberg_v3" => unbound("export_iceberg_v3",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("target", StringType).build()),
+      new StructType().add("n_files", IntegerType, nullable = false),
+      (spark, in) => Array(InternalRow(
+        IcebergExport.snapshot(spark, in.getString(0), in.getString(1),
+          formatVersion = 3))))
     case "export_delta_append" => unbound("export_delta_append",
       Array(ProcedureParameter.in("path", StringType).build(),
         ProcedureParameter.in("target", StringType).build()),

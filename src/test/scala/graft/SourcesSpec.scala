@@ -2218,6 +2218,13 @@ class SourcesSpec extends SparkSpec {
       assert(spark.sql(s"CALL graft.export_iceberg_append('$dir', '$itgt')")
         .head.getInt(0) > 0)
       assert(graft.sources.IcebergRead.read(spark, itgt).count() == 101)
+      // export_iceberg_v3 publishes the format-version-3 (puffin DV) shape
+      val i3tgt = Files.createTempDirectory("callproc_iexp3").toFile.getAbsolutePath + "/i3"
+      val i3nf = spark.sql(s"CALL graft.export_iceberg_v3('$dir', '$i3tgt')").head.getInt(0)
+      assert(i3nf > 0 &&
+        graft.sources.IcebergRead.read(spark, i3tgt).count() == 101)
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$i3tgt/metadata/v1.metadata.json")).contains("\"format-version\":3"))
       // unknown procedure declines loudly (Spark wraps the catalog's
       // message in FAILED_TO_LOAD_ROUTINE)
       val e = intercept[Exception](spark.sql(s"CALL graft.nope('$dir')"))
