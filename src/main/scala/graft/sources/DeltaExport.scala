@@ -74,7 +74,8 @@ object DeltaExport {
     val st = p.getFileSystem(conf).getFileStatus(p)
     s"""{"add":{"path":"${encodePath(addPath)}","partitionValues":{},""" +
       s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-      s""""dataChange":true,${dvJson(spark, targetPath, tagV, normKey(addPath), positions)}}}"""
+      s""""dataChange":true${statsFragment(conf, addPath)},""" +
+      s"""${dvJson(spark, targetPath, tagV, normKey(addPath), positions)}}}"""
   }
 
   /** Scheme-normalized path key: graft DV sidecars record
@@ -100,11 +101,91 @@ object DeltaExport {
       .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSeq.sorted }
   }
 
+  /** Delta `add.stats` JSON for one parquet file, from its footer:
+    * numRecords plus per-top-level-column min/max/nullCount for the
+    * JSON-expressible types (longs, ints, doubles, floats, booleans,
+    * strings, dates) — the bounds external engines (and
+    * [[DeltaRead]]'s own [[FileSkipping]]) plan file skipping with.
+    * Row-group statistics merge through parquet's own comparators;
+    * columns without usable stats are simply omitted (pruning is an
+    * optimization). One footer read per file — the same O(new files)
+    * publish cost the Iceberg exporter already pays. */
+  private def deltaStatsJson(conf: org.apache.hadoop.conf.Configuration,
+      f: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+    try {
+      val footer = rdr.getFooter
+      val msg = footer.getFileMetaData.getSchema
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
+      val cols = msg.getFields.asScala.filter(_.isPrimitive).flatMap { fld =>
+        val name = fld.getName
+        val chunks = footer.getBlocks.asScala
+          .flatMap(_.getColumns.asScala.filter(_.getPath.toDotString == name))
+        val statsL = chunks.map(_.getStatistics)
+        if (statsL.isEmpty || statsL.exists(s => s == null || s.isEmpty)) None
+        else {
+          val merged = statsL.reduceLeft { (a, b) =>
+            val m = a.copy(); m.mergeStatistics(b); m
+          }
+          val nullCount = merged.getNumNulls
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val prim = fld.asPrimitiveType().getPrimitiveTypeName
+          val logical = fld.asPrimitiveType().getLogicalTypeAnnotation
+          def jsonOf(v: Any): Option[String] = (prim, logical) match {
+            case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+              Some("\"" + java.time.LocalDate
+                .ofEpochDay(v.asInstanceOf[Number].longValue()) + "\"")
+            case (INT32 | INT64, _) => Some(String.valueOf(v))
+            case (DOUBLE | FLOAT, _) =>
+              val d = v.asInstanceOf[Number].doubleValue()
+              if (d.isNaN || d.isInfinite) None else Some(String.valueOf(v))
+            case (BOOLEAN, _) => Some(String.valueOf(v))
+            case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+              Some("\"" + esc(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8) + "\"")
+            case _ => None
+          }
+          val mm =
+            if (!merged.hasNonNullValue) None
+            else for {
+              lo <- jsonOf(merged.genericGetMin)
+              hi <- jsonOf(merged.genericGetMax)
+            } yield (lo, hi)
+          Some((name, mm, nullCount))
+        }
+      }
+      val minJ = cols.collect { case (n, Some((lo, _)), _) => s""""${esc(n)}":$lo""" }
+      val maxJ = cols.collect { case (n, Some((_, hi)), _) => s""""${esc(n)}":$hi""" }
+      val nullJ = cols.map { case (n, _, nc) => s""""${esc(n)}":$nc""" }
+      Some(s"""{"numRecords":${rdr.getRecordCount}""" +
+        s""","minValues":{${minJ.mkString(",")}}""" +
+        s""","maxValues":{${maxJ.mkString(",")}}""" +
+        s""","nullCount":{${nullJ.mkString(",")}}}""")
+    } catch { case _: Exception => None } finally rdr.close()
+  }
+
+  /** `stats` fragment for embedding in an `add` action (the stats JSON
+    * rides as a JSON-encoded STRING per the protocol). */
+  private def statsFragment(conf: org.apache.hadoop.conf.Configuration,
+      f: String): String =
+    deltaStatsJson(conf, f).map { s =>
+      s""","stats":"${s.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.getOrElse("")
+
   private def addAction(conf: org.apache.hadoop.conf.Configuration, f: String): String = {
     val p = new Path(f)
     val st = p.getFileSystem(conf).getFileStatus(p)
     s"""{"add":{"path":"${encodePath(f)}","partitionValues":{},"size":${st.getLen},""" +
-      s""""modificationTime":${st.getModificationTime},"dataChange":true}}"""
+      s""""modificationTime":${st.getModificationTime},"dataChange":true""" +
+      s"""${statsFragment(conf, f)}}}"""
   }
 
   private def commitInfo(graftVersion: Long): String =
@@ -374,7 +455,8 @@ object DeltaExport {
         MapType(StringType, StringType)),
       StructField("size", LongType), StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("deletionVector", dvT)))
+      StructField("deletionVector", dvT),
+      StructField("stats", StringType)))
     // metaData.format is REQUIRED by the protocol: once pre-checkpoint
     // commit JSONs are vacuumed, external readers reconstruct metaData
     // from the checkpoint alone and some require format.provider
@@ -410,7 +492,7 @@ object DeltaExport {
         val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
         Row(Row(encodePath(a.path), a.partitionValues, fst.getLen,
-          fst.getModificationTime, true, dvRow), null, null, null)
+          fst.getModificationTime, true, dvRow, a.stats.orNull), null, null, null)
       }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, schema)

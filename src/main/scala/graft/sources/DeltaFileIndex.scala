@@ -13,20 +13,28 @@ import org.apache.spark.sql.types.StructType
   * planning RPC-free), and the file's partition values already decoded
   * to Catalyst form. */
 private[sources] final case class LiveFile(path: Path, size: Long,
-    modTime: Long, values: InternalRow)
+    modTime: Long, values: InternalRow,
+    bounds: Map[String, FileSkipping.ColBounds] = Map.empty)
 
-/** A [[FileIndex]] over the live files of one Delta log replay — the
-  * scale-true scan shape (the r12 rework): ONE parquet relation for
-  * the whole snapshot instead of one unioned scan per distinct
-  * partition tuple, with partition values served from the log (they
-  * are not in the data files) and REAL partition pruning —
-  * [[listFiles]] evaluates the pushed partition filters against the
-  * log-carried values, so a filtered read of a daily-partitioned
-  * multi-year table plans exactly the matching files, one scan node,
-  * no thousand-branch union for Catalyst to chew.
+/** A [[FileIndex]] over the live files of one metadata-replayed
+  * snapshot — the scale-true scan shape (r12 rework) BOTH interop
+  * readers plan through ([[DeltaRead]] with log partition values;
+  * [[IcebergRead]] with an empty partition schema — Iceberg files
+  * carry their partition columns): ONE parquet relation for the whole
+  * snapshot instead of one unioned scan per distinct partition tuple,
+  * with REAL pruning at [[listFiles]] —
   *
-  * File statuses are built from `add.size`/`add.modificationTime`,
-  * zero filesystem RPCs at planning time.
+  *   - pushed PARTITION filters evaluate against the log-carried
+  *     values, so a filtered read of a daily-partitioned multi-year
+  *     table plans exactly the matching files, one scan node, no
+  *     thousand-branch union for Catalyst to chew;
+  *   - pushed DATA filters evaluate against each file's metadata
+  *     bounds (Delta `add.stats`, Iceberg manifest
+  *     `lower_bounds`/`upper_bounds` — [[FileSkipping]], r13), so
+  *     non-overlapping files never become scan tasks.
+  *
+  * File statuses are built from the metadata-carried sizes, zero
+  * filesystem RPCs at planning time.
   */
 private[sources] final class DeltaLogFileIndex(
     tableRoot: Path,
@@ -57,7 +65,13 @@ private[sources] final class DeltaLogFileIndex(
           files.filter(f => bound.eval(f.values))
         }
       }
-    selected.groupBy(_.values).toSeq.map { case (values, fs) =>
+    // FILE SKIPPING on the pushed data filters (r13): add.stats bounds
+    // evaluate conservatively — statless files and unsupported
+    // predicate shapes always read, the filters re-apply row-side
+    val skipped =
+      if (dataFilters.isEmpty) selected
+      else selected.filter(f => FileSkipping.mayMatch(dataFilters, f.bounds))
+    skipped.groupBy(_.values).toSeq.map { case (values, fs) =>
       PartitionDirectory(values, fs.map(f =>
         new FileStatus(f.size, false, 0, 128L * 1024 * 1024, f.modTime,
           f.path)).toArray)

@@ -73,7 +73,8 @@ object DeltaRead {
       partitionValues: Map[String, String],
       dv: Option[DeltaDv.Descriptor] = None,
       size: Option[Long] = None,
-      modTime: Long = 0L)
+      modTime: Long = 0L,
+      stats: Option[String] = None)
 
   /** A change-data file (`cdc` action): rows carry `_change_type`. */
   private[sources] final case class CdcFile(path: String,
@@ -493,7 +494,11 @@ object DeltaRead {
             .orElse(a.partitionValues.get(pc))
           catalystPartitionValue(raw, schema(pc).dataType, zone)
         })
-      LiveFile(p, len, mt, values)
+      // add.stats keys columns by their FILE (physical) names — exactly
+      // the names dataSchema carries, so the pushed filters bind 1:1
+      val bounds = a.stats.map(FileSkipping.fromDeltaStats(_, dataSchema))
+        .getOrElse(Map.empty[String, FileSkipping.ColBounds])
+      LiveFile(p, len, mt, values, bounds)
     }
     val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
     val base = org.apache.spark.sql.GraftPlanApi
@@ -664,8 +669,9 @@ object DeltaRead {
       val size = Option(a.get("size")).filterNot(_.isNull).map(_.asLong())
       val mt = Option(a.get("modificationTime")).filterNot(_.isNull)
         .map(_.asLong()).getOrElse(0L)
+      val stats = Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
       st.copy(adds = st.adds +
-        (path -> AddFile(path, partValuesOf(a), dvOf(a), size, mt)))
+        (path -> AddFile(path, partValuesOf(a), dvOf(a), size, mt, stats)))
     } else if (node.has("remove")) {
       st.copy(adds = st.adds - decodePath(node.get("remove").get("path").asText()))
     } else if (node.has("metaData")) {
@@ -860,7 +866,8 @@ object DeltaRead {
     def optCol(n: String) =
       if (addType.fieldNames.contains(n)) col(s"add.$n") else lit(null)
     val sel = df.select(col("add.path"), col("add.partitionValues"),
-      optCol("deletionVector"), optCol("size"), optCol("modificationTime"))
+      optCol("deletionVector"), optCol("size"), optCol("modificationTime"),
+      optCol("stats").cast("string"))
     sel.na.drop(Seq("path")).collect().map { r =>
       val dv =
         if (!r.isNullAt(2)) {
@@ -887,8 +894,9 @@ object DeltaRead {
       }
       val size = if (r.isNullAt(3)) None else Some(asLong(3))
       val mt = if (r.isNullAt(4)) 0L else asLong(4)
+      val stats = if (r.isNullAt(5)) None else Some(r.getString(5))
       val path = decodePath(r.getString(0))
-      path -> AddFile(path, pv, dv, size, mt)
+      path -> AddFile(path, pv, dv, size, mt, stats)
     }.toMap
   }
 }

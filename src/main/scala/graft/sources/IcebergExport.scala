@@ -127,13 +127,25 @@ object IcebergExport {
     }
     partition.setFields(java.util.List.of(pfields: _*))
     val s = Schema.createRecord("r2", null, null, false)
+    // the spec's field-id-keyed statistics maps encode as arrays of
+    // key/value records, ids per the data_file field list
+    def kvArr(recName: String, keyId: Int, valId: Int, valType: Schema): Schema = {
+      val rec = Schema.createRecord(recName, null, null, false)
+      rec.setFields(java.util.List.of(
+        fld("key", intS, keyId), fld("value", valType, valId)))
+      Schema.createArray(rec) // optFld adds the null branch
+    }
+    val bytesS = Schema.create(Schema.Type.BYTES)
     val base = Seq(
       fld("content", intS, 134),
       fld("file_path", stringS, 100),
       fld("file_format", stringS, 101),
       fld("partition", partition, 102),
       fld("record_count", longS, 103),
-      fld("file_size_in_bytes", longS, 104))
+      fld("file_size_in_bytes", longS, 104),
+      optFld("null_value_counts", kvArr("k121_v122", 121, 122, longS), 110),
+      optFld("lower_bounds", kvArr("k126_v127", 126, 127, bytesS), 125),
+      optFld("upper_bounds", kvArr("k129_v130", 129, 130, bytesS), 128))
     val v3Extras =
       if (!v3) Nil
       else Seq(
@@ -182,10 +194,16 @@ object IcebergExport {
   /** `partValues` aligns with the export's partition columns (empty
     * when unpartitioned) — Avro-ready Long/Int/String values. `dv`
     * makes the file a v3 DELETION-VECTOR entry: (referenced data file,
-    * content_offset, content_size_in_bytes) into the puffin `path`. */
+    * content_offset, content_size_in_bytes) into the puffin `path`.
+    * The field-id-keyed bounds maps carry the spec's single-value-
+    * serialized per-column statistics external engines (and
+    * [[IcebergRead]]'s own [[FileSkipping]]) prune files with. */
   private final case class NewFile(path: String, recordCount: Long,
       sizeInBytes: Long, partValues: Seq[Any] = Nil,
-      dv: Option[(String, Long, Long)] = None)
+      dv: Option[(String, Long, Long)] = None,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   /** One identity-partition column of a partitioned publish:
     * `fieldId` is the spec's partition field id (1000+), `srcId` the
@@ -229,8 +247,35 @@ object IcebergExport {
     * be PARTITION-PURE in every file (min == max across all row
     * groups, no nulls) or the export declines loudly — a file spanning
     * two partition values cannot be represented by an identity spec. */
+  /** Iceberg single-value serialization of one parquet-statistics value
+    * for the given iceberg type: little-endian numerics, UTF-8 strings
+    * — the bytes `lower_bounds`/`upper_bounds` carry. None for types
+    * outside the serialized set (bounds are optional). */
+  private def singleValueBytes(itype: String, v: Any): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try itype match {
+      case "long" | "timestamp" | "timestamptz" =>
+        Some(le(8).putLong(v.asInstanceOf[Number].longValue()).array())
+      case "int" | "date" =>
+        Some(le(4).putInt(v.asInstanceOf[Number].intValue()).array())
+      case "double" =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN || d.isInfinite) None else Some(le(8).putDouble(d).array())
+      case "float" =>
+        val d = v.asInstanceOf[Number].floatValue()
+        if (d.isNaN || d.isInfinite) None else Some(le(4).putFloat(d).array())
+      case "boolean" =>
+        Some(Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case "string" =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+      case _ => None // decimals et al: bounds are optional, omit
+    } catch { case _: Exception => None }
+  }
+
   private def describeFiles(spark: SparkSession, files: Seq[String],
-      partCols: Seq[PartCol] = Nil): Seq[NewFile] = {
+      partCols: Seq[PartCol] = Nil,
+      statFields: Seq[(Int, String, Boolean, String)] = Nil): Seq[NewFile] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     files.map { f =>
@@ -238,8 +283,33 @@ object IcebergExport {
       val fs = p.getFileSystem(conf)
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val (n, values) = try {
+      val (n, values, lo, hi, nulls) = try {
         val footer = rdr.getFooter
+        // per-column bounds for the schema's interchange columns, from
+        // the same footer already open for the row count: row-group
+        // statistics merge through parquet's own comparators; columns
+        // without usable statistics are omitted (bounds are optional)
+        val loB = Map.newBuilder[Int, Array[Byte]]
+        val hiB = Map.newBuilder[Int, Array[Byte]]
+        val nullB = Map.newBuilder[Int, Long]
+        statFields.foreach { case (id, name, _, itype) =>
+          val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == name))
+          val statsL = chunks.map(_.getStatistics)
+          if (statsL.nonEmpty && !statsL.exists(s => s == null || s.isEmpty)) {
+            val merged = statsL.reduceLeft { (a, b) =>
+              val m = a.copy(); m.mergeStatistics(b); m
+            }
+            nullB += id -> merged.getNumNulls
+            if (merged.hasNonNullValue) for {
+              loBytes <- singleValueBytes(itype, merged.genericGetMin)
+              hiBytes <- singleValueBytes(itype, merged.genericGetMax)
+            } {
+              loB += id -> loBytes
+              hiB += id -> hiBytes
+            }
+          }
+        }
         val vals = partCols.map { pc =>
           val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala
             .filter(_.getPath.toDotString == pc.name))
@@ -264,9 +334,10 @@ object IcebergExport {
               "source by the partition columns before a partitioned export")
           distinct.head
         }
-        (rdr.getRecordCount, vals)
+        (rdr.getRecordCount, vals, loB.result(), hiB.result(), nullB.result())
       } finally rdr.close()
-      NewFile(f, n, fs.getFileStatus(p).getLen, values)
+      NewFile(f, n, fs.getFileStatus(p).getLen, values,
+        lowerBounds = lo, upperBounds = hi, nullCounts = nulls)
     }
   }
 
@@ -333,6 +404,23 @@ object IcebergExport {
         dfr.put("content_offset", off: java.lang.Long)
         dfr.put("content_size_in_bytes", len: java.lang.Long)
       }
+      def kvArrOf(field: String, pairs: Seq[(Int, AnyRef)]): Unit =
+        if (pairs.nonEmpty) {
+          val arrSchema = dfSchema.getField(field).schema().getTypes.get(1)
+          val arr = new GenericData.Array[GenericRecord](pairs.size, arrSchema)
+          pairs.sortBy(_._1).foreach { case (k, v) =>
+            val r = new GenericData.Record(arrSchema.getElementType)
+            r.put("key", k); r.put("value", v)
+            arr.add(r)
+          }
+          dfr.put(field, arr)
+        }
+      kvArrOf("null_value_counts",
+        nf.nullCounts.toSeq.map { case (k, v) => k -> (v: java.lang.Long) })
+      kvArrOf("lower_bounds", nf.lowerBounds.toSeq
+        .map { case (k, v) => k -> java.nio.ByteBuffer.wrap(v) })
+      kvArrOf("upper_bounds", nf.upperBounds.toSeq
+        .map { case (k, v) => k -> java.nio.ByteBuffer.wrap(v) })
       if (v3 && content == 0 && nf.dv.isEmpty && firstRowBase.nonEmpty) {
         dfr.put("first_row_id", nextRow: java.lang.Long)
         nextRow += nf.recordCount
@@ -679,7 +767,8 @@ object IcebergExport {
     val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
     val fields = fieldsOf(scan.schema)
     val partCols = partColsOf(partitionBy, fields)
-    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols)
+    val files = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols,
+      statFields = fields)
     val existing = new java.io.File(s"$targetPath/metadata")
     if (existing.exists()) throw new IllegalStateException(
       s"$targetPath already carries Iceberg metadata; export to a fresh path " +
@@ -779,7 +868,8 @@ object IcebergExport {
         throw new UnsupportedOperationException(
           s"graft commits after v$g0 changed the data schema at $sourcePath; " +
             "the published Iceberg schema is pinned — re-export a fresh snapshot")
-      newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols)
+      newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols,
+        statFields = fields)
       manifests += writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum,
         newFiles, fields, partCols = partCols, v3 = v3, firstRowBase = rowBase)
     }

@@ -217,10 +217,19 @@ object IcebergRead {
     * rows match on. A format-version-3 DELETION VECTOR is a content=1
     * entry whose `path` names a puffin file; `dv` carries its
     * (referenced data file, content_offset, content_size_in_bytes)
-    * coordinates ([[Puffin.dvPositions]] serves the blob). */
+    * coordinates ([[Puffin.dvPositions]] serves the blob).
+    * `sizeInBytes`/`recordCount` and the field-id-keyed
+    * `lowerBounds`/`upperBounds`/`nullCounts` are the manifest's
+    * per-file statistics — the metadata FILE SKIPPING plans with
+    * ([[FileSkipping]]); all optional, absent on minimal fixtures. */
   final case class EntryInfo(status: Int, path: String,
       content: Int, seq: Long, equalityIds: Seq[Int],
-      dv: Option[(String, Long, Long)] = None)
+      dv: Option[(String, Long, Long)] = None,
+      sizeInBytes: Option[Long] = None,
+      recordCount: Option[Long] = None,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   private[sources] def entriesOf(spark: SparkSession, manifestPath: Path,
       inheritSeq: Option[Long] = None): Seq[EntryInfo] =
@@ -291,7 +300,43 @@ object IcebergRead {
       if (content == 2 && eqIds.isEmpty) throw new IllegalStateException(
         s"iceberg EQUALITY delete file in $manifestPath carries no " +
           "equality_ids — the delete is unapplicable")
-      EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds, dv)
+      // per-file statistics (all optional): the spec encodes the
+      // field-id-keyed maps as arrays of key/value records
+      def optLong(field: String): Option[Long] =
+        opt(df, field).map(_.asInstanceOf[Number].longValue())
+      def kvPairs(field: String): Seq[(Int, AnyRef)] = opt(df, field).map {
+        case c: java.util.Collection[_] =>
+          import scala.jdk.CollectionConverters._
+          c.asScala.toSeq.map { r0 =>
+            val r = r0.asInstanceOf[GenericRecord]
+            r.get("key").asInstanceOf[Number].intValue() -> r.get("value")
+          }
+        case m: java.util.Map[_, _] =>
+          import scala.jdk.CollectionConverters._
+          m.asScala.toSeq.map { case (k, v) =>
+            String.valueOf(k).toInt -> v.asInstanceOf[AnyRef]
+          }
+        case other => throw new IllegalStateException(
+          s"$field in $manifestPath is neither a k/v array nor a map: " +
+            other.getClass)
+      }.getOrElse(Seq.empty)
+      def binOf(v: AnyRef): Array[Byte] = v match {
+        case bb: java.nio.ByteBuffer =>
+          val d = bb.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); a
+        case ab: Array[Byte] => ab
+        case other => throw new IllegalStateException(
+          s"bounds value in $manifestPath is not binary: ${other.getClass}")
+      }
+      def binMap(field: String): Map[Int, Array[Byte]] =
+        kvPairs(field).collect { case (k, v) if v != null => k -> binOf(v) }.toMap
+      EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds, dv,
+        sizeInBytes = optLong("file_size_in_bytes"),
+        recordCount = optLong("record_count"),
+        lowerBounds = binMap("lower_bounds"),
+        upperBounds = binMap("upper_bounds"),
+        nullCounts = kvPairs("null_value_counts").collect {
+          case (k, v) if v != null => k -> v.asInstanceOf[Number].longValue()
+        }.toMap)
     }
 
   /** A snapshot's live entries (data + delete files), net of
@@ -378,6 +423,14 @@ object IcebergRead {
         Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.STRING)))
       val longSchema = Schema.createUnion(java.util.List.of(
         Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+      val binKv = SchemaBuilder.record("k_v_bin").fields()
+        .requiredInt("key").requiredBytes("value").endRecord()
+      val longKv = SchemaBuilder.record("k_v_long").fields()
+        .requiredInt("key").requiredLong("value").endRecord()
+      val binKvArr = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.createArray(binKv)))
+      val longKvArr = Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.NULL), Schema.createArray(longKv)))
       val dfSchema = SchemaBuilder.record("r102").fields()
         .requiredString("file_path").requiredInt("content")
         .name("file_format").`type`(fmtSchema).withDefault(null)
@@ -385,6 +438,11 @@ object IcebergRead {
         .name("referenced_data_file").`type`(strSchema).withDefault(null)
         .name("content_offset").`type`(longSchema).withDefault(null)
         .name("content_size_in_bytes").`type`(longSchema).withDefault(null)
+        .name("file_size_in_bytes").`type`(longSchema).withDefault(null)
+        .name("record_count").`type`(longSchema).withDefault(null)
+        .name("lower_bounds").`type`(binKvArr).withDefault(null)
+        .name("upper_bounds").`type`(binKvArr).withDefault(null)
+        .name("null_value_counts").`type`(longKvArr).withDefault(null)
         .endRecord()
       val entrySchema = SchemaBuilder.record("manifest_entry").fields()
         .requiredInt("status")
@@ -404,6 +462,33 @@ object IcebergRead {
           dfr.put("content_offset", off: java.lang.Long)
           dfr.put("content_size_in_bytes", len: java.lang.Long)
         }
+        en.sizeInBytes.foreach(v => dfr.put("file_size_in_bytes", v: java.lang.Long))
+        en.recordCount.foreach(v => dfr.put("record_count", v: java.lang.Long))
+        def binArr(m: Map[Int, Array[Byte]]): AnyRef =
+          if (m.isEmpty) null
+          else {
+            val arr = new GenericData.Array[GenericRecord](m.size, binKvArr.getTypes.get(1))
+            m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+              val r = new GenericData.Record(binKv)
+              r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v))
+              arr.add(r)
+            }
+            arr
+          }
+        dfr.put("lower_bounds", binArr(en.lowerBounds))
+        dfr.put("upper_bounds", binArr(en.upperBounds))
+        dfr.put("null_value_counts",
+          if (en.nullCounts.isEmpty) null
+          else {
+            val arr = new GenericData.Array[GenericRecord](
+              en.nullCounts.size, longKvArr.getTypes.get(1))
+            en.nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) =>
+              val r = new GenericData.Record(longKv)
+              r.put("key", k); r.put("value", v: java.lang.Long)
+              arr.add(r)
+            }
+            arr
+          })
         dfr.put("equality_ids",
           if (en.equalityIds.isEmpty) null
           else {
@@ -547,10 +632,42 @@ object IcebergRead {
     if (data.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    def scanOf(paths: Seq[String]) = spark.read.schema(schema)
-      .parquet(paths.map(p => resolve(tablePath, p).toString): _*)
+    /** The data scan. When every entry carries its manifest-recorded
+      * file size (real tables always do), plan through the log-backed
+      * [[DeltaLogFileIndex]]: zero filesystem RPCs at planning, and the
+      * manifests' per-file `lower_bounds`/`upper_bounds`/null counts
+      * evaluate against pushed data filters so non-overlapping files
+      * never reach the scan ([[FileSkipping]] — metadata file skipping,
+      * the difference between opening millions of footers and planning
+      * exactly the matching files at 100 TB). Minimal fixtures without
+      * sizes fall back to a plain listing-backed read. */
+    def scanOf(entries: Seq[EntryInfo]) = {
+      if (entries.forall(_.sizeInBytes.nonEmpty)) {
+        val namesById = fieldNamesById(meta)
+        val typesByName = schema.fields.map(f => f.name -> f.dataType).toMap
+        val live = entries.map { e =>
+          val statIds = e.lowerBounds.keySet ++ e.upperBounds.keySet ++
+            e.nullCounts.keySet
+          val bounds = statIds.flatMap { id =>
+            for {
+              n <- namesById.get(id)
+              dt <- typesByName.get(n)
+            } yield n -> FileSkipping.ColBounds(
+              e.lowerBounds.get(id).flatMap(FileSkipping.icebergBoundValue(_, dt)),
+              e.upperBounds.get(id).flatMap(FileSkipping.icebergBoundValue(_, dt)),
+              e.nullCounts.get(id), e.recordCount)
+          }.toMap
+          LiveFile(resolve(tablePath, e.path), e.sizeInBytes.get, 0L,
+            org.apache.spark.sql.catalyst.InternalRow.empty, bounds)
+        }
+        org.apache.spark.sql.GraftPlanApi.fileRelationDataFrame(spark,
+          new DeltaLogFileIndex(new Path(tablePath), new StructType(), live),
+          new StructType(), schema)
+      } else spark.read.schema(schema)
+        .parquet(entries.map(e => resolve(tablePath, e.path).toString): _*)
+    }
     if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty)
-      return scanOf(data.map(_.path))
+      return scanOf(data)
     val posFileDf =
       if (posDels.isEmpty) None
       else Some(spark.read
@@ -577,7 +694,7 @@ object IcebergRead {
     // ONE scan over every live data file — the per-file keys the delete
     // shapes need ride alongside (path for position deletes, sequence
     // number via a broadcast file→seq map for equality ordering)
-    val base = scanOf(data.map(_.path)).select(col("*"),
+    val base = scanOf(data).select(col("*"),
       normPath(col("_metadata.file_path")).as("__g_fp"),
       col("_metadata.row_index").as("__g_ri"))
     val afterPos = posDf match {

@@ -664,6 +664,87 @@ class SourcesSpec extends SparkSpec {
         s"scanned ${scans.head.metrics("numFiles").value}")
   }
 
+  test("delta read: add.stats bounds skip files on pushed data filters") {
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_stats").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 20L).map(i => (i, i)))
+    writeDeltaPart(dir, "f3.parquet", (21L to 30L).map(i => (i, i)))
+    def statsStr(lo: Long, hi: Long) =
+      (s"""{\\"numRecords\\":10,\\"minValues\\":{\\"id\\":$lo,\\"v\\":$lo},""" +
+        s"""\\"maxValues\\":{\\"id\\":$hi,\\"v\\":$hi},""" +
+        s"""\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}""")
+    def add(name: String, stats: Option[String]) =
+      s"""{"add":{"path":"$name","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true""" +
+        stats.map(s => s""","stats":"$s"""").getOrElse("") + "}}"
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = false),
+        add("f1.parquet", Some(statsStr(1, 10))),
+        add("f2.parquet", Some(statsStr(11, 20))),
+        add("f3.parquet", None))) // statless: must ALWAYS read
+    def scanned(f: org.apache.spark.sql.DataFrame): Long = {
+      val scans = f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      f.collect()
+      scans.head.metrics("numFiles").value
+    }
+    // id = 15 can only live in f2's [11,20] — f1 prunes, statless f3 reads
+    val eq = DeltaRead.read(spark, dir).filter(col("id") === 15L)
+    assert(scanned(eq) == 2, "stats must prune f1; statless f3 always reads")
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(15L))
+    // range: id > 20 prunes f1 AND f2
+    val gt = DeltaRead.read(spark, dir).filter(col("id") > 20L)
+    assert(scanned(gt) == 1, "strict bound must prune both statted files")
+    assert(gt.count() == 10)
+    // boundary: id >= 20 keeps f2 (max == 20)
+    assert(scanned(DeltaRead.read(spark, dir).filter(col("id") >= 20L)) == 2)
+    // a filter on a column with no usable bounds keeps everything
+    assert(scanned(DeltaRead.read(spark, dir)
+      .filter(col("id") % 7 === 0)) == 3, "unsupported shapes never prune")
+    // correctness: the full set survives the skipping machinery
+    assert(DeltaRead.read(spark, dir).count() == 30)
+  }
+
+  test("delta export: published adds carry footer stats and the replay skips files") {
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("dexp_stats_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("dexp_stats_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite(
+      (1L to 10L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    TimeTravel.commitAppend(
+      (11L to 20L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    TimeTravel.commitAppend(
+      (21L to 30L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    assert(DeltaExport.snapshot(spark, src, tgt) == 3)
+    // the published log carries real stats JSON per add
+    val log = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/_delta_log/" + f"${0L}%020d" + ".json"))
+    assert(log.contains("\\\"numRecords\\\":10") &&
+      log.contains("\\\"minValues\\\"") && log.contains("\\\"maxValues\\\""),
+      s"adds must embed footer stats:\n$log")
+    // the independent replay prunes on the pushed filter
+    def scanned(f: org.apache.spark.sql.DataFrame): Long = {
+      val scans = f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      f.collect()
+      scans.head.metrics("numFiles").value
+    }
+    val hit = DeltaRead.read(spark, tgt).filter(col("k") === 25L)
+    assert(scanned(hit) == 1, "k=25 lives in one file's [21,30] bounds")
+    assert(hit.select("nm").as[String].head() == "n25")
+    // string bounds prune too
+    assert(scanned(DeltaRead.read(spark, tgt)
+      .filter(col("nm") === "n15")) < 3, "string bounds must prune")
+    assert(DeltaRead.read(spark, tgt).count() == 30)
+  }
+
   test("delta read: checkpoint replay + later commits, and loud feature declines") {
     import graft.sources.DeltaRead
     import spark.implicits._
@@ -2009,6 +2090,118 @@ class SourcesSpec extends SparkSpec {
     assert("""next-row-id":(\d+)""".r.findFirstMatchIn(metaTxt)
       .map(_.group(1)).contains("50"),
       s"next-row-id must cover all 50 published rows")
+  }
+
+  test("iceberg read: manifest bounds skip files on pushed data filters") {
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iceberg_bounds").toFile.getAbsolutePath + "/t"
+    def longLe(v: Long) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    val f1 = writeIcebergPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i, "a")))
+    val f2 = writeIcebergPart(dir, "f2.parquet", (11L to 20L).map(i => (i, i, "b")))
+    val f3 = writeIcebergPart(dir, "f3.parquet", (21L to 30L).map(i => (i, i, "c")))
+    def entry(f: String, lo: Long, hi: Long, band: String,
+        withBounds: Boolean): EntryInfo =
+      EntryInfo(1, f, 0, 1L, Nil,
+        sizeInBytes = Some(new java.io.File(f).length()),
+        recordCount = Some(10L),
+        lowerBounds = if (withBounds) Map(1 -> longLe(lo),
+          3 -> band.getBytes("UTF-8")) else Map.empty,
+        upperBounds = if (withBounds) Map(1 -> longLe(hi),
+          3 -> band.getBytes("UTF-8")) else Map.empty,
+        nullCounts = if (withBounds) Map(1 -> 0L, 3 -> 0L) else Map.empty)
+    val m = IcebergRead.Fixture.manifestV2(dir, "m.avro", Seq(
+      entry(f1, 1L, 10L, "a", withBounds = true),
+      entry(f2, 11L, 20L, "b", withBounds = true),
+      entry(f3, 21L, 30L, "c", withBounds = false))) // boundless: always read
+    val ml = icebergManifestList(dir, "snap-1.avro", Seq(m))
+    icebergMetadata(dir, 1, formatVersion = 2, snapshotId = 1L, manifestList = ml)
+    def scanned(f: org.apache.spark.sql.DataFrame): Long = {
+      val scans = f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      f.collect()
+      scans.head.metrics("numFiles").value
+    }
+    // the sized entries plan through the log-backed index: one scan node
+    val eq = IcebergRead.read(spark, dir).filter(col("id") === 15L)
+    assert(scanned(eq) == 2, "id=15 overlaps f2 only; boundless f3 always reads")
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(15L))
+    // string bounds prune too (UTF-8 single-value serialization)
+    assert(scanned(IcebergRead.read(spark, dir)
+      .filter(col("band") === "a")) == 2)
+    // strict range prunes both bounded files
+    assert(scanned(IcebergRead.read(spark, dir).filter(col("id") > 20L)) == 1)
+    assert(IcebergRead.read(spark, dir).count() == 30, "skipping never drops rows")
+    // bounds compose with merge-on-read: a position delete on f2 and the
+    // same pushed filter — the data-side scan still prunes
+    val pdStage = Files.createTempDirectory("ibound_pd").toFile.getAbsolutePath
+    Seq((f2, 4L)).toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(pdStage)
+    val pdPart = new java.io.File(pdStage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val pdDst = new java.io.File(s"$dir/data/pd0.parquet")
+    java.nio.file.Files.copy(pdPart.toPath, pdDst.toPath)
+    val m2 = IcebergRead.Fixture.manifestV2(dir, "m2.avro", Seq(
+      entry(f1, 1L, 10L, "a", withBounds = true),
+      entry(f2, 11L, 20L, "b", withBounds = true),
+      entry(f3, 21L, 30L, "c", withBounds = false),
+      EntryInfo(1, pdDst.getAbsolutePath, 1, 2L, Nil,
+        sizeInBytes = Some(pdDst.length()))))
+    val ml2 = icebergManifestList(dir, "snap-2.avro", Seq(m2))
+    icebergMetadata(dir, 2, formatVersion = 2, snapshotId = 2L, manifestList = ml2)
+    val mor = IcebergRead.read(spark, dir).filter(col("id") === 16L)
+    mor.collect() // AQE: scans materialize only after execution
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansIn)
+    }
+    val dataScans = scansIn(mor.queryExecution.executedPlan)
+    assert(dataScans.nonEmpty &&
+      dataScans.map(_.metrics("numFiles").value).min <= 2,
+      "the MoR data scan must still prune by bounds")
+    assert(mor.select("id").as[Long].collect().toSeq == Seq(16L))
+    assert(IcebergRead.read(spark, dir).count() == 29,
+      "position delete applies (pos 4 of f2 = id 15)")
+  }
+
+  test("iceberg export: manifests carry column bounds and the replay skips files") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexp_bounds_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexp_bounds_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite(
+      (1L to 10L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    TimeTravel.commitAppend(
+      (11L to 20L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    TimeTravel.commitAppend(
+      (21L to 30L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    assert(IcebergExport.snapshot(spark, src, tgt) == 3)
+    def scanned(f: org.apache.spark.sql.DataFrame): Long = {
+      val scans = f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      f.collect()
+      scans.head.metrics("numFiles").value
+    }
+    val hit = IcebergRead.read(spark, tgt).filter(col("k") === 25L)
+    assert(scanned(hit) == 1,
+      "the published manifest bounds must prune to the one overlapping file")
+    assert(hit.select("nm").as[String].head() == "n25")
+    assert(IcebergRead.read(spark, tgt).count() == 30)
+    // append keeps writing bounds
+    TimeTravel.commitAppend(
+      (31L to 40L).map(i => (i, s"n$i")).toDF("k", "nm").coalesce(1), src)
+    assert(IcebergExport.append(spark, src, tgt) > 0)
+    assert(scanned(IcebergRead.read(spark, tgt).filter(col("k") === 35L)) == 1)
+    assert(IcebergRead.read(spark, tgt).count() == 40)
   }
 
   test("iceberg read: null entry sequence numbers inherit from the manifest list") {
