@@ -1201,6 +1201,115 @@ object CdcQueries {
         sum(col("k")).as("sum_k"))
   }
 
+  /** Executed-plan file count of `df`'s (single) data scan — the
+    * metadata-skipping evidence bit ([[graft.sources.FileSkipping]])
+    * the pruning queries pin into their hashed result. Walks AQE
+    * wrappers; `df` must already be executed. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansIn)
+    }
+    scansIn(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).min
+  }
+
+  /** Delta METADATA FILE SKIPPING roundtrip (r13): a three-commit graft
+    * table publishes as Delta — every add carries footer-derived
+    * `stats` JSON — and the independent replay's pushed band filter
+    * must plan EXACTLY ONE of the three files from those bounds. The
+    * files-read evidence bit rides the hashed result (the q_tt_prune
+    * stance), so a reader that scans everything breaks the oracle even
+    * though the row-side filter would mask it. */
+  val qDeltaReadSkipping: QueryDef = QueryDef.sql(
+    "q_delta_read_skipping",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
+      |    NTILE(3) OVER (ORDER BY c_custkey) AS band
+      |  FROM customer
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  1 AS files_read
+      |FROM c WHERE band = 2""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dskip_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_delta"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val c = Tables(s, d, "customer").select(
+      col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+      .withColumn("band", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+    // one commit per contiguous k band → per-file bounds are disjoint
+    val cuts = (1 to 3).map(b =>
+      b -> c.filter(col("band") === b).agg(min("k"), max("k")).head())
+    TimeTravel.commitOverwrite(
+      c.filter(col("band") === 1).drop("band").coalesce(1), base)
+    (2 to 3).foreach(b => TimeTravel.commitAppend(
+      c.filter(col("band") === b).drop("band").coalesce(1), base))
+    DeltaExport.snapshot(s, base, tgt)
+    val (lo, hi) = (cuts(1)._2.getLong(0), cuts(1)._2.getLong(1))
+    val band2 = DeltaRead.read(s, tgt).filter(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    val row = band2.collect().head
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), scannedFiles(band2).toInt))
+      .toDF("n_rows", "sum_cents", "files_read")
+  }
+
+  /** Iceberg METADATA FILE SKIPPING roundtrip (r13, the pair to
+    * [[qDeltaReadSkipping]]): the publish writes manifest
+    * `lower_bounds`/`upper_bounds` from the parquet footers, and the
+    * replay's pushed filter must plan exactly one of the three files
+    * through the single-value-serialized bounds. */
+  val qIcebergReadSkipping: QueryDef = QueryDef.sql(
+    "q_iceberg_read_skipping",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
+      |    NTILE(3) OVER (ORDER BY c_custkey) AS band
+      |  FROM customer
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  1 AS files_read
+      |FROM c WHERE band = 2""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iskip_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_iceberg"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val c = Tables(s, d, "customer").select(
+      col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+      .withColumn("band", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+    val cuts = (1 to 3).map(b =>
+      b -> c.filter(col("band") === b).agg(min("k"), max("k")).head())
+    TimeTravel.commitOverwrite(
+      c.filter(col("band") === 1).drop("band").coalesce(1), base)
+    (2 to 3).foreach(b => TimeTravel.commitAppend(
+      c.filter(col("band") === b).drop("band").coalesce(1), base))
+    IcebergExport.snapshot(s, base, tgt)
+    val (lo, hi) = (cuts(1)._2.getLong(0), cuts(1)._2.getLong(1))
+    val band2 = IcebergRead.read(s, tgt).filter(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    val row = band2.collect().head
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), scannedFiles(band2).toInt))
+      .toDF("n_rows", "sum_cents", "files_read")
+  }
+
   /** Delta NAME-MODE column mapping over NESTED complex columns (r13
     * — the common Databricks shape the r12 reader declined): the data
     * file carries PHYSICAL names at every nesting level (`col-s` =
@@ -1515,5 +1624,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping)
 }
