@@ -251,6 +251,61 @@ object DeltaRead {
       st.partitionCols, colMapOf(tablePath, st), colIdsOf(tablePath, st))
   }
 
+  /** TIMESTAMP-based time travel (the `TIMESTAMP AS OF` rule): the
+    * LATEST version whose commit timestamp is ≤ `tsMillis`. Per the
+    * public protocol a commit's timestamp is its
+    * `commitInfo.inCommitTimestamp` when the writer recorded one (the
+    * in-commit-timestamps feature, where commitInfo must be the FIRST
+    * action) and the log file's modification time otherwise;
+    * modification times can regress (file copies, clock skew), so
+    * timestamps canonicalize MONOTONIC — each commit's effective
+    * timestamp is at least its predecessor's, the reference
+    * implementation's adjustment. A timestamp before the first
+    * available commit is loud (vacuumed history cannot resolve it). */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val logDir = new Path(s"$tablePath/_delta_log")
+    val f = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = f.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("""\d{20}\.json"""))
+      .map(s => (s.getPath.getName.stripSuffix(".json").toLong, s))
+      .sortBy(_._1)
+    if (commits.isEmpty) throw new IllegalArgumentException(
+      s"no commit JSONs under $logDir — timestamp travel needs the log files")
+    // the ICT value, read from the commit's first line only (the
+    // feature pins commitInfo first) — one bounded read per commit,
+    // the same O(versions) planning class as the replay itself
+    def ictOf(p: Path): Option[Long] =
+      try {
+        val in = f.open(p)
+        try {
+          val rdr = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          Option(rdr.readLine()).flatMap { line =>
+            val node = mapper.readTree(line)
+            Option(node.get("commitInfo"))
+              .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+              .filterNot(_.isNull).map(_.asLong())
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+    var prev = Long.MinValue
+    val stamped = commits.map { case (v, s) =>
+      val raw = ictOf(s.getPath).getOrElse(s.getModificationTime)
+      prev = math.max(prev, raw)
+      (v, prev)
+    }
+    stamped.takeWhile(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first available commit of " +
+          s"$tablePath (${stamped.head._2}); earlier history is not resolvable"))
+  }
+
+  /** [[read]] pinned at the snapshot [[versionAtTimestamp]] names. */
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): DataFrame =
+    read(spark, tablePath, Some(versionAtTimestamp(spark, tablePath, tsMillis)))
+
   private def requireReadable(tablePath: String, st: LogState): Unit =
     st.minReader match {
       case 1 => ()

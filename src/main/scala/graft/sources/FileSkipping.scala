@@ -78,6 +78,19 @@ private[sources] object FileSkipping {
       case StringType if v.isTextual => Some(UTF8String.fromString(v.asText()))
       case DateType if v.isTextual =>
         Some(java.time.LocalDate.parse(v.asText()).toEpochDay.toInt)
+      case TimestampType if v.isTextual =>
+        // Delta writes timestamp stats as ISO-8601 (millisecond
+        // precision, max rounded UP by the writer so it stays an upper
+        // bound); catalyst form is epoch micros
+        val t = v.asText()
+        val inst =
+          try java.time.OffsetDateTime.parse(t).toInstant
+          catch { case _: Exception =>
+            java.time.LocalDateTime.parse(t)
+              .toInstant(java.time.ZoneOffset.UTC)
+          }
+        Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L))
       case d: DecimalType if v.isNumber || v.isTextual =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v.asText()))
         if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None

@@ -186,6 +186,44 @@ object IcebergRead {
     }
   }
 
+  /** TIMESTAMP-based time travel (the `TIMESTAMP AS OF` rule): the id
+    * of the LATEST snapshot whose `timestamp-ms` is ≤ `tsMillis`, per
+    * the spec's `snapshot-log` (the history real writers maintain);
+    * when the metadata carries no log, the snapshots' own
+    * `timestamp-ms` fields serve. A timestamp before the first
+    * recorded snapshot is loud (expired history cannot resolve it). */
+  def snapshotAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val meta = currentMetadata(spark, tablePath)
+    def entriesOfNode(name: String, tsField: String, idField: String): Seq[(Long, Long)] =
+      Option(meta.get(name)).map { arr =>
+        (0 until arr.size()).map(arr.get).flatMap { n =>
+          for {
+            ts <- Option(n.get(tsField)).filterNot(_.isNull).map(_.asLong())
+            id <- Option(n.get(idField)).filterNot(_.isNull).map(_.asLong())
+          } yield (ts, id)
+        }
+      }.getOrElse(Seq.empty)
+    val log = {
+      val sl = entriesOfNode("snapshot-log", "timestamp-ms", "snapshot-id")
+      if (sl.nonEmpty) sl
+      else entriesOfNode("snapshots", "timestamp-ms", "snapshot-id")
+    }
+    if (log.isEmpty) throw new IllegalArgumentException(
+      s"iceberg metadata at $tablePath records no snapshot timestamps — " +
+        "timestamp travel needs a snapshot-log")
+    val sorted = log.sortBy(_._1)
+    sorted.takeWhile(_._1 <= tsMillis).lastOption.map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the first recorded snapshot of " +
+          s"$tablePath (${sorted.head._1}); earlier history is not resolvable"))
+  }
+
+  /** [[read]] pinned at the snapshot [[snapshotAtTimestamp]] names. */
+  def readAsOfTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): DataFrame =
+    read(spark, tablePath, Some(snapshotAtTimestamp(spark, tablePath, tsMillis)))
+
   /** The manifest paths a snapshot's list names, in list order. */
   private[sources] def manifestsOf(spark: SparkSession, tablePath: String,
       manifestList: Path): Seq[Path] =
@@ -549,23 +587,36 @@ object IcebergRead {
         Seq((snapshotId, manifestList)), fields)
 
     /** Multi-snapshot variant: `snapshots` in commit order, the
-      * current one named by `currentSnapshotId`. */
+      * current one named by `currentSnapshotId`. `timestamps` (id →
+      * timestamp-ms) additionally stamps each snapshot and writes the
+      * spec's `snapshot-log` for timestamp time travel. */
     def metadataMulti(dir: String, v: Int, formatVersion: Int,
         currentSnapshotId: Long, snapshots: Seq[(Long, String)],
-        fields: Seq[(Int, String, Boolean, String)]): Unit = {
+        fields: Seq[(Int, String, Boolean, String)],
+        timestamps: Map[Long, Long] = Map.empty): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
       val fjson = fields.map { case (id, n, req, t) =>
         s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
       }.mkString(",")
       val sjson = snapshots.map { case (id, ml) =>
-        s"""{"snapshot-id":$id,"manifest-list":"$ml"}"""
+        val ts = timestamps.get(id).map(t => s""""timestamp-ms":$t,""").getOrElse("")
+        s"""{"snapshot-id":$id,$ts"manifest-list":"$ml"}"""
       }.mkString(",")
+      val slog =
+        if (timestamps.isEmpty) ""
+        else {
+          val entries = snapshots.flatMap { case (id, _) =>
+            timestamps.get(id).map(t =>
+              s"""{"timestamp-ms":$t,"snapshot-id":$id}""")
+          }.mkString(",")
+          s""","snapshot-log":[$entries]"""
+        }
       val body =
         s"""{"format-version":$formatVersion,"table-uuid":"fixture",
            |"location":"$dir","current-schema-id":0,
            |"schemas":[{"schema-id":0,"type":"struct","fields":[$fjson]}],
            |"current-snapshot-id":$currentSnapshotId,
-           |"snapshots":[$sjson]}""".stripMargin
+           |"snapshots":[$sjson]$slog}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/metadata/v$v.metadata.json"), body)
       java.nio.file.Files.writeString(

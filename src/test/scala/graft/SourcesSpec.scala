@@ -745,6 +745,60 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaRead.read(spark, tgt).count() == 30)
   }
 
+  test("interop timestamp time travel: latest-at-or-before with monotonic and ICT rules") {
+    import graft.sources.{DeltaRead, IcebergRead}
+    import spark.implicits._
+    // ---- Delta: commit-file modification times, canonicalized monotonic
+    val dir = Files.createTempDirectory("delta_ts").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 20L).map(i => (i, i)))
+    writeDeltaPart(dir, "f3.parquet", (21L to 30L).map(i => (i, i)))
+    def add(name: String) =
+      s"""{"add":{"path":"$name","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}"""
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = false), add("f1.parquet")))
+    writeDeltaCommit(dir, 1, Seq(add("f2.parquet")))
+    // v2 carries an IN-COMMIT timestamp (first action), overriding mtime
+    writeDeltaCommit(dir, 2,
+      Seq("""{"commitInfo":{"inCommitTimestamp":5000}}""", add("f3.parquet")))
+    def cj(v: Long) = new java.io.File(s"$dir/_delta_log/" + f"$v%020d" + ".json")
+    assert(cj(0).setLastModified(2000))
+    assert(cj(1).setLastModified(1000)) // REGRESSED mtime → canonicalizes to 2000
+    assert(cj(2).setLastModified(9999999)) // ignored: ICT wins
+    assert(intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(spark, dir, 1999)).getMessage
+      .contains("predates"), "pre-first-commit timestamps are unresolvable")
+    assert(DeltaRead.versionAtTimestamp(spark, dir, 2000) == 1,
+      "v1's regressed mtime canonicalizes up to v0's 2000 — both qualify, latest wins")
+    assert(DeltaRead.versionAtTimestamp(spark, dir, 4999) == 1)
+    assert(DeltaRead.versionAtTimestamp(spark, dir, 5000) == 2, "ICT wins over mtime")
+    assert(DeltaRead.readAsOfTimestamp(spark, dir, 4999).count() == 20)
+    assert(DeltaRead.readAsOfTimestamp(spark, dir, 5000).count() == 30)
+    // ---- Iceberg: the metadata snapshot-log
+    val idir = Files.createTempDirectory("iceberg_ts").toFile.getAbsolutePath + "/t"
+    val fields = Seq((1, "id", true, "long"), (2, "v", false, "long"),
+      (3, "band", false, "string"))
+    val if1 = writeIcebergPart(idir, "f1.parquet", (1L to 10L).map(i => (i, i, "a")))
+    val if2 = writeIcebergPart(idir, "f2.parquet", (11L to 15L).map(i => (i, i, "b")))
+    val m1 = icebergManifest(idir, "m1.avro", Seq((1, if1, 0)))
+    val m2 = icebergManifest(idir, "m2.avro", Seq((1, if2, 0)))
+    val ml1 = icebergManifestList(idir, "snap-1.avro", Seq(m1))
+    val ml2 = icebergManifestList(idir, "snap-2.avro", Seq(m1, m2))
+    IcebergRead.Fixture.metadataMulti(idir, 1, 2, 200L,
+      Seq((100L, ml1), (200L, ml2)), fields,
+      timestamps = Map(100L -> 1000L, 200L -> 2000L))
+    assert(IcebergRead.snapshotAtTimestamp(spark, idir, 1500L) == 100L)
+    assert(IcebergRead.snapshotAtTimestamp(spark, idir, 2000L) == 200L)
+    assert(IcebergRead.readAsOfTimestamp(spark, idir, 1500L).count() == 10)
+    assert(IcebergRead.readAsOfTimestamp(spark, idir, 9999L).count() == 15)
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.snapshotAtTimestamp(spark, idir, 999L))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("delta read: checkpoint replay + later commits, and loud feature declines") {
     import graft.sources.DeltaRead
     import spark.implicits._
