@@ -69,8 +69,24 @@ class DeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    if (params.contains("startingversion") && params.contains("startingtimestamp"))
+      throw new IllegalArgumentException(
+        "graft-delta accepts startingVersion OR startingTimestamp, not both")
+    // startingTimestamp = every change stamped AT or AFTER it: resolve
+    // to the last commit strictly before (strictly-after resume
+    // semantics); a timestamp predating the log serves the full
+    // snapshot first, which IS everything
+    val startV = params.get("startingversion").map(_.toLong)
+      .orElse(params.get("startingtimestamp").map(_.toLong).flatMap { ts =>
+        try Some(DeltaRead.versionAtTimestamp(
+          sqlContext.sparkSession, pathOf(parameters), ts - 1))
+        catch {
+          case e: IllegalArgumentException if e.getMessage.contains("predates") =>
+            None
+        }
+      })
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      params.get("startingversion").map(_.toLong), cdf = cdfOf(parameters),
+      startV, cdf = cdfOf(parameters),
       maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt),
       metadataPath = Some(metadataPath))
   }

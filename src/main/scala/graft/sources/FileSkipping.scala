@@ -167,6 +167,15 @@ private[sources] object FileSkipping {
           case Literal(v, dt) => v != null && dt == a.dataType
           case _ => false
         } => vs.exists { case Literal(v, _) => contains(a, v) }
+      case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType))
+          if p != null && a.dataType == StringType =>
+        // values with prefix p exist only if the interval's endpoints
+        // bracket p at prefix length: prefix(min) ≤ p ≤ prefix(max)
+        val n = p.numChars()
+        b(a).flatMap(_.min).forall(m =>
+          m.asInstanceOf[UTF8String].substring(0, n).compareTo(p) <= 0) &&
+          b(a).flatMap(_.max).forall(m =>
+            m.asInstanceOf[UTF8String].substring(0, n).compareTo(p) >= 0)
       case IsNull(a: AttributeReference) =>
         b(a).flatMap(_.nullCount).forall(_ > 0)
       case IsNotNull(a: AttributeReference) =>

@@ -68,9 +68,25 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    if (params.contains("startingsnapshotid") && params.contains("startingtimestamp"))
+      throw new IllegalArgumentException(
+        "graft-iceberg accepts startingSnapshotId OR startingTimestamp, not both")
+    // startingTimestamp = every change stamped AT or AFTER it: resolve
+    // through the snapshot-log to the last snapshot strictly before
+    // (strictly-after resume semantics); a timestamp predating the log
+    // serves the full first-batch snapshot, which IS everything
+    val startId = params.get("startingsnapshotid").map(_.toLong)
+      .orElse(params.get("startingtimestamp").map(_.toLong).flatMap { ts =>
+        try Some(IcebergRead.snapshotAtTimestamp(
+          sqlContext.sparkSession, pathOf(parameters), ts - 1))
+        catch {
+          case e: IllegalArgumentException if e.getMessage.contains("predates") =>
+            None
+        }
+      })
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
       params.get("maxmanifestspertrigger").map(_.toInt),
-      params.get("startingsnapshotid").map(_.toLong),
+      startId,
       metadataPath = Some(metadataPath))
   }
 }

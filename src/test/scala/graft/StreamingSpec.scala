@@ -1252,6 +1252,82 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("startingSnapshotId")), messages(e).toString)
   }
 
+  test("stream sources: startingTimestamp resolves the resume point on both formats") {
+    import graft.sources.{DeltaExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    // ---- delta: commit mtimes drive the resolution
+    val src = Files.createTempDirectory("dts_src").toFile.getAbsolutePath + "/t"
+    val dir = Files.createTempDirectory("dts_tgt").toFile.getAbsolutePath + "/d"
+    TimeTravel.commitOverwrite((1L to 30L).map(i => (i, i)).toDF("k", "v"), src)
+    DeltaExport.snapshot(spark, src, dir)
+    TimeTravel.commitAppend((31L to 35L).map(i => (i, i)).toDF("k", "v"), src)
+    DeltaExport.append(spark, src, dir)
+    def cj(v: Long) = new java.io.File(s"$dir/_delta_log/" + f"$v%020d" + ".json")
+    assert(cj(0).setLastModified(1000) && cj(1).setLastModified(2000))
+    def runDelta(opts: Map[String, String]): Seq[Long] = {
+      val got = new scala.collection.mutable.ArrayBuffer[Long]()
+      val q = opts.foldLeft(spark.readStream.format("graft-delta")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", ckpt())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.select("k").collect().map(_.getLong(0))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    // mid-history: everything stamped ≥ 1500 = the v1 increment only
+    assert(runDelta(Map("startingTimestamp" -> "1500")).toSet ==
+      (31L to 35L).toSet, "mid-history timestamp must serve the later commit only")
+    // predating the log: the full snapshot first batch (= everything)
+    assert(runDelta(Map("startingTimestamp" -> "5")).size == 35)
+    // both options together decline loudly
+    val e = intercept[Exception](
+      runDelta(Map("startingTimestamp" -> "5", "startingVersion" -> "0")))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not both")), messages(e).toString)
+    // ---- iceberg: the snapshot-log drives the resolution
+    val idir = Files.createTempDirectory("its").toFile.getAbsolutePath + "/t"
+    val fields = Seq((1, "k", true, "long"), (2, "v", false, "long"))
+    def part(name: String, rows: Seq[(Long, Long)]): String = {
+      val tmp = Files.createTempDirectory("its_part").toFile.getAbsolutePath
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$idir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val f1 = part("f1.parquet", (1L to 30L).map(i => (i, i)))
+    val m1 = IcebergRead.Fixture.manifest(idir, "m1.avro", Seq((1, f1, 0)))
+    val ml1 = IcebergRead.Fixture.manifestList(idir, "snap-1.avro", Seq(m1))
+    val f2 = part("f2.parquet", (31L to 35L).map(i => (i, i)))
+    val m2 = IcebergRead.Fixture.manifest(idir, "m2.avro", Seq((1, f2, 0)))
+    val ml2 = IcebergRead.Fixture.manifestList(idir, "snap-2.avro", Seq(m1, m2))
+    IcebergRead.Fixture.metadataMulti(idir, 2, 2, 200L,
+      Seq((100L, ml1), (200L, ml2)), fields,
+      timestamps = Map(100L -> 1000L, 200L -> 2000L))
+    def runIce(ts: String): Seq[Long] = {
+      val got = new scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.format("graft-iceberg")
+        .option("startingTimestamp", ts).load(idir)
+        .writeStream.outputMode("append").option("checkpointLocation", ckpt())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.select("k").collect().map(_.getLong(0))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    assert(runIce("1500").toSet == (31L to 35L).toSet,
+      "mid-history timestamp must serve the post-snap-100 increment only")
+    assert(runIce("5").size == 35, "pre-history timestamp serves everything")
+  }
+
   test("iceberg stream source: maxManifestsPerTrigger bounds each batch to whole snapshots") {
     import graft.sources.IcebergRead
     import spark.implicits._
