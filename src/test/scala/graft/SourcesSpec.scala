@@ -2301,6 +2301,88 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("only ADDED entries inherit"), e2.getMessage)
   }
 
+  test("file skipping: seeded randomized sweep — pruned reads equal unpruned") {
+    // skipping is an OPTIMIZATION with a crisp invariant: for any
+    // bounds and any pushed filter, the pruned result must equal the
+    // filter applied to everything. Sweep random per-file stats (some
+    // deliberately absent) and random predicates over a Delta fixture
+    // whose adds carry the stats, and hold the FileIndex to it.
+    import graft.sources.DeltaRead
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xF11E5C1AL)
+    (1 to 5).foreach { trial =>
+      val dir = Files.createTempDirectory(s"dskip_sweep$trial")
+        .toFile.getAbsolutePath + "/t"
+      new java.io.File(dir).mkdirs()
+      val nFiles = 3 + rnd.nextInt(3)
+      val fileRows = (0 until nFiles).map { i =>
+        val rows = (0 until 3 + rnd.nextInt(6))
+          .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        writeDeltaPart(dir, s"f$i.parquet", rows)
+        (i, rows)
+      }
+      def statsOf(rows: Seq[(Long, Long)]): Option[String] =
+        if (rnd.nextInt(4) == 0) None // statless files must always read
+        else Some(
+          s"""{\\"numRecords\\":${rows.size},""" +
+            s"""\\"minValues\\":{\\"id\\":${rows.map(_._1).min}},""" +
+            s"""\\"maxValues\\":{\\"id\\":${rows.map(_._1).max}},""" +
+            s"""\\"nullCount\\":{\\"id\\":0}}""")
+      def add(i: Int, rows: Seq[(Long, Long)]) =
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":1,""" +
+          s""""modificationTime":1,"dataChange":true""" +
+          statsOf(rows).map(s => s""","stats":"$s"""").getOrElse("") + "}}"
+      writeDeltaCommit(dir, 0,
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          metaAction(partitioned = false)) ++
+          fileRows.map { case (i, rows) => add(i, rows) })
+      val all = fileRows.flatMap(_._2)
+      (1 to 8).foreach { _ =>
+        val a = rnd.nextInt(40).toLong
+        val b = rnd.nextInt(40).toLong
+        val (pred, model) = rnd.nextInt(5) match {
+          case 0 => (col("id") === a, all.filter(_._1 == a))
+          case 1 => (col("id") > a, all.filter(_._1 > a))
+          case 2 => (col("id") <= a, all.filter(_._1 <= a))
+          case 3 => (col("id") >= math.min(a, b) && col("id") < math.max(a, b),
+            all.filter(r => r._1 >= math.min(a, b) && r._1 < math.max(a, b)))
+          case _ => (col("id").isin(a, b), all.filter(r => r._1 == a || r._1 == b))
+        }
+        val got = DeltaRead.read(spark, dir).filter(pred)
+          .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == model.sorted,
+          s"trial $trial pred $pred: pruned read diverged from the model")
+      }
+    }
+  }
+
+  test("puffin: seeded randomized DV roundtrips incl. high 32-bit keys") {
+    import graft.sources.Puffin
+    val rnd = new scala.util.Random(0xDF13L)
+    val dir = Files.createTempDirectory("puffin_sweep").toFile.getAbsolutePath
+    (1 to 5).foreach { trial =>
+      val p = s"$dir/dv$trial.puffin"
+      val dvs = (0 until 1 + rnd.nextInt(4)).map { i =>
+        val n = 1 + rnd.nextInt(200)
+        val positions = Seq.fill(n) {
+          val hi = rnd.nextInt(3).toLong << 32 // spans bitmap keys
+          hi | (rnd.nextInt(1 << 20).toLong)
+        }.distinct
+        (s"/data/f$i.parquet", positions)
+      }
+      val refs = Puffin.writeDvFile(spark, p, dvs,
+        snapshotId = trial.toLong, sequenceNumber = 1L)
+      dvs.zip(refs).foreach { case ((_, positions), r) =>
+        assert(r.cardinality == positions.size.toLong)
+        assert(Puffin.dvPositions(spark, p, r.offset, r.length).toSeq ==
+          positions.sorted, s"trial $trial: positions must roundtrip sorted")
+      }
+      val (blobs, _) = Puffin.footer(spark, p)
+      assert(blobs.size == dvs.size &&
+        blobs.map(b => (b.offset, b.length)) == refs.map(r => (r.offset, r.length)))
+    }
+  }
+
   test("iceberg equality deletes: seeded randomized sweep vs in-memory model") {
     import graft.sources.IcebergRead
     import graft.sources.IcebergRead.EntryInfo
