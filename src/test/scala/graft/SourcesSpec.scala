@@ -2383,6 +2383,60 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("iceberg v3 DV export: seeded randomized mutate-publish-replay roundtrips") {
+    // the supersede logic (one cumulative vector per re-deleted file,
+    // prior DV entries dropped from carried-forward manifests) has a
+    // crisp invariant: after every publish, the independent replay
+    // equals the graft source read. Sweep random append/delete windows.
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xD1D33964L)
+    (1 to 3).foreach { trial =>
+      val src = Files.createTempDirectory(s"iv3sweep_src$trial")
+        .toFile.getAbsolutePath + "/t"
+      val tgt = Files.createTempDirectory(s"iv3sweep_tgt$trial")
+        .toFile.getAbsolutePath + "/i"
+      var nextK = 1L
+      def appendSome(): Unit = {
+        val n = 5 + rnd.nextInt(10)
+        val rows = (nextK until nextK + n).map(i => (i, i * 2))
+        nextK += n
+        if (TimeTravel.versions(spark, src).isEmpty)
+          TimeTravel.commitOverwrite(rows.toDF("k", "v"), src)
+        else TimeTravel.commitAppend(rows.toDF("k", "v"), src)
+      }
+      def deleteSome(): Unit = {
+        val m = 2 + rnd.nextInt(5)
+        TimeTravel.deleteMoR(spark, src, col("k") % m === rnd.nextInt(m).toLong)
+      }
+      appendSome()
+      if (rnd.nextBoolean()) deleteSome() // maybe pending at first export
+      assert(IcebergExport.snapshot(spark, src, tgt, formatVersion = 3) > 0)
+      def check(stage: String): Unit = {
+        val want = TimeTravel.read(spark, src).select("k").as[Long].collect().toSet
+        val got = IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+        assert(got == want, s"trial $trial $stage: replay diverged; " +
+          s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      }
+      check("snapshot")
+      (1 to 3).foreach { w =>
+        // each window: at least one mutation, mixed shapes
+        val acts = 1 + rnd.nextInt(3)
+        var mutated = false
+        (1 to acts).foreach { _ =>
+          if (rnd.nextBoolean()) { appendSome(); mutated = true }
+          else if (TimeTravel.read(spark, src).count() > 0) {
+            deleteSome(); mutated = true
+          }
+        }
+        if (mutated) {
+          IcebergExport.append(spark, src, tgt)
+          check(s"window $w")
+        }
+      }
+    }
+  }
+
   test("iceberg equality deletes: seeded randomized sweep vs in-memory model") {
     import graft.sources.IcebergRead
     import graft.sources.IcebergRead.EntryInfo
