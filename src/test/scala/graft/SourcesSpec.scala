@@ -799,6 +799,63 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
+  test("delta read: stats null counts, Or-composition, and cast shapes gate skipping") {
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("delta_nullstats").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    val schema = StructType(Seq(StructField("id", LongType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    def writeRows(rel: String, rows: Seq[Row]): Unit = {
+      val tmp = Files.createTempDirectory("dn_stage").toFile.getAbsolutePath
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(s"$dir/$rel").toPath): Unit
+    }
+    writeRows("f1.parquet",
+      (1L to 10L).map(i => Row(java.lang.Long.valueOf(i), java.lang.Long.valueOf(i))))
+    writeRows("f2.parquet",
+      (1L to 5L).map(i => Row(null, java.lang.Long.valueOf(i * 100))))
+    val s1 = """{\"numRecords\":10,\"minValues\":{\"id\":1},""" +
+      """\"maxValues\":{\"id\":10},\"nullCount\":{\"id\":0}}"""
+    val s2 = """{\"numRecords\":5,\"minValues\":{},\"maxValues\":{},""" +
+      """\"nullCount\":{\"id\":5}}"""
+    def add(name: String, stats: String) =
+      s"""{"add":{"path":"$name","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,"stats":"$stats"}}"""
+    writeDeltaCommit(dir, 0,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(partitioned = false),
+        add("f1.parquet", s1), add("f2.parquet", s2)))
+    def scanned(f: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val scans = f.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val n = f.collect().length.toLong // same execution as the metric
+      (scans.head.metrics("numFiles").value, n)
+    }
+    // IsNull: the zero-null-count file prunes
+    assert(scanned(DeltaRead.read(spark, dir).filter(col("id").isNull)) == (1L, 5L))
+    // IsNotNull: the all-null file prunes (nullCount == numRecords)
+    assert(scanned(DeltaRead.read(spark, dir).filter(col("id").isNotNull)) == (1L, 10L))
+    // an equality Or: f1 kept (5 in bounds); f2 kept CONSERVATIVELY —
+    // its min/max are absent and no not-null constraint pushes through
+    // a disjunction, so the boundless file reads
+    assert(scanned(DeltaRead.read(spark, dir)
+      .filter(col("id") === 5L || col("id") === 15L)) == (2L, 1L))
+    // an unsupported shape (abs) never prunes by bounds: f1 is kept and
+    // scanned even though no |id| = 55 row can exist in [1,10] — the
+    // conservative contract; f2 still prunes via the inferred not-null
+    assert(scanned(DeltaRead.read(spark, dir)
+      .filter(abs(col("id")) === 55L)) == (1L, 0L))
+    // out-of-range equality prunes f1 by bounds; f2 prunes via not-null
+    assert(scanned(DeltaRead.read(spark, dir).filter(col("id") === 15L)) == (0L, 0L))
+  }
+
   test("delta read: checkpoint replay + later commits, and loud feature declines") {
     import graft.sources.DeltaRead
     import spark.implicits._
