@@ -236,8 +236,14 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
         val live = IcebergRead.liveEntries(spark, path, meta, Some(endOff.sid))
         if (!live.exists(_.content == 0)) emptyBatch()
         else {
+          // the data scan's FileIndex roots at the TABLE path when the
+          // manifests carry file sizes (the log-backed index) and at
+          // the file paths on the listing fallback — mark both; the
+          // delete-side scans root at their own file paths and stay
+          // static either way
           val dataRoots = live.filter(_.content == 0)
-            .map(e => new org.apache.hadoop.fs.Path(files(e.path)).toString).toSet
+            .map(e => new org.apache.hadoop.fs.Path(files(e.path)).toString).toSet +
+            new org.apache.hadoop.fs.Path(path).toString
           GraftPlanApi.markFileRelationsStreaming(
             IcebergRead.read(spark, path, Some(endOff.sid)), dataRoots)
         }

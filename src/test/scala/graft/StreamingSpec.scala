@@ -1028,8 +1028,13 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.copy(f.toPath, dst.toPath); dst.getAbsolutePath }
     val dvRefs = Puffin.writeDvFile(spark, s"$dir/data/dv.puffin",
       Seq((f1, Seq(0L, 1L, 2L, 5L))), snapshotId = 100L, sequenceNumber = 3L)
+    // the data entry carries its manifest size, so the first batch
+    // plans through the log-backed FileIndex (table-rooted) — the
+    // shape real tables stream in; the root-restricted streaming mark
+    // must cover it, not just the listing fallback
     val m1 = IcebergRead.Fixture.manifestV2(dir, "m1.avro",
-      Seq(EntryInfo(1, f1, 0, 1L, Nil)))
+      Seq(EntryInfo(1, f1, 0, 1L, Nil,
+        sizeInBytes = Some(new java.io.File(f1).length()))))
     val mDel = IcebergRead.Fixture.manifestV2(dir, "mdel.avro", Seq(
       EntryInfo(1, pd, 1, 2L, Nil),
       EntryInfo(1, eq, 2, 2L, Seq(1)),
