@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries => CdcQ, DedupQueries => DedupQ, Events => EventsQ, GraphQueries => GraphQ, KbQueries => KbQ, MaintenanceQueries => MaintQ, MultimodalQueries => MmQ, ProfileQueries => ProfileQ, QualityQueries => QualityQ, Relational => RelationalQ, SimilarityQueries => SimQ, SubqueryQueries => SubQ, SearchQueries => SearchQ, TextQueries => TextQ, TpchQueries => TpchQ}
+import graft.queries.{CdcQueries => CdcQ, DedupQueries => DedupQ, Events => EventsQ, GraphQueries => GraphQ, KbQueries => KbQ, LakehouseQueries => LakeQ, MaintenanceQueries => MaintQ, MultimodalQueries => MmQ, ProfileQueries => ProfileQ, QualityQueries => QualityQ, Relational => RelationalQ, SimilarityQueries => SimQ, SubqueryQueries => SubQ, SearchQueries => SearchQ, TextQueries => TextQ, TpchQueries => TpchQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     RelationalQ.all ++ EventsQ.all ++ TextQ.all ++ DedupQ.all ++ SimQ.all ++
       CdcQ.all ++ KbQ.all ++ MmQ.all ++ SubQ.all ++ TpchQ.all ++ SearchQ.all ++
-      QualityQ.all ++ MaintQ.all ++ GraphQ.all ++ ProfileQ.all
+      QualityQ.all ++ MaintQ.all ++ GraphQ.all ++ ProfileQ.all ++ LakeQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

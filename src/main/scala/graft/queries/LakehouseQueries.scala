@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.sources.{DeltaExport, DeltaMaintenance, DeltaRead, IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse MAINTENANCE + INTROSPECTION inventory (r13): the
+  * operational surface of the published Delta/Iceberg tables —
+  * DESCRIBE HISTORY / metadata tables, checkpoint + log-retention
+  * cleanup, deletion-vector VACUUM, and EXPIRE SNAPSHOTS — each
+  * exercised end-to-end on a table built from the sf parquet inputs so
+  * the DuckDB oracle pins both the maintenance COUNTS (a sweep that
+  * removes the wrong file count breaks the hash) and the post-
+  * maintenance READ (a sweep that removes a still-referenced file
+  * breaks the data columns).
+  */
+object LakehouseQueries {
+
+  private def freshDirs(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): (String, String) = {
+    val t = Integer.toHexString(d.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${t}_p" +
+      ProcessHandle.current().pid()
+    val tgt = base + "_tbl"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    (base, tgt)
+  }
+
+  /** DESCRIBE HISTORY over an exported `_delta_log`: per-commit action
+    * counts straight from the log (version, operation, adds, removes,
+    * DV-carrying adds), plus the current row count so the history and
+    * the data agree with one oracle. The row-level publish (commit 1)
+    * must show exactly remove+re-add-with-DV per affected file. */
+  val qDeltaHistory: QueryDef = QueryDef.sql(
+    "q_delta_history",
+    """WITH o AS (SELECT o_orderkey AS k FROM orders),
+      |cur AS (SELECT COUNT(*) AS n FROM o WHERE NOT (k % 7 = 3))
+      |SELECT v.version, 'graft-export' AS operation,
+      |  v.n_adds, v.n_removes, v.n_dv_adds,
+      |  (SELECT n FROM cur) AS current_rows
+      |FROM (VALUES (0, 2, 0, 0), (1, 2, 2, 2))
+      |  AS v(version, n_adds, n_removes, n_dv_adds)
+      |ORDER BY v.version""".stripMargin) { (s, d) =>
+    val (base, tgt) = freshDirs(s, d, "dhist")
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey").as("k"),
+        graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("k") % 2 === 0).coalesce(1), base)
+    TimeTravel.commitAppend(o.filter(col("k") % 2 === 1).coalesce(1), base)
+    DeltaExport.snapshot(s, base, tgt) // delta v0: two plain adds
+    TimeTravel.deleteMoR(s, base, col("k") % 7 === 3)
+    DeltaExport.append(s, base, tgt) // delta v1: remove + re-add w/ DV, each file
+    val cur = DeltaRead.read(s, tgt).count()
+    DeltaMaintenance.history(s, tgt)
+      .select(col("version"), col("operation"), col("n_adds"),
+        col("n_removes"), col("n_dv_adds"), lit(cur).as("current_rows"))
+      .orderBy("version")
+  }
+
+  /** Checkpoint → log-retention cleanup → DV VACUUM, the retirement
+    * sequence of a long-lived row-level stream: two supersede-chained
+    * deletes leave a garbage sidecar, which vacuum must refuse to touch
+    * while any visible commit references it (`dv_removed_dry` = 0) and
+    * remove exactly once the checkpoint has retired the old JSONs
+    * (`jsons_removed` = 3, `dv_removed` = 1) — with the post-vacuum
+    * read still serving the exact surviving rows. */
+  val qDeltaVacuum: QueryDef = QueryDef.sql(
+    "q_delta_vacuum",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT 0 AS dv_removed_dry, 3 AS jsons_removed, 1 AS dv_removed,
+      |  COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM c WHERE NOT (k % 5 = 2 OR k % 7 = 3)""".stripMargin) { (s, d) =>
+    val (base, tgt) = freshDirs(s, d, "dvac")
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"),
+        graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(c.coalesce(1), base) // v1: one data file
+    TimeTravel.deleteMoR(s, base, col("k") % 5 === 2) // v2
+    TimeTravel.deleteMoR(s, base, col("k") % 7 === 3) // v3
+    DeltaExport.snapshot(s, base, tgt, version = Some(1L)) // delta v0
+    DeltaExport.append(s, base, tgt, toVersion = Some(2L)) // delta v1: DV #1
+    DeltaExport.append(s, base, tgt) // delta v2: superseding DV #2
+    val dry = DeltaMaintenance.vacuum(s, tgt, dryRun = true).size
+    DeltaMaintenance.checkpoint(s, tgt)
+    val cleaned = DeltaMaintenance.cleanupLog(s, tgt).size
+    val removed = DeltaMaintenance.vacuum(s, tgt).size
+    val row = DeltaRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .collect().head
+    import s.implicits._
+    Seq((dry, cleaned, removed, row.getLong(0), row.getLong(1)))
+      .toDF("dv_removed_dry", "jsons_removed", "dv_removed", "n_rows", "sum_cents")
+  }
+
+  /** EXPIRE SNAPSHOTS on a v3 deletion-vector table: the supersede
+    * chain strands the first publish's DV manifest + puffin sidecar in
+    * the expired snapshot only, so retaining the last snapshot must
+    * remove exactly one manifest list, one manifest, and one orphan
+    * sidecar — and the surviving snapshot must still serve the exact
+    * MoR row set. */
+  val qIcebergExpire: QueryDef = QueryDef.sql(
+    "q_iceberg_expire",
+    """WITH su AS (
+      |  SELECT s_suppkey AS k, CAST(ROUND(s_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM supplier
+      |)
+      |SELECT 1 AS expired_snapshots, 1 AS lists_removed, 1 AS manifests_removed,
+      |  1 AS orphans_removed, 1 AS snapshots_left,
+      |  COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM su WHERE NOT (k % 5 = 2 OR k % 7 = 3)""".stripMargin) { (s, d) =>
+    val (base, tgt) = freshDirs(s, d, "iexp")
+    val su = Tables(s, d, "supplier")
+      .select(col("s_suppkey").as("k"),
+        graft.Exact.units(col("s_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(su.coalesce(1), base) // v1: one data file
+    TimeTravel.deleteMoR(s, base, col("k") % 5 === 2) // v2
+    IcebergExport.snapshot(s, base, tgt, formatVersion = 3) // S1: DV #1
+    TimeTravel.deleteMoR(s, base, col("k") % 7 === 3) // v3
+    IcebergExport.append(s, base, tgt) // S2: superseding DV #2, md1 dropped
+    val r = IcebergMaintenance.expireSnapshots(s, tgt, retainLast = 1)
+    val left = IcebergMaintenance.snapshots(s, tgt).count()
+    val row = IcebergRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .collect().head
+    import s.implicits._
+    Seq((r.expiredSnapshotIds.size, r.manifestListsRemoved.size,
+      r.manifestsRemoved.size, r.orphanFilesRemoved.size, left,
+      row.getLong(0), row.getLong(1)))
+      .toDF("expired_snapshots", "lists_removed", "manifests_removed",
+        "orphans_removed", "snapshots_left", "n_rows", "sum_cents")
+  }
+
+  /** Metadata tables of a two-snapshot merge-on-read export: per
+    * content kind, the file count and manifest-recorded row counts —
+    * `sum(record_count)` of the data files must equal the SOURCE row
+    * count and of the delete files the tombstoned row count, all from
+    * metadata alone (zero data-file reads: the audit that stays cheap
+    * at 100 TB). */
+  val qIcebergMeta: QueryDef = QueryDef.sql(
+    "q_iceberg_meta",
+    """WITH o AS (SELECT o_orderkey AS k FROM orders)
+      |SELECT * FROM (
+      |  SELECT 0 AS content, 2 AS n_files,
+      |    (SELECT COUNT(*) FROM o) AS sum_records, 2 AS n_snapshots
+      |  UNION ALL
+      |  SELECT 1, 1, (SELECT COUNT(*) FROM o WHERE k % 7 = 3), 2
+      |) ORDER BY content""".stripMargin) { (s, d) =>
+    val (base, tgt) = freshDirs(s, d, "imeta")
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey").as("k"),
+        graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("k") % 2 === 0).coalesce(1), base)
+    TimeTravel.commitAppend(o.filter(col("k") % 2 === 1).coalesce(1), base)
+    IcebergExport.snapshot(s, base, tgt) // S1: two data files
+    TimeTravel.deleteMoR(s, base, col("k") % 7 === 3)
+    IcebergExport.append(s, base, tgt) // S2: one position-delete file
+    val nSnaps = IcebergMaintenance.snapshots(s, tgt).count()
+    IcebergMaintenance.files(s, tgt)
+      .groupBy("content")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("record_count")).as("sum_records"))
+      .withColumn("n_snapshots", lit(nSnaps))
+      .orderBy("content")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qDeltaHistory, qDeltaVacuum, qIcebergExpire, qIcebergMeta)
+}

@@ -173,6 +173,26 @@ object DeltaDv {
     new java.util.UUID(buf.getLong, buf.getLong).toString
   }
 
+  /** The on-disk file a descriptor's vector lives in — `None` for the
+    * inline storage type. The maintenance sweep ([[graft.sources
+    * .DeltaMaintenance.vacuum]]) uses this to tell a referenced DV
+    * sidecar from a superseded one. */
+  private[sources] def filePathOf(tablePath: String, d: Descriptor): Option[Path] =
+    d.storageType match {
+      case "i" => None
+      case "p" => Some(new Path(d.pathOrInlineDv))
+      case "u" =>
+        require(d.pathOrInlineDv.length >= 20,
+          s"uuid DV pathOrInlineDv too short: '${d.pathOrInlineDv}'")
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val uuid = uuidFromZ85(d.pathOrInlineDv.takeRight(20))
+        val rel = (if (prefix.isEmpty) "" else s"$prefix/") +
+          s"deletion_vector_$uuid.bin"
+        Some(new Path(s"$tablePath/$rel"))
+      case other => throw new UnsupportedOperationException(
+        s"delta DV storageType '$other' is outside the protocol (u/i/p)")
+    }
+
   /** Resolve a descriptor to its deleted row positions, verifying the
     * stored size and CRC-32 for the on-file storage types. */
   def positions(spark: SparkSession, tablePath: String, d: Descriptor): Array[Long] = {
@@ -180,17 +200,7 @@ object DeltaDv {
       case "i" =>
         z85DecodeN(d.pathOrInlineDv, d.sizeInBytes)
       case "u" | "p" =>
-        val p =
-          if (d.storageType == "p") new Path(d.pathOrInlineDv)
-          else {
-            require(d.pathOrInlineDv.length >= 20,
-              s"uuid DV pathOrInlineDv too short: '${d.pathOrInlineDv}'")
-            val prefix = d.pathOrInlineDv.dropRight(20)
-            val uuid = uuidFromZ85(d.pathOrInlineDv.takeRight(20))
-            val rel = (if (prefix.isEmpty) "" else s"$prefix/") +
-              s"deletion_vector_$uuid.bin"
-            new Path(s"$tablePath/$rel")
-          }
+        val p = filePathOf(tablePath, d).get
         val bytes = readAll(spark, p)
         val off = d.offset.getOrElse(throw new IllegalStateException(
           s"on-file DV descriptor for $p carries no offset")).toInt

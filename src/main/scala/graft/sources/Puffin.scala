@@ -57,15 +57,22 @@ object Puffin {
   /** The deleted row positions of one `deletion-vector-v1` blob,
     * addressed the way manifests address it: byte offset + stored blob
     * length. Verifies the framing length, the D1 D3 39 64 magic (via
-    * the shared bitmap codec), and the CRC-32. */
+    * the shared bitmap codec), and the CRC-32. The read is RANGED — a
+    * positioned read of exactly the blob's bytes, never the whole
+    * sidecar, so a puffin file holding many files' vectors costs each
+    * read only its own blob (the footer is never parsed on this path). */
   def dvPositions(spark: SparkSession, puffinPath: String,
       offset: Long, length: Long): Array[Long] = {
-    val bytes = readAll(spark, new Path(puffinPath))
-    require(offset >= 0 && offset + length <= bytes.length,
+    val p = new Path(puffinPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fileLen = fs.getFileStatus(p).getLen
+    require(offset >= 0 && length >= 8 && offset + length <= fileLen,
       s"puffin blob at $puffinPath offset $offset length $length " +
-        s"overruns the ${bytes.length}-byte file")
+        s"overruns the $fileLen-byte file")
+    val bytes = new Array[Byte](length.toInt)
+    val in = fs.open(p)
+    try in.readFully(offset, bytes) finally in.close()
     val buf = ByteBuffer.wrap(bytes) // DV framing is big-endian
-    buf.position(offset.toInt)
     val bodyLen = buf.getInt // length of magic + vector
     require(bodyLen + 8L == length,
       s"puffin DV at $puffinPath offset $offset frames $bodyLen body bytes " +

@@ -2756,4 +2756,120 @@ class SourcesSpec extends SparkSpec {
     // the underscore sidecar is invisible to the table read
     assert(TimeTravel.read(spark, dir).count() == 100)
   }
+
+  test("delta maintenance: vacuum respects visible references; checkpoint retires them") {
+    import graft.sources.{DeltaExport, DeltaMaintenance, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("dmaint_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("dmaint").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 40L).map(i => (i, i * 10)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.coalesce(1), base) // v1
+    TimeTravel.deleteMoR(spark, base, col("k") % 5 === 2) // v2
+    TimeTravel.deleteMoR(spark, base, col("k") % 7 === 3) // v3
+    DeltaExport.snapshot(spark, base, tgt, version = Some(1L)) // delta v0
+    DeltaExport.append(spark, base, tgt, toVersion = Some(2L)) // v1: DV #1
+    DeltaExport.append(spark, base, tgt) // v2: superseding DV #2
+    // without a checkpoint there is nothing to clean, and every sidecar
+    // is still referenced by a visible commit JSON
+    assert(DeltaMaintenance.cleanupLog(spark, tgt).isEmpty)
+    assert(DeltaMaintenance.vacuum(spark, tgt, dryRun = true).isEmpty)
+    val sidecarsBefore = new java.io.File(tgt).listFiles()
+      .count(_.getName.startsWith("deletion_vector_"))
+    assert(sidecarsBefore == 2)
+    assert(DeltaMaintenance.checkpoint(spark, tgt) == 2L)
+    assert(DeltaMaintenance.cleanupLog(spark, tgt) == Seq(0L, 1L, 2L))
+    val removed = DeltaMaintenance.vacuum(spark, tgt)
+    assert(removed.size == 1) // DV #1 retired with the v1 JSON
+    // the checkpoint-backed read still serves the exact MoR row set
+    val expect = (1L to 40L).filterNot(k => k % 5 == 2 || k % 7 == 3)
+    assert(DeltaRead.read(spark, tgt).select("k").as[Long].collect().sorted
+      .toSeq == expect)
+    // time travel BEFORE the checkpoint horizon stops resolving
+    intercept[IllegalStateException](DeltaRead.read(spark, tgt, Some(1L)))
+    // history reflects the cleaned log: only the checkpointed era's
+    // commits would remain (none here — all three were retired)
+    assert(DeltaMaintenance.history(spark, tgt).count() == 0)
+  }
+
+  test("delta maintenance: history counts adds/removes/DV-adds per commit") {
+    import graft.sources.{DeltaExport, DeltaMaintenance, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("dhist_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("dhist").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 30L).map(i => (i, i)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.filter($"k" <= 15).coalesce(1), base)
+    TimeTravel.commitAppend(df.filter($"k" > 15).coalesce(1), base)
+    DeltaExport.snapshot(spark, base, tgt)
+    TimeTravel.deleteMoR(spark, base, col("k") % 4 === 1) // hits both files
+    DeltaExport.append(spark, base, tgt)
+    val h = DeltaMaintenance.history(spark, tgt)
+      .select("version", "operation", "n_adds", "n_removes", "n_dv_adds")
+      .collect().sortBy(_.getLong(0))
+    assert(h.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, "graft-export", 2L, 0L, 0L), (1L, "graft-export", 2L, 2L, 2L)))
+  }
+
+  test("iceberg maintenance: expire guards the current snapshot; dry-run touches nothing") {
+    import graft.sources.{IcebergMaintenance, IcebergRead}
+    val dir = Files.createTempDirectory("iexpg").toFile.getAbsolutePath
+    val data = Files.createTempDirectory("iexpg_data").toFile.getAbsolutePath
+    import spark.implicits._
+    (1L to 10L).toDF("id").coalesce(1).write.mode("overwrite").parquet(data)
+    val f = new java.io.File(data).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val m1 = IcebergRead.Fixture.manifest(dir, "m1.avro", Seq((1, f, 0)))
+    val l1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    val l2 = IcebergRead.Fixture.manifestList(dir, "snap-2.avro", Seq(m1))
+    // CURRENT pinned to the FIRST snapshot: retaining only the last
+    // would expire the current one — must refuse
+    IcebergRead.Fixture.metadataMulti(dir, 1, 2, currentSnapshotId = 10L,
+      snapshots = Seq((10L, l1), (20L, l2)),
+      fields = Seq((1, "id", true, "long")))
+    intercept[IllegalArgumentException](
+      IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 1))
+    // dry-run on a sane current: report without deleting
+    IcebergRead.Fixture.metadataMulti(dir, 2, 2, currentSnapshotId = 20L,
+      snapshots = Seq((10L, l1), (20L, l2)),
+      fields = Seq((1, "id", true, "long")))
+    val r = IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 1,
+      dryRun = true)
+    assert(r.expiredSnapshotIds == Seq(10L))
+    assert(r.manifestListsRemoved == Seq("snap-1.avro"))
+    assert(r.manifestsRemoved.isEmpty) // m1 still referenced by snap-2
+    assert(new java.io.File(s"$dir/metadata/snap-1.avro").exists())
+    // retainLast covering everything is a no-op
+    assert(IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 2)
+      .expiredSnapshotIds.isEmpty)
+  }
+
+  test("iceberg maintenance: expired snapshots stop resolving, survivors serve") {
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("iexp_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("iexp").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 40L).map(i => (i, i * 3)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.coalesce(1), base) // v1
+    TimeTravel.deleteMoR(spark, base, col("k") % 5 === 2) // v2
+    IcebergExport.snapshot(spark, base, tgt, formatVersion = 3) // S1 (id 2)
+    TimeTravel.deleteMoR(spark, base, col("k") % 7 === 3) // v3
+    IcebergExport.append(spark, base, tgt) // S2 (id 3): superseding DV
+    val r = IcebergMaintenance.expireSnapshots(spark, tgt, retainLast = 1)
+    assert(r.expiredSnapshotIds == Seq(2L))
+    assert(r.manifestsRemoved.size == 1 && r.orphanFilesRemoved.size == 1)
+    // the stranded sidecar is physically gone
+    assert(r.orphanFilesRemoved.head.endsWith(".puffin"))
+    assert(!new java.io.File(s"$tgt/deletes")
+      .listFiles().exists(_.getName == r.orphanFilesRemoved.head))
+    // survivor serves the full MoR row set; the expired id is loud
+    val expect = (1L to 40L).filterNot(k => k % 5 == 2 || k % 7 == 3)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect()
+      .sorted.toSeq == expect)
+    intercept[IllegalStateException](
+      IcebergRead.read(spark, tgt, snapshotId = Some(2L)))
+    // snapshots()/files() reflect the trimmed metadata
+    assert(IcebergMaintenance.snapshots(spark, tgt).count() == 1)
+    assert(IcebergMaintenance.files(spark, tgt)
+      .filter(col("content") === 1).count() == 1)
+  }
 }
