@@ -142,7 +142,9 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("optimize", "vacuum", "rollback", "collect_stats",
     "export_delta", "export_iceberg", "export_iceberg_v3",
-    "export_delta_append", "export_iceberg_append")
+    "export_delta_append", "export_iceberg_append",
+    "delta_history", "delta_checkpoint", "delta_cleanup_log", "delta_vacuum",
+    "iceberg_expire_snapshots")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -220,6 +222,60 @@ private[sources] object GraftProcedures {
       new StructType().add("n_files", IntegerType, nullable = false),
       (spark, in) => Array(InternalRow(
         IcebergExport.append(spark, in.getString(0), in.getString(1)))))
+    // ---- lakehouse maintenance (r13): the published tables' upkeep,
+    // CALL-able like any warehouse procedure; logic in
+    // [[DeltaMaintenance]]/[[IcebergMaintenance]]
+    case "delta_history" => unbound("delta_history",
+      Array(ProcedureParameter.in("path", StringType).build()),
+      new StructType()
+        .add("version", LongType, nullable = false)
+        .add("operation", StringType)
+        .add("n_adds", LongType, nullable = false)
+        .add("n_removes", LongType, nullable = false)
+        .add("n_dv_adds", LongType, nullable = false),
+      (spark, in) => DeltaMaintenance.history(spark, in.getString(0))
+        .select("version", "operation", "n_adds", "n_removes", "n_dv_adds")
+        .collect().map(r => InternalRow( // bounded: one row per commit
+          r.getLong(0),
+          Option(r.getString(1))
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          r.getLong(2), r.getLong(3), r.getLong(4))))
+    case "delta_checkpoint" => unbound("delta_checkpoint",
+      Array(ProcedureParameter.in("path", StringType).build()),
+      new StructType().add("version", LongType, nullable = false),
+      (spark, in) => Array(InternalRow(
+        DeltaMaintenance.checkpoint(spark, in.getString(0)))))
+    case "delta_cleanup_log" => unbound("delta_cleanup_log",
+      Array(ProcedureParameter.in("path", StringType).build()),
+      new StructType().add("removed_version", LongType, nullable = false),
+      (spark, in) => DeltaMaintenance.cleanupLog(spark, in.getString(0))
+        .map(InternalRow(_)).toArray)
+    case "delta_vacuum" => unbound("delta_vacuum",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("dry_run",
+          org.apache.spark.sql.types.BooleanType).build()),
+      new StructType().add("removed_file", StringType, nullable = false),
+      (spark, in) => DeltaMaintenance.vacuum(spark, in.getString(0),
+          dryRun = in.getBoolean(1))
+        .map(n => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n))).toArray)
+    case "iceberg_expire_snapshots" => unbound("iceberg_expire_snapshots",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("retain_last", IntegerType).build(),
+        ProcedureParameter.in("dry_run",
+          org.apache.spark.sql.types.BooleanType).build()),
+      new StructType()
+        .add("expired_snapshots", IntegerType, nullable = false)
+        .add("lists_removed", IntegerType, nullable = false)
+        .add("manifests_removed", IntegerType, nullable = false)
+        .add("orphan_files_removed", IntegerType, nullable = false),
+      (spark, in) => {
+        val r = IcebergMaintenance.expireSnapshots(spark, in.getString(0),
+          retainLast = in.getInt(1), dryRun = in.getBoolean(2))
+        Array(InternalRow(r.expiredSnapshotIds.size,
+          r.manifestListsRemoved.size, r.manifestsRemoved.size,
+          r.orphanFilesRemoved.size))
+      })
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")
   }

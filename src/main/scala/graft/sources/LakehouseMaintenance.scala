@@ -289,10 +289,15 @@ object IcebergMaintenance {
     val expiredIds = expired.map(_.get("snapshot-id").asLong())
     def listPath(s: com.fasterxml.jackson.databind.JsonNode): Path =
       IcebergRead.resolve(tablePath, s.get("manifest-list").asText())
-    // manifest refcount: a manifest survives iff some RETAINED list
-    // names it
+    // each distinct list read ONCE; refcounts key on normalized paths.
+    // A manifest (or even a whole list — rollback by re-publish) can be
+    // shared between a retained and an expired snapshot: anything a
+    // retained snapshot still reaches survives the sweep.
+    val manifestCache = collection.mutable.Map.empty[String, Seq[Path]]
     def manifestsOf(list: Path): Seq[Path] =
-      IcebergRead.manifestsWithSeq(spark, tablePath, list).map(_._1)
+      manifestCache.getOrElseUpdate(normKey(list.toString),
+        IcebergRead.manifestsWithSeq(spark, tablePath, list).map(_._1))
+    val keptLists = retained.map(s => normKey(listPath(s).toString)).toSet
     val keptManifests = retained.flatMap(s => manifestsOf(listPath(s)))
       .map(p => normKey(p.toString)).toSet
     val expiredManifests = expired.flatMap(s => manifestsOf(listPath(s)))
@@ -310,6 +315,7 @@ object IcebergMaintenance {
       .filterNot(keptFiles)
       .filter(_.startsWith(rootKey))
     val listsRemoved = expired.map(s => listPath(s).toString).distinct
+      .filterNot(p => keptLists(normKey(p)))
     val result = ExpireResult(expiredIds,
       listsRemoved.map(p => new Path(p).getName).sorted,
       expiredManifests.map(_.getName).sorted,
@@ -330,15 +336,18 @@ object IcebergMaintenance {
         .filter(e => retainedIds(e.get("snapshot-id").asLong()))
         .foreach(newLog.add)
     }
+    // metadata writes go through NIO exactly like [[IcebergExport]]'s —
+    // mixing writers would leave the Hadoop local FS's .crc sidecars
+    // stale for whichever writer comes second
+    val newMeta = java.nio.file.Paths.get(metaDir, s"v${hintV + 1}.metadata.json")
+    if (java.nio.file.Files.exists(newMeta)) throw new IllegalStateException(
+      s"$newMeta already exists — concurrent metadata writer; retry")
+    java.nio.file.Files.writeString(newMeta,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(metaDir, "version-hint.text"),
+      String.valueOf(hintV + 1))
     val f = fs(spark, tablePath)
-    val newMeta = new Path(metaDir, s"v${hintV + 1}.metadata.json")
-    val out = f.create(newMeta, false)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    val hint = f.create(new Path(metaDir, "version-hint.text"), true)
-    try hint.write(String.valueOf(hintV + 1).getBytes("UTF-8"))
-    finally hint.close()
     (listsRemoved.map(new Path(_)) ++ expiredManifests ++
       orphanFiles.map(new Path(_))).foreach(p => f.delete(p, false))
     result

@@ -2672,6 +2672,108 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("SQL CALL procedures: lakehouse maintenance end-to-end") {
+    import graft.sources.{DeltaRead, IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("callmaint_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("callmaint").toFile.getAbsolutePath + "/d"
+    val itgt = Files.createTempDirectory("callmaint_i").toFile.getAbsolutePath + "/i"
+    val df = (1L to 40L).map(i => (i, i * 2)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.coalesce(1), base) // v1
+    TimeTravel.deleteMoR(spark, base, col("k") % 5 === 2) // v2
+    TimeTravel.deleteMoR(spark, base, col("k") % 7 === 3) // v3
+    withGraftCatalog {
+      spark.sql(s"CALL graft.export_delta('$base', '$tgt')").collect()
+      // delta_history: one commit, DV-carrying adds counted
+      val h = spark.sql(s"CALL graft.delta_history('$tgt')").collect()
+      assert(h.map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq ==
+        Seq((0L, 1L, 1L))) // version 0, one add, one DV add
+      // checkpoint → cleanup → vacuum, all through SQL
+      assert(spark.sql(s"CALL graft.delta_checkpoint('$tgt')")
+        .head.getLong(0) == 0L)
+      assert(spark.sql(s"CALL graft.delta_cleanup_log('$tgt')")
+        .collect().map(_.getLong(0)).toSeq == Seq(0L))
+      // the only sidecar is still referenced by the checkpoint
+      assert(spark.sql(s"CALL graft.delta_vacuum('$tgt', false)").count() == 0)
+      val expect = (1L to 40L).filterNot(k => k % 5 == 2 || k % 7 == 3)
+      assert(DeltaRead.read(spark, tgt).select("k").as[Long]
+        .collect().sorted.toSeq == expect)
+      // iceberg expire through SQL: supersede chain strands one DV set
+      IcebergExport.snapshot(spark, base, itgt, formatVersion = 3,
+        version = Some(2L))
+      IcebergExport.append(spark, base, itgt)
+      val dry = spark.sql(
+        s"CALL graft.iceberg_expire_snapshots('$itgt', 1, true)").head
+      assert((dry.getInt(0), dry.getInt(1), dry.getInt(2), dry.getInt(3)) ==
+        (1, 1, 1, 1))
+      assert(IcebergMaintenance.snapshots(spark, itgt).count() == 2,
+        "dry run must not trim the snapshot list")
+      val real = spark.sql(
+        s"CALL graft.iceberg_expire_snapshots('$itgt', 1, false)").head
+      assert(real.getInt(0) == 1)
+      assert(IcebergMaintenance.snapshots(spark, itgt).count() == 1)
+      assert(IcebergRead.read(spark, itgt).select("k").as[Long]
+        .collect().sorted.toSeq == expect)
+    }
+  }
+
+  test("lakehouse maintenance: seeded randomized sweep — upkeep never changes served rows") {
+    import graft.sources.{DeltaExport, DeltaMaintenance, DeltaRead,
+      IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 4).foreach { iter =>
+      val base = Files.createTempDirectory(s"maintsw${iter}_src").toFile.getAbsolutePath
+      val dtgt = Files.createTempDirectory(s"maintsw${iter}_d").toFile.getAbsolutePath + "/d"
+      val itgt = Files.createTempDirectory(s"maintsw${iter}_i").toFile.getAbsolutePath + "/i"
+      var model = (1L to (40 + rnd.nextInt(40))).map(k => k -> k * 3).toMap
+      TimeTravel.commitOverwrite(
+        model.toSeq.toDF("k", "v").coalesce(1), base)
+      DeltaExport.snapshot(spark, base, dtgt)
+      IcebergExport.snapshot(spark, base, itgt, formatVersion = 3)
+      var nextK = model.keys.max + 1
+      var snapCount = 1
+      (1 to 3 + rnd.nextInt(3)).foreach { _ =>
+        if (rnd.nextBoolean()) { // append fresh keys
+          val fresh = (nextK until nextK + 5 + rnd.nextInt(10))
+            .map(k => k -> k * 3)
+          nextK += 20
+          model ++= fresh
+          TimeTravel.commitAppend(fresh.toSeq.toDF("k", "v").coalesce(1), base)
+        } else { // row-level delete on a random residue class
+          val m = Seq(3, 4, 5, 7)(rnd.nextInt(4))
+          val r = rnd.nextInt(m)
+          model = model.filter { case (k, _) => k % m != r }
+          TimeTravel.deleteMoR(spark, base, col("k") % m === r)
+        }
+        DeltaExport.append(spark, base, dtgt)
+        IcebergExport.append(spark, base, itgt)
+        snapCount += 1
+        // random mid-sequence upkeep: checkpoint + retire + vacuum on
+        // the Delta side, expire on the Iceberg side — NEVER changes
+        // what either table serves
+        if (rnd.nextBoolean()) {
+          DeltaMaintenance.checkpoint(spark, dtgt)
+          DeltaMaintenance.cleanupLog(spark, dtgt)
+          val dry = DeltaMaintenance.vacuum(spark, dtgt, dryRun = true)
+          assert(DeltaMaintenance.vacuum(spark, dtgt) == dry,
+            "real vacuum must remove exactly the dry run's victims")
+        }
+        if (rnd.nextBoolean()) {
+          val retain = 1 + rnd.nextInt(snapCount)
+          IcebergMaintenance.expireSnapshots(spark, itgt, retainLast = retain)
+          snapCount = math.min(snapCount, retain)
+          assert(IcebergMaintenance.snapshots(spark, itgt).count() == snapCount)
+        }
+        val want = model.toSeq.sorted
+        assert(DeltaRead.read(spark, dtgt).select("k", "v").as[(Long, Long)]
+          .collect().sorted.toSeq == want, s"delta diverged (iter $iter)")
+        assert(IcebergRead.read(spark, itgt).select("k", "v").as[(Long, Long)]
+          .collect().sorted.toSeq == want, s"iceberg diverged (iter $iter)")
+      }
+    }
+  }
+
   test("GraftCatalog: SELECT and VERSION AS OF resolve through the SQL identifier") {
     import graft.sources.TimeTravel
     import spark.implicits._
@@ -2841,6 +2943,16 @@ class SourcesSpec extends SparkSpec {
     // retainLast covering everything is a no-op
     assert(IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 2)
       .expiredSnapshotIds.isEmpty)
+    // rollback-by-republish: TWO snapshots sharing ONE manifest-list
+    // file — expiring the older must NOT delete the shared list
+    IcebergRead.Fixture.metadataMulti(dir, 3, 2, currentSnapshotId = 30L,
+      snapshots = Seq((10L, l1), (30L, l1)),
+      fields = Seq((1, "id", true, "long")))
+    val shared = IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 1)
+    assert(shared.expiredSnapshotIds == Seq(10L))
+    assert(shared.manifestListsRemoved.isEmpty && shared.manifestsRemoved.isEmpty)
+    assert(new java.io.File(s"$dir/metadata/snap-1.avro").exists())
+    assert(IcebergRead.read(spark, dir).count() == 10)
   }
 
   test("iceberg maintenance: expired snapshots stop resolving, survivors serve") {
