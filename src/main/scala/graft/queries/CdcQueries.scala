@@ -1373,6 +1373,72 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Delta ID-MODE column mapping over NESTED complex columns (r13 —
+    * the last id-mode decline closed): the data file carries ARBITRARY
+    * names at every nesting level with parquet field ids, the logical
+    * schema maps each (nested) field through `delta.columnMapping.id`,
+    * and the read binds by id through the engine-native field-id
+    * matcher — a name- or top-level-only resolution would serve nested
+    * nulls and break the closed-form grouping. */
+  val qDeltaReadIdMapNested: QueryDef = QueryDef.sql(
+    "q_delta_read_idmap_nested",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS id,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_didn_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    def idm(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    // the staged file's names (zz*) are ARBITRARY; only the ids matter
+    val tmp = s"${dir}_stage"
+    o.select(col("band").as("zz0", idm(1)),
+      struct(col("id").as("zz_i", idm(3)), col("cents").as("zz_c", idm(4)))
+        .as("zz_s", idm(2)))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/f0.parquet").toPath): Unit
+    def cm(id: Long) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", s"col-$id").build()
+    val inner = StructType(Seq(
+      StructField("id", LongType, nullable = true, cm(3)),
+      StructField("cents", LongType, nullable = true, cm(4))))
+    val esc = StructType(Seq(
+      StructField("band", StringType, nullable = true, cm(1)),
+      StructField("s", inner, nullable = true, cm(2)))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"idnfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    graft.sources.DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("s.id")).as("sum_id"),
+        sum(col("s.cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   /** Delta CHANGE-DATA-FEED under `id`-mode column mapping (r13 — the
     * combination the r12 reader declined): the change file carries its
     * own arbitrary column names (`yy_*`) under the table's parquet
@@ -1623,6 +1689,6 @@ object CdcQueries {
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
-    qDeltaReadNestedCm, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
+    qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
     qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping)
 }

@@ -141,33 +141,57 @@ object DeltaRead {
 
   /** `id`-mode column mapping: logical data column → its
     * `delta.columnMapping.id` field id. Empty unless the table's
-    * configuration declares mode `id`; in id mode every mapped field
-    * must carry an id (loud otherwise — a silent name fallback is
-    * exactly the mis-read the mode exists to prevent). */
+    * configuration declares mode `id`; in id mode every mapped field —
+    * top-level AND nested struct fields — must carry an id (loud
+    * otherwise — a silent name fallback is exactly the mis-read the
+    * mode exists to prevent). Returns the TOP-LEVEL map; nested shapes
+    * resolve through [[withParquetFieldIds]] + the engine-native
+    * parquet field-id matching instead of the footer-grouping path. */
   private[sources] def colIdsOf(tablePath: String, st: LogState): Map[String, Int] = {
     if (st.config.getOrElse("delta.columnMapping.mode", "") != "id") return Map.empty
     val schema = st.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return Map.empty)
-    // nested field-id resolution (ids INSIDE struct/array/map shells)
-    // is not implemented — a top-level-only match would silently serve
-    // nulls for renamed nested fields, so decline loudly (name mode
-    // handles nested shapes via physicalType)
-    val complex = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[StructType] ||
+    withParquetFieldIds(tablePath, schema): Unit // recursive id validation
+    schema.fields.toSeq.map(f =>
+      f.name -> f.metadata.getLong("delta.columnMapping.id").toInt).toMap
+  }
+
+  private[sources] def hasComplex(schema: StructType): Boolean =
+    schema.fields.exists(f =>
+      f.dataType.isInstanceOf[StructType] ||
         f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
-    }
-    if (complex.nonEmpty) throw new UnsupportedOperationException(
-      s"delta table at $tablePath combines columnMapping mode 'id' with " +
-        s"nested complex column(s) ${complex.mkString(", ")}; nested field-id " +
-        "resolution is not implemented — use mode 'name' or flatten")
-    schema.fields.toSeq.map { f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+
+  /** The id-mode read schema for the ENGINE-NATIVE resolution path:
+    * every struct field — top-level or nested — gains a
+    * `parquet.field.id` metadata key copied from its
+    * `delta.columnMapping.id`, and the scan runs under
+    * `spark.sql.parquet.fieldId.read.enabled`, so Spark's own parquet
+    * reader matches columns by field id at EVERY nesting level (the
+    * same mechanism the reference Delta implementation rides). Names
+    * in the read schema are the LOGICAL names — irrelevant to the
+    * match, so no rename/cast-back pass is needed. A field missing its
+    * id is loud at plan time; a FILE missing ids entirely is loud at
+    * scan time (the engine's ignoreMissingIds=false stance). */
+  private[sources] def withParquetFieldIds(tablePath: String,
+      dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
       if (!f.metadata.contains("delta.columnMapping.id"))
         throw new IllegalStateException(
           s"delta table at $tablePath is in columnMapping mode 'id' but " +
             s"column '${f.name}' carries no delta.columnMapping.id")
-      f.name -> f.metadata.getLong("delta.columnMapping.id").toInt
-    }.toMap
+      f.copy(dataType = withParquetFieldIds(tablePath, f.dataType),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+    })
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = withParquetFieldIds(tablePath, at.elementType))
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = withParquetFieldIds(tablePath, mt.keyType),
+        valueType = withParquetFieldIds(tablePath, mt.valueType))
+    case other => other
   }
 
   /** One parquet footer's top-level (fieldId → file column name) map —
@@ -495,6 +519,9 @@ object DeltaRead {
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
       colMap: Map[String, String] = Map.empty,
       colIds: Map[String, Int] = Map.empty): DataFrame = {
+    if (colIds.nonEmpty && hasComplex(StructType(
+        schema.filterNot(f => partCols.contains(f.name)).toArray)))
+      return scanAddsByFieldId(spark, tablePath, adds, schema, partCols, colMap)
     if (colIds.nonEmpty) {
       // ID MODE: the parquet field id is the authoritative match — file
       // column NAMES are arbitrary (and may differ file to file, e.g.
@@ -506,6 +533,13 @@ object DeltaRead {
       // physical name in both modes). A file missing an id maps to a
       // sentinel absent name → nulls, the schema-evolution contract
       // for files born before the column.
+      //
+      // Flat shapes DELIBERATELY stay on this path rather than the
+      // engine-native one nested shapes use: footer resolution fails a
+      // broken table at PLAN time with the offending file named (the
+      // native match surfaces only at scan time, mid-job on a large
+      // read), and the resolved footer names let `add.stats` bounds
+      // keep binding for metadata file skipping.
       val dataNames = schema.filterNot(f => partCols.contains(f.name)).map(_.name)
       val idMaps = fieldIdsOfFiles(spark,
         adds.map(a => resolvePath(tablePath, a.path)))
@@ -596,6 +630,84 @@ object DeltaRead {
     }: _*)
   }
 
+  /** ID MODE over NESTED complex columns (r13): the footer-grouping
+    * path resolves top-level names only, so nested shapes ride the
+    * ENGINE-NATIVE field-id match instead — the read schema carries
+    * `parquet.field.id` metadata at every level
+    * ([[withParquetFieldIds]]) and the scan runs under
+    * `spark.sql.parquet.fieldId.read.enabled` (set sticky on the
+    * session; inert for schemas without id metadata), which makes
+    * Spark's own parquet reader bind every column — nested included —
+    * by field id, names ignored. Read-schema names are the LOGICAL
+    * names, so no rename/cast-back pass exists at all. The single-scan
+    * FileIndex shape, DV anti-join, and log-borne partition values
+    * mirror the name path; `add.stats` bounds key on physical names
+    * and do not bind here, so metadata file skipping is inactive on
+    * this path (pruning is an optimization, never a gate). A FILE
+    * without ids fails at scan time — the engine's
+    * ignoreMissingIds=false stance, same loudness contract as the
+    * flat path. */
+  private def scanAddsByFieldId(spark: SparkSession, tablePath: String,
+      adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
+      colMap: Map[String, String]): DataFrame = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    val dataFields = schema.filterNot(f => partCols.contains(f.name))
+    val dataSchema = withParquetFieldIds(tablePath,
+      StructType(dataFields.toArray)).asInstanceOf[StructType]
+    val partSchema = StructType(partCols.map(pc =>
+      org.apache.spark.sql.types.StructField(
+        physOf(pc), schema(pc).dataType, nullable = true)))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val live = adds.map { a =>
+      val p = new Path(resolvePath(tablePath, a.path))
+      val (len, mt) = a.size match {
+        case Some(sz) => (sz, a.modTime)
+        case None =>
+          val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+          (st.getLen, st.getModificationTime)
+      }
+      val values = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        partCols.map { pc =>
+          val raw = a.partitionValues.get(physOf(pc))
+            .orElse(a.partitionValues.get(pc))
+          catalystPartitionValue(raw, schema(pc).dataType, zone)
+        })
+      LiveFile(p, len, mt, values)
+    }
+    val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
+    val base = org.apache.spark.sql.GraftPlanApi
+      .fileRelationDataFrame(spark, index, partSchema, dataSchema)
+    val dved = adds.filter(_.dv.nonEmpty)
+    val afterDv =
+      if (dved.isEmpty) base
+      else {
+        val pairs = dved.flatMap { a =>
+          val key = normKey(new Path(resolvePath(tablePath, a.path)).toString)
+          DeltaDv.positions(spark, tablePath, a.dv.get).toSeq.map(pos => (key, pos))
+        }
+        val posDf = spark.createDataset(pairs)(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("__graft_dv_fp", "__graft_dv_pos")
+        base
+          .withColumn("__graft_fp", normPathCol(col("_metadata.file_path")))
+          .withColumn("__graft_ri", col("_metadata.row_index"))
+          .join(broadcast(posDf),
+            col("__graft_fp") === col("__graft_dv_fp") &&
+              col("__graft_ri") === col("__graft_dv_pos"), "left_anti")
+          .drop("__graft_fp", "__graft_ri")
+      }
+    // data columns already serve logical names; partition columns alias
+    // physical → logical
+    afterDv.select(schema.fields.toSeq.map { f =>
+      if (partCols.contains(f.name)) col(physOf(f.name)).as(f.name)
+      else col(f.name)
+    }: _*)
+  }
+
   /** Scan one commit's change files: data columns plus the file-borne
     * `_change_type`, partition values injected, `_commit_version`
     * stamped — the CDF batch shape. Change files carry physical names
@@ -604,6 +716,31 @@ object DeltaRead {
       v: Long, files: Seq[CdcFile], schema: StructType,
       partCols: Seq[String], colMap: Map[String, String] = Map.empty,
       colIds: Map[String, Int] = Map.empty): DataFrame = {
+    if (colIds.nonEmpty && hasComplex(StructType(schema
+        .filterNot(f => partCols.contains(f.name))
+        .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
+        .toArray))) {
+      // nested-id change files ride the engine-native field-id match
+      // (the [[scanAddsByFieldId]] stance); `_change_type` carries no
+      // id and binds by its literal name — mixed matching per field is
+      // exactly the engine's contract
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      def physOf(c: String) = colMap.getOrElse(c, c)
+      val dataFields = schema.filterNot(f => partCols.contains(f.name))
+        .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
+      val withCt = StructType(withParquetFieldIds(tablePath,
+        StructType(dataFields.toArray)).asInstanceOf[StructType].fields :+
+        org.apache.spark.sql.types.StructField("_change_type", StringType))
+      return files.groupBy(_.partitionValues).toSeq.map { case (pv, fs0) =>
+        val base = spark.read.schema(withCt)
+          .parquet(fs0.map(f => resolvePath(tablePath, f.path)): _*)
+        val withParts = partCols.foldLeft(base) { (df, pc) =>
+          val pvv = pv.get(physOf(pc)).orElse(pv.get(pc))
+          df.withColumn(pc, lit(pvv.orNull).cast(schema(pc).dataType))
+        }
+        withParts.withColumn("_commit_version", lit(v).cast(LongType))
+      }.reduce(_.unionByName(_))
+    }
     if (colIds.nonEmpty) {
       // ID MODE: change files carry the same physical layout as data
       // files — data columns resolve by parquet field id from each

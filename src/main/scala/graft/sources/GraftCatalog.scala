@@ -144,7 +144,8 @@ private[sources] object GraftProcedures {
     "export_delta", "export_iceberg", "export_iceberg_v3",
     "export_delta_append", "export_iceberg_append",
     "delta_history", "delta_checkpoint", "delta_cleanup_log", "delta_vacuum",
-    "iceberg_expire_snapshots")
+    "iceberg_expire_snapshots", "iceberg_remove_orphans",
+    "iceberg_cleanup_metadata")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -276,6 +277,23 @@ private[sources] object GraftProcedures {
           r.manifestListsRemoved.size, r.manifestsRemoved.size,
           r.orphanFilesRemoved.size))
       })
+    case "iceberg_remove_orphans" => unbound("iceberg_remove_orphans",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("dry_run",
+          org.apache.spark.sql.types.BooleanType).build()),
+      new StructType().add("removed_file", StringType, nullable = false),
+      (spark, in) => IcebergMaintenance.removeOrphanFiles(spark,
+          in.getString(0), dryRun = in.getBoolean(1))
+        .map(n => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n))).toArray)
+    case "iceberg_cleanup_metadata" => unbound("iceberg_cleanup_metadata",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("keep_last", IntegerType).build()),
+      new StructType().add("removed_file", StringType, nullable = false),
+      (spark, in) => IcebergMaintenance.cleanupMetadata(spark,
+          in.getString(0), keepLast = in.getInt(1))
+        .map(n => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n))).toArray)
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")
   }

@@ -353,6 +353,75 @@ object IcebergMaintenance {
     result
   }
 
+  /** REMOVE ORPHAN FILES, the third leg of the maintenance triad
+    * (expire = snapshot-scoped, metadata cleanup = version-scoped, this
+    * = everything else): delete files under the table's `metadata/` and
+    * `deletes/` directories that NO snapshot of the current metadata
+    * references — crashed-writer leftovers, half-published staging, a
+    * prior process's abandoned exports. The reference set is every
+    * snapshot's manifest list, every manifest those lists name, every
+    * file those manifests name, every `v*.metadata.json`, and the
+    * version hint; the sweep never looks outside the two directories
+    * (data files live in the source graft table). Same conservative
+    * stance as the other sweeps: anything referenced from anywhere
+    * visible survives. */
+  def removeOrphanFiles(spark: SparkSession, tablePath: String,
+      dryRun: Boolean = false): Seq[String] = {
+    val meta = IcebergRead.currentMetadata(spark, tablePath)
+    val snapsNode = Option(meta.get("snapshots"))
+    val referenced = collection.mutable.Set.empty[String]
+    snapsNode.foreach { arr =>
+      (0 until arr.size()).map(arr.get).foreach { s =>
+        val list = IcebergRead.resolve(tablePath, s.get("manifest-list").asText())
+        referenced += normKey(list.toString)
+        IcebergRead.manifestsWithSeq(spark, tablePath, list).foreach { case (m, _) =>
+          referenced += normKey(m.toString)
+          IcebergRead.entriesOf(spark, m).foreach(e =>
+            referenced += normKey(IcebergRead.resolve(tablePath, e.path).toString))
+        }
+      }
+    }
+    val f = fs(spark, tablePath)
+    def candidates(dir: String): Seq[Path] = {
+      val p = new Path(s"$tablePath/$dir")
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+    }
+    val protectedMeta: String => Boolean = n =>
+      n == "version-hint.text" || n.matches("""v\d+\.metadata\.json""")
+    val victims = (candidates("metadata").filterNot(p =>
+      protectedMeta(p.getName)) ++ candidates("deletes"))
+      .filterNot(p => referenced(normKey(p.toString)))
+    if (!dryRun) victims.foreach(p => f.delete(p, false))
+    victims.map(_.getName).sorted
+  }
+
+  /** METADATA-LOG RETENTION: keep the last `keepLast` metadata versions
+    * (`v*.metadata.json` at or below the current hint, which is always
+    * kept) and delete the older ones — the standard
+    * `write.metadata.delete-after-commit` sweep real tables run so a
+    * long-lived table's metadata directory doesn't grow one JSON per
+    * commit forever. Time travel THROUGH OLD METADATA FILES stops
+    * resolving; snapshots themselves are untouched (expiry is
+    * [[expireSnapshots]]'s job). Returns the deleted file names. */
+  def cleanupMetadata(spark: SparkSession, tablePath: String,
+      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val metaDir = s"$tablePath/metadata"
+    val hintV = readHint(spark, metaDir)
+    val f = fs(spark, tablePath)
+    val versions = f.listStatus(new Path(metaDir)).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        """^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(n)
+          .map(_.group(1).toInt)
+      }.sorted
+    val victims = versions.filter(v => v <= hintV - keepLast)
+    victims.foreach(v =>
+      f.delete(new Path(metaDir, s"v$v.metadata.json"), false))
+    victims.map(v => s"v$v.metadata.json")
+  }
+
   private def readHint(spark: SparkSession, metaDir: String): Int = {
     val p = new Path(metaDir, "version-hint.text")
     val f = fs(spark, metaDir)

@@ -1325,8 +1325,10 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(rows == (1L to 5L).map(i => (i, i, i * 2, i * 3)).toSet,
       s"nested values must resolve through the physical names: $rows")
-    // id mode + nested complex still declines loudly (nested field-id
-    // resolution is not implemented; a top-level match would mis-read)
+    // id mode + nested complex now SERVES (r13, engine-native field-id
+    // match) — but a schema whose nested fields carry no
+    // delta.columnMapping.id is still loud: this fixture's schema has
+    // physicalName metadata only, so id mode over it cannot resolve
     val dirId = Files.createTempDirectory("delta_cmn_id").toFile.getAbsolutePath + "/t"
     new java.io.File(dirId).mkdirs()
     java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(s"$dirId/f1.parquet"))
@@ -1334,8 +1336,80 @@ class SourcesSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"cmnid","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dirId))
-    assert(e2.getMessage.contains("nested complex column"), e2.getMessage)
+    val e2 = intercept[IllegalStateException](DeltaRead.read(spark, dirId))
+    assert(e2.getMessage.contains("delta.columnMapping.id"), e2.getMessage)
+  }
+
+  test("delta read: id-mode mapping serves NESTED complex columns by field id") {
+    // the last id-mode decline closed (r13): nested struct fields
+    // resolve by parquet field id through the engine-native matcher —
+    // two files with DISJOINT arbitrary names at every nesting level
+    // must both bind by id, and a mapped column absent from a footer
+    // reads null (schema evolution)
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{ArrayType, LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_idmn").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def idm(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // stage one data file with the given arbitrary names, ids fixed:
+    // top: 1=id, 2=s(struct{3=a,4=b}), 5=arr(array<struct{6=x}>)
+    def stage(n: Map[Int, String], rows: Seq[Long], dest: String): Unit = {
+      val writeSchema = StructType(Seq(
+        StructField(n(1), LongType, nullable = true, idm(1)),
+        StructField(n(2), StructType(Seq(
+          StructField(n(3), LongType, nullable = true, idm(3)),
+          StructField(n(4), LongType, nullable = true, idm(4)))),
+          nullable = true, idm(2)),
+        StructField(n(5), ArrayType(StructType(Seq(
+          StructField(n(6), LongType, nullable = true, idm(6))))),
+          nullable = true, idm(5))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(i =>
+          org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(i, i * 2),
+            Seq(org.apache.spark.sql.Row(i * 3))))),
+        writeSchema)
+      val tmp = Files.createTempDirectory("idmn_stage").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$dest"))
+      ()
+    }
+    stage(Map(1 -> "zz1", 2 -> "zz2", 3 -> "zz3", 4 -> "zz4", 5 -> "zz5", 6 -> "zz6"),
+      1L to 4L, "fA.parquet")
+    stage(Map(1 -> "q1", 2 -> "q2", 3 -> "q3", 4 -> "q4", 5 -> "q5", 6 -> "q6"),
+      5L to 8L, "fB.parquet")
+    def cm(id: Long) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", s"col-$id").build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, cm(1)),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = true, cm(3)),
+        StructField("b", LongType, nullable = true, cm(4)))),
+        nullable = true, cm(2)),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("x", LongType, nullable = true, cm(6))))),
+        nullable = true, cm(5)),
+      // id absent from every footer: schema evolution → nulls
+      StructField("later", LongType, nullable = true, cm(9))))
+    val esc = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idmn","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"9"}}}""",
+      """{"add":{"path":"fA.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"fB.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "s", "arr", "later"))
+    assert(got.schema("s").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      == Seq("a", "b"))
+    val rows = got.selectExpr("id", "s.a", "s.b", "arr[0].x")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows == (1L to 8L).map(i => (i, i, i * 2, i * 3)).toSet,
+      s"nested values must bind by field id across disjoint names: $rows")
+    assert(got.select("later").collect().forall(_.isNullAt(0)),
+      "an id absent from every footer reads null")
   }
 
   test("delta changes: CDF under id-mode mapping resolves change files by field id") {
@@ -2717,6 +2791,44 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("iceberg maintenance: orphan sweep and metadata retention") {
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("iorph_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("iorph").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 30L).map(i => (i, i)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.coalesce(1), base) // v1
+    TimeTravel.deleteMoR(spark, base, col("k") % 5 === 2) // v2
+    IcebergExport.snapshot(spark, base, tgt) // S1 + pd delete file
+    TimeTravel.commitAppend(
+      (100L to 104L).map(i => (i, i)).toDF("k", "v").coalesce(1), base) // v3
+    IcebergExport.append(spark, base, tgt) // S2, metadata v2
+    // a referenced table is orphan-free
+    assert(IcebergMaintenance.removeOrphanFiles(spark, tgt, dryRun = true).isEmpty)
+    // plant garbage: a crashed writer's stray manifest and delete file
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tgt/metadata/m-junk.avro"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tgt/deletes/pd-junk.parquet"), "junk")
+    val dry = IcebergMaintenance.removeOrphanFiles(spark, tgt, dryRun = true)
+    assert(dry == Seq("m-junk.avro", "pd-junk.parquet"))
+    assert(new java.io.File(s"$tgt/metadata/m-junk.avro").exists(),
+      "dry run must not delete")
+    assert(IcebergMaintenance.removeOrphanFiles(spark, tgt) == dry)
+    assert(!new java.io.File(s"$tgt/metadata/m-junk.avro").exists())
+    assert(!new java.io.File(s"$tgt/deletes/pd-junk.parquet").exists())
+    // the live read is untouched by the sweep
+    val expect = ((1L to 30L).filterNot(_ % 5 == 2) ++ (100L to 104L)).sorted
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect()
+      .sorted.toSeq == expect)
+    // metadata retention: v1 retired, v2 (current) kept; hint intact
+    assert(IcebergMaintenance.cleanupMetadata(spark, tgt, keepLast = 1)
+      == Seq("v1.metadata.json"))
+    assert(!new java.io.File(s"$tgt/metadata/v1.metadata.json").exists())
+    assert(IcebergRead.read(spark, tgt).count() == expect.size)
+    assert(IcebergMaintenance.cleanupMetadata(spark, tgt, keepLast = 1).isEmpty)
+  }
+
   test("lakehouse maintenance: seeded randomized sweep — upkeep never changes served rows") {
     import graft.sources.{DeltaExport, DeltaMaintenance, DeltaRead,
       IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
@@ -2765,6 +2877,12 @@ class SourcesSpec extends SparkSpec {
           snapCount = math.min(snapCount, retain)
           assert(IcebergMaintenance.snapshots(spark, itgt).count() == snapCount)
         }
+        if (rnd.nextBoolean()) {
+          val dry = IcebergMaintenance.removeOrphanFiles(spark, itgt, dryRun = true)
+          assert(IcebergMaintenance.removeOrphanFiles(spark, itgt) == dry)
+        }
+        if (rnd.nextBoolean())
+          IcebergMaintenance.cleanupMetadata(spark, itgt, keepLast = 1 + rnd.nextInt(3))
         val want = model.toSeq.sorted
         assert(DeltaRead.read(spark, dtgt).select("k", "v").as[(Long, Long)]
           .collect().sorted.toSeq == want, s"delta diverged (iter $iter)")
