@@ -1412,6 +1412,147 @@ class SourcesSpec extends SparkSpec {
       "an id absent from every footer reads null")
   }
 
+  test("delta read: nested id-mode + deletion vectors — MoR anti-join rides the field-id scan") {
+    import graft.sources.{DeltaDv, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_idmn_dv").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def idm(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val writeSchema = StructType(Seq(
+      StructField("w1", LongType, nullable = true, idm(1)),
+      StructField("w2", StructType(Seq(
+        StructField("w3", LongType, nullable = true, idm(3)))),
+        nullable = true, idm(2))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 10L).map(i =>
+        org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(i * 7)))),
+      writeSchema)
+    val tmp = Files.createTempDirectory("idmn_dv_stage").toFile.getAbsolutePath
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    // tombstone row positions 1 and 4 (ids 2 and 5 in write order)
+    val d = DeltaDv.writeDvFile(spark, dir,
+      java.util.UUID.nameUUIDFromBytes("idmn-dv".getBytes), Seq(1L, 4L))
+    def cm(id: Long) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", s"col-$id").build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, cm(1)),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = true, cm(3)))),
+        nullable = true, cm(2)))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val dvJson = s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors","columnMapping"]}}""",
+      s"""{"metaData":{"id":"idmndv","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true$dvJson}}"""))
+    val got = DeltaRead.read(spark, dir).selectExpr("id", "s.x")
+      .as[(Long, Long)].collect().toSet
+    val expect = (1L to 10L).filterNot(i => i == 2 || i == 5)
+      .map(i => (i, i * 7)).toSet
+    assert(got == expect,
+      s"DV positions must subtract from the field-id scan: $got")
+  }
+
+  test("delta read: seeded randomized nested id-mode sweep vs in-memory model") {
+    // random nested shapes, random per-file arbitrary names, random id
+    // assignments — every file must bind by id alone; absent ids read
+    // null (schema evolution), never a wrong column
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val rnd = new scala.util.Random(131)
+    (1 to 5).foreach { iter =>
+      val dir = Files.createTempDirectory(s"idmn_sw$iter").toFile.getAbsolutePath + "/t"
+      new java.io.File(dir).mkdirs()
+      // logical shape: flat long `a`(id 1), struct `s`(id 2) of two
+      // longs (ids 3,4), and in some iterations an evolved id 9 no
+      // file carries
+      val withLater = rnd.nextBoolean()
+      def idm(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+      val nFiles = 2 + rnd.nextInt(2)
+      var model = Set.empty[(Long, Long, Long)]
+      (0 until nFiles).foreach { fi =>
+        def nm() = "c" + rnd.alphanumeric.filter(_.isLetter).take(6).mkString
+        val lo = iter * 1000L + fi * 100L
+        val rows = (lo until lo + 5 + rnd.nextInt(10)).toSeq
+        model ++= rows.map(i => (i, i + 1, i * 2))
+        val ws = StructType(Seq(
+          StructField(nm(), LongType, nullable = true, idm(1)),
+          StructField(nm(), StructType(Seq(
+            StructField(nm(), LongType, nullable = true, idm(3)),
+            StructField(nm(), LongType, nullable = true, idm(4)))),
+            nullable = true, idm(2))))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(i =>
+            org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(i + 1, i * 2)))),
+          ws)
+        val tmp = Files.createTempDirectory(s"idmn_sw_st$iter$fi").toFile.getAbsolutePath
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$dir/f$fi.parquet"))
+        ()
+      }
+      def cm(id: Long) = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", s"col-$id").build()
+      val fields = Seq(
+        StructField("a", LongType, nullable = true, cm(1)),
+        StructField("s", StructType(Seq(
+          StructField("p", LongType, nullable = true, cm(3)),
+          StructField("q", LongType, nullable = true, cm(4)))),
+          nullable = true, cm(2))) ++
+        (if (withLater) Seq(StructField("later", LongType, nullable = true, cm(9)))
+         else Nil)
+      val esc = StructType(fields).json
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      writeDeltaCommit(dir, 0,
+        Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"sw$iter","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"9"}}}""") ++
+          (0 until nFiles).map(fi =>
+            s"""{"add":{"path":"f$fi.parquet","partitionValues":{},"size":1,"modificationTime":$fi,"dataChange":true}}"""))
+      val got = DeltaRead.read(spark, dir)
+      val triples = got.selectExpr("a", "s.p", "s.q")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(triples == model, s"iter $iter diverged from the model")
+      if (withLater)
+        assert(got.select("later").collect().forall(_.isNullAt(0)), s"iter $iter")
+    }
+  }
+
+  test("SQL CALL procedures: iceberg orphan and metadata sweeps") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("callorph_src").toFile.getAbsolutePath
+    val itgt = Files.createTempDirectory("callorph").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite(
+      (1L to 20L).map(i => (i, i)).toDF("k", "v").coalesce(1), base)
+    IcebergExport.snapshot(spark, base, itgt)
+    TimeTravel.commitAppend(
+      (21L to 25L).map(i => (i, i)).toDF("k", "v").coalesce(1), base)
+    IcebergExport.append(spark, base, itgt)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$itgt/metadata/m-stray.avro"), "junk")
+    withGraftCatalog {
+      val dry = spark.sql(s"CALL graft.iceberg_remove_orphans('$itgt', true)")
+        .collect().map(_.getString(0)).toSeq
+      assert(dry == Seq("m-stray.avro"))
+      assert(new java.io.File(s"$itgt/metadata/m-stray.avro").exists())
+      assert(spark.sql(s"CALL graft.iceberg_remove_orphans('$itgt', false)")
+        .collect().map(_.getString(0)).toSeq == dry)
+      assert(!new java.io.File(s"$itgt/metadata/m-stray.avro").exists())
+      assert(spark.sql(s"CALL graft.iceberg_cleanup_metadata('$itgt', 1)")
+        .collect().map(_.getString(0)).toSeq == Seq("v1.metadata.json"))
+      assert(IcebergRead.read(spark, itgt).count() == 25)
+    }
+  }
+
   test("delta changes: CDF under id-mode mapping resolves change files by field id") {
     import graft.sources.DeltaRead
     import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
