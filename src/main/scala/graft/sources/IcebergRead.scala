@@ -673,10 +673,19 @@ object IcebergRead {
     * Delete sides are O(deleted rows), broadcast by AQE when small. */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val meta = currentMetadata(spark, tablePath)
+    readEntries(spark, tablePath, meta,
+      liveEntries(spark, tablePath, meta, snapshotId))
+  }
+
+  /** [[read]] over a PRE-RESOLVED live entry set — the face the
+    * streaming source's recovery replay needs when the pinned
+    * snapshot has been EXPIRED from the list but its manifest names
+    * survive in the checkpointed offset. */
+  private[sources] def readEntries(spark: SparkSession, tablePath: String,
+      meta: JsonNode, live: Seq[EntryInfo]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val schema = schemaOf(meta)
-    val live = liveEntries(spark, tablePath, meta, snapshotId)
     val data = live.filter(_.content == 0)
     val (dvDels, posDels) = live.filter(_.content == 1).partition(_.dv.nonEmpty)
     val eqDels = live.filter(_.content == 2)

@@ -233,7 +233,34 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
         // apply; liveFiles refused every real MoR table). Only the
         // DATA scan flips streaming: the bounded delete sides stay
         // static so the anti-joins plan stream-static.
-        val live = IcebergRead.liveEntries(spark, path, meta, Some(endOff.sid))
+        //
+        // RECOVERY REPLAY AFTER EXPIRY (r13 maintenance interplay): the
+        // v1 contract replays the last committed batch on restart; when
+        // that batch was this initial snapshot and an expireSnapshots
+        // has since dropped it from the list, the offset's RECORDED
+        // manifest names reconstruct the pinned entry set — identity
+        // lookups must never be the only path, or routine history
+        // expiry strands every checkpoint still standing on its first
+        // batch. Equality deletes are the one shape the reconstruction
+        // cannot order (their strictly-older rule needs the expired
+        // list's sequence numbers when manifests stored nulls) — loud.
+        val live =
+          if (snaps.exists(_._1 == endOff.sid))
+            IcebergRead.liveEntries(spark, path, meta, Some(endOff.sid))
+          else if (endOff.manifests.nonEmpty) {
+            val entries = endOff.manifests.flatMap { m =>
+              IcebergRead.entriesOf(spark, IcebergRead.resolve(path, m))
+            }.filter(_.status != 2)
+            if (entries.exists(e => e.content == 2 && e.seq == 0L))
+              throw new IllegalStateException(
+                s"snapshot ${endOff.sid} of $path expired and its recorded " +
+                  "manifests carry equality deletes without recoverable " +
+                  "sequence numbers — resync from a fresh checkpoint")
+            entries
+          } else throw new IllegalStateException(
+            s"snapshot ${endOff.sid} is no longer in the snapshot list at " +
+              s"$path and the offset carries no manifest names — expired by " +
+              "the external writer; resync from a fresh checkpoint")
         if (!live.exists(_.content == 0)) emptyBatch()
         else {
           // the data scan's FileIndex roots at the TABLE path when the
@@ -245,7 +272,7 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
             .map(e => new org.apache.hadoop.fs.Path(files(e.path)).toString).toSet +
             new org.apache.hadoop.fs.Path(path).toString
           GraftPlanApi.markFileRelationsStreaming(
-            IcebergRead.read(spark, path, Some(endOff.sid)), dataRoots)
+            IcebergRead.readEntries(spark, path, meta, live), dataRoots)
         }
       case Some(sinceOff) =>
         val before = manifestsOf(snaps, sinceOff)

@@ -1458,6 +1458,75 @@ class SourcesSpec extends SparkSpec {
       s"DV positions must subtract from the field-id scan: $got")
   }
 
+  test("delta read: PARTITIONED nested id-mode table — log values injected, pruning intact") {
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_idmn_pt").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def idm(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // two partition values, one data file each; partition col `band`
+    // lives in the LOG only (physical key col-10), data is nested
+    def stage(names: (String, String, String), rows: Seq[Long], dest: String): Unit = {
+      val ws = StructType(Seq(
+        StructField(names._1, LongType, nullable = true, idm(1)),
+        StructField(names._2, StructType(Seq(
+          StructField(names._3, LongType, nullable = true, idm(3)))),
+          nullable = true, idm(2))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(i =>
+          org.apache.spark.sql.Row(i, org.apache.spark.sql.Row(i * 5)))), ws)
+      val tmp = Files.createTempDirectory("idmn_pt_st").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/$dest"))
+      ()
+    }
+    stage(("n1", "n2", "n3"), 1L to 6L, "fA.parquet")
+    stage(("m1", "m2", "m3"), 7L to 12L, "fB.parquet")
+    def cm(id: Long) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", s"col-$id").build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, cm(1)),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = true, cm(3)))),
+        nullable = true, cm(2)),
+      StructField("band", StringType, nullable = true, cm(10)))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idmnpt","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["band"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"10"}}}""",
+      """{"add":{"path":"fA.parquet","partitionValues":{"col-10":"east"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"fB.parquet","partitionValues":{"col-10":"west"},"size":1,"modificationTime":2,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "s", "band"))
+    // log-borne partition values serve under the LOGICAL name
+    val all = got.selectExpr("id", "s.x", "band")
+      .as[(Long, Long, String)].collect().toSet
+    val expect = (1L to 6L).map(i => (i, i * 5, "east")).toSet ++
+      (7L to 12L).map(i => (i, i * 5, "west")).toSet
+    assert(all == expect, s"partitioned nested-id read diverged: $all")
+    // a partition filter PRUNES: only one file becomes a scan task
+    // (metrics are read from the SAME executed DataFrame)
+    val west = got.filter(col("band") === "west")
+    assert(west.collect().map(_.getLong(0)).toSet == (7L to 12L).toSet)
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansIn)
+    }
+    val scanned = scansIn(west.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value)
+    assert(scanned.nonEmpty && scanned.min == 1,
+      s"partition pruning must plan exactly one file, got $scanned")
+  }
+
   test("delta read: seeded randomized nested id-mode sweep vs in-memory model") {
     // random nested shapes, random per-file arbitrary names, random id
     // assignments — every file must bind by id alone; absent ids read

@@ -1686,4 +1686,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.size == want.size && got == want,
       "cdf stream batch ≡ TimeTravel.changeFeed over the same offsets")
   }
+
+  test("iceberg stream source: expiry of a CONSUMED snapshot is harmless (offset carries manifests)") {
+    // the r13 expireSnapshots interplay: the checkpointed offset records
+    // its snapshot's manifest names, so routine history expiry of
+    // already-consumed snapshots never strands the stream — the next
+    // batch diffs against the recorded names, not the (gone) list entry
+    import graft.sources.{IcebergExport, IcebergMaintenance, TimeTravel}
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("istream_exp_src").toFile.getAbsolutePath
+    val dir = Files.createTempDirectory("istream_exp").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    TimeTravel.commitOverwrite(
+      (1L to 20L).map(i => (i, i)).toDF("k", "v").coalesce(1), base)
+    IcebergExport.snapshot(spark, base, dir) // S1
+    def runOnce(): Seq[org.apache.spark.sql.Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    assert(runOnce().size == 20, "first batch = the full S1 snapshot")
+    // S2 appends, then S1 — the snapshot the checkpoint stands on —
+    // expires; the resumed stream must still serve exactly S2's files
+    TimeTravel.commitAppend(
+      (21L to 30L).map(i => (i, i)).toDF("k", "v").coalesce(1), base)
+    IcebergExport.append(spark, base, dir) // S2
+    val r = IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 1)
+    assert(r.expiredSnapshotIds.size == 1, "S1 must expire")
+    val run2 = runOnce()
+    assert(run2.size == 10 && run2.map(_.getLong(0)).toSet == (21L to 30L).toSet,
+      "the batch after expiry serves ONLY the post-consumed files")
+    assert(runOnce().isEmpty, "no new snapshot → no rows")
+  }
 }
