@@ -358,14 +358,26 @@ object DeltaRead {
     val f = fs(spark, tablePath)
     if (!f.exists(new Path(logDir)))
       throw new IllegalArgumentException(s"no _delta_log at $tablePath")
-    val cp = lastCheckpoint(spark, logDir).filter(v => asOf.forall(v <= _))
+    val cpAll = lastCheckpoint(spark, logDir)
+    val cp = cpAll.filter(v => asOf.forall(v <= _))
     val start = cp.map(_ + 1).getOrElse(0L)
     var st = cp.map(v => fromCheckpoint(spark, logDir, v))
       .getOrElse(LogState(Map.empty, None, Seq.empty, 1))
-    val commits = f.listStatus(new Path(logDir)).toSeq
+    val allJson = f.listStatus(new Path(logDir)).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
       .map(n => n.stripSuffix(".json").toLong)
+    // a version BEFORE the last checkpoint whose commit JSONs were
+    // retired by log cleanup is unrecoverable — name the retention
+    // trade instead of failing as "no metaData action"
+    cpAll.filter(c => asOf.exists(_ < c)).foreach { c =>
+      if (!allJson.contains(0L)) throw new IllegalStateException(
+        s"version ${asOf.get} of $tablePath predates the checkpoint at v$c " +
+          "and its commit JSONs were retired by log-retention cleanup — the " +
+          "snapshot is unrecoverable; read a version at or after the " +
+          "checkpoint, or resync the stream from a fresh checkpoint")
+    }
+    val commits = allJson
       .filter(v => v >= start && asOf.forall(v <= _)).sorted
     commits.foreach { v =>
       st = commitBody(spark, logDir, v).foldLeft(st)((s, line) =>
@@ -375,7 +387,17 @@ object DeltaRead {
   }
 
   private def commitBody(spark: SparkSession, logDir: String, v: Long): Seq[String] =
-    textLines(spark, new Path(logDir, f"$v%020d.json"))
+    try textLines(spark, new Path(logDir, f"$v%020d.json"))
+    catch {
+      case e: java.io.FileNotFoundException
+          if lastCheckpoint(spark, logDir).exists(_ >= v) =>
+        // an incremental window reaching behind the checkpoint after
+        // log cleanup: name the retention trade, not a raw missing file
+        throw new IllegalStateException(
+          s"commit v$v under $logDir was retired by log-retention cleanup " +
+            "(a checkpoint covers it); the incremental window cannot be " +
+            "replayed — resync from a fresh snapshot", e)
+    }
 
   /** Newline-delimited JSON action lines of one log file. */
   private def textLines(spark: SparkSession, p: Path): Seq[String] = {

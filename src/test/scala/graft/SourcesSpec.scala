@@ -3214,8 +3214,15 @@ class SourcesSpec extends SparkSpec {
     val expect = (1L to 40L).filterNot(k => k % 5 == 2 || k % 7 == 3)
     assert(DeltaRead.read(spark, tgt).select("k").as[Long].collect().sorted
       .toSeq == expect)
-    // time travel BEFORE the checkpoint horizon stops resolving
-    intercept[IllegalStateException](DeltaRead.read(spark, tgt, Some(1L)))
+    // time travel BEFORE the checkpoint horizon stops resolving — and
+    // the decline NAMES the retention trade (not "no metaData action")
+    val tt = intercept[IllegalStateException](DeltaRead.read(spark, tgt, Some(1L)))
+    assert(tt.getMessage.contains("log-retention cleanup"), tt.getMessage)
+    // an incremental window reaching behind the checkpoint is equally
+    // named (the streaming-resume-after-cleanup shape)
+    val iw = intercept[IllegalStateException](
+      DeltaRead.changes(spark, tgt, 0L, 2L))
+    assert(iw.getMessage.contains("log-retention cleanup"), iw.getMessage)
     // history reflects the cleaned log: only the checkpointed era's
     // commits would remain (none here — all three were retired)
     assert(DeltaMaintenance.history(spark, tgt).count() == 0)
