@@ -1724,4 +1724,89 @@ class StreamingSpec extends SparkSpec {
       "the batch after expiry serves ONLY the post-consumed files")
     assert(runOnce().isEmpty, "no new snapshot → no rows")
   }
+
+  test("iceberg stream source: expired-snapshot replay reconstructs MoR; eq-deletes stay loud") {
+    // the recovery-replay fallback EXECUTED end to end: a crash between
+    // batch 0's run and its commit (simulated by deleting commits/0)
+    // makes the engine re-execute the initial MoR snapshot batch on
+    // restart — after expireSnapshots dropped that snapshot, the
+    // offset's recorded manifests must reconstruct it, position deletes
+    // applied, values intact
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead,
+      IcebergStreamSource, TimeTravel}
+    import graft.sources.IcebergRead.EntryInfo
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("istream_fb_src").toFile.getAbsolutePath
+    val dir = Files.createTempDirectory("istream_fb").toFile.getAbsolutePath + "/t"
+    val cp = ckpt()
+    TimeTravel.commitOverwrite(
+      (1L to 10L).map(i => (i, i * 2)).toDF("k", "v").coalesce(1), base)
+    TimeTravel.deleteMoR(spark, base, col("k") === 2 || col("k") === 5)
+    IcebergExport.snapshot(spark, base, dir) // S1: data + position deletes
+    def runOnce(at: String): Seq[org.apache.spark.sql.Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", at)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    val expect1 = (1L to 10L).filterNot(k => k == 2 || k == 5).toSet
+    assert(runOnce(cp).map(_.getLong(0)).toSet == expect1,
+      "first batch = the MoR snapshot")
+    // simulate the crash: batch 0 ran but never committed — on a COPY
+    // of the checkpoint (the engine caches metadata logs per path, so
+    // deleting behind the live path trips its concurrent-use guard)
+    val cp2 = ckpt()
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    new java.io.File(cp2).delete()
+    copyRec(new java.io.File(cp), new java.io.File(cp2))
+    assert(new java.io.File(s"$cp2/commits/0").delete(), "commits/0 must exist")
+    new java.io.File(s"$cp2/commits/.0.crc").delete() // stale checksum sidecar
+    // ... and S1 expires before the restart
+    TimeTravel.commitAppend(
+      (11L to 15L).map(i => (i, i * 2)).toDF("k", "v").coalesce(1), base)
+    IcebergExport.append(spark, base, dir) // S2
+    assert(IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 1)
+      .expiredSnapshotIds.size == 1)
+    // restart: batch 0 RE-EXECUTES through the fallback (recorded
+    // manifests, position deletes applied), then S2 arrives (same run
+    // or the next AvailableNow trigger — recovery-replay runs may
+    // terminate at the restored offset)
+    val run2 = runOnce(cp2)
+    assert(run2.map(_.getLong(0)).toSet.subsetOf(expect1 ++ (11L to 15L)) &&
+      expect1.subsetOf(run2.map(_.getLong(0)).toSet),
+      s"replayed MoR batch must re-deliver: ${run2.map(_.getLong(0)).sorted}")
+    // the replayed rows carry correct VALUES through the
+    // reconstruction (not just the right keys)
+    assert(run2.forall(r => r.getLong(1) == r.getLong(0) * 2))
+    val run3 = runOnce(cp2)
+    assert((run2 ++ run3).map(_.getLong(0)).toSet == expect1 ++ (11L to 15L),
+      s"S2 must arrive by the next trigger: ${(run2 ++ run3).map(_.getLong(0)).sorted}")
+    // equality deletes in an expired snapshot's recorded manifests stay
+    // LOUD (their ordering died with the list's sequence numbers) —
+    // driven directly at the Source API, which throws at plan time
+    val eqDir = Files.createTempDirectory("istream_fb_eq").toFile.getAbsolutePath
+    Seq(Tuple1(2L)).toDF("k").coalesce(1).write.mode("overwrite").parquet(eqDir)
+    val eq = new java.io.File(eqDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val mEq = IcebergRead.Fixture.manifestV2(dir, "meq.avro", Seq(
+      EntryInfo(1, eq, 2, 0L, Seq(1))))
+    val src = new IcebergStreamSource(spark, dir)
+    val offEq = SerializedOffset(
+      s"""{"sid":98,"pos":1,"manifests":["$mEq"]}""")
+    val e = intercept[IllegalStateException](src.getBatch(None, offEq))
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+  }
 }
