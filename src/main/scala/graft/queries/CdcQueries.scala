@@ -1310,6 +1310,138 @@ object CdcQueries {
       .toDF("n_rows", "sum_cents", "files_read")
   }
 
+  /** Delta `timestampNtz` READER FEATURE end to end (r14 — the most
+    * common remaining decline on real tables): an NTZ-bearing graft
+    * table publishes as Delta under minReaderVersion 3 with the
+    * `timestampNtz` feature named, and the independent replay must
+    * honor the feature, serve TimestampNTZType values exactly, AND
+    * plan file skipping from the ISO-local NTZ stats bounds — the
+    * files-read evidence bit rides the hashed result. The oracle
+    * reads `events.ts` raw (naive micros), which IS the NTZ wall
+    * clock under the pinned UTC session. */
+  val qDeltaReadNtz: QueryDef = QueryDef.sql(
+    "q_delta_read_ntz",
+    """WITH e AS (
+      |  SELECT ts, event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+      |    NTILE(3) OVER (ORDER BY ts, event_id) AS band
+      |  FROM events
+      |), b AS (
+      |  SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM e WHERE band = 2
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(e.cents) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS min_us,
+      |  CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS max_us,
+      |  1 AS files_read
+      |FROM e, b WHERE e.ts BETWEEN b.lo AND b.hi""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dntz_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_delta"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val e = Tables(s, d, "events").select(
+      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts_ntz"),
+      col("event_id"), graft.Exact.units(col("value"), 2).as("cents"))
+      .withColumn("band", ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts_ntz"), col("event_id"))))
+    TimeTravel.commitOverwrite(
+      e.filter(col("band") === 1).drop("band").coalesce(1), base)
+    (2 to 3).foreach(b => TimeTravel.commitAppend(
+      e.filter(col("band") === b).drop("band").coalesce(1), base))
+    DeltaExport.snapshot(s, base, tgt)
+    // the published protocol must NAME the feature (hard gate, not
+    // just a working read)
+    val v0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/_delta_log/00000000000000000000.json"))
+    require(v0.contains("\"timestampNtz\""),
+      s"export must declare the timestampNtz feature: $v0")
+    val cut = e.filter(col("band") === 2)
+      .agg(min("ts_ntz"), max("ts_ntz")).head()
+    val (lo, hi) = (cut.getAs[java.time.LocalDateTime](0),
+      cut.getAs[java.time.LocalDateTime](1))
+    val got = DeltaRead.read(s, tgt)
+    require(got.schema("ts_ntz").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "the replay must serve TimestampNTZType")
+    val band2 = got.filter(col("ts_ntz") >= lit(lo) && col("ts_ntz") <= lit(hi))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(unix_micros(col("ts_ntz").cast("timestamp"))).as("min_us"),
+        max(unix_micros(col("ts_ntz").cast("timestamp"))).as("max_us"))
+    val row = band2.collect().head
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      scannedFiles(band2).toInt))
+      .toDF("n_rows", "sum_cents", "min_us", "max_us", "files_read")
+  }
+
+  /** FOREIGN Delta append (r14 — r13 verdict #2): a partitioned Delta
+    * table built by the independent fixture path (NOT a graft export —
+    * no graft watermark anywhere) receives three
+    * [[graft.sources.DeltaExport.appendForeign]] commits, one per
+    * band, and the replay must serve the union with log-borne
+    * partition values — initial + appended rows grouping to the same
+    * closed form DuckDB computes from `orders` directly. */
+  val qDeltaAppendForeign: QueryDef = QueryDef.sql(
+    "q_delta_append_foreign",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dfor_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    // the FOREIGN fixture: schema (k, cents, band), partitioned by
+    // band, seeded with band b0's rows — hand-written log, no graft
+    // export involved
+    val tmp = s"${dir}_stage"
+    o.filter(col("band") === "b0").select("k", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/f0.parquet").toPath): Unit
+    val esc = StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType),
+      StructField("band", StringType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"foreignfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["band"],"configuration":{}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{"band":"b0"},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    // three foreign appends, one band each — each its own OCC commit
+    (1 to 3).foreach { b =>
+      DeltaExport.appendForeign(s,
+        o.filter(col("band") === s"b$b").select("k", "cents", "band"), dir): Unit
+    }
+    DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   /** Delta NAME-MODE column mapping over NESTED complex columns (r13
     * — the common Databricks shape the r12 reader declined): the data
     * file carries PHYSICAL names at every nesting level (`col-s` =
@@ -1690,5 +1822,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign)
 }

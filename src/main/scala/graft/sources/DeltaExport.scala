@@ -50,10 +50,33 @@ object DeltaExport {
           "its files carry physical names — run TimeTravel.optimize to " +
           "rewrite, then export the folded version")
 
-  /** Protocol action for a DV-carrying log (reader version 3). */
-  private val DvProtocol: String =
-    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+  /** TimestampNTZType anywhere in the schema — the protocol requires
+    * the `timestampNtz` table feature named for it (r14). */
+  private def hasNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+  }
+
+  /** Protocol action sized to what the published table actually needs:
+    * plain version 1 readers unless a TABLE FEATURE is in play —
+    * `deletionVectors` for merge-on-read adds, `timestampNtz` for an
+    * NTZ column anywhere in the schema. */
+  private def protocolAction(dv: Boolean, ntz: Boolean): String =
+    if (!dv && !ntz)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    else {
+      val feats = ((if (dv) Seq("deletionVectors") else Nil) ++
+        (if (ntz) Seq("timestampNtz") else Nil))
+        .map("\"" + _ + "\"").mkString(",")
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
+    }
 
   /** Write the protocol-format DV file for (file key, graft version)
     * and return its descriptor JSON fragment. */
@@ -143,6 +166,25 @@ object DeltaExport {
             case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
               Some("\"" + java.time.LocalDate
                 .ofEpochDay(v.asInstanceOf[Number].longValue()) + "\"")
+            case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+              // Delta stats carry timestamps as ISO-8601 strings, not
+              // raw micros: instant form (Z) for adjusted columns,
+              // local form for NTZ. NANOS would need direction-aware
+              // rounding (flooring a MAX under-bounds it) — omit.
+              import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+              val micros = ts.getUnit match {
+                case TimeUnit.MICROS => Some(v.asInstanceOf[Number].longValue())
+                case TimeUnit.MILLIS =>
+                  Some(Math.multiplyExact(v.asInstanceOf[Number].longValue(), 1000L))
+                case _ => None
+              }
+              micros.map { us =>
+                val inst = java.time.Instant.EPOCH
+                  .plus(us, java.time.temporal.ChronoUnit.MICROS)
+                if (ts.isAdjustedToUTC) "\"" + inst + "\""
+                else "\"" + java.time.LocalDateTime
+                  .ofInstant(inst, java.time.ZoneOffset.UTC) + "\""
+              }
             case (INT32 | INT64, _) => Some(String.valueOf(v))
             case (DOUBLE | FLOAT, _) =>
               val d = v.asInstanceOf[Number].doubleValue()
@@ -239,9 +281,7 @@ object DeltaExport {
     val actions = Seq.newBuilder[String]
     actions += commitInfo(v)
     actions += txnAction(v)
-    actions += (if (dvs.isEmpty)
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    else DvProtocol)
+    actions += protocolAction(dv = dvs.nonEmpty, ntz = hasNtz(scan.schema))
     actions +=
       (s"""{"metaData":{"id":"graft-export","format":""" +
         s"""{"provider":"parquet","options":{}},"schemaString":"$esc",""" +
@@ -380,7 +420,14 @@ object DeltaExport {
     val actions = Seq.newBuilder[String]
     actions += commitInfo(g1)
     actions += txnAction(g1)
-    if (changed.nonEmpty && exported.minReader < 3) actions += DvProtocol
+    // first DVs on this log: upgrade the protocol, PRESERVING an
+    // already-declared timestampNtz feature (protocol actions replace,
+    // they don't merge)
+    if (changed.nonEmpty && (exported.minReader < 3 ||
+        !exported.readerFeatures.contains("deletionVectors")))
+      actions += protocolAction(dv = true,
+        ntz = exported.schemaJson.exists(j => hasNtz(
+          org.apache.spark.sql.types.DataType.fromJson(j))))
     var published = 0
     newFiles.foreach { f =>
       changed.get(normKey(f)) match {
@@ -424,9 +471,14 @@ object DeltaExport {
     val fromJson = names
       .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
       .map(_.stripSuffix(".json").toLong)
+    // classic single/multi-part AND v2 UUID-named checkpoints all lead
+    // with the zero-padded version — parse up to the first dot
     val fromCp = names
-      .filter(_.endsWith(".checkpoint.parquet"))
-      .flatMap(_.stripSuffix(".checkpoint.parquet").toLongOption)
+      .filter(_.contains(".checkpoint"))
+      .flatMap { n =>
+        val d = n.takeWhile(_ != '.')
+        if (d.nonEmpty && d.forall(_.isDigit)) Some(d.toLong) else None
+      }
     (fromJson ++ fromCp).maxOption.map(_ + 1).getOrElse(0L)
   }
 
@@ -517,4 +569,236 @@ object DeltaExport {
 
   /** Commit interval between export checkpoints. */
   private[sources] val CheckpointInterval = 10L
+
+  // ------------------------------------------------- foreign append
+
+  /** Writer features a blind APPEND can honor. Features whose
+    * obligations an append could VIOLATE gate on presence in
+    * [[requireForeignAppendable]] (constraints, invariants,
+    * generated/identity columns); the rest are inert for pure adds —
+    * `changeDataFeed` included: inserts need no cdc action, readers
+    * synthesize them from the adds. Anything outside this set
+    * (rowTracking's per-add base ids, icebergCompat's field-id files,
+    * …) declines BY NAME. */
+  private val AppendableWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "changeDataFeed", "columnMapping", "timestampNtz", "deletionVectors",
+    "v2Checkpoint", "domainMetadata")
+
+  private def requireForeignAppendable(tablePath: String,
+      st: DeltaRead.LogState,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (st.minWriter > 7) throw new UnsupportedOperationException(
+      s"delta table at $tablePath requires minWriterVersion ${st.minWriter}; " +
+        "this writer speaks versions 1-7")
+    if (st.minWriter >= 7) {
+      val unsupported = st.writerFeatures -- AppendableWriterFeatures
+      if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+        s"delta table at $tablePath requires writer feature(s) " +
+          s"${unsupported.toSeq.sorted.mkString(", ")}; appendForeign " +
+          s"honors ${AppendableWriterFeatures.toSeq.sorted.mkString(", ")} only")
+    }
+    // obligations a blind append cannot ENFORCE decline on presence —
+    // committing rows past a CHECK constraint would corrupt the
+    // table's contract even though the bytes are well-formed
+    val constraints = st.config.keys.filter(_.startsWith("delta.constraints."))
+    if (constraints.nonEmpty) throw new UnsupportedOperationException(
+      s"delta table at $tablePath declares CHECK constraint(s) " +
+        s"${constraints.toSeq.sorted.mkString(", ")}; appendForeign cannot " +
+        "validate them — append through an engine that can")
+    schema.fields.foreach { f =>
+      if (f.metadata.contains("delta.invariants"))
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $tablePath carries an invariant; " +
+            "appendForeign cannot validate it")
+      if (f.metadata.contains("delta.generationExpression"))
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $tablePath is a generated column; " +
+            "appendForeign cannot guarantee the generation expression")
+      if (f.metadata.json.contains("delta.identity."))
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $tablePath is an identity column; " +
+            "appendForeign cannot allocate its values")
+    }
+    if (st.config.get("delta.columnMapping.mode").contains("id"))
+      throw new UnsupportedOperationException(
+        s"delta table at $tablePath uses id-mode column mapping; " +
+          "appendForeign writes name-mode physical names only")
+  }
+
+  /** Structural schema equality: names + types, nullability and
+    * metadata ignored (metadata carries mapping/statistics hints the
+    * caller's frame legitimately lacks). */
+  private def normType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(normType(m.keyType), normType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The protocol's partition-value STRING form for the identity
+    * types appendForeign serves. */
+  private def partitionValueString(v: Any,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+          BooleanType | DateType => v.toString
+      case other => throw new UnsupportedOperationException(
+        s"partition column type $other is outside appendForeign's " +
+          "identity set (string, integral, boolean, date)")
+    }
+  }
+
+  /** APPEND `df` into ANY Delta table — including tables this engine
+    * did not create (r13 verdict #2, the largest remaining interop
+    * write gap): stage the rows as new parquet files inside the table
+    * root, then publish ONE commit JSON whose adds carry the log-borne
+    * partition values and footer stats, under the protocol's
+    * put-if-absent commit rule with bounded OCC retry.
+    *
+    * Loud-or-exact scope ([[requireForeignAppendable]]): the table's
+    * writer requirements must be in this writer's vocabulary; CHECK
+    * constraints / invariants / generated / identity columns decline
+    * on PRESENCE (an appender that cannot validate them must not
+    * commit past them); name-mode column mapping writes the physical
+    * names (nested included), id mode declines by name. `df`'s schema
+    * must equal the table's logical schema (names + types).
+    *
+    * CONCURRENCY: a pure-add commit conflicts only with concurrent
+    * `metaData`/`protocol` changes — on a version race the retry
+    * re-replays the log, re-validates schema and protocol, and
+    * re-commits the SAME already-written files at the next number (the
+    * standard Delta OCC shape). A concurrent schema change fails
+    * loudly. On failure the staged files are unreachable (never
+    * logged), the same garbage class every Delta writer leaves.
+    *
+    * Scale: one distributed write of `df` + O(new files) driver work;
+    * the conflict window is one JSON rename, independent of data
+    * size. Returns the committed version. */
+  def appendForeign(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, targetPath: String,
+      maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+    val st0 = DeltaRead.replay(spark, targetPath)
+    val schemaJson = st0.schemaJson.getOrElse(throw new IllegalStateException(
+      s"delta log at $targetPath has no metaData action"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    requireForeignAppendable(targetPath, st0, schema)
+    if (normType(df.schema) != normType(schema))
+      throw new UnsupportedOperationException(
+        s"appendForeign frame schema ${df.schema.simpleString} does not " +
+          s"match the table's ${schema.simpleString} at $targetPath")
+    val parts = st0.partitionCols
+    val colMap = DeltaRead.colMapOf(targetPath, st0)
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    // data files carry only DATA columns, under their physical shape
+    val dataSel = schema.fields.toSeq.filterNot(f => parts.contains(f.name))
+      .map { f =>
+        val physT = DeltaRead.physicalType(f.dataType)
+        val c = col(f.name)
+        (if (colMap.nonEmpty && physT != f.dataType) c.cast(physT) else c)
+          .as(physOf(f.name))
+      }
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$targetPath/_graft_staging_$uuid"
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new Path(targetPath).getFileSystem(conf)
+    def publish(src: Path, destName: String,
+        pv: Map[String, String]): String = {
+      val dest = new Path(targetPath, destName)
+      if (!fsys.rename(src, dest)) throw new java.io.IOException(
+        s"staging publish failed for $dest")
+      val stt = fsys.getFileStatus(dest)
+      val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        val kq = "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        val vq = if (v == null) "null"
+          else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        s"$kq:$vq"
+      }.mkString(",")
+      s"""{"add":{"path":"${encodePath(destName)}","partitionValues":{$pvJson},""" +
+        s""""size":${stt.getLen},"modificationTime":${stt.getModificationTime},""" +
+        s""""dataChange":true${statsFragment(conf, dest.toString)}}}"""
+    }
+    val adds = Seq.newBuilder[String]
+    try {
+      if (parts.isEmpty) {
+        df.select(dataSel: _*).write.mode("overwrite").parquet(staging)
+        fsys.listStatus(new Path(staging)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, i) =>
+            adds += publish(s.getPath, s"part-$uuid-$i.parquet", Map.empty)
+          }
+      } else {
+        // identity partitioning: one broadcast tuple→index map keyed
+        // null-safely, ONE distributed partitionBy write (no per-tuple
+        // jobs), index dirs decode exactly (no path-unescape guesswork)
+        val tuples = df.select(parts.map(col): _*).distinct().collect()
+        val idxSchema = StructType(
+          parts.map(p => schema(p).copy(nullable = true)) :+
+            StructField("__gp", IntegerType, nullable = false))
+        import scala.jdk.CollectionConverters._
+        val idxDf = spark.createDataFrame(
+          tuples.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          }.toSeq.asJava, idxSchema)
+        val joined = df.as("l").join(broadcast(idxDf.as("r")),
+          parts.map(p => col(s"l.$p") <=> col(s"r.$p")).reduce(_ && _))
+        joined.select(dataSel.map(c => c) :+ col("r.__gp"): _*)
+          .write.partitionBy("__gp").mode("overwrite").parquet(staging)
+        tuples.zipWithIndex.foreach { case (r, i) =>
+          val dir = new Path(staging, s"__gp=$i")
+          if (fsys.exists(dir)) {
+            val pv = parts.zipWithIndex.map { case (p, j) =>
+              physOf(p) -> partitionValueString(r.get(j), schema(p).dataType)
+            }.toMap
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+                adds += publish(s.getPath, s"part-$uuid-$i-$k.parquet", pv)
+              }
+          }
+        }
+      }
+    } finally fsys.delete(new Path(staging), true): Unit
+    val data = adds.result()
+    // OCC commit: the data files are final; only the JSON number races
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      if (attempt > 0) {
+        val stNow = DeltaRead.replay(spark, targetPath)
+        requireForeignAppendable(targetPath, stNow, schema)
+        if (stNow.schemaJson != st0.schemaJson ||
+            stNow.partitionCols != st0.partitionCols)
+          throw new IllegalStateException(
+            s"concurrent metaData change at $targetPath moved the schema " +
+              "under this append; re-read the table and retry explicitly",
+            lastErr)
+      }
+      val v = nextDeltaVersion(spark, targetPath)
+      val actions =
+        Seq("""{"commitInfo":{"operation":"WRITE","engineInfo":"graft-appendForeign"}}""") ++
+          data
+      try { writeCommit(spark, targetPath, v, actions); return v }
+      catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("concurrent export")) ||
+              e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
 }

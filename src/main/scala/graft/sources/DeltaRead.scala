@@ -49,9 +49,14 @@ object DeltaRead {
   private val mapper = new ObjectMapper()
 
   /** Reader-version-3 features this replay honors; anything else on
-    * the table's protocol declines by name. */
+    * the table's protocol declines by name. `timestampNtz` (r14) is a
+    * pure type-capability flag: Spark 4 carries TimestampNTZType
+    * natively, the schemaString's `timestamp_ntz` parses through
+    * `DataType.fromJson`, partition values cast through the same
+    * zone-aware literal path, and stats bounds ride
+    * [[FileSkipping.fromDeltaStats]]'s NTZ case. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -86,7 +91,12 @@ object DeltaRead {
       partitionCols: Seq[String],
       minReader: Int,
       readerFeatures: Set[String] = Set.empty,
-      config: Map[String, String] = Map.empty)
+      config: Map[String, String] = Map.empty,
+      // writer-side protocol — read-only here, consumed by the foreign
+      // APPEND path ([[DeltaExport.appendForeign]]) to honor the
+      // table's writer requirements before committing into it
+      minWriter: Int = 1,
+      writerFeatures: Set[String] = Set.empty)
 
   /** COLUMN MAPPING (reader version 2, or the v3 `columnMapping`
     * feature): the table's logical column names resolve to the
@@ -344,8 +354,8 @@ object DeltaRead {
             s"${SupportedReaderFeatures.mkString(", ")} only")
       case other => throw new UnsupportedOperationException(
         s"delta table at $tablePath requires minReaderVersion $other; this " +
-          "reader supports versions 1–3 (features: deletionVectors, " +
-          "columnMapping, v2Checkpoint)")
+          "reader supports versions 1–3 (features: " +
+          s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
     }
 
   /** Log replay to the live state: checkpoint (if any, and at or
@@ -379,6 +389,32 @@ object DeltaRead {
     }
     val commits = allJson
       .filter(v => v >= start && asOf.forall(v <= _)).sorted
+    // a version the log never reached is a caller error, not a gap
+    val latest = (allJson ++ cpAll).reduceOption(_ max _)
+    asOf.filter(a => latest.forall(a > _)).foreach { a =>
+      throw new IllegalArgumentException(
+        s"version $a of $tablePath does not exist" +
+          latest.map(l => s" (latest is $l)").getOrElse(""))
+    }
+    // the fold is only correct over a CONTIGUOUS window reaching asOf:
+    // a gapped log (pre-checkpoint JSONs partially removed by an
+    // external cleaner or a crashed cleanupLog) would silently fold to
+    // a WRONG historical snapshot — assert the exact window instead
+    // (r13 ADVICE; subsumes the v0 heuristic above for partial
+    // retirement, which only caught the all-retired shape)
+    asOf.orElse(commits.lastOption).filter(_ >= start).foreach { hi =>
+      val expect = start to hi
+      if (commits != expect.toSeq) {
+        val missing = (expect.toSet -- commits.toSet).toSeq.sorted
+        throw new IllegalStateException(
+          s"delta log at $logDir is not contiguous over versions " +
+            s"[$start, $hi]: missing commit(s) " +
+            missing.take(8).map(v => f"$v%020d.json").mkString(", ") +
+            (if (missing.size > 8) s" (+${missing.size - 8} more)" else "") +
+            " — the log was partially retired or corrupted; this " +
+            "snapshot is unrecoverable")
+      }
+    }
     commits.foreach { v =>
       st = commitBody(spark, logDir, v).foldLeft(st)((s, line) =>
         applyAction(s, mapper.readTree(line)))
@@ -657,8 +693,9 @@ object DeltaRead {
     * ENGINE-NATIVE field-id match instead — the read schema carries
     * `parquet.field.id` metadata at every level
     * ([[withParquetFieldIds]]) and the scan runs under
-    * `spark.sql.parquet.fieldId.read.enabled` (set sticky on the
-    * session; inert for schemas without id metadata), which makes
+    * `spark.sql.parquet.fieldId.read.enabled` — set on a session CLONE
+    * the relation captures ([[GraftPlanApi.fieldIdReadSession]]), so
+    * the caller's session keeps name-binding — which makes
     * Spark's own parquet reader bind every column — nested included —
     * by field id, names ignored. Read-schema names are the LOGICAL
     * names, so no rename/cast-back pass exists at all. The single-scan
@@ -672,7 +709,7 @@ object DeltaRead {
   private def scanAddsByFieldId(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
       colMap: Map[String, String]): DataFrame = {
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val idSpark = org.apache.spark.sql.GraftPlanApi.fieldIdReadSession(spark)
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
     val dataSchema = withParquetFieldIds(tablePath,
@@ -700,7 +737,7 @@ object DeltaRead {
     }
     val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
     val base = org.apache.spark.sql.GraftPlanApi
-      .fileRelationDataFrame(spark, index, partSchema, dataSchema)
+      .fileRelationDataFrame(idSpark, index, partSchema, dataSchema)
     val dved = adds.filter(_.dv.nonEmpty)
     val afterDv =
       if (dved.isEmpty) base
@@ -709,7 +746,7 @@ object DeltaRead {
           val key = normKey(new Path(resolvePath(tablePath, a.path)).toString)
           DeltaDv.positions(spark, tablePath, a.dv.get).toSeq.map(pos => (key, pos))
         }
-        val posDf = spark.createDataset(pairs)(
+        val posDf = idSpark.createDataset(pairs)(
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.STRING,
             org.apache.spark.sql.Encoders.scalaLong))
@@ -743,10 +780,11 @@ object DeltaRead {
         .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
         .toArray))) {
       // nested-id change files ride the engine-native field-id match
-      // (the [[scanAddsByFieldId]] stance); `_change_type` carries no
-      // id and binds by its literal name — mixed matching per field is
-      // exactly the engine's contract
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // (the [[scanAddsByFieldId]] stance, including the session-clone
+      // isolation); `_change_type` carries no id and binds by its
+      // literal name — mixed matching per field is exactly the
+      // engine's contract
+      val idSpark = org.apache.spark.sql.GraftPlanApi.fieldIdReadSession(spark)
       def physOf(c: String) = colMap.getOrElse(c, c)
       val dataFields = schema.filterNot(f => partCols.contains(f.name))
         .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
@@ -754,7 +792,7 @@ object DeltaRead {
         StructType(dataFields.toArray)).asInstanceOf[StructType].fields :+
         org.apache.spark.sql.types.StructField("_change_type", StringType))
       return files.groupBy(_.partitionValues).toSeq.map { case (pv, fs0) =>
-        val base = spark.read.schema(withCt)
+        val base = idSpark.read.schema(withCt)
           .parquet(fs0.map(f => resolvePath(tablePath, f.path)): _*)
         val withParts = partCols.foldLeft(base) { (df, pc) =>
           val pvv = pv.get(physOf(pc)).orElse(pv.get(pc))
@@ -905,10 +943,14 @@ object DeltaRead {
         partitionCols = parts, config = conf)
     } else if (node.has("protocol")) {
       val p = node.get("protocol")
-      val feats = Option(p.get("readerFeatures"))
+      def feats(field: String) = Option(p.get(field))
         .map(f => (0 until f.size()).map(f.get(_).asText()).toSet)
         .getOrElse(Set.empty[String])
-      st.copy(minReader = p.get("minReaderVersion").asInt(), readerFeatures = feats)
+      st.copy(minReader = p.get("minReaderVersion").asInt(),
+        readerFeatures = feats("readerFeatures"),
+        minWriter = Option(p.get("minWriterVersion"))
+          .filterNot(_.isNull).map(_.asInt()).getOrElse(1),
+        writerFeatures = feats("writerFeatures"))
     } else st // commitInfo, txn, cdc, domainMetadata … are snapshot-irrelevant
   }
 
@@ -1040,15 +1082,21 @@ object DeltaRead {
     val cols = df.columns.toSet
     var st = LogState(Map.empty, None, Seq.empty, 1)
     if (cols.contains("protocol")) {
-      val hasFeats = df.schema("protocol").dataType.asInstanceOf[StructType]
-        .fieldNames.contains("readerFeatures")
-      val sel = if (hasFeats)
-        df.select("protocol.minReaderVersion", "protocol.readerFeatures")
-      else df.select("protocol.minReaderVersion")
-      val r = sel.na.drop(Seq("minReaderVersion")).collect()
+      val protoFields = df.schema("protocol").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      def optCol(n: String) =
+        if (protoFields.contains(n)) col(s"protocol.$n") else lit(null)
+      val r = df.select(col("protocol.minReaderVersion"),
+        optCol("readerFeatures"), optCol("minWriterVersion"),
+        optCol("writerFeatures"))
+        .na.drop(Seq("minReaderVersion")).collect()
       if (r.nonEmpty) st = st.copy(minReader = r.head.getInt(0),
         readerFeatures =
-          if (hasFeats && !r.head.isNullAt(1)) r.head.getSeq[String](1).toSet
+          if (!r.head.isNullAt(1)) r.head.getSeq[String](1).toSet
+          else Set.empty,
+        minWriter = if (!r.head.isNullAt(2)) r.head.getInt(2) else 1,
+        writerFeatures =
+          if (!r.head.isNullAt(3)) r.head.getSeq[String](3).toSet
           else Set.empty)
     }
     if (cols.contains("metaData")) {

@@ -91,6 +91,18 @@ private[sources] object FileSkipping {
           }
         Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
           inst.getNano / 1000L))
+      case TimestampNTZType if v.isTextual =>
+        // NTZ stats are a LOCAL ISO datetime — no zone to interpret;
+        // catalyst form is the local datetime's as-if-UTC micros
+        val t = v.asText()
+        val ldt =
+          try java.time.LocalDateTime.parse(t)
+          catch { case _: Exception =>
+            java.time.OffsetDateTime.parse(t).toLocalDateTime
+          }
+        val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+        Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L))
       case d: DecimalType if v.isNumber || v.isTextual =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(v.asText()))
         if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
@@ -107,7 +119,8 @@ private[sources] object FileSkipping {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     try dt match {
-      case LongType | TimestampType if bytes.length == 8 => Some(buf.getLong)
+      case LongType | TimestampType | TimestampNTZType if bytes.length == 8 =>
+        Some(buf.getLong)
       case IntegerType | DateType if bytes.length == 4 => Some(buf.getInt)
       case DoubleType if bytes.length == 8 => Some(buf.getDouble)
       case FloatType if bytes.length == 4 => Some(buf.getFloat)

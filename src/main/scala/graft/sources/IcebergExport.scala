@@ -77,7 +77,11 @@ object IcebergExport {
     case BooleanType => "boolean"
     case StringType => "string"
     case DateType => "date"
-    case TimestampType => "timestamp"
+    // TimestampType is a UTC-adjusted instant → the spec's
+    // `timestamptz`; zoneless TimestampNTZType → `timestamp` — the
+    // [[IcebergRead.sparkType]] inverse, so exports roundtrip
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new UnsupportedOperationException(
       s"column type $other has no Iceberg interchange mapping; cast before export")

@@ -113,7 +113,11 @@ object IcebergRead {
     case "boolean" => BooleanType
     case "string" => StringType
     case "date" => DateType
-    case "timestamp" | "timestamptz" => TimestampType
+    // the spec's `timestamp` is ZONELESS (stores unadjusted local
+    // micros) — Spark 4's native TimestampNTZType, not an instant;
+    // only `timestamptz` is the UTC-adjusted instant (r13 verdict #1)
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
     case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
     case other => throw new UnsupportedOperationException(
       s"iceberg field type '$other' is outside this reader's interchange set")

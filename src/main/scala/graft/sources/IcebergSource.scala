@@ -92,19 +92,32 @@ class IcebergSourceProvider extends StreamSourceProvider with DataSourceRegister
 }
 
 /** Offset = (snapshot-id, position-when-seen, the snapshot's manifest
-  * list). Identity is the id; the manifests make the batch diff
-  * self-contained (no start-snapshot lookup — expiry-proof); the
-  * position is a human-readable diagnostic only. Size is O(manifests
+  * list WITH the list-level sequence numbers). Identity is the id; the
+  * manifests make the batch diff self-contained (no start-snapshot
+  * lookup — expiry-proof); the position is a human-readable diagnostic
+  * only. The `seqs` ride because v2 manifest ENTRIES normally store
+  * NULL sequence_number and inherit the list entry's value — an
+  * expired-snapshot reconstruction that lost the list would otherwise
+  * drop every inherited seq to 0 and mis-order equality deletes
+  * against data files (the r13 ADVICE finding). Size is O(manifests
   * of one snapshot) — the same planning metadata Iceberg itself holds
   * per scan. */
 private[sources] final case class IcebergOffset(sid: Long, pos: Long,
-    manifests: Seq[String]) extends Offset {
+    manifests: Seq[String],
+    seqs: Seq[Option[Long]] = Seq.empty) extends Offset {
   override def json: String = {
     val m = IcebergOffset.mapper.createObjectNode()
     m.put("sid", sid)
     m.put("pos", pos)
     val arr = m.putArray("manifests")
     manifests.foreach(arr.add)
+    if (seqs.nonEmpty) {
+      val sa = m.putArray("seqs")
+      seqs.foreach {
+        case Some(s) => sa.add(s): Unit
+        case None => sa.addNull(): Unit
+      }
+    }
     m.toString
   }
 }
@@ -121,7 +134,12 @@ private[sources] object IcebergOffset {
     val node = mapper.readTree(t)
     val ms = Option(node.get("manifests")).map(a =>
       (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
-    IcebergOffset(node.get("sid").asLong(), node.get("pos").asLong(), ms)
+    // pre-r14 checkpoints carry no seqs — reconstruction then treats
+    // any inherited-seq shape as unrecoverable (loud, never guessed)
+    val ss = Option(node.get("seqs")).map(a =>
+      (0 until a.size()).map(i =>
+        if (a.get(i).isNull) None else Some(a.get(i).asLong()))).getOrElse(Seq.empty)
+    IcebergOffset(node.get("sid").asLong(), node.get("pos").asLong(), ms, ss)
   }
 }
 
@@ -145,8 +163,8 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
     if (i < 0) throw new IllegalArgumentException(
       s"startingSnapshotId $sid is not in the snapshot list at $path " +
         "(expired or never committed); start from a live snapshot")
-    IcebergOffset(sid, (i + 1).toLong,
-      IcebergRead.manifestsOf(spark, path, snaps(i)._2).map(_.toString))
+    val ms = IcebergRead.manifestsWithSeq(spark, path, snaps(i)._2)
+    IcebergOffset(sid, (i + 1).toLong, ms.map(_._1.toString), ms.map(_._2))
   }
 
   /** Consumed progress for the RATE LIMIT (re-seeded by every planned
@@ -169,8 +187,10 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong())
     val full = curId.flatMap(id => snaps.indexWhere(_._1 == id) match {
       case -1 => None
-      case i => Some(IcebergOffset(id, (i + 1).toLong,
-        IcebergRead.manifestsOf(spark, path, snaps(i)._2).map(_.toString)))
+      case i =>
+        val ms = IcebergRead.manifestsWithSeq(spark, path, snaps(i)._2)
+        Some(IcebergOffset(id, (i + 1).toLong,
+          ms.map(_._1.toString), ms.map(_._2)))
     })
     (maxManifestsPerTrigger, consumed, full) match {
       case (Some(k), Some(c), Some(f)) if f.sid != c.sid =>
@@ -182,12 +202,12 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
           var i = idx + 1
           var stop = false
           while (i < snaps.size && !stop) {
-            val ms = IcebergRead.manifestsOf(spark, path, snaps(i)._2)
-              .map(_.toString)
-            val newCount = ms.count(!base(_))
+            val ms = IcebergRead.manifestsWithSeq(spark, path, snaps(i)._2)
+            val newCount = ms.count(m => !base(m._1.toString))
             if (chosen.nonEmpty && newCount > k) stop = true
             else {
-              chosen = Some(IcebergOffset(snaps(i)._1, (i + 1).toLong, ms))
+              chosen = Some(IcebergOffset(snaps(i)._1, (i + 1).toLong,
+                ms.map(_._1.toString), ms.map(_._2)))
               if (newCount >= k) stop = true
               i += 1
             }
@@ -241,22 +261,43 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
         // manifest names reconstruct the pinned entry set — identity
         // lookups must never be the only path, or routine history
         // expiry strands every checkpoint still standing on its first
-        // batch. Equality deletes are the one shape the reconstruction
-        // cannot order (their strictly-older rule needs the expired
-        // list's sequence numbers when manifests stored nulls) — loud.
+        // batch. The recorded list-level sequence numbers (r14) keep
+        // even inherited-seq shapes — equality deletes ordered by the
+        // strictly-older rule — reconstructable; only a pre-r14 offset
+        // that lost them dies loud.
         val live =
           if (snaps.exists(_._1 == endOff.sid))
             IcebergRead.liveEntries(spark, path, meta, Some(endOff.sid))
           else if (endOff.manifests.nonEmpty) {
-            val entries = endOff.manifests.flatMap { m =>
-              IcebergRead.entriesOf(spark, IcebergRead.resolve(path, m))
-            }.filter(_.status != 2)
-            if (entries.exists(e => e.content == 2 && e.seq == 0L))
-              throw new IllegalStateException(
-                s"snapshot ${endOff.sid} of $path expired and its recorded " +
-                  "manifests carry equality deletes without recoverable " +
-                  "sequence numbers — resync from a fresh checkpoint")
-            entries
+            if (endOff.seqs.size == endOff.manifests.size)
+              // r14: the offset recorded each manifest's LIST-level
+              // sequence number, so null-seq ADDED entries inherit
+              // exactly as a live read would — equality deletes in an
+              // expired snapshot reconstruct correctly ordered
+              endOff.manifests.zip(endOff.seqs).flatMap { case (m, listSeq) =>
+                IcebergRead.entriesOf(spark, IcebergRead.resolve(path, m), listSeq)
+              }.filter(_.status != 2)
+            else {
+              // pre-r14 offset (no seqs recorded): any entry resolving
+              // to seq 0 on a v2+ table is an inherited value we cannot
+              // reconstruct — and not just equality deletes: a DATA
+              // file dropped to seq 0 looks older than every delete and
+              // would over-delete — loud, never guessed
+              val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(1)
+              val entries = endOff.manifests.flatMap { m =>
+                IcebergRead.entriesOf(spark, IcebergRead.resolve(path, m))
+              }.filter(_.status != 2)
+              if (fv >= 2 && entries.exists(_.content != 0) &&
+                  entries.exists(_.seq == 0L))
+                throw new IllegalStateException(
+                  s"snapshot ${endOff.sid} of $path expired and its recorded " +
+                    "manifests carry entries whose sequence numbers were " +
+                    "inherited from the (now expired) manifest list — " +
+                    "equality deletes / merge-on-read ordering is " +
+                    "unreconstructable from this pre-r14 offset; resync " +
+                    "from a fresh checkpoint")
+              entries
+            }
           } else throw new IllegalStateException(
             s"snapshot ${endOff.sid} is no longer in the snapshot list at " +
               s"$path and the offset carries no manifest names — expired by " +

@@ -140,22 +140,29 @@ object DeltaMaintenance {
     * still-present commit JSON or the checkpoint mentions it (so every
     * version the log can still replay keeps its vectors — run
     * [[checkpoint]] + [[cleanupLog]] first to retire old references).
-    * Only sidecars directly under the table root are candidates; data
-    * files are never touched. Returns the removed (or, with `dryRun`,
-    * removable) file names. */
+    * Candidates are `deletion_vector_*.bin` files anywhere under the
+    * table root (a 'u'-type descriptor with a directory prefix puts
+    * its sidecar in a SUBDIRECTORY — the walk must reach it or those
+    * sidecars accumulate forever); `_delta_log` is excluded and data
+    * files are never touched. Reference keys are full normalized
+    * paths, not bare names — two prefixed sidecars may collide on
+    * name. Returns the removed (or, with `dryRun`, removable) file
+    * names. */
   def vacuum(spark: SparkSession, tablePath: String,
       dryRun: Boolean = false): Seq[String] = {
     val logDir = new Path(s"$tablePath/_delta_log")
     val f = fs(spark, tablePath)
     if (!f.exists(logDir))
       throw new IllegalArgumentException(s"no _delta_log at $tablePath")
+    def normKey(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
     // every DV referenced by a visible action file: the checkpoint's
     // adds (via replay pinned at the checkpoint version) + every add
     // in every still-present commit JSON — liveness is irrelevant, a
     // replayable version's vectors must survive
     val referenced = collection.mutable.Set.empty[String]
     def note(d: DeltaDv.Descriptor): Unit =
-      DeltaDv.filePathOf(tablePath, d).foreach(p => referenced += p.getName)
+      DeltaDv.filePathOf(tablePath, d).foreach(p => referenced += normKey(p.toString))
     checkpointVersion(spark, logDir).foreach { cp =>
       DeltaRead.replay(spark, tablePath, Some(cp)).adds.values
         .flatMap(_.dv).foreach(note)
@@ -173,11 +180,22 @@ object DeltaMaintenance {
           }
         }
     }
-    val candidates = f.listStatus(new Path(tablePath)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("deletion_vector_") &&
-        s.getPath.getName.endsWith(".bin"))
-      .map(_.getPath)
-    val victims = candidates.filterNot(p => referenced(p.getName))
+    // recursive walk (the real VACUUM's listing shape) so prefixed
+    // sidecars in subdirectories are candidates too; _delta_log is
+    // metadata, never swept here
+    val candidates = {
+      val buf = collection.mutable.ArrayBuffer.empty[Path]
+      val it = f.listFiles(new Path(tablePath), true)
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+            !normKey(s.getPath.toString).contains("/_delta_log/"))
+          buf += s.getPath
+      }
+      buf.toSeq
+    }
+    val victims = candidates.filterNot(p => referenced(normKey(p.toString)))
     if (!dryRun) victims.foreach(p => f.delete(p, false))
     victims.map(_.getName).sorted
   }
@@ -304,22 +322,27 @@ object IcebergMaintenance {
       .groupBy(p => normKey(p.toString)).values.map(_.head).toSeq
       .filterNot(p => keptManifests(normKey(p.toString)))
     // file refcount: a file referenced only by removed manifests — and
-    // under the table root — is orphaned with them
-    def filesOf(m: Path): Seq[String] =
+    // under the table root — is orphaned with them. normKey is the
+    // REFCOUNT key only; deletion targets the original resolved Path
+    // (a scheme-stripped string re-wrapped as a Path would point a
+    // non-local filesystem's sweep at nonexistent local paths while
+    // still reporting the files removed — r13 ADVICE)
+    def filesOf(m: Path): Seq[Path] =
       IcebergRead.entriesOf(spark, m).map(e =>
-        normKey(IcebergRead.resolve(tablePath, e.path).toString))
+        IcebergRead.resolve(tablePath, e.path))
     val keptFiles = retained.flatMap(s => manifestsOf(listPath(s)))
-      .flatMap(filesOf).toSet
+      .flatMap(filesOf).map(p => normKey(p.toString)).toSet
     val rootKey = normKey(new Path(tablePath).toString).stripSuffix("/") + "/"
-    val orphanFiles = expiredManifests.flatMap(filesOf).distinct
-      .filterNot(keptFiles)
-      .filter(_.startsWith(rootKey))
-    val listsRemoved = expired.map(s => listPath(s).toString).distinct
-      .filterNot(p => keptLists(normKey(p)))
+    val orphanFiles = expiredManifests.flatMap(filesOf)
+      .groupBy(p => normKey(p.toString)).values.map(_.head).toSeq
+      .filterNot(p => keptFiles(normKey(p.toString)))
+      .filter(p => normKey(p.toString).startsWith(rootKey))
+    val listsRemoved = expired.map(listPath).distinct
+      .filterNot(p => keptLists(normKey(p.toString)))
     val result = ExpireResult(expiredIds,
-      listsRemoved.map(p => new Path(p).getName).sorted,
+      listsRemoved.map(_.getName).sorted,
       expiredManifests.map(_.getName).sorted,
-      orphanFiles.map(p => new Path(p).getName).sorted)
+      orphanFiles.map(_.getName).sorted)
     if (dryRun) return result
     // publish the trimmed metadata FIRST (readers flip atomically via
     // the version hint), then sweep the now-unreferenced files
@@ -338,18 +361,30 @@ object IcebergMaintenance {
     }
     // metadata writes go through NIO exactly like [[IcebergExport]]'s —
     // mixing writers would leave the Hadoop local FS's .crc sidecars
-    // stale for whichever writer comes second
-    val newMeta = java.nio.file.Paths.get(metaDir, s"v${hintV + 1}.metadata.json")
+    // stale for whichever writer comes second. NIO is local-only, so a
+    // non-local table declines BY NAME here (before any file is
+    // touched) instead of writing to a bogus relative path
+    val localMeta = {
+      val uri = new Path(metaDir).toUri
+      Option(uri.getScheme) match {
+        case None => metaDir
+        case Some("file") => uri.getPath
+        case Some(other) => throw new UnsupportedOperationException(
+          s"expireSnapshots publishes metadata through local NIO; a table " +
+            s"on scheme '$other' is unsupported (dry-run still reports)")
+      }
+    }
+    val newMeta = java.nio.file.Paths.get(localMeta, s"v${hintV + 1}.metadata.json")
     if (java.nio.file.Files.exists(newMeta)) throw new IllegalStateException(
       s"$newMeta already exists — concurrent metadata writer; retry")
     java.nio.file.Files.writeString(newMeta,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(metaDir, "version-hint.text"),
+      java.nio.file.Paths.get(localMeta, "version-hint.text"),
       String.valueOf(hintV + 1))
     val f = fs(spark, tablePath)
-    (listsRemoved.map(new Path(_)) ++ expiredManifests ++
-      orphanFiles.map(new Path(_))).foreach(p => f.delete(p, false))
+    (listsRemoved ++ expiredManifests ++ orphanFiles)
+      .foreach(p => f.delete(p, false))
     result
   }
 

@@ -78,6 +78,23 @@ object GraftPlanApi {
     spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(relation)
   }
 
+  /** A session CLONE with `spark.sql.parquet.fieldId.read.enabled` on —
+    * the id-mode scans build their relations against it. The conf is
+    * consumed at EXECUTION time through `relation.sparkSession`
+    * (`FileSourceScanExec` passes it to
+    * `ParquetFileFormat.buildReaderWithPartitionValues`), so a plan-time
+    * save-and-restore would silently flip the lazy scan back to
+    * name-binding; capturing a clone pins the binding for the relation's
+    * whole life WITHOUT mutating the caller's session — a later plain
+    * parquet read over id-carrying files keeps name semantics (r13
+    * ADVICE). Clones share the SparkContext and shared state; cost is
+    * one SessionState copy per id-mode scan, metadata-scale. */
+  def fieldIdReadSession(spark: SparkSession): SparkSession = {
+    val s = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    s
+  }
+
   /** A streaming-flagged DataFrame over an already-planned batch
     * computation's row RDD — the face for per-batch results whose plan
     * shape streaming cannot host directly (e.g. the change-feed's

@@ -1410,6 +1410,17 @@ class SourcesSpec extends SparkSpec {
       s"nested values must bind by field id across disjoint names: $rows")
     assert(got.select("later").collect().forall(_.isNullAt(0)),
       "an id absent from every footer reads null")
+    // the id-mode scan must not flip the CALLER's session to id-binding
+    // (r13 ADVICE): the conf rides a session clone the relation
+    // captures, and a later plain parquet read whose schema carries
+    // parquet.field.id metadata keeps NAME semantics here
+    assert(!spark.conf.get("spark.sql.parquet.fieldId.read.enabled").toBoolean,
+      "an id-mode read must not mutate the shared session")
+    val misleading = StructType(Seq(
+      StructField("zz1", LongType, nullable = true, idm(4))))
+    assert(spark.read.schema(misleading).parquet(s"$dir/fA.parquet")
+      .as[Long].collect().toSet == (1L to 4L).toSet,
+      "a plain read binds zz1 by NAME (ids 4 would serve i*2)")
   }
 
   test("delta read: nested id-mode + deletion vectors — MoR anti-join rides the field-id scan") {
@@ -3318,5 +3329,294 @@ class SourcesSpec extends SparkSpec {
     assert(IcebergMaintenance.snapshots(spark, tgt).count() == 1)
     assert(IcebergMaintenance.files(spark, tgt)
       .filter(col("content") === 1).count() == 1)
+  }
+
+  test("delta replay: a gapped log dies loud; a version past the log names itself") {
+    // r13 ADVICE: pre-checkpoint JSONs partially removed (an external
+    // cleaner, a crashed cleanupLog) while v0 survives used to fold
+    // over the gap and serve a WRONG historical snapshot — the replay
+    // window must be contiguous or loud
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("dgap_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("dgap").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 30L).map(i => (i, i)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.filter($"k" <= 10).coalesce(1), base)
+    DeltaExport.snapshot(spark, base, tgt) // delta v0
+    TimeTravel.commitAppend(df.filter($"k" > 10 && $"k" <= 20).coalesce(1), base)
+    DeltaExport.append(spark, base, tgt) // v1
+    TimeTravel.commitAppend(df.filter($"k" > 20).coalesce(1), base)
+    DeltaExport.append(spark, base, tgt) // v2
+    assert(DeltaRead.read(spark, tgt).count() == 30)
+    // asking for a version the log never reached is a CALLER error
+    val missing = intercept[IllegalArgumentException](
+      DeltaRead.read(spark, tgt, Some(99L)))
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+    // retire v1 ONLY (v0 survives — the shape the old v0-presence
+    // heuristic waved through): every read through the gap dies loud
+    assert(new java.io.File(s"$tgt/_delta_log/00000000000000000001.json").delete())
+    new java.io.File(s"$tgt/_delta_log/.00000000000000000001.json.crc").delete()
+    val gapped = intercept[IllegalStateException](DeltaRead.read(spark, tgt))
+    assert(gapped.getMessage.contains("not contiguous") &&
+      gapped.getMessage.contains("00000000000000000001.json"), gapped.getMessage)
+    val gappedTt = intercept[IllegalStateException](
+      DeltaRead.read(spark, tgt, Some(2L)))
+    assert(gappedTt.getMessage.contains("not contiguous"), gappedTt.getMessage)
+    // v0 itself still replays: the window [0,0] has no gap
+    assert(DeltaRead.read(spark, tgt, Some(0L)).count() == 10)
+  }
+
+  test("delta maintenance: vacuum reaches prefixed DV sidecars; reference keys are full paths") {
+    // r13 ADVICE: a 'u'-type descriptor with a directory prefix puts
+    // its sidecar in a SUBDIRECTORY — the old root-only candidate walk
+    // never saw those (they accumulated forever), and name-only
+    // reference keys would spare any stray file sharing a name
+    import graft.sources.{DeltaExport, DeltaMaintenance, DeltaRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("dvpfx_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("dvpfx").toFile.getAbsolutePath + "/tbl"
+    TimeTravel.commitOverwrite(
+      (1L to 30L).map(i => (i, i * 2)).toDF("k", "v").coalesce(1), base) // v1
+    TimeTravel.deleteMoR(spark, base, col("k") % 3 === 0) // v2
+    DeltaExport.snapshot(spark, base, tgt, version = Some(1L)) // delta v0
+    DeltaExport.append(spark, base, tgt) // delta v1: the DV add
+    val root = new java.io.File(tgt)
+    val sidecar = root.listFiles().filter(f =>
+      f.getName.startsWith("deletion_vector_") && f.getName.endsWith(".bin"))
+    assert(sidecar.length == 1, sidecar.map(_.getName).toSeq.toString)
+    // relocate the sidecar under a prefix and rewrite the descriptor
+    // to the protocol's prefixed shape (prefix ++ 20-char z85 uuid)
+    val sub = new java.io.File(tgt, "pfx"); sub.mkdirs()
+    java.nio.file.Files.move(sidecar.head.toPath,
+      new java.io.File(sub, sidecar.head.getName).toPath)
+    new java.io.File(tgt, s".${sidecar.head.getName}.crc").delete()
+    val p1 = java.nio.file.Paths.get(s"$tgt/_delta_log/00000000000000000001.json")
+    val body = java.nio.file.Files.readString(p1)
+    val re = """"pathOrInlineDv":"([^"]{20})"""".r
+    val z85 = re.findFirstMatchIn(body).getOrElse(
+      fail(s"no u-type descriptor in $p1:\n$body")).group(1)
+    java.nio.file.Files.writeString(p1, body.replace(
+      s""""pathOrInlineDv":"$z85"""", s""""pathOrInlineDv":"pfx$z85""""))
+    new java.io.File(s"$tgt/_delta_log/.00000000000000000001.json.crc").delete()
+    // the prefixed descriptor still resolves and serves the MoR rows
+    val expect = (1L to 30L).filterNot(_ % 3 == 0)
+    assert(DeltaRead.read(spark, tgt).select("k").as[Long].collect()
+      .sorted.toSeq == expect)
+    // referenced through its FULL path: not a victim
+    assert(DeltaMaintenance.vacuum(spark, tgt, dryRun = true).isEmpty)
+    // a stray subdirectory sidecar — even one sharing the referenced
+    // NAME — is found by the recursive walk and swept
+    val strayDir = new java.io.File(tgt, "stray"); strayDir.mkdirs()
+    val stray = new java.io.File(strayDir, sidecar.head.getName)
+    java.nio.file.Files.copy(
+      new java.io.File(sub, sidecar.head.getName).toPath, stray.toPath)
+    assert(DeltaMaintenance.vacuum(spark, tgt, dryRun = true)
+      == Seq(sidecar.head.getName))
+    assert(DeltaMaintenance.vacuum(spark, tgt) == Seq(sidecar.head.getName))
+    assert(!stray.exists(), "the stray subdirectory sidecar is swept")
+    assert(new java.io.File(sub, sidecar.head.getName).exists(),
+      "the referenced prefixed sidecar survives")
+    assert(DeltaRead.read(spark, tgt).select("k").as[Long].collect()
+      .sorted.toSeq == expect)
+  }
+
+  test("iceberg maintenance: expire on a scheme-qualified path deletes the real files") {
+    // r13 ADVICE: the orphan sweep used to re-wrap scheme-STRIPPED
+    // strings as Paths — on any non-plain path the delete targeted a
+    // different location while reporting success. Deletion now keeps
+    // the original resolved Path; drive it through a file:-qualified
+    // table path end to end.
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val base = Files.createTempDirectory("iexps_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("iexps").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 40L).map(i => (i, i * 3)).toDF("k", "v")
+    TimeTravel.commitOverwrite(df.coalesce(1), base)
+    TimeTravel.deleteMoR(spark, base, col("k") % 5 === 2)
+    IcebergExport.snapshot(spark, base, tgt, formatVersion = 3) // S1
+    TimeTravel.deleteMoR(spark, base, col("k") % 7 === 3)
+    IcebergExport.append(spark, base, tgt) // S2: superseding DV
+    val r = IcebergMaintenance.expireSnapshots(spark, s"file:$tgt", retainLast = 1)
+    assert(r.expiredSnapshotIds.size == 1)
+    assert(r.orphanFilesRemoved.size == 1 &&
+      r.orphanFilesRemoved.head.endsWith(".puffin"))
+    assert(!new java.io.File(s"$tgt/deletes")
+      .listFiles().exists(_.getName == r.orphanFilesRemoved.head),
+      "the reported orphan must be PHYSICALLY gone at its real path")
+    val expect = (1L to 40L).filterNot(k => k % 5 == 2 || k % 7 == 3)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect()
+      .sorted.toSeq == expect)
+  }
+
+  test("timestampNtz: delta feature + iceberg zoneless type serve end to end") {
+    // r13 verdict #1: a modern table with a TIMESTAMP_NTZ column used
+    // to decline even though Spark 4 has the type natively. Both
+    // directions now speak it: the Delta export names the
+    // `timestampNtz` table feature and the reader honors it; the
+    // Iceberg mapping distinguishes zoneless `timestamp` (→ NTZ) from
+    // `timestamptz` (→ instant) in both directions.
+    import graft.sources.{DeltaExport, DeltaRead, IcebergExport, IcebergRead, TimeTravel}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import spark.implicits._
+    val base = Files.createTempDirectory("ntz_src").toFile.getAbsolutePath
+    val dtgt = Files.createTempDirectory("ntz_d").toFile.getAbsolutePath + "/tbl"
+    val itgt = Files.createTempDirectory("ntz_i").toFile.getAbsolutePath + "/tbl"
+    val df = (1L to 9L).toDF("k").select(col("k"),
+      expr("make_timestamp_ntz(2021, 3, CAST(k AS INT), 10, 30, 0)").as("ts_ntz"),
+      expr("make_timestamp(2021, 3, CAST(k AS INT), 10, 30, 0)").as("ts_tz"))
+    assert(df.schema("ts_ntz").dataType == TimestampNTZType)
+    TimeTravel.commitOverwrite(df.coalesce(1), base)
+    def strings(g: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+      g.selectExpr("k", "CAST(ts_ntz AS STRING)", "CAST(ts_tz AS STRING)")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = strings(df)
+    // --- Delta: the export names the feature, the reader honors it
+    DeltaExport.snapshot(spark, base, dtgt)
+    val v0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dtgt/_delta_log/00000000000000000000.json"))
+    assert(v0.contains("\"timestampNtz\"") &&
+      v0.contains("\"minReaderVersion\":3"), v0)
+    val dgot = DeltaRead.read(spark, dtgt)
+    assert(dgot.schema("ts_ntz").dataType == TimestampNTZType)
+    assert(dgot.schema("ts_tz").dataType == TimestampType)
+    assert(strings(dgot) == want)
+    // NTZ stats bounds skip files: three banded commits, a day-range
+    // filter on the NTZ column plans exactly one of the three
+    val base2 = Files.createTempDirectory("ntz_src2").toFile.getAbsolutePath
+    val dtgt2 = Files.createTempDirectory("ntz_d2").toFile.getAbsolutePath + "/tbl"
+    def band(lo: Long, hi: Long) = (lo to hi).toDF("k").select(col("k"),
+      expr("make_timestamp_ntz(2021, 3, CAST(k AS INT), 10, 30, 0)").as("ts_ntz"))
+    TimeTravel.commitOverwrite(band(1, 3).coalesce(1), base2)
+    TimeTravel.commitAppend(band(4, 6).coalesce(1), base2)
+    TimeTravel.commitAppend(band(7, 9).coalesce(1), base2)
+    DeltaExport.snapshot(spark, base2, dtgt2)
+    val probe = DeltaRead.read(spark, dtgt2).filter(expr(
+      "ts_ntz >= TIMESTAMP_NTZ'2021-03-04 00:00:00' AND " +
+        "ts_ntz <= TIMESTAMP_NTZ'2021-03-06 23:00:00'"))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(probe.collect().map(_.getLong(0)).toSet == (4L to 6L).toSet)
+    assert(scans.head.metrics("numFiles").value == 1,
+      s"NTZ bounds must prune to one file, scanned " +
+        s"${scans.head.metrics("numFiles").value}")
+    // --- Iceberg: zoneless <-> NTZ, timestamptz <-> instant
+    IcebergExport.snapshot(spark, base, itgt)
+    val metaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$itgt/metadata/v1.metadata.json"))
+    assert(metaTxt.contains("\"timestamptz\"") &&
+      metaTxt.contains("\"timestamp\""), metaTxt)
+    val ig = IcebergRead.read(spark, itgt)
+    assert(ig.schema("ts_ntz").dataType == TimestampNTZType)
+    assert(ig.schema("ts_tz").dataType == TimestampType)
+    assert(strings(ig) == want)
+  }
+
+  test("delta foreign append: commits into a table another engine created") {
+    // r13 verdict #2: appendForeign stages rows as new parquet inside
+    // the table root and publishes a put-if-absent commit — into a
+    // FOREIGN log built by the independent fixture path, partition
+    // values riding the log, schema/protocol validated first
+    import graft.sources.{DeltaExport, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dforeign").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 5L).map(i => (i, i * 10)))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = true),
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val add = Seq((6L, 60L, "a"), (7L, 70L, "b"), (8L, 80L, "b"))
+      .toDF("id", "v", "p")
+    val v1 = DeltaExport.appendForeign(spark, add, dir)
+    assert(v1 == 1L)
+    val got = DeltaRead.read(spark, dir)
+    assert(got.select("id", "v", "p").as[(Long, Long, String)].collect().toSet ==
+      ((1L to 5L).map(i => (i, i * 10, "a")) ++
+        Seq((6L, 60L, "a"), (7L, 70L, "b"), (8L, 80L, "b"))).toSet,
+      "appended rows serve with log-borne partition values")
+    // the appended files live INSIDE the table root with relative adds
+    val v1Json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(!v1Json.contains("file:/"), s"foreign adds must be relative: $v1Json")
+    assert(v1Json.contains("\"stats\""), "appended adds carry footer stats")
+    // schema mismatch is loud
+    val bad = Seq((9L, "x", "a")).toDF("id", "v", "p")
+    val eScm = intercept[UnsupportedOperationException](
+      DeltaExport.appendForeign(spark, bad, dir))
+    assert(eScm.getMessage.contains("does not match"), eScm.getMessage)
+    // CHECK constraints / id-mode mapping / unknown writer features
+    // decline by name rather than committing past obligations
+    val dirC = Files.createTempDirectory("dforeign_c").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirC).mkdirs()
+    writeDeltaPart(dirC, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dirC, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      metaAction(partitioned = false).replace(""""configuration":{}""",
+        """"configuration":{"delta.constraints.positive":"v > 0"}"""),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eCons = intercept[UnsupportedOperationException](
+      DeltaExport.appendForeign(spark, Seq((2L, 2L)).toDF("id", "v"), dirC))
+    assert(eCons.getMessage.contains("CHECK constraint"), eCons.getMessage)
+    val dirW = Files.createTempDirectory("dforeign_w").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirW).mkdirs()
+    writeDeltaPart(dirW, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dirW, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":["rowTracking"]}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eFeat = intercept[UnsupportedOperationException](
+      DeltaExport.appendForeign(spark, Seq((2L, 2L)).toDF("id", "v"), dirW))
+    assert(eFeat.getMessage.contains("rowTracking"), eFeat.getMessage)
+  }
+
+  test("delta foreign append: name-mode mapped tables write physical names; writers race safely") {
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    // name-mode mapped foreign table: the append must write the
+    // PHYSICAL column names into its files or every later read serves
+    // nulls
+    val dir = Files.createTempDirectory("dforeign_cm").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def pn(phys: String) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, pn("col-aaa")),
+      StructField("v", LongType, nullable = true, pn("col-bbb"))))
+    val esc = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val tmp = Files.createTempDirectory("dforeign_cm_stage").toFile.getAbsolutePath
+    Seq((1L, 10L)).toDF("col-aaa", "col-bbb")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"fcm","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaExport.appendForeign(spark, Seq((2L, 20L), (3L, 30L)).toDF("id", "v"), dir)
+    assert(DeltaRead.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "mapped append must land under physical names")
+    // concurrent writers: every append lands, each at its own version,
+    // and no rows are lost (the OCC put-if-absent shape)
+    val dirR = Files.createTempDirectory("dforeign_race").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirR).mkdirs()
+    writeDeltaPart(dirR, "f1.parquet", Seq((0L, 0L)))
+    writeDeltaCommit(dirR, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { w =>
+      Future(DeltaExport.appendForeign(spark,
+        Seq((w.toLong * 100, w.toLong)).toDF("id", "v"), dirR))
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    assert(versions.toSet.size == 4, s"each writer its own version: $versions")
+    assert(DeltaRead.read(spark, dirR).select("id").as[Long].collect().toSet ==
+      Set(0L, 100L, 200L, 300L, 400L), "no concurrent append may be lost")
   }
 }

@@ -1809,4 +1809,112 @@ class StreamingSpec extends SparkSpec {
     val e = intercept[IllegalStateException](src.getBatch(None, offEq))
     assert(e.getMessage.contains("equality deletes"), e.getMessage)
   }
+
+  test("iceberg stream source: offsets carry list seqs — expired eq-delete snapshots reconstruct") {
+    // r13 ADVICE (the medium): v2 writers store NULL sequence_number on
+    // ADDED manifest entries and readers inherit the manifest-LIST
+    // entry's value. An expired-snapshot recovery replay used to
+    // reconstruct from bare manifest names, dropping every inherited
+    // seq to 0 — data rows would look older than every delete and
+    // over-delete. Offsets now record (manifest, list-seq) pairs, so
+    // the exact fixture that used to be unreconstructable replays
+    // end to end: inherited-seq data at seq 1, inherited-seq equality
+    // delete at seq 2, snapshot expired between run and commit.
+    import graft.sources.{IcebergRead, IcebergStreamSource}
+    import graft.sources.IcebergRead.EntryInfo
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("istream_seqs").toFile.getAbsolutePath + "/t"
+    def writeOne(name: String, schema: StructType, rows: Seq[Row]): String = {
+      val tmp = Files.createTempDirectory("iseq_stage").toFile.getAbsolutePath
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/data/$name")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.getAbsolutePath
+    }
+    val dataSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val delSchema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val fData = writeOne("f1.parquet", dataSchema,
+      (1L to 10L).map(i => Row(i, i * 2)))
+    val fEq = writeOne("eq1.parquet", delSchema, Seq(Row(3L), Row(7L)))
+    // nullSeqs: the entries THEMSELVES store null — the inherit shape
+    val mData = IcebergRead.Fixture.manifestV2(dir, "mData.avro",
+      Seq(EntryInfo(1, fData, 0, 0L, Nil)), nullSeqs = true)
+    val mEq = IcebergRead.Fixture.manifestV2(dir, "mEq.avro",
+      Seq(EntryInfo(1, fEq, 2, 0L, Seq(1))), nullSeqs = true)
+    val l1 = IcebergRead.Fixture.manifestListV2(dir, "snap-50.avro",
+      Seq((mData, 1L), (mEq, 2L)))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 2, currentSnapshotId = 50L,
+      snapshots = Seq((50L, l1)),
+      fields = Seq((1, "k", true, "long"), (2, "v", true, "long")))
+    // the planned offset records the list seqs alongside the manifests
+    val probe = new IcebergStreamSource(spark, dir)
+    val off = probe.getOffset.get
+    assert(off.json.contains("\"seqs\""), off.json)
+    val cp = ckpt()
+    def runOnce(at: String): Seq[Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", at)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    val expect1 = (1L to 10L).filterNot(k => k == 3 || k == 7).toSet
+    assert(runOnce(cp).map(_.getLong(0)).toSet == expect1,
+      "first batch = eq-delete MoR snapshot")
+    // crash between run and commit (on a checkpoint copy), then S1
+    // expires: supersede the metadata with a list that drops snapshot 50
+    val cp2 = ckpt()
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    new java.io.File(cp2).delete()
+    copyRec(new java.io.File(cp), new java.io.File(cp2))
+    assert(new java.io.File(s"$cp2/commits/0").delete(), "commits/0 must exist")
+    new java.io.File(s"$cp2/commits/.0.crc").delete()
+    val fNew = writeOne("f2.parquet", dataSchema,
+      (11L to 13L).map(i => Row(i, i * 2)))
+    val mNew = IcebergRead.Fixture.manifestV2(dir, "mNew.avro",
+      Seq(EntryInfo(1, fNew, 0, 0L, Nil)), nullSeqs = true)
+    val l2 = IcebergRead.Fixture.manifestListV2(dir, "snap-60.avro",
+      Seq((mData, 1L), (mEq, 2L), (mNew, 3L)))
+    IcebergRead.Fixture.metadataMulti(dir, 2, 2, currentSnapshotId = 60L,
+      snapshots = Seq((60L, l2)),
+      fields = Seq((1, "k", true, "long"), (2, "v", true, "long")))
+    // restart: batch 0 re-executes through the seq-carrying offset —
+    // the equality delete applies at its INHERITED seq 2 and only rows
+    // 3/7 stay dead; then the S2 increment arrives
+    val run2 = runOnce(cp2)
+    assert(expect1.subsetOf(run2.map(_.getLong(0)).toSet),
+      s"replayed batch must re-deliver the MoR rows: ${run2.map(_.getLong(0)).sorted}")
+    assert(!run2.exists(r => r.getLong(0) == 3 || r.getLong(0) == 7),
+      "the inherited-seq equality delete must still apply in the replay")
+    assert(run2.forall(r => r.getLong(1) == r.getLong(0) * 2))
+    val run3 = runOnce(cp2)
+    assert((run2 ++ run3).map(_.getLong(0)).toSet == expect1 ++ (11L to 13L),
+      s"S2 must arrive by the next trigger: ${(run2 ++ run3).map(_.getLong(0)).sorted}")
+    // a pre-r14 offset (no seqs) over the same expired snapshot stays
+    // LOUD — any reconstructed entry at seq 0 on a v2 table is an
+    // unrecoverable inherited value
+    val legacy = SerializedOffset(
+      s"""{"sid":50,"pos":1,"manifests":["$mData","$mEq"]}""")
+    val src2 = new IcebergStreamSource(spark, dir)
+    val e2 = intercept[IllegalStateException](src2.getBatch(None, legacy))
+    assert(e2.getMessage.contains("unreconstructable"), e2.getMessage)
+  }
 }
