@@ -1442,6 +1442,51 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Delta EXPORT of a COLUMN-MAPPED snapshot (r14 — r13 verdict #3):
+    * a graft table renamed mid-history (files before the rename carry
+    * the old physical name; appends after it keep writing it) exports
+    * as reader-v2 NAME-MODE metadata, and the independent replay must
+    * resolve both eras through the mapping to the logical schema. */
+  val qDeltaExportMapped: QueryDef = QueryDef.sql(
+    "q_delta_export_mapped",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS amount,
+      |    o_orderkey % 4 AS g
+      |  FROM orders
+      |)
+      |SELECT g, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(amount) AS BIGINT) AS sum_amount
+      |FROM o GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dxcm_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_delta"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("k"),
+      graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(
+      o.filter(col("k") % 2 === 0).coalesce(1), base) // v1: physical name "cents"
+    TimeTravel.renameColumn(s, base, "cents", "amount") // v2: logical rename
+    TimeTravel.commitAppend( // v3: post-rename append, physical name kept
+      o.filter(col("k") % 2 === 1).withColumnRenamed("cents", "amount")
+        .coalesce(1), base)
+    DeltaExport.snapshot(s, base, tgt)
+    val got = DeltaRead.read(s, tgt)
+    require(got.columns.toSeq == Seq("k", "amount"),
+      s"mapped export must serve logical names, got ${got.columns.toSeq}")
+    got.withColumn("g", col("k") % 4)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("amount")).as("sum_amount"))
+      .orderBy("g")
+  }
+
   /** Delta NAME-MODE column mapping over NESTED complex columns (r13
     * — the common Databricks shape the r12 reader declined): the data
     * file carries PHYSICAL names at every nesting level (`col-s` =
@@ -1822,5 +1867,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped)
 }

@@ -26,12 +26,14 @@ import org.apache.spark.sql.SparkSession
   * Rewrite/schema-change graft commits cannot be expressed
   * incrementally and decline loudly — re-export a fresh snapshot.
   *
-  * Loud-or-exact scope: a FRESH snapshot with pending deletion vectors
-  * or any snapshot with a column mapping cannot be represented as
-  * reader-version-1 Delta (its files alone over-serve rows / wrong
-  * names), so both decline with the fix spelled out (OPTIMIZE folds
-  * DVs and rewrites mapped eras into plain files; or export the
-  * pre-delete version and let append publish the deletes as DVs).
+  * Loud-or-exact scope: snapshots with pending deletion vectors export
+  * under reader version 3 (`deletionVectors`); RENAMED/DROPPED-era
+  * snapshots export as reader-version-2 NAME-MODE column mapping (r14
+  * — the logical schema carries per-field physicalName metadata, the
+  * shape every Delta engine resolves); a WIDENED era still declines
+  * loudly (old files carry narrower physical types the pinned schema
+  * would make readers refuse — OPTIMIZE folds them), as does [[append]]
+  * over a mapped source (the published metaData is pinned).
   *
   * Scale: O(files) driver work per publish — one manifest read plus
   * one JSON write; no data bytes touched. append is O(new files). */
@@ -43,12 +45,16 @@ object DeltaExport {
   private def encodePath(f: String): String =
     new Path(f).toUri.toASCIIString
 
+  /** [[append]]'s gate only (snapshots export mappings as name mode,
+    * r14): the published metaData pins the schemaString, so appending
+    * through a source-side mapping change cannot be expressed — a
+    * fresh snapshot re-publishes the new mapping. */
   private def requireUnmapped(spark: SparkSession, sourcePath: String, v: Long): Unit =
     if (TimeTravel.colsListing(spark, sourcePath, v).nonEmpty)
       throw new UnsupportedOperationException(
-        s"snapshot v$v of $sourcePath resolves through a column mapping; " +
-          "its files carry physical names — run TimeTravel.optimize to " +
-          "rewrite, then export the folded version")
+        s"v$v of $sourcePath resolves through a column mapping; append " +
+          "cannot follow it under the pinned metaData — export a fresh " +
+          "snapshot (which publishes the mapping as name mode)")
 
   /** TimestampNTZType anywhere in the schema — the protocol requires
     * the `timestampNtz` table feature named for it (r14). */
@@ -64,15 +70,21 @@ object DeltaExport {
   }
 
   /** Protocol action sized to what the published table actually needs:
-    * plain version 1 readers unless a TABLE FEATURE is in play —
+    * plain version 1 readers unless a capability is in play —
     * `deletionVectors` for merge-on-read adds, `timestampNtz` for an
-    * NTZ column anywhere in the schema. */
-  private def protocolAction(dv: Boolean, ntz: Boolean): String =
-    if (!dv && !ntz)
+    * NTZ column anywhere in the schema, column MAPPING for renamed-era
+    * snapshots (alone it fits the legacy reader-2/writer-5 gate; with
+    * any table feature it rides the feature list). */
+  private def protocolAction(dv: Boolean, ntz: Boolean,
+      cm: Boolean = false): String =
+    if (!dv && !ntz && !cm)
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    else if (cm && !dv && !ntz)
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     else {
       val feats = ((if (dv) Seq("deletionVectors") else Nil) ++
-        (if (ntz) Seq("timestampNtz") else Nil))
+        (if (ntz) Seq("timestampNtz") else Nil) ++
+        (if (cm) Seq("columnMapping") else Nil))
         .map("\"" + _ + "\"").mkString(",")
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         s""""readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
@@ -262,12 +274,46 @@ object DeltaExport {
     * data files published. */
   def snapshot(spark: SparkSession, sourcePath: String, targetPath: String,
       version: Option[Long] = None): Int = {
+    import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
     val v = version.getOrElse(TimeTravel.versions(spark, sourcePath).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no versions at $sourcePath")))
-    requireUnmapped(spark, sourcePath, v)
+    val colsOpt = TimeTravel.colsListing(spark, sourcePath, v)
     val dirs = TimeTravel.listing(spark, sourcePath, v)
     val scan = spark.read.parquet(dirs.map(d => s"$sourcePath/$d"): _*)
-    val schemaJson = scan.schema.json
+    // a RENAMED/DROPPED-era snapshot exports as NAME-MODE column
+    // mapping (r14 — r13 verdict #3): the logical schema carries each
+    // field's physicalName, exactly the shape [[DeltaRead.colMapOf]]
+    // (and every Delta engine) resolves. A WIDENED era still declines:
+    // its old files carry narrower physical types the pinned Delta
+    // schema would make every reader refuse.
+    val (logicalSchema, cmConfig) = colsOpt match {
+      case None => (scan.schema, "")
+      case Some(mapping) =>
+        dirs.foreach { d =>
+          val sch = spark.read.parquet(s"$sourcePath/$d").schema
+          mapping.foreach { c =>
+            val declared = DataType.fromDDL(c.typeDdl)
+            sch.find(_.name == c.physical).foreach { f =>
+              if (f.dataType != declared) throw new UnsupportedOperationException(
+                s"snapshot v$v of $sourcePath declares ${c.logical} as " +
+                  s"${c.typeDdl} but $d carries ${f.dataType.catalogString} " +
+                  "(a widened era); run TimeTravel.optimize, then export " +
+                  "the folded version")
+            }
+          }
+        }
+        val fields = mapping.zipWithIndex.map { case (c, i) =>
+          StructField(c.logical, DataType.fromDDL(c.typeDdl), nullable = true,
+            new MetadataBuilder()
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", c.physical)
+              .build())
+        }
+        (StructType(fields.toArray),
+          s""""delta.columnMapping.mode":"name"""" +
+            s""","delta.columnMapping.maxColumnId":"${mapping.size}"""")
+    }
+    val schemaJson = logicalSchema.json
     val files = scan.inputFiles.sorted
     val conf = spark.sessionState.newHadoopConf()
     val esc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -281,11 +327,12 @@ object DeltaExport {
     val actions = Seq.newBuilder[String]
     actions += commitInfo(v)
     actions += txnAction(v)
-    actions += protocolAction(dv = dvs.nonEmpty, ntz = hasNtz(scan.schema))
+    actions += protocolAction(dv = dvs.nonEmpty, ntz = hasNtz(logicalSchema),
+      cm = colsOpt.nonEmpty)
     actions +=
       (s"""{"metaData":{"id":"graft-export","format":""" +
         s"""{"provider":"parquet","options":{}},"schemaString":"$esc",""" +
-        """"partitionColumns":[],"configuration":{}}}""")
+        s""""partitionColumns":[],"configuration":{$cmConfig}}}""")
     files.foreach { f =>
       dvs.get(normKey(f)) match {
         case Some(positions) =>

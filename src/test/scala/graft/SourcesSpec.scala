@@ -1804,14 +1804,33 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaRead.read(spark, tgtDv).select("k").as[Long].collect().toSet
       == TimeTravel.read(spark, src).select("k").as[Long].collect().toSet,
       "fresh export of a DV snapshot must serve the post-delete rows")
+    // a RENAMED-era snapshot now exports as NAME-MODE column mapping
+    // (r14 — r13 verdict #3): reader-v2 metadata with per-field
+    // physicalName, roundtripped through the independent replay
     val src2 = Files.createTempDirectory("dexp_map").toFile.getAbsolutePath + "/t"
-    TimeTravel.commitOverwrite(Seq((1L, 1L)).toDF("k", "v"), src2)
+    TimeTravel.commitOverwrite(Seq((1L, 1L), (2L, 4L)).toDF("k", "v"), src2)
     TimeTravel.renameColumn(spark, src2, "v", "val")
+    TimeTravel.commitAppend(Seq((3L, 9L)).toDF("k", "val"), src2)
+    val tgtCm = Files.createTempDirectory("dexp_map_t").toFile.getAbsolutePath + "/d"
+    assert(DeltaExport.snapshot(spark, src2, tgtCm) > 0)
+    val v0Cm = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgtCm/_delta_log/00000000000000000000.json"))
+    assert(v0Cm.contains("\"minReaderVersion\":2") &&
+      v0Cm.contains("\"delta.columnMapping.mode\":\"name\""), v0Cm)
+    val gotCm = DeltaRead.read(spark, tgtCm)
+    assert(gotCm.columns.toSeq == Seq("k", "val"),
+      "the export serves LOGICAL names through the mapping")
+    assert(gotCm.as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 4L), (3L, 9L)),
+      "pre-rename AND post-rename files both resolve")
+    // a WIDENED era still declines — old files carry the narrow type
+    // the pinned Delta schema would make every reader refuse
+    TimeTravel.widenColumn(spark, src2, "val", "double")
     val e2 = intercept[UnsupportedOperationException] {
       DeltaExport.snapshot(spark, src2,
-        Files.createTempDirectory("dexp_map_t").toFile.getAbsolutePath + "/d")
+        Files.createTempDirectory("dexp_wid_t").toFile.getAbsolutePath + "/d")
     }
-    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    assert(e2.getMessage.contains("widened era"), e2.getMessage)
   }
 
   test("delta export append: later graft appends publish as new commits of the same log") {
