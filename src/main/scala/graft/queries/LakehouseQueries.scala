@@ -169,6 +169,65 @@ object LakehouseQueries {
       .orderBy("content")
   }
 
+  /** NAMED REFS (r14 — r13 verdict #4): a two-branch fixture (a `main`
+    * branch at the two-file head, a tag pinning the one-file history)
+    * must serve every ref through [[IcebergRead.readRef]] with the
+    * refs metadata table agreeing — each output row is one ref's name,
+    * type, and the aggregate over ITS snapshot, so a wrong resolution
+    * (tag serving head, branch serving history) breaks the hash. */
+  val qIcebergRefs: QueryDef = QueryDef.sql(
+    "q_iceberg_refs",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
+      |    NTILE(2) OVER (ORDER BY c_custkey) AS band
+      |  FROM customer
+      |)
+      |SELECT * FROM (
+      |  SELECT 'main' AS ref_name, 'branch' AS ref_type,
+      |    COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM c
+      |  UNION ALL
+      |  SELECT 'v1', 'tag', COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |  FROM c WHERE band = 1
+      |) ORDER BY ref_name""".stripMargin) { (s, d) =>
+    val (base, tgt) = freshDirs(s, d, "irefs")
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"),
+        graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+      .withColumn("band", ntile(2).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
+    def stage(name: String, band: Int): String = {
+      val p = s"${base}_stage_$name"
+      c.filter(col("band") === band).drop("band")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val fA = stage("a", 1)
+    val fB = stage("b", 2)
+    val mA = IcebergRead.Fixture.manifest(tgt, "mA.avro", Seq((1, fA, 0)))
+    val mB = IcebergRead.Fixture.manifest(tgt, "mB.avro", Seq((1, fB, 0)))
+    val l1 = IcebergRead.Fixture.manifestList(tgt, "snap-10.avro", Seq(mA))
+    val l2 = IcebergRead.Fixture.manifestList(tgt, "snap-20.avro", Seq(mA, mB))
+    IcebergRead.Fixture.metadataMulti(tgt, 1, 2, currentSnapshotId = 20L,
+      snapshots = Seq((10L, l1), (20L, l2)),
+      fields = Seq((1, "k", true, "long"), (2, "cents", true, "long")),
+      refs = Map("main" -> ((20L, "branch")), "v1" -> ((10L, "tag"))))
+    // branch HEAD ≡ current read — the spec's semantics, hard-gated
+    require(IcebergRead.readRef(s, tgt, "main").count() ==
+      IcebergRead.read(s, tgt).count(), "main must track the head")
+    val refRows = IcebergMaintenance.refs(s, tgt)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    import s.implicits._
+    refRows.map { case (name, tpe) =>
+      val row = IcebergRead.readRef(s, tgt, name)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .collect().head
+      (name, tpe, row.getLong(0), row.getLong(1))
+    }.toDF("ref_name", "ref_type", "n_rows", "sum_cents")
+      .orderBy("ref_name")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qDeltaHistory, qDeltaVacuum, qIcebergExpire, qIcebergMeta)
+    Seq(qDeltaHistory, qDeltaVacuum, qIcebergExpire, qIcebergMeta, qIcebergRefs)
 }

@@ -533,6 +533,7 @@ object IcebergExport {
          |"properties":{"graft.source-version":"$sourceVersion",
          |"schema.name-mapping.default":"${nameMappingJson(fields)}"},
          |"current-snapshot-id":$currentId,
+         |"refs":{"main":{"snapshot-id":$currentId,"type":"branch"}},
          |"snapshots":[${snaps.map(_.json).mkString(",")}],
          |"snapshot-log":[$slog],"metadata-log":[]}""".stripMargin
     java.nio.file.Files.writeString(

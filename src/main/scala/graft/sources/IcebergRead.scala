@@ -228,6 +228,35 @@ object IcebergRead {
       tsMillis: Long): DataFrame =
     read(spark, tablePath, Some(snapshotAtTimestamp(spark, tablePath, tsMillis)))
 
+  /** NAMED REFS (branches/tags) from the table metadata's `refs` map:
+    * name → (snapshot-id, type). A metadata without `refs` (pre-ref
+    * writers) is an empty map, not an error. */
+  private[sources] def refsOf(meta: JsonNode): Map[String, (Long, String)] =
+    Option(meta.get("refs")).map { r =>
+      val it = r.fields()
+      val b = Map.newBuilder[String, (Long, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> ((e.getValue.get("snapshot-id").asLong(),
+          Option(e.getValue.get("type")).map(_.asText()).getOrElse("branch")))
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  /** [[read]] pinned to a NAMED REF — branch or tag (r14): the name
+    * resolves through the metadata's `refs` map to its snapshot id;
+    * an unknown name is loud and lists what exists. Reading a branch
+    * reads its HEAD snapshot — identical to a snapshot-id read of the
+    * ref's target, the spec's semantics. */
+  def readRef(spark: SparkSession, tablePath: String, ref: String): DataFrame = {
+    val meta = currentMetadata(spark, tablePath)
+    val refs = refsOf(meta)
+    val (sid, _) = refs.getOrElse(ref, throw new IllegalArgumentException(
+      s"no ref '$ref' at $tablePath; known refs: " +
+        (if (refs.isEmpty) "(none)" else refs.keys.toSeq.sorted.mkString(", "))))
+    read(spark, tablePath, Some(sid))
+  }
+
   /** The manifest paths a snapshot's list names, in list order. */
   private[sources] def manifestsOf(spark: SparkSession, tablePath: String,
       manifestList: Path): Seq[Path] =
@@ -597,7 +626,8 @@ object IcebergRead {
     def metadataMulti(dir: String, v: Int, formatVersion: Int,
         currentSnapshotId: Long, snapshots: Seq[(Long, String)],
         fields: Seq[(Int, String, Boolean, String)],
-        timestamps: Map[Long, Long] = Map.empty): Unit = {
+        timestamps: Map[Long, Long] = Map.empty,
+        refs: Map[String, (Long, String)] = Map.empty): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
       val fjson = fields.map { case (id, n, req, t) =>
         s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
@@ -615,11 +645,16 @@ object IcebergRead {
           }.mkString(",")
           s""","snapshot-log":[$entries]"""
         }
+      val rjson =
+        if (refs.isEmpty) ""
+        else ""","refs":{""" + refs.toSeq.sortBy(_._1).map { case (n, (id, t)) =>
+          s""""$n":{"snapshot-id":$id,"type":"$t"}"""
+        }.mkString(",") + "}"
       val body =
         s"""{"format-version":$formatVersion,"table-uuid":"fixture",
            |"location":"$dir","current-schema-id":0,
            |"schemas":[{"schema-id":0,"type":"struct","fields":[$fjson]}],
-           |"current-snapshot-id":$currentSnapshotId,
+           |"current-snapshot-id":$currentSnapshotId$rjson,
            |"snapshots":[$sjson]$slog}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/metadata/v$v.metadata.json"), body)

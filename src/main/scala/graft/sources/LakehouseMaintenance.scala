@@ -262,6 +262,23 @@ object IcebergMaintenance {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** The metadata's NAMED REFS as a table (r14): one row per
+    * branch/tag with its target snapshot — `SELECT * FROM tbl.refs`.
+    * Empty (not an error) for tables whose writers never recorded
+    * refs. */
+  def refs(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = IcebergRead.currentMetadata(spark, tablePath)
+    val rows = IcebergRead.refsOf(meta).toSeq.sortBy(_._1).map {
+      case (name, (sid, tpe)) => Row(name, tpe, sid)
+    }
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** What one [[expireSnapshots]] run did (or would do, dry-run). */
   final case class ExpireResult(expiredSnapshotIds: Seq[Long],
       manifestListsRemoved: Seq[String], manifestsRemoved: Seq[String],
@@ -305,6 +322,14 @@ object IcebergMaintenance {
         s"retainLast=$retainLast would expire the CURRENT snapshot " +
           s"$currentId of $tablePath; retain at least through it")
     val expiredIds = expired.map(_.get("snapshot-id").asLong())
+    // a NAMED REF pins its target like the current snapshot does (r14):
+    // expiring it would dangle the branch/tag — loud, never silent
+    val expiredSet = expiredIds.toSet
+    IcebergRead.refsOf(meta).foreach { case (name, (sid, _)) =>
+      if (expiredSet(sid)) throw new IllegalArgumentException(
+        s"retainLast=$retainLast would expire snapshot $sid, the target " +
+          s"of ref '$name' at $tablePath; drop or retarget the ref first")
+    }
     def listPath(s: com.fasterxml.jackson.databind.JsonNode): Path =
       IcebergRead.resolve(tablePath, s.get("manifest-list").asText())
     // each distinct list read ONCE; refcounts key on normalized paths.

@@ -3531,6 +3531,63 @@ class SourcesSpec extends SparkSpec {
     assert(strings(ig) == want)
   }
 
+  test("iceberg refs: branch/tag reads resolve by name; expire guards ref targets") {
+    // r13 verdict #4: named refs. A two-branch fixture must serve
+    // branch-pinned reads identical to snapshot-id reads, surface a
+    // refs metadata table, and refuse to expire a snapshot a ref
+    // still names.
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("irefs").toFile.getAbsolutePath
+    val data = Files.createTempDirectory("irefs_data").toFile.getAbsolutePath
+    def stage(name: String, rows: Seq[Long]): String = {
+      rows.toDF("id").coalesce(1).write.mode("overwrite").parquet(s"$data/$name")
+      new java.io.File(s"$data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val fA = stage("a", 1L to 10L)
+    val fB = stage("b", 11L to 15L)
+    val mA = IcebergRead.Fixture.manifest(dir, "mA.avro", Seq((1, fA, 0)))
+    val mB = IcebergRead.Fixture.manifest(dir, "mB.avro", Seq((1, fB, 0)))
+    val l1 = IcebergRead.Fixture.manifestList(dir, "snap-10.avro", Seq(mA))
+    val l2 = IcebergRead.Fixture.manifestList(dir, "snap-20.avro", Seq(mA, mB))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 2, currentSnapshotId = 20L,
+      snapshots = Seq((10L, l1), (20L, l2)),
+      fields = Seq((1, "id", true, "long")),
+      refs = Map("main" -> ((20L, "branch")), "hist" -> ((10L, "branch")),
+        "rel-1.0" -> ((10L, "tag"))))
+    // branch-pinned read ≡ snapshot-id read, both branches
+    assert(IcebergRead.readRef(spark, dir, "hist").as[Long].collect().toSet ==
+      IcebergRead.read(spark, dir, snapshotId = Some(10L)).as[Long].collect().toSet)
+    assert(IcebergRead.readRef(spark, dir, "main").as[Long].collect().toSet ==
+      (1L to 15L).toSet)
+    assert(IcebergRead.readRef(spark, dir, "rel-1.0").as[Long].collect().toSet ==
+      (1L to 10L).toSet, "a tag read serves its pinned snapshot")
+    val eRef = intercept[IllegalArgumentException](
+      IcebergRead.readRef(spark, dir, "nope"))
+    assert(eRef.getMessage.contains("known refs"), eRef.getMessage)
+    // the refs metadata table
+    val refRows = IcebergMaintenance.refs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refRows == Set(("main", "branch", 20L), ("hist", "branch", 10L),
+      ("rel-1.0", "tag", 10L)), refRows.toString)
+    // expire refuses to dangle a ref
+    val eExp = intercept[IllegalArgumentException](
+      IcebergMaintenance.expireSnapshots(spark, dir, retainLast = 1))
+    assert(eExp.getMessage.contains("ref"), eExp.getMessage)
+    // exported tables maintain a main branch ref across publishes
+    val base = Files.createTempDirectory("irefs_src").toFile.getAbsolutePath
+    val tgt = Files.createTempDirectory("irefs_tgt").toFile.getAbsolutePath + "/tbl"
+    TimeTravel.commitOverwrite((1L to 8L).map(i => (i, i)).toDF("k", "v"), base)
+    IcebergExport.snapshot(spark, base, tgt)
+    TimeTravel.commitAppend(Seq((9L, 9L)).toDF("k", "v"), base)
+    IcebergExport.append(spark, base, tgt)
+    val mainRef = IcebergMaintenance.refs(spark, tgt).collect()
+    assert(mainRef.length == 1 && mainRef.head.getString(0) == "main")
+    assert(IcebergRead.readRef(spark, tgt, "main").select("k").as[Long]
+      .collect().toSet == (1L to 9L).toSet)
+  }
+
   test("delta foreign append: commits into a table another engine created") {
     // r13 verdict #2: appendForeign stages rows as new parquet inside
     // the table root and publishes a put-if-absent commit — into a
