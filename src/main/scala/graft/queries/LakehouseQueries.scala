@@ -228,6 +228,49 @@ object LakehouseQueries {
       .orderBy("ref_name")
   }
 
+  /** EQUALITY-DELETE WRITE-BACK (r14 — r13 verdict #5, the Flink-CDC
+    * producer shape): an exported table receives a content=2 publish
+    * keyed on `k`, then a LATER data append re-adds some deleted keys
+    * — the replay must show the older rows dead, the re-added rows
+    * alive (strictly-older sequence ordering), and the delete-era
+    * snapshot still serving its pinned view. */
+  val qIcebergEqExport: QueryDef = QueryDef.sql(
+    "q_iceberg_eq_export",
+    """WITH su AS (
+      |  SELECT s_suppkey AS k, CAST(ROUND(s_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM supplier
+      |), survivors AS (
+      |  SELECT k, cents FROM su WHERE NOT (k % 5 = 2)
+      |  UNION ALL
+      |  SELECT k, cents + 1 FROM su WHERE k % 10 = 2
+      |)
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  (SELECT COUNT(*) FROM su WHERE NOT (k % 5 = 2)) AS n_at_delete
+      |FROM survivors""".stripMargin) { (s, d) =>
+    val (base, tgt) = freshDirs(s, d, "ieqx")
+    val su = Tables(s, d, "supplier")
+      .select(col("s_suppkey").as("k"),
+        graft.Exact.units(col("s_acctbal"), 2).as("cents"))
+    TimeTravel.commitOverwrite(su.coalesce(1), base) // v1
+    IcebergExport.snapshot(s, base, tgt) // S1
+    val sid = IcebergExport.appendEqualityDeletes(s, tgt,
+      su.filter(col("k") % 5 === 2).select("k")) // S2: content=2
+    TimeTravel.commitAppend( // v2: re-adds half the deleted keys, +1 cent
+      su.filter(col("k") % 10 === 2)
+        .withColumn("cents", col("cents") + 1).coalesce(1), base)
+    IcebergExport.append(s, base, tgt) // S3: data at a HIGHER sequence
+    val atDelete = IcebergRead.read(s, tgt, snapshotId = Some(sid)).count()
+    val row = IcebergRead.read(s, tgt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .collect().head
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), atDelete))
+      .toDF("n_rows", "sum_k", "sum_cents", "n_at_delete")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qDeltaHistory, qDeltaVacuum, qIcebergExpire, qIcebergMeta, qIcebergRefs)
+    Seq(qDeltaHistory, qDeltaVacuum, qIcebergExpire, qIcebergMeta, qIcebergRefs,
+      qIcebergEqExport)
 }

@@ -149,7 +149,14 @@ object IcebergExport {
       fld("file_size_in_bytes", longS, 104),
       optFld("null_value_counts", kvArr("k121_v122", 121, 122, longS), 110),
       optFld("lower_bounds", kvArr("k126_v127", 126, 127, bytesS), 125),
-      optFld("upper_bounds", kvArr("k129_v130", 129, 130, bytesS), 128))
+      optFld("upper_bounds", kvArr("k129_v130", 129, 130, bytesS), 128),
+      optFld("equality_ids", {
+        // field 135, element id 136 — REQUIRED on content=2 entries,
+        // null everywhere else
+        val a = Schema.createArray(intS)
+        a.addProp("element-id", 136: Integer)
+        a
+      }, 135))
     val v3Extras =
       if (!v3) Nil
       else Seq(
@@ -207,7 +214,8 @@ object IcebergExport {
       dv: Option[(String, Long, Long)] = None,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      equalityIds: Seq[Int] = Nil)
 
   /** One identity-partition column of a partitioned publish:
     * `fieldId` is the spec's partition field id (1000+), `srcId` the
@@ -407,6 +415,12 @@ object IcebergExport {
         dfr.put("referenced_data_file", ref)
         dfr.put("content_offset", off: java.lang.Long)
         dfr.put("content_size_in_bytes", len: java.lang.Long)
+      }
+      if (nf.equalityIds.nonEmpty) {
+        val arrSchema = dfSchema.getField("equality_ids").schema().getTypes.get(1)
+        val arr = new GenericData.Array[Integer](nf.equalityIds.size, arrSchema)
+        nf.equalityIds.foreach(i => arr.add(i: Integer))
+        dfr.put("equality_ids", arr)
       }
       def kvArrOf(field: String, pairs: Seq[(Int, AnyRef)]): Unit =
         if (pairs.nonEmpty) {
@@ -946,5 +960,105 @@ object IcebergExport {
       snapId, partCols, formatVersion = fv,
       nextRowId = rowBase.map(_ + newFiles.map(_.recordCount).sum))
     manifests.result().map(_.fileCount).sum
+  }
+
+  /** Publish EQUALITY DELETES (content=2) as a new snapshot of an
+    * exported table — the Flink-CDC producer shape (r14, r13 verdict
+    * #5; reads of content=2 files already work, this closes the write
+    * side): `keys` names a SUBSET of the table's columns; on read, a
+    * data row dies iff some key row matches its values on those
+    * columns AND the data file's sequence number is STRICTLY OLDER
+    * than this snapshot's — the spec ordering [[IcebergRead]] applies
+    * and the roundtrip test pins (rows appended AFTER the delete
+    * survive the same key). Works on v2 and v3 exports; the delete
+    * parquet lands under `deletes/eq-*.parquet` carrying the table
+    * FIELD IDS so external engines bind it by id, the manifest entry
+    * carries `equality_ids`, and the snapshot rides the next sequence
+    * number. Global-scope deletes of a partitioned table publish under
+    * the empty spec, like the position-delete path. Returns the new
+    * snapshot id.
+    *
+    * Scale: O(key rows) — one bounded parquet + one manifest; prior
+    * manifests are reused by reference. */
+  def appendEqualityDeletes(spark: SparkSession, targetPath: String,
+      keys: org.apache.spark.sql.DataFrame): Long = {
+    val meta = IcebergRead.currentMetadata(spark, targetPath)
+    val srcV = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("graft.source-version"))).map(_.asText().toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"the Iceberg table at $targetPath was not produced by IcebergExport " +
+          "(no graft.source-version property); equality-delete publish " +
+          "follows graft exports"))
+    val metaV = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$targetPath/metadata/version-hint.text"))).trim.toInt
+    val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+    val v3 = fv == 3
+    val fields = fieldsOf(IcebergRead.schemaOf(meta))
+    val partCols = partColsOfMeta(meta, fields)
+    val priorSnaps = {
+      val arr = meta.get("snapshots")
+      (0 until arr.size()).map { i =>
+        val s = arr.get(i)
+        Snap(s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+          s.get("manifest-list").asText(),
+          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+            .map(_.asText()).getOrElse("append"),
+          firstRowId = Option(s.get("first-row-id")).map(_.asLong()))
+      }
+    }
+    if (priorSnaps.isEmpty) throw new IllegalStateException(
+      s"no snapshots at $targetPath; export a snapshot first")
+    val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+    val byName = fields.map(t => t._2 -> t).toMap
+    require(keys.columns.nonEmpty, "equality delete needs at least one column")
+    val eqIds = keys.columns.toSeq.map { c =>
+      val f = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"equality column '$c' is not in the table schema of $targetPath " +
+          s"(${fields.map(_._2).mkString(", ")})"))
+      val got = icebergType(keys.schema(c).dataType)
+      if (got != f._4) throw new IllegalArgumentException(
+        s"equality column '$c' is ${f._4} in the table but $got in the keys")
+      f._1
+    }
+    val seqNum = priorSnaps.map(_.seqNum).max + 1
+    // OUT of the graft-version id space (snapshot/append stamp ids
+    // from graft versions): a later append must never collide with an
+    // equality-delete snapshot's id — high bit + the strictly-growing
+    // sequence number is unique within the table
+    val snapId = (1L << 40) | seqNum
+    // the delete file carries the table FIELD IDS at every column so
+    // id-binding engines resolve it without name guessing
+    import org.apache.spark.sql.functions.col
+    val withIds = keys.select(keys.columns.toSeq.map { c =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", byName(c)._1.toLong).build())
+    }: _*).distinct()
+    val stage = s"$targetPath/deletes/.stage-eq-$snapId"
+    withIds.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("equality stage wrote no part"))
+    val dst = new java.io.File(f"$targetPath/deletes/eq-$snapId%05d.parquet")
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(stage))
+    val delSpecId = if (partCols.isEmpty) 0 else 1
+    val delFiles = describeFiles(spark, Seq(dst.getAbsolutePath))
+      .map(_.copy(equalityIds = eqIds))
+    val mref = writeManifest(targetPath, f"me-$snapId%05d.avro", snapId, seqNum,
+      delFiles, fields, content = 2, partCols = Nil, specId = delSpecId, v3 = v3)
+    val priorRecords = avroRecords(spark,
+      IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
+    val ml = writeManifestList(targetPath, f"snap-eq-$snapId%05d.avro",
+      snapId, seqNum, priorRecords, Seq(mref), v3 = v3)
+    writeMetadata(targetPath, metaV + 1, srcV, fields,
+      priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml,
+        "overwrite", firstRowId = rowBase),
+      snapId, partCols, formatVersion = fv, nextRowId = rowBase)
+    snapId
   }
 }

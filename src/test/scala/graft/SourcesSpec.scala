@@ -3588,6 +3588,49 @@ class SourcesSpec extends SparkSpec {
       .collect().toSet == (1L to 9L).toSet)
   }
 
+  test("iceberg equality-delete write-back: content=2 publishes, ordering holds, v2 and v3") {
+    // r13 verdict #5 — the Flink-CDC producer shape: a key-frame
+    // publishes as a content=2 delete file + manifest at the next
+    // sequence number. The ordering pin: rows appended AFTER the
+    // delete survive the same key (data.seq > delete.seq), while all
+    // older rows with the key die.
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    Seq(2, 3).foreach { fv =>
+      val base = Files.createTempDirectory(s"ieq_src$fv").toFile.getAbsolutePath
+      val tgt = Files.createTempDirectory(s"ieq$fv").toFile.getAbsolutePath + "/tbl"
+      TimeTravel.commitOverwrite(
+        (1L to 10L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1), base)
+      IcebergExport.snapshot(spark, base, tgt, formatVersion = fv) // S1
+      val sid = IcebergExport.appendEqualityDeletes(spark, tgt,
+        Seq(3L, 7L).toDF("k"))
+      assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet
+        == (1L to 10L).toSet -- Set(3L, 7L), s"fv$fv: keys 3/7 die")
+      // the manifest carries a real content=2 entry
+      assert(IcebergMaintenance.files(spark, tgt)
+        .filter(col("content") === 2).count() == 1, s"fv$fv")
+      // a LATER append re-adds key 3: it must SURVIVE the older delete
+      TimeTravel.commitAppend(Seq((3L, 333L)).toDF("k", "v").coalesce(1), base)
+      IcebergExport.append(spark, base, tgt) // S3, higher sequence
+      val now = IcebergRead.read(spark, tgt).select("k", "v")
+        .as[(Long, Long)].collect().toSet
+      assert(now == ((1L to 10L).toSet -- Set(3L, 7L))
+        .map(i => (i, i * 10)) + ((3L, 333L)),
+        s"fv$fv: post-delete rows survive the same key: $now")
+      // the delete-era snapshot still serves its pinned view
+      assert(IcebergRead.read(spark, tgt, snapshotId = Some(sid))
+        .select("k").as[Long].collect().toSet == (1L to 10L).toSet -- Set(3L, 7L),
+        s"fv$fv: snapshot-pinned read")
+      // unknown / mistyped key columns are loud
+      val eCol = intercept[IllegalArgumentException](
+        IcebergExport.appendEqualityDeletes(spark, tgt, Seq(1L).toDF("nope")))
+      assert(eCol.getMessage.contains("not in the table schema"), eCol.getMessage)
+      val eTyp = intercept[IllegalArgumentException](
+        IcebergExport.appendEqualityDeletes(spark, tgt, Seq(1).toDF("k")))
+      assert(eTyp.getMessage.contains("in the keys"), eTyp.getMessage)
+    }
+  }
+
   test("delta foreign append: commits into a table another engine created") {
     // r13 verdict #2: appendForeign stages rows as new parquet inside
     // the table root and publishes a put-if-absent commit — into a
