@@ -1487,6 +1487,74 @@ object CdcQueries {
       .orderBy("g")
   }
 
+  /** VARIANT reads on both formats (r14 — r13 verdict #6): a parquet
+    * file carrying a Spark VariantType column serves through a Delta
+    * log requiring the `variantType` feature AND an Iceberg v3
+    * `variant` field; the query groups by a STRING extracted from the
+    * variant and sums a BIGINT extracted from it, so wrong binary
+    * decoding breaks both the keys and the measures. The two reads
+    * must agree before anything is returned. */
+  val qVariantRead: QueryDef = QueryDef.sql(
+    "q_variant_read",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT 'r' || CAST(k % 7 AS VARCHAR) AS tag, COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_a
+      |FROM o GROUP BY tag ORDER BY tag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, VariantType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_var_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
+    val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"),
+      graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val tmp = s"${dir}_stage"
+    o.select(col("k"), parse_json(concat(
+        lit("""{"a":"""), col("cents"),
+        lit(""","b":"r"""), col("k") % 7, lit("\"}"))).as("var"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ddir = s"$dir/delta"; new java.io.File(ddir).mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$ddir/f0.parquet").toPath): Unit
+    val esc = StructType(Seq(
+      StructField("k", LongType), StructField("var", VariantType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$ddir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$ddir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
+        s"""{"metaData":{"id":"varq","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":${flen(ddir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    val idir = s"$dir/iceberg"
+    val dataF = new java.io.File(s"$ddir/f0.parquet").getAbsolutePath
+    val m1 = graft.sources.IcebergRead.Fixture.manifest(idir, "m1.avro",
+      Seq((1, dataF, 0)))
+    val l1 = graft.sources.IcebergRead.Fixture.manifestList(idir, "snap-1.avro",
+      Seq(m1))
+    graft.sources.IcebergRead.Fixture.metadataMulti(idir, 1, 3,
+      currentSnapshotId = 1L, snapshots = Seq((1L, l1)),
+      fields = Seq((1, "k", true, "long"), (2, "var", false, "variant")))
+    def shaped(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "variant_get(var, '$.b', 'string') AS tag",
+      "CAST(variant_get(var, '$.a', 'bigint') AS BIGINT) AS a")
+    val dg = shaped(graft.sources.DeltaRead.read(s, ddir))
+    val ig = shaped(graft.sources.IcebergRead.read(s, idir))
+    require(dg.exceptAll(ig).isEmpty && ig.exceptAll(dg).isEmpty,
+      "the Delta and Iceberg variant reads must agree")
+    dg.groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"))
+      .orderBy("tag")
+  }
+
   /** Delta NAME-MODE column mapping over NESTED complex columns (r13
     * — the common Databricks shape the r12 reader declined): the data
     * file carries PHYSICAL names at every nesting level (`col-s` =
@@ -1867,5 +1935,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped, qVariantRead)
 }

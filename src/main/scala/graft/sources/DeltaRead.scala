@@ -36,8 +36,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     footer (names are arbitrary in id mode);
   *   - features this reader cannot honor fail LOUDLY, never silently
   *     mis-read: any version-3 reader feature outside
-  *     `deletionVectors`/`columnMapping`/`v2Checkpoint` declines with
-  *     the feature named.
+  *     `deletionVectors`/`columnMapping`/`v2Checkpoint`/`timestampNtz`/
+  *     `variantType` declines with the feature named.
   *
   * Scale: log replay is driver-side O(actions) — the same planning
   * cost Delta itself pays; the scan is one parquet read per partition
@@ -56,7 +56,8 @@ object DeltaRead {
     * zone-aware literal path, and stats bounds ride
     * [[FileSkipping.fromDeltaStats]]'s NTZ case. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
+      "variantType")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

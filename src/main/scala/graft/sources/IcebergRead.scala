@@ -118,6 +118,10 @@ object IcebergRead {
     // only `timestamptz` is the UTC-adjusted instant (r13 verdict #1)
     case "timestamp" => TimestampNTZType
     case "timestamptz" => TimestampType
+    // v3 variant — Spark 4 carries the type natively and the parquet
+    // encoding is the shared Variant spec (r14); geo types still
+    // decline in [[requireFormatVersion]]
+    case "variant" => VariantType
     case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
     case other => throw new UnsupportedOperationException(
       s"iceberg field type '$other' is outside this reader's interchange set")
@@ -145,8 +149,10 @@ object IcebergRead {
     * style): a format-version-3 table that uses no v3 feature reads
     * like a v2 table (the spec keeps v2 structures valid in v3), so
     * only the features actually IN USE decline — field defaults and
-    * the variant type change DECODED VALUES and are metadata-visible
-    * here; puffin deletion vectors are manifest-visible and READ
+    * geo types change DECODED VALUES and are metadata-visible
+    * here (v3 VARIANT columns now READ, r14 — Spark 4 speaks the shared
+    * Variant parquet encoding natively; only geo types stay declined);
+    * puffin deletion vectors are manifest-visible and READ
     * ([[entriesOf]] decodes their coordinates, [[read]] applies them
     * merge-on-read); ROW LINEAGE (`next-row-id`, mandatory on every
     * real v3 table) is TOLERATED — it assigns implicit row ids without
@@ -169,8 +175,8 @@ object IcebergRead {
     if (schemaFields.exists(f => f.has("initial-default") || f.has("write-default")))
       inUse += "field default values (initial-default/write-default)"
     if (schemaFields.exists(f => f.get("type").isTextual &&
-        Set("variant", "geometry", "geography").contains(f.get("type").asText())))
-      inUse += "variant/geo types"
+        Set("geometry", "geography").contains(f.get("type").asText())))
+      inUse += "geo types (geometry/geography)"
     if (inUse.result().nonEmpty) throw new UnsupportedOperationException(
       s"iceberg format-version 3 at $tablePath uses feature(s) this reader " +
         s"does not implement: ${inUse.result().mkString("; ")}")
