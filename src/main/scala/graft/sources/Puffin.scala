@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   *     Magic`: the payload is UTF-8 JSON (`{"blobs":[...],
   *     "properties":{...}}`), its size a little-endian i32, the four
   *     flag bytes reserved except bit 0 of byte 0 (payload
-  *     lz4-compressed — declined loudly here, zero-dependency stance);
+  *     lz4-compressed — decoded by the built-in zero-dependency
+  *     [[lz4FrameDecompress]], r14);
   *   - each `deletion-vector-v1` blob frames as `<i32 BE length of
   *     magic+vector> <4-byte magic D1 D3 39 64> <vector> <i32 BE
   *     CRC-32 of magic+vector>`. The magic bytes ARE the little-endian
@@ -87,8 +88,87 @@ object Puffin {
     DeltaDv.deserialize(body) // magic+vector == the Delta portable form
   }
 
-  /** Footer blob descriptors + file properties. Compressed footers
-    * decline loudly (lz4 is outside the dependency stance). */
+  /** LZ4 FRAME decompression (the spec's footer codec), zero-dependency
+    * (r14 — r13 verdict #7): magic + frame descriptor, then blocks of
+    * LZ4 BLOCK format. Checksums are parsed PAST, not verified (xxHash
+    * is outside the dependency stance; the footer's JSON parse is the
+    * integrity gate), and the optional content-size is enforced. */
+  private[graft] def lz4FrameDecompress(data: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.remaining >= 7, "lz4 frame too short")
+    val magic = buf.getInt
+    require(magic == 0x184d2204, f"not an lz4 frame (magic 0x$magic%08x)")
+    val flg = buf.get() & 0xff
+    buf.get() // BD byte: block max size only — irrelevant to decoding
+    require((flg >> 6) == 1, s"lz4 frame version ${flg >> 6} is unsupported")
+    val blockChecksum = (flg & 0x10) != 0
+    val hasContentSize = (flg & 0x08) != 0
+    val contentChecksum = (flg & 0x04) != 0
+    val expected = if (hasContentSize) Some(buf.getLong) else None
+    if ((flg & 0x01) != 0) buf.getInt // dictionary id
+    buf.get() // header checksum byte
+    val out = new java.io.ByteArrayOutputStream(
+      expected.map(_.toInt).getOrElse(data.length * 4))
+    var done = false
+    while (!done) {
+      val bsize = buf.getInt
+      if (bsize == 0) done = true
+      else {
+        val len = bsize & 0x7fffffff
+        val block = new Array[Byte](len)
+        buf.get(block)
+        if ((bsize & 0x80000000) != 0) out.write(block) // stored as-is
+        else out.write(lz4BlockDecompress(block))
+        if (blockChecksum) buf.getInt
+      }
+    }
+    if (contentChecksum) buf.getInt
+    val res = out.toByteArray
+    expected.foreach(e => require(res.length.toLong == e,
+      s"lz4 content size mismatch: frame says $e, decoded ${res.length}"))
+    res
+  }
+
+  /** One LZ4 BLOCK: token-driven sequences of a literal run plus a
+    * 16-bit back-offset match (offset ≤ bytes already produced; the
+    * overlapping byte-by-byte copy IS the format's RLE trick). */
+  private def lz4BlockDecompress(src: Array[Byte]): Array[Byte] = {
+    var out = new Array[Byte](math.max(64, src.length * 3))
+    var oLen = 0
+    var i = 0
+    def ensure(n: Int): Unit =
+      if (oLen + n > out.length)
+        out = java.util.Arrays.copyOf(out, math.max(out.length * 2, oLen + n))
+    def readLen(base: Int): Int = {
+      var l = base
+      if (base == 15) {
+        var b = 0
+        do { b = src(i) & 0xff; i += 1; l += b } while (b == 255)
+      }
+      l
+    }
+    while (i < src.length) {
+      val token = src(i) & 0xff; i += 1
+      val litLen = readLen(token >> 4)
+      require(i + litLen <= src.length, "lz4 literal run past block end")
+      ensure(litLen)
+      System.arraycopy(src, i, out, oLen, litLen); i += litLen; oLen += litLen
+      if (i < src.length) { // the LAST sequence is literals-only
+        val offset = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8); i += 2
+        require(offset > 0 && offset <= oLen,
+          s"lz4 match offset $offset out of range at $oLen")
+        val matchLen = readLen(token & 0xf) + 4
+        ensure(matchLen)
+        var m = oLen - offset
+        var k = 0
+        while (k < matchLen) { out(oLen) = out(m); oLen += 1; m += 1; k += 1 }
+      }
+    }
+    java.util.Arrays.copyOf(out, oLen)
+  }
+
+  /** Footer blob descriptors + file properties. LZ4-compressed footers
+    * decode through [[lz4FrameDecompress]] (r14). */
   def footer(spark: SparkSession, puffinPath: String): (Seq[BlobMeta], Map[String, String]) = {
     val bytes = readAll(spark, new Path(puffinPath))
     require(bytes.length >= 4 + 4 + 4 + 4 + 4 + 4, // magic + empty-footer framing
@@ -100,9 +180,7 @@ object Puffin {
     magicAt(0, "head")
     magicAt(bytes.length - 4, "tail")
     val flags = java.util.Arrays.copyOfRange(bytes, bytes.length - 8, bytes.length - 4)
-    if ((flags(0) & 0x1) != 0) throw new UnsupportedOperationException(
-      s"puffin footer of $puffinPath is lz4-compressed; this reader serves " +
-        "uncompressed footers only")
+    val compressed = (flags(0) & 0x1) != 0
     require(flags.drop(1).forall(_ == 0) && (flags(0) & 0xfe) == 0,
       s"puffin footer of $puffinPath sets reserved flag bits")
     val size = ByteBuffer.wrap(bytes, bytes.length - 12, 4)
@@ -111,8 +189,12 @@ object Puffin {
     require(size >= 0 && payloadStart >= 8,
       s"puffin footer payload size $size of $puffinPath is out of range")
     magicAt(payloadStart - 4, "footer start")
-    val json = mapper.readTree(
-      new String(bytes, payloadStart, size, UTF_8))
+    val payload =
+      if (!compressed) java.util.Arrays.copyOfRange(
+        bytes, payloadStart, payloadStart + size)
+      else lz4FrameDecompress(java.util.Arrays.copyOfRange(
+        bytes, payloadStart, payloadStart + size))
+    val json = mapper.readTree(new String(payload, UTF_8))
     val blobsNode = json.get("blobs")
     val blobs = (0 until (if (blobsNode == null) 0 else blobsNode.size())).map { i =>
       val b = blobsNode.get(i)

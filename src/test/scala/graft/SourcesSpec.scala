@@ -3700,6 +3700,96 @@ class SourcesSpec extends SparkSpec {
     assert(eGeo.getMessage.contains("geo types"), eGeo.getMessage)
   }
 
+  test("puffin lz4 footers decode through the zero-dependency frame reader") {
+    // r13 verdict #7: an external writer's compressed footer now parses
+    // instead of declining. Frames are hand-crafted: one block with a
+    // real LZ4 match sequence (the RLE back-copy), one stored block,
+    // content-size and block-checksum framing exercised.
+    import graft.sources.Puffin
+    def leInt(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def lz4LiteralsBlock(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val base = math.min(15, data.length)
+      out.write(base << 4)
+      if (base == 15) {
+        var rem = data.length - 15
+        while (rem >= 255) { out.write(255); rem -= 255 }
+        out.write(rem)
+      }
+      out.write(data)
+      out.toByteArray
+    }
+    def frame(blocks: Seq[(Array[Byte], Boolean)], contentSize: Option[Long],
+        blockChecksums: Boolean = false): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(leInt(0x184d2204))
+      out.write(0x40 | (if (contentSize.nonEmpty) 0x08 else 0) |
+        (if (blockChecksums) 0x10 else 0)) // FLG: version 01
+      out.write(0x40) // BD: 64 KB blocks
+      contentSize.foreach { cs =>
+        out.write(java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(cs).array())
+      }
+      out.write(0) // header checksum byte (parsed past)
+      blocks.foreach { case (b, stored) =>
+        out.write(leInt(if (stored) b.length | 0x80000000 else b.length))
+        out.write(b)
+        if (blockChecksums) out.write(leInt(0)) // parsed past
+      }
+      out.write(leInt(0)) // end mark
+      out.toByteArray
+    }
+    // hand-crafted MATCH sequence: "abcd" literals + offset-4 len-12
+    // match -> "abcd" * 4
+    val matchBlock = Array[Byte](0x48, 'a', 'b', 'c', 'd', 0x04, 0x00)
+    val expect1 = "abcdabcdabcdabcd".getBytes("UTF-8")
+    assert(Puffin.lz4FrameDecompress(frame(
+      Seq((matchBlock, false)), Some(16L))).toSeq == expect1.toSeq)
+    // multi-block: compressed literals + stored block, checksummed
+    val lit = "hello lz4 world ".getBytes("UTF-8")
+    val stored = "stored!".getBytes("UTF-8")
+    val got2 = Puffin.lz4FrameDecompress(frame(
+      Seq((lz4LiteralsBlock(lit), false), (stored, true)),
+      Some((lit.length + stored.length).toLong), blockChecksums = true))
+    assert(got2.toSeq == (lit ++ stored).toSeq)
+    // a WRONG content size is loud
+    intercept[IllegalArgumentException](Puffin.lz4FrameDecompress(frame(
+      Seq((matchBlock, false)), Some(99L))))
+    // end to end: rewrite a real DV sidecar's footer as an lz4 frame —
+    // footer() must serve the same blob descriptors
+    import spark.implicits._
+    val dir = Files.createTempDirectory("plz4").toFile.getAbsolutePath
+    val pf = s"$dir/dv.puffin"
+    val refs = Puffin.writeDvFile(spark, pf,
+      Seq(("f1.parquet", Seq(1L, 5L, 9L)), ("f2.parquet", Seq(2L))), 7L, 3L)
+    val (blobsPlain, _) = Puffin.footer(spark, pf)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pf))
+    val size = java.nio.ByteBuffer.wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val payloadStart = bytes.length - 12 - size
+    val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + size)
+    val framed = frame(Seq((lz4LiteralsBlock(payload), false)),
+      Some(payload.length.toLong))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, payloadStart - 4) // head + blobs + (we re-add magic)
+    out.write("PFA1".getBytes("UTF-8"))
+    out.write(framed)
+    out.write(leInt(framed.length))
+    out.write(Array[Byte](0x1, 0, 0, 0)) // flags: footer-compressed
+    out.write("PFA1".getBytes("UTF-8"))
+    val pf2 = s"$dir/dv_lz4.puffin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pf2), out.toByteArray)
+    val (blobsLz4, _) = Puffin.footer(spark, pf2)
+    assert(blobsLz4 == blobsPlain,
+      "the compressed footer must serve the exact same blob descriptors")
+    // the blob payloads themselves still read (footer never gates them)
+    refs.zip(blobsLz4).foreach { case (r, b) =>
+      assert(Puffin.dvPositions(spark, pf2, b.offset, b.length).toSeq
+        == Puffin.dvPositions(spark, pf, r.offset, r.length).toSeq)
+    }
+  }
+
   test("delta foreign append: commits into a table another engine created") {
     // r13 verdict #2: appendForeign stages rows as new parquet inside
     // the table root and publishes a put-if-absent commit — into a
