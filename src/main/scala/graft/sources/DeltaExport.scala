@@ -740,7 +740,12 @@ object DeltaExport {
       s"delta log at $targetPath has no metaData action"))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     requireForeignAppendable(targetPath, st0, schema)
-    if (normType(df.schema) != normType(schema))
+    // column ORDER is presentation, not schema (every write below
+    // selects by NAME): require the same name set with the same types
+    def byName(st: StructType) =
+      st.fields.map(f => f.name -> normType(f.dataType)).toMap
+    if (byName(df.schema) != byName(schema) ||
+        df.schema.size != schema.size)
       throw new UnsupportedOperationException(
         s"appendForeign frame schema ${df.schema.simpleString} does not " +
           s"match the table's ${schema.simpleString} at $targetPath")
