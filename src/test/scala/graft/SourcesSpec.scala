@@ -908,7 +908,8 @@ class SourcesSpec extends SparkSpec {
     val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir2))
     assert(e1.getMessage.contains("minReaderVersion"), e1.getMessage)
     // reader version 3 gates on FEATURES: deletionVectors/columnMapping/
-    // v2Checkpoint are served, anything beyond declines by name
+    // v2Checkpoint/timestampNtz/variantType are served (timestampNtz
+    // since r14), anything beyond declines by name
     val dir3 = Files.createTempDirectory("delta_feat").toFile.getAbsolutePath + "/t"
     new java.io.File(dir3).mkdirs()
     writeDeltaPart(dir3, "f1.parquet", Seq((1L, 1L)))
@@ -916,8 +917,17 @@ class SourcesSpec extends SparkSpec {
       Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"]}}""",
         metaAction(partitioned = false),
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir3))
-    assert(e2.getMessage.contains("timestampNtz"), e2.getMessage)
+    assert(DeltaRead.read(spark, dir3).count() == 1,
+      "deletionVectors+timestampNtz protocols read since r14")
+    val dir4 = Files.createTempDirectory("delta_feat2").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir4).mkdirs()
+    writeDeltaPart(dir4, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dir4, 0,
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
+        metaAction(partitioned = false),
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir4))
+    assert(e2.getMessage.contains("typeWidening"), e2.getMessage)
   }
 
   test("delta read: V2 checkpoints — UUID-named top level, sidecar file actions, json variant") {
@@ -2397,13 +2407,15 @@ class SourcesSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       Puffin.dvPositions(spark, pc, refs(0).offset, refs(0).length))
     assert(e1.getMessage.contains("CRC-32"), e1.getMessage)
-    // a compressed footer (flag byte 0 bit 0) declines by name
+    // the compressed-footer flag over a payload that is NOT an lz4
+    // frame is loud (r14: real lz4 footers decode — see the dedicated
+    // lz4 tests; a lying flag must not silently parse)
     val raw2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
     raw2(raw2.length - 8) = 1
     val pz = s"$dir/dv_lz4.puffin"
     java.nio.file.Files.write(java.nio.file.Paths.get(pz), raw2)
-    val e2 = intercept[UnsupportedOperationException](Puffin.footer(spark, pz))
-    assert(e2.getMessage.contains("lz4-compressed"), e2.getMessage)
+    val e2 = intercept[IllegalArgumentException](Puffin.footer(spark, pz))
+    assert(e2.getMessage.contains("not an lz4 frame"), e2.getMessage)
   }
 
   test("iceberg read: v3 puffin deletion vectors apply merge-on-read") {
