@@ -37,7 +37,9 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   - features this reader cannot honor fail LOUDLY, never silently
   *     mis-read: any version-3 reader feature outside
   *     `deletionVectors`/`columnMapping`/`v2Checkpoint`/`timestampNtz`/
-  *     `variantType` declines with the feature named.
+  *     `variantType`/`typeWidening` declines with the feature named
+  *     (typeWidening rides Spark 4's parquet widening promotion: old
+  *     narrow files serve the table's wide type).
   *
   * Scale: log replay is driver-side O(actions) — the same planning
   * cost Delta itself pays; the scan is one parquet read per partition
@@ -57,7 +59,7 @@ object DeltaRead {
     * [[FileSkipping.fromDeltaStats]]'s NTZ case. */
   private val SupportedReaderFeatures =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
-      "variantType")
+      "variantType", "typeWidening")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

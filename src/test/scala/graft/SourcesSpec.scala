@@ -923,11 +923,11 @@ class SourcesSpec extends SparkSpec {
     new java.io.File(dir4).mkdirs()
     writeDeltaPart(dir4, "f1.parquet", Seq((1L, 1L)))
     writeDeltaCommit(dir4, 0,
-      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"]}}""",
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","unknownFutureFeature"]}}""",
         metaAction(partitioned = false),
         """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, dir4))
-    assert(e2.getMessage.contains("typeWidening"), e2.getMessage)
+    assert(e2.getMessage.contains("unknownFutureFeature"), e2.getMessage)
   }
 
   test("delta read: V2 checkpoints — UUID-named top level, sidecar file actions, json variant") {
@@ -2416,6 +2416,45 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(pz), raw2)
     val e2 = intercept[IllegalArgumentException](Puffin.footer(spark, pz))
     assert(e2.getMessage.contains("not an lz4 frame"), e2.getMessage)
+  }
+
+  test("delta typeWidening: widened tables read old narrow files through the wide schema") {
+    // the typeWidening reader feature is a TYPE capability: the table
+    // schema is wider than old files' physical types and Spark 4's
+    // parquet readers perform the widening promotion — int32 files
+    // serve a BIGINT column, float files a DOUBLE
+    import graft.sources.DeltaRead
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_tw").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def stage(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = Files.createTempDirectory("tw_stage").toFile.getAbsolutePath
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$dest")): Unit
+    }
+    // f1: the NARROW era (int, float); f2: the widened era (long, double)
+    stage((1 to 5).toDF("id").select(col("id").cast("int").as("id"),
+      (col("id") * lit(1.5f)).cast("float").as("x")), "f1.parquet")
+    stage(Seq((6L, 9.0d), (7L, 10.5d)).toDF("id", "x"), "f2.parquet")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType)))
+    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"twfix","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.read(spark, dir)
+    assert(got.schema("id").dataType == LongType &&
+      got.schema("x").dataType == DoubleType)
+    val rows = got.as[(Long, Double)].collect().toSet
+    val want = (1 to 5).map(i => (i.toLong, (i * 1.5f).toDouble)).toSet ++
+      Set((6L, 9.0d), (7L, 10.5d))
+    assert(rows == want, s"widened read diverged: $rows")
   }
 
   test("iceberg read: v3 puffin deletion vectors apply merge-on-read") {
