@@ -172,8 +172,9 @@ object IcebergRead {
         val f = s.get("fields"); (0 until f.size()).map(f.get)
       }
     }.getOrElse(Seq.empty)
-    if (schemaFields.exists(f => f.has("initial-default") || f.has("write-default")))
-      inUse += "field default values (initial-default/write-default)"
+    // `initial-default` is IMPLEMENTED (r14 — [[readEntries]] fills it
+    // for files whose footer lacks the field); `write-default` binds
+    // writers only, so a read-only engine tolerates it like row lineage
     if (schemaFields.exists(f => f.get("type").isTextual &&
         Set("geometry", "geography").contains(f.get("type").asText())))
       inUse += "geo types (geometry/geography)"
@@ -633,10 +634,13 @@ object IcebergRead {
         currentSnapshotId: Long, snapshots: Seq[(Long, String)],
         fields: Seq[(Int, String, Boolean, String)],
         timestamps: Map[Long, Long] = Map.empty,
-        refs: Map[String, (Long, String)] = Map.empty): Unit = {
+        refs: Map[String, (Long, String)] = Map.empty,
+        fieldDefaults: Map[String, String] = Map.empty): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
       val fjson = fields.map { case (id, n, req, t) =>
-        s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
+        val dflt = fieldDefaults.get(n)
+          .map(v => s""","initial-default":$v""").getOrElse("")
+        s"""{"id":$id,"name":"$n","required":$req,"type":"$t"$dflt}"""
       }.mkString(",")
       val sjson = snapshots.map { case (id, ml) =>
         val ts = timestamps.get(id).map(t => s""""timestamp-ms":$t,""").getOrElse("")
@@ -727,9 +731,45 @@ object IcebergRead {
     * streaming source's recovery replay needs when the pinned
     * snapshot has been EXPIRED from the list but its manifest names
     * survive in the checkpointed offset. */
+  /** v3 `initial-default` values of the CURRENT schema: (field name,
+    * default as a typed Column). The spec's rule: the default serves
+    * rows of data files that DO NOT CONTAIN the field; a present
+    * field's genuine nulls stay null. Types outside the primitive
+    * interchange set decline loudly. */
+  private def defaultsOf(meta: JsonNode,
+      schema: StructType): Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.lit
+    val schemaNode = Option(meta.get("schemas")).map { arr =>
+      val want = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      (0 until arr.size()).map(arr.get)
+        .find(s => s.get("schema-id").asInt() == want).get
+    }.orElse(Option(meta.get("schema"))).getOrElse(return Seq.empty)
+    val fields = schemaNode.get("fields")
+    (0 until fields.size()).flatMap { i =>
+      val fld = fields.get(i)
+      Option(fld.get("initial-default")).filterNot(_.isNull).map { v =>
+        val name = fld.get("name").asText()
+        val dt = schema(name).dataType
+        val c = dt match {
+          case LongType | IntegerType if v.isNumber => lit(v.asLong()).cast(dt)
+          case DoubleType | FloatType if v.isNumber => lit(v.asDouble()).cast(dt)
+          case BooleanType if v.isBoolean => lit(v.asBoolean())
+          case StringType if v.isTextual => lit(v.asText())
+          case DateType | TimestampType | TimestampNTZType if v.isTextual =>
+            lit(v.asText()).cast(dt)
+          case d: DecimalType => lit(v.asText()).cast(d)
+          case other => throw new UnsupportedOperationException(
+            s"initial-default for field '$name' of type $other is outside " +
+              "the supported primitive set")
+        }
+        name -> c
+      }
+    }
+  }
+
   private[sources] def readEntries(spark: SparkSession, tablePath: String,
       meta: JsonNode, live: Seq[EntryInfo]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, when}
     val schema = schemaOf(meta)
     val data = live.filter(_.content == 0)
     val (dvDels, posDels) = live.filter(_.content == 1).partition(_.dv.nonEmpty)
@@ -771,8 +811,49 @@ object IcebergRead {
       } else spark.read.schema(schema)
         .parquet(entries.map(e => resolve(tablePath, e.path).toString): _*)
     }
-    if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty)
-      return scanOf(data)
+    // v3 FIELD DEFAULTS (r14): fill each `initial-default` field for
+    // rows of files whose FOOTER lacks it (a present field's nulls stay
+    // null, per spec). The presence probe is one footer read per file
+    // on DEFAULT-BEARING tables only — plain tables never pay it — and
+    // the fill rides ONE broadcast (file → absent flags) join, so the
+    // data side stays a single scan.
+    val defaults = defaultsOf(meta, schema)
+    val absentByFile: Map[String, Set[String]] =
+      if (defaults.isEmpty) Map.empty
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        data.map { e =>
+          val p = resolve(tablePath, e.path)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          val names = try {
+            import scala.jdk.CollectionConverters._
+            rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+          } finally rdr.close()
+          normPathStr(p.toString) -> defaults.map(_._1).filterNot(names).toSet
+        }.toMap
+      }
+    val needDefaults = absentByFile.values.exists(_.nonEmpty)
+    def applyDefaults(df: DataFrame): DataFrame =
+      if (!needDefaults) df
+      else {
+        import spark.implicits._
+        val flagDf = absentByFile.toSeq
+          .map { case (f, absent) => (f, defaults.map(d => absent(d._1)).toArray) }
+          .toDF("__g_fp", "__g_absent")
+        val joined = df.join(broadcast(flagDf), Seq("__g_fp"), "left")
+        defaults.zipWithIndex.foldLeft(joined) { case (d0, ((name, dcol), i)) =>
+          d0.withColumn(name,
+            when(col("__g_absent").getItem(i), dcol).otherwise(col(name)))
+        }.drop("__g_absent")
+      }
+    if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty) {
+      val plain = scanOf(data)
+      return if (!needDefaults) plain
+      else applyDefaults(plain.select(col("*"),
+        normPath(col("_metadata.file_path")).as("__g_fp"))).drop("__g_fp")
+    }
     val posFileDf =
       if (posDels.isEmpty) None
       else Some(spark.read
@@ -799,9 +880,9 @@ object IcebergRead {
     // ONE scan over every live data file — the per-file keys the delete
     // shapes need ride alongside (path for position deletes, sequence
     // number via a broadcast file→seq map for equality ordering)
-    val base = scanOf(data).select(col("*"),
+    val base = applyDefaults(scanOf(data).select(col("*"),
       normPath(col("_metadata.file_path")).as("__g_fp"),
-      col("_metadata.row_index").as("__g_ri"))
+      col("_metadata.row_index").as("__g_ri")))
     val afterPos = posDf match {
       case None => base
       case Some(dels) => base.join(dels, Seq("__g_fp", "__g_ri"), "left_anti")

@@ -2326,10 +2326,20 @@ class SourcesSpec extends SparkSpec {
     v3Meta(dir3, """"next-row-id":17,""", "")
     assert(IcebergRead.read(spark, dir3).count() == 0,
       "v3 row lineage (next-row-id) must tolerate: it never changes the row set")
+    // field defaults now SERVE (r14 — the dedicated initial-default
+    // test pins the fill semantics); an empty default-bearing table
+    // simply reads empty
     val dir4 = Files.createTempDirectory("iceberg_v3fd").toFile.getAbsolutePath + "/t"
     v3Meta(dir4, "", ""","initial-default":0""")
-    val e4 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir4))
-    assert(e4.getMessage.contains("default values"), e4.getMessage)
+    assert(IcebergRead.read(spark, dir4).count() == 0)
+    // geo types keep the named decline
+    val dir4g = Files.createTempDirectory("iceberg_v3geo").toFile.getAbsolutePath + "/t"
+    v3Meta(dir4g, "", "")
+    val p4g = java.nio.file.Paths.get(s"$dir4g/metadata/v1.metadata.json")
+    java.nio.file.Files.writeString(p4g, java.nio.file.Files.readString(p4g)
+      .replace("\"type\":\"long\"", "\"type\":\"geometry\""))
+    val e4 = intercept[UnsupportedOperationException](IcebergRead.read(spark, dir4g))
+    assert(e4.getMessage.contains("geo types"), e4.getMessage)
     // format-version 4+ (unpublished) declines wholesale
     val dir5 = Files.createTempDirectory("iceberg_v4").toFile.getAbsolutePath + "/t"
     v3Meta(dir5, "", "")
@@ -2455,6 +2465,53 @@ class SourcesSpec extends SparkSpec {
     val want = (1 to 5).map(i => (i.toLong, (i * 1.5f).toDouble)).toSet ++
       Set((6L, 9.0d), (7L, 10.5d))
     assert(rows == want, s"widened read diverged: $rows")
+  }
+
+  test("iceberg v3 initial-default: absent-field rows read the default, present nulls stay null") {
+    // the spec's rule: a data file that DOES NOT CONTAIN the field
+    // serves initial-default; a file that contains it serves its
+    // stored values — including genuine nulls. Composes with
+    // merge-on-read (the fill happens before the delete joins).
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idef").toFile.getAbsolutePath
+    val data = Files.createTempDirectory("idef_data").toFile.getAbsolutePath
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$data/$name")
+      new java.io.File(s"$data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    // f1: the OLD era — no `tag`, no `n`; f2: the new era with both,
+    // including a genuine null tag on k=12
+    val f1 = stage("f1", (1L to 5L).toDF("k"))
+    val tagged = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(11L, "new", 7L), Row(12L, null, 8L), Row(13L, "x", 9L)), 1),
+      StructType(Seq(StructField("k", LongType), StructField("tag", StringType),
+        StructField("n", LongType))))
+    val f2 = stage("f2", tagged)
+    // a position delete on f1 row 0 (k=1) proves the MoR composition
+    val pd = stage("pd", Seq((f1, 0L)).toDF("file_path", "pos"))
+    val m1 = IcebergRead.Fixture.manifestV2(dir, "m1.avro", Seq(
+      EntryInfo(1, f1, 0, 1L, Nil), EntryInfo(1, f2, 0, 2L, Nil),
+      EntryInfo(1, pd, 1, 2L, Nil)))
+    val l1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 3, currentSnapshotId = 1L,
+      snapshots = Seq((1L, l1)),
+      fields = Seq((1, "k", true, "long"), (2, "tag", false, "string"),
+        (3, "n", false, "long")),
+      fieldDefaults = Map("tag" -> "\"legacy\"", "n" -> "42"))
+    val got = IcebergRead.read(spark, dir)
+      .select("k", "tag", "n").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2).toString)).toSet
+    val want = ((2L to 5L).map(k => (k, "legacy", "42")) ++ Seq(
+      (11L, "new", "7"), (12L, null, "8"), (13L, "x", "9"))).toSet
+    assert(got == want, s"defaults diverged:\n got=$got\nwant=$want")
   }
 
   test("iceberg read: v3 puffin deletion vectors apply merge-on-read") {
