@@ -1321,18 +1321,25 @@ object CdcQueries {
     * clock under the pinned UTC session. */
   val qDeltaReadNtz: QueryDef = QueryDef.sql(
     "q_delta_read_ntz",
+    // the NTZ column derives from a UNIQUE deterministic row number
+    // (raw `ts` has duplicates at scale — a tie at the band boundary
+    // would make band 1's file unprunable and break the files_read=1
+    // pin nondeterministically)
     """WITH e AS (
-      |  SELECT ts, event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
-      |    NTILE(3) OVER (ORDER BY ts, event_id) AS band
+      |  SELECT make_timestamp(1700000000000000 +
+      |      1000000 * ROW_NUMBER() OVER (ORDER BY ts, event_id)) AS tsu,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS cents
       |  FROM events
+      |), eb AS (
+      |  SELECT tsu, cents, NTILE(3) OVER (ORDER BY tsu) AS band FROM e
       |), b AS (
-      |  SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM e WHERE band = 2
+      |  SELECT MIN(tsu) AS lo, MAX(tsu) AS hi FROM eb WHERE band = 2
       |)
-      |SELECT COUNT(*) AS n_rows, CAST(SUM(e.cents) AS BIGINT) AS sum_cents,
-      |  CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS min_us,
-      |  CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS max_us,
+      |SELECT COUNT(*) AS n_rows, CAST(SUM(eb.cents) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(epoch_us(eb.tsu)) AS BIGINT) AS min_us,
+      |  CAST(MAX(epoch_us(eb.tsu)) AS BIGINT) AS max_us,
       |  1 AS files_read
-      |FROM e, b WHERE e.ts BETWEEN b.lo AND b.hi""".stripMargin) { (s, d) =>
+      |FROM eb, b WHERE eb.tsu BETWEEN b.lo AND b.hi""".stripMargin) { (s, d) =>
     import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
     val tag = Integer.toHexString(d.hashCode)
     val base =
@@ -1342,12 +1349,18 @@ object CdcQueries {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
     }
-    val e = Tables(s, d, "events").select(
-      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts_ntz"),
-      col("event_id"), graft.Exact.units(col("value"), 2).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables(s, d, "events")
+      .select(col("ts"), col("event_id"),
+        graft.Exact.units(col("value"), 2).as("cents"))
+      .withColumn("__rn", row_number().over(w))
+      .select(expr(
+        "CAST(timestamp_micros(1700000000000000 + 1000000 * " +
+          "CAST(__rn AS BIGINT)) AS TIMESTAMP_NTZ)").as("ts_ntz"),
+        col("cents"))
       .withColumn("band", ntile(3).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts_ntz"), col("event_id"))))
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts_ntz"))))
     TimeTravel.commitOverwrite(
       e.filter(col("band") === 1).drop("band").coalesce(1), base)
     (2 to 3).foreach(b => TimeTravel.commitAppend(

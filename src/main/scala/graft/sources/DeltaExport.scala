@@ -118,8 +118,7 @@ object DeltaExport {
     * `inputFiles` URIs, and the two render the scheme/authority
     * differently (`file:/` vs `file:///`) — match on one canonical
     * root-slash form, the [[IcebergRead]] normalization. */
-  private def normKey(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+  private def normKey(p: String): String = PathKeys.normKey(p)
 
   /** The graft table's deleted positions at `v`, grouped per data file
     * (normalized key → sorted row indexes). Driver-side O(deleted

@@ -545,8 +545,7 @@ object DeltaRead {
   /** Scheme-normalized path key: `_metadata.file_path` renders URIs
     * (`file:///…`) while resolved add paths are plain — match on one
     * canonical root-slash form (the [[IcebergRead]] normalization). */
-  private def normKey(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+  private def normKey(p: String): String = PathKeys.normKey(p)
 
   private def normPathCol(c: Column): Column =
     org.apache.spark.sql.functions.regexp_replace(

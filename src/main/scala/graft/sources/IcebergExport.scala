@@ -566,8 +566,7 @@ object IcebergExport {
     * sidecars record `_metadata.file_path` URIs while the data
     * manifests record `inputFiles` URIs, and the two render the
     * scheme/authority differently (`file:///` vs `file:/`). */
-  private def normKey(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+  private def normKey(p: String): String = PathKeys.normKey(p)
 
   /** Publish the tombstones of `dvDirs` as ONE position-delete parquet
     * (`deletes/pd-<g>.parquet` of (file_path, pos) pairs, sorted by

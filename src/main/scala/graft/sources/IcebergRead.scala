@@ -685,8 +685,7 @@ object IcebergRead {
   /** Driver-side twin of [[normPath]] — DV coordinates resolve on the
     * driver, so their `referenced_data_file` strings canonicalize
     * through the same rule the scan-side Column does. */
-  private def normPathStr(s: String): String =
-    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+  private def normPathStr(s: String): String = PathKeys.normKey(s)
 
   /** The table's snapshot as a DataFrame (`snapshotId` pins one; the
     * default is the current snapshot). Format-v2 MERGE-ON-READ applies
@@ -735,14 +734,19 @@ object IcebergRead {
     * default as a typed Column). The spec's rule: the default serves
     * rows of data files that DO NOT CONTAIN the field; a present
     * field's genuine nulls stay null. Types outside the primitive
-    * interchange set decline loudly. */
+    * interchange set decline loudly. (Only top-level fields can carry
+    * defaults here BY CONSTRUCTION: nested struct schemas decline
+    * wholesale in [[schemaOf]] — the interchange set is flat — so a
+    * nested default can never be silently dropped.) */
   private def defaultsOf(meta: JsonNode,
       schema: StructType): Seq[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.functions.lit
     val schemaNode = Option(meta.get("schemas")).map { arr =>
       val want = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
       (0 until arr.size()).map(arr.get)
-        .find(s => s.get("schema-id").asInt() == want).get
+        .find(s => s.get("schema-id").asInt() == want)
+        .getOrElse(throw new IllegalStateException(
+          s"current-schema-id $want not present in schemas"))
     }.orElse(Option(meta.get("schema"))).getOrElse(return Seq.empty)
     val fields = schemaNode.get("fields")
     (0 until fields.size()).flatMap { i =>
@@ -765,6 +769,61 @@ object IcebergRead {
         name -> c
       }
     }
+  }
+
+  /** Per-file footer probe: which DEFAULTED fields is each file
+    * missing? One footer read per file, paid only by default-bearing
+    * tables. */
+  private def absentDefaultsByFile(spark: SparkSession,
+      defaults: Seq[(String, org.apache.spark.sql.Column)],
+      paths: Seq[Path]): Map[String, Set[String]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+      } finally rdr.close()
+      normPathStr(p.toString) -> defaults.map(_._1).filterNot(names).toSet
+    }.toMap
+  }
+
+  /** The fill itself: `df` must carry the normalized path as `__g_fp`;
+    * one broadcast (file → absent flags) join keeps the data side a
+    * single scan. */
+  private def applyDefaultFill(df: DataFrame,
+      defaults: Seq[(String, org.apache.spark.sql.Column)],
+      absentByFile: Map[String, Set[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, when}
+    import df.sparkSession.implicits._
+    val flagDf = absentByFile.toSeq
+      .map { case (f, absent) => (f, defaults.map(d => absent(d._1)).toArray) }
+      .toDF("__g_fp", "__g_absent")
+    val joined = df.join(broadcast(flagDf), Seq("__g_fp"), "left")
+    defaults.zipWithIndex.foldLeft(joined) { case (d0, ((name, dcol), i)) =>
+      d0.withColumn(name,
+        when(col("__g_absent").getItem(i), dcol).otherwise(col(name)))
+    }.drop("__g_absent")
+  }
+
+  /** Default-aware RAW FILE scan — the streaming increment's shape
+    * (r14 review close: the incremental batch used to bypass the
+    * initial-default fill and serve nulls where batch reads serve the
+    * default). Identical fill rule and cost model as [[readEntries]]. */
+  private[sources] def scanFilesWithDefaults(spark: SparkSession,
+      tablePath: String, meta: JsonNode, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = schemaOf(meta)
+    val plain = spark.read.schema(schema).parquet(files: _*)
+    val defaults = defaultsOf(meta, schema)
+    if (defaults.isEmpty) return plain
+    val absent = absentDefaultsByFile(spark, defaults, files.map(new Path(_)))
+    if (absent.values.forall(_.isEmpty)) plain
+    else applyDefaultFill(plain.select(col("*"),
+      normPath(col("_metadata.file_path")).as("__g_fp")), defaults, absent)
+      .drop("__g_fp")
   }
 
   private[sources] def readEntries(spark: SparkSession, tablePath: String,
@@ -820,34 +879,12 @@ object IcebergRead {
     val defaults = defaultsOf(meta, schema)
     val absentByFile: Map[String, Set[String]] =
       if (defaults.isEmpty) Map.empty
-      else {
-        val conf = spark.sessionState.newHadoopConf()
-        data.map { e =>
-          val p = resolve(tablePath, e.path)
-          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-          val names = try {
-            import scala.jdk.CollectionConverters._
-            rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .map(_.getName).toSet
-          } finally rdr.close()
-          normPathStr(p.toString) -> defaults.map(_._1).filterNot(names).toSet
-        }.toMap
-      }
+      else absentDefaultsByFile(spark, defaults,
+        data.map(e => resolve(tablePath, e.path)))
     val needDefaults = absentByFile.values.exists(_.nonEmpty)
     def applyDefaults(df: DataFrame): DataFrame =
       if (!needDefaults) df
-      else {
-        import spark.implicits._
-        val flagDf = absentByFile.toSeq
-          .map { case (f, absent) => (f, defaults.map(d => absent(d._1)).toArray) }
-          .toDF("__g_fp", "__g_absent")
-        val joined = df.join(broadcast(flagDf), Seq("__g_fp"), "left")
-        defaults.zipWithIndex.foldLeft(joined) { case (d0, ((name, dcol), i)) =>
-          d0.withColumn(name,
-            when(col("__g_absent").getItem(i), dcol).otherwise(col(name)))
-        }.drop("__g_absent")
-      }
+      else applyDefaultFill(df, defaults, absentByFile)
     if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty) {
       val plain = scanOf(data)
       return if (!needDefaults) plain

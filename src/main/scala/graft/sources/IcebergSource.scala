@@ -338,7 +338,12 @@ final class IcebergStreamSource(spark: SparkSession, path: String,
         }
         if (added.isEmpty) emptyBatch()
         else GraftPlanApi.markFileRelationsStreaming(
-          spark.read.schema(schema).parquet(added.map(files): _*))
+          // default-aware (r14 review): a v3 initial-default table's
+          // incremental batch must serve the SAME values a batch read
+          // of those files would — the fill's broadcast side stays
+          // static, so the join plans stream-static
+          IcebergRead.scanFilesWithDefaults(spark, path, meta,
+            added.map(files)))
     }
   }
 

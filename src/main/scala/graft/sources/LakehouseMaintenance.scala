@@ -154,8 +154,7 @@ object DeltaMaintenance {
     val f = fs(spark, tablePath)
     if (!f.exists(logDir))
       throw new IllegalArgumentException(s"no _delta_log at $tablePath")
-    def normKey(p: String): String =
-      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+    def normKey(p: String): String = PathKeys.normKey(p)
     // every DV referenced by a visible action file: the checkpoint's
     // adds (via replay pinned at the checkpoint version) + every add
     // in every still-present commit JSON — liveness is irrelevant, a
@@ -209,8 +208,7 @@ object IcebergMaintenance {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def normKey(p: String): String =
-    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+  private def normKey(p: String): String = PathKeys.normKey(p)
 
   /** The metadata's snapshot table: id, sequence number, timestamp,
     * summary operation, manifest-list path — `SELECT * FROM

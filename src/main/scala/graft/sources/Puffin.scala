@@ -143,7 +143,10 @@ object Puffin {
       var l = base
       if (base == 15) {
         var b = 0
-        do { b = src(i) & 0xff; i += 1; l += b } while (b == 255)
+        do {
+          require(i < src.length, "lz4 length extension past block end")
+          b = src(i) & 0xff; i += 1; l += b
+        } while (b == 255)
       }
       l
     }
@@ -154,6 +157,8 @@ object Puffin {
       ensure(litLen)
       System.arraycopy(src, i, out, oLen, litLen); i += litLen; oLen += litLen
       if (i < src.length) { // the LAST sequence is literals-only
+        require(i + 2 <= src.length,
+          "lz4 block truncated inside a match offset")
         val offset = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8); i += 2
         require(offset > 0 && offset <= oLen,
           s"lz4 match offset $offset out of range at $oLen")

@@ -50,7 +50,7 @@ object GraftPlanApi {
   def markFileRelationsStreaming(df: DataFrame, onlyRoots: Set[String]): DataFrame = {
     // scheme-normalized match: FileIndex root paths come back qualified
     // (file:/…) while callers hold raw or differently-rendered URIs
-    def norm(s: String) = s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+    def norm(s: String) = graft.sources.PathKeys.normKey(s)
     val roots = onlyRoots.map(norm)
     val plan = df.queryExecution.analyzed.transform {
       case lr: execution.datasources.LogicalRelation

@@ -1917,4 +1917,58 @@ class StreamingSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](src2.getBatch(None, legacy))
     assert(e2.getMessage.contains("unreconstructable"), e2.getMessage)
   }
+
+  test("iceberg stream source: incremental batches fill v3 initial-defaults like batch reads") {
+    // r14 review close: the incremental branch used to scan added
+    // files raw, serving nulls where a batch read of the same snapshot
+    // serves the declared default
+    import graft.sources.{IcebergRead, IcebergStreamSource}
+    import graft.sources.IcebergRead.EntryInfo
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("istream_def").toFile.getAbsolutePath + "/t"
+    val data = Files.createTempDirectory("istream_def_d").toFile.getAbsolutePath
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$data/$name")
+      new java.io.File(s"$data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    import spark.implicits._
+    val newSchema = StructType(Seq(
+      StructField("k", LongType), StructField("tag", StringType)))
+    val f1 = stage("f1", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "one")), 1), newSchema))
+    val m1 = IcebergRead.Fixture.manifest(dir, "m1.avro", Seq((1, f1, 0)))
+    val l1 = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m1))
+    val fields = Seq((1, "k", true, "long"), (2, "tag", false, "string"))
+    val dflts = Map("tag" -> "\"legacy\"")
+    IcebergRead.Fixture.metadataMulti(dir, 1, 3, currentSnapshotId = 1L,
+      snapshots = Seq((1L, l1)), fields = fields, fieldDefaults = dflts)
+    val cp = ckpt()
+    def runOnce(): Seq[Row] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = spark.readStream.format("graft-iceberg").load(dir)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.collect() }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(); got.toSeq
+    }
+    assert(runOnce().map(r => (r.getLong(0), r.getString(1))) == Seq((1L, "one")))
+    // S2 appends an OLD-SCHEMA file (no `tag` column): the increment
+    // must serve the default, exactly like a batch read would
+    val f2 = stage("f2", Seq(2L, 3L).toDF("k"))
+    val m2 = IcebergRead.Fixture.manifest(dir, "m2.avro", Seq((1, f2, 0)))
+    val l2 = IcebergRead.Fixture.manifestList(dir, "snap-2.avro", Seq(m1, m2))
+    IcebergRead.Fixture.metadataMulti(dir, 2, 3, currentSnapshotId = 2L,
+      snapshots = Seq((1L, l1), (2L, l2)), fields = fields, fieldDefaults = dflts)
+    val run2 = runOnce().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(run2 == Set((2L, "legacy"), (3L, "legacy")),
+      s"the increment must fill initial-defaults: $run2")
+    assert(IcebergRead.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "one"), (2L, "legacy"), (3L, "legacy")),
+      "stream ≡ batch on the same snapshot")
+  }
 }
