@@ -3777,11 +3777,11 @@ class SourcesSpec extends SparkSpec {
     new java.io.File(ddir2).mkdirs()
     java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(s"$ddir2/f1.parquet"))
     writeDeltaCommit(ddir2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"],"writerFeatures":["collations"]}}""",
       s"""{"metaData":{"id":"varfix2","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     val eTw = intercept[UnsupportedOperationException](DeltaRead.read(spark, ddir2))
-    assert(eTw.getMessage.contains("typeWidening"), eTw.getMessage)
+    assert(eTw.getMessage.contains("collations"), eTw.getMessage)
     // --- Iceberg v3: variant field type
     val idir = Files.createTempDirectory("var_i").toFile.getAbsolutePath
     val dataF = Files.createTempDirectory("var_if").toFile.getAbsolutePath + "/f1.parquet"
