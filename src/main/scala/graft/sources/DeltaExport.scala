@@ -672,6 +672,25 @@ object DeltaExport {
           "appendForeign writes name-mode physical names only")
   }
 
+  /** NOT NULL is a writer obligation the spec requires every appender
+    * to enforce. Top-level non-nullable columns are validated with one
+    * aggregate over the frame ([[appendForeign]]); non-nullable fields
+    * NESTED under structs/arrays/maps cannot be validated that cheaply,
+    * so their presence declines by name — same stance as invariants. */
+  private def nestedNonNullable(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        s.fields.exists(f => !f.nullable || nestedNonNullable(f.dataType))
+      case a: ArrayType => !a.containsNull || nestedNonNullable(a.elementType)
+      case m: MapType =>
+        !m.valueContainsNull || nestedNonNullable(m.keyType) ||
+          nestedNonNullable(m.valueType)
+      case _ => false
+    }
+  }
+
   /** Structural schema equality: names + types, nullability and
     * metadata ignored (metadata carries mapping/statistics hints the
     * caller's frame legitimately lacks). */
@@ -748,6 +767,15 @@ object DeltaExport {
       throw new UnsupportedOperationException(
         s"appendForeign frame schema ${df.schema.simpleString} does not " +
           s"match the table's ${schema.simpleString} at $targetPath")
+    // NOT NULL enforcement (the spec's writer obligation): nested
+    // non-nullable fields decline by name; top-level ones are asserted
+    // below with one aggregate pass over the (persisted) frame.
+    schema.fields.filter(f => nestedNonNullable(f.dataType)).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"column ${f.name} of $targetPath carries nested non-nullable " +
+          "fields; appendForeign validates top-level NOT NULL only")
+    }
+    val notNullCols = schema.fields.filter(!_.nullable).map(_.name).toSeq
     val parts = st0.partitionCols
     val colMap = DeltaRead.colMapOf(targetPath, st0)
     def physOf(c: String) = colMap.getOrElse(c, c)
@@ -763,10 +791,10 @@ object DeltaExport {
     val staging = s"$targetPath/_graft_staging_$uuid"
     val conf = spark.sessionState.newHadoopConf()
     val fsys = new Path(targetPath).getFileSystem(conf)
-    def publish(src: Path, destName: String,
+    def publish(staged: Path, destName: String,
         pv: Map[String, String]): String = {
       val dest = new Path(targetPath, destName)
-      if (!fsys.rename(src, dest)) throw new java.io.IOException(
+      if (!fsys.rename(staged, dest)) throw new java.io.IOException(
         s"staging publish failed for $dest")
       val stt = fsys.getFileStatus(dest)
       val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -779,10 +807,30 @@ object DeltaExport {
         s""""size":${stt.getLen},"modificationTime":${stt.getModificationTime},""" +
         s""""dataChange":true${statsFragment(conf, dest.toString)}}}"""
     }
+    // Persist when any pass beyond the write itself reads the frame
+    // (the NOT NULL aggregate; the partition-tuple collect). Without
+    // it a nondeterministic input (rand(), re-evaluated shuffle) can
+    // re-evaluate differently between passes — tuples absent from the
+    // collected map would silently drop rows from the commit.
+    val multiPass = notNullCols.nonEmpty || parts.nonEmpty
+    val src = if (multiPass)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
     val adds = Seq.newBuilder[String]
     try {
+      if (notNullCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{count, when => sqlWhen, lit}
+        val counts = src.select(notNullCols.map(c =>
+          count(sqlWhen(col(c).isNull, lit(1))).as(c)): _*).collect()(0)
+        val violated = notNullCols.zipWithIndex
+          .collect { case (c, i) if counts.getLong(i) > 0 =>
+            s"$c (${counts.getLong(i)} nulls)" }
+        if (violated.nonEmpty) throw new IllegalArgumentException(
+          s"appendForeign frame carries nulls in NOT NULL column(s) of " +
+            s"$targetPath: ${violated.mkString(", ")}")
+      }
       if (parts.isEmpty) {
-        df.select(dataSel: _*).write.mode("overwrite").parquet(staging)
+        src.select(dataSel: _*).write.mode("overwrite").parquet(staging)
         fsys.listStatus(new Path(staging)).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, i) =>
@@ -792,7 +840,7 @@ object DeltaExport {
         // identity partitioning: one broadcast tuple→index map keyed
         // null-safely, ONE distributed partitionBy write (no per-tuple
         // jobs), index dirs decode exactly (no path-unescape guesswork)
-        val tuples = df.select(parts.map(col): _*).distinct().collect()
+        val tuples = src.select(parts.map(col): _*).distinct().collect()
         val idxSchema = StructType(
           parts.map(p => schema(p).copy(nullable = true)) :+
             StructField("__gp", IntegerType, nullable = false))
@@ -801,9 +849,20 @@ object DeltaExport {
           tuples.zipWithIndex.map { case (r, i) =>
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
           }.toSeq.asJava, idxSchema)
-        val joined = df.as("l").join(broadcast(idxDf.as("r")),
-          parts.map(p => col(s"l.$p") <=> col(s"r.$p")).reduce(_ && _))
-        joined.select(dataSel.map(c => c) :+ col("r.__gp"): _*)
+        // LEFT join + loud assert: with `src` persisted the tuple map
+        // is consistent by construction, but if the cache is evicted
+        // and a nondeterministic input re-evaluates, a row whose tuple
+        // is absent from the map must FAIL the job, not silently drop.
+        val joined = src.as("l").join(broadcast(idxDf.as("r")),
+          parts.map(p => col(s"l.$p") <=> col(s"r.$p")).reduce(_ && _),
+          "left")
+        import org.apache.spark.sql.functions.{assert_true, lit, when => sqlWhen}
+        val gpGuarded = sqlWhen(
+          assert_true(col("r.__gp").isNotNull,
+            lit("appendForeign: row's partition tuple is absent from the " +
+              "collected map — nondeterministic input re-evaluated?")).isNull,
+          col("r.__gp")).as("__gp")
+        joined.select(dataSel.map(c => c) :+ gpGuarded: _*)
           .write.partitionBy("__gp").mode("overwrite").parquet(staging)
         tuples.zipWithIndex.foreach { case (r, i) =>
           val dir = new Path(staging, s"__gp=$i")
@@ -819,7 +878,10 @@ object DeltaExport {
           }
         }
       }
-    } finally fsys.delete(new Path(staging), true): Unit
+    } finally {
+      if (multiPass) src.unpersist(): Unit
+      fsys.delete(new Path(staging), true): Unit
+    }
     val data = adds.result()
     // OCC commit: the data files are final; only the JSON number races
     var attempt = 0

@@ -762,6 +762,19 @@ object IcebergExport {
       (i + 1, f.name, !f.nullable, icebergType(f.dataType))
     }
 
+  /** Staging publishes through local java.io/NIO; a non-local table
+    * (hdfs://, s3a://) would see bogus relative local paths — decline
+    * by name BEFORE any file is touched, the same stance
+    * [[LakehouseMaintenance.expireSnapshots]] takes (r14 ADVICE). */
+  private[sources] def requireLocalScheme(tablePath: String, op: String): Unit = {
+    Option(new Path(tablePath).toUri.getScheme) match {
+      case None | Some("file") => ()
+      case Some(other) => throw new UnsupportedOperationException(
+        s"$op stages files through local NIO; a table on scheme " +
+          s"'$other' is unsupported")
+    }
+  }
+
   /** Write Iceberg metadata at `targetPath` exposing
     * `sourcePath`@`version` (default latest). Returns the number of
     * data files published. */
@@ -981,6 +994,7 @@ object IcebergExport {
     * manifests are reused by reference. */
   def appendEqualityDeletes(spark: SparkSession, targetPath: String,
       keys: org.apache.spark.sql.DataFrame): Long = {
+    requireLocalScheme(targetPath, "appendEqualityDeletes")
     val meta = IcebergRead.currentMetadata(spark, targetPath)
     val srcV = Option(meta.get("properties"))
       .flatMap(p => Option(p.get("graft.source-version"))).map(_.asText().toLong)

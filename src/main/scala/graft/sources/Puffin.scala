@@ -105,10 +105,14 @@ object Puffin {
     val hasContentSize = (flg & 0x08) != 0
     val contentChecksum = (flg & 0x04) != 0
     val expected = if (hasContentSize) Some(buf.getLong) else None
+    // Footer payloads are small; a declared size that cannot fit a JVM
+    // array is unsupported by name, not an Int-truncated ctor argument.
+    expected.foreach(e => require(e >= 0 && e <= Int.MaxValue - 8,
+      s"lz4 declared content size $e exceeds supported range"))
     if ((flg & 0x01) != 0) buf.getInt // dictionary id
     buf.get() // header checksum byte
     val out = new java.io.ByteArrayOutputStream(
-      expected.map(_.toInt).getOrElse(data.length * 4))
+      expected.map(_.toInt).getOrElse(math.max(64, data.length * 4)))
     var done = false
     while (!done) {
       val bsize = buf.getInt
@@ -140,15 +144,20 @@ object Puffin {
       if (oLen + n > out.length)
         out = java.util.Arrays.copyOf(out, math.max(out.length * 2, oLen + n))
     def readLen(base: Int): Int = {
-      var l = base
+      var l = base.toLong
       if (base == 15) {
         var b = 0
         do {
           require(i < src.length, "lz4 length extension past block end")
           b = src(i) & 0xff; i += 1; l += b
+          // An adversarial run of 0xff extensions could walk a Long past
+          // Int range long before the literal/match copy would fail —
+          // bound it explicitly instead of overflowing.
+          require(l <= Int.MaxValue - 8,
+            s"lz4 length extension overflows supported range ($l)")
         } while (b == 255)
       }
-      l
+      l.toInt
     }
     while (i < src.length) {
       val token = src(i) & 0xff; i += 1

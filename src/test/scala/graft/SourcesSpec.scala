@@ -4170,4 +4170,91 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaRead.read(spark, dirR).select("id").as[Long].collect().toSet ==
       Set(0L, 100L, 200L, 300L, 400L), "no concurrent append may be lost")
   }
+
+  test("delta foreign append: NOT NULL columns are enforced, nested non-nullable declines") {
+    // r14 ADVICE: the spec makes NOT NULL a writer obligation — an
+    // appender that cannot validate it must not commit past it. Top
+    // level validates with one aggregate; nested declines by name.
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dforeign_nn").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", Seq((1L, 10L)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"fnn","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val withNull = Seq((Some(2L), Some(20L)), (None, Some(30L)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendForeign(spark, withNull, dir))
+    assert(e.getMessage.contains("NOT NULL") && e.getMessage.contains("id"),
+      e.getMessage)
+    assert(DeltaRead.read(spark, dir).count() == 1,
+      "a rejected append must not commit")
+    DeltaExport.appendForeign(spark, Seq((2L, 20L)).toDF("id", "v"), dir)
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L), "null-free appends into NOT NULL columns land")
+    // nested non-nullable: validation would need per-field traversal —
+    // decline by name, the invariants stance
+    val dirN = Files.createTempDirectory("dforeign_nest").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirN).mkdirs()
+    writeDeltaPart(dirN, "f1.parquet", Seq((1L, 10L)))
+    val nested = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = false))), nullable = true)))
+    val escN = nested.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dirN, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"fnest","format":{"provider":"parquet","options":{}},"schemaString":"$escN","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val frame = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](), nested)
+    val eN = intercept[UnsupportedOperationException](
+      DeltaExport.appendForeign(spark, frame, dirN))
+    assert(eN.getMessage.contains("nested non-nullable"), eN.getMessage)
+  }
+
+  test("puffin lz4 and iceberg staging guards fail loudly, not obscurely") {
+    // r14 ADVICE: a declared lz4 content size past Int range must name
+    // the unsupported size, not overflow into a negative-ctor error;
+    // length extensions are bounded; non-local equality-delete targets
+    // decline by scheme before any file is touched
+    import graft.sources.{IcebergExport, Puffin}
+    import spark.implicits._
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x184d2204)
+    bb.put(((1 << 6) | 0x08).toByte) // version 1 + content-size flag
+    bb.put(0x40.toByte)              // BD
+    bb.putLong(Long.MaxValue)        // absurd declared content size
+    bb.put(0.toByte)                 // header checksum (unverified)
+    bb.putInt(0)                     // end mark
+    val eSize = intercept[IllegalArgumentException](
+      Puffin.lz4FrameDecompress(java.util.Arrays.copyOf(bb.array(), bb.position())))
+    assert(eSize.getMessage.contains("exceeds supported range"), eSize.getMessage)
+    // a run of 0xff length extensions walks the literal length past Int
+    // range long before any copy — the bound must trip first
+    val block = Array[Byte](0xf0.toByte) ++
+      Array.fill(9 * 1024 * 1024)(0xff.toByte) // 9M × 255 ≫ Int.MaxValue
+    bb.clear()
+    bb.putInt(0x184d2204); bb.put((1 << 6).toByte); bb.put(0x40.toByte)
+    bb.put(0.toByte)
+    val head = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val sized = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(block.length).array()
+    val eLen = intercept[IllegalArgumentException](
+      Puffin.lz4FrameDecompress(head ++ sized ++ block ++ Array.fill(4)(0.toByte)))
+    assert(eLen.getMessage.contains("overflows supported range"), eLen.getMessage)
+    val eScheme = intercept[UnsupportedOperationException](
+      IcebergExport.appendEqualityDeletes(spark, "s3a://bucket/t",
+        Seq(1L).toDF("k")))
+    assert(eScheme.getMessage.contains("s3a"), eScheme.getMessage)
+  }
 }
