@@ -227,11 +227,12 @@ object IcebergExport {
     * metadata JSON and into every manifest's Avro key-value metadata
     * (the spec requires each manifest to carry the schema it was
     * written under). */
-  private def schemaJson(fields: Seq[(Int, String, Boolean, String)]): String = {
+  private def schemaJson(fields: Seq[(Int, String, Boolean, String)],
+      schemaId: Int = 0): String = {
     val fjson = fields.map { case (id, n, req, t) =>
       s"""{"id":$id,"name":"$n","required":$req,"type":"$t"}"""
     }.mkString(",")
-    s"""{"type":"struct","schema-id":0,"fields":[$fjson]}"""
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[$fjson]}"""
   }
 
   /** The spec's name-mapping property value, JSON-escaped for embedding:
@@ -385,7 +386,8 @@ object IcebergExport {
       seqNum: Long, files: Seq[NewFile],
       fields: Seq[(Int, String, Boolean, String)], content: Int = 0,
       partCols: Seq[PartCol] = Nil, specId: Int = 0,
-      v3: Boolean = false, firstRowBase: Option[Long] = None): ManifestRef = {
+      v3: Boolean = false, firstRowBase: Option[Long] = None,
+      schemaId: Int = 0): ManifestRef = {
     val entrySchema = manifestEntrySchema(partCols, v3)
     val dfSchema = entrySchema.getField("data_file").schema()
     val f = new java.io.File(s"$dir/metadata/$name")
@@ -395,8 +397,8 @@ object IcebergExport {
     w.setMeta("content", if (content == 0) "data" else "deletes")
     // key-value metadata the spec REQUIRES of every manifest (r11
     // ADVICE close — external engines reject manifests without them)
-    w.setMeta("schema", schemaJson(fields))
-    w.setMeta("schema-id", "0")
+    w.setMeta("schema", schemaJson(fields, schemaId))
+    w.setMeta("schema-id", schemaId.toString)
     w.setMeta("partition-spec", partSpecFieldsJson(partCols))
     w.setMeta("partition-spec-id", specId.toString)
     w.create(entrySchema, f)
@@ -472,7 +474,17 @@ object IcebergExport {
     w.create(s, f)
     prior.foreach { old =>
       val r = new GenericData.Record(s)
-      s.getFields.forEach(fd => r.put(fd.name(), old.get(fd.name())))
+      s.getFields.forEach { fd =>
+        val v = old.get(fd.name())
+        // a foreign prior list missing a spec-REQUIRED field (our
+        // non-union fields) cannot be carried forward with a guessed
+        // value — sequence numbers drive merge-on-read ordering
+        if (v == null && fd.schema().getType != Schema.Type.UNION)
+          throw new UnsupportedOperationException(
+            s"prior manifest-list entry lacks required field ${fd.name()}; " +
+              "cannot carry it forward into a new snapshot")
+        r.put(fd.name(), v)
+      }
       w.append(r)
     }
     newManifests.foreach { m =>
@@ -775,6 +787,361 @@ object IcebergExport {
     }
   }
 
+  // ------------------------------------------- foreign write-back (r15)
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Fields of the table's CURRENT schema with their REAL ids — the
+    * foreign-table counterpart of [[fieldsOf]]: graft exports assign
+    * ids positionally, but an externally-created table's ids are
+    * whatever its schema history produced, gaps included, and every
+    * manifest/bounds/equality reference must use THOSE. Flat
+    * interchange types only; a nested column declines by name. */
+  private[sources] def fieldsOfMeta(meta: JsonNode): Seq[(Int, String, Boolean, String)] = {
+    val schemas = Option(meta.get("schemas")).getOrElse(
+      throw new UnsupportedOperationException(
+        "table metadata carries no schemas list; foreign writes need the " +
+          "v2+ metadata serialization"))
+    val want = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val node = (0 until schemas.size()).map(schemas.get)
+      .find(s => Option(s.get("schema-id")).forall(_.asInt() == want))
+      .getOrElse(throw new IllegalStateException(
+        s"current-schema-id $want is not in the schemas list"))
+    val fs = node.get("fields")
+    (0 until fs.size()).map(fs.get).map { f =>
+      val t = f.get("type")
+      if (!t.isTextual) throw new UnsupportedOperationException(
+        s"column ${f.get("name").asText()} carries a nested type; " +
+          "foreign writes cover the flat interchange set")
+      (f.get("id").asInt(), f.get("name").asText(),
+        Option(f.get("required")).exists(_.asBoolean()), t.asText())
+    }
+  }
+
+  /** Snapshots parsed from metadata JSON. Foreign chains may omit
+    * optional fields (sequence numbers, timestamps) — default 0, the
+    * spec's v1-compatibility reading. */
+  private def snapsOfMeta(meta: JsonNode): Seq[Snap] = {
+    val arr = Option(meta.get("snapshots")).getOrElse(return Nil)
+    (0 until arr.size()).map { i =>
+      val s = arr.get(i)
+      Snap(s.get("snapshot-id").asLong(),
+        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+        s.get("manifest-list").asText(),
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).getOrElse("append"),
+        firstRowId = Option(s.get("first-row-id")).map(_.asLong()))
+    }
+  }
+
+  /** The table's NEWEST metadata file by numeric version, read fresh —
+    * the OCC base. Deliberately ignores `version-hint.text` for the
+    * version CHOICE (the hint is written after the CREATE_NEW, so a
+    * crashed writer can leave it stale; the numeric max cannot go
+    * backwards). Returns (version number, parsed JSON). */
+  private def foreignBase(targetPath: String): (Int, JsonNode) = {
+    val dirF = new java.io.File(s"$targetPath/metadata")
+    val names = Option(dirF.list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".metadata.json"))
+    if (names.isEmpty) throw new IllegalArgumentException(
+      s"no *.metadata.json under $targetPath/metadata")
+    val best = names.map { n =>
+      ("""\d+""".r.findFirstIn(n).map(_.toLong).getOrElse(-1L), n)
+    }.max
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$targetPath/metadata/${best._2}")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (best._1.toInt, jsonMapper.readTree(text))
+  }
+
+  /** Publish metadata v`metaV` of a FOREIGN table by deep-copying the
+    * current JSON and appending ONE snapshot — every property, schema,
+    * spec, sort order, and ref the external writer recorded survives
+    * verbatim (rebuilding the graft shape would clobber them). The
+    * CREATE_NEW write IS the put-if-absent OCC: two writers racing the
+    * same version number → exactly one wins; the loser re-reads and
+    * retries. `ensureEmptySpec` adds an empty partition spec (for a
+    * global delete manifest) when the table doesn't already carry one;
+    * returns nothing — the caller resolved the id via
+    * [[emptySpecIdOf]] against the SAME base metadata. */
+  private def commitForeignMeta(targetPath: String, meta: JsonNode, metaV: Int,
+      snapId: Long, seqNum: Long, manifestList: String, operation: String,
+      firstRowId: Option[Long], nextRowId: Option[Long],
+      ensureEmptySpec: Option[Int] = None): Unit = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val ts = System.currentTimeMillis()
+    val root = meta.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val sn = root.withArray("snapshots").addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seqNum)
+    sn.put("timestamp-ms", ts)
+    sn.put("manifest-list", manifestList)
+    sn.putObject("summary").put("operation", operation)
+    firstRowId.foreach(r => sn.put("first-row-id", r))
+    Option(root.get("current-schema-id")).foreach(id =>
+      sn.put("schema-id", id.asInt()))
+    root.put("current-snapshot-id", snapId)
+    root.put("last-sequence-number", seqNum)
+    root.put("last-updated-ms", ts)
+    nextRowId.foreach(n => root.put("next-row-id", n))
+    Option(root.get("refs")).collect { case o: ObjectNode => o }.foreach { refs =>
+      Option(refs.get("main")).collect { case m: ObjectNode => m }
+        .foreach(_.put("snapshot-id", snapId))
+    }
+    if (root.has("snapshot-log")) {
+      val e = root.withArray("snapshot-log").addObject()
+      e.put("timestamp-ms", ts); e.put("snapshot-id", snapId): Unit
+    }
+    ensureEmptySpec.foreach { id =>
+      val specs = root.withArray("partition-specs")
+      val present = (0 until specs.size()).map(specs.get)
+        .exists(s => s.get("spec-id").asInt() == id)
+      if (!present) {
+        val sp = specs.addObject()
+        sp.put("spec-id", id)
+        sp.putArray("fields"): Unit
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$targetPath/metadata/v$metaV.metadata.json"),
+      jsonMapper.writeValueAsBytes(root),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // the hint is advisory but must stay MONOTONIC under concurrent
+    // winners: a slower writer naively stamping its own (lower) number
+    // would point readers at a stale version. Converge on the dir's
+    // numeric max — each writer's last action re-checks, so the final
+    // global write can never leave the hint below the max.
+    val hintP = java.nio.file.Paths.get(s"$targetPath/metadata/version-hint.text")
+    var settled = false
+    while (!settled) {
+      val maxV = Option(new java.io.File(s"$targetPath/metadata").list())
+        .getOrElse(Array.empty[String]).filter(_.endsWith(".metadata.json"))
+        .flatMap(n => """\d+""".r.findFirstIn(n).map(_.toLong))
+        .foldLeft(metaV.toLong)(math.max)
+      val cur = try new String(java.nio.file.Files.readAllBytes(hintP)).trim.toLong
+        catch { case _: Exception => -1L }
+      if (cur >= maxV) settled = true
+      else java.nio.file.Files.writeString(hintP, maxV.toString): Unit
+    }
+  }
+
+  /** The spec id a GLOBAL (empty-partition) delete manifest should
+    * reference in this table: an existing empty spec's id when the
+    * table carries one, else the next free id (the commit then
+    * publishes the new empty spec — writers may add specs). */
+  private def emptySpecIdOf(meta: JsonNode): Int = {
+    val specs = Option(meta.get("partition-specs")).getOrElse(return 0)
+    val parsed = (0 until specs.size()).map(specs.get)
+    parsed.find(s => Option(s.get("fields")).forall(_.size() == 0))
+      .map(_.get("spec-id").asInt())
+      .getOrElse(parsed.map(_.get("spec-id").asInt()).max + 1)
+  }
+
+  /** APPEND `df` into ANY Iceberg table — including tables this
+    * engine did not create (r14 verdict #1, the asymmetric half of
+    * [[DeltaExport.appendForeign]]): stage the rows as new parquet
+    * data files under the table root (columns tagged with the
+    * table's REAL field ids, partition-pure per its identity spec),
+    * write one ADDED manifest plus a manifest list carrying the
+    * current snapshot's manifests forward by reference, and publish
+    * the next metadata version by MUTATING the current JSON —
+    * properties, schema ids, specs, sort orders, refs all survive
+    * verbatim — under a put-if-absent CREATE_NEW with bounded OCC
+    * retry (re-validating schema and spec against the re-read state).
+    *
+    * Loud-or-exact scope: format-version 2 or 3 only (v1 manifests
+    * speak a different entry shape); the frame's schema must match
+    * the table's current schema by name and type; `required` columns
+    * are validated null-free with one aggregate (the spec's writer
+    * obligation); identity partition specs over long/int/string only
+    * — transforms decline by name in [[partColsOfMeta]]; a v3 table
+    * must carry `next-row-id` (row lineage is maintained: per-file
+    * `first_row_id`, manifest-list `first_row_id`, snapshot
+    * `first-row-id`, bumped `next-row-id`).
+    *
+    * Scale: one distributed write of `df` plus O(new files) driver
+    * footer reads; the conflict window is one CREATE_NEW, independent
+    * of data size. Returns the new snapshot id. */
+  def appendForeign(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      targetPath: String, maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{assert_true, broadcast, col, count, lit, when => sqlWhen}
+    requireLocalScheme(targetPath, "appendForeign")
+    val (v0, meta0) = foreignBase(targetPath)
+    val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fv != 2 && fv != 3) throw new UnsupportedOperationException(
+      s"iceberg table at $targetPath is format-version $fv; foreign writes " +
+        "speak versions 2 and 3")
+    val v3 = fv == 3
+    val fields = fieldsOfMeta(meta0)
+    val partCols = partColsOfMeta(meta0, fields)
+    partCols.foreach { pc =>
+      if (!Set("long", "int", "string").contains(pc.icebergType))
+        throw new UnsupportedOperationException(
+          s"partition column ${pc.name} has type ${pc.icebergType}; foreign " +
+            "appends cover identity specs over long, int, and string")
+    }
+    if (v3 && !meta0.has("next-row-id")) throw new UnsupportedOperationException(
+      s"format-version-3 table at $targetPath carries no next-row-id; " +
+        "v3 requires row lineage — cannot assign row ids")
+    // schema check by NAME + type; ids belong to the table
+    val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def matches(n: String, t: String): Boolean = dfTypes.get(n).exists { dt =>
+      try icebergType(dt) == t
+      catch { case _: UnsupportedOperationException => false }
+    }
+    if (df.schema.size != fields.size ||
+        fields.exists { case (_, n, _, t) => !matches(n, t) })
+      throw new UnsupportedOperationException(
+        s"appendForeign frame schema ${df.schema.simpleString} does not " +
+          s"match the table schema (${fields.map(f => s"${f._2}: ${f._4}")
+            .mkString(", ")}) at $targetPath")
+    val requiredCols = fields.filter(_._3).map(_._2)
+    // persist when any pass beyond the write reads the frame — same
+    // nondeterminism stance as the Delta twin
+    val multiPass = requiredCols.nonEmpty || partCols.nonEmpty
+    val src = if (multiPass)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val stage = s"$targetPath/_graft_staging_$uuid"
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new Path(targetPath).getFileSystem(conf)
+    val sel = fields.map { case (id, n, _, _) =>
+      col(n).as(n, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build())
+    }
+    def publish(staged: Path, destName: String): String = {
+      val dest = new Path(s"$targetPath/data", destName)
+      fsys.mkdirs(dest.getParent)
+      if (!fsys.rename(staged, dest)) throw new java.io.IOException(
+        s"staging publish failed for $dest")
+      dest.toUri.getPath
+    }
+    val stagedPaths = Seq.newBuilder[String]
+    try {
+      if (requiredCols.nonEmpty) {
+        val counts = src.select(requiredCols.map(c =>
+          count(sqlWhen(col(c).isNull, lit(1))).as(c)): _*).collect()(0)
+        val violated = requiredCols.zipWithIndex
+          .collect { case (c, i) if counts.getLong(i) > 0 =>
+            s"$c (${counts.getLong(i)} nulls)" }
+        if (violated.nonEmpty) throw new IllegalArgumentException(
+          s"appendForeign frame carries nulls in required column(s) of " +
+            s"$targetPath: ${violated.mkString(", ")}")
+      }
+      if (partCols.isEmpty) {
+        src.select(sel: _*).write.mode("overwrite").parquet(stage)
+        fsys.listStatus(new Path(stage)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, i) =>
+            stagedPaths += publish(s.getPath, s"gf-$uuid-$i.parquet")
+          }
+      } else {
+        // identity partitioning: the same broadcast tuple→index map +
+        // ONE partitionBy("__gp") write as the Delta twin; the real
+        // partition columns STAY in the data files (the shape engines
+        // write), and [[describeFiles]] re-derives each file's tuple
+        // from footer stats with the purity check
+        val tuples = src.select(partCols.map(pc => col(pc.name)): _*)
+          .distinct().collect()
+        if (tuples.exists(r => (0 until r.size).exists(r.isNullAt)))
+          throw new UnsupportedOperationException(
+            s"null partition values at $targetPath are outside this " +
+              "writer's identity set")
+        val idxSchema = StructType(
+          partCols.map(pc => StructField(pc.name,
+            df.schema(pc.name).dataType, nullable = true)) :+
+            StructField("__gp", IntegerType, nullable = false))
+        import scala.jdk.CollectionConverters._
+        val idxDf = spark.createDataFrame(
+          tuples.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          }.toSeq.asJava, idxSchema)
+        val joined = src.as("l").join(broadcast(idxDf.as("r")),
+          partCols.map(pc => col(s"l.${pc.name}") <=> col(s"r.${pc.name}"))
+            .reduce(_ && _), "left")
+        val gpGuarded = sqlWhen(
+          assert_true(col("r.__gp").isNotNull,
+            lit("appendForeign: row's partition tuple is absent from the " +
+              "collected map — nondeterministic input re-evaluated?")).isNull,
+          col("r.__gp")).as("__gp")
+        // the join leaves partition-column names on BOTH sides — the
+        // data projection must bind the LEFT (data) occurrences
+        val selL = fields.map { case (id, n, _, _) =>
+          col(s"l.$n").as(n, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        }
+        joined.select(selL :+ gpGuarded: _*)
+          .write.partitionBy("__gp").mode("overwrite").parquet(stage)
+        tuples.indices.foreach { i =>
+          val dir = new Path(stage, s"__gp=$i")
+          if (fsys.exists(dir))
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+                stagedPaths += publish(s.getPath, s"gf-$uuid-$i-$k.parquet")
+              }
+        }
+      }
+    } finally {
+      if (multiPass) src.unpersist(): Unit
+      fsys.delete(new Path(stage), true): Unit
+    }
+    val files = describeFiles(spark, stagedPaths.result(), partCols,
+      statFields = fields)
+    val addedRows = files.map(_.recordCount).sum
+    // OCC: the data files are final; manifests + list are cheap and
+    // rewritten per attempt (they embed the racing seq/snapshot ids)
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      val (baseV, meta) = if (attempt == 0) (v0, meta0) else foreignBase(targetPath)
+      if (attempt > 0 &&
+          (fieldsOfMeta(meta) != fields || partColsOfMeta(meta, fields) != partCols))
+        throw new IllegalStateException(
+          s"concurrent schema or spec change at $targetPath moved the table " +
+            "under this append; re-read and retry explicitly", lastErr)
+      val snaps = snapsOfMeta(meta)
+      val seqNum = math.max(
+        Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+        snaps.map(_.seqNum).foldLeft(0L)(math.max)) + 1
+      val taken = snaps.map(_.id).toSet
+      var snapId = (1L << 41) | seqNum
+      while (taken(snapId)) snapId += 1
+      val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+      if (v3 && rowBase.isEmpty) throw new IllegalStateException(
+        s"concurrent writer dropped next-row-id at $targetPath", lastErr)
+      val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      val schemaId = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      val mref = writeManifest(targetPath, f"mf-$uuid-a$attempt.avro", snapId,
+        seqNum, files, fields, partCols = partCols, specId = specId, v3 = v3,
+        firstRowBase = if (v3) rowBase else None, schemaId = schemaId)
+      val prior = Option(meta.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L).flatMap(id => snaps.find(_.id == id)) match {
+        case Some(s) => avroRecords(spark,
+          IcebergRead.resolve(targetPath, s.manifestList))
+        case None => Nil
+      }
+      val ml = writeManifestList(targetPath, f"snap-gf-$uuid-a$attempt.avro",
+        snapId, seqNum, prior, Seq(mref), v3 = v3)
+      try {
+        commitForeignMeta(targetPath, meta, baseV + 1, snapId, seqNum, ml,
+          "append",
+          firstRowId = if (v3) rowBase else None,
+          nextRowId = if (v3) rowBase.map(_ + addedRows) else None)
+        return snapId
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
+
   /** Write Iceberg metadata at `targetPath` exposing
     * `sourcePath`@`version` (default latest). Returns the number of
     * data files published. */
@@ -993,36 +1360,22 @@ object IcebergExport {
     * Scale: O(key rows) — one bounded parquet + one manifest; prior
     * manifests are reused by reference. */
   def appendEqualityDeletes(spark: SparkSession, targetPath: String,
-      keys: org.apache.spark.sql.DataFrame): Long = {
+      keys: org.apache.spark.sql.DataFrame, maxRetries: Int = 3): Long = {
     requireLocalScheme(targetPath, "appendEqualityDeletes")
-    val meta = IcebergRead.currentMetadata(spark, targetPath)
-    val srcV = Option(meta.get("properties"))
-      .flatMap(p => Option(p.get("graft.source-version"))).map(_.asText().toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"the Iceberg table at $targetPath was not produced by IcebergExport " +
-          "(no graft.source-version property); equality-delete publish " +
-          "follows graft exports"))
-    val metaV = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$targetPath/metadata/version-hint.text"))).trim.toInt
-    val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+    val (v0, meta0) = foreignBase(targetPath)
+    val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fv != 2 && fv != 3) throw new UnsupportedOperationException(
+      s"iceberg table at $targetPath is format-version $fv; foreign writes " +
+        "speak versions 2 and 3")
     val v3 = fv == 3
-    val fields = fieldsOf(IcebergRead.schemaOf(meta))
-    val partCols = partColsOfMeta(meta, fields)
-    val priorSnaps = {
-      val arr = meta.get("snapshots")
-      (0 until arr.size()).map { i =>
-        val s = arr.get(i)
-        Snap(s.get("snapshot-id").asLong(), s.get("sequence-number").asLong(),
-          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
-          s.get("manifest-list").asText(),
-          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
-            .map(_.asText()).getOrElse("append"),
-          firstRowId = Option(s.get("first-row-id")).map(_.asLong()))
-      }
-    }
-    if (priorSnaps.isEmpty) throw new IllegalStateException(
-      s"no snapshots at $targetPath; export a snapshot first")
-    val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+    // field ids come from the table's OWN schema (r15: externally
+    // created tables carry non-positional ids; the graft.source-version
+    // requirement is lifted — graft exports pass through identically
+    // because their ids ARE positional)
+    val fields = fieldsOfMeta(meta0)
+    val partCols = partColsOfMeta(meta0, fields)
+    if (snapsOfMeta(meta0).isEmpty) throw new IllegalStateException(
+      s"no snapshots at $targetPath; export or append a snapshot first")
     val byName = fields.map(t => t._2 -> t).toMap
     require(keys.columns.nonEmpty, "equality delete needs at least one column")
     val eqIds = keys.columns.toSeq.map { c =>
@@ -1034,44 +1387,85 @@ object IcebergExport {
         s"equality column '$c' is ${f._4} in the table but $got in the keys")
       f._1
     }
-    val seqNum = priorSnaps.map(_.seqNum).max + 1
-    // OUT of the graft-version id space (snapshot/append stamp ids
-    // from graft versions): a later append must never collide with an
-    // equality-delete snapshot's id — high bit + the strictly-growing
-    // sequence number is unique within the table
-    val snapId = (1L << 40) | seqNum
     // the delete file carries the table FIELD IDS at every column so
-    // id-binding engines resolve it without name guessing
+    // id-binding engines resolve it without name guessing; staged ONCE
+    // (uuid-named — the snapshot id is chosen per OCC attempt)
     import org.apache.spark.sql.functions.col
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
     val withIds = keys.select(keys.columns.toSeq.map { c =>
       col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", byName(c)._1.toLong).build())
     }: _*).distinct()
-    val stage = s"$targetPath/deletes/.stage-eq-$snapId"
+    val stage = s"$targetPath/deletes/.stage-eq-$uuid"
     withIds.coalesce(1).write.mode("overwrite").parquet(stage)
     val part = new java.io.File(stage).listFiles()
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("equality stage wrote no part"))
-    val dst = new java.io.File(f"$targetPath/deletes/eq-$snapId%05d.parquet")
+    val dst = new java.io.File(s"$targetPath/deletes/eq-$uuid.parquet")
     dst.getParentFile.mkdirs()
     java.nio.file.Files.move(part.toPath, dst.toPath)
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
     }
     deleteRec(new java.io.File(stage))
-    val delSpecId = if (partCols.isEmpty) 0 else 1
     val delFiles = describeFiles(spark, Seq(dst.getAbsolutePath))
       .map(_.copy(equalityIds = eqIds))
-    val mref = writeManifest(targetPath, f"me-$snapId%05d.avro", snapId, seqNum,
-      delFiles, fields, content = 2, partCols = Nil, specId = delSpecId, v3 = v3)
-    val priorRecords = avroRecords(spark,
-      IcebergRead.resolve(targetPath, priorSnaps.last.manifestList))
-    val ml = writeManifestList(targetPath, f"snap-eq-$snapId%05d.avro",
-      snapId, seqNum, priorRecords, Seq(mref), v3 = v3)
-    writeMetadata(targetPath, metaV + 1, srcV, fields,
-      priorSnaps :+ Snap(snapId, seqNum, System.currentTimeMillis(), ml,
-        "overwrite", firstRowId = rowBase),
-      snapId, partCols, formatVersion = fv, nextRowId = rowBase)
-    snapId
+    // OCC commit: the delete parquet is final; manifest + list rewrite
+    // per attempt (they embed the racing seq/snapshot ids)
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      val (baseV, meta) = if (attempt == 0) (v0, meta0) else foreignBase(targetPath)
+      if (attempt > 0 &&
+          (fieldsOfMeta(meta) != fields || partColsOfMeta(meta, fields) != partCols))
+        throw new IllegalStateException(
+          s"concurrent schema or spec change at $targetPath moved the table " +
+            "under this delete; re-read and retry explicitly", lastErr)
+      val snaps = snapsOfMeta(meta)
+      val seqNum = math.max(
+        Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+        snaps.map(_.seqNum).foldLeft(0L)(math.max)) + 1
+      // OUT of the graft-version id space (snapshot/append stamp ids
+      // from graft versions): a later append must never collide with
+      // an equality-delete snapshot's id — high bit + the growing
+      // sequence number, bumped past any foreign id already taken
+      val taken = snaps.map(_.id).toSet
+      var snapId = (1L << 40) | seqNum
+      while (taken(snapId)) snapId += 1
+      val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+      val schemaId = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      // a GLOBAL delete manifest references an EMPTY spec: the table's
+      // default when unpartitioned, an existing empty spec otherwise —
+      // or a fresh one the commit publishes alongside the snapshot
+      val delSpecId =
+        if (partCols.isEmpty)
+          Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        else emptySpecIdOf(meta)
+      val mref = writeManifest(targetPath, s"me-$uuid-a$attempt.avro", snapId,
+        seqNum, delFiles, fields, content = 2, partCols = Nil,
+        specId = delSpecId, v3 = v3, schemaId = schemaId)
+      val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L).flatMap(id => snaps.find(_.id == id))
+        .getOrElse(snaps.last)
+      val priorRecords = avroRecords(spark,
+        IcebergRead.resolve(targetPath, cur.manifestList))
+      val ml = writeManifestList(targetPath, s"snap-eq-$uuid-a$attempt.avro",
+        snapId, seqNum, priorRecords, Seq(mref), v3 = v3)
+      try {
+        commitForeignMeta(targetPath, meta, baseV + 1, snapId, seqNum, ml,
+          "overwrite",
+          firstRowId = if (v3) rowBase else None,
+          nextRowId = None, // deletes assign no row ids
+          ensureEmptySpec = if (partCols.isEmpty) None else Some(delSpecId))
+        return snapId
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
   }
 }

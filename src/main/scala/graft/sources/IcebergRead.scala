@@ -635,7 +635,8 @@ object IcebergRead {
         fields: Seq[(Int, String, Boolean, String)],
         timestamps: Map[Long, Long] = Map.empty,
         refs: Map[String, (Long, String)] = Map.empty,
-        fieldDefaults: Map[String, String] = Map.empty): Unit = {
+        fieldDefaults: Map[String, String] = Map.empty,
+        extraJson: String = ""): Unit = {
       new java.io.File(s"$dir/metadata").mkdirs()
       val fjson = fields.map { case (id, n, req, t) =>
         val dflt = fieldDefaults.get(n)
@@ -664,12 +665,53 @@ object IcebergRead {
         s"""{"format-version":$formatVersion,"table-uuid":"fixture",
            |"location":"$dir","current-schema-id":0,
            |"schemas":[{"schema-id":0,"type":"struct","fields":[$fjson]}],
-           |"current-snapshot-id":$currentSnapshotId$rjson,
+           |"current-snapshot-id":$currentSnapshotId$rjson$extraJson,
            |"snapshots":[$sjson]$slog}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/metadata/v$v.metadata.json"), body)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"), v.toString)
+    }
+
+    /** FULL-shape manifest list (every spec-required field) — the
+      * shape real engines write; foreign write-back carries these
+      * records forward by reference and validates their presence.
+      * `manifests`: (absolutePath, sequenceNumber, content). */
+    def manifestListFull(dir: String, name: String, snapshotId: Long,
+        manifests: Seq[(String, Long, Int)], specId: Int = 0): String = {
+      val s = SchemaBuilder.record("manifest_file").fields()
+        .requiredString("manifest_path").requiredLong("manifest_length")
+        .requiredInt("partition_spec_id").requiredInt("content")
+        .requiredLong("sequence_number").requiredLong("min_sequence_number")
+        .requiredLong("added_snapshot_id")
+        .requiredInt("added_files_count").requiredInt("existing_files_count")
+        .requiredInt("deleted_files_count")
+        .requiredLong("added_rows_count").requiredLong("existing_rows_count")
+        .requiredLong("deleted_rows_count")
+        .endRecord()
+      val f = new java.io.File(s"$dir/metadata/$name")
+      f.getParentFile.mkdirs()
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+      w.create(s, f)
+      manifests.foreach { case (m, seq, content) =>
+        val r = new GenericData.Record(s)
+        r.put("manifest_path", m)
+        r.put("manifest_length", new java.io.File(m).length())
+        r.put("partition_spec_id", specId)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", 0L)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      }
+      w.close()
+      f.getAbsolutePath
     }
   }
 

@@ -2237,6 +2237,15 @@ class SourcesSpec extends SparkSpec {
       manifestList, Seq((1, "id", true, "long"), (2, "v", false, "long"),
         (3, "band", false, "string")))
 
+  private def currentIcebergMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): com.fasterxml.jackson.databind.JsonNode = {
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")).trim
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/metadata/v$hint.metadata.json")))
+  }
+
   private def writeIcebergPart(dir: String, rel: String,
       rows: Seq[(Long, Long, String)]): String = {
     import spark.implicits._
@@ -4219,6 +4228,158 @@ class SourcesSpec extends SparkSpec {
     val eN = intercept[UnsupportedOperationException](
       DeltaExport.appendForeign(spark, frame, dirN))
     assert(eN.getMessage.contains("nested non-nullable"), eN.getMessage)
+  }
+
+  test("iceberg foreign append: commits into a table another engine created") {
+    // r14 verdict #1: stage data files + a snapshot into a FOREIGN
+    // Iceberg table built by the independent fixture path — honoring
+    // its REAL (non-positional) field ids, preserving its properties
+    // verbatim, put-if-absent on the metadata version
+    import graft.sources.{IcebergExport, IcebergRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("iforeign").toFile.getAbsolutePath + "/t"
+    val fields = Seq((4, "id", true, "long"), (7, "v", false, "long"),
+      (9, "band", false, "string"))
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 5L).map(i => (i, i * 10, "b0")))
+    val m0 = graft.sources.IcebergRead.Fixture.manifestV2(dir, "m0.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, f0, 0, 1L, Nil)))
+    val ml = graft.sources.IcebergRead.Fixture.manifestListFull(
+      dir, "snap-ext-1.avro", 77L, Seq((m0, 1L, 0)))
+    graft.sources.IcebergRead.Fixture.metadataMulti(dir, 1, formatVersion = 2,
+      currentSnapshotId = 77L, snapshots = Seq((77L, ml)), fields,
+      extraJson = ""","last-sequence-number":1,""" +
+        """"properties":{"owner":"external-team"},""" +
+        """"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0""")
+    val sid = IcebergExport.appendForeign(spark,
+      Seq((6L, 60L, "b1"), (7L, 70L, "b0")).toDF("id", "v", "band"), dir)
+    val got = IcebergRead.read(spark, dir)
+    assert(got.select("id", "v").as[(Long, Long)].collect().toSet ==
+      ((1L to 5L).map(i => (i, i * 10)) ++ Seq((6L, 60L), (7L, 70L))).toSet,
+      "appended rows serve beside the foreign snapshot's")
+    // the new metadata must carry the foreign properties VERBATIM and
+    // advance the snapshot chain
+    val meta = currentIcebergMeta(spark, dir)
+    assert(meta.get("properties").get("owner").asText() == "external-team",
+      "foreign properties survive the mutation-based commit")
+    assert(meta.get("current-snapshot-id").asLong() == sid)
+    assert(meta.get("last-sequence-number").asLong() == 2L)
+    assert(meta.get("snapshots").size() == 2)
+    // staged data files carry the table's REAL field ids (4, 7, 9) so
+    // id-binding engines resolve them without name mapping
+    val conf = spark.sessionState.newHadoopConf()
+    val newParts = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("gf-"))
+    assert(newParts.nonEmpty, "foreign append stages under data/")
+    val pschema = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(newParts.head.getAbsolutePath), conf))
+      .getFooter.getFileMetaData.getSchema
+    assert(Seq("id", "v", "band").map(n =>
+      pschema.getType(Seq(n): _*).getId.intValue()) == Seq(4, 7, 9),
+      s"staged files must carry the table's real field ids: $pschema")
+    // required columns enforce NOT NULL with one aggregate
+    val eNull = intercept[IllegalArgumentException](
+      IcebergExport.appendForeign(spark,
+        Seq((Some(8L), Some(80L), "b0"), (None, Some(90L), "b1"))
+          .toDF("id", "v", "band"), dir))
+    assert(eNull.getMessage.contains("required") &&
+      eNull.getMessage.contains("id"), eNull.getMessage)
+    // schema mismatch is loud
+    val eScm = intercept[UnsupportedOperationException](
+      IcebergExport.appendForeign(spark, Seq((8L, "x")).toDF("id", "v"), dir))
+    assert(eScm.getMessage.contains("does not match"), eScm.getMessage)
+    // equality deletes now land in the SAME foreign table (guard
+    // lifted) with the table's real field ids; spec ordering holds:
+    // a key re-appended after the delete survives
+    IcebergExport.appendEqualityDeletes(spark, dir, Seq(1L, 6L).toDF("id"))
+    assert(IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L, 4L, 5L, 7L), "foreign equality delete kills old rows")
+    IcebergExport.appendForeign(spark,
+      Seq((1L, 111L, "b9")).toDF("id", "v", "band"), dir)
+    assert(IcebergRead.read(spark, dir)
+      .where("id = 1").select("v").as[Long].collect().toSeq == Seq(111L),
+      "a key appended AFTER the equality delete survives it")
+  }
+
+  test("iceberg foreign append: identity partition specs and concurrent writers") {
+    import graft.sources.{IcebergExport, IcebergRead}
+    import spark.implicits._
+    // partitioned foreign table: spec id 5, identity on band (source
+    // field 9) — appends must stage partition-pure files under THAT
+    // spec and manifest tuples derive per file
+    val dir = Files.createTempDirectory("iforeign_p").toFile.getAbsolutePath + "/t"
+    val fields = Seq((4, "id", true, "long"), (7, "v", false, "long"),
+      (9, "band", false, "string"))
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 4L).map(i => (i, i, "b0")))
+    val m0 = graft.sources.IcebergRead.Fixture.manifestV2(dir, "m0.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, f0, 0, 1L, Nil)))
+    val ml = graft.sources.IcebergRead.Fixture.manifestListFull(
+      dir, "snap-ext-1.avro", 77L, Seq((m0, 1L, 0)), specId = 5)
+    graft.sources.IcebergRead.Fixture.metadataMulti(dir, 1, formatVersion = 2,
+      currentSnapshotId = 77L, snapshots = Seq((77L, ml)), fields,
+      extraJson = ""","last-sequence-number":1,"default-spec-id":5,""" +
+        """"partition-specs":[{"spec-id":5,"fields":[{"name":"band",""" +
+        """"transform":"identity","source-id":9,"field-id":1000}]}]""")
+    IcebergExport.appendForeign(spark,
+      Seq((5L, 50L, "b1"), (6L, 60L, "b0"), (7L, 70L, "b1"))
+        .toDF("id", "v", "band"), dir)
+    assert(IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (1L to 7L).toSet)
+    // per-band files: two tuples → at least two staged files, pure by
+    // construction (describeFiles would have declined otherwise)
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.startsWith("gf-")) >= 2,
+      "partition-pure files per appended tuple")
+    // a GLOBAL equality delete on the partitioned foreign table must
+    // publish (and reference) an empty spec the table didn't carry
+    IcebergExport.appendEqualityDeletes(spark, dir, Seq(6L).toDF("id"))
+    assert(IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (1L to 7L).toSet - 6L)
+    val meta = currentIcebergMeta(spark, dir)
+    val specs = meta.get("partition-specs")
+    assert((0 until specs.size()).map(specs.get).exists(s =>
+      s.get("fields").size() == 0 && s.get("spec-id").asInt() == 6),
+      s"the commit publishes a fresh empty spec for global deletes: $specs")
+    assert(meta.get("default-spec-id").asInt() == 5,
+      "the table's default spec is untouched")
+    // a transform spec declines by name
+    val dirT = Files.createTempDirectory("iforeign_t").toFile.getAbsolutePath + "/t"
+    val fT = writeIcebergPart(dirT, "f0.parquet", Seq((1L, 1L, "b0")))
+    val mT = graft.sources.IcebergRead.Fixture.manifestV2(dirT, "m0.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, fT, 0, 1L, Nil)))
+    val mlT = graft.sources.IcebergRead.Fixture.manifestListFull(
+      dirT, "snap-ext-1.avro", 1L, Seq((mT, 1L, 0)))
+    graft.sources.IcebergRead.Fixture.metadataMulti(dirT, 1, formatVersion = 2,
+      currentSnapshotId = 1L, snapshots = Seq((1L, mlT)), fields,
+      extraJson = ""","default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
+        """"fields":[{"name":"id_bucket","transform":"bucket[16]",""" +
+        """"source-id":4,"field-id":1000}]}]""")
+    val eT = intercept[UnsupportedOperationException](
+      IcebergExport.appendForeign(spark,
+        Seq((2L, 2L, "b0")).toDF("id", "v", "band"), dirT))
+    assert(eT.getMessage.contains("bucket"), eT.getMessage)
+    // concurrent writers: every append lands its own snapshot, no rows
+    // lost — the CREATE_NEW put-if-absent shape
+    val dirR = Files.createTempDirectory("iforeign_r").toFile.getAbsolutePath + "/t"
+    val fR = writeIcebergPart(dirR, "f0.parquet", Seq((0L, 0L, "b0")))
+    val mR = graft.sources.IcebergRead.Fixture.manifestV2(dirR, "m0.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, fR, 0, 1L, Nil)))
+    val mlR = graft.sources.IcebergRead.Fixture.manifestListFull(
+      dirR, "snap-ext-1.avro", 1L, Seq((mR, 1L, 0)))
+    graft.sources.IcebergRead.Fixture.metadataMulti(dirR, 1, formatVersion = 2,
+      currentSnapshotId = 1L, snapshots = Seq((1L, mlR)), fields,
+      extraJson = ""","last-sequence-number":1""")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { w =>
+      Future(IcebergExport.appendForeign(spark,
+        Seq((w.toLong * 100, w.toLong, s"b$w")).toDF("id", "v", "band"), dirR))
+    }
+    val sids = Await.result(Future.sequence(futures), 120.seconds)
+    assert(sids.toSet.size == 4, s"each writer its own snapshot: $sids")
+    assert(IcebergRead.read(spark, dirR).select("id").as[Long].collect().toSet ==
+      Set(0L, 100L, 200L, 300L, 400L), "no concurrent append may be lost")
   }
 
   test("puffin lz4 and iceberg staging guards fail loudly, not obscurely") {
