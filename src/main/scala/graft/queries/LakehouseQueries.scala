@@ -270,7 +270,89 @@ object LakehouseQueries {
       .toDF("n_rows", "sum_k", "sum_cents", "n_at_delete")
   }
 
+  /** FOREIGN Iceberg append (r15 — r14 verdict #1, the asymmetric half
+    * of `q_delta_append_foreign`): an identity-partitioned Iceberg
+    * table built by the independent fixture path (non-positional field
+    * ids 4/7/9, its own spec id 5, NO graft watermark) receives three
+    * [[IcebergExport.appendForeign]] commits (one band each), then an
+    * equality delete, then a re-append of half the deleted keys at +1
+    * cent — the spec's strictly-older ordering must kill only rows
+    * whose data sequence predates the delete. DuckDB computes the same
+    * closed form from `supplier` directly. */
+  val qIcebergAppendForeign: QueryDef = QueryDef.sql(
+    "q_iceberg_append_foreign",
+    """WITH su AS (
+      |  SELECT 'b' || CAST(s_suppkey % 4 AS VARCHAR) AS band,
+      |    s_suppkey AS k,
+      |    CAST(ROUND(s_acctbal * 100.0) AS BIGINT) AS cents
+      |  FROM supplier
+      |), survivors AS (
+      |  SELECT band, k, cents FROM su WHERE NOT (k % 7 = 3)
+      |  UNION ALL
+      |  SELECT band, k, cents + 1 FROM su WHERE k % 14 = 3
+      |)
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM survivors GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.IcebergRead.{EntryInfo, Fixture}
+    val (base, tgt) = freshDirs(s, d, "iafor")
+    val su = Tables(s, d, "supplier").select(
+      concat(lit("b"), (col("s_suppkey") % 4).cast("string")).as("band"),
+      col("s_suppkey").as("k"),
+      graft.Exact.units(col("s_acctbal"), 2).as("cents"))
+    // the FOREIGN fixture: field ids 4/7/9 (non-positional — every
+    // manifest, bound, and equality reference must bind THESE),
+    // identity spec id 5 on band, seeded with band b0's rows
+    su.filter(col("band") === "b0").select("band", "k", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(base)
+    val part = new java.io.File(base).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f0 = new java.io.File(s"$tgt/data/f0.parquet")
+    f0.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, f0.toPath): Unit
+    val fields = Seq((9, "band", false, "string"), (4, "k", true, "long"),
+      (7, "cents", false, "long"))
+    val m0 = Fixture.manifestV2(tgt, "m0.avro",
+      Seq(EntryInfo(1, f0.getAbsolutePath, 0, 1L, Nil)))
+    val ml = Fixture.manifestListFull(tgt, "snap-ext.avro", 77L,
+      Seq((m0, 1L, 0)), specId = 5)
+    Fixture.metadataMulti(tgt, 1, formatVersion = 2, currentSnapshotId = 77L,
+      snapshots = Seq((77L, ml)), fields,
+      extraJson = ""","last-sequence-number":1,"default-spec-id":5,""" +
+        """"partition-specs":[{"spec-id":5,"fields":[{"name":"band",""" +
+        """"transform":"identity","source-id":9,"field-id":1000}]}],""" +
+        """"properties":{"owner":"external-team"}""")
+    // three foreign appends (one band each, own OCC commit), one
+    // equality delete, one post-delete re-append at +1 cent
+    (1 to 3).foreach { b =>
+      IcebergExport.appendForeign(s,
+        su.filter(col("band") === s"b$b").select("band", "k", "cents"), tgt): Unit
+    }
+    IcebergExport.appendEqualityDeletes(s, tgt,
+      su.filter(col("k") % 7 === 3).select("k")): Unit
+    IcebergExport.appendForeign(s,
+      su.filter(col("k") % 14 === 3)
+        .withColumn("cents", col("cents") + 1)
+        .select("band", "k", "cents"), tgt): Unit
+    val got = IcebergRead.read(s, tgt)
+    require(Option(currentMetaNode(tgt).get("properties"))
+      .exists(_.get("owner").asText() == "external-team"),
+      "foreign properties must survive every mutation-based commit")
+    got.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
+  private def currentMetaNode(dir: String): com.fasterxml.jackson.databind.JsonNode = {
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")).trim
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/metadata/v$hint.metadata.json")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(qDeltaHistory, qDeltaVacuum, qIcebergExpire, qIcebergMeta, qIcebergRefs,
-      qIcebergEqExport)
+      qIcebergEqExport, qIcebergAppendForeign)
 }
