@@ -223,8 +223,9 @@ object DeltaRead {
   }
 
   /** Java-serializable Hadoop-conf carrier for executor-side footer
-    * reads (Configuration itself is Writable but not Serializable). */
-  private final class SerializableHadoopConf(
+    * reads (Configuration itself is Writable but not Serializable).
+    * Shared with [[IcebergRead]]'s distributed default-probe (r15). */
+  private[sources] final class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

@@ -2523,6 +2523,72 @@ class SourcesSpec extends SparkSpec {
     assert(got == want, s"defaults diverged:\n got=$got\nwant=$want")
   }
 
+  test("iceberg v3 initial-default: the >8-file probe runs distributed and fills identically") {
+    // r14 verdict weak-at-scale: absentDefaultsByFile probed footers
+    // sequentially on the driver — O(files) serial I/O at planning.
+    // Above 8 uncached files the probe now ships to executors (one
+    // parallelize job); the fill must be byte-identical to the serial
+    // path, and the per-path cache must serve repeat reads.
+    import graft.sources.IcebergRead
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val dir = Files.createTempDirectory("idef_dist").toFile.getAbsolutePath
+    val data = Files.createTempDirectory("idef_dist_data").toFile.getAbsolutePath
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$data/$name")
+      new java.io.File(s"$data/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    // 12 old-era files (no `tag`) — comfortably past the ≤8 serial
+    // cutoff — plus one new-era file that carries it
+    val oldFiles = (0 until 12).map(i =>
+      stage(s"f$i", Seq(i.toLong * 100 + 1, i.toLong * 100 + 2).toDF("k")))
+    val newFile = stage("fnew", Seq((9999L, "present")).toDF("k", "tag"))
+    val entries = (oldFiles :+ newFile).zipWithIndex.map { case (f, i) =>
+      EntryInfo(1, f, 0, i + 1L, Nil)
+    }
+    val m = IcebergRead.Fixture.manifestV2(dir, "m.avro", entries)
+    val l = IcebergRead.Fixture.manifestList(dir, "snap-1.avro", Seq(m))
+    IcebergRead.Fixture.metadataMulti(dir, 1, 3, currentSnapshotId = 1L,
+      snapshots = Seq((1L, l)),
+      fields = Seq((1, "k", true, "long"), (2, "tag", false, "string")),
+      fieldDefaults = Map("tag" -> "\"legacy\""))
+    // watch for the probe's executor job while the plan materializes
+    val stageNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageNames.add(sc.stageInfo.name): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = IcebergRead.read(spark, dir).select("k", "tag").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 25)
+      assert(got(9999L) == "present")
+      assert(oldFiles.indices.forall(i => got(i.toLong * 100 + 1) == "legacy" &&
+        got(i.toLong * 100 + 2) == "legacy"),
+        s"every absent-era row must serve the default: $got")
+      // the distributed probe leaves a visible footprint: a collect
+      // stage rooted in IcebergRead (the parallelize path), which the
+      // old driver-serial loop never produced
+      val deadline = System.currentTimeMillis() + 5000
+      var seen = false
+      while (!seen && System.currentTimeMillis() < deadline) {
+        seen = stageNames.toArray.exists(
+          _.toString.contains("IcebergRead"))
+        if (!seen) Thread.sleep(50)
+      }
+      assert(seen, s"expected the footer probe's executor job; stages: " +
+        s"${stageNames.toArray.mkString(", ")}")
+      // second read: identical answer through the per-path cache
+      val again = IcebergRead.read(spark, dir).select("k", "tag").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again == got, "cached probe must fill identically")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("iceberg read: v3 puffin deletion vectors apply merge-on-read") {
     import graft.sources.{IcebergRead, Puffin}
     import graft.sources.IcebergRead.EntryInfo
