@@ -1500,6 +1500,57 @@ object CdcQueries {
       .orderBy("g")
   }
 
+  /** WIDENED-era Delta export (r15 — r14 verdict #3): a graft table
+    * whose `cnt` column widened int→bigint mid-history (old files keep
+    * the narrow parquet type; the post-widen append carries values past
+    * Int range, so a reader that drops either era — or reads the narrow
+    * files wrong — breaks the sum) exports under the `typeWidening`
+    * feature with the spec's per-field type-change history, and the
+    * independent replay promotes the narrow files under the wide
+    * declared schema. */
+  val qDeltaExportWidened: QueryDef = QueryDef.sql(
+    "q_delta_export_widened",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, CAST(o_orderkey % 1000 AS BIGINT) AS cnt
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey + 3000000000
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |)
+      |SELECT k % 4 AS g, COUNT(*) AS n_rows, CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+      |FROM o GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead, TimeTravel}
+    val tag = Integer.toHexString(d.hashCode)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dxw_${tag}_p${ProcessHandle.current().pid()}"
+    val tgt = base + "_delta"
+    Seq(base, tgt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+    }
+    val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"))
+    TimeTravel.commitOverwrite( // v1: the NARROW era — cnt is INT
+      o.filter(col("k") % 2 === 0)
+        .withColumn("cnt", (col("k") % 1000).cast("int")).coalesce(1), base)
+    TimeTravel.widenColumn(s, base, "cnt", "bigint") // v2: metadata-only
+    TimeTravel.commitAppend( // v3: wide values past Int range
+      o.filter(col("k") % 2 === 1)
+        .withColumn("cnt", col("k") + 3000000000L).coalesce(1), base)
+    DeltaExport.snapshot(s, base, tgt)
+    val got = DeltaRead.read(s, tgt)
+    require(got.schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"widened export must declare the WIDE type, got ${got.schema("cnt")}")
+    val v0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/_delta_log/00000000000000000000.json"))
+    require(v0.contains("\"typeWidening\"") && v0.contains("delta.typeChanges"),
+      "widened export must publish the feature + type-change history")
+    got.withColumn("g", col("k") % 4)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cnt")).as("sum_cnt"))
+      .orderBy("g")
+  }
+
   /** VARIANT reads on both formats (r14 — r13 verdict #6): a parquet
     * file carrying a Spark VariantType column serves through a Delta
     * log requiring the `variantType` feature AND an Iceberg v3
@@ -1948,5 +1999,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped, qDeltaExportWidened, qVariantRead)
 }

@@ -75,16 +75,28 @@ object DeltaExport {
     * NTZ column anywhere in the schema, column MAPPING for renamed-era
     * snapshots (alone it fits the legacy reader-2/writer-5 gate; with
     * any table feature it rides the feature list). */
+  /** Widenings an exported table's PLAIN parquet readers promote
+    * natively (the Spark vectorized reader's integer upcasts and
+    * float→double). int→double / bigint→double are lossless in
+    * graft's own branch-per-era read ([[TimeTravel]]) but would make
+    * every file-schema reader of the published table fail with a
+    * parquet type mismatch — those keep the named export decline. */
+  private val ExportableWidenings: Set[(String, String)] = Set(
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("float", "double"))
+
   private def protocolAction(dv: Boolean, ntz: Boolean,
-      cm: Boolean = false): String =
-    if (!dv && !ntz && !cm)
+      cm: Boolean = false, widening: Boolean = false): String =
+    if (!dv && !ntz && !cm && !widening)
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    else if (cm && !dv && !ntz)
+    else if (cm && !dv && !ntz && !widening)
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     else {
       val feats = ((if (dv) Seq("deletionVectors") else Nil) ++
         (if (ntz) Seq("timestampNtz") else Nil) ++
-        (if (cm) Seq("columnMapping") else Nil))
+        (if (cm) Seq("columnMapping") else Nil) ++
+        (if (widening) Seq("typeWidening") else Nil))
         .map("\"" + _ + "\"").mkString(",")
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         s""""readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
@@ -282,35 +294,59 @@ object DeltaExport {
     // a RENAMED/DROPPED-era snapshot exports as NAME-MODE column
     // mapping (r14 — r13 verdict #3): the logical schema carries each
     // field's physicalName, exactly the shape [[DeltaRead.colMapOf]]
-    // (and every Delta engine) resolves. A WIDENED era still declines:
-    // its old files carry narrower physical types the pinned Delta
-    // schema would make every reader refuse.
-    val (logicalSchema, cmConfig) = colsOpt match {
-      case None => (scan.schema, "")
+    // (and every Delta engine) resolves. A WIDENED era publishes the
+    // `typeWidening` feature + the spec's per-field type-change
+    // history (r15 — r14 verdict #3): old files keep their narrower
+    // physical types and widening-capable readers promote on scan —
+    // reads already serve this shape, so declining the export was the
+    // last asymmetry. A physical type that is NOT a lossless widening
+    // of the declared one keeps the named decline.
+    val (logicalSchema, cmConfig, widened) = colsOpt match {
+      case None => (scan.schema, "", false)
       case Some(mapping) =>
+        // logical → the narrower physical era types observed on disk
+        val typeChanges = scala.collection.mutable.Map.empty[String, Set[DataType]]
         dirs.foreach { d =>
           val sch = spark.read.parquet(s"$sourcePath/$d").schema
           mapping.foreach { c =>
             val declared = DataType.fromDDL(c.typeDdl)
             sch.find(_.name == c.physical).foreach { f =>
-              if (f.dataType != declared) throw new UnsupportedOperationException(
-                s"snapshot v$v of $sourcePath declares ${c.logical} as " +
-                  s"${c.typeDdl} but $d carries ${f.dataType.catalogString} " +
-                  "(a widened era); run TimeTravel.optimize, then export " +
-                  "the folded version")
+              if (f.dataType != declared) {
+                if (!ExportableWidenings(
+                    (f.dataType.catalogString, c.typeDdl)))
+                  throw new UnsupportedOperationException(
+                    s"snapshot v$v of $sourcePath declares ${c.logical} as " +
+                      s"${c.typeDdl} but $d carries ${f.dataType.catalogString}" +
+                      " — not a widening plain-parquet readers promote; run " +
+                      "TimeTravel.optimize, then export the folded version")
+                typeChanges(c.logical) =
+                  typeChanges.getOrElse(c.logical, Set.empty) + f.dataType
+              }
             }
           }
         }
         val fields = mapping.zipWithIndex.map { case (c, i) =>
-          StructField(c.logical, DataType.fromDDL(c.typeDdl), nullable = true,
-            new MetadataBuilder()
-              .putLong("delta.columnMapping.id", i + 1L)
-              .putString("delta.columnMapping.physicalName", c.physical)
-              .build())
+          val declared = DataType.fromDDL(c.typeDdl)
+          val mb = new MetadataBuilder()
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", c.physical)
+          typeChanges.get(c.logical).foreach { froms =>
+            // the protocol's field-level history: one entry per
+            // narrower era, in the spec's type-name vocabulary
+            // ("integer"/"long"/…, not Spark DDL)
+            mb.putMetadataArray("delta.typeChanges",
+              froms.toSeq.sortBy(_.typeName).map(from =>
+                new MetadataBuilder()
+                  .putString("fromType", from.typeName)
+                  .putString("toType", declared.typeName)
+                  .build()).toArray)
+          }
+          StructField(c.logical, declared, nullable = true, mb.build())
         }
         (StructType(fields.toArray),
           s""""delta.columnMapping.mode":"name"""" +
-            s""","delta.columnMapping.maxColumnId":"${mapping.size}"""")
+            s""","delta.columnMapping.maxColumnId":"${mapping.size}"""",
+          typeChanges.nonEmpty)
     }
     val schemaJson = logicalSchema.json
     val files = scan.inputFiles.sorted
@@ -327,7 +363,7 @@ object DeltaExport {
     actions += commitInfo(v)
     actions += txnAction(v)
     actions += protocolAction(dv = dvs.nonEmpty, ntz = hasNtz(logicalSchema),
-      cm = colsOpt.nonEmpty)
+      cm = colsOpt.nonEmpty, widening = widened)
     actions +=
       (s"""{"metaData":{"id":"graft-export","format":""" +
         s"""{"provider":"parquet","options":{}},"schemaString":"$esc",""" +

@@ -1833,14 +1833,39 @@ class SourcesSpec extends SparkSpec {
     assert(gotCm.as[(Long, Long)].collect().toSet ==
       Set((1L, 1L), (2L, 4L), (3L, 9L)),
       "pre-rename AND post-rename files both resolve")
-    // a WIDENED era still declines — old files carry the narrow type
-    // the pinned Delta schema would make every reader refuse
+    // a WIDENED era now EXPORTS when plain parquet readers can promote
+    // it (r15 — r14 verdict #3): the protocol gains typeWidening, the
+    // schema carries the spec's per-field type-change history, and
+    // the replay promotes the narrow-era files under the wide schema
+    val srcW = Files.createTempDirectory("dexp_wid").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(Seq((1, 1), (2, 4)).toDF("k", "v"), srcW)
+    TimeTravel.widenColumn(spark, srcW, "v", "bigint")
+    TimeTravel.commitAppend(Seq((3, 9L)).toDF("k", "v"), srcW)
+    val tgtW = Files.createTempDirectory("dexp_wid_t").toFile.getAbsolutePath + "/d"
+    assert(DeltaExport.snapshot(spark, srcW, tgtW) > 0)
+    val v0W = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgtW/_delta_log/00000000000000000000.json"))
+    assert(v0W.contains("\"typeWidening\"") &&
+      v0W.contains("delta.typeChanges") &&
+      v0W.contains("\\\"fromType\\\":\\\"integer\\\"") &&
+      v0W.contains("\\\"toType\\\":\\\"long\\\""), v0W)
+    val gotW = DeltaRead.read(spark, tgtW)
+    assert(gotW.schema("v").dataType == org.apache.spark.sql.types.LongType,
+      "the export declares the WIDE type")
+    assert(gotW.select("k", "v").as[(Int, Long)].collect().toSet ==
+      Set((1, 1L), (2, 4L), (3, 9L)),
+      "narrow-era files promote under the widened schema")
+    // a widening plain readers canNOT promote (long files under a
+    // double declaration) keeps the named decline — graft's own
+    // branch-per-era read serves it, but a published file-schema
+    // reader would fail on every old file
     TimeTravel.widenColumn(spark, src2, "val", "double")
     val e2 = intercept[UnsupportedOperationException] {
       DeltaExport.snapshot(spark, src2,
-        Files.createTempDirectory("dexp_wid_t").toFile.getAbsolutePath + "/d")
+        Files.createTempDirectory("dexp_wid_d").toFile.getAbsolutePath + "/d")
     }
-    assert(e2.getMessage.contains("widened era"), e2.getMessage)
+    assert(e2.getMessage.contains("not a widening plain-parquet readers promote"),
+      e2.getMessage)
   }
 
   test("delta export append: later graft appends publish as new commits of the same log") {
