@@ -217,11 +217,20 @@ object IcebergExport {
       nullCounts: Map[Int, Long] = Map.empty,
       equalityIds: Seq[Int] = Nil)
 
-  /** One identity-partition column of a partitioned publish:
-    * `fieldId` is the spec's partition field id (1000+), `srcId` the
-    * source schema field id. */
+  /** One partition column of a partitioned publish: `fieldId` is the
+    * spec's partition field id (1000+), `srcId` the source schema
+    * field id. `transform` is "identity" or "day" (r15 — the spec's
+    * time layout: the partition value is days-from-epoch INT derived
+    * from a timestamp/date source, so external engines time-prune
+    * graft-published tables); `srcType` is the SOURCE column's type
+    * (= `icebergType` for identity; for day, icebergType is "int"
+    * while the source is a timestamp/date). */
   private final case class PartCol(name: String, icebergType: String,
-      fieldId: Int, srcId: Int)
+      fieldId: Int, srcId: Int, transform: String = "identity",
+      srcType: String = "", srcNameOpt: Option[String] = None) {
+    /** The SOURCE column the footer statistics come from. */
+    def srcName: String = srcNameOpt.getOrElse(name)
+  }
 
   /** The schema's JSON serialization — written identically into the
     * metadata JSON and into every manifest's Avro key-value metadata
@@ -325,26 +334,37 @@ object IcebergExport {
         }
         val vals = partCols.map { pc =>
           val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala
-            .filter(_.getPath.toDotString == pc.name))
+            .filter(_.getPath.toDotString == pc.srcName))
           if (chunks.isEmpty) throw new UnsupportedOperationException(
-            s"partition column ${pc.name} is not a top-level column of $f")
+            s"partition column ${pc.srcName} is not a top-level column of $f")
           val stats = chunks.map(_.getStatistics)
           if (stats.exists(s => s == null || !s.hasNonNullValue) ||
               stats.exists(_.getNumNulls > 0))
             throw new UnsupportedOperationException(
-              s"partition column ${pc.name} in $f carries nulls or no " +
-                "statistics; identity-partitioned export needs pure non-null " +
+              s"partition column ${pc.srcName} in $f carries nulls or no " +
+                "statistics; a partitioned export needs pure non-null " +
                 "values per file")
-          def conv(v: Any): Any = v match {
-            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-            case other => other
+          // identity: raw stat values must agree; day: the TRANSFORMED
+          // values must — timestamps inside one file may differ as long
+          // as every one lands on the same epoch day
+          def conv(v: Any): Any = pc.transform match {
+            case "day" => pc.srcType match {
+              case "date" => v.asInstanceOf[Number].intValue()
+              case _ => // timestamp/timestamptz: INT64 micros from epoch
+                Math.floorDiv(v.asInstanceOf[Number].longValue(),
+                  86400000000L).toInt
+            }
+            case _ => v match {
+              case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+              case other => other
+            }
           }
           val distinct = stats.flatMap(s =>
             Seq(conv(s.genericGetMin), conv(s.genericGetMax))).distinct
           if (distinct.size != 1) throw new UnsupportedOperationException(
             s"file $f is not partition-pure on ${pc.name} " +
               s"(values ${distinct.take(2).mkString(", ")}…); repartition the " +
-              "source by the partition columns before a partitioned export")
+              "source by the partition values before a partitioned export")
           distinct.head
         }
         (rdr.getRecordCount, vals, loB.result(), hiB.result(), nullB.result())
@@ -367,11 +387,12 @@ object IcebergExport {
       firstRowId: Option[Long] = None, existingCount: Int = 0,
       existingRows: Long = 0L, minSeq: Option[Long] = None)
 
-  /** The spec fields of an identity partition spec, as the JSON both
-    * the table metadata and each manifest's key-value metadata carry. */
+  /** The spec fields of a partition spec (identity / day transforms),
+    * as the JSON both the table metadata and each manifest's
+    * key-value metadata carry. */
   private def partSpecFieldsJson(partCols: Seq[PartCol]): String =
     partCols.map(pc =>
-      s"""{"name":"${pc.name}","transform":"identity",""" +
+      s"""{"name":"${pc.name}","transform":"${pc.transform}",""" +
         s""""source-id":${pc.srcId},"field-id":${pc.fieldId}}""")
       .mkString("[", ",", "]")
 
@@ -734,17 +755,32 @@ object IcebergExport {
 
   /** The identity partition columns a `partitionBy` names, typed and
     * id'd against the export schema. */
+  private val DaysRe = """days?\(\s*([^)\s]+)\s*\)""".r
+
   private def partColsOf(partitionBy: Seq[String],
       fields: Seq[(Int, String, Boolean, String)]): Seq[PartCol] =
-    partitionBy.zipWithIndex.map { case (n, i) =>
-      val (srcId, _, _, t) = fields.find(_._2 == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column $n is not a column of the exported schema"))
-      if (!Set("long", "int", "string").contains(t))
-        throw new UnsupportedOperationException(
-          s"partition column $n has type $t; identity-partitioned export " +
-            "supports long, int, and string")
-      PartCol(n, t, 1000 + i, srcId)
+    partitionBy.zipWithIndex.map {
+      case (DaysRe(src), i) =>
+        // days(ts): the spec's `day` transform — partition value is
+        // days-from-epoch INT derived from the source's footer stats
+        val (srcId, _, _, t) = fields.find(_._2 == src).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $src is not a column of the exported schema"))
+        if (!Set("timestamp", "timestamptz", "date").contains(t))
+          throw new UnsupportedOperationException(
+            s"days($src) needs a timestamp or date column; $src is $t")
+        PartCol(s"${src}_day", "int", 1000 + i, srcId,
+          transform = "day", srcType = t, srcNameOpt = Some(src))
+      case (n, i) =>
+        val (srcId, _, _, t) = fields.find(_._2 == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $n is not a column of the exported schema"))
+        if (!Set("long", "int", "string").contains(t))
+          throw new UnsupportedOperationException(
+            s"partition column $n has type $t; identity-partitioned export " +
+              "supports long, int, and string (or days(...) over " +
+              "timestamp/date)")
+        PartCol(n, t, 1000 + i, srcId)
     }
 
   /** The published table's identity partition columns, recovered from
@@ -757,15 +793,19 @@ object IcebergExport {
       .find(_.get("spec-id").asInt() == want).getOrElse(return Nil)
     val pf = spec.get("fields")
     (0 until pf.size()).map(pf.get).map { f =>
-      if (f.get("transform").asText() != "identity")
+      val tr = f.get("transform").asText()
+      if (tr != "identity" && tr != "day")
         throw new UnsupportedOperationException(
-          s"published spec uses transform ${f.get("transform").asText()}; " +
-            "this exporter appends identity specs only")
+          s"published spec uses transform $tr; " +
+            "this exporter appends identity and day specs only")
       val srcId = f.get("source-id").asInt()
-      val t = fields.find(_._1 == srcId).map(_._4).getOrElse(
+      val (_, srcName, _, t) = fields.find(_._1 == srcId).getOrElse(
         throw new IllegalStateException(
           s"partition source-id $srcId is not in the published schema"))
-      PartCol(f.get("name").asText(), t, f.get("field-id").asInt(), srcId)
+      if (tr == "day")
+        PartCol(f.get("name").asText(), "int", f.get("field-id").asInt(),
+          srcId, transform = "day", srcType = t, srcNameOpt = Some(srcName))
+      else PartCol(f.get("name").asText(), t, f.get("field-id").asInt(), srcId)
     }
   }
 
@@ -976,6 +1016,10 @@ object IcebergExport {
     val fields = fieldsOfMeta(meta0)
     val partCols = partColsOfMeta(meta0, fields)
     partCols.foreach { pc =>
+      if (pc.transform != "identity")
+        throw new UnsupportedOperationException(
+          s"partition field ${pc.name} uses transform ${pc.transform}; " +
+            "foreign appends cover identity specs only")
       if (!Set("long", "int", "string").contains(pc.icebergType))
         throw new UnsupportedOperationException(
           s"partition column ${pc.name} has type ${pc.icebergType}; foreign " +

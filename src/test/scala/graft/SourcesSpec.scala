@@ -4321,6 +4321,72 @@ class SourcesSpec extends SparkSpec {
     assert(eN.getMessage.contains("nested non-nullable"), eN.getMessage)
   }
 
+  test("iceberg export: days(ts) publishes the day transform with per-file day tuples") {
+    // r14 verdict #4: the common Iceberg time layout — partition
+    // values are days-from-epoch INTs derived from footer stats, the
+    // spec rides "day" transforms, and files must be DAY-pure (same
+    // day, timestamps within it free to differ)
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexpd_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexpd_tgt").toFile.getAbsolutePath + "/i"
+    // NTZ: parquet INT64 micros with real statistics (zone-adjusted
+    // TimestampType writes INT96 by default — no stats, so a days()
+    // export over it declines on the purity check by design)
+    def dayDf(day: String, ids: Seq[Long]) = ids.toDF("k")
+      .withColumn("ts", expr(s"timestamp_ntz'$day 00:00:00' + make_interval(0,0,0,0,cast(k % 24 as int),0,0)"))
+    TimeTravel.commitOverwrite(dayDf("2024-03-01", 1L to 5L).coalesce(1), src)
+    TimeTravel.commitAppend(dayDf("2024-03-02", 6L to 9L).coalesce(1), src)
+    assert(IcebergExport.snapshot(spark, src, tgt,
+      partitionBy = Seq("days(ts)")) == 2)
+    val metaTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/metadata/v1.metadata.json"))
+    assert(metaTxt.contains("\"transform\":\"day\"") &&
+      metaTxt.contains("\"name\":\"ts_day\""), metaTxt)
+    val got = IcebergRead.read(spark, tgt)
+    assert(got.select("k").as[Long].collect().toSet == (1L to 9L).toSet)
+    // the manifest's partition tuples are the epoch-day ints
+    val mFile = new java.io.File(s"$tgt/metadata").listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro")).head
+    val rdr = DataFileReader.openReader(mFile,
+      new GenericDatumReader[GenericRecord]())
+    val days = try {
+      val b = Seq.newBuilder[Int]
+      while (rdr.hasNext) {
+        val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+        b += df.get("partition").asInstanceOf[GenericRecord]
+          .get("ts_day").asInstanceOf[Number].intValue()
+      }
+      b.result()
+    } finally rdr.close()
+    val d0 = java.time.LocalDate.parse("2024-03-01").toEpochDay.toInt
+    assert(days.sorted == Seq(d0, d0 + 1),
+      s"per-file day tuples must be epoch days: $days")
+    // append keeps publishing the SAME day spec
+    TimeTravel.commitAppend(dayDf("2024-03-03", 10L to 12L).coalesce(1), src)
+    assert(IcebergExport.append(spark, src, tgt) == 1)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet ==
+      (1L to 12L).toSet)
+    // a file spanning two days declines loudly
+    val src2 = Files.createTempDirectory("iexpd_src2").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite(
+      (dayDf("2024-03-01", Seq(1L)) union dayDf("2024-03-02", Seq(2L)))
+        .coalesce(1), src2)
+    val e = intercept[UnsupportedOperationException](
+      IcebergExport.snapshot(spark, src2,
+        Files.createTempDirectory("iexpd_t2").toFile.getAbsolutePath + "/i",
+        partitionBy = Seq("days(ts)")))
+    assert(e.getMessage.contains("partition-pure"), e.getMessage)
+    // a non-time column under days() declines by name
+    val e2 = intercept[UnsupportedOperationException](
+      IcebergExport.snapshot(spark, src,
+        Files.createTempDirectory("iexpd_t3").toFile.getAbsolutePath + "/i",
+        partitionBy = Seq("days(k)")))
+    assert(e2.getMessage.contains("timestamp or date"), e2.getMessage)
+  }
+
   test("iceberg foreign append: commits into a table another engine created") {
     // r14 verdict #1: stage data files + a snapshot into a FOREIGN
     // Iceberg table built by the independent fixture path — honoring
