@@ -2050,11 +2050,63 @@ object CdcQueries {
       .toDF("n_rows", "sum_k", "sum_cents", "files_read")
   }
 
+  /** v3 ROW LINEAGE surfaced (r15 — r14 verdict #5): an export +
+    * append + MoR-delete history over `orders`, read back with the
+    * `_row_id` / `_last_updated_sequence_number` metadata columns.
+    * Ids are the spec's first-row-id + position, so with each commit
+    * written in key order DuckDB reproduces them as per-commit row
+    * numbers; the delete must drop rows WITHOUT renumbering — any
+    * id drift breaks sum_rid. */
+  val qIcebergRowLineage: QueryDef = QueryDef.sql(
+    "q_iceberg_row_lineage",
+    """WITH a AS (
+      |  SELECT o_orderkey AS k,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), b AS (
+      |  SELECT o_orderkey AS k,
+      |    (SELECT COUNT(*) FROM a) +
+      |      ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |), u AS (
+      |  SELECT k, rid, 1 AS last_seq FROM a
+      |  UNION ALL SELECT k, rid, 2 FROM b
+      |)
+      |SELECT last_seq, COUNT(*) AS n_rows, CAST(SUM(rid) AS BIGINT) AS sum_rid,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM u WHERE NOT k % 7 = 3
+      |GROUP BY last_seq ORDER BY last_seq""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_irl_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(base))
+    val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"))
+    TimeTravel.commitOverwrite( // v1: even keys, one file in key order
+      o.filter(col("k") % 2 === 0).coalesce(1).sortWithinPartitions("k"), src)
+    IcebergExport.snapshot(s, src, tgt, formatVersion = 3) // seq 1, ids 0..
+    TimeTravel.commitAppend( // v2: odd keys continue the id space
+      o.filter(col("k") % 2 === 1).coalesce(1).sortWithinPartitions("k"), src)
+    IcebergExport.append(s, src, tgt) // seq 2
+    TimeTravel.deleteMoR(s, src, col("k") % 7 === 3)
+    IcebergExport.append(s, src, tgt) // seq 3: DVs — ids must NOT move
+    IcebergRead.read(s, tgt, withLineage = true)
+      .groupBy(col("_last_updated_sequence_number").cast("int").as("last_seq"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_row_id")).as("sum_rid"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("last_seq")
+  }
+
   val all: Seq[QueryDef] = Seq(qCdcNewUpdated, qCdcDelete, qCdcWatermark, qCsvRoundtrip,
     qJsonlRoundtrip, qTarRoundtrip, qOrcRoundtrip, qAvroRoundtrip, qDeltaRead,
     qIcebergRead, qDeltaExport, qIcebergExport, qDeltaReadDv, qDeltaReadMapped, qIcebergReadV2,
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergRowLineage, qVariantRead)
 }

@@ -278,11 +278,19 @@ object IcebergRead {
     * travel with the path. */
   private[sources] def manifestsWithSeq(spark: SparkSession, tablePath: String,
       manifestList: Path): Seq[(Path, Option[Long])] =
+    manifestRefs(spark, tablePath, manifestList).map(r => (r._1, r._2))
+
+  /** Manifest-list records decoded to (path, sequence number,
+    * first_row_id) — the latter the v3 row-lineage base
+    * [[entriesOf]]'s inheritance assigns from. */
+  private def manifestRefs(spark: SparkSession, tablePath: String,
+      manifestList: Path): Seq[(Path, Option[Long], Option[Long])] =
     avroRecords(spark, manifestList).map { r =>
-      val seq =
-        if (r.getSchema.getField("sequence_number") == null) None
-        else Option(r.get("sequence_number")).map(_.asInstanceOf[Number].longValue())
-      (resolve(tablePath, String.valueOf(r.get("manifest_path"))), seq)
+      def optL(f: String): Option[Long] =
+        if (r.getSchema.getField(f) == null) None
+        else Option(r.get(f)).map(_.asInstanceOf[Number].longValue())
+      (resolve(tablePath, String.valueOf(r.get("manifest_path"))),
+        optL("sequence_number"), optL("first_row_id"))
     }
 
   /** One manifest entry, decoded: content 0 is data, 1 position
@@ -307,10 +315,16 @@ object IcebergRead {
       recordCount: Option[Long] = None,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      firstRowId: Option[Long] = None)
 
   private[sources] def entriesOf(spark: SparkSession, manifestPath: Path,
-      inheritSeq: Option[Long] = None): Seq[EntryInfo] =
+      inheritSeq: Option[Long] = None,
+      inheritFirstRow: Option[Long] = None): Seq[EntryInfo] = {
+    // v3 row-lineage inheritance (r15): a data entry with null
+    // first_row_id is assigned manifest.first_row_id + the record
+    // counts of the manifest's PRECEDING null-first-row data entries
+    var rowAcc = 0L
     avroRecords(spark, manifestPath).map { e =>
       val status = e.get("status").asInstanceOf[Number].intValue()
       val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -407,6 +421,17 @@ object IcebergRead {
       }
       def binMap(field: String): Map[Int, Array[Byte]] =
         kvPairs(field).collect { case (k, v) if v != null => k -> binOf(v) }.toMap
+      val firstRowId: Option[Long] =
+        if (content != 0 || dv.nonEmpty) None
+        else optLong("first_row_id").orElse(inheritFirstRow.map { base =>
+          val rc = optLong("record_count").getOrElse(
+            throw new IllegalStateException(
+              s"data entry in $manifestPath carries neither first_row_id " +
+                "nor record_count; v3 row-lineage inheritance needs one"))
+          val assigned = base + rowAcc
+          rowAcc += rc
+          assigned
+        })
       EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds, dv,
         sizeInBytes = optLong("file_size_in_bytes"),
         recordCount = optLong("record_count"),
@@ -414,8 +439,10 @@ object IcebergRead {
         upperBounds = binMap("upper_bounds"),
         nullCounts = kvPairs("null_value_counts").collect {
           case (k, v) if v != null => k -> v.asInstanceOf[Number].longValue()
-        }.toMap)
+        }.toMap,
+        firstRowId = firstRowId)
     }
+  }
 
   /** A snapshot's live entries (data + delete files), net of
     * DELETED-status entries (default: the current snapshot). */
@@ -430,8 +457,10 @@ object IcebergRead {
       .find(_._1 == snapId).map(_._2)
       .getOrElse(throw new IllegalStateException(
         s"snapshot $snapId not in snapshot list at $tablePath"))
-    manifestsWithSeq(spark, tablePath, listPath)
-      .flatMap { case (mp, listSeq) => entriesOf(spark, mp, listSeq) }
+    manifestRefs(spark, tablePath, listPath)
+      .flatMap { case (mp, listSeq, listFr) =>
+        entriesOf(spark, mp, listSeq, listFr)
+      }
       .filter(_.status != 2)
   }
 
@@ -678,7 +707,8 @@ object IcebergRead {
       * records forward by reference and validates their presence.
       * `manifests`: (absolutePath, sequenceNumber, content). */
     def manifestListFull(dir: String, name: String, snapshotId: Long,
-        manifests: Seq[(String, Long, Int)], specId: Int = 0): String = {
+        manifests: Seq[(String, Long, Int)], specId: Int = 0,
+        firstRowIds: Map[String, Long] = Map.empty): String = {
       val s = SchemaBuilder.record("manifest_file").fields()
         .requiredString("manifest_path").requiredLong("manifest_length")
         .requiredInt("partition_spec_id").requiredInt("content")
@@ -688,6 +718,7 @@ object IcebergRead {
         .requiredInt("deleted_files_count")
         .requiredLong("added_rows_count").requiredLong("existing_rows_count")
         .requiredLong("deleted_rows_count")
+        .optionalLong("first_row_id")
         .endRecord()
       val f = new java.io.File(s"$dir/metadata/$name")
       f.getParentFile.mkdirs()
@@ -708,6 +739,7 @@ object IcebergRead {
         r.put("added_rows_count", 0L)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
+        firstRowIds.get(m).foreach(fr => r.put("first_row_id", fr))
         w.append(r)
       }
       w.close()
@@ -761,11 +793,19 @@ object IcebergRead {
     *     away: the standard MoR read tax.)
     *
     * Delete sides are O(deleted rows), broadcast by AQE when small. */
+  /** `withLineage` (r15 — r14 verdict #5) appends the v3 row-lineage
+    * metadata columns: `_row_id` (the file's first_row_id — explicit
+    * or inherited per the spec — plus the row's position) and
+    * `_last_updated_sequence_number` (the file's data sequence
+    * number). Incremental consumers key row identity on them across
+    * append/delete histories. Tables without row lineage decline by
+    * name. */
   def read(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      withLineage: Boolean = false): DataFrame = {
     val meta = currentMetadata(spark, tablePath)
     readEntries(spark, tablePath, meta,
-      liveEntries(spark, tablePath, meta, snapshotId))
+      liveEntries(spark, tablePath, meta, snapshotId), withLineage)
   }
 
   /** [[read]] over a PRE-RESOLVED live entry set — the face the
@@ -904,15 +944,46 @@ object IcebergRead {
   }
 
   private[sources] def readEntries(spark: SparkSession, tablePath: String,
-      meta: JsonNode, live: Seq[EntryInfo]): DataFrame = {
+      meta: JsonNode, live: Seq[EntryInfo],
+      withLineage: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, when}
     val schema = schemaOf(meta)
+    val outSchema =
+      if (!withLineage) schema
+      else StructType(schema.fields ++ Seq(
+        StructField("_row_id", LongType, nullable = false),
+        StructField("_last_updated_sequence_number", LongType, nullable = false)))
     val data = live.filter(_.content == 0)
     val (dvDels, posDels) = live.filter(_.content == 1).partition(_.dv.nonEmpty)
     val eqDels = live.filter(_.content == 2)
+    // row lineage: one bounded broadcast (file → first_row_id, seq)
+    // map; ids compute as first_row_id + row position, so they survive
+    // merge-on-read untouched (deletes drop rows, never renumber)
+    val lineage: Option[DataFrame] =
+      if (!withLineage) None
+      else {
+        data.find(_.firstRowId.isEmpty).foreach(e =>
+          throw new UnsupportedOperationException(
+            s"data file ${e.path} at $tablePath carries no first_row_id " +
+              "(explicit or inherited); row lineage needs a v3 " +
+              "row-lineage table"))
+        import spark.implicits._
+        Some(data.map(e =>
+          (normPathStr(resolve(tablePath, e.path).toString),
+            e.firstRowId.get, e.seq))
+          .toDF("__g_fp", "__g_frid", "__g_lseq"))
+      }
+    def addLineage(df: DataFrame): DataFrame = lineage match {
+      case None => df
+      case Some(ldf) =>
+        df.join(broadcast(ldf), Seq("__g_fp"))
+          .withColumn("_row_id", col("__g_frid") + col("__g_ri"))
+          .withColumn("_last_updated_sequence_number", col("__g_lseq"))
+          .drop("__g_frid", "__g_lseq")
+    }
     if (data.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     /** The data scan. When every entry carries its manifest-recorded
       * file size (real tables always do), plan through the log-backed
       * [[DeltaLogFileIndex]]: zero filesystem RPCs at planning, and the
@@ -964,9 +1035,13 @@ object IcebergRead {
       else applyDefaultFill(df, defaults, absentByFile)
     if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty) {
       val plain = scanOf(data)
-      return if (!needDefaults) plain
-      else applyDefaults(plain.select(col("*"),
-        normPath(col("_metadata.file_path")).as("__g_fp"))).drop("__g_fp")
+      return if (!needDefaults && lineage.isEmpty) plain
+      else {
+        val tagged = plain.select(col("*"),
+          normPath(col("_metadata.file_path")).as("__g_fp"),
+          col("_metadata.row_index").as("__g_ri"))
+        addLineage(applyDefaults(tagged)).drop("__g_fp", "__g_ri")
+      }
     }
     val posFileDf =
       if (posDels.isEmpty) None
@@ -1033,6 +1108,6 @@ object IcebergRead {
           col("__g_seq") < col("__g_eq_seq")
         df.join(delDf, cond, "left_anti")
       }
-    afterEq.drop("__g_fp", "__g_ri", "__g_seq")
+    addLineage(afterEq).drop("__g_fp", "__g_ri", "__g_seq")
   }
 }

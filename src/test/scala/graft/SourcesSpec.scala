@@ -4321,6 +4321,79 @@ class SourcesSpec extends SparkSpec {
     assert(eN.getMessage.contains("nested non-nullable"), eN.getMessage)
   }
 
+  test("iceberg v3 row lineage: _row_id survives appends and deletes, nulls inherit") {
+    // r14 verdict #5: expose the v3 row-lineage metadata columns.
+    // _row_id = file first_row_id + position — stable across later
+    // appends AND merge-on-read deletes (survivors keep their ids);
+    // _last_updated_sequence_number = the file's data sequence number.
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import graft.sources.IcebergRead.EntryInfo
+    import spark.implicits._
+    val src = Files.createTempDirectory("irl_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("irl_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite((1L to 6L).map(i => (i, i * 10)).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k"), src)
+    IcebergExport.snapshot(spark, src, tgt, formatVersion = 3)
+    def lineage() = IcebergRead.read(spark, tgt, withLineage = true)
+      .select("k", "_row_id", "_last_updated_sequence_number")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lineage() == (1L to 6L).map(k => (k, k - 1, 1L)).toSet,
+      "first snapshot assigns ids 0..5 at sequence 1")
+    TimeTravel.commitAppend((7L to 9L).map(i => (i, i * 10)).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k"), src)
+    IcebergExport.append(spark, src, tgt)
+    val before = lineage()
+    assert(before == ((1L to 6L).map(k => (k, k - 1, 1L)) ++
+      (7L to 9L).map(k => (k, k - 1, 2L))).toSet,
+      s"appended file continues at next-row-id with its own sequence: $before")
+    // MoR delete (publishes v3 deletion vectors): survivors keep ids
+    TimeTravel.deleteMoR(spark, src, col("k") === 2L || col("k") === 7L)
+    IcebergExport.append(spark, src, tgt)
+    assert(lineage() == before.filterNot(t => t._1 == 2L || t._1 == 7L),
+      "deletes drop rows, never renumber")
+    // next-row-id keeps advancing on export (maintained, not frozen)
+    val metaTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/metadata/version-hint.text")).trim
+    val meta = currentIcebergMeta(spark, tgt)
+    assert(meta.get("next-row-id").asLong() == 9L, s"v$metaTxt: $meta")
+    // INHERITANCE: a foreign list-level first_row_id fills null
+    // entries in manifest order by record_count
+    val dirF = Files.createTempDirectory("irl_f").toFile.getAbsolutePath + "/t"
+    val f0 = writeIcebergPart(dirF, "f0.parquet", (1L to 4L).map(i => (i, i, "b0")))
+    val f1 = writeIcebergPart(dirF, "f1.parquet", (5L to 7L).map(i => (i, i, "b0")))
+    val m0 = graft.sources.IcebergRead.Fixture.manifestV2(dirF, "m0.avro", Seq(
+      EntryInfo(1, f0, 0, 1L, Nil, recordCount = Some(4L),
+        sizeInBytes = Some(new java.io.File(f0).length())),
+      EntryInfo(1, f1, 0, 1L, Nil, recordCount = Some(3L),
+        sizeInBytes = Some(new java.io.File(f1).length()))))
+    val mlF = graft.sources.IcebergRead.Fixture.manifestListFull(
+      dirF, "snap-1.avro", 9L, Seq((m0, 1L, 0)),
+      firstRowIds = Map(m0 -> 100L))
+    graft.sources.IcebergRead.Fixture.metadataMulti(dirF, 1, formatVersion = 3,
+      currentSnapshotId = 9L, snapshots = Seq((9L, mlF)),
+      fields = Seq((1, "id", true, "long"), (2, "v", false, "long"),
+        (3, "band", false, "string")),
+      extraJson = ""","next-row-id":107""")
+    val gotF = IcebergRead.read(spark, dirF, withLineage = true)
+      .select("id", "_row_id").as[(Long, Long)].collect().toSet
+    assert(gotF == ((1L to 4L).map(i => (i, 99L + i)) ++
+      (5L to 7L).map(i => (i, 99L + i))).toSet,
+      s"null first_row_id inherits list base + preceding record counts: $gotF")
+    // a table without row lineage declines by name
+    val dirV2 = Files.createTempDirectory("irl_v2").toFile.getAbsolutePath + "/t"
+    val fV = writeIcebergPart(dirV2, "f0.parquet", Seq((1L, 1L, "b0")))
+    val mV = graft.sources.IcebergRead.Fixture.manifestV2(dirV2, "m0.avro",
+      Seq(EntryInfo(1, fV, 0, 1L, Nil)))
+    val mlV = graft.sources.IcebergRead.Fixture.manifestList(dirV2, "snap-1.avro", Seq(mV))
+    graft.sources.IcebergRead.Fixture.metadataMulti(dirV2, 1, formatVersion = 2,
+      currentSnapshotId = 1L, snapshots = Seq((1L, mlV)),
+      fields = Seq((1, "id", true, "long"), (2, "v", false, "long"),
+        (3, "band", false, "string")))
+    val e = intercept[UnsupportedOperationException](
+      IcebergRead.read(spark, dirV2, withLineage = true).collect())
+    assert(e.getMessage.contains("row lineage"), e.getMessage)
+  }
+
   test("iceberg export: days(ts) publishes the day transform with per-file day tuples") {
     // r14 verdict #4: the common Iceberg time layout — partition
     // values are days-from-epoch INTs derived from footer stats, the
