@@ -145,7 +145,7 @@ private[sources] object GraftProcedures {
     "export_delta_append", "export_iceberg_append",
     "delta_history", "delta_checkpoint", "delta_cleanup_log", "delta_vacuum",
     "iceberg_expire_snapshots", "iceberg_remove_orphans",
-    "iceberg_cleanup_metadata")
+    "iceberg_cleanup_metadata", "create_branch", "create_tag", "drop_ref")
 
   def load(name: String): UnboundProcedure = name.toLowerCase match {
     case "optimize" => unbound("optimize",
@@ -294,6 +294,33 @@ private[sources] object GraftProcedures {
           in.getString(0), keepLast = in.getInt(1))
         .map(n => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n))).toArray)
+    // ref CRUD (r15): the SQL face of branch/tag writes —
+    //   CALL graft.create_branch('/iceberg/path', 'dev')
+    //   CALL graft.create_tag('/iceberg/path', 'v1', 77)
+    //   CALL graft.drop_ref('/iceberg/path', 'dev')
+    case "create_branch" => unbound("create_branch",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build()),
+      new StructType().add("snapshot_id", LongType, nullable = false),
+      (spark, in) => Array(InternalRow(IcebergExport.createRef(
+        spark, in.getString(0), in.getString(1), "branch"))))
+    case "create_tag" => unbound("create_tag",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("snapshot_id", LongType).build()),
+      new StructType().add("snapshot_id", LongType, nullable = false),
+      (spark, in) => Array(InternalRow(IcebergExport.createRef(
+        spark, in.getString(0), in.getString(1), "tag",
+        snapshotId = Some(in.getLong(2))))))
+    case "drop_ref" => unbound("drop_ref",
+      Array(ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build()),
+      new StructType().add("dropped", StringType, nullable = false),
+      (spark, in) => {
+        IcebergExport.dropRef(spark, in.getString(0), in.getString(1))
+        Array(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(in.getString(1))))
+      })
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure '$other'; available: ${Names.mkString(", ")}")
   }

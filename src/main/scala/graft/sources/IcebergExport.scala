@@ -908,7 +908,8 @@ object IcebergExport {
   private def commitForeignMeta(targetPath: String, meta: JsonNode, metaV: Int,
       snapId: Long, seqNum: Long, manifestList: String, operation: String,
       firstRowId: Option[Long], nextRowId: Option[Long],
-      ensureEmptySpec: Option[Int] = None): Unit = {
+      ensureEmptySpec: Option[Int] = None,
+      ref: Option[String] = None): Unit = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val ts = System.currentTimeMillis()
     val root = meta.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
@@ -921,17 +922,37 @@ object IcebergExport {
     firstRowId.foreach(r => sn.put("first-row-id", r))
     Option(root.get("current-schema-id")).foreach(id =>
       sn.put("schema-id", id.asInt()))
-    root.put("current-snapshot-id", snapId)
     root.put("last-sequence-number", seqNum)
     root.put("last-updated-ms", ts)
     nextRowId.foreach(n => root.put("next-row-id", n))
-    Option(root.get("refs")).collect { case o: ObjectNode => o }.foreach { refs =>
-      Option(refs.get("main")).collect { case m: ObjectNode => m }
-        .foreach(_.put("snapshot-id", snapId))
-    }
-    if (root.has("snapshot-log")) {
-      val e = root.withArray("snapshot-log").addObject()
-      e.put("timestamp-ms", ts); e.put("snapshot-id", snapId): Unit
+    ref match {
+      case None =>
+        // MAIN commit: advance the current pointer, the main ref, and
+        // the spec's main-history snapshot-log
+        root.put("current-snapshot-id", snapId)
+        Option(root.get("refs")).collect { case o: ObjectNode => o }
+          .foreach { refs =>
+            Option(refs.get("main")).collect { case m: ObjectNode => m }
+              .foreach(_.put("snapshot-id", snapId))
+          }
+        if (root.has("snapshot-log")) {
+          val e = root.withArray("snapshot-log").addObject()
+          e.put("timestamp-ms", ts); e.put("snapshot-id", snapId): Unit
+        }
+      case Some(name) =>
+        // BRANCH commit (r15): only the named ref moves — main, the
+        // current pointer, and the main snapshot-log stay untouched
+        val refs = Option(root.get("refs")).collect { case o: ObjectNode => o }
+          .getOrElse(throw new IllegalArgumentException(
+            s"no refs at $targetPath; create the branch first"))
+        val node = Option(refs.get(name)).collect { case o: ObjectNode => o }
+          .getOrElse(throw new IllegalArgumentException(
+            s"no ref '$name' at $targetPath; create the branch first"))
+        if (Option(node.get("type")).exists(_.asText() == "tag"))
+          throw new UnsupportedOperationException(
+            s"ref '$name' at $targetPath is a TAG — tags are immutable; " +
+              "commit to a branch")
+        node.put("snapshot-id", snapId): Unit
     }
     ensureEmptySpec.foreach { id =>
       val specs = root.withArray("partition-specs")
@@ -943,15 +964,20 @@ object IcebergExport {
         sp.putArray("fields"): Unit
       }
     }
+    publishForeignMeta(targetPath, root, metaV)
+  }
+
+  /** Write metadata v`metaV` under CREATE_NEW (the put-if-absent OCC)
+    * and leave the advisory hint MONOTONIC: a slower concurrent winner
+    * naively stamping its own (lower) number would point readers at a
+    * stale version, so every writer converges the hint on the dir's
+    * numeric max — the final global write can never leave it below. */
+  private def publishForeignMeta(targetPath: String,
+      root: JsonNode, metaV: Int): Unit = {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$targetPath/metadata/v$metaV.metadata.json"),
       jsonMapper.writeValueAsBytes(root),
       java.nio.file.StandardOpenOption.CREATE_NEW)
-    // the hint is advisory but must stay MONOTONIC under concurrent
-    // winners: a slower writer naively stamping its own (lower) number
-    // would point readers at a stale version. Converge on the dir's
-    // numeric max — each writer's last action re-checks, so the final
-    // global write can never leave the hint below the max.
     val hintP = java.nio.file.Paths.get(s"$targetPath/metadata/version-hint.text")
     var settled = false
     while (!settled) {
@@ -964,6 +990,83 @@ object IcebergExport {
       if (cur >= maxV) settled = true
       else java.nio.file.Files.writeString(hintP, maxV.toString): Unit
     }
+  }
+
+  // ------------------------------------------------- ref writes (r15)
+
+  /** CREATE a named branch or tag (r14 verdict #6 — the write half of
+    * [[IcebergRead.readRef]]): a metadata-only commit via the same
+    * deep-copy mutation + CREATE_NEW OCC as foreign appends, so it
+    * works on graft exports and foreign tables alike. Points at
+    * `snapshotId` (default: the current snapshot); the name must be
+    * free. Returns the pinned snapshot id. */
+  def createRef(spark: SparkSession, targetPath: String, name: String,
+      refType: String = "branch", snapshotId: Option[Long] = None,
+      maxRetries: Int = 3): Long = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    requireLocalScheme(targetPath, "createRef")
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be 'branch' or 'tag', got '$refType'")
+    require(name.nonEmpty && name != "main",
+      "ref name must be non-empty and not 'main'")
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      val (baseV, meta) = foreignBase(targetPath)
+      val root = meta.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      val refs = Option(root.get("refs")).collect { case o: ObjectNode => o }
+        .getOrElse(root.putObject("refs"))
+      if (refs.has(name)) throw new IllegalArgumentException(
+        s"ref '$name' already exists at $targetPath; drop it first")
+      val sid = snapshotId.orElse(
+        Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
+        .getOrElse(throw new IllegalStateException(
+          s"no current snapshot at $targetPath to pin '$name' to"))
+      if (!snapsOfMeta(meta).exists(_.id == sid))
+        throw new IllegalArgumentException(
+          s"snapshot $sid is not in the snapshot list of $targetPath")
+      val node = refs.putObject(name)
+      node.put("snapshot-id", sid)
+      node.put("type", refType): Unit
+      root.put("last-updated-ms", System.currentTimeMillis())
+      try { publishForeignMeta(targetPath, root, baseV + 1); return sid }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          lastErr = e; attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"ref commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
+
+  /** DROP a named ref — `main` refuses (the table's identity pointer);
+    * an unknown name is loud. */
+  def dropRef(spark: SparkSession, targetPath: String, name: String,
+      maxRetries: Int = 3): Unit = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    requireLocalScheme(targetPath, "dropRef")
+    require(name != "main", "refusing to drop 'main'")
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      val (baseV, meta) = foreignBase(targetPath)
+      val root = meta.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      val refs = Option(root.get("refs")).collect { case o: ObjectNode => o }
+        .filter(_.has(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no ref '$name' at $targetPath"))
+      refs.remove(name): Unit
+      root.put("last-updated-ms", System.currentTimeMillis())
+      try { publishForeignMeta(targetPath, root, baseV + 1); return }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          lastErr = e; attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"ref commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
   }
 
   /** The spec id a GLOBAL (empty-partition) delete manifest should
@@ -1004,7 +1107,8 @@ object IcebergExport {
     * footer reads; the conflict window is one CREATE_NEW, independent
     * of data size. Returns the new snapshot id. */
   def appendForeign(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-      targetPath: String, maxRetries: Int = 3): Long = {
+      targetPath: String, maxRetries: Int = 3,
+      ref: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{assert_true, broadcast, col, count, lit, when => sqlWhen}
     requireLocalScheme(targetPath, "appendForeign")
     val (v0, meta0) = foreignBase(targetPath)
@@ -1161,8 +1265,23 @@ object IcebergExport {
       val mref = writeManifest(targetPath, f"mf-$uuid-a$attempt.avro", snapId,
         seqNum, files, fields, partCols = partCols, specId = specId, v3 = v3,
         firstRowBase = if (v3) rowBase else None, schemaId = schemaId)
-      val prior = Option(meta.get("current-snapshot-id")).map(_.asLong())
-        .filter(_ != -1L).flatMap(id => snaps.find(_.id == id)) match {
+      // the commit extends the HEAD it targets: main's current
+      // snapshot, or — for a branch commit (r15) — the named ref's
+      val headId: Option[Long] = ref match {
+        case Some(name) =>
+          val refs = IcebergRead.refsOf(meta)
+          val (sid, tpe) = refs.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"no ref '$name' at $targetPath; create the branch first"))
+          if (tpe == "tag") throw new UnsupportedOperationException(
+            s"ref '$name' at $targetPath is a TAG — tags are immutable; " +
+              "commit to a branch")
+          Some(sid)
+        case None =>
+          Option(meta.get("current-snapshot-id")).map(_.asLong())
+            .filter(_ != -1L)
+      }
+      val prior = headId.flatMap(id => snaps.find(_.id == id)) match {
         case Some(s) => avroRecords(spark,
           IcebergRead.resolve(targetPath, s.manifestList))
         case None => Nil
@@ -1173,7 +1292,8 @@ object IcebergExport {
         commitForeignMeta(targetPath, meta, baseV + 1, snapId, seqNum, ml,
           "append",
           firstRowId = if (v3) rowBase else None,
-          nextRowId = if (v3) rowBase.map(_ + addedRows) else None)
+          nextRowId = if (v3) rowBase.map(_ + addedRows) else None,
+          ref = ref)
         return snapId
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>

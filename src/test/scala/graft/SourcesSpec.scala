@@ -4321,6 +4321,75 @@ class SourcesSpec extends SparkSpec {
     assert(eN.getMessage.contains("nested non-nullable"), eN.getMessage)
   }
 
+  test("iceberg ref writes: branch/tag CRUD, branch commits, expire guard, CALL face") {
+    // r14 verdict #6: the write half of readRef. createRef/dropRef are
+    // metadata-only OCC commits; appendForeign(ref=...) moves ONLY the
+    // named branch — main, the current pointer, and the snapshot-log
+    // stay put; tags are immutable; expire keeps ref'd snapshots.
+    import graft.sources.{IcebergExport, IcebergMaintenance, IcebergRead, TimeTravel}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iref_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iref_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite((1L to 4L).map(i => (i, i)).toDF("k", "v"), src)
+    IcebergExport.snapshot(spark, src, tgt)
+    val mainSid = currentIcebergMeta(spark, tgt).get("current-snapshot-id").asLong()
+    // branch off the current snapshot, commit to it, read both sides
+    IcebergExport.createRef(spark, tgt, "dev")
+    IcebergExport.appendForeign(spark,
+      Seq((100L, 1L)).toDF("k", "v"), tgt, ref = Some("dev"))
+    assert(IcebergRead.readRef(spark, tgt, "dev")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 100L),
+      "the branch serves main's base plus the branch commit")
+    assert(IcebergRead.read(spark, tgt)
+      .select("k").as[Long].collect().toSet == (1L to 4L).toSet,
+      "main must NOT see the branch commit")
+    val meta1 = currentIcebergMeta(spark, tgt)
+    assert(meta1.get("current-snapshot-id").asLong() == mainSid,
+      "the current pointer stays on main's head")
+    assert(meta1.get("refs").get("main").get("snapshot-id").asLong() == mainSid)
+    // branch head ≡ snapshot-id read
+    val devSid = meta1.get("refs").get("dev").get("snapshot-id").asLong()
+    assert(IcebergRead.read(spark, tgt, snapshotId = Some(devSid))
+      .select("k").as[Long].collect().toSet ==
+      IcebergRead.readRef(spark, tgt, "dev")
+        .select("k").as[Long].collect().toSet)
+    // tags pin and refuse commits; duplicate names and main-drop refuse
+    IcebergExport.createRef(spark, tgt, "v1", refType = "tag",
+      snapshotId = Some(mainSid))
+    val eTag = intercept[UnsupportedOperationException](
+      IcebergExport.appendForeign(spark,
+        Seq((200L, 1L)).toDF("k", "v"), tgt, ref = Some("v1")))
+    assert(eTag.getMessage.contains("TAG"), eTag.getMessage)
+    val eDup = intercept[IllegalArgumentException](
+      IcebergExport.createRef(spark, tgt, "dev"))
+    assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+    val eMain = intercept[IllegalArgumentException](
+      IcebergExport.dropRef(spark, tgt, "main"))
+    assert(eMain.getMessage.contains("main"), eMain.getMessage)
+    // the expire guard covers CREATED refs: advance main past the
+    // branch head, then a sweep that would expire it refuses BY NAME
+    IcebergExport.appendForeign(spark, Seq((300L, 1L)).toDF("k", "v"), tgt)
+    val eExp = intercept[IllegalArgumentException](
+      IcebergMaintenance.expireSnapshots(spark, tgt,
+        retainLast = 1, dryRun = true))
+    assert(eExp.getMessage.contains("'dev'") ||
+      eExp.getMessage.contains("'v1'"), eExp.getMessage)
+    // the SQL CALL face
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val curSid = currentIcebergMeta(spark, tgt)
+      .get("current-snapshot-id").asLong()
+    val bSid = spark.sql(s"CALL graft.create_branch('$tgt', 'exp')")
+      .head.getLong(0)
+    assert(bSid == curSid, "a fresh branch pins the current snapshot")
+    spark.sql(s"CALL graft.create_tag('$tgt', 'rel', $mainSid)")
+    assert(IcebergRead.readRef(spark, tgt, "rel").count() == 4)
+    assert(spark.sql(s"CALL graft.drop_ref('$tgt', 'exp')")
+      .head.getString(0) == "exp")
+    val eGone = intercept[IllegalArgumentException](
+      IcebergRead.readRef(spark, tgt, "exp"))
+    assert(eGone.getMessage.contains("no ref"), eGone.getMessage)
+  }
+
   test("iceberg v3 row lineage: _row_id survives appends and deletes, nulls inherit") {
     // r14 verdict #5: expose the v3 row-lineage metadata columns.
     // _row_id = file first_row_id + position — stable across later
