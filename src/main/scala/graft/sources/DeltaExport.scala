@@ -702,10 +702,37 @@ object DeltaExport {
           s"column ${f.name} of $tablePath is an identity column; " +
             "appendForeign cannot allocate its values")
     }
-    if (st.config.get("delta.columnMapping.mode").contains("id"))
-      throw new UnsupportedOperationException(
-        s"delta table at $tablePath uses id-mode column mapping; " +
-          "appendForeign writes name-mode physical names only")
+  }
+
+  /** Physical write shape of one logical type: nested fields renamed
+    * to their `physicalName`s, and — in id mode (r15, r14 verdict #7)
+    * — every field additionally tagged `parquet.field.id` from its
+    * `delta.columnMapping.id`, so the staged parquet binds by FIELD ID
+    * the way id-mode readers resolve. Casting to this type carries the
+    * nested metadata into the written schema. */
+  private def physicalWriteType(dt: org.apache.spark.sql.types.DataType,
+      withIds: Boolean): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val phys =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        val mb = new MetadataBuilder()
+        if (withIds && f.metadata.contains("delta.columnMapping.id"))
+          mb.putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+        StructField(phys, physicalWriteType(f.dataType, withIds),
+          f.nullable, mb.build())
+      })
+      case at: ArrayType =>
+        at.copy(elementType = physicalWriteType(at.elementType, withIds))
+      case mt: MapType =>
+        mt.copy(keyType = physicalWriteType(mt.keyType, withIds),
+          valueType = physicalWriteType(mt.valueType, withIds))
+      case other => other
+    }
   }
 
   /** NOT NULL is a writer obligation the spec requires every appender
@@ -815,13 +842,21 @@ object DeltaExport {
     val parts = st0.partitionCols
     val colMap = DeltaRead.colMapOf(targetPath, st0)
     def physOf(c: String) = colMap.getOrElse(c, c)
+    // id mode (r15): every field must carry its delta.columnMapping.id
+    // — colIdsOf validates recursively and loudly; the write then tags
+    // parquet.field.id so id-binding readers resolve the new files
+    val idMode =
+      st0.config.get("delta.columnMapping.mode").contains("id")
+    val colIds = if (idMode) DeltaRead.colIdsOf(targetPath, st0) else Map.empty[String, Int]
     // data files carry only DATA columns, under their physical shape
     val dataSel = schema.fields.toSeq.filterNot(f => parts.contains(f.name))
       .map { f =>
-        val physT = DeltaRead.physicalType(f.dataType)
+        val physT = physicalWriteType(f.dataType, idMode)
         val c = col(f.name)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        colIds.get(f.name).foreach(id => mb.putLong("parquet.field.id", id.toLong))
         (if (colMap.nonEmpty && physT != f.dataType) c.cast(physT) else c)
-          .as(physOf(f.name))
+          .as(physOf(f.name), mb.build())
       }
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val staging = s"$targetPath/_graft_staging_$uuid"

@@ -4271,6 +4271,72 @@ class SourcesSpec extends SparkSpec {
       Set(0L, 100L, 200L, 300L, 400L), "no concurrent append may be lost")
   }
 
+  test("delta foreign append: id-mode mapped tables write parquet field ids") {
+    // r14 verdict #7: the read path resolves id-mode tables by
+    // parquet field id (footers may carry ARBITRARY column names); the
+    // write path must therefore tag its staged files with the
+    // schema's delta.columnMapping.ids — a name-only append would
+    // serve nulls through every id-binding reader.
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dforeign_id").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def idMeta(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // the seed file binds ids 1/2 under names NO mapping mentions
+    val seed = Seq((1L, 10L)).toDF("a", "b").select(
+      col("a").as("zz_a", idMeta(1)), col("b").as("zz_b", idMeta(2)))
+    val tmp = Files.createTempDirectory("dfid_stage").toFile.getAbsolutePath
+    seed.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/fA.parquet")): Unit
+    def fmeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val esc = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("cents", LongType, nullable = true, fmeta(2, "col-2")))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idmfor","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+      """{"add":{"path":"fA.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaExport.appendForeign(spark,
+      Seq((2L, 20L), (3L, 30L)).toDF("id", "cents"), dir)
+    assert(DeltaRead.read(spark, dir).select("id", "cents")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "seed and appended files both resolve by field id")
+    // the staged file itself carries the ids (physical names ride too)
+    val conf = spark.sessionState.newHadoopConf()
+    val newPart = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val pschema = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(newPart.getAbsolutePath), conf))
+      .getFooter.getFileMetaData.getSchema
+    assert(Seq("col-1", "col-2").map(n =>
+      pschema.getType(Seq(n): _*).getId.intValue()) == Seq(1, 2),
+      s"staged id-mode files must carry field ids: $pschema")
+    // a field missing its id still dies loudly before any write
+    val dir2 = Files.createTempDirectory("dforeign_id2").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir2).mkdirs()
+    writeDeltaPart(dir2, "f1.parquet", Seq((1L, 1L)))
+    val escBad = StructType(Seq(
+      StructField("id", LongType, nullable = true, fmeta(1, "col-1")),
+      StructField("v", LongType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    writeDeltaCommit(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idmforbad","format":{"provider":"parquet","options":{}},"schemaString":"$escBad","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e = intercept[IllegalStateException](
+      DeltaExport.appendForeign(spark, Seq((2L, 2L)).toDF("id", "v"), dir2))
+    assert(e.getMessage.contains("delta.columnMapping.id"), e.getMessage)
+  }
+
   test("delta foreign append: NOT NULL columns are enforced, nested non-nullable declines") {
     // r14 ADVICE: the spec makes NOT NULL a writer obligation — an
     // appender that cannot validate it must not commit past it. Top
