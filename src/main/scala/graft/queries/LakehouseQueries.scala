@@ -335,21 +335,13 @@ object LakehouseQueries {
         .withColumn("cents", col("cents") + 1)
         .select("band", "k", "cents"), tgt): Unit
     val got = IcebergRead.read(s, tgt)
-    require(Option(currentMetaNode(tgt).get("properties"))
+    require(Option(IcebergRead.currentMetadata(s, tgt).get("properties"))
       .exists(_.get("owner").asText() == "external-team"),
       "foreign properties must survive every mutation-based commit")
     got.groupBy(col("band"))
       .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
         sum(col("cents")).as("sum_cents"))
       .orderBy("band")
-  }
-
-  private def currentMetaNode(dir: String): com.fasterxml.jackson.databind.JsonNode = {
-    val hint = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")).trim
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$dir/metadata/v$hint.metadata.json")))
   }
 
   val all: Seq[QueryDef] =

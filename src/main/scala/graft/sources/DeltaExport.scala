@@ -735,11 +735,53 @@ object DeltaExport {
     }
   }
 
+  /** Sum of footer null counts for `cols` across every parquet part
+    * under `dir` (recursive), keyed by column name; None when some
+    * row-bearing file lacks statistics for the column. NOT NULL /
+    * `required` writer obligations validate from the STAGED footers —
+    * already written, so no persist and no second pass over the frame
+    * (r15 review: the aggregate-prepass doubled write I/O). */
+  private[sources] def stagedNullCounts(
+      conf: org.apache.hadoop.conf.Configuration, dir: Path,
+      cols: Seq[String]): Map[String, Option[Long]] = {
+    import scala.jdk.CollectionConverters._
+    val fs = dir.getFileSystem(conf)
+    val parts = Seq.newBuilder[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        parts += s.getPath
+    }
+    val acc = scala.collection.mutable.Map[String, Option[Long]](
+      cols.map(_ -> (Some(0L): Option[Long])): _*)
+    parts.result().foreach { p =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        if (rdr.getRecordCount > 0) {
+          val footer = rdr.getFooter
+          cols.foreach { c =>
+            val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == c))
+            val stats = chunks.map(_.getStatistics)
+            val n: Option[Long] =
+              if (chunks.isEmpty || stats.exists(s => s == null || !s.isNumNullsSet))
+                None
+              else Some(stats.map(_.getNumNulls).sum)
+            acc(c) = for { a <- acc(c); b <- n } yield a + b
+          }
+        }
+      } finally rdr.close()
+    }
+    acc.toMap
+  }
+
   /** NOT NULL is a writer obligation the spec requires every appender
-    * to enforce. Top-level non-nullable columns are validated with one
-    * aggregate over the frame ([[appendForeign]]); non-nullable fields
-    * NESTED under structs/arrays/maps cannot be validated that cheaply,
-    * so their presence declines by name — same stance as invariants. */
+    * to enforce. Top-level non-nullable columns are validated from the
+    * staged footers ([[appendForeign]]); non-nullable fields NESTED
+    * under structs/arrays/maps cannot be validated that cheaply, so
+    * their presence declines by name — same stance as invariants. */
   private def nestedNonNullable(dt: org.apache.spark.sql.types.DataType)
       : Boolean = {
     import org.apache.spark.sql.types._
@@ -878,30 +920,43 @@ object DeltaExport {
         s""""size":${stt.getLen},"modificationTime":${stt.getModificationTime},""" +
         s""""dataChange":true${statsFragment(conf, dest.toString)}}}"""
     }
-    // Persist when any pass beyond the write itself reads the frame
-    // (the NOT NULL aggregate; the partition-tuple collect). Without
-    // it a nondeterministic input (rand(), re-evaluated shuffle) can
-    // re-evaluate differently between passes — tuples absent from the
-    // collected map would silently drop rows from the commit.
-    val multiPass = notNullCols.nonEmpty || parts.nonEmpty
+    // Persist when a pass beyond the write itself reads the frame
+    // (the partition-tuple collect). Without it a nondeterministic
+    // input (rand(), re-evaluated shuffle) can re-evaluate differently
+    // between passes — tuples absent from the collected map would
+    // silently drop rows from the commit.
+    val multiPass = parts.nonEmpty
     val src = if (multiPass)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
-    val adds = Seq.newBuilder[String]
-    try {
-      if (notNullCols.nonEmpty) {
-        import org.apache.spark.sql.functions.{count, when => sqlWhen, lit}
-        val counts = src.select(notNullCols.map(c =>
-          count(sqlWhen(col(c).isNull, lit(1))).as(c)): _*).collect()(0)
-        val violated = notNullCols.zipWithIndex
-          .collect { case (c, i) if counts.getLong(i) > 0 =>
-            s"$c (${counts.getLong(i)} nulls)" }
+    // NOT NULL validates from the STAGED footers (null counts ride
+    // every parquet footer) instead of an aggregate prepass — no
+    // persist, no second read of the frame; a violating append fails
+    // BEFORE any file is published (the staging dir is discarded)
+    val notNullData = notNullCols.filterNot(parts.contains)
+      .map(n => physOf(n) -> n)
+    def requireStagedNotNull(): Unit =
+      if (notNullData.nonEmpty) {
+        val counts = stagedNullCounts(conf, new Path(staging),
+          notNullData.map(_._1))
+        val violated = notNullData.flatMap { case (phys, logical) =>
+          counts(phys) match {
+            case Some(0L) => None
+            case Some(c) => Some(s"$logical ($c nulls)")
+            case None => throw new IllegalStateException(
+              s"staged files carry no null-count statistics for $logical; " +
+                "cannot validate NOT NULL")
+          }
+        }
         if (violated.nonEmpty) throw new IllegalArgumentException(
           s"appendForeign frame carries nulls in NOT NULL column(s) of " +
             s"$targetPath: ${violated.mkString(", ")}")
       }
+    val adds = Seq.newBuilder[String]
+    try {
       if (parts.isEmpty) {
         src.select(dataSel: _*).write.mode("overwrite").parquet(staging)
+        requireStagedNotNull()
         fsys.listStatus(new Path(staging)).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, i) =>
@@ -912,6 +967,12 @@ object DeltaExport {
         // null-safely, ONE distributed partitionBy write (no per-tuple
         // jobs), index dirs decode exactly (no path-unescape guesswork)
         val tuples = src.select(parts.map(col): _*).distinct().collect()
+        notNullCols.filter(parts.contains).foreach { p =>
+          val j = parts.indexOf(p)
+          if (tuples.exists(_.isNullAt(j))) throw new IllegalArgumentException(
+            s"appendForeign frame carries nulls in NOT NULL column(s) of " +
+              s"$targetPath: $p (partition column)")
+        }
         val idxSchema = StructType(
           parts.map(p => schema(p).copy(nullable = true)) :+
             StructField("__gp", IntegerType, nullable = false))
@@ -935,6 +996,7 @@ object DeltaExport {
           col("r.__gp")).as("__gp")
         joined.select(dataSel.map(c => c) :+ gpGuarded: _*)
           .write.partitionBy("__gp").mode("overwrite").parquet(staging)
+        requireStagedNotNull()
         tuples.zipWithIndex.foreach { case (r, i) =>
           val dir = new Path(staging, s"__gp=$i")
           if (fsys.exists(dir)) {

@@ -259,10 +259,11 @@ object DeltaRead {
         else {
           val confB = spark.sparkContext.broadcast(
             new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-          spark.sparkContext
+          try spark.sparkContext
             .parallelize(missing, math.min(missing.size, 256))
             .map(f => f -> footerFieldIds(confB.value.value, f))
             .collect().toSeq // bounded: one (path, id→name) row per file
+          finally confB.destroy() // else one leaked broadcast per batch
         }
       resolved.foreach { case (f, m) => fieldIdCache.put(f, m) }
     }

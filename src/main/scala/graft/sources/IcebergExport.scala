@@ -485,6 +485,7 @@ object IcebergExport {
   private def writeManifestList(dir: String, name: String, snapshotId: Long,
       seqNum: Long, prior: Seq[GenericRecord],
       newManifests: Seq[ManifestRef], v3: Boolean = false): String = {
+    import scala.jdk.CollectionConverters._
     val s = manifestFileSchema(v3)
     val f = new java.io.File(s"$dir/metadata/$name")
     f.getParentFile.mkdirs()
@@ -495,8 +496,22 @@ object IcebergExport {
     w.create(s, f)
     prior.foreach { old =>
       val r = new GenericData.Record(s)
+      // resolve each target field against the WRITER schema by spec
+      // FIELD ID first (the spec's identity — the reference Iceberg
+      // implementation names the count fields added_data_files_count/…
+      // in Avro while the spec text says added_files_count), then by
+      // name. Writer-only optional fields (e.g. the `partitions`
+      // summaries, 507) are dropped from carried records — they are
+      // advisory pruning stats, never correctness.
+      val byId = old.getSchema.getFields.asScala.flatMap { wf =>
+        Option(wf.getObjectProp("field-id"))
+          .map(p => p.asInstanceOf[Number].intValue() -> wf.name())
+      }.toMap
       s.getFields.forEach { fd =>
-        val v = old.get(fd.name())
+        val srcName = Option(fd.getObjectProp("field-id"))
+          .map(_.asInstanceOf[Number].intValue()).flatMap(byId.get)
+          .orElse(Option(old.getSchema.getField(fd.name())).map(_.name()))
+        val v = srcName.map(old.get).orNull
         // a foreign prior list missing a spec-REQUIRED field (our
         // non-union fields) cannot be carried forward with a guessed
         // value — sequence numbers drive merge-on-read ordering
@@ -802,10 +817,13 @@ object IcebergExport {
       val (_, srcName, _, t) = fields.find(_._1 == srcId).getOrElse(
         throw new IllegalStateException(
           s"partition source-id $srcId is not in the published schema"))
+      // srcName resolves via source-id — a spec's DISPLAY name may
+      // differ from the source column's (foreign layouts often do)
       if (tr == "day")
         PartCol(f.get("name").asText(), "int", f.get("field-id").asInt(),
           srcId, transform = "day", srcType = t, srcNameOpt = Some(srcName))
-      else PartCol(f.get("name").asText(), t, f.get("field-id").asInt(), srcId)
+      else PartCol(f.get("name").asText(), t, f.get("field-id").asInt(),
+        srcId, srcNameOpt = Some(srcName))
     }
   }
 
@@ -1109,7 +1127,7 @@ object IcebergExport {
   def appendForeign(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
       targetPath: String, maxRetries: Int = 3,
       ref: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{assert_true, broadcast, col, count, lit, when => sqlWhen}
+    import org.apache.spark.sql.functions.{assert_true, broadcast, col, lit, when => sqlWhen}
     requireLocalScheme(targetPath, "appendForeign")
     val (v0, meta0) = foreignBase(targetPath)
     val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
@@ -1145,9 +1163,12 @@ object IcebergExport {
           s"match the table schema (${fields.map(f => s"${f._2}: ${f._4}")
             .mkString(", ")}) at $targetPath")
     val requiredCols = fields.filter(_._3).map(_._2)
-    // persist when any pass beyond the write reads the frame — same
-    // nondeterminism stance as the Delta twin
-    val multiPass = requiredCols.nonEmpty || partCols.nonEmpty
+    // persist when a pass beyond the write reads the frame (the
+    // partition-tuple collect) — same nondeterminism stance as the
+    // Delta twin. `required` validates from the STAGED footers, not
+    // an aggregate prepass, so it forces no persist and no second
+    // read; a violating append fails BEFORE any file is published.
+    val multiPass = partCols.nonEmpty
     val src = if (multiPass)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
@@ -1159,6 +1180,23 @@ object IcebergExport {
       col(n).as(n, new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", id.toLong).build())
     }
+    def requireStagedRequired(): Unit =
+      if (requiredCols.nonEmpty) {
+        val counts = DeltaExport.stagedNullCounts(conf, new Path(stage),
+          requiredCols)
+        val violated = requiredCols.flatMap { c =>
+          counts(c) match {
+            case Some(0L) => None
+            case Some(n) => Some(s"$c ($n nulls)")
+            case None => throw new IllegalStateException(
+              s"staged files carry no null-count statistics for $c; " +
+                "cannot validate the required column")
+          }
+        }
+        if (violated.nonEmpty) throw new IllegalArgumentException(
+          s"appendForeign frame carries nulls in required column(s) of " +
+            s"$targetPath: ${violated.mkString(", ")}")
+      }
     def publish(staged: Path, destName: String): String = {
       val dest = new Path(s"$targetPath/data", destName)
       fsys.mkdirs(dest.getParent)
@@ -1168,18 +1206,9 @@ object IcebergExport {
     }
     val stagedPaths = Seq.newBuilder[String]
     try {
-      if (requiredCols.nonEmpty) {
-        val counts = src.select(requiredCols.map(c =>
-          count(sqlWhen(col(c).isNull, lit(1))).as(c)): _*).collect()(0)
-        val violated = requiredCols.zipWithIndex
-          .collect { case (c, i) if counts.getLong(i) > 0 =>
-            s"$c (${counts.getLong(i)} nulls)" }
-        if (violated.nonEmpty) throw new IllegalArgumentException(
-          s"appendForeign frame carries nulls in required column(s) of " +
-            s"$targetPath: ${violated.mkString(", ")}")
-      }
       if (partCols.isEmpty) {
         src.select(sel: _*).write.mode("overwrite").parquet(stage)
+        requireStagedRequired()
         fsys.listStatus(new Path(stage)).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, i) =>
@@ -1191,15 +1220,18 @@ object IcebergExport {
         // partition columns STAY in the data files (the shape engines
         // write), and [[describeFiles]] re-derives each file's tuple
         // from footer stats with the purity check
-        val tuples = src.select(partCols.map(pc => col(pc.name)): _*)
+        // the data side binds the SOURCE column names (the spec's
+        // display name may differ); the manifest partition record
+        // keeps the spec names via writeManifest
+        val tuples = src.select(partCols.map(pc => col(pc.srcName)): _*)
           .distinct().collect()
         if (tuples.exists(r => (0 until r.size).exists(r.isNullAt)))
           throw new UnsupportedOperationException(
             s"null partition values at $targetPath are outside this " +
               "writer's identity set")
         val idxSchema = StructType(
-          partCols.map(pc => StructField(pc.name,
-            df.schema(pc.name).dataType, nullable = true)) :+
+          partCols.map(pc => StructField(pc.srcName,
+            df.schema(pc.srcName).dataType, nullable = true)) :+
             StructField("__gp", IntegerType, nullable = false))
         import scala.jdk.CollectionConverters._
         val idxDf = spark.createDataFrame(
@@ -1207,7 +1239,7 @@ object IcebergExport {
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
           }.toSeq.asJava, idxSchema)
         val joined = src.as("l").join(broadcast(idxDf.as("r")),
-          partCols.map(pc => col(s"l.${pc.name}") <=> col(s"r.${pc.name}"))
+          partCols.map(pc => col(s"l.${pc.srcName}") <=> col(s"r.${pc.srcName}"))
             .reduce(_ && _), "left")
         val gpGuarded = sqlWhen(
           assert_true(col("r.__gp").isNotNull,
@@ -1222,6 +1254,7 @@ object IcebergExport {
         }
         joined.select(selL :+ gpGuarded: _*)
           .write.partitionBy("__gp").mode("overwrite").parquet(stage)
+        requireStagedRequired()
         tuples.indices.foreach { i =>
           val dir = new Path(stage, s"__gp=$i")
           if (fsys.exists(dir))

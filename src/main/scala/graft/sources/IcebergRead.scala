@@ -75,8 +75,11 @@ object IcebergRead {
     else new Path(s"$tablePath/$p")
   }
 
-  /** The current metadata JSON for the table. */
-  private[sources] def currentMetadata(spark: SparkSession, tablePath: String): JsonNode = {
+  /** The current metadata JSON for the table. Visible through the
+    * graft package so query evidence and tests resolve metadata by the
+    * SAME hint/numeric-max rule the engine does (r15 review: three
+    * hand-rolled copies had appeared). */
+  private[graft] def currentMetadata(spark: SparkSession, tablePath: String): JsonNode = {
     val metaDir = s"$tablePath/metadata"
     val f = fs(spark, tablePath)
     if (!f.exists(new Path(metaDir)))
@@ -702,24 +705,50 @@ object IcebergRead {
         java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"), v.toString)
     }
 
-    /** FULL-shape manifest list (every spec-required field) — the
-      * shape real engines write; foreign write-back carries these
-      * records forward by reference and validates their presence.
-      * `manifests`: (absolutePath, sequenceNumber, content). */
+    /** FULL-shape manifest list (every spec-required field, each
+      * tagged with its spec field-id) — the shape real engines write;
+      * foreign write-back carries these records forward by reference
+      * and validates their presence. `javaNames` uses the reference
+      * implementation's Avro field names for the count trio
+      * (`added_data_files_count`/…, resolved by field id 504/505/506,
+      * not name). `manifests`: (absolutePath, sequenceNumber,
+      * content). */
     def manifestListFull(dir: String, name: String, snapshotId: Long,
         manifests: Seq[(String, Long, Int)], specId: Int = 0,
-        firstRowIds: Map[String, Long] = Map.empty): String = {
-      val s = SchemaBuilder.record("manifest_file").fields()
-        .requiredString("manifest_path").requiredLong("manifest_length")
-        .requiredInt("partition_spec_id").requiredInt("content")
-        .requiredLong("sequence_number").requiredLong("min_sequence_number")
-        .requiredLong("added_snapshot_id")
-        .requiredInt("added_files_count").requiredInt("existing_files_count")
-        .requiredInt("deleted_files_count")
-        .requiredLong("added_rows_count").requiredLong("existing_rows_count")
-        .requiredLong("deleted_rows_count")
-        .optionalLong("first_row_id")
-        .endRecord()
+        firstRowIds: Map[String, Long] = Map.empty,
+        javaNames: Boolean = false): String = {
+      def fld(n: String, t: Schema.Type, id: Int): Schema.Field = {
+        val f = new Schema.Field(n, Schema.create(t), null,
+          null.asInstanceOf[Object])
+        f.addProp("field-id", id: Integer)
+        f
+      }
+      def optLongFld(n: String, id: Int): Schema.Field = {
+        val union = Schema.createUnion(java.util.List.of(
+          Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+        val f = new Schema.Field(n, union, null, Schema.Field.NULL_DEFAULT_VALUE)
+        f.addProp("field-id", id: Integer)
+        f
+      }
+      def cntName(base: String): String =
+        if (javaNames) s"${base}_data_files_count" else s"${base}_files_count"
+      import Schema.Type.{INT, LONG, STRING}
+      val s = Schema.createRecord("manifest_file", null, null, false)
+      s.setFields(java.util.List.of(
+        fld("manifest_path", STRING, 500),
+        fld("manifest_length", LONG, 501),
+        fld("partition_spec_id", INT, 502),
+        fld("content", INT, 517),
+        fld("sequence_number", LONG, 515),
+        fld("min_sequence_number", LONG, 516),
+        fld("added_snapshot_id", LONG, 503),
+        fld(cntName("added"), INT, 504),
+        fld(cntName("existing"), INT, 505),
+        fld(cntName("deleted"), INT, 506),
+        fld("added_rows_count", LONG, 512),
+        fld("existing_rows_count", LONG, 513),
+        fld("deleted_rows_count", LONG, 514),
+        optLongFld("first_row_id", 520)))
       val f = new java.io.File(s"$dir/metadata/$name")
       f.getParentFile.mkdirs()
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
@@ -733,9 +762,9 @@ object IcebergRead {
         r.put("sequence_number", seq)
         r.put("min_sequence_number", seq)
         r.put("added_snapshot_id", snapshotId)
-        r.put("added_files_count", 1)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
+        r.put(cntName("added"), 1)
+        r.put(cntName("existing"), 0)
+        r.put(cntName("deleted"), 0)
         r.put("added_rows_count", 0L)
         r.put("existing_rows_count", 0L)
         r.put("deleted_rows_count", 0L)
@@ -869,16 +898,19 @@ object IcebergRead {
     } finally rdr.close()
   }
 
-  /** Per-file footer column-name sets, CACHED (data files are
-    * immutable — a path's footer never changes, so repeated reads and
-    * every streaming batch hit the cache) and, for large uncached
+  /** Per-file footer column-name sets, CACHED and, for large uncached
     * batches, DISTRIBUTED across executors instead of probed
     * sequentially on the driver — on a 100k-file default-bearing v3
     * table the serial loop was minutes of driver I/O at planning
     * (r14 verdict weak-at-scale; same shape as
-    * [[DeltaRead.fieldIdsOfFiles]]). */
+    * [[DeltaRead.fieldIdsOfFiles]]). The cache leans on the table
+    * spec's IMMUTABLE-data-file contract (a committed path's footer
+    * never changes; replacing content in place is out-of-contract for
+    * every Iceberg writer) and is size-bounded so a long-lived session
+    * scanning many tables cannot grow it without limit. */
   private val footerNameCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val FooterCacheMax = 1 << 20
 
   private def absentDefaultsByFile(spark: SparkSession,
       defaults: Seq[(String, org.apache.spark.sql.Column)],
@@ -894,11 +926,14 @@ object IcebergRead {
           val confB = spark.sparkContext.broadcast(
             new DeltaRead.SerializableHadoopConf(
               spark.sessionState.newHadoopConf()))
-          spark.sparkContext
+          try spark.sparkContext
             .parallelize(missing, math.min(missing.size, 256))
             .map(p => p -> footerColumnNames(confB.value.value, p))
             .collect().toSeq // bounded: one (path, name-set) row per file
+          finally confB.destroy() // else one leaked broadcast per batch
         }
+      if (footerNameCache.size() + resolved.size > FooterCacheMax)
+        footerNameCache.clear() // crude but safe: correctness never depends on a hit
       resolved.foreach { case (p, names) => footerNameCache.put(p, names) }
     }
     distinct.map { p =>
@@ -1037,10 +1072,14 @@ object IcebergRead {
       val plain = scanOf(data)
       return if (!needDefaults && lineage.isEmpty) plain
       else {
-        val tagged = plain.select(col("*"),
-          normPath(col("_metadata.file_path")).as("__g_fp"),
-          col("_metadata.row_index").as("__g_ri"))
-        addLineage(applyDefaults(tagged)).drop("__g_fp", "__g_ri")
+        // row_index materializes per row — project it only when the
+        // lineage columns actually need it (defaults key on file path)
+        val metaCols = Seq(normPath(col("_metadata.file_path")).as("__g_fp")) ++
+          (if (lineage.nonEmpty)
+            Seq(col("_metadata.row_index").as("__g_ri")) else Nil)
+        val tagged = plain.select(col("*") +: metaCols: _*)
+        addLineage(applyDefaults(tagged))
+          .drop("__g_fp", "__g_ri")
       }
     }
     val posFileDf =

@@ -2263,13 +2263,8 @@ class SourcesSpec extends SparkSpec {
         (3, "band", false, "string")))
 
   private def currentIcebergMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): com.fasterxml.jackson.databind.JsonNode = {
-    val hint = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")).trim
-    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$dir/metadata/v$hint.metadata.json")))
-  }
+      dir: String): com.fasterxml.jackson.databind.JsonNode =
+    graft.sources.IcebergRead.currentMetadata(spark, dir)
 
   private def writeIcebergPart(dir: String, rel: String,
       rows: Seq[(Long, Long, String)]): String = {
@@ -4608,8 +4603,11 @@ class SourcesSpec extends SparkSpec {
     val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 5L).map(i => (i, i * 10, "b0")))
     val m0 = graft.sources.IcebergRead.Fixture.manifestV2(dir, "m0.avro",
       Seq(graft.sources.IcebergRead.EntryInfo(1, f0, 0, 1L, Nil)))
+    // javaNames: the reference implementation's Avro count-field names
+    // (added_data_files_count/…) — carry-forward must resolve them by
+    // FIELD ID (504/505/506), not by graft's spec-text names
     val ml = graft.sources.IcebergRead.Fixture.manifestListFull(
-      dir, "snap-ext-1.avro", 77L, Seq((m0, 1L, 0)))
+      dir, "snap-ext-1.avro", 77L, Seq((m0, 1L, 0)), javaNames = true)
     graft.sources.IcebergRead.Fixture.metadataMulti(dir, 1, formatVersion = 2,
       currentSnapshotId = 77L, snapshots = Seq((77L, ml)), fields,
       extraJson = ""","last-sequence-number":1,""" +
@@ -4680,10 +4678,12 @@ class SourcesSpec extends SparkSpec {
       Seq(graft.sources.IcebergRead.EntryInfo(1, f0, 0, 1L, Nil)))
     val ml = graft.sources.IcebergRead.Fixture.manifestListFull(
       dir, "snap-ext-1.avro", 77L, Seq((m0, 1L, 0)), specId = 5)
+    // the spec's DISPLAY name differs from the source column — tuples
+    // must bind the source column (source-id 9 → band), not "band_p"
     graft.sources.IcebergRead.Fixture.metadataMulti(dir, 1, formatVersion = 2,
       currentSnapshotId = 77L, snapshots = Seq((77L, ml)), fields,
       extraJson = ""","last-sequence-number":1,"default-spec-id":5,""" +
-        """"partition-specs":[{"spec-id":5,"fields":[{"name":"band",""" +
+        """"partition-specs":[{"spec-id":5,"fields":[{"name":"band_p",""" +
         """"transform":"identity","source-id":9,"field-id":1000}]}]""")
     IcebergExport.appendForeign(spark,
       Seq((5L, 50L, "b1"), (6L, 60L, "b0"), (7L, 70L, "b1"))
