@@ -4747,6 +4747,76 @@ class SourcesSpec extends SparkSpec {
       Set(0L, 100L, 200L, 300L, 400L), "no concurrent append may be lost")
   }
 
+  test("iceberg foreign append: seeded randomized interleave with equality deletes vs model") {
+    // the r15 write path under randomized shapes: v2 AND v3 tables,
+    // identity-partitioned and not, java-named and spec-named prior
+    // lists, random interleavings of appendForeign and
+    // appendEqualityDeletes — the replay must equal an in-memory model
+    // applying the spec's strictly-older delete rule, including
+    // resurrection of previously-deleted keys.
+    import graft.sources.{IcebergExport, IcebergRead}
+    import graft.sources.IcebergRead.{EntryInfo, Fixture}
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x15EBE46L)
+    (1 to 4).foreach { trial =>
+      val fv = if (rnd.nextBoolean()) 3 else 2
+      val partitioned = rnd.nextBoolean()
+      val dir = Files.createTempDirectory(s"ifsw$trial").toFile.getAbsolutePath + "/t"
+      val seed = (1L to (1 + rnd.nextInt(4))).map(i =>
+        (i, rnd.nextInt(50).toLong, "b0")) // band-pure seed file
+      val f0 = writeIcebergPart(dir, "f0.parquet", seed)
+      val m0 = Fixture.manifestV2(dir, "m0.avro",
+        Seq(EntryInfo(1, f0, 0, 1L, Nil)))
+      val ml = Fixture.manifestListFull(dir, "snap-1.avro", 11L,
+        Seq((m0, 1L, 0)), specId = if (partitioned) 3 else 0,
+        javaNames = rnd.nextBoolean())
+      val fields = Seq((2, "id", true, "long"), (5, "v", false, "long"),
+        (8, "band", false, "string"))
+      val specJson =
+        if (!partitioned) ""
+        else ""","default-spec-id":3,"partition-specs":[{"spec-id":3,""" +
+          """"fields":[{"name":"band","transform":"identity",""" +
+          """"source-id":8,"field-id":1000}]}]"""
+      val rowJson = if (fv == 3) s""","next-row-id":${seed.size}""" else ""
+      Fixture.metadataMulti(dir, 1, fv, 11L, Seq((11L, ml)), fields,
+        extraJson = s""","last-sequence-number":1$specJson$rowJson""")
+      var seq = 1L
+      var model = seed.map(t => (t._1, t._2, t._3, 1L)).toSet
+      val deadIds = scala.collection.mutable.Set.empty[Long]
+      var nextId = 100L
+      (1 to 3 + rnd.nextInt(3)).foreach { _ =>
+        seq += 1
+        if (rnd.nextInt(3) == 0 && model.nonEmpty) {
+          val live = model.map(_._1).toSeq.sorted
+          val ks = {
+            val picked = live.filter(_ => rnd.nextBoolean()).take(3)
+            if (picked.isEmpty) Seq(live.head) else picked
+          }
+          IcebergExport.appendEqualityDeletes(spark, dir, ks.toDF("id")): Unit
+          val kset = ks.toSet
+          model = model.filterNot(t => kset(t._1) && t._4 < seq)
+          deadIds ++= ks
+        } else {
+          val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+            val id =
+              if (deadIds.nonEmpty && rnd.nextInt(3) == 0) {
+                val r = deadIds.head; deadIds -= r; r // resurrection
+              } else { val r = nextId; nextId += 1; r }
+            (id, rnd.nextInt(50).toLong, s"b${rnd.nextInt(3)}")
+          }
+          IcebergExport.appendForeign(spark,
+            rows.toDF("id", "v", "band"), dir): Unit
+          model ++= rows.map(t => (t._1, t._2, t._3, seq))
+        }
+      }
+      val got = IcebergRead.read(spark, dir).select("id", "v", "band")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == model.map(t => (t._1, t._2, t._3)),
+        s"trial $trial fv=$fv partitioned=$partitioned:\n got=$got\n" +
+          s"want=${model.map(t => (t._1, t._2, t._3))}")
+    }
+  }
+
   test("puffin lz4 and iceberg staging guards fail loudly, not obscurely") {
     // r14 ADVICE: a declared lz4 content size past Int range must name
     // the unsupported size, not overflow into a negative-ctor error;
