@@ -858,7 +858,13 @@ object DeltaExport {
       maxRetries: Int = 3): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
-    val st0 = DeltaRead.replay(spark, targetPath)
+    // version-ANCHORED base state (the deleteForeign stance): list
+    // first, replay capped at that version, and have the OCC loop
+    // re-validate whenever the commit target moves past the anchor —
+    // a racing metaData change that lands BEFORE our listing must not
+    // be silently committed past
+    val baseV = nextDeltaVersion(spark, targetPath) - 1
+    val st0 = DeltaRead.replay(spark, targetPath, Some(baseV))
     val schemaJson = st0.schemaJson.getOrElse(throw new IllegalStateException(
       s"delta log at $targetPath has no metaData action"))
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -1016,12 +1022,17 @@ object DeltaExport {
       fsys.delete(new Path(staging), true): Unit
     }
     val data = adds.result()
-    // OCC commit: the data files are final; only the JSON number races
+    // OCC commit: the data files are final; only the JSON number races.
+    // Validation keys on the commit target moving past the anchored
+    // base (not just on a put-if-absent collision), so intervening
+    // commits are always re-checked for schema/protocol drift.
     var attempt = 0
     var lastErr: Throwable = null
+    var validatedThrough = baseV
     while (attempt <= maxRetries) {
-      if (attempt > 0) {
-        val stNow = DeltaRead.replay(spark, targetPath)
+      val v = nextDeltaVersion(spark, targetPath)
+      if (v != validatedThrough + 1) {
+        val stNow = DeltaRead.replay(spark, targetPath, Some(v - 1))
         requireForeignAppendable(targetPath, stNow, schema)
         if (stNow.schemaJson != st0.schemaJson ||
             stNow.partitionCols != st0.partitionCols)
@@ -1029,11 +1040,303 @@ object DeltaExport {
             s"concurrent metaData change at $targetPath moved the schema " +
               "under this append; re-read the table and retry explicitly",
             lastErr)
+        validatedThrough = v - 1
       }
-      val v = nextDeltaVersion(spark, targetPath)
       val actions =
         Seq("""{"commitInfo":{"operation":"WRITE","engineInfo":"graft-appendForeign"}}""") ++
           data
+      try { writeCommit(spark, targetPath, v, actions); return v }
+      catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("concurrent export")) ||
+              e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
+
+  // ------------------------------------------------- foreign delete
+
+  /** Writer features a COPY-ON-WRITE row deletion can honor. Deletes
+    * differ from appends: obligations that constrain row VALUES
+    * (CHECK constraints, invariants, generated/identity columns) are
+    * preserved verbatim by a rewrite that only DROPS rows, so their
+    * presence is honored here — but `rowTracking` pins per-row ids a
+    * rewrite cannot carry, and anything outside this vocabulary
+    * declines by name. `delta.appendOnly=true` declines regardless of
+    * protocol version (the config flag is the obligation; the feature
+    * name only makes it checkable). */
+  private val DeletableWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "identityColumns", "changeDataFeed", "columnMapping", "timestampNtz",
+    "deletionVectors", "v2Checkpoint", "domainMetadata")
+
+  private def requireForeignDeletable(tablePath: String,
+      st: DeltaRead.LogState): Unit = {
+    if (st.minWriter > 7) throw new UnsupportedOperationException(
+      s"delta table at $tablePath requires minWriterVersion ${st.minWriter}; " +
+        "this writer speaks versions 1-7")
+    if (st.minWriter >= 7) {
+      val unsupported = st.writerFeatures -- DeletableWriterFeatures
+      if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+        s"delta table at $tablePath requires writer feature(s) " +
+          s"${unsupported.toSeq.sorted.mkString(", ")}; deleteForeign " +
+          s"honors ${DeletableWriterFeatures.toSeq.sorted.mkString(", ")} only")
+    }
+    if (st.config.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"delta table at $tablePath is append-only (delta.appendOnly=true); " +
+          "row deletion is forbidden by the table's own contract")
+  }
+
+  /** `partitionValues` JSON fragment of an add/remove/cdc action. */
+  private def pvJsonOf(pv: Map[String, String]): String =
+    pv.toSeq.sortBy(_._1).map { case (k, v) =>
+      val kq = "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val vq = if (v == null) "null"
+        else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"$kq:$vq"
+    }.mkString(",")
+
+  /** DELETE the rows matching `predicate` from ANY Delta table —
+    * including tables this engine did not create (r15; the symmetric
+    * half of [[appendForeign]], and of the foreign ICEBERG delete
+    * [[IcebergExport.appendEqualityDeletes]] already covers).
+    *
+    * COPY-ON-WRITE: affected files rewrite WITHOUT their matching rows
+    * (deletion vectors apply first, so a DV'd input rewrites to its
+    * live survivors and the new add carries no DV); files whose every
+    * live row matches publish as pure removes. ONE commit: removes +
+    * stats-bearing adds under the put-if-absent rule with bounded OCC
+    * retry — on a version race the retry re-replays and every affected
+    * file must still be live and unchanged, else the delete fails
+    * loudly (a concurrent writer compacted or deleted under us;
+    * re-running the predicate is the caller's decision, not this
+    * writer's).
+    *
+    * CHANGE DATA FEED: with `delta.enableChangeDataFeed=true` the
+    * commit also publishes every deleted row to `_change_data/` with
+    * `_change_type='delete'` — the spec requires cdc actions whenever
+    * a commit's file actions do not describe the change exactly, and a
+    * partial-file rewrite never does.
+    *
+    * Loud-or-exact: `delta.appendOnly` and `rowTracking` decline by
+    * name; NONDETERMINISTIC predicates decline (the match pass and the
+    * rewrite pass could disagree and silently lose rows); name- and
+    * id-mode column mappings both serve — candidates scan through
+    * [[DeltaRead.scanAdds]]'s logical view, rewrites write physical
+    * names (+ `parquet.field.id` in id mode).
+    *
+    * Scale: one scan of the whole table for per-file match counts
+    * (predicate pushdown and add.stats skipping prune it), one scan of
+    * only the PARTIALLY-matching files for survivors, one distributed
+    * `partitionBy` write; driver work is O(affected files). Returns
+    * the committed version — or the current version, commit-free, when
+    * nothing matched. */
+  def deleteForeign(spark: SparkSession,
+      targetPath: String, predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 3): Long =
+    deleteForeignImpl(spark, targetPath, predicate, maxRetries, () => ())
+
+  /** [[deleteForeign]] with a race seam: `beforeCommit` runs after the
+    * rewrite is staged and before the OCC loop — the window a
+    * concurrent writer's commit lands in. Tests plant a conflicting
+    * commit there to pin the loud-conflict contract deterministically;
+    * production callers never reach this overload. */
+  private[graft] def deleteForeignImpl(spark: SparkSession,
+      targetPath: String, predicate: org.apache.spark.sql.Column,
+      maxRetries: Int, beforeCommit: () => Unit): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, not, sum, when}
+    import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+    // version-ANCHORED base state: list first, then replay capped at
+    // that version, so st0 is exactly the state of currentV even if a
+    // concurrent commit lands mid-replay — the OCC loop below compares
+    // every later state against this anchor
+    val currentV = nextDeltaVersion(spark, targetPath) - 1
+    val st0 = DeltaRead.replay(spark, targetPath, Some(currentV))
+    val schemaJson = st0.schemaJson.getOrElse(throw new IllegalStateException(
+      s"delta log at $targetPath has no metaData action"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    requireForeignDeletable(targetPath, st0)
+    if (st0.adds.isEmpty) return currentV
+    val parts = st0.partitionCols
+    val colMap = DeltaRead.colMapOf(targetPath, st0)
+    val colIds = DeltaRead.colIdsOf(targetPath, st0)
+    val idMode = st0.config.get("delta.columnMapping.mode").contains("id")
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    def keyOf(a: DeltaRead.AddFile): String = PathKeys.normKey(
+      new Path(DeltaRead.resolvePath(targetPath, a.path)).toString)
+    val FK = "__graft_fk"
+    val matchedF = coalesce(predicate, lit(false))
+    val allAdds = st0.adds.values.toSeq.sortBy(_.path)
+    val fullScan = DeltaRead.scanAdds(spark, targetPath, allAdds, schema,
+      parts, colMap, colIds, Some(FK))
+    // determinism guard on the ANALYZED condition (an unresolved
+    // rand() would claim deterministic): the match pass and the
+    // rewrite pass must agree on every row, or rows are silently lost
+    val detOk = fullScan.filter(matchedF).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.forall(identity)
+    if (!detOk) throw new UnsupportedOperationException(
+      "deleteForeign needs a deterministic predicate: the match pass and " +
+        "the rewrite pass must agree on every row")
+    // pass 1 — per-file live and matched counts, ONE distributed scan
+    val perFile = fullScan
+      .groupBy(col(FK))
+      .agg(count(lit(1)).as("n"),
+        sum(when(matchedF, 1L).otherwise(0L)).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val affected = allAdds.filter(a => perFile.get(keyOf(a)).exists(_._2 > 0))
+    if (affected.isEmpty) return currentV
+    val partials = affected.filter { a =>
+      val (n, m) = perFile(keyOf(a)); m < n
+    }
+    val cdfOn = st0.config.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    // data files carry only DATA columns, under their physical shape
+    // (the appendForeign write contract)
+    val dataSel = schema.fields.toSeq.filterNot(f => parts.contains(f.name))
+      .map { f =>
+        val physT = physicalWriteType(f.dataType, idMode)
+        val c = col(f.name)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        colIds.get(f.name).foreach(id =>
+          mb.putLong("parquet.field.id", id.toLong))
+        (if (colMap.nonEmpty && physT != f.dataType) c.cast(physT) else c)
+          .as(physOf(f.name), mb.build())
+      }
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$targetPath/_graft_staging_$uuid"
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new Path(targetPath).getFileSystem(conf)
+    def publish(staged: Path, destName: String, pv: Map[String, String],
+        action: String, dataChange: Boolean): String = {
+      val dest = new Path(targetPath, destName)
+      Option(dest.getParent).foreach(fsys.mkdirs(_): Unit)
+      if (!fsys.rename(staged, dest)) throw new java.io.IOException(
+        s"staging publish failed for $dest")
+      val stt = fsys.getFileStatus(dest)
+      // cdc actions carry path/partitionValues/size/dataChange only —
+      // modificationTime and stats are add-action fields
+      s"""{"$action":{"path":"${encodePath(destName)}",""" +
+        s""""partitionValues":{${pvJsonOf(pv)}},"size":${stt.getLen},""" +
+        (if (action == "add")
+          s""""modificationTime":${stt.getModificationTime},"""
+        else "") +
+        s""""dataChange":$dataChange""" +
+        (if (action == "add") statsFragment(conf, dest.toString) else "") + "}}"
+    }
+    // the gp index: one broadcast (file key → group) map; groups are
+    // the distinct partition TUPLES of the files being rewritten, so
+    // several affected files of one partition compact into its group
+    def gpFrames(adds: Seq[DeltaRead.AddFile])
+        : (Seq[(Map[String, String], Int)], org.apache.spark.sql.DataFrame) = {
+      val tuples = adds.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(" ")).map(_._1).zipWithIndex
+      val byTuple = tuples.toMap
+      val rows = adds.map(a =>
+        org.apache.spark.sql.Row(keyOf(a), byTuple(a.partitionValues)))
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("__gfk", StringType, nullable = false),
+        StructField("__gp", IntegerType, nullable = false))))
+      (tuples, df)
+    }
+    val adds = Seq.newBuilder[String]
+    val cdcs = Seq.newBuilder[String]
+    try {
+      if (partials.nonEmpty) {
+        // pass 2 — survivors of the partial files only, one job
+        val (tuples, gpMap) = gpFrames(partials)
+        DeltaRead.scanAdds(spark, targetPath, partials, schema, parts,
+          colMap, colIds, Some(FK))
+          .filter(not(matchedF))
+          .join(broadcast(gpMap), col(FK) === col("__gfk"))
+          .select(dataSel :+ col("__gp"): _*)
+          .write.partitionBy("__gp").mode("overwrite")
+          .parquet(s"$staging/data")
+        tuples.foreach { case (pv, i) =>
+          val dir = new Path(s"$staging/data", s"__gp=$i")
+          if (fsys.exists(dir))
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+                adds += publish(s.getPath, s"part-$uuid-d$i-$k.parquet", pv,
+                  "add", dataChange = true)
+              }
+        }
+      }
+      if (cdfOn) {
+        // the deleted rows themselves, as the spec's change-data files
+        val (tuples, gpMap) = gpFrames(affected)
+        DeltaRead.scanAdds(spark, targetPath, affected, schema, parts,
+          colMap, colIds, Some(FK))
+          .filter(matchedF)
+          .join(broadcast(gpMap), col(FK) === col("__gfk"))
+          .select(dataSel :+ lit("delete").as("_change_type") :+ col("__gp"): _*)
+          .write.partitionBy("__gp").mode("overwrite")
+          .parquet(s"$staging/cdc")
+        tuples.foreach { case (pv, i) =>
+          val dir = new Path(s"$staging/cdc", s"__gp=$i")
+          if (fsys.exists(dir))
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+                cdcs += publish(s.getPath,
+                  s"_change_data/cdc-$uuid-$i-$k.parquet", pv,
+                  "cdc", dataChange = false)
+              }
+        }
+      }
+    } finally fsys.delete(new Path(staging), true): Unit
+    val now = System.currentTimeMillis()
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${encodePath(a.path)}",""" +
+        s""""deletionTimestamp":$now,"dataChange":true,""" +
+        s""""partitionValues":{${pvJsonOf(a.partitionValues)}}""" +
+        a.size.map(sz => s""","size":$sz""").getOrElse("") + "}}"
+    }
+    beforeCommit()
+    // OCC commit: rewritten files are final; only the JSON number
+    // races. A delete conflicts with ANY intervening commit that
+    // touched its affected files, not just one that takes our exact
+    // version slot — so validation keys on the commit TARGET moving
+    // past the anchored base, which catches racing commits that landed
+    // before we listed just as well as put-if-absent collisions.
+    var attempt = 0
+    var lastErr: Throwable = null
+    var validatedThrough = currentV
+    while (attempt <= maxRetries) {
+      val v = nextDeltaVersion(spark, targetPath)
+      if (v != validatedThrough + 1) {
+        val stNow = DeltaRead.replay(spark, targetPath, Some(v - 1))
+        requireForeignDeletable(targetPath, stNow)
+        if (stNow.schemaJson != st0.schemaJson ||
+            stNow.partitionCols != st0.partitionCols)
+          throw new IllegalStateException(
+            s"concurrent metaData change at $targetPath moved the schema " +
+              "under this delete; re-read the table and retry explicitly",
+            lastErr)
+        affected.foreach { a =>
+          stNow.adds.get(a.path) match {
+            case Some(b) if b.dv == a.dv => ()
+            case _ => throw new IllegalStateException(
+              s"concurrent commit at $targetPath removed or rewrote " +
+                s"${a.path} under this delete; re-read and re-issue the " +
+                "delete against the new state", lastErr)
+          }
+        }
+        validatedThrough = v - 1
+      }
+      val actions =
+        Seq("""{"commitInfo":{"operation":"DELETE","engineInfo":"graft-deleteForeign"}}""") ++
+          removes ++ adds.result() ++ cdcs.result()
       try { writeCommit(spark, targetPath, v, actions); return v }
       catch {
         case e: Throwable

@@ -538,7 +538,7 @@ object DeltaRead {
     }
   }
 
-  private def resolvePath(tablePath: String, p: String): String = {
+  private[sources] def resolvePath(tablePath: String, p: String): String = {
     val hp = new Path(p)
     if (hp.isAbsolute || hp.toUri.getScheme != null) hp.toString
     else s"$tablePath/$p"
@@ -580,10 +580,12 @@ object DeltaRead {
   private[sources] def scanAdds(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
       colMap: Map[String, String] = Map.empty,
-      colIds: Map[String, Int] = Map.empty): DataFrame = {
+      colIds: Map[String, Int] = Map.empty,
+      fileKey: Option[String] = None): DataFrame = {
     if (colIds.nonEmpty && hasComplex(StructType(
         schema.filterNot(f => partCols.contains(f.name)).toArray)))
-      return scanAddsByFieldId(spark, tablePath, adds, schema, partCols, colMap)
+      return scanAddsByFieldId(spark, tablePath, adds, schema, partCols,
+        colMap, fileKey)
     if (colIds.nonEmpty) {
       // ID MODE: the parquet field id is the authoritative match — file
       // column NAMES are arbitrary (and may differ file to file, e.g.
@@ -617,7 +619,8 @@ object DeltaRead {
           n -> byId.getOrElse(colIds(n), s"__graft_absent_${colIds(n)}")).toMap
       }
       return groups.toSeq.map { case (m, as) =>
-        scanAdds(spark, tablePath, as, schema, partCols, colMap ++ m)
+        scanAdds(spark, tablePath, as, schema, partCols, colMap ++ m,
+          fileKey = fileKey)
       }.reduce(_.unionByName(_))
     }
     def physOf(c: String) = colMap.getOrElse(c, c)
@@ -652,8 +655,14 @@ object DeltaRead {
       LiveFile(p, len, mt, values, bounds)
     }
     val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
-    val base = org.apache.spark.sql.GraftPlanApi
+    val base0 = org.apache.spark.sql.GraftPlanApi
       .fileRelationDataFrame(spark, index, partSchema, dataSchema)
+    // fileKey (foreign DELETE support): the caller needs each row tied
+    // back to its add — materialize the normalized file key BEFORE any
+    // join/projection cuts `_metadata` availability
+    val base = fileKey.map(k =>
+      base0.withColumn(k, normPathCol(col("_metadata.file_path"))))
+      .getOrElse(base0)
     // merge-on-read: ALL deletion vectors decode to (file key, position)
     // pairs — O(deleted rows), broadcast — and subtract in ONE anti-join
     // over the single scan; DV'd-row volume is bounded by the writer's
@@ -689,7 +698,7 @@ object DeltaRead {
           c.cast(f.dataType)
         else c
       casted.as(f.name)
-    }: _*)
+    } ++ fileKey.map(col): _*)
   }
 
   /** ID MODE over NESTED complex columns (r13): the footer-grouping
@@ -712,7 +721,8 @@ object DeltaRead {
     * flat path. */
   private def scanAddsByFieldId(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
-      colMap: Map[String, String]): DataFrame = {
+      colMap: Map[String, String],
+      fileKey: Option[String] = None): DataFrame = {
     val idSpark = org.apache.spark.sql.GraftPlanApi.fieldIdReadSession(spark)
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
@@ -740,8 +750,11 @@ object DeltaRead {
       LiveFile(p, len, mt, values)
     }
     val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
-    val base = org.apache.spark.sql.GraftPlanApi
+    val base0 = org.apache.spark.sql.GraftPlanApi
       .fileRelationDataFrame(idSpark, index, partSchema, dataSchema)
+    val base = fileKey.map(k =>
+      base0.withColumn(k, normPathCol(col("_metadata.file_path"))))
+      .getOrElse(base0)
     val dved = adds.filter(_.dv.nonEmpty)
     val afterDv =
       if (dved.isEmpty) base
@@ -768,7 +781,7 @@ object DeltaRead {
     afterDv.select(schema.fields.toSeq.map { f =>
       if (partCols.contains(f.name)) col(physOf(f.name)).as(f.name)
       else col(f.name)
-    }: _*)
+    } ++ fileKey.map(col): _*)
   }
 
   /** Scan one commit's change files: data columns plus the file-borne
