@@ -1455,6 +1455,95 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** FOREIGN Delta DELETE (r15 — the symmetric half of
+    * [[qDeltaAppendForeign]]): a CDF-enabled partitioned Delta table
+    * built by the independent fixture path and filled with
+    * `appendForeign` receives one
+    * [[graft.sources.DeltaExport.deleteForeign]] copy-on-write commit —
+    * one band vanishes entirely (pure removes), another loses half its
+    * rows (survivor rewrite) — and BOTH faces must agree with the
+    * closed form DuckDB computes from `orders`: the table replay
+    * serves exactly the survivors, and the change feed serves exactly
+    * the deleted rows. The result fuses both (survivor aggregates per
+    * band + the global CDC delete counts), so a wrong answer on either
+    * face breaks the hash. */
+  val qDeltaDeleteForeign: QueryDef = QueryDef.sql(
+    "q_delta_delete_foreign",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |dead AS (
+      |  SELECT * FROM o
+      |  WHERE band = 'b1' OR (band = 'b2' AND k % 10 < 5)
+      |),
+      |live AS (
+      |  SELECT * FROM o
+      |  WHERE NOT (band = 'b1' OR (band = 'b2' AND k % 10 < 5))
+      |)
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  (SELECT COUNT(*) FROM dead) AS n_deleted,
+      |  (SELECT CAST(SUM(k) AS BIGINT) FROM dead) AS sum_k_deleted
+      |FROM live GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dfdel_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    // the FOREIGN fixture: CDF-enabled, partitioned by band, seeded
+    // with band b0 by a hand-written log — no graft export anywhere
+    val tmp = s"${dir}_stage"
+    o.filter(col("band") === "b0").select("k", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/f0.parquet").toPath): Unit
+    val esc = StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType),
+      StructField("band", StringType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"foreigndel","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["band"],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{"band":"b0"},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    (1 to 3).foreach { b =>
+      DeltaExport.appendForeign(s,
+        o.filter(col("band") === s"b$b").select("k", "cents", "band"), dir): Unit
+    }
+    // ONE copy-on-write delete: all of b1 (pure removes) + half of b2
+    // (survivor rewrite); b0/b3 files must stay untouched
+    val vDel = DeltaExport.deleteForeign(s, dir,
+      col("band") === "b1" || (col("band") === "b2" && col("k") % 10 < 5))
+    // face 1 — the replay serves the survivors; face 2 — the change
+    // feed serves exactly the deleted rows
+    val cdc = DeltaRead.changes(s, dir, vDel - 1, vDel)
+      .filter(col("_change_type") === "delete")
+      .agg(count(lit(1)).as("n_deleted"), sum(col("k")).as("sum_k_deleted"))
+      .collect().head
+    DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("n_deleted", lit(cdc.getLong(0)))
+      .withColumn("sum_k_deleted", lit(cdc.getLong(1)))
+      .orderBy("band")
+  }
+
   /** Delta EXPORT of a COLUMN-MAPPED snapshot (r14 — r13 verdict #3):
     * a graft table renamed mid-history (files before the rename carry
     * the old physical name; appends after it keep writing it) exports
@@ -2050,6 +2139,81 @@ object CdcQueries {
       .toDF("n_rows", "sum_k", "sum_cents", "files_read")
   }
 
+  /** bucket(4, k)-partitioned Iceberg export + FOREIGN append (r15):
+    * the common Flink/Trino hash layout. Half of `orders` seeds the
+    * export through four bucket-pure commits (pre-partitioned with the
+    * spec's pinned murmur3 via
+    * [[graft.functions.IcebergPartitionFns.icebergBucket]]); the other
+    * half arrives through ONE `appendForeign` whose staging pass must
+    * split the interleaved rows by transform itself. The replay must
+    * serve the union, and the `n_buckets` evidence counts the DISTINCT
+    * `k_bucket` tuples across every published manifest — if the
+    * exporter wrote wrong or collapsed bucket values, the count (and
+    * the hash) breaks. */
+  val qIcebergExportBucket: QueryDef = QueryDef.sql(
+    "q_iceberg_export_bucket",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |)
+      |SELECT k % 8 AS band, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents, 4 AS n_buckets
+      |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.functions.IcebergPartitionFns.icebergBucket
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_iexpb_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(base))
+    val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"),
+      graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val seeded = o.filter(col("k") % 2 === 0)
+      .withColumn("__b", icebergBucket(4, col("k")))
+    TimeTravel.commitOverwrite(
+      seeded.filter(col("__b") === 0).drop("__b").coalesce(1), src)
+    (1 to 3).foreach(b => TimeTravel.commitAppend(
+      seeded.filter(col("__b") === b).drop("__b").coalesce(1), src))
+    IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("bucket(4, k)"))
+    // the foreign half is NOT pre-partitioned — the staging pass splits
+    IcebergExport.appendForeign(s, o.filter(col("k") % 2 === 1), tgt)
+    val metaTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tgt/metadata/v2.metadata.json"))
+    require(metaTxt.contains("\"transform\":\"bucket[4]\""),
+      "the published spec must carry the bucket transform")
+    // evidence: distinct k_bucket tuples across EVERY manifest
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val tuples = new java.io.File(s"$tgt/metadata").listFiles()
+      .filter(f => (f.getName.startsWith("m-") || f.getName.startsWith("mf-")) &&
+        f.getName.endsWith(".avro"))
+      .flatMap { mf =>
+        val rdr = DataFileReader.openReader(mf,
+          new GenericDatumReader[GenericRecord]())
+        try {
+          val b = Seq.newBuilder[Int]
+          while (rdr.hasNext) {
+            val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+            b += df.get("partition").asInstanceOf[GenericRecord]
+              .get("k_bucket").asInstanceOf[Number].intValue()
+          }
+          b.result()
+        } finally rdr.close()
+      }.toSet
+    IcebergRead.read(s, tgt)
+      .groupBy((col("k") % 8).as("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("n_buckets", lit(tuples.size))
+      .orderBy("band")
+  }
+
   /** v3 ROW LINEAGE surfaced (r15 — r14 verdict #5): an export +
     * append + MoR-delete history over `orders`, read back with the
     * `_row_id` / `_last_updated_sequence_number` metadata columns.
@@ -2108,5 +2272,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergRowLineage, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergRowLineage, qVariantRead)
 }

@@ -297,7 +297,8 @@ object IcebergExport {
 
   private def describeFiles(spark: SparkSession, files: Seq[String],
       partCols: Seq[PartCol] = Nil,
-      statFields: Seq[(Int, String, Boolean, String)] = Nil): Seq[NewFile] = {
+      statFields: Seq[(Int, String, Boolean, String)] = Nil,
+      knownValues: Map[String, Seq[Any]] = Map.empty): Seq[NewFile] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     files.map { f =>
@@ -332,7 +333,19 @@ object IcebergExport {
             }
           }
         }
-        val vals = partCols.map { pc =>
+        val vals = partCols.zipWithIndex.map { case (pc, pcIdx) =>
+          // bucket[N] is NOT monotonic — a file's bucket cannot derive
+          // from its min/max bounds. Bucket values arrive pre-derived
+          // (one distributed distinct-per-file scan, or the staged
+          // write's own tuple bookkeeping) via `knownValues`.
+          if (pc.transform.startsWith("bucket[")) {
+            knownValues.get(PathKeys.normKey(f)) match {
+              case Some(tuple) => tuple(pcIdx)
+              case None => throw new IllegalStateException(
+                s"bucket partition value for $f was not pre-derived — " +
+                  "internal: the caller must scan-derive bucket tuples")
+            }
+          } else {
           val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala
             .filter(_.getPath.toDotString == pc.srcName))
           if (chunks.isEmpty) throw new UnsupportedOperationException(
@@ -344,15 +357,38 @@ object IcebergExport {
               s"partition column ${pc.srcName} in $f carries nulls or no " +
                 "statistics; a partitioned export needs pure non-null " +
                 "values per file")
-          // identity: raw stat values must agree; day: the TRANSFORMED
-          // values must — timestamps inside one file may differ as long
-          // as every one lands on the same epoch day
+          // identity: raw stat values must agree; transforms: the
+          // TRANSFORMED values must — values inside one file may
+          // differ as long as every one lands on the same partition.
+          // Sound for every MONOTONIC transform even over conservative
+          // bounds: transform(lo) == transform(hi) pins every value
+          // in [lo, hi] to that same partition value.
+          def epochDaysOf(v: Any): Int = pc.srcType match {
+            case "date" => v.asInstanceOf[Number].intValue()
+            case _ => // timestamp/timestamptz: INT64 micros from epoch
+              graft.expressions.IcebergTransforms.epochDaysOfMicros(
+                v.asInstanceOf[Number].longValue())
+          }
           def conv(v: Any): Any = pc.transform match {
-            case "day" => pc.srcType match {
-              case "date" => v.asInstanceOf[Number].intValue()
-              case _ => // timestamp/timestamptz: INT64 micros from epoch
-                Math.floorDiv(v.asInstanceOf[Number].longValue(),
-                  86400000000L).toInt
+            case "day" => epochDaysOf(v)
+            case "hour" => graft.expressions.IcebergTransforms
+              .epochHoursOfMicros(v.asInstanceOf[Number].longValue())
+            case "month" => graft.expressions.IcebergTransforms
+              .monthsOfEpochDays(epochDaysOf(v))
+            case "year" => graft.expressions.IcebergTransforms
+              .yearsOfEpochDays(epochDaysOf(v))
+            case TruncSpecRe(w) => pc.srcType match {
+              case "int" => graft.expressions.IcebergTransforms
+                .truncateInt(v.asInstanceOf[Number].intValue(), w.toInt)
+              case "long" => graft.expressions.IcebergTransforms
+                .truncateLong(v.asInstanceOf[Number].longValue(), w.toLong)
+              case _ =>
+                val s = v.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                // first W CODEPOINTS (the spec's rule, not chars)
+                val cp = s.codePointCount(0, s.length)
+                if (cp <= w.toInt) s
+                else s.substring(0, s.offsetByCodePoints(0, w.toInt))
             }
             case _ => v match {
               case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
@@ -366,6 +402,7 @@ object IcebergExport {
               s"(values ${distinct.take(2).mkString(", ")}…); repartition the " +
               "source by the partition values before a partitioned export")
           distinct.head
+          }
         }
         (rdr.getRecordCount, vals, loB.result(), hiB.result(), nullB.result())
       } finally rdr.close()
@@ -768,24 +805,64 @@ object IcebergExport {
       existingCount = kept.size, existingRows = rows, minSeq = Some(minSeq))
   }
 
-  /** The identity partition columns a `partitionBy` names, typed and
-    * id'd against the export schema. */
+  /** The partition columns a `partitionBy` names, typed and id'd
+    * against the export schema. The full spec transform family parses
+    * here (r15): `days(c)` / `hours(c)` / `months(c)` / `years(c)`
+    * (epoch units, INT), `bucket(N, c)` (the spec's murmur3 bucketing,
+    * INT in [0,N)), `truncate(W, c)` (floor-to-width / string prefix),
+    * and bare names as identity. */
   private val DaysRe = """days?\(\s*([^)\s]+)\s*\)""".r
+  private val HoursRe = """hours?\(\s*([^)\s]+)\s*\)""".r
+  private val MonthsRe = """months?\(\s*([^)\s]+)\s*\)""".r
+  private val YearsRe = """years?\(\s*([^)\s]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  /** Spec-form transform strings, as table metadata carries them. */
+  private[sources] val BucketSpecRe = """bucket\[(\d+)\]""".r
+  private[sources] val TruncSpecRe = """truncate\[(\d+)\]""".r
+
+  private def timeUnitPartCol(kind: String, src: String, i: Int,
+      fields: Seq[(Int, String, Boolean, String)]): PartCol = {
+    val (srcId, _, _, t) = fields.find(_._2 == src).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column $src is not a column of the exported schema"))
+    val allowed =
+      if (kind == "hour") Set("timestamp", "timestamptz")
+      else Set("timestamp", "timestamptz", "date")
+    if (!allowed.contains(t))
+      throw new UnsupportedOperationException(
+        s"${kind}s($src) needs a ${if (kind == "hour") "timestamp"
+        else "timestamp or date"} column; $src is $t")
+    PartCol(s"${src}_$kind", "int", 1000 + i, srcId,
+      transform = kind, srcType = t, srcNameOpt = Some(src))
+  }
 
   private def partColsOf(partitionBy: Seq[String],
       fields: Seq[(Int, String, Boolean, String)]): Seq[PartCol] =
     partitionBy.zipWithIndex.map {
-      case (DaysRe(src), i) =>
-        // days(ts): the spec's `day` transform — partition value is
-        // days-from-epoch INT derived from the source's footer stats
+      case (DaysRe(src), i) => timeUnitPartCol("day", src, i, fields)
+      case (HoursRe(src), i) => timeUnitPartCol("hour", src, i, fields)
+      case (MonthsRe(src), i) => timeUnitPartCol("month", src, i, fields)
+      case (YearsRe(src), i) => timeUnitPartCol("year", src, i, fields)
+      case (BucketRe(n, src), i) =>
         val (srcId, _, _, t) = fields.find(_._2 == src).getOrElse(
           throw new IllegalArgumentException(
             s"partition column $src is not a column of the exported schema"))
-        if (!Set("timestamp", "timestamptz", "date").contains(t))
+        if (!Set("int", "long", "string", "date", "timestamp", "timestamptz")
+            .contains(t))
           throw new UnsupportedOperationException(
-            s"days($src) needs a timestamp or date column; $src is $t")
-        PartCol(s"${src}_day", "int", 1000 + i, srcId,
-          transform = "day", srcType = t, srcNameOpt = Some(src))
+            s"bucket($n, $src) covers int/long/string/date/timestamp; $src is $t")
+        PartCol(s"${src}_bucket", "int", 1000 + i, srcId,
+          transform = s"bucket[$n]", srcType = t, srcNameOpt = Some(src))
+      case (TruncRe(w, src), i) =>
+        val (srcId, _, _, t) = fields.find(_._2 == src).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $src is not a column of the exported schema"))
+        if (!Set("int", "long", "string").contains(t))
+          throw new UnsupportedOperationException(
+            s"truncate($w, $src) covers int/long/string; $src is $t")
+        PartCol(s"${src}_trunc", t, 1000 + i, srcId,
+          transform = s"truncate[$w]", srcType = t, srcNameOpt = Some(src))
       case (n, i) =>
         val (srcId, _, _, t) = fields.find(_._2 == n).getOrElse(
           throw new IllegalArgumentException(
@@ -793,8 +870,8 @@ object IcebergExport {
         if (!Set("long", "int", "string").contains(t))
           throw new UnsupportedOperationException(
             s"partition column $n has type $t; identity-partitioned export " +
-              "supports long, int, and string (or days(...) over " +
-              "timestamp/date)")
+              "supports long, int, and string (or a transform — days/hours/" +
+              "months/years/bucket/truncate — over its allowed types)")
         PartCol(n, t, 1000 + i, srcId)
     }
 
@@ -809,21 +886,29 @@ object IcebergExport {
     val pf = spec.get("fields")
     (0 until pf.size()).map(pf.get).map { f =>
       val tr = f.get("transform").asText()
-      if (tr != "identity" && tr != "day")
-        throw new UnsupportedOperationException(
-          s"published spec uses transform $tr; " +
-            "this exporter appends identity and day specs only")
       val srcId = f.get("source-id").asInt()
       val (_, srcName, _, t) = fields.find(_._1 == srcId).getOrElse(
         throw new IllegalStateException(
           s"partition source-id $srcId is not in the published schema"))
       // srcName resolves via source-id — a spec's DISPLAY name may
       // differ from the source column's (foreign layouts often do)
-      if (tr == "day")
-        PartCol(f.get("name").asText(), "int", f.get("field-id").asInt(),
-          srcId, transform = "day", srcType = t, srcNameOpt = Some(srcName))
-      else PartCol(f.get("name").asText(), t, f.get("field-id").asInt(),
-        srcId, srcNameOpt = Some(srcName))
+      tr match {
+        case "identity" =>
+          PartCol(f.get("name").asText(), t, f.get("field-id").asInt(),
+            srcId, srcNameOpt = Some(srcName))
+        case "day" | "hour" | "month" | "year" =>
+          PartCol(f.get("name").asText(), "int", f.get("field-id").asInt(),
+            srcId, transform = tr, srcType = t, srcNameOpt = Some(srcName))
+        case BucketSpecRe(_) =>
+          PartCol(f.get("name").asText(), "int", f.get("field-id").asInt(),
+            srcId, transform = tr, srcType = t, srcNameOpt = Some(srcName))
+        case TruncSpecRe(_) =>
+          PartCol(f.get("name").asText(), t, f.get("field-id").asInt(),
+            srcId, transform = tr, srcType = t, srcNameOpt = Some(srcName))
+        case other => throw new UnsupportedOperationException(
+          s"published spec uses transform $other; this exporter speaks " +
+            "identity, day/hour/month/year, bucket[N], and truncate[W]")
+      }
     }
   }
 
@@ -831,6 +916,54 @@ object IcebergExport {
     schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       (i + 1, f.name, !f.nullable, icebergType(f.dataType))
     }
+
+  /** The Column computing one partition field's transform over its
+    * source column — the exact per-row values the manifests must
+    * carry ([[graft.expressions.IcebergTransforms]]). */
+  private def transformColumn(pc: PartCol,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pc.transform match {
+      case "identity" => c
+      case "day" => graft.functions.IcebergPartitionFns.icebergDays(c)
+      case "hour" => graft.functions.IcebergPartitionFns.icebergHours(c)
+      case "month" => graft.functions.IcebergPartitionFns.icebergMonths(c)
+      case "year" => graft.functions.IcebergPartitionFns.icebergYears(c)
+      case BucketSpecRe(n) =>
+        graft.functions.IcebergPartitionFns.icebergBucket(n.toInt, c)
+      case TruncSpecRe(w) =>
+        graft.functions.IcebergPartitionFns.icebergTruncate(w.toInt, c)
+      case other => throw new UnsupportedOperationException(
+        s"unknown transform $other")
+    }
+
+  /** Per-file partition tuples for specs whose transforms cannot
+    * derive from footer bounds (bucket is not monotonic): ONE
+    * distributed scan of only the partition SOURCE columns (pruned by
+    * parquet projection), distinct per file, purity enforced loudly.
+    * Keys are [[PathKeys.normKey]]-normalized paths; values align
+    * with `partCols`. O(rows of the new files), but touching only the
+    * partition columns — the price of a non-derivable transform. */
+  private def scanDerivedTuples(spark: SparkSession, files: Seq[String],
+      partCols: Seq[PartCol]): Map[String, Seq[Any]] = {
+    import org.apache.spark.sql.functions.col
+    val exprs = partCols.zipWithIndex.map { case (pc, i) =>
+      transformColumn(pc, col(pc.srcName)).as(s"__gt$i")
+    }
+    val rows = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("__gf") +: exprs: _*)
+      .distinct().collect()
+    rows.groupBy(r => PathKeys.normKey(r.getString(0))).map { case (k, rs) =>
+      if (rs.length != 1) throw new UnsupportedOperationException(
+        s"file $k is not partition-pure on the spec's transforms " +
+          s"(${rs.take(2).map(_.toSeq.drop(1).mkString("(", ",", ")"))
+            .mkString(" vs ")}…); repartition the source by " +
+          "graft.functions.IcebergPartitionFns transforms before export")
+      k -> rs.head.toSeq.drop(1)
+    }
+  }
+
+  private def hasBucket(partCols: Seq[PartCol]): Boolean =
+    partCols.exists(_.transform.startsWith("bucket["))
 
   /** Staging publishes through local java.io/NIO; a non-local table
     * (hdfs://, s3a://) would see bogus relative local paths — decline
@@ -1115,8 +1248,11 @@ object IcebergExport {
     * speak a different entry shape); the frame's schema must match
     * the table's current schema by name and type; `required` columns
     * are validated null-free with one aggregate (the spec's writer
-    * obligation); identity partition specs over long/int/string only
-    * — transforms decline by name in [[partColsOfMeta]]; a v3 table
+    * obligation); the spec transform family is served in full (r15):
+    * identity over long/int/string, day/hour/month/year epoch units,
+    * `bucket[N]` (spec murmur3 — the common Flink-CDC layout), and
+    * `truncate[W]` — anything else declines by name in
+    * [[partColsOfMeta]]; a v3 table
     * must carry `next-row-id` (row lineage is maintained: per-file
     * `first_row_id`, manifest-list `first_row_id`, snapshot
     * `first-row-id`, bumped `next-row-id`).
@@ -1138,14 +1274,23 @@ object IcebergExport {
     val fields = fieldsOfMeta(meta0)
     val partCols = partColsOfMeta(meta0, fields)
     partCols.foreach { pc =>
-      if (pc.transform != "identity")
-        throw new UnsupportedOperationException(
-          s"partition field ${pc.name} uses transform ${pc.transform}; " +
-            "foreign appends cover identity specs only")
-      if (!Set("long", "int", "string").contains(pc.icebergType))
-        throw new UnsupportedOperationException(
-          s"partition column ${pc.name} has type ${pc.icebergType}; foreign " +
-            "appends cover identity specs over long, int, and string")
+      val ok = pc.transform match {
+        case "identity" => Set("long", "int", "string").contains(pc.icebergType)
+        case "day" | "month" | "year" =>
+          Set("timestamp", "timestamptz", "date").contains(pc.srcType)
+        case "hour" => Set("timestamp", "timestamptz").contains(pc.srcType)
+        case BucketSpecRe(_) =>
+          Set("int", "long", "string", "date", "timestamp", "timestamptz")
+            .contains(pc.srcType)
+        case TruncSpecRe(_) => Set("int", "long", "string").contains(pc.srcType)
+        case _ => false
+      }
+      if (!ok) throw new UnsupportedOperationException(
+        s"partition field ${pc.name} uses transform ${pc.transform} over " +
+          s"${if (pc.srcType.isEmpty) pc.icebergType else pc.srcType}; " +
+          "foreign appends cover identity (long/int/string), " +
+          "day/hour/month/year, bucket[N], and truncate[W] over their " +
+          "spec-allowed source types")
     }
     if (v3 && !meta0.has("next-row-id")) throw new UnsupportedOperationException(
       s"format-version-3 table at $targetPath carries no next-row-id; " +
@@ -1215,23 +1360,28 @@ object IcebergExport {
             stagedPaths += publish(s.getPath, s"gf-$uuid-$i.parquet")
           }
       } else {
-        // identity partitioning: the same broadcast tuple→index map +
-        // ONE partitionBy("__gp") write as the Delta twin; the real
-        // partition columns STAY in the data files (the shape engines
-        // write), and [[describeFiles]] re-derives each file's tuple
-        // from footer stats with the purity check
+        // partitioning: the same broadcast tuple→index map + ONE
+        // partitionBy("__gp") write as the Delta twin — tuples are the
+        // TRANSFORMED values (identity = the column itself), so every
+        // spec transform groups here; the real source columns STAY in
+        // the data files (the shape engines write), and
+        // [[describeFiles]] re-derives each file's tuple from footer
+        // stats with the purity check (bucket, non-monotonic, rides
+        // `knownValues` from one distinct-per-file scan instead)
         // the data side binds the SOURCE column names (the spec's
         // display name may differ); the manifest partition record
         // keeps the spec names via writeManifest
-        val tuples = src.select(partCols.map(pc => col(pc.srcName)): _*)
-          .distinct().collect()
+        val tCols = partCols.zipWithIndex.map { case (pc, i) =>
+          transformColumn(pc, col(pc.srcName)).as(s"__gt$i")
+        }
+        val tSchema = src.select(tCols: _*).schema
+        val tuples = src.select(tCols: _*).distinct().collect()
         if (tuples.exists(r => (0 until r.size).exists(r.isNullAt)))
           throw new UnsupportedOperationException(
             s"null partition values at $targetPath are outside this " +
-              "writer's identity set")
+              "writer's set")
         val idxSchema = StructType(
-          partCols.map(pc => StructField(pc.srcName,
-            df.schema(pc.srcName).dataType, nullable = true)) :+
+          tSchema.fields.map(_.copy(nullable = true)).toSeq :+
             StructField("__gp", IntegerType, nullable = false))
         import scala.jdk.CollectionConverters._
         val idxDf = spark.createDataFrame(
@@ -1239,8 +1389,9 @@ object IcebergExport {
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
           }.toSeq.asJava, idxSchema)
         val joined = src.as("l").join(broadcast(idxDf.as("r")),
-          partCols.map(pc => col(s"l.${pc.srcName}") <=> col(s"r.${pc.srcName}"))
-            .reduce(_ && _), "left")
+          partCols.zipWithIndex.map { case (pc, i) =>
+            transformColumn(pc, col(s"l.${pc.srcName}")) <=> col(s"r.__gt$i")
+          }.reduce(_ && _), "left")
         val gpGuarded = sqlWhen(
           assert_true(col("r.__gp").isNotNull,
             lit("appendForeign: row's partition tuple is absent from the " +
@@ -1270,7 +1421,10 @@ object IcebergExport {
       fsys.delete(new Path(stage), true): Unit
     }
     val files = describeFiles(spark, stagedPaths.result(), partCols,
-      statFields = fields)
+      statFields = fields,
+      knownValues = if (hasBucket(partCols))
+        scanDerivedTuples(spark, stagedPaths.result(), partCols)
+      else Map.empty)
     val addedRows = files.map(_.recordCount).sum
     // OCC: the data files are final; manifests + list are cheap and
     // rewritten per attempt (they embed the racing seq/snapshot ids)
@@ -1363,7 +1517,10 @@ object IcebergExport {
     val fields = fieldsOf(scan.schema)
     val partCols = partColsOf(partitionBy, fields)
     val files = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols,
-      statFields = fields)
+      statFields = fields,
+      knownValues = if (hasBucket(partCols))
+        scanDerivedTuples(spark, scan.inputFiles.sorted.toSeq, partCols)
+      else Map.empty)
     val existing = new java.io.File(s"$targetPath/metadata")
     if (existing.exists()) throw new IllegalStateException(
       s"$targetPath already carries Iceberg metadata; export to a fresh path " +
@@ -1464,7 +1621,10 @@ object IcebergExport {
           s"graft commits after v$g0 changed the data schema at $sourcePath; " +
             "the published Iceberg schema is pinned — re-export a fresh snapshot")
       newFiles = describeFiles(spark, scan.inputFiles.sorted.toSeq, partCols,
-        statFields = fields)
+        statFields = fields,
+        knownValues = if (hasBucket(partCols))
+          scanDerivedTuples(spark, scan.inputFiles.sorted.toSeq, partCols)
+        else Map.empty)
       manifests += writeManifest(targetPath, f"m-$g1%05d.avro", snapId, seqNum,
         newFiles, fields, partCols = partCols, v3 = v3, firstRowBase = rowBase)
     }

@@ -4382,6 +4382,222 @@ class SourcesSpec extends SparkSpec {
     assert(eN.getMessage.contains("nested non-nullable"), eN.getMessage)
   }
 
+  test("delta foreign delete: copy-on-write rewrite into a table another engine created") {
+    // r15: deleteForeign — the symmetric half of appendForeign. A
+    // fully-matching file publishes as a pure remove; a partially-
+    // matching file rewrites to its survivors under the same partition
+    // tuple; untouched files are never mentioned, never rewritten.
+    import graft.sources.{DeltaExport, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dfdel").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 5L).map(i => (i, i * 10)))
+    writeDeltaPart(dir, "f2.parquet", (6L to 10L).map(i => (i, i * 10)))
+    writeDeltaPart(dir, "f3.parquet", (11L to 15L).map(i => (i, i * 10)))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = true),
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val f1Bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    // ids 6..12 in partition b: f2 matches FULLY, f3 partially, f1 not
+    val v = DeltaExport.deleteForeign(spark, dir,
+      col("id") <= 12L && col("p") === "b")
+    assert(v == 1L)
+    val got = DeltaRead.read(spark, dir)
+      .select("id", "p").as[(Long, String)].collect().toSet
+    assert(got == ((1L to 5L).map(i => (i, "a")) ++
+      Seq((13L, "b"), (14L, "b"), (15L, "b"))).toSet, s"got $got")
+    val v1Json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(v1Json.contains(""""remove":{"path":"f2.parquet""""), v1Json)
+    assert(v1Json.contains(""""remove":{"path":"f3.parquet""""), v1Json)
+    assert(!v1Json.contains("f1.parquet"),
+      s"untouched file must not be mentioned: $v1Json")
+    assert(v1Json.linesIterator.count(_.contains(""""add":""")) == 1,
+      "one partition tuple rewrote -> exactly one compacted add")
+    assert(v1Json.contains(""""stats""""), "rewritten adds carry footer stats")
+    assert(java.util.Arrays.equals(f1Bytes, java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))),
+      "copy-on-write must leave untouched files byte-identical")
+    // a zero-match delete is commit-free and returns the current version
+    val v2 = DeltaExport.deleteForeign(spark, dir, col("id") > 1000L)
+    assert(v2 == 1L)
+    assert(!new java.io.File(s"$dir/_delta_log/00000000000000000002.json").exists(),
+      "no-op deletes must not commit")
+    // deleting the remaining b-rows leaves partition a only, pure removes
+    val v3 = DeltaExport.deleteForeign(spark, dir, col("p") === "b")
+    assert(v3 == 2L)
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (1L to 5L).toSet)
+  }
+
+  test("delta foreign delete: DV'd files rewrite to survivors; guards decline by name") {
+    import graft.sources.{DeltaDv, DeltaExport, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dfdel_dv").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    // f1 positions 0..9 = ids 1..10; DV kills positions 0 and 9 (ids 1, 10)
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i * 2)))
+    val uuid = java.util.UUID.fromString("87654321-4321-8765-4321-876543218765")
+    val d = DeltaDv.writeDvFile(spark, dir, uuid, Seq(0L, 9L))
+    val dvJson =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaAction(partitioned = false),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}"""))
+    // delete ids 2..3: the rewrite must apply the DV FIRST (ids 1, 10
+    // stay dead) and the new add must carry no DV
+    val v = DeltaExport.deleteForeign(spark, dir, col("id") <= 3L)
+    assert(v == 1L)
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (4L to 9L).toSet, "DV'd rows stay dead through the rewrite")
+    val v1Json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(!v1Json.contains("deletionVector"),
+      s"the rewritten add must not carry a DV: $v1Json")
+    // appendOnly tables refuse deletion by their own contract
+    val dirA = Files.createTempDirectory("dfdel_ao").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirA).mkdirs()
+    writeDeltaPart(dirA, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dirA, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = false).replace(""""configuration":{}""",
+        """"configuration":{"delta.appendOnly":"true"}"""),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eA = intercept[UnsupportedOperationException](
+      DeltaExport.deleteForeign(spark, dirA, col("id") === 1L))
+    assert(eA.getMessage.contains("append-only"), eA.getMessage)
+    // rowTracking pins per-row ids a rewrite cannot carry
+    val dirR = Files.createTempDirectory("dfdel_rt").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirR).mkdirs()
+    writeDeltaPart(dirR, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dirR, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":["rowTracking"]}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eR = intercept[UnsupportedOperationException](
+      DeltaExport.deleteForeign(spark, dirR, col("id") === 1L))
+    assert(eR.getMessage.contains("rowTracking"), eR.getMessage)
+    // CHECK constraints are PRESERVED by a row-dropping rewrite —
+    // unlike appendForeign, their presence must NOT decline
+    val dirC = Files.createTempDirectory("dfdel_ck").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirC).mkdirs()
+    writeDeltaPart(dirC, "f1.parquet", Seq((1L, 1L), (2L, 2L)))
+    writeDeltaCommit(dirC, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      metaAction(partitioned = false).replace(""""configuration":{}""",
+        """"configuration":{"delta.constraints.positive":"v > 0"}"""),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaExport.deleteForeign(spark, dirC, col("id") === 1L)
+    assert(DeltaRead.read(spark, dirC).select("id").as[Long].collect().toSet ==
+      Set(2L), "constraint-bearing tables delete fine (values preserved)")
+    // nondeterministic predicates would let the two passes disagree
+    val eN = intercept[UnsupportedOperationException](
+      DeltaExport.deleteForeign(spark, dirC, rand() < 0.5))
+    assert(eN.getMessage.contains("deterministic"), eN.getMessage)
+  }
+
+  test("delta foreign delete: CDF tables publish deleted rows as change data") {
+    import graft.sources.{DeltaExport, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dfdel_cdf").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 8L).map(i => (i, i * 10)))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaAction(partitioned = true).replace(""""configuration":{}""",
+        """"configuration":{"delta.enableChangeDataFeed":"true"}"""),
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val v = DeltaExport.deleteForeign(spark, dir, col("id") % 2L === 0L)
+    assert(v == 1L)
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 7L))
+    // the spec's change-data contract: the commit carries cdc actions
+    // holding exactly the deleted rows, _change_type='delete'
+    val changes = DeltaRead.changes(spark, dir, 0L, 1L)
+    val dels = changes.filter(col("_change_type") === "delete")
+      .select("id", "p").as[(Long, String)].collect().toSet
+    assert(dels == Set(2L, 4L, 6L, 8L).map(i => (i, "a")), s"got $dels")
+    val v1Json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(v1Json.contains(""""cdc":{"path":"_change_data/"""), v1Json)
+    assert(v1Json.contains(""""dataChange":false"""), v1Json)
+  }
+
+  test("delta foreign delete: mapped tables rewrite physical names; racing writers are safe") {
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    import spark.implicits._
+    // name-mode mapped table: the rewrite must write PHYSICAL names or
+    // every later read of the survivors serves nulls
+    val dir = Files.createTempDirectory("dfdel_cm").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    def pn(phys: String) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, pn("col-aaa")),
+      StructField("v", LongType, nullable = true, pn("col-bbb"))))
+    val esc = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val tmp = Files.createTempDirectory("dfdel_cm_stage").toFile.getAbsolutePath
+    (1L to 4L).map(i => (i, i * 10)).toDF("col-aaa", "col-bbb")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val pf = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(pf.toPath, java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"fcmdel","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaExport.deleteForeign(spark, dir, col("id") <= 2L)
+    assert(DeltaRead.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((3L, 30L), (4L, 40L)),
+      "mapped survivors must land under physical names")
+    // a racing append between replay and commit: the delete retries,
+    // re-validates its affected files (still live), and commits after
+    val dirR = Files.createTempDirectory("dfdel_race").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirR).mkdirs()
+    writeDeltaPart(dirR, "f1.parquet", (1L to 6L).map(i => (i, i)))
+    writeDeltaCommit(dirR, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fDel = Future(DeltaExport.deleteForeign(spark, dirR, col("id") <= 2L))
+    val fApp = Future(DeltaExport.appendForeign(spark,
+      Seq((100L, 100L)).toDF("id", "v"), dirR))
+    val Seq(vDel, vApp) = Await.result(Future.sequence(Seq(fDel, fApp)), 120.seconds)
+    assert(Set(vDel, vApp) == Set(1L, 2L), s"both commits land: $vDel, $vApp")
+    assert(DeltaRead.read(spark, dirR).select("id").as[Long].collect().toSet ==
+      Set(3L, 4L, 5L, 6L, 100L), "no commit may be lost, no row resurrected")
+    // a racing commit that REWRITES an affected file is a loud
+    // conflict even when it lands BEFORE the delete's version listing
+    // (the anchored-validation contract, not just put-if-absent): the
+    // seam plants a compaction of f1 into f2 inside the race window
+    val dirX = Files.createTempDirectory("dfdel_conflict").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirX).mkdirs()
+    writeDeltaPart(dirX, "f1.parquet", (1L to 3L).map(i => (i, i)))
+    writeDeltaPart(dirX, "f2.parquet", (1L to 3L).map(i => (i, i)))
+    writeDeltaCommit(dirX, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eX = intercept[IllegalStateException] {
+      DeltaExport.deleteForeignImpl(spark, dirX, col("id") === 1L, 3, () =>
+        writeDeltaCommit(dirX, 1, Seq(
+          """{"remove":{"path":"f1.parquet","deletionTimestamp":2,"dataChange":true}}""",
+          """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""")))
+    }
+    assert(eX.getMessage.contains("removed or rewrote"), eX.getMessage)
+    assert(!new java.io.File(s"$dirX/_delta_log/00000000000000000002.json").exists(),
+      "the conflicted delete must not have committed anything")
+  }
+
   test("iceberg ref writes: branch/tag CRUD, branch commits, expire guard, CALL face") {
     // r14 verdict #6: the write half of readRef. createRef/dropRef are
     // metadata-only OCC commits; appendForeign(ref=...) moves ONLY the
@@ -4590,6 +4806,197 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("timestamp or date"), e2.getMessage)
   }
 
+  test("iceberg export: bucket(N,k) publishes the spec murmur3 bucketing") {
+    // r15: the full transform family — bucket is NOT monotonic, so
+    // per-file tuples derive from one distinct-per-file scan instead
+    // of footer bounds; the published values must match the spec's
+    // pinned murmur3 (IcebergTransformSpec pins the hash itself)
+    import graft.expressions.IcebergTransforms
+    import graft.functions.IcebergPartitionFns.icebergBucket
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import spark.implicits._
+    val src = Files.createTempDirectory("iexpb_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iexpb_tgt").toFile.getAbsolutePath + "/i"
+    val base = (1L to 40L).toDF("k").withColumn("v", col("k") * 10)
+      .withColumn("__b", icebergBucket(4, col("k")))
+    // one bucket-pure file per commit (the layout a bucketed writer
+    // produces; the column face is what makes pre-partitioning possible)
+    TimeTravel.commitOverwrite(
+      base.filter(col("__b") === 0).drop("__b").coalesce(1), src)
+    (1 to 3).foreach(b => TimeTravel.commitAppend(
+      base.filter(col("__b") === b).drop("__b").coalesce(1), src))
+    val nFiles = IcebergExport.snapshot(spark, src, tgt,
+      partitionBy = Seq("bucket(4, k)"))
+    val metaTxt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$tgt/metadata/v1.metadata.json"))
+    assert(metaTxt.contains("\"transform\":\"bucket[4]\"") &&
+      metaTxt.contains("\"name\":\"k_bucket\""), metaTxt)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet ==
+      (1L to 40L).toSet)
+    // every manifest tuple is the murmur3 bucket of its file's keys
+    val mFile = new java.io.File(s"$tgt/metadata").listFiles()
+      .filter(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro")).head
+    val rdr = DataFileReader.openReader(mFile,
+      new GenericDatumReader[GenericRecord]())
+    val buckets = try {
+      val b = Seq.newBuilder[Int]
+      while (rdr.hasNext) {
+        val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+        b += df.get("partition").asInstanceOf[GenericRecord]
+          .get("k_bucket").asInstanceOf[Number].intValue()
+      }
+      b.result()
+    } finally rdr.close()
+    val expected = (1L to 40L).map(IcebergTransforms.bucketLong(_, 4)).distinct
+    assert(buckets.toSet == expected.toSet && buckets.size == nFiles,
+      s"tuples $buckets must be the spec buckets $expected")
+    // append keeps publishing the same bucket spec
+    TimeTravel.commitAppend(
+      Seq((100L, 1000L)).toDF("k", "v").coalesce(1), src)
+    assert(IcebergExport.append(spark, src, tgt) == 1)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet ==
+      ((1L to 40L) :+ 100L).toSet)
+    // a file MIXING buckets declines loudly at the purity gate
+    val src2 = Files.createTempDirectory("iexpb_src2").toFile.getAbsolutePath + "/t"
+    TimeTravel.commitOverwrite((1L to 40L).toDF("k")
+      .withColumn("v", col("k")).coalesce(1), src2)
+    val e = intercept[UnsupportedOperationException](
+      IcebergExport.snapshot(spark, src2,
+        Files.createTempDirectory("iexpb_t2").toFile.getAbsolutePath + "/i",
+        partitionBy = Seq("bucket(4, k)")))
+    assert(e.getMessage.contains("partition-pure"), e.getMessage)
+  }
+
+  test("iceberg export: hours/months/years/truncate publish their transforms") {
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    def spec(tgt: String) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tgt/metadata/v1.metadata.json"))
+    // hours(ts): two files in DIFFERENT hours of one day — a days()
+    // layout could not separate them, hour tuples must
+    val srcH = Files.createTempDirectory("iexph_src").toFile.getAbsolutePath + "/t"
+    val tgtH = Files.createTempDirectory("iexph_tgt").toFile.getAbsolutePath + "/i"
+    def hourDf(h: Int, ids: Seq[Long]) = ids.toDF("k")
+      .withColumn("ts", expr(
+        s"timestamp_ntz'2024-03-01 0$h:00:00' + make_interval(0,0,0,0,0,cast(k % 50 as int),0)"))
+    TimeTravel.commitOverwrite(hourDf(1, 1L to 4L).coalesce(1), srcH)
+    TimeTravel.commitAppend(hourDf(3, 5L to 8L).coalesce(1), srcH)
+    assert(IcebergExport.snapshot(spark, srcH, tgtH,
+      partitionBy = Seq("hours(ts)")) == 2)
+    assert(spec(tgtH).contains("\"transform\":\"hour\""), spec(tgtH))
+    assert(IcebergRead.read(spark, tgtH).select("k").as[Long].collect().toSet ==
+      (1L to 8L).toSet)
+    // months(d) over a DATE column
+    val srcM = Files.createTempDirectory("iexpm_src").toFile.getAbsolutePath + "/t"
+    val tgtM = Files.createTempDirectory("iexpm_tgt").toFile.getAbsolutePath + "/i"
+    def monthDf(m: String, ids: Seq[Long]) = ids.toDF("k")
+      .withColumn("d", expr(s"date'2024-$m-01' + cast(k % 25 as int)"))
+    TimeTravel.commitOverwrite(monthDf("01", 1L to 4L).coalesce(1), srcM)
+    TimeTravel.commitAppend(monthDf("03", 5L to 8L).coalesce(1), srcM)
+    assert(IcebergExport.snapshot(spark, srcM, tgtM,
+      partitionBy = Seq("months(d)")) == 2)
+    assert(spec(tgtM).contains("\"transform\":\"month\""), spec(tgtM))
+    assert(IcebergRead.read(spark, tgtM).select("k").as[Long].collect().toSet ==
+      (1L to 8L).toSet)
+    // years(d), same source shape (jan vs mar 2024 = ONE year: must
+    // compact to one partition, proving the transform really floors)
+    val tgtY = Files.createTempDirectory("iexpy_tgt").toFile.getAbsolutePath + "/i"
+    assert(IcebergExport.snapshot(spark, srcM, tgtY,
+      partitionBy = Seq("years(d)")) == 2)
+    assert(spec(tgtY).contains("\"transform\":\"year\""), spec(tgtY))
+    // truncate(100, k) over long + truncate(3, s) over string
+    val srcT = Files.createTempDirectory("iexpt_src").toFile.getAbsolutePath + "/t"
+    val tgtT = Files.createTempDirectory("iexpt_tgt").toFile.getAbsolutePath + "/i"
+    def bandDf(lo: Long, pfx: String) = (lo until lo + 50L).toDF("k")
+      .withColumn("s", concat(lit(pfx), col("k").cast("string")))
+    TimeTravel.commitOverwrite(bandDf(0L, "abc").coalesce(1), srcT)
+    TimeTravel.commitAppend(bandDf(100L, "xyz").coalesce(1), srcT)
+    assert(IcebergExport.snapshot(spark, srcT, tgtT,
+      partitionBy = Seq("truncate(100, k)", "truncate(3, s)")) == 2)
+    val mt = spec(tgtT)
+    assert(mt.contains("\"transform\":\"truncate[100]\"") &&
+      mt.contains("\"transform\":\"truncate[3]\"") &&
+      mt.contains("\"name\":\"k_trunc\"") && mt.contains("\"name\":\"s_trunc\""), mt)
+    assert(IcebergRead.read(spark, tgtT).select("k").as[Long].collect().toSet ==
+      ((0L until 50L) ++ (100L until 150L)).toSet)
+    // hour over a DATE column declines by name
+    val eH = intercept[UnsupportedOperationException](
+      IcebergExport.snapshot(spark, srcM,
+        Files.createTempDirectory("iexph_t2").toFile.getAbsolutePath + "/i",
+        partitionBy = Seq("hours(d)")))
+    assert(eH.getMessage.contains("timestamp"), eH.getMessage)
+    // truncate over a date declines by name
+    val eT = intercept[UnsupportedOperationException](
+      IcebergExport.snapshot(spark, srcM,
+        Files.createTempDirectory("iexpt_t2").toFile.getAbsolutePath + "/i",
+        partitionBy = Seq("truncate(10, d)")))
+    assert(eT.getMessage.contains("int/long/string"), eT.getMessage)
+  }
+
+  test("iceberg foreign append: transform-partitioned tables accept appends") {
+    // r15: foreign appends into bucket[N]- and day-partitioned tables
+    // (the common Flink-CDC layouts) — the staging pass computes the
+    // transform per row, so the caller needs no pre-partitioning at all
+    import graft.expressions.IcebergTransforms
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import spark.implicits._
+    val src = Files.createTempDirectory("ifab_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("ifab_tgt").toFile.getAbsolutePath + "/i"
+    import graft.functions.IcebergPartitionFns.icebergBucket
+    val base = (1L to 20L).toDF("k").withColumn("v", col("k") * 10)
+      .withColumn("__b", icebergBucket(4, col("k")))
+    TimeTravel.commitOverwrite(
+      base.filter(col("__b") === 0).drop("__b").coalesce(1), src)
+    (1 to 3).foreach(b => TimeTravel.commitAppend(
+      base.filter(col("__b") === b).drop("__b").coalesce(1), src))
+    IcebergExport.snapshot(spark, src, tgt, partitionBy = Seq("bucket(4, k)"))
+    // the appended frame is NOT pre-partitioned: rows of all 4 buckets
+    // arrive interleaved and the staging pass must split them
+    IcebergExport.appendForeign(spark,
+      (21L to 40L).toDF("k").withColumn("v", col("k") * 10), tgt)
+    assert(IcebergRead.read(spark, tgt).select("k").as[Long].collect().toSet ==
+      (1L to 40L).toSet, "foreign append into a bucket spec")
+    // the NEW manifest's tuples are the real murmur3 buckets
+    val mFiles = new java.io.File(s"$tgt/metadata").listFiles()
+      .filter(f => f.getName.startsWith("mf-") && f.getName.endsWith(".avro"))
+    assert(mFiles.nonEmpty, "foreign append writes its own manifest")
+    val pairs = mFiles.flatMap { mf =>
+      val rdr = DataFileReader.openReader(mf,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val b = Seq.newBuilder[(String, Int)]
+        while (rdr.hasNext) {
+          val df = rdr.next().get("data_file").asInstanceOf[GenericRecord]
+          b += ((df.get("file_path").toString,
+            df.get("partition").asInstanceOf[GenericRecord]
+              .get("k_bucket").asInstanceOf[Number].intValue()))
+        }
+        b.result()
+      } finally rdr.close()
+    }
+    pairs.foreach { case (path, bucket) =>
+      val ks = spark.read.parquet(path).select("k").as[Long].collect()
+      assert(ks.nonEmpty &&
+        ks.forall(IcebergTransforms.bucketLong(_, 4) == bucket),
+        s"file $path claims bucket $bucket but holds keys ${ks.toSeq}")
+    }
+    // day-partitioned foreign append (the days test's spec, new day)
+    val srcD = Files.createTempDirectory("ifad_src").toFile.getAbsolutePath + "/t"
+    val tgtD = Files.createTempDirectory("ifad_tgt").toFile.getAbsolutePath + "/i"
+    def dayDf(day: String, ids: Seq[Long]) = ids.toDF("k")
+      .withColumn("ts", expr(s"timestamp_ntz'$day 00:00:00' + make_interval(0,0,0,0,cast(k % 24 as int),0,0)"))
+    TimeTravel.commitOverwrite(dayDf("2024-03-01", 1L to 5L).coalesce(1), srcD)
+    IcebergExport.snapshot(spark, srcD, tgtD, partitionBy = Seq("days(ts)"))
+    IcebergExport.appendForeign(spark,
+      dayDf("2024-03-02", 6L to 9L) union dayDf("2024-03-03", 10L to 11L), tgtD)
+    assert(IcebergRead.read(spark, tgtD).select("k").as[Long].collect().toSet ==
+      (1L to 11L).toSet, "foreign append into a day spec, multi-day frame")
+  }
+
   test("iceberg foreign append: commits into a table another engine created") {
     // r14 verdict #1: stage data files + a snapshot into a FOREIGN
     // Iceberg table built by the independent fixture path — honoring
@@ -4707,7 +5114,9 @@ class SourcesSpec extends SparkSpec {
       s"the commit publishes a fresh empty spec for global deletes: $specs")
     assert(meta.get("default-spec-id").asInt() == 5,
       "the table's default spec is untouched")
-    // a transform spec declines by name
+    // a transform OUTSIDE the served family still declines by name
+    // (bucket/truncate/time units are SUPPORTED since r15 — positively
+    // pinned in "transform-partitioned tables accept appends")
     val dirT = Files.createTempDirectory("iforeign_t").toFile.getAbsolutePath + "/t"
     val fT = writeIcebergPart(dirT, "f0.parquet", Seq((1L, 1L, "b0")))
     val mT = graft.sources.IcebergRead.Fixture.manifestV2(dirT, "m0.avro",
@@ -4717,12 +5126,12 @@ class SourcesSpec extends SparkSpec {
     graft.sources.IcebergRead.Fixture.metadataMulti(dirT, 1, formatVersion = 2,
       currentSnapshotId = 1L, snapshots = Seq((1L, mlT)), fields,
       extraJson = ""","default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
-        """"fields":[{"name":"id_bucket","transform":"bucket[16]",""" +
+        """"fields":[{"name":"id_z","transform":"zorder",""" +
         """"source-id":4,"field-id":1000}]}]""")
     val eT = intercept[UnsupportedOperationException](
       IcebergExport.appendForeign(spark,
         Seq((2L, 2L, "b0")).toDF("id", "v", "band"), dirT))
-    assert(eT.getMessage.contains("bucket"), eT.getMessage)
+    assert(eT.getMessage.contains("zorder"), eT.getMessage)
     // concurrent writers: every append lands its own snapshot, no rows
     // lost — the CREATE_NEW put-if-absent shape
     val dirR = Files.createTempDirectory("iforeign_r").toFile.getAbsolutePath + "/t"
