@@ -1544,6 +1544,83 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** FOREIGN Delta UPDATE (r15 — the copy-on-write SET face of
+    * [[qDeltaDeleteForeign]]): the same CDF-enabled foreign fixture
+    * receives one `updateForeign` commit doubling band b2's cents.
+    * Three faces fuse into the hash: the replay's per-band aggregates
+    * (b2 must show doubled cents, every other band untouched), and
+    * the change feed's preimage/postimage sums — wrong values on any
+    * face break it. */
+  val qDeltaUpdateForeign: QueryDef = QueryDef.sql(
+    "q_delta_update_foreign",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |upd AS (
+      |  SELECT band, k,
+      |    CASE WHEN band = 'b2' THEN cents * 2 ELSE cents END AS cents
+      |  FROM o
+      |),
+      |m AS (SELECT * FROM o WHERE band = 'b2')
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  (SELECT CAST(SUM(cents) AS BIGINT) FROM m) AS sum_pre,
+      |  (SELECT CAST(SUM(cents) * 2 AS BIGINT) FROM m) AS sum_post
+      |FROM upd GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dfupd_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val tmp = s"${dir}_stage"
+    o.filter(col("band") === "b0").select("k", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/f0.parquet").toPath): Unit
+    val esc = StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType),
+      StructField("band", StringType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"foreignupd","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["band"],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{"band":"b0"},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    (1 to 3).foreach { b =>
+      DeltaExport.appendForeign(s,
+        o.filter(col("band") === s"b$b").select("k", "cents", "band"), dir): Unit
+    }
+    val vUpd = DeltaExport.updateForeign(s, dir,
+      col("band") === "b2", Map("cents" -> col("cents") * 2L))
+    val ch = DeltaRead.changes(s, dir, vUpd - 1, vUpd)
+    val pre = ch.filter(col("_change_type") === "update_preimage")
+      .agg(sum(col("cents"))).collect().head.getLong(0)
+    val post = ch.filter(col("_change_type") === "update_postimage")
+      .agg(sum(col("cents"))).collect().head.getLong(0)
+    DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("sum_pre", lit(pre))
+      .withColumn("sum_post", lit(post))
+      .orderBy("band")
+  }
+
   /** Delta EXPORT of a COLUMN-MAPPED snapshot (r14 — r13 verdict #3):
     * a graft table renamed mid-history (files before the rename carry
     * the old physical name; appends after it keep writing it) exports
@@ -2272,5 +2349,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergRowLineage, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergRowLineage, qVariantRead)
 }

@@ -1102,6 +1102,299 @@ object DeltaExport {
       s"$kq:$vq"
     }.mkString(",")
 
+  /** UPDATE rows matching `predicate` in ANY Delta table — the
+    * copy-on-write sibling of [[deleteForeign]]: every file holding a
+    * match rewrites with `sets` applied to its matching rows (other
+    * rows byte-for-value preserved, deletion vectors applied first),
+    * one remove+add commit under the same version-anchored OCC.
+    *
+    * CHANGE DATA FEED tables additionally publish the matched rows
+    * BOTH ways — `update_preimage` and `update_postimage` — the spec's
+    * required change shape for updates.
+    *
+    * Loud-or-exact: unlike deletes, an update CREATES values, so the
+    * append-side obligations return — CHECK constraints, invariants,
+    * and generated columns decline on PRESENCE, identity columns
+    * decline when a SET targets them; `delta.appendOnly` and
+    * `rowTracking` decline by name; a SET of a partition column
+    * declines (it would move rows across partitions — re-ingest
+    * through append+delete instead); every SET expression must
+    * preserve its column's exact type; NOT NULL columns re-validate
+    * from the staged footers; nondeterministic predicates or SET
+    * expressions decline (the passes must agree).
+    *
+    * Scale: one full scan for per-file match counts (pushdown-pruned),
+    * one scan of only the affected files for the rewrite, one
+    * distributed partitionBy write. Returns the committed version, or
+    * the current one, commit-free, when nothing matched. */
+  def updateForeign(spark: SparkSession, targetPath: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 3): Long =
+    updateForeignImpl(spark, targetPath, predicate, sets, maxRetries, () => ())
+
+  private[graft] def updateForeignImpl(spark: SparkSession, targetPath: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int, beforeCommit: () => Unit): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
+    import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+    require(sets.nonEmpty, "updateForeign needs at least one SET column")
+    val currentV = nextDeltaVersion(spark, targetPath) - 1
+    val st0 = DeltaRead.replay(spark, targetPath, Some(currentV))
+    val schemaJson = st0.schemaJson.getOrElse(throw new IllegalStateException(
+      s"delta log at $targetPath has no metaData action"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    requireForeignDeletable(targetPath, st0) // writer vocabulary + appendOnly
+    // value-creating obligations (the appendForeign stance): an update
+    // this writer cannot VALIDATE must not commit past them
+    val constraints = st0.config.keys.filter(_.startsWith("delta.constraints."))
+    if (constraints.nonEmpty) throw new UnsupportedOperationException(
+      s"delta table at $targetPath declares CHECK constraint(s) " +
+        s"${constraints.toSeq.sorted.mkString(", ")}; updateForeign cannot " +
+        "validate them — update through an engine that can")
+    schema.fields.foreach { f =>
+      if (f.metadata.contains("delta.invariants"))
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $targetPath carries an invariant; " +
+            "updateForeign cannot validate it")
+      if (f.metadata.contains("delta.generationExpression"))
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $targetPath is a generated column; " +
+            "updateForeign cannot guarantee the generation expression")
+      if (f.metadata.json.contains("delta.identity.") && sets.contains(f.name))
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $targetPath is an identity column; " +
+            "updateForeign cannot reassign its values")
+    }
+    val parts = st0.partitionCols
+    sets.keys.foreach { n =>
+      if (!schema.fieldNames.contains(n)) throw new IllegalArgumentException(
+        s"SET column $n is not a column of $targetPath")
+      if (parts.contains(n)) throw new UnsupportedOperationException(
+        s"SET of partition column $n would move rows across partitions; " +
+          "delete + append instead")
+    }
+    if (st0.adds.isEmpty) return currentV
+    val colMap = DeltaRead.colMapOf(targetPath, st0)
+    val colIds = DeltaRead.colIdsOf(targetPath, st0)
+    val idMode = st0.config.get("delta.columnMapping.mode").contains("id")
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    def keyOf(a: DeltaRead.AddFile): String = PathKeys.normKey(
+      new Path(DeltaRead.resolvePath(targetPath, a.path)).toString)
+    val FK = "__graft_fk"
+    val matchedF = coalesce(predicate, lit(false))
+    val allAdds = st0.adds.values.toSeq.sortBy(_.path)
+    val fullScan = DeltaRead.scanAdds(spark, targetPath, allAdds, schema,
+      parts, colMap, colIds, Some(FK))
+    // the UPDATED logical view: matched rows take their SET values —
+    // built once so the determinism probe, the type check, the rewrite
+    // and the postimage all share the exact same expressions
+    def updatedSel(matched: org.apache.spark.sql.Column)
+        : Seq[org.apache.spark.sql.Column] =
+      schema.fields.toSeq.map { f =>
+        sets.get(f.name) match {
+          case Some(v) => when(matched, v).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+    // exact-type contract, checked on each SET expression's OWN type
+    // (inside a when() Spark's coercion would silently cast — and an
+    // ANSI cast failure mid-rewrite is the wrong place to learn a SET
+    // was a string)
+    sets.foreach { case (n, v) =>
+      val got = fullScan.select(v.as("__graft_probe")).schema.head.dataType
+      if (normType(got) != normType(schema(n).dataType))
+        throw new UnsupportedOperationException(
+          s"SET of $n produces ${got.simpleString}; the column is " +
+            s"${schema(n).dataType.simpleString} — cast explicitly")
+    }
+    val probe = fullScan.select(updatedSel(matchedF) :+ col(FK): _*)
+    // determinism guard over predicate AND set expressions
+    val detOk = probe.filter(matchedF).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.forall(_.deterministic)
+    }.forall(identity)
+    if (!detOk) throw new UnsupportedOperationException(
+      "updateForeign needs deterministic predicate and SET expressions: " +
+        "the match pass and the rewrite pass must agree on every row")
+    val perFile = fullScan
+      .groupBy(col(FK))
+      .agg(count(lit(1)).as("n"),
+        sum(when(matchedF, 1L).otherwise(0L)).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val affected = allAdds.filter(a => perFile.get(keyOf(a)).exists(_ > 0))
+    if (affected.isEmpty) return currentV
+    val cdfOn = st0.config.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val dataSel = schema.fields.toSeq.filterNot(f => parts.contains(f.name))
+      .map { f =>
+        val physT = physicalWriteType(f.dataType, idMode)
+        val c = col(f.name)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        colIds.get(f.name).foreach(id =>
+          mb.putLong("parquet.field.id", id.toLong))
+        (if (colMap.nonEmpty && physT != f.dataType) c.cast(physT) else c)
+          .as(physOf(f.name), mb.build())
+      }
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val staging = s"$targetPath/_graft_staging_$uuid"
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new Path(targetPath).getFileSystem(conf)
+    def publish(staged: Path, destName: String, pv: Map[String, String],
+        action: String, dataChange: Boolean): String = {
+      val dest = new Path(targetPath, destName)
+      Option(dest.getParent).foreach(fsys.mkdirs(_): Unit)
+      if (!fsys.rename(staged, dest)) throw new java.io.IOException(
+        s"staging publish failed for $dest")
+      val stt = fsys.getFileStatus(dest)
+      s"""{"$action":{"path":"${encodePath(destName)}",""" +
+        s""""partitionValues":{${pvJsonOf(pv)}},"size":${stt.getLen},""" +
+        (if (action == "add")
+          s""""modificationTime":${stt.getModificationTime},"""
+        else "") +
+        s""""dataChange":$dataChange""" +
+        (if (action == "add") statsFragment(conf, dest.toString) else "") + "}}"
+    }
+    def gpFrames(adds: Seq[DeltaRead.AddFile])
+        : (Seq[(Map[String, String], Int)], org.apache.spark.sql.DataFrame) = {
+      val tuples = adds.groupBy(_.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(" ")).map(_._1).zipWithIndex
+      val byTuple = tuples.toMap
+      val rows = adds.map(a =>
+        org.apache.spark.sql.Row(keyOf(a), byTuple(a.partitionValues)))
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("__gfk", StringType, nullable = false),
+        StructField("__gp", IntegerType, nullable = false))))
+      (tuples, df)
+    }
+    val notNullData = schema.fields.filter(!_.nullable).map(_.name).toSeq
+      .filterNot(parts.contains).map(n => physOf(n) -> n)
+    val adds = Seq.newBuilder[String]
+    val cdcs = Seq.newBuilder[String]
+    try {
+      // the rewrite: every affected file's rows, matched ones updated
+      val (tuples, gpMap) = gpFrames(affected)
+      val affectedScan = DeltaRead.scanAdds(spark, targetPath, affected,
+        schema, parts, colMap, colIds, Some(FK))
+      affectedScan
+        .select(updatedSel(matchedF) :+ col(FK): _*)
+        .join(broadcast(gpMap), col(FK) === col("__gfk"))
+        .select(dataSel :+ col("__gp"): _*)
+        .write.partitionBy("__gp").mode("overwrite")
+        .parquet(s"$staging/data")
+      // NOT NULL re-validates on the staged result: a SET may have
+      // introduced nulls the original files never carried
+      if (notNullData.nonEmpty) {
+        val counts = stagedNullCounts(conf, new Path(s"$staging/data"),
+          notNullData.map(_._1))
+        val violated = notNullData.flatMap { case (phys, logical) =>
+          counts(phys) match {
+            case Some(0L) => None
+            case Some(c) => Some(s"$logical ($c nulls)")
+            case None => throw new IllegalStateException(
+              s"staged files carry no null-count statistics for $logical; " +
+                "cannot validate NOT NULL")
+          }
+        }
+        if (violated.nonEmpty) throw new IllegalArgumentException(
+          s"updateForeign SET introduces nulls in NOT NULL column(s) of " +
+            s"$targetPath: ${violated.mkString(", ")}")
+      }
+      tuples.foreach { case (pv, i) =>
+        val dir = new Path(s"$staging/data", s"__gp=$i")
+        if (fsys.exists(dir))
+          fsys.listStatus(dir).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+              adds += publish(s.getPath, s"part-$uuid-u$i-$k.parquet", pv,
+                "add", dataChange = true)
+            }
+      }
+      if (cdfOn) {
+        // matched rows BOTH ways: preimage as stored, postimage updated
+        val (cTuples, cGpMap) = gpFrames(affected)
+        val matchedRows = DeltaRead.scanAdds(spark, targetPath, affected,
+          schema, parts, colMap, colIds, Some(FK)).filter(matchedF)
+        val pre = matchedRows.select(
+          (schema.fields.toSeq.map(f => col(f.name)) :+
+            lit("update_preimage").as("_change_type") :+ col(FK)): _*)
+        val post = matchedRows
+          .select(updatedSel(lit(true)) :+ col(FK): _*)
+          .select((schema.fields.toSeq.map(f => col(f.name)) :+
+            lit("update_postimage").as("_change_type") :+ col(FK)): _*)
+        pre.unionByName(post)
+          .join(broadcast(cGpMap), col(FK) === col("__gfk"))
+          .select(dataSel :+ col("_change_type") :+ col("__gp"): _*)
+          .write.partitionBy("__gp").mode("overwrite")
+          .parquet(s"$staging/cdc")
+        cTuples.foreach { case (pv, i) =>
+          val dir = new Path(s"$staging/cdc", s"__gp=$i")
+          if (fsys.exists(dir))
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+                cdcs += publish(s.getPath,
+                  s"_change_data/cdc-$uuid-u$i-$k.parquet", pv,
+                  "cdc", dataChange = false)
+              }
+        }
+      }
+    } finally fsys.delete(new Path(staging), true): Unit
+    val now = System.currentTimeMillis()
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${encodePath(a.path)}",""" +
+        s""""deletionTimestamp":$now,"dataChange":true,""" +
+        s""""partitionValues":{${pvJsonOf(a.partitionValues)}}""" +
+        a.size.map(sz => s""","size":$sz""").getOrElse("") + "}}"
+    }
+    beforeCommit()
+    var attempt = 0
+    var lastErr: Throwable = null
+    var validatedThrough = currentV
+    while (attempt <= maxRetries) {
+      val v = nextDeltaVersion(spark, targetPath)
+      if (v != validatedThrough + 1) {
+        val stNow = DeltaRead.replay(spark, targetPath, Some(v - 1))
+        requireForeignDeletable(targetPath, stNow)
+        if (stNow.schemaJson != st0.schemaJson ||
+            stNow.partitionCols != st0.partitionCols)
+          throw new IllegalStateException(
+            s"concurrent metaData change at $targetPath moved the schema " +
+              "under this update; re-read the table and retry explicitly",
+            lastErr)
+        affected.foreach { a =>
+          stNow.adds.get(a.path) match {
+            case Some(b) if b.dv == a.dv => ()
+            case _ => throw new IllegalStateException(
+              s"concurrent commit at $targetPath removed or rewrote " +
+                s"${a.path} under this update; re-read and re-issue the " +
+                "update against the new state", lastErr)
+          }
+        }
+        validatedThrough = v - 1
+      }
+      val actions =
+        Seq("""{"commitInfo":{"operation":"UPDATE","engineInfo":"graft-updateForeign"}}""") ++
+          removes ++ adds.result() ++ cdcs.result()
+      try { writeCommit(spark, targetPath, v, actions); return v }
+      catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("concurrent export")) ||
+              e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
+
   /** DELETE the rows matching `predicate` from ANY Delta table —
     * including tables this engine did not create (r15; the symmetric
     * half of [[appendForeign]], and of the foreign ICEBERG delete

@@ -4598,6 +4598,116 @@ class SourcesSpec extends SparkSpec {
       "the conflicted delete must not have committed anything")
   }
 
+  test("delta foreign update: copy-on-write SET rewrites matched rows in place") {
+    // r15: updateForeign — matched rows take their SET values, every
+    // other row of an affected file is value-preserved, untouched
+    // files are never rewritten; CDF tables publish the matched rows
+    // BOTH ways (update_preimage / update_postimage).
+    import graft.sources.{DeltaExport, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dfupd").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 5L).map(i => (i, i * 10)))
+    writeDeltaPart(dir, "f2.parquet", (6L to 10L).map(i => (i, i * 10)))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaAction(partitioned = true).replace(""""configuration":{}""",
+        """"configuration":{"delta.enableChangeDataFeed":"true"}"""),
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"p":"b"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val f1Bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    // ids 8..10 in partition b double their v; f1 (p=a) untouched
+    val v = DeltaExport.updateForeign(spark, dir,
+      col("id") >= 8L && col("p") === "b", Map("v" -> col("v") * 2L))
+    assert(v == 1L)
+    val got = DeltaRead.read(spark, dir)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    val expect = ((1L to 7L).map(i => i -> i * 10) ++
+      (8L to 10L).map(i => i -> i * 20)).toMap
+    assert(got == expect, s"got $got")
+    assert(java.util.Arrays.equals(f1Bytes, java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))),
+      "the untouched file stays byte-identical")
+    val v1Json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(v1Json.contains(""""remove":{"path":"f2.parquet"""") &&
+      !v1Json.contains("f1.parquet"), v1Json)
+    // the change feed serves pre AND post images of exactly the matches
+    val ch = DeltaRead.changes(spark, dir, 0L, 1L)
+    val pre = ch.filter(col("_change_type") === "update_preimage")
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    val post = ch.filter(col("_change_type") === "update_postimage")
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(pre == (8L to 10L).map(i => (i, i * 10)).toSet, s"pre $pre")
+    assert(post == (8L to 10L).map(i => (i, i * 20)).toSet, s"post $post")
+    // a zero-match update is commit-free
+    assert(DeltaExport.updateForeign(spark, dir,
+      col("id") > 1000L, Map("v" -> lit(0L))) == 1L)
+    assert(!new java.io.File(s"$dir/_delta_log/00000000000000000002.json").exists())
+  }
+
+  test("delta foreign update: value-creating obligations and type drift decline") {
+    import graft.sources.{DeltaExport, DeltaRead}
+    import spark.implicits._
+    // CHECK constraints return for updates (they are value-creating)
+    val dirC = Files.createTempDirectory("dfupd_ck").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirC).mkdirs()
+    writeDeltaPart(dirC, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dirC, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      metaAction(partitioned = false).replace(""""configuration":{}""",
+        """"configuration":{"delta.constraints.positive":"v > 0"}"""),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eC = intercept[UnsupportedOperationException](
+      DeltaExport.updateForeign(spark, dirC, col("id") === 1L,
+        Map("v" -> lit(-1L))))
+    assert(eC.getMessage.contains("CHECK constraint"), eC.getMessage)
+    // plain table: SET of a partition column / type drift / rand decline
+    val dir = Files.createTempDirectory("dfupd_g").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 4L).map(i => (i, i)))
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = true),
+      """{"add":{"path":"f1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eP = intercept[UnsupportedOperationException](
+      DeltaExport.updateForeign(spark, dir, col("id") === 1L,
+        Map("p" -> lit("b"))))
+    assert(eP.getMessage.contains("partition column"), eP.getMessage)
+    val eT = intercept[UnsupportedOperationException](
+      DeltaExport.updateForeign(spark, dir, col("id") === 1L,
+        Map("v" -> lit("oops"))))
+    assert(eT.getMessage.contains("cast explicitly"), eT.getMessage)
+    val eR = intercept[UnsupportedOperationException](
+      DeltaExport.updateForeign(spark, dir, col("id") === 1L,
+        Map("v" -> (rand() * 100).cast("long"))))
+    assert(eR.getMessage.contains("deterministic"), eR.getMessage)
+    // a successful update through the same fixture still lands
+    DeltaExport.updateForeign(spark, dir, col("id") <= 2L,
+      Map("v" -> (col("v") + 100L)))
+    assert(DeltaRead.read(spark, dir).select("id", "v")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 101L), (2L, 102L), (3L, 3L), (4L, 4L)))
+    // a racing compaction under the update is a loud conflict
+    val dirX = Files.createTempDirectory("dfupd_x").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirX).mkdirs()
+    writeDeltaPart(dirX, "f1.parquet", (1L to 3L).map(i => (i, i)))
+    writeDeltaPart(dirX, "f2.parquet", (1L to 3L).map(i => (i, i)))
+    writeDeltaCommit(dirX, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eX = intercept[IllegalStateException] {
+      DeltaExport.updateForeignImpl(spark, dirX, col("id") === 1L,
+        Map("v" -> lit(9L)), 3, () =>
+          writeDeltaCommit(dirX, 1, Seq(
+            """{"remove":{"path":"f1.parquet","deletionTimestamp":2,"dataChange":true}}""",
+            """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""")))
+    }
+    assert(eX.getMessage.contains("removed or rewrote"), eX.getMessage)
+  }
+
   test("iceberg ref writes: branch/tag CRUD, branch commits, expire guard, CALL face") {
     // r14 verdict #6: the write half of readRef. createRef/dropRef are
     // metadata-only OCC commits; appendForeign(ref=...) moves ONLY the
