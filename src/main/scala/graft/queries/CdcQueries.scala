@@ -2291,6 +2291,56 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** FOREIGN Iceberg MERGE-ON-READ DELETE (r15 — the positional
+    * sibling of `q_iceberg_eq_export`): a v2 table seeded by export +
+    * foreign append receives one predicate-based
+    * [[graft.sources.IcebergExport.deleteForeign]] — matched rows'
+    * (file, position) coordinates publish as a position-delete file,
+    * data files untouched — then a LATER foreign append lands rows
+    * that MATCH the same predicate and must survive (position deletes
+    * bind to specific files, never to values). The replay's aggregate
+    * over survivors ∪ late arrivals must hit DuckDB's closed form. */
+  val qIcebergDelForeign: QueryDef = QueryDef.sql(
+    "q_iceberg_del_foreign",
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |live AS (SELECT k, cents FROM o WHERE NOT (k % 10 < 3)),
+      |late AS (SELECT -k AS k, cents FROM o WHERE k % 10 < 3),
+      |u AS (SELECT * FROM live UNION ALL SELECT * FROM late)
+      |SELECT k % 7 AS band, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM u GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ifdel_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(base))
+    val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"),
+      graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("k") % 2 === 0).coalesce(2), src)
+    IcebergExport.snapshot(s, src, tgt)
+    IcebergExport.appendForeign(s, o.filter(col("k") % 2 === 1), tgt)
+    IcebergExport.deleteForeign(s, tgt, col("k") % 10 < 3)
+    // the late arrivals: every one MATCHES the delete predicate
+    // ((-k) % 10 keeps the dividend sign in both engines) yet survives
+    IcebergExport.appendForeign(s,
+      o.filter(col("k") % 10 < 3).select((-col("k")).as("k"), col("cents")), tgt)
+    IcebergRead.read(s, tgt)
+      .groupBy((col("k") % 7).as("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   /** v3 ROW LINEAGE surfaced (r15 — r14 verdict #5): an export +
     * append + MoR-delete history over `orders`, read back with the
     * `_row_id` / `_last_updated_sequence_number` metadata columns.
@@ -2349,5 +2399,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergRowLineage, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergDelForeign, qIcebergRowLineage, qVariantRead)
 }

@@ -1825,4 +1825,179 @@ object IcebergExport {
       s"commit to $targetPath still conflicting after $maxRetries retries",
       lastErr)
   }
+
+  /** PREDICATE-based merge-on-read DELETE into ANY v2/v3 Iceberg table
+    * (r15 — the positional sibling of [[appendEqualityDeletes]], and
+    * the Iceberg face of [[DeltaExport.deleteForeign]]): matched rows'
+    * physical coordinates ((data file, row position), existing deletes
+    * already applied via [[IcebergRead.readWithPositions]]) publish as
+    *
+    *   - v2: ONE position-delete parquet (`deletes/pdf-*.parquet`) of
+    *     (file_path, pos) rows sorted as the spec requires, carrying
+    *     the reserved field ids 2147483546/2147483545 so id-binding
+    *     engines resolve it, with a content=1 manifest;
+    *   - v3: puffin DELETION VECTORS, one `deletion-vector-v1` blob
+    *     per affected file (position-delete FILES are forbidden in
+    *     v3). A file that ALREADY carries a DV declines by name for
+    *     now — the at-most-one-DV rule would force a cumulative
+    *     supersede of foreign manifests this writer does not yet
+    *     rewrite.
+    *
+    * Same OCC as the other foreign writes: snapshot id outside the
+    * graft-version space, CREATE_NEW put-if-absent, bounded retry with
+    * schema/spec re-validation. Data files are never touched — cost is
+    * O(matched rows), the MoR trade. Nondeterministic predicates
+    * decline. Zero matches commit nothing and return the current
+    * snapshot id. */
+  def deleteForeign(spark: SparkSession, targetPath: String,
+      predicate: org.apache.spark.sql.Column, maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    requireLocalScheme(targetPath, "deleteForeign")
+    val (v0, meta0) = foreignBase(targetPath)
+    val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fv != 2 && fv != 3) throw new UnsupportedOperationException(
+      s"iceberg table at $targetPath is format-version $fv; foreign writes " +
+        "speak versions 2 and 3")
+    val v3 = fv == 3
+    val fields = fieldsOfMeta(meta0)
+    val partCols = partColsOfMeta(meta0, fields)
+    val snaps0 = snapsOfMeta(meta0)
+    if (snaps0.isEmpty) throw new IllegalStateException(
+      s"no snapshots at $targetPath; export or append a snapshot first")
+    val curId = Option(meta0.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(snaps0.last.id)
+    val rows = IcebergRead.readWithPositions(spark, targetPath)
+    val matchedF = coalesce(predicate, lit(false))
+    val detOk = rows.filter(matchedF).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.forall(identity)
+    if (!detOk) throw new UnsupportedOperationException(
+      "deleteForeign needs a deterministic predicate: the published " +
+        "tombstones must be the rows the caller saw match")
+    val live = IcebergRead.liveEntries(spark, targetPath, meta0, None)
+    val dataEntries = live.filter(_.content == 0)
+    // normalized key → the EXACT path string the manifests record
+    // (readers match file_path byte-exact)
+    val byKey = dataEntries.map(e => PathKeys.normKey(
+      IcebergRead.resolve(targetPath, e.path).toString) -> e.path).toMap
+    if (byKey.size != dataEntries.size) throw new IllegalStateException(
+      s"two manifest data paths normalize to one key at $targetPath — " +
+        "cannot address position deletes unambiguously")
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    import spark.implicits._
+    val mapDf = byKey.toSeq.toDF("__g_fp", "__g_file_path")
+    val matched = rows.filter(matchedF)
+      .select(col("__g_fp"), col("__g_ri").cast("long").as("pos"))
+      .join(broadcast(mapDf), Seq("__g_fp"))
+      .select(col("__g_file_path").as("file_path"), col("pos"))
+      .distinct()
+    // staged payloads are final before the OCC loop; only the
+    // manifests/list rewrite per attempt (they embed racing ids)
+    var delPayload: Either[String, Seq[(String, Seq[Long])]] = null
+    if (!v3) {
+      // v2: one sorted position-delete parquet with the reserved ids
+      val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483546L).build()
+      val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483545L).build()
+      val stage = s"$targetPath/deletes/.stage-pd-$uuid"
+      matched
+        .select(col("file_path").as("file_path", fpMeta),
+          col("pos").as("pos", posMeta))
+        .coalesce(1).sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("delete stage wrote no part"))
+      val dst = new java.io.File(s"$targetPath/deletes/pdf-$uuid.parquet")
+      dst.getParentFile.mkdirs()
+      val empty = spark.read.parquet(part.getAbsolutePath).isEmpty
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+      }
+      deleteRec(new java.io.File(stage))
+      if (empty) { dst.delete(); return curId } // zero matches: no commit
+      delPayload = Left(dst.getAbsolutePath)
+    } else {
+      // v3: deletion vectors, one per affected file
+      val byFile = matched.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (p, ps) => (p, ps.map(_._2).toSeq.sorted) }
+      if (byFile.isEmpty) return curId
+      val dvRefs = live.filter(e => e.content == 1 && e.dv.nonEmpty)
+        .map(e => PathKeys.normKey(
+          IcebergRead.resolve(targetPath, e.dv.get._1).toString)).toSet
+      byFile.foreach { case (p, _) =>
+        if (dvRefs(PathKeys.normKey(
+            IcebergRead.resolve(targetPath, p).toString)))
+          throw new UnsupportedOperationException(
+            s"data file $p already carries a deletion vector; the v3 " +
+              "at-most-one-DV supersede of a foreign table is not yet " +
+              "supported — compact the table or use equality deletes")
+      }
+      delPayload = Right(byFile)
+    }
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      val (baseV, meta) = if (attempt == 0) (v0, meta0) else foreignBase(targetPath)
+      if (attempt > 0 &&
+          (fieldsOfMeta(meta) != fields || partColsOfMeta(meta, fields) != partCols))
+        throw new IllegalStateException(
+          s"concurrent schema or spec change at $targetPath moved the table " +
+            "under this delete; re-read and retry explicitly", lastErr)
+      val snaps = snapsOfMeta(meta)
+      val seqNum = math.max(
+        Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+        snaps.map(_.seqNum).foldLeft(0L)(math.max)) + 1
+      val taken = snaps.map(_.id).toSet
+      var snapId = (1L << 40) | seqNum
+      while (taken(snapId)) snapId += 1
+      val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+      val schemaId = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+      val delSpecId =
+        if (partCols.isEmpty)
+          Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        else emptySpecIdOf(meta)
+      val delFiles = delPayload match {
+        case Left(pdPath) => describeFiles(spark, Seq(pdPath))
+        case Right(byFile) =>
+          // puffin embeds the racing snapshot/sequence ids → per attempt
+          val puffinPath = new java.io.File(
+            s"$targetPath/deletes/dvf-$uuid-a$attempt.puffin").getAbsolutePath
+          val refs = Puffin.writeDvFile(spark, puffinPath, byFile, snapId, seqNum)
+          val puffinLen = new java.io.File(puffinPath).length()
+          refs.map(r => NewFile(puffinPath, r.cardinality, puffinLen,
+            dv = Some((r.referencedDataFile, r.offset, r.length))))
+      }
+      val mref = writeManifest(targetPath, s"mp-$uuid-a$attempt.avro", snapId,
+        seqNum, delFiles, fields, content = 1, partCols = Nil,
+        specId = delSpecId, v3 = v3, schemaId = schemaId)
+      val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L).flatMap(id => snaps.find(_.id == id))
+        .getOrElse(snaps.last)
+      val priorRecords = avroRecords(spark,
+        IcebergRead.resolve(targetPath, cur.manifestList))
+      val ml = writeManifestList(targetPath, s"snap-pd-$uuid-a$attempt.avro",
+        snapId, seqNum, priorRecords, Seq(mref), v3 = v3)
+      try {
+        commitForeignMeta(targetPath, meta, baseV + 1, snapId, seqNum, ml,
+          "delete",
+          firstRowId = if (v3) rowBase else None,
+          nextRowId = None,
+          ensureEmptySpec = if (partCols.isEmpty) None else Some(delSpecId))
+        return snapId
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
 }

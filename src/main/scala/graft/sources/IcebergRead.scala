@@ -978,9 +978,22 @@ object IcebergRead {
       .drop("__g_fp")
   }
 
+  /** [[read]] keeping each row's physical coordinates — normalized
+    * data-file path as `__g_fp`, file row index as `__g_ri` — with
+    * every existing merge-on-read delete already applied. The foreign
+    * MoR DELETE ([[IcebergExport.deleteForeign]]) turns matched rows'
+    * coordinates directly into position deletes / deletion vectors. */
+  private[sources] def readWithPositions(spark: SparkSession,
+      tablePath: String): DataFrame = {
+    val meta = currentMetadata(spark, tablePath)
+    readEntries(spark, tablePath, meta,
+      liveEntries(spark, tablePath, meta, None), withPositions = true)
+  }
+
   private[sources] def readEntries(spark: SparkSession, tablePath: String,
       meta: JsonNode, live: Seq[EntryInfo],
-      withLineage: Boolean = false): DataFrame = {
+      withLineage: Boolean = false,
+      withPositions: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, when}
     val schema = schemaOf(meta)
     val outSchema =
@@ -1070,16 +1083,17 @@ object IcebergRead {
       else applyDefaultFill(df, defaults, absentByFile)
     if (posDels.isEmpty && dvDels.isEmpty && eqDels.isEmpty) {
       val plain = scanOf(data)
-      return if (!needDefaults && lineage.isEmpty) plain
+      return if (!needDefaults && lineage.isEmpty && !withPositions) plain
       else {
         // row_index materializes per row — project it only when the
-        // lineage columns actually need it (defaults key on file path)
+        // lineage or position columns actually need it (defaults key
+        // on file path)
         val metaCols = Seq(normPath(col("_metadata.file_path")).as("__g_fp")) ++
-          (if (lineage.nonEmpty)
+          (if (lineage.nonEmpty || withPositions)
             Seq(col("_metadata.row_index").as("__g_ri")) else Nil)
         val tagged = plain.select(col("*") +: metaCols: _*)
-        addLineage(applyDefaults(tagged))
-          .drop("__g_fp", "__g_ri")
+        val out = addLineage(applyDefaults(tagged))
+        if (withPositions) out else out.drop("__g_fp", "__g_ri")
       }
     }
     val posFileDf =
@@ -1147,6 +1161,8 @@ object IcebergRead {
           col("__g_seq") < col("__g_eq_seq")
         df.join(delDf, cond, "left_anti")
       }
-    addLineage(afterEq).drop("__g_fp", "__g_ri", "__g_seq")
+    val out = addLineage(afterEq)
+    if (withPositions) out.drop("__g_seq")
+    else out.drop("__g_fp", "__g_ri", "__g_seq")
   }
 }

@@ -5107,6 +5107,89 @@ class SourcesSpec extends SparkSpec {
       (1L to 11L).toSet, "foreign append into a day spec, multi-day frame")
   }
 
+  test("iceberg foreign delete: predicate tombstones publish as position deletes and v3 DVs") {
+    // r15: the positional sibling of equality deletes — matched rows'
+    // (file, position) coordinates become a v2 position-delete file or
+    // v3 deletion vectors, data files untouched
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    // v2, FOREIGN fixture with java-style field ids
+    val dir = Files.createTempDirectory("ifdel").toFile.getAbsolutePath + "/t"
+    val fields = Seq((4, "id", true, "long"), (7, "v", false, "long"),
+      (9, "band", false, "string"))
+    val f0 = writeIcebergPart(dir, "f0.parquet", (1L to 10L).map(i => (i, i * 10, "b0")))
+    val m0 = graft.sources.IcebergRead.Fixture.manifestV2(dir, "m0.avro",
+      Seq(graft.sources.IcebergRead.EntryInfo(1, f0, 0, 1L, Nil)))
+    val ml = graft.sources.IcebergRead.Fixture.manifestListFull(
+      dir, "snap-ext-1.avro", 77L, Seq((m0, 1L, 0)), javaNames = true)
+    graft.sources.IcebergRead.Fixture.metadataMulti(dir, 1, formatVersion = 2,
+      currentSnapshotId = 77L, snapshots = Seq((77L, ml)), fields,
+      extraJson = ""","last-sequence-number":1,""" +
+        """"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0""")
+    // v % 20 == 0 → even ids tombstone
+    val sid = IcebergExport.deleteForeign(spark, dir, col("v") % 20L === 0L)
+    assert(IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 7L, 9L), "position deletes must apply on re-read")
+    // the delete file carries the spec's reserved field ids, sorted rows
+    val pd = new java.io.File(s"$dir/deletes").listFiles()
+      .filter(f => f.getName.startsWith("pdf-") && f.getName.endsWith(".parquet"))
+    assert(pd.length == 1, "one position-delete parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val pschema = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pd.head.getAbsolutePath), conf))
+      .getFooter.getFileMetaData.getSchema
+    assert(pschema.getType(Seq("file_path"): _*).getId.intValue() == 2147483546 &&
+      pschema.getType(Seq("pos"): _*).getId.intValue() == 2147483545,
+      s"reserved delete-file field ids: $pschema")
+    val pdRows = spark.read.parquet(pd.head.getAbsolutePath)
+      .select("pos").as[Long].collect()
+    assert(pdRows.toSeq == pdRows.toSeq.sorted && pdRows.length == 5,
+      s"positions sorted per spec: ${pdRows.toSeq}")
+    // rows appended AFTER the delete keep living even on matching values
+    IcebergExport.appendForeign(spark,
+      Seq((20L, 20L, "b0")).toDF("id", "v", "band"), dir)
+    assert(IcebergRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 7L, 9L, 20L), "later appends are untouched")
+    // zero matches: no commit, current snapshot id returned
+    val metaCount = new java.io.File(s"$dir/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json"))
+    IcebergExport.deleteForeign(spark, dir, col("id") > 1000L): Unit
+    assert(new java.io.File(s"$dir/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json")) == metaCount,
+      "zero-match deletes must not commit")
+    // nondeterministic predicates decline
+    val eR = intercept[UnsupportedOperationException](
+      IcebergExport.deleteForeign(spark, dir, rand() < 0.5))
+    assert(eR.getMessage.contains("deterministic"), eR.getMessage)
+    assert(sid != 77L)
+    // v3: tombstones publish as puffin DELETION VECTORS
+    val src3 = Files.createTempDirectory("ifdel3_src").toFile.getAbsolutePath + "/t"
+    val tgt3 = Files.createTempDirectory("ifdel3_tgt").toFile.getAbsolutePath + "/i"
+    TimeTravel.commitOverwrite(
+      (1L to 10L).map(i => (i, i * 10)).toDF("k", "v").coalesce(1), src3)
+    IcebergExport.snapshot(spark, src3, tgt3, formatVersion = 3)
+    IcebergExport.deleteForeign(spark, tgt3, col("k") <= 3L): Unit
+    assert(IcebergRead.read(spark, tgt3).select("k").as[Long].collect().toSet ==
+      (4L to 10L).toSet, "v3 DV tombstones must apply on re-read")
+    assert(new java.io.File(s"$tgt3/deletes").listFiles()
+      .exists(_.getName.endsWith(".puffin")), "v3 publishes puffin DVs")
+    assert(!new java.io.File(s"$tgt3/deletes").listFiles()
+      .exists(_.getName.startsWith("pdf-")),
+      "v3 must not publish position-delete FILES")
+    // a second delete of the SAME file declines: supersede not yet served
+    val eDv = intercept[UnsupportedOperationException](
+      IcebergExport.deleteForeign(spark, tgt3, col("k") === 5L))
+    assert(eDv.getMessage.contains("deletion vector"), eDv.getMessage)
+    // but a delete that only touches un-DV'd files still lands
+    IcebergExport.appendForeign(spark,
+      (11L to 14L).map(i => (i, i * 10)).toDF("k", "v"), tgt3)
+    IcebergExport.deleteForeign(spark, tgt3, col("k") === 12L): Unit
+    assert(IcebergRead.read(spark, tgt3).select("k").as[Long].collect().toSet ==
+      ((4L to 10L) ++ Seq(11L, 13L, 14L)).toSet,
+      "fresh-file v3 deletes land beside the earlier DV")
+  }
+
   test("iceberg foreign append: commits into a table another engine created") {
     // r14 verdict #1: stage data files + a snapshot into a FOREIGN
     // Iceberg table built by the independent fixture path — honoring
