@@ -1544,6 +1544,81 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** FOREIGN Delta MERGE-ON-READ DELETE (r15 — the O(matched) face of
+    * [[qDeltaDeleteForeign]]): a deletionVectors-speaking foreign
+    * table takes two successive `deleteForeignMoR` commits — the
+    * second folds onto the first's vectors (a Delta DV is cumulative
+    * per file) — and the replay must serve exactly the doubly-
+    * surviving rows. The builder REQUIRES every add of both commits to
+    * carry a DV (no silent fallback to a rewrite), so the hash only
+    * passes through the true MoR path. */
+  val qDeltaMorForeign: QueryDef = QueryDef.sql(
+    "q_delta_mor_foreign",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |live AS (
+      |  SELECT * FROM o WHERE NOT (k % 10 < 2) AND NOT (k % 7 = 3)
+      |)
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM live GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{DeltaExport, DeltaRead}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_dfmor_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val root = new java.io.File(dir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(root); root.mkdirs()
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    val tmp = s"${dir}_stage"
+    o.filter(col("band") === "b0").select("k", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/f0.parquet").toPath): Unit
+    val esc = StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType),
+      StructField("band", StringType))).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$dir/_delta_log/${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"foreignmor","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["band"],"configuration":{}}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{"band":"b0"},"size":${flen(dir, "f0.parquet")},"modificationTime":1,"dataChange":true}}""")
+        .mkString("", "\n", "\n"))
+    (1 to 3).foreach { b =>
+      DeltaExport.appendForeign(s,
+        o.filter(col("band") === s"b$b").select("k", "cents", "band"), dir): Unit
+    }
+    val v1 = DeltaExport.deleteForeignMoR(s, dir, col("k") % 10 < 2)
+    val v2 = DeltaExport.deleteForeignMoR(s, dir, col("k") % 7 === 3)
+    // every add of both MoR commits must carry a vector — the gate
+    // against a silent fallback to a copy-on-write rewrite
+    Seq(v1, v2).foreach { v =>
+      val body = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(f"$dir/_delta_log/$v%020d.json"))
+      body.linesIterator.filter(_.contains("\"add\":")).foreach(l =>
+        require(l.contains("deletionVector"),
+          s"MoR commit $v re-added a file without a vector"))
+    }
+    DeltaRead.read(s, dir)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("band")
+  }
+
   /** FOREIGN Delta UPDATE (r15 — the copy-on-write SET face of
     * [[qDeltaDeleteForeign]]): the same CDF-enabled foreign fixture
     * receives one `updateForeign` commit doubling band b2's cents.
@@ -2399,5 +2474,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergDelForeign, qIcebergRowLineage, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaMorForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergDelForeign, qIcebergRowLineage, qVariantRead)
 }

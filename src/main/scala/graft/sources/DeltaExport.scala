@@ -1395,6 +1395,204 @@ object DeltaExport {
       lastErr)
   }
 
+  /** MERGE-ON-READ delete into ANY Delta table that speaks deletion
+    * vectors (r15 — the O(matched-rows) sibling of [[deleteForeign]]'s
+    * copy-on-write): matched rows' physical positions merge into ONE
+    * protocol-format deletion vector per affected file
+    * ([[DeltaDv.writeDvFile]] — z85/RoaringBitmap, the format every DV
+    * reader speaks), and the commit re-adds each affected file with
+    * its CUMULATIVE vector (a Delta DV is complete per file, never a
+    * delta of a delta — existing DV positions are folded in). Data
+    * files are never rewritten: on a 100 TB table a selective delete
+    * costs O(matched rows), not O(bytes of every affected file) — the
+    * GDPR-delete shape.
+    *
+    * Loud-or-exact: the table must ALREADY carry `deletionVectors` in
+    * both reader and writer features (upgrading a foreign table's
+    * protocol under other writers is not this writer's call — use
+    * [[deleteForeign]] on tables without it); `delta.appendOnly` /
+    * `rowTracking` / nondeterministic predicates decline as in the
+    * CoW path; CDF tables get the deleted rows as `_change_data`
+    * files in the same commit. Same version-anchored OCC. */
+  def deleteForeignMoR(spark: SparkSession, targetPath: String,
+      predicate: org.apache.spark.sql.Column, maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+    val currentV = nextDeltaVersion(spark, targetPath) - 1
+    val st0 = DeltaRead.replay(spark, targetPath, Some(currentV))
+    val schemaJson = st0.schemaJson.getOrElse(throw new IllegalStateException(
+      s"delta log at $targetPath has no metaData action"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    requireForeignDeletable(targetPath, st0)
+    if (!(st0.minReader >= 3 && st0.readerFeatures.contains("deletionVectors") &&
+        st0.minWriter >= 7 && st0.writerFeatures.contains("deletionVectors")))
+      throw new UnsupportedOperationException(
+        s"delta table at $targetPath does not speak deletionVectors; " +
+          "upgrading a foreign table's protocol is not this writer's call — " +
+          "use deleteForeign (copy-on-write) instead")
+    if (st0.adds.isEmpty) return currentV
+    val parts = st0.partitionCols
+    val colMap = DeltaRead.colMapOf(targetPath, st0)
+    val colIds = DeltaRead.colIdsOf(targetPath, st0)
+    val idMode = st0.config.get("delta.columnMapping.mode").contains("id")
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    def keyOf(a: DeltaRead.AddFile): String = PathKeys.normKey(
+      new Path(DeltaRead.resolvePath(targetPath, a.path)).toString)
+    val FK = "__graft_fk"
+    val RI = "__graft_pos"
+    val matchedF = coalesce(predicate, lit(false))
+    val allAdds = st0.adds.values.toSeq.sortBy(_.path)
+    val fullScan = DeltaRead.scanAdds(spark, targetPath, allAdds, schema,
+      parts, colMap, colIds, Some(FK), Some(RI))
+    val detOk = fullScan.filter(matchedF).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.forall(identity)
+    if (!detOk) throw new UnsupportedOperationException(
+      "deleteForeignMoR needs a deterministic predicate: the published " +
+        "tombstones must be the rows the caller saw match")
+    // matched coordinates, grouped per file — O(matched rows) driver,
+    // the MoR boundedness contract
+    val newPos: Map[String, Seq[Long]] = fullScan.filter(matchedF)
+      .select(col(FK), col(RI)).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSeq.sorted }
+    if (newPos.isEmpty) return currentV
+    val affected = allAdds.filter(a => newPos.contains(keyOf(a)))
+    val cdfOn = st0.config.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val conf = spark.sessionState.newHadoopConf()
+    val fsys = new Path(targetPath).getFileSystem(conf)
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    // one cumulative DV per affected file: existing positions fold in
+    val dvAdds = affected.map { a =>
+      val existing = a.dv.map(d =>
+        DeltaDv.positions(spark, targetPath, d).toSeq).getOrElse(Nil)
+      val cumulative = (existing ++ newPos(keyOf(a))).distinct.sorted
+      val dvUuid = java.util.UUID.randomUUID()
+      val desc = DeltaDv.writeDvFile(spark, targetPath, dvUuid, cumulative)
+      val p = new Path(DeltaRead.resolvePath(targetPath, a.path))
+      val (len, mt) = a.size match {
+        case Some(sz) => (sz, a.modTime)
+        case None =>
+          val stt = p.getFileSystem(conf).getFileStatus(p)
+          (stt.getLen, stt.getModificationTime)
+      }
+      val statsJson = a.stats.map(s =>
+        s""","stats":"${s.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+        .getOrElse("")
+      s"""{"add":{"path":"${encodePath(a.path)}",""" +
+        s""""partitionValues":{${pvJsonOf(a.partitionValues)}},""" +
+        s""""size":$len,"modificationTime":$mt,"dataChange":true$statsJson,""" +
+        s""""deletionVector":{"storageType":"${desc.storageType}",""" +
+        s""""pathOrInlineDv":"${desc.pathOrInlineDv}",""" +
+        desc.offset.map(o => s""""offset":$o,""").getOrElse("") +
+        s""""sizeInBytes":${desc.sizeInBytes},""" +
+        s""""cardinality":${desc.cardinality}}}}"""
+    }
+    // CDF: the deleted rows themselves, staged exactly as the CoW path
+    val cdcs = Seq.newBuilder[String]
+    if (cdfOn) {
+      val staging = s"$targetPath/_graft_staging_$uuid"
+      val dataSel = schema.fields.toSeq.filterNot(f => parts.contains(f.name))
+        .map { f =>
+          val physT = physicalWriteType(f.dataType, idMode)
+          val c = col(f.name)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          colIds.get(f.name).foreach(id =>
+            mb.putLong("parquet.field.id", id.toLong))
+          (if (colMap.nonEmpty && physT != f.dataType) c.cast(physT) else c)
+            .as(physOf(f.name), mb.build())
+        }
+      def publish(staged: Path, destName: String,
+          pv: Map[String, String]): String = {
+        val dest = new Path(targetPath, destName)
+        Option(dest.getParent).foreach(fsys.mkdirs(_): Unit)
+        if (!fsys.rename(staged, dest)) throw new java.io.IOException(
+          s"staging publish failed for $dest")
+        val stt = fsys.getFileStatus(dest)
+        s"""{"cdc":{"path":"${encodePath(destName)}",""" +
+          s""""partitionValues":{${pvJsonOf(pv)}},"size":${stt.getLen},""" +
+          s""""dataChange":false}}"""
+      }
+      try {
+        val tuples = affected.groupBy(_.partitionValues).toSeq
+          .sortBy(_._1.toSeq.sorted.mkString(" ")).map(_._1).zipWithIndex
+        val byTuple = tuples.toMap
+        import scala.jdk.CollectionConverters._
+        val gpMap = spark.createDataFrame(
+          affected.map(a => org.apache.spark.sql.Row(
+            keyOf(a), byTuple(a.partitionValues))).asJava,
+          StructType(Seq(StructField("__gfk", StringType, nullable = false),
+            StructField("__gp", IntegerType, nullable = false))))
+        DeltaRead.scanAdds(spark, targetPath, affected, schema, parts,
+          colMap, colIds, Some(FK))
+          .filter(matchedF)
+          .join(broadcast(gpMap), col(FK) === col("__gfk"))
+          .select(dataSel :+ lit("delete").as("_change_type") :+ col("__gp"): _*)
+          .write.partitionBy("__gp").mode("overwrite")
+          .parquet(s"$staging/cdc")
+        tuples.foreach { case (pv, i) =>
+          val dir = new Path(s"$staging/cdc", s"__gp=$i")
+          if (fsys.exists(dir))
+            fsys.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, k) =>
+                cdcs += publish(s.getPath,
+                  s"_change_data/cdc-$uuid-$i-$k.parquet", pv)
+              }
+        }
+      } finally fsys.delete(new Path(staging), true): Unit
+    }
+    val now = System.currentTimeMillis()
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${encodePath(a.path)}",""" +
+        s""""deletionTimestamp":$now,"dataChange":true,""" +
+        s""""partitionValues":{${pvJsonOf(a.partitionValues)}}""" +
+        a.size.map(sz => s""","size":$sz""").getOrElse("") + "}}"
+    }
+    var attempt = 0
+    var lastErr: Throwable = null
+    var validatedThrough = currentV
+    while (attempt <= maxRetries) {
+      val v = nextDeltaVersion(spark, targetPath)
+      if (v != validatedThrough + 1) {
+        val stNow = DeltaRead.replay(spark, targetPath, Some(v - 1))
+        requireForeignDeletable(targetPath, stNow)
+        if (stNow.schemaJson != st0.schemaJson ||
+            stNow.partitionCols != st0.partitionCols)
+          throw new IllegalStateException(
+            s"concurrent metaData change at $targetPath moved the schema " +
+              "under this delete; re-read the table and retry explicitly",
+            lastErr)
+        affected.foreach { a =>
+          stNow.adds.get(a.path) match {
+            case Some(b) if b.dv == a.dv => ()
+            case _ => throw new IllegalStateException(
+              s"concurrent commit at $targetPath removed or rewrote " +
+                s"${a.path} under this delete; re-read and re-issue the " +
+                "delete against the new state", lastErr)
+          }
+        }
+        validatedThrough = v - 1
+      }
+      val actions =
+        Seq("""{"commitInfo":{"operation":"DELETE","engineInfo":"graft-deleteForeignMoR"}}""") ++
+          removes ++ dvAdds ++ cdcs.result()
+      try { writeCommit(spark, targetPath, v, actions); return v }
+      catch {
+        case e: Throwable
+            if Option(e.getMessage).exists(_.contains("concurrent export")) ||
+              e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] =>
+          lastErr = e
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"commit to $targetPath still conflicting after $maxRetries retries",
+      lastErr)
+  }
+
   /** DELETE the rows matching `predicate` from ANY Delta table —
     * including tables this engine did not create (r15; the symmetric
     * half of [[appendForeign]], and of the foreign ICEBERG delete
@@ -1531,7 +1729,7 @@ object DeltaExport {
     def gpFrames(adds: Seq[DeltaRead.AddFile])
         : (Seq[(Map[String, String], Int)], org.apache.spark.sql.DataFrame) = {
       val tuples = adds.groupBy(_.partitionValues).toSeq
-        .sortBy(_._1.toSeq.sorted.mkString(" ")).map(_._1).zipWithIndex
+        .sortBy(_._1.toSeq.sorted.mkString(" ")).map(_._1).zipWithIndex
       val byTuple = tuples.toMap
       val rows = adds.map(a =>
         org.apache.spark.sql.Row(keyOf(a), byTuple(a.partitionValues)))

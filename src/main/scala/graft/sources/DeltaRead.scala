@@ -581,11 +581,12 @@ object DeltaRead {
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
       colMap: Map[String, String] = Map.empty,
       colIds: Map[String, Int] = Map.empty,
-      fileKey: Option[String] = None): DataFrame = {
+      fileKey: Option[String] = None,
+      rowIndex: Option[String] = None): DataFrame = {
     if (colIds.nonEmpty && hasComplex(StructType(
         schema.filterNot(f => partCols.contains(f.name)).toArray)))
       return scanAddsByFieldId(spark, tablePath, adds, schema, partCols,
-        colMap, fileKey)
+        colMap, fileKey, rowIndex)
     if (colIds.nonEmpty) {
       // ID MODE: the parquet field id is the authoritative match — file
       // column NAMES are arbitrary (and may differ file to file, e.g.
@@ -620,7 +621,7 @@ object DeltaRead {
       }
       return groups.toSeq.map { case (m, as) =>
         scanAdds(spark, tablePath, as, schema, partCols, colMap ++ m,
-          fileKey = fileKey)
+          fileKey = fileKey, rowIndex = rowIndex)
       }.reduce(_.unionByName(_))
     }
     def physOf(c: String) = colMap.getOrElse(c, c)
@@ -657,12 +658,16 @@ object DeltaRead {
     val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
     val base0 = org.apache.spark.sql.GraftPlanApi
       .fileRelationDataFrame(spark, index, partSchema, dataSchema)
-    // fileKey (foreign DELETE support): the caller needs each row tied
-    // back to its add — materialize the normalized file key BEFORE any
+    // fileKey / rowIndex (foreign DELETE support): the caller needs
+    // each row tied back to its add (and, for MoR tombstones, its
+    // PHYSICAL file position) — materialize them BEFORE any
     // join/projection cuts `_metadata` availability
-    val base = fileKey.map(k =>
+    val base1 = fileKey.map(k =>
       base0.withColumn(k, normPathCol(col("_metadata.file_path"))))
       .getOrElse(base0)
+    val base = rowIndex.map(k =>
+      base1.withColumn(k, col("_metadata.row_index")))
+      .getOrElse(base1)
     // merge-on-read: ALL deletion vectors decode to (file key, position)
     // pairs — O(deleted rows), broadcast — and subtract in ONE anti-join
     // over the single scan; DV'd-row volume is bounded by the writer's
@@ -698,7 +703,7 @@ object DeltaRead {
           c.cast(f.dataType)
         else c
       casted.as(f.name)
-    } ++ fileKey.map(col): _*)
+    } ++ fileKey.map(col) ++ rowIndex.map(col): _*)
   }
 
   /** ID MODE over NESTED complex columns (r13): the footer-grouping
@@ -722,7 +727,8 @@ object DeltaRead {
   private def scanAddsByFieldId(spark: SparkSession, tablePath: String,
       adds: Seq[AddFile], schema: StructType, partCols: Seq[String],
       colMap: Map[String, String],
-      fileKey: Option[String] = None): DataFrame = {
+      fileKey: Option[String] = None,
+      rowIndex: Option[String] = None): DataFrame = {
     val idSpark = org.apache.spark.sql.GraftPlanApi.fieldIdReadSession(spark)
     def physOf(c: String) = colMap.getOrElse(c, c)
     val dataFields = schema.filterNot(f => partCols.contains(f.name))
@@ -752,9 +758,12 @@ object DeltaRead {
     val index = new DeltaLogFileIndex(new Path(tablePath), partSchema, live)
     val base0 = org.apache.spark.sql.GraftPlanApi
       .fileRelationDataFrame(idSpark, index, partSchema, dataSchema)
-    val base = fileKey.map(k =>
+    val base1 = fileKey.map(k =>
       base0.withColumn(k, normPathCol(col("_metadata.file_path"))))
       .getOrElse(base0)
+    val base = rowIndex.map(k =>
+      base1.withColumn(k, col("_metadata.row_index")))
+      .getOrElse(base1)
     val dved = adds.filter(_.dv.nonEmpty)
     val afterDv =
       if (dved.isEmpty) base
@@ -781,7 +790,7 @@ object DeltaRead {
     afterDv.select(schema.fields.toSeq.map { f =>
       if (partCols.contains(f.name)) col(physOf(f.name)).as(f.name)
       else col(f.name)
-    } ++ fileKey.map(col): _*)
+    } ++ fileKey.map(col) ++ rowIndex.map(col): _*)
   }
 
   /** Scan one commit's change files: data columns plus the file-borne

@@ -4598,6 +4598,66 @@ class SourcesSpec extends SparkSpec {
       "the conflicted delete must not have committed anything")
   }
 
+  test("delta foreign MoR delete: cumulative deletion vectors, data files untouched") {
+    // r15: deleteForeignMoR — O(matched) tombstones for DV-speaking
+    // tables: each affected file re-adds with ONE cumulative vector
+    // (existing DV positions folded in), bytes never rewritten
+    import graft.sources.{DeltaDv, DeltaExport, DeltaRead}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dfmor").toFile.getAbsolutePath + "/t"
+    new java.io.File(dir).mkdirs()
+    writeDeltaPart(dir, "f1.parquet", (1L to 10L).map(i => (i, i * 10)))
+    writeDeltaPart(dir, "f2.parquet", (11L to 15L).map(i => (i, i * 10)))
+    // f1 arrives with an existing DV killing positions 0, 9 (ids 1, 10)
+    val uuid0 = java.util.UUID.fromString("11112222-3333-4444-5555-666677778888")
+    val d0 = DeltaDv.writeDvFile(spark, dir, uuid0, Seq(0L, 9L))
+    val dvJson0 =
+      s"""{"storageType":"${d0.storageType}","pathOrInlineDv":"${d0.pathOrInlineDv}",""" +
+        s""""offset":${d0.offset.get},"sizeInBytes":${d0.sizeInBytes},"cardinality":${d0.cardinality}}"""
+    writeDeltaCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaAction(partitioned = false),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson0}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val f1Bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    val v = DeltaExport.deleteForeignMoR(spark, dir,
+      col("id") === 2L || col("id") === 12L)
+    assert(v == 1L)
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      ((3L to 9L) ++ Seq(11L, 13L, 14L, 15L)).toSet,
+      "new tombstones apply WITH the pre-existing DV")
+    assert(java.util.Arrays.equals(f1Bytes, java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))),
+      "merge-on-read must not rewrite data bytes")
+    val v1Json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(v1Json.contains(""""cardinality":3"""),
+      s"f1's vector must be cumulative (0,1,9): $v1Json")
+    assert(v1Json.contains(""""cardinality":1"""),
+      s"f2 gets a fresh single-position vector: $v1Json")
+    // a SECOND MoR delete folds onto the new vector
+    DeltaExport.deleteForeignMoR(spark, dir, col("id") === 3L)
+    assert(DeltaRead.read(spark, dir).select("id").as[Long].collect().toSet ==
+      ((4L to 9L) ++ Seq(11L, 13L, 14L, 15L)).toSet,
+      "repeated MoR deletes keep folding")
+    // zero matches: no commit
+    val before = new java.io.File(s"$dir/_delta_log").listFiles().length
+    DeltaExport.deleteForeignMoR(spark, dir, col("id") > 1000L): Unit
+    assert(new java.io.File(s"$dir/_delta_log").listFiles().length == before)
+    // a table that does not speak deletionVectors declines by name
+    val dirP = Files.createTempDirectory("dfmor_p").toFile.getAbsolutePath + "/t"
+    new java.io.File(dirP).mkdirs()
+    writeDeltaPart(dirP, "f1.parquet", Seq((1L, 1L)))
+    writeDeltaCommit(dirP, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(partitioned = false),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val eP = intercept[UnsupportedOperationException](
+      DeltaExport.deleteForeignMoR(spark, dirP, col("id") === 1L))
+    assert(eP.getMessage.contains("deletionVectors"), eP.getMessage)
+  }
+
   test("delta foreign update: copy-on-write SET rewrites matched rows in place") {
     // r15: updateForeign — matched rows take their SET values, every
     // other row of an affected file is value-preserved, untouched
