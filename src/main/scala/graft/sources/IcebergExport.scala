@@ -1838,10 +1838,13 @@ object IcebergExport {
     *     engines resolve it, with a content=1 manifest;
     *   - v3: puffin DELETION VECTORS, one `deletion-vector-v1` blob
     *     per affected file (position-delete FILES are forbidden in
-    *     v3). A file that ALREADY carries a DV declines by name for
-    *     now — the at-most-one-DV rule would force a cumulative
-    *     supersede of foreign manifests this writer does not yet
-    *     rewrite.
+    *     v3). A file that ALREADY carries a DV gets ONE SUPERSEDING
+    *     vector holding its cumulative old ∪ new positions, and the
+    *     prior vector's entry is dropped from the carried-forward
+    *     manifests (survivors rewritten as EXISTING) — the spec's
+    *     at-most-one-DV rule, honored on foreign chains too; a retry
+    *     that finds a racing commit re-vectored one of our files
+    *     fails loudly instead of resurrecting its tombstones.
     *
     * Same OCC as the other foreign writes: snapshot id outside the
     * graft-version space, CREATE_NEW put-if-absent, bounded retry with
@@ -1895,6 +1898,8 @@ object IcebergExport {
     // staged payloads are final before the OCC loop; only the
     // manifests/list rewrite per attempt (they embed racing ids)
     var delPayload: Either[String, Seq[(String, Seq[Long])]] = null
+    var revectored = Set.empty[String] // normKeys whose prior DV supersedes
+    var affectedKeys = Set.empty[String] // v3: data files our vectors cover
     if (!v3) {
       // v2: one sorted position-delete parquet with the reserved ids
       val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1921,23 +1926,33 @@ object IcebergExport {
       if (empty) { dst.delete(); return curId } // zero matches: no commit
       delPayload = Left(dst.getAbsolutePath)
     } else {
-      // v3: deletion vectors, one per affected file
-      val byFile = matched.collect()
+      // v3: deletion vectors, one per affected file — CUMULATIVE: a
+      // file that already carries a DV gets ONE superseding vector
+      // holding old ∪ new positions (the at-most-one-DV rule), and its
+      // prior entry is dropped from the carried-forward manifests below
+      val newByFile = matched.collect()
         .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (p, ps) => (p, ps.map(_._2).toSeq.sorted) }
-      if (byFile.isEmpty) return curId
-      val dvRefs = live.filter(e => e.content == 1 && e.dv.nonEmpty)
-        .map(e => PathKeys.normKey(
-          IcebergRead.resolve(targetPath, e.dv.get._1).toString)).toSet
-      byFile.foreach { case (p, _) =>
-        if (dvRefs(PathKeys.normKey(
-            IcebergRead.resolve(targetPath, p).toString)))
-          throw new UnsupportedOperationException(
-            s"data file $p already carries a deletion vector; the v3 " +
-              "at-most-one-DV supersede of a foreign table is not yet " +
-              "supported — compact the table or use equality deletes")
+      if (newByFile.isEmpty) return curId
+      val existingByRef: Map[String, Seq[Long]] =
+        live.filter(e => e.content == 1 && e.dv.nonEmpty)
+          .groupBy(e => PathKeys.normKey(
+            IcebergRead.resolve(targetPath, e.dv.get._1).toString))
+          .map { case (k, es) =>
+            k -> es.flatMap { e =>
+              val (_, off, len) = e.dv.get
+              Puffin.dvPositions(spark,
+                IcebergRead.resolve(targetPath, e.path).toString, off, len)
+            }.toSeq
+          }
+      val byFile = newByFile.map { case (p, ps) =>
+        val k = PathKeys.normKey(IcebergRead.resolve(targetPath, p).toString)
+        if (existingByRef.contains(k)) revectored += k
+        (p, (ps ++ existingByRef.getOrElse(k, Nil)).distinct.sorted)
       }
+      affectedKeys = byFile.map(f => PathKeys.normKey(
+        IcebergRead.resolve(targetPath, f._1).toString)).toSet
       delPayload = Right(byFile)
     }
     var attempt = 0
@@ -1949,6 +1964,20 @@ object IcebergExport {
         throw new IllegalStateException(
           s"concurrent schema or spec change at $targetPath moved the table " +
             "under this delete; re-read and retry explicitly", lastErr)
+      if (attempt > 0 && affectedKeys.nonEmpty) {
+        // a racing commit that vectored one of OUR files would be
+        // resurrected by our (now stale) cumulative vector — loud
+        def dvStateOf(l: Seq[IcebergRead.EntryInfo]) =
+          l.filter(e => e.content == 1 && e.dv.nonEmpty)
+            .map(e => (PathKeys.normKey(IcebergRead
+              .resolve(targetPath, e.dv.get._1).toString), e.path, e.dv.get))
+            .filter(t => affectedKeys(t._1)).toSet
+        if (dvStateOf(IcebergRead.liveEntries(spark, targetPath, meta)) !=
+            dvStateOf(live))
+          throw new IllegalStateException(
+            s"concurrent commit at $targetPath re-vectored a file under " +
+              "this delete; re-read and re-issue the delete", lastErr)
+      }
       val snaps = snapsOfMeta(meta)
       val seqNum = math.max(
         Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
@@ -1981,8 +2010,39 @@ object IcebergExport {
         .getOrElse(snaps.last)
       val priorRecords = avroRecords(spark,
         IcebergRead.resolve(targetPath, cur.manifestList))
+      // v3 supersede: delete manifests holding a prior vector of a
+      // re-vectored file are rewritten WITHOUT it (surviving entries
+      // as EXISTING), or omitted entirely when emptied — the graft
+      // append path's carry-forward rule, applied to a foreign chain
+      val extraManifests = Seq.newBuilder[ManifestRef]
+      val priorKept = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      priorRecords.zipWithIndex.foreach { case (rec, i) =>
+        val content = Option(rec.get("content"))
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+        if (revectored.isEmpty || content == 0) priorKept += rec
+        else {
+          val mPath = IcebergRead.resolve(targetPath,
+            String.valueOf(rec.get("manifest_path")))
+          val entries = avroRecords(spark, mPath)
+          val (dropped, kept) = entries.partition { e =>
+            val df = e.get("data_file").asInstanceOf[
+              org.apache.avro.generic.GenericRecord]
+            Option(if (df.getSchema.getField("referenced_data_file") == null)
+              null else df.get("referenced_data_file"))
+              .exists(r => revectored(PathKeys.normKey(IcebergRead
+                .resolve(targetPath, String.valueOf(r)).toString)))
+          }
+          if (dropped.isEmpty) priorKept += rec
+          else if (kept.nonEmpty)
+            extraManifests += writeExistingDeleteManifest(targetPath,
+              s"mp-$uuid-a$attempt-c$i.avro", kept, fields,
+              Option(rec.get("partition_spec_id"))
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+        }
+      }
       val ml = writeManifestList(targetPath, s"snap-pd-$uuid-a$attempt.avro",
-        snapId, seqNum, priorRecords, Seq(mref), v3 = v3)
+        snapId, seqNum, priorKept.result(),
+        Seq(mref) ++ extraManifests.result(), v3 = v3)
       try {
         commitForeignMeta(targetPath, meta, baseV + 1, snapId, seqNum, ml,
           "delete",

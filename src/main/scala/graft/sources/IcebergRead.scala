@@ -449,7 +449,7 @@ object IcebergRead {
 
   /** A snapshot's live entries (data + delete files), net of
     * DELETED-status entries (default: the current snapshot). */
-  private[sources] def liveEntries(spark: SparkSession, tablePath: String,
+  private[graft] def liveEntries(spark: SparkSession, tablePath: String,
       meta: JsonNode, snapshotId: Option[Long] = None): Seq[EntryInfo] = {
     requireFormatVersion(tablePath, meta) // even an empty table declines v3+
     val snapId = snapshotId.orElse(

@@ -5237,17 +5237,27 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(s"$tgt3/deletes").listFiles()
       .exists(_.getName.startsWith("pdf-")),
       "v3 must not publish position-delete FILES")
-    // a second delete of the SAME file declines: supersede not yet served
-    val eDv = intercept[UnsupportedOperationException](
-      IcebergExport.deleteForeign(spark, tgt3, col("k") === 5L))
-    assert(eDv.getMessage.contains("deletion vector"), eDv.getMessage)
-    // but a delete that only touches un-DV'd files still lands
+    // a second delete of the SAME file SUPERSEDES: one cumulative
+    // vector (old 1..3 ∪ new 5), prior DV entry dropped per the
+    // at-most-one-DV rule
+    IcebergExport.deleteForeign(spark, tgt3, col("k") === 5L): Unit
+    assert(IcebergRead.read(spark, tgt3).select("k").as[Long].collect().toSet ==
+      Set(4L, 6L, 7L, 8L, 9L, 10L),
+      "the superseding vector must hold old AND new tombstones")
+    // at most one live DV per data file across ALL delete manifests
+    val meta3 = graft.sources.IcebergRead.currentMetadata(spark, tgt3)
+    val live3 = graft.sources.IcebergRead.liveEntries(spark, tgt3, meta3, None)
+    val dvRefs = live3.filter(e => e.content == 1 && e.dv.nonEmpty)
+      .map(_.dv.get._1)
+    assert(dvRefs.size == dvRefs.distinct.size,
+      s"one DV per data file after supersede, got $dvRefs")
+    // and a delete that only touches un-DV'd files lands beside it
     IcebergExport.appendForeign(spark,
       (11L to 14L).map(i => (i, i * 10)).toDF("k", "v"), tgt3)
     IcebergExport.deleteForeign(spark, tgt3, col("k") === 12L): Unit
     assert(IcebergRead.read(spark, tgt3).select("k").as[Long].collect().toSet ==
-      ((4L to 10L) ++ Seq(11L, 13L, 14L)).toSet,
-      "fresh-file v3 deletes land beside the earlier DV")
+      ((4L to 10L).toSet - 5L ++ Seq(11L, 13L, 14L)),
+      "fresh-file v3 deletes land beside the superseded history")
   }
 
   test("iceberg foreign append: commits into a table another engine created") {
