@@ -2311,7 +2311,8 @@ object CdcQueries {
       |)
       |SELECT k % 8 AS band, COUNT(*) AS n_rows,
       |  CAST(SUM(k) AS BIGINT) AS sum_k,
-      |  CAST(SUM(cents) AS BIGINT) AS sum_cents, 4 AS n_buckets
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents, 4 AS n_buckets,
+      |  1 AS files_pruned
       |FROM o GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
     import graft.functions.IcebergPartitionFns.icebergBucket
     import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
@@ -2358,11 +2359,21 @@ object CdcQueries {
           b.result()
         } finally rdr.close()
       }.toSet
+    // transform-aware pruning evidence (r15): a point lookup must plan
+    // strictly fewer files than the unfiltered read — bucket tuples
+    // are the only thing that can prune a hash layout
+    val full = IcebergRead.read(s, tgt).agg(count(lit(1)))
+    full.collect(): Unit
+    val probe = IcebergRead.read(s, tgt).filter(col("k") === 1L)
+      .agg(count(lit(1)))
+    probe.collect(): Unit
+    val pruned = if (scannedFiles(probe) < scannedFiles(full)) 1 else 0
     IcebergRead.read(s, tgt)
       .groupBy((col("k") % 8).as("band"))
       .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
         sum(col("cents")).as("sum_cents"))
       .withColumn("n_buckets", lit(tuples.size))
+      .withColumn("files_pruned", lit(pruned))
       .orderBy("band")
   }
 

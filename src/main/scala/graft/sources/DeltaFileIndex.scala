@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.StructType
   * to Catalyst form. */
 private[sources] final case class LiveFile(path: Path, size: Long,
     modTime: Long, values: InternalRow,
-    bounds: Map[String, FileSkipping.ColBounds] = Map.empty)
+    bounds: Map[String, FileSkipping.ColBounds] = Map.empty,
+    transforms: Seq[TransformPruning.PartValue] = Nil)
 
 /** A [[FileIndex]] over the live files of one metadata-replayed
   * snapshot — the scale-true scan shape (r12 rework) BOTH interop
@@ -67,10 +68,16 @@ private[sources] final class DeltaLogFileIndex(
       }
     // FILE SKIPPING on the pushed data filters (r13): add.stats bounds
     // evaluate conservatively — statless files and unsupported
-    // predicate shapes always read, the filters re-apply row-side
+    // predicate shapes always read, the filters re-apply row-side.
+    // Files carrying Iceberg partition-TRANSFORM tuples additionally
+    // prune through [[TransformPruning]] (r15) — bucket[N] point
+    // lookups drop (N-1)/N of the files where bounds cannot.
     val skipped =
       if (dataFilters.isEmpty) selected
-      else selected.filter(f => FileSkipping.mayMatch(dataFilters, f.bounds))
+      else selected.filter(f =>
+        FileSkipping.mayMatch(dataFilters, f.bounds) &&
+          (f.transforms.isEmpty ||
+            TransformPruning.mayMatch(dataFilters, f.transforms)))
     skipped.groupBy(_.values).toSeq.map { case (values, fs) =>
       PartitionDirectory(values, fs.map(f =>
         new FileStatus(f.size, false, 0, 128L * 1024 * 1024, f.modTime,

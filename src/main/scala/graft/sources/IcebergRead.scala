@@ -319,7 +319,8 @@ object IcebergRead {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      partition: Map[String, AnyRef] = Map.empty)
 
   private[sources] def entriesOf(spark: SparkSession, manifestPath: Path,
       inheritSeq: Option[Long] = None,
@@ -435,6 +436,16 @@ object IcebergRead {
           rowAcc += rc
           assigned
         })
+      // the partition tuple, by spec field name — transform-aware
+      // pruning (r15) evaluates pushed filters against these values
+      val partition: Map[String, AnyRef] = optDf("partition") match {
+        case Some(pr: GenericRecord) =>
+          import scala.jdk.CollectionConverters._
+          pr.getSchema.getFields.asScala
+            .map(fld => fld.name() -> pr.get(fld.name()))
+            .filter(_._2 != null).toMap
+        case _ => Map.empty
+      }
       EntryInfo(status, String.valueOf(df.get("file_path")), content, seq, eqIds, dv,
         sizeInBytes = optLong("file_size_in_bytes"),
         recordCount = optLong("record_count"),
@@ -443,7 +454,8 @@ object IcebergRead {
         nullCounts = kvPairs("null_value_counts").collect {
           case (k, v) if v != null => k -> v.asInstanceOf[Number].longValue()
         }.toMap,
-        firstRowId = firstRowId)
+        firstRowId = firstRowId,
+        partition = partition)
     }
   }
 
@@ -1041,6 +1053,30 @@ object IcebergRead {
       * the difference between opening millions of footers and planning
       * exactly the matching files at 100 TB). Minimal fixtures without
       * sizes fall back to a plain listing-backed read. */
+    // transform-aware pruning spec (r15): tables with exactly ONE
+    // NON-EMPTY partition spec only — empty specs (the global-delete
+    // spec a partitioned export publishes alongside) contribute no
+    // tuple fields and cannot mis-bind, but under real spec EVOLUTION
+    // entries of different eras carry different tuple shapes this
+    // by-name capture could confuse, and pruning must never be a
+    // correctness bet
+    val pruneSpec: Seq[(String, String, String)] = {
+      val byId = fieldNamesById(meta)
+      val nonEmpty = Option(meta.get("partition-specs")).toSeq.flatMap { arr =>
+        (0 until arr.size()).map(arr.get)
+          .filter(sp => Option(sp.get("fields")).exists(_.size() > 0))
+      }
+      nonEmpty match {
+        case Seq(spec) =>
+          val pf = spec.get("fields")
+          (0 until pf.size()).flatMap { i =>
+            val f = pf.get(i)
+            byId.get(f.get("source-id").asInt()).map(src =>
+              (f.get("name").asText(), f.get("transform").asText(), src))
+          }
+        case _ => Nil
+      }
+    }
     def scanOf(entries: Seq[EntryInfo]) = {
       if (entries.forall(_.sizeInBytes.nonEmpty)) {
         val namesById = fieldNamesById(meta)
@@ -1057,8 +1093,12 @@ object IcebergRead {
               e.upperBounds.get(id).flatMap(FileSkipping.icebergBoundValue(_, dt)),
               e.nullCounts.get(id), e.recordCount)
           }.toMap
+          val transforms = pruneSpec.flatMap { case (fn, tr, src) =>
+            e.partition.get(fn).map(v => TransformPruning.PartValue(src, tr, v))
+          }
           LiveFile(resolve(tablePath, e.path), e.sizeInBytes.get, 0L,
-            org.apache.spark.sql.catalyst.InternalRow.empty, bounds)
+            org.apache.spark.sql.catalyst.InternalRow.empty, bounds,
+            transforms)
         }
         org.apache.spark.sql.GraftPlanApi.fileRelationDataFrame(spark,
           new DeltaLogFileIndex(new Path(tablePath), new StructType(), live),

@@ -5039,6 +5039,62 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("partition-pure"), e.getMessage)
   }
 
+  test("iceberg read: bucket tuples prune point lookups at plan time") {
+    // r15: transform-aware partition pruning — a bucket-partitioned
+    // table's min/max bounds span everything (hash layout), so only
+    // the TUPLE can prune; an equality probe must plan exactly the
+    // matching bucket's files
+    import graft.expressions.IcebergTransforms
+    import graft.functions.IcebergPartitionFns.icebergBucket
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    import spark.implicits._
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scansIn)
+      }
+      scansIn(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).min
+    }
+    val src = Files.createTempDirectory("iprune_src").toFile.getAbsolutePath + "/t"
+    val tgt = Files.createTempDirectory("iprune_tgt").toFile.getAbsolutePath + "/i"
+    val base = (1L to 40L).toDF("k").withColumn("v", col("k") * 10)
+      .withColumn("__b", icebergBucket(4, col("k")))
+    TimeTravel.commitOverwrite(
+      base.filter(col("__b") === 0).drop("__b").coalesce(1), src)
+    (1 to 3).foreach(b => TimeTravel.commitAppend(
+      base.filter(col("__b") === b).drop("__b").coalesce(1), src))
+    IcebergExport.snapshot(spark, src, tgt, partitionBy = Seq("bucket(4, k)"))
+    // control: the full read plans every file (collect on the SAME
+    // frame whose metrics we read)
+    val full = IcebergRead.read(spark, tgt).agg(count(lit(1)))
+    assert(full.collect().head.getLong(0) == 40L)
+    assert(plannedFiles(full) == 4, "unfiltered read plans all buckets")
+    // point lookup: exactly ONE bucket's file plans
+    val probe = IcebergRead.read(spark, tgt).filter(col("k") === 34L)
+      .agg(count(lit(1)))
+    assert(probe.collect().head.getLong(0) == 1L, "the row is still served")
+    assert(plannedFiles(probe) == 1,
+      s"k=34 must plan only bucket ${IcebergTransforms.bucketLong(34L, 4)}'s file")
+    // IN-list: at most the matching buckets
+    val probes = IcebergRead.read(spark, tgt)
+      .filter(col("k").isin(34L, 35L)).agg(count(lit(1)))
+    assert(probes.collect().head.getLong(0) == 2L)
+    val wantBuckets = Set(34L, 35L).map(IcebergTransforms.bucketLong(_, 4)).size
+    assert(plannedFiles(probes) == wantBuckets,
+      s"IN (34, 35) must plan $wantBuckets bucket file(s)")
+    // a filter on a NON-partition column must not prune by tuple
+    val off = IcebergRead.read(spark, tgt).filter(col("v") === 340L)
+      .agg(count(lit(1)))
+    assert(off.collect().head.getLong(0) == 1L,
+      "non-partition filters stay correct (bounds may prune, tuples must not)")
+  }
+
   test("iceberg export: hours/months/years/truncate publish their transforms") {
     import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
     import spark.implicits._
