@@ -2427,6 +2427,59 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** FOREIGN Iceberg UPDATE (r15 — completes the foreign DML matrix:
+    * both formats now append, delete, and update): one merge-on-read
+    * `overwrite` snapshot tombstones band b2's rows by position AND
+    * re-stages them with doubled cents — the builder requires exactly
+    * ONE new metadata version for the whole update, so a non-atomic
+    * delete-then-append implementation cannot pass. */
+  val qIcebergUpdForeign: QueryDef = QueryDef.sql(
+    "q_iceberg_upd_foreign",
+    """WITH o AS (
+      |  SELECT 'b' || CAST(o_orderkey % 4 AS VARCHAR) AS band,
+      |    o_orderkey AS k,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |upd AS (
+      |  SELECT band, k,
+      |    CASE WHEN band = 'b2' THEN cents * 2 ELSE cents END AS cents
+      |  FROM o
+      |)
+      |SELECT band, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents, 1 AS n_new_versions
+      |FROM upd GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import graft.sources.{IcebergExport, IcebergRead, TimeTravel}
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ifupd_${Integer.toHexString(d.hashCode)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+    }
+    deleteRec(new java.io.File(base))
+    val o = Tables(s, d, "orders").select(
+      concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
+      col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    TimeTravel.commitOverwrite(o.filter(col("band") === "b0").coalesce(1), src)
+    (1 to 3).foreach(b => TimeTravel.commitAppend(
+      o.filter(col("band") === s"b$b").coalesce(1), src))
+    IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("band"))
+    def metaVersions(): Int = new java.io.File(s"$tgt/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json"))
+    val before = metaVersions()
+    IcebergExport.updateForeign(s, tgt, col("band") === "b2",
+      Map("cents" -> (col("cents") * 2L)))
+    val newVersions = metaVersions() - before
+    IcebergRead.read(s, tgt)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("n_new_versions", lit(newVersions))
+      .orderBy("band")
+  }
+
   /** v3 ROW LINEAGE surfaced (r15 — r14 verdict #5): an export +
     * append + MoR-delete history over `orders`, read back with the
     * `_row_id` / `_last_updated_sequence_number` metadata columns.
@@ -2485,5 +2538,5 @@ object CdcQueries {
     qDeltaCdf, qDeltaExportAppend, qIcebergExportAppend, qDeltaReadV2Ckpt, qDeltaReadIdMap,
     qIcebergReadEq, qDeltaExportRowLevel, qIcebergExportRowLevel,
     qDeltaReadNestedCm, qDeltaReadIdMapNested, qDeltaCdfIdMap, qIcebergReadV3, qIcebergExportPart,
-    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaMorForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergDelForeign, qIcebergRowLineage, qVariantRead)
+    qIcebergReadV3Dv, qIcebergExportV3Dv, qDeltaReadSkipping, qIcebergReadSkipping, qDeltaReadNtz, qDeltaAppendForeign, qDeltaDeleteForeign, qDeltaMorForeign, qDeltaUpdateForeign, qDeltaExportMapped, qDeltaExportWidened, qIcebergExportDays, qIcebergExportBucket, qIcebergDelForeign, qIcebergUpdForeign, qIcebergRowLineage, qVariantRead)
 }

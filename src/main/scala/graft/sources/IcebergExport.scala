@@ -1232,81 +1232,17 @@ object IcebergExport {
       .getOrElse(parsed.map(_.get("spec-id").asInt()).max + 1)
   }
 
-  /** APPEND `df` into ANY Iceberg table — including tables this
-    * engine did not create (r14 verdict #1, the asymmetric half of
-    * [[DeltaExport.appendForeign]]): stage the rows as new parquet
-    * data files under the table root (columns tagged with the
-    * table's REAL field ids, partition-pure per its identity spec),
-    * write one ADDED manifest plus a manifest list carrying the
-    * current snapshot's manifests forward by reference, and publish
-    * the next metadata version by MUTATING the current JSON —
-    * properties, schema ids, specs, sort orders, refs all survive
-    * verbatim — under a put-if-absent CREATE_NEW with bounded OCC
-    * retry (re-validating schema and spec against the re-read state).
-    *
-    * Loud-or-exact scope: format-version 2 or 3 only (v1 manifests
-    * speak a different entry shape); the frame's schema must match
-    * the table's current schema by name and type; `required` columns
-    * are validated null-free with one aggregate (the spec's writer
-    * obligation); the spec transform family is served in full (r15):
-    * identity over long/int/string, day/hour/month/year epoch units,
-    * `bucket[N]` (spec murmur3 — the common Flink-CDC layout), and
-    * `truncate[W]` — anything else declines by name in
-    * [[partColsOfMeta]]; a v3 table
-    * must carry `next-row-id` (row lineage is maintained: per-file
-    * `first_row_id`, manifest-list `first_row_id`, snapshot
-    * `first-row-id`, bumped `next-row-id`).
-    *
-    * Scale: one distributed write of `df` plus O(new files) driver
-    * footer reads; the conflict window is one CREATE_NEW, independent
-    * of data size. Returns the new snapshot id. */
-  def appendForeign(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-      targetPath: String, maxRetries: Int = 3,
-      ref: Option[String] = None): Long = {
+  /** Stage `df` as field-id-tagged parquet under `targetPath/data`
+    * with the table's partition layout (identity and every served
+    * transform — the `__gp` broadcast-map write), validating
+    * `required` columns from the staged footers; returns the
+    * described files ready for a manifest. The shared write half of
+    * [[appendForeign]] and [[updateForeign]]. */
+  private def stageForeignData(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, targetPath: String,
+      fields: Seq[(Int, String, Boolean, String)], partCols: Seq[PartCol],
+      uuid: String): Seq[NewFile] = {
     import org.apache.spark.sql.functions.{assert_true, broadcast, col, lit, when => sqlWhen}
-    requireLocalScheme(targetPath, "appendForeign")
-    val (v0, meta0) = foreignBase(targetPath)
-    val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
-    if (fv != 2 && fv != 3) throw new UnsupportedOperationException(
-      s"iceberg table at $targetPath is format-version $fv; foreign writes " +
-        "speak versions 2 and 3")
-    val v3 = fv == 3
-    val fields = fieldsOfMeta(meta0)
-    val partCols = partColsOfMeta(meta0, fields)
-    partCols.foreach { pc =>
-      val ok = pc.transform match {
-        case "identity" => Set("long", "int", "string").contains(pc.icebergType)
-        case "day" | "month" | "year" =>
-          Set("timestamp", "timestamptz", "date").contains(pc.srcType)
-        case "hour" => Set("timestamp", "timestamptz").contains(pc.srcType)
-        case BucketSpecRe(_) =>
-          Set("int", "long", "string", "date", "timestamp", "timestamptz")
-            .contains(pc.srcType)
-        case TruncSpecRe(_) => Set("int", "long", "string").contains(pc.srcType)
-        case _ => false
-      }
-      if (!ok) throw new UnsupportedOperationException(
-        s"partition field ${pc.name} uses transform ${pc.transform} over " +
-          s"${if (pc.srcType.isEmpty) pc.icebergType else pc.srcType}; " +
-          "foreign appends cover identity (long/int/string), " +
-          "day/hour/month/year, bucket[N], and truncate[W] over their " +
-          "spec-allowed source types")
-    }
-    if (v3 && !meta0.has("next-row-id")) throw new UnsupportedOperationException(
-      s"format-version-3 table at $targetPath carries no next-row-id; " +
-        "v3 requires row lineage — cannot assign row ids")
-    // schema check by NAME + type; ids belong to the table
-    val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    def matches(n: String, t: String): Boolean = dfTypes.get(n).exists { dt =>
-      try icebergType(dt) == t
-      catch { case _: UnsupportedOperationException => false }
-    }
-    if (df.schema.size != fields.size ||
-        fields.exists { case (_, n, _, t) => !matches(n, t) })
-      throw new UnsupportedOperationException(
-        s"appendForeign frame schema ${df.schema.simpleString} does not " +
-          s"match the table schema (${fields.map(f => s"${f._2}: ${f._4}")
-            .mkString(", ")}) at $targetPath")
     val requiredCols = fields.filter(_._3).map(_._2)
     // persist when a pass beyond the write reads the frame (the
     // partition-tuple collect) — same nondeterminism stance as the
@@ -1317,7 +1253,6 @@ object IcebergExport {
     val src = if (multiPass)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
-    val uuid = java.util.UUID.randomUUID().toString.take(12)
     val stage = s"$targetPath/_graft_staging_$uuid"
     val conf = spark.sessionState.newHadoopConf()
     val fsys = new Path(targetPath).getFileSystem(conf)
@@ -1420,11 +1355,91 @@ object IcebergExport {
       if (multiPass) src.unpersist(): Unit
       fsys.delete(new Path(stage), true): Unit
     }
-    val files = describeFiles(spark, stagedPaths.result(), partCols,
+    describeFiles(spark, stagedPaths.result(), partCols,
       statFields = fields,
       knownValues = if (hasBucket(partCols))
         scanDerivedTuples(spark, stagedPaths.result(), partCols)
       else Map.empty)
+  }
+
+  /** APPEND `df` into ANY Iceberg table — including tables this
+    * engine did not create (r14 verdict #1, the asymmetric half of
+    * [[DeltaExport.appendForeign]]): stage the rows as new parquet
+    * data files under the table root (columns tagged with the
+    * table's REAL field ids, partition-pure per its identity spec),
+    * write one ADDED manifest plus a manifest list carrying the
+    * current snapshot's manifests forward by reference, and publish
+    * the next metadata version by MUTATING the current JSON —
+    * properties, schema ids, specs, sort orders, refs all survive
+    * verbatim — under a put-if-absent CREATE_NEW with bounded OCC
+    * retry (re-validating schema and spec against the re-read state).
+    *
+    * Loud-or-exact scope: format-version 2 or 3 only (v1 manifests
+    * speak a different entry shape); the frame's schema must match
+    * the table's current schema by name and type; `required` columns
+    * are validated null-free with one aggregate (the spec's writer
+    * obligation); the spec transform family is served in full (r15):
+    * identity over long/int/string, day/hour/month/year epoch units,
+    * `bucket[N]` (spec murmur3 — the common Flink-CDC layout), and
+    * `truncate[W]` — anything else declines by name in
+    * [[partColsOfMeta]]; a v3 table
+    * must carry `next-row-id` (row lineage is maintained: per-file
+    * `first_row_id`, manifest-list `first_row_id`, snapshot
+    * `first-row-id`, bumped `next-row-id`).
+    *
+    * Scale: one distributed write of `df` plus O(new files) driver
+    * footer reads; the conflict window is one CREATE_NEW, independent
+    * of data size. Returns the new snapshot id. */
+  def appendForeign(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      targetPath: String, maxRetries: Int = 3,
+      ref: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{assert_true, broadcast, col, lit, when => sqlWhen}
+    requireLocalScheme(targetPath, "appendForeign")
+    val (v0, meta0) = foreignBase(targetPath)
+    val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fv != 2 && fv != 3) throw new UnsupportedOperationException(
+      s"iceberg table at $targetPath is format-version $fv; foreign writes " +
+        "speak versions 2 and 3")
+    val v3 = fv == 3
+    val fields = fieldsOfMeta(meta0)
+    val partCols = partColsOfMeta(meta0, fields)
+    partCols.foreach { pc =>
+      val ok = pc.transform match {
+        case "identity" => Set("long", "int", "string").contains(pc.icebergType)
+        case "day" | "month" | "year" =>
+          Set("timestamp", "timestamptz", "date").contains(pc.srcType)
+        case "hour" => Set("timestamp", "timestamptz").contains(pc.srcType)
+        case BucketSpecRe(_) =>
+          Set("int", "long", "string", "date", "timestamp", "timestamptz")
+            .contains(pc.srcType)
+        case TruncSpecRe(_) => Set("int", "long", "string").contains(pc.srcType)
+        case _ => false
+      }
+      if (!ok) throw new UnsupportedOperationException(
+        s"partition field ${pc.name} uses transform ${pc.transform} over " +
+          s"${if (pc.srcType.isEmpty) pc.icebergType else pc.srcType}; " +
+          "foreign appends cover identity (long/int/string), " +
+          "day/hour/month/year, bucket[N], and truncate[W] over their " +
+          "spec-allowed source types")
+    }
+    if (v3 && !meta0.has("next-row-id")) throw new UnsupportedOperationException(
+      s"format-version-3 table at $targetPath carries no next-row-id; " +
+        "v3 requires row lineage — cannot assign row ids")
+    // schema check by NAME + type; ids belong to the table
+    val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def matches(n: String, t: String): Boolean = dfTypes.get(n).exists { dt =>
+      try icebergType(dt) == t
+      catch { case _: UnsupportedOperationException => false }
+    }
+    if (df.schema.size != fields.size ||
+        fields.exists { case (_, n, _, t) => !matches(n, t) })
+      throw new UnsupportedOperationException(
+        s"appendForeign frame schema ${df.schema.simpleString} does not " +
+          s"match the table schema (${fields.map(f => s"${f._2}: ${f._4}")
+            .mkString(", ")}) at $targetPath")
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val files = stageForeignData(spark, df, targetPath, fields, partCols,
+      uuid)
     val addedRows = files.map(_.recordCount).sum
     // OCC: the data files are final; manifests + list are cheap and
     // rewritten per attempt (they embed the racing seq/snapshot ids)
@@ -2059,5 +2074,263 @@ object IcebergExport {
     throw new java.io.IOException(
       s"commit to $targetPath still conflicting after $maxRetries retries",
       lastErr)
+  }
+
+  /** PREDICATE-based UPDATE of ANY v2/v3 Iceberg table — ONE
+    * merge-on-read `overwrite` snapshot holding both halves (r15; the
+    * Iceberg face of [[DeltaExport.updateForeign]], completing the
+    * foreign DML matrix): matched rows' coordinates publish as
+    * position deletes (v2) or superseding deletion vectors (v3,
+    * cumulative per the at-most-one-DV rule), and the SAME rows with
+    * `sets` applied stage as new data files under the table's real
+    * field ids and partition layout — a SET may move a row across
+    * partitions; the transform staging re-buckets it correctly. Both
+    * manifests commit atomically at one sequence number; readers
+    * never see the delete without the re-add.
+    *
+    * Loud-or-exact: SET expressions must preserve their column's
+    * exact type; `required` columns re-validate from the staged
+    * footers; nondeterministic predicates or SETs decline (the
+    * tombstoned rows and the re-staged rows must be the same rows);
+    * v3 assigns the new rows FRESH row ids (the spec permits this —
+    * preserving ids through an update is an engine choice this writer
+    * does not make silently). Zero matches commit nothing. */
+  def updateForeign(spark: SparkSession, targetPath: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 3): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
+    require(sets.nonEmpty, "updateForeign needs at least one SET column")
+    requireLocalScheme(targetPath, "updateForeign")
+    val (v0, meta0) = foreignBase(targetPath)
+    val fv = Option(meta0.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fv != 2 && fv != 3) throw new UnsupportedOperationException(
+      s"iceberg table at $targetPath is format-version $fv; foreign writes " +
+        "speak versions 2 and 3")
+    val v3 = fv == 3
+    val fields = fieldsOfMeta(meta0)
+    val partCols = partColsOfMeta(meta0, fields)
+    val snaps0 = snapsOfMeta(meta0)
+    if (snaps0.isEmpty) throw new IllegalStateException(
+      s"no snapshots at $targetPath; export or append a snapshot first")
+    if (v3 && !meta0.has("next-row-id")) throw new UnsupportedOperationException(
+      s"format-version-3 table at $targetPath carries no next-row-id; " +
+        "v3 requires row lineage — cannot assign row ids")
+    val curId = Option(meta0.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(snaps0.last.id)
+    val byName = fields.map(t => t._2 -> t).toMap
+    sets.keys.foreach(n => if (!byName.contains(n))
+      throw new IllegalArgumentException(
+        s"SET column $n is not a column of $targetPath"))
+    val rows = IcebergRead.readWithPositions(spark, targetPath)
+    val matchedF = coalesce(predicate, lit(false))
+    // exact-type contract per SET expression (checked on its OWN type)
+    sets.foreach { case (n, v) =>
+      val got = icebergType(rows.select(v.as("__g_probe")).schema.head.dataType)
+      if (got != byName(n)._4) throw new UnsupportedOperationException(
+        s"SET of $n produces $got; the column is ${byName(n)._4} — " +
+          "cast explicitly")
+    }
+    val updatedSel = fields.map { case (_, n, _, _) =>
+      sets.get(n).map(v => v.as(n)).getOrElse(col(n))
+    }
+    val detOk = rows.filter(matchedF).select(updatedSel: _*)
+      .queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          pr.projectList.forall(_.deterministic)
+      }.forall(identity)
+    if (!detOk) throw new UnsupportedOperationException(
+      "updateForeign needs deterministic predicate and SET expressions: " +
+        "the tombstoned rows and the re-staged rows must be the same rows")
+    val live = IcebergRead.liveEntries(spark, targetPath, meta0, None)
+    val dataEntries = live.filter(_.content == 0)
+    val byKey = dataEntries.map(e => PathKeys.normKey(
+      IcebergRead.resolve(targetPath, e.path).toString) -> e.path).toMap
+    if (byKey.size != dataEntries.size) throw new IllegalStateException(
+      s"two manifest data paths normalize to one key at $targetPath — " +
+        "cannot address position deletes unambiguously")
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    import spark.implicits._
+    val mapDf = byKey.toSeq.toDF("__g_fp", "__g_file_path")
+    // the matched set is read ONCE, persisted: positions and re-staged
+    // rows must come from the same evaluation
+    val matchedRows = rows.filter(matchedF)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coords = matchedRows
+        .select(col("__g_fp"), col("__g_ri").cast("long").as("pos"))
+        .join(broadcast(mapDf), Seq("__g_fp"))
+        .select(col("__g_file_path").as("file_path"), col("pos"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (coords.isEmpty) return curId
+      // delete payload (the deleteForeign shapes)
+      var revectored = Set.empty[String]
+      var affectedKeys = Set.empty[String]
+      var delPayload: Either[String, Seq[(String, Seq[Long])]] = null
+      if (!v3) {
+        val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483546L).build()
+        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483545L).build()
+        val stage = s"$targetPath/deletes/.stage-pd-$uuid"
+        coords.toSeq.toDF("file_path", "pos")
+          .select(col("file_path").as("file_path", fpMeta),
+            col("pos").as("pos", posMeta))
+          .coalesce(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("delete stage wrote no part"))
+        val dst = new java.io.File(s"$targetPath/deletes/pdf-$uuid.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(): Unit
+        }
+        deleteRec(new java.io.File(stage))
+        delPayload = Left(dst.getAbsolutePath)
+      } else {
+        val newByFile = coords.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (p, ps) => (p, ps.map(_._2).toSeq.sorted) }
+        val existingByRef: Map[String, Seq[Long]] =
+          live.filter(e => e.content == 1 && e.dv.nonEmpty)
+            .groupBy(e => PathKeys.normKey(
+              IcebergRead.resolve(targetPath, e.dv.get._1).toString))
+            .map { case (k, es) =>
+              k -> es.flatMap { e =>
+                val (_, off, len) = e.dv.get
+                Puffin.dvPositions(spark,
+                  IcebergRead.resolve(targetPath, e.path).toString, off, len)
+              }.toSeq
+            }
+        val byFile = newByFile.map { case (p, ps) =>
+          val k = PathKeys.normKey(IcebergRead.resolve(targetPath, p).toString)
+          if (existingByRef.contains(k)) revectored += k
+          (p, (ps ++ existingByRef.getOrElse(k, Nil)).distinct.sorted)
+        }
+        affectedKeys = byFile.map(f => PathKeys.normKey(
+          IcebergRead.resolve(targetPath, f._1).toString)).toSet
+        delPayload = Right(byFile)
+      }
+      // the re-staged half: matched rows with SETs applied, written
+      // under the table's real ids and partition layout
+      val files = stageForeignData(spark, matchedRows.select(updatedSel: _*),
+        targetPath, fields, partCols, uuid)
+      val addedRows = files.map(_.recordCount).sum
+      var attempt = 0
+      var lastErr: Throwable = null
+      while (attempt <= maxRetries) {
+        val (baseV, meta) = if (attempt == 0) (v0, meta0) else foreignBase(targetPath)
+        if (attempt > 0 &&
+            (fieldsOfMeta(meta) != fields || partColsOfMeta(meta, fields) != partCols))
+          throw new IllegalStateException(
+            s"concurrent schema or spec change at $targetPath moved the table " +
+              "under this update; re-read and retry explicitly", lastErr)
+        if (attempt > 0) {
+          // ANY change to the delete state of our affected files — or
+          // their removal — makes the staged tombstones stale: loud
+          def dvStateOf(l: Seq[IcebergRead.EntryInfo]) =
+            l.filter(e => e.content == 1 && e.dv.nonEmpty)
+              .map(e => (PathKeys.normKey(IcebergRead
+                .resolve(targetPath, e.dv.get._1).toString), e.path, e.dv.get))
+              .filter(t => affectedKeys(t._1)).toSet
+          val liveNow = IcebergRead.liveEntries(spark, targetPath, meta)
+          val dataNow = liveNow.filter(_.content == 0)
+            .map(e => PathKeys.normKey(
+              IcebergRead.resolve(targetPath, e.path).toString)).toSet
+          val touched = coords.map(c => PathKeys.normKey(
+            IcebergRead.resolve(targetPath, c._1).toString)).toSet
+          if (!touched.subsetOf(dataNow) ||
+              (affectedKeys.nonEmpty &&
+                dvStateOf(liveNow) != dvStateOf(live)))
+            throw new IllegalStateException(
+              s"concurrent commit at $targetPath moved a file under this " +
+                "update; re-read and re-issue the update", lastErr)
+        }
+        val snaps = snapsOfMeta(meta)
+        val seqNum = math.max(
+          Option(meta.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+          snaps.map(_.seqNum).foldLeft(0L)(math.max)) + 1
+        val taken = snaps.map(_.id).toSet
+        var snapId = (1L << 42) | seqNum
+        while (taken(snapId)) snapId += 1
+        val rowBase = Option(meta.get("next-row-id")).map(_.asLong())
+        if (v3 && rowBase.isEmpty) throw new IllegalStateException(
+          s"concurrent writer dropped next-row-id at $targetPath", lastErr)
+        val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        val schemaId = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+        val delSpecId =
+          if (partCols.isEmpty) specId
+          else emptySpecIdOf(meta)
+        val delFiles = delPayload match {
+          case Left(pdPath) => describeFiles(spark, Seq(pdPath))
+          case Right(byFile) =>
+            val puffinPath = new java.io.File(
+              s"$targetPath/deletes/dvf-$uuid-a$attempt.puffin").getAbsolutePath
+            val refs = Puffin.writeDvFile(spark, puffinPath, byFile, snapId, seqNum)
+            val puffinLen = new java.io.File(puffinPath).length()
+            refs.map(r => NewFile(puffinPath, r.cardinality, puffinLen,
+              dv = Some((r.referencedDataFile, r.offset, r.length))))
+        }
+        val dataMref = writeManifest(targetPath, s"mu-$uuid-a$attempt.avro",
+          snapId, seqNum, files, fields, partCols = partCols, specId = specId,
+          v3 = v3, firstRowBase = if (v3) rowBase else None, schemaId = schemaId)
+        val delMref = writeManifest(targetPath, s"mud-$uuid-a$attempt.avro",
+          snapId, seqNum, delFiles, fields, content = 1, partCols = Nil,
+          specId = delSpecId, v3 = v3, schemaId = schemaId)
+        val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+          .filter(_ != -1L).flatMap(id => snaps.find(_.id == id))
+          .getOrElse(snaps.last)
+        val priorRecords = avroRecords(spark,
+          IcebergRead.resolve(targetPath, cur.manifestList))
+        val extraManifests = Seq.newBuilder[ManifestRef]
+        val priorKept = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+        priorRecords.zipWithIndex.foreach { case (rec, i) =>
+          val content = Option(rec.get("content"))
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+          if (revectored.isEmpty || content == 0) priorKept += rec
+          else {
+            val mPath = IcebergRead.resolve(targetPath,
+              String.valueOf(rec.get("manifest_path")))
+            val entries = avroRecords(spark, mPath)
+            val (dropped, kept) = entries.partition { e =>
+              val df0 = e.get("data_file").asInstanceOf[
+                org.apache.avro.generic.GenericRecord]
+              Option(if (df0.getSchema.getField("referenced_data_file") == null)
+                null else df0.get("referenced_data_file"))
+                .exists(r => revectored(PathKeys.normKey(IcebergRead
+                  .resolve(targetPath, String.valueOf(r)).toString)))
+            }
+            if (dropped.isEmpty) priorKept += rec
+            else if (kept.nonEmpty)
+              extraManifests += writeExistingDeleteManifest(targetPath,
+                s"mud-$uuid-a$attempt-c$i.avro", kept, fields,
+                Option(rec.get("partition_spec_id"))
+                  .map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+          }
+        }
+        val ml = writeManifestList(targetPath, s"snap-up-$uuid-a$attempt.avro",
+          snapId, seqNum, priorKept.result(),
+          Seq(dataMref, delMref) ++ extraManifests.result(), v3 = v3)
+        try {
+          commitForeignMeta(targetPath, meta, baseV + 1, snapId, seqNum, ml,
+            "overwrite",
+            firstRowId = if (v3) rowBase else None,
+            nextRowId = if (v3) rowBase.map(_ + addedRows) else None,
+            ensureEmptySpec = if (partCols.isEmpty) None else Some(delSpecId))
+          return snapId
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            lastErr = e
+            attempt += 1
+        }
+      }
+      throw new java.io.IOException(
+        s"commit to $targetPath still conflicting after $maxRetries retries",
+        lastErr)
+    } finally matchedRows.unpersist(): Unit
   }
 }

@@ -36,8 +36,8 @@ class RelationalSpec extends SparkSpec {
     // to 138 reported queries. Pin the count: adding a query means
     // bumping this number in the same commit — removing one without
     // noticing becomes a test failure instead of a shorter report.
-    assert(SparkEntry.queries.size == 289,
-      s"expected 289 registered queries, got ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 290,
+      s"expected 290 registered queries, got ${SparkEntry.queries.size}")
     assert(SparkEntry.defs.map(_.name).distinct.size == SparkEntry.defs.size,
       "duplicate query names would silently collapse in the queries map")
   }
