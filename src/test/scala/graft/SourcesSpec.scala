@@ -4598,6 +4598,84 @@ class SourcesSpec extends SparkSpec {
       "the conflicted delete must not have committed anything")
   }
 
+  test("delta foreign DML: seeded randomized interleave of append/delete/update/MoR vs model") {
+    // r15: the whole foreign Delta write family under randomized
+    // shapes — copy-on-write deletes and updates interleaved with
+    // vector (MoR) deletes and appends on partitioned and flat,
+    // DV-speaking fixtures; the replay must equal an in-memory model
+    // after every trial, resurrections included.
+    import graft.sources.{DeltaExport, DeltaRead}
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xDE17AD31L)
+    (1 to 4).foreach { trial =>
+      val partitioned = rnd.nextBoolean()
+      val dir = Files.createTempDirectory(s"dfsw$trial").toFile.getAbsolutePath + "/t"
+      new java.io.File(dir).mkdirs()
+      val seed = (1L to (2 + rnd.nextInt(4))).map(i =>
+        (i, rnd.nextInt(50).toLong))
+      writeDeltaPart(dir, "f0.parquet", seed)
+      val pv = if (partitioned) """"p":"a"""" else ""
+      writeDeltaCommit(dir, 0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        metaAction(partitioned = partitioned),
+        s"""{"add":{"path":"f0.parquet","partitionValues":{$pv},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      // model rows: (id, v, band); the flat fixture has no band
+      var model: Set[(Long, Long, String)] =
+        seed.map(t => (t._1, t._2, "a")).toSet
+      val deadIds = scala.collection.mutable.Set.empty[Long]
+      var nextId = 100L
+      def anchoredPred(): (Long, Long) = {
+        val anchor = model.map(_._1).toSeq.sorted.apply(rnd.nextInt(model.size))
+        val m = 2L + rnd.nextInt(4)
+        (m, anchor % m)
+      }
+      (1 to 4 + rnd.nextInt(3)).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 if model.nonEmpty => // copy-on-write delete
+            val (m, r) = anchoredPred()
+            DeltaExport.deleteForeign(spark, dir, col("id") % m === r): Unit
+            val hit = model.filter(_._1 % m == r)
+            model --= hit; deadIds ++= hit.map(_._1)
+          case 1 if model.nonEmpty => // merge-on-read (vector) delete
+            val (m, r) = anchoredPred()
+            DeltaExport.deleteForeignMoR(spark, dir, col("id") % m === r): Unit
+            val hit = model.filter(_._1 % m == r)
+            model --= hit; deadIds ++= hit.map(_._1)
+          case 2 if model.nonEmpty => // copy-on-write update
+            val (m, r) = anchoredPred()
+            val bump = 1000L * step
+            DeltaExport.updateForeign(spark, dir, col("id") % m === r,
+              Map("v" -> (col("v") + bump))): Unit
+            model = model.map(t =>
+              if (t._1 % m == r) (t._1, t._2 + bump, t._3) else t)
+          case _ => // append (with possible resurrection)
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              val id =
+                if (deadIds.nonEmpty && rnd.nextInt(3) == 0) {
+                  val x = deadIds.head; deadIds -= x; x
+                } else { val x = nextId; nextId += 1; x }
+              (id, rnd.nextInt(50).toLong,
+                if (partitioned) s"b${rnd.nextInt(2)}" else "a")
+            }
+            val df =
+              if (partitioned) rows.toDF("id", "v", "p")
+              else rows.map(t => (t._1, t._2)).toDF("id", "v")
+            DeltaExport.appendForeign(spark, df, dir): Unit
+            model ++= rows
+        }
+      }
+      val got: Set[(Long, Long, String)] =
+        if (partitioned)
+          DeltaRead.read(spark, dir).select("id", "v", "p")
+            .as[(Long, Long, String)].collect().toSet
+        else DeltaRead.read(spark, dir).select("id", "v")
+          .as[(Long, Long)].collect().toSet.map((t: (Long, Long)) =>
+            (t._1, t._2, "a"))
+      assert(got == model,
+        s"trial $trial partitioned=$partitioned:\n got=$got\nwant=$model")
+    }
+  }
+
   test("delta foreign MoR delete: cumulative deletion vectors, data files untouched") {
     // r15: deleteForeignMoR — O(matched) tombstones for DV-speaking
     // tables: each affected file re-adds with ONE cumulative vector
@@ -5581,7 +5659,8 @@ class SourcesSpec extends SparkSpec {
       var nextId = 100L
       (1 to 3 + rnd.nextInt(3)).foreach { _ =>
         seq += 1
-        if (rnd.nextInt(3) == 0 && model.nonEmpty) {
+        val op = rnd.nextInt(5)
+        if (op == 0 && model.nonEmpty) {
           val live = model.map(_._1).toSeq.sorted
           val ks = {
             val picked = live.filter(_ => rnd.nextBoolean()).take(3)
@@ -5591,6 +5670,35 @@ class SourcesSpec extends SparkSpec {
           val kset = ks.toSet
           model = model.filterNot(t => kset(t._1) && t._4 < seq)
           deadIds ++= ks
+        } else if (op == 1 && model.nonEmpty) {
+          // POSITIONAL delete (r15): pred chosen to match ≥ 1 live row;
+          // hits exactly the CURRENT live matches, later re-appends of
+          // the same ids survive (position ≠ value)
+          val anchor = model.map(_._1).toSeq.sorted.apply(
+            rnd.nextInt(model.size))
+          val m = 2 + rnd.nextInt(4)
+          val r = anchor % m
+          IcebergExport.deleteForeign(spark, dir, col("id") % m === r): Unit
+          val hit = model.filter(t => t._1 % m == r)
+          model = model -- hit
+          deadIds ++= hit.map(_._1)
+        } else if (op == 2 && model.nonEmpty) {
+          // UPDATE (r15): matched rows re-stage at THIS sequence number
+          // — later equality deletes with older keys must not kill them
+          val anchor = model.map(_._1).toSeq.sorted.apply(
+            rnd.nextInt(model.size))
+          val m = 2 + rnd.nextInt(4)
+          val r = anchor % m
+          val bump = 1000L * seq
+          val newBand = if (partitioned && rnd.nextBoolean())
+            Some(s"b${rnd.nextInt(3)}") else None
+          val sets: Map[String, org.apache.spark.sql.Column] =
+            Map("v" -> (col("v") + bump)) ++
+              newBand.map(b => "band" -> lit(b))
+          IcebergExport.updateForeign(spark, dir, col("id") % m === r, sets): Unit
+          val (hit, kept) = model.partition(t => t._1 % m == r)
+          model = kept ++ hit.map(t =>
+            (t._1, t._2 + bump, newBand.getOrElse(t._3), seq))
         } else {
           val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
             val id =
