@@ -27,6 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
+    // composed regex text shapes (clean-chain, count-of-matches,
+    // count-of-split-pieces) → fused allocation-free kernels
+    ext.injectOptimizerRule(_ => graft.plans.FuseTextKernels)
     // materialized-view auto-rewrite: exact-plan-match substitution of
     // registered aggregates by their materialization (MvCatalog)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)

@@ -72,6 +72,37 @@ class ChunkersSpec extends SparkSpec {
     }
   }
 
+  test("r15 byte-scan ChunkWords kernel ≡ replaceAll+split reference (unicode, exotic ws)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the pre-r15 kernel, kept as the executable spec of the semantics
+    def reference(t: String, size: Int, overlap: Int): Seq[String] = {
+      val words = t.replaceAll("\\s+", " ").split(" ", -1)
+      val n = words.length
+      val nChunks = ((n + size - 1) / size).max(1)
+      (0 until nChunks).map { i =>
+        words.slice(math.max(i * size - overlap, 0),
+          math.min(i * size + size, n)).mkString(" ")
+      }
+    }
+    val rnd = new scala.util.Random(15)
+    // whole code points only: an unpaired surrogate cannot survive the
+    // String→UTF8String roundtrip, and no parquet text column carries one
+    val glyphs: IndexedSeq[String] =
+      "ab XY09 .,!\t\n\r\u000b\u000cé中 ".map(_.toString) :+ "🎉"
+    val texts = Seq("", " ", "  ", "\t\n", "é中 🎉", " x ", "abc",
+      "ends ws \r\n", "\fstarts", ("word " * 30).trim) ++
+      Seq.fill(250)(Seq.fill(rnd.nextInt(120))(
+        glyphs(rnd.nextInt(glyphs.length))).mkString)
+    for (t <- texts; size <- Seq(1, 3, 20); ov <- Seq(0, 1, 4)) {
+      val got = graft.expressions.ChunkWords
+        .kernel(UTF8String.fromString(t), size, ov)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == reference(t, size, ov),
+        s"size=$size ov=$ov input=${t.take(60).toList}")
+    }
+  }
+
   // ---- G1 recursive splitter (public langchain RecursiveCharacterTextSplitter
   //      semantics; hand-computed goldens, stepped through the published
   //      algorithm: keep_separator piece split -> greedy merge -> overlap pop).
