@@ -1405,11 +1405,11 @@ object MaintenanceQueries {
       expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("dd"),
       units(col("o_totalprice"), 2).as("cents"))
     def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
-    (1992 to 1998).foreach { y =>
-      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
-      if (y == 1992) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("dd"))
-      else TimeTravel.commitAppend(b, dir, statsCols = Seq("dd"))
-    }
+    // staged in parallel, published in order — identical 7-commit table,
+    // ~2·7 sequential jobs become 7 concurrent pairs (TimeTravel.commitSeries)
+    TimeTravel.commitSeries((1992 to 1998).map { y =>
+      o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
+    }, dir, statsCols = Seq("dd"))
     val (pruned, st) = TimeTravel.readPruned(s, dir, "dd", day(1995), day(1996) - 1)
     pruned.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
       .withColumn("files_pruned", lit(st.filesRead >= 1 && st.filesRead < st.filesTotal))
@@ -1442,11 +1442,11 @@ object MaintenanceQueries {
       expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("dd"),
       units(col("o_totalprice"), 2).as("cents"))
     def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
-    (1992 to 1998).foreach { y =>
-      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
-      if (y == 1992) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("dd"))
-      else TimeTravel.commitAppend(b, dir, statsCols = Seq("dd"))
-    }
+    // staged in parallel, published in order — identical 7-commit table,
+    // ~2·7 sequential jobs become 7 concurrent pairs (TimeTravel.commitSeries)
+    TimeTravel.commitSeries((1992 to 1998).map { y =>
+      o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
+    }, dir, statsCols = Seq("dd"))
     val naive = s.read.format("graft-table").load(dir)
       .filter(col("dd") >= day(1996) && col("dd") < day(1997))
     val prunedFiles = naive.queryExecution.optimizedPlan.collect {
@@ -1847,13 +1847,13 @@ object MaintenanceQueries {
     val o = Tables(s, d, "orders").select(
       expr("cast(o_orderdate as date)").as("od"),
       units(col("o_totalprice"), 2).as("cents"))
-    (1995 to 2001).foreach { y =>
-      val b = o.filter(
+    // staged in parallel, published in order — identical 7-commit table,
+    // ~2·7 sequential jobs become 7 concurrent pairs (TimeTravel.commitSeries)
+    TimeTravel.commitSeries((1995 to 2001).map { y =>
+      o.filter(
         col("od") >= lit(s"$y-01-01").cast("date") &&
           col("od") < lit(s"${y + 1}-01-01").cast("date")).repartition(1)
-      if (y == 1995) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("od"))
-      else TimeTravel.commitAppend(b, dir, statsCols = Seq("od"))
-    }
+    }, dir, statsCols = Seq("od"))
     val naive = s.read.format("graft-table").load(dir)
       .filter(expr("od >= DATE'1997-01-01' AND od < DATE'1998-01-01'"))
     val prunedFiles = naive.queryExecution.optimizedPlan.collect {

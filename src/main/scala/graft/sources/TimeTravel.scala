@@ -499,6 +499,46 @@ object TimeTravel {
     v
   }
 
+  /** Build a FRESH table's first N commits in one parallel staging
+    * pass. Byte-identical outcome to `commitOverwrite(batches.head)`
+    * followed by `commitAppend(batches(i))` in order — same
+    * `data/vNNNNN` directories, same stats sidecars, same cumulative
+    * manifest listings — but the 2·N sequential Spark jobs (write +
+    * stats per commit) run as N concurrent pairs, and the N manifests
+    * publish afterwards in order (driver-side microseconds each).
+    * Overlapping independent jobs is optimization guide §2.6; the
+    * per-commit jobs are independent ONLY because the version slots
+    * are pre-assigned 1..N, which is sound solely on an empty table —
+    * hence the fresh-table guard (concurrent writers would race the
+    * pre-assigned names, so this is a bulk-build tool, not a
+    * multi-writer commit path; those stay on [[commitAppendRetrying]]).
+    */
+  def commitSeries(batches: Seq[DataFrame], path: String,
+      statsCols: Seq[String] = Nil): Seq[Long] = {
+    require(batches.nonEmpty, "commitSeries needs at least one batch")
+    val spark = batches.head.sparkSession
+    require(latest(spark, path).isEmpty,
+      s"commitSeries pre-assigns versions 1..N and requires a fresh table at $path")
+    val vs = (1L to batches.size.toLong).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(batches.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val staged = vs.zip(batches).map { case (v, b) =>
+        scala.concurrent.Future {
+          val dir = writeData(b, path, v)
+          if (statsCols.nonEmpty) writeStatsFor(spark, path, dir, statsCols)
+          dir
+        }
+      }
+      val dirs = staged.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      vs.foreach(v => publish(spark, path, v, dirs.take(v.toInt)))
+      vs
+    } finally pool.shutdown()
+  }
+
   /** Roll back by PUBLISHING `toVersion`'s listing as a new version —
     * an undo that is itself in the history, never a history rewrite.
     * The target's column MAPPING restores with its listing: rolling

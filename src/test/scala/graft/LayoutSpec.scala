@@ -491,4 +491,43 @@ class LayoutSpec extends SparkSpec {
       s"StatsPrune must substitute a bloom-admitted file scan:\n${q.queryExecution.optimizedPlan}")
     assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq == expectRows)
   }
+
+  test("commitSeries ≡ sequential overwrite+appends: listings, reads, pruning") {
+    import graft.sources.TimeTravel
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ttseries").toFile.getAbsolutePath
+    val seqDir = base + "/sequential"
+    val parDir = base + "/series"
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 3 % 50)).toDF("k", "payload").repartition(1)
+    val ranges = Seq((0L, 99L), (100L, 199L), (200L, 299L), (300L, 399L))
+
+    TimeTravel.commitOverwrite(batch(ranges.head._1, ranges.head._2), seqDir,
+      statsCols = Seq("k"))
+    ranges.tail.foreach { case (lo, hi) =>
+      TimeTravel.commitAppend(batch(lo, hi), seqDir, statsCols = Seq("k"))
+    }
+    val vs = TimeTravel.commitSeries(
+      ranges.map { case (lo, hi) => batch(lo, hi) }, parDir, statsCols = Seq("k"))
+    assert(vs == Seq(1L, 2L, 3L, 4L))
+
+    // same version history, same per-version row sets
+    assert(TimeTravel.versions(spark, parDir) == TimeTravel.versions(spark, seqDir))
+    TimeTravel.versions(spark, parDir).foreach { v =>
+      val a = TimeTravel.read(spark, seqDir, Some(v)).orderBy("k").collect().toSeq
+      val b = TimeTravel.read(spark, parDir, Some(v)).orderBy("k").collect().toSeq
+      assert(a == b, s"version $v read-back must match")
+    }
+    // same skipping evidence: sidecars staged in parallel still prune
+    val (dfS, stS) = TimeTravel.readPruned(spark, seqDir, "k", 120, 180)
+    val (dfP, stP) = TimeTravel.readPruned(spark, parDir, "k", 120, 180)
+    assert(stP.filesTotal == stS.filesTotal && stP.filesRead == stS.filesRead)
+    assert(stP.filesRead == 1 && stP.filesTotal == 4, s"got $stP")
+    assert(dfP.orderBy("k").collect().toSeq == dfS.orderBy("k").collect().toSeq)
+
+    // pre-assigned versions are only sound on a fresh table
+    intercept[IllegalArgumentException] {
+      TimeTravel.commitSeries(Seq(batch(0, 1)), parDir)
+    }
+  }
 }
