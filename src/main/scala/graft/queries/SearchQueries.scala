@@ -592,6 +592,21 @@ object SearchQueries {
     def signSql(i: String, j: String) =
       s"(CASE WHEN substr(md5('rp:' || CAST($i AS VARCHAR) || ':' || CAST($j AS VARCHAR)), 1, 1) " +
         s"BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END)"
+    // The sign "matrix" is a formula over (i, j) ALONE — md5('rp:i:j')
+    // is a per-cell constant, but expressed inside transform() lambdas
+    // Catalyst cannot constant-fold it, so the composed form recomputed
+    // 16·64 = 1024 md5s PER ROW (r15 measurement: 35.7 s at sf0.01, the
+    // whole inventory's worst scale canary). Fold the matrix once at
+    // plan-construction time — same md5, same first-nibble rule — and
+    // emit the projection as a static expression chain with literal ±1
+    // signs (whole-stage-codegen'd arithmetic, no HOF interpretation).
+    // Fold order matches aggregate()'s left fold from 0.0 bit-for-bit:
+    // foldLeft(lit(0.0))(_ + _) ≡ ((0.0 + t1) + t2) + …
+    def signConst(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((d(0) >> 4) & 0xF) <= 7) 1.0 else -1.0
+    }
     QueryDef.sql(
       "q_embed_rp",
       s"""WITH proj AS (
@@ -619,18 +634,26 @@ object SearchQueries {
          |FROM pairs
          |GROUP BY label
          |ORDER BY label""".stripMargin) { (s, d) =>
-      val sign = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
-        when(substring(md5(concat(lit("rp:"), i.cast("string"), lit(":"), j.cast("string"))), 1, 1)
-          .between("0", "7"), lit(1.0)).otherwise(lit(-1.0))
+      // rp[j] = (Σ_i e[i] · S[i-1][j]) / 4 with S folded to a LITERAL
+      // matrix (same md5, same nibble rule — signConst above): the
+      // zip_with product keeps the former form's term order (value ×
+      // sign) and the aggregate keeps its left fold from 0.0, so every
+      // double is bit-identical; only the 1024 per-row md5 calls are
+      // gone. (A fully static 1024-term Add chain was tried first and
+      // measured SLOWER — one huge expression defeats codegen and falls
+      // back to interpreted nested eval; the literal-array HOF shape is
+      // the same one q_embed_neardup's LSH planes already use.)
+      val signLit = typedLit(
+        (0 to 15).map(j => (0 to 63).map(i => signConst(i, j))))
+      val vExpr = transform(sequence(lit(1), lit(64)),
+        i => element_at(col("embedding"), i).cast("double"))
       val proj = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(sequence(lit(0), lit(15)), j =>
             aggregate(
-              transform(sequence(lit(1), lit(64)), i =>
-                element_at(col("embedding"), i).cast("double") * sign(i - 1, j)),
+              zip_with(vExpr, element_at(signLit, j + 1), (x, sgn) => x * sgn),
               lit(0.0), (acc, x) => acc + x) / lit(4.0)).as("rp"),
-          transform(sequence(lit(1), lit(64)),
-            i => element_at(col("embedding"), i).cast("double")).as("v"))
+          vExpr.as("v"))
       val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, n: Int) =>
         aggregate(
           transform(sequence(lit(1), lit(n)), k =>
@@ -1017,10 +1040,14 @@ object SearchQueries {
       val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
+      // r15: pin the edge list (and its derived node/degree tables) —
+      // each unrolled iteration re-references them, and unpinned that
+      // re-expanded the lineitem⋈orders distinct per reference
       val edges = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
-      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
       val ns = nodes.agg(count(lit(1)).as("n"))
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
       var pr = nodes.crossJoin(broadcast(ns))
         .select(col("node"), expr(s"$PrUnit div n").as("pr"))
       for (_ <- 1 to PrIters) {

@@ -314,24 +314,38 @@ object SimilarityQueries {
   /** Spark face of the same trainer: (comp, assign, cent) after
     * `KmIters` Lloyd rounds on the 2²⁰ integer grid. */
   private def kmeansTrain(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    // r15: pin the FINAL assign/cent (localCheckpoint). Unpinned, every
+    // consumer reference re-expanded the whole unrolled training — the
+    // q_knn_* queries reference assign/cent 2–4× each, so Lloyd ran
+    // several times over per query (q_knn_ivfpq measured 7 s at the
+    // sf0.01 probe). Pinning only the loop EXITS keeps the training a
+    // single pass while adding just two small materialization jobs —
+    // a per-iterate pin was tried first and regressed the light
+    // consumers (q_knn_kmeans 2.9 -> 4.1 s: 2·iters extra job floors
+    // outweigh the saved recompute at probe scale). Values unchanged;
+    // only lineage is cut (guide §3.3: materialize intermediates to
+    // truncate plans).
     val comp = emb(s, d)
       .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         round(col("v") * 1048576.0d).cast("long").as("uq"))
+      .localCheckpoint() // comp is read 2x per iterate + by every consumer
     var cent = comp.filter(col("vec_id") < KmCells)
       .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
     var assign: DataFrame = null
-    for (_ <- 1 to KmIters) {
+    for (i <- 1 to KmIters) {
       val dist = comp.join(broadcast(cent), Seq("pos"))
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
       assign = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("vec_id", "cid")
+      if (i == KmIters) assign = assign.localCheckpoint()
       cent = comp.join(assign, Seq("vec_id"))
         .groupBy(col("cid"), col("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
+      if (i == KmIters) cent = cent.localCheckpoint()
     }
     (comp, assign, cent)
   }
@@ -493,24 +507,28 @@ object SimilarityQueries {
   /** Spark face of [[pqCtes]]: (scomp, assign, cent) after `PqIters`
     * per-subspace Lloyd rounds on the 2²⁰ integer grid. */
   private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    // r15: pin the final assign/cent only — see [[kmeansTrain]]
     val comp = emb(s, d)
       .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"), expr(s"pos div $PqSubDim").as("sub"),
         round(col("v") * 1048576.0d).cast("long").as("uq"))
+      .localCheckpoint() // comp is read 2x per iterate + by every consumer
     var cent = comp.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
     var assign: DataFrame = null
-    for (_ <- 1 to PqIters) {
+    for (i <- 1 to PqIters) {
       val dist = comp.join(broadcast(cent), Seq("pos"))
         .groupBy(col("vec_id"), col("sub"), col("cid"))
         .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
       val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("cid"))
       assign = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("vec_id", "sub", "cid")
+      if (i == PqIters) assign = assign.localCheckpoint()
       cent = comp.join(assign, Seq("vec_id", "sub"))
         .groupBy(col("cid"), col("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
+      if (i == PqIters) cent = cent.localCheckpoint()
     }
     (comp, assign, cent)
   }
@@ -718,17 +736,22 @@ object SimilarityQueries {
       var rcent = res.filter(col("vec_id") < PqK)
         .select(col("vec_id").as("pcid"), col("pos"), col("r").as("c"))
       var rassign: DataFrame = null
-      for (_ <- 1 to PqIters) {
+      // final-exit pinning, same rationale as kmeansTrain: the final
+      // rcent is read by the LUT and the final rassign by codes —
+      // unpinned, each reference re-expanded the whole residual training
+      for (i <- 1 to PqIters) {
         val dist = res.join(broadcast(rcent), Seq("pos"))
           .groupBy(col("vec_id"), col("sub"), col("pcid"))
           .agg(sum((col("r") - col("c")) * (col("r") - col("c"))).as("d"))
         val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("pcid"))
         rassign = dist.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).select("vec_id", "sub", "pcid")
+        if (i == PqIters) rassign = rassign.localCheckpoint()
         rcent = res.join(rassign, Seq("vec_id", "sub"))
           .groupBy(col("pcid"), col("pos"))
           .agg(round(sum(col("r")).cast("double") / count(lit(1)).cast("double"))
             .cast("long").as("c"))
+        if (i == PqIters) rcent = rcent.localCheckpoint()
       }
       val qroute = comp.filter(col("vec_id") < NQueries)
         .join(broadcast(cent), Seq("pos"))
@@ -755,9 +778,12 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(col("qid"), col("vec_id"))
         .agg(sum(col("d")).cast("long").as("adist"))
+      // adc is referenced twice (the recall join and the final join):
+      // pin the ≤ Q·10-row list instead of re-running the whole ADC
       val adc = scored.withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))).cast("long"))
         .filter(col("rk") <= 10)
+        .localCheckpoint()
       val t = emb(s, d).select(col("vec_id"), col("e"))
       val exact = t.as("q").filter(col("q.vec_id") < NQueries)
         .join(t.as("v"), col("v.vec_id") =!= col("q.vec_id"))
@@ -845,12 +871,23 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(wv)).filter(col("rk") <= NCand)
         .select(col("qid"), col("vec_id"), col("rel"), col("e"))
         .localCheckpoint()
+      // p is re-read by every greedy step: pin the Q·NCand² pair table
+      // once (localCheckpoint, like cv) instead of re-running the
+      // cv×cv cosine join per step
       val p = cv.as("a").join(cv.as("b"),
           col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.qid").as("qid"), col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           Similarity.cosineIn(s, col("a.e"), col("b.e")).as("ps"))
+        .localCheckpoint()
       var sel = cv.withColumn("rk", row_number().over(wv)).filter(col("rk") === 1)
         .select(col("qid"), col("vec_id"), col("rel")).withColumn("step", lit(1))
+        // each step references `sel` THREE times (max-sim join, the
+        // remaining-candidates anti-join, and the union) — without a
+        // per-step checkpoint the plan re-expands the whole prefix at
+        // every reference and the unrolled loop goes exponential in
+        // exchanges (r15 measurement: 13.5 s at sf0.01). Checkpointing
+        // the ≤ Q·KSel-row selection keeps every step O(1) plan nodes.
+        .localCheckpoint()
       for (i <- 2 to KSel) {
         val selR = sel.select(col("qid").as("sqid"), col("vec_id").as("svid"))
         val m = p.join(selR, col("qid") === col("sqid") && col("vb") === col("svid"))
@@ -861,7 +898,7 @@ object SimilarityQueries {
         val wI = Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id"))
         val win = scoredI.withColumn("rk", row_number().over(wI)).filter(col("rk") === 1)
           .select(col("qid"), col("vec_id"), col("rel")).withColumn("step", lit(i))
-        sel = sel.union(win)
+        sel = sel.union(win).localCheckpoint()
       }
       sel.orderBy("qid", "step")
     }
