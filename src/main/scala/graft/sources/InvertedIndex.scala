@@ -54,9 +54,16 @@ object InvertedIndex {
       .withColumn("cell", cellOf(col("term")))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    dl.coalesce(1).write.mode("overwrite").parquet(doclenPath(path))
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
+    // r15: doc length ≡ Σ tf per doc — derive both sidecars from the
+    // postings just WRITTEN (a two-column columnar read-back) instead
+    // of re-running the corpus tokenize for each sidecar (the build
+    // evaluated `tok` three times: postings, doclen, stats)
+    val spark = docs.sparkSession
+    spark.read.parquet(path)
+      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .coalesce(1).write.mode("overwrite").parquet(doclenPath(path))
+    spark.read.parquet(doclenPath(path))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
       .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
   }
 
@@ -71,12 +78,18 @@ object InvertedIndex {
   def append(newDocs: DataFrame, path: String, textCol: String = "text"): Unit = {
     val tok = newDocs.select(col("doc_id"),
       explode(Chunkers.words(TF.cleanText(col(textCol)))).as("term"))
-    tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    // r15: pin the NEW docs' postings (O(new data), the incremental
+    // contract) so the cell write and the doclen derivation share one
+    // tokenize instead of two; dl ≡ Σ tf per doc, same value as the
+    // former per-token count
+    val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    postings
       .withColumn("cell", cellOf(col("term")))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
     val spark = newDocs.sparkSession
-    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.mode("append").parquet(doclenPath(path))
     // _stats derives from the (tiny) doclen sidecar — atomic enough for
     // the single-writer contract every sidecar here assumes
