@@ -506,13 +506,21 @@ object SimilarityQueries {
 
   /** Spark face of [[pqCtes]]: (scomp, assign, cent) after `PqIters`
     * per-subspace Lloyd rounds on the 2²⁰ integer grid. */
-  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  /** `pin = false` skips the loop-exit localCheckpoints so PlanSpec can
+    * inspect the full TRAINING plan (the argmin window's partial
+    * group-limit, no single-partition funnel) — pinning hides that
+    * lineage behind a `Scan ExistingRDD` in the executed plan, which is
+    * the point of the pin but blinds the plan assertions. Production
+    * callers keep the default. */
+  private[graft] def pqTrain(s: SparkSession, d: String,
+      pin: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     // r15: pin the final assign/cent only — see [[kmeansTrain]]
-    val comp = emb(s, d)
+    val comp0 = emb(s, d)
       .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"), expr(s"pos div $PqSubDim").as("sub"),
         round(col("v") * 1048576.0d).cast("long").as("uq"))
-      .localCheckpoint() // comp is read 2x per iterate + by every consumer
+    // comp is read 2x per iterate + by every consumer
+    val comp = if (pin) comp0.localCheckpoint() else comp0
     var cent = comp.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
     var assign: DataFrame = null
@@ -523,12 +531,12 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("cid"))
       assign = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("vec_id", "sub", "cid")
-      if (i == PqIters) assign = assign.localCheckpoint()
+      if (pin && i == PqIters) assign = assign.localCheckpoint()
       cent = comp.join(assign, Seq("vec_id", "sub"))
         .groupBy(col("cid"), col("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
-      if (i == PqIters) cent = cent.localCheckpoint()
+      if (pin && i == PqIters) cent = cent.localCheckpoint()
     }
     (comp, assign, cent)
   }

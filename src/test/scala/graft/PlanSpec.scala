@@ -404,16 +404,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_embed_pq trains all subspaces in shared parallel stages") {
-    val p = phys(queries.SimilarityQueries.qEmbedPq.run(spark, sf))
+    // the r15 loop-exit pin hides the executed training behind a
+    // `Scan ExistingRDD`, so the training-plan properties are asserted
+    // on the UNPINNED trainer (same lineage the pin materializes once)
+    val (_, assign, _) =
+      queries.SimilarityQueries.pqTrain(spark, sf, pin = false)
+    val pt = phys(assign)
     // argmin per (vec_id, sub) must be a partial group-limit window,
     // and the corpus must never funnel through one task
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"PQ assignment needs the map-side partial argmin:\n$p")
-    assert(!p.contains("Exchange SinglePartition"),
-      s"PQ training/encoding must stay parallel end to end:\n$p")
+    assert(pt.contains("WindowGroupLimit") && pt.contains("Partial"),
+      s"PQ assignment needs the map-side partial argmin:\n$pt")
+    assert(!pt.contains("Exchange SinglePartition"),
+      s"PQ training must stay parallel end to end:\n$pt")
     // centroid tables are K·Dim-bounded: assignment joins broadcast
-    assert(p.contains("BroadcastHashJoin"),
-      s"centroid assignment join should broadcast the bounded centroid table:\n$p")
+    assert(pt.contains("BroadcastHashJoin"),
+      s"centroid assignment join should broadcast the bounded centroid table:\n$pt")
+    // the served query (pinned trainer) keeps the parallel contract
+    val p = phys(queries.SimilarityQueries.qEmbedPq.run(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"PQ encoding/serving must stay parallel end to end:\n$p")
   }
 
   test("domain-cap joins are never hint-broadcast (domains grow with the corpus)") {
