@@ -443,8 +443,8 @@ object CdcQueries {
     }
     val c = Tables(s, d, "customer")
       .select(col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
-    TimeTravel.commitOverwrite(c.filter(col("k") % 2 === 0), base) // v1
-    TimeTravel.commitAppend(c.filter(col("k") % 2 === 1), base) // v2
+    TimeTravel.commitSeries(Seq( // v1, v2 staged in parallel (fresh table)
+      c.filter(col("k") % 2 === 0), c.filter(col("k") % 2 === 1)), base)
     val nFiles = DeltaExport.snapshot(s, base, tgt)
     // a LATER graft commit must not shear the published snapshot
     TimeTravel.commitAppend(
@@ -483,8 +483,8 @@ object CdcQueries {
     }
     val o = Tables(s, d, "orders")
       .select(col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
-    TimeTravel.commitOverwrite(o.filter(col("id") % 3 =!= 0), base) // v1
-    TimeTravel.commitAppend(o.filter(col("id") % 3 === 0), base) // v2
+    TimeTravel.commitSeries(Seq( // v1, v2 staged in parallel (fresh table)
+      o.filter(col("id") % 3 =!= 0), o.filter(col("id") % 3 === 0)), base)
     val nFiles = IcebergExport.snapshot(s, base, tgt)
     val metaOnly = new java.io.File(tgt).listFiles().map(_.getName).toSeq == Seq("metadata")
     IcebergRead.read(s, tgt)
@@ -1252,10 +1252,8 @@ object CdcQueries {
     // one commit per contiguous k band → per-file bounds are disjoint
     val cuts = (1 to 3).map(b =>
       b -> c.filter(col("band") === b).agg(min("k"), max("k")).head())
-    TimeTravel.commitOverwrite(
-      c.filter(col("band") === 1).drop("band").coalesce(1), base)
-    (2 to 3).foreach(b => TimeTravel.commitAppend(
-      c.filter(col("band") === b).drop("band").coalesce(1), base))
+    TimeTravel.commitSeries((1 to 3).map(b => // fresh table: parallel staging
+      c.filter(col("band") === b).drop("band").coalesce(1)), base)
     DeltaExport.snapshot(s, base, tgt)
     val (lo, hi) = (cuts(1)._2.getLong(0), cuts(1)._2.getLong(1))
     val band2 = DeltaRead.read(s, tgt).filter(col("k") >= lo && col("k") <= hi)
@@ -1296,10 +1294,8 @@ object CdcQueries {
         org.apache.spark.sql.expressions.Window.orderBy(col("k"))))
     val cuts = (1 to 3).map(b =>
       b -> c.filter(col("band") === b).agg(min("k"), max("k")).head())
-    TimeTravel.commitOverwrite(
-      c.filter(col("band") === 1).drop("band").coalesce(1), base)
-    (2 to 3).foreach(b => TimeTravel.commitAppend(
-      c.filter(col("band") === b).drop("band").coalesce(1), base))
+    TimeTravel.commitSeries((1 to 3).map(b => // fresh table: parallel staging
+      c.filter(col("band") === b).drop("band").coalesce(1)), base)
     IcebergExport.snapshot(s, base, tgt)
     val (lo, hi) = (cuts(1)._2.getLong(0), cuts(1)._2.getLong(1))
     val band2 = IcebergRead.read(s, tgt).filter(col("k") >= lo && col("k") <= hi)
@@ -1361,10 +1357,8 @@ object CdcQueries {
         col("cents"))
       .withColumn("band", ntile(3).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("ts_ntz"))))
-    TimeTravel.commitOverwrite(
-      e.filter(col("band") === 1).drop("band").coalesce(1), base)
-    (2 to 3).foreach(b => TimeTravel.commitAppend(
-      e.filter(col("band") === b).drop("band").coalesce(1), base))
+    TimeTravel.commitSeries((1 to 3).map(b => // fresh table: parallel staging
+      e.filter(col("band") === b).drop("band").coalesce(1)), base)
     DeltaExport.snapshot(s, base, tgt)
     // the published protocol must NAME the feature (hard gate, not
     // just a working read)
@@ -2222,10 +2216,10 @@ object CdcQueries {
     val o = Tables(s, d, "orders").select(
       concat(lit("b"), (col("o_orderkey") % 3).cast("string")).as("band"),
       col("o_orderkey").as("id"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
-    // one commit per band → partition-pure files
-    TimeTravel.commitOverwrite(o.filter(col("band") === "b0"), src)
-    TimeTravel.commitAppend(o.filter(col("band") === "b1"), src)
-    TimeTravel.commitAppend(o.filter(col("band") === "b2"), src)
+    // one commit per band → partition-pure files; fresh table →
+    // parallel staging
+    TimeTravel.commitSeries((0 to 2).map(b =>
+      o.filter(col("band") === s"b$b")), src)
     IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("band"))
     IcebergRead.read(s, tgt)
       .groupBy(col("band"))
@@ -2269,13 +2263,11 @@ object CdcQueries {
       .withColumn("ts", expr("timestamp_ntz'2024-03-01 00:00:00' + " +
         "make_interval(0,0,0,cast(day_idx as int),cast(k % 24 as int),0,0)"))
       .drop("day_idx")
-    TimeTravel.commitOverwrite(
-      o.filter(expr("ts < timestamp_ntz'2024-03-02'")).coalesce(1), src)
-    TimeTravel.commitAppend(
+    TimeTravel.commitSeries(Seq( // fresh table: parallel staging
+      o.filter(expr("ts < timestamp_ntz'2024-03-02'")).coalesce(1),
       o.filter(expr("ts >= timestamp_ntz'2024-03-02' and ts < timestamp_ntz'2024-03-03'"))
-        .coalesce(1), src)
-    TimeTravel.commitAppend(
-      o.filter(expr("ts >= timestamp_ntz'2024-03-03'")).coalesce(1), src)
+        .coalesce(1),
+      o.filter(expr("ts >= timestamp_ntz'2024-03-03'")).coalesce(1)), src)
     IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("days(ts)"))
     val metaTxt = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$tgt/metadata/v1.metadata.json"))
@@ -2329,10 +2321,8 @@ object CdcQueries {
       graft.Exact.units(col("o_totalprice"), 2).as("cents"))
     val seeded = o.filter(col("k") % 2 === 0)
       .withColumn("__b", icebergBucket(4, col("k")))
-    TimeTravel.commitOverwrite(
-      seeded.filter(col("__b") === 0).drop("__b").coalesce(1), src)
-    (1 to 3).foreach(b => TimeTravel.commitAppend(
-      seeded.filter(col("__b") === b).drop("__b").coalesce(1), src))
+    TimeTravel.commitSeries((0 to 3).map(b => // fresh table: parallel staging
+      seeded.filter(col("__b") === b).drop("__b").coalesce(1)), src)
     IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("bucket(4, k)"))
     // the foreign half is NOT pre-partitioned — the staging pass splits
     IcebergExport.appendForeign(s, o.filter(col("k") % 2 === 1), tgt)
@@ -2462,9 +2452,8 @@ object CdcQueries {
     val o = Tables(s, d, "orders").select(
       concat(lit("b"), (col("o_orderkey") % 4).cast("string")).as("band"),
       col("o_orderkey").as("k"), graft.Exact.units(col("o_totalprice"), 2).as("cents"))
-    TimeTravel.commitOverwrite(o.filter(col("band") === "b0").coalesce(1), src)
-    (1 to 3).foreach(b => TimeTravel.commitAppend(
-      o.filter(col("band") === s"b$b").coalesce(1), src))
+    TimeTravel.commitSeries((0 to 3).map(b => // fresh table: parallel staging
+      o.filter(col("band") === s"b$b").coalesce(1)), src)
     IcebergExport.snapshot(s, src, tgt, partitionBy = Seq("band"))
     def metaVersions(): Int = new java.io.File(s"$tgt/metadata").listFiles()
       .count(_.getName.endsWith(".metadata.json"))

@@ -48,8 +48,9 @@ object LakehouseQueries {
     val o = Tables(s, d, "orders")
       .select(col("o_orderkey").as("k"),
         graft.Exact.units(col("o_totalprice"), 2).as("cents"))
-    TimeTravel.commitOverwrite(o.filter(col("k") % 2 === 0).coalesce(1), base)
-    TimeTravel.commitAppend(o.filter(col("k") % 2 === 1).coalesce(1), base)
+    TimeTravel.commitSeries(Seq( // fresh table: parallel staging
+      o.filter(col("k") % 2 === 0).coalesce(1),
+      o.filter(col("k") % 2 === 1).coalesce(1)), base)
     DeltaExport.snapshot(s, base, tgt) // delta v0: two plain adds
     TimeTravel.deleteMoR(s, base, col("k") % 7 === 3)
     DeltaExport.append(s, base, tgt) // delta v1: remove + re-add w/ DV, each file
@@ -155,8 +156,9 @@ object LakehouseQueries {
     val o = Tables(s, d, "orders")
       .select(col("o_orderkey").as("k"),
         graft.Exact.units(col("o_totalprice"), 2).as("cents"))
-    TimeTravel.commitOverwrite(o.filter(col("k") % 2 === 0).coalesce(1), base)
-    TimeTravel.commitAppend(o.filter(col("k") % 2 === 1).coalesce(1), base)
+    TimeTravel.commitSeries(Seq( // fresh table: parallel staging
+      o.filter(col("k") % 2 === 0).coalesce(1),
+      o.filter(col("k") % 2 === 1).coalesce(1)), base)
     IcebergExport.snapshot(s, base, tgt) // S1: two data files
     TimeTravel.deleteMoR(s, base, col("k") % 7 === 3)
     IcebergExport.append(s, base, tgt) // S2: one position-delete file

@@ -351,11 +351,22 @@ object MaintenanceQueries {
       ZoneMaps.write(base, dir, "zone", Seq("cents", "o_orderkey"),
         bloomCol = Some("o_orderkey"))
       val m = ZoneMaps.manifest(s, dir)
-      val rows = keys.map { k =>
-        val (pruned, st) = ZoneMaps.readPoint(s, dir, "o_orderkey", k)
-        val mm = m.filter(col("min_o_orderkey") <= k && col("max_o_orderkey") >= k).count()
-        (k, pruned.count(), st.filesTotal, mm, st.filesRead)
-      }
+      // r15 (guide §2.6): the three probe keys are independent
+      // read-only lookups — run them as concurrent jobs instead of a
+      // sequential driver loop (results keep the keys' order)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(keys.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val rows = try {
+        keys.map { k =>
+          scala.concurrent.Future {
+            val (pruned, st) = ZoneMaps.readPoint(s, dir, "o_orderkey", k)
+            val mm = m.filter(col("min_o_orderkey") <= k && col("max_o_orderkey") >= k).count()
+            (k, pruned.count(), st.filesTotal, mm, st.filesRead)
+          }
+        }.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
       import s.implicits._
       rows.toDF("probe_key", "n_match", "files_total", "files_minmax", "files_bloom")
         .orderBy("probe_key")
@@ -1489,11 +1500,12 @@ object MaintenanceQueries {
       expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("dd"),
       units(col("o_totalprice"), 2).as("cents"))
     def day(y: Int) = java.time.LocalDate.of(y, 1, 1).toEpochDay
-    (1995 to 1998).foreach { y =>
-      val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
-      if (y == 1995) TimeTravel.commitOverwrite(b, dir, statsCols = Seq("dd"))
-      else TimeTravel.commitAppend(b, dir, statsCols = Seq("dd"))
-    }
+    // pre-rename era (fresh table): stage the four commits in parallel
+    // (TimeTravel.commitSeries) — the post-rename appends below stay
+    // sequential, they depend on the rename's column mapping
+    TimeTravel.commitSeries((1995 to 1998).map { y =>
+      o.filter(col("dd") >= day(y) && col("dd") < day(y + 1)).repartition(1)
+    }, dir, statsCols = Seq("dd"))
     TimeTravel.renameColumn(s, dir, "dd", "day_key")
     (1999 to 2001).foreach { y =>
       val b = o.filter(col("dd") >= day(y) && col("dd") < day(y + 1))
@@ -1546,13 +1558,10 @@ object MaintenanceQueries {
     val c = Tables(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
       units(col("c_acctbal"), 2).as("cents"))
     // three commits split on a NON-key attribute: custkeys scatter
-    // across all three files
-    TimeTravel.commitOverwrite(c.filter(col("cents") % 3 === 0).repartition(1), dir,
-      bloomCols = Seq("c_custkey"))
-    TimeTravel.commitAppend(c.filter(col("cents") % 3 === 1).repartition(1), dir,
-      bloomCols = Seq("c_custkey"))
-    TimeTravel.commitAppend(c.filter(col("cents") % 3 === 2).repartition(1), dir,
-      bloomCols = Seq("c_custkey"))
+    // across all three files; fresh table → stage them in parallel
+    TimeTravel.commitSeries((0 to 2).map { r =>
+      c.filter(col("cents") % 3 === r).repartition(1)
+    }, dir, bloomCols = Seq("c_custkey"))
     val (viaLib, st) = TimeTravel.readPoint(s, dir, "c_custkey", 421L)
     val naive = s.read.format("graft-table").load(dir).filter(col("c_custkey") === 421L)
     val prunedFiles = naive.queryExecution.optimizedPlan.collect {

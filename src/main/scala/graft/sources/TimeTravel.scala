@@ -514,7 +514,7 @@ object TimeTravel {
     * multi-writer commit path; those stay on [[commitAppendRetrying]]).
     */
   def commitSeries(batches: Seq[DataFrame], path: String,
-      statsCols: Seq[String] = Nil): Seq[Long] = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Seq[Long] = {
     require(batches.nonEmpty, "commitSeries needs at least one batch")
     val spark = batches.head.sparkSession
     require(latest(spark, path).isEmpty,
@@ -528,7 +528,8 @@ object TimeTravel {
       val staged = vs.zip(batches).map { case (v, b) =>
         scala.concurrent.Future {
           val dir = writeData(b, path, v)
-          if (statsCols.nonEmpty) writeStatsFor(spark, path, dir, statsCols)
+          if (statsCols.nonEmpty || bloomCols.nonEmpty)
+            writeStatsFor(spark, path, dir, statsCols, bloomCols)
           dir
         }
       }

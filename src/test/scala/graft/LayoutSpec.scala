@@ -529,5 +529,21 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeTravel.commitSeries(Seq(batch(0, 1)), parDir)
     }
+
+    // bloom sidecars staged in parallel ≡ sequential bloom commits:
+    // same point-prune stats, same row
+    val seqB = base + "/seq-bloom"
+    val parB = base + "/par-bloom"
+    TimeTravel.commitOverwrite(batch(0, 99), seqB, bloomCols = Seq("k"))
+    ranges.tail.foreach { case (lo, hi) =>
+      TimeTravel.commitAppend(batch(lo, hi), seqB, bloomCols = Seq("k"))
+    }
+    TimeTravel.commitSeries(
+      ranges.map { case (lo, hi) => batch(lo, hi) }, parB, bloomCols = Seq("k"))
+    val (ptS, psS) = TimeTravel.readPoint(spark, seqB, "k", 250L)
+    val (ptP, psP) = TimeTravel.readPoint(spark, parB, "k", 250L)
+    assert(psP.filesTotal == psS.filesTotal && psP.filesRead == psS.filesRead)
+    assert(psP.filesRead == 1 && psP.filesTotal == 4, s"got $psP")
+    assert(ptP.collect().toSeq == ptS.collect().toSeq)
   }
 }
