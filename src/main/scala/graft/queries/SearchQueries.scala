@@ -1217,9 +1217,13 @@ object SearchQueries {
       // 16-cell layout at this corpus size (recorded in _meta; the
       // production default is 256 — see TrigramIndex.build)
       TrigramIndex.build(docs(s, d), indexDir, cellHexChars = 1)
+      // r15: pin the candidate set — it feeds BOTH the evidence count
+      // and the verify join; unpinned, the gram-intersection probe ran
+      // once per reference
       val cand = TrigramIndex.candidates(s, indexDir, TrigramPattern)
+        .localCheckpoint()
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      TrigramIndex.search(docs(s, d), indexDir, TrigramPattern)
+      TrigramIndex.search(docs(s, d), indexDir, TrigramPattern, Some(cand))
         .crossJoin(broadcast(nCand))
         .select(col("doc_id"), col("lang"), col("n_candidates"))
         .orderBy("doc_id")

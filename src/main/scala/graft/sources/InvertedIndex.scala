@@ -38,6 +38,20 @@ object InvertedIndex {
 
   private[graft] def cellOf(term: Column): Column = substring(md5(term), 1, 2)
 
+  /** Run independent Spark jobs (disjoint outputs) concurrently and
+    * wait for all — optimization guide §2.6: later jobs back-fill the
+    * executor tail of earlier ones instead of paying a serial floor. */
+  private def parallelJobs(jobs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = jobs.map(j => scala.concurrent.Future(j()))
+      fs.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Shared tokenization: (doc_id, term) rows of the cleaned text —
     * the ONE pipeline every build/append/stream face must use, or
     * probes and builds would disagree on terms. */
@@ -84,13 +98,18 @@ object InvertedIndex {
     // former per-token count
     val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    postings
-      .withColumn("cell", cellOf(col("term")))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
     val spark = newDocs.sparkSession
-    postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      .write.mode("append").parquet(doclenPath(path))
+    // r15 (guide §2.6): the cell write and the doclen write consume the
+    // SAME pinned postings and land in DISJOINT directories — run them
+    // as concurrent jobs so the small sidecar write back-fills the cell
+    // write's task tail instead of paying its own job floor
+    parallelJobs(
+      () => postings
+        .withColumn("cell", cellOf(col("term")))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(path),
+      () => postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .write.mode("append").parquet(doclenPath(path)))
     // _stats derives from the (tiny) doclen sidecar — atomic enough for
     // the single-writer contract every sidecar here assumes
     val dl = spark.read.parquet(doclenPath(path))
@@ -139,30 +158,36 @@ object InvertedIndex {
       }
       fs.delete(old, true)
     } else {
-      CellCompaction.compact(spark, path, "cell", targetBytes)
-      // fold doclen append files; _doclen is O(docs) rows, tiny
-      val dlDir = new Path(doclenPath(path))
-      val dlFiles = fs.listStatus(dlDir).count(f =>
-        f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-      if (dlFiles > 1) {
-        // same safe dance as the whole-index branch above: the live
-        // _doclen is renamed ASIDE (recoverable), never deleted before
-        // its replacement is in place
-        val dlStaging = new Path(doclenPath(path) + ".compact-staging")
-        val dlOld = new Path(doclenPath(path) + ".compact-old")
-        if (fs.exists(dlStaging)) fs.delete(dlStaging, true)
-        if (fs.exists(dlOld)) fs.delete(dlOld, true)
-        spark.read.parquet(doclenPath(path)).select(col("doc_id"), col("dl"))
-          .coalesce(1).write.parquet(dlStaging.toString)
-        if (!fs.rename(dlDir, dlOld))
-          throw new java.io.IOException(s"doclen compact: rename $dlDir aside failed")
-        if (!fs.rename(dlStaging, dlDir)) {
-          fs.rename(dlOld, dlDir) // roll the live sidecar back before failing
-          throw new java.io.IOException(s"doclen compact: rename into $dlDir failed")
-        }
-        fs.delete(dlOld, true)
-      }
+      // r15 (guide §2.6): the cell compaction and the doclen fold act
+      // on DISJOINT directories — run them as concurrent jobs; only
+      // the stats recompute below needs the folded doclen
+      parallelJobs(
+        () => { CellCompaction.compact(spark, path, "cell", targetBytes): Unit },
+        () => {
+          // fold doclen append files; _doclen is O(docs) rows, tiny
+          val dlDir = new Path(doclenPath(path))
+          val dlFiles = fs.listStatus(dlDir).count(f =>
+            f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+          if (dlFiles > 1) {
+            // same safe dance as the whole-index branch above: the live
+            // _doclen is renamed ASIDE (recoverable), never deleted before
+            // its replacement is in place
+            val dlStaging = new Path(doclenPath(path) + ".compact-staging")
+            val dlOld = new Path(doclenPath(path) + ".compact-old")
+            if (fs.exists(dlStaging)) fs.delete(dlStaging, true)
+            if (fs.exists(dlOld)) fs.delete(dlOld, true)
+            spark.read.parquet(doclenPath(path)).select(col("doc_id"), col("dl"))
+              .coalesce(1).write.parquet(dlStaging.toString)
+            if (!fs.rename(dlDir, dlOld))
+              throw new java.io.IOException(s"doclen compact: rename $dlDir aside failed")
+            if (!fs.rename(dlStaging, dlDir)) {
+              fs.rename(dlOld, dlDir) // roll the live sidecar back before failing
+              throw new java.io.IOException(s"doclen compact: rename into $dlDir failed")
+            }
+            fs.delete(dlOld, true)
+          }
+        })
       spark.read.parquet(doclenPath(path))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("total_dl"))
         .coalesce(1).write.mode("overwrite").parquet(statsPath(path))

@@ -113,9 +113,13 @@ object TrigramIndex {
 
   /** Exact substring search: gram-intersected candidates re-verified
     * with `contains` on the cleaned text — identical row set to the
-    * full-scan LIKE, at probe cost. */
-  def search(docs: DataFrame, path: String, pattern: String): DataFrame = {
-    val cand = candidates(docs.sparkSession, path, pattern)
+    * full-scan LIKE, at probe cost. `cand0` lets a caller that ALSO
+    * consumes the candidate set (e.g. as pruning evidence) pass its
+    * pinned copy so the intersection probe runs once, not per
+    * reference. */
+  def search(docs: DataFrame, path: String, pattern: String,
+      cand0: Option[DataFrame] = None): DataFrame = {
+    val cand = cand0.getOrElse(candidates(docs.sparkSession, path, pattern))
     docs.join(cand, "doc_id")
       .withColumn("_t", TF.cleanText(col("text")))
       .filter(col("_t").contains(pattern))

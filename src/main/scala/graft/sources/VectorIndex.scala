@@ -250,7 +250,7 @@ object VectorIndex {
     var cent = comp.filter(col(idCol) < pqK)
       .select(col(idCol).cast("int").as("cid"), col("pos"), col("uq").as("c"))
     var assign: DataFrame = null
-    for (_ <- 1 to pqIters) {
+    for (i <- 1 to pqIters) {
       val dist = comp.join(broadcast(cent), Seq("pos"))
         .groupBy(col(idCol), col("sub"), col("cid"))
         .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
@@ -258,6 +258,11 @@ object VectorIndex {
         .partitionBy(col(idCol), col("sub")).orderBy(col("d"), col("cid"))
       assign = dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col(idCol), col("sub"), col("cid"))
+      // r15: pin the loop EXIT (the q_knn_* trainer pattern) — the
+      // final assign feeds BOTH the code write and the codebook write;
+      // unpinned, each consumer re-expanded the whole unrolled Lloyd
+      // lineage, so training ran twice per build
+      if (i == pqIters) assign = assign.localCheckpoint()
       cent = comp.join(assign, Seq(idCol, "sub"))
         .groupBy(col("cid"), col("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
