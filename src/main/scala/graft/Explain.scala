@@ -5,14 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Plan-capture main (optimization-round evidence): writes
   * `.explain("formatted")` output for the named queries (default: the
   * bench headline set) to `<outDir>/<name>.txt`. Mirrors Bench's
-  * session config so the captured plan is the plan the bench times.
+  * session config — including `SPARK_GRAFT_NO_EXT` and
+  * `SPARK_GRAFT_EXCLUDED_RULES` — so the captured plan is the plan
+  * the bench times. Pass the round's plans directory explicitly; the
+  * default is a scratch dir so a bare run can never overwrite a
+  * committed round's evidence.
   *
-  *   sbt "runMain graft.Explain /root/testdata/sf0.1 plans/r15 [q1,q2,...]"
+  *   sbt "runMain graft.Explain /root/testdata/sf0.1 plans/r16 [q1,q2,...]"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outDir = if (args.length > 1) args(1) else "plans/r15"
+    val outDir = if (args.length > 1) args(1) else "plans/scratch"
     val names =
       if (args.length > 2) args(2).split(',').toSeq else Bench.headline
     val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "")
@@ -27,6 +31,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
     if (!sys.env.get("SPARK_GRAFT_NO_EXT").contains("1"))
       builder.config("spark.sql.extensions", "graft.GraftExtensions")
+    sys.env.get("SPARK_GRAFT_EXCLUDED_RULES")
+      .foreach(r => builder.config("spark.sql.optimizer.excludedRules", r))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

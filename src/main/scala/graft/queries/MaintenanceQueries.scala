@@ -354,19 +354,13 @@ object MaintenanceQueries {
       // r15 (guide §2.6): the three probe keys are independent
       // read-only lookups — run them as concurrent jobs instead of a
       // sequential driver loop (results keep the keys' order)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(keys.size)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val rows = try {
-        keys.map { k =>
-          scala.concurrent.Future {
-            val (pruned, st) = ZoneMaps.readPoint(s, dir, "o_orderkey", k)
-            val mm = m.filter(col("min_o_orderkey") <= k && col("max_o_orderkey") >= k).count()
-            (k, pruned.count(), st.filesTotal, mm, st.filesRead)
-          }
-        }.map(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
+      val rows = graft.sources.ParallelJobs.awaitAll(keys.map { k =>
+        () => {
+          val (pruned, st) = ZoneMaps.readPoint(s, dir, "o_orderkey", k)
+          val mm = m.filter(col("min_o_orderkey") <= k && col("max_o_orderkey") >= k).count()
+          (k, pruned.count(), st.filesTotal, mm, st.filesRead)
+        }
+      })
       import s.implicits._
       rows.toDF("probe_key", "n_match", "files_total", "files_minmax", "files_bloom")
         .orderBy("probe_key")

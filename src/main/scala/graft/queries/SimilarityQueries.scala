@@ -505,8 +505,9 @@ object SimilarityQueries {
   private def pqLastCent: String = s"pcent$PqIters"
 
   /** Spark face of [[pqCtes]]: (scomp, assign, cent) after `PqIters`
-    * per-subspace Lloyd rounds on the 2²⁰ integer grid. */
-  /** `pin = false` skips the loop-exit localCheckpoints so PlanSpec can
+    * per-subspace Lloyd rounds on the 2²⁰ integer grid.
+    *
+    * `pin = false` skips the loop-exit localCheckpoints so PlanSpec can
     * inspect the full TRAINING plan (the argmin window's partial
     * group-limit, no single-partition funnel) — pinning hides that
     * lineage behind a `Scan ExistingRDD` in the executed plan, which is

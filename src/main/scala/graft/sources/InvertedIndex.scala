@@ -39,17 +39,10 @@ object InvertedIndex {
   private[graft] def cellOf(term: Column): Column = substring(md5(term), 1, 2)
 
   /** Run independent Spark jobs (disjoint outputs) concurrently and
-    * wait for all — optimization guide §2.6: later jobs back-fill the
-    * executor tail of earlier ones instead of paying a serial floor. */
+    * wait for ALL — [[ParallelJobs.awaitAll]]: the single-writer
+    * maintenance window provably ends when this returns or throws. */
   private def parallelJobs(jobs: (() => Unit)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val fs = jobs.map(j => scala.concurrent.Future(j()))
-      fs.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+    ParallelJobs.awaitAll(jobs): Unit
   }
 
   /** Shared tokenization: (doc_id, term) rows of the cleaned text —

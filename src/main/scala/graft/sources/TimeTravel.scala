@@ -520,24 +520,16 @@ object TimeTravel {
     require(latest(spark, path).isEmpty,
       s"commitSeries pre-assigns versions 1..N and requires a fresh table at $path")
     val vs = (1L to batches.size.toLong).toSeq
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(batches.size, 8))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val staged = vs.zip(batches).map { case (v, b) =>
-        scala.concurrent.Future {
-          val dir = writeData(b, path, v)
-          if (statsCols.nonEmpty || bloomCols.nonEmpty)
-            writeStatsFor(spark, path, dir, statsCols, bloomCols)
-          dir
-        }
+    val dirs = ParallelJobs.awaitAll(vs.zip(batches).map { case (v, b) =>
+      () => {
+        val dir = writeData(b, path, v)
+        if (statsCols.nonEmpty || bloomCols.nonEmpty)
+          writeStatsFor(spark, path, dir, statsCols, bloomCols)
+        dir
       }
-      val dirs = staged.map(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      vs.foreach(v => publish(spark, path, v, dirs.take(v.toInt)))
-      vs
-    } finally pool.shutdown()
+    })
+    vs.foreach(v => publish(spark, path, v, dirs.take(v.toInt)))
+    vs
   }
 
   /** Roll back by PUBLISHING `toVersion`'s listing as a new version —
