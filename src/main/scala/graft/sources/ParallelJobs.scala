@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.concurrent.duration.{Duration, FiniteDuration}
+
 /** Shared fan-out helper for overlapping INDEPENDENT Spark jobs
   * (optimization guide §2.6): later jobs back-fill the executor tail
   * of earlier ones instead of paying a serial job floor. Used by
@@ -13,26 +15,69 @@ package graft.sources
   * therefore rely on every sibling having finished: a maintenance
   * window ends when this returns or throws, never while a concurrent
   * rename is still in flight.
+  *
+  * Timeout contract (r16, VERDICT r15 #6): the await is BOUNDED — a
+  * hung staging job fails the fixture loudly with a TimeoutException
+  * instead of hanging the maintenance window forever. The bound is
+  * one shared deadline across all thunks (not per-thunk, so n slow
+  * jobs can't stack n timeouts), generous by default (1 h — local
+  * fixture jobs run in seconds; a cluster run tunes
+  * `SPARK_GRAFT_PARALLEL_TIMEOUT_SEC` to its own job envelope). On
+  * timeout the pool's threads are interrupted (best effort — a Spark
+  * action responds to interrupt by cancelling its job) and the
+  * exception names the deadline, so the only broken piece of the
+  * all-siblings-finished contract is the one the caller is being told
+  * about loudly.
   */
 private[graft] object ParallelJobs {
 
+  /** Default shared deadline for one awaitAll call: env-tunable,
+    * never a hard-coded local-mode constant. */
+  private[graft] def defaultTimeout: FiniteDuration =
+    FiniteDuration(
+      sys.env.getOrElse("SPARK_GRAFT_PARALLEL_TIMEOUT_SEC", "3600").toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Concurrent-job width: enough in-flight jobs to back-fill a task
+    * tail, few enough not to thrash the scheduler when the host is
+    * small — guide §2.6's "2-3 jobs in flight is plenty" scaled to the
+    * actual core count instead of the former flat 8. */
+  private[graft] def maxConcurrency: Int =
+    math.max(2, Runtime.getRuntime.availableProcessors() / 4)
+
   /** Run the thunks concurrently (bounded pool), await all, return
     * their results in order; rethrows the first failure AFTER every
-    * thunk has completed. */
-  def awaitAll[A](thunks: Seq[() => A]): Seq[A] = {
+    * thunk has completed (or the shared deadline expires). */
+  def awaitAll[A](thunks: Seq[() => A],
+      timeout: Duration = defaultTimeout): Seq[A] = {
     require(thunks.nonEmpty, "awaitAll needs at least one job")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(thunks.size, 8))
+      math.min(thunks.size, maxConcurrency))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       // Future(Try(...)) never fails, so every Await below runs to
-      // completion — the first failure is rethrown only once all
-      // siblings have finished
-      val done = thunks
-        .map(t => scala.concurrent.Future(scala.util.Try(t())))
-        .map(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
+      // completion within the shared deadline — the first failure is
+      // rethrown only once all siblings have finished
+      val futures = thunks.map(t => scala.concurrent.Future(scala.util.Try(t())))
+      val deadline = timeout match {
+        case f: FiniteDuration => Some(f.fromNow)
+        case _                 => None
+      }
+      val done = futures.zipWithIndex.map { case (f, i) =>
+        val remaining = deadline
+          .map(d => d.timeLeft.max(Duration.Zero))
+          .getOrElse(Duration.Inf)
+        try scala.concurrent.Await.result(f, remaining)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            pool.shutdownNow() // interrupt stragglers (best effort)
+            throw new java.util.concurrent.TimeoutException(
+              s"parallel job ${i + 1}/${thunks.size} still running after " +
+                s"$timeout (SPARK_GRAFT_PARALLEL_TIMEOUT_SEC) — failing the " +
+                "maintenance window loudly instead of hanging it")
+        }
+      }
       done.collectFirst { case scala.util.Failure(e) => throw e }
       done.map(_.get)
     } finally pool.shutdown()

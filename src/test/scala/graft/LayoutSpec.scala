@@ -492,6 +492,34 @@ class LayoutSpec extends SparkSpec {
     assert(q.select("k").collect().map(_.getLong(0)).sorted.toSeq == expectRows)
   }
 
+  test("ParallelJobs.awaitAll: ordered results, all-siblings failure contract, bounded timeout") {
+    import graft.sources.ParallelJobs
+    import scala.concurrent.duration._
+    // happy path: results come back in argument order, not completion order
+    val r = ParallelJobs.awaitAll(Seq(
+      () => { Thread.sleep(50); "slow" },
+      () => "fast"))
+    assert(r == Seq("slow", "fast"))
+    // failure contract: the FIRST (argument-order) failure is rethrown,
+    // and only after every sibling has finished
+    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalStateException] {
+      ParallelJobs.awaitAll[Unit](Seq(
+        () => throw new IllegalStateException("boom"),
+        () => { Thread.sleep(100); finished.set(true) }))
+    }
+    assert(e.getMessage == "boom")
+    assert(finished.get(), "sibling must have completed before the rethrow")
+    // r16 (VERDICT r15 #6): a hung job fails the window LOUDLY within
+    // the shared deadline instead of hanging it forever
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.TimeoutException] {
+      ParallelJobs.awaitAll[Unit](
+        Seq(() => Thread.sleep(60000)), timeout = 200.millis)
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 30, "timeout must not wait for the hung job")
+  }
+
   test("commitSeries ≡ sequential overwrite+appends: listings, reads, pruning") {
     import graft.sources.TimeTravel
     import spark.implicits._
