@@ -36,8 +36,15 @@ object Explain {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // evidence-only pseudo-query: the loop-exit pins hide the executed
+    // training lineage behind `Scan ExistingRDD` in every SERVED plan,
+    // so the trainer restructure's plan evidence needs the UNPINNED
+    // assignment plan dumped directly (same hook PlanSpec asserts on)
+    val pseudo: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("_pq_train_assign" -> ((s, d) =>
+        graft.queries.SimilarityQueries.pqTrain(s, d, pin = false)._2))
     names.foreach { n =>
-      SparkEntry.queries.get(n) match {
+      SparkEntry.queries.get(n).orElse(pseudo.get(n)) match {
         case None => System.err.println(s"[explain] unknown query $n")
         case Some(fn) =>
           try {

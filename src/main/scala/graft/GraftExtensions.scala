@@ -1,10 +1,10 @@
 package graft
 
-import graft.expressions.{ChunkWords, CosineSim, DeterministicEmbed, NormalizeText}
+import graft.expressions.{ArgminCell, ChunkWords, CosineSim, DeterministicEmbed, NormalizeText, QuantizeGrid, SqDistLong}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** Engine extension entry point — load with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
@@ -63,6 +63,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CosineSim(
         Cast(children.head, ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => SqDistLong(
+        Cast(children.head, ArrayType(LongType)),
+        Cast(children(1), ArrayType(LongType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeGrid].getName, "graft_quantize"),
+      (children: Seq[Expression]) => QuantizeGrid(
+        Cast(children.head, ArrayType(DoubleType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmin_cell"),
+      new ExpressionInfo(classOf[ArgminCell].getName, "graft_argmin_cell"),
+      // no input Cast: the packed-centroid struct shape is produced by
+      // the trainers themselves (array<long> + cid-sorted pack)
+      (children: Seq[Expression]) => ArgminCell(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_embed"),
       new ExpressionInfo(classOf[DeterministicEmbed].getName, "graft_embed"),

@@ -41,4 +41,18 @@ object Similarity {
 
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)}))"
+
+  /** Σ(aᵢ−bᵢ)² over two `array<long>` columns — the Lloyd-assignment
+    * distance. Exact long arithmetic: any accumulation order is
+    * bit-identical, so composed and fused forms agree by exactness. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Fast path: the fused codegen'd [[graft.expressions.SqDistLong]]
+    * when the session loaded [[graft.GraftExtensions]]; otherwise the
+    * composed form above — same contract as [[cosineIn]]. */
+  def sqDistIn(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_sqdist")) call_function("graft_sqdist", a, b)
+    else sqDist(a, b)
 }

@@ -311,43 +311,107 @@ object SimilarityQueries {
   }
   private def kmeansLastAssign: String = s"assign$KmIters"
 
+  /** Pack a (cid, pos, c) centroid table into one (cid, carr) array row
+    * per centroid, carr ordered by pos — the K-bounded broadcast shape
+    * the array-form assignment consumes. Exchanges here carry ≤ K·Dim
+    * rows, never the corpus. */
+  private def packCent(centLong: DataFrame, cidCol: String): DataFrame =
+    centLong.groupBy(col(cidCol))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("carr"))
+
+  /** Quantize an embedding to the 2²⁰ integer grid, packed:
+    * round(vᵢ·2²⁰) per element. Fused codegen'd kernel when the
+    * extension is loaded ([[graft.expressions.QuantizeGrid]] — the
+    * composed `transform` pays an interpreted lambda + BigDecimal
+    * `round` per element); bit-identical either way. */
+  private def quantizeIn(s: SparkSession, e: Column): Column =
+    if (s.catalog.functionExists("graft_quantize")) call_function("graft_quantize", e)
+    else transform(e, v => round(v * lit(1048576.0d)).cast("long"))
+
+  /** argmin over the packed centroid array: min (d, cid) via exact long
+    * squared distance — the same winner the former ROW_NUMBER() OVER
+    * (ORDER BY d, cid) picked, computed NARROWLY per row instead of
+    * through an exploded join + two corpus-keyed exchanges. Fused
+    * single-loop kernel ([[graft.expressions.ArgminCell]]) when the
+    * extension is loaded; composed HOF argmin otherwise — the struct
+    * field order (d first, cid second) is the lexicographic tie-break
+    * in both. Returns the winning cid (null when the pack is empty). */
+  private def argminCidIn(s: SparkSession, uq: Column, cents: Column,
+      cidName: String): Column =
+    if (s.catalog.functionExists("graft_argmin_cell"))
+      call_function("graft_argmin_cell", uq, cents)
+    else
+      array_min(transform(cents, ct =>
+        struct(
+          Similarity.sqDistIn(s, uq, ct.getField("carr")).as("d"),
+          ct.getField(cidName).as("cid")))).getField("cid")
+
   /** Spark face of the same trainer: (comp, assign, cent) after
-    * `KmIters` Lloyd rounds on the 2²⁰ integer grid. */
-  private def kmeansTrain(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    // r15: pin the FINAL assign/cent (localCheckpoint). Unpinned, every
-    // consumer reference re-expanded the whole unrolled training — the
-    // q_knn_* queries reference assign/cent 2–4× each, so Lloyd ran
-    // several times over per query (q_knn_ivfpq measured 7 s at the
-    // sf0.01 probe). Pinning only the loop EXITS keeps the training a
-    // single pass while adding just two small materialization jobs —
-    // a per-iterate pin was tried first and regressed the light
-    // consumers (q_knn_kmeans 2.9 -> 4.1 s: 2·iters extra job floors
-    // outweigh the saved recompute at probe scale). Values unchanged;
-    // only lineage is cut (guide §3.3: materialize intermediates to
-    // truncate plans).
-    val comp = emb(s, d)
-      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos"),
-        round(col("v") * 1048576.0d).cast("long").as("uq"))
-      .localCheckpoint() // comp is read 2x per iterate + by every consumer
-    var cent = comp.filter(col("vec_id") < KmCells)
-      .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
+    * `KmIters` Lloyd rounds on the 2²⁰ integer grid.
+    *
+    * r16 (VERDICT r15 #4, guide §2.3/§2.4/§1.2): ONE corpus-bearing
+    * shuffle per Lloyd iteration. The r15 shape ran each iteration as
+    * dist-join → groupBy(vec_id,cid) exchange → window exchange →
+    * assign-join (corpus SMJ on vec_id) → groupBy(cid,pos) exchange —
+    * three corpus-keyed exchanges plus an N·Dim·K exploded join. Now
+    * vectors stay PACKED (vec_id, uq array): assignment is a narrow
+    * map against the K-bounded packed centroid broadcast (argmin via
+    * the fused graft_sqdist kernel — no exchange at all), and the
+    * centroid update is the single surviving exchange, hash-partitioned
+    * on (cid,pos) with map-side partial aggregation so only K·Dim
+    * partial rows per task cross the wire. Values are bit-identical:
+    * exact integer distances (any order), the same (d, cid) argmin
+    * tie-break, the same ROUND(sum/count) update — asserted by the
+    * unchanged oracle SQL.
+    *
+    * r15's loop-exit pins stay: the final assign/cent are
+    * localCheckpoint'ed so consumers referencing them 2-4× never
+    * re-expand the training lineage. */
+  private def kmeansTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // quantize ONCE, keep vectors packed; pinned because the trainer
+    // walks it KmIters×2 times and consumers read comp below
+    val vecs = emb(s, d)
+      .select(col("vec_id"), quantizeIn(s, col("e")).as("uq"))
+      .localCheckpoint()
+    // legacy exploded shape for consumers (qKnnIvfPq residuals/routing):
+    // a NARROW expansion of the pinned vecs, no second materialization
+    val comp = vecs.select(col("vec_id"), posexplode(col("uq")).as(Seq("pos", "uq")))
+    var centArr = vecs.filter(col("vec_id") < KmCells)
+      .select(col("vec_id").as("cid"), col("uq").as("carr"))
     var assign: DataFrame = null
+    var cent: DataFrame = null
     for (i <- 1 to KmIters) {
-      val dist = comp.join(broadcast(cent), Seq("pos"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-      assign = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("vec_id", "cid")
-      if (i == KmIters) assign = assign.localCheckpoint()
-      cent = comp.join(assign, Seq("vec_id"))
+      // K rows → 1 packed row (bounded funnel, same cardinality a
+      // BroadcastExchange would funnel); sort_array keys the pack by cid
+      val packed = centArr
+        .agg(sort_array(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+      val av = vecs.crossJoin(broadcast(packed))
+        .withColumn("cid", argminCidIn(s, col("uq"), col("cents"), "cid"))
+        // empty-centroid guard: argmin over an empty pack is null; the
+        // legacy exploded join produced NO row there — drop, don't null
+        .filter(col("cid").isNotNull)
+        .select(col("vec_id"), col("uq"), col("cid"))
+      val centLong = av
+        .select(col("cid"), posexplode(col("uq")).as(Seq("pos", "uq")))
         .groupBy(col("cid"), col("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
-      if (i == KmIters) cent = cent.localCheckpoint()
+      if (i == KmIters) {
+        assign = av.select("vec_id", "cid").localCheckpoint()
+        cent = centLong.localCheckpoint()
+      } else {
+        // pin the ITERATION BOUNDARY: K packed rows. Without it the two
+        // final-exit pins (assign, cent) each re-evaluate this
+        // iteration's whole corpus aggregation through the lazy lineage;
+        // with it a re-evaluation is one narrow pass over pinned vecs.
+        // (This is NOT the r15-rejected per-iterate pin — that pinned
+        // corpus-sized assign tables; this pins K·Dim values.)
+        centArr = packCent(centLong, "cid").localCheckpoint()
+      }
     }
-    (comp, assign, cent)
+    (comp, assign, cent, vecs)
   }
 
   private def kmeansAssign(s: SparkSession, d: String): DataFrame =
@@ -515,29 +579,63 @@ object SimilarityQueries {
     * callers keep the default. */
   private[graft] def pqTrain(s: SparkSession, d: String,
       pin: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
-    // r15: pin the final assign/cent only — see [[kmeansTrain]]
-    val comp0 = emb(s, d)
-      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos"), expr(s"pos div $PqSubDim").as("sub"),
-        round(col("v") * 1048576.0d).cast("long").as("uq"))
-    // comp is read 2x per iterate + by every consumer
-    val comp = if (pin) comp0.localCheckpoint() else comp0
-    var cent = comp.filter(col("vec_id") < PqK)
-      .select(col("vec_id").as("cid"), col("pos"), col("uq").as("c"))
+    // r16: same one-exchange-per-iteration array shape as [[kmeansTrain]],
+    // with the subspace id as one more key — all PqSubs trainings still
+    // ride ONE set of (K-bounded) aggregations. Each vector splits into
+    // PqSubs packed subvectors once; assignment per (vec_id, sub) is the
+    // narrow fused-kernel argmin against the per-sub packed codebook.
+    // r15's loop-exit pins stay (see [[kmeansTrain]]).
+    val svecs0 = emb(s, d)
+      .select(col("vec_id"), posexplode(
+        array((0 until PqSubs).map(j =>
+          quantizeIn(s, slice(col("e"), j * PqSubDim + 1, PqSubDim))): _*))
+        .as(Seq("subI", "suq")))
+      // `pos div n` is LongType — keep the legacy sub type for consumers
+      .select(col("vec_id"), col("subI").cast("long").as("sub"), col("suq"),
+        (col("subI") * PqSubDim).as("posBase"))
+    val svecs = if (pin) svecs0.localCheckpoint() else svecs0
+    // legacy exploded shape for the LUT/error consumers: a NARROW
+    // expansion of the pinned subvectors (pos = subBase + local index)
+    val comp = svecs
+      .select(col("vec_id"), col("sub"), col("posBase"),
+        posexplode(col("suq")).as(Seq("li", "uq")))
+      .select(col("vec_id"), (col("posBase") + col("li")).cast("int").as("pos"),
+        col("sub"), col("uq"))
+    // codebooks: (cid, sub, scarr) — cid shared across subspaces, each
+    // sub's slice trained independently (pos determines the sub)
+    var scent = svecs.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("sub"), col("suq").as("carr"))
     var assign: DataFrame = null
+    var cent: DataFrame = null
     for (i <- 1 to PqIters) {
-      val dist = comp.join(broadcast(cent), Seq("pos"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
-      val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("cid"))
-      assign = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("vec_id", "sub", "cid")
-      if (pin && i == PqIters) assign = assign.localCheckpoint()
-      cent = comp.join(assign, Seq("vec_id", "sub"))
-        .groupBy(col("cid"), col("pos"))
+      // ≤ K rows per sub → PqSubs packed rows; broadcast-joined on sub
+      val packed = scent.groupBy(col("sub"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+      val av = svecs.join(broadcast(packed), Seq("sub"))
+        .withColumn("cid", argminCidIn(s, col("suq"), col("cents"), "cid"))
+        .filter(col("cid").isNotNull) // empty-codebook guard, see kmeansTrain
+        .select(col("vec_id"), col("sub"), col("suq"), col("posBase"), col("cid"))
+      val centLong = av
+        .select(col("cid"), col("sub"), col("posBase"),
+          posexplode(col("suq")).as(Seq("li", "uq")))
+        .groupBy(col("cid"), (col("posBase") + col("li")).cast("int").as("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
-      if (pin && i == PqIters) cent = cent.localCheckpoint()
+      if (i == PqIters) {
+        assign = av.select("vec_id", "sub", "cid")
+        cent = centLong
+        if (pin) { assign = assign.localCheckpoint(); cent = cent.localCheckpoint() }
+      } else {
+        // back to per-(cid, sub) packed slices: pos//PqSubDim recovers
+        // the sub, pos orders the slice — K·Dim rows, bounded; pinned
+        // at the iteration boundary (see kmeansTrain) so the final-exit
+        // pins don't replay earlier iterations' corpus aggregations
+        scent = centLong
+          .groupBy(col("cid"), (col("pos").cast("long") / PqSubDim).cast("long").as("sub"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+        if (pin) scent = scent.localCheckpoint()
+      }
     }
     (comp, assign, cent)
   }
@@ -735,32 +833,56 @@ object SimilarityQueries {
          |SELECT a.qid, a.vec_id, a.adist, a.rk, r.recall10
          |FROM adc a JOIN rec r ON r.qid = a.qid
          |ORDER BY a.qid, a.rk""".stripMargin) { (s, d) =>
-      val (comp, assign, cent) = kmeansTrain(s, d)
-      val res = comp
+      val (comp, assign, cent, vecs) = kmeansTrain(s, d)
+      // r16: residuals stay PACKED per (vec_id, sub) — the pinned set is
+      // N·PqSubs array rows instead of N·Dim exploded rows (¼ the rows,
+      // same bytes of payload, one schema-narrow shuffle to attach the
+      // pinned assignment instead of the former N·Dim exploded SMJ), and
+      // the residual Lloyd below runs in the same one-exchange-per-
+      // iteration array shape as kmeansTrain/pqTrain. Values unchanged:
+      // r = uq − c componentwise on the same 2²⁰ grid.
+      val rsvecs = vecs
         .join(assign, Seq("vec_id"))
-        .join(broadcast(cent), Seq("cid", "pos"))
-        .select(col("vec_id"), col("cid").as("cell"), col("pos"),
-          expr(s"pos div $PqSubDim").as("sub"), (col("uq") - col("c")).as("r"))
+        .join(broadcast(packCent(cent, "cid")), Seq("cid"))
+        .select(col("vec_id"), col("cid").as("cell"), posexplode(
+          array((0 until PqSubs).map(j => zip_with(
+            slice(col("uq"), j * PqSubDim + 1, PqSubDim),
+            slice(col("carr"), j * PqSubDim + 1, PqSubDim),
+            (a, b) => a - b)): _*)).as(Seq("subI", "rarr")))
+        .select(col("vec_id"), col("cell"), col("subI").cast("long").as("sub"),
+          (col("subI") * PqSubDim).as("posBase"), col("rarr"))
         .localCheckpoint() // PQ training + encoding read one pinned residual set
-      var rcent = res.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("pcid"), col("pos"), col("r").as("c"))
+      var rscent = rsvecs.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("pcid"), col("sub"), col("rarr").as("carr"))
       var rassign: DataFrame = null
+      var rcent: DataFrame = null
       // final-exit pinning, same rationale as kmeansTrain: the final
       // rcent is read by the LUT and the final rassign by codes —
       // unpinned, each reference re-expanded the whole residual training
       for (i <- 1 to PqIters) {
-        val dist = res.join(broadcast(rcent), Seq("pos"))
-          .groupBy(col("vec_id"), col("sub"), col("pcid"))
-          .agg(sum((col("r") - col("c")) * (col("r") - col("c"))).as("d"))
-        val w = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d"), col("pcid"))
-        rassign = dist.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("vec_id", "sub", "pcid")
-        if (i == PqIters) rassign = rassign.localCheckpoint()
-        rcent = res.join(rassign, Seq("vec_id", "sub"))
-          .groupBy(col("pcid"), col("pos"))
+        val packed = rscent.groupBy(col("sub"))
+          .agg(sort_array(collect_list(struct(col("pcid"), col("carr")))).as("cents"))
+        val av = rsvecs.join(broadcast(packed), Seq("sub"))
+          .withColumn("pcid", argminCidIn(s, col("rarr"), col("cents"), "pcid"))
+          .filter(col("pcid").isNotNull) // empty-codebook guard, see kmeansTrain
+          .select(col("vec_id"), col("sub"), col("rarr"), col("posBase"), col("pcid"))
+        val centLong = av
+          .select(col("pcid"), col("posBase"), posexplode(col("rarr")).as(Seq("li", "r")))
+          .groupBy(col("pcid"), (col("posBase") + col("li")).cast("int").as("pos"))
           .agg(round(sum(col("r")).cast("double") / count(lit(1)).cast("double"))
             .cast("long").as("c"))
-        if (i == PqIters) rcent = rcent.localCheckpoint()
+        if (i == PqIters) {
+          rassign = av.select("vec_id", "sub", "pcid").localCheckpoint()
+          rcent = centLong.localCheckpoint()
+        } else {
+          // K·Dim-bounded iteration-boundary pin, see kmeansTrain
+          rscent = centLong
+            .groupBy(col("pcid"),
+              (col("pos").cast("long") / PqSubDim).cast("long").as("sub"))
+            .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+              x => x.getField("c")).as("carr"))
+            .localCheckpoint()
+        }
       }
       val qroute = comp.filter(col("vec_id") < NQueries)
         .join(broadcast(cent), Seq("pos"))
@@ -780,7 +902,7 @@ object SimilarityQueries {
       val lut = qres.join(broadcast(rcent), Seq("pos"))
         .groupBy(col("qid"), col("cell"), col("sub"), col("pcid"))
         .agg(sum((col("r") - col("c")) * (col("r") - col("c"))).as("d"))
-      val vcell = res.select(col("vec_id"), col("cell")).distinct()
+      val vcell = rsvecs.select(col("vec_id"), col("cell")).distinct()
       val codes = rassign.join(vcell, Seq("vec_id"))
       val scored = codes
         .join(broadcast(lut), Seq("cell", "sub", "pcid"))

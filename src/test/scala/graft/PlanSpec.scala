@@ -410,15 +410,20 @@ class PlanSpec extends SparkSpec {
     val (_, assign, _) =
       queries.SimilarityQueries.pqTrain(spark, sf, pin = false)
     val pt = phys(assign)
-    // argmin per (vec_id, sub) must be a partial group-limit window,
-    // and the corpus must never funnel through one task
-    assert(pt.contains("WindowGroupLimit") && pt.contains("Partial"),
-      s"PQ assignment needs the map-side partial argmin:\n$pt")
-    assert(!pt.contains("Exchange SinglePartition"),
-      s"PQ training must stay parallel end to end:\n$pt")
-    // centroid tables are K·Dim-bounded: assignment joins broadcast
+    // r16 array-form trainer: the argmin is a NARROW fused-kernel map —
+    // no corpus-keyed exchange may remain anywhere in the training (the
+    // r15 shape shuffled on vec_id for the dist groupBy, the argmin
+    // window AND the update join; all three are gone)
+    assert(!pt.contains("hashpartitioning(vec_id"),
+      s"PQ training must never shuffle the corpus by vec_id:\n$pt")
+    assert(!pt.contains("Window"),
+      s"the argmin is a narrow array fold now — no window, no sort:\n$pt")
+    // the assignment argmin runs through the fused codegen'd kernel
+    assert(pt.contains("graft_argmin_cell"),
+      s"assignment argmin should be the fused graft_argmin_cell kernel:\n$pt")
+    // packed codebooks are K·Dim-bounded: assignment joins broadcast
     assert(pt.contains("BroadcastHashJoin"),
-      s"centroid assignment join should broadcast the bounded centroid table:\n$pt")
+      s"codebook assignment join should broadcast the bounded pack:\n$pt")
     // the served query (pinned trainer) keeps the parallel contract
     val p = phys(queries.SimilarityQueries.qEmbedPq.run(spark, sf))
     assert(!p.contains("Exchange SinglePartition"),
