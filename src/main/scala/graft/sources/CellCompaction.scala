@@ -53,15 +53,30 @@ object CellCompaction {
         val bytes = files.map(_.getLen).sum
         val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
         if (files.length > want)
-          Some(ExternalCatalogUtils.unescapePathName(
-            st.getPath.getName.stripPrefix(s"$cellCol=")) -> bytes)
+          Some((ExternalCatalogUtils.unescapePathName(
+            st.getPath.getName.stripPrefix(s"$cellCol=")), bytes, files.map(_.getPath)))
         else None
       }
     if (oversized.isEmpty) return Nil
     val values = oversized.map(_._1)
     val slice = spark.read.parquet(path)
       .filter(col(cellCol).isin(values: _*)) // static partition pruning
-    val rows = slice.count()
+    // r16 (guide §6): the rows-per-file bound needs only the slice's ROW
+    // COUNT — read it from the parquet footers already listed above
+    // (O(oversized files) driver-side metadata, bounded by the ≤256-cell
+    // layout) instead of paying a full count() scan of the slice before
+    // the rewrite. Footer row counts are exact, so the bound — and the
+    // written layout — is byte-identical to the count() path.
+    val conf = spark.sessionState.newHadoopConf()
+    def footerRows(p: Path): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      scala.util.Using.resource(
+        org.apache.parquet.hadoop.ParquetFileReader.open(in))(_.getRecordCount)
+    }
+    // footer reads are IO-bound: fan the per-cell sums out on driver
+    // threads (ParallelJobs) so hundreds of small footers don't serialize
+    val rows = ParallelJobs.awaitAll(
+      oversized.map(o => () => o._3.map(footerRows).sum)).sum
     val bytes = math.max(1L, oversized.map(_._2).sum)
     val rowsPerFile = math.max(1L, rows * targetBytes / bytes)
     val staging = new Path(path + ".compact-staging")

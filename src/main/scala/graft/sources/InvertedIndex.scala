@@ -57,9 +57,16 @@ object InvertedIndex {
   def build(docs: DataFrame, path: String, textCol: String = "text"): Unit = {
     val tok = docs.select(col("doc_id"),
       explode(Chunkers.words(TF.cleanText(col(textCol)))).as("term"))
-    tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("cell", cellOf(col("term")))
+    // r16 (guide §2.4): ONE corpus exchange instead of two. The former
+    // groupBy(term, doc_id) then repartition(cell) shuffled the token
+    // stream twice; cell = f(term), so partitioning by cell FIRST
+    // already clusters every (cell, term, doc_id) group — the
+    // aggregation reuses the repartition's distribution (tf values and
+    // written layout identical; cell rides as the partition column
+    // either way)
+    tok.withColumn("cell", cellOf(col("term")))
       .repartition(col("cell"))
+      .groupBy("cell", "term", "doc_id").agg(count(lit(1)).as("tf"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     // r15: doc length ≡ Σ tf per doc — derive both sidecars from the
     // postings just WRITTEN (a two-column columnar read-back) instead
