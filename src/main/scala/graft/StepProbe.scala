@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** Per-step timing probe for the multi-job fixture queries
   * (optimization-round evidence, guide §1: measure BEFORE changing).
@@ -40,6 +40,9 @@ object StepProbe {
     Tables(spark, sfDir, "documents").write.format("noop").mode("overwrite").save()
     which match {
       case "index_compact" => indexCompact(spark, sfDir)
+      case "delta_vacuum" => deltaVacuum(spark, sfDir)
+      case "mv_incremental" => mvIncremental(spark, sfDir)
+      case "tt_stream_cdf" => ttStreamCdf(spark, sfDir)
       case other => System.err.println(s"[step] unknown probe $other")
     }
     spark.stop()
@@ -60,5 +63,89 @@ object StepProbe {
       InvertedIndex.searchBm25(s, dir, Seq("vector", "hash", "join"), 25)
         .write.format("noop").mode("overwrite").save())
     fsp.getFileSystem(s.sessionState.newHadoopConf()).delete(fsp, true)
+  }
+
+  private def fresh(s: SparkSession, names: String*): Seq[String] =
+    names.map { n =>
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_step_${n}_p${ProcessHandle.current().pid()}"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      p
+    }
+
+  /** Mirrors q_delta_vacuum's step sequence. */
+  private def deltaVacuum(s: SparkSession, d: String): Unit = {
+    import graft.sources.{DeltaExport, DeltaMaintenance, DeltaRead, TimeTravel}
+    val Seq(base, tgt) = fresh(s, "dvac_base", "dvac_tgt")
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+    time("commit_v1")(TimeTravel.commitOverwrite(c.coalesce(1), base))
+    // mirrors the r16 fixture overlap: pinned-version export ∥ next DML
+    time("delete_v2+snapshot")(graft.sources.ParallelJobs.awaitAll[Unit](Seq(
+      () => { TimeTravel.deleteMoR(s, base, col("k") % 5 === 2): Unit },
+      () => DeltaExport.snapshot(s, base, tgt, version = Some(1L)))))
+    time("delete_v3+append1")(graft.sources.ParallelJobs.awaitAll[Any](Seq(
+      () => TimeTravel.deleteMoR(s, base, col("k") % 7 === 3),
+      () => DeltaExport.append(s, base, tgt, toVersion = Some(2L)))))
+    time("export_append2")(DeltaExport.append(s, base, tgt))
+    time("vacuum_dry")(DeltaMaintenance.vacuum(s, tgt, dryRun = true).size)
+    time("checkpoint")(DeltaMaintenance.checkpoint(s, tgt))
+    time("cleanup_log")(DeltaMaintenance.cleanupLog(s, tgt).size)
+    time("vacuum")(DeltaMaintenance.vacuum(s, tgt).size)
+    time("read_agg")(DeltaRead.read(s, tgt)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .collect())
+  }
+
+  /** Mirrors q_mv_incremental's step sequence. */
+  private def mvIncremental(s: SparkSession, d: String): Unit = {
+    import graft.plans.{MvCatalog, MvMaintenance}
+    import graft.sources.TimeTravel
+    val Seq(base, mv) = fresh(s, "ivm_base", "ivm_mv")
+    val name = s"ivm_step_p${ProcessHandle.current().pid()}"
+    MvMaintenance.unregister(name); MvCatalog.unregister(name)
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        graft.Exact.units(col("o_totalprice"), 2).as("cents"))
+    def define(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"))
+    time("commit_v1")(TimeTravel.commitOverwrite(o.filter(col("o_orderkey") % 5 =!= 0), base))
+    time("register")(MvMaintenance.register(s, name, base, mv)(define))
+    time("append_v2")(TimeTravel.commitAppend(o.filter(col("o_orderkey") % 5 === 0), base))
+    time("refresh")(MvMaintenance.refresh(s, name))
+    time("serve")(define(TimeTravel.read(s, base))
+      .write.format("noop").mode("overwrite").save())
+    MvMaintenance.unregister(name); MvCatalog.unregister(name)
+  }
+
+  /** Mirrors q_tt_stream_cdf's step sequence. */
+  private def ttStreamCdf(s: SparkSession, d: String): Unit = {
+    import graft.sources.TimeTravel
+    val Seq(base, sink, cp) = fresh(s, "cdf_base", "cdf_sink", "cdf_cp")
+    val c = Tables(s, d, "customer")
+      .select(col("c_custkey").as("k"), graft.Exact.units(col("c_acctbal"), 2).as("cents"))
+    time("commit_v1")(TimeTravel.commitOverwrite(c, base))
+    time("delete_v2")(TimeTravel.deleteMoR(s, base, col("k") % 10 === 0))
+    time("update_v3")(TimeTravel.updateMoR(s, base, col("k") % 7 === 3,
+      Seq("cents" -> (col("cents") + 7))))
+    time("append_v4")(TimeTravel.commitAppend(
+      c.filter(col("k") % 9 === 0 && col("k") > 0)
+        .select((-col("k")).as("k"), (col("k") * 2).as("cents")), base))
+    time("stream")({
+      val q = graft.streaming.TableStreams
+        .readTableStream(s, base, startingVersion = Some(1L), cdfKey = Some("k"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    })
+    time("read_sink")(s.read.parquet(sink)
+      .groupBy(col("_change_type")).agg(count(lit(1)))
+      .write.format("noop").mode("overwrite").save())
   }
 }

@@ -82,10 +82,17 @@ object LakehouseQueries {
       .select(col("c_custkey").as("k"),
         graft.Exact.units(col("c_acctbal"), 2).as("cents"))
     TimeTravel.commitOverwrite(c.coalesce(1), base) // v1: one data file
-    TimeTravel.deleteMoR(s, base, col("k") % 5 === 2) // v2
-    TimeTravel.deleteMoR(s, base, col("k") % 7 === 3) // v3
-    DeltaExport.snapshot(s, base, tgt, version = Some(1L)) // delta v0
-    DeltaExport.append(s, base, tgt, toVersion = Some(2L)) // delta v1: DV #1
+    // r16 (guide §2.6): each export is PINNED to an already-published
+    // base version, so it can overlap the NEXT base DML — published
+    // versions are immutable and the two jobs write disjoint trees
+    // (tgt vs base/v00v+1). The delta story is unchanged: tgt still
+    // sees exactly v1 / v2 / v3 in order.
+    graft.sources.ParallelJobs.awaitAll[Unit](Seq(
+      () => { TimeTravel.deleteMoR(s, base, col("k") % 5 === 2): Unit }, // v2
+      () => DeltaExport.snapshot(s, base, tgt, version = Some(1L)))) // delta v0
+    graft.sources.ParallelJobs.awaitAll[Any](Seq(
+      () => TimeTravel.deleteMoR(s, base, col("k") % 7 === 3), // v3
+      () => DeltaExport.append(s, base, tgt, toVersion = Some(2L)))) // delta v1: DV #1
     DeltaExport.append(s, base, tgt) // delta v2: superseding DV #2
     val dry = DeltaMaintenance.vacuum(s, tgt, dryRun = true).size
     DeltaMaintenance.checkpoint(s, tgt)

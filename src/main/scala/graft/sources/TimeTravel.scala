@@ -712,10 +712,16 @@ object TimeTravel {
     val updated = hit.select(origCols.map { c =>
       setMap.get(c).map(_.cast(data.schema(c).dataType).as(c)).getOrElse(col(c))
     }: _*)
-    hit.select(DvCols.head, DvCols.tail: _*)
-      .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
-    mapping.map(toPhysical(updated, _)).getOrElse(updated)
-      .write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
+    // r16 (guide §2.6): tombstones and updated copies consume the SAME
+    // pinned hit set and land in DISJOINT unpublished directories — run
+    // the two writes as concurrent jobs (the small DV write back-fills
+    // the data write's task tail); the single manifest rename below
+    // still publishes both atomically
+    ParallelJobs.awaitAll[Unit](Seq(
+      () => hit.select(DvCols.head, DvCols.tail: _*)
+        .write.mode("overwrite").parquet(s"$path/${dvDir(v)}"),
+      () => mapping.map(toPhysical(updated, _)).getOrElse(updated)
+        .write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")))
     publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v),
       cols = encodedColsAt(spark, path, Some(cur)))
     v
@@ -753,10 +759,14 @@ object TimeTravel {
       if (prevDvs.isEmpty) data
       else data.join(
         spark.read.parquet(prevDvs.map(d => s"$path/$d"): _*), DvCols, "left_anti")
-    live.filter(condition).select(DvCols.head, DvCols.tail: _*)
-      .write.mode("overwrite").parquet(s"$path/${dvDir(v)}")
-    mapping.map(toPhysical(df, _)).getOrElse(df)
-      .write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")
+    // r16 (guide §2.6): the tombstone write and the replacement write
+    // share no state (live rows vs caller's df) and land in DISJOINT
+    // unpublished directories — concurrent jobs, one atomic publish
+    ParallelJobs.awaitAll[Unit](Seq(
+      () => live.filter(condition).select(DvCols.head, DvCols.tail: _*)
+        .write.mode("overwrite").parquet(s"$path/${dvDir(v)}"),
+      () => mapping.map(toPhysical(df, _)).getOrElse(df)
+        .write.mode("overwrite").parquet(s"$path/${dataDir(path, v)}")))
     publish(spark, path, v, dirs :+ dataDir(path, v), dvs = prevDvs :+ dvDir(v),
       cols = encodedColsAt(spark, path, Some(cur)))
     v
