@@ -43,6 +43,8 @@ object StepProbe {
       case "delta_vacuum" => deltaVacuum(spark, sfDir)
       case "mv_incremental" => mvIncremental(spark, sfDir)
       case "tt_stream_cdf" => ttStreamCdf(spark, sfDir)
+      case "build_ivfpq" => buildIvfPq(spark, sfDir)
+      case "trigram" => trigram(spark, sfDir)
       case other => System.err.println(s"[step] unknown probe $other")
     }
     spark.stop()
@@ -147,5 +149,34 @@ object StepProbe {
     time("read_sink")(s.read.parquet(sink)
       .groupBy(col("_change_type")).agg(count(lit(1)))
       .write.format("noop").mode("overwrite").save())
+  }
+
+  /** Times the at-rest IVF×PQ build (IndexSpec's parameters) — the r15
+    * loop-exit pin's 10× timed evidence (VERDICT r15 #7). */
+  private def buildIvfPq(s: SparkSession, d: String): Unit = {
+    val Seq(path) = fresh(s, "ivfpq")
+    val emb = Tables(s, d, "embeddings")
+    time("train_centroids")(graft.sources.VectorIndex.trainCentroids(
+      emb, "vec_id", "embedding", 8, 2))
+    time("build_ivfpq")(graft.sources.VectorIndex.buildIvfPq(
+      emb, "vec_id", "embedding", cells = 8, kmIters = 2,
+      pqSubs = 8, pqK = 16, pqIters = 2, path = s"$path/index"))
+  }
+
+  /** Times the trigram build + the q_trigram_search serving shape —
+    * the r15 candidate-pin's 10× timed evidence (VERDICT r15 #7). */
+  private def trigram(s: SparkSession, d: String): Unit = {
+    import graft.sources.TrigramIndex
+    val Seq(path) = fresh(s, "trg")
+    val docs = Tables(s, d, "documents")
+    time("build")(TrigramIndex.build(docs, path, cellHexChars = 1))
+    time("search")({
+      val cand = TrigramIndex.candidates(s, path, "vector index")
+        .localCheckpoint()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      TrigramIndex.search(docs, path, "vector index", Some(cand))
+        .crossJoin(org.apache.spark.sql.functions.broadcast(nCand))
+        .write.format("noop").mode("overwrite").save()
+    })
   }
 }

@@ -55,4 +55,21 @@ object Similarity {
   def sqDistIn(spark: SparkSession, a: Column, b: Column): Column =
     if (spark.catalog.functionExists("graft_sqdist")) call_function("graft_sqdist", a, b)
     else sqDist(a, b)
+
+  /** argmin-by-(distance, cid) over a packed centroid table
+    * `array<struct<cid long, carr array<long>>>`: the winning cid
+    * (null when the pack is empty) — min (d, cid) with the struct
+    * field order as the lexicographic tie-break, exactly what the
+    * Lloyd trainers' former ROW_NUMBER() OVER (ORDER BY d, cid)
+    * picked. Fused single-loop kernel
+    * ([[graft.expressions.ArgminCell]]) when the extension is loaded;
+    * composed HOF argmin otherwise — bit-identical either way. */
+  def argminCid(spark: SparkSession, uq: Column, cents: Column): Column =
+    if (spark.catalog.functionExists("graft_argmin_cell"))
+      call_function("graft_argmin_cell", uq, cents)
+    else
+      array_min(transform(cents, ct =>
+        struct(
+          sqDistIn(spark, uq, ct.getField("carr")).as("d"),
+          ct.getField("cid").as("cid")))).getField("cid")
 }

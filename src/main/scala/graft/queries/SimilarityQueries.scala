@@ -329,23 +329,12 @@ object SimilarityQueries {
     if (s.catalog.functionExists("graft_quantize")) call_function("graft_quantize", e)
     else transform(e, v => round(v * lit(1048576.0d)).cast("long"))
 
-  /** argmin over the packed centroid array: min (d, cid) via exact long
-    * squared distance — the same winner the former ROW_NUMBER() OVER
-    * (ORDER BY d, cid) picked, computed NARROWLY per row instead of
-    * through an exploded join + two corpus-keyed exchanges. Fused
-    * single-loop kernel ([[graft.expressions.ArgminCell]]) when the
-    * extension is loaded; composed HOF argmin otherwise — the struct
-    * field order (d first, cid second) is the lexicographic tie-break
-    * in both. Returns the winning cid (null when the pack is empty). */
+  /** argmin over the packed centroid array — [[Similarity.argminCid]]
+    * (fused kernel or composed HOF, bit-identical); the pack always
+    * carries its id under the field name `cid`. */
   private def argminCidIn(s: SparkSession, uq: Column, cents: Column,
       cidName: String): Column =
-    if (s.catalog.functionExists("graft_argmin_cell"))
-      call_function("graft_argmin_cell", uq, cents)
-    else
-      array_min(transform(cents, ct =>
-        struct(
-          Similarity.sqDistIn(s, uq, ct.getField("carr")).as("d"),
-          ct.getField(cidName).as("cid")))).getField("cid")
+    Similarity.argminCid(s, uq, cents)
 
   /** Spark face of the same trainer: (comp, assign, cent) after
     * `KmIters` Lloyd rounds on the 2²⁰ integer grid.
@@ -861,7 +850,8 @@ object SimilarityQueries {
       // unpinned, each reference re-expanded the whole residual training
       for (i <- 1 to PqIters) {
         val packed = rscent.groupBy(col("sub"))
-          .agg(sort_array(collect_list(struct(col("pcid"), col("carr")))).as("cents"))
+          .agg(sort_array(collect_list(
+            struct(col("pcid").as("cid"), col("carr")))).as("cents"))
         val av = rsvecs.join(broadcast(packed), Seq("sub"))
           .withColumn("pcid", argminCidIn(s, col("rarr"), col("cents"), "pcid"))
           .filter(col("pcid").isNotNull) // empty-codebook guard, see kmeansTrain

@@ -71,9 +71,16 @@ object VectorIndex {
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0).map(v => math.round(v * Grid)).toArray)
     (0 until iters).foreach { _ =>
-      val assigned = emb.select(
-        assignCell(spark, cents)(col(vecCol)).as(CellCol),
-        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      // r16: assign BELOW the explode. With the UDF and the generator in
+      // ONE select, the analyzer plans Project(udf) ABOVE Generate — the
+      // per-vector assignment loop re-ran once per exploded COMPONENT
+      // (dim× redundant work; measured 28 s of a 40 s sf0.1 build).
+      // Splitting the select pins the UDF into Generate's child: once
+      // per vector. Same values, same single update shuffle.
+      val assigned = emb
+        .select(assignCell(spark, cents)(col(vecCol)).as(CellCol),
+          asDouble(col(vecCol)).as("_v"))
+        .select(col(CellCol), posexplode(col("_v")).as(Seq("pos", "v")))
       val sums = assigned
         .select(col(CellCol), col("pos"), round(col("v") * Grid).cast("long").as("uq"))
         .groupBy(CellCol, "pos")
@@ -244,29 +251,56 @@ object VectorIndex {
     val res = withCell.select(col(idCol), col(CellCol),
       resOf(asDouble(col(vecCol)), col(CellCol)).as("r"))
       .localCheckpoint() // training + encoding read the same residuals
-    val comp = res.select(col(idCol), col(CellCol),
-      posexplode(col("r")).as(Seq("pos", "uq")))
-      .withColumn("sub", expr(s"pos div $subDim"))
-    var cent = comp.filter(col(idCol) < pqK)
-      .select(col(idCol).cast("int").as("cid"), col("pos"), col("uq").as("c"))
+    // r16: one-exchange-per-iteration array-form Lloyd (the
+    // SimilarityQueries trainer treatment applied at rest): residual
+    // subvectors stay PACKED; assignment is a narrow per-row argmin
+    // against the per-sub packed codebook ([[Similarity.argminCid]] —
+    // fused kernel or composed HOF, bit-identical), and the centroid
+    // update is the single surviving exchange, keyed (cid, pos) with
+    // map-side partial aggregation. The former shape exploded to
+    // N·dim·pqK join rows and shuffled on the id for the argmin window
+    // AND the update join, every iteration. Values identical: exact
+    // integer distances, same (d, cid) argmin tie-break, same rounded
+    // update — IndexSpec pins the layout and ADC serving results.
+    // (The r15 loop-exit pin is superseded: the only corpus-sized
+    // intermediate left is the pinned res.)
+    val rsv = res.select(col(idCol), posexplode(
+        array((0 until pqSubs).map(j =>
+          slice(col("r"), j * subDim + 1, subDim)): _*)).as(Seq("subI", "srarr")))
+      .select(col(idCol), col("subI"), (col("subI") * subDim).as("posBase"),
+        col("srarr"))
+    var scent = rsv.filter(col(idCol) < pqK)
+      .select(col(idCol).cast("long").as("cid"), col("subI"),
+        col("srarr").as("carr"))
     var assign: DataFrame = null
+    var cent: DataFrame = null
     for (i <- 1 to pqIters) {
-      val dist = comp.join(broadcast(cent), Seq("pos"))
-        .groupBy(col(idCol), col("sub"), col("cid"))
-        .agg(sum((col("uq") - col("c")) * (col("uq") - col("c"))).as("d"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol), col("sub")).orderBy(col("d"), col("cid"))
-      assign = dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col(idCol), col("sub"), col("cid"))
-      // r15: pin the loop EXIT (the q_knn_* trainer pattern) — the
-      // final assign feeds BOTH the code write and the codebook write;
-      // unpinned, each consumer re-expanded the whole unrolled Lloyd
-      // lineage, so training ran twice per build
-      if (i == pqIters) assign = assign.localCheckpoint()
-      cent = comp.join(assign, Seq(idCol, "sub"))
-        .groupBy(col("cid"), col("pos"))
+      val packed = scent.groupBy(col("subI"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+      val av = rsv.join(broadcast(packed), Seq("subI"))
+        .withColumn("cid",
+          Similarity.argminCid(spark, col("srarr"), col("cents")).cast("int"))
+        .filter(col("cid").isNotNull) // empty-codebook guard
+        .select(col(idCol), col("subI"), col("posBase"), col("srarr"), col("cid"))
+      val centLong = av
+        .select(col("cid"), col("posBase"),
+          posexplode(col("srarr")).as(Seq("li", "uq")))
+        .groupBy(col("cid"), (col("posBase") + col("li")).as("pos"))
         .agg(round(sum(col("uq")).cast("double") / count(lit(1)).cast("double"))
           .cast("long").as("c"))
+      if (i == pqIters) {
+        assign = av.select(col(idCol), col("subI").cast("long").as("sub"), col("cid"))
+        cent = centLong
+      } else {
+        // K·dim-bounded iteration boundary, pinned so later evaluations
+        // never replay this iteration's corpus aggregation
+        scent = centLong
+          .groupBy(col("cid").cast("long").as("cid"),
+            (col("pos").cast("long") / subDim).cast("int").as("subI"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+          .localCheckpoint()
+      }
     }
     val codes = assign.groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
