@@ -45,6 +45,7 @@ object StepProbe {
       case "tt_stream_cdf" => ttStreamCdf(spark, sfDir)
       case "build_ivfpq" => buildIvfPq(spark, sfDir)
       case "trigram" => trigram(spark, sfDir)
+      case "floor" => floor(spark, sfDir)
       case other => System.err.println(s"[step] unknown probe $other")
     }
     spark.stop()
@@ -161,6 +162,58 @@ object StepProbe {
     time("build_ivfpq")(graft.sources.VectorIndex.buildIvfPq(
       emb, "vec_id", "embedding", cells = 8, kmIters = 2,
       pqSubs = 8, pqK = 16, pqIters = 2, path = s"$path/index"))
+  }
+
+  /** Per-job-floor accounting for the `perf-weak-at-toy-scale` class
+    * (VERDICT r15 #8): what a headline micro-query's seconds are made
+    * of — pure job floor (empty job), plan+schedule floor (0-row scan
+    * through the full plan), and the data work on top. Each timed 3×,
+    * min printed (the warm floor). */
+  private def floor(s: SparkSession, d: String): Unit = {
+    def minOf(f: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // pure job floor: one empty-ish job, no shuffle, no scan
+    println(f"[step] empty_job,${minOf(noop(s.range(1).toDF("x")))}%.3f")
+    // one-shuffle floor: groupBy over 32 rows (exchange + AQE stage)
+    println(f"[step] one_shuffle_job,${minOf(noop(
+      s.range(32).toDF("x").groupBy(col("x") % 4).count()))}%.3f")
+    // per-query job/stage/task counts: how many scheduling floors a
+    // micro-query pays (AQE materializes one job per exchange stage,
+    // plus broadcast builds and the final write job)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (sys.env.contains("SPARK_GRAFT_FLOOR_VERBOSE"))
+          println(s"[job] ${e.jobId} stages=${e.stageInfos.size} " +
+            e.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ").take(200))
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(e.stageInfo.numTasks): Unit
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    for (name <- Seq("q1_pricing_summary", "q6_rollup_revenue",
+        "q4_top_customers_per_nation", "q_events_session", "q_knn_bruteforce")) {
+      val fn = SparkEntry.queries(name)
+      noop(fn(s, d)) // warm
+      val sec = minOf(noop(fn(s, d)))
+      jobs.set(0); stages.set(0); tasks.set(0)
+      noop(fn(s, d))
+      Thread.sleep(300) // let the listener bus drain
+      println(f"[step] $name%s,$sec%.3f,jobs=${jobs.get},stages=${stages.get},tasks=${tasks.get}")
+    }
+    s.sparkContext.removeSparkListener(listener)
   }
 
   /** Times the trigram build + the q_trigram_search serving shape —

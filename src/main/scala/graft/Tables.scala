@@ -16,8 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema memo, keyed by (path, nanosAsLong) — the one conf
+    * that changes what parquet inference returns here.
+    *
+    * Why (r16, guide §6 / the floor accounting in OPTIMIZATION_r16):
+    * every bare `spark.read.parquet(path)` runs a schema-inference JOB
+    * (a footer read) before the query proper — the floor probe showed
+    * each headline micro-query paying 3 such jobs (~0.1 s each at
+    * local[32]) per execution, a third of the whole query's wall. A
+    * real catalog (Hive/Iceberg/Delta) serves the schema from metadata
+    * for exactly this reason; this memo is that catalog for the
+    * driver-generated dirs, which are immutable for a run. Only
+    * METADATA is cached — no rows, no results; the cached value is the
+    * inference result itself, so plans are identical. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaMemo.computeIfAbsent((path, nanos),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     // The generator has emitted events.ts under several parquet encodings
     // across rounds; normalize every one of them to a session-TZ TIMESTAMP
     // so downstream event-time queries (`unix_micros`, `window`, as-of)
