@@ -332,8 +332,7 @@ object SimilarityQueries {
   /** argmin over the packed centroid array — [[Similarity.argminCid]]
     * (fused kernel or composed HOF, bit-identical); the pack always
     * carries its id under the field name `cid`. */
-  private def argminCidIn(s: SparkSession, uq: Column, cents: Column,
-      cidName: String): Column =
+  private def argminCidIn(s: SparkSession, uq: Column, cents: Column): Column =
     Similarity.argminCid(s, uq, cents)
 
   /** Spark face of the same trainer: (comp, assign, cent) after
@@ -377,7 +376,7 @@ object SimilarityQueries {
       val packed = centArr
         .agg(sort_array(collect_list(struct(col("cid"), col("carr")))).as("cents"))
       val av = vecs.crossJoin(broadcast(packed))
-        .withColumn("cid", argminCidIn(s, col("uq"), col("cents"), "cid"))
+        .withColumn("cid", argminCidIn(s, col("uq"), col("cents")))
         // empty-centroid guard: argmin over an empty pack is null; the
         // legacy exploded join produced NO row there — drop, don't null
         .filter(col("cid").isNotNull)
@@ -601,7 +600,7 @@ object SimilarityQueries {
       val packed = scent.groupBy(col("sub"))
         .agg(sort_array(collect_list(struct(col("cid"), col("carr")))).as("cents"))
       val av = svecs.join(broadcast(packed), Seq("sub"))
-        .withColumn("cid", argminCidIn(s, col("suq"), col("cents"), "cid"))
+        .withColumn("cid", argminCidIn(s, col("suq"), col("cents")))
         .filter(col("cid").isNotNull) // empty-codebook guard, see kmeansTrain
         .select(col("vec_id"), col("sub"), col("suq"), col("posBase"), col("cid"))
       val centLong = av
@@ -853,7 +852,7 @@ object SimilarityQueries {
           .agg(sort_array(collect_list(
             struct(col("pcid").as("cid"), col("carr")))).as("cents"))
         val av = rsvecs.join(broadcast(packed), Seq("sub"))
-          .withColumn("pcid", argminCidIn(s, col("rarr"), col("cents"), "pcid"))
+          .withColumn("pcid", argminCidIn(s, col("rarr"), col("cents")))
           .filter(col("pcid").isNotNull) // empty-codebook guard, see kmeansTrain
           .select(col("vec_id"), col("sub"), col("rarr"), col("posBase"), col("pcid"))
         val centLong = av
