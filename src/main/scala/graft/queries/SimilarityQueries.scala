@@ -388,7 +388,12 @@ object SimilarityQueries {
           .cast("long").as("c"))
       if (i == KmIters) {
         assign = av.select("vec_id", "cid").localCheckpoint()
-        cent = centLong.localCheckpoint()
+        // LAZY pin: two of the three consumers (q_knn_kmeans,
+        // q_semdedup) never touch cent — an eager pin would bill them
+        // a wasted materialization job; q_knn_ivfpq still gets the
+        // pinned table on first reference and its later references
+        // read the pin
+        cent = centLong.localCheckpoint(eager = false)
       } else {
         // pin the ITERATION BOUNDARY: K packed rows. Without it the two
         // final-exit pins (assign, cent) each re-evaluate this
